@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join surface — SURVEY.md §2.6: the reference's sibling collections
+  * (`variables`/`questions`, tests/test_serve.py:1283-1286) and set-
+  * membership semi-joins (S4, metadataformats.py:287-295) need real joins
+  * in the Spark engine. Dimension tables are broadcast (region: 5 rows,
+  * nation: 25) so the fact side never shuffles for them.
+  */
+object JoinQueries extends QueryGroup {
+
+  /** Broadcast dim join: revenue per market segment. customer is the
+    * small side at any SF ratio — broadcast it; orders never shuffles.
+    */
+  val joinBroadcast: QueryDef = QueryDef(
+    "join_broadcast_dim",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some(
+      "SELECT c_mktsegment, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+
+  /** Multiway snowflake join: customer → nation → region, all dims
+    * broadcast; one aggregate shuffle total.
+    */
+  val joinMultiway: QueryDef = QueryDef(
+    "join_multiway_snowflake",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            .as("total_acctbal"))
+        .orderBy("r_name")
+    },
+    Some(
+      "SELECT r_name, count(*) AS n_customers, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"))
+
+  /** Left-semi join — the S4 configurable-set membership shape
+    * (`studies ⋉ set_members`, metadataformats.py:287-295): orders that
+    * have at least one high-quantity lineitem, without duplicating rows.
+    */
+  val joinSemi: QueryDef = QueryDef(
+    "join_semi_membership",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.lineitem.filter(col("l_quantity") > 48).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    },
+    Some(
+      "SELECT o_orderkey FROM orders WHERE EXISTS (" +
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48) " +
+        "ORDER BY o_orderkey"))
+
+  /** Left-anti join — records NOT in any set (the complement enumeration
+    * ListSets needs): customers with no orders.
+    */
+  val joinAnti: QueryDef = QueryDef(
+    "join_anti_complement",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_totalprice") > 300000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+    Some(
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 300000) ORDER BY c_custkey"))
+
+  override def defs: Seq[QueryDef] =
+    Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti)
+}

@@ -1,0 +1,214 @@
+package graft.protocol
+
+import java.sql.Timestamp
+
+import graft.formats.{FormatColumns, MetadataFormat, MetadataFormats, OaiDcFormat}
+import graft.query._
+import graft.render.OaiXml
+import graft.sets.SetFamily
+import org.apache.spark.sql.{DataFrame, Row}
+
+import scala.xml.{Elem, NodeSeq}
+
+/** Repository configuration (reference: serve.py:74-87 + kuha controller
+  * settings; Identify content per tests/test_serve.py:210-214,1489-1493).
+  */
+final case class OaiConfig(
+    baseUrl: String = "http://localhost:6003/v0/oai",
+    repositoryName: String = "CDC Aggregator",
+    adminEmail: String = "admin@example.org",
+    deletedRecord: String = "transient", // transient | persistent
+    listSize: Int = 500,
+    stylesheet: Option[String] = None)
+
+/** The OAI-PMH verb surface over a Spark-backed study corpus — the engine
+  * analogue of the reference's Tornado handlers (SURVEY.md §3). Protocol
+  * plumbing is driver-side; every data touch goes through [[StudyStore]]
+  * as one declarative Spark plan.
+  */
+final class OaiRepository(
+    store: StudyStore,
+    sets: Seq[SetFamily],
+    config: OaiConfig = OaiConfig(),
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  private def respond(
+      verb: Option[String],
+      attrs: Map[String, String],
+      body: NodeSeq): String =
+    OaiXml.envelope(verb, attrs, config.baseUrl, now(), body, config.stylesheet)
+
+  /** Route a request; OAI errors are in-band XML, never exceptions to the
+    * caller (tests/test_serve.py:204-206).
+    */
+  def handle(params: Map[String, String]): String = {
+    val verb = params.get("verb")
+    try verb match {
+      case Some("Identify")            => identify()
+      case Some("ListMetadataFormats") => listMetadataFormats()
+      case Some("ListSets")            => listSets()
+      case Some("GetRecord") =>
+        getRecord(
+          params.getOrElse("identifier", throw OaiError("badArgument", "identifier required")),
+          params.getOrElse("metadataPrefix", throw OaiError("badArgument", "metadataPrefix required")))
+      case Some(v @ ("ListRecords" | "ListIdentifiers")) =>
+        list(v, params)
+      case Some(other) => throw OaiError("badVerb", s"unknown verb '$other'")
+      case None        => throw OaiError("badVerb", "verb argument is required")
+    } catch {
+      case OaiError(code, msg) =>
+        respond(verb, Map.empty, OaiXml.error(code, msg))
+    }
+  }
+
+  def identify(): String =
+    respond(Some("Identify"), Map.empty,
+      <Identify>
+        <repositoryName>{config.repositoryName}</repositoryName>
+        <baseURL>{config.baseUrl}</baseURL>
+        <protocolVersion>2.0</protocolVersion>
+        <adminEmail>{config.adminEmail}</adminEmail>
+        <earliestDatestamp>1970-01-01T00:00:00Z</earliestDatestamp>
+        <deletedRecord>{config.deletedRecord}</deletedRecord>
+        <granularity>YYYY-MM-DDThh:mm:ssZ</granularity>
+      </Identify>)
+
+  def listMetadataFormats(): String =
+    respond(Some("ListMetadataFormats"), Map.empty,
+      <ListMetadataFormats>
+        {MetadataFormats.all.map(f =>
+          <metadataFormat>
+            <metadataPrefix>{f.prefix}</metadataPrefix>
+            <schema>{f.schemaLocation}</schema>
+            <metadataNamespace>{f.metadataNamespace}</metadataNamespace>
+          </metadataFormat>)}
+      </ListMetadataFormats>)
+
+  /** ListSets = per-family enumeration: YAML families list config, the
+    * language family runs the Q3 distinct (tests/test_serve.py:1198-1227).
+    */
+  def listSets(): String =
+    respond(Some("ListSets"), Map.empty,
+      <ListSets>
+        {sets.flatMap(_.enumerate(store.studies)).map(s =>
+          <set>
+            <setSpec>{s.spec}</setSpec>
+            <setName>{s.name}</setName>
+            {s.description.toSeq.map(d => <setDescription>{d}</setDescription>)}
+          </set>)}
+      </ListSets>)
+
+  private def format(prefix: String): MetadataFormat =
+    MetadataFormats.byPrefix(prefix).getOrElse(
+      throw OaiError("cannotDisseminateFormat", s"unknown metadataPrefix '$prefix'"))
+
+  /** GetRecord (SURVEY.md §3.1): point filter, per-format projection +
+    * derivation, single-row collect, render. datacite's validity filter
+    * makes id-less records idDoesNotExist (metadataformats.py:733-739).
+    */
+  def getRecord(identifier: String, metadataPrefix: String): String = {
+    val fmt = format(metadataPrefix)
+    val fields =
+      (fmt.recordFields ++ FormatColumns.headerFields ++ sets.flatMap(_.fields)).distinct
+    val filter = And(FilterDsl.byIdentifier(identifier), fmt.validFilter)
+    val row = store.studies
+      .filter(filter.toColumn)
+      .select(fields.map(org.apache.spark.sql.functions.col): _*)
+      .transform(df => FormatColumns.withHeader(df, sets))
+      .transform(fmt.derive)
+      .limit(1).collect().headOption
+      .getOrElse(throw OaiError("idDoesNotExist", identifier))
+    respond(Some("GetRecord"),
+      Map("identifier" -> identifier, "metadataPrefix" -> metadataPrefix),
+      <GetRecord>{renderRecord(row, fmt, full = true)}</GetRecord>)
+  }
+
+  /** ListRecords / ListIdentifiers (SURVEY.md §3.2): conjunctive filter
+    * (datestamp window + set filter + format validity), count-then-page
+    * with keyset resumption tokens.
+    */
+  def list(verb: String, params: Map[String, String]): String = {
+    val prefix = params.get("resumptionToken") match {
+      case Some(_) => params.getOrElse("metadataPrefix", OaiDcFormat.prefix)
+      case None => params.getOrElse("metadataPrefix",
+        throw OaiError("badArgument", "metadataPrefix required"))
+    }
+    val fmt = format(prefix)
+    val from = params.get("from").map(parseDate)
+    val until = params.get("until").map(parseDate)
+    val setFilter: Filter = params.get("set") match {
+      case None => True
+      case Some(spec) =>
+        val (p, value) = spec.span(_ != ':')
+        val family = sets.find(_.prefix == p).getOrElse(
+          throw OaiError("badArgument", s"unknown set '$spec'"))
+        family.filterFor(if (value.isEmpty) None else Some(value.drop(1)))
+    }
+    val filter = And(
+      FilterDsl.harvestWindow(now(), from, until),
+      setFilter,
+      fmt.validFilter)
+    val fingerprint = ResumptionToken.fingerprint(
+      verb, prefix, params.getOrElse("set", ""),
+      params.getOrElse("from", ""), params.getOrElse("until", ""))
+    val token = params.get("resumptionToken").map(ResumptionToken.decode)
+    val fields =
+      (fmt.recordFields ++ FormatColumns.headerFields ++ sets.flatMap(_.fields)).distinct
+
+    val page = store.queryPage(
+      filter, fields, config.listSize, token, fingerprint,
+      df => fmt.derive(FormatColumns.withHeader(df, sets)))
+    if (page.rows.isEmpty && token.isEmpty)
+      throw OaiError("noRecordsMatch", "no records match the request")
+
+    val headersOnly = verb == "ListIdentifiers"
+    val items = page.rows.map(r =>
+      if (headersOnly) headerOf(r) else renderRecord(r, fmt, full = true))
+    val tokenElem: NodeSeq = page.token match {
+      case Some(t) =>
+        <resumptionToken completeListSize={page.completeListSize.toString}
+                         cursor={t.cursor.toString}>{t.encode}</resumptionToken>
+      case None if token.isDefined =>
+        // terminal empty token closes the list (templates/agg_list_records.xml:20)
+        <resumptionToken completeListSize={page.completeListSize.toString}/>
+      case None => NodeSeq.Empty
+    }
+    val attrs = Seq("metadataPrefix", "set", "from", "until")
+      .flatMap(k => params.get(k).map(k -> _)).toMap
+    val body: Elem =
+      if (headersOnly) <ListIdentifiers>{items}{tokenElem}</ListIdentifiers>
+      else <ListRecords>{items}{tokenElem}</ListRecords>
+    respond(Some(verb), attrs, body)
+  }
+
+  private def headerOf(r: Row): Elem =
+    OaiXml.header(
+      r.getAs[String]("oai_identifier"),
+      r.getAs[Timestamp]("oai_datestamp"),
+      Option(r.getAs[scala.collection.Seq[String]]("oai_sets")).getOrElse(Nil),
+      r.getAs[Boolean]("oai_deleted"))
+
+  private def renderRecord(r: Row, fmt: MetadataFormat, full: Boolean): Elem = {
+    val deleted = r.getAs[Boolean]("oai_deleted")
+    val metadata =
+      if (deleted) None
+      else fmt.prefix match {
+        case "oai_dc"       => Some(OaiXml.oaiDcMetadata(r))
+        case "oai_ddi25"    => Some(OaiXml.oaiDdiMetadata(r))
+        case "oai_datacite" => Some(OaiXml.oaiDataciteMetadata(r))
+        case _              => None
+      }
+    val about =
+      if (deleted) NodeSeq.Empty
+      else OaiXml.provenance(Option(r.getAs[scala.collection.Seq[Row]]("_provenance")).getOrElse(Nil))
+    OaiXml.record(headerOf(r), metadata, about, deleted)
+  }
+
+  private def parseDate(s: String): Timestamp =
+    try {
+      if (s.length == 10) Timestamp.valueOf(s + " 00:00:00")
+      else Timestamp.from(java.time.Instant.parse(s))
+    } catch {
+      case _: Exception => throw OaiError("badArgument", s"bad date '$s'")
+    }
+}

@@ -1,0 +1,148 @@
+package graft.protocol
+
+import graft.{Fixtures, SparkSpec}
+import graft.query.StudyStore
+import graft.sets.{ConfigurableSet, LanguageSet, OpenAireSet, SourceSet}
+
+import scala.xml.XML
+
+/** End-to-end verb tests — the Spark analogue of the reference's
+  * AsyncHTTPTestCase suite (SURVEY.md §5): build the repository over
+  * fixture studies, parse the actual XML responses.
+  */
+class OaiRepositorySpec extends SparkSpec {
+
+  private lazy val repo: OaiRepository = {
+    val s = spark
+    import s.implicits._
+    val studies = s.createDataset(Fixtures.all).toDF()
+    new OaiRepository(
+      new StudyStore(studies),
+      Seq(LanguageSet, OpenAireSet,
+        SourceSet.fromYaml(Fixtures.sourcesYaml),
+        ConfigurableSet.fromYaml(Fixtures.configurableYaml)),
+      OaiConfig(listSize = 2),
+      now = () => Fixtures.ts("2022-01-01T00:00:00Z"))
+  }
+
+  test("GetRecord oai_dc renders header + provenance") {
+    val xml = XML.loadString(
+      repo.getRecord("agg_id_1", "oai_dc"))
+    val rec = xml \ "GetRecord" \ "record"
+    assert((rec \ "header" \ "identifier").text == "agg_id_1")
+    assert((rec \ "header" \ "datestamp").text == "2021-06-01T12:00:00Z")
+    assert((rec \ "header" \ "setSpec").map(_.text).contains("source:FSD"))
+    val od = rec \ "about" \ "provenance" \ "originDescription"
+    assert((od \ "baseURL").text == "http://somebaseurl")
+    assert((od \ "@altered").text == "true")
+    assert((rec \ "metadata" \\ "type").text == "Dataset")
+  }
+
+  test("provenance recursion: element 0 outermost") {
+    val xml = XML.loadString(repo.getRecord("agg_id_prov", "oai_dc"))
+    val outer =
+      xml \ "GetRecord" \ "record" \ "about" \ "provenance" \ "originDescription"
+    assert((outer \ "baseURL").text.startsWith("http://somebaseurl"))
+    val inner = outer \ "originDescription"
+    assert((inner \ "baseURL").text == "http://upstream")
+    assert((inner \ "@altered").text == "false")
+    assert((inner \ "originDescription").isEmpty)
+  }
+
+  test("deleted record: header-only, status=deleted, deletion datestamp") {
+    val xml = XML.loadString(repo.getRecord("agg_id_del", "oai_dc"))
+    val rec = xml \ "GetRecord" \ "record"
+    assert((rec \ "header" \ "@status").text == "deleted")
+    assert((rec \ "header" \ "datestamp").text == "2000-01-01T23:00:00Z")
+    assert((rec \ "metadata").isEmpty)
+    assert((rec \ "about").isEmpty)
+  }
+
+  test("GetRecord unknown id → idDoesNotExist error, in-band") {
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "GetRecord", "identifier" -> "nope",
+        "metadataPrefix" -> "oai_dc")))
+    assert((xml \ "error" \ "@code").text == "idDoesNotExist")
+  }
+
+  test("datacite GetRecord drops id-less records (T7 + validity filter)") {
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "GetRecord", "identifier" -> "agg_id_1",
+        "metadataPrefix" -> "oai_datacite")))
+    assert((xml \ "error" \ "@code").text == "idDoesNotExist")
+    val ok = XML.loadString(repo.getRecord("agg_id_2", "oai_datacite"))
+    val res = ok \ "GetRecord" \ "record" \ "metadata" \ "resource"
+    assert((res \ "identifier").text == "some_id")
+    assert((res \ "identifier" \ "@identifierType").text == "DOI")
+    assert((res \ "publicationYear").text == "2012")
+  }
+
+  test("ListRecords pages with resumption token; every record exactly once") {
+    def page(extra: Map[String, String]) = XML.loadString(repo.handle(
+      Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc") ++ extra))
+    val p1 = page(Map.empty)
+    val ids1 = (p1 \ "ListRecords" \ "record" \ "header" \ "identifier").map(_.text)
+    assert(ids1.size == 2)
+    val tok1 = (p1 \ "ListRecords" \ "resumptionToken").text
+    assert(tok1.nonEmpty)
+    assert((p1 \ "ListRecords" \ "resumptionToken" \ "@completeListSize").text == "5")
+    val p2 = page(Map("resumptionToken" -> tok1))
+    val ids2 = (p2 \ "ListRecords" \ "record" \ "header" \ "identifier").map(_.text)
+    val tok2 = (p2 \ "ListRecords" \ "resumptionToken").text
+    val p3 = page(Map("resumptionToken" -> tok2))
+    val ids3 = (p3 \ "ListRecords" \ "record" \ "header" \ "identifier").map(_.text)
+    val all = ids1 ++ ids2 ++ ids3
+    assert(all.distinct.size == 5)
+    assert(all.toSet == Fixtures.all.map(_._aggregator_identifier).toSet)
+  }
+
+  test("bad resumption token → badResumptionToken error") {
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",
+        "resumptionToken" -> "garbage!!!")))
+    assert((xml \ "error" \ "@code").text == "badResumptionToken")
+  }
+
+  test("ListRecords with set + until filters") {
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",
+        "set" -> "source:GESIS")))
+    val ids = (xml \ "ListRecords" \ "record" \ "header" \ "identifier").map(_.text)
+    assert(ids == Seq("agg_id_lang"))
+    val none = XML.loadString(repo.handle(
+      Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",
+        "until" -> "1999-01-01")))
+    assert((none \ "error" \ "@code").text == "noRecordsMatch")
+  }
+
+  test("ListIdentifiers returns headers only") {
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_datacite")))
+    val hs = xml \ "ListIdentifiers" \ "header"
+    assert(hs.size == 2) // only datacite-valid records
+    assert((xml \ "ListIdentifiers" \ "record").isEmpty)
+  }
+
+  test("ListSets enumerates all four families") {
+    val xml = XML.loadString(repo.handle(Map("verb" -> "ListSets")))
+    val specs = (xml \ "ListSets" \ "set" \ "setSpec").map(_.text)
+    assert(specs.contains("language:fi"))
+    assert(specs.contains("openaire_data"))
+    assert(specs.contains("source:FSD"))
+    assert(specs.contains("thematic:social_sciences"))
+    val names = (xml \ "ListSets" \ "set" \ "setName").map(_.text)
+    assert(names.contains("Language fi"))
+  }
+
+  test("Identify + ListMetadataFormats + badVerb") {
+    val id = XML.loadString(repo.handle(Map("verb" -> "Identify")))
+    assert((id \ "Identify" \ "deletedRecord").text == "transient")
+    val fm = XML.loadString(repo.handle(Map("verb" -> "ListMetadataFormats")))
+    assert((fm \ "ListMetadataFormats" \ "metadataFormat" \ "metadataPrefix")
+      .map(_.text).toSet == Set("oai_dc", "oai_ddi25", "oai_datacite"))
+    val bad = XML.loadString(repo.handle(Map("verb" -> "Nope")))
+    assert((bad \ "error" \ "@code").text == "badVerb")
+    val missing = XML.loadString(repo.handle(Map.empty))
+    assert((missing \ "error" \ "@code").text == "badVerb")
+  }
+}

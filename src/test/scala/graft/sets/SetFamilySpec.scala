@@ -1,0 +1,95 @@
+package graft.sets
+
+import graft.{Fixtures, SparkSpec}
+import org.apache.spark.sql.DataFrame
+
+class SetFamilySpec extends SparkSpec {
+
+  private lazy val studies: DataFrame = {
+    val s = spark
+    import s.implicits._
+    s.createDataset(Fixtures.all).toDF()
+  }
+
+  private lazy val sourceSet = SourceSet.fromYaml(Fixtures.sourcesYaml)
+  private lazy val confSet = ConfigurableSet.fromYaml(Fixtures.configurableYaml)
+
+  private def labelsOf(fam: SetFamily, id: String): Set[String] =
+    studies.filter(s"_aggregator_identifier = '$id'")
+      .select(fam.labels.as("l"))
+      .collect().head.getSeq[String](0).toSet
+
+  test("S1 language: enumerate distinct title languages with generated names") {
+    val infos = LanguageSet.enumerate(studies)
+    assert(infos.map(_.spec) == Seq("language:de", "language:en", "language:fi"))
+    assert(infos.head.name == "Language de")
+  }
+
+  test("S1 language: labels and filter") {
+    assert(labelsOf(LanguageSet, "agg_id_lang") ==
+      Set("language:en", "language:fi", "language:de"))
+    assert(labelsOf(LanguageSet, "agg_id_1").isEmpty)
+    val matched = studies
+      .filter(LanguageSet.filterFor(Some("de")).toColumn)
+      .select("_aggregator_identifier").collect().map(_.getString(0)).toSet
+    assert(matched == Set("agg_id_lang"))
+  }
+
+  test("S2 openaire_data: membership by identifier agency") {
+    assert(labelsOf(OpenAireSet, "agg_id_2") == Set("openaire_data"))
+    assert(labelsOf(OpenAireSet, "agg_id_lang") == Set("openaire_data")) // ARK
+    assert(labelsOf(OpenAireSet, "agg_id_1").isEmpty)
+  }
+
+  test("S3 source: YAML mapping drives labels and filters") {
+    assert(labelsOf(sourceSet, "agg_id_1") == Set("source:FSD"))
+    assert(labelsOf(sourceSet, "agg_id_lang") == Set("source:GESIS"))
+    val fsd = studies.filter(sourceSet.filterFor(Some("FSD")).toColumn)
+      .select("_aggregator_identifier").collect().map(_.getString(0)).toSet
+    assert(fsd == Set("agg_id_1", "agg_id_2", "agg_id_del", "agg_id_prov"))
+    // nestedProvenance's upstream hop is direct=false → no GESIS label
+    assert(labelsOf(sourceSet, "agg_id_prov") == Set("source:FSD"))
+  }
+
+  test("S3 source: ListSets enumeration from config, not data") {
+    val infos = sourceSet.enumerate(studies)
+    assert(infos.map(_.spec) == Seq("source", "source:FSD", "source:GESIS"))
+    assert(infos(1).description.contains("FSD metadata description"))
+  }
+
+  test("S4 configurable: child membership + top-level union dedup") {
+    assert(confSet.allIdentifiers ==
+      Seq("agg_id_1", "agg_id_2", "agg_id_lang", "agg_id_prov"))
+    assert(labelsOf(confSet, "agg_id_2") ==
+      Set("thematic", "thematic:social_sciences", "thematic:humanities"))
+    assert(labelsOf(confSet, "agg_id_del").isEmpty)
+    val hum = studies.filter(confSet.filterFor(Some("humanities")).toColumn)
+      .select("_aggregator_identifier").collect().map(_.getString(0)).toSet
+    assert(hum == Set("agg_id_2", "agg_id_lang", "agg_id_prov"))
+  }
+
+  test("S4 validation matrix: malformed YAML raises at configure") {
+    def bad(yaml: String): Unit =
+      assertThrows[SetConfigError](ConfigurableSet.fromYaml(yaml))
+    bad("name: 'x'\nnodes:\n  - spec: a\n    name: b\n    identifiers: [i]")  // missing spec
+    bad("spec: ''\nname: 'x'\nnodes:\n  - spec: a\n    name: b\n    identifiers: [i]") // empty spec
+    bad("spec: 'x'\nnodes:\n  - spec: a\n    name: b\n    identifiers: [i]")  // missing name
+    bad("spec: 'x'\nname: 'y'")                                              // missing nodes
+    bad("spec: 'x'\nname: 'y'\nnodes: []")                                   // empty nodes
+    bad("spec: 'x'\nname: 'y'\nnodes:\n  - name: b\n    identifiers: [i]")   // node missing spec
+    bad("spec: 'x'\nname: 'y'\nnodes:\n  - spec: a\n    identifiers: [i]")   // node missing name
+    bad("spec: 'x'\nname: 'y'\nnodes:\n  - spec: a\n    name: b")            // missing identifiers
+    bad("spec: 'x'\nname: 'y'\nnodes:\n  - spec: a\n    name: b\n    identifiers: []") // empty ids
+    bad("spec: [1,2]\nname: 'y'\nnodes:\n  - spec: a\n    name: b\n    identifiers: [i]") // non-string spec
+    bad("spec: 'x'\nname: 'y'\nnodes: 17")                                   // non-list nodes
+    bad("spec: 'x'\nname: 'y'\nnodes:\n  - spec: a\n    name: b\n    identifiers: {k: v}") // non-list ids
+    bad("spec: 'x'\n  bad indent: [")                                        // invalid syntax
+  }
+
+  test("source YAML: single-source filter builds elemMatch on url") {
+    import graft.query.{ElemEq, ElemMatch}
+    assert(sourceSet.filterFor(Some("FSD")) ==
+      ElemMatch("_provenance",
+        ElemEq("base_url", "http://somebaseurl"), ElemEq("direct", true)))
+  }
+}

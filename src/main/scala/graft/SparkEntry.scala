@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
-    Seq(CoreQueries, MetricsQueries, JoinQueries)
+    Seq(CoreQueries, MetricsQueries, JoinQueries,
+      DedupQueries, SimilarityQueries, TextQueries, EventQueries,
+      MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups by a 256-bit content hash, NOT the raw text — the
+  *    shuffle carries 32 bytes/row instead of whole documents.
+  *  - near-dup never materializes the O(n²) pair space: MinHash+LSH and
+  *    SimHash band candidates so only same-bucket docs join; the exact
+  *    verify join runs on the (tiny) candidate set.
+  *  - all hashes are Spark's codegen'd built-ins (xxhash64/hash/sha2);
+  *    no UDFs anywhere in the hot path.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical content.
+    * Hash-groupBy (SURVEY.md extension surface): sha2-256 collisions are
+    * ~2^-128 — acceptable; at 100 TB this is the difference between
+    * shuffling 32-byte keys and shuffling documents.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Whitespace word tokens, lowercased. */
+  def words(textCol: String): Column =
+    split(lower(col(textCol)), "\\s+")
+
+  /** Word n-gram shingles: contiguous n-word windows, distinct.
+    * Pure array expressions — codegen, no explode until the caller needs
+    * rows.
+    */
+  def shingles(textCol: String, n: Int): Column = {
+    val w = words(textCol)
+    array_distinct(
+      when(size(w) < n, array(concat_ws(" ", w)))
+        .otherwise(transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature of the shingle set: k permutations of the universal
+    * family h_i(x) = (a_i·x + b_i) mod p over xxhash64(shingle).
+    * p = 2³¹−1 keeps every product below 2^62 — exact long arithmetic
+    * even under ANSI mode (no silent wrap, no overflow error).
+    * Deterministic (fixed seed), one aggregate pass — the k mins are
+    * computed as k partial-aggregating min() columns, so the shuffle
+    * carries k longs per doc.
+    */
+  val MinhashPrime: Long = (1L << 31) - 1
+
+  def hashFamily(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextLong(MinhashPrime - 1) + 1, rnd.nextLong(MinhashPrime)))
+  }
+
+  /** (id, signature array<long>) per document. */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val fam = hashFamily(numHashes)
+    val base = df
+      .select(col(idCol), explode(shingles(textCol, shingleSize)).as("shingle"))
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val minCols = fam.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    base.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: signature → b bands of r rows; docs sharing any band
+    * bucket are candidates. Returns distinct candidate (idA < idB) pairs.
+    * The only shuffles are the band groupBy and the final distinct —
+    * no all-pairs join ever happens.
+    */
+  def minhashCandidates(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rows: Int): DataFrame = {
+    val banded = signatures.select(
+      col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("signature"), b * rows + 1, rows)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact set-Jaccard for candidate pairs (the verify stage after LSH
+    * pruning), on the SAME element set the signatures hashed — `setCol`
+    * is any array expression over `docs` (word set, shingle set, ...).
+    */
+  def verifyJaccard(
+      candidates: DataFrame, docs: DataFrame,
+      setCol: Column, idCol: String): DataFrame = {
+    val sets = docs.select(col(idCol).as("vid"),
+      array_distinct(setCol).as("wset"))
+    candidates
+      .join(sets.withColumnRenamed("vid", "id_a").withColumnRenamed("wset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("vid", "id_b").withColumnRenamed("wset", "set_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup end to end: candidates → exact-verify → filter.
+    * False negatives bounded by the (bands, rows) S-curve; defaults catch
+    * >99% of pairs at jaccard ≥ 0.8.
+    */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands)
+    verifyJaccard(cands, df, shingles(textCol, shingleSize), idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard pairs (the oracle-checkable baseline the
+    * LSH path approximates): explode distinct word tokens, self-join on
+    * token, count intersections, compute |A∪B| from per-doc set sizes.
+    * O(pairs-sharing-a-token) not O(n²) — but still the path you only run
+    * at small scale or per-bucket.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    // Size-compatibility pruning (exact): J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t,
+    // so carry each doc's set size on its token rows and reject
+    // incompatible pairs INSIDE the join — at high thresholds this kills
+    // the quadratic blowup a shared-vocabulary corpus otherwise causes,
+    // without changing the result set.
+    val tok = df
+      .select(col(idCol).as("id"), array_distinct(words(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
+    val common = tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    common
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Block-broadcast exact Jaccard pairs: word sets become broadcast
+    * sorted-hash arrays; each partition merge-intersects its docs against
+    * the block in a tight loop. Same results as [[ngramJaccardPairs]]
+    * (exact, same rounding) but no 10⁸-row token join — the right shape
+    * when the vocabulary is small or thresholds are low. At 100 TB the
+    * broadcast block becomes a tile loop; the kernel is unchanged.
+    */
+  def jaccardPairsBlocked(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(col(idCol).cast("long").as("id"),
+        array_sort(transform(array_distinct(words(textCol)), w => xxhash64(w))).as("hs"))
+      .as[(Long, Array[Long])]
+    val corpus = sets.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    sets.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id, hs) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < all.length) {
+          val (oid, os) = all(j)
+          // size-compatibility prune: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+          if (oid > id &&
+              hs.length * threshold <= os.length &&
+              os.length * threshold <= hs.length) {
+            var a = 0; var b = 0; var c = 0
+            while (a < hs.length && b < os.length) {
+              if (hs(a) == os(b)) { c += 1; a += 1; b += 1 }
+              else if (hs(a) < os(b)) a += 1
+              else b += 1
+            }
+            val jac = c.toDouble / (hs.length + os.length - c)
+            if (jac >= threshold) {
+              val r = BigDecimal(jac)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              out += ((id, oid, r))
+            }
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature where bit j is the sign of the sum over
+    * tokens of ±1 (bit j of xxhash64(token)). Near-dups = signatures
+    * within `maxHammingDistance`, found by banding the 64 bits into
+    * (maxHammingDistance+1) chunks — pigeonhole guarantees any pair
+    * within the distance shares at least one exact chunk.
+    */
+  def simhash(textCol: String): Column = {
+    val tokenHashes = transform(array_distinct(words(textCol)), w => xxhash64(w))
+    // one expression per bit (j is a compile-time Int — shiftright needs
+    // it); 64 codegen'd array-aggregates, no shuffle, no UDF
+    (0 until 64).map { j =>
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via chunk banding + hamming verify. */
+  def simhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHammingDistance: Int = 3): DataFrame = {
+    val chunks = maxHammingDistance + 1
+    val bits = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until chunks).map(cI =>
+        struct(lit(cI).as("chunk"),
+          shiftright(col("sig"), cI * bits)
+            .bitwiseAND((1L << bits) - 1).as("key"))): _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHammingDistance)
+  }
+}

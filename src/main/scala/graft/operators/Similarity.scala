@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale design (100 TB):
+  *  - dot products / norms are pure array expressions (zip_with +
+  *    aggregate) in double precision — codegen'd, deterministic
+  *    (sequential fold = reproducible bit-for-bit, unlike a shuffle-order
+  *    dependent sum).
+  *  - brute-force top-k broadcasts the QUERY vector (one row), never the
+  *    corpus: one narrow scan + TakeOrdered. That is the exact baseline.
+  *  - the scale path buckets vectors with random-hyperplane LSH so a
+  *    query probes only its bucket — candidates shrink by ~2^bits; the
+  *    same verify (exact cosine) runs on the survivors.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest neighbours of one stored vector, brute force.
+    * The query vector is collected (one row) and inlined as a literal —
+    * the corpus side never shuffles; the plan is scan → project →
+    * TakeOrderedAndProject.
+    */
+  def topKCosine(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect().head
+      .getAs[scala.collection.Seq[Float]](0)
+    val qLit = array(q.toSeq.map(v => lit(v)): _*)
+    embeddings
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine ≥ threshold — the embedding-cosine near-dup
+    * check. Expression variant: exact but allocates arrays per pair; use
+    * [[cosinePairsBlocked]] for the fast path (identical results).
+    */
+  def cosinePairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = embeddings.select(
+      col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Block-broadcast all-pairs cosine: one side becomes a broadcast array
+    * of primitive vectors; each partition streams its rows against it in
+    * a tight JIT-friendly loop — no per-pair array allocation, no
+    * shuffle. Dot products fold left-to-right exactly like the
+    * expression variant, so results (incl. the 6-dp rounding) are
+    * bit-identical. At 100 TB the broadcast side becomes a tile loop
+    * (process the corpus in broadcastable chunks); the per-partition
+    * kernel is unchanged.
+    */
+  def cosinePairsBlocked(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val all = rows.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((all, norms))
+    rows.mapPartitions { it =>
+      val (corpus, ns) = bc.value
+      it.flatMap { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val vn = math.sqrt(s)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < corpus.length) {
+          val (oid, ov) = corpus(j)
+          if (oid > id) {
+            var d = 0.0; var k = 0
+            while (k < v.length) { d += v(k) * ov(k); k += 1 }
+            val sim = BigDecimal(d / (vn * ns(j)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= threshold) out += ((id, oid, sim))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 of the coordinates mapped to ±1. No stored model, fully
+    * reproducible across the cluster.
+    */
+  private def planeSign(plane: Int, d: Int): Column =
+    when(pmod(xxhash64(lit(plane), lit(d)), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane LSH bucket id (numPlanes-bit signature): bit j is
+    * the sign of ⟨v, h_j⟩. Cosine-similar vectors collide with
+    * probability 1 − θ/π per bit.
+    */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val proj = (0 until dim).map(d =>
+        get(vecCol, lit(d)).cast("double") * planeSign(j, d)).reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: assign every vector a bucket, then answer the query
+    * from its own bucket only (single-probe). Returns the approximate
+    * top-k with exact cosine scores among candidates.
+    */
+  def annTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, dim: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket",
+      lshBucket(col(vecCol), dim, numPlanes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol), col("bucket")).collect().head
+    val qVec = q.getAs[scala.collection.Seq[Float]](0)
+    val qBucket = q.getLong(1)
+    val qLit = array(qVec.toSeq.map(v => lit(v)): _*)
+    bucketed
+      .filter(col("bucket") === qBucket && col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

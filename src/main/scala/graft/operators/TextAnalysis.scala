@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus — all pure column
+  * expressions (whole-stage codegen, no UDFs): at 100 TB these run as one
+  * narrow projection pass over the parquet scan, shuffle-free.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword token count: words, numbers, and individual
+    * punctuation as separate tokens (the usual pre-tokenizer split).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Characters that are neither alphanumeric nor whitespace / total. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are (english) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    size(filter(w, t => t.isin(EnglishStopwords: _*))).cast("double") /
+      greatest(size(w), lit(1))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(w), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation
+    * noise, plausible word lengths. Heuristic — the point is a cheap,
+    * deterministic, fully-pushed-down scoring pass.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val wordLenScore = when(
+      meanWordLength(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punctScore * 0.4 + wordLenScore * 0.2), 6)
+  }
+
+  /** Marker-stopword language ID (n-gram-heuristic family): count
+    * hits per language marker set, argmax with 'und' fallback.
+    * CASE-expressible so the DuckDB oracle can state the same logic.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "de", "y", "es"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    size(filter(w, t => t.isin(markers: _*)))
+  }
+
+  def langId(text: Column): Column = {
+    val en = markerHits(text, LangMarkers("en"))
+    val de = markerHits(text, LangMarkers("de"))
+    val fr = markerHits(text, LangMarkers("fr"))
+    val es = markerHits(text, LangMarkers("es"))
+    val m = greatest(en, de, fr, es)
+    when(m === 0, "und")
+      .when(en === m, "en") // ties break in fixed order en>de>fr>es
+      .when(de === m, "de")
+      .when(fr === m, "fr")
+      .otherwise("es")
+  }
+
+  /** Document fingerprint: left fold of a 31-ary polynomial rolling hash
+    * over per-word codes, mod 1e9+7. Defined purely arithmetically
+    * (word length, first/last char codes) so any engine — including the
+    * DuckDB oracle — computes the identical value; no engine-specific
+    * hash function in the definition.
+    */
+  val FingerprintMod: Long = 1000000007L
+
+  def fingerprint(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    val codes = transform(w,
+      t => pmod(length(t) * 17L + ascii(substring(t, 1, 1)) * 31L +
+        ascii(substring(t, -1, 1)), lit(FingerprintMod)))
+    aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * 31L + c, lit(FingerprintMod)))
+  }
+}

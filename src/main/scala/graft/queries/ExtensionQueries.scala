@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventWindows
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over the driver testdata (the extension
+  * surface BASELINE.json mandates): dedup family, similarity search,
+  * text analysis, multimodal plumbing, event windows. Oracle SQL given
+  * wherever DuckDB can state the same semantics; hash-based approximate
+  * ops (minhash/simhash/ANN) are rows-only by design.
+  */
+object DedupQueries extends QueryGroup {
+
+  /** Exact dedup via 256-bit content-hash groupBy. */
+  val exact: QueryDef = QueryDef(
+    "dedup_exact",
+    (s, dir) =>
+      Dedup.exact(Tables(s, dir).documents, "text", "doc_id")
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id"),
+    Some(
+      "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents " +
+        "GROUP BY text ORDER BY doc_id"))
+
+  /** Brute-force word-set Jaccard near-dup pairs (oracle-checkable
+    * baseline the LSH path approximates).
+    */
+  val ngramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) =>
+      Dedup.jaccardPairsBlocked(Tables(s, dir).documents, "text", "doc_id", 0.95)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95 ORDER BY id_a, id_b""".stripMargin))
+
+  /** MinHash+LSH near-dups on 3-gram shingles, exact-verified. LSH is a
+    * candidate pruner, so no SQL oracle — rows-only check; the unit spec
+    * asserts recall against the brute-force baseline.
+    */
+  val minhashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashNearDups(Tables(s, dir).documents, "text", "doc_id",
+          threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash near-dups (hamming ≤ 3 via pigeonhole banding). */
+  val simhash: QueryDef = QueryDef(
+    "dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashNearDups(Tables(s, dir).documents, "text", "doc_id", 3)
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** Embedding-cosine near-dup pairs; exact, so oracle-checkable. */
+  val embeddingCosine: QueryDef = QueryDef(
+    "dedup_embedding_cosine",
+    (s, dir) =>
+      Similarity.cosinePairsBlocked(Tables(s, dir).embeddings, "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+}
+
+object SimilarityQueries extends QueryGroup {
+
+  /** Exact brute-force cosine top-k — the ANN baseline. */
+  val topK: QueryDef = QueryDef(
+    "sim_topk_bruteforce",
+    (s, dir) =>
+      Similarity.topKCosine(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
+
+  /** LSH-bucketed single-probe ANN (the 100 TB path): approximate —
+    * rows-only; the unit spec checks overlap with the exact top-k.
+    */
+  val annLsh: QueryDef = QueryDef(
+    "sim_ann_lsh",
+    (s, dir) =>
+      Similarity.annTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = 64, numPlanes = 4),
+    None)
+
+  def defs: Seq[QueryDef] = Seq(topK, annLsh)
+}
+
+object TextQueries extends QueryGroup {
+
+  /** Token counting: whitespace + BPE-ish pre-tokenizer split. */
+  val tokens: QueryDef = QueryDef(
+    "text_token_stats",
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: punctuation/stopword/length heuristics. */
+  val quality: QueryDef = QueryDef(
+    "text_quality",
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+    Some {
+      val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    len(string_split_regex(trim(text), '\\s+')) AS nw,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1) AS praw,
+         |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |        w -> list_contains([$stop], w))) AS nstop,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)::BIGINT)),
+         |        (a, b) -> a + b) * 1.0
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mwl
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(praw, 6) AS punct_ratio,
+         |  round(nstop * 1.0 / greatest(nw, 1), 6) AS stopword_ratio,
+         |  round(least(nw * 1.0 / 100.0, 1.0) * 0.4
+         |      + (1.0 - least(praw * 5.0, 1.0)) * 0.4
+         |      + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+         |    AS quality
+         |FROM b ORDER BY doc_id""".stripMargin
+    })
+
+  /** Marker-stopword language ID. */
+  val langId: QueryDef = QueryDef(
+    "text_langid",
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+    Some {
+      def hits(markers: Seq[String]) = {
+        val l = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains([$l], w)))"
+      }
+      val en = hits(TextAnalysis.LangMarkers("en"))
+      val de = hits(TextAnalysis.LangMarkers("de"))
+      val fr = hits(TextAnalysis.LangMarkers("fr"))
+      val es = hits(TextAnalysis.LangMarkers("es"))
+      s"""WITH h AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |  ELSE 'es' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
+  /** Rolling polynomial fingerprint (arithmetic-only — cross-engine). */
+  val fingerprint: QueryDef = QueryDef(
+    "text_fingerprint",
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      w -> (length(w) * 17 + ascii(substring(w, 1, 1)) * 31
+        |            + ascii(substring(w, length(w), 1))) % 1000000007)),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tokens, quality, langId, fingerprint)
+}
+
+object EventQueries extends QueryGroup {
+
+  val tumbling: QueryDef = QueryDef(
+    "events_window_tumbling",
+    (s, dir) =>
+      EventWindows.tumbling(Tables(s, dir).events)
+        .orderBy("window_start", "event_type"),
+    Some(
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val sliding: QueryDef = QueryDef(
+    "events_window_sliding",
+    (s, dir) =>
+      EventWindows.sliding(Tables(s, dir).events)
+        .orderBy("window_start", "event_type"),
+    Some(
+      """WITH s AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type FROM events),
+        |w AS (SELECT b AS window_start, event_type FROM s
+        |      UNION ALL
+        |      SELECT b - INTERVAL '30 minutes' AS window_start, event_type FROM s)
+        |SELECT window_start, event_type, count(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val sessions: QueryDef = QueryDef(
+    "events_sessionization",
+    (s, dir) =>
+      EventWindows.sessions(Tables(s, dir).events)
+        .orderBy("user_id", "session_start"),
+    Some(
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '5 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessions)
+}
+
+object MultimodalQueries extends QueryGroup {
+
+  /** Binary-column plumbing + stub decode (pure-column variant; the
+    * mapPartitions batch variant is spec-tested for parity with this).
+    */
+  val decodeStub: QueryDef = QueryDef(
+    "multimodal_decode_stub",
+    (s, dir) =>
+      Multimodal.decodeStubColumns(
+        Multimodal.mediaTable(Tables(s, dir).documents))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  'image/stub' AS format,
+        |  CAST(octet_length(encode(text)) * 7 % 1024 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) * 13 % 768 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(decodeStub)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val df = docs(
+      (1L, "aa bb cc"), (2L, "aa bb cc"), (5L, "dd ee"), (3L, "aa bb cc"))
+    val out = Dedup.exact(df, "text", "doc_id")
+      .select("doc_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 3L), (5L, 1L)))
+  }
+
+  test("shingles: n-gram windows, distinct, short-text fallback") {
+    val df = docs((1L, "a b c d"), (2L, "x y"))
+    val sh = df.select(col("doc_id"), Dedup.shingles("text", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set("x y")) // shorter than n → whole text
+  }
+
+  test("minhash signatures: identical texts get identical signatures") {
+    val df = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different words here now"))
+    val sigs = Dedup.minhashSignatures(df, "text", "doc_id", 16, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).size == 16)
+  }
+
+  test("minhash LSH recall: finds every brute-force pair at sf0.001") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minhashNearDups(d, "text", "doc_id",
+        threshold = 0.5, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs on the same shingle sets
+    val sets = d.select(col("doc_id"),
+      array_distinct(Dedup.shingles("text", 3)).as("s"))
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test corpus should contain near-dups")
+    assert(lsh == brute) // b=32,r=2 S-curve ⇒ ~100% recall at j≥0.5
+  }
+
+  test("blocked jaccard matches the expression-join variant exactly") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joinVariant = norm(
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)))
+    val blocked = norm(Dedup.jaccardPairsBlocked(d, "text", "doc_id", 0.9))
+    assert(joinVariant == blocked)
+    assert(blocked.nonEmpty)
+  }
+
+  test("simhash: identical → distance 0; near-identical → small distance") {
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "entirely unrelated vocabulary concerning maritime navigation charts"))
+    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash banding finds all pairs within max hamming distance") {
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val within = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDups(df, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == within) // pigeonhole banding is exact for ≤ maxDist
+  }
+}

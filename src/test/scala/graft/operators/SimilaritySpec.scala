@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(1)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9))
+      .collect().head.getDouble(0)
+    assert(one == 1.0)
+  }
+
+  test("brute-force top-k is ordered and excludes the query") {
+    val top = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 5).collect()
+    assert(top.length == 5)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("ANN results are a subset of the bucket with exact scores") {
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 5,
+      dim = 64, numPlanes = 2)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // scores must equal brute-force cosine for the same ids
+    val brute = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      brute.get(r.getLong(0)).foreach(b => assert(b == r.getDouble(1)))
+    }
+  }
+
+  test("lsh bucket is deterministic and within range") {
+    val b = emb.select(Similarity.lshBucket(col("embedding"), 64, 4).as("b"))
+    val vals = b.collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < 16))
+    val again = b.collect().map(_.getLong(0))
+    assert(vals.toSeq == again.toSeq)
+  }
+
+  test("cosinePairs symmetric threshold filtering") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(tiny, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

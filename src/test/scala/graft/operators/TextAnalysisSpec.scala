@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  private def eval(text: String, c: org.apache.spark.sql.Column): Any =
+    one(text).select(c).collect().head.get(0)
+
+  test("token counts: whitespace and bpe-ish") {
+    assert(eval("the quick  brown fox", TextAnalysis.tokenCount(col("text"))) == 4)
+    assert(eval("ab, cd3", TextAnalysis.bpeishTokenCount(col("text"))) == 4)
+    assert(eval("hello world!", TextAnalysis.bpeishTokenCount(col("text"))) == 3)
+  }
+
+  test("punct and stopword ratios") {
+    assert(eval("ab!!", TextAnalysis.punctRatio(col("text"))) == 0.5)
+    assert(eval("the cat is here", TextAnalysis.stopwordRatio(col("text"))) == 0.5)
+  }
+
+  test("quality score is in [0,1] and favors clean text") {
+    val clean = eval(
+      ("word " * 120).trim, TextAnalysis.qualityScore(col("text")))
+      .asInstanceOf[Double]
+    val noisy = eval("!!! ??? ### $$$ %%%", TextAnalysis.qualityScore(col("text")))
+      .asInstanceOf[Double]
+    assert(clean > noisy)
+    assert(clean <= 1.0 && noisy >= 0.0)
+  }
+
+  test("language id picks marker-majority language, und fallback") {
+    assert(eval("the cat and the dog is here", TextAnalysis.langId(col("text"))) == "en")
+    assert(eval("der hund und die katze ist", TextAnalysis.langId(col("text"))) == "de")
+    assert(eval("xyzzy plugh", TextAnalysis.langId(col("text"))) == "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val a = eval("alpha beta gamma", TextAnalysis.fingerprint(col("text")))
+    val b = eval("alpha beta gamma", TextAnalysis.fingerprint(col("text")))
+    val c = eval("gamma beta alpha", TextAnalysis.fingerprint(col("text")))
+    assert(a == b)
+    assert(a != c) // rolling hash is position-sensitive
+  }
+}

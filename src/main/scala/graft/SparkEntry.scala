@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
-    Seq(CoreQueries, MetricsQueries, JoinQueries,
+    Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
       DedupQueries, SimilarityQueries, TextQueries, EventQueries,
       MultimodalQueries)
 

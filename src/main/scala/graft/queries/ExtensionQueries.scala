@@ -252,7 +252,28 @@ object EventQueries extends QueryGroup {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessions)
+  /** Last-writer-wins upsert compaction (the batch half of the streaming
+    * ingest's latestByKey — SURVEY.md §2.6): latest event per user.
+    */
+  val latestByKey: QueryDef = QueryDef(
+    "events_latest_by_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    },
+    Some(
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessions, latestByKey)
 }
 
 object MultimodalQueries extends QueryGroup {

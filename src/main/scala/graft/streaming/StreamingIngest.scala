@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest of harvested study updates (SURVEY.md §2.6 streaming
+  * note): upsert-with-tombstone semantics — soft deletes are rows with
+  * status=deleted, and late/duplicate updates resolve last-writer-wins on
+  * the `updated` timestamp.
+  */
+object StreamingIngest {
+
+  final case class StudyUpdate(
+      study_id: String, status: String, updated: Timestamp,
+      base_url: String, title: String)
+
+  /** Open the custom harvest source as an unbounded stream. */
+  def harvestStream(
+      spark: SparkSession,
+      recordsPerBatch: Int = 100,
+      maxRecords: Long = 1000,
+      partitions: Int = 4): DataFrame =
+    spark.readStream
+      .format(classOf[HarvestSourceProvider].getName)
+      .option("recordsPerBatch", recordsPerBatch.toString)
+      .option("maxRecords", maxRecords.toString)
+      .option("partitions", partitions.toString)
+      .load()
+
+  /** Batch upsert resolution: latest row per key by (updated, then status
+    * as tiebreak for determinism). One shuffle on the key — the same plan
+    * a periodic compaction job runs over the raw harvest log.
+    */
+  def latestByKeyBatch(updates: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("study_id"))
+      .orderBy(col("updated").desc, col("status").desc)
+    updates.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Streaming upsert resolution via keyed state: keeps the
+    * latest-by-timestamp update per study and emits it whenever it
+    * changes. State size = one row per live key — the
+    * mapGroupsWithState shape the reference's soft-delete model needs
+    * (deletes are updates too, so state never needs external lookups).
+    */
+  def latestByKeyStreaming(
+      updates: Dataset[StudyUpdate]): Dataset[StudyUpdate] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.study_id)
+      .mapGroupsWithState[StudyUpdate, StudyUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[StudyUpdate], state: GroupState[StudyUpdate]) =>
+          val incoming = rows.maxBy(_.updated.getTime)
+          val best = state.getOption match {
+            case Some(cur) if cur.updated.getTime >= incoming.updated.getTime => cur
+            case _ => incoming
+          }
+          state.update(best)
+          best
+      }
+  }
+
+  /** Continuous harvest → upsert → in-memory table, for drive/testing.
+    * Returns the query; caller calls processAllAvailable + stop.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      sinkName: String,
+      recordsPerBatch: Int = 100,
+      maxRecords: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val updates = harvestStream(spark, recordsPerBatch, maxRecords)
+      .as[StudyUpdate]
+    latestByKeyStreaming(updates)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Update)
+      .start()
+  }
+
+  /** Streaming windowed counts with a watermark — the harvest-rate
+    * monitoring job (late records beyond the watermark are dropped from
+    * the aggregate, bounding state).
+    */
+  def windowedHarvestCounts(updates: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    updates
+      .withWatermark("updated", watermark)
+      .groupBy(window(col("updated"), "1 minute"), col("base_url"))
+      .agg(count(lit(1)).as("harvested"))
+      .select(col("window.start").as("window_start"), col("base_url"),
+        col("harvested"))
+}

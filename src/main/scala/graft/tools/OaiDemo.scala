@@ -75,6 +75,19 @@ object OaiDemo {
     args.headOption match {
       case Some("metrics") =>
         println(MetricsJob.prometheus(MetricsJob.run(studies)))
+      case Some("harvest") =>
+        // streaming ingest drive: custom micro-batch source → keyed
+        // last-writer-wins upsert → memory sink
+        val q = graft.streaming.StreamingIngest.runToMemory(
+          spark, "harvest_demo", recordsPerBatch = 100, maxRecords = 500)
+        q.processAllAvailable(); q.stop()
+        val resolved = graft.streaming.StreamingIngest.latestByKeyBatch(
+          spark.sql("SELECT * FROM harvest_demo"))
+        println(s"resolved studies: ${resolved.count()}")
+        resolved.groupBy("status").count().orderBy("status").collect()
+          .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+        resolved.orderBy("study_id").limit(3).collect()
+          .foreach(r => println(s"  sample: ${r.mkString(" | ")}"))
       case Some(verb) =>
         val params = args.tail.flatMap { kv =>
           kv.split("=", 2) match {

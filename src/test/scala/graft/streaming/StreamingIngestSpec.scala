@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingIngestSpec extends SparkSpec {
+
+  test("custom harvest source streams deterministic micro-batches") {
+    val q = spark.readStream
+      .format(classOf[HarvestSourceProvider].getName)
+      .option("recordsPerBatch", "100")
+      .option("maxRecords", "300")
+      .load()
+      .writeStream.format("memory").queryName("harvest_raw")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM harvest_raw").collect().head.getLong(0)
+      assert(n == 300)
+      val statuses = spark.sql(
+        "SELECT status, count(*) FROM harvest_raw GROUP BY status")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(statuses("deleted") == 43) // i % 7 == 0 for i in [0, 300)
+      assert(statuses("updated") == 257)
+    } finally q.stop()
+  }
+
+  test("streaming upsert keeps latest-by-timestamp per key incl. tombstones") {
+    val q = StreamingIngest.runToMemory(spark, "harvest_upsert",
+      recordsPerBatch = 100, maxRecords = 500)
+    try {
+      q.processAllAvailable()
+      // memory sink in Update mode appends each emission; resolve to the
+      // final state per key exactly as a downstream MERGE would
+      val finalState = StreamingIngest.latestByKeyBatch(
+        spark.sql("SELECT * FROM harvest_upsert"))
+      assert(finalState.count() == 250) // ids cycle mod 250
+      // id "study_0" was written at i = 0 and i = 250: latest is i = 250
+      val s0 = finalState.filter("study_id = 'study_0'").collect().head
+      assert(s0.getAs[String]("title") == "Title of study_0 at 250")
+      // i = 250 is not divisible by 7 → live; its delete at i = 0 superseded
+      assert(s0.getAs[String]("status") == "updated")
+      // a key whose LAST write is a delete stays tombstoned:
+      // study_203 written at i = 203 and i = 453; 453 % 7 == (447+6)... check 203+250=453, 453/7=64.71 → not deleted; pick one:
+      // i = 252 → id study_2, 252 % 7 == 0 → deleted at second write
+      val s2 = finalState.filter("study_id = 'study_2'").collect().head
+      assert(s2.getAs[String]("status") == "deleted")
+      assert(s2.getAs[String]("title") == "Title of study_2 at 252")
+    } finally q.stop()
+  }
+
+  test("batch latest-by-key matches streaming resolution") {
+    val s = spark
+    import s.implicits._
+    val batch = s.createDataset((0L until 500L).map { i =>
+      val (id, status, us, url, t) = HarvestSource.record(i)
+      StreamingIngest.StudyUpdate(id, status,
+        new java.sql.Timestamp(us / 1000), url, t)
+    }).toDF()
+    val resolved = StreamingIngest.latestByKeyBatch(batch)
+    assert(resolved.count() == 250)
+    assert(resolved.filter("status = 'deleted'").count() ==
+      (250L until 500L).count(i => i % 7 == 0))
+  }
+
+  test("windowed harvest counts with watermark run in streaming mode") {
+    val stream = StreamingIngest.harvestStream(spark,
+      recordsPerBatch = 120, maxRecords = 240)
+    val q = StreamingIngest.windowedHarvestCounts(stream)
+      .writeStream.format("memory").queryName("harvest_windows")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits FINALIZED windows (watermark passed); with
+      // 240 one-second-spaced records = 4 minutes of event time and a
+      // 10-minute watermark, only windows the final watermark passed — at
+      // least assert the query ran and produced a valid schema
+      val cols = spark.sql("SELECT * FROM harvest_windows").columns.toSeq
+      assert(cols == Seq("window_start", "base_url", "harvested"))
+    } finally q.stop()
+  }
+}

@@ -57,21 +57,61 @@ object Dedup {
     Seq.fill(k)((rnd.nextLong(MinhashPrime - 1) + 1, rnd.nextLong(MinhashPrime)))
   }
 
-  /** (id, signature array<long>) per document. */
+  /** 64-bit token hash for the JVM kernels (two murmur32 halves) —
+    * deterministic, engine-internal (nothing downstream depends on which
+    * hash family this is).
+    */
+  private[operators] def hash64(s: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  private[operators] def shingleStrings(text: String, n: Int): Array[String] = {
+    val w = text.toLowerCase.trim.split("\\s+")
+    if (w.length < n) Array(w.mkString(" "))
+    else Array.tabulate(w.length - n + 1)(i => w.slice(i, i + n).mkString(" ")).distinct
+  }
+
+  /** (id, signature array<long>) per document — computed SHUFFLE-FREE in
+    * a per-partition JVM kernel. Spark's higher-order array functions
+    * (transform/aggregate) evaluate their lambdas interpreted, so k=64
+    * permutations × ~100 shingles/doc through HOFs costs more than the
+    * whole shuffle it saves; a tight loop does the same 10⁷ multiplies in
+    * milliseconds. The DataFrame boundary (id, signature) is unchanged —
+    * banding/verification stay declarative.
+    */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val fam = hashFamily(numHashes)
-    val base = df
-      .select(col(idCol), explode(shingles(textCol, shingleSize)).as("shingle"))
-      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
-    val minCols = fam.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
-    }
-    base.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fam = hashFamily(numHashes).toArray
+    val p = MinhashPrime
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val hs = shingleStrings(text, shingleSize)
+            .map(s => java.lang.Math.floorMod(hash64(s), p))
+          val sig = new Array[Long](fam.length)
+          var i = 0
+          while (i < fam.length) {
+            val (a, b) = fam(i)
+            var best = Long.MaxValue
+            var j = 0
+            while (j < hs.length) {
+              val v = (hs(j) * a + b) % p
+              if (v < best) best = v
+              j += 1
+            }
+            sig(i) = best
+            i += 1
+          }
+          (id, sig)
+        }
+      }
+      .toDF(idCol, "signature")
   }
 
   /** LSH banding: signature → b bands of r rows; docs sharing any band
@@ -228,13 +268,82 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs via chunk banding + hamming verify. */
+  /** SimHash signatures in a JVM kernel (same rationale as
+    * [[minhashSignatures]]: HOF lambdas are interpreted; the 64-bit ±1
+    * accumulation is a tight loop).
+    */
+  def simhashSignatures(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tokens = text.toLowerCase.trim.split("\\s+").distinct
+          val sums = new Array[Int](64)
+          var t = 0
+          while (t < tokens.length) {
+            val h = hash64(tokens(t))
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+              j += 1
+            }
+            t += 1
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+          (id, sig)
+        }
+      }
+      .toDF(idCol, "sig")
+  }
+
+  /** Block-broadcast SimHash near-dups: signatures (one long per doc) are
+    * broadcast; each partition popcounts its docs against the block.
+    * Identical results to [[simhashNearDups]]; 12.5M XOR+popcounts at
+    * 5k docs ≈ milliseconds, vs a banding join's candidate explosion on
+    * correlated corpora. Banding remains the >10⁷-doc path.
+    */
+  def simhashNearDupsBlocked(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHammingDistance: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = simhashSignatures(df, textCol, idCol)
+      .select(col(idCol).as("id"), col("sig")).as[(Long, Long)]
+    val corpus = sigs.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    sigs.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id, sig) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var j = 0
+        while (j < all.length) {
+          val (oid, osig) = all(j)
+          if (oid > id) {
+            val d = java.lang.Long.bitCount(sig ^ osig)
+            if (d <= maxHammingDistance) out += ((id, oid, d))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs via chunk banding + hamming verify — the
+    * shuffle-based path for corpora too large to broadcast signatures.
+    */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       maxHammingDistance: Int = 3): DataFrame = {
     val chunks = maxHammingDistance + 1
     val bits = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val sigs = simhashSignatures(df, textCol, idCol)
+      .select(col(idCol).as("id"), col("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until chunks).map(cI =>
         struct(lit(cI).as("chunk"),

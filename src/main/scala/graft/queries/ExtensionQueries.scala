@@ -58,7 +58,7 @@ object DedupQueries extends QueryGroup {
   val simhash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, dir) =>
-      Dedup.simhashNearDups(Tables(s, dir).documents, "text", "doc_id", 3)
+      Dedup.simhashNearDupsBlocked(Tables(s, dir).documents, "text", "doc_id", 3)
         .orderBy("id_a", "id_b"),
     None)
 

@@ -89,7 +89,7 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta iota"),
       (3L, "one two three four five six seven eight"))
-    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("s"))
+    val sigs = Dedup.simhashSignatures(df, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val within = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
@@ -99,5 +99,14 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found == within) // pigeonhole banding is exact for ≤ maxDist
+  }
+
+  test("blocked simhash pairing matches the banding variant on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: DataFrame) = df.select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = norm(Dedup.simhashNearDups(d, "text", "doc_id", 3))
+    val blocked = norm(Dedup.simhashNearDupsBlocked(d, "text", "doc_id", 3))
+    assert(banded == blocked)
   }
 }

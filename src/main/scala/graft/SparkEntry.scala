@@ -13,8 +13,8 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
-      DedupQueries, SimilarityQueries, TextQueries, EventQueries,
-      MultimodalQueries)
+      AnalyticsQueries, DedupQueries, SimilarityQueries, TextQueries,
+      EventQueries, MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

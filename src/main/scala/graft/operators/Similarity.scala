@@ -138,6 +138,43 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into `numCentroids` cells; a query probes only its `nProbes`
+    * nearest cells and ranks those candidates by exact cosine. The
+    * 100 TB shape: cells are the partition key, so a probe touches
+    * nProbes/numCentroids of the data; the quantizer trains on a sample
+    * and ships as a broadcast model.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int,
+      numCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = embeddings.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(numCentroids).setSeed(42L)
+      .setFeaturesCol("features").fit(featured)
+    val assigned = model.transform(featured) // adds 'prediction' cell id
+    val qRow = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect().head
+    val qVec = qRow.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+    // nearest nProbes cells to the query, by euclidean distance to centroid
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbes).map(_._1).toSeq
+    val qLit = array(qVec.toSeq.map(v => lit(v)): _*)
+    assigned
+      .filter(col("prediction").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed ANN: assign every vector a bucket, then answer the query
     * from its own bucket only (single-probe). Returns the approximate
     * top-k with exact cosine scores among candidates.

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wider analytics surface beyond the reference (SURVEY.md §2.6 notes the
+  * reference has no joins/windows/grouping sets — a user migrating to this
+  * engine gets them from Spark, verified here under the oracle): rollup,
+  * per-group top-k, TPC-H-shaped multi-join aggregations, and the
+  * approximate-distinct scale path.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  private def dsum(c: org.apache.spark.sql.Column, alias: String) =
+    sum(c.cast(DecimalType(18, 2))).cast("double").as(alias)
+
+  /** ROLLUP grouping sets. NULLS FIRST ordering pinned explicitly — Spark
+    * defaults nulls-first ascending, DuckDB nulls-last.
+    */
+  val rollup: QueryDef = QueryDef(
+    "agg_rollup",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), "sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"))
+
+  /** Top-k per group via ranked window (deterministic tiebreak on key). */
+  val topKPerGroup: QueryDef = QueryDef(
+    "topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, dir).customer
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("c_mktsegment", "rk", "c_custkey")
+        .orderBy("c_mktsegment", "rk")
+    },
+    Some(
+      """SELECT c_mktsegment, rk, c_custkey FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
+
+  /** TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
+    * top-10. At scale: lineitem⨝orders shuffles on orderkey; customer is
+    * the broadcast side of its join.
+    */
+  val shippingPriority: QueryDef = QueryDef(
+    "tpch_q3_shipping_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2))) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some(
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5 shape: 6-way snowflake with a co-nation constraint. region/
+    * nation broadcast; the customer⨝orders⨝lineitem⨝supplier chain
+    * shuffles on its keys once each.
+    */
+  val localSupplierVolume: QueryDef = QueryDef(
+    "tpch_q5_local_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.region.filter(col("r_name") === "ASIA")
+        .join(broadcast(t.nation), col("n_regionkey") === col("r_regionkey"))
+        .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2))) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Approximate distinct (HLL++) — the 100 TB path for A3; algorithms
+    * differ across engines so this is a rows-only check (the exact
+    * variant is oracle-checked as a3_distinct_publishers).
+    */
+  val approxDistinct: QueryDef = QueryDef(
+    "a3_approx_distinct",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts")),
+    None)
+
+  def defs: Seq[QueryDef] =
+    Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
+      approxDistinct)
+}

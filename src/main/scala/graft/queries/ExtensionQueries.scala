@@ -105,7 +105,17 @@ object SimilarityQueries extends QueryGroup {
         queryId = 0L, k = 10, dim = 64, numPlanes = 4),
     None)
 
-  def defs: Seq[QueryDef] = Seq(topK, annLsh)
+  /** IVF-bucketed ANN (k-means coarse quantizer + multi-probe):
+    * approximate — rows-only; spec checks recall against exact top-k.
+    */
+  val annIvf: QueryDef = QueryDef(
+    "sim_ann_ivf",
+    (s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, numCentroids = 16, nProbes = 4),
+    None)
+
+  def defs: Seq[QueryDef] = Seq(topK, annLsh, annIvf)
 }
 
 object TextQueries extends QueryGroup {

@@ -36,6 +36,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: multi-probe recall overlaps exact top-k with exact scores") {
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      numCentroids = 8, nProbes = 8) // probing ALL cells = exact
+    val exact = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 10)
+    val a = ivf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = exact.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b) // all-cells probe must equal brute force
+  }
+
   test("lsh bucket is deterministic and within range") {
     val b = emb.select(Similarity.lshBucket(col("embedding"), 64, 4).as("b"))
     val vals = b.collect().map(_.getLong(0))

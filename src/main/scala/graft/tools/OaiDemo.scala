@@ -75,6 +75,26 @@ object OaiDemo {
     args.headOption match {
       case Some("metrics") =>
         println(MetricsJob.prometheus(MetricsJob.run(studies)))
+      case Some("layout") =>
+        // ingest-layout drive: derive _direct_base_url, write hash-
+        // distributed + updated-sorted parquet, reread, run metrics
+        val dir = java.nio.file.Files.createTempDirectory("graft-layout")
+          .toString + "/studies"
+        graft.ingest.StudyLayout.write(
+          studies.drop("_direct_base_url"), dir, numFiles = 4)
+        val back = spark.read.parquet(dir)
+        println(s"layout written to $dir; rows=${back.count()}")
+        println(MetricsJob.prometheus(MetricsJob.run(back)).linesIterator
+          .filter(_.startsWith("publishers_total")).mkString("\n"))
+        // salted-join drive: skew-safe join equals plain join
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val plain = back.join(studies.select(col("_aggregator_identifier").as("id2")),
+          col("_aggregator_identifier") === col("id2")).count()
+        val salted = graft.operators.SkewJoin.saltedInnerJoin(
+          back, studies.select(col("_aggregator_identifier").as("id2")),
+          "_aggregator_identifier", "id2", factor = 4,
+          saltSource = col("study_number")).count()
+        println(s"plain join rows=$plain salted join rows=$salted match=${plain == salted}")
       case Some("harvest") =>
         // streaming ingest drive: custom micro-batch source → keyed
         // last-writer-wins upsert → memory sink

@@ -61,17 +61,24 @@ final class OaiRepository(
     }
   }
 
-  def identify(): String =
+  def identify(): String = {
+    // earliest datestamp computed from the corpus (min header datestamp,
+    // incl. deletion times); epoch fallback for an empty store
+    val earliest = store.studies
+      .agg(org.apache.spark.sql.functions.min(FormatColumns.headerDatestamp))
+      .collect().headOption.map(_.getTimestamp(0)).filter(_ != null)
+      .map(OaiXml.isoDate).getOrElse("1970-01-01T00:00:00Z")
     respond(Some("Identify"), Map.empty,
       <Identify>
         <repositoryName>{config.repositoryName}</repositoryName>
         <baseURL>{config.baseUrl}</baseURL>
         <protocolVersion>2.0</protocolVersion>
         <adminEmail>{config.adminEmail}</adminEmail>
-        <earliestDatestamp>1970-01-01T00:00:00Z</earliestDatestamp>
+        <earliestDatestamp>{earliest}</earliestDatestamp>
         <deletedRecord>{config.deletedRecord}</deletedRecord>
         <granularity>YYYY-MM-DDThh:mm:ssZ</granularity>
       </Identify>)
+  }
 
   def listMetadataFormats(): String =
     respond(Some("ListMetadataFormats"), Map.empty,

@@ -134,9 +134,25 @@ class OaiRepositorySpec extends SparkSpec {
     assert(names.contains("Language fi"))
   }
 
+  test("datacite attribute rules: relationType, no xml:lang on publisher") {
+    val xml = XML.loadString(repo.getRecord("agg_id_2", "oai_datacite"))
+    val res = xml \ "GetRecord" \ "record" \ "metadata" \ "resource"
+    val rel = res \ "relatedIdentifiers" \ "relatedIdentifier"
+    assert((rel \ "@relationType").text == "IsCitedBy")
+    assert((rel \ "@relatedIdentifierType").text == "DOI")
+    val pub = (res \ "publisher").head
+    assert(pub.attribute("http://www.w3.org/XML/1998/namespace", "lang").isEmpty)
+    val fund = res \ "fundingReferences" \ "fundingReference"
+    assert((fund \ "funderName").text == "EC")
+    assert((fund \ "awardNumber").text == "info:eu-repo/grantAgreement/EC/FP7/12345")
+  }
+
   test("Identify + ListMetadataFormats + badVerb") {
     val id = XML.loadString(repo.handle(Map("verb" -> "Identify")))
     assert((id \ "Identify" \ "deletedRecord").text == "transient")
+    // earliest datestamp = min header datestamp across fixtures (the
+    // deleted record's 2000-01-01 deletion time)
+    assert((id \ "Identify" \ "earliestDatestamp").text == "2000-01-01T23:00:00Z")
     val fm = XML.loadString(repo.handle(Map("verb" -> "ListMetadataFormats")))
     assert((fm \ "ListMetadataFormats" \ "metadataFormat" \ "metadataPrefix")
       .map(_.text).toSet == Set("oai_dc", "oai_ddi25", "oai_datacite"))

@@ -213,7 +213,31 @@ object TextQueries extends QueryGroup {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(tokens, quality, langId, fingerprint)
+  /** Corpus-level bigram frequency (the wordcount shape): explode
+    * adjacent-word pairs, hash-aggregate, deterministic top slice.
+    * Partial aggregation makes the shuffle carry (bigram, partial count)
+    * pairs — vocabulary-bounded, not corpus-bounded.
+    */
+  val bigramFreq: QueryDef = QueryDef(
+    "text_bigram_freq",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .filter(size(split(lower(col("text")), "\\s+")) >= 2)
+        .select(explode(graft.operators.Dedup.shingles("text", 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(50),
+    Some(
+      """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |b AS (SELECT unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(ws) - 1, 0)),
+        |        i -> ws[i] || ' ' || ws[i + 1]))) AS bigram
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS freq FROM b
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tokens, quality, langId, fingerprint, bigramFreq)
 }
 
 object EventQueries extends QueryGroup {

@@ -84,25 +84,34 @@ final case class HarvestOffset(value: Long) extends Offset {
 
 final case class HarvestRange(start: Long, end: Long) extends InputPartition
 
-/** Offsets count records emitted so far; each trigger advances by
-  * `recordsPerBatch` until `maxRecords` (a real harvest stops when the
-  * endpoint has no newer datestamps).
+/** Offsets count records emitted so far. The stream is STATELESS:
+  * implementing SupportsAdmissionControl means Spark hands the current
+  * start offset to [[latestOffset(Offset, ReadLimit)]], so each trigger
+  * pages `recordsPerBatch` past wherever the checkpoint says we are —
+  * restart-safe by construction (an instance-local counter would race
+  * backwards after recovery and double-emit).
   */
 final class HarvestMicroBatchStream(
     recordsPerBatch: Int, maxRecords: Long, numPartitions: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  // advances one page per poll (one poll per trigger), independent of
-  // commit timing so processAllAvailable() drains to maxRecords — the
-  // analogue of paging a remote endpoint until no newer datestamps exist
-  @volatile private var polled: Long = 0L
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   override def initialOffset(): Offset = HarvestOffset(0L)
 
-  override def latestOffset(): Offset = {
-    polled = math.min(polled + recordsPerBatch, maxRecords)
-    HarvestOffset(polled)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[HarvestOffset].value
+    HarvestOffset(math.min(s + recordsPerBatch, maxRecords))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = HarvestOffset(maxRecords)
 
   override def deserializeOffset(json: String): Offset =
     HarvestOffset(json.toLong)

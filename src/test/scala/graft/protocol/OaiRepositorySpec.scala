@@ -147,6 +147,20 @@ class OaiRepositorySpec extends SparkSpec {
     assert((fund \ "awardNumber").text == "info:eu-repo/grantAgreement/EC/FP7/12345")
   }
 
+  test("stylesheet PI renders on line 2 when configured") {
+    val s = spark
+    import s.implicits._
+    val repo2 = new OaiRepository(
+      new graft.query.StudyStore(s.createDataset(Fixtures.all).toDF()),
+      Nil,
+      OaiConfig(stylesheet = Some("/v0/oai/static/oai2.xsl")),
+      now = () => Fixtures.ts("2022-01-01T00:00:00Z"))
+    val lines = repo2.handle(Map("verb" -> "Identify")).linesIterator.toSeq
+    assert(lines.head.startsWith("<?xml version"))
+    assert(lines(1) ==
+      """<?xml-stylesheet type="text/xsl" href="/v0/oai/static/oai2.xsl"?>""")
+  }
+
   test("Identify + ListMetadataFormats + badVerb") {
     val id = XML.loadString(repo.handle(Map("verb" -> "Identify")))
     assert((id \ "Identify" \ "deletedRecord").text == "transient")

@@ -25,9 +25,13 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** Whitespace word tokens, lowercased. */
+  /** Whitespace word tokens, lowercased and trimmed. Trim matters for
+    * cross-engine parity: Java's split drops trailing empty tokens but
+    * keeps leading ones; trimming first removes the asymmetry (and
+    * matches the JVM kernels' `toLowerCase.trim.split`).
+    */
   def words(textCol: String): Column =
-    split(lower(col(textCol)), "\\s+")
+    split(lower(trim(col(textCol))), "\\s+")
 
   /** Word n-gram shingles: contiguous n-word windows, distinct.
     * Pure array expressions — codegen, no explode until the caller needs

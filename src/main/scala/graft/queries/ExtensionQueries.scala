@@ -213,23 +213,29 @@ object TextQueries extends QueryGroup {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Corpus-level bigram frequency (the wordcount shape): explode
-    * adjacent-word pairs, hash-aggregate, deterministic top slice.
-    * Partial aggregation makes the shuffle carry (bigram, partial count)
-    * pairs — vocabulary-bounded, not corpus-bounded.
+  /** Corpus bigram DOCUMENT frequency (distinct bigrams per doc, counted
+    * across docs — the "how many documents contain this phrase" shape):
+    * tokenize once, explode adjacent-word pairs, hash-aggregate,
+    * deterministic top slice. Partial aggregation makes the shuffle carry
+    * (bigram, partial count) pairs — vocabulary-bounded, not
+    * corpus-bounded. Oracle trims text first: Java split drops trailing
+    * empties, DuckDB's regex split keeps them.
     */
   val bigramFreq: QueryDef = QueryDef(
     "text_bigram_freq",
     (s, dir) =>
       Tables(s, dir).documents
-        .filter(size(split(lower(col("text")), "\\s+")) >= 2)
-        .select(explode(graft.operators.Dedup.shingles("text", 2)).as("bigram"))
+        .select(Dedup.words("text").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(array_distinct(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(2)))))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram"))
         .limit(50),
     Some(
-      """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
         |b AS (SELECT unnest(list_distinct(list_transform(
         |        generate_series(1, greatest(len(ws) - 1, 0)),
         |        i -> ws[i] || ' ' || ws[i + 1]))) AS bigram

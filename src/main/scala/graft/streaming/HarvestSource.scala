@@ -96,15 +96,26 @@ final class HarvestMicroBatchStream(
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = HarvestOffset(0L)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Paging is expressed THROUGH the admission-control contract: the
+    * default limit is maxRows(recordsPerBatch), and latestOffset honors
+    * whatever limit the trigger passes — Trigger.AvailableNow pins
+    * allAvailable() and must drain to maxRecords in one shot, not one
+    * page (a limit-ignoring source silently truncates AvailableNow runs).
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(recordsPerBatch)
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val s = startOffset.asInstanceOf[HarvestOffset].value
-    HarvestOffset(math.min(s + recordsPerBatch, maxRecords))
+    val cap = limit match {
+      case rl: ReadMaxRows     => s + rl.maxRows()
+      case _: ReadAllAvailable => maxRecords
+      case _                   => s + recordsPerBatch
+    }
+    HarvestOffset(math.min(cap, maxRecords))
   }
 
   override def latestOffset(): Offset =

@@ -26,6 +26,23 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains everything available, not one page") {
+    val q = spark.readStream
+      .format(classOf[HarvestSourceProvider].getName)
+      .option("recordsPerBatch", "100")
+      .option("maxRecords", "350")
+      .load()
+      .writeStream.format("memory").queryName("harvest_availnow")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val n = spark.sql("SELECT count(*) FROM harvest_availnow")
+        .collect().head.getLong(0)
+      assert(n == 350) // allAvailable limit honored — not just recordsPerBatch
+    } finally q.stop()
+  }
+
   test("streaming upsert keeps latest-by-timestamp per key incl. tombstones") {
     val q = StreamingIngest.runToMemory(spark, "harvest_upsert",
       recordsPerBatch = 100, maxRecords = 500)

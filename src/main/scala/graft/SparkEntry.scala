@@ -13,8 +13,8 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
-      AnalyticsQueries, DedupQueries, SimilarityQueries, TextQueries,
-      EventQueries, MultimodalQueries)
+      AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
+      TextQueries, EventQueries, MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — "for each left row, the most recent right row at or
+  * before its timestamp, per key". Spark has no built-in; the prompt's
+  * §7.3 preference order says compose built-ins first, and the
+  * composition here is exactly that (a custom SparkPlan is unnecessary):
+  *
+  *   union(left, right) → window(partitionBy key, orderBy ts) →
+  *   last(right_value, ignoreNulls) over rows ≤ current → filter left
+  *
+  * One shuffle on the key, linear in |L|+|R| — the sort-merge shape an
+  * engine-native as-of join would use anyway, so this composition IS the
+  * at-scale plan. Ties (right.ts == left.ts) match, with right rows
+  * ordered before left rows at equal timestamps.
+  */
+object AsOfJoin {
+
+  /** Returns `left` plus `matched_<rightValueCol>` — the right side's
+    * value column as of each left row's timestamp (null when no right
+    * row precedes it).
+    *
+    * Both inputs need (keyCol, tsCol); `rightValueCol` is carried from
+    * the right side. Right rows are deduplicated to one per (key, ts)
+    * keeping the max value, making results deterministic under ties.
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      rightValueCol: String): DataFrame = {
+
+    val rightDedup = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(rightValueCol)).as(rightValueCol))
+
+    val leftTagged = left
+      .withColumn("_is_left", lit(1))
+      .withColumn("_rv", lit(null).cast(rightDedup.schema(rightValueCol).dataType))
+    val rightTagged = rightDedup.select(
+      col(keyCol), col(tsCol),
+      lit(0).as("_is_left"), col(rightValueCol).as("_rv"))
+    // align schemas: left columns not on the right become nulls
+    val leftCols = leftTagged.columns
+    val rightAligned = rightTagged.select(leftCols.map(c =>
+      if (rightTagged.columns.contains(c)) col(c)
+      else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
+
+    // right rows sort before left rows at equal ts ⇒ `<=` semantics
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    leftTagged.unionByName(rightAligned)
+      .withColumn(s"matched_$rightValueCol",
+        last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .drop("_is_left", "_rv")
+  }
+}

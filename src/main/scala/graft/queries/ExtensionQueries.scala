@@ -313,7 +313,34 @@ object EventQueries extends QueryGroup {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessions, latestByKey)
+  /** As-of join: each purchase matched to the user's latest click at or
+    * before it (graft.operators.AsOfJoin composition). Oracle: DuckDB's
+    * native ASOF JOIN — an independent implementation of the same
+    * semantics.
+    */
+  val asofPurchaseClick: QueryDef = QueryDef(
+    "events_asof_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.operators.AsOfJoin.asOf(
+          left = e.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id"),
+          right = e.filter(col("event_type") === "click")
+            .select("user_id", "ts", "event_id"),
+          keyCol = "user_id", tsCol = "ts", rightValueCol = "event_id")
+        .select(col("event_id"), col("matched_event_id"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, c.click_id AS matched_event_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick)
 }
 
 object MultimodalQueries extends QueryGroup {

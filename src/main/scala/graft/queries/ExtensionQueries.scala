@@ -339,8 +339,29 @@ object EventQueries extends QueryGroup {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin))
 
+  /** Bucketized range join: clicks in the minute preceding each error.
+    * Oracle states the same semantics as a plain inequality join — the
+    * bucketing is purely a physical-plan strategy.
+    */
+  val rangeJoin: QueryDef = QueryDef(
+    "events_range_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.operators.RangeJoin.trailingCount(
+          left = e.filter(col("event_type") === "error"),
+          right = e.filter(col("event_type") === "click"),
+          leftIdCol = "event_id", tsCol = "ts", windowSeconds = 60)
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.event_id, count(c.ts) AS n_preceding
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+        |  ON c.ts >= e.ts - INTERVAL 60 SECONDS AND c.ts < e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick)
+    Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick, rangeJoin)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -45,7 +45,8 @@ final class OaiRepository(
     val verb = params.get("verb")
     try verb match {
       case Some("Identify")            => identify()
-      case Some("ListMetadataFormats") => listMetadataFormats()
+      case Some("ListMetadataFormats") =>
+        listMetadataFormats(params.get("identifier"))
       case Some("ListSets")            => listSets()
       case Some("GetRecord") =>
         getRecord(
@@ -80,16 +81,30 @@ final class OaiRepository(
       </Identify>)
   }
 
-  def listMetadataFormats(): String =
-    respond(Some("ListMetadataFormats"), Map.empty,
+  /** With an identifier, only the formats able to disseminate THAT record
+    * are listed (each format's validity filter applied to the record);
+    * unknown id → idDoesNotExist. Without one, all registered formats.
+    */
+  def listMetadataFormats(identifier: Option[String] = None): String = {
+    val formats = identifier match {
+      case None => MetadataFormats.all
+      case Some(id) =>
+        if (store.queryCount(FilterDsl.byIdentifier(id)) == 0)
+          throw OaiError("idDoesNotExist", id)
+        MetadataFormats.all.filter(f =>
+          store.queryCount(And(FilterDsl.byIdentifier(id), f.validFilter)) > 0)
+    }
+    respond(Some("ListMetadataFormats"),
+      identifier.map("identifier" -> _).toMap,
       <ListMetadataFormats>
-        {MetadataFormats.all.map(f =>
+        {formats.map(f =>
           <metadataFormat>
             <metadataPrefix>{f.prefix}</metadataPrefix>
             <schema>{f.schemaLocation}</schema>
             <metadataNamespace>{f.metadataNamespace}</metadataNamespace>
           </metadataFormat>)}
       </ListMetadataFormats>)
+  }
 
   /** ListSets = per-family enumeration: YAML families list config, the
     * language family runs the Q3 distinct (tests/test_serve.py:1198-1227).

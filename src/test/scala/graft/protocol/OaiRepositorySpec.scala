@@ -147,6 +147,23 @@ class OaiRepositorySpec extends SparkSpec {
     assert((fund \ "awardNumber").text == "info:eu-repo/grantAgreement/EC/FP7/12345")
   }
 
+  test("ListMetadataFormats with identifier filters by record validity") {
+    // agg_id_1 has no OpenAIRE id → datacite cannot disseminate it
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "ListMetadataFormats", "identifier" -> "agg_id_1")))
+    val prefixes = (xml \ "ListMetadataFormats" \ "metadataFormat" \ "metadataPrefix")
+      .map(_.text).toSet
+    assert(prefixes == Set("oai_dc", "oai_ddi25"))
+    // agg_id_2 (DOI) gets all three
+    val xml2 = XML.loadString(repo.handle(
+      Map("verb" -> "ListMetadataFormats", "identifier" -> "agg_id_2")))
+    assert((xml2 \ "ListMetadataFormats" \ "metadataFormat").size == 3)
+    // unknown identifier → idDoesNotExist
+    val bad = XML.loadString(repo.handle(
+      Map("verb" -> "ListMetadataFormats", "identifier" -> "nope")))
+    assert((bad \ "error" \ "@code").text == "idDoesNotExist")
+  }
+
   test("stylesheet PI renders on line 2 when configured") {
     val s = spark
     import s.implicits._

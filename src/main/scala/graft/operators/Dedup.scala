@@ -122,10 +122,17 @@ object Dedup {
     * bucket are candidates. Returns distinct candidate (idA < idB) pairs.
     * The only shuffles are the band groupBy and the final distinct —
     * no all-pairs join ever happens.
+    *
+    * `saltFactor` > 1 spreads a hot band bucket over that many reducers
+    * LOSSLESSLY (skew guard for boilerplate-heavy corpora at 100×): the
+    * left side gets a deterministic salt from its id, the right side is
+    * replicated to every salt, and the join key becomes
+    * (band, bucket, salt) — every qualifying pair still meets exactly
+    * once, but no single shuffle partition receives a whole hot bucket.
     */
   def minhashCandidates(
       signatures: DataFrame, idCol: String,
-      bands: Int, rows: Int): DataFrame = {
+      bands: Int, rows: Int, saltFactor: Int = 1): DataFrame = {
     val banded = signatures.select(
       col(idCol),
       explode(array((0 until bands).map(b =>
@@ -133,11 +140,17 @@ object Dedup {
           hash(slice(col("signature"), b * rows + 1, rows)).as("bucket"))): _*))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val (a, b, saltCond) =
+      if (saltFactor <= 1) (banded.as("a"), banded.as("b"), lit(true))
+      else (
+        banded.withColumn("salt",
+          pmod(xxhash64(col(idCol)), lit(saltFactor))).as("a"),
+        banded.withColumn("salt",
+          explode(array((0 until saltFactor).map(s => lit(s.toLong)): _*))).as("b"),
+        col("a.salt") === col("b.salt"))
     a.join(b,
         col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
+          col("a.bucket") === col("b.bucket") && saltCond &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
@@ -167,40 +180,77 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      saltFactor: Int = 1): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-    val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands)
+    val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands, saltFactor)
     verifyJaccard(cands, df, shingles(textCol, shingleSize), idCol)
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Brute-force n-gram Jaccard pairs (the oracle-checkable baseline the
-    * LSH path approximates): explode distinct word tokens, self-join on
-    * token, count intersections, compute |A∪B| from per-doc set sizes.
-    * O(pairs-sharing-a-token) not O(n²) — but still the path you only run
-    * at small scale or per-bucket.
+  /** Exact word-set Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    * PPJoin scheme) — the scale path for exact set-similarity joins.
+    *
+    * Principle: order tokens by a single global total order (here:
+    * document frequency ascending, rarest first). If J(A,B) ≥ t then
+    * |A∩B| ≥ t·max(|A|,|B|), so A and B MUST share a token within their
+    * first |x| − ⌈t·|x|⌉ + 1 tokens under that order. Joining only those
+    * prefix tokens (≈ 5% of tokens at t = 0.95, and the RAREST 5%, so
+    * per-token groups are tiny) replaces the quadratic
+    * shared-vocabulary token join with a sparse candidate join; the
+    * survivors get one exact intersect verify. Exact — identical result
+    * set to the naive join at any threshold.
+    *
+    * Shuffles: token df groupBy, per-doc rank window, candidate join,
+    * verify join — all key-partitioned, nothing driver-side, nothing
+    * O(n²).
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    // Size-compatibility pruning (exact): J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t,
-    // so carry each doc's set size on its token rows and reject
-    // incompatible pairs INSIDE the join — at high thresholds this kills
-    // the quadratic blowup a shared-vocabulary corpus otherwise causes,
-    // without changing the result set.
-    val tok = df
-      .select(col(idCol).as("id"), array_distinct(words(textCol)).as("ws"))
-      .select(col("id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
-    val common = tok.as("a").join(tok.as("b"),
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(words(textCol)).as("ws"))
+    // sorted 64-bit token hashes: the verify kernel merge-intersects these
+    // (same arrays as [[jaccardPairsBlocked]], so both variants agree)
+    val hashed = sets.select(col("id"),
+      array_sort(transform(col("ws"), w => xxhash64(w))).as("hs"))
+    val tok = sets.select(col("id"), size(col("ws")).as("n"),
+      explode(col("ws")).as("w"))
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // prefix rows carry their doc's full hash set, so candidates pipeline
+    // from the join straight into the verify kernel with NO join-back —
+    // the candidate stream (orders of magnitude larger than the prefix
+    // table on templated corpora) never hits a shuffle
+    val prefix = tok.join(dfreq, "w")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("w"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("n"), col("w"))
+      .join(hashed, "id")
+    // size-compatibility prune inside the candidate join:
+    // J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+    val cands = prefix.as("a").join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
           col("a.n") * threshold <= col("b.n") &&
           col("b.n") * threshold <= col("a.n"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-    common
-      .select(col("id_a"), col("id_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("ida"), col("a.hs").as("ha"),
+        col("b.id").as("idb"), col("b.hs").as("hb"))
+      .as[(Long, Array[Long], Long, Array[Long])]
+    cands.mapPartitions { it =>
+      it.flatMap { case (ida, ha, idb, hb) =>
+        var a = 0; var b = 0; var c = 0
+        while (a < ha.length && b < hb.length) {
+          if (ha(a) == hb(b)) { c += 1; a += 1; b += 1 }
+          else if (ha(a) < hb(b)) a += 1
+          else b += 1
+        }
+        val j = c.toDouble / (ha.length + hb.length - c)
+        if (j >= threshold) Some((ida, idb, j)) else None
+      }
+    }.toDF("id_a", "id_b", "jaccard").distinct()
   }
 
   /** Block-broadcast exact Jaccard pairs: word sets become broadcast

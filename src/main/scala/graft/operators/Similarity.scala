@@ -120,6 +120,73 @@ object Similarity {
     }.toDF("id_a", "id_b", "sim")
   }
 
+  /** Distributed exact all-pairs cosine via block self-join — the 100 TB
+    * path. Rows hash into `numBlocks` blocks; every unordered block pair
+    * (i ≤ j) is a cell; each row replicates to the `numBlocks` cells it
+    * belongs to; each cell computes its cross-block (or within-block when
+    * i = j) pairs in one tight loop. Every (a, b) pair lives in exactly
+    * one cell, so no distinct is needed. Shuffle = numBlocks× row
+    * replication; peak executor memory = 2·n/numBlocks vectors; the
+    * driver never holds a single vector. Dot products fold left-to-right
+    * with the same 6-dp rounding as [[cosinePairs]]/[[cosinePairsBlocked]],
+    * so all three variants are bit-identical.
+    */
+  def cosinePairsBlockJoin(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBlocks: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      pmod(xxhash64(col(idCol).cast("long")), lit(numBlocks)).cast("int").as("blk"))
+    val cells = rows
+      .select(col("id"), col("v"), col("blk"),
+        explode(array((0 until numBlocks).map(o => lit(o)): _*)).as("o"))
+      .select(col("id"), col("v"), col("blk"),
+        least(col("blk"), col("o")).as("ci"),
+        greatest(col("blk"), col("o")).as("cj"))
+      .as[(Long, Array[Double], Int, Int, Int)]
+    cells
+      .groupByKey { case (_, _, _, ci, cj) => (ci, cj) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Long, Array[Double], Int, Int, Int)]) =>
+        val (ci, cj) = key
+        val buf = it.toArray.sortBy(_._1)
+        val n = buf.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = buf(i)._2
+          var s = 0.0; var k = 0
+          while (k < v.length) { s += v(k) * v(k); k += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          val (idA, va, blkA, _, _) = buf(i)
+          var j = i + 1
+          while (j < n) {
+            val (idB, vb, blkB, _, _) = buf(j)
+            // a within-block pair in a cross cell belongs to its own
+            // (b, b) cell — skip it here so each pair is emitted once
+            if (ci == cj || blkA != blkB) {
+              var d = 0.0; var k = 0
+              while (k < va.length) { d += va(k) * vb(k); k += 1 }
+              val sim = BigDecimal(d / (norms(i) * norms(j)))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (sim >= threshold) out += ((idA, idB, sim))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 of the coordinates mapped to ±1. No stored model, fully
     * reproducible across the cluster.
@@ -138,23 +205,52 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** One-time quantizer models, keyed by (dataset semantic hash, k).
+    * An IVF quantizer is trained ONCE per corpus and reused across every
+    * probe — refitting k-means inside each query would dominate the probe
+    * cost at any scale.
+    */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** Fit (or fetch) the coarse quantizer for `featured`. Trains on a
+    * bounded SAMPLE (≤ maxTrainRows, fixed seed): centroid quality needs
+    * thousands of points per cell, not the corpus — at 100 TB a
+    * full-corpus fit is a scale-killer, a 100k-row sampled fit is
+    * seconds, and the model broadcasts to every probe.
+    */
+  private[operators] def coarseQuantizer(
+      featured: DataFrame, numCentroids: Int,
+      maxTrainRows: Long = 100000L): org.apache.spark.ml.clustering.KMeansModel = {
+    val key = (featured.queryExecution.analyzed.semanticHash(), numCentroids)
+    quantizerCache.computeIfAbsent(key, _ => {
+      val n = featured.count()
+      val train =
+        if (n <= maxTrainRows) featured
+        else featured.sample(withReplacement = false,
+          fraction = maxTrainRows.toDouble / n, seed = 42L)
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(numCentroids).setSeed(42L)
+        .setFeaturesCol("features").fit(train)
+    })
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     * corpus into `numCentroids` cells; a query probes only its `nProbes`
     * nearest cells and ranks those candidates by exact cosine. The
     * 100 TB shape: cells are the partition key, so a probe touches
-    * nProbes/numCentroids of the data; the quantizer trains on a sample
-    * and ships as a broadcast model.
+    * nProbes/numCentroids of the data; the quantizer trains once on a
+    * bounded sample ([[coarseQuantizer]]) and ships as a broadcast model.
     */
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int,
       numCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = embeddings.withColumn("features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(numCentroids).setSeed(42L)
-      .setFeaturesCol("features").fit(featured)
+    val model = coarseQuantizer(featured, numCentroids)
     val assigned = model.transform(featured) // adds 'prediction' cell id
     val qRow = assigned.filter(col(idCol) === queryId)
       .select(col(vecCol)).collect().head

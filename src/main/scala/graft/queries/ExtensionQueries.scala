@@ -25,12 +25,15 @@ object DedupQueries extends QueryGroup {
         "GROUP BY text ORDER BY doc_id"))
 
   /** Brute-force word-set Jaccard near-dup pairs (oracle-checkable
-    * baseline the LSH path approximates).
+    * baseline the LSH path approximates). Gated on the shuffle-based
+    * size-pruned token join — fully distributed; the broadcast-block
+    * kernel remains as the small-corpus variant (spec-equal).
     */
   val ngramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, dir) =>
-      Dedup.jaccardPairsBlocked(Tables(s, dir).documents, "text", "doc_id", 0.95)
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 0.95)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
     Some(
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
@@ -54,19 +57,25 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b"),
     None)
 
-  /** SimHash near-dups (hamming ≤ 3 via pigeonhole banding). */
+  /** SimHash near-dups (hamming ≤ 3 via pigeonhole banding) — the
+    * shuffle-based path; the broadcast-block kernel remains as the
+    * small-corpus variant (spec-equal).
+    */
   val simhash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, dir) =>
-      Dedup.simhashNearDupsBlocked(Tables(s, dir).documents, "text", "doc_id", 3)
+      Dedup.simhashNearDups(Tables(s, dir).documents, "text", "doc_id", 3)
         .orderBy("id_a", "id_b"),
     None)
 
-  /** Embedding-cosine near-dup pairs; exact, so oracle-checkable. */
+  /** Embedding-cosine near-dup pairs; exact, so oracle-checkable. Gated
+    * on the distributed block self-join — no driver-side corpus; the
+    * broadcast-block kernel remains as the small-corpus variant.
+    */
   val embeddingCosine: QueryDef = QueryDef(
     "dedup_embedding_cosine",
     (s, dir) =>
-      Similarity.cosinePairsBlocked(Tables(s, dir).embeddings, "vec_id", "embedding", 0.4)
+      Similarity.cosinePairsBlockJoin(Tables(s, dir).embeddings, "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b"),
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

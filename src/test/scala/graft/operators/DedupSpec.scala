@@ -101,6 +101,18 @@ class DedupSpec extends SparkSpec {
     assert(found == within) // pigeonhole banding is exact for ≤ maxDist
   }
 
+  test("salted LSH banding is lossless: saltFactor=4 equals unsalted") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = norm(Dedup.minhashNearDups(d, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 32))
+    val salted = norm(Dedup.minhashNearDups(d, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 32, saltFactor = 4))
+    assert(plain.nonEmpty)
+    assert(salted == plain)
+  }
+
   test("blocked simhash pairing matches the banding variant on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: DataFrame) = df.select("id_a", "id_b", "hamming").collect()

@@ -53,6 +53,17 @@ class SimilaritySpec extends SparkSpec {
     assert(vals.toSeq == again.toSeq)
   }
 
+  test("block self-join cosine pairs are bit-identical to the broadcast kernel") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blockJoin = norm(
+      Similarity.cosinePairsBlockJoin(emb, "vec_id", "embedding", 0.4, numBlocks = 4))
+    val blocked = norm(
+      Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4))
+    assert(blockJoin.nonEmpty)
+    assert(blockJoin == blocked)
+  }
+
   test("cosinePairs symmetric threshold filtering") {
     val s = spark
     import s.implicits._

@@ -19,7 +19,15 @@ final case class OaiConfig(
     adminEmail: String = "admin@example.org",
     deletedRecord: String = "transient", // transient | persistent
     listSize: Int = 500,
-    stylesheet: Option[String] = None)
+    // per-metadata-format page-size overrides, as the reference's
+    // --oai-pmh-list-size-oai-{dc,ddi25,datacite} flags
+    // (metadataformats.py:514-519,615-620,696-708); fall back to listSize
+    listSizeByPrefix: Map[String, Int] = Map.empty,
+    stylesheet: Option[String] = None) {
+
+  def listSizeFor(metadataPrefix: String): Int =
+    listSizeByPrefix.getOrElse(metadataPrefix, listSize)
+}
 
 /** The OAI-PMH verb surface over a Spark-backed study corpus — the engine
   * analogue of the reference's Tornado handlers (SURVEY.md §3). Protocol
@@ -156,6 +164,14 @@ final class OaiRepository(
         throw OaiError("badArgument", "metadataPrefix required"))
     }
     val fmt = format(prefix)
+    // OAI-PMH 2.0 §3.3.1: from and until MUST share one granularity —
+    // a date-only from with a full-datetime until is a badArgument
+    (params.get("from"), params.get("until")) match {
+      case (Some(f), Some(u)) if (f.length == 10) != (u.length == 10) =>
+        throw OaiError("badArgument",
+          s"from/until granularity mismatch: '$f' vs '$u'")
+      case _ => ()
+    }
     val from = params.get("from").map(parseDate)
     val until = params.get("until").map(parseDate)
     val setFilter: Filter = params.get("set") match {
@@ -178,7 +194,7 @@ final class OaiRepository(
       (fmt.recordFields ++ FormatColumns.headerFields ++ sets.flatMap(_.fields)).distinct
 
     val page = store.queryPage(
-      filter, fields, config.listSize, token, fingerprint,
+      filter, fields, config.listSizeFor(prefix), token, fingerprint,
       df => fmt.derive(FormatColumns.withHeader(df, sets)))
     if (page.rows.isEmpty && token.isEmpty)
       throw OaiError("noRecordsMatch", "no records match the request")

@@ -6,7 +6,7 @@ import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.Row
 
-import scala.xml.{Elem, Node, NodeSeq, Null, Text, UnprefixedAttribute, Utility}
+import scala.xml.{Elem, MetaData, Node, NodeSeq, Null, PrefixedAttribute, Text, TopScope, UnprefixedAttribute, Utility}
 
 /** OAI-PMH XML serialization (SURVEY.md §2.5 IO3) — the Spark analogue of
   * the reference's Genshi templates (templates/agg_*.xml). Pure
@@ -98,17 +98,57 @@ object OaiXml {
     </metadata>
   }
 
-  /** oai_ddi25 metadata body — DDI 2.5 codeBook shell
-    * (templates/agg_oai_ddi25 via kuha; widest projection, transforms are
-    * identity so fields render as stored).
+  /** oai_ddi25 metadata body — full DDI 2.5 codeBook over the 37-field
+    * projection (reference: kuha's oai_ddi25 template as exercised by
+    * tests/test_serve.py:359-540,1379-1424). Element placement follows the
+    * reference's own assertions where tested:
+    *  - document_titles → docDscr/citation/titlStmt/titl (:382-403)
+    *  - study_uris → stdyDscr/citation/holdings@URI (:359-380)
+    *  - distribution_dates → distStmt/distDate@date, text=description (:454-478)
+    *  - collection_periods → sumDscr/collDate@date@event (:513-540)
+    *  - data_kinds → sumDscr/dataKind (:405-426)
+    *  - data_access_descriptions → useStmt/conditions@elementVersion (:428-452)
+    *  - research_instruments → dataColl/resInstru with nested
+    *    concept@vocab@vocabURI, own text = description (:480-511)
+    * and DDI 2.5 codebook structure for the rest (time_methods /
+    * sampling_procedures / collection_modes share resInstru's
+    * concept-vocab shape; universes/nations/coverages in sumDscr;
+    * grant_numbers/funding_agencies as prodStmt grantNo/fundAg;
+    * file_names under fileDscr). `data_collection_copyrights` stays
+    * projected (Q11 parity) but unrendered: the reference suite attests
+    * no codeBook placement for it.
     */
   def oaiDdiMetadata(r: Row): Elem = {
-    def langValues(field: String): Seq[(String, String)] =
+    def rows(field: String): Seq[Row] =
       Option(r.getAs[scala.collection.Seq[Row]](field)).getOrElse(Nil)
-        .filter(e => e != null && e.getAs[String]("value") != null)
-        .map(e => (e.getAs[String]("value"), e.getAs[String]("lang"))).toSeq
+        .filter(e => e != null && e.getAs[String]("value") != null).toSeq
+    def langValues(field: String): Seq[(String, String)] =
+      rows(field).map(e => (e.getAs[String]("value"), e.getAs[String]("lang")))
+    def s(e: Row, f: String): String = e.getAs[String](f)
+    def langMeta(lang: String): MetaData =
+      if (lang == null) Null else new PrefixedAttribute("xml", "lang", lang, Null)
+    def descText(e: Row): Seq[Node] =
+      Option(s(e, "description")).map(Text(_)).toSeq
+    // CESSDA vocab fields: <label xml:lang><concept vocab vocabURI>value</concept>description</label>
+    def conceptElems(field: String, label: String): Seq[Elem] =
+      rows(field).map { e =>
+        val concept =
+          <concept vocab={s(e, "system_name")} vocabURI={s(e, "uri")}>{s(e, "value")}</concept>
+        Elem(null, label, langMeta(s(e, "lang")), TopScope,
+          minimizeEmpty = false, (concept +: descText(e)): _*)
+      }
     <metadata>
       <codeBook xmlns="ddi:codebook:2_5" version="2.5">
+        <docDscr>
+          <citation>
+            <titlStmt>
+              {langValues("document_titles").map { case (v, l) =>
+                <titl xml:lang={l}>{v}</titl> }}
+            </titlStmt>
+            {rows("document_uris").map(e =>
+              <holdings URI={s(e, "value")} xml:lang={s(e, "lang")}/>)}
+          </citation>
+        </docDscr>
         <stdyDscr>
           <citation>
             <titlStmt>
@@ -116,31 +156,100 @@ object OaiXml {
                 <titl xml:lang={l}>{v}</titl> }}
               {langValues("parallel_study_titles").map { case (v, l) =>
                 <parTitl xml:lang={l}>{v}</parTitl> }}
-              {langValues("identifiers").map { case (v, _) =>
-                <IDNo>{v}</IDNo> }}
+              {rows("identifiers").map(e =>
+                <IDNo agency={s(e, "agency")}>{s(e, "value")}</IDNo>)}
             </titlStmt>
             <rspStmt>
-              {langValues("principal_investigators").map { case (v, _) =>
-                <AuthEnty>{v}</AuthEnty> }}
+              {rows("principal_investigators").map(e =>
+                <AuthEnty affiliation={s(e, "organization")}>{s(e, "value")}</AuthEnty>)}
             </rspStmt>
-            <distStmt>
+            <prodStmt>
               {langValues("publishers").map { case (v, l) =>
                 <producer xml:lang={l}>{v}</producer> }}
+              {langValues("copyrights").map { case (v, l) =>
+                <copyright xml:lang={l}>{v}</copyright> }}
+              {rows("publication_dates").map(e =>
+                <prodDate date={s(e, "value")} xml:lang={s(e, "lang")}>{descText(e)}</prodDate>)}
+              {langValues("funding_agencies").map { case (v, l) =>
+                <fundAg xml:lang={l}>{v}</fundAg> }}
+              {rows("grant_numbers").map(e =>
+                <grantNo agency={s(e, "agency")}>{s(e, "value")}</grantNo>)}
+            </prodStmt>
+            <distStmt>
               {langValues("distributors").map { case (v, l) =>
                 <distrbtr xml:lang={l}>{v}</distrbtr> }}
+              {rows("distribution_dates").map(e =>
+                <distDate date={s(e, "value")} xml:lang={s(e, "lang")}>{descText(e)}</distDate>)}
             </distStmt>
+            {rows("study_uris").map(e =>
+              <holdings URI={s(e, "value")} xml:lang={s(e, "lang")}/>)}
           </citation>
           <stdyInfo>
+            <subject>
+              {rows("keywords").map(e =>
+                <keyword vocab={s(e, "system_name")} vocabURI={s(e, "uri")}
+                         xml:lang={s(e, "lang")}>{s(e, "value")}</keyword>)}
+              {rows("classifications").map(e =>
+                <topcClas vocab={s(e, "system_name")} vocabURI={s(e, "uri")}
+                          xml:lang={s(e, "lang")}>{s(e, "value")}</topcClas>)}
+            </subject>
             {langValues("abstracts").map { case (v, l) =>
               <abstract xml:lang={l}>{v}</abstract> }}
-            <subject>
-              {langValues("keywords").map { case (v, l) =>
-                <keyword xml:lang={l}>{v}</keyword> }}
-              {langValues("classifications").map { case (v, l) =>
-                <topcClas xml:lang={l}>{v}</topcClas> }}
-            </subject>
+            <sumDscr>
+              {rows("collection_periods").map(e =>
+                <collDate date={s(e, "value")} event={s(e, "event")}
+                          xml:lang={s(e, "lang")}>{descText(e)}</collDate>)}
+              {langValues("study_area_countries").map { case (v, l) =>
+                <nation xml:lang={l}>{v}</nation> }}
+              {langValues("geographic_coverages").map { case (v, l) =>
+                <geogCover xml:lang={l}>{v}</geogCover> }}
+              {conceptElems("analysis_units", "anlyUnit")}
+              {langValues("universes").map { case (v, l) =>
+                <universe xml:lang={l}>{v}</universe> }}
+              {langValues("data_kinds").map { case (v, l) =>
+                <dataKind xml:lang={l}>{v}</dataKind> }}
+            </sumDscr>
           </stdyInfo>
+          <method>
+            <dataColl>
+              {conceptElems("time_methods", "timeMeth")}
+              {conceptElems("sampling_procedures", "sampProc")}
+              {conceptElems("collection_modes", "collMode")}
+              {conceptElems("research_instruments", "resInstru")}
+              {langValues("instruments").map { case (v, l) =>
+                <instrumentDevelopment xml:lang={l}>{v}</instrumentDevelopment> }}
+            </dataColl>
+
+          </method>
+          <dataAccs>
+            <useStmt>
+              {langValues("data_access").map { case (v, l) =>
+                <restrctn xml:lang={l}>{v}</restrctn> }}
+              {rows("data_access_descriptions").map(e =>
+                Elem(null, "conditions",
+                  (if (s(e, "element_version") == null) langMeta(s(e, "lang"))
+                   else new UnprefixedAttribute(
+                     "elementVersion", s(e, "element_version"), langMeta(s(e, "lang")))),
+                  TopScope, minimizeEmpty = false, Text(s(e, "value"))))}
+              {langValues("citation_requirements").map { case (v, l) =>
+                <citReq xml:lang={l}>{v}</citReq> }}
+              {langValues("deposit_requirements").map { case (v, l) =>
+                <deposReq xml:lang={l}>{v}</deposReq> }}
+            </useStmt>
+          </dataAccs>
+          <othrStdyMat>
+            {langValues("related_publications").map { case (v, l) =>
+              <relPubl xml:lang={l}>{v}</relPubl> }}
+          </othrStdyMat>
         </stdyDscr>
+        {if (rows("file_names").isEmpty) NodeSeq.Empty
+         else
+           <fileDscr>
+             <fileTxt>
+               {langValues("file_names").map { case (v, l) =>
+                 <fileName xml:lang={l}>{v}</fileName> }}
+             </fileTxt>
+           </fileDscr>}
       </codeBook>
     </metadata>
   }

@@ -80,6 +80,35 @@ object ConfigurableSet {
     * and note it (SURVEY.md §7.4 risk 3): a snapshot per resumption token
     * is the only consistent choice for a distributed engine.
     */
+  private def parseNode(m: Map[String, Any], what: String): ConfigurableNode = {
+    val ids = m.getOrElse("identifiers",
+      throw SetConfigError(s"$what: missing 'identifiers'"))
+    ConfigurableNode(
+      spec = SetYaml.reqString(m, "spec", what),
+      name = SetYaml.reqString(m, "name", what),
+      identifiers = SetYaml.asStringList(ids, s"$what 'identifiers'"),
+      description = m.get("description").map(_.toString))
+  }
+
+  /** A `- path: '/abs/ext.yaml'` node resolves to one-or-many external
+    * node definitions (metadataformats.py:114-127,180-190: the external
+    * file may be a single mapping or a list of mappings; each is
+    * validated exactly like an inline node, with errors attributed to
+    * the external file).
+    */
+  private def resolvePathNode(path: String): Seq[ConfigurableNode] = {
+    val what = s"external set file '$path'"
+    val text =
+      try SetYaml.read(path)
+      catch {
+        case e: java.io.IOException =>
+          throw SetConfigError(s"$what: cannot read: ${e.getMessage}")
+      }
+    val maps = SetYaml.parseListOfMaps(text, what)
+    if (maps.isEmpty) throw SetConfigError(s"$what: empty node list")
+    maps.map(parseNode(_, what))
+  }
+
   def fromYaml(yaml: String): ConfigurableSet = {
     val root = SetYaml.parseMap(yaml, "configurable set")
     val spec = SetYaml.reqString(root, "spec", "configurable set")
@@ -88,14 +117,14 @@ object ConfigurableSet {
       throw SetConfigError("configurable set: missing 'nodes'"))
     val nodeMaps = SetYaml.asListOfMaps(nodesRaw, "configurable set 'nodes'")
     if (nodeMaps.isEmpty) throw SetConfigError("configurable set: empty 'nodes'")
-    val nodes = nodeMaps.map { m =>
-      val ids = m.getOrElse("identifiers",
-        throw SetConfigError("configurable set node: missing 'identifiers'"))
-      ConfigurableNode(
-        spec = SetYaml.reqString(m, "spec", "configurable set node"),
-        name = SetYaml.reqString(m, "name", "configurable set node"),
-        identifiers = SetYaml.asStringList(ids, "configurable set node 'identifiers'"),
-        description = m.get("description").map(_.toString))
+    val nodes = nodeMaps.flatMap { m =>
+      m.get("path") match {
+        case Some(p: String) if p.nonEmpty => resolvePathNode(p)
+        case Some(other) =>
+          throw SetConfigError(
+            s"configurable set node: 'path' must be a non-empty string, got $other")
+        case None => Seq(parseNode(m, "configurable set node"))
+      }
     }
     ConfigurableSet(spec, name, root.get("description").map(_.toString), nodes)
   }

@@ -84,6 +84,49 @@ object Fixtures {
       LangAttr("titel", "de")),
     identifiers = Seq(LangAttr("ark-id", "en", agency = "ARK")))
 
+  /** Every ddi25-rendered field populated — drives the codeBook golden
+    * tests (mirrors the per-field studies of tests/test_serve.py:359-540).
+    * NOT in [[all]]: list/count tests assume 5 records.
+    */
+  val ddiRich: Study = minimal.copy(
+    _aggregator_identifier = "agg_id_ddi",
+    study_titles = Seq(LangAttr("some title", "en")),
+    document_titles = Seq(
+      LangAttr("some_doc", "en"), LangAttr("joku_doc", "fi")),
+    study_uris = Seq(
+      LangAttr("some_study_uri", "fi"), LangAttr("another_study_uri", "en")),
+    distribution_dates = Seq(
+      LangAttr("1984", "en", description = "Year 1984"),
+      LangAttr("1984", "fi", description = "Vuosi 1984")),
+    collection_periods = Seq(
+      LangAttr("2000-01-02", "fi", event = "single"),
+      LangAttr("2000-01-03", "en", event = "start", description = "January 2000"),
+      LangAttr("2000-02-04", "en", event = "end", description = "February 2000")),
+    data_kinds = Seq(
+      LangAttr("some kind", "en"), LangAttr("joku kind", "fi")),
+    data_access = Seq(LangAttr("open", "en")),
+    data_access_descriptions = Seq(
+      LangAttr("some conditions", "en", element_version = "elem_vers"),
+      LangAttr("joku conditions", "fi")),
+    research_instruments = Seq(
+      LangAttr("some.resinstru", "en", system_name = "vocab",
+        uri = "vocaburi", description = "some research instrument"),
+      LangAttr("other.resinstru", "fi", system_name = "sanasto",
+        uri = "sanastouri", description = "joku research instrument")),
+    time_methods = Seq(
+      LangAttr("time.meth", "en", system_name = "tmvocab", uri = "tmuri")),
+    sampling_procedures = Seq(
+      LangAttr("samp.proc", "en", system_name = "spvocab", uri = "spuri",
+        description = "a sampling procedure")),
+    collection_modes = Seq(
+      LangAttr("coll.mode", "en", system_name = "cmvocab", uri = "cmuri")),
+    universes = Seq(LangAttr("some universe", "en")),
+    file_names = Seq(LangAttr("file1.csv", "en")),
+    publication_dates = Seq(LangAttr("2012-05-01", "en")),
+    copyrights = Seq(LangAttr("copyright text", "en")),
+    funding_agencies = Seq(LangAttr("Funder X", "en")),
+    grant_numbers = Seq(LangAttr("grant-42", "en", agency = "EC")))
+
   val all: Seq[Study] =
     Seq(minimal, dataciteValid, deleted, nestedProvenance, multiLang)
 

@@ -96,6 +96,142 @@ class OaiRepositorySpec extends SparkSpec {
     assert(all.toSet == Fixtures.all.map(_._aggregator_identifier).toSet)
   }
 
+  private lazy val ddiRepo: OaiRepository = {
+    val s = spark
+    import s.implicits._
+    new OaiRepository(
+      new StudyStore(s.createDataset(Fixtures.all :+ Fixtures.ddiRich).toDF()),
+      Seq(LanguageSet),
+      OaiConfig(),
+      now = () => Fixtures.ts("2022-01-01T00:00:00Z"))
+  }
+
+  private def xmlLang(n: scala.xml.Node): String =
+    n.attributes.collectFirst {
+      case a: scala.xml.PrefixedAttribute if a.pre == "xml" && a.key == "lang" =>
+        a.value.text
+    }.getOrElse("")
+
+  private lazy val ddiBook = {
+    val xml = XML.loadString(ddiRepo.getRecord("agg_id_ddi", "oai_ddi25"))
+    xml \ "GetRecord" \ "record" \ "metadata" \ "codeBook"
+  }
+
+  test("ddi25: document titles in docDscr, study uris as holdings@URI") {
+    // tests/test_serve.py:382-403 and :359-380
+    val docTitles = (ddiBook \ "docDscr" \ "citation" \ "titlStmt" \ "titl")
+      .map(t => (xmlLang(t), t.text)).toMap
+    assert(docTitles == Map("en" -> "some_doc", "fi" -> "joku_doc"))
+    val holdings = (ddiBook \ "stdyDscr" \ "citation" \ "holdings")
+      .map(h => (xmlLang(h), h \@ "URI")).toMap
+    assert(holdings == Map("fi" -> "some_study_uri", "en" -> "another_study_uri"))
+  }
+
+  test("ddi25: distDate carries date attr and description text") {
+    // tests/test_serve.py:454-478
+    val dd = (ddiBook \ "stdyDscr" \ "citation" \ "distStmt" \ "distDate")
+      .map(d => (xmlLang(d), (d \@ "date", d.text))).toMap
+    assert(dd == Map("en" -> ("1984", "Year 1984"), "fi" -> ("1984", "Vuosi 1984")))
+  }
+
+  test("ddi25: collDate renders date/event attrs per collection period") {
+    // tests/test_serve.py:513-540
+    val cds = (ddiBook \ "stdyDscr" \ "stdyInfo" \ "sumDscr" \ "collDate")
+      .map(c => (c \@ "date",
+        (xmlLang(c), c \@ "event", c.text))).toMap
+    assert(cds == Map(
+      "2000-01-02" -> (("fi", "single", "")),
+      "2000-01-03" -> (("en", "start", "January 2000")),
+      "2000-02-04" -> (("en", "end", "February 2000"))))
+  }
+
+  test("ddi25: dataKind and universe in sumDscr; fileName in fileDscr") {
+    // tests/test_serve.py:405-426
+    val kinds = (ddiBook \ "stdyDscr" \ "stdyInfo" \ "sumDscr" \ "dataKind")
+      .map(k => (xmlLang(k), k.text)).toMap
+    assert(kinds == Map("en" -> "some kind", "fi" -> "joku kind"))
+    assert((ddiBook \ "stdyDscr" \ "stdyInfo" \ "sumDscr" \ "universe").text == "some universe")
+    assert((ddiBook \ "fileDscr" \ "fileTxt" \ "fileName").text == "file1.csv")
+  }
+
+  test("ddi25: conditions carry elementVersion only when present") {
+    // tests/test_serve.py:428-452
+    val conds = (ddiBook \ "stdyDscr" \ "dataAccs" \ "useStmt" \ "conditions")
+      .map(c => (xmlLang(c),
+        (c.text, Option(c \@ "elementVersion").filter(_.nonEmpty)))).toMap
+    assert(conds == Map(
+      "en" -> (("some conditions", Some("elem_vers"))),
+      "fi" -> (("joku conditions", None))))
+    assert((ddiBook \ "stdyDscr" \ "dataAccs" \ "useStmt" \ "restrctn").text == "open")
+  }
+
+  test("ddi25: vocab fields render concept with vocab/vocabURI + description text") {
+    // tests/test_serve.py:480-511 (resInstru shape, shared by timeMeth/sampProc/collMode)
+    val ris = (ddiBook \ "stdyDscr" \ "method" \ "dataColl" \ "resInstru")
+      .map { ri =>
+        val concept = (ri \ "concept").head
+        (xmlLang(ri),
+          (concept.text, concept \@ "vocab", concept \@ "vocabURI",
+            ri.child.collect { case scala.xml.Text(t) => t }.mkString))
+      }.toMap
+    assert(ris == Map(
+      "en" -> (("some.resinstru", "vocab", "vocaburi", "some research instrument")),
+      "fi" -> (("other.resinstru", "sanasto", "sanastouri", "joku research instrument"))))
+    val tm = (ddiBook \ "stdyDscr" \ "method" \ "dataColl" \ "timeMeth" \ "concept").head
+    assert((tm.text, tm \@ "vocab", tm \@ "vocabURI") == (("time.meth", "tmvocab", "tmuri")))
+    val sp = (ddiBook \ "stdyDscr" \ "method" \ "dataColl" \ "sampProc").head
+    assert((sp \ "concept").text == "samp.proc")
+    assert(sp.child.collect { case scala.xml.Text(t) => t }.mkString == "a sampling procedure")
+    assert((ddiBook \ "stdyDscr" \ "method" \ "dataColl" \ "collMode" \ "concept").text == "coll.mode")
+  }
+
+  test("ddi25: prodStmt renders copyright, prodDate, fundAg and grantNo") {
+    val prod = ddiBook \ "stdyDscr" \ "citation" \ "prodStmt"
+    assert((prod \ "copyright").text == "copyright text")
+    assert((prod \ "prodDate" \@ "date") == "2012-05-01")
+    assert((prod \ "fundAg").text == "Funder X")
+    val gn = (prod \ "grantNo").head
+    assert((gn.text, gn \@ "agency") == (("grant-42", "EC")))
+  }
+
+  test("per-format list sizes: each format pages at its own size") {
+    val s = spark
+    import s.implicits._
+    val studies = s.createDataset(Fixtures.all).toDF()
+    val r = new OaiRepository(
+      new StudyStore(studies),
+      Seq(LanguageSet),
+      OaiConfig(listSize = 2, listSizeByPrefix = Map("oai_ddi25" -> 3)),
+      now = () => Fixtures.ts("2022-01-01T00:00:00Z"))
+    val dc = XML.loadString(r.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_dc")))
+    assert((dc \ "ListIdentifiers" \ "header").size == 2) // global default
+    val p1 = XML.loadString(r.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_ddi25")))
+    val ids1 = (p1 \ "ListIdentifiers" \ "header" \ "identifier").map(_.text)
+    assert(ids1.size == 3) // per-format override
+    // token completeness property intact at the overridden size
+    val tok = (p1 \ "ListIdentifiers" \ "resumptionToken").text
+    assert(tok.nonEmpty)
+    val p2 = XML.loadString(r.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_ddi25",
+        "resumptionToken" -> tok)))
+    val ids2 = (p2 \ "ListIdentifiers" \ "header" \ "identifier").map(_.text)
+    assert((ids1 ++ ids2).distinct.size == 5)
+  }
+
+  test("mixed from/until datestamp granularity → badArgument") {
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",
+        "from" -> "2020-01-01", "until" -> "2021-06-01T12:00:00Z")))
+    assert((xml \ "error" \ "@code").text == "badArgument")
+    // same granularity on both sides stays valid
+    val ok = XML.loadString(repo.handle(
+      Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",
+        "from" -> "2000-01-01", "until" -> "2021-12-31")))
+    assert((ok \ "error").isEmpty)
+  }
+
   test("bad resumption token → badResumptionToken error") {
     val xml = XML.loadString(repo.handle(
       Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",

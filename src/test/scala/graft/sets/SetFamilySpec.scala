@@ -86,6 +86,73 @@ class SetFamilySpec extends SparkSpec {
     bad("spec: 'x'\n  bad indent: [")                                        // invalid syntax
   }
 
+  private def tmpYaml(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft-ext-set", ".yaml")
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private def withPathNode(extPath: String): String =
+    s"""spec: 'thematic'
+       |name: 'Thematic'
+       |description: 'Thematic grouping of records'
+       |nodes:
+       |  - spec: 'social_sciences'
+       |    name: 'Social sciences'
+       |    description: 'Studies in social sciences'
+       |    identifiers:
+       |    - id_1
+       |    - id_2
+       |  - path: '$extPath'
+       |""".stripMargin
+
+  test("S4 external path node: single-node external file appends one node") {
+    // mirrors tests/test_metadataformats.py::test_get_config_with_path_single_node
+    val ext = tmpYaml(
+      "spec: 'history'\nname: 'History'\ndescription: 'Studies in history'\n" +
+        "identifiers:\n- id_5\n- id_6\n")
+    val set = ConfigurableSet.fromYaml(withPathNode(ext))
+    assert(set.nodes.map(_.spec) == Seq("social_sciences", "history"))
+    assert(set.nodes.last.identifiers == Seq("id_5", "id_6"))
+    assert(set.nodes.last.description.contains("Studies in history"))
+  }
+
+  test("S4 external path node: list-of-nodes external file appends them all") {
+    // mirrors tests/test_metadataformats.py::test_get_config_with_path_multiple_nodes
+    val ext = tmpYaml(
+      "- spec: 'history'\n  name: 'History'\n  description: 'Studies in history'\n" +
+        "  identifiers:\n  - id_5\n  - id_6\n" +
+        "- spec: 'literature'\n  name: 'Literature'\n  description: 'Literature Studies'\n" +
+        "  identifiers:\n  - id_7\n  - id_8\n")
+    val set = ConfigurableSet.fromYaml(withPathNode(ext))
+    assert(set.nodes.map(_.spec) == Seq("social_sciences", "history", "literature"))
+    assert(set.allIdentifiers == Seq("id_1", "id_2", "id_5", "id_6", "id_7", "id_8"))
+    // membership spans inline and external children
+    assert(set.filterFor(Some("literature")) ==
+      graft.query.In("_aggregator_identifier", Seq("id_7", "id_8")))
+  }
+
+  test("S4 external path node: malformed external files raise at configure") {
+    def badExt(content: String): Unit = {
+      val ext = tmpYaml(content)
+      assertThrows[SetConfigError](ConfigurableSet.fromYaml(withPathNode(ext)))
+    }
+    badExt("name: 'History'\nidentifiers:\n- id_5")                     // missing spec
+    badExt("spec: 'history'\nidentifiers:\n- id_5")                     // missing name
+    badExt("spec: 'history'\nname: 'History'")                          // missing identifiers
+    badExt("spec: 'history'\nname: 'History'\nidentifiers: []")         // empty identifiers
+    badExt("- spec: 'ok'\n  name: 'Ok'\n  identifiers: [i]\n- spec: 'bad'\n  name: 'Bad'") // one bad in list
+    badExt("outer: {inner: value)")                                     // invalid YAML syntax
+    // unreadable external path
+    assertThrows[SetConfigError](
+      ConfigurableSet.fromYaml(withPathNode("/no/such/ext_conf.yaml")))
+    // path must be a non-empty string
+    assertThrows[SetConfigError](
+      ConfigurableSet.fromYaml(
+        "spec: 'x'\nname: 'y'\nnodes:\n  - path: ''"))
+  }
+
   test("source YAML: single-source filter builds elemMatch on url") {
     import graft.query.{ElemEq, ElemMatch}
     assert(sourceSet.filterFor(Some("FSD")) ==

@@ -27,7 +27,21 @@ final case class AggMetrics(
   */
 object MetricsJob {
 
-  def run(studies: DataFrame): AggMetrics = {
+  /** `approxPublishers = true` replaces the exact publisher cardinality
+    * with one-pass HyperLogLog (`approx_count_distinct`, 1% rsd) — the
+    * 100 TB path when the exact per-publisher breakdown is not needed
+    * (the breakdown stays exact here because /metrics exposes per-
+    * publisher gauges; at a scale where even #publishers explodes, serve
+    * the HLL total alone).
+    */
+  def run(studies: DataFrame, approxPublishers: Boolean = false): AggMetrics = {
+    val approxTotal =
+      if (approxPublishers)
+        Some(studies
+          .filter(col("_direct_base_url").isNotNull)
+          .agg(approx_count_distinct(col("_direct_base_url"), 0.01))
+          .collect().head.getLong(0))
+      else None
     val perPublisher = studies
       .groupBy(col("_direct_base_url"))
       .agg(
@@ -44,7 +58,8 @@ object MetricsJob {
     val total = perPublisher.map(_.records).sum
     val totalLive = perPublisher.map(_.recordsWithoutDeleted).sum
     val named = perPublisher.filter(p => p.baseUrl != null && p.records > 0)
-    AggMetrics(total, totalLive, named.size.toLong,
+    AggMetrics(total, totalLive,
+      approxTotal.getOrElse(named.size.toLong),
       named.sortBy(_.baseUrl))
   }
 
@@ -77,4 +92,10 @@ object MetricsJob {
     }
     sb.toString
   }
+
+  /** Full /metrics page: corpus gauges + OAI request counters/summaries
+    * (the reference exposes both through one registry, metrics.py:52-70).
+    */
+  def prometheus(m: AggMetrics, requests: RequestMetrics): String =
+    prometheus(m) + requests.prometheus
 }

@@ -34,11 +34,22 @@ final case class OaiConfig(
   * plumbing is driver-side; every data touch goes through [[StudyStore]]
   * as one declarative Spark plan.
   */
+/** Transport context for one request — what Tornado hands the reference's
+  * log_request (metrics.py:224-246): the caller's User-Agent and the HTTP
+  * status the transport will emit (OAI errors are in-band, so status is
+  * 200 unless the transport itself failed).
+  */
+final case class RequestContext(
+    userAgent: Option[String] = None,
+    httpStatus: Int = 200)
+
 final class OaiRepository(
     store: StudyStore,
     sets: Seq[SetFamily],
     config: OaiConfig = OaiConfig(),
-    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    metrics: Option[graft.metrics.RequestMetrics] = None,
+    nanoTime: () => Long = () => System.nanoTime()) {
 
   private def respond(
       verb: Option[String],
@@ -47,11 +58,32 @@ final class OaiRepository(
     OaiXml.envelope(verb, attrs, config.baseUrl, now(), body, config.stylesheet)
 
   /** Route a request; OAI errors are in-band XML, never exceptions to the
-    * caller (tests/test_serve.py:204-206).
+    * caller (tests/test_serve.py:204-206). When a [[RequestMetrics]] is
+    * wired, every request is counted with the reference's log_request
+    * semantics: success/failure split at HTTP 300, durations observed
+    * only for successful non-OAI-error responses (metrics.py:224-246).
     */
-  def handle(params: Map[String, String]): String = {
+  def handle(
+      params: Map[String, String],
+      ctx: RequestContext = RequestContext()): String = {
+    val t0 = nanoTime()
+    var oaiError = false
+    val response =
+      try dispatch(params)
+      catch {
+        case OaiError(code, msg) =>
+          oaiError = true
+          respond(params.get("verb"), Map.empty, OaiXml.error(code, msg))
+      }
+    metrics.foreach(_.record(
+      params.get("verb"), params.get("metadataPrefix"), ctx.userAgent,
+      ctx.httpStatus, oaiError, (nanoTime() - t0) / 1e6))
+    response
+  }
+
+  private def dispatch(params: Map[String, String]): String = {
     val verb = params.get("verb")
-    try verb match {
+    verb match {
       case Some("Identify")            => identify()
       case Some("ListMetadataFormats") =>
         listMetadataFormats(params.get("identifier"))
@@ -64,9 +96,6 @@ final class OaiRepository(
         list(v, params)
       case Some(other) => throw OaiError("badVerb", s"unknown verb '$other'")
       case None        => throw OaiError("badVerb", "verb argument is required")
-    } catch {
-      case OaiError(code, msg) =>
-        respond(verb, Map.empty, OaiXml.error(code, msg))
     }
   }
 

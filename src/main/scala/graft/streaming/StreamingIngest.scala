@@ -44,30 +44,51 @@ object StreamingIngest {
 
   /** Streaming upsert resolution via keyed state: keeps the
     * latest-by-timestamp update per study and emits it whenever it
-    * changes. State size = one row per live key — the
-    * mapGroupsWithState shape the reference's soft-delete model needs
-    * (deletes are updates too, so state never needs external lookups).
+    * changes. State size = one row per RECENTLY-ACTIVE key, bounded by
+    * `idleTimeout`: a key idle that long is evicted (its latest row is
+    * re-emitted once on the way out — idempotent for an upsert sink).
+    * Without eviction, state grows one entry per key forever — fine for
+    * a test corpus, unbounded at 100 TB. The trade-off: an update older
+    * than an evicted one that arrives after the TTL resolves against
+    * nothing and is emitted; the downstream compaction
+    * ([[latestByKeyBatch]], the sink-side MERGE authority) resolves it —
+    * which it must anyway, because Update-mode sinks see every emission.
     */
   def latestByKeyStreaming(
-      updates: Dataset[StudyUpdate]): Dataset[StudyUpdate] = {
+      updates: Dataset[StudyUpdate],
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[StudyUpdate] = {
     import updates.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     updates
       .groupByKey(_.study_id)
-      .mapGroupsWithState[StudyUpdate, StudyUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[StudyUpdate, StudyUpdate](timeoutConf) {
         (_: String, rows: Iterator[StudyUpdate], state: GroupState[StudyUpdate]) =>
-          val incoming = rows.maxBy(_.updated.getTime)
-          val best = state.getOption match {
-            case Some(cur) if cur.updated.getTime >= incoming.updated.getTime => cur
-            case _ => incoming
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val incoming = rows.maxBy(_.updated.getTime)
+            val best = state.getOption match {
+              case Some(cur) if cur.updated.getTime >= incoming.updated.getTime => cur
+              case _ => incoming
+            }
+            state.update(best)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            best
           }
-          state.update(best)
-          best
       }
   }
 
   /** Continuous harvest → upsert → in-memory table, for drive/testing.
-    * Returns the query; caller calls processAllAvailable + stop.
+    * Returns the query; caller calls processAllAvailable + stop. TTL is
+    * OFF here: ProcessingTimeTimeout makes the engine self-schedule
+    * batches to advance the timeout clock, which races
+    * processAllAvailable — the synchronous drive path needs NoTimeout
+    * (production writers pair the TTL with a real trigger interval and
+    * never block on processAllAvailable).
     */
   def runToMemory(
       spark: SparkSession,
@@ -77,7 +98,7 @@ object StreamingIngest {
     import spark.implicits._
     val updates = harvestStream(spark, recordsPerBatch, maxRecords)
       .as[StudyUpdate]
-    latestByKeyStreaming(updates)
+    latestByKeyStreaming(updates, idleTimeout = None)
       .writeStream
       .format("memory")
       .queryName(sinkName)

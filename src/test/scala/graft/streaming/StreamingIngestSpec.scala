@@ -67,6 +67,44 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idle keys are evicted from upsert state after the TTL") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def upd(id: String, t: Long) = StreamingIngest.StudyUpdate(
+      id, "updated", new java.sql.Timestamp(t), "http://u", s"$id@$t")
+    // ProcessingTimeTimeout makes the engine self-schedule batches to
+    // advance the timeout clock, so processAllAvailable races the batch
+    // storm — poll the sink instead of synchronizing on it.
+    def eventually(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, what)
+    }
+    val in = MemoryStream[StreamingIngest.StudyUpdate](s)
+    val q = StreamingIngest.latestByKeyStreaming(in.toDS(),
+        idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("upsert_ttl")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def rowsForA = spark.sql(
+        "SELECT title FROM upsert_ttl WHERE study_id = 'a'")
+        .collect().map(_.getString(0)).toSeq
+      in.addData(upd("a", 1000L))
+      eventually("first emission for a")(rowsForA.count(_ == "a@1000") == 1)
+      // the TTL lapses; the next self-scheduled batch evicts a and
+      // re-emits its latest row once on the way out
+      eventually("eviction re-emission")(rowsForA.count(_ == "a@1000") == 2)
+      // state is gone: an OLDER update for a now resolves against nothing
+      // and is emitted — the documented TTL trade-off (sink-side
+      // compaction remains the authority)
+      in.addData(upd("a", 500L))
+      eventually("stale resurrect emission")(rowsForA.contains("a@500"))
+    } finally q.stop()
+  }
+
   test("batch latest-by-key matches streaming resolution") {
     val s = spark
     import s.implicits._

@@ -230,8 +230,10 @@ object Similarity {
         if (n <= maxTrainRows) featured
         else featured.sample(withReplacement = false,
           fraction = maxTrainRows.toDouble / n, seed = 42L)
+      // a coarse quantizer only routes probes — half the default
+      // iterations is ample for cell assignment quality
       new org.apache.spark.ml.clustering.KMeans()
-        .setK(numCentroids).setSeed(42L)
+        .setK(numCentroids).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").fit(train)
     })
   }

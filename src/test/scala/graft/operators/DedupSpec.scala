@@ -101,6 +101,20 @@ class DedupSpec extends SparkSpec {
     assert(found == within) // pigeonhole banding is exact for ≤ maxDist
   }
 
+  test("prefix filtering is exact at a low threshold (long prefixes)") {
+    // t = 0.5 makes prefixes > half of each token set — exercises the
+    // prefix bound far from the high-threshold regime the gate uses
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = norm(
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)))
+    val blocked = norm(Dedup.jaccardPairsBlocked(d, "text", "doc_id", 0.5))
+    assert(prefixed == blocked)
+    assert(blocked.size > 100)
+  }
+
   test("salted LSH banding is lossless: saltFactor=4 equals unsalted") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: DataFrame) = df.collect()

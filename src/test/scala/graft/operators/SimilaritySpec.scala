@@ -56,12 +56,15 @@ class SimilaritySpec extends SparkSpec {
   test("block self-join cosine pairs are bit-identical to the broadcast kernel") {
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val blockJoin = norm(
-      Similarity.cosinePairsBlockJoin(emb, "vec_id", "embedding", 0.4, numBlocks = 4))
     val blocked = norm(
       Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4))
-    assert(blockJoin.nonEmpty)
-    assert(blockJoin == blocked)
+    assert(blocked.nonEmpty)
+    // every pair must appear in exactly one cell for ANY block count
+    for (blocks <- Seq(1, 3, 8)) {
+      val blockJoin = norm(Similarity.cosinePairsBlockJoin(
+        emb, "vec_id", "embedding", 0.4, numBlocks = blocks))
+      assert(blockJoin == blocked, s"numBlocks=$blocks")
+    }
   }
 
   test("cosinePairs symmetric threshold filtering") {

@@ -197,6 +197,10 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (numPlanes-bit signature): bit j is
     * the sign of ⟨v, h_j⟩. Cosine-similar vectors collide with
     * probability 1 − θ/π per bit.
+    *
+    * Expression form — the tree is dim×numPlanes leaves, fine to a few
+    * hundred dims; beyond that use [[lshBucketed]] which evaluates the
+    * SAME signs in a JVM kernel.
     */
   def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { j =>
@@ -204,6 +208,55 @@ object Similarity {
         get(vecCol, lit(d)).cast("double") * planeSign(j, d)).reduce(_ + _)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** The ±1 hyperplane sign matrix, evaluated ONCE through the same
+    * [[planeSign]] expressions (a 1-row local projection) so kernel and
+    * expression variants agree bit-for-bit.
+    */
+  private[operators] def planeSigns(
+      spark: org.apache.spark.sql.SparkSession,
+      dim: Int, numPlanes: Int): Array[Array[Double]] = {
+    val row = spark.range(1)
+      .select((for (j <- 0 until numPlanes; d <- 0 until dim)
+        yield planeSign(j, d)): _*)
+      .collect().head
+    Array.tabulate(numPlanes, dim)((j, d) => row.getDouble(j * dim + d))
+  }
+
+  /** (id, vec, bucket) with the bucket computed in a per-partition JVM
+    * loop — the high-dimension path ([[lshBucket]]'s expression tree is
+    * dim×planes nodes; at dim 1024+ analysis and codegen choke, while
+    * this kernel is a dim×planes multiply per row regardless). Identical
+    * buckets to the expression variant: same sign matrix, same
+    * left-to-right projection fold.
+    */
+  def lshBucketed(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val signs = spark.sparkContext.broadcast(planeSigns(spark, dim, numPlanes))
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val s = signs.value
+        it.map { case (id, v) =>
+          var bucket = 0L
+          var j = 0
+          while (j < s.length) {
+            val row = s(j)
+            var proj = 0.0
+            var d = 0
+            while (d < row.length) { proj += v(d) * row(d); d += 1 }
+            if (proj > 0) bucket |= (1L << j)
+            j += 1
+          }
+          (id, v, bucket)
+        }
+      }
+      .toDF(idCol, vecCol, "bucket")
+  }
 
   /** One-time quantizer models, keyed by (dataset semantic hash, k).
     * An IVF quantizer is trained ONCE per corpus and reused across every

@@ -53,6 +53,17 @@ class SimilaritySpec extends SparkSpec {
     assert(vals.toSeq == again.toSeq)
   }
 
+  test("kernel bucket assignment equals the expression variant") {
+    val expr = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = Similarity.lshBucketed(emb, "vec_id", "embedding", 64, 8)
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == expr)
+    assert(kernel.values.toSet.size > 1)
+  }
+
   test("block self-join cosine pairs are bit-identical to the broadcast kernel") {
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -57,6 +57,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k for a BATCH of stored query vectors in ONE pass over
+    * the corpus — the training-pipeline shape (dedupe a candidate set
+    * against the corpus, kNN-label a batch, ...). The query matrix
+    * broadcasts; each partition keeps a k-bounded insertion list per
+    * query; the final merge ranks partitions×queries×k rows — corpus
+    * never shuffles, result exact. Scoring matches [[topKCosine]]:
+    * cosine in double precision, 6-dp HALF_UP rounding, ties broken by
+    * ascending id.
+    */
+  def topKCosineBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val queries = rows.filter(r => queryIds.contains(r._1)).collect().sortBy(_._1)
+    val qNorms = queries.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((queries, qNorms))
+    val partial = rows.mapPartitions { it =>
+      val (qs, qn) = bc.value
+      // per-query top-k as sorted insertion lists (k is small)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      it.foreach { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val vn = math.sqrt(s)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (qid != id) {
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += v(j) * qv(j); j += 1 }
+            val sim = BigDecimal(d / (vn * qn(qi)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val h = heaps(qi)
+            // keep if better than the current k-th (sim desc, id asc)
+            if (h.size < k || sim > h.last._1 ||
+                (sim == h.last._1 && id < h.last._2)) {
+              val at = h.indexWhere { case (hs, hid) =>
+                sim > hs || (sim == hs && id < hid) }
+              if (at < 0) h.append((sim, id)) else h.insert(at, (sim, id))
+              if (h.size > k) h.remove(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (sim, id) => (qs(qi)._1, id, sim) }
+      }
+    }.toDF("query_id", idCol, "sim")
+    // final merge: partitions×queries×k rows — a trivial ranking
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    partial.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** All pairs with cosine ≥ threshold — the embedding-cosine near-dup
     * check. Expression variant: exact but allocates arrays per pair; use
     * [[cosinePairsBlocked]] for the fast path (identical results).

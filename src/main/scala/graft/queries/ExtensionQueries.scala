@@ -104,6 +104,24 @@ object SimilarityQueries extends QueryGroup {
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
 
+  /** Batch exact top-k: many query vectors answered in ONE corpus pass
+    * (broadcast queries → per-partition k-bounded lists → tiny merge).
+    */
+  val topKBatch: QueryDef = QueryDef(
+    "sim_topk_batch",
+    (s, dir) =>
+      Similarity.topKCosineBatch(Tables(s, dir).embeddings, "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L), k = 5)
+        .orderBy(col("query_id"), col("sim").desc, col("vec_id")),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |      FROM e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin))
+
   /** LSH-bucketed single-probe ANN (the 100 TB path): approximate —
     * rows-only; the unit spec checks overlap with the exact top-k.
     */
@@ -124,7 +142,7 @@ object SimilarityQueries extends QueryGroup {
         queryId = 0L, k = 10, numCentroids = 16, nProbes = 4),
     None)
 
-  def defs: Seq[QueryDef] = Seq(topK, annLsh, annIvf)
+  def defs: Seq[QueryDef] = Seq(topK, topKBatch, annLsh, annIvf)
 }
 
 object TextQueries extends QueryGroup {

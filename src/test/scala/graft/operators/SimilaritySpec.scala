@@ -53,6 +53,15 @@ class SimilaritySpec extends SparkSpec {
     assert(vals.toSeq == again.toSeq)
   }
 
+  test("batch top-k for one query equals single-query brute force") {
+    val batch = Similarity.topKCosineBatch(emb, "vec_id", "embedding", Seq(0L), 10)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val single = Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == single)
+  }
+
   test("kernel bucket assignment equals the expression variant") {
     val expr = emb.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))

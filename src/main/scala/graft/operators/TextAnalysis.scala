@@ -96,4 +96,32 @@ object TextAnalysis {
     aggregate(codes, lit(0L),
       (acc, c) => pmod(acc * 31L + c, lit(FingerprintMod)))
   }
+
+  /** Top rarity-weighted terms per document: score = tf · N/df (term
+    * frequency × inverse document-frequency RATIO — deliberately not the
+    * log variant: tf·N and df are exact integers, so one IEEE division
+    * gives bit-identical doubles on every engine, where `ln` is libm-
+    * dependent and breaks oracle hashes). Two hash aggregates (map-side
+    * partial) + a per-doc top-k window; the shuffle carries
+    * vocabulary-bounded (term, count) pairs, never documents.
+    */
+  def topRarityTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * lit(1.0) * col("n") / col("df"), 6).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
 }

@@ -85,8 +85,21 @@ object DedupQueries extends QueryGroup {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Dup → survivor remap table (what a pipeline applies after exact
+    * dedup): every non-surviving id with its content group's min id.
+    */
+  val remap: QueryDef = QueryDef(
+    "dedup_remap",
+    (s, dir) =>
+      Dedup.exactRemap(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(
+      """WITH m AS (SELECT text, min(doc_id) AS survivor FROM documents GROUP BY text)
+        |SELECT d.doc_id, m.survivor FROM documents d JOIN m ON d.text = m.text
+        |WHERE d.doc_id <> m.survivor ORDER BY d.doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+    Seq(exact, remap, ngramJaccard, minhashLsh, simhash, embeddingCosine)
 }
 
 object SimilarityQueries extends QueryGroup {
@@ -270,7 +283,28 @@ object TextQueries extends QueryGroup {
         |SELECT bigram, count(*) AS freq FROM b
         |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(tokens, quality, langId, fingerprint, bigramFreq)
+  /** Rarity-weighted top terms per doc (tf · N/df ratio scoring — exact
+    * rational, so cross-engine deterministic; see
+    * [[TextAnalysis.topRarityTerms]]).
+    */
+  val rarityTerms: QueryDef = QueryDef(
+    "text_rarity_top_terms",
+    (s, dir) =>
+      TextAnalysis.topRarityTerms(Tables(s, dir).documents, "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term")),
+    Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, round(tf * 1.0 * n.n / df, 6) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms)
 }
 
 object EventQueries extends QueryGroup {

@@ -21,6 +21,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (5L, 1L)))
   }
 
+  test("exact remap points every duplicate at its group's min id") {
+    val df = docs(
+      (1L, "aa bb cc"), (2L, "aa bb cc"), (5L, "dd ee"), (3L, "aa bb cc"))
+    val remap = Dedup.exactRemap(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(remap == Set((2L, 1L), (3L, 1L))) // survivors and uniques absent
+  }
+
   test("shingles: n-gram windows, distinct, short-text fallback") {
     val df = docs((1L, "a b c d"), (2L, "x y"))
     val sh = df.select(col("doc_id"), Dedup.shingles("text", 3).as("s"))

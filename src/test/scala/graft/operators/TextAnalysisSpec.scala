@@ -49,4 +49,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
     assert(a != c) // rolling hash is position-sensitive
   }
+
+  test("rarity terms rank rare-and-repeated over ubiquitous") {
+    val s = spark
+    import s.implicits._
+    // "rare" repeats in doc 1 and exists nowhere else (tf=2, df=1);
+    // "the" is in every doc (df=3) — rare must outrank it
+    val docs = Seq(
+      (1L, "the rare rare word"),
+      (2L, "the common word"),
+      (3L, "the common word")).toDF("doc_id", "text")
+    val top = TextAnalysis.topRarityTerms(docs, "text", "doc_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "rare")
+    // doc 2/3: "common"/"word" (df=2) outrank "the" (df=3);
+    // tie between them breaks alphabetically
+    assert(top(2L) == "common")
+  }
 }

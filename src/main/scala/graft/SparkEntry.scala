@@ -14,7 +14,7 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] =
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
       AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
-      TextQueries, EventQueries, MultimodalQueries)
+      TextQueries, SamplingQueries, EventQueries, MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

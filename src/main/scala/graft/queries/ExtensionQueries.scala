@@ -307,6 +307,27 @@ object TextQueries extends QueryGroup {
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms)
 }
 
+object SamplingQueries extends QueryGroup {
+
+  /** Stratified deterministic 10% sample per language group. */
+  val stratified: QueryDef = QueryDef(
+    "sample_stratified_take",
+    (s, dir) =>
+      graft.operators.Sampling.stratifiedTake(
+          Tables(s, dir).documents, "lang", "doc_id", 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some(
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)
+        |ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(stratified)
+}
+
 object EventQueries extends QueryGroup {
 
   val tumbling: QueryDef = QueryDef(

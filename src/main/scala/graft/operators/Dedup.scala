@@ -25,19 +25,31 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** Dup → survivor mapping: for every non-surviving duplicate, the id
-    * to remap it to (min id of its content group). What a pipeline JOINs
-    * against to rewrite references after [[exact]] dedup. One shuffle on
-    * the 32-byte content hash; the window never sees document text.
+  /** Dup → survivor mapping for an arbitrary content key: for every
+    * non-surviving duplicate, the id to remap it to (min id of its key
+    * group). What a pipeline JOINs against to rewrite references after
+    * dedup. One shuffle on the 32-byte key hash; the window never sees
+    * document text.
     */
-  def exactRemap(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def remapByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("content_hash"))
-    df.select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
+    df.select(col(idCol), sha2(key.cast("string"), 256).as("content_hash"))
       .withColumn("survivor", min(col(idCol)).over(w))
       .filter(col(idCol) =!= col("survivor"))
       .select(col(idCol), col("survivor"))
   }
+
+  /** [[remapByKey]] on raw text — byte-exact duplicate remap. */
+  def exactRemap(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    remapByKey(df, col(textCol), idCol)
+
+  /** Word-order/whitespace/case-insensitive content key: the sorted
+    * distinct token set as one string. Catches shuffled or reformatted
+    * copies that byte-exact dedup misses.
+    */
+  def normalizedSetKey(textCol: String): Column =
+    concat_ws(" ", array_sort(array_distinct(words(textCol))))
 
   /** Whitespace word tokens, lowercased and trimmed. Trim matters for
     * cross-engine parity: Java's split drops trailing empty tokens but

@@ -85,18 +85,26 @@ object DedupQueries extends QueryGroup {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin))
 
-  /** Dup → survivor remap table (what a pipeline applies after exact
-    * dedup): every non-surviving id with its content group's min id.
+  /** Dup → survivor remap table (what a pipeline applies after dedup):
+    * every non-surviving id with its group's min id. Gated on the
+    * word-set-normalized key — the testdata has no byte-exact dups at
+    * sf0.01, but 54 order/whitespace-shuffled copies, so this key keeps
+    * the oracle check non-vacuous AND is the more useful dedup in
+    * practice.
     */
   val remap: QueryDef = QueryDef(
     "dedup_remap",
     (s, dir) =>
-      Dedup.exactRemap(Tables(s, dir).documents, "text", "doc_id")
+      Dedup.remapByKey(Tables(s, dir).documents,
+          Dedup.normalizedSetKey("text"), "doc_id")
         .orderBy("doc_id"),
     Some(
-      """WITH m AS (SELECT text, min(doc_id) AS survivor FROM documents GROUP BY text)
-        |SELECT d.doc_id, m.survivor FROM documents d JOIN m ON d.text = m.text
-        |WHERE d.doc_id <> m.survivor ORDER BY d.doc_id""".stripMargin))
+      """WITH k AS (SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ') AS key
+        |FROM documents),
+        |m AS (SELECT key, min(doc_id) AS survivor FROM k GROUP BY key)
+        |SELECT k.doc_id, m.survivor FROM k JOIN m USING (key)
+        |WHERE k.doc_id <> m.survivor ORDER BY k.doc_id""".stripMargin))
 
   def defs: Seq[QueryDef] =
     Seq(exact, remap, ngramJaccard, minhashLsh, simhash, embeddingCosine)

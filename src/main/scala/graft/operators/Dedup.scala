@@ -25,6 +25,22 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Streaming exact dedup: emit the first occurrence of each content
+    * hash, dropping duplicates that arrive within the watermark horizon
+    * of the original. State is WATERMARK-BOUNDED — a hash is evicted
+    * once event time passes its horizon (vs. plain dropDuplicates,
+    * whose state grows forever). The continuous-ingest analogue of
+    * [[exact]]: re-harvested or replayed documents are suppressed while
+    * they can still plausibly arrive, and the periodic batch compaction
+    * catches strays older than the horizon.
+    */
+  def streamingExact(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Dup → survivor mapping for an arbitrary content key: for every
     * non-surviving duplicate, the id to remap it to (min id of its key
     * group). What a pipeline JOINs against to rewrite references after

@@ -119,6 +119,29 @@ class StreamingIngestSpec extends SparkSpec {
       (250L until 500L).count(i => i % 7 == 0))
   }
 
+  test("streaming exact dedup suppresses duplicate content within the watermark") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(java.sql.Timestamp, String)](s)
+    val q = graft.operators.Dedup.streamingExact(
+        in.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+      in.addData((ts(0), "aa bb"), (ts(1), "aa bb"), (ts(1), "cc dd"))
+      q.processAllAvailable()
+      // duplicate across batches, still within the 10-minute horizon
+      in.addData((ts(2), "aa bb"), (ts(3), "ee ff"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM stream_dedup")
+        .collect().map(_.getString(0)).toSeq.sorted
+      assert(texts == Seq("aa bb", "cc dd", "ee ff"))
+    } finally q.stop()
+  }
+
   test("windowed harvest counts with watermark run in streaming mode") {
     val stream = StreamingIngest.harvestStream(spark,
       recordsPerBatch = 120, maxRecords = 240)

@@ -27,21 +27,24 @@ final case class AggMetrics(
   */
 object MetricsJob {
 
-  /** `approxPublishers = true` replaces the exact publisher cardinality
-    * with one-pass HyperLogLog (`approx_count_distinct`, 1% rsd) — the
-    * 100 TB path when the exact per-publisher breakdown is not needed
-    * (the breakdown stays exact here because /metrics exposes per-
-    * publisher gauges; at a scale where even #publishers explodes, serve
-    * the HLL total alone).
+  /** `approxPublishers = true` is the 100 TB path: ONE scan computing
+    * the two record totals plus HyperLogLog publisher cardinality
+    * (`approx_count_distinct`, 1% rsd), skipping the per-publisher
+    * breakdown entirely — at a scale where #publishers explodes, the
+    * per-publisher gauge series is the thing that must go (and an HLL
+    * total shown next to an exact breakdown would contradict it).
+    * Default (exact) keeps the reference's full per-publisher gauges.
     */
   def run(studies: DataFrame, approxPublishers: Boolean = false): AggMetrics = {
-    val approxTotal =
-      if (approxPublishers)
-        Some(studies
-          .filter(col("_direct_base_url").isNotNull)
-          .agg(approx_count_distinct(col("_direct_base_url"), 0.01))
-          .collect().head.getLong(0))
-      else None
+    if (approxPublishers) {
+      val r = studies.agg(
+        count(lit(1)).as("total"),
+        count(when(col("_metadata.status") =!= RecordStatus.Deleted, 1))
+          .as("live"),
+        approx_count_distinct(col("_direct_base_url"), 0.01).as("pubs"))
+        .collect().head
+      return AggMetrics(r.getLong(0), r.getLong(1), r.getLong(2), Nil)
+    }
     val perPublisher = studies
       .groupBy(col("_direct_base_url"))
       .agg(
@@ -58,8 +61,7 @@ object MetricsJob {
     val total = perPublisher.map(_.records).sum
     val totalLive = perPublisher.map(_.recordsWithoutDeleted).sum
     val named = perPublisher.filter(p => p.baseUrl != null && p.records > 0)
-    AggMetrics(total, totalLive,
-      approxTotal.getOrElse(named.size.toLong),
+    AggMetrics(total, totalLive, named.size.toLong,
       named.sortBy(_.baseUrl))
   }
 

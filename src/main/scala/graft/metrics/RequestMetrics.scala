@@ -70,6 +70,14 @@ final class RequestMetrics {
     b.result()
   }
 
+  /** Prometheus label-value escaping (exposition format §label values:
+    * backslash, double-quote and newline must be escaped). Label values
+    * here include the raw client User-Agent — one unescaped quote from
+    * one client would otherwise invalidate the whole scrape.
+    */
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
   /** Prometheus exposition (counter + summary syntax). */
   def prometheus: String = {
     val sb = new StringBuilder
@@ -79,7 +87,7 @@ final class RequestMetrics {
     sb ++= "# HELP requests_per_user_agent Number of external catalogue requests received per user-agent\n"
     sb ++= "# TYPE requests_per_user_agent counter\n"
     requestsPerUserAgent.toSeq.sortBy(_._1).foreach { case (ua, n) =>
-      sb ++= s"""requests_per_user_agent{harvester="$ua"} $n\n"""
+      sb ++= s"""requests_per_user_agent{harvester="${esc(ua)}"} $n\n"""
     }
     sb ++= "# HELP requests_succeeded Number of successful catalogue requests\n"
     sb ++= "# TYPE requests_succeeded counter\n"
@@ -90,7 +98,7 @@ final class RequestMetrics {
     sb ++= "# HELP requests_duration Response time in milliseconds\n"
     sb ++= "# TYPE requests_duration summary\n"
     durations.toSeq.sortBy(_._1).foreach { case ((verb, prefix), (n, sum)) =>
-      val l = s"""{verb="$verb",metadataPrefix="$prefix"}"""
+      val l = s"""{verb="${esc(verb)}",metadataPrefix="${esc(prefix)}"}"""
       sb ++= s"requests_duration_count$l $n\n"
       sb ++= s"requests_duration_sum$l $sum\n"
     }

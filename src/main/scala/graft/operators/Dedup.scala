@@ -165,16 +165,20 @@ object Dedup {
     * The only shuffles are the band groupBy and the final distinct —
     * no all-pairs join ever happens.
     *
-    * `saltFactor` > 1 spreads a hot band bucket over that many reducers
-    * LOSSLESSLY (skew guard for boilerplate-heavy corpora at 100×): the
-    * left side gets a deterministic salt from its id, the right side is
-    * replicated to every salt, and the join key becomes
-    * (band, bucket, salt) — every qualifying pair still meets exactly
-    * once, but no single shuffle partition receives a whole hot bucket.
+    * `saltFactor` > 1 spreads HOT band buckets over that many reducers
+    * LOSSLESSLY (skew guard for boilerplate-heavy corpora at 100×):
+    * buckets with ≥ `hotBucketThreshold` members (found by a cheap
+    * pre-aggregation, broadcast back) get two-sided salting — the left
+    * side a deterministic salt from its id, the right side replicated
+    * to every salt — so every qualifying pair still meets exactly once
+    * while no single shuffle partition receives a whole hot bucket.
+    * Cold buckets (the long tail) are NOT replicated: total shuffle
+    * inflation is saltFactor × (hot rows only), not × the corpus.
     */
   def minhashCandidates(
       signatures: DataFrame, idCol: String,
-      bands: Int, rows: Int, saltFactor: Int = 1): DataFrame = {
+      bands: Int, rows: Int, saltFactor: Int = 1,
+      hotBucketThreshold: Int = 100000): DataFrame = {
     val banded = signatures.select(
       col(idCol),
       explode(array((0 until bands).map(b =>
@@ -184,12 +188,24 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     val (a, b, saltCond) =
       if (saltFactor <= 1) (banded.as("a"), banded.as("b"), lit(true))
-      else (
-        banded.withColumn("salt",
-          pmod(xxhash64(col(idCol)), lit(saltFactor))).as("a"),
-        banded.withColumn("salt",
-          explode(array((0 until saltFactor).map(s => lit(s.toLong)): _*))).as("b"),
-        col("a.salt") === col("b.salt"))
+      else {
+        val hot = broadcast(
+          banded.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("c"))
+            .filter(col("c") >= hotBucketThreshold)
+            .select(col("band"), col("bucket"), lit(true).as("_hot")))
+        val marked = banded.join(hot, Seq("band", "bucket"), "left")
+          .withColumn("_hot", coalesce(col("_hot"), lit(false)))
+        (
+          marked.withColumn("salt",
+            when(col("_hot"), pmod(xxhash64(col(idCol)), lit(saltFactor)))
+              .otherwise(0L)).as("a"),
+          marked.withColumn("salt",
+            explode(when(col("_hot"),
+                sequence(lit(0L), lit(saltFactor - 1L)))
+              .otherwise(array(lit(0L))))).as("b"),
+          col("a.salt") === col("b.salt"))
+      }
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") && saltCond &&
@@ -266,9 +282,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      saltFactor: Int = 1): DataFrame = {
+      saltFactor: Int = 1, hotBucketThreshold: Int = 100000): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-    val cands = minhashCandidates(sigs, idCol, bands, numHashes / bands, saltFactor)
+    val cands = minhashCandidates(
+      sigs, idCol, bands, numHashes / bands, saltFactor, hotBucketThreshold)
     verifyJaccardHashed(cands, df, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
   }

@@ -96,12 +96,16 @@ object Similarity {
           if (qid != id) {
             var d = 0.0; var j = 0
             while (j < v.length) { d += v(j) * qv(j); j += 1 }
-            val sim = BigDecimal(d / (vn * qn(qi)))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val denom = vn * qn(qi)
+            // zero-norm vectors have no defined cosine: skip, matching
+            // the expression/oracle behaviour (NaN fails every filter)
+            val sim = if (denom == 0.0) Double.NaN
+              else BigDecimal(d / denom)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             val h = heaps(qi)
             // keep if better than the current k-th (sim desc, id asc)
-            if (h.size < k || sim > h.last._1 ||
-                (sim == h.last._1 && id < h.last._2)) {
+            if (!sim.isNaN && (h.size < k || sim > h.last._1 ||
+                (sim == h.last._1 && id < h.last._2))) {
               val at = h.indexWhere { case (hs, hid) =>
                 sim > hs || (sim == hs && id < hid) }
               if (at < 0) h.append((sim, id)) else h.insert(at, (sim, id))
@@ -175,9 +179,12 @@ object Similarity {
           if (oid > id) {
             var d = 0.0; var k = 0
             while (k < v.length) { d += v(k) * ov(k); k += 1 }
-            val sim = BigDecimal(d / (vn * ns(j)))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (sim >= threshold) out += ((id, oid, sim))
+            val denom = vn * ns(j)
+            if (denom > 0.0) { // zero-norm pair: no defined cosine
+              val sim = BigDecimal(d / denom)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (sim >= threshold) out += ((id, oid, sim))
+            }
           }
           j += 1
         }
@@ -240,9 +247,12 @@ object Similarity {
             if (ci == cj || blkA != blkB) {
               var d = 0.0; var k = 0
               while (k < va.length) { d += va(k) * vb(k); k += 1 }
-              val sim = BigDecimal(d / (norms(i) * norms(j)))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (sim >= threshold) out += ((idA, idB, sim))
+              val denom = norms(i) * norms(j)
+              if (denom > 0.0) { // zero-norm pair: no defined cosine
+                val sim = BigDecimal(d / denom)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (sim >= threshold) out += ((idA, idB, sim))
+              }
             }
             j += 1
           }
@@ -328,10 +338,23 @@ object Similarity {
     * An IVF quantizer is trained ONCE per corpus and reused across every
     * probe — refitting k-means inside each query would dominate the probe
     * cost at any scale.
+    *
+    * Caveats, by design: the key is the logical PLAN, not the data — a
+    * corpus rewritten in place (streaming upsert + compaction) keeps
+    * serving the old centroids until [[invalidateQuantizers]] is called
+    * after compaction (ANN cell routing degrades gracefully with corpus
+    * drift; it never affects exactness of the verify scores). The cache
+    * is size-capped so a long-lived server can't pin unbounded models.
     */
+  private val QuantizerCacheMax = 32
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[
       (Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** Drop every cached quantizer — call after rewriting a corpus whose
+    * plan (path, schema) is unchanged.
+    */
+  def invalidateQuantizers(): Unit = quantizerCache.clear()
 
   /** Fit (or fetch) the coarse quantizer for `featured`. Trains on a
     * bounded SAMPLE (≤ maxTrainRows, fixed seed): centroid quality needs
@@ -343,6 +366,7 @@ object Similarity {
       featured: DataFrame, numCentroids: Int,
       maxTrainRows: Long = 100000L): org.apache.spark.ml.clustering.KMeansModel = {
     val key = (featured.queryExecution.analyzed.semanticHash(), numCentroids)
+    if (quantizerCache.size >= QuantizerCacheMax) quantizerCache.clear()
     quantizerCache.computeIfAbsent(key, _ => {
       val n = featured.count()
       val train =

@@ -68,17 +68,27 @@ final class OaiRepository(
       ctx: RequestContext = RequestContext()): String = {
     val t0 = nanoTime()
     var oaiError = false
-    val response =
-      try dispatch(params)
-      catch {
-        case OaiError(code, msg) =>
-          oaiError = true
-          respond(params.get("verb"), Map.empty, OaiXml.error(code, msg))
-      }
-    metrics.foreach(_.record(
-      params.get("verb"), params.get("metadataPrefix"), ctx.userAgent,
-      ctx.httpStatus, oaiError, (nanoTime() - t0) / 1e6))
-    response
+    // the reference's log_request runs for EVERY request — a crashed
+    // verb (engine failure → transport 500) must still count as failed
+    var status = ctx.httpStatus
+    try {
+      val response =
+        try dispatch(params)
+        catch {
+          case OaiError(code, msg) =>
+            oaiError = true
+            respond(params.get("verb"), Map.empty, OaiXml.error(code, msg))
+        }
+      response
+    } catch {
+      case e: Throwable =>
+        status = 500
+        throw e
+    } finally {
+      metrics.foreach(_.record(
+        params.get("verb"), params.get("metadataPrefix"), ctx.userAgent,
+        status, oaiError, (nanoTime() - t0) / 1e6))
+    }
   }
 
   private def dispatch(params: Map[String, String]): String = {

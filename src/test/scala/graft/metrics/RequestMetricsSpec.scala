@@ -92,7 +92,7 @@ class RequestMetricsSpec extends SparkSpec {
     assert(page.contains("requests_total 2"))
   }
 
-  test("approx publisher cardinality flag matches exact on the fixture corpus") {
+  test("approx publisher path: one-pass totals, no per-publisher series") {
     val s = spark
     import s.implicits._
     val studies = s.createDataset(Fixtures.all).toDF()
@@ -101,6 +101,36 @@ class RequestMetricsSpec extends SparkSpec {
     // 2 publishers; HLL at 1% rsd is exact at this cardinality
     assert(exact.publishersTotal == 2)
     assert(approx.publishersTotal == exact.publishersTotal)
-    assert(approx.perPublisher == exact.perPublisher)
+    assert(approx.recordsTotal == exact.recordsTotal)
+    assert(approx.recordsTotalWithoutDeleted == exact.recordsTotalWithoutDeleted)
+    // the 100 TB path deliberately drops the per-publisher breakdown:
+    // an approximate total next to an exact series would contradict it
+    assert(approx.perPublisher.isEmpty)
+  }
+
+  test("prometheus label values are escaped") {
+    val m = new RequestMetrics
+    m.record(Some("Identify"), None, Some("bad\"agent\nwith\\stuff"),
+      200, oaiError = false, durationMillis = 1.0)
+    val text = m.prometheus
+    assert(text.contains("""harvester="bad\"agent\nwith\\stuff""""))
+    assert(!text.contains("bad\"agent\nwith"))
+  }
+
+  test("a crashed verb still counts as a failed request") {
+    val m = new RequestMetrics
+    val s = spark
+    import s.implicits._
+    // store over a dataframe missing every expected column → dispatch
+    // throws an AnalysisException, not an OaiError
+    val broken = new OaiRepository(
+      new StudyStore(Seq((1, "x")).toDF("a", "b")),
+      Nil, OaiConfig(), metrics = Some(m))
+    intercept[Throwable] {
+      broken.handle(Map("verb" -> "ListMetadataFormats", "identifier" -> "someid"))
+    }
+    assert(m.requestsTotal == 1)
+    assert(m.requestsFailed == 1)
+    assert(m.durations.isEmpty)
   }
 }

@@ -129,10 +129,15 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val plain = norm(Dedup.minhashNearDups(d, "text", "doc_id",
       threshold = 0.5, numHashes = 64, bands = 32))
-    val salted = norm(Dedup.minhashNearDups(d, "text", "doc_id",
-      threshold = 0.5, numHashes = 64, bands = 32, saltFactor = 4))
+    // threshold 2 makes every candidate-producing bucket "hot", so the
+    // salted join path is fully exercised; threshold high = cold-only
+    for (hotThreshold <- Seq(2, 1000000)) {
+      val salted = norm(Dedup.minhashNearDups(d, "text", "doc_id",
+        threshold = 0.5, numHashes = 64, bands = 32,
+        saltFactor = 4, hotBucketThreshold = hotThreshold))
+      assert(salted == plain, s"hotBucketThreshold=$hotThreshold")
+    }
     assert(plain.nonEmpty)
-    assert(salted == plain)
   }
 
   test("blocked simhash pairing matches the banding variant on real data") {

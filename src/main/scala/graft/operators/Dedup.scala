@@ -319,7 +319,17 @@ object Dedup {
     // (same arrays as [[jaccardPairsBlocked]], so both variants agree)
     val hashed = sets.select(col("id"),
       array_sort(transform(col("ws"), w => xxhash64(w))).as("hs"))
-    val tok = sets.select(col("id"), size(col("ws")).as("n"),
+    // CLUSTER identical token sets first: on templated / duplicated
+    // corpora, distinct sets grow far slower than docs (sf0.1: 3935 of
+    // 5000; a 10×-duplicated corpus: unchanged), so the quadratic-ish
+    // candidate work runs once per distinct set and within-cluster pairs
+    // (J = 1 exactly) and cross-cluster member products are cheap,
+    // output-bounded joins
+    val clusters = hashed.groupBy(col("hs"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
+    val repSets = sets.join(
+      clusters.select(col("rep").as("id")), "id") // one doc per distinct set
+    val tok = repSets.select(col("id"), size(col("ws")).as("n"),
       explode(col("ws")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
     // prefix rows carry their doc's full hash set, so candidates pipeline
@@ -341,7 +351,7 @@ object Dedup {
       .select(col("a.id").as("ida"), col("a.hs").as("ha"),
         col("b.id").as("idb"), col("b.hs").as("hb"))
       .as[(Long, Array[Long], Long, Array[Long])]
-    cands.mapPartitions { it =>
+    val repPairs = cands.mapPartitions { it =>
       it.flatMap { case (ida, ha, idb, hb) =>
         var a = 0; var b = 0; var c = 0
         while (a < ha.length && b < hb.length) {
@@ -352,7 +362,22 @@ object Dedup {
         val j = c.toDouble / (ha.length + hb.length - c)
         if (j >= threshold) Some((ida, idb, j)) else None
       }
-    }.toDF("id_a", "id_b", "jaccard").distinct()
+    }.toDF("rep_a", "rep_b", "jaccard").distinct()
+    // expand: all member pairs of every qualifying cluster pair ...
+    val cross = repPairs
+      .join(clusters.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
+      .join(clusters.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
+      .select(col("jaccard"), explode(col("ids_a")).as("ma"), col("ids_b"))
+      .select(col("jaccard"), col("ma"), explode(col("ids_b")).as("mb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // ... plus every within-cluster pair (identical sets: J = 1 exactly)
+    val within = clusters.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Block-broadcast exact Jaccard pairs: word sets become broadcast

@@ -517,6 +517,13 @@ object Dedup {
 
   /** SimHash near-dup pairs via chunk banding + hamming verify — the
     * shuffle-based path for corpora too large to broadcast signatures.
+    *
+    * Identical SIGNATURES are clustered first (same rationale as
+    * [[ngramJaccardPairs]]'s set clustering): the banding self-join runs
+    * once per distinct signature, within-cluster pairs expand as
+    * hamming = 0 products, cross-cluster pairs inherit their
+    * representatives' distance — on duplicated corpora the join cost
+    * stays at distinct-signature scale while the output stays exact.
     */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
@@ -525,18 +532,34 @@ object Dedup {
     val bits = 64 / chunks
     val sigs = simhashSignatures(df, textCol, idCol)
       .select(col(idCol).as("id"), col("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val clusters = sigs.groupBy(col("sig"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
+    val repSigs = clusters.select(col("rep").as("id"), col("sig"))
+    val banded = repSigs.select(col("id"), col("sig"),
       explode(array((0 until chunks).map(cI =>
         struct(lit(cI).as("chunk"),
           shiftright(col("sig"), cI * bits)
             .bitwiseAND((1L << bits) - 1).as("key"))): _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
-    banded.as("a").join(banded.as("b"),
+    val repPairs = banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("rep_a"), col("b.id").as("rep_b"),
         hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHammingDistance)
+    val cross = repPairs
+      .join(clusters.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
+      .join(clusters.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
+      .select(col("hamming"), explode(col("ids_a")).as("ma"), col("ids_b"))
+      .select(col("hamming"), col("ma"), explode(col("ids_b")).as("mb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    val within = clusters.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 }

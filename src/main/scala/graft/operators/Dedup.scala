@@ -307,6 +307,44 @@ object Dedup {
     * verify join — all key-partitioned, nothing driver-side, nothing
     * O(n²).
     */
+  /** Shared cluster-expansion machinery for the identical-key dedup
+    * optimizations ([[ngramJaccardPairs]], [[simhashNearDups]]).
+    *
+    * `clusters` = (ckey, ids) where ckey deterministically identifies one
+    * group of identical-content docs; `repPairs` = (ckey_a, ckey_b,
+    * score) with ckey_a < ckey_b, scored once per cluster pair;
+    * `withinScore` = the exact score of an identical pair. Emits every
+    * member pair exactly once: cross-cluster products inherit the
+    * representative score, within-cluster pairs get `withinScore`, and
+    * same-id pairs (possible only when one id appears with different
+    * content) are dropped — mirroring the direct joins' `a.id < b.id`.
+    *
+    * Scale bound: a cluster of K duplicates has K²/2 output pairs, which
+    * stream through the single task holding that cluster row (explode
+    * pipelines; nothing materializes K² in memory, but emission is
+    * serialized). Dedup EXACT duplicates first ([[exact]]/[[remapByKey]])
+    * when mega-clusters are plausible — after which clusters are small
+    * by construction.
+    */
+  private def expandClusterPairs(
+      clusters: DataFrame, repPairs: DataFrame,
+      scoreCol: String, withinScore: Column): DataFrame = {
+    val cross = repPairs
+      .join(clusters.select(col("ckey").as("ckey_a"), col("ids").as("ids_a")), "ckey_a")
+      .join(clusters.select(col("ckey").as("ckey_b"), col("ids").as("ids_b")), "ckey_b")
+      .select(col(scoreCol), explode(col("ids_a")).as("ma"), col("ids_b"))
+      .select(col(scoreCol), col("ma"), explode(col("ids_b")).as("mb"))
+      .filter(col("ma") =!= col("mb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col(scoreCol))
+    val within = clusters.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), withinScore.as(scoreCol))
+    cross.unionByName(within)
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
@@ -317,42 +355,47 @@ object Dedup {
       array_distinct(words(textCol)).as("ws"))
     // sorted 64-bit token hashes: the verify kernel merge-intersects these
     // (same arrays as [[jaccardPairsBlocked]], so both variants agree)
-    val hashed = sets.select(col("id"),
-      array_sort(transform(col("ws"), w => xxhash64(w))).as("hs"))
+    val keyed = sets
+      .withColumn("hs", array_sort(transform(col("ws"), w => xxhash64(w))))
+      // deterministic cluster identity from the content itself — NOT a
+      // member id, which is ambiguous when one id appears with two texts
+      .withColumn("ckey", xxhash64(
+        concat_ws(",", transform(col("hs"), h => h.cast("string")))))
     // CLUSTER identical token sets first: on templated / duplicated
     // corpora, distinct sets grow far slower than docs (sf0.1: 3935 of
     // 5000; a 10×-duplicated corpus: unchanged), so the quadratic-ish
     // candidate work runs once per distinct set and within-cluster pairs
     // (J = 1 exactly) and cross-cluster member products are cheap,
-    // output-bounded joins
-    val clusters = hashed.groupBy(col("hs"))
-      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
-    val repSets = sets.join(
-      clusters.select(col("rep").as("id")), "id") // one doc per distinct set
-    val tok = repSets.select(col("id"), size(col("ws")).as("n"),
-      explode(col("ws")).as("w"))
+    // output-bounded joins. `first(ws)` is an arbitrary member, but all
+    // downstream quantities depend only on the token SET, which every
+    // member shares — so the plan stays deterministic.
+    val clusters = keyed.groupBy(col("ckey")).agg(
+      first(col("ws")).as("ws"), first(col("hs")).as("hs"),
+      collect_list(col("id")).as("ids"))
+    val tok = clusters.select(col("ckey"),
+      size(col("ws")).as("n"), explode(col("ws")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-    // prefix rows carry their doc's full hash set, so candidates pipeline
-    // from the join straight into the verify kernel with NO join-back —
-    // the candidate stream (orders of magnitude larger than the prefix
-    // table on templated corpora) never hits a shuffle
+    // prefix rows carry their cluster's full hash set, so candidates
+    // pipeline from the join straight into the verify kernel with NO
+    // join-back — the candidate stream (orders of magnitude larger than
+    // the prefix table on templated corpora) never hits a shuffle
     val prefix = tok.join(dfreq, "w")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("w"))))
+        Window.partitionBy(col("ckey")).orderBy(col("df"), col("w"))))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("n"), col("w"))
-      .join(hashed, "id")
+      .select(col("ckey"), col("n"), col("w"))
+      .join(clusters.select(col("ckey"), col("hs")), "ckey")
     // size-compatibility prune inside the candidate join:
-    // J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+    // J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t; pair identity = cluster keys
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+        col("a.w") === col("b.w") && col("a.ckey") < col("b.ckey") &&
           col("a.n") * threshold <= col("b.n") &&
           col("b.n") * threshold <= col("a.n"))
-      .select(col("a.id").as("ida"), col("a.hs").as("ha"),
-        col("b.id").as("idb"), col("b.hs").as("hb"))
+      .select(col("a.ckey").as("ka"), col("a.hs").as("ha"),
+        col("b.ckey").as("kb"), col("b.hs").as("hb"))
       .as[(Long, Array[Long], Long, Array[Long])]
     val repPairs = cands.mapPartitions { it =>
-      it.flatMap { case (ida, ha, idb, hb) =>
+      it.flatMap { case (ka, ha, kb, hb) =>
         var a = 0; var b = 0; var c = 0
         while (a < ha.length && b < hb.length) {
           if (ha(a) == hb(b)) { c += 1; a += 1; b += 1 }
@@ -360,24 +403,11 @@ object Dedup {
           else b += 1
         }
         val j = c.toDouble / (ha.length + hb.length - c)
-        if (j >= threshold) Some((ida, idb, j)) else None
+        if (j >= threshold) Some((ka, kb, j)) else None
       }
-    }.toDF("rep_a", "rep_b", "jaccard").distinct()
-    // expand: all member pairs of every qualifying cluster pair ...
-    val cross = repPairs
-      .join(clusters.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
-      .join(clusters.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
-      .select(col("jaccard"), explode(col("ids_a")).as("ma"), col("ids_b"))
-      .select(col("jaccard"), col("ma"), explode(col("ids_b")).as("mb"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    // ... plus every within-cluster pair (identical sets: J = 1 exactly)
-    val within = clusters.filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    }.toDF("ckey_a", "ckey_b", "jaccard").distinct()
+    expandClusterPairs(clusters.select(col("ckey"), col("ids")),
+      repPairs, "jaccard", lit(1.0))
   }
 
   /** Block-broadcast exact Jaccard pairs: word sets become broadcast
@@ -532,34 +562,23 @@ object Dedup {
     val bits = 64 / chunks
     val sigs = simhashSignatures(df, textCol, idCol)
       .select(col(idCol).as("id"), col("sig"))
-    val clusters = sigs.groupBy(col("sig"))
-      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("ids"))
-    val repSigs = clusters.select(col("rep").as("id"), col("sig"))
-    val banded = repSigs.select(col("id"), col("sig"),
+    // the signature itself is the cluster key — deterministic and unique
+    // per cluster even when one id appears with different texts
+    val clusters = sigs.groupBy(col("sig").as("ckey"))
+      .agg(collect_list(col("id")).as("ids"))
+    val banded = clusters.select(col("ckey"),
       explode(array((0 until chunks).map(cI =>
         struct(lit(cI).as("chunk"),
-          shiftright(col("sig"), cI * bits)
+          shiftright(col("ckey"), cI * bits)
             .bitwiseAND((1L << bits) - 1).as("key"))): _*)).as("ck"))
-      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+      .select(col("ckey"), col("ck.chunk"), col("ck.key"))
     val repPairs = banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("rep_a"), col("b.id").as("rep_b"),
-        hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
+          col("a.ckey") < col("b.ckey"))
+      .select(col("a.ckey").as("ckey_a"), col("b.ckey").as("ckey_b"),
+        hammingDistance(col("a.ckey"), col("b.ckey")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHammingDistance)
-    val cross = repPairs
-      .join(clusters.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
-      .join(clusters.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
-      .select(col("hamming"), explode(col("ids_a")).as("ma"), col("ids_b"))
-      .select(col("hamming"), col("ma"), explode(col("ids_b")).as("mb"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
-    val within = clusters.filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
-    cross.unionByName(within)
+    expandClusterPairs(clusters, repPairs, "hamming", lit(0))
   }
 }

@@ -109,6 +109,27 @@ class DedupSpec extends SparkSpec {
     assert(found == within) // pigeonhole banding is exact for ≤ maxDist
   }
 
+  test("cluster expansion survives one id appearing with different texts") {
+    // id 7 occurs with two different texts: both its clusters pair with
+    // neighbours, no self-pair (7,7) is emitted, and cross pairs between
+    // 7's two clusters' partners survive (a min-id representative would
+    // collide here and silently drop them)
+    val df = docs(
+      (7L, "alpha beta gamma delta"),
+      (8L, "alpha beta gamma delta epsilon"),
+      (7L, "one two three four"),
+      (12L, "one two three four five"))
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 8L), (7L, 12L)))
+    val sims = Dedup.simhashNearDups(df, "text", "doc_id", 32)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sims.contains((7L, 7L)))
+    assert(sims.contains((7L, 8L)) && sims.contains((7L, 12L)))
+  }
+
   test("prefix filtering is exact at a low threshold (long prefixes)") {
     // t = 0.5 makes prefixes > half of each token set — exercises the
     // prefix bound far from the high-threshold regime the gate uses

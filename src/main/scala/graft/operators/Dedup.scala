@@ -283,11 +283,77 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       saltFactor: Int = 1, hotBucketThreshold: Int = 100000): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fam = hashFamily(numHashes).toArray
+    val p = MinhashPrime
+    // phase 1 — cheap per-doc kernel: sorted shingle-hash set (the
+    // verify input) + content cluster key (identical-set clustering,
+    // same rationale as [[ngramJaccardPairs]])
+    val pre = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val hs = shingleStrings(text, shingleSize)
+            .map(s => java.lang.Math.floorMod(hash64(s), p))
+          java.util.Arrays.sort(hs)
+          var ck = 1125899906842597L // deterministic fold over the set
+          var i = 0
+          while (i < hs.length) { ck = ck * 31 + hs(i); i += 1 }
+          (id, ck, hs)
+        }
+      }
+      .toDF("id", "ckey", "hs")
+    // phase 2 — the k-permutation signature kernel runs ONCE PER
+    // DISTINCT SET, not per doc: on duplicated corpora this is where
+    // the clustering pays (the perm loop dominates the per-doc cost)
+    val clusters = pre.groupBy(col("ckey")).agg(
+        first(col("hs")).as("hs"), collect_list(col("id")).as("ids"))
+      .as[(Long, Array[Long], Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (ck, hs, ids) =>
+          val sig = new Array[Long](fam.length)
+          var f = 0
+          while (f < fam.length) {
+            val (a, b) = fam(f)
+            var best = Long.MaxValue
+            var j = 0
+            while (j < hs.length) {
+              val v = (hs(j) * a + b) % p
+              if (v < best) best = v
+              j += 1
+            }
+            sig(f) = best
+            f += 1
+          }
+          (ck, hs, ids, sig)
+        }
+      }
+      .toDF("ckey", "hs", "ids", "signature")
+    // banding + salting run at distinct-set scale, keyed by ckey
     val cands = minhashCandidates(
-      sigs, idCol, bands, numHashes / bands, saltFactor, hotBucketThreshold)
-    verifyJaccardHashed(cands, df, textCol, idCol, shingleSize)
+      clusters.select(col("ckey"), col("signature")), "ckey",
+      bands, numHashes / bands, saltFactor, hotBucketThreshold)
+    val repPairs = cands
+      .join(clusters.select(col("ckey").as("id_a"), col("hs").as("ha")), "id_a")
+      .join(clusters.select(col("ckey").as("id_b"), col("hs").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (ka, kb, ha, hb) =>
+          var a = 0; var b = 0; var c = 0
+          while (a < ha.length && b < hb.length) {
+            if (ha(a) == hb(b)) { c += 1; a += 1; b += 1 }
+            else if (ha(a) < hb(b)) a += 1
+            else b += 1
+          }
+          (ka, kb, c.toDouble / (ha.length + hb.length - c))
+        }
+      }
+      .toDF("ckey_a", "ckey_b", "jaccard")
       .filter(col("jaccard") >= threshold)
+    expandClusterPairs(clusters.select(col("ckey"), col("ids")),
+      repPairs, "jaccard", lit(1.0))
   }
 
   /** Exact word-set Jaccard pairs via PREFIX FILTERING (the AllPairs /

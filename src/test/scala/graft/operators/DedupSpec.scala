@@ -128,6 +128,12 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!sims.contains((7L, 7L)))
     assert(sims.contains((7L, 8L)) && sims.contains((7L, 12L)))
+    val mh = Dedup.minhashNearDups(df, "text", "doc_id",
+        threshold = 0.3, numHashes = 64, bands = 32, shingleSize = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mh.contains((7L, 7L)))
+    assert(mh.contains((7L, 8L)) && mh.contains((7L, 12L)))
   }
 
   test("prefix filtering is exact at a low threshold (long prefixes)") {

@@ -231,49 +231,6 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs via the JVM kernels:
-    * docs → sorted 64-bit shingle-hash arrays (same `shingleStrings` +
-    * `hash64` the signature kernel uses), candidates join their two
-    * arrays, a merge-intersect loop scores each pair. Same results as
-    * [[verifyJaccard]] over string shingle arrays (modulo 64-bit hash
-    * collisions, ~2⁻⁶⁴ per shingle pair) but none of the interpreted
-    * HOF shingle expressions or per-pair string-set intersections —
-    * measured 2.6 s → 0.4 s at sf0.1.
-    */
-  def verifyJaccardHashed(
-      candidates: DataFrame, docs: DataFrame,
-      textCol: String, idCol: String, shingleSize: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sets = docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val hs = shingleStrings(text, shingleSize).map(hash64)
-          java.util.Arrays.sort(hs)
-          (id, hs)
-        }
-      }
-      .toDF("vid", "hs")
-    candidates
-      .join(sets.select(col("vid").as("id_a"), col("hs").as("ha")), "id_a")
-      .join(sets.select(col("vid").as("id_b"), col("hs").as("hb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .mapPartitions { it =>
-        it.map { case (ida, idb, ha, hb) =>
-          var a = 0; var b = 0; var c = 0
-          while (a < ha.length && b < hb.length) {
-            if (ha(a) == hb(b)) { c += 1; a += 1; b += 1 }
-            else if (ha(a) < hb(b)) a += 1
-            else b += 1
-          }
-          (ida, idb, c.toDouble / (ha.length + hb.length - c))
-        }
-      }
-      .toDF("id_a", "id_b", "jaccard")
-  }
-
   /** MinHash+LSH near-dup end to end: candidates → exact-verify → filter.
     * False negatives bounded by the (bands, rows) S-curve; defaults catch
     * >99% of pairs at jaccard ≥ 0.8.

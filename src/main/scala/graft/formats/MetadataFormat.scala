@@ -114,7 +114,7 @@ object FormatColumns {
     */
   def funderReferences: Column =
     filter(col("grant_numbers"),
-      g => g.getField("value").startsWith(Study.FundderRefPrefix))
+      g => g.getField("value").startsWith(Study.FunderRefPrefix))
 
   /** T13 header datestamp: deleted records use deletion time
     * (templates/agg_get_record.xml:13-18).

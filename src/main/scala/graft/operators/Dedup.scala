@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The pair-oriented kernels key docs by `idCol` cast to long (pairs
+    * shuffle as primitive longs, not strings). A non-integral id column
+    * would cast to null and silently drop rows, so fail fast instead —
+    * callers with string ids should join a dense surrogate id first.
+    */
+  private[operators] def requireLongCastableId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"idCol '$idCol' must be an integral type (pairs are keyed by long); " +
+          s"got $other — map string ids to a surrogate long id first")
+    }
+  }
+
   /** Exact dedup: one survivor (min id) per identical content.
     * Hash-groupBy (SURVEY.md extension surface): sha2-256 collisions are
     * ~2^-128 — acceptable; at 100 TB this is the difference between
@@ -130,6 +145,7 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    requireLongCastableId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val fam = hashFamily(numHashes).toArray
@@ -240,19 +256,20 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       saltFactor: Int = 1, hotBucketThreshold: Int = 100000): DataFrame = {
+    requireLongCastableId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val fam = hashFamily(numHashes).toArray
     val p = MinhashPrime
-    // phase 1 — cheap per-doc kernel: sorted shingle-hash set (the
-    // verify input) + content cluster key (identical-set clustering,
-    // same rationale as [[ngramJaccardPairs]])
+    // phase 1 — cheap per-doc kernel: sorted FULL-WIDTH shingle-hash set
+    // (the verify input; 64-bit so the exact-verify jaccard never shifts
+    // from mod-p collisions) + content cluster key (identical-set
+    // clustering, same rationale as [[ngramJaccardPairs]])
     val pre = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val hs = shingleStrings(text, shingleSize)
-            .map(s => java.lang.Math.floorMod(hash64(s), p))
+          val hs = shingleStrings(text, shingleSize).map(hash64)
           java.util.Arrays.sort(hs)
           var ck = 1125899906842597L // deterministic fold over the set
           var i = 0
@@ -263,20 +280,26 @@ object Dedup {
       .toDF("id", "ckey", "hs")
     // phase 2 — the k-permutation signature kernel runs ONCE PER
     // DISTINCT SET, not per doc: on duplicated corpora this is where
-    // the clustering pays (the perm loop dominates the per-doc cost)
+    // the clustering pays (the perm loop dominates the per-doc cost).
+    // Only HERE do hashes reduce mod p (keeps a·h+b below 2^62).
     val clusters = pre.groupBy(col("ckey")).agg(
         first(col("hs")).as("hs"), collect_list(col("id")).as("ids"))
       .as[(Long, Array[Long], Seq[Long])]
       .mapPartitions { it =>
         it.map { case (ck, hs, ids) =>
+          val hm = new Array[Long](hs.length)
+          var i = 0
+          while (i < hs.length) {
+            hm(i) = java.lang.Math.floorMod(hs(i), p); i += 1
+          }
           val sig = new Array[Long](fam.length)
           var f = 0
           while (f < fam.length) {
             val (a, b) = fam(f)
             var best = Long.MaxValue
             var j = 0
-            while (j < hs.length) {
-              val v = (hs(j) * a + b) % p
+            while (j < hm.length) {
+              val v = (hm(j) * a + b) % p
               if (v < best) best = v
               j += 1
             }
@@ -372,6 +395,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireLongCastableId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val sets = df.select(col(idCol).cast("long").as("id"),
@@ -443,6 +467,7 @@ object Dedup {
   def jaccardPairsBlocked(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    requireLongCastableId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val sets = df.select(col(idCol).cast("long").as("id"),
@@ -508,6 +533,7 @@ object Dedup {
     */
   def simhashSignatures(
       df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    requireLongCastableId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))

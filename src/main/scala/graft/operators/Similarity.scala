@@ -69,6 +69,7 @@ object Similarity {
   def topKCosineBatch(
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val rows = embeddings
@@ -154,6 +155,7 @@ object Similarity {
   def cosinePairsBlocked(
       embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val rows = embeddings
@@ -207,6 +209,7 @@ object Similarity {
   def cosinePairsBlockJoin(
       embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBlocks: Int = 8): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val rows = embeddings.select(
@@ -309,6 +312,7 @@ object Similarity {
   def lshBucketed(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, numPlanes: Int): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val signs = spark.sparkContext.broadcast(planeSigns(spark, dim, numPlanes))
@@ -319,14 +323,19 @@ object Similarity {
         val s = signs.value
         it.map { case (id, v) =>
           var bucket = 0L
-          var j = 0
-          while (j < s.length) {
-            val row = s(j)
-            var proj = 0.0
-            var d = 0
-            while (d < row.length) { proj += v(d) * row(d); d += 1 }
-            if (proj > 0) bucket |= (1L << j)
-            j += 1
+          // a vector shorter than dim null-propagates every plane's
+          // projection in the expression variant → all bits 0; mirror
+          // that here instead of indexing out of bounds
+          if (v.length >= dim) {
+            var j = 0
+            while (j < s.length) {
+              val row = s(j)
+              var proj = 0.0
+              var d = 0
+              while (d < row.length) { proj += v(d) * row(d); d += 1 }
+              if (proj > 0) bucket |= (1L << j)
+              j += 1
+            }
           }
           (id, v, bucket)
         }
@@ -346,10 +355,10 @@ object Similarity {
     * drift; it never affects exactness of the verify scores). The cache
     * is size-capped so a long-lived server can't pin unbounded models.
     */
-  private val QuantizerCacheMax = 32
-  private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
+  private[operators] val QuantizerCacheMax = 32
+  private[operators] val quantizerCache =
+    new LruCache[(Int, Int), org.apache.spark.ml.clustering.KMeansModel](
+      QuantizerCacheMax)
 
   /** Drop every cached quantizer — call after rewriting a corpus whose
     * plan (path, schema) is unchanged.
@@ -366,8 +375,7 @@ object Similarity {
       featured: DataFrame, numCentroids: Int,
       maxTrainRows: Long = 100000L): org.apache.spark.ml.clustering.KMeansModel = {
     val key = (featured.queryExecution.analyzed.semanticHash(), numCentroids)
-    if (quantizerCache.size >= QuantizerCacheMax) quantizerCache.clear()
-    quantizerCache.computeIfAbsent(key, _ => {
+    quantizerCache.getOrElseUpdate(key) {
       val n = featured.count()
       val train =
         if (n <= maxTrainRows) featured
@@ -378,7 +386,7 @@ object Similarity {
       new org.apache.spark.ml.clustering.KMeans()
         .setK(numCentroids).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").fit(train)
-    })
+    }
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the

@@ -136,10 +136,12 @@ final class OaiRepository(
     val formats = identifier match {
       case None => MetadataFormats.all
       case Some(id) =>
-        if (store.queryCount(FilterDsl.byIdentifier(id)) == 0)
-          throw OaiError("idDoesNotExist", id)
-        MetadataFormats.all.filter(f =>
-          store.queryCount(And(FilterDsl.byIdentifier(id), f.validFilter)) > 0)
+        // one single-row scan deriving every format's validity at once
+        val valid = store
+          .queryFlags(FilterDsl.byIdentifier(id),
+            MetadataFormats.all.map(f => f.prefix -> f.validFilter))
+          .getOrElse(throw OaiError("idDoesNotExist", id))
+        MetadataFormats.all.filter(f => valid.contains(f.prefix))
     }
     respond(Some("ListMetadataFormats"),
       identifier.map("identifier" -> _).toMap,

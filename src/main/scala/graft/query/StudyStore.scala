@@ -77,6 +77,25 @@ final class StudyStore(val studies: DataFrame) {
   def queryCount(filter: Filter): Long =
     studies.filter(filter.toColumn).count()
 
+  /** Evaluate several predicates over the rows matching `filter` in ONE
+    * scan: returns None when nothing matches, otherwise the names whose
+    * predicate holds on at least one matching row. Collapses
+    * ListMetadataFormats' 1 + #formats count queries into a single job
+    * (the reference's N+1 pattern, vs. one boolean aggregate here).
+    */
+  def queryFlags(filter: Filter, flags: Seq[(String, Filter)]): Option[Seq[String]] = {
+    val aggs = flags.map { case (name, f) =>
+      max(when(f.toColumn, lit(1)).otherwise(lit(0))).as(name)
+    }
+    val row = studies.filter(filter.toColumn)
+      .agg(count(lit(1)).as("_matched"), aggs: _*)
+      .collect().head
+    if (row.getLong(0) == 0L) None
+    else Some(flags.map(_._1).zipWithIndex.collect {
+      case (name, i) if row.getInt(i + 1) == 1 => name
+    })
+  }
+
   /** Q3: distinct values of a (possibly nested) scalar field. */
   def queryDistinct(field: String, filter: Filter = True): Seq[String] =
     studies.filter(filter.toColumn)

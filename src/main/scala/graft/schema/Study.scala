@@ -120,5 +120,5 @@ object Study {
   /** Grant-number values carrying an OpenAIRE funder reference
     * (tests/test_serve.py:995-1029).
     */
-  val FundderRefPrefix = "info:eu-repo/grantAgreement"
+  val FunderRefPrefix = "info:eu-repo/grantAgreement"
 }

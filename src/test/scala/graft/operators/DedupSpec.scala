@@ -175,4 +175,23 @@ class DedupSpec extends SparkSpec {
     val blocked = norm(Dedup.simhashNearDupsBlocked(d, "text", "doc_id", 3))
     assert(banded == blocked)
   }
+
+  test("non-integral id columns fail fast instead of silently dropping rows") {
+    val s2 = spark
+    import s2.implicits._
+    val strIds = Seq(("a", "aa bb cc"), ("b", "aa bb cc"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(strIds, "text", "doc_id", 0.5)
+    }
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(strIds, "text", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosinePairsBlockJoin(
+        Seq(("a", Array(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.5)
+    }
+  }
 }

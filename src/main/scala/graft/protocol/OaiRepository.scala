@@ -2,7 +2,7 @@ package graft.protocol
 
 import java.sql.Timestamp
 
-import graft.formats.{FormatColumns, MetadataFormat, MetadataFormats, OaiDcFormat}
+import graft.formats.{FormatColumns, MetadataFormat, MetadataFormats}
 import graft.query._
 import graft.render.OaiXml
 import graft.sets.SetFamily
@@ -199,23 +199,35 @@ final class OaiRepository(
     * with keyset resumption tokens.
     */
   def list(verb: String, params: Map[String, String]): String = {
-    val prefix = params.get("resumptionToken") match {
-      case Some(_) => params.getOrElse("metadataPrefix", OaiDcFormat.prefix)
-      case None => params.getOrElse("metadataPrefix",
-        throw OaiError("badArgument", "metadataPrefix required"))
+    val token = params.get("resumptionToken").map(ResumptionToken.decode)
+    // OAI-PMH §3.5: resumptionToken is an EXCLUSIVE argument — the token
+    // carries its originating request state, so a bare-token page-2
+    // request continues the same list. Explicit args that contradict the
+    // token are a badArgument; matching ones are tolerated.
+    val eff: Map[String, String] = token match {
+      case Some(t) =>
+        t.args.foreach { case (k, v) =>
+          params.get(k).filter(_ != v).foreach(pv =>
+            throw OaiError("badArgument",
+              s"$k='$pv' conflicts with the resumptionToken's '$v'"))
+        }
+        params ++ t.args
+      case None => params
     }
+    val prefix = eff.getOrElse("metadataPrefix",
+      throw OaiError("badArgument", "metadataPrefix required"))
     val fmt = format(prefix)
     // OAI-PMH 2.0 §3.3.1: from and until MUST share one granularity —
     // a date-only from with a full-datetime until is a badArgument
-    (params.get("from"), params.get("until")) match {
+    (eff.get("from"), eff.get("until")) match {
       case (Some(f), Some(u)) if (f.length == 10) != (u.length == 10) =>
         throw OaiError("badArgument",
           s"from/until granularity mismatch: '$f' vs '$u'")
       case _ => ()
     }
-    val from = params.get("from").map(parseDate)
-    val until = params.get("until").map(parseDate)
-    val setFilter: Filter = params.get("set") match {
+    val from = eff.get("from").map(parseDate)
+    val until = eff.get("until").map(parseUntil)
+    val setFilter: Filter = eff.get("set") match {
       case None => True
       case Some(spec) =>
         val (p, value) = spec.span(_ != ':')
@@ -228,15 +240,17 @@ final class OaiRepository(
       setFilter,
       fmt.validFilter)
     val fingerprint = ResumptionToken.fingerprint(
-      verb, prefix, params.getOrElse("set", ""),
-      params.getOrElse("from", ""), params.getOrElse("until", ""))
-    val token = params.get("resumptionToken").map(ResumptionToken.decode)
+      verb, prefix, eff.getOrElse("set", ""),
+      eff.getOrElse("from", ""), eff.getOrElse("until", ""))
     val fields =
       (fmt.recordFields ++ FormatColumns.headerFields ++ sets.flatMap(_.fields)).distinct
 
+    val harvestArgs = Seq("metadataPrefix", "set", "from", "until")
+      .flatMap(k => eff.get(k).map(k -> _)).toMap
     val page = store.queryPage(
       filter, fields, config.listSizeFor(prefix), token, fingerprint,
-      df => fmt.derive(FormatColumns.withHeader(df, sets)))
+      df => fmt.derive(FormatColumns.withHeader(df, sets)),
+      tokenArgs = harvestArgs)
     if (page.rows.isEmpty && token.isEmpty)
       throw OaiError("noRecordsMatch", "no records match the request")
 
@@ -252,7 +266,9 @@ final class OaiRepository(
         <resumptionToken completeListSize={page.completeListSize.toString}/>
       case None => NodeSeq.Empty
     }
-    val attrs = Seq("metadataPrefix", "set", "from", "until")
+    // echo what the CLIENT sent (a bare-token request echoes the token,
+    // not the reconstructed harvest args)
+    val attrs = Seq("metadataPrefix", "set", "from", "until", "resumptionToken")
       .flatMap(k => params.get(k).map(k -> _)).toMap
     val body: Elem =
       if (headersOnly) <ListIdentifiers>{items}{tokenElem}</ListIdentifiers>
@@ -290,4 +306,16 @@ final class OaiRepository(
     } catch {
       case _: Exception => throw OaiError("badArgument", s"bad date '$s'")
     }
+
+  /** A date-granularity `until` bounds the WHOLE day (OAI-PMH §3.3.1 —
+    * `until=2024-01-15` with the repository's second granularity means
+    * `<= 2024-01-15T23:59:59Z`, not midnight-exclusive).
+    */
+  private def parseUntil(s: String): Timestamp =
+    if (s.length == 10)
+      try Timestamp.valueOf(s + " 23:59:59")
+      catch {
+        case _: Exception => throw OaiError("badArgument", s"bad date '$s'")
+      }
+    else parseDate(s)
 }

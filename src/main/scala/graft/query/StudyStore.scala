@@ -25,13 +25,26 @@ final case class ResumptionToken(
     filterHash: String,
     lastKey: String,
     cursor: Long,
-    completeListSize: Long) {
+    completeListSize: Long,
+    // the originating request's harvest arguments (metadataPrefix, set,
+    // from, until) — OAI-PMH §3.5 makes resumptionToken an EXCLUSIVE
+    // argument, so a bare-token request must be able to reconstruct its
+    // list from the token alone (the reference's kuha controller serves
+    // bare-token continuations; templates/agg_list_records.xml:20)
+    args: Map[String, String] = Map.empty) {
 
   // lastKey goes last (limit-split) because aggregator identifiers may
-  // contain any character, including the separator.
-  def encode: String =
+  // contain any character, including the separator; arg values are
+  // URL-encoded so set specs/dates can never smuggle a separator.
+  def encode: String = {
+    val argsStr = args.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, UTF_8)
+      }
+      .mkString("&")
     Base64.getUrlEncoder.withoutPadding.encodeToString(
-      s"$filterHash $cursor $completeListSize $lastKey".getBytes(UTF_8))
+      s"$filterHash $cursor $completeListSize $argsStr $lastKey".getBytes(UTF_8))
+  }
 }
 
 object ResumptionToken {
@@ -39,9 +52,14 @@ object ResumptionToken {
   def decode(token: String): ResumptionToken =
     try {
       val parts = new String(Base64.getUrlDecoder.decode(token), UTF_8)
-        .split(" ", 4)
-      require(parts.length == 4)
-      ResumptionToken(parts(0), parts(3), parts(1).toLong, parts(2).toLong)
+        .split(" ", 5)
+      require(parts.length == 5)
+      val args = parts(3).split("&").iterator.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0)
+        kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8)
+      }.toMap
+      ResumptionToken(parts(0), parts(4), parts(1).toLong, parts(2).toLong, args)
     } catch {
       case _: Exception =>
         throw OaiError("badResumptionToken", s"cannot parse '$token'")
@@ -116,7 +134,8 @@ final class StudyStore(val studies: DataFrame) {
       listSize: Int,
       token: Option[ResumptionToken],
       filterFingerprint: String,
-      derive: DataFrame => DataFrame = identity): Page = {
+      derive: DataFrame => DataFrame = identity,
+      tokenArgs: Map[String, String] = Map.empty): Page = {
 
     token.foreach { t =>
       if (t.filterHash != filterFingerprint)
@@ -143,7 +162,8 @@ final class StudyStore(val studies: DataFrame) {
         filterFingerprint,
         rows.last.getAs[String](Key),
         served,
-        completeListSize))
+        completeListSize,
+        tokenArgs))
     Page(rows, next, completeListSize)
   }
 }

@@ -232,6 +232,48 @@ class OaiRepositorySpec extends SparkSpec {
     assert((ok \ "error").isEmpty)
   }
 
+  test("bare-token continuation: page 2 needs only verb + resumptionToken") {
+    // page 1 names its prefix (a NON-default one, so continuation cannot
+    // work by falling back to oai_dc); page 2 sends the token ALONE, as
+    // OAI-PMH §3.5's exclusive-argument rule allows
+    val p1 = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_ddi25")))
+    val ids1 = (p1 \\ "ListIdentifiers" \\ "header" \\ "identifier").map(_.text)
+    val tok = (p1 \\ "ListIdentifiers" \\ "resumptionToken").text
+    assert(ids1.size == 2 && tok.nonEmpty)
+    val p2 = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "resumptionToken" -> tok)))
+    assert((p2 \\ "error").isEmpty)
+    val ids2 = (p2 \\ "ListIdentifiers" \\ "header" \\ "identifier").map(_.text)
+    assert((ids1 ++ ids2).distinct.size == ids1.size + ids2.size)
+    assert(ids2.nonEmpty)
+  }
+
+  test("token + contradicting explicit argument → badArgument") {
+    val p1 = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_ddi25")))
+    val tok = (p1 \\ "ListIdentifiers" \\ "resumptionToken").text
+    val bad = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_dc",
+        "resumptionToken" -> tok)))
+    assert((bad \\ "error" \\ "@code").text == "badArgument")
+    // the SAME prefix restated is tolerated
+    val ok = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_ddi25",
+        "resumptionToken" -> tok)))
+    assert((ok \\ "error").isEmpty)
+  }
+
+  test("date-only until is end-of-day inclusive") {
+    // fixtures are updated at 2021-06-01T12:00:00Z — a date-granularity
+    // until of that same day must still harvest them (§3.3.1)
+    val xml = XML.loadString(repo.handle(
+      Map("verb" -> "ListIdentifiers", "metadataPrefix" -> "oai_dc",
+        "from" -> "2021-06-01", "until" -> "2021-06-01")))
+    assert((xml \\ "error").isEmpty)
+    assert((xml \\ "ListIdentifiers" \\ "header").nonEmpty)
+  }
+
   test("bad resumption token → badResumptionToken error") {
     val xml = XML.loadString(repo.handle(
       Map("verb" -> "ListRecords", "metadataPrefix" -> "oai_dc",

@@ -365,12 +365,12 @@ object Dedup {
     * same-id pairs (possible only when one id appears with different
     * content) are dropped — mirroring the direct joins' `a.id < b.id`.
     *
-    * Scale bound: a cluster of K duplicates has K²/2 output pairs, which
-    * stream through the single task holding that cluster row (explode
-    * pipelines; nothing materializes K² in memory, but emission is
-    * serialized). Dedup EXACT duplicates first ([[exact]]/[[remapByKey]])
-    * when mega-clusters are plausible — after which clusters are small
-    * by construction.
+    * Scale bound: a cluster of K duplicates has K²/2 output pairs. The
+    * REPARTITION between the two explodes spreads them: after the first
+    * explode a mega-cluster is K rows (one per left member, each
+    * carrying the other side's id list), which hash across the shuffle
+    * so every task emits only K of the K² pairs. Without it the single
+    * task holding the cluster row would serialize the whole emission.
     */
   private def expandClusterPairs(
       clusters: DataFrame, repPairs: DataFrame,
@@ -379,12 +379,14 @@ object Dedup {
       .join(clusters.select(col("ckey").as("ckey_a"), col("ids").as("ids_a")), "ckey_a")
       .join(clusters.select(col("ckey").as("ckey_b"), col("ids").as("ids_b")), "ckey_b")
       .select(col(scoreCol), explode(col("ids_a")).as("ma"), col("ids_b"))
+      .repartition(col("ma"))
       .select(col(scoreCol), col("ma"), explode(col("ids_b")).as("mb"))
       .filter(col("ma") =!= col("mb"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col(scoreCol))
     val within = clusters.filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
+      .repartition(col("id_a"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), withinScore.as(scoreCol))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale check for the near-dup operators (PERF.md §10×):
+  * duplicates the sf0.1 documents corpus D times (ids shifted), times
+  * each gated dedup plan at 1× and D×, and prints one line per op.
+  * Pathologically dup-dense by construction — outputs are cluster-
+  * quadratic upper bounds, used to verify plan SHAPE (no driver
+  * collects, no single-task serialization), not typical cost.
+  *
+  *   sbt "runMain graft.tools.ScaleCheck [dupFactor] [sfDir]"
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val dup = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-scale-check").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory", "16g")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).cache()
+    val n = docs.count()
+    val blown = (0 until dup).map(i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).cache()
+    val nBig = blown.count()
+    println(s"[scale] corpus $n rows -> ${dup}x = $nBig rows")
+
+    def time(name: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s $sec%8.1f s  $rows%12d rows")
+    }
+
+    time("ngram_jaccard_1x", Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95))
+    time(s"ngram_jaccard_${dup}x", Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95))
+    time("simhash_1x", Dedup.simhashNearDups(docs, "text", "doc_id", 3))
+    time(s"simhash_${dup}x", Dedup.simhashNearDups(blown, "text", "doc_id", 3))
+    time("minhash_1x", Dedup.minhashNearDups(docs, "text", "doc_id",
+      saltFactor = 4, hotBucketThreshold = 5000))
+    time(s"minhash_${dup}x", Dedup.minhashNearDups(blown, "text", "doc_id",
+      saltFactor = 4, hotBucketThreshold = 5000))
+    spark.stop()
+  }
+}

@@ -1,0 +1,188 @@
+package graft.ingest
+
+import graft.operators.{LruCache, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index layouts — the ingest-side materialization that
+  * makes approximate nearest-neighbour queries PRUNE instead of scan.
+  *
+  * The in-memory probes ([[Similarity.ivfTopK]] / [[Similarity.annTopK]])
+  * re-assign every corpus vector to its cell/bucket on each query — fine
+  * ad hoc, a scale-killer as the serving path: a 100 TB ANN query that
+  * re-reads 100 TB defeats the index's purpose. Here the assignment runs
+  * ONCE at ingest (the [[StudyLayout.write]] pattern applied to
+  * embeddings) and persists as a parquet layout PARTITIONED BY cell id /
+  * LSH bucket, with a `_centroids` / `_meta` sidecar (underscore-prefixed
+  * so corpus readers ignore it). A probe then:
+  *
+  *   1. reads the tiny sidecar (numCentroids rows / 1 row) driver-side,
+  *   2. picks its nProbes cells (or its single LSH bucket),
+  *   3. scans ONLY those partitions — Catalyst partition pruning turns
+  *      the `cell IN (...)` filter into directory selection, so the scan
+  *      touches ~nProbes/numCentroids of the data,
+  *   4. ranks the candidates by exact cosine — scoring identical to the
+  *      in-memory variants (same expression, same 6-dp rounding).
+  *
+  * Probe results are EXACTLY equal to the in-memory variants' (same
+  * quantizer via [[Similarity.coarseQuantizer]]'s cache semantics, same
+  * sign matrix via [[Similarity.planeSigns]]) — asserted in AnnIndexSpec.
+  */
+object AnnIndex {
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Train the coarse quantizer (bounded sample, cached) and persist the
+    * corpus partitioned by its cell assignment. Returns the index path.
+    */
+  def writeIvf(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 16): String = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val featured = embeddings.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = Similarity.coarseQuantizer(featured, numCentroids)
+    model.transform(featured)
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // sidecar: one row per centroid — what a probe needs to route
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    path
+  }
+
+  /** IVF probe against a persisted index: route via the `_centroids`
+    * sidecar, scan only the `nProbes` nearest cells (partition pruning),
+    * rank candidates by exact cosine. `excludeId` drops the query row
+    * itself when the query vector came from the corpus.
+    */
+  def ivfTopK(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, nProbes: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val probes = centroids
+      .map { case (cell, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) {
+          val t = c(i) - queryVec(i); d += t * t; i += 1
+        }
+        (cell, d)
+      }
+      .sortBy(_._2).take(nProbes).map(_._1).toSeq
+    val qLit = array(queryVec.toSeq.map(v => lit(v)): _*)
+    val idx = spark.read.parquet(indexPath)
+    val candidates = idx.filter(col("cell").isin(probes: _*))
+    val withoutQuery = excludeId match {
+      case Some(id) => candidates.filter(col(idCol) =!= id)
+      case None     => candidates
+    }
+    withoutQuery
+      .select(col(idCol),
+        round(Similarity.cosineFast(spark, col(vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Persist the corpus partitioned by random-hyperplane LSH bucket
+    * (kernel assignment — identical buckets to the expression variant),
+    * with a `_meta` sidecar recording (dim, numPlanes).
+    */
+  def writeLsh(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, numPlanes: Int = 8): String = {
+    val spark = embeddings.sparkSession
+    Similarity.lshBucketed(embeddings, idCol, vecCol, dim, numPlanes)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    import spark.implicits._
+    Seq((dim, numPlanes)).toDF("dim", "num_planes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    path
+  }
+
+  /** Single-probe LSH lookup against a persisted index: the query's
+    * bucket is computed driver-side from the deterministic sign matrix;
+    * only that bucket's partition is scanned.
+    */
+  def lshTopK(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/_meta").collect().head
+    val (dim, numPlanes) = (meta.getInt(0), meta.getInt(1))
+    val signs = Similarity.planeSigns(spark, dim, numPlanes)
+    var bucket = 0L
+    if (queryVec.length >= dim) {
+      var j = 0
+      while (j < signs.length) {
+        val row = signs(j)
+        var proj = 0.0
+        var d = 0
+        while (d < row.length) { proj += queryVec(d) * row(d); d += 1 }
+        if (proj > 0) bucket |= (1L << j)
+        j += 1
+      }
+    }
+    val qLit = array(queryVec.toSeq.map(v => lit(v)): _*)
+    val idx = spark.read.parquet(indexPath)
+    val candidates = idx.filter(col("bucket") === bucket)
+    val withoutQuery = excludeId match {
+      case Some(id) => candidates.filter(col(idCol) =!= id)
+      case None     => candidates
+    }
+    withoutQuery
+      .select(col(idCol),
+        round(Similarity.cosineFast(spark, col(vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  /** Fetch one stored vector as doubles — the point scan a gate uses to
+    * turn a corpus id into a probe vector.
+    */
+  def lookupVector(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long): Array[Double] =
+    embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().head.getAs[scala.collection.Seq[Double]](0).toArray
+
+  /** Session-lifetime registry of built indexes so gate queries build an
+    * index once per (source, params) and probe it thereafter. Indexes
+    * land under the JVM temp dir — a stand-in for the ingest-written
+    * layout a production corpus would already have.
+    */
+  private val built = new LruCache[String, String](64)
+
+  private def tmpPath(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ann/$tag"
+
+  /** Build-once-then-probe IVF index for a named corpus. */
+  def ivfIndexFor(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      tag: String, numCentroids: Int = 16): String =
+    built.getOrElseUpdate(s"ivf/$tag/$numCentroids") {
+      writeIvf(embeddings, idCol, vecCol,
+        tmpPath(s"$tag/ivf$numCentroids"), numCentroids)
+    }
+
+  /** Build-once-then-probe LSH index for a named corpus. */
+  def lshIndexFor(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      tag: String, dim: Int, numPlanes: Int = 8): String =
+    built.getOrElseUpdate(s"lsh/$tag/$dim/$numPlanes") {
+      writeLsh(embeddings, idCol, vecCol,
+        tmpPath(s"$tag/lsh$dim-$numPlanes"), dim, numPlanes)
+    }
+}

@@ -292,7 +292,7 @@ object Similarity {
     * [[planeSign]] expressions (a 1-row local projection) so kernel and
     * expression variants agree bit-for-bit.
     */
-  private[operators] def planeSigns(
+  private[graft] def planeSigns(
       spark: org.apache.spark.sql.SparkSession,
       dim: Int, numPlanes: Int): Array[Array[Double]] = {
     val row = spark.range(1)
@@ -371,7 +371,7 @@ object Similarity {
     * full-corpus fit is a scale-killer, a 100k-row sampled fit is
     * seconds, and the model broadcasts to every probe.
     */
-  private[operators] def coarseQuantizer(
+  private[graft] def coarseQuantizer(
       featured: DataFrame, numCentroids: Int,
       maxTrainRows: Long = 100000L): org.apache.spark.ml.clustering.KMeansModel = {
     val key = (featured.queryExecution.analyzed.semanticHash(), numCentroids)
@@ -389,12 +389,15 @@ object Similarity {
     }
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
-    * corpus into `numCentroids` cells; a query probes only its `nProbes`
-    * nearest cells and ranks those candidates by exact cosine. The
-    * 100 TB shape: cells are the partition key, so a probe touches
-    * nProbes/numCentroids of the data; the quantizer trains once on a
-    * bounded sample ([[coarseQuantizer]]) and ships as a broadcast model.
+  /** IVF (inverted-file) ANN, IN-MEMORY variant: k-means coarse
+    * quantizer partitions the corpus into `numCentroids` cells; a query
+    * probes only its `nProbes` nearest cells and ranks those candidates
+    * by exact cosine. Cell assignment is recomputed per query here — the
+    * ad-hoc / exploratory path. The serving path is
+    * [[graft.ingest.AnnIndex]]: assignment persisted at ingest,
+    * partitioned by cell, so a probe PRUNES to nProbes/numCentroids of
+    * the data instead of re-scanning the corpus (probe results exactly
+    * equal, AnnIndexSpec).
     */
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -424,9 +427,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucketed ANN: assign every vector a bucket, then answer the query
-    * from its own bucket only (single-probe). Returns the approximate
-    * top-k with exact cosine scores among candidates.
+  /** Bucketed ANN, IN-MEMORY variant: assign every vector a bucket, then
+    * answer the query from its own bucket only (single-probe). Returns
+    * the approximate top-k with exact cosine scores among candidates.
+    * The serving path is [[graft.ingest.AnnIndex.lshTopK]] over a
+    * bucket-partitioned persisted layout (identical results).
     */
   def annTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ingest.AnnIndex
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.functions._
@@ -143,24 +144,39 @@ object SimilarityQueries extends QueryGroup {
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
         |ORDER BY query_id, sim DESC, vec_id""".stripMargin))
 
-  /** LSH-bucketed single-probe ANN (the 100 TB path): approximate —
-    * rows-only; the unit spec checks overlap with the exact top-k.
+  /** LSH-bucketed single-probe ANN against the PERSISTED index (the
+    * 100 TB path: the bucket layout is written once at ingest; the probe
+    * scans only its bucket's partition). Approximate — rows-only; the
+    * unit spec checks equality with the in-memory probe and overlap
+    * with the exact top-k.
     */
   val annLsh: QueryDef = QueryDef(
     "sim_ann_lsh",
-    (s, dir) =>
-      Similarity.annTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, dim = 64, numPlanes = 4),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.lshIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), dim = 64, numPlanes = 4)
+      AnnIndex.lshTopK(s, idx, "vec_id", "embedding",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, excludeId = Some(0L))
+    },
     None)
 
-  /** IVF-bucketed ANN (k-means coarse quantizer + multi-probe):
-    * approximate — rows-only; spec checks recall against exact top-k.
+  /** IVF ANN against the PERSISTED inverted file (corpus partitioned by
+    * coarse-quantizer cell at ingest; a probe prunes to its nProbes
+    * cells). Approximate — rows-only; spec checks equality with the
+    * in-memory probe and recall against exact top-k.
     */
   val annIvf: QueryDef = QueryDef(
     "sim_ann_ivf",
-    (s, dir) =>
-      Similarity.ivfTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, numCentroids = 16, nProbes = 4),
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), numCentroids = 16)
+      AnnIndex.ivfTopK(s, idx, "vec_id", "embedding",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, nProbes = 4, excludeId = Some(0L))
+    },
     None)
 
   def defs: Seq[QueryDef] = Seq(topK, topKBatch, annLsh, annIvf)

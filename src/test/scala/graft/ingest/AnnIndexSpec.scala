@@ -1,0 +1,90 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ann-spec/$name"
+
+  private def results(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.collect() // materialize so AQE finalizes the plan
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1)
+    scans.head
+  }
+
+  test("persisted IVF probe equals the in-memory probe exactly") {
+    val path = AnnIndex.writeIvf(emb, "vec_id", "embedding",
+      tmp("ivf"), numCentroids = 8)
+    val qv = AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L)
+    val fromIndex = results(AnnIndex.ivfTopK(spark, path, "vec_id", "embedding",
+      qv, k = 10, nProbes = 3, excludeId = Some(0L)))
+    val inMemory = results(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, numCentroids = 8, nProbes = 3))
+    assert(fromIndex == inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("IVF probe scans only its probed cells (partition pruning)") {
+    val path = AnnIndex.writeIvf(emb, "vec_id", "embedding",
+      tmp("ivf-prune"), numCentroids = 8)
+    val qv = AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L)
+    val probe = AnnIndex.ivfTopK(spark, path, "vec_id", "embedding",
+      qv, k = 10, nProbes = 2, excludeId = Some(0L))
+    val scan = scanOf(probe)
+    // the cell IN (...) predicate must reach the scan as a PARTITION
+    // filter (directory pruning), not a post-scan data filter
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters in:\n${scan.metadata.mkString("\n")}")
+    assert(scan.metadata("PartitionFilters").contains("cell"))
+    // and the scan must actually select fewer partitions than exist
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).size
+    val total = scan.relation.location.listFiles(Nil, Nil).size
+    assert(selected == 2 && total == 8, s"selected $selected of $total")
+  }
+
+  test("persisted LSH probe equals the in-memory probe exactly") {
+    val path = AnnIndex.writeLsh(emb, "vec_id", "embedding",
+      tmp("lsh"), dim = 64, numPlanes = 4)
+    val qv = AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L)
+    val fromIndex = results(AnnIndex.lshTopK(spark, path, "vec_id", "embedding",
+      qv, k = 10, excludeId = Some(0L)))
+    val inMemory = results(Similarity.annTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, dim = 64, numPlanes = 4))
+    assert(fromIndex == inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("LSH probe prunes to the query's single bucket") {
+    val path = AnnIndex.writeLsh(emb, "vec_id", "embedding",
+      tmp("lsh-prune"), dim = 64, numPlanes = 4)
+    val qv = AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L)
+    val probe = AnnIndex.lshTopK(spark, path, "vec_id", "embedding",
+      qv, k = 10, excludeId = Some(0L))
+    val scan = scanOf(probe)
+    assert(scan.partitionFilters.nonEmpty)
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).size
+    val total = scan.relation.location.listFiles(Nil, Nil).size
+    assert(selected == 1 && total > 1, s"selected $selected of $total")
+  }
+
+  test("index registry builds once per tag and reuses the path") {
+    val p1 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)
+    val p2 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)
+    assert(p1 == p2)
+  }
+}

@@ -45,18 +45,21 @@ object StreamingIngest {
   /** Streaming upsert resolution via keyed state: keeps the
     * latest-by-timestamp update per study and emits it whenever it
     * changes. State size = one row per RECENTLY-ACTIVE key, bounded by
-    * `idleTimeout`: a key idle that long is evicted (its latest row is
-    * re-emitted once on the way out — idempotent for an upsert sink).
-    * Without eviction, state grows one entry per key forever — fine for
-    * a test corpus, unbounded at 100 TB. The trade-off: an update older
-    * than an evicted one that arrives after the TTL resolves against
-    * nothing and is emitted; the downstream compaction
-    * ([[latestByKeyBatch]], the sink-side MERGE authority) resolves it —
-    * which it must anyway, because Update-mode sinks see every emission.
+    * `idleTimeout`: a key idle that long (WALL-CLOCK — processing-time
+    * timeout) is evicted, its latest row re-emitted once on the way out.
+    *
+    * `idleTimeout` defaults to None (state-bounding is an explicit
+    * opt-in): eviction re-emissions can resurrect a stale older update
+    * arriving after the TTL, which is safe only over an idempotent
+    * MERGE-style sink where the downstream compaction
+    * ([[latestByKeyBatch]], the sink-side MERGE authority) resolves it.
+    * Opt in at 100 TB — without eviction, state grows one entry per key
+    * forever. For a DETERMINISTICALLY testable TTL driven by event time
+    * instead of the wall clock, use [[latestByKeyStreamingEventTtl]].
     */
   def latestByKeyStreaming(
       updates: Dataset[StudyUpdate],
-      idleTimeout: Option[String] = Some("30 minutes")): Dataset[StudyUpdate] = {
+      idleTimeout: Option[String] = None): Dataset[StudyUpdate] = {
     import updates.sparkSession.implicits._
     val timeoutConf = idleTimeout
       .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
@@ -77,6 +80,50 @@ object StreamingIngest {
             }
             state.update(best)
             idleTimeout.foreach(state.setTimeoutDuration)
+            best
+          }
+      }
+  }
+
+  /** Event-time TTL variant of [[latestByKeyStreaming]]: state eviction
+    * is driven by the WATERMARK, not the wall clock — a key is evicted
+    * once the watermark passes its newest update plus `ttlMillis`.
+    * Because the watermark only advances with data, eviction is
+    * DETERMINISTIC under synchronous drives (`processAllAvailable`):
+    * no self-scheduled batch storm, no racing the timeout clock — the
+    * property that makes TTL behaviour unit-testable, and the semantics
+    * a replayed/backfilled stream wants anyway (idle wall-clock time
+    * during a replay must not evict live keys).
+    *
+    * `updates` must carry a watermark on `updated` (set by the caller
+    * via `withWatermark`) — EventTimeTimeout requires one.
+    */
+  def latestByKeyStreamingEventTtl(
+      updates: Dataset[StudyUpdate],
+      ttlMillis: Long = 30L * 60 * 1000): Dataset[StudyUpdate] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.study_id)
+      .mapGroupsWithState[StudyUpdate, StudyUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[StudyUpdate], state: GroupState[StudyUpdate]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val incoming = rows.maxBy(_.updated.getTime)
+            val best = state.getOption match {
+              case Some(cur) if cur.updated.getTime >= incoming.updated.getTime => cur
+              case _ => incoming
+            }
+            state.update(best)
+            // evict when the watermark passes newest-update + TTL; the
+            // max() keeps the timestamp legal (strictly beyond the
+            // current watermark) for late-but-admitted rows
+            state.setTimeoutTimestamp(
+              math.max(best.updated.getTime + ttlMillis,
+                state.getCurrentWatermarkMs() + 1))
             best
           }
       }

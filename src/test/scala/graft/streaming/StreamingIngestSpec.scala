@@ -105,6 +105,42 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time TTL evicts deterministically with the watermark — no polling") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def upd(id: String, t: Long) = StreamingIngest.StudyUpdate(
+      id, "updated", new java.sql.Timestamp(t), "http://u", s"$id@$t")
+    val t0 = 1000000L
+    val in = MemoryStream[StreamingIngest.StudyUpdate](s)
+    val q = StreamingIngest.latestByKeyStreamingEventTtl(
+        in.toDS().withWatermark("updated", "0 seconds"),
+        ttlMillis = 60000L) // TTL = 1 minute of EVENT time
+      .writeStream.format("memory").queryName("upsert_event_ttl")
+      .outputMode("update")
+      .start()
+    try {
+      def rowsForA = spark.sql(
+        "SELECT title FROM upsert_event_ttl WHERE study_id = 'a'")
+        .collect().map(_.getString(0)).toSeq
+      // batch 1: a arrives; watermark after the batch = t0
+      in.addData(upd("a", t0))
+      q.processAllAvailable()
+      assert(rowsForA == Seq(s"a@$t0"))
+      // batch 2: b at t0+5min advances the watermark past a's deadline;
+      // the engine immediately runs the watermark-change follow-up batch
+      // whose timeout sweep evicts a — all within processAllAvailable,
+      // so the re-emission is visible synchronously, exactly once
+      in.addData(upd("b", t0 + 300000L))
+      q.processAllAvailable()
+      assert(rowsForA == Seq(s"a@$t0", s"a@$t0"), "eviction re-emission")
+      // further data does NOT re-evict (state is gone, nothing re-emits)
+      in.addData(upd("c", t0 + 300001L))
+      q.processAllAvailable()
+      assert(rowsForA == Seq(s"a@$t0", s"a@$t0"), "no repeat emission")
+    } finally q.stop()
+  }
+
   test("batch latest-by-key matches streaming resolution") {
     val s = spark
     import s.implicits._

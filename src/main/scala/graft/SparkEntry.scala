@@ -14,7 +14,8 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] =
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
       AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
-      TextQueries, SamplingQueries, EventQueries, MultimodalQueries)
+      TextQueries, SamplingQueries, EventQueries, MultimodalQueries,
+      PipelineQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -109,14 +109,21 @@ object AnnIndex {
     path
   }
 
-  /** Single-probe LSH lookup against a persisted index: the query's
-    * bucket is computed driver-side from the deterministic sign matrix;
-    * only that bucket's partition is scanned.
+  /** LSH lookup against a persisted index: the query's bucket is
+    * computed driver-side from the deterministic sign matrix; only that
+    * bucket's partition is scanned. `maxHamming` > 0 turns on
+    * MULTI-PROBE: buckets whose signature differs in ≤ that many bits
+    * are scanned too — each flipped bit is a hyperplane the query sat
+    * close to, so near neighbours split off by one plane come back.
+    * Recall rises smoothly toward exact (`maxHamming = numPlanes` scans
+    * everything) while the scan stays partition-pruned: Σ C(numPlanes,i)
+    * of 2^numPlanes directories.
     */
   def lshTopK(
       spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      maxHamming: Int = 0): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/_meta").collect().head
     val (dim, numPlanes) = (meta.getInt(0), meta.getInt(1))
     val signs = Similarity.planeSigns(spark, dim, numPlanes)
@@ -132,9 +139,12 @@ object AnnIndex {
         j += 1
       }
     }
+    val probes = probeBuckets(bucket, numPlanes, maxHamming)
     val qLit = array(queryVec.toSeq.map(v => lit(v)): _*)
     val idx = spark.read.parquet(indexPath)
-    val candidates = idx.filter(col("bucket") === bucket)
+    val candidates =
+      if (probes.size == 1) idx.filter(col("bucket") === probes.head)
+      else idx.filter(col("bucket").isin(probes: _*))
     val withoutQuery = excludeId match {
       case Some(id) => candidates.filter(col(idCol) =!= id)
       case None     => candidates
@@ -144,6 +154,64 @@ object AnnIndex {
         round(Similarity.cosineFast(spark, col(vecCol), qLit), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** All buckets within `maxHamming` bit flips of `bucket`. */
+  private[ingest] def probeBuckets(
+      bucket: Long, numPlanes: Int, maxHamming: Int): Seq[Long] = {
+    require(maxHamming >= 0 && maxHamming <= numPlanes,
+      s"maxHamming must be in [0, $numPlanes], got $maxHamming")
+    def flips(start: Int, left: Int, cur: Long): Seq[Long] =
+      if (left == 0) Seq(cur)
+      else (start until numPlanes).flatMap(j =>
+        flips(j + 1, left - 1, cur ^ (1L << j)))
+    (0 to maxHamming).flatMap(h => flips(0, h, bucket)).distinct
+  }
+
+  /** Batch IVF probe: MANY query vectors answered from ONE pruned scan.
+    * Each query routes to its own nProbes cells driver-side; the scan
+    * reads the UNION of probed cells once (partition pruning), a
+    * broadcast join fans candidate rows out to only the queries that
+    * probed their cell, and a per-query rank keeps top-k. Per-query
+    * results are EXACTLY the per-query [[ivfTopK]] answers — same
+    * candidates, same scores — for the cost of one scan instead of
+    * #queries scans (the training-pipeline shape: kNN-label a batch).
+    */
+  def ivfTopKBatch(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      nProbes: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexPath/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val routes = queries.flatMap { case (qid, qv) =>
+      centroids.map { case (cell, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) {
+          val t = c(i) - qv(i); d += t * t; i += 1
+        }
+        (cell, d)
+      }.sortBy(_._2).take(nProbes).map { case (cell, _) => (qid, cell) }
+    }
+    val routeDf = broadcast(
+      routes.toDF("query_id", "cell")
+        .join(queries.map { case (qid, qv) => (qid, qv.toSeq) }
+          .toDF("query_id", "qvec"), "query_id"))
+    val allCells = routes.map(_._2).distinct
+    val idx = spark.read.parquet(indexPath)
+    val candidates = idx
+      .filter(col("cell").isin(allCells: _*)) // partition pruning
+      .join(routeDf, Seq("cell")) // fan out to probing queries only
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosineFast(spark, col(vecCol), col("qvec")), 6).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    candidates.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
   }
 
   // ------------------------------------------------------------ helpers

@@ -357,7 +357,7 @@ object Similarity {
     */
   private[operators] val QuantizerCacheMax = 32
   private[operators] val quantizerCache =
-    new LruCache[(Int, Int), org.apache.spark.ml.clustering.KMeansModel](
+    new LruCache[(Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel](
       QuantizerCacheMax)
 
   /** Drop every cached quantizer — call after rewriting a corpus whose
@@ -374,7 +374,14 @@ object Similarity {
   private[graft] def coarseQuantizer(
       featured: DataFrame, numCentroids: Int,
       maxTrainRows: Long = 100000L): org.apache.spark.ml.clustering.KMeansModel = {
-    val key = (featured.queryExecution.analyzed.semanticHash(), numCentroids)
+    // key = logical plan + the concrete FILES behind it + k: a corpus
+    // compacted/rewritten into new files invalidates naturally (new file
+    // names -> new key); only a byte-level in-place overwrite still
+    // needs [[invalidateQuantizers]]
+    val key = (featured.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(
+        featured.inputFiles.sorted.asInstanceOf[Array[AnyRef]]),
+      numCentroids)
     quantizerCache.getOrElseUpdate(key) {
       val n = featured.count()
       val train =

@@ -179,7 +179,120 @@ object SimilarityQueries extends QueryGroup {
     },
     None)
 
-  def defs: Seq[QueryDef] = Seq(topK, topKBatch, annLsh, annIvf)
+  /** Multi-probe LSH against the persisted index: the query's bucket
+    * plus every hamming-1 neighbour (planes the query sat close to) —
+    * recall rises toward exact while the scan stays partition-pruned.
+    * Approximate — rows-only; spec asserts recall ≥ single-probe.
+    */
+  val annLshMultiProbe: QueryDef = QueryDef(
+    "sim_ann_lsh_multiprobe",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.lshIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), dim = 64, numPlanes = 4)
+      AnnIndex.lshTopK(s, idx, "vec_id", "embedding",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, excludeId = Some(0L), maxHamming = 1)
+    },
+    None)
+
+  /** Batch IVF probe: many query vectors answered from ONE pruned scan
+    * of the union of their probed cells (broadcast fan-out + per-query
+    * rank). Per-query results exactly equal the per-query probes
+    * (AnnIndexSpec). Approximate — rows-only.
+    */
+  val annIvfBatch: QueryDef = QueryDef(
+    "sim_ann_ivf_batch",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), numCentroids = 16)
+      val queries = Seq(0L, 1L, 2L).map(q =>
+        q -> AnnIndex.lookupVector(emb, "vec_id", "embedding", q))
+      AnnIndex.ivfTopKBatch(s, idx, "vec_id", "embedding",
+          queries, k = 5, nProbes = 4)
+        .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+    },
+    None)
+
+  def defs: Seq[QueryDef] =
+    Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch)
+}
+
+/** End-to-end curation: the composition a training-data pipeline
+  * actually runs — language filter + quality gate + length bounds +
+  * near-dup removal in ONE declarative plan (each stage is an
+  * already-gated operator; Catalyst fuses the metric computations into
+  * one scan of `documents`, and the dedup anti-join is the only
+  * shuffle besides the survivor window).
+  */
+object PipelineQueries extends QueryGroup {
+
+  val curation: QueryDef = QueryDef(
+    "pipeline_curation",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val metrics = docs.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val kept = metrics.filter(
+        col("lang_pred") === "en" &&
+          col("quality") >= 0.8 &&
+          col("n_tokens").between(20, 90))
+      // drop docs that lose their normalized-set dedup group (the
+      // survivor keeps representing the group downstream)
+      val losers = Dedup.remapByKey(docs, Dedup.normalizedSetKey("text"), "doc_id")
+        .select(col("doc_id"))
+      kept.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    },
+    Some {
+      def hits(markers: Seq[String]) = {
+        val l = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains([$l], w)))"
+      }
+      val en = hits(TextAnalysis.LangMarkers("en"))
+      val de = hits(TextAnalysis.LangMarkers("de"))
+      val fr = hits(TextAnalysis.LangMarkers("fr"))
+      val es = hits(TextAnalysis.LangMarkers("es"))
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS nw,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1) AS praw,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)::BIGINT)),
+         |        (a, b) -> a + b) * 1.0
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mwl,
+         |    $en AS en, $de AS de, $fr AS fr, $es AS es
+         |  FROM documents),
+         |q AS (SELECT doc_id, nw,
+         |    round(least(nw * 1.0 / 100.0, 1.0) * 0.4
+         |        + (1.0 - least(praw * 5.0, 1.0)) * 0.4
+         |        + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+         |      AS quality,
+         |    CASE
+         |      WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |      WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |      WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |      WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |      ELSE 'es' END AS lang_pred
+         |  FROM b),
+         |k AS (SELECT doc_id,
+         |    array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ') AS key
+         |  FROM documents),
+         |m AS (SELECT key, min(doc_id) AS survivor FROM k GROUP BY key),
+         |losers AS (SELECT k.doc_id FROM k JOIN m USING (key) WHERE k.doc_id <> m.survivor)
+         |SELECT doc_id, nw AS n_tokens, quality FROM q
+         |WHERE lang_pred = 'en' AND quality >= 0.8 AND nw BETWEEN 20 AND 90
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  def defs: Seq[QueryDef] = Seq(curation)
 }
 
 object TextQueries extends QueryGroup {

@@ -82,6 +82,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(selected == 1 && total > 1, s"selected $selected of $total")
   }
 
+  test("multi-probe LSH: recall grows with maxHamming up to exact") {
+    val path = AnnIndex.writeLsh(emb, "vec_id", "embedding",
+      tmp("lsh-mp"), dim = 64, numPlanes = 4)
+    val qv = AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L)
+    def ids(h: Int) = results(AnnIndex.lshTopK(spark, path, "vec_id",
+      "embedding", qv, k = 10, excludeId = Some(0L), maxHamming = h))
+      .map(_._1).toSet
+    val exact = results(Similarity.topKCosine(emb, "vec_id", "embedding", 0L, 10))
+      .map(_._1).toSet
+    val r0 = (ids(0) & exact).size
+    val r1 = (ids(1) & exact).size
+    assert(r1 >= r0, s"hamming-1 recall $r1 < single-probe $r0")
+    // probing every bucket = brute force, exactly
+    assert(ids(4) == exact)
+  }
+
+  test("probeBuckets enumerates the hamming ball exactly once each") {
+    val b = AnnIndex.probeBuckets(5L, 4, 1)
+    assert(b == Seq(5L, 4L, 7L, 1L, 13L)) // self + 4 single-bit flips
+    assert(AnnIndex.probeBuckets(5L, 4, 0) == Seq(5L))
+    assert(AnnIndex.probeBuckets(0L, 4, 4).size == 16) // whole space
+  }
+
+  test("batch IVF probe equals per-query probes exactly") {
+    val path = AnnIndex.writeIvf(emb, "vec_id", "embedding",
+      tmp("ivf-batch"), numCentroids = 8)
+    val qids = Seq(0L, 1L, 2L)
+    val queries = qids.map(q =>
+      q -> AnnIndex.lookupVector(emb, "vec_id", "embedding", q))
+    val batch = AnnIndex.ivfTopKBatch(spark, path, "vec_id", "embedding",
+        queries, k = 5, nProbes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq.sorted).toMap
+    val single = queries.map { case (qid, qv) =>
+      qid -> results(AnnIndex.ivfTopK(spark, path, "vec_id", "embedding",
+        qv, k = 5, nProbes = 3, excludeId = Some(qid))).sorted
+    }.toMap
+    assert(batch == single)
+    assert(batch.values.forall(_.nonEmpty))
+  }
+
   test("index registry builds once per tag and reuses the path") {
     val p1 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)
     val p2 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ingest.AnnIndex
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.functions._
 
@@ -292,7 +292,55 @@ object PipelineQueries extends QueryGroup {
          |ORDER BY doc_id""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(curation)
+  /** Concat-and-chunk sequence packing: per-doc placement in its
+    * shard's token stream (offset + first/last seqLen-chunk). Pure
+    * integer arithmetic over one per-shard window — hash-stable, full
+    * oracle.
+    */
+  val seqPacking: QueryDef = QueryDef(
+    "pipeline_seq_packing",
+    (s, dir) =>
+      Packing.packAssignments(Tables(s, dir).documents, "text", "doc_id",
+          seqLen = 512, numShards = 8)
+        .orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, shard, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  start_offset // 512 AS pack_first,
+        |  (start_offset + n_tokens - 1) // 512 AS pack_last
+        |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Benchmark decontamination: docs sharing ≥3 distinct 3-gram
+    * shingles with the benchmark set (stand-in: every 23rd doc). The
+    * benchmark side broadcasts; the corpus never shuffles for the
+    * match.
+    */
+  val decontaminate: QueryDef = QueryDef(
+    "pipeline_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontamination.flagContaminated(
+          docs, docs.filter(col("doc_id") % 23 === 0),
+          "text", "doc_id", shingleN = 3, minOverlap = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS shs FROM w),
+        |b AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 23 = 0),
+        |d AS (SELECT doc_id, unnest(shs) AS sh FROM sh)
+        |SELECT d.doc_id, count(*) AS n_overlap
+        |FROM d JOIN b USING (sh)
+        |GROUP BY d.doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(curation, seqPacking, decontaminate)
 }
 
 object TextQueries extends QueryGroup {

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // four docs in one shard (ids ≡ 0 mod 8), 4 tokens each, seqLen 10:
+  // offsets 0,4,8,12 — the third doc straddles the 10-token boundary
+  private val oneShard = docs(
+    (0L, "a b c d"), (8L, "e f g h"), (16L, "i j k l"), (24L, "m n o p"))
+
+  test("offsets are the running token sum within a shard") {
+    val rows = Packing.packAssignments(oneShard, "text", "doc_id", 10, 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 0L, 0L),   // tokens 0-3 in pack 0
+      (8L, 4L, 0L, 0L),   // tokens 4-7 in pack 0
+      (16L, 8L, 0L, 1L),  // tokens 8-11 STRADDLE packs 0-1
+      (24L, 12L, 1L, 1L)))
+  }
+
+  test("shards pack independently and deterministically") {
+    val twoShards = docs(
+      (0L, "a b c"), (1L, "x y z"), (8L, "d e f"), (9L, "u v w"))
+    val rows = Packing.packAssignments(twoShards, "text", "doc_id", 4, 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // shard 0 = ids 0,8 with offsets 0,3; shard 1 = ids 1,9 with 0,3
+    assert(rows.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 0L), (8L, 0L, 3L), (9L, 1L, 3L)))
+  }
+
+  test("shard stats reconcile: full packs x seqLen + tail = total tokens") {
+    val stats = Packing.shardPackStats(oneShard, "text", "doc_id", 10, 8)
+      .collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    val (total, fullPacks, tail) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(total == 16 && fullPacks == 1 && tail == 6)
+    assert(fullPacks * 10 + tail == total)
+  }
+}

@@ -90,16 +90,34 @@ object GraftFunctions {
       Cast(exprs(1), ArrayType(DoubleType)))
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", buildIntersect, "scala_udf")
+  }
+
+  /** Builder for [[SortedIntersectCount]] — inputs must already be
+    * array<long> sorted ascending (the dedup kernels' invariant); no
+    * implicit cast, a wrong type should fail analysis loudly.
+    */
+  def buildIntersect(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "sorted_intersect_count(a, b) takes two arrays")
+    SortedIntersectCount(exprs.head, exprs(1))
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildIntersect(exprs)))
+  }
 }

@@ -230,6 +230,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Declarative Jaccard over PRE-SORTED hash arrays via the native
+    * [[graft.expressions.SortedIntersectCount]] expression (merge walk,
+    * codegen'd, allocation-free) — the Column-context form of the merge
+    * kernels inside [[ngramJaccardPairs]]/[[minhashNearDups]], same
+    * values. Use when the verify must stay declarative (e.g. inside a
+    * larger Catalyst plan) instead of a mapPartitions kernel.
+    */
+  def jaccardSorted(
+      spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.register(spark)
+    val c = call_function("sorted_intersect_count", a, b)
+    c.cast("double") / (size(a) + size(b) - c)
+  }
+
   /** Exact set-Jaccard for candidate pairs (the verify stage after LSH
     * pruning), on the SAME element set the signatures hashed — `setCol`
     * is any array expression over `docs` (word set, shingle set, ...).

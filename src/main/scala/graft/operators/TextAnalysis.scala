@@ -97,6 +97,33 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 31L + c, lit(FingerprintMod)))
   }
 
+  /** Fraction of word occurrences that repeat an earlier word —
+    * 1 − |distinct|/|words|. The C4/Gopher-family repetition signal:
+    * high values mean boilerplate/keyword-stuffed text a curation
+    * pipeline drops.
+    */
+  def dupWordRatio(text: Column): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    lit(1.0) - size(array_distinct(w)).cast("double") /
+      greatest(size(w), lit(1))
+  }
+
+  /** Occurrence share of the single most frequent word bigram —
+    * Gopher's top-2-gram fraction. Per-doc quadratic in DISTINCT
+    * bigrams (HOF count per distinct bigram), which is bounded by doc
+    * length; stays a pure column expression, no shuffle.
+    */
+  def topBigramRatio(text: Column): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    val bg = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", get(w, i), get(w, i + 1))))
+    val counts = transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b)))
+    when(size(bg) === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(bg))
+  }
+
   /** Top rarity-weighted terms per document: score = tf · N/df (term
     * frequency × inverse document-frequency RATIO — deliberately not the
     * log variant: tf·N and df are exact integers, so one IEEE division

@@ -488,8 +488,33 @@ object TextQueries extends QueryGroup {
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
         |ORDER BY doc_id, score DESC, term""".stripMargin))
 
+  /** Repetition metrics (C4/Gopher family): duplicate-word fraction and
+    * top-bigram occurrence share — pure column expressions, one scan.
+    */
+  val repetition: QueryDef = QueryDef(
+    "text_repetition",
+    (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(TextAnalysis.dupWordRatio(col("text")), 6).as("dup_word_ratio"),
+        round(TextAnalysis.topBigramRatio(col("text")), 6).as("top_bigram_ratio"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws,
+        |  CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |       ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) END AS bg
+        |  FROM w)
+        |SELECT doc_id,
+        |  round(1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 6) AS dup_word_ratio,
+        |  round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+        |    list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) * 1.0
+        |      / len(bg) END, 6) AS top_bigram_ratio
+        |FROM b ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms)
+    Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
+      repetition)
 }
 
 object SamplingQueries extends QueryGroup {

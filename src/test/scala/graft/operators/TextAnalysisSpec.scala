@@ -66,4 +66,26 @@ class TextAnalysisSpec extends SparkSpec {
     // tie between them breaks alphabetically
     assert(top(2L) == "common")
   }
+
+  test("repetition metrics: dup-word and top-bigram ratios") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "a a a a"),          // dup 0.75; bigrams all "a a" -> 1.0
+      (2L, "a b c d"),          // dup 0.0; every bigram unique -> 1/3
+      (3L, "x"),                // no bigram -> 0.0
+      (4L, "go go stop go go")) // top bigram "go go" = 2 of 4
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        round(TextAnalysis.dupWordRatio(col("text")), 6).as("d"),
+        round(TextAnalysis.topBigramRatio(col("text")), 6).as("t"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0.75, 1.0),
+      (2L, 0.0, 0.333333),
+      (3L, 0.0, 0.0),
+      (4L, 0.6, 0.5)))
+  }
 }

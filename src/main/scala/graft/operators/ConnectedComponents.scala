@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the clustering step after
+  * near-dup detection: pairs (a, b) chain into groups, and a pipeline
+  * keeps one representative per group. Labels converge to the MINIMUM
+  * id reachable from each node, so the representative is the group's
+  * min id — the same survivor rule as [[Dedup.remapByKey]].
+  *
+  * Algorithm: min-label propagation. Each round every node takes the
+  * min of its own label and its neighbours' labels; a round is one
+  * join + one aggregate, all key-partitioned — no driver-side graph.
+  * The driver coordinates ROUNDS (a scalar changed-count per round,
+  * the standard shape for iterative graph algorithms on Spark) and
+  * rounds are O(graph diameter). Near-dup graphs are dense clusters
+  * with tiny diameters (2-3 rounds); for adversarial long-chain
+  * graphs switch to star-contraction (large-star/small-star), which
+  * the same loop structure accommodates.
+  */
+object ConnectedComponents {
+
+  /** (node, component) for every node in `edges`; component = min
+    * reachable id. Deterministic; `maxIter` bounds pathological
+    * diameters (throws rather than returning silently-unconverged
+    * labels).
+    */
+  def components(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // localCheckpoint (not cache) everywhere the loop re-reads a frame:
+    // an iterative plan that only CACHES still carries its whole logical
+    // history, and each round references the prior round twice — the
+    // plan TREE doubles per iteration and the driver dies formatting it
+    // long before any data pressure. Checkpointing truncates lineage to
+    // the materialized blocks, the standard shape for iterative graph
+    // algorithms on Spark (at cluster scale use reliable checkpoints to
+    // survive executor loss).
+    val sym = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"not converged after $maxIter rounds — graph diameter too " +
+            "large for plain label propagation; use star-contraction")
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(labels("node"), labels("label").as("_old"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("label") < col("_old")).count()
+      labels = stepped.select("node", "label")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Survivor remap derived from components: every non-representative
+    * node mapped to its component's min id — the transitive closure of
+    * pairwise near-dup remapping.
+    */
+  def componentRemap(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    components(edges, srcCol, dstCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node"), col("component").as("survivor"))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ingest.AnnIndex
-import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.functions._
 
@@ -340,7 +340,41 @@ object PipelineQueries extends QueryGroup {
         |FROM d JOIN b USING (sh)
         |GROUP BY d.doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(curation, seqPacking, decontaminate)
+  /** Near-dup cluster formation: connected components over the exact
+    * jaccard pair list (t = 0.95) — pairs chain into groups; the label
+    * is the group's min id. Oracle = DuckDB RECURSIVE CTE computing
+    * min-reachable-id over the same edges.
+    */
+  val components: QueryDef = QueryDef(
+    "dedup_components",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables(s, dir).documents, "text", "doc_id", 0.95)
+      ConnectedComponents.components(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH RECURSIVE
+        |t AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM c
+        |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node)
+        |SELECT node AS doc_id, min(r) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(curation, seqPacking, decontaminate, components)
 }
 
 object TextQueries extends QueryGroup {

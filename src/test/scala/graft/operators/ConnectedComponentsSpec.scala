@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edges(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b")
+  }
+
+  private def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    ConnectedComponents.components(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain collapses to its min id (multi-round propagation)") {
+    val cc = run(edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint clusters keep separate components") {
+    val cc = run(edges((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("component remap is the transitive closure of pairwise remap") {
+    // pairwise remap on these pairs maps 3->2 (its only pair) — the
+    // component remap maps 3 all the way down to 1
+    val remap = ConnectedComponents
+      .componentRemap(edges((1L, 2L), (2L, 3L)), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(remap == Set((2L, 1L), (3L, 1L)))
+  }
+
+  test("unconverged graphs throw instead of returning wrong labels") {
+    val chain = edges((1L to 9L).map(i => (i, i + 1)): _*)
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 2)
+        .collect()
+    }
+  }
+
+  test("real near-dup pairs: components agree with a union-find oracle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b")
+    val got = run(pairs)
+    // driver-side union-find over the same pairs
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

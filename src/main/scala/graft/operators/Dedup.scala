@@ -122,13 +122,13 @@ object Dedup {
     * deterministic, engine-internal (nothing downstream depends on which
     * hash family this is).
     */
-  private[operators] def hash64(s: String): Long = {
+  private[graft] def hash64(s: String): Long = {
     val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
     val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
-  private[operators] def shingleStrings(text: String, n: Int): Array[String] = {
+  private[graft] def shingleStrings(text: String, n: Int): Array[String] = {
     val w = text.toLowerCase.trim.split("\\s+")
     if (w.length < n) Array(w.mkString(" "))
     else Array.tabulate(w.length - n + 1)(i => w.slice(i, i + n).mkString(" ")).distinct
@@ -174,6 +174,52 @@ object Dedup {
         }
       }
       .toDF(idCol, "signature")
+  }
+
+  /** (id, sorted 64-bit shingle-hash set, minhash signature) per doc —
+    * the per-document row a bipartite or STREAMING near-dup check
+    * indexes ([[graft.streaming.StreamingDedup]]): `hs` feeds the exact
+    * verify (sorted_intersect_count), `signature` feeds the banding
+    * join. Same kernel economics as [[minhashSignatures]]; mod-p only
+    * inside the permutation loop, full-width hashes for verify.
+    */
+  def signedSets(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    requireLongCastableId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fam = hashFamily(numHashes).toArray
+    val p = MinhashPrime
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val hs = shingleStrings(text, shingleSize).map(hash64)
+          java.util.Arrays.sort(hs)
+          val hm = new Array[Long](hs.length)
+          var i = 0
+          while (i < hs.length) {
+            hm(i) = java.lang.Math.floorMod(hs(i), p); i += 1
+          }
+          val sig = new Array[Long](fam.length)
+          var f = 0
+          while (f < fam.length) {
+            val (a, b) = fam(f)
+            var best = Long.MaxValue
+            var j = 0
+            while (j < hm.length) {
+              val v = (hm(j) * a + b) % p
+              if (v < best) best = v
+              j += 1
+            }
+            sig(f) = best
+            f += 1
+          }
+          (id, hs, sig)
+        }
+      }
+      .toDF(idCol, "hs", "signature")
   }
 
   /** LSH banding: signature → b bands of r rows; docs sharing any band

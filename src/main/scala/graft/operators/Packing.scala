@@ -48,6 +48,34 @@ object Packing {
         floor((col("start_offset") + col("n_tokens") - 1) / seqLen))
   }
 
+  /** Overlapping fixed-size chunk boundaries per document — the
+    * splitter shape (RAG windows, long-doc training chunks): chunks of
+    * `chunkTokens` tokens advancing by `chunkTokens − overlap`, last
+    * chunk clipped to the document end. Boundaries only (token indexes),
+    * so the scan never rewrites text; a consumer slices lazily. Pure
+    * per-row arithmetic + explode — no shuffle at all.
+    */
+  def chunkBoundaries(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkTokens, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n_tokens") - chunkTokens).cast("double") / stride)
+              .cast("long")))
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("token_start"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tokens"))
+          .as("token_end"))
+  }
+
   /** Shard-level packing summary: total tokens, number of full packs,
     * and the tail remainder a dataloader would drop or pad.
     */

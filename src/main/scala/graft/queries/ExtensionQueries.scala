@@ -373,8 +373,29 @@ object PipelineQueries extends QueryGroup {
         |SELECT node AS doc_id, min(r) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
 
+  /** Overlapping chunk boundaries (32-token chunks, 8-token overlap):
+    * shuffle-free per-row arithmetic + explode; full oracle.
+    */
+  val chunking: QueryDef = QueryDef(
+    "pipeline_chunking",
+    (s, dir) =>
+      Packing.chunkBoundaries(Tables(s, dir).documents, "text", "doc_id",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"),
+    Some(
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 32 THEN 1
+        |       ELSE 1 + CAST(ceil((n_tokens - 32) * 1.0 / 24) AS BIGINT) END AS n_chunks
+        |  FROM t),
+        |x AS (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS token_start,
+        |  least(chunk_idx * 24 + 32, n_tokens) AS token_end
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(curation, seqPacking, decontaminate, components)
+    Seq(curation, seqPacking, decontaminate, components, chunking)
 }
 
 object TextQueries extends QueryGroup {

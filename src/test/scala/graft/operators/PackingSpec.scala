@@ -45,4 +45,22 @@ class PackingSpec extends SparkSpec {
     assert(total == 16 && fullPacks == 1 && tail == 6)
     assert(fullPacks * 10 + tail == total)
   }
+
+  test("chunk boundaries: stride, clipping, and short-doc fallback") {
+    val df = docs(
+      (1L, ("w " * 10).trim),   // 10 tokens <= 32 -> one clipped chunk
+      (2L, ("w " * 32).trim),   // exactly one full chunk
+      (3L, ("w " * 40).trim))   // chunks [0,32), [24,40)
+    val out = Packing.chunkBoundaries(df, "text", "doc_id", 32, 8)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 10L),
+      (2L, 0L, 0L, 32L),
+      (3L, 0L, 0L, 32L), (3L, 1L, 24L, 40L)))
+    // every token index is covered by at least one chunk
+    val covered = out.filter(_._1 == 3L)
+      .flatMap { case (_, _, s0, e0) => s0 until e0 }.toSet
+    assert(covered == (0L until 40L).toSet)
+  }
 }

@@ -394,8 +394,74 @@ object PipelineQueries extends QueryGroup {
         |  least(chunk_idx * 24 + 32, n_tokens) AS token_end
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** Corpus profile by predicted language — the before/after-curation
+    * report: doc counts, token distribution (EXACT percentiles — Spark
+    * `percentile` and DuckDB `quantile_cont` both linear-interpolate,
+    * verified bit-equal), mean quality. One aggregate pass; the
+    * percentile sort is per-group. At 100 TB swap in approx_percentile
+    * and the gate degrades to rows-only, like the HLL metrics path.
+    */
+  val profile: QueryDef = QueryDef(
+    "pipeline_profile",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("lang_pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n")), 6).as("avg_tokens"),
+          min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"),
+          round(percentile(col("n"), lit(0.5)), 6).as("p50_tokens"),
+          round(percentile(col("n"), lit(0.9)), 6).as("p90_tokens"),
+          round(avg(col("q")), 6).as("avg_quality"))
+        .orderBy("lang_pred"),
+    Some {
+      def hits(markers: Seq[String]) = {
+        val l = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains([$l], w)))"
+      }
+      val en = hits(TextAnalysis.LangMarkers("en"))
+      val de = hits(TextAnalysis.LangMarkers("de"))
+      val fr = hits(TextAnalysis.LangMarkers("fr"))
+      val es = hits(TextAnalysis.LangMarkers("es"))
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS nw,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1) AS praw,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)::BIGINT)),
+         |        (a, b) -> a + b) * 1.0
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mwl,
+         |    $en AS en, $de AS de, $fr AS fr, $es AS es
+         |  FROM documents),
+         |q AS (SELECT nw,
+         |    round(least(nw * 1.0 / 100.0, 1.0) * 0.4
+         |        + (1.0 - least(praw * 5.0, 1.0)) * 0.4
+         |        + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+         |      AS quality,
+         |    CASE
+         |      WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |      WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |      WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |      WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |      ELSE 'es' END AS lang_pred
+         |  FROM b)
+         |SELECT lang_pred, count(*) AS n_docs,
+         |  round(avg(nw), 6) AS avg_tokens,
+         |  min(nw) AS min_tokens, max(nw) AS max_tokens,
+         |  round(quantile_cont(nw, 0.5), 6) AS p50_tokens,
+         |  round(quantile_cont(nw, 0.9), 6) AS p90_tokens,
+         |  round(avg(quality), 6) AS avg_quality
+         |FROM q GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(curation, seqPacking, decontaminate, components, chunking)
+    Seq(curation, seqPacking, decontaminate, components, chunking, profile)
 }
 
 object TextQueries extends QueryGroup {

@@ -59,9 +59,19 @@ object ConnectedComponents {
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(labels("node"), labels("label").as("_old"),
           least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
+      // pointer jumping (Shiloach–Vishkin): also take the label OF the
+      // label — path lengths to the component min roughly halve per
+      // round, so long chains converge in O(log diameter) rounds
+      // instead of O(diameter). One extra self-join on the (small)
+      // label table per round.
+      val jumpTo = stepped.select(col("node").as("jn"), col("label").as("jl"))
+      val jumped = stepped
+        .join(jumpTo, stepped("label") === col("jn"), "left")
+        .select(stepped("node"), stepped("_old"),
+          least(stepped("label"), coalesce(col("jl"), stepped("label"))).as("label"))
         .localCheckpoint(true)
-      changed = stepped.filter(col("label") < col("_old")).count()
-      labels = stepped.select("node", "label")
+      changed = jumped.filter(col("label") < col("_old")).count()
+      labels = jumped.select("node", "label")
       iter += 1
     }
     labels.withColumnRenamed("label", "component")

@@ -35,11 +35,20 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("unconverged graphs throw instead of returning wrong labels") {
-    val chain = edges((1L to 9L).map(i => (i, i + 1)): _*)
+    val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
     intercept[IllegalStateException] {
       ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 2)
         .collect()
     }
+  }
+
+  test("pointer jumping collapses a long chain in logarithmic rounds") {
+    // a 100-node chain has diameter 99; plain propagation would need
+    // ~99 rounds — with pointer jumping 12 rounds must suffice
+    val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
+    val got = ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 100 && got.values.forall(_ == 1L))
   }
 
   test("real near-dup pairs: components agree with a union-find oracle") {

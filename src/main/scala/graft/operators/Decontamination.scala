@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * corpus explodes to ~tokens rows, but those pipeline into the
   * hash-aggregate without materializing.
   *
-  * The join key is the shingle STRING (oracle-parity and exact); at
-  * very large benchmark sets hash both sides with xxhash64 first to
-  * shrink the broadcast — same plan, 2^-64 collision odds.
+  * The join key is xxhash64 of the shingle — an 8-byte broadcast entry
+  * instead of an n-word string, and a long-equality probe instead of a
+  * string compare. Counts equal the string join's up to 2^-64 hash
+  * collisions (flagging tolerates that; a scrubber that must be exact
+  * verifies flagged docs against the raw shingles).
   */
 object Decontamination {
 
@@ -32,10 +34,12 @@ object Decontamination {
       shingleN: Int = 3, minOverlap: Int = 5): DataFrame = {
     val benchShingles = broadcast(
       benchmark
-        .select(explode(Dedup.shingles(textCol, shingleN)).as("sh"))
+        .select(explode(Dedup.shingles(textCol, shingleN)).as("s"))
+        .select(xxhash64(col("s")).as("sh"))
         .distinct())
     docs
-      .select(col(idCol), explode(Dedup.shingles(textCol, shingleN)).as("sh"))
+      .select(col(idCol), explode(Dedup.shingles(textCol, shingleN)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("sh"))
       .join(benchShingles, "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc

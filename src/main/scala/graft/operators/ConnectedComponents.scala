@@ -77,6 +77,90 @@ object ConnectedComponents {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Star-contraction connected components (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the scale path for HIGH-DIAMETER graphs.
+    *
+    * Each round is two edge rewrites, both a single window aggregate
+    * over the edge list partitioned by node (no joins inside a round):
+    *
+    *  - large-star: every node u links each strictly-larger neighbour
+    *    to `min(N(u) ∪ {u})` — long tails collapse onto small ids;
+    *  - small-star: canonicalized (hi → lo) edges relink each node's
+    *    smaller neighbours (and itself) to the neighbourhood min —
+    *    stars flatten.
+    *
+    * The edge list contracts toward a forest of stars rooted at each
+    * component's min id in O(log n) rounds REGARDLESS of diameter —
+    * label propagation (even pointer-jumped) pays O(log d) rounds of a
+    * join per round, while each star round is cheaper (one shuffle per
+    * rewrite) and the edge set shrinks geometrically. Convergence is an
+    * exact set comparison (anti-join both ways), not a hash heuristic.
+    *
+    * Same output contract as [[components]]: (node, component) with
+    * component = min reachable id; the spec asserts equality.
+    */
+  def componentsStar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val raw = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // node universe BEFORE dropping self-loops — a node whose only edge
+    // is (v, v) is still a (singleton) component
+    val nodes = raw.select(col("src").as("node"))
+      .unionByName(raw.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val in = raw.filter(col("src") =!= col("dst"))
+    import org.apache.spark.sql.expressions.Window
+
+    // large-star: symmetric view, neighbourhood min per src via one
+    // window (m = least(src, min(dst) over src)); emit (dst, m) for
+    // every dst > src. Output is canonical (bigger, smaller).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy(col("src"))
+      sym.withColumn("m", least(col("src"), min(col("dst")).over(w)))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: edges already (hi, lo); relink every lo (and hi) to
+    // the neighbourhood min. Emitting (hi, m) keeps hi attached; the
+    // lo = m edge is the self-loop to drop.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+      val withMin = e.withColumn("m", min(col("dst")).over(w))
+      withMin.select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var e = largeStar(in).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"star contraction not converged after $maxIter rounds")
+      val next = largeStar(smallStar(e)).localCheckpoint(true)
+      converged =
+        next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+    // converged edge set is a forest of stars (node → component min);
+    // nodes absent as src are the roots themselves. min() guards the
+    // (impossible at convergence, cheap to enforce) multi-parent case.
+    val roots = e.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("root"))
+    nodes.join(roots, Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+  }
+
   /** Survivor remap derived from components: every non-representative
     * node mapped to its component's min id — the transitive closure of
     * pairwise near-dup remapping.

@@ -345,17 +345,8 @@ object PipelineQueries extends QueryGroup {
     * is the group's min id. Oracle = DuckDB RECURSIVE CTE computing
     * min-reachable-id over the same edges.
     */
-  val components: QueryDef = QueryDef(
-    "dedup_components",
-    (s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        Tables(s, dir).documents, "text", "doc_id", 0.95)
-      ConnectedComponents.components(pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("component"))
-        .orderBy("doc_id")
-    },
-    Some(
-      """WITH RECURSIVE
+  private val componentsOracle: String =
+    """WITH RECURSIVE
         |t AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -371,7 +362,35 @@ object PipelineQueries extends QueryGroup {
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node)
         |SELECT node AS doc_id, min(r) AS component
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  val components: QueryDef = QueryDef(
+    "dedup_components",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables(s, dir).documents, "text", "doc_id", 0.95)
+      ConnectedComponents.components(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(componentsOracle))
+
+  /** Same clusters via alternating large-star/small-star contraction —
+    * the O(log n)-round path for HIGH-DIAMETER graphs where label
+    * propagation's round count tracks the diameter. Same recursive-CTE
+    * oracle as [[components]]: both implementations must produce the
+    * identical (node, min-reachable-id) labelling.
+    */
+  val componentsStar: QueryDef = QueryDef(
+    "dedup_components_star",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables(s, dir).documents, "text", "doc_id", 0.95)
+      ConnectedComponents.componentsStar(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(componentsOracle))
 
   /** Overlapping chunk boundaries (32-token chunks, 8-token overlap):
     * shuffle-free per-row arithmetic + explode; full oracle.
@@ -461,7 +480,8 @@ object PipelineQueries extends QueryGroup {
     })
 
   def defs: Seq[QueryDef] =
-    Seq(curation, seqPacking, decontaminate, components, chunking, profile)
+    Seq(curation, seqPacking, decontaminate, components, componentsStar,
+      chunking, profile)
 }
 
 object TextQueries extends QueryGroup {
@@ -656,7 +676,48 @@ object SamplingQueries extends QueryGroup {
         |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)
         |ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(stratified)
+  /** Deterministic global shuffle for training export: MINSTD
+    * permutation key → shard + within-shard position. Arithmetic-only
+    * hash, so the oracle reproduces the identical permutation.
+    */
+  val shuffleShards: QueryDef = QueryDef(
+    "pipeline_shuffle_shards",
+    (s, dir) =>
+      graft.operators.Sampling.shuffleShards(
+          Tables(s, dir).documents, "doc_id", numShards = 8)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id"),
+    Some(
+      """WITH k AS (SELECT doc_id,
+        |  ((doc_id % 2147483647) * 742938285) % 2147483647 AS k FROM documents)
+        |SELECT doc_id, k % 8 AS shard,
+        |  row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS shard_pos
+        |FROM k ORDER BY doc_id""".stripMargin))
+
+  /** Corpus mixture: per-language deterministic take at per-group rates
+    * (all of en, half of de, a quarter of fr, 10% of the rest) — the
+    * source-weighting step before training export.
+    */
+  val mixture: QueryDef = QueryDef(
+    "pipeline_mixture",
+    (s, dir) =>
+      graft.operators.Sampling.weightedTake(
+          Tables(s, dir).documents, "lang", "doc_id",
+          weights = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25),
+          defaultWeight = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some(
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= ceil((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+        |                   WHEN 'fr' THEN 0.25 ELSE 0.1 END) * n)
+        |ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(stratified, shuffleShards, mixture)
 }
 
 object EventQueries extends QueryGroup {
@@ -775,6 +836,28 @@ object EventQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick, rangeJoin)
+}
+
+object IoQueries extends QueryGroup {
+
+  /** JSONL sink→source round trip on the real documents table: write
+    * once (JVM temp dir, build-once registry), read back with the
+    * EXPLICIT schema, and the oracle checks the round-tripped rows
+    * against the parquet original — newline/quote/non-ASCII escaping
+    * proven lossless on real data, not a toy fixture.
+    */
+  val jsonlRoundTrip: QueryDef = QueryDef(
+    "io_jsonl_roundtrip",
+    (s, dir) =>
+      graft.sources.Jsonl.roundTrip(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id"))
+
+  def defs: Seq[QueryDef] = Seq(jsonlRoundTrip)
 }
 
 object MultimodalQueries extends QueryGroup {

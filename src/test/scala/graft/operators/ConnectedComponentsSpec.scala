@@ -51,6 +51,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 100 && got.values.forall(_ == 1L))
   }
 
+  private def runStar(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    ConnectedComponents.componentsStar(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction matches label propagation on chains and clusters") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (20L, 21L), (21L, 20L))
+    assert(runStar(g) == run(g))
+  }
+
+  test("star contraction collapses a 200-node chain in few rounds") {
+    // diameter 199 — star contraction must converge in O(log n) rounds,
+    // far under the default maxIter, with every node labelled 1
+    val chain = edges((1L to 199L).map(i => (i, i + 1)): _*)
+    val got = ConnectedComponents
+      .componentsStar(chain, "id_a", "id_b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
+
+  test("star contraction handles self-loops and reversed duplicates") {
+    val g = edges((5L, 5L), (1L, 2L), (2L, 1L), (2L, 3L))
+    // 5's only edge is a self-loop → its own component
+    assert(runStar(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L))
+  }
+
+  test("real near-dup pairs: star contraction equals label propagation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b")
+    val star = runStar(pairs)
+    assert(star == run(pairs))
+    assert(star.nonEmpty)
+  }
+
   test("real near-dup pairs: components agree with a union-find oracle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)

@@ -27,6 +27,51 @@ class SamplingSpec extends SparkSpec {
     assert(below == sampledBelow)
   }
 
+  test("shuffle shards: a bijective permutation, contiguous positions") {
+    val sharded = Sampling.shuffleShards(docs, "doc_id", 8)
+    val rows = sharded.select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == docs.count())
+    // every shard's positions are exactly 0..n-1 (dense, no gaps)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard=$shard")
+    }
+    // the permutation actually shuffles: within some shard, ascending
+    // position must NOT be ascending doc_id
+    val monotone = rows.groupBy(_._2).values.forall { rs =>
+      val byPos = rs.sortBy(_._3).map(_._1)
+      byPos.sorted.toSeq == byPos.toSeq
+    }
+    assert(!monotone)
+    // deterministic across runs
+    val again = Sampling.shuffleShards(docs, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+  }
+
+  test("weighted take applies per-group rates with a default") {
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 1.0, "de" -> 0.5)
+    val got = Sampling.weightedTake(docs, "lang", "doc_id", weights, 0.1)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      val rate = weights.getOrElse(lang, 0.1)
+      assert(got(lang) == math.ceil(rate * n).toLong, s"lang=$lang")
+    }
+  }
+
+  test("weighted take at rate 1.0 keeps every row of that group") {
+    val en = docs.filter(col("lang") === "en")
+    val kept = Sampling.weightedTake(docs, "lang", "doc_id",
+        Map("en" -> 1.0), 0.0)
+    assert(kept.count() == en.count())
+    assert(kept.exceptAll(en).isEmpty)
+  }
+
   test("hash split is stable and covers all buckets disjointly") {
     val split = Sampling.hashSplit(docs, "doc_id", 10)
     val counts = split.groupBy("split_bucket").count().collect()

@@ -29,8 +29,13 @@ object ConnectedComponents {
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // checkpoint the PROJECTED input first: the symmetrizing union below
+    // scans its child plan twice (the two branches are different
+    // projections, so no exchange reuse) — for an expensive upstream
+    // like a near-dup pair join that would compute the pairs twice.
     val e = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     // localCheckpoint (not cache) everywhere the loop re-reads a frame:
     // an iterative plan that only CACHES still carries its whole logical
     // history, and each round references the prior round twice — the
@@ -103,8 +108,12 @@ object ConnectedComponents {
   def componentsStar(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    // checkpoint the projected input once: it feeds the node universe
+    // plus both branches of largeStar's symmetrizing union — three
+    // scans of what may be an expensive near-dup pair join otherwise.
     val raw = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     // node universe BEFORE dropping self-loops — a node whose only edge
     // is (v, v) is still a (singleton) component
     val nodes = raw.select(col("src").as("node"))
@@ -147,8 +156,9 @@ object ConnectedComponents {
         throw new IllegalStateException(
           s"star contraction not converged after $maxIter rounds")
       val next = largeStar(smallStar(e)).localCheckpoint(true)
-      converged =
-        next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // both sides are distinct sets, so equal counts + empty one-way
+      // difference ⇒ set equality (one difference job, not two)
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
       e = next
       iter += 1
     }

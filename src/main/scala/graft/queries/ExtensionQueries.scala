@@ -653,9 +653,50 @@ object TextQueries extends QueryGroup {
         |      / len(bg) END, 6) AS top_bigram_ratio
         |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** PII redaction over documents. The synthetic corpus contains no
+    * PII, so the gate CONSTRUCTS it deterministically per doc (email +
+    * phone + IP derived from doc_id appended to the real text) and
+    * both engines run the identical regexp chain over the identical
+    * input — a non-vacuous cross-engine check of the masking
+    * semantics, not a fixture toy.
+    */
+  val redaction: QueryDef = QueryDef(
+    "text_redaction",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pii = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com or call +155500010"),
+        (col("doc_id") % 90 + 10).cast("string"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      graft.operators.Redaction.redactDocs(
+          docs.select(col("doc_id"), pii.as("text")), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id::VARCHAR || '@mail' || (doc_id % 7)::VARCHAR
+        |    || '.example.com or call +155500010' || (doc_id % 90 + 10)::VARCHAR
+        |    || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR AS text
+        |  FROM documents),
+        |e AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |i AS (SELECT doc_id, text, t1,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM e)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\+\d{9,15}\b', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t2, '\+\d{9,15}\b')) AS n_phone
+        |FROM i ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition)
+      repetition, redaction)
 }
 
 object SamplingQueries extends QueryGroup {

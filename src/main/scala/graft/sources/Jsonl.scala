@@ -61,6 +61,21 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Streaming read of a JSONL drop directory — the continuous-ingest
+    * shape: new files land, Structured Streaming picks them up
+    * incrementally (`maxFilesPerTrigger` bounds per-batch admission so
+    * a backlog of 10⁶ files can't produce one giant batch). Explicit
+    * schema for the same reason as [[read]] — streaming inference is
+    * not even possible.
+    */
+  def readStream(
+      spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
   /** Session-lifetime registry of written JSONL copies so gate queries
     * write once per (source, tag) and re-read thereafter — the same
     * build-once pattern as [[graft.ingest.AnnIndex.ivfIndexFor]].

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RedactionSpec extends SparkSpec {
+
+  private def redactOne(text: String): (String, Long, Long, Long) = {
+    val s = spark
+    import s.implicits._
+    val r = Redaction.redactDocs(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    (r.getString(1), r.getLong(2).toLong, r.getLong(3).toLong,
+      r.getLong(4).toLong)
+  }
+
+  test("masks emails, IPs, and phones with stable tokens") {
+    val (out, ne, ni, np) = redactOne(
+      "mail alice.smith+spam@sub.example.co.uk or bob@x.io, " +
+        "ssh to 192.168.0.1 then dial +442071234567 please")
+    assert(out == "mail <EMAIL> or <EMAIL>, ssh to <IP> then dial <PHONE> please")
+    assert((ne, ni, np) == (2L, 1L, 1L))
+  }
+
+  test("word-boundary rules: embedded almost-IPs stay, standalone IPs go") {
+    // "10.0.0.1ab" matches neither pattern (host has no alpha TLD after
+    // a dot; the IP's trailing \b fails against 'a') — only the
+    // standalone 10.0.0.2 is redacted
+    val (out, ne, ni, np) = redactOne("root@10.0.0.1ab is odd, 10.0.0.2 is an ip")
+    assert(out == "root@10.0.0.1ab is odd, <IP> is an ip")
+    assert((ne, ni, np) == (0L, 1L, 0L))
+  }
+
+  test("an email whose host is dotted digits is consumed as email, not IP") {
+    val (out, ne, ni, np) = redactOne("ping admin@192.168.0.7.example.org now")
+    assert(out == "ping <EMAIL> now")
+    assert((ne, ni, np) == (1L, 0L, 0L))
+  }
+
+  test("clean text passes through untouched with zero counts") {
+    val original = "just plain words with no contact information at all"
+    val (out, ne, ni, np) = redactOne(original)
+    assert(out == original)
+    assert((ne, ni, np) == (0L, 0L, 0L))
+  }
+
+  test("phone shorter than 9 digits is left alone") {
+    val (out, _, _, np) = redactOne("call +12345678 maybe")
+    assert(out == "call +12345678 maybe" && np == 0L)
+  }
+}

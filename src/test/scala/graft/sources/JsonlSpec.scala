@@ -69,6 +69,28 @@ class JsonlSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.getString(2).startsWith("{not json"))
   }
 
+  test("streaming read ingests files incrementally as they land") {
+    val dir = freshDir("stream")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    Files.writeString(Paths.get(dir, "a.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"first\"}\n")
+    val q = Jsonl.readStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() == 1)
+      // a second file landing later is picked up incrementally
+      Files.writeString(Paths.get(dir, "b.jsonl"),
+        "{\"doc_id\": 2, \"text\": \"second\"}\n")
+      q.processAllAvailable()
+      val got = spark.table("jsonl_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "first", 2L -> "second"))
+    } finally q.stop()
+  }
+
   test("roundTrip helper writes once per tag and re-reads equal rows") {
     val original = docs.limit(20)
     val a = Jsonl.roundTrip(original, tag = s"spec-${System.nanoTime()}")

@@ -854,6 +854,34 @@ object EventQueries extends QueryGroup {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin))
 
+  /** The same as-of join through the CUSTOM CATALYST OPERATOR
+    * (graft.plans.AsOfJoinPlan: logical node → strategy → co-partitioned
+    * co-sorted single-pass merge exec, §7.3c) — checked against the
+    * identical DuckDB native ASOF oracle as the composed variant, so
+    * the custom physical plan's semantics are pinned by a third
+    * independent implementation.
+    */
+  val asofExec: QueryDef = QueryDef(
+    "events_asof_join_exec",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.plans.AsOfJoinPlan.asOf(
+          left = e.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id"),
+          right = e.filter(col("event_type") === "click")
+            .select("user_id", "ts", "event_id"),
+          keyCol = "user_id", tsCol = "ts", rightValueCol = "event_id")
+        .select(col("event_id"), col("matched_event_id"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, c.click_id AS matched_event_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin))
+
   /** Bucketized range join: clicks in the minute preceding each error.
     * Oracle states the same semantics as a plain inequality join — the
     * bucketing is purely a physical-plan strategy.
@@ -876,7 +904,8 @@ object EventQueries extends QueryGroup {
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
 
   def defs: Seq[QueryDef] =
-    Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick, rangeJoin)
+    Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
+      asofExec, rangeJoin)
 }
 
 object IoQueries extends QueryGroup {

@@ -1,0 +1,117 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinPlanSpec extends SparkSpec {
+
+  private def events = {
+    val nanos = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    nanos.withColumn("ts",
+      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Every physical node, recursing through AQE's stage wrappers
+    * (QueryStageExec keeps its stage plan as a field, not a child, so
+    * plain `collect` stops at the stage boundary).
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ nested).flatMap(allNodes)
+  }
+
+  private def executed(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    df.collect() // materialize so AQE finalizes the plan
+    allNodes(df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan)
+  }
+
+  test("exec matches the composed union+window variant on real events") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val viaExec = AsOfJoinPlan.asOf(purchases, clicks,
+        "user_id", "ts", "event_id")
+      .select(col("event_id"), col("matched_event_id"))
+    val viaWindow = AsOfJoin.asOf(purchases, clicks,
+        "user_id", "ts", "event_id")
+      .select(col("event_id"), col("matched_event_id"))
+    assert(viaExec.count() == purchases.count())
+    assert(viaExec.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaExec).isEmpty)
+  }
+
+  test("the physical plan is the merge exec, not a window") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val nodes = executed(AsOfJoinPlan.asOf(purchases, clicks,
+      "user_id", "ts", "event_id"))
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+    // both sides exchange on their keys — exactly two shuffles
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 2)
+  }
+
+  test("left rows before any right row get a null match") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 6L, 900L)).toDF("k", "t", "rid")
+    val got = AsOfJoinPlan.asOf(l, r, "k", "t", "rid")
+      .select("lid", "matched_rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // lid=100 (t=10) matches rid at t=6; lid=101 (t=5) precedes it: null;
+    // key 2 has no right rows at all: null
+    assert(got == Map(100L -> 900L, 101L -> -1L, 102L -> -1L))
+  }
+
+  test("equal timestamps match, and (key,ts) ties resolve to max value") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 900L), (1L, 10L, 950L), (1L, 9L, 800L))
+      .toDF("k", "t", "rid")
+    val got = AsOfJoinPlan.asOf(l, r, "k", "t", "rid").collect()
+    assert(got.head.getAs[Long]("matched_rid") == 950L)
+    val viaWindow = AsOfJoin.asOf(l, r, "k", "t", "rid").collect()
+    assert(viaWindow.head.getAs[Long]("matched_rid") == 950L)
+  }
+
+  test("an empty right side yields all-null matches, not an error") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 101L)).toDF("k", "t", "lid")
+    val r = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rid")
+    val got = AsOfJoinPlan.asOf(l, r, "k", "t", "rid").collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(3)))
+  }
+
+  test("a later key's candidate never leaks from an earlier key") {
+    val s = spark
+    import s.implicits._
+    // key 1 has a candidate at t=5; key 2's left row at t=50 must NOT
+    // inherit it (both keys may land in the same partition)
+    val l = Seq((1L, 10L, 100L), (2L, 50L, 101L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 900L)).toDF("k", "t", "rid")
+    val got = AsOfJoinPlan.asOf(l.repartition(1), r.repartition(1),
+        "k", "t", "rid").collect()
+      .map(x => x.getAs[Long]("lid") ->
+        (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(got == Map(100L -> 900L, 101L -> -1L))
+  }
+}

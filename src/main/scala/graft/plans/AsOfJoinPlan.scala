@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, ExprId, Expression, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, ExprId, Expression, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -40,10 +40,15 @@ object AsOfJoinPlan {
     * [[AsOfJoinExec]]. Right side is pruned to (key, ts, value) before
     * the exchange — column pruning an opaque custom node would
     * otherwise lose.
+    *
+    * `forward = true` flips the direction: the EARLIEST right row at or
+    * after the left timestamp (pandas merge_asof direction='forward');
+    * (key, ts) ties still resolve to the max value in both directions.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, rightValueCol: String): DataFrame = {
+      keyCol: String, tsCol: String, rightValueCol: String,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     PlanBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)
@@ -71,6 +76,7 @@ object AsOfJoinPlan {
       matchedName = s"matched_$rightValueCol",
       matchedId = NamedExpression.newExprId,
       matchedType = rv.dataType,
+      forward = forward,
       left = lPlan, right = rPlan)
     PlanBridge.ofRows(spark, node)
   }
@@ -86,6 +92,7 @@ case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightValue: Expression,
     matchedName: String, matchedId: ExprId, matchedType: DataType,
+    forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
 
   private def matchedAttr: AttributeReference =
@@ -106,8 +113,8 @@ case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, rk, lt, rt, rv, mName, mId, mType, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, rv, mName, mId, mType,
+    case AsOfJoinNode(lk, rk, lt, rt, rv, mName, mId, mType, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, rv, mName, mId, mType, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -127,6 +134,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightValue: Expression,
     matchedName: String, matchedId: ExprId, matchedType: DataType,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   private def matchedAttr: AttributeReference =
@@ -146,8 +154,12 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) ++
-      Seq(SortOrder(rightTs, Ascending), SortOrder(rightValue, Ascending)))
+    // value ordering makes (key, ts) ties deterministic at max value:
+    // backward keeps the LAST candidate seen (so value ascending),
+    // forward takes the FIRST row at the match position (so descending)
+    rightKeys.map(SortOrder(_, Ascending)) ++ Seq(
+      SortOrder(rightTs, Ascending),
+      SortOrder(rightValue, if (forward) Descending else Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -182,26 +194,48 @@ case class AsOfJoinExec(
       val nullValue = new GenericInternalRow(1)
 
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-      var candKey: InternalRow = null // copied key of the candidate
-      var candVal: InternalRow = null // copied 1-col value row
 
-      lIter.map { l =>
-        val lKey = lKeyProj(l)
-        var scanning = rRow != null
-        while (scanning) {
-          val c = keyOrd.compare(rKeyProj(rRow), lKey)
-          if (c < 0 || (c == 0 && tsOrd.compare(rTsProj(rRow), lTsProj(l)) <= 0)) {
-            if (c == 0) {
-              candKey = rKeyProj(rRow).copy()
-              candVal = rValProj(rRow).copy()
-            }
-            rRow = if (rIter.hasNext) rIter.next() else null
-            scanning = rRow != null
-          } else scanning = false
+      if (!forward) {
+        // backward ("at or before"): consume right rows up to the left
+        // ts, remembering the last same-key row seen as the candidate
+        var candKey: InternalRow = null // copied key of the candidate
+        var candVal: InternalRow = null // copied 1-col value row
+        lIter.map { l =>
+          val lKey = lKeyProj(l)
+          var scanning = rRow != null
+          while (scanning) {
+            val c = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (c < 0 || (c == 0 && tsOrd.compare(rTsProj(rRow), lTsProj(l)) <= 0)) {
+              if (c == 0) {
+                candKey = rKeyProj(rRow).copy()
+                candVal = rValProj(rRow).copy()
+              }
+              rRow = if (rIter.hasNext) rIter.next() else null
+              scanning = rRow != null
+            } else scanning = false
+          }
+          val matched =
+            candKey != null && keyOrd.compare(candKey, lKeyProj(l)) == 0
+          outProj(joined(l, if (matched) candVal else nullValue))
         }
-        val matched =
-          candKey != null && keyOrd.compare(candKey, lKeyProj(l)) == 0
-        outProj(joined(l, if (matched) candVal else nullValue))
+      } else {
+        // forward ("at or after"): skip right rows strictly before the
+        // left ts; the right HEAD then is the match (not consumed — it
+        // may serve several left rows), no candidate state at all
+        lIter.map { l =>
+          val lKey = lKeyProj(l)
+          var scanning = rRow != null
+          while (scanning) {
+            val c = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (c < 0 || (c == 0 && tsOrd.compare(rTsProj(rRow), lTsProj(l)) < 0)) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+              scanning = rRow != null
+            } else scanning = false
+          }
+          val matched =
+            rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0
+          outProj(joined(l, if (matched) rValProj(rRow) else nullValue))
+        }
       }
     }
   }

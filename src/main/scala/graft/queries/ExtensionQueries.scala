@@ -882,6 +882,32 @@ object EventQueries extends QueryGroup {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin))
 
+  /** Forward as-of through the custom exec: each purchase matched to
+    * the user's EARLIEST click at or after it — DuckDB's ASOF with `>=`
+    * is the independent oracle for the flipped direction.
+    */
+  val asofExecForward: QueryDef = QueryDef(
+    "events_asof_join_fwd",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.plans.AsOfJoinPlan.asOf(
+          left = e.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id"),
+          right = e.filter(col("event_type") === "click")
+            .select("user_id", "ts", "event_id"),
+          keyCol = "user_id", tsCol = "ts", rightValueCol = "event_id",
+          forward = true)
+        .select(col("event_id"), col("matched_event_id"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, c.click_id AS matched_event_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin))
+
   /** Bucketized range join: clicks in the minute preceding each error.
     * Oracle states the same semantics as a plain inequality join — the
     * bucketing is purely a physical-plan strategy.
@@ -905,7 +931,7 @@ object EventQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
-      asofExec, rangeJoin)
+      asofExec, asofExecForward, rangeJoin)
 }
 
 object IoQueries extends QueryGroup {

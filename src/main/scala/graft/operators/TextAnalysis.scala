@@ -151,4 +151,38 @@ object TextAnalysis {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }
+
+  /** Unigram language-model quality score (the CCNet-style proxy for
+    * "does this look like the corpus"): per doc, the mean log
+    * probability of its tokens under the corpus's own unigram
+    * distribution. Repetitive/common-word documents score high (close
+    * to 0), rare-vocabulary and gibberish documents score low (very
+    * negative) — the standard threshold signal for keeping/binning
+    * documents into quality tiers.
+    *
+    * Plan: one token explode feeds a per-(doc, term) count; corpus term
+    * frequencies derive from THAT (a second, vocabulary-bounded
+    * aggregate — no second corpus scan); the corpus total is a 1-row
+    * broadcast. Two shuffles total (term, then doc id), both carrying
+    * counts, never text. Float accumulation order makes the score
+    * oracle-unfriendly (rows-only gate); the unit spec pins semantics.
+    */
+  def unigramLogProbScore(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val total = corpus.agg(sum(col("cnt")).as("n_total"))
+    tf.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        round(
+          sum(col("tf") * (log(col("cnt")) - log(col("n_total"))))
+            / sum(col("tf")), 6).as("avg_logprob"))
+  }
 }

@@ -694,9 +694,21 @@ object TextQueries extends QueryGroup {
         |  len(regexp_extract_all(t2, '\+\d{9,15}\b')) AS n_phone
         |FROM i ORDER BY doc_id""".stripMargin))
 
+  /** Unigram-LM quality score — float log accumulation is
+    * order-dependent across engines, so rows-only by design (like the
+    * hash-defined dedup gates); TextAnalysisSpec pins the semantics.
+    */
+  val unigramLogProb: QueryDef = QueryDef(
+    "text_unigram_logprob",
+    (s, dir) =>
+      TextAnalysis.unigramLogProbScore(
+          Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition, redaction)
+      repetition, redaction, unigramLogProb)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -51,6 +51,33 @@ object ScaleCheck {
       saltFactor = 4, hotBucketThreshold = 5000))
     time(s"minhash_${dup}x", Dedup.minhashNearDups(blown, "text", "doc_id",
       saltFactor = 4, hotBucketThreshold = 5000))
+
+    // connected components over the duplicated corpus's near-dup pairs
+    // (each 1x cluster chains across all dup copies — components count
+    // must stay at the 1x value while membership grows dup-fold), plus
+    // an adversarial 100k-node CHAIN where round count, not edge
+    // volume, is the stressor: label propagation's pointer jumping
+    // needs O(log diameter) join rounds; star contraction O(log n)
+    // window rounds on a shrinking edge list.
+    import graft.operators.ConnectedComponents
+    val pairs1x = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95)
+      .localCheckpoint(true)
+    val pairsBig = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+      .localCheckpoint(true)
+    time("components_labelprop_1x",
+      ConnectedComponents.components(pairs1x, "id_a", "id_b"))
+    time("components_star_1x",
+      ConnectedComponents.componentsStar(pairs1x, "id_a", "id_b"))
+    time(s"components_labelprop_${dup}x",
+      ConnectedComponents.components(pairsBig, "id_a", "id_b"))
+    time(s"components_star_${dup}x",
+      ConnectedComponents.componentsStar(pairsBig, "id_a", "id_b"))
+    val chain = spark.range(0, 100000)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    time("chain100k_labelprop",
+      ConnectedComponents.components(chain.toDF, "id_a", "id_b", maxIter = 40))
+    time("chain100k_star",
+      ConnectedComponents.componentsStar(chain.toDF, "id_a", "id_b"))
     spark.stop()
   }
 }

@@ -27,10 +27,14 @@ object PlanBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
 
-  /** Idempotently add a planner strategy to the session. */
-  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
-  }
+  /** Idempotently add a planner strategy to the session (synchronized —
+    * the read-check-append on `extraStrategies` is not atomic, and gate
+    * queries may build plans concurrently).
+    */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit =
+    PlanBridge.synchronized {
+      val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
 }

@@ -88,4 +88,37 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0.0, 0.0),
       (4L, 0.6, 0.5)))
   }
+
+  test("unigram log-prob: common-word docs outscore rare-word docs") {
+    val s2 = spark
+    import s2.implicits._
+    // "the" appears 8x in the corpus, "zyx"/"qwv" once each — doc 1's
+    // tokens are all common, doc 3's all rare
+    val df = Seq(
+      (1L, "the the the the"),
+      (2L, "the the the the zyx"),
+      (3L, "zyx qwv"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val n = 11.0 // total tokens: 4 + 5 + 2... recounted below
+    assert(got(1L)._1 == 4L && got(2L)._1 == 5L && got(3L)._1 == 2L)
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+    // exact value check for doc 1: all tokens "the" (8 of 11 corpus
+    // tokens) -> avg logprob = ln(8/11)
+    assert(math.abs(got(1L)._2 - math.log(8.0 / n)) < 1e-6)
+  }
+
+  test("unigram log-prob is invariant to word order") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta alpha alpha gamma"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == got(2L))
+  }
 }

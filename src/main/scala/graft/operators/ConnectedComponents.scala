@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * min of its own label and its neighbours' labels; a round is one
   * join + one aggregate, all key-partitioned — no driver-side graph.
   * The driver coordinates ROUNDS (a scalar changed-count per round,
-  * the standard shape for iterative graph algorithms on Spark) and
-  * rounds are O(graph diameter). Near-dup graphs are dense clusters
-  * with tiny diameters (2-3 rounds); for adversarial long-chain
-  * graphs switch to star-contraction (large-star/small-star), which
-  * the same loop structure accommodates.
+  * the standard shape for iterative graph algorithms on Spark); with
+  * pointer jumping, rounds are O(log diameter). Near-dup graphs are
+  * dense clusters with tiny diameters (2-3 rounds); for adversarial
+  * or unknown graph shapes use [[componentsStar]] — same output
+  * contract, O(log n) rounds regardless of diameter (measured
+  * comparison in PERF.md / tools.ScaleCheck).
   */
 object ConnectedComponents {
 

@@ -67,6 +67,15 @@ object AsOfJoinPlan {
       rPlan.projectList.find(_.name == name).get.toAttribute
 
     val rv = rAttrOf(rightValueCol)
+    // the merge compares left-projected and right-projected rows with
+    // ONE generated ordering per schema — mismatched types would make
+    // it misread row bytes, so fail loudly here instead
+    require(attrOf(lPlan, keyCol).dataType == rAttrOf(keyCol).dataType,
+      s"as-of key type mismatch: left $keyCol is " +
+        s"${attrOf(lPlan, keyCol).dataType}, right is ${rAttrOf(keyCol).dataType}")
+    require(attrOf(lPlan, tsCol).dataType == rAttrOf(tsCol).dataType,
+      s"as-of ts type mismatch: left $tsCol is " +
+        s"${attrOf(lPlan, tsCol).dataType}, right is ${rAttrOf(tsCol).dataType}")
     val node = AsOfJoinNode(
       leftKeys = Seq(attrOf(lPlan, keyCol)),
       rightKeys = Seq(rAttrOf(keyCol)),
@@ -165,6 +174,12 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -179,6 +194,8 @@ case class AsOfJoinExec(
     val tsFields = StructType(
       Seq(StructField("t", lt.dataType, nullable = true)))
     val outAttrs = output
+    val numOutput = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
@@ -216,6 +233,8 @@ case class AsOfJoinExec(
           }
           val matched =
             candKey != null && keyOrd.compare(candKey, lKeyProj(l)) == 0
+          numOutput += 1
+          if (matched) numMatched += 1
           outProj(joined(l, if (matched) candVal else nullValue))
         }
       } else {
@@ -234,6 +253,8 @@ case class AsOfJoinExec(
           }
           val matched =
             rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0
+          numOutput += 1
+          if (matched) numMatched += 1
           outProj(joined(l, if (matched) rValProj(rRow) else nullValue))
         }
       }

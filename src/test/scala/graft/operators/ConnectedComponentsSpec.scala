@@ -71,6 +71,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == 200 && got.values.forall(_ == 1L))
   }
 
+  test("star contraction throws past maxIter instead of wrong labels") {
+    val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
+    intercept[IllegalStateException] {
+      ConnectedComponents.componentsStar(chain, "id_a", "id_b", maxIter = 1)
+        .collect()
+    }
+  }
+
   test("star contraction handles self-loops and reversed duplicates") {
     val g = edges((5L, 5L), (1L, 2L), (2L, 1L), (2L, 3L))
     // 5's only edge is a self-loop → its own component

@@ -144,6 +144,16 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(fwd.filter(col("matched_event_id").isNotNull).count() > 0)
   }
 
+  test("mismatched ts types fail loudly instead of misreading bytes") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val r = Seq((1L, "2024-01-01", 900L)).toDF("k", "t", "rid")
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOf(l, r, "k", "t", "rid")
+    }
+  }
+
   test("a later key's candidate never leaks from an earlier key") {
     val s = spark
     import s.implicits._

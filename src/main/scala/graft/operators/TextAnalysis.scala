@@ -170,14 +170,19 @@ object TextAnalysis {
   def unigramLogProbScore(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val corpus = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
-    val total = corpus.agg(sum(col("cnt")).as("n_total"))
-    tf.join(corpus, "term")
-      .crossJoin(broadcast(total))
+    // corpus term frequency as a WINDOW over the per-doc counts — no
+    // separate aggregate + join back (which would recompute the tf
+    // subtree); the only other tf consumer is the 1-row total, whose
+    // exchange AQE reuses
+    val withCnt = tf.withColumn("cnt",
+      sum(col("tf")).over(Window.partitionBy(col("term"))))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
+    withCnt.crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).cast("long").as("n_tokens"),

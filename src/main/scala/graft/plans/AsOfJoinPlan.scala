@@ -48,14 +48,27 @@ object AsOfJoinPlan {
   def asOf(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, rightValueCol: String,
+      forward: Boolean = false): DataFrame =
+    asOfMultiKey(left, right, Seq(keyCol), tsCol, rightValueCol, forward)
+
+  /** Composite-key as-of: equality on every column of `keyCols`, then
+    * the temporal match on `tsCol` — e.g. (user, event_type). The exec
+    * hashes and orders on all key columns; the merge's key comparison
+    * is one generated ordering over the composite.
+    */
+  def asOfMultiKey(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, rightValueCol: String,
       forward: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "as-of needs at least one key column")
     val spark = left.sparkSession
     PlanBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = PlanBridge.analyzed(left)
     // fresh exprIds on the right so self-joins (left and right carved
     // from the same source) don't alias each other's attributes
-    val rAnalyzed = PlanBridge.analyzed(
-      right.select(keyCol, tsCol, rightValueCol))
+    val rAnalyzed = PlanBridge.analyzed(right.select(
+      (keyCols :+ tsCol :+ rightValueCol)
+        .map(org.apache.spark.sql.functions.col): _*))
     val rPlan = Project(
       rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
 
@@ -70,15 +83,14 @@ object AsOfJoinPlan {
     // the merge compares left-projected and right-projected rows with
     // ONE generated ordering per schema — mismatched types would make
     // it misread row bytes, so fail loudly here instead
-    require(attrOf(lPlan, keyCol).dataType == rAttrOf(keyCol).dataType,
-      s"as-of key type mismatch: left $keyCol is " +
-        s"${attrOf(lPlan, keyCol).dataType}, right is ${rAttrOf(keyCol).dataType}")
-    require(attrOf(lPlan, tsCol).dataType == rAttrOf(tsCol).dataType,
-      s"as-of ts type mismatch: left $tsCol is " +
-        s"${attrOf(lPlan, tsCol).dataType}, right is ${rAttrOf(tsCol).dataType}")
+    (keyCols :+ tsCol).foreach { c =>
+      require(attrOf(lPlan, c).dataType == rAttrOf(c).dataType,
+        s"as-of column type mismatch: left $c is " +
+          s"${attrOf(lPlan, c).dataType}, right is ${rAttrOf(c).dataType}")
+    }
     val node = AsOfJoinNode(
-      leftKeys = Seq(attrOf(lPlan, keyCol)),
-      rightKeys = Seq(rAttrOf(keyCol)),
+      leftKeys = keyCols.map(attrOf(lPlan, _)),
+      rightKeys = keyCols.map(rAttrOf),
       leftTs = attrOf(lPlan, tsCol),
       rightTs = rAttrOf(tsCol),
       rightValue = rv,

@@ -920,6 +920,40 @@ object EventQueries extends QueryGroup {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id""".stripMargin))
 
+  /** Composite-key as-of through the custom exec: purchases matched to
+    * the latest click of the same user on the same derived "device"
+    * bucket (props.k mod 4) — equality on BOTH key columns plus the
+    * temporal condition, oracled by DuckDB ASOF with two equalities.
+    */
+  val asofExecMultiKey: QueryDef = QueryDef(
+    "events_asof_join_multikey",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .withColumn("dev",
+          pmod(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,long>"))("k"),
+            lit(4L)))
+      graft.plans.AsOfJoinPlan.asOfMultiKey(
+          left = e.filter(col("event_type") === "purchase")
+            .select("user_id", "dev", "ts", "event_id"),
+          right = e.filter(col("event_type") === "click")
+            .select("user_id", "dev", "ts", "event_id"),
+          keyCols = Seq("user_id", "dev"), tsCol = "ts",
+          rightValueCol = "event_id")
+        .select(col("event_id"), col("matched_event_id"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH b AS (SELECT user_id, event_type, ts, event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS dev FROM events),
+        |p AS (SELECT user_id, dev, ts, event_id FROM b WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, dev, ts, max(event_id) AS click_id FROM b
+        |      WHERE event_type = 'click' GROUP BY user_id, dev, ts)
+        |SELECT p.event_id, c.click_id AS matched_event_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.dev = c.dev AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin))
+
   /** Bucketized range join: clicks in the minute preceding each error.
     * Oracle states the same semantics as a plain inequality join — the
     * bucketing is purely a physical-plan strategy.
@@ -943,7 +977,7 @@ object EventQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
-      asofExec, asofExecForward, rangeJoin)
+      asofExec, asofExecForward, asofExecMultiKey, rangeJoin)
 }
 
 object IoQueries extends QueryGroup {

@@ -144,6 +144,21 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(fwd.filter(col("matched_event_id").isNotNull).count() > 0)
   }
 
+  test("composite keys: equality on every key column, temporal on ts") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, "a", 10L, 100L), (1L, "b", 10L, 101L))
+      .toDF("k1", "k2", "t", "lid")
+    val r = Seq((1L, "a", 5L, 900L), (1L, "b", 9L, 901L), (1L, "c", 1L, 902L))
+      .toDF("k1", "k2", "t", "rid")
+    val got = AsOfJoinPlan.asOfMultiKey(l, r, Seq("k1", "k2"), "t", "rid")
+      .collect()
+      .map(x => x.getAs[Long]("lid") ->
+        (if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    // (1,a) matches only the (1,a) right row; (1,b) only (1,b)
+    assert(got == Map(100L -> 900L, 101L -> 901L))
+  }
+
   test("mismatched ts types fail loudly instead of misreading bytes") {
     val s = spark
     import s.implicits._

@@ -76,6 +76,69 @@ object Packing {
           .as("token_end"))
   }
 
+  /** Best-fit-decreasing bin packing per shard — the PADDING-MINIMIZING
+    * alternative to concat-and-chunk: documents never split across
+    * sequences; instead each doc goes into the fullest bin it still
+    * fits (docs longer than `seqLen` get a bin alone, flagged
+    * oversize). The classic offline packing used when samples must stay
+    * contiguous (instruction tuning, contrastive pairs).
+    *
+    * Distribution: one shuffle partitioning by shard, a per-shard sort
+    * (n_tokens descending, id ascending — the "decreasing" in BFD and
+    * the determinism tiebreak), then a single per-partition pass whose
+    * state is a TreeMap of (remaining capacity, bin) — best fit is a
+    * ceiling lookup, O(log bins) per doc. State is per-shard bins only
+    * (≤ docs-in-shard), reset at every shard boundary inside the
+    * partition, so executor memory is bounded by the largest shard's
+    * BIN COUNT, not its token volume. Greedy-sequential is inherent to
+    * BFD itself — parallelism comes from sharding, exactly like the
+    * window in [[packAssignments]].
+    *
+    * Not SQL-expressible (iterative greedy state) → rows-only gate;
+    * PackingSpec pins exact assignments on a known-optimal fixture and
+    * the capacity/coverage invariants on real data.
+    */
+  def packBestFit(
+      df: DataFrame, textCol: String, idCol: String,
+      seqLen: Int, numShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.select(
+        shardOf(col(idCol), numShards).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        col(idCol).cast("long").as("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(
+        col("shard"), col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+    sized.mapPartitions { rows =>
+      // (remaining, binIdx) -> binIdx; rangeFrom((n, -1)) head = the
+      // FULLEST bin that still fits n, lowest bin id among equals
+      var curShard = Long.MinValue
+      var bins: scala.collection.mutable.TreeMap[(Long, Long), Long] = null
+      var nextBin = 0L
+      rows.map { case (shard, n, id) =>
+        if (shard != curShard || bins == null) {
+          curShard = shard
+          bins = scala.collection.mutable.TreeMap.empty
+          nextBin = 0L
+        }
+        val fit = bins.rangeFrom((n, -1L)).headOption
+        val (bin, remaining) = fit match {
+          case Some(((rem, _), b)) =>
+            bins.remove((rem, b))
+            (b, rem - n)
+          case None =>
+            val b = nextBin
+            nextBin += 1
+            (b, math.max(seqLen.toLong - n, 0L))
+        }
+        if (remaining > 0) bins.update((remaining, bin), bin)
+        (id, shard, n, bin, n > seqLen)
+      }
+    }.toDF("doc_id", "shard", "n_tokens", "bin", "oversize")
+  }
+
   /** Shard-level packing summary: total tokens, number of full packs,
     * and the tail remainder a dataloader would drop or pad.
     */

@@ -479,9 +479,21 @@ object PipelineQueries extends QueryGroup {
          |FROM q GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
     })
 
+  /** Best-fit-decreasing bin packing (docs never split; padding
+    * minimized). Iterative greedy state is not SQL-expressible —
+    * rows-only; PackingSpec pins exact assignments and invariants.
+    */
+  val packBestFit: QueryDef = QueryDef(
+    "pipeline_pack_bestfit",
+    (s, dir) =>
+      Packing.packBestFit(Tables(s, dir).documents, "text", "doc_id",
+          seqLen = 128, numShards = 8)
+        .orderBy("doc_id"),
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
-      chunking, profile)
+      chunking, profile, packBestFit)
 }
 
 object TextQueries extends QueryGroup {

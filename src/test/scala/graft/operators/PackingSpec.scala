@@ -63,4 +63,54 @@ class PackingSpec extends SparkSpec {
       .flatMap { case (_, _, s0, e0) => s0 until e0 }.toSet
     assert(covered == (0L until 40L).toSet)
   }
+
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("best-fit-decreasing reproduces the known-optimal packing") {
+    // one shard (ids ≡ 0 mod 8); sizes 6,4,5,5 with seqLen 10 pack into
+    // exactly two full bins: [6+4] and [5+5]
+    val df = docs((0L, words(6)), (8L, words(4)), (16L, words(5)), (24L, words(5)))
+    val out = Packing.packBestFit(df, "text", "doc_id", seqLen = 10, numShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // sorted decreasing: id0(6)→bin0, id16(5)→bin1, id24(5)→bin1, id8(4)→bin0
+    assert(out == Map(0L -> 0L, 16L -> 1L, 24L -> 1L, 8L -> 0L))
+  }
+
+  test("best-fit bins never exceed capacity; oversize docs sit alone") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.packBestFit(real, "text", "doc_id", seqLen = 64, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // every doc placed exactly once
+    assert(out.map(_._1).distinct.length == real.count())
+    out.groupBy(x => (x._2, x._4)).foreach { case ((shard, bin), rs) =>
+      val total = rs.map(_._3).sum
+      if (rs.exists(_._5)) // oversize: alone in its bin
+        assert(rs.length == 1, s"oversize doc shares bin $bin in shard $shard")
+      else
+        assert(total <= 64, s"bin $bin in shard $shard holds $total tokens")
+    }
+    // oversize flag matches reality
+    out.foreach { case (id, _, n, _, over) =>
+      assert(over == (n > 64), s"doc $id n=$n flagged $over")
+    }
+    // determinism
+    val again = Packing.packBestFit(real, "text", "doc_id", 64, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == out.map(x => (x._1, x._4)).toSet)
+  }
+
+  test("best-fit wastes no more capacity than concat-and-chunk's tail") {
+    // lower bound: bins_used >= ceil(total/seqLen) per shard
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.packBestFit(real, "text", "doc_id", seqLen = 256, numShards = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (shard, rs) =>
+      val total = rs.map(_._2).sum
+      val bins = rs.map(_._3).distinct.length
+      assert(bins >= math.ceil(total / 256.0).toInt, s"shard $shard impossible")
+      // BFD on sub-capacity docs is within 2x of the fractional bound
+      assert(bins <= 2 * math.ceil(total / 256.0).toInt + 1, s"shard $shard wasteful")
+    }
+  }
 }

@@ -75,6 +75,28 @@ object Dedup {
   def exactRemap(df: DataFrame, textCol: String, idCol: String): DataFrame =
     remapByKey(df, col(textCol), idCol)
 
+  /** Survivor selection by PRIORITY, not min id — what production
+    * dedup actually wants: among duplicates, keep the highest-quality
+    * copy (longest, best score, freshest) and remap the rest to it.
+    * `priority` is any column expression; ties break on the lower id
+    * so the choice is total and deterministic. Same single-shuffle
+    * window shape as [[remapByKey]] (the shuffle still carries the
+    * 32-byte hash + priority scalar, never the text).
+    */
+  def remapByKeyPriority(
+      df: DataFrame, key: Column, idCol: String,
+      priority: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(col("_priority").desc, col(idCol))
+    df.select(col(idCol), sha2(key.cast("string"), 256).as("content_hash"),
+        priority.as("_priority"))
+      .withColumn("survivor", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col(idCol) =!= col("survivor"))
+      .select(col(idCol), col("survivor"))
+  }
+
   /** Word-order/whitespace/case-insensitive content key: the sorted
     * distinct token set as one string. Catches shuffled or reformatted
     * copies that byte-exact dedup misses.

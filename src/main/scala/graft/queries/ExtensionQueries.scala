@@ -107,8 +107,28 @@ object DedupQueries extends QueryGroup {
         |SELECT k.doc_id, m.survivor FROM k JOIN m USING (key)
         |WHERE k.doc_id <> m.survivor ORDER BY k.doc_id""".stripMargin))
 
+  /** Priority survivor selection: same normalized-set groups as
+    * [[remap]], but the LONGEST copy survives (ties → lower id) — the
+    * keep-the-best-duplicate policy production dedup uses.
+    */
+  val remapPriority: QueryDef = QueryDef(
+    "dedup_remap_priority",
+    (s, dir) =>
+      Dedup.remapByKeyPriority(Tables(s, dir).documents,
+          Dedup.normalizedSetKey("text"), "doc_id", col("n_chars"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ') AS key
+        |FROM documents),
+        |m AS (SELECT key, first(doc_id ORDER BY n_chars DESC, doc_id) AS survivor
+        |      FROM k GROUP BY key)
+        |SELECT k.doc_id, m.survivor FROM k JOIN m USING (key)
+        |WHERE k.doc_id <> m.survivor ORDER BY k.doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(exact, remap, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+    Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
+      embeddingCosine)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -29,6 +29,36 @@ class DedupSpec extends SparkSpec {
     assert(remap == Set((2L, 1L), (3L, 1L))) // survivors and uniques absent
   }
 
+  test("priority remap keeps the highest-priority copy, ties to lower id") {
+    val s = spark
+    import s.implicits._
+    // same normalized word set, different raw lengths — doc 7 is the
+    // longest copy so IT survives; docs 5 and 9 tie at quality 2 in
+    // another group, lower id 5 survives
+    val df = Seq(
+      (1L, "aa bb", 5L), (7L, "bb  aa", 6L), (4L, "aa  bb", 5L),
+      (5L, "cc dd", 2L), (9L, "dd cc", 2L))
+      .toDF("doc_id", "text", "quality")
+    val remap = Dedup.remapByKeyPriority(df,
+        Dedup.normalizedSetKey("text"), "doc_id",
+        org.apache.spark.sql.functions.col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(remap == Set((1L, 7L), (4L, 7L), (9L, 5L)))
+  }
+
+  test("priority remap equals min-id remap when priority is constant") {
+    val docs001 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.remapByKey(docs001,
+        Dedup.normalizedSetKey("text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.remapByKeyPriority(docs001,
+        Dedup.normalizedSetKey("text"), "doc_id",
+        org.apache.spark.sql.functions.lit(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("shingles: n-gram windows, distinct, short-text fallback") {
     val df = docs((1L, "a b c d"), (2L, "x y"))
     val sh = df.select(col("doc_id"), Dedup.shingles("text", 3).as("s"))

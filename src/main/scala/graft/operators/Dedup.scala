@@ -125,6 +125,43 @@ object Dedup {
           i => concat_ws(" ", slice(w, i + 1, lit(n))))))
   }
 
+  /** Doc pairs sharing ≥ `minSpans` distinct VERBATIM n-token windows —
+    * the exact-substring copy signal (the "repeated substrings across
+    * documents" family of training-data dedup): catches copy-paste
+    * overlap between otherwise-different documents, which set-Jaccard
+    * dilutes away on long docs.
+    *
+    * Shuffle shape: per-doc distinct spans explode once, the self-join
+    * runs on 64-bit span hashes (8-byte keys, never text), and a
+    * document-frequency PREFILTER drops spans outside [2, maxSpanDf]
+    * before the join — df=1 spans can't pair at all, and boilerplate
+    * present in thousands of docs would otherwise blow up the join
+    * quadratically (one ubiquitous span → df² candidate rows through
+    * one key). The guard is the standard boilerplate defense and makes
+    * the worst key cost maxSpanDf², a constant the caller picks.
+    */
+  def sharedSpanPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8, minSpans: Int = 1,
+      maxSpanDf: Int = 1000): DataFrame = {
+    requireLongCastableId(df, idCol)
+    val spans = df.select(
+      col(idCol).cast("long").as("id"),
+      explode(shingles(textCol, spanTokens)).as("span"))
+      .select(col("id"), xxhash64(col("span")).as("h"))
+    val keep = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df").between(2, maxSpanDf))
+      .select("h")
+    val pruned = spans.join(keep, "h")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .filter(col("shared_spans") >= minSpans)
+  }
+
   /** MinHash signature of the shingle set: k permutations of the universal
     * family h_i(x) = (a_i·x + b_i) mod p over xxhash64(shingle).
     * p = 2³¹−1 keeps every product below 2^62 — exact long arithmetic

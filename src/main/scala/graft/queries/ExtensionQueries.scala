@@ -126,9 +126,28 @@ object DedupQueries extends QueryGroup {
         |SELECT k.doc_id, m.survivor FROM k JOIN m USING (key)
         |WHERE k.doc_id <> m.survivor ORDER BY k.doc_id""".stripMargin))
 
+  /** Exact shared-span pairs (verbatim 5-token windows, boilerplate
+    * guard at df ≤ 100) — the copy-paste signal, full oracle.
+    */
+  val sharedSpans: QueryDef = QueryDef(
+    "dedup_shared_spans",
+    (s, dir) =>
+      Dedup.sharedSpanPairs(Tables(s, dir).documents, "text", "doc_id",
+          spanTokens = 5, minSpans = 1, maxSpanDf = 100)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws) - 3), i -> array_to_string(list_slice(ws, i, i + 4), ' ')) END)) AS s FROM w),
+        |d AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |keep AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (s) WHERE d.df BETWEEN 2 AND 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_spans
+        |FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine)
+      embeddingCosine, sharedSpans)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -59,6 +59,31 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("shared spans: verbatim window pairs, boilerplate guard") {
+    // docs 1,2 share the verbatim window "p q r s t"; doc 3 has the
+    // same words shuffled (no shared 5-window); "x x x x x" appears in
+    // ALL four docs — with maxSpanDf=3 it is dropped as boilerplate
+    val df = docs(
+      (1L, "p q r s t x x x x x"),
+      (2L, "a p q r s t b x x x x x"),
+      (3L, "t s r q p x x x x x"),
+      (4L, "u v w y z x x x x x"))
+    val out = Dedup.sharedSpanPairs(df, "text", "doc_id",
+        spanTokens = 5, minSpans = 1, maxSpanDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc2's windows: "a p q r s","p q r s t","q r s t b","r s t b x",
+    // "s t b x x","t b x x x","b x x x x","x x x x x" — only
+    // "p q r s t" is shared with doc 1 (the x-run is df=4 > 3)
+    assert(out.toSet == Set((1L, 2L, 1L)))
+    // raising the guard lets the boilerplate through: every pair shares
+    // the x-run
+    val loose = Dedup.sharedSpanPairs(df, "text", "doc_id",
+        spanTokens = 5, minSpans = 1, maxSpanDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+  }
+
   test("shingles: n-gram windows, distinct, short-text fallback") {
     val df = docs((1L, "a b c d"), (2L, "x y"))
     val sh = df.select(col("doc_id"), Dedup.shingles("text", 3).as("s"))

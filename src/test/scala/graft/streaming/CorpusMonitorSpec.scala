@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusMonitorSpec extends SparkSpec {
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    // window 10:00: two english docs (one low quality), one german
+    (ts(1), "the quick brown fox jumps over the lazy dog and runs on"),
+    (ts(2), "!!! ??? ... !!!"),
+    (ts(3), "der hund und die katze sind im haus mit dem mann"),
+    // window 10:30: one english doc
+    (ts(31), "a tale of two cities was published in the year with many pages"))
+
+  test("streaming windows emit per-language quality aggregates") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(java.sql.Timestamp, String)](s)
+    val q = CorpusMonitor.qualityByWindow(
+        in.toDF.toDF("ts", "text"), "ts", "text",
+        windowDuration = "30 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("corpus_monitor")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("corpus_monitor")
+        .orderBy("window_start", "lang_pred")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      // 10:00 window: en + de + und (the junk doc); 10:30 window: en
+      assert(got.length == 4)
+      assert(got.count(_._1 == ts(0)) == 3)
+      assert(got.count(_._1 == ts(30)) == 1)
+      val en1000 = spark.table("corpus_monitor")
+        .filter(col("lang_pred") === "en" &&
+          col("window_start") === ts(0)).collect().head
+      assert(en1000.getLong(2) >= 1) // at least the good english doc
+    } finally q.stop()
+  }
+
+  test("batch and streaming produce identical aggregates") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = CorpusMonitor.qualityByWindow(
+        rows.toDF("ts", "text"), "ts", "text", windowDuration = "30 minutes")
+      .orderBy("window_start", "lang_pred")
+      .collect().map(_.toSeq).toSeq
+    val in = MemoryStream[(java.sql.Timestamp, String)](s)
+    val q = CorpusMonitor.qualityByWindow(
+        in.toDF.toDF("ts", "text"), "ts", "text",
+        windowDuration = "30 minutes")
+      .writeStream.format("memory").queryName("corpus_monitor_b")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("corpus_monitor_b")
+        .orderBy("window_start", "lang_pred")
+        .collect().map(_.toSeq).toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
+  test("low-quality share flags a bad batch inside its window") {
+    val s = spark
+    import s.implicits._
+    val junk = Seq(
+      (ts(1), "!!! ??? ..."), (ts(2), "%%% &&& ***"), (ts(3), "@@@ ###"))
+    val out = CorpusMonitor.qualityByWindow(
+        junk.toDF("ts", "text"), "ts", "text", windowDuration = "30 minutes")
+      .collect()
+    assert(out.forall(_.getAs[Double]("low_quality_share") == 1.0))
+  }
+}

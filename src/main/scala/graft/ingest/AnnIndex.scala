@@ -55,6 +55,31 @@ object AnnIndex {
     path
   }
 
+  /** Index-balance report over a persisted IVF/LSH layout: per
+    * partition key (cell or bucket) its row count, plus the skew ratio
+    * (max/mean) in every row — the number an operator watches to decide
+    * when to retrain the quantizer or add planes. A probe of the most
+    * loaded cell costs `max_rows`; a well-balanced index keeps
+    * `skew_ratio` near 1, and a drifting corpus pushes it up LONG
+    * before probe latency makes the problem visible. Reads only the
+    * partition column + counts — the vectors themselves are never
+    * touched (column pruning on the layout scan).
+    */
+  def indexStats(
+      spark: SparkSession, indexPath: String,
+      partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = spark.read.parquet(indexPath)
+      .groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("skew_ratio",
+        round(max(col("n_rows")).over(all) /
+          avg(col("n_rows")).over(all), 4))
+      .orderBy(col(partitionCol))
+  }
+
   /** IVF probe against a persisted index: route via the `_centroids`
     * sidecar, scan only the `nProbes` nearest cells (partition pruning),
     * rank candidates by exact cosine. `excludeId` drops the query row

@@ -123,6 +123,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(batch.values.forall(_.nonEmpty))
   }
 
+  test("index stats report per-cell balance without touching vectors") {
+    val path = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding",
+      "spec-stats", 8)
+    val stats = AnnIndex.indexStats(spark, path, "cell")
+    val rows = stats.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // every corpus row is in exactly one cell
+    assert(rows.map(_._2).sum == emb.count())
+    assert(rows.length <= 8 && rows.nonEmpty)
+    // skew ratio = max/mean, identical in every row, and >= 1
+    val mean = rows.map(_._2).sum.toDouble / rows.length
+    val expected = BigDecimal(rows.map(_._2).max / mean)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_._3 == expected) && expected >= 1.0)
+    // the stats scan reads only the partition column (vectors pruned);
+    // recurse through AQE stage wrappers — the aggregate puts the scan
+    // inside a query stage, which hides it from plain collect
+    val df = AnnIndex.indexStats(spark, path, "cell")
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Seq.empty
+      }
+      (p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Seq.empty
+      }) ++ (p.children ++ nested).flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty)
+    found.foreach(s =>
+      assert(!s.schema.fieldNames.contains("embedding"),
+        s"stats scan reads ${s.schema.fieldNames.mkString(",")}"))
+  }
+
   test("index registry builds once per tag and reuses the path") {
     val p1 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)
     val p2 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)

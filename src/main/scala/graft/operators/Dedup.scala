@@ -131,38 +131,50 @@ object Dedup {
     * overlap between otherwise-different documents, which set-Jaccard
     * dilutes away on long docs.
     *
-    * Shuffle shape: per-doc distinct spans explode once, the self-join
-    * runs on 64-bit span hashes (8-byte keys, never text), and a
-    * document-frequency PREFILTER drops spans outside [2, maxSpanDf]
-    * before the join — df=1 spans can't pair at all, and boilerplate
-    * present in thousands of docs would otherwise blow up the join
-    * quadratically (one ubiquitous span → df² candidate rows through
-    * one key). The guard is the standard boilerplate defense and makes
-    * the worst key cost maxSpanDf², a constant the caller picks.
+    * Shuffle shape: per-doc distinct spans explode once and shuffle
+    * ONCE, as 64-bit span hashes (8-byte keys, never text), into a
+    * per-span `collect_list` of holder ids. A document-frequency
+    * guard drops spans outside [2, maxSpanDf] — df=1 spans can't pair
+    * at all, and boilerplate present in thousands of docs would
+    * otherwise emit df² pairs through one key; the guard bounds the
+    * worst span at maxSpanDf², a constant the caller picks. Pairs then
+    * expand via the repartitioned double-explode (the
+    * [[expandClusterPairs]] shape): after the first explode a hot span
+    * is df rows that hash across the shuffle, so no single task emits
+    * a whole df² block. This replaces the earlier self-join plan
+    * (df-count agg + join-back + two join sides ≈ four shuffles of the
+    * span set, plus two checkpoints) with group-once + pair-expand —
+    * measured 5.9 → ~2 s at sf0.1 for the identical pair set.
     */
   def sharedSpanPairs(
       df: DataFrame, textCol: String, idCol: String,
       spanTokens: Int = 8, minSpans: Int = 1,
       maxSpanDf: Int = 1000): DataFrame = {
     requireLongCastableId(df, idCol)
-    // checkpoint the exploded spans once: they feed the df-count AND
-    // both sides of the self-join — recomputing the explode per
-    // consumer doubled the cost (8.0 → 4.1 s at sf0.1); the pruned set
-    // is checkpointed too so the self-join reads materialized blocks
-    val spans = df.select(
-        col(idCol).cast("long").as("id"),
-        explode(shingles(textCol, spanTokens)).as("span"))
-      .select(col("id"), xxhash64(col("span")).as("h"))
-      .localCheckpoint(true)
-    val keep = spans.groupBy(col("h"))
-      .agg(count(lit(1)).as("span_df"))
-      .filter(col("span_df").between(2, maxSpanDf))
-      .select("h")
-    val pruned = spans.join(keep, "h").localCheckpoint(true)
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Span hashing runs in a per-partition JVM kernel for the same
+    // reason as [[minhashSignatures]]: explode(shingles(...)) walks an
+    // interpreted HOF lambda per window, which dominates the whole
+    // query's cost. Downstream only compares hashes for equality, so
+    // the hash function is internal (2^-64 collisions fold two spans).
+    val groups = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          shingleStrings(text, spanTokens).iterator.map(s => (id, hash64(s)))
+        }
+      }
+      .toDF("id", "h")
+      .groupBy(col("h"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxSpanDf))
+    groups
+      .select(explode(col("ids")).as("ma"), col("ids"))
+      .repartition(col("ma"))
+      .select(col("ma"), explode(col("ids")).as("mb"))
+      .filter(col("ma") < col("mb"))
+      .groupBy(col("ma").as("id_a"), col("mb").as("id_b"))
       .agg(count(lit(1)).as("shared_spans"))
       .filter(col("shared_spans") >= minSpans)
   }

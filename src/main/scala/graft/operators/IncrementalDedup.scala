@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-corpus) dedup: keep only the rows of a NEW batch
+  * whose content key does not already exist in a REFERENCE corpus — the
+  * recurring-crawl shape of training-data pipelines, where each
+  * snapshot is mostly a copy of the corpus already ingested
+  * (extension surface; within-batch dedup is [[Dedup.exact]]).
+  *
+  * Scale design: the corpus is the ~100 TB side and must never shuffle
+  * per batch, so the membership test is pushed to it as two
+  * scan-shaped passes with no wide exchange anywhere:
+  *
+  *  1. a Bloom filter over the corpus's 256-bit content keys is built
+  *     with Spark's mergeable sketch aggregate (one corpus scan,
+  *     partial sketches merged on the driver) and broadcast;
+  *  2. the incoming batch probes the filter map-side — the
+  *     overwhelmingly-novel majority exits here, having touched
+  *     nothing but the broadcast bitset;
+  *  3. bloom hits (true duplicates + fpp false positives) are
+  *     confirmed exactly: the distinct suspect keys broadcast into a
+  *     semi-join against the corpus keys (second corpus scan, again no
+  *     shuffle — the big side only probes a hash table), and the
+  *     confirmed-duplicate keys broadcast back into a map-side
+  *     anti-join on the batch.
+  *
+  * Result semantics are therefore EXACT set-difference on the key (up
+  * to the 2^-128 sha2 collision the whole dedup family accepts —
+  * [[Dedup.exact]]); the Bloom filter only decides how much work the
+  * exact path sees. Null keys compare as SQL equality does: never
+  * equal to anything, so null-keyed incoming rows are always kept.
+  *
+  * The broadcast confirm path assumes the per-batch duplicate slice
+  * (plus fpp·batch false positives) fits in a broadcast — the premise
+  * of incremental ingestion. A batch that is itself corpus-sized
+  * should instead run the plain shuffled anti-join this operator
+  * exists to avoid.
+  */
+object IncrementalDedup {
+
+  /** Rows of `incoming` whose `key` value does not occur in `corpus`
+    * (original `incoming` schema, duplicates dropped).
+    *
+    * @param expectedCorpusKeys sizes the Bloom filter; defaults to a
+    *   `count()` of the corpus (metadata-only on parquet). At cluster
+    *   scale pass the catalog row count instead.
+    * @param fpp Bloom false-positive rate — a cost knob (how many
+    *   novel rows take the exact confirm path), never a correctness
+    *   knob.
+    */
+  def newAgainstCorpus(
+      incoming: DataFrame, corpus: DataFrame, key: Column,
+      fpp: Double = 0.01,
+      expectedCorpusKeys: Option[Long] = None): DataFrame = {
+    val (withKey, confirmed) =
+      confirmedDuplicateKeys(incoming, corpus, key, fpp, expectedCorpusKeys)
+    withKey
+      .join(broadcast(confirmed), Seq("_ch"), "left_anti")
+      .drop("_ch")
+  }
+
+  /** Complement view: incoming rows REJECTED as already-known, with the
+    * shared key hash — the audit trail a pipeline logs per batch.
+    */
+  def knownDuplicates(
+      incoming: DataFrame, corpus: DataFrame, key: Column,
+      fpp: Double = 0.01,
+      expectedCorpusKeys: Option[Long] = None): DataFrame = {
+    val (withKey, confirmed) =
+      confirmedDuplicateKeys(incoming, corpus, key, fpp, expectedCorpusKeys)
+    withKey
+      .join(broadcast(confirmed), Seq("_ch"), "left_semi")
+      .withColumnRenamed("_ch", "content_hash")
+  }
+
+  /** Shared machinery: (incoming + `_ch` key-hash column, confirmed
+    * duplicate `_ch` keys as a broadcastable single-column frame).
+    */
+  private def confirmedDuplicateKeys(
+      incoming: DataFrame, corpus: DataFrame, key: Column,
+      fpp: Double, expectedCorpusKeys: Option[Long]): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    val corpusKeys = corpus
+      .select(sha2(key.cast("string"), 256).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
+    val expected = math.max(1L, expectedCorpusKeys.getOrElse(corpus.count()))
+    val bloom = corpusKeys.stat.bloomFilter("content_hash", expected, fpp)
+    val bf = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => h != null && bf.value.mightContainString(h))
+    val withKey = incoming.withColumn("_ch", sha2(key.cast("string"), 256))
+    val suspectKeys = withKey
+      .filter(mightContain(col("_ch")))
+      .select(col("_ch").as("content_hash"))
+      .distinct()
+    val confirmed = corpusKeys
+      .join(broadcast(suspectKeys), Seq("content_hash"), "left_semi")
+      .distinct()
+      .withColumnRenamed("content_hash", "_ch")
+    (withKey, confirmed)
+  }
+}

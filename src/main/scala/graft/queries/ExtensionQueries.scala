@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ingest.AnnIndex
-import graft.operators.{ConnectedComponents, Decontamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontamination, Dedup, IncrementalDedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.functions._
 
@@ -145,9 +145,32 @@ object DedupQueries extends QueryGroup {
         |FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Incremental cross-corpus dedup: odd doc_ids are the "new batch",
+    * even doc_ids the existing corpus; keep the batch rows whose
+    * normalized word-set key is unseen. Bloom-prefiltered on the Spark
+    * side (exact semantics — the oracle is the plain set difference).
+    */
+  val incrementalNew: QueryDef = QueryDef(
+    "dedup_incremental_new",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      IncrementalDedup.newAgainstCorpus(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          Dedup.normalizedSetKey("text"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH k AS (SELECT doc_id, array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ') AS key
+        |FROM documents)
+        |SELECT i.doc_id FROM k i WHERE i.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM k c WHERE c.doc_id % 2 = 0 AND c.key = i.key)
+        |ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine, sharedSpans)
+      embeddingCosine, sharedSpans, incrementalNew)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -179,6 +179,69 @@ object Dedup {
       .filter(col("shared_spans") >= minSpans)
   }
 
+  /** Sub-document dedup at aligned token-block granularity — the
+    * "remove repeated passages" op (MassiveText/C4 family, which cuts
+    * duplicated lines/paragraphs rather than whole documents): the
+    * corpus keeps only the FIRST occurrence (min id, then min block
+    * index) of every distinct `blockTokens`-token block; later
+    * occurrences are cut and each document's text reassembled from its
+    * surviving blocks (single-space re-joined — whitespace normalizes).
+    *
+    * Shuffle shape: the dedup decision never moves text. A JVM kernel
+    * emits (id, block_idx, 64-bit block hash) — 24-byte rows; the
+    * per-hash first occurrence is a partial-aggregating `min(struct)`
+    * (map-side combine collapses boilerplate blocks BEFORE the shuffle,
+    * so a block repeated 10⁹ times costs one row per map task — a
+    * `row_number` window would instead sort all 10⁹ in one task), and a
+    * hash join back on the block hash marks the drops. The drop list
+    * (duplicated blocks only, a small fraction of the corpus) groups
+    * per doc and joins back on id, and a second kernel re-splits each
+    * doc and emits the kept blocks. Blocks equal up to 2^-64 hash
+    * collisions, the family-wide accepted rate.
+    */
+  def dedupTokenBlocks(
+      df: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int = 8): DataFrame = {
+    requireLongCastableId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = blockTokens
+    def numBlocks(nWords: Int): Int = math.max(1, (nWords + k - 1) / k)
+    def blockAt(w: Array[String], i: Int): String =
+      w.slice(i * k, math.min((i + 1) * k, w.length)).mkString(" ")
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol))
+    val blocks = base
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.trim.split("\\s+")
+          (0 until numBlocks(w.length)).iterator
+            .map(i => (id, i, hash64(blockAt(w, i))))
+        }
+      }
+      .toDF("id", "idx", "h")
+    val first = blocks.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    val drops = blocks
+      .join(first, Seq("h"))
+      .filter(!(col("id") === col("first.id") && col("idx") === col("first.idx")))
+      .groupBy(col("id"))
+      .agg(collect_list(col("idx")).as("drop_idxs"))
+    base
+      .join(drops, Seq("id"), "left")
+      .as[(Long, String, Option[scala.collection.Seq[Int]])]
+      .mapPartitions { it =>
+        it.map { case (id, text, dropped) =>
+          val drop = dropped.map(_.toSet).getOrElse(Set.empty[Int])
+          val w = text.trim.split("\\s+")
+          val kept = (0 until numBlocks(w.length)).filterNot(drop)
+            .map(blockAt(w, _))
+          (id, kept.mkString(" "), drop.size.toLong)
+        }
+      }
+      .toDF(idCol, textCol, "n_dropped")
+  }
+
   /** MinHash signature of the shingle set: k permutations of the universal
     * family h_i(x) = (a_i·x + b_i) mod p over xxhash64(shingle).
     * p = 2³¹−1 keeps every product below 2^62 — exact long arithmetic

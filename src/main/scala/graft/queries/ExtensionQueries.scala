@@ -168,9 +168,30 @@ object DedupQueries extends QueryGroup {
         |  SELECT 1 FROM k c WHERE c.doc_id % 2 = 0 AND c.key = i.key)
         |ORDER BY doc_id""".stripMargin))
 
+  /** Sub-document dedup at aligned 8-token blocks: later occurrences of
+    * a repeated block are cut, docs reassembled — full oracle (DuckDB
+    * reproduces block grid, first-occurrence window, reassembly).
+    */
+  val tokenBlocks: QueryDef = QueryDef(
+    "dedup_token_blocks",
+    (s, dir) =>
+      Dedup.dedupTokenBlocks(Tables(s, dir).documents, "text", "doc_id",
+          blockTokens = 8)
+        .orderBy("doc_id"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, greatest(1, CAST(ceil(len(ws)*1.0/8) AS BIGINT)) AS nb FROM w),
+        |x AS (SELECT doc_id, ws, unnest(range(0, nb)) AS idx FROM n),
+        |b AS (SELECT doc_id, idx, array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ') AS block FROM x),
+        |r AS (SELECT doc_id, idx, block, row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn FROM b)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY idx), '') AS text,
+        |  count(*) FILTER (WHERE rn > 1) AS n_dropped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine, sharedSpans, incrementalNew)
+      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -231,6 +231,60 @@ class DedupSpec extends SparkSpec {
     assert(banded == blocked)
   }
 
+  test("token-block dedup keeps first occurrence, cuts later ones") {
+    // k=4 blocks: doc1 = [a b c d][e f g h]; doc2 repeats doc1's first
+    // block at block 0 (cut) and has a novel tail; doc3 repeats a block
+    // WITHIN itself (second occurrence cut) and duplicates doc2's tail
+    val df = docs(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d p q r s"),
+      (3L, "m n o p m n o p p q r s"))
+    val byId = Dedup.dedupTokenBlocks(df, "text", "doc_id", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(byId == Map(
+      1L -> (("a b c d e f g h", 0L)),
+      2L -> (("p q r s", 1L)),
+      3L -> (("m n o p", 2L)))) // self-dup cut AND doc2's tail was first
+  }
+
+  test("token-block dedup: fully duplicated doc reassembles to empty") {
+    val df = docs((1L, "a b c d"), (2L, "a b c d"))
+    val out = Dedup.dedupTokenBlocks(df, "text", "doc_id", blockTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a b c d", 0L), (2L, "", 1L)))
+  }
+
+  test("token-block dedup matches a string-keyed reference on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.dedupTokenBlocks(d, "text", "doc_id", blockTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // reference: same semantics computed on raw block STRINGS via a
+    // window (no hashing, no kernels)
+    import org.apache.spark.sql.expressions.Window
+    val s2 = spark
+    import s2.implicits._
+    val blocks = d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = t.trim.split("\\s+")
+        val nb = math.max(1, (w.length + 7) / 8)
+        (0 until nb).map(i =>
+          (id, i, w.slice(i * 8, math.min((i + 1) * 8, w.length)).mkString(" ")))
+      }.toDF("id", "idx", "block")
+    val ref = blocks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("block")).orderBy(col("id"), col("idx"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("id"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("idx"), col("block"))))
+        .getField("block")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // ref drops docs whose every block was cut; fast keeps them as ""
+    assert(fast.filter(_._2.nonEmpty) == ref)
+    assert(fast.keySet == d.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert((fast.keySet -- ref.keySet).forall(id => fast(id).isEmpty))
+  }
+
   test("non-integral id columns fail fast instead of silently dropping rows") {
     val s2 = spark
     import s2.implicits._

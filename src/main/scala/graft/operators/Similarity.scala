@@ -128,6 +128,72 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Unit-length (L2) normalization of the embedding column — the
+    * standard pre-step that turns cosine into a plain dot product
+    * downstream (and makes the ANN layouts' inner products comparable).
+    * Pure column expressions (HOFs are fine at per-vector arity — the
+    * interpreted-lambda cost bites at minhash-permutation volume, not
+    * dim-64 element maps); zero vectors map to the zero vector rather
+    * than NaN. `roundTo` rounds each element for cross-engine
+    * comparisons (the oracle convention); pass None for full precision.
+    */
+  def normalizeUnit(
+      df: DataFrame, vecCol: String, outCol: String = "unit",
+      roundTo: Option[Int] = Some(6)): DataFrame = {
+    val n = norm(col(vecCol))
+    val elem: Column => Column = x => roundTo match {
+      case Some(p) => round(x.cast("double") / n, p)
+      case None => x.cast("double") / n
+    }
+    df.withColumn(outCol,
+      when(n === 0.0, transform(col(vecCol), _ => lit(0.0)))
+        .otherwise(transform(col(vecCol), elem)))
+  }
+
+  /** Random projection (Johnson–Lindenstrauss) to `outDim` dimensions:
+    * y = Rᵀx with R a dense ±1/√outDim sign matrix derived STATELESSLY
+    * from (seed, i, j) — every task regenerates the same matrix from
+    * the closure, nothing is shuffled or stored, and the operator is
+    * deterministic across runs/partitionings. The per-partition kernel
+    * caches the materialized matrix and runs the fused multiply loop in
+    * JVM code ([[Dedup.minhashSignatures]] lesson). Distances/cosines
+    * are preserved within the JL distortion bound (spec-asserted);
+    * use as the cheap dim-reduction stage before brute-force or ANN
+    * search at 100 TB scale.
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    Dedup.requireLongCastableId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, scala.collection.Seq[Float])]
+      .mapPartitions { it =>
+        val scale = 1.0 / math.sqrt(outDim.toDouble)
+        var mat: Array[Array[Double]] = Array.empty
+        it.map { case (id, v) =>
+          if (mat.length < v.length) {
+            mat = Array.tabulate(v.length, outDim) { (i, j) =>
+              if ((Dedup.hash64(s"rp:$seed:$i:$j") & 1L) == 0L) scale else -scale
+            }
+          }
+          val out = new Array[Double](outDim)
+          var i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            val row = mat(i)
+            var j = 0
+            while (j < outDim) { out(j) += x * row(j); j += 1 }
+            i += 1
+          }
+          (id, out)
+        }
+      }
+      .toDF(idCol, "projected")
+  }
+
   /** All pairs with cosine ≥ threshold — the embedding-cosine near-dup
     * check. Expression variant: exact but allocates arrays per pair; use
     * [[cosinePairsBlocked]] for the fast path (identical results).

@@ -298,8 +298,40 @@ object SimilarityQueries extends QueryGroup {
     },
     None)
 
+  /** L2 normalization of the embedding column — full oracle (DuckDB
+    * reproduces the element-wise divide + 6-dp round).
+    */
+  val normalize: QueryDef = QueryDef(
+    "sim_normalize",
+    (s, dir) =>
+      Similarity.normalizeUnit(Tables(s, dir).embeddings, "embedding")
+        .select(col("vec_id"), col("unit"))
+        .orderBy("vec_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+        |SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
+        |  ELSE list_transform(v, x -> round(x / nrm, 6)) END AS unit
+        |FROM n ORDER BY vec_id""".stripMargin))
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims. The seeded
+    * sign matrix is engine-internal (not reproducible in SQL) —
+    * rows-only; SimilaritySpec asserts determinism + distance
+    * preservation.
+    */
+  val randomProjection: QueryDef = QueryDef(
+    "sim_random_projection",
+    (s, dir) =>
+      Similarity.randomProject(Tables(s, dir).embeddings, "vec_id",
+          "embedding", outDim = 16)
+        .select(col("vec_id"),
+          transform(col("projected"), x => round(x, 6)).as("projected"))
+        .orderBy("vec_id"),
+    None)
+
   def defs: Seq[QueryDef] =
-    Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch)
+    Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
+      normalize, randomProjection)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Incremental (cross-corpus) dedup: keep only the rows of a NEW batch
   * whose content key does not already exist in a REFERENCE corpus — the
@@ -75,19 +76,52 @@ object IncrementalDedup {
       .withColumnRenamed("_ch", "content_hash")
   }
 
+  /** The corpus's key filter, built once (one corpus scan; the sketch
+    * aggregate merges per-partition filters). Reusable across batches
+    * and across a streaming job's lifetime — rebuild when the corpus
+    * grows past the filter's design fpp.
+    */
+  def buildCorpusFilter(
+      corpus: DataFrame, key: Column, fpp: Double = 0.01,
+      expectedKeys: Option[Long] = None): BloomFilter = {
+    val keys = corpusKeyFrame(corpus, key)
+    val expected = math.max(1L, expectedKeys.getOrElse(corpus.count()))
+    keys.stat.bloomFilter("content_hash", expected, fpp)
+  }
+
+  /** Lossless split of a batch OR STREAMING frame against a corpus
+    * filter: `_1` = rows whose key is PROVABLY absent from the corpus
+    * (a Bloom filter has no false negatives — safe to emit/ingest
+    * immediately), `_2` = bloom hits (true duplicates plus ~fpp of the
+    * novel rows) carrying a `content_hash` column for the exact
+    * confirm ([[newAgainstCorpus]] on the batch side, or an
+    * out-of-band job for a stream). Map-side only — no shuffle, no
+    * state, streaming-safe by construction; per-batch cost never
+    * touches the corpus.
+    */
+  def splitByFilter(
+      df: DataFrame, filter: BloomFilter, key: Column): (DataFrame, DataFrame) = {
+    val bf = df.sparkSession.sparkContext.broadcast(filter)
+    val hit = udf((h: String) => h != null && bf.value.mightContainString(h))
+    val keyed = df.withColumn("content_hash", sha2(key.cast("string"), 256))
+    (keyed.filter(!hit(col("content_hash"))).drop("content_hash"),
+      keyed.filter(hit(col("content_hash"))))
+  }
+
+  private def corpusKeyFrame(corpus: DataFrame, key: Column): DataFrame =
+    corpus
+      .select(sha2(key.cast("string"), 256).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
+
   /** Shared machinery: (incoming + `_ch` key-hash column, confirmed
     * duplicate `_ch` keys as a broadcastable single-column frame).
     */
   private def confirmedDuplicateKeys(
       incoming: DataFrame, corpus: DataFrame, key: Column,
       fpp: Double, expectedCorpusKeys: Option[Long]): (DataFrame, DataFrame) = {
-    val spark = incoming.sparkSession
-    val corpusKeys = corpus
-      .select(sha2(key.cast("string"), 256).as("content_hash"))
-      .filter(col("content_hash").isNotNull)
-    val expected = math.max(1L, expectedCorpusKeys.getOrElse(corpus.count()))
-    val bloom = corpusKeys.stat.bloomFilter("content_hash", expected, fpp)
-    val bf = spark.sparkContext.broadcast(bloom)
+    val corpusKeys = corpusKeyFrame(corpus, key)
+    val bloom = buildCorpusFilter(corpus, key, fpp, expectedCorpusKeys)
+    val bf = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: String) => h != null && bf.value.mightContainString(h))
     val withKey = incoming.withColumn("_ch", sha2(key.cast("string"), 256))
     val suspectKeys = withKey

@@ -52,6 +52,29 @@ object ScaleCheck {
     time(s"minhash_${dup}x", Dedup.minhashNearDups(blown, "text", "doc_id",
       saltFactor = 4, hotBucketThreshold = 5000))
 
+    // shared spans: the df guard scales with dup (a span's df multiplies
+    // by the copy count) so the blown run does comparable work per
+    // surviving span — output is the df² upper bound by construction
+    time("shared_spans_1x",
+      Dedup.sharedSpanPairs(docs, "text", "doc_id", 5, 1, 100))
+    time(s"shared_spans_${dup}x",
+      Dedup.sharedSpanPairs(blown, "text", "doc_id", 5, 1, 100 * dup))
+    // token blocks: every block duplicated dup-fold — the drop list is
+    // ~(dup-1)/dup of ALL blocks, the worst case for the per-doc
+    // drop-set join and reassembly
+    time("token_blocks_1x", Dedup.dedupTokenBlocks(docs, "text", "doc_id", 8))
+    time(s"token_blocks_${dup}x",
+      Dedup.dedupTokenBlocks(blown, "text", "doc_id", 8))
+    // incremental: a batch that is 100% already-known — every row takes
+    // the bloom-hit + exact-confirm path (the broadcast worst case)
+    import graft.operators.{Decontamination, IncrementalDedup}
+    time("incremental_full_dup",
+      IncrementalDedup.newAgainstCorpus(docs, blown, Dedup.normalizedSetKey("text")))
+    time("decontaminate_1x", Decontamination.flagContaminated(
+      docs, docs.filter(col("doc_id") % 23 === 0), "text", "doc_id", 3, 3))
+    time(s"decontaminate_${dup}x", Decontamination.flagContaminated(
+      blown, docs.filter(col("doc_id") % 23 === 0), "text", "doc_id", 3, 3))
+
     // connected components over the duplicated corpus's near-dup pairs
     // (each 1x cluster chains across all dup copies — components count
     // must stay at the 1x value while membership grows dup-fold), plus

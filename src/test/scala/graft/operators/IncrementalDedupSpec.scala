@@ -66,6 +66,54 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(dups.nonEmpty) // non-vacuous at sf0.001 (29 cross-parity dups)
   }
 
+  test("splitByFilter: bloom-miss side is provably novel, union lossless") {
+    val corpus = docs((1L to 50L).map(i => (i, s"corpus doc $i")): _*)
+    val incoming = docs((40L to 90L).map(i => (i + 1000L, s"corpus doc $i")): _*)
+    val f = IncrementalDedup.buildCorpusFilter(corpus, col("text"))
+    val (novel, suspects) = IncrementalDedup.splitByFilter(incoming, f, col("text"))
+    val nIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sIds = suspects.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = (40L to 90L).map(_ + 1000L).toSet
+    val trueDups = (40L to 50L).map(_ + 1000L).toSet
+    assert(nIds.intersect(sIds).isEmpty)
+    assert(nIds.union(sIds) == all)
+    assert(trueDups.subsetOf(sIds)) // no false negatives, ever
+    // suspect side carries the key hash for the out-of-band confirm;
+    // running it recovers the exact answer
+    assert(suspects.columns.contains("content_hash"))
+    val confirmed = IncrementalDedup.newAgainstCorpus(
+        suspects.drop("content_hash"), corpus, col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nIds ++ confirmed == all -- trueDups)
+  }
+
+  test("splitByFilter is streaming-safe: both sides emit from a stream") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = docs((1L, "aa bb"), (2L, "cc dd"))
+    val f = IncrementalDedup.buildCorpusFilter(corpus, col("text"))
+    val in = MemoryStream[(Long, String)](s)
+    val (novel, suspects) = IncrementalDedup.splitByFilter(
+      in.toDS().toDF("doc_id", "text"), f, col("text"))
+    val q1 = novel.writeStream.format("memory").queryName("inc_novel")
+      .outputMode("append").start()
+    val q2 = suspects.writeStream.format("memory").queryName("inc_suspect")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "aa bb"), (11L, "zz yy"), (12L, "cc dd"))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      val nIds = spark.sql("SELECT doc_id FROM inc_novel")
+        .collect().map(_.getLong(0)).toSet
+      val sIds = spark.sql("SELECT doc_id FROM inc_suspect")
+        .collect().map(_.getLong(0)).toSet
+      assert(Set(10L, 12L).subsetOf(sIds)) // true dups always suspects
+      assert(nIds.intersect(Set(10L, 12L)).isEmpty)
+      assert(nIds.union(sIds) == Set(10L, 11L, 12L)) // lossless
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("matches the plain shuffled anti-join on real data") {
     val docs001 = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

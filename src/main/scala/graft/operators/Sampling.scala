@@ -30,6 +30,42 @@ object Sampling {
       .drop("_rn", "_n")
   }
 
+  /** Quantile bucket labels over a score column — the CCNet-style
+    * head/middle/tail corpus partitioning (bucket by quality/LM score,
+    * then sample each tier at its own rate). Thresholds come from the
+    * EXACT `percentile` aggregate: one reduce to a single broadcast
+    * row, then a per-row comparison chain — no global sort or window,
+    * so the plan is a scan plus a scalar join at any corpus size. At
+    * extreme scale swap in `approx_percentile` (the gate degrades to
+    * rows-only, the pipeline_profile convention). Bucket i is
+    * score ≤ cuts(i) quantile; the last label catches the rest.
+    *
+    * `tieEpsilon` makes the comparison robust to the ENGINE's
+    * interpolation arithmetic: when the quantile lands on tied
+    * neighbours, `a + f·(b−a)` yields exactly `a` but `a·(1−f) + b·f`
+    * is an ulp below it, so a strict ≤ would classify every tied row
+    * differently across engines. Scores quantized to ≥1e-6 steps keep
+    * genuine non-tie thresholds ≥ (min cut)·1e-6 away from any data
+    * value, so 1e-9 never reclassifies a non-tied row.
+    */
+  def bucketByScore(
+      df: DataFrame, scoreCol: String,
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("tail", "middle", "head"),
+      tieEpsilon: Double = 1e-9): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted &&
+      cuts.forall(c => c > 0 && c < 1) && labels.size == cuts.size + 1,
+      "need sorted cuts in (0,1) and exactly one more label than cuts")
+    val th = df.agg(percentile(col(scoreCol), lit(cuts.toArray)).as("_th"))
+    val bucket = cuts.indices.foldRight(lit(labels.last)) { (i, rest) =>
+      when(col(scoreCol) <= element_at(col("_th"), i + 1) + lit(tieEpsilon),
+        lit(labels(i))).otherwise(rest)
+    }
+    df.crossJoin(broadcast(th))
+      .withColumn("bucket", bucket)
+      .drop("_th")
+  }
+
   /** Deterministic hash split: bucket = xxhash64(id) mod buckets. The
     * standard train/val/test assignment — stable across runs and
     * engines that share the hash; rows-only checkable against engines

@@ -897,7 +897,45 @@ object SamplingQueries extends QueryGroup {
         |                   WHEN 'fr' THEN 0.25 ELSE 0.1 END) * n)
         |ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(stratified, shuffleShards, mixture)
+  /** CCNet-style quality terciles: head/middle/tail labels from exact
+    * percentile thresholds over the (oracle-stable) quality score.
+    * Full oracle — DuckDB `quantile_cont` and Spark `percentile` both
+    * linear-interpolate (parity proven by pipeline_profile).
+    */
+  val qualityBuckets: QueryDef = QueryDef(
+    "pipeline_quality_buckets",
+    (s, dir) => {
+      val scored = Tables(s, dir).documents.select(
+        col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.bucketByScore(scored, "quality")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS nw,
+        |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+        |      / greatest(length(text), 1) AS praw,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)::BIGINT)),
+        |        (a, b) -> a + b) * 1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mwl
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(nw * 1.0 / 100.0, 1.0) * 0.4
+        |      + (1.0 - least(praw * 5.0, 1.0)) * 0.4
+        |      + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+        |    AS quality FROM b),
+        |t AS (SELECT quantile_cont(quality, [1/3.0, 2/3.0]) AS th FROM q)
+        |SELECT q.doc_id, q.quality,
+        |  CASE WHEN q.quality <= th[1] + 0.000000001 THEN 'tail'
+        |       WHEN q.quality <= th[2] + 0.000000001 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM q, t ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(stratified, shuffleShards, mixture, qualityBuckets)
 }
 
 object EventQueries extends QueryGroup {

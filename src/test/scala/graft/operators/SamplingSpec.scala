@@ -81,4 +81,34 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "split_bucket").collect().toSet
     assert(again == split.select("doc_id", "split_bucket").collect().toSet)
   }
+
+  test("score buckets: tercile labels match direct quantile comparison") {
+    val s = spark
+    import s.implicits._
+    // 9 known scores: terciles at quantile_cont(1/3)=3.666…, (2/3)=6.333…
+    val scored = (1L to 9L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val out = Sampling.bucketByScore(scored, "score")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 3L).forall(out(_) == "tail"))
+    assert((4L to 6L).forall(out(_) == "middle"))
+    assert((7L to 9L).forall(out(_) == "head"))
+    // tier sizes on real data are balanced to within rounding/ties
+    val q = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    val sizes = Sampling.bucketByScore(q, "q")
+      .groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("tail", "middle", "head"))
+    assert(sizes.values.sum == docs.count())
+    val n = docs.count().toDouble
+    assert(sizes.values.forall(c => c > n / 6 && c < n / 2)) // ties allowed
+    // invalid configs fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.bucketByScore(scored, "score", cuts = Seq(0.8, 0.2),
+        labels = Seq("a", "b", "c"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bucketByScore(scored, "score", labels = Seq("a", "b"))
+    }
+  }
 }

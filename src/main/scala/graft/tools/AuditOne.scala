@@ -17,7 +17,12 @@ object AuditOne {
       .split("== Initial Plan ==").head
     println(s"[audit] $name shuffles=" +
       "Exchange".r.findAllIn(plan).length + " reused=" +
-      "ReusedExchange".r.findAllIn(plan).length)
+      "ReusedExchange".r.findAllIn(plan).length + " joins=" +
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)"
+        .r.findAllIn(plan).toSeq.groupBy(identity)
+        .map { case (k, v) => s"$k:${v.size}" }.mkString(","))
+    // SPARK_GRAFT_AUDIT_PLAN=1 dumps the full final physical plan
+    if (sys.env.get("SPARK_GRAFT_AUDIT_PLAN").contains("1")) println(plan)
     spark.stop()
   }
 }

@@ -194,6 +194,40 @@ object Similarity {
       .toDF(idCol, "projected")
   }
 
+  /** Element-wise mean of the vectors in each group — the pooling
+    * primitive (chunk embeddings → document embedding, cluster members
+    * → centroid, the IVF training step's reduce). Plan: positional
+    * explode to (group, pos, val) scalars, one partial-aggregating
+    * avg per (group, pos) — map-side sums collapse each partition's
+    * contribution before the shuffle, so the exchange carries
+    * O(groups × dim) rows regardless of corpus size — then a per-group
+    * reassembly into the ordered array. No vector ever crosses the
+    * wire whole; both aggregates are codegen hash aggregates.
+    * The mean is a DECIMAL sum divided by the count — double addition
+    * is partition-order dependent, so a plain `avg` would drift
+    * between runs/engines (the repo-wide money-sum rule); the decimal
+    * sum is exact and associative. `roundTo` rounds elements for
+    * cross-engine comparison (oracle convention); None for full
+    * precision.
+    */
+  def meanPool(
+      df: DataFrame, groupCol: Column, vecCol: String,
+      roundTo: Option[Int] = Some(6)): DataFrame = {
+    val elem: Column => Column = m => roundTo match {
+      case Some(p) => round(m, p)
+      case None => m
+    }
+    df.select(groupCol.as("group"),
+        posexplode(col(vecCol)).as(Seq("pos", "val")))
+      .groupBy(col("group"), col("pos"))
+      .agg((sum(col("val").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("group"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => elem(s.getField("m"))).as("centroid"))
+  }
+
   /** All pairs with cosine ≥ threshold — the embedding-cosine near-dup
     * check. Expression variant: exact but allocates arrays per pair; use
     * [[cosinePairsBlocked]] for the fast path (identical results).

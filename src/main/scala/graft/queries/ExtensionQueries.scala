@@ -329,9 +329,29 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("vec_id"),
     None)
 
+  /** Mean-pool vector aggregation (chunk→doc pooling / centroids) over
+    * synthetic vec_id-modulus groups — full oracle (decimal-sum means,
+    * dim fixed at 64 in the SQL).
+    */
+  val meanPool: QueryDef = QueryDef(
+    "sim_mean_pool",
+    (s, dir) =>
+      Similarity.meanPool(Tables(s, dir).embeddings,
+          col("vec_id") % 50, "embedding")
+        .withColumnRenamed("group", "grp")
+        .orderBy("grp"),
+    Some(
+      """WITH e AS (SELECT vec_id % 50 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT grp, idx, v[idx] AS val FROM e, unnest(range(1, 65)) AS t(idx)),
+        |a AS (SELECT grp, idx,
+        |  CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+        |  FROM x GROUP BY 1, 2)
+        |SELECT grp, list(round(m, 6) ORDER BY idx) AS centroid
+        |FROM a GROUP BY grp ORDER BY grp""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
-      normalize, randomProjection)
+      normalize, randomProjection, meanPool)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -118,6 +118,23 @@ class SimilaritySpec extends SparkSpec {
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
   }
 
+  test("meanPool averages element-wise per group") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (1L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(10.0f, 20.0f)))
+      .toDF("g", "embedding")
+    val out = Similarity.meanPool(tiny, col("g"), "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(2.0, 3.0))
+    assert(out(2L) == Seq(10.0, 20.0))
+    // real data: grouping ALL rows yields the corpus centroid, dim 64
+    val c = Similarity.meanPool(emb, lit(0L), "embedding", roundTo = None)
+      .collect().map(r => r.getSeq[Double](1))
+    assert(c.length == 1 && c.head.size == 64)
+  }
+
   test("randomProject is deterministic and preserves cosine within JL bound") {
     val a = Similarity.randomProject(emb, "vec_id", "embedding", 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap

@@ -299,25 +299,31 @@ object SimilarityQueries extends QueryGroup {
     None)
 
   /** L2 normalization of the embedding column — full oracle (DuckDB
-    * reproduces the element-wise divide + 6-dp round).
+    * reproduces the element-wise divide + 6-dp round). The gate
+    * flattens the unit vector to (vec_id, pos, val) scalar rows: the
+    * driver's comparator sorts/hashes with pandas, which cannot order
+    * or hash array-valued cells (r3 lesson — all three sim_* vector
+    * gates errored on it).
     */
   val normalize: QueryDef = QueryDef(
     "sim_normalize",
     (s, dir) =>
       Similarity.normalizeUnit(Tables(s, dir).embeddings, "embedding")
-        .select(col("vec_id"), col("unit"))
-        .orderBy("vec_id"),
+        .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("vec_id", "pos"),
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
-        |SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
-        |  ELSE list_transform(v, x -> round(x / nrm, 6)) END AS unit
-        |FROM n ORDER BY vec_id""".stripMargin))
+        |SELECT vec_id, idx - 1 AS pos,
+        |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[idx] / nrm, 6) END AS val
+        |FROM n, unnest(range(1, 65)) AS t(idx)
+        |ORDER BY vec_id, pos""".stripMargin))
 
   /** Johnson–Lindenstrauss random projection 64 → 16 dims. The seeded
     * sign matrix is engine-internal (not reproducible in SQL) —
     * rows-only; SimilaritySpec asserts determinism + distance
-    * preservation.
+    * preservation. Flattened to scalar rows (see [[normalize]]).
     */
   val randomProjection: QueryDef = QueryDef(
     "sim_random_projection",
@@ -325,13 +331,16 @@ object SimilarityQueries extends QueryGroup {
       Similarity.randomProject(Tables(s, dir).embeddings, "vec_id",
           "embedding", outDim = 16)
         .select(col("vec_id"),
-          transform(col("projected"), x => round(x, 6)).as("projected"))
-        .orderBy("vec_id"),
+          posexplode(transform(col("projected"), x => round(x, 6)))
+            .as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("vec_id", "pos"),
     None)
 
   /** Mean-pool vector aggregation (chunk→doc pooling / centroids) over
     * synthetic vec_id-modulus groups — full oracle (decimal-sum means,
-    * dim fixed at 64 in the SQL).
+    * dim fixed at 64 in the SQL). Centroids flattened to (grp, pos,
+    * val) scalar rows (see [[normalize]]).
     */
   val meanPool: QueryDef = QueryDef(
     "sim_mean_pool",
@@ -339,15 +348,17 @@ object SimilarityQueries extends QueryGroup {
       Similarity.meanPool(Tables(s, dir).embeddings,
           col("vec_id") % 50, "embedding")
         .withColumnRenamed("group", "grp")
-        .orderBy("grp"),
+        .select(col("grp"), posexplode(col("centroid")).as(Seq("pos", "val")))
+        .select(col("grp"), col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("grp", "pos"),
     Some(
       """WITH e AS (SELECT vec_id % 50 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT grp, idx, v[idx] AS val FROM e, unnest(range(1, 65)) AS t(idx)),
         |a AS (SELECT grp, idx,
         |  CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
         |  FROM x GROUP BY 1, 2)
-        |SELECT grp, list(round(m, 6) ORDER BY idx) AS centroid
-        |FROM a GROUP BY grp ORDER BY grp""".stripMargin))
+        |SELECT grp, idx - 1 AS pos, round(m, 6) AS val
+        |FROM a ORDER BY grp, pos""".stripMargin))
 
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
@@ -444,11 +455,11 @@ object PipelineQueries extends QueryGroup {
         |  FROM documents),
         |p AS (SELECT doc_id, shard, n_tokens,
         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
         |  FROM t)
         |SELECT doc_id, shard, n_tokens, start_offset,
-        |  start_offset // 512 AS pack_first,
-        |  (start_offset + n_tokens - 1) // 512 AS pack_last
+        |  (start_offset // 512)::BIGINT AS pack_first,
+        |  ((start_offset + n_tokens - 1) // 512)::BIGINT AS pack_last
         |FROM p ORDER BY doc_id""".stripMargin))
 
   /** Benchmark decontamination: docs sharing ≥3 distinct 3-gram

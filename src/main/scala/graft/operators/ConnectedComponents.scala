@@ -30,6 +30,8 @@ object ConnectedComponents {
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    Dedup.requireLongCastableId(edges, srcCol)
+    Dedup.requireLongCastableId(edges, dstCol)
     // checkpoint the PROJECTED input first: the symmetrizing union below
     // scans its child plan twice (the two branches are different
     // projections, so no exchange reuse) — for an expensive upstream
@@ -109,6 +111,8 @@ object ConnectedComponents {
   def componentsStar(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    Dedup.requireLongCastableId(edges, srcCol)
+    Dedup.requireLongCastableId(edges, dstCol)
     // checkpoint the projected input once: it feeds the node universe
     // plus both branches of largeStar's symmetrizing union — three
     // scans of what may be an expensive near-dup pair join otherwise.

@@ -21,7 +21,7 @@ object Dedup {
     * would cast to null and silently drop rows, so fail fast instead —
     * callers with string ids should join a dense surrogate id first.
     */
-  private[operators] def requireLongCastableId(df: DataFrame, idCol: String): Unit = {
+  private[graft] def requireLongCastableId(df: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()

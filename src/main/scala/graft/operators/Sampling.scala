@@ -107,6 +107,7 @@ object Sampling {
     */
   def shuffleShards(
       df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    Dedup.requireLongCastableId(df, idCol)
     val keyed = df.withColumn("_k", shuffleKey(idCol))
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(col("_k"), col(idCol))

@@ -35,6 +35,7 @@ object StreamingDedup {
       corpus: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): NearDupIndex = {
+    Dedup.requireLongCastableId(corpus, idCol)
     val rows = numHashes / bands
     val ss = Dedup.signedSets(corpus, textCol, idCol, numHashes, shingleSize)
     val banded = ss.select(
@@ -63,6 +64,7 @@ object StreamingDedup {
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       watermark: String = "10 minutes"): DataFrame = {
+    Dedup.requireLongCastableId(stream, idCol)
     val spark = stream.sparkSession
     import spark.implicits._
     val rows = numHashes / bands

@@ -66,4 +66,66 @@ object Decontamination {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** Fuzzy decontamination: training docs NEAR-DUPLICATE to a benchmark
+    * item (paraphrased/lightly-edited eval leakage that exact shingle
+    * overlap with a high `minOverlap` can miss at low jaccard). MinHash
+    * banding between corpus and benchmark generates candidates; an
+    * exact merge-intersect over full 64-bit shingle-hash sets verifies,
+    * so every returned pair's `jaccard` is exact — only RECALL is
+    * approximate, bounded by the (bands, rows) S-curve, and jaccard-1.0
+    * pairs (verbatim leakage) always collide in every band.
+    *
+    * Scale shape: both sides run the [[Dedup.signedSets]] kernel; the
+    * benchmark's banded signatures and hash sets BROADCAST (eval suites
+    * are MBs against a 100 TB corpus), so the corpus never shuffles —
+    * band-bucket probe, distinct per pair, verify, all map-side.
+    * Returns (idCol, bench_id, jaccard) with jaccard ≥ `threshold`.
+    */
+  def fuzzyContaminated(
+      docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    Dedup.requireLongCastableId(docs, idCol)
+    Dedup.requireLongCastableId(benchmark, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    def banded(df: DataFrame, side: String): DataFrame =
+      Dedup.signedSets(df, textCol, idCol, numHashes, shingleSize)
+        .select(col(idCol).as(s"_${side}_id"), col("hs").as(s"_${side}_hs"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              hash(slice(col("signature"), b * rows + 1, rows)).as("bucket"))): _*))
+            .as("bb"))
+        .select(col(s"_${side}_id"), col(s"_${side}_hs"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bench = broadcast(banded(benchmark, "bench"))
+    // verify PER COLLIDING BAND and dedup the verdicts, not the raw
+    // candidates: carrying hash sets through a pair-distinct would
+    // shuffle array payloads, while re-running the merge walk on a
+    // multi-band collision is map-side CPU only — the final distinct
+    // moves bare (long, long, double) rows.
+    banded(docs, "doc")
+      .join(bench, Seq("band", "bucket"))
+      .select(col("_doc_id"), col("_bench_id"),
+        col("_doc_hs"), col("_bench_hs"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (did, bid, dh, bh) =>
+          var a = 0; var b = 0; var c = 0
+          while (a < dh.length && b < bh.length) {
+            if (dh(a) == bh(b)) { c += 1; a += 1; b += 1 }
+            else if (dh(a) < bh(b)) a += 1
+            else b += 1
+          }
+          (did, bid, c.toDouble / (dh.length + bh.length - c))
+        }
+      }
+      .toDF(idCol, "bench_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
 }

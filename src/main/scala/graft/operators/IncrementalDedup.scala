@@ -108,6 +108,37 @@ object IncrementalDedup {
       keyed.filter(hit(col("content_hash"))))
   }
 
+  /** Streaming front line of incremental ingest: the novel-against-
+    * corpus rows of a STREAMING frame, also deduplicated WITHIN the
+    * stream (first occurrence wins) inside the watermark horizon. The
+    * corpus membership test is the broadcast Bloom probe — map-side,
+    * stateless, corpus never touched per batch; the within-stream
+    * dedup is watermark-bounded state keyed by the 256-bit content
+    * hash. Bloom false positives (~fpp of novel rows) are DROPPED
+    * here, not confirmed — this is the high-throughput approximate
+    * front line; run [[newAgainstCorpus]] on the emitted rows
+    * out-of-band when exact set-difference semantics are required
+    * (the [[splitByFilter]] contract covers the lossless variant).
+    *
+    * Null-keyed rows bypass both tests and are always emitted (SQL
+    * equality semantics — null equals nothing), matching the batch
+    * operators.
+    */
+  def streamingNovel(
+      stream: DataFrame, filter: BloomFilter, key: Column,
+      tsCol: String, watermark: String = "10 minutes"): DataFrame = {
+    val bf = stream.sparkSession.sparkContext.broadcast(filter)
+    val hit = udf((h: String) => h != null && bf.value.mightContainString(h))
+    val keyed = stream
+      .withColumn("_ch", sha2(key.cast("string"), 256))
+      .withWatermark(tsCol, watermark)
+    val novel = keyed.filter(!hit(col("_ch")))
+    novel.filter(col("_ch").isNotNull)
+      .dropDuplicatesWithinWatermark("_ch")
+      .unionByName(novel.filter(col("_ch").isNull))
+      .drop("_ch")
+  }
+
   private def corpusKeyFrame(corpus: DataFrame, key: Column): DataFrame =
     corpus
       .select(sha2(key.cast("string"), 256).as("content_hash"))

@@ -137,4 +137,72 @@ object Sampling {
       .filter(col("_rn") <= ceil(rate * col("_n")))
       .drop("_rn", "_n")
   }
+
+  /** Temperature-scaled mixture take — the multilingual/multi-domain
+    * re-balancing rule (sample group g with probability ∝ n_g^τ):
+    * τ = 1 keeps the corpus's natural proportions, τ → 0 flattens
+    * toward uniform-over-groups, boosting small domains. Given a
+    * global `baseRate`, group g's per-row keep rate is
+    * min(1, baseRate · N · q_g / n_g) with q_g = n_g^τ / Σ_h n_h^τ,
+    * then the take is the deterministic first ⌈rate·n_g⌉ rows by
+    * `orderCol` (same reproducibility contract as [[weightedTake]]).
+    *
+    * Plan: group counts are one partial-aggregated groupBy (a
+    * #groups-row frame); the τ-normalization is an aggregate OVER that
+    * tiny frame; rates broadcast-join back onto the corpus, so the only
+    * corpus-scale shuffle is the per-group rank window. Rates are
+    * rounded to 6 dp before the ⌈·⌉ so the cut row doesn't depend on
+    * sub-ulp `pow` differences across engines.
+    */
+  def temperatureTake(
+      df: DataFrame, groupCol: String, orderCol: String,
+      tau: Double, baseRate: Double): DataFrame = {
+    require(tau >= 0.0, s"tau must be >= 0, got $tau")
+    require(baseRate > 0.0 && baseRate <= 1.0,
+      s"baseRate must be in (0, 1], got $baseRate")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val totals = counts.agg(
+      sum(pow(col("_n"), lit(tau))).as("_z"),
+      sum(col("_n")).as("_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          lit(baseRate) * col("_total") * pow(col("_n"), lit(tau)) /
+            (col("_z") * col("_n"))), 6).as("_rate"),
+        col("_n"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    df.join(broadcast(rates), groupCol)
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col(orderCol))))
+      .filter(col("_rn") <= ceil(col("_rate") * col("_n")))
+      .drop("_rn", "_n", "_rate")
+  }
+
+  /** Per-group token-budget curation: rank each group's rows best-first
+    * (`scoreCol` descending, `orderCol` ascending as the deterministic
+    * tiebreak) and keep rows while the group's cumulative `tokensCol`
+    * stays within `budget` — the "top-quality N tokens per domain" step
+    * that turns scored documents into a sized training mix. A row that
+    * would push the running total past the budget is dropped, and so is
+    * everything ranked after it (contiguous prefix, not best-fit — the
+    * contract is "the best documents up to the budget", reproducible
+    * and oracle-stable).
+    *
+    * One corpus shuffle (the per-group window sort); the cumulative sum
+    * is integer arithmetic, so results are bit-stable across engines.
+    * Returns the kept rows plus `grp_rank` (1-based quality rank) and
+    * `cum_tokens` (running total INCLUDING the row).
+    */
+  def tokenBudgetTake(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      tokensCol: String, orderCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(orderCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -52,6 +52,46 @@ object TextAnalysis {
     round((lenScore * 0.4 + punctScore * 0.4 + wordLenScore * 0.2), 6)
   }
 
+  /** Gopher-style heuristic document filter (Rae et al. 2021 §A1.1
+    * family): five independent rules, each a pure column expression, and
+    * the conjunction as `keep`. Returned as individual booleans so a
+    * pipeline can audit WHICH rule rejected a document (the usual
+    * filter-funnel report) rather than just the verdict.
+    *
+    *  - `r_wordcount`: token count within [minWords, maxWords]
+    *  - `r_wordlen`: mean word length within [3, 10] chars
+    *  - `r_alpha`: ≥ 80% of words contain an alphabetic character
+    *  - `r_punct`: symbol-to-char ratio ≤ 0.1
+    *  - `r_stopwords`: ≥ 2 distinct English stopwords present
+    *
+    * All five are scan-local (no shuffle, whole-stage codegen); ratio
+    * comparisons reuse the same double arithmetic shapes the DuckDB
+    * oracle reproduces bit-for-bit elsewhere (quality/curation gates).
+    */
+  def gopherRules(
+      text: Column, minWords: Int = 10, maxWords: Int = 1000): Column = {
+    val words = split(trim(text), "\\s+")
+    val nw = size(words)
+    val alphaFrac =
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        greatest(nw, lit(1))
+    val distinctStops = size(array_intersect(
+      array_distinct(split(lower(trim(text)), "\\s+")),
+      array(EnglishStopwords.map(lit): _*)))
+    struct(
+      nw.between(minWords, maxWords).as("r_wordcount"),
+      meanWordLength(text).between(3.0, 10.0).as("r_wordlen"),
+      (alphaFrac >= 0.8).as("r_alpha"),
+      (punctRatio(text) <= 0.1).as("r_punct"),
+      (distinctStops >= 2).as("r_stopwords"))
+  }
+
+  /** Conjunction of [[gopherRules]] — the verdict column. */
+  def gopherKeep(rules: Column): Column =
+    rules.getField("r_wordcount") && rules.getField("r_wordlen") &&
+      rules.getField("r_alpha") && rules.getField("r_punct") &&
+      rules.getField("r_stopwords")
+
   /** Marker-stopword language ID (n-gram-heuristic family): count
     * hits per language marker set, argmax with 'und' fallback.
     * CASE-expressible so the DuckDB oracle can state the same logic.

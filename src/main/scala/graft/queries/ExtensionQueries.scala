@@ -637,9 +637,71 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id"),
     None)
 
+  /** Per-source token-budget curation: best-quality-first prefix of
+    * each source's documents under an 800-token budget — full oracle
+    * (integer cumulative sums over the oracle-stable quality order;
+    * the window sum casts to BIGINT on the DuckDB side because its
+    * integer window sums return HUGEINT, which the driver's comparator
+    * reads as float).
+    */
+  val tokenBudget: QueryDef = QueryDef(
+    "pipeline_token_budget",
+    (s, dir) => {
+      val scored = Tables(s, dir).documents.select(
+        col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.tokenBudgetTake(
+          scored, "source", "quality", "n_tokens", "doc_id", budget = 800L)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS nw,
+        |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+        |      / greatest(length(text), 1) AS praw,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)::BIGINT)),
+        |        (a, b) -> a + b) * 1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mwl
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, nw::BIGINT AS n_tokens,
+        |    round(least(nw * 1.0 / 100.0, 1.0) * 0.4
+        |        + (1.0 - least(praw * 5.0, 1.0)) * 0.4
+        |        + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+        |      AS quality
+        |  FROM b),
+        |r AS (SELECT doc_id, source, n_tokens, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)::BIGINT AS grp_rank,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, source, n_tokens, quality, grp_rank, cum_tokens
+        |FROM r WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin))
+
+  /** Fuzzy (minhash) benchmark decontamination: near-duplicate pairs
+    * between the corpus and the benchmark stand-in (every 23rd doc)
+    * with EXACT verified jaccard ≥ 0.8. Candidate recall is S-curve
+    * bounded → rows-only; DecontaminationSpec pins exactness of the
+    * returned jaccards and 100% recall at jaccard 1.0.
+    */
+  val decontaminateFuzzy: QueryDef = QueryDef(
+    "pipeline_decontaminate_fuzzy",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontamination.fuzzyContaminated(
+          docs, docs.filter(col("doc_id") % 23 === 0),
+          "text", "doc_id", threshold = 0.8)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    },
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
-      chunking, profile, packBestFit)
+      chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy)
 }
 
 object TextQueries extends QueryGroup {
@@ -864,9 +926,55 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id"),
     None)
 
+  /** Gopher-style rule filter: the five audit booleans + verdict per
+    * document — full oracle (every rule is ratio/membership arithmetic
+    * DuckDB restates exactly).
+    */
+  val gopherRules: QueryDef = QueryDef(
+    "text_gopher_rules",
+    (s, dir) => {
+      val r = TextAnalysis.gopherRules(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.r_wordcount").as("r_wordcount"),
+          col("r.r_wordlen").as("r_wordlen"),
+          col("r.r_alpha").as("r_alpha"),
+          col("r.r_punct").as("r_punct"),
+          col("r.r_stopwords").as("r_stopwords"),
+          TextAnalysis.gopherKeep(col("r")).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws,
+        |    len(string_split_regex(trim(text), '\s+')) AS nw,
+        |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+        |      / greatest(length(text), 1) AS praw,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)::BIGINT)),
+        |        (a, b) -> a + b) * 1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mwl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS alpha_frac,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        |        ['the','a','an','of','and','or','to','in','is','it'])) AS n_stops
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nw BETWEEN 10 AND 1000 AS r_wordcount,
+        |  mwl BETWEEN 3.0 AND 10.0 AS r_wordlen,
+        |  alpha_frac >= 0.8 AS r_alpha,
+        |  praw <= 0.1 AS r_punct,
+        |  n_stops >= 2 AS r_stopwords,
+        |  (nw BETWEEN 10 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND praw <= 0.1 AND n_stops >= 2 AS keep
+        |FROM b ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition, redaction, unigramLogProb)
+      repetition, redaction, unigramLogProb, gopherRules)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -965,8 +1073,33 @@ object SamplingQueries extends QueryGroup {
         |       ELSE 'head' END AS bucket
         |FROM q, t ORDER BY doc_id""".stripMargin))
 
+  /** Temperature-scaled language mixture (τ = 0.5 boosts the tail
+    * languages against the English head) — full oracle (the rate
+    * formula is count arithmetic + pow, rounded to 6 dp before the
+    * take cut on both engines).
+    */
+  val temperatureMix: QueryDef = QueryDef(
+    "sample_temperature_mix",
+    (s, dir) =>
+      graft.operators.Sampling.temperatureTake(
+          Tables(s, dir).documents, "lang", "doc_id",
+          tau = 0.5, baseRate = 0.3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some(
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |t AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c),
+        |r AS (SELECT lang, n,
+        |  round(least(1.0, 0.3 * total * pow(n, 0.5) / (z * n)), 6) AS rate
+        |  FROM c, t),
+        |d AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM d JOIN r USING (lang)
+        |WHERE rn <= ceil(rate * n) ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(stratified, shuffleShards, mixture, qualityBuckets)
+    Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix)
 }
 
 object EventQueries extends QueryGroup {

@@ -46,4 +46,44 @@ class DecontaminationSpec extends SparkSpec {
     val benchIds = bench.select("doc_id").collect().map(_.getLong(0))
     assert(benchIds.forall(flagged.contains))
   }
+
+  test("fuzzy: verbatim and near-copy leak found, unrelated not flagged") {
+    val a = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    val near = "the quick brown fox jumps over the lazy dog and runs away fast now"
+    val corpus = docs((1L, a), (2L, near),
+      (3L, "completely different text about database engines and storage"))
+    val bench = docs((100L, a))
+    val got = Decontamination.fuzzyContaminated(
+        corpus, bench, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).toSeq == Seq((1L, 100L, 1.0))) // ONE row despite 16 bands
+    assert(byDoc.contains(2L) && byDoc(2L).head._3 > 0.5 && byDoc(2L).head._3 < 1.0)
+    assert(!byDoc.contains(3L))
+  }
+
+  test("fuzzy: returned jaccards are exact and recall at 1.0 is total") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = d.filter(org.apache.spark.sql.functions.col("doc_id") % 23 === 0)
+    val got = Decontamination.fuzzyContaminated(
+        d, bench, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= 0.8))
+    // every benchmark member (present verbatim in the corpus) is
+    // recalled against itself — identical sets collide in all bands
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val selfPairs = got.filter(p => p._1 == p._2).map(_._1).toSet
+    assert(selfPairs == benchIds)
+    got.filter(p => p._1 == p._2).foreach(p => assert(p._3 == 1.0))
+    // exactness: each reported jaccard equals the direct shingle-set
+    // jaccard of the pair
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (did, bid, j) =>
+      val sa = Dedup.shingleStrings(texts(did), 3).toSet
+      val sb = Dedup.shingleStrings(texts(bid), 3).toSet
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - exact) < 1e-12, s"pair ($did,$bid)")
+    }
+  }
 }

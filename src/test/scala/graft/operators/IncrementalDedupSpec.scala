@@ -127,4 +127,34 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloomPath == plain)
   }
+
+  test("streamingNovel: corpus dups and in-stream dups dropped, nulls kept") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(msec: Long) = new java.sql.Timestamp(msec)
+    val corpus = Seq((100L, "known doc alpha"), (200L, "known doc beta"))
+      .toDF("doc_id", "text")
+    val filter = IncrementalDedup.buildCorpusFilter(
+      corpus, col("text"), fpp = 0.001)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)](s)
+    val q = IncrementalDedup.streamingNovel(
+        in.toDS().toDF("doc_id", "text", "ts"), filter, col("text"), "ts")
+      .writeStream.format("memory").queryName("inc_novel_sink")
+      .outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (1L, "known doc alpha", ts(1000)),   // corpus dup: dropped
+        (2L, "fresh doc gamma", ts(2000)),   // novel: kept
+        (3L, "fresh doc gamma", ts(3000)),   // in-stream dup: dropped
+        (4L, null, ts(4000)),                // null key: kept
+        (5L, null, ts(5000)),                // null key: kept too
+        (6L, "fresh doc delta", ts(6000)))   // novel: kept
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM inc_novel_sink")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L, 5L, 6L))
+    } finally q.stop()
+  }
 }

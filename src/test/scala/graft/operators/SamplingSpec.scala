@@ -111,4 +111,74 @@ class SamplingSpec extends SparkSpec {
       Sampling.bucketByScore(scored, "score", labels = Seq("a", "b"))
     }
   }
+
+  test("temperature take: tau=1 is the natural rate, tau=0 flattens") {
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum.toDouble
+    // tau=1: every group keeps ceil(round(baseRate,6) * n) rows
+    val nat = Sampling.temperatureTake(docs, "lang", "doc_id", 1.0, 0.3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, n) =>
+      assert(nat(g) == math.ceil(0.3 * n).toLong, s"tau=1 lang=$g")
+    }
+    // tau=0: equal EXPECTED picks per group — rate_g = baseRate*N/(G*n_g)
+    val g = sizes.size.toDouble
+    val flat = Sampling.temperatureTake(docs, "lang", "doc_id", 0.0, 0.3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (k, n) =>
+      val rate = math.min(1.0, 0.3 * total / (g * n))
+      val expect = math.ceil(
+        BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble * n).toLong
+      assert(flat(k) == expect, s"tau=0 lang=$k")
+    }
+    // 0 < tau < 1 boosts the tail: smallest group keeps a larger
+    // FRACTION of itself than the largest group
+    val mid = Sampling.temperatureTake(docs, "lang", "doc_id", 0.5, 0.3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (big, nBig) = sizes.maxBy(_._2)
+    val (small, nSmall) = sizes.minBy(_._2)
+    assert(mid(small).toDouble / nSmall > mid(big).toDouble / nBig)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTake(docs, "lang", "doc_id", -0.1, 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTake(docs, "lang", "doc_id", 0.5, 0.0)
+    }
+  }
+
+  test("token-budget take keeps the maximal best-first prefix per group") {
+    val s = spark
+    import s.implicits._
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    val budget = 800L
+    val kept = Sampling.tokenBudgetTake(
+        scored, "source", "quality", "n_tokens", "doc_id", budget)
+      .select("source", "doc_id", "n_tokens", "grp_rank", "cum_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // reference: full best-first order computed independently
+    val all = scored.as[(Long, String, Long, Double)].collect()
+      .groupBy(_._2)
+    all.foreach { case (src, rows) =>
+      val order = rows.sortBy(r => (-r._4, r._1)) // quality desc, id asc
+      var cum = 0L
+      val expect = order.takeWhile { r => cum += r._3; cum <= budget }
+        .map(_._1).toSeq
+      val got = kept.filter(_._1 == src).sortBy(_._4)
+      assert(got.map(_._2).toSeq == expect, s"source=$src")
+      // running totals are within budget and correct
+      assert(got.forall(_._5 <= budget))
+      assert(got.map(_._3).sum == got.lastOption.map(_._5).getOrElse(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetTake(scored, "source", "quality", "n_tokens",
+        "doc_id", 0L)
+    }
+  }
 }

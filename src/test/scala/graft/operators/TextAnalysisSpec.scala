@@ -121,4 +121,42 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(1L) == got(2L))
   }
+
+  test("gopher rules: each rule rejects its own failure mode") {
+    val s2 = spark
+    import s2.implicits._
+    val good = "the quick brown cat jumped over a sleeping dog and it is quite warm today"
+    val cases = Seq(
+      (1L, good),                                       // passes all
+      (2L, "the cat is in a bag"),                      // 6 words: r_wordcount
+      (3L, "the incomprehensibilities of antidisestablishmentarianism and " +
+        "counterrevolutionaries in pseudopseudohypoparathyroidism is " +
+        "overwhelming straightforwardly"),              // mwl > 10: r_wordlen
+      (4L, "111 222 333 444 555 666 777 888 999 000 the of " +
+        "12 34 56 78 90 11 22 33"),                     // digits: r_alpha
+      (5L, "the!!! cat??? sat### on$$$ a%%% mat^^^ and&&& it*** is((( " +
+        "warm))) here___ today+++"),                    // symbols: r_punct
+      (6L, "cat sat mat warm here today fine ok yes sure why not"))
+      // ^ no stopwords from the list: r_stopwords
+    val df = cases.toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(col("text"))
+    val out = df.select(col("doc_id"), r.as("r"),
+        TextAnalysis.gopherKeep(r).as("keep"))
+      .select(col("doc_id"), col("r.*"), col("keep"))
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3),
+          x.getBoolean(4), x.getBoolean(5), x.getBoolean(6)))
+      .toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._6)  // word count
+    assert(!out(3L)._2 && !out(3L)._6)  // mean word length
+    assert(!out(4L)._3 && !out(4L)._6)  // alpha fraction
+    assert(!out(5L)._4 && !out(5L)._6)  // punct ratio
+    assert(!out(6L)._5 && !out(6L)._6)  // stopwords
+    // keep is exactly the conjunction on every row
+    out.values.foreach { case (a, b, c, d, e, k) =>
+      assert(k == (a && b && c && d && e))
+    }
+  }
 }

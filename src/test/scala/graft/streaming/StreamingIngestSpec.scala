@@ -75,13 +75,21 @@ class StreamingIngestSpec extends SparkSpec {
       id, "updated", new java.sql.Timestamp(t), "http://u", s"$id@$t")
     // ProcessingTimeTimeout makes the engine self-schedule batches to
     // advance the timeout clock, so processAllAvailable races the batch
-    // storm — poll the sink instead of synchronizing on it.
+    // storm — poll the sink instead of synchronizing on it. Under a
+    // loaded JVM (full suite) the self-scheduled empty batches can
+    // starve, so the poll also NUDGES the stream with an unrelated key:
+    // every batch that processes data re-evaluates timed-out state.
+    val in = MemoryStream[StreamingIngest.StudyUpdate](s)
     def eventually(what: String)(cond: => Boolean): Unit = {
-      val deadline = System.currentTimeMillis + 60000
-      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      val deadline = System.currentTimeMillis + 120000
+      var i = 0
+      while (!cond && System.currentTimeMillis < deadline) {
+        Thread.sleep(100)
+        i += 1
+        if (i % 10 == 0) in.addData(upd("b", 2000L + i))
+      }
       assert(cond, what)
     }
-    val in = MemoryStream[StreamingIngest.StudyUpdate](s)
     val q = StreamingIngest.latestByKeyStreaming(in.toDS(),
         idleTimeout = Some("1 millisecond"))
       .writeStream.format("memory").queryName("upsert_ttl")

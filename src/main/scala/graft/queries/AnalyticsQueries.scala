@@ -131,7 +131,85 @@ object AnalyticsQueries extends QueryGroup {
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts")),
     None)
 
+  /** CUBE grouping sets (all four combinations) — completes the
+    * grouping-set family next to [[rollup]]; same NULLS FIRST pinning.
+    */
+  val cube: QueryDef = QueryDef(
+    "agg_cube",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), "sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"))
+
+  /** TPC-H Q10 shape (returned-item reporting): date-windowed orders ⨝
+    * returned lineitems ⨝ customer ⨝ broadcast nation, revenue per
+    * customer, top 20. The canonical "who cost us money this quarter"
+    * reporting join — shuffles on custkey/orderkey, dimension broadcast.
+    */
+  val returnedItems: QueryDef = QueryDef(
+    "tpch_q10_returned_items",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables(s, dir).nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2))) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** Salted skew join, gated: the [[graft.operators.SkewJoin]] plan
+    * (deterministic salt on the fact side, dimension replicated per
+    * salt) aggregated per brand — the oracle is the PLAIN join, proving
+    * the salted rewrite is result-identical, not just spec-equal.
+    */
+  val saltedJoin: QueryDef = QueryDef(
+    "join_salted_skew",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.SkewJoin.saltedInnerJoin(
+          t.lineitem, t.part, "l_partkey", "p_partkey",
+          factor = 8, saltSource = col("l_orderkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_quantity"), "sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("p_brand"))
+    },
+    Some(
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
-      approxDistinct)
+      approxDistinct, cube, returnedItems, saltedJoin)
 }

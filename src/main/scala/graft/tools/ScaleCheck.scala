@@ -18,6 +18,9 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val dup = args.headOption.map(_.toInt).getOrElse(10)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    // optional third arg: comma-separated name-prefix filter for
+    // targeted rehearsals (e.g. "fuzzy,temperature")
+    val only = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("graft-scale-check").master(s"local[$cpus]")
@@ -37,10 +40,12 @@ object ScaleCheck {
     println(s"[scale] corpus $n rows -> ${dup}x = $nBig rows")
 
     def time(name: String, df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val rows = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-28s $sec%8.1f s  $rows%12d rows")
+      if (only.forall(_.exists(p => name.startsWith(p)))) {
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $name%-28s $sec%8.1f s  $rows%12d rows")
+      }
     }
 
     time("ngram_jaccard_1x", Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95))
@@ -83,9 +88,9 @@ object ScaleCheck {
     // needs O(log diameter) join rounds; star contraction O(log n)
     // window rounds on a shrinking edge list.
     import graft.operators.ConnectedComponents
-    val pairs1x = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95)
+    lazy val pairs1x = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95)
       .localCheckpoint(true)
-    val pairsBig = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+    lazy val pairsBig = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
       .localCheckpoint(true)
     time("components_labelprop_1x",
       ConnectedComponents.components(pairs1x, "id_a", "id_b"))
@@ -101,6 +106,32 @@ object ScaleCheck {
       ConnectedComponents.components(chain.toDF, "id_a", "id_b", maxIter = 40))
     time("chain100k_star",
       ConnectedComponents.componentsStar(chain.toDF, "id_a", "id_b"))
+
+    // fuzzy decontamination: benchmark side stays fixed (broadcast);
+    // blown corpus multiplies BOTH the kernel work and the matches
+    // (every copy of a bench doc is a 1.0-jaccard hit) — linear corpus
+    // cost, output grows with the leak count, as it should
+    time("fuzzy_decontaminate_1x", Decontamination.fuzzyContaminated(
+      docs, docs.filter(col("doc_id") % 23 === 0), "text", "doc_id", 0.8))
+    time(s"fuzzy_decontaminate_${dup}x", Decontamination.fuzzyContaminated(
+      blown, docs.filter(col("doc_id") % 23 === 0), "text", "doc_id", 0.8))
+
+    // sampling/curation windows at dup-fold group sizes: both are one
+    // window shuffle over the group key — cost tracks rows, state is
+    // per-group counters only
+    import graft.operators.{Sampling, TextAnalysis}
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val fullBlown = (0 until dup).map(i =>
+      full.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source")))
+      .reduce(_ unionByName _)
+    time(s"temperature_take_${dup}x",
+      Sampling.temperatureTake(fullBlown, "lang", "doc_id", 0.5, 0.3))
+    val scoredBlown = fullBlown.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    time(s"token_budget_${dup}x", Sampling.tokenBudgetTake(
+      scoredBlown, "source", "quality", "n_tokens", "doc_id", 800L * dup))
     spark.stop()
   }
 }

@@ -22,22 +22,69 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Per-partition union-find pre-contraction: each task runs
+    * path-compressed min-rooted union-find over ITS edges only and
+    * emits star edges (node → local-component min) plus a self-loop
+    * per local root (preserving the node universe). The output edge
+    * set is connectivity-equivalent to the input — merging edges
+    * within any subset of the graph never connects nodes that were
+    * not already connected, and every input edge's endpoints share a
+    * local root — but it is at most one edge per distinct node, and
+    * its diameter is ≤ 2× the number of partitions a component spans.
+    *
+    * This is the standard opening move for distributed connected
+    * components (GraphX/GraphFrames do the same): the driver-
+    * coordinated rounds that follow start from a graph whose size
+    * tracks the NODE count (not the edge count — a dense near-dup
+    * cluster's K² pairs collapse inside the tasks holding them, no
+    * shuffle) and whose diameter tracks partition spread, not chain
+    * length. Memory per task is one hash map over the partition's
+    * distinct node ids — bounded by the partition size the upstream
+    * already chose, never the whole graph.
+    */
+  private[operators] def localContract(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      parent.keySet().iterator().asScala.map(n => (n, find(n)))
+    }.toDF("src", "dst")
+  }
+
   /** (node, component) for every node in `edges`; component = min
     * reachable id. Deterministic; `maxIter` bounds pathological
     * diameters (throws rather than returning silently-unconverged
-    * labels).
+    * labels). `preContract` (default on) runs the per-partition
+    * union-find pass first — see [[localContract]].
     */
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, preContract: Boolean = true): DataFrame = {
     Dedup.requireLongCastableId(edges, srcCol)
     Dedup.requireLongCastableId(edges, dstCol)
     // checkpoint the PROJECTED input first: the symmetrizing union below
     // scans its child plan twice (the two branches are different
     // projections, so no exchange reuse) — for an expensive upstream
     // like a near-dup pair join that would compute the pairs twice.
-    val e = edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val projected = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = (if (preContract) localContract(projected) else projected)
       .localCheckpoint(true)
     // localCheckpoint (not cache) everywhere the loop re-reads a frame:
     // an iterative plan that only CACHES still carries its whole logical
@@ -110,14 +157,17 @@ object ConnectedComponents {
     */
   def componentsStar(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, preContract: Boolean = true): DataFrame = {
     Dedup.requireLongCastableId(edges, srcCol)
     Dedup.requireLongCastableId(edges, dstCol)
     // checkpoint the projected input once: it feeds the node universe
     // plus both branches of largeStar's symmetrizing union — three
     // scans of what may be an expensive near-dup pair join otherwise.
-    val raw = edges.select(
-        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // localContract emits a self-loop per local root, so the node
+    // universe below survives contraction unchanged.
+    val projected = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val raw = (if (preContract) localContract(projected) else projected)
       .localCheckpoint(true)
     // node universe BEFORE dropping self-loops — a node whose only edge
     // is (v, v) is still a (singleton) component

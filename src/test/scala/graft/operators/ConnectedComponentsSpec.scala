@@ -37,7 +37,8 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("unconverged graphs throw instead of returning wrong labels") {
     val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
     intercept[IllegalStateException] {
-      ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 2)
+      ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 2,
+          preContract = false)
         .collect()
     }
   }
@@ -45,10 +46,45 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("pointer jumping collapses a long chain in logarithmic rounds") {
     // a 100-node chain has diameter 99; plain propagation would need
     // ~99 rounds — with pointer jumping 12 rounds must suffice
+    // (preContract off: this test characterizes the iterative core)
     val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
-    val got = ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 12)
+    val got = ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 12,
+        preContract = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 100 && got.values.forall(_ == 1L))
+  }
+
+  test("per-partition pre-contraction: same labels, far fewer rounds") {
+    // the 99-edge chain spans ≤32 partitions, so after local union-find
+    // the stitched graph has ≤32 super-nodes: pointer jumping converges
+    // well inside 8 rounds (uncontracted the same budget suffices only
+    // because of jumping — maxIter=2 throws, asserted above)
+    val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
+    val got = ConnectedComponents.components(chain, "id_a", "id_b", maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 100 && got.values.forall(_ == 1L))
+    // contraction preserves the exact labelling on a multi-cluster graph
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (5L, 5L))
+    val contracted = ConnectedComponents.components(g, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = ConnectedComponents.components(g, "id_a", "id_b",
+        preContract = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted == plain)
+  }
+
+  test("localContract preserves the node universe via root self-loops") {
+    val g = edges((5L, 5L), (1L, 2L), (2L, 3L))
+    // single partition so the whole graph is one task's local subgraph
+    val star = ConnectedComponents.localContract(
+      g.selectExpr("cast(id_a as long) as src", "cast(id_b as long) as dst")
+        .coalesce(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every node appears as a src; every non-root points at its local min
+    assert(star.map(_._1) == Set(1L, 2L, 3L, 5L))
+    assert(star.filter(p => p._1 != p._2).forall(_._2 == 1L))
+    assert(star.contains((5L, 5L)) && star.contains((1L, 1L)))
   }
 
   private def runStar(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
@@ -66,7 +102,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     // far under the default maxIter, with every node labelled 1
     val chain = edges((1L to 199L).map(i => (i, i + 1)): _*)
     val got = ConnectedComponents
-      .componentsStar(chain, "id_a", "id_b", maxIter = 15)
+      .componentsStar(chain, "id_a", "id_b", maxIter = 15, preContract = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200 && got.values.forall(_ == 1L))
   }
@@ -74,7 +110,8 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("star contraction throws past maxIter instead of wrong labels") {
     val chain = edges((1L to 99L).map(i => (i, i + 1)): _*)
     intercept[IllegalStateException] {
-      ConnectedComponents.componentsStar(chain, "id_a", "id_b", maxIter = 1)
+      ConnectedComponents.componentsStar(chain, "id_a", "id_b", maxIter = 1,
+          preContract = false)
         .collect()
     }
   }

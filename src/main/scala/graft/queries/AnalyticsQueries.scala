@@ -209,7 +209,116 @@ object AnalyticsQueries extends QueryGroup {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * per-returnflag and per-linestatus marginals in ONE pass over the
+    * table — at scale this replaces two scans+aggregates with one
+    * expand+aggregate.
+    */
+  val groupingSets: QueryDef = QueryDef(
+    "agg_grouping_sets",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), "sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"))
+
+  /** Exact percentiles (linear interpolation at p·(n−1)) per group —
+    * Spark `percentile` vs DuckDB `quantile_cont`, two independent
+    * implementations of the same definition. Quantities are small
+    * integers stored as doubles, so every interpolation is exact in
+    * binary — the comparison is strict, no rounding. (At 100 TB the
+    * approximate path is `approx_percentile`, same shape.)
+    */
+  val percentiles: QueryDef = QueryDef(
+    "agg_percentiles",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+    Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate lineitem ONCE,
+    * filter groups on the aggregated quantity, then join the surviving
+    * order keys (a tiny fraction) to orders and customer — the
+    * aggregate-then-join plan that replaces Q18's correlated HAVING
+    * subquery; the oracle states it as the direct group-by+HAVING.
+    */
+  val largeOrders: QueryDef = QueryDef(
+    "tpch_q18_large_orders",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity"), "total_qty"))
+        .filter(col("total_qty") > 250)
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some(
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  /** Top-k per group via the custom bounded-heap
+    * [[graft.operators.TopKAggregator]] — SAME oracle as the window
+    * variant [[topKPerGroup]], so the k-bounded partial-aggregation
+    * plan is proven result-identical to the full-sort window plan
+    * while shuffling ≤ k rows per group per partition instead of the
+    * whole table.
+    */
+  val topKPerGroupAgg: QueryDef = QueryDef(
+    "topk_per_group_agg",
+    (s, dir) => {
+      import s.implicits._
+      val ds = Tables(s, dir).customer
+        .select(col("c_mktsegment"), col("c_acctbal").cast("double"),
+          col("c_custkey").cast("long"))
+        .as[(String, Double, Long)]
+      ds.groupByKey(_._1)
+        .agg(graft.operators.TopKAggregator.topK(3).toColumn.name("topk"))
+        .toDF("c_mktsegment", "topk")
+        .select(col("c_mktsegment"),
+          posexplode(col("topk.ids")).as(Seq("pos", "c_custkey")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rk"),
+          col("c_custkey"))
+        .orderBy("c_mktsegment", "rk")
+    },
+    Some(
+      """SELECT c_mktsegment, rk, c_custkey FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
-      approxDistinct, cube, returnedItems, saltedJoin)
+      approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
+      percentiles, largeOrders, topKPerGroupAgg)
 }

@@ -1304,9 +1304,71 @@ object EventQueries extends QueryGroup {
         |  ON c.ts >= e.ts - INTERVAL 60 SECONDS AND c.ts < e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
 
+  /** Ordered-conversion funnel ([[graft.operators.Funnel]]): first
+    * view → first click within a day AFTER it → first purchase within
+    * a day after THAT, per user. Full oracle on the per-user stage
+    * timestamps (null from the first stage missed in order).
+    */
+  val funnel: QueryDef = QueryDef(
+    "events_funnel",
+    (s, dir) =>
+      graft.operators.Funnel.stages(
+          Tables(s, dir).events, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        .orderBy("user_id"),
+    Some(
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 86400 SECONDS
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 86400 SECONDS
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t1, c.t2, p.t3
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin))
+
+  /** Time-RANGE window frame: per user, the trailing-hour event count
+    * and exact decimal value sum at every event (RANGE BETWEEN
+    * 1 hour PRECEDING, not ROWS — peers at the same microsecond share
+    * a frame in both engines). Ordering key is epoch MICROS on both
+    * sides, so frame boundaries are integer-exact; the sum is decimal
+    * until the final double cast, so no float-accumulation drift.
+    */
+  val movingWindow: QueryDef = QueryDef(
+    "events_moving_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables(s, dir).events
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double"))
+        .select("event_id", "user_id", "cnt_1h", "sum_1h")
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS cnt_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
-      asofExec, asofExecForward, asofExecMultiKey, rangeJoin)
+      asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
+      movingWindow)
 }
 
 object IoQueries extends QueryGroup {

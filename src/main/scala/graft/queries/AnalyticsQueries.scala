@@ -317,8 +317,29 @@ object AnalyticsQueries extends QueryGroup {
         |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
         |  FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
 
+  /** Fixed-width value histogram (floor-divided buckets): one hash
+    * aggregate, scan-local bucketing — the profiling primitive for
+    * choosing partition bounds at scale. Bucket edges are IEEE
+    * division+floor, identical across engines; min/max are exact
+    * selections, no float accumulation.
+    */
+  val histogram: QueryDef = QueryDef(
+    "agg_histogram",
+    (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(floor(col("o_totalprice") / lit(20000.0)).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket"),
+    Some(
+      """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
-      percentiles, largeOrders, topKPerGroupAgg)
+      percentiles, largeOrders, topKPerGroupAgg, histogram)
 }

@@ -972,9 +972,51 @@ object TextQueries extends QueryGroup {
         |    AND alpha_frac >= 0.8 AND praw <= 0.1 AND n_stops >= 2 AS keep
         |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** BM25 relevance against a 3-term query ([[graft.operators.Bm25]]):
+    * scan-local tf/dl columns + ONE single-row stats aggregate
+    * broadcast back — no token explode, no wide shuffle. Scores are
+    * float products of logs, so both sides round to 4 dp.
+    */
+  val bm25: QueryDef = QueryDef(
+    "text_bm25",
+    (s, dir) =>
+      graft.operators.Bm25.score(
+          Tables(s, dir).documents, "text", "doc_id",
+          Seq("spark", "vector", "customer"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents)),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |       FROM pd)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * tf0::DOUBLE * (1.2 + 1.0) / (tf0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * tf1::DOUBLE * (1.2 + 1.0) / (tf1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * tf2::DOUBLE * (1.2 + 1.0) / (tf2::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition, redaction, unigramLogProb, gopherRules)
+      repetition, redaction, unigramLogProb, gopherRules, bm25)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -1365,10 +1407,40 @@ object EventQueries extends QueryGroup {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin))
 
+  /** Cohort retention: users grouped by first-active day, counted per
+    * day-offset they return — the standard retention triangle. Two
+    * user-keyed aggregates + one join; the (user, day) activity set is
+    * distinct-compressed BEFORE the join, so the join input tracks
+    * active-user-days, not raw events.
+    */
+  val retention: QueryDef = QueryDef(
+    "events_retention",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+      val active = e.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      cohort.join(active, "user_id")
+        .groupBy(col("cohort"),
+          datediff(to_date(col("day")), to_date(col("cohort"))).as("day_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some(
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        |SELECT f.cohort,
+        |  date_diff('day', f.cohort, a.day) AS day_offset,
+        |  count(*) AS users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
-      movingWindow)
+      movingWindow, retention)
 }
 
 object IoQueries extends QueryGroup {

@@ -465,6 +465,66 @@ object Similarity {
     */
   def invalidateQuantizers(): Unit = quantizerCache.clear()
 
+  /** Nearest-centroid assignment (the E-step of distributed k-means,
+    * with centroids DEFINED by a label column — per-label means):
+    * each vector is assigned to the closest centroid by squared L2,
+    * ties to the lower label.
+    *
+    * Plan: centroids are one narrow (label, pos) aggregate — the
+    * shuffle carries #labels × dim partial sums after map-side
+    * combine, never vectors — collected driver-side (bounded by the
+    * label count, like the quantizer above) and BROADCAST back; the
+    * assignment pass is a scan-local JVM kernel, so the corpus itself
+    * never shuffles. The same shape serves any fixed-centroid
+    * assignment (routing to a trained IVF/k-means codebook).
+    */
+  def centroidAssign(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = embeddings
+      .select(col(labelCol).cast("int").as("_lbl"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_v")))
+      .groupBy(col("_lbl"), col("_pos"))
+      .agg(avg(col("_v")).as("_c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lbl, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (lbl, arr)
+      }
+      .toArray.sortBy(_._1)
+    require(cents.nonEmpty, "no centroids — empty input or null labels")
+    val bc = spark.sparkContext.broadcast(cents)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestLbl = cs(0)._1
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)._2
+            var d = 0.0
+            var j = 0
+            val n = math.min(v.length, c.length)
+            while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+            // ties to the lower label: cs is label-sorted and `<` keeps
+            // the first winner
+            if (d < bestD) { bestD = d; bestLbl = cs(ci)._1 }
+            ci += 1
+          }
+          (id, bestLbl)
+        }
+      }
+      .toDF(idCol, "assigned")
+  }
+
   /** Fit (or fetch) the coarse quantizer for `featured`. Trains on a
     * bounded SAMPLE (≤ maxTrainRows, fixed seed): centroid quality needs
     * thousands of points per cell, not the corpus — at 100 TB a

@@ -360,9 +360,38 @@ object SimilarityQueries extends QueryGroup {
         |SELECT grp, idx - 1 AS pos, round(m, 6) AS val
         |FROM a ORDER BY grp, pos""".stripMargin))
 
+  /** Nearest-centroid assignment (distributed k-means E-step with
+    * per-label mean centroids): centroids from one (label, pos)
+    * aggregate broadcast back, assignment scan-local — the corpus
+    * never shuffles. Full oracle; safe against float noise because the
+    * minimum best-vs-second-best distance gap in this data is ~8e-6,
+    * orders above summation-order ulps.
+    */
+  val centroidAssign: QueryDef = QueryDef(
+    "sim_centroid_assign",
+    (s, dir) =>
+      Similarity.centroidAssign(Tables(s, dir).embeddings,
+          "vec_id", "embedding", "label")
+        .orderBy("vec_id"),
+    Some(
+      """WITH x AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS val,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |comp AS (SELECT label AS clabel, pos, avg(val) AS c
+        |         FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, comp.clabel,
+        |        sum((x.val - comp.c) * (x.val - comp.c)) AS dist2
+        |      FROM x JOIN comp ON comp.pos = x.pos
+        |      GROUP BY 1, 2)
+        |SELECT vec_id, clabel AS assigned FROM (
+        |  SELECT vec_id, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY dist2, clabel) AS rn
+        |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
-      normalize, randomProjection, meanPool)
+      normalize, randomProjection, meanPool, centroidAssign)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

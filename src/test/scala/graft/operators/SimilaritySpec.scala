@@ -135,6 +135,33 @@ class SimilaritySpec extends SparkSpec {
     assert(c.length == 1 && c.head.size == 64)
   }
 
+  test("centroidAssign: nearest per-label mean, ties to lower label") {
+    val s = spark
+    import s.implicits._
+    // label 0 centroid = (0,0); label 1 centroid = (4,0); label 2's
+    // single member sits exactly between them but its own centroid wins
+    val df = Seq(
+      (1L, Seq(-1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(3.0f, 0.0f), 1), (4L, Seq(5.0f, 0.0f), 1),
+      (5L, Seq(2.0f, 3.0f), 2),
+      (6L, Seq(3.9f, 0.1f), 0)) // near label-1's centroid → reassigned
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidAssign(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(6L) == 1, "point nearest a foreign centroid moves")
+    assert(got(5L) == 2, "own singleton centroid is distance 0")
+    assert(got(1L) == 0 && got(3L) == 1)
+    // exact tie: both labels' centroids land on (1,0) — every point is
+    // equidistant to both, so everything resolves to the LOWER label
+    val tie = Seq(
+      (1L, Seq(0.0f, 0.0f), 9), (2L, Seq(2.0f, 0.0f), 9),
+      (3L, Seq(4.0f, 0.0f), 7), (4L, Seq(-2.0f, 0.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.centroidAssign(tie, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t.values.toSet == Set(7))
+  }
+
   test("randomProject is deterministic and preserves cosine within JL bound") {
     val a = Similarity.randomProject(emb, "vec_id", "embedding", 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap

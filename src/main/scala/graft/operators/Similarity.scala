@@ -525,6 +525,89 @@ object Similarity {
       .toDF(idCol, "assigned")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into clusters (a k-means
+    * cell id — here any precomputed cluster column, e.g.
+    * [[centroidAssign]]'s `assigned` or an IVF cell), then prune
+    * near-identical embeddings WITHIN each cluster by pairwise cosine.
+    *
+    * Duplicate policy (the parallel variant of the paper's greedy
+    * scan): a row is dropped iff some LOWER-id row in the same cluster
+    * has cosine ≥ threshold with it; `dup_of` is the lowest such id.
+    * Unlike transitive clustering this needs no iteration, and unlike
+    * the paper's keep-farthest-from-centroid rule it is insensitive to
+    * centroid float noise — the survivor choice depends only on ids.
+    * Thresholds compare on 6-dp-rounded cosines (the repo-wide
+    * convention that keeps the decision reproducible across engines).
+    *
+    * Scale (100 TB): ONE shuffle, keyed by the cluster id — exactly the
+    * partitioning SemDeDup prescribes (the paper's k is chosen so cells
+    * are small: ~|corpus|/k rows each). The per-cell kernel sorts by id
+    * and early-exits each row's scan at its FIRST qualifying earlier
+    * neighbour, so heavily-duplicated cells cost O(n) comparisons after
+    * the first survivors, not O(n²). A cell that outgrows executor
+    * memory means the quantizer's k is too small for the corpus — refit
+    * with a larger k (or route the offending cell through
+    * [[cosinePairsBlockJoin]]); the kernel fails loudly rather than
+    * spilling quadratically.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select(col(idCol).cast("long"), col(clusterCol).cast("int"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Int, Array[Double])]
+      .groupByKey(_._2)
+      .flatMapGroups { (cluster: Int, it: Iterator[(Long, Int, Array[Double])]) =>
+        val buf = it.map { case (id, _, v) => (id, v) }.toArray
+        java.util.Arrays.sort(buf, Ordering.by((x: (Long, Array[Double])) => x._1))
+        val n = buf.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = buf(i)._2
+          var s = 0.0; var k = 0
+          while (k < v.length) { s += v(k) * v(k); k += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Boolean, Option[Long], Option[Double])](n)
+        i = 0
+        while (i < n) {
+          val (id, v) = buf(i)
+          var dupOf = -1L
+          var dupSim = 0.0
+          var j = 0
+          // ascending scan: the first hit IS the lowest qualifying id
+          while (j < i && dupOf < 0) {
+            val ov = buf(j)._2
+            var d = 0.0
+            var k = 0
+            val m = math.min(v.length, ov.length)
+            while (k < m) { d += v(k) * ov(k); k += 1 }
+            val den = norms(i) * norms(j)
+            val sim =
+              if (den == 0) 0.0
+              else BigDecimal(d / den)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= threshold) { dupOf = buf(j)._1; dupSim = sim }
+            j += 1
+          }
+          out += ((id, cluster, dupOf < 0,
+            if (dupOf < 0) None else Some(dupOf),
+            if (dupOf < 0) None else Some(dupSim)))
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF(idCol, "cluster", "keep", "dup_of", "sim")
+  }
+
   /** Fit (or fetch) the coarse quantizer for `featured`. Trains on a
     * bounded SAMPLE (≤ maxTrainRows, fixed seed): centroid quality needs
     * thousands of points per cell, not the corpus — at 100 TB a

@@ -338,8 +338,29 @@ object AnalyticsQueries extends QueryGroup {
         |  count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Exact φ-heavy hitters over the document token stream via the
+    * two-pass Misra–Gries scheme ([[graft.operators.HeavyHitters]]):
+    * bounded-memory candidates, exact verify — the answer itself is
+    * exact, so the oracle is a plain HAVING over the full aggregate.
+    * φ·N is non-integral on this data, so the strict `>` cut cannot
+    * sit on a count.
+    */
+  val heavyHitters: QueryDef = QueryDef(
+    "agg_heavy_hitters",
+    (s, dir) =>
+      graft.operators.HeavyHitters.heavyHitters(
+        Tables(s, dir).documents.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w")),
+        col("w"), phi = 0.034),
+    Some(
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS item
+        |           FROM documents)
+        |SELECT item, count(*) AS cnt FROM t GROUP BY item
+        |HAVING count(*) > 0.034 * (SELECT count(*) FROM t)
+        |ORDER BY cnt DESC, item""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
-      percentiles, largeOrders, topKPerGroupAgg, histogram)
+      percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters)
 }

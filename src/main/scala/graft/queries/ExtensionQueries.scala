@@ -189,9 +189,39 @@ object DedupQueries extends QueryGroup {
         |  count(*) FILTER (WHERE rn > 1) AS n_dropped
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** SemDeDup: within-cluster pairwise-cosine pruning over the
+    * embedding corpus (cluster = the dataset's cell label here; in the
+    * full pipeline [[graft.operators.Similarity.centroidAssign]] or an
+    * IVF cell feeds the same operator). Full oracle — the drop rule
+    * (some lower id in the cell with 6-dp cosine ≥ t) is one SQL join.
+    * Threshold 0.35 sits ≥ 4.7e-4 from every actual pair cosine at
+    * sf0.01, orders above the 6-dp round — no float flips.
+    */
+  val semantic: QueryDef = QueryDef(
+    "dedup_semantic",
+    (s, dir) =>
+      Similarity.semanticDedup(Tables(s, dir).embeddings,
+          "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy("vec_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(label AS INT) AS cluster,
+        |             CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT a.vec_id AS id, min(b.vec_id) AS dup_of
+        |      FROM e a JOIN e b
+        |        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        |      GROUP BY a.vec_id)
+        |SELECT e.vec_id, e.cluster, d.id IS NULL AS keep, d.dup_of,
+        |  CASE WHEN d.id IS NULL THEN NULL
+        |       ELSE round(list_cosine_similarity(e.v, b.v), 6) END AS sim
+        |FROM e LEFT JOIN d ON d.id = e.vec_id
+        |       LEFT JOIN e b ON b.vec_id = d.dup_of
+        |ORDER BY e.vec_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks)
+      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -184,4 +184,45 @@ class SimilaritySpec extends SparkSpec {
     assert(devs.max < 0.5, s"max cosine deviation ${devs.max}")
     assert(devs.sum / devs.size < 0.15, s"mean deviation ${devs.sum / devs.size}")
   }
+
+  test("semanticDedup drops within-cluster near-identicals, keeps across clusters") {
+    import spark.implicits._
+    // cluster 0: ids 1,2 colinear (dup), id 3 orthogonal (keep);
+    // cluster 1: id 4 colinear with 1 but in another cell — kept
+    val tiny = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 0), (4L, Seq(3.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(tiny, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some(1L)))
+    assert(out(3L) == (true, None))
+    assert(out(4L) == (true, None))
+  }
+
+  test("semanticDedup drop rule matches a brute-force recomputation") {
+    val t = 0.3
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", t)
+      .collect().map(r => (r.getLong(0),
+        r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toList
+    assert(out.map(_._1).toSet ==
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))).toMap
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (id, keep, dupOf) =>
+      val (v, c) = vecs(id)
+      val earlier = vecs.filter { case (oid, (_, oc)) => oc == c && oid < id }
+      val hits = earlier.filter { case (_, (ov, _)) => sim(v, ov) >= t }
+      if (keep) assert(hits.isEmpty, s"id $id kept but has qualifying earlier dup")
+      else assert(dupOf.contains(hits.keys.min), s"id $id dup_of $dupOf")
+    }
+  }
 }

@@ -205,4 +205,36 @@ object Sampling {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion
+    * probability ∝ `weightCol` — Efraimidis–Spirakis (IPL 2006): each
+    * row gets priority u^(1/w) for u uniform in (0,1); the k largest
+    * priorities ARE a weighted sample without replacement.
+    *
+    * u is a deterministic Knuth multiplicative hash of the id —
+    * ((id·2654435761) mod 2³²+1)/(2³²+1) — not an RNG: the sample is
+    * reproducible run-to-run, independent of partitioning, and the
+    * arithmetic (integer mod + one pow) is reproducible in plain SQL,
+    * so the draw itself is oracle-checkable. Seeding = offsetting the
+    * id stream (pass `seed` to decorrelate successive draws).
+    *
+    * Plan: pure per-row projection + TakeOrderedAndProject — no full
+    * sort, no shuffle beyond each partition's top-k flowing to one
+    * reducer; the 100 TB shape. Weights must be strictly positive.
+    * `priority` is emitted 9-dp rounded; adjacent-priority gaps on
+    * real data sit orders above both engines' pow ulps (checked at the
+    * k-boundary by the gate's data probe).
+    */
+  def weightedReservoirTake(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val id = col(idCol).cast("long") + lit(seed)
+    val u = (pmod(id * lit(2654435761L), lit(4294967296L)) + lit(1)) /
+      lit(4294967297.0)
+    df.withColumn("priority",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

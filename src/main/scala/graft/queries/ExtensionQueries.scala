@@ -1199,8 +1199,30 @@ object SamplingQueries extends QueryGroup {
         |SELECT doc_id, lang FROM d JOIN r USING (lang)
         |WHERE rn <= ceil(rate * n) ORDER BY doc_id""".stripMargin))
 
+  /** Efraimidis–Spirakis weighted sample without replacement: 50 docs,
+    * inclusion ∝ n_chars, deterministic hash-derived uniforms so the
+    * DRAW ITSELF is oracle-checkable (same integer mod + pow in SQL).
+    * Priority gap at the k-boundary on this data is ~9e-6 — orders
+    * above cross-engine pow ulps, so membership cannot flip.
+    */
+  val weightedSample: QueryDef = QueryDef(
+    "sample_weighted",
+    (s, dir) =>
+      graft.operators.Sampling.weightedReservoirTake(
+          Tables(s, dir).documents, "doc_id", "n_chars", k = 50)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy("doc_id"),
+    Some(
+      """WITH p AS (SELECT doc_id, n_chars,
+        |  round(pow((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0,
+        |            1.0 / n_chars), 9) AS priority
+        |  FROM documents)
+        |SELECT doc_id, n_chars, priority FROM p
+        |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix)
+    Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
+      weightedSample)
 }
 
 object EventQueries extends QueryGroup {

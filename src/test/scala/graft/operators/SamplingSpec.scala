@@ -181,4 +181,36 @@ class SamplingSpec extends SparkSpec {
         "doc_id", 0L)
     }
   }
+
+  test("weightedReservoirTake is deterministic and partitioning-independent") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, if (i % 2 == 0) 1000L else 1L))
+    val df1 = rows.toDF("doc_id", "w").repartition(1)
+    val df13 = rows.toDF("doc_id", "w").repartition(13)
+    val a = Sampling.weightedReservoirTake(df1, "doc_id", "w", 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedReservoirTake(df13, "doc_id", "w", 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size == 60)
+    // E-S property: heavy-weight rows dominate the sample
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy >= 54, s"only $heavy/60 sampled rows have the 1000x weight")
+  }
+
+  test("weightedReservoirTake seed decorrelates draws") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, 10L)).toDF("doc_id", "w")
+    val s0 = Sampling.weightedReservoirTake(df, "doc_id", "w", 50, seed = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = Sampling.weightedReservoirTake(df, "doc_id", "w", 50, seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s0 != s1)
+    // uniform weights: both draws are plain uniform samples; overlap of
+    // two independent 10% samples should be far from total
+    assert((s0 intersect s1).size < 25)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedReservoirTake(df, "doc_id", "w", 0)
+    }
+  }
 }

@@ -419,9 +419,31 @@ object SimilarityQueries extends QueryGroup {
         |                       ORDER BY dist2, clabel) AS rn
         |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin))
 
+  /** IVF-PQ two-stage probe: product-quantized ADC shortlist inside
+    * the probed cells, exact cosine rerank over the shortlist
+    * ([[graft.ingest.PqIndex]]). Rows-only by design (the shortlist is
+    * quantizer-dependent); PqIndexSpec asserts the recall and the
+    * exactness of reranked scores.
+    */
+  val annIvfPq: QueryDef = QueryDef(
+    "sim_ann_ivf_pq",
+    (s, dir) => {
+      import graft.ingest.PqIndex
+      val emb = Tables(s, dir).embeddings
+      val idx = PqIndex.pqIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"),
+        numCentroids = 16, m = 8, ksub = 16)
+      PqIndex.ivfPqTopK(s, idx, "vec_id", "embedding",
+          AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+          k = 10, nProbes = 4, excludeId = Some(0L),
+          rerank = Some(emb), shortlist = 100)
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
-      normalize, randomProjection, meanPool, centroidAssign)
+      normalize, randomProjection, meanPool, centroidAssign, annIvfPq)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

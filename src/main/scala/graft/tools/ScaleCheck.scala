@@ -132,6 +132,69 @@ object ScaleCheck {
       TextAnalysis.qualityScore(col("text")).as("quality"))
     time(s"token_budget_${dup}x", Sampling.tokenBudgetTake(
       scoredBlown, "source", "quality", "n_tokens", "doc_id", 800L * dup))
+
+    // containment: every cross-copy pair of a containing pair also
+    // qualifies — identical-set clustering must keep candidate work at
+    // distinct-set scale while the OUTPUT grows ~dup² per 1× pair
+    time("containment_1x",
+      Dedup.containmentPairs(docs, "text", "doc_id", 0.8))
+    time(s"containment_${dup}x",
+      Dedup.containmentPairs(blown, "text", "doc_id", 0.8))
+
+    // heavy hitters: the MG summary is k counters per partition no
+    // matter the corpus size — cost must track rows, state must not
+    val words1x = docs.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val wordsBig = blown.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    import graft.operators.HeavyHitters
+    time("heavy_hitters_1x", HeavyHitters.heavyHitters(words1x, col("w"), 0.034))
+    time(s"heavy_hitters_${dup}x",
+      HeavyHitters.heavyHitters(wordsBig, col("w"), 0.034))
+
+    // BPE: rounds run on the DISTINCT-WORD frame — duplicating the
+    // corpus changes only the one corpus-scale frequency pass, the 24
+    // training rounds are vocabulary-bounded and cost the same
+    import graft.operators.Bpe
+    time("bpe_train_1x",
+      { Bpe.trainMerges(docs, "text", 24); docs.limit(1) })
+    time(s"bpe_train_${dup}x",
+      { Bpe.trainMerges(blown, "text", 24); blown.limit(1) })
+
+    // weighted sampling: pure projection + TakeOrdered — no shuffle to
+    // grow; wall time must track the scan alone
+    val weighted1x = full.select(col("doc_id"), col("n_chars"))
+    val weightedBig = (0 until dup).map(i =>
+      full.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("n_chars"))).reduce(_ unionByName _)
+    time("weighted_take_1x",
+      Sampling.weightedReservoirTake(weighted1x, "doc_id", "n_chars", 50))
+    time(s"weighted_take_${dup}x",
+      Sampling.weightedReservoirTake(weightedBig, "doc_id", "n_chars", 50))
+
+    // semantic dedup + IVF-PQ over a dup-blown embedding corpus: cells
+    // multiply in size, the per-cell kernel's early-exit keeps the
+    // duplicated mass linear (every copy hits its first earlier twin)
+    import graft.operators.Similarity
+    import graft.ingest.PqIndex
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val embBig = (0 until dup).map(i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _).cache()
+    embBig.count()
+    time("semantic_dedup_1x",
+      Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.35))
+    time(s"semantic_dedup_${dup}x",
+      Similarity.semanticDedup(embBig, "vec_id", "embedding", "label", 0.35))
+    time(s"ivfpq_build_probe_${dup}x", {
+      val p = PqIndex.writeIvfPq(embBig, "vec_id", "embedding",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ann/scalecheck/pq${dup}x",
+        numCentroids = 16, m = 8, ksub = 16)
+      PqIndex.ivfPqTopK(spark, p, "vec_id", "embedding",
+        graft.ingest.AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, nProbes = 4)
+    })
     spark.stop()
   }
 }

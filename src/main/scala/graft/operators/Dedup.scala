@@ -610,6 +610,11 @@ object Dedup {
       // member id, which is ambiguous when one id appears with two texts
       .withColumn("ckey", xxhash64(
         concat_ws(",", transform(col("hs"), h => h.cast("string")))))
+      // materialize before aggregating: a partial aggregate over the
+      // lazy plan re-evaluates the interpreted HOF hash chain per row
+      // per aggregate expression (measured 4.4 s vs 0.25 s at sf0.1 —
+      // see [[containmentPairs]], same shape)
+      .localCheckpoint(true)
     // CLUSTER identical token sets first: on templated / duplicated
     // corpora, distinct sets grow far slower than docs (sf0.1: 3935 of
     // 5000; a 10×-duplicated corpus: unchanged), so the quadratic-ish
@@ -621,6 +626,7 @@ object Dedup {
     val clusters = keyed.groupBy(col("ckey")).agg(
       first(col("ws")).as("ws"), first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
+      .localCheckpoint(true)
     val tok = clusters.select(col("ckey"),
       size(col("ws")).as("n"), explode(col("ws")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
@@ -686,13 +692,22 @@ object Dedup {
     import spark.implicits._
     val sets = df.select(col(idCol).cast("long").as("id"),
       array_distinct(shingles(textCol, shingleN)).as("ws"))
+    // materialize the per-doc projection BEFORE the cluster aggregate:
+    // the shingle/hash/sort chain is interpreted HOF lambdas, and a
+    // partial aggregate over the lazy plan re-evaluates it per row per
+    // aggregate expression (measured 4.4 s vs 0.25 s from materialized
+    // input at sf0.1); the checkpointed cluster frame then feeds its
+    // five consumers (token explode, prefix join, two hash-set
+    // re-attachments, member expansion) without recompute
     val keyed = sets
       .withColumn("hs", array_sort(transform(col("ws"), w => xxhash64(w))))
       .withColumn("ckey", xxhash64(
         concat_ws(",", transform(col("hs"), h => h.cast("string")))))
+      .localCheckpoint(true)
     val clusters = keyed.groupBy(col("ckey")).agg(
       first(col("ws")).as("ws"), first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
+      .localCheckpoint(true)
     val tok = clusters.select(col("ckey"),
       size(col("ws")).as("n"), explode(col("ws")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
@@ -702,16 +717,23 @@ object Dedup {
         Window.partitionBy(col("ckey")).orderBy(col("df"), col("w"))))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("ckey"), col("n"), col("w"))
-      .join(clusters.select(col("ckey"), col("hs")), "ckey")
-    // containing-side index: every shingle of every cluster
+    // Unlike the Jaccard path (prefix ⋈ prefix), the containing side
+    // indexes ALL its shingles — an array-carrying token join here
+    // would shuffle every cluster's hash set once PER SHINGLE. So the
+    // candidate join runs on KEYS only, collapses to distinct pairs,
+    // then re-attaches the two hash sets from the cluster frame: each
+    // cluster's array now moves once per equi-join, not once per
+    // shingle occurrence (hash joins on ka/kb; Catalyst broadcasts the
+    // cluster side when it fits).
     val index = tok.select(col("ckey"), col("n"), col("w"))
-      .join(clusters.select(col("ckey"), col("hs")), "ckey")
     val cands = prefix.as("a").join(index.as("b"),
         col("a.w") === col("b.w") && col("a.ckey") =!= col("b.ckey") &&
           col("b.n") >= col("a.n") * threshold)
-      .select(col("a.ckey").as("ka"), col("a.hs").as("ha"),
-        col("b.ckey").as("kb"), col("b.hs").as("hb"))
+      .select(col("a.ckey").as("ka"), col("b.ckey").as("kb"))
       .distinct()
+      .join(clusters.select(col("ckey").as("ka"), col("hs").as("ha")), "ka")
+      .join(clusters.select(col("ckey").as("kb"), col("hs").as("hb")), "kb")
+      .select(col("ka"), col("ha"), col("kb"), col("hb"))
       .as[(Long, Array[Long], Long, Array[Long])]
     val repPairs = cands.mapPartitions { it =>
       it.flatMap { case (ka, ha, kb, hb) =>
@@ -724,7 +746,7 @@ object Dedup {
         val cont = c.toDouble / ha.length
         if (cont >= threshold) Some((ka, kb, cont)) else None
       }
-    }.toDF("ckey_a", "ckey_b", "containment")
+    }.toDF("ckey_a", "ckey_b", "containment").distinct()
     // directed expansion: cluster A members are sources, B members
     // destinations; within a cluster every ordered pair is a mutual
     // full containment

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Misra–Gries summary update: one item into a k-counter map. */
-  private def mgAdd(m: scala.collection.mutable.LinkedHashMap[String, Long],
+  /** Misra–Gries summary update: one item into a k-counter map (shared
+    * with the streaming monitor in [[graft.streaming]]).
+    */
+  private[graft] def mgAdd(m: scala.collection.mutable.LinkedHashMap[String, Long],
       item: String, k: Int): Unit = {
     m.get(item) match {
       case Some(c) => m.update(item, c + 1)

@@ -359,8 +359,27 @@ object AnalyticsQueries extends QueryGroup {
         |HAVING count(*) > 0.034 * (SELECT count(*) FROM t)
         |ORDER BY cnt DESC, item""".stripMargin))
 
+  /** Mergeable approximate percentiles (Spark's built-in KLL-style
+    * `percentile_approx` sketch) — the at-scale counterpart of the
+    * exact `agg_percentiles` gate, completing the approx family
+    * (HLL distinct / MG heavy hitters / quantile sketch). Rows-only
+    * by design; AnalyticsSketchSpec bounds the rank error against the
+    * exact quantiles.
+    */
+  val approxPercentiles: QueryDef = QueryDef(
+    "agg_approx_percentiles",
+    (s, dir) =>
+      Tables(s, dir).orders
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
+        .select(col("p").getItem(0).as("p50"),
+          col("p").getItem(1).as("p90"),
+          col("p").getItem(2).as("p99")),
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
-      percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters)
+      percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
+      approxPercentiles)
 }

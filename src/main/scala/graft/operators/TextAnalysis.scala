@@ -276,4 +276,37 @@ object TextAnalysis {
           sum(col("tf") * (log(col("cbg") + lit(1)) - log(col("cl") + col("v"))))
             / sum(col("tf")), 4).as("avg_logprob"))
   }
+
+  /** Corpus collocations by pointwise mutual information over adjacent
+    * word pairs: PMI(l,r) = ln(c(l,r)·N / (c(l,·)·c(·,r))) with all
+    * marginals taken over BIGRAM POSITIONS (so the distribution sums to
+    * one and the identity is exact in integer counts). The "new-york /
+    * machine-learning detector" of a phrase-mining pass.
+    *
+    * One corpus-scale aggregate (pair counts, map-side combined); the
+    * marginals are windows over the bigram-vocabulary frame — nothing
+    * downstream of the first aggregate scales with the corpus. All
+    * inputs to the log are exact integers, so the 4-dp-rounded PMI is
+    * engine-stable.
+    */
+  def pmiBigrams(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val cnt = docs.select(
+      explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+    cnt
+      .withColumn("cl", sum(col("cnt")).over(Window.partitionBy(col("l"))))
+      .withColumn("cr", sum(col("cnt")).over(Window.partitionBy(col("r"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("cnt") >= minCount)
+      .select(col("l"), col("r"), col("cnt"),
+        round(log(col("cnt") * col("n") / (col("cl") * col("cr"))), 4)
+          .as("pmi"))
+  }
 }

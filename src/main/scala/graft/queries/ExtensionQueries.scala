@@ -1181,10 +1181,31 @@ object TextQueries extends QueryGroup {
         |FROM tf JOIN cb USING (l, r) JOIN cu ON cu.term = tf.l CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Adjacent-bigram PMI collocations (count ≥ 20) — phrase mining.
+    * Full oracle: integer counts into one log, rounded to 4 dp.
+    */
+  val pmi: QueryDef = QueryDef(
+    "text_pmi_bigrams",
+    (s, dir) =>
+      TextAnalysis.pmiBigrams(Tables(s, dir).documents, "text", minCount = 20L)
+        .orderBy("l", "r"),
+    Some(
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |bg AS (SELECT ws[i] AS l, ws[i+1] AS r
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |c AS (SELECT l, r, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |m AS (SELECT l, r, cnt,
+        |        sum(cnt) OVER (PARTITION BY l) AS cl,
+        |        sum(cnt) OVER (PARTITION BY r) AS cr,
+        |        sum(cnt) OVER () AS n
+        |      FROM c)
+        |SELECT l, r, cnt, round(ln(cnt * n * 1.0 / (cl * cr)), 4) AS pmi
+        |FROM m WHERE cnt >= 20 ORDER BY l, r""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
-      bigramLogProb)
+      bigramLogProb, pmi)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -192,4 +192,26 @@ class TextAnalysisSpec extends SparkSpec {
     // unigram: both docs draw from the same token pool — near-equal
     assert(math.abs(un(1L) - un(2L)) < 0.2)
   }
+
+  test("PMI: perfect collocation scores ln(N/c), independent pair near 0") {
+    val s2 = spark
+    import s2.implicits._
+    // "new york" always adjacent (perfect collocation); "the cat/dog"
+    // mixes freely
+    val df = Seq(
+      "new york the cat the dog new york",
+      "the dog new york the cat").toDF("text")
+    val got = TextAnalysis.pmiBigrams(df, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // bigram positions: doc1 (8 tokens) has 7, doc2 (6 tokens) has 5
+    // -> N = 12; c(new,york)=3, c(new,·)=3, c(·,york)=3
+    // -> PMI = ln(3·12/9) = ln 4
+    val (cnt, pmi) = got(("new", "york"))
+    assert(cnt == 3L)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi == r4(math.log(4.0)))
+    // a frequent-but-free pair scores lower than the collocation
+    got.get(("the", "cat")).foreach { case (_, p) => assert(p < pmi) }
+  }
 }

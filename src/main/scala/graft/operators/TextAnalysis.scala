@@ -309,4 +309,65 @@ object TextAnalysis {
         round(log(col("cnt") * col("n") / (col("cl") * col("cr"))), 4)
           .as("pmi"))
   }
+
+  /** Engine-portable polynomial hash (h·31 + codepoint, mod 2³¹−1) —
+    * chosen so a SQL oracle can reproduce the VALUE (`list_reduce` over
+    * code points), unlike xxhash64. Collision rate 2⁻³¹ per pair is
+    * fine for fingerprint sets; the security-grade content hashes stay
+    * sha2/xxhash64 elsewhere.
+    */
+  private[graft] def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 2147483647L; i += 1 }
+    h
+  }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL n-token
+    * shingle, slide a window of `window` consecutive hashes, keep each
+    * window's minimum — the selected set is guaranteed to share a
+    * fingerprint with any other document it shares a sufficiently long
+    * substring with, at ~2/(window+1) of the full shingle density.
+    * Output: distinct (id, fp) rows — the per-doc fingerprint SET
+    * (values, not positions, so ties need no rightmost rule).
+    *
+    * Scan-local kernel, no shuffle at all except the caller's use;
+    * docs shorter than the shingle width fall back to one whole-text
+    * shingle, and hash streams shorter than the window yield their
+    * global minimum (one window).
+    */
+  def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, window: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.toLowerCase.trim.split("\\s+")
+          val sh =
+            if (w.length < shingleN) Array(w.mkString(" "))
+            else Array.tabulate(w.length - shingleN + 1)(i =>
+              w.slice(i, i + shingleN).mkString(" "))
+          val hs = sh.map(polyHash)
+          val out = scala.collection.mutable.SortedSet.empty[Long]
+          if (hs.length <= window) out += hs.min
+          else {
+            var p = 0
+            while (p <= hs.length - window) {
+              var m = hs(p)
+              var j = p + 1
+              while (j < p + window) { if (hs(j) < m) m = hs(j); j += 1 }
+              out += m
+              p += 1
+            }
+          }
+          out.iterator.map(fp => (id, fp))
+        }
+      }
+      .toDF(idCol, "fp")
+  }
 }

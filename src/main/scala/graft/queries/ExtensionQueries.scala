@@ -465,9 +465,41 @@ object SimilarityQueries extends QueryGroup {
     },
     None)
 
+  /** Two full Lloyd rounds from the label initialization — the k-means
+    * TRAINING LOOP oracle-checked end to end (decimal-exact M-step,
+    * broadcast E-step; assignment gaps ≥ 6e-6 on this data, so the
+    * oracle's unordered float sums cannot flip a label).
+    */
+  val kmeansLloyd: QueryDef = QueryDef(
+    "sim_kmeans_lloyd",
+    (s, dir) =>
+      Similarity.lloydIterate(Tables(s, dir).embeddings,
+          "vec_id", "embedding", "label", iters = 2)
+        .orderBy("vec_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(label AS INT) AS a0, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, a0, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+        |c1 AS (SELECT a0 AS cl, pos, CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |       FROM x GROUP BY 1, 2),
+        |d1 AS (SELECT x.vec_id, c1.cl, sum((x.val - c1.c) * (x.val - c1.c)) AS d2
+        |       FROM x JOIN c1 ON c1.pos = x.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl AS a1 FROM (
+        |         SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |x2 AS (SELECT x.vec_id, a1.a1, x.pos, x.val FROM x JOIN a1 USING (vec_id)),
+        |c2 AS (SELECT a1 AS cl, pos, CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |       FROM x2 GROUP BY 1, 2),
+        |d2_ AS (SELECT x2.vec_id, c2.cl, sum((x2.val - c2.c) * (x2.val - c2.c)) AS d2
+        |        FROM x2 JOIN c2 ON c2.pos = x2.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl AS assigned FROM (
+        |         SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |         FROM d2_) WHERE rn = 1)
+        |SELECT vec_id, assigned FROM a2 ORDER BY vec_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
-      normalize, randomProjection, meanPool, centroidAssign, annIvfPq)
+      normalize, randomProjection, meanPool, centroidAssign, annIvfPq,
+      kmeansLloyd)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -108,4 +108,86 @@ class RandomizedInvariantSpec extends SparkSpec {
       assert(r.getLong(2) + r.getLong(3) + r.getLong(4) >= 1, s"nothing redacted: $t")
     }
   }
+
+  private def randomCorpus(rnd: Random, nDocs: Int): Seq[(Long, String)] = {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1L to nDocs.toLong).map { id =>
+      val base = Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      // sprinkle exact and near copies to exercise the dup paths
+      val text =
+        if (rnd.nextBoolean() && id > 1) null // replaced below with a copy
+        else base.mkString(" ")
+      (id, text)
+    }.foldLeft(Vector.empty[(Long, String)]) { case (acc, (id, t)) =>
+      acc :+ (id -> (if (t != null) t else acc(rnd.nextInt(acc.size))._2))
+    }
+  }
+
+  test("containment pairs equal the naive reference on random dup-heavy corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(13)
+    for (trial <- 1 to 3) {
+      val corpus = randomCorpus(rnd, 20 + rnd.nextInt(30))
+      val t = 0.5 + rnd.nextInt(4) * 0.1
+      val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+          "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = corpus.map { case (id, text) =>
+        (id, Dedup.shingleStrings(text, 3).toSet)
+      }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        c = (sa intersect sb).size.toDouble / sa.size
+        if c >= t
+      } yield (a, b, BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == want, s"trial $trial t=$t")
+    }
+  }
+
+  test("winnowing guarantee: fingerprints ⊆ shingle hashes, every window covered") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(29)
+    val corpus = randomCorpus(rnd, 30)
+    val fps = TextAnalysis.winnowFingerprints(
+        corpus.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    corpus.foreach { case (id, text) =>
+      val w = text.toLowerCase.trim.split("\\s+")
+      val sh = if (w.length < 3) Array(w.mkString(" "))
+        else Array.tabulate(w.length - 2)(i => w.slice(i, i + 3).mkString(" "))
+      val hs = sh.map(TextAnalysis.polyHash)
+      assert(fps(id).subsetOf(hs.toSet), s"doc $id emitted a non-shingle hash")
+      // guarantee: every window of 4 consecutive hashes contains a selected fp
+      if (hs.length > 4) {
+        (0 to hs.length - 4).foreach { p =>
+          assert(hs.slice(p, p + 4).exists(fps(id)), s"doc $id window $p uncovered")
+        }
+      }
+    }
+  }
+
+  test("weighted reservoir: zero-weight-free, exact-k, dominated by heavy rows") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val rows = (1L to n.toLong).map(i => (i, 1L + rnd.nextInt(100).toLong))
+      val k = 20 + rnd.nextInt(30)
+      val got = Sampling.weightedReservoirTake(
+          rows.toDF("doc_id", "w"), "doc_id", "w", k)
+        .collect().map(_.getLong(0))
+      assert(got.length == k, s"trial $trial")
+      assert(got.distinct.length == k, s"trial $trial duplicated draws")
+      // mean weight of the sample should exceed the population mean
+      val wm = rows.toMap
+      val sampleMean = got.map(wm).sum.toDouble / k
+      val popMean = rows.map(_._2).sum.toDouble / n
+      assert(sampleMean > popMean, s"trial $trial: $sampleMean <= $popMean")
+    }
+  }
 }

@@ -55,6 +55,53 @@ object AnnIndex {
     path
   }
 
+  /** Append new embeddings to a persisted IVF layout WITHOUT
+    * retraining or rewriting: each new row routes to its cell via the
+    * stored `_centroids` sidecar (broadcast, scan-local kernel — the
+    * corpus never shuffles) and lands as appended cell-partitioned
+    * files. Probes see appended rows immediately through the same
+    * partition pruning; the quantizer itself is untouched, so a
+    * drifting corpus shows up as a rising [[indexStats]] skew ratio —
+    * that, not every ingest batch, is the retrain trigger. This is the
+    * standard IVF maintenance contract (assign-on-insert, periodic
+    * retrain) at 100 TB: per-batch cost is one scan of the BATCH.
+    */
+  def appendIvf(
+      spark: SparkSession, indexPath: String,
+      newRows: DataFrame, idCol: String, vecCol: String): Long = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no _centroids sidecar under $indexPath")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = newRows
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = cs(0)._1
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)._2
+            var d = 0.0; var j = 0
+            val n = math.min(v.length, c.length)
+            while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = cs(ci)._1 }
+            ci += 1
+          }
+          (id, v.map(_.toFloat), best)
+        }
+      }
+      .toDF(idCol, vecCol, "cell")
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(indexPath)
+    n
+  }
+
   /** Index-balance report over a persisted IVF/LSH layout: per
     * partition key (cell or bucket) its row count, plus the skew ratio
     * (max/mean) in every row — the number an operator watches to decide

@@ -167,4 +167,36 @@ class AnnIndexSpec extends SparkSpec {
     val p2 = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding", "spec-tag", 8)
     assert(p1 == p2)
   }
+
+  test("appendIvf routes new rows to existing cells; probes see them immediately") {
+    import org.apache.spark.sql.functions._
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val path = AnnIndex.writeIvf(half, "vec_id", "embedding", s"$dir/idx", 4)
+    val before = spark.read.parquet(path).count()
+    val appended = AnnIndex.appendIvf(spark, path, rest, "vec_id", "embedding")
+    assert(appended == rest.count())
+    val after = spark.read.parquet(path)
+    assert(after.count() == before + appended)
+    // appended rows must sit in their NEAREST stored cell
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+    val vecs = rest.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    after.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "cell").collect().foreach { r =>
+        val v = vecs(r.getLong(0))
+        val want = cents.minBy { case (_, c) =>
+          c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+        }._1
+        assert(r.getInt(1) == want, s"vec ${r.getLong(0)}")
+      }
+    // a probe for an appended vector's neighbourhood returns appended ids
+    val q = AnnIndex.lookupVector(emb, "vec_id", "embedding", 1L)
+    val top = AnnIndex.ivfTopK(spark, path, "vec_id", "embedding", q,
+      k = 20, nProbes = 4, excludeId = Some(1L))
+      .collect().map(_.getLong(0))
+    assert(top.exists(_ % 2 == 1), "no appended row surfaced in the probe")
+  }
 }

@@ -128,4 +128,32 @@ object Decontamination {
       .filter(col("jaccard") >= threshold)
       .distinct()
   }
+
+  /** Benchmark leakage via WINNOWING fingerprints ([[TextAnalysis
+    * .winnowFingerprints]]): flag corpus docs sharing ≥ `minShared`
+    * selected fingerprints with the benchmark set. The winnowing
+    * guarantee makes this an exact-substring-grade detector (any
+    * sufficiently long verbatim overlap MUST share a fingerprint) at
+    * ~2/(window+1) of full-shingle density — the match join moves
+    * fingerprints, not shingle streams.
+    *
+    * Scale: corpus side is the scan-local winnow kernel; the benchmark
+    * fingerprint set is tiny and BROADCASTS, so the corpus never
+    * shuffles for the match — same shape as [[flagContaminated]].
+    */
+  def winnowContaminated(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      minShared: Long = 3L, shingleN: Int = 3, window: Int = 4): DataFrame = {
+    val corpusFps = TextAnalysis.winnowFingerprints(
+      corpus, textCol, idCol, shingleN, window)
+    val benchFps = TextAnalysis.winnowFingerprints(
+        benchmark, textCol, idCol, shingleN, window)
+      .select(col("fp")).distinct()
+    corpusFps
+      .join(broadcast(benchFps), "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

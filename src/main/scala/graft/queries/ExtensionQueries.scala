@@ -845,9 +845,47 @@ object PipelineQueries extends QueryGroup {
     },
     None)
 
+  /** Winnow-fingerprint decontamination: docs sharing ≥ 3 selected
+    * fingerprints with the benchmark stand-in. Exact-substring-grade
+    * signal at winnow density; FULL oracle (the engine-portable hash
+    * lets DuckDB rebuild both fingerprint sets and join them).
+    */
+  val decontaminateWinnow: QueryDef = QueryDef(
+    "pipeline_decontaminate_winnow",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontamination.winnowContaminated(
+          docs, docs.filter(col("doc_id") % 23 === 0),
+          "text", "doc_id", minShared = 3L)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, i,
+        |         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+        |              ELSE array_to_string(list_slice(ws, i, i + 2), ' ') END AS s,
+        |         greatest(len(ws) - 2, 1) AS nh
+        |       FROM w, unnest(range(1, greatest(len(ws) - 1, 2))) AS t(i)),
+        |h AS (SELECT doc_id, i, nh,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, len(s) + 1), j -> ascii(s[j])::BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 2147483647) AS hv
+        |      FROM sh),
+        |win AS (SELECT doc_id, i, nh,
+        |          min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |        FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM win
+        |        WHERE i <= greatest(nh - 3, 1)),
+        |b AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 23 = 0)
+        |SELECT f.doc_id, count(*) AS n_shared
+        |FROM fps f JOIN b USING (fp)
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
-      chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy)
+      chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
+      decontaminateWinnow)
 }
 
 object TextQueries extends QueryGroup {

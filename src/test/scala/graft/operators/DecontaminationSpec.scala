@@ -86,4 +86,22 @@ class DecontaminationSpec extends SparkSpec {
       assert(math.abs(j - exact) < 1e-12, s"pair ($did,$bid)")
     }
   }
+
+  test("winnow decontamination flags verbatim overlap, spares clean docs") {
+    val s = spark
+    import s.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog every single day"
+    val corpus = Seq(
+      (1L, s"prefix words here $benchText and a suffix tail"), // leaked
+      (2L, "completely unrelated content with no overlap at all whatsoever"),
+      (3L, benchText)) // verbatim copy
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val got = Decontamination.winnowContaminated(
+        corpus, bench, "text", "doc_id", minShared = 2L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got.contains(1L), "embedded verbatim run not flagged")
+    assert(got.contains(3L), "verbatim copy not flagged")
+    assert(!got.contains(2L), "clean doc falsely flagged")
+  }
 }

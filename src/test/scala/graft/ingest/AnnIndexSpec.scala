@@ -199,4 +199,37 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(top.exists(_ % 2 == 1), "no appended row surfaced in the probe")
   }
+
+  test("a streaming embedding feed maintains the persisted index via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+    val path = AnnIndex.writeIvf(emb, "vec_id", "embedding", s"$dir/idx", 4)
+    val before = spark.read.parquet(path).count()
+    val in = MemoryStream[(Long, Seq[Float])](s)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // assign-on-insert against the stored centroids — each micro-
+        // batch costs one scan of the batch, the layout absorbs it
+        AnnIndex.appendIvf(s, path, batch, "vec_id", "embedding"); ()
+      }
+      .start()
+    try {
+      val v = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select("embedding").collect().head.getSeq[Float](0)
+      in.addData((900001L, v), (900002L, v.map(x => x * 1.01f)))
+      q.processAllAvailable()
+      in.addData((900003L, v.map(x => -x)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).count() == before + 3)
+      // the near-duplicate of vector 0 lands in vector 0's cell and
+      // surfaces in its probe
+      val probe = AnnIndex.ivfTopK(spark, path, "vec_id", "embedding",
+        v.map(_.toDouble).toArray, k = 3, nProbes = 1, excludeId = Some(0L))
+        .collect().map(_.getLong(0))
+      assert(probe.contains(900001L), s"streamed row missing from probe: ${probe.toSeq}")
+    } finally q.stop()
+  }
 }

@@ -187,6 +187,21 @@ object ScaleCheck {
       Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.35))
     time(s"semantic_dedup_${dup}x",
       Similarity.semanticDedup(embBig, "vec_id", "embedding", "label", 0.35))
+    // winnowing + its decontamination: both scan-local kernels, the
+    // match side broadcasts — cost must track rows
+    time("winnow_1x",
+      TextAnalysis.winnowFingerprints(docs, "text", "doc_id"))
+    time(s"winnow_${dup}x",
+      TextAnalysis.winnowFingerprints(blown, "text", "doc_id"))
+    time(s"winnow_decontaminate_${dup}x", Decontamination.winnowContaminated(
+      blown, docs.filter(col("doc_id") % 23 === 0), "text", "doc_id"))
+
+    // Lloyd rounds: M-step is one aggregate over the posexploded corpus,
+    // E-step broadcast — per-round cost linear in rows, centroid frame
+    // fixed at k×dim
+    time(s"lloyd2_${dup}x",
+      Similarity.lloydIterate(embBig, "vec_id", "embedding", "label", 2))
+
     time(s"ivfpq_build_probe_${dup}x", {
       val p = PqIndex.writeIvfPq(embBig, "vec_id", "embedding",
         s"${System.getProperty("java.io.tmpdir")}/graft-ann/scalecheck/pq${dup}x",

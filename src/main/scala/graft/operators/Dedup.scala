@@ -627,8 +627,11 @@ object Dedup {
       first(col("ws")).as("ws"), first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
       .localCheckpoint(true)
+    // prefix tokens are the 8-byte hashes, not strings — smaller join
+    // shuffles, same identity (the kernels already accept the 2⁻⁶⁴
+    // hash-collision rate)
     val tok = clusters.select(col("ckey"),
-      size(col("ws")).as("n"), explode(col("ws")).as("w"))
+      size(col("hs")).as("n"), explode(col("hs")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
     // prefix rows carry their cluster's full hash set, so candidates
     // pipeline from the join straight into the verify kernel with NO
@@ -708,8 +711,12 @@ object Dedup {
       first(col("ws")).as("ws"), first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
       .localCheckpoint(true)
+    // token rows carry the 8-byte shingle HASH, not the string — the
+    // candidate join's shuffle volume drops by the mean shingle width
+    // (hash identity ≡ shingle identity up to the 2⁻⁶⁴ collisions the
+    // verify kernel already accepts)
     val tok = clusters.select(col("ckey"),
-      size(col("ws")).as("n"), explode(col("ws")).as("w"))
+      size(col("hs")).as("n"), explode(col("hs")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
     // contained-side prefix (rarest shingles first)
     val prefix = tok.join(dfreq, "w")

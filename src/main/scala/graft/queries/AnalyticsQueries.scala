@@ -409,9 +409,32 @@ object AnalyticsQueries extends QueryGroup {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin))
 
+  /** TPC-H Q6 (forecast revenue change): the canonical pushdown
+    * showcase — every predicate (date range, discount band, quantity
+    * cap) reaches the parquet scan, the aggregate is one map-side-
+    * combined decimal sum.
+    */
+  val forecastRevenue: QueryDef = QueryDef(
+    "tpch_q6_forecast_revenue",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(28, 10))).cast("double").as("revenue")),
+    Some(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
-      approxPercentiles, promoRevenue)
+      approxPercentiles, promoRevenue, forecastRevenue)
 }

@@ -98,6 +98,40 @@ object JoinQueries extends QueryGroup {
         "SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_totalprice > 300000) ORDER BY c_custkey"))
 
+  /** FULL OUTER reconciliation: per-customer order stats stitched to
+    * the customer dimension with both unmatched sides preserved —
+    * customers that never ordered AND (synthetically restricted)
+    * orders whose customer is outside the dimension slice. The
+    * null-preserving join type the reconciliation/audit jobs need.
+    */
+  val joinFullOuter: QueryDef = QueryDef(
+    "join_full_outer_reconcile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dims = t.customer.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val facts = t.orders
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_spend"))
+      dims.join(facts, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"), col("total_spend"))
+        .orderBy("custkey")
+    },
+    Some(
+      """WITH dims AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0),
+        |facts AS (SELECT o_custkey, count(*) AS n_orders,
+        |            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |          FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |       n_orders, total_spend
+        |FROM dims FULL OUTER JOIN facts ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin))
+
   override def defs: Seq[QueryDef] =
-    Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti)
+    Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti, joinFullOuter)
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** Plan-shape regression locks for the perf-critical gates: the shapes
+  * that make these queries survive a 100× scale-up are asserted here so
+  * a refactor that silently un-pushes a filter, drops a broadcast, or
+  * adds a shuffle FAILS CI instead of quietly shipping a scan-the-
+  * corpus plan. Assertions walk the AQE-final executed plan at
+  * sf0.001 (string rendering truncates; the tree does not).
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def finalPlan(gate: String): SparkPlan = {
+    val df = SparkEntry.queries(gate)(spark, sfDir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  /** All nodes, recursing through AQE wrappers and reused stages. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ nested ++ p.subqueries).flatMap(nodes)
+  }
+
+  private def scans(gate: String): Seq[FileSourceScanExec] =
+    nodes(finalPlan(gate)).collect { case f: FileSourceScanExec => f }
+
+  private def pushedFilters(gate: String): String =
+    scans(gate).flatMap(_.metadata.get("PushedFilters")).mkString(" ")
+
+  private def kinds(gate: String): Seq[String] =
+    nodes(finalPlan(gate)).map(_.getClass.getSimpleName)
+
+  test("tpch_q6: every predicate reaches the parquet scan") {
+    val pushed = pushedFilters("tpch_q6_forecast_revenue")
+    assert(pushed.contains("l_shipdate"), s"shipdate not pushed: $pushed")
+    assert(pushed.contains("l_discount"), s"discount not pushed: $pushed")
+    assert(pushed.contains("l_quantity"), s"quantity not pushed: $pushed")
+  }
+
+  test("q11 projection pushdown: scan reads only the projected columns") {
+    val widths = scans("q11_projection_pushdown").map(_.schema.fields.length)
+    assert(widths.nonEmpty)
+    widths.foreach(w => assert(w <= 8, s"scan reads $w columns"))
+  }
+
+  test("sample_weighted: no exchange at all (projection + TakeOrdered)") {
+    val ks = kinds("sample_weighted")
+    assert(!ks.exists(_.contains("Exchange")), s"unexpected shuffle: $ks")
+    assert(ks.contains("TakeOrderedAndProjectExec"), s"no top-k operator: $ks")
+  }
+
+  test("join_broadcast_dim: the dimension side broadcasts") {
+    val ks = kinds("join_broadcast_dim")
+    assert(ks.contains("BroadcastHashJoinExec"), s"no broadcast join: $ks")
+  }
+
+  test("sim_topk_bruteforce: zero shuffles, top-k via TakeOrdered") {
+    val ks = kinds("sim_topk_bruteforce")
+    assert(!ks.exists(_.contains("Exchange")), s"unexpected shuffle: $ks")
+    assert(ks.contains("TakeOrderedAndProjectExec"), s"no top-k operator: $ks")
+  }
+
+  test("q2 filtered scan: datestamp range is pushed") {
+    val pushed = pushedFilters("q2_filtered_scan")
+    assert(pushed.replace("[]", "").contains("["), s"nothing pushed: $pushed")
+  }
+
+  test("events_asof_join_exec: custom exec present, no window operator") {
+    val ks = kinds("events_asof_join_exec")
+    assert(ks.contains("AsOfJoinExec"), s"custom exec missing: $ks")
+    assert(!ks.contains("WindowExec"), s"window crept back in: $ks")
+  }
+
+  test("tpch_q14: part dimension broadcasts, date filters pushed") {
+    val ks = kinds("tpch_q14_promo_revenue")
+    assert(ks.contains("BroadcastHashJoinExec"), s"no broadcast join: $ks")
+    assert(pushedFilters("tpch_q14_promo_revenue").contains("l_shipdate"))
+  }
+
+  test("agg gates keep partial aggregation (map-side combine)") {
+    // two HashAggregates (partial + final) around the exchange
+    Seq("a4_per_publisher_counts", "agg_histogram").foreach { gate =>
+      val ks = kinds(gate)
+      assert(ks.count(_.contains("HashAggregate")) >= 2,
+        s"$gate lost partial aggregation: $ks")
+    }
+  }
+}

@@ -102,6 +102,31 @@ object AnnIndex {
     n
   }
 
+  /** Compact an appended IVF layout: every [[appendIvf]] batch lands as
+    * its own file per cell, so a long-lived index accumulates the
+    * classic small-file problem (probe latency becomes file-open
+    * bound, not scan bound). Compaction rewrites the corpus to ONE
+    * file per cell (per write task) into `outPath` — same schema, same
+    * cell partitioning, same sidecars — and returns (files_before,
+    * files_after, rows). Rewrite-to-new-path: atomically swapping the
+    * directory is the table format's job (Delta/Iceberg commit); the
+    * layout op stays storage-agnostic.
+    */
+  def compactIvf(
+      spark: SparkSession, indexPath: String, outPath: String): (Long, Long, Long) = {
+    val before = spark.read.parquet(indexPath)
+    val nBefore = before.inputFiles.length.toLong
+    val rows = before.count()
+    before
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+    // sidecars travel with the layout
+    spark.read.parquet(s"$indexPath/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_centroids")
+    val after = spark.read.parquet(outPath).inputFiles.length.toLong
+    (nBefore, after, rows)
+  }
+
   /** Index-balance report over a persisted IVF/LSH layout: per
     * partition key (cell or bucket) its row count, plus the skew ratio
     * (max/mean) in every row — the number an operator watches to decide

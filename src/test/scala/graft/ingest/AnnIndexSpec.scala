@@ -200,6 +200,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(top.exists(_ % 2 == 1), "no appended row surfaced in the probe")
   }
 
+  test("compaction collapses per-append files to one per cell, data intact") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    val path = AnnIndex.writeIvf(
+      emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", s"$dir/idx", 4)
+    // three append batches -> up to 3 extra files per touched cell
+    (1 to 3).foreach { r =>
+      AnnIndex.appendIvf(spark, path,
+        emb.filter(col("vec_id") % 4 === r), "vec_id", "embedding")
+    }
+    val (nBefore, nAfter, rows) =
+      AnnIndex.compactIvf(spark, path, s"$dir/idx-compact")
+    assert(rows == emb.count())
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter files")
+    assert(nAfter <= 4, s"expected ≤ 1 file per cell, got $nAfter")
+    // identical content and identical probe results
+    val a = spark.read.parquet(path).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = spark.read.parquet(s"$dir/idx-compact").select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+    val q = AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L)
+    val p1 = AnnIndex.ivfTopK(spark, path, "vec_id", "embedding", q, 10, 2,
+      Some(0L)).collect().map(_.getLong(0)).toSeq
+    val p2 = AnnIndex.ivfTopK(spark, s"$dir/idx-compact", "vec_id",
+      "embedding", q, 10, 2, Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(p1 == p2)
+  }
+
   test("a streaming embedding feed maintains the persisted index via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

@@ -237,4 +237,28 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-GROUP Efraimidis–Spirakis: k rows from every group, inclusion
+    * ∝ weight within the group — the stratified weighted draw a
+    * balanced multi-domain sample needs (global top-k would starve
+    * small groups). Same deterministic hash-derived priorities as
+    * [[weightedReservoirTake]]; the top-k-per-group is one window over
+    * the group partitioning (rank, not sort-limit — every group keeps
+    * its own k).
+    */
+  def weightedReservoirTakePerGroup(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val id = col(idCol).cast("long") + lit(seed)
+    val u = (pmod(id * lit(2654435761L), lit(4294967296L)) + lit(1)) /
+      lit(4294967297.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    df.withColumn("priority",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

@@ -1450,9 +1450,31 @@ object SamplingQueries extends QueryGroup {
         |SELECT doc_id, n_chars, priority FROM p
         |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin))
 
+  /** Per-language Efraimidis–Spirakis draw (k = 15 each) — stratified
+    * weighted sampling. Full oracle; ranking runs on the 9-dp-rounded
+    * priorities in both engines (k-boundary gaps ≥ 4.9e-7 ≈ 500
+    * rounding steps on this data).
+    */
+  val weightedPerGroup: QueryDef = QueryDef(
+    "sample_weighted_per_group",
+    (s, dir) =>
+      graft.operators.Sampling.weightedReservoirTakePerGroup(
+          Tables(s, dir).documents.select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars", k = 15)
+        .orderBy("lang", "doc_id"),
+    Some(
+      """WITH p AS (SELECT doc_id, lang, n_chars,
+        |  round(pow((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0,
+        |            1.0 / n_chars), 9) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY priority DESC, doc_id) AS rn FROM p)
+        |SELECT doc_id, lang, n_chars, priority FROM r
+        |WHERE rn <= 15 ORDER BY lang, doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
-      weightedSample)
+      weightedSample, weightedPerGroup)
 }
 
 object EventQueries extends QueryGroup {
@@ -1777,10 +1799,40 @@ object EventQueries extends QueryGroup {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin))
 
+  /** Corpus-top 3-step user journeys: consecutive event-type triples
+    * per user (LEAD window), counted corpus-wide — behavioural path
+    * mining. Integer counts, full oracle.
+    */
+  val topPaths: QueryDef = QueryDef(
+    "events_top_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"),
+            lead(col("event_type"), 1).over(w),
+            lead(col("event_type"), 2).over(w)).as("path"),
+          lead(col("event_type"), 2).over(w).isNotNull.as("_full"))
+        .filter(col("_full"))
+        .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50)
+        .orderBy(col("cnt").desc, col("path"))
+    },
+    Some(
+      """WITH t AS (SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER w AS n1, lead(event_type, 2) OVER w AS n2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || n1 || '>' || n2 AS path, count(*) AS cnt
+        |FROM t WHERE n2 IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 50
+        |ORDER BY cnt DESC, path""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
-      movingWindow, retention, lagLead)
+      movingWindow, retention, lagLead, topPaths)
 }
 
 object IoQueries extends QueryGroup {

@@ -198,6 +198,24 @@ class SamplingSpec extends SparkSpec {
     assert(heavy >= 54, s"only $heavy/60 sampled rows have the 1000x weight")
   }
 
+  test("weightedReservoirTakePerGroup keeps k per group, heavy rows dominate") {
+    import spark.implicits._
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 1L to 100L
+    } yield (g, g.hashCode.toLong * 1000 + i, if (i % 2 == 0) 500L else 1L)
+    val df = rows.toDF("grp", "doc_id", "w").repartition(7)
+    val got = Sampling.weightedReservoirTakePerGroup(df, "grp", "doc_id", "w", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byGroup = got.groupBy(_._1)
+    assert(byGroup.keySet == Set("a", "b", "c"))
+    byGroup.values.foreach(v => assert(v.length == 10))
+    // within every group the 500x-weight rows dominate the draw
+    byGroup.foreach { case (g, v) =>
+      val heavy = v.count(_._2 % 2 == 0)
+      assert(heavy >= 8, s"group $g drew only $heavy/10 heavy rows")
+    }
+  }
+
   test("weightedReservoirTake seed decorrelates draws") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, 10L)).toDF("doc_id", "w")

@@ -882,10 +882,96 @@ object PipelineQueries extends QueryGroup {
         |FROM fps f JOIN b USING (fp)
         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin))
 
+  /** The FULL dedup cascade a production corpus runs, with per-doc
+    * stage attribution: exact text dedup → directed shingle
+    * containment (t = 0.8, mutual pairs keep the lower id) among exact
+    * survivors → word-set Jaccard components (t = 0.95) among
+    * containment survivors, survivor = component min. Every doc lands
+    * in exactly one of (exact | containment | neardup | kept) with its
+    * replacement id. Entirely composed from already-gated operators;
+    * the oracle replays all three stages in SQL (recursive CTE for the
+    * component stage).
+    */
+  val dedupCascade: QueryDef = QueryDef(
+    "pipeline_dedup_cascade",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents
+      val withMin = docs.withColumn("tmin",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val d1 = withMin.filter(col("doc_id") =!= col("tmin"))
+        .select(col("doc_id"), lit("exact").as("stage"),
+          col("tmin").as("survivor"))
+      val s1 = withMin.filter(col("doc_id") === col("tmin"))
+        .select("doc_id", "text")
+      val cp = Dedup.containmentPairs(s1, "text", "doc_id", 0.8)
+        .select("src", "dst").localCheckpoint(true)
+      val rev = cp.select(col("src").as("rsrc"), col("dst").as("rdst"))
+      val d2 = cp
+        .join(rev, col("dst") === col("rsrc") && col("src") === col("rdst"),
+          "left")
+        .filter(col("rsrc").isNull || col("dst") < col("src"))
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("survivor"))
+        .select(col("src").as("doc_id"), lit("containment").as("stage"),
+          col("survivor"))
+      val s2 = s1.join(d2.select("doc_id"), Seq("doc_id"), "left_anti")
+      val pairs = Dedup.ngramJaccardPairs(s2, "text", "doc_id", 0.95)
+      val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+      val d3 = comp.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"), lit("neardup").as("stage"),
+          col("component").as("survivor"))
+      val kept = s2.join(d3.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("kept").as("stage"),
+          col("doc_id").as("survivor"))
+      d1.unionByName(d2).unionByName(d3).unionByName(kept)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH RECURSIVE
+        |e0 AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS tmin FROM documents),
+        |s1 AS (SELECT doc_id, text FROM e0 WHERE doc_id = tmin),
+        |d1 AS (SELECT doc_id, 'exact' AS stage, tmin AS survivor FROM e0 WHERE doc_id <> tmin),
+        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM s1),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS shs FROM w),
+        |t AS (SELECT doc_id, unnest(shs) AS sng FROM sh),
+        |n AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+        |       FROM t a JOIN t b ON a.sng = b.sng AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+        |cp AS (SELECT src, dst FROM pr JOIN n ON n.doc_id = pr.src
+        |       WHERE c * 1.0 / n.n >= 0.8),
+        |d2 AS (SELECT x.src AS doc_id, 'containment' AS stage, min(x.dst) AS survivor
+        |       FROM cp x LEFT JOIN cp r ON r.src = x.dst AND r.dst = x.src
+        |       WHERE r.src IS NULL OR x.dst < x.src
+        |       GROUP BY x.src),
+        |s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+        |wt AS (SELECT DISTINCT s1.doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+        |       FROM s1 JOIN s2 USING (doc_id)),
+        |wn AS (SELECT doc_id, count(*) AS n FROM wt GROUP BY doc_id),
+        |ji AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |       FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT id_a, id_b FROM ji JOIN wn na ON na.doc_id = id_a JOIN wn nb ON nb.doc_id = id_b
+        |       WHERE c * 1.0 / (na.n + nb.n - c) >= 0.95),
+        |eg AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+        |nn AS (SELECT DISTINCT src AS node FROM eg),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nn
+        |  UNION
+        |  SELECT eg.dst, reach.r FROM reach JOIN eg ON eg.src = reach.node),
+        |comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        |d3 AS (SELECT doc_id, 'neardup' AS stage, component AS survivor
+        |       FROM comp WHERE doc_id <> component),
+        |kept AS (SELECT doc_id, 'kept' AS stage, doc_id AS survivor FROM s2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM d3))
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM kept
+        |ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
-      decontaminateWinnow)
+      decontaminateWinnow, dedupCascade)
 }
 
 object TextQueries extends QueryGroup {

@@ -902,8 +902,10 @@ object PipelineQueries extends QueryGroup {
       val d1 = withMin.filter(col("doc_id") =!= col("tmin"))
         .select(col("doc_id"), lit("exact").as("stage"),
           col("tmin").as("survivor"))
+      // each stage's survivor frame feeds 2-3 consumers — materialize
+      // once instead of re-running the upstream stages per consumer
       val s1 = withMin.filter(col("doc_id") === col("tmin"))
-        .select("doc_id", "text")
+        .select("doc_id", "text").localCheckpoint(true)
       val cp = Dedup.containmentPairs(s1, "text", "doc_id", 0.8)
         .select("src", "dst").localCheckpoint(true)
       val rev = cp.select(col("src").as("rsrc"), col("dst").as("rdst"))
@@ -916,8 +918,10 @@ object PipelineQueries extends QueryGroup {
         .select(col("src").as("doc_id"), lit("containment").as("stage"),
           col("survivor"))
       val s2 = s1.join(d2.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       val pairs = Dedup.ngramJaccardPairs(s2, "text", "doc_id", 0.95)
       val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+        .localCheckpoint(true)
       val d3 = comp.filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"), lit("neardup").as("stage"),
           col("component").as("survivor"))

@@ -202,6 +202,27 @@ object ScaleCheck {
     time(s"lloyd2_${dup}x",
       Similarity.lloydIterate(embBig, "vec_id", "embedding", "label", 2))
 
+    // full cascade at 10×: stage 1 collapses the duplicated mass
+    // (every copy is an exact dup), so stages 2-3 run at ~1× corpus
+    // size — cost must approach the 1× cascade plus one exact pass
+    time(s"dedup_cascade_${dup}x", {
+      import org.apache.spark.sql.expressions.Window
+      val withMin = blown.withColumn("tmin",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val s1 = withMin.filter(col("doc_id") === col("tmin"))
+        .select("doc_id", "text").localCheckpoint(true)
+      val cp = Dedup.containmentPairs(s1, "text", "doc_id", 0.8)
+        .select("src", "dst").localCheckpoint(true)
+      val rev = cp.select(col("src").as("rsrc"), col("dst").as("rdst"))
+      val d2 = cp.join(rev,
+          col("dst") === col("rsrc") && col("src") === col("rdst"), "left")
+        .filter(col("rsrc").isNull || col("dst") < col("src"))
+        .select(col("src").as("doc_id")).distinct()
+      val s2 = s1.join(d2, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      ConnectedComponents.components(
+        Dedup.ngramJaccardPairs(s2, "text", "doc_id", 0.95), "id_a", "id_b")
+    })
+
     time(s"ivfpq_build_probe_${dup}x", {
       val p = PqIndex.writeIvfPq(embBig, "vec_id", "embedding",
         s"${System.getProperty("java.io.tmpdir")}/graft-ann/scalecheck/pq${dup}x",

@@ -323,6 +323,48 @@ object TextAnalysis {
     h
   }
 
+  /** Per-group Jensen–Shannon divergence of the unigram distribution
+    * against the whole corpus — the domain-shift / source-drift monitor
+    * (a source whose language suddenly diverges from the corpus jumps
+    * out as a rising JSD long before a human reads samples).
+    * JSD(P‖Q) = (KL(P‖M) + KL(Q‖M)) / 2, M = (P+Q)/2, normalized to
+    * [0,1] by ln 2.
+    *
+    * Plan: one corpus-scale token aggregate; everything after runs on
+    * vocabulary-bounded frames (per-group counts, corpus counts, and
+    * the group × vocab grid for the Q-side sum). All inputs to the
+    * logs are exact count ratios, so the 6-dp round is engine-stable.
+    */
+  def jsDivergenceByGroup(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+    val sc = tok.groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    val sn = sc.groupBy("grp").agg(sum(col("c")).as("n"))
+    val cc = sc.groupBy("w").agg(sum(col("c")).as("cc"))
+    val cn = cc.agg(sum(col("cc")).as("cn"))
+    // P-side KL over the group's present terms
+    val pSide = sc.join(sn, "grp").join(cc, "w").crossJoin(broadcast(cn))
+      .select(col("grp"),
+        (col("c") / col("n")).as("p"), (col("cc") / col("cn")).as("q"))
+      .groupBy("grp")
+      .agg(sum(col("p") * log(lit(2) * col("p") / (col("p") + col("q"))))
+        .as("klp"))
+    // Q-side KL over the full group × vocab grid (absent terms: p = 0)
+    val grid = sn.crossJoin(cc).crossJoin(broadcast(cn))
+      .join(sc, Seq("grp", "w"), "left")
+      .select(col("grp"),
+        coalesce(col("c") / col("n"), lit(0.0)).as("p"),
+        (col("cc") / col("cn")).as("q"))
+    val qSide = grid.groupBy("grp")
+      .agg(sum(col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
+        .as("klq"))
+    pSide.join(qSide, "grp")
+      .select(col("grp").as(groupCol),
+        round((col("klp") + col("klq")) / lit(2 * math.log(2)), 6).as("jsd"))
+  }
+
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL n-token
     * shingle, slide a window of `window` consecutive hashes, keep each

@@ -1392,10 +1392,38 @@ object TextQueries extends QueryGroup {
         |WHERE i <= greatest(nh - 3, 1)
         |ORDER BY doc_id, fp""".stripMargin))
 
+  /** Per-source unigram Jensen–Shannon divergence vs the corpus —
+    * domain-shift monitoring. Full oracle (exact count ratios into the
+    * logs; 6-dp round twelve orders above float-sum noise).
+    */
+  val jsDivergence: QueryDef = QueryDef(
+    "text_js_divergence",
+    (s, dir) =>
+      TextAnalysis.jsDivergenceByGroup(Tables(s, dir).documents,
+          "text", "source")
+        .orderBy("source"),
+    Some(
+      """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |sc AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |sn AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+        |cc AS (SELECT w, sum(c) AS c FROM sc GROUP BY 1),
+        |cn AS (SELECT sum(c) AS n FROM cc),
+        |j AS (SELECT sc.source, sc.c * 1.0 / sn.n AS p, cc.c * 1.0 / cn.n AS q
+        |      FROM sc JOIN sn USING (source) JOIN cc USING (w) CROSS JOIN cn),
+        |kl AS (SELECT source, sum(p * ln(2 * p / (p + q))) AS klp FROM j GROUP BY source),
+        |q2 AS (SELECT s.source, coalesce(sc.c * 1.0 / sn.n, 0) AS p, cc.c * 1.0 / cn.n AS q
+        |       FROM (SELECT DISTINCT source FROM sc) s
+        |       CROSS JOIN cc
+        |       LEFT JOIN sc ON sc.source = s.source AND sc.w = cc.w
+        |       JOIN sn ON sn.source = s.source CROSS JOIN cn),
+        |klq AS (SELECT source, sum(q * ln(2 * q / (p + q))) AS klq FROM q2 GROUP BY source)
+        |SELECT source, round((klp + klq) / (2 * ln(2)), 6) AS jsd
+        |FROM kl JOIN klq USING (source) ORDER BY source""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
-      bigramLogProb, pmi, winnow)
+      bigramLogProb, pmi, winnow, jsDivergence)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -1919,10 +1947,40 @@ object EventQueries extends QueryGroup {
         |GROUP BY 1 HAVING count(*) >= 50
         |ORDER BY cnt DESC, path""".stripMargin))
 
+  /** RFM segmentation: per-user recency (last event) / frequency /
+    * monetary (decimal-exact value sum), with the recency quartile —
+    * the standard behavioural-segmentation aggregate. One user-keyed
+    * aggregate + one window over the #users frame; full oracle.
+    */
+  val rfm: QueryDef = QueryDef(
+    "events_rfm_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(unix_millis(max(col("ts"))).as("last_ts_ms"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value"))
+        .withColumn("r_quartile",
+          ntile(4).over(Window.orderBy(col("last_ts_ms").desc,
+            col("user_id"))))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH a AS (SELECT user_id, epoch_ms(max(ts)) AS last_ts_ms,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, last_ts_ms, n_events, total_value,
+        |  CAST(ntile(4) OVER (ORDER BY last_ts_ms DESC, user_id) AS INT)
+        |    AS r_quartile
+        |FROM a ORDER BY user_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
-      movingWindow, retention, lagLead, topPaths)
+      movingWindow, retention, lagLead, topPaths, rfm)
 }
 
 object IoQueries extends QueryGroup {

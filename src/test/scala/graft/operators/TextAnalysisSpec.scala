@@ -236,6 +236,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).size < nShingles1)
   }
 
+  test("JS divergence: zero against itself, bounded, shift-sensitive") {
+    val s2 = spark
+    import s2.implicits._
+    // one source == the corpus -> JSD 0
+    val single = Seq((1L, "aa bb cc", "s0"), (2L, "bb cc dd", "s0"))
+      .toDF("doc_id", "text", "source")
+    val zero = TextAnalysis.jsDivergenceByGroup(single, "text", "source")
+      .collect().map(_.getDouble(1))
+    assert(zero.toSeq == Seq(0.0))
+    // a drifted source scores strictly above an on-distribution one
+    val mixed = (
+      Seq.tabulate(20)(i => (i.toLong, "aa bb cc dd ee", "base")) ++
+      Seq.tabulate(20)(i => (100L + i, "aa bb cc dd ee", "same")) ++
+      Seq.tabulate(20)(i => (200L + i, "zz yy xx ww vv", "shifted")))
+      .toDF("doc_id", "text", "source")
+    val jsd = TextAnalysis.jsDivergenceByGroup(mixed, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(jsd.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(jsd("shifted") > jsd("same"))
+    assert(jsd("shifted") > 0.3)
+    assert(jsd("same") == jsd("base")) // symmetric halves of the corpus
+  }
+
   test("winnowing short-doc fallback: one whole-text fingerprint") {
     val s2 = spark
     import s2.implicits._

@@ -82,7 +82,12 @@ object HeavyHitters {
         Iterator.single((m.toMap, n))
       }
       .rdd
-      .treeReduce((x, y) => (mgMerge(x._1, y._1, k), x._2 + y._2), depth = 2)
+      // treeAggregate, not treeReduce: an empty input (zero partitions)
+      // must fold to the empty summary, not throw
+      .treeAggregate((Map.empty[String, Long], 0L))(
+        (x, y) => (mgMerge(x._1, y._1, k), x._2 + y._2),
+        (x, y) => (mgMerge(x._1, y._1, k), x._2 + y._2),
+        depth = 2)
   }
 
   /** Exact heavy hitters: (item, cnt) for every item with cnt > φ·N,

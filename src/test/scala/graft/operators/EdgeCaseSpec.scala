@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior for the round-4 operators: empty corpora,
+  * single rows, and all-identical content must return empty/identity
+  * results, never throw — the shapes a driver edge run (tiny SF, heavy
+  * filter) actually produces.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("containment pairs: empty and single-doc corpora yield no pairs") {
+    assert(Dedup.containmentPairs(docs(), "text", "doc_id", 0.8).count() == 0)
+    assert(Dedup.containmentPairs(docs(1L -> "aa bb cc dd"),
+      "text", "doc_id", 0.8).count() == 0)
+  }
+
+  test("containment pairs: an all-identical corpus emits every ordered pair") {
+    val out = Dedup.containmentPairs(
+        docs(1L -> "aa bb cc dd", 2L -> "aa bb cc dd", 3L -> "aa bb cc dd"),
+        "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 6) // 3 docs × 2 ordered partners
+    assert(out.forall(_._3 == 1.0))
+  }
+
+  test("heavy hitters: empty input returns an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("w")
+    assert(HeavyHitters.heavyHitters(empty, col("w"), 0.1).count() == 0)
+    // all-null items are skipped, not counted
+    val nulls = Seq[Option[String]](None, None, Some("x")).toDF("w")
+    val got = HeavyHitters.heavyHitters(nulls, col("w"), 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("x", 1L)))
+  }
+
+  test("semantic dedup: single-member clusters all keep") {
+    import spark.implicits._
+    val one = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(one, "vec_id", "embedding", "label", 0.5)
+      .collect()
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("winnowing: empty text yields the empty-string fingerprint, not a crash") {
+    val out = TextAnalysis.winnowFingerprints(docs(1L -> ""), "text", "doc_id")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == TextAnalysis.polyHash(""))
+  }
+
+  test("weighted sampling: k larger than the corpus returns everything") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 5L)).toDF("doc_id", "w")
+    assert(Sampling.weightedReservoirTake(df, "doc_id", "w", 100).count() == 2)
+  }
+
+  test("BPE: single-char vocabulary trains zero merges, encode still works") {
+    import spark.implicits._
+    val df = Seq("a a a").toDF("text")
+    val merges = Bpe.trainMerges(df, "text", 10)
+    // "a</w>" is a single symbol — no adjacent pair ever exists
+    assert(merges.isEmpty)
+    val toks = Bpe.encode(df, "text", merges)
+      .select("tokens").collect().head.getSeq[String](0)
+    assert(toks == Seq("a" + Bpe.Eow, "a" + Bpe.Eow, "a" + Bpe.Eow))
+  }
+
+  test("JS divergence: a group with one word is maximally far from a disjoint corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "aa aa aa", "g1"), (2L, "bb bb bb", "g2"))
+      .toDF("doc_id", "text", "source")
+    val jsd = TextAnalysis.jsDivergenceByGroup(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // disjoint supports halve into M: JSD normalized by ln 2 is bounded
+    // well above 0 but below 1 (each group is half the corpus)
+    assert(jsd.values.forall(v => v > 0.2 && v <= 1.0))
+  }
+}

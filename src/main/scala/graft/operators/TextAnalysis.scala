@@ -331,9 +331,15 @@ object TextAnalysis {
     * [0,1] by ln 2.
     *
     * Plan: one corpus-scale token aggregate; everything after runs on
-    * vocabulary-bounded frames (per-group counts, corpus counts, and
-    * the group × vocab grid for the Q-side sum). All inputs to the
-    * logs are exact count ratios, so the 6-dp round is engine-stable.
+    * vocabulary-bounded frames (per-group counts, corpus counts). The
+    * Q-side sum over terms ABSENT from the group has a closed form —
+    * p = 0 collapses the summand q·log(2q/(p+q)) to q·log 2, so
+    * klq = Σ_present q·log(2q/(p+q)) + (1 − Σ_present q)·log 2 — which
+    * means ONE join over each group's present terms computes both KL
+    * sides; no #groups × |vocabulary| grid is ever materialized (at
+    * web scale that grid is ~10¹⁰ rows for values known in closed
+    * form). All inputs to the logs are exact count ratios, so the
+    * 6-dp round is engine-stable.
     */
   def jsDivergenceByGroup(
       docs: org.apache.spark.sql.DataFrame, textCol: String,
@@ -344,25 +350,22 @@ object TextAnalysis {
     val sn = sc.groupBy("grp").agg(sum(col("c")).as("n"))
     val cc = sc.groupBy("w").agg(sum(col("c")).as("cc"))
     val cn = cc.agg(sum(col("cc")).as("cn"))
-    // P-side KL over the group's present terms
-    val pSide = sc.join(sn, "grp").join(cc, "w").crossJoin(broadcast(cn))
+    // Both KL sides from the group's PRESENT terms in one aggregate;
+    // the only cross join is the broadcast of the 1-row corpus total.
+    val j = sc.join(sn, "grp").join(cc, "w").crossJoin(broadcast(cn))
       .select(col("grp"),
         (col("c") / col("n")).as("p"), (col("cc") / col("cn")).as("q"))
-      .groupBy("grp")
-      .agg(sum(col("p") * log(lit(2) * col("p") / (col("p") + col("q"))))
-        .as("klp"))
-    // Q-side KL over the full group × vocab grid (absent terms: p = 0)
-    val grid = sn.crossJoin(cc).crossJoin(broadcast(cn))
-      .join(sc, Seq("grp", "w"), "left")
-      .select(col("grp"),
-        coalesce(col("c") / col("n"), lit(0.0)).as("p"),
-        (col("cc") / col("cn")).as("q"))
-    val qSide = grid.groupBy("grp")
-      .agg(sum(col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
-        .as("klq"))
-    pSide.join(qSide, "grp")
+    j.groupBy("grp")
+      .agg(
+        sum(col("p") * log(lit(2) * col("p") / (col("p") + col("q"))))
+          .as("klp"),
+        sum(col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
+          .as("klqPresent"),
+        sum(col("q")).as("qsum"))
       .select(col("grp").as(groupCol),
-        round((col("klp") + col("klq")) / lit(2 * math.log(2)), 6).as("jsd"))
+        round((col("klp") + col("klqPresent") +
+            (lit(1.0) - col("qsum")) * lit(math.log(2.0))) /
+          lit(2 * math.log(2)), 6).as("jsd"))
   }
 
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,

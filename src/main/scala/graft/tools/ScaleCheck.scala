@@ -223,6 +223,15 @@ object ScaleCheck {
         Dedup.ngramJaccardPairs(s2, "text", "doc_id", 0.95), "id_a", "id_b")
     })
 
+    // JS divergence: after the closed-form Q-side rewrite the plan is
+    // one token aggregate + vocabulary-bounded joins — cost must track
+    // the corpus scan; the old #groups × vocab grid would grow dup-fold
+    // in vocab-side width here and ~10⁶-fold at web scale
+    time("js_divergence_1x",
+      TextAnalysis.jsDivergenceByGroup(full, "text", "source"))
+    time(s"js_divergence_${dup}x",
+      TextAnalysis.jsDivergenceByGroup(fullBlown, "text", "source"))
+
     time(s"ivfpq_build_probe_${dup}x", {
       val p = PqIndex.writeIvfPq(embBig, "vec_id", "embedding",
         s"${System.getProperty("java.io.tmpdir")}/graft-ann/scalecheck/pq${dup}x",

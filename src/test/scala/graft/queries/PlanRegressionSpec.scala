@@ -87,6 +87,22 @@ class PlanRegressionSpec extends SparkSpec {
     assert(pushedFilters("tpch_q14_promo_revenue").contains("l_shipdate"))
   }
 
+  test("text_js_divergence: no group×vocab grid — single broadcast cross") {
+    // The Q-side absent-mass closed form means the ONLY cross join is the
+    // broadcast of the 1-row corpus total; the dense #groups × |vocab|
+    // grid (a second nested-loop join + an outer join to fill absences)
+    // must never come back — at web scale it is ~10¹⁰ rows.
+    val ks = kinds("text_js_divergence")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+    assert(ks.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"grid cross join came back: $ks")
+    val joins = nodes(finalPlan("text_js_divergence")).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(joins.forall(_.sql != "LEFT OUTER"),
+      s"absent-term fill join came back: $joins")
+  }
+
   test("agg gates keep partial aggregation (map-side combine)") {
     // two HashAggregates (partial + final) around the exchange
     Seq("a4_per_publisher_counts", "agg_histogram").foreach { gate =>

@@ -13,15 +13,16 @@ import org.apache.spark.sql.functions._
   *    (groupBy word). Everything after runs on the DISTINCT-WORD frame
   *    — bounded by vocabulary (Heaps' law: ≪ corpus size), exactly how
   *    reference BPE trainers operate on a word-count dict.
-  *  - each merge round is one flatMap + one partial-aggregated groupBy
-  *    over that frame plus a 1-row argmax to the driver (the chosen
-  *    pair — the only driver decision, inherently sequential in BPE).
-  *  - the symbol-sequence frame is localCheckpoint'd per round so the
-  *    iterative plan's lineage stays flat (same shape as
-  *    [[ConnectedComponents]]'s rounds).
-  *  - ties on pair count break lexicographically — the training is
-  *    deterministic, partitioning-independent (counts are exact
-  *    integers).
+  *  - default trainer: the top-`maxDriverVocab` dict collects to the
+  *    driver and the merge loop runs in memory with incremental
+  *    pair-count updates (lazy-deletion heap) — a 32k-merge vocab is
+  *    ONE Spark job plus driver compute, not 32k sequential jobs. The
+  *    fallback [[trainMergesDistributed]] keeps the exact per-merge
+  *    distributed rounds (localCheckpoint'd per round, like
+  *    [[ConnectedComponents]]) for untruncatable vocabularies.
+  *  - ties on pair count break lexicographically in UTF-8 order in
+  *    BOTH trainers — the training is deterministic,
+  *    partitioning-independent (counts are exact integers).
   *
   * The encoder broadcasts the merge table (numMerges entries) and
   * re-tokenizes each word independently — embarrassingly parallel,
@@ -37,24 +38,57 @@ object Bpe {
 
   /** (left, right, rank) merge rules learned from the corpus, rank
     * 0-based in learning order.
+    *
+    * Dispatch: BPE's merge loop is inherently sequential (merge k+1's
+    * counts depend on merge k), so looping Spark jobs per merge means a
+    * 32k-merge vocab = 32k sequential jobs. Instead the DEFAULT path
+    * runs ONE corpus-scale Spark job — the word-frequency aggregate,
+    * taken top-`maxDriverVocab` by (freq desc, word) — then trains on
+    * that word dict driver-side with incremental pair-count updates and
+    * a lazy-deletion heap (the classic in-memory trainer every
+    * reference BPE implementation uses; the dict is vocabulary-bounded
+    * by Heaps' law, NOT corpus-bounded). When the corpus vocabulary
+    * fits under `maxDriverVocab` the result is IDENTICAL to the
+    * per-merge distributed rounds (BpeSpec locks both to an independent
+    * reference trainer); past the cap it is a documented
+    * bounded-sample mode — training sees the top-V words by frequency,
+    * the standard frequency-truncated dict (tail words contribute
+    * negligible pair mass). `maxDriverVocab <= 0` forces the
+    * all-distributed per-merge rounds ([[trainMergesDistributed]])
+    * for vocabularies that must not be truncated and don't fit a
+    * driver heap.
     */
   def trainMerges(
+      df: DataFrame, textCol: String, numMerges: Int,
+      maxDriverVocab: Int = 1 << 21): Seq[(String, String, Int)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    if (maxDriverVocab <= 0) return trainMergesDistributed(df, textCol, numMerges)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE corpus-scale pass: distinct words + frequencies, top-V by
+    // (freq desc, word) — TakeOrderedAndProject, no full sort.
+    val dict = wordFrequencies(df, textCol)
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxDriverVocab)
+      .as[(String, Long)]
+      .collect()
+    trainOnWordDict(dict, numMerges)
+  }
+
+  /** All-distributed trainer: one Spark round (pair aggregate + 1-row
+    * argmax + re-merge of the checkpointed distinct-word frame) per
+    * merge. Exact for ANY vocabulary size, but O(numMerges) sequential
+    * jobs — use only when the distinct-word dict cannot be bounded.
+    */
+  def trainMergesDistributed(
       df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Int)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    // corpus-scale pass: distinct words + frequencies
-    val words = df
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
+    val words = wordFrequencies(df, textCol).as[(String, Long)]
     // symbol sequences over the distinct-word frame
-    var seqs = words.map { case (w, f) =>
-      val chars = w.toCharArray.map(_.toString)
-      chars(chars.length - 1) = chars(chars.length - 1) + Eow
-      (chars, f)
-    }.toDF("syms", "freq").localCheckpoint(true)
+    var seqs = words.map { case (w, f) => (toSymbols(w), f) }
+      .toDF("syms", "freq").localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String, Int)]
     var rank = 0
     var exhausted = false
@@ -74,19 +108,142 @@ object Bpe {
       else {
         val (l, r) = (top.head.getString(0), top.head.getString(1))
         merges += ((l, r, rank))
-        val merged = l + r
         seqs = seqs.as[(Array[String], Long)]
-          .map { case (syms, f) =>
-            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += merged; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, f)
-          }.toDF("syms", "freq").localCheckpoint(true)
+          .map { case (syms, f) => (applyMerge(syms, l, r), f) }
+          .toDF("syms", "freq").localCheckpoint(true)
         rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def wordFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  private def toSymbols(w: String): Array[String] = {
+    val chars = w.toCharArray.map(_.toString)
+    chars(chars.length - 1) = chars(chars.length - 1) + Eow
+    chars
+  }
+
+  /** Left-to-right non-overlapping application of one merge — the ONE
+    * shared kernel, so the driver trainer, the distributed trainer and
+    * the recount after each driver merge agree bit for bit.
+    */
+  private def applyMerge(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** UTF-8 byte comparison — Spark SQL's string ordering, which the
+    * distributed argmax (`orderBy(col("l"), col("r"))`) uses; the
+    * driver trainer must break count ties identically.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Classic incremental trainer over a (word, freq) dict: pair counts
+    * and a pair→words index maintained under each merge, argmax via a
+    * lazy-deletion heap. O(total symbols) init; each merge touches only
+    * the words that contain the merged pair. Deterministic: ties break
+    * (count desc, l, r) in UTF-8 order — identical to the distributed
+    * argmax.
+    */
+  private[operators] def trainOnWordDict(
+      dict: Array[(String, Long)], numMerges: Int): Seq[(String, String, Int)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = dict.map { case (w, _) => toSymbols(w) }
+    val freqs: Array[Long] = dict.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max-heap of (count, l, r) snapshots; stale entries (count no
+    // longer current) are dropped on pop
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val cl = utf8Compare(b._2, a._2) // smaller l wins the tie
+          if (cl != 0) cl else utf8Compare(b._3, a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    // every count CHANGE pushes the new snapshot (increments AND
+    // decrements — a decremented pair whose live count never reaches
+    // the heap would be silently lost); stale snapshots are dropped on
+    // pop by re-checking against the live map
+    def bump(p: (String, String), delta: Long, wordIdx: Int,
+        enqueue: Boolean): Unit = {
+      val c = pairCounts.getOrElse(p, 0L) + delta
+      if (c <= 0L) pairCounts.remove(p) else pairCounts(p) = c
+      if (enqueue && c > 0L) heap.enqueue((c, p._1, p._2))
+      if (delta > 0)
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wordIdx
+    }
+    def scanWord(i: Int, sign: Long, enqueue: Boolean): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        bump((s(j), s(j + 1)), sign * freqs(i), i, enqueue)
+        j += 1
+      }
+    }
+    // init: accumulate counts without per-position heap churn, then
+    // seed the heap with one snapshot per distinct pair
+    var i = 0
+    while (i < syms.length) { scanWord(i, 1L, enqueue = false); i += 1 }
+    pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val merges = Seq.newBuilder[(String, String, Int)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // pop to the first snapshot that matches the live count
+      var chosen: Option[(String, String)] = None
+      while (chosen.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (pairCounts.get((l, r)).contains(c)) chosen = Some((l, r))
+      }
+      chosen match {
+        case None => exhausted = true
+        case Some((l, r)) =>
+          merges += ((l, r, rank))
+          val affected = pairWords.remove((l, r)).getOrElse(mutable.HashSet.empty)
+          affected.foreach { w =>
+            // index entries can be stale (pair merged away earlier);
+            // re-check adjacency before rewriting the word
+            val s = syms(w)
+            var has = false
+            var j = 0
+            while (!has && j < s.length - 1) {
+              if (s(j) == l && s(j + 1) == r) has = true
+              j += 1
+            }
+            if (has) {
+              scanWord(w, -1L, enqueue = true)
+              syms(w) = applyMerge(s, l, r)
+              scanWord(w, 1L, enqueue = true)
+            }
+          }
+          rank += 1
       }
     }
     merges.result()

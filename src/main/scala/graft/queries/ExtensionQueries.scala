@@ -251,18 +251,23 @@ object DedupQueries extends QueryGroup {
 
 object SimilarityQueries extends QueryGroup {
 
+  /** Brute-force top-10 for query vector 0 — the expected side of every
+    * exact-equivalence ANN gate below as well as the baseline's own.
+    */
+  private val bruteForceTop10Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
+      |FROM e, q WHERE e.vec_id <> 0
+      |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   /** Exact brute-force cosine top-k — the ANN baseline. */
   val topK: QueryDef = QueryDef(
     "sim_topk_bruteforce",
     (s, dir) =>
       Similarity.topKCosine(Tables(s, dir).embeddings, "vec_id", "embedding",
         queryId = 0L, k = 10),
-    Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT v FROM e WHERE vec_id = 0)
-        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
-        |FROM e, q WHERE e.vec_id <> 0
-        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
+    Some(bruteForceTop10Sql))
 
   /** Batch exact top-k: many query vectors answered in ONE corpus pass
     * (broadcast queries → per-partition k-bounded lists → tiny merge).
@@ -352,6 +357,63 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
     },
     None)
+
+  /** Exact-equivalence gate for the persisted IVF probe: probing ALL
+    * numCentroids cells must return exactly the brute-force top-k —
+    * same rows, same 6-dp scores — because the probed union is the
+    * whole corpus. Puts the IVF probe path (directory pruning, cell
+    * routing, score expression) under the hard DuckDB oracle; the
+    * pruned nProbes < numCentroids probes stay rows-only above.
+    */
+  val annIvfExact: QueryDef = QueryDef(
+    "sim_ann_ivf_exact",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), numCentroids = 16)
+      AnnIndex.ivfTopK(s, idx, "vec_id", "embedding",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, nProbes = 16, excludeId = Some(0L))
+    },
+    Some(bruteForceTop10Sql))
+
+  /** Exact-equivalence gate for the persisted LSH probe: multi-probe
+    * with maxHamming = numPlanes scans every one of the 2^numPlanes
+    * bucket directories, so the result must equal brute-force top-k
+    * exactly. Same hard-oracle rationale as [[annIvfExact]].
+    */
+  val annLshExact: QueryDef = QueryDef(
+    "sim_ann_lsh_exact",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.lshIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), dim = 64, numPlanes = 4)
+      AnnIndex.lshTopK(s, idx, "vec_id", "embedding",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, excludeId = Some(0L), maxHamming = 4)
+    },
+    Some(bruteForceTop10Sql))
+
+  /** Exact-equivalence gate for the IVF-PQ two-stage probe: probing all
+    * cells with a shortlist wider than the corpus makes the quantized
+    * ADC ordering irrelevant — the exact-cosine rerank sees every row,
+    * so the answer must equal brute-force top-k bit for bit.
+    */
+  val annIvfPqExact: QueryDef = QueryDef(
+    "sim_ann_ivf_pq_exact",
+    (s, dir) => {
+      import graft.ingest.PqIndex
+      val emb = Tables(s, dir).embeddings
+      val idx = PqIndex.pqIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"),
+        numCentroids = 16, m = 8, ksub = 16)
+      PqIndex.ivfPqTopK(s, idx, "vec_id", "embedding",
+          AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+          k = 10, nProbes = 16, excludeId = Some(0L),
+          rerank = Some(emb), shortlist = 1000000)
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+    Some(bruteForceTop10Sql))
 
   /** L2 normalization of the embedding column — full oracle (DuckDB
     * reproduces the element-wise divide + 6-dp round). The gate
@@ -498,6 +560,7 @@ object SimilarityQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
+      annIvfExact, annLshExact, annIvfPqExact,
       normalize, randomProjection, meanPool, centroidAssign, annIvfPq,
       kmeansLloyd)
 }
@@ -919,7 +982,17 @@ object PipelineQueries extends QueryGroup {
           col("survivor"))
       val s2 = s1.join(d2.select("doc_id"), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      val pairs = Dedup.ngramJaccardPairs(s2, "text", "doc_id", 0.95)
+      // Jaccard is pairwise, so the stage-3 pair list over the
+      // containment survivors is EXACTLY the per-corpus checkpointed
+      // full-corpus t=0.95 pair list (shared with both components
+      // gates) restricted to pairs whose BOTH endpoints survived —
+      // two id semi-joins instead of rebuilding the shingle join.
+      val s2ids = s2.select("doc_id")
+      val pairs = jaccardPairsFor(s, dir)
+        .join(s2ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(s2ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_semi")
       val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
         .localCheckpoint(true)
       val d3 = comp.filter(col("node") =!= col("component"))

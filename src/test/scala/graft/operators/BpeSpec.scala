@@ -88,6 +88,41 @@ class BpeSpec extends SparkSpec {
     assert(tokens.contains("low" + Bpe.Eow))
   }
 
+  test("driver trainer and distributed trainer learn identical merges") {
+    val texts = Seq("low low low low low", "lower lower newest newest",
+      "newest newest newest newest widest widest widest",
+      "wide wide widen lowly newly newly")
+    val driver = Bpe.trainMerges(corpusDf(texts), "text", 30)
+    val dist = Bpe.trainMergesDistributed(corpusDf(texts), "text", 30)
+    assert(driver == dist)
+  }
+
+  test("1000 merges train driver-side in one Spark job's worth of work") {
+    // deterministic pseudo-word corpus with enough symbol diversity to
+    // sustain 1000 merges (~500 distinct words × ~12 chars)
+    val rng = new scala.util.Random(42)
+    val words = (0 until 500).map { _ =>
+      (0 until (6 + rng.nextInt(8))).map(_ => ('a' + rng.nextInt(26)).toChar)
+        .mkString
+    }
+    val texts = (0 until 2000).map(i => words(rng.nextInt(words.size)) + " " +
+      words(rng.nextInt(words.size)))
+    val merges = Bpe.trainMerges(corpusDf(texts), "text", 1000)
+    assert(merges.size == 1000)
+    // learning order is exactly the reference trainer's
+    assert(merges.map { case (l, r, _) => (l, r) } ==
+      naiveTrain(wordFreq(texts), 1000))
+  }
+
+  test("vocab cap turns training into the documented top-V bounded mode") {
+    // cap = 1: only the most frequent word is seen, so every merge
+    // comes from inside it
+    val texts = Seq("aaaa aaaa aaaa bcd bcd xyz")
+    val merges = Bpe.trainMerges(corpusDf(texts), "text", 10, maxDriverVocab = 1)
+    val symsUsed = merges.map { case (l, r, _) => l + r }
+    assert(symsUsed.forall(s => s.replace(Bpe.Eow, "").forall(_ == 'a')))
+  }
+
   test("encode of an unseen word falls back to character symbols") {
     val merges = Bpe.trainMerges(corpusDf(Seq("aa aa aa")), "text", 3)
     val toks = Bpe.encode(corpusDf(Seq("zq")), "text", merges)

@@ -2050,10 +2050,73 @@ object EventQueries extends QueryGroup {
         |    AS r_quartile
         |FROM a ORDER BY user_id""".stripMargin))
 
+  /** CorpusMonitor's BATCH path under the hard oracle: per (1-hour
+    * event-time window × predicted language) volume + quality stats
+    * over the documents table, with a deterministic synthetic event
+    * time (doc_id minutes past a fixed origin — documents carry no
+    * timestamp). The streaming path is spec-locked batch ≡ streaming
+    * (CorpusMonitorSpec), so this gate anchors BOTH to DuckDB. Means
+    * come from order-independent sums (integer / DECIMAL(18,6)), which
+    * is what makes the hash comparable.
+    */
+  val corpusMonitor: QueryDef = QueryDef(
+    "events_corpus_monitor",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("ts",
+          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, cast(doc_id as int), 0)"))
+      graft.streaming.CorpusMonitor
+        .qualityByWindow(docs, "ts", "text", windowDuration = "1 hour")
+        .orderBy("window_start", "lang_pred")
+    },
+    Some {
+      def hits(markers: Seq[String]) = {
+        val l = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains([$l], w)))"
+      }
+      val en = hits(graft.operators.TextAnalysis.LangMarkers("en"))
+      val de = hits(graft.operators.TextAnalysis.LangMarkers("de"))
+      val fr = hits(graft.operators.TextAnalysis.LangMarkers("fr"))
+      val es = hits(graft.operators.TextAnalysis.LangMarkers("es"))
+      val stop = graft.operators.TextAnalysis.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+         |  FROM documents),
+         |h AS (SELECT *, $en AS en, $de AS de, $fr AS fr, $es AS es FROM base),
+         |l AS (SELECT doc_id, text, ts, CASE
+         |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |    ELSE 'es' END AS lang_pred FROM h),
+         |q AS (
+         |  SELECT doc_id, ts, lang_pred,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |    round(least(len(string_split_regex(trim(text), '\\s+')) * 1.0 / 100.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |          / greatest(length(text), 1) * 5.0, 1.0)) * 0.4
+         |      + (CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |            list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)::BIGINT)),
+         |            (a, b) -> a + b) * 1.0
+         |            / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+         |  FROM l)
+         |SELECT date_trunc('hour', ts) AS window_start, lang_pred,
+         |  count(*) AS n_docs,
+         |  round(sum(n_tokens) * 1.0 / count(*), 6) AS avg_tokens,
+         |  max(n_tokens) AS max_tokens,
+         |  round(sum(CAST(quality AS DECIMAL(18,6))) * 1.0 / count(*), 6) AS avg_quality,
+         |  round(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |    AS low_quality_share
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
-      movingWindow, retention, lagLead, topPaths, rfm)
+      movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor)
 }
 
 object IoQueries extends QueryGroup {

@@ -21,6 +21,13 @@ object CorpusMonitor {
 
   /** Per (tumbling event-time window, predicted language): doc count,
     * mean/max token count, mean quality, low-quality share (< 0.5).
+    *
+    * Means are computed from partition-order-INDEPENDENT sums (exact
+    * integer sums for token/flag counts, a DECIMAL(18,6) sum for the
+    * 6-dp quality score) so the batch path hash-matches a DuckDB
+    * oracle and batch ≡ streaming holds bit for bit — plain
+    * `avg(double)` accumulates in partition order and flips last bits
+    * across runs.
     */
   def qualityByWindow(
       docs: DataFrame, tsCol: String, textCol: String,
@@ -33,15 +40,17 @@ object CorpusMonitor {
     val withMark =
       if (enriched.isStreaming) enriched.withWatermark(tsCol, watermarkDelay)
       else enriched
+    val n = count(lit(1))
     withMark
       .groupBy(window(col(tsCol), windowDuration), col("lang_pred"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        n.as("n_docs"),
+        round(sum(col("n_tokens")).cast("double") / n, 6).as("avg_tokens"),
         max(col("n_tokens")).as("max_tokens"),
-        round(avg(col("quality")), 6).as("avg_quality"),
-        round(avg(when(col("quality") < 0.5, 1.0).otherwise(0.0)), 6)
-          .as("low_quality_share"))
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double") / n, 6)
+          .as("avg_quality"),
+        round(sum(when(col("quality") < 0.5, 1L).otherwise(0L))
+          .cast("double") / n, 6).as("low_quality_share"))
       .select(
         col("window.start").as("window_start"),
         col("lang_pred"), col("n_docs"), col("avg_tokens"),

@@ -2187,5 +2187,35 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(octet_length(encode(text)) * 13 % 768 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(decodeStub)
+  /** REAL `javax.imageio` decode under the hard oracle: the synthetic
+    * corpus encodes pixel = closed-form fn(x, y, doc_id) into actual
+    * PNG/BMP containers on the executors, the operator decodes them back
+    * with the JDK codec, and DuckDB recomputes width/height/pixel-sum
+    * from doc_id alone — so a hash match proves the full encode→decode
+    * round trip, not just the plumbing.
+    */
+  val decodeReal: QueryDef = QueryDef(
+    "multimodal_decode",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decodeImages(
+        Multimodal.syntheticImageTable(Tables(s, dir).documents))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("pixel_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 4 AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(
+        |        range(0, (doc_id % 13 + 4) * (doc_id % 7 + 4)),
+        |        i -> ((i % (doc_id % 13 + 4)) * 31
+        |            + (i // (doc_id % 13 + 4)) * 17 + doc_id) % 256))
+        |       AS BIGINT) AS pixel_sum
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(decodeStub, decodeReal)
 }

@@ -41,4 +41,57 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.doc_id -> f.descriptor.toSeq).toMap
     assert(d1 == d2)
   }
+
+  test("real decode recovers exact dimensions and pixel content from PNG and BMP") {
+    implicit val s = spark
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticImageTable(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == docs.count())
+    decoded.foreach { case (id, f) =>
+      val w = Multimodal.synthWidth(id)
+      val h = Multimodal.synthHeight(id)
+      assert(f.format == (if (id % 2 == 0) "png" else "bmp"))
+      assert(f.width == w && f.height == h)
+      val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.synthPixel(x, y, id).toLong).sum
+      assert(f.pixel_sum == expectedSum, s"pixel checksum mismatch for doc $id")
+      // descriptor is the red-channel histogram as fractions: sums to 1
+      assert(math.abs(f.descriptor.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("real decode drops undecodable payloads instead of failing") {
+    implicit val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3)), // garbage
+      Multimodal.MediaRow(0L, null)).toDF("doc_id", "payload")
+        .union(Multimodal.syntheticImageTable(docs.limit(5)))
+        .filter(org.apache.spark.sql.functions.col("payload").isNotNull)
+    val out = Multimodal.decodeImages(mixed).collect()
+    assert(out.length == 5)
+  }
+
+  test("real resize resamples with deterministic nearest-neighbour pixels") {
+    implicit val s = spark
+    val media = Multimodal.syntheticImageTable(docs.limit(20))
+    val resized = Multimodal.decodeImages(Multimodal.resizeImages(media, 8, 8))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(resized.size == 20)
+    resized.foreach { case (id, f) =>
+      assert(f.width == 8 && f.height == 8)
+      val sw = Multimodal.synthWidth(id)
+      val sh = Multimodal.synthHeight(id)
+      val expectedSum = (for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.synthPixel(x * sw / 8, y * sh / 8, id).toLong).sum
+      assert(f.pixel_sum == expectedSum, s"resized checksum mismatch for doc $id")
+    }
+  }
+
+  test("real decode is partition-preserving (no shuffle in the plan)") {
+    implicit val s = spark
+    val plan = Multimodal.decodeImages(Multimodal.syntheticImageTable(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -55,9 +55,15 @@ object Bench {
     val full = s"""{"queries":$qs,"n_iters":$iters,"n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
     println(full)
     // Round-record copy: PERF.md quotes this file, immune to the tail.
+    // Path is explicit (SPARK_GRAFT_BENCH_OUT, default repo CWD file);
+    // only non-fatal write failures are tolerated — OOM/interrupt must
+    // still kill the run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -57,10 +57,17 @@ object Bpe {
     * all-distributed per-merge rounds ([[trainMergesDistributed]])
     * for vocabularies that must not be truncated and don't fit a
     * driver heap.
+    *
+    * Driver-heap sizing: the in-memory trainer holds, per dict word,
+    * a symbol array (one String per character) plus pair->word-index
+    * sets — roughly 200–400 bytes per average word. The default cap
+    * of 2^18 (262k words) keeps that under ~100 MB, safe on a
+    * default-sized driver; raise it only with driver memory to match
+    * (2^21 needs several GB).
     */
   def trainMerges(
       df: DataFrame, textCol: String, numMerges: Int,
-      maxDriverVocab: Int = 1 << 21): Seq[(String, String, Int)] = {
+      maxDriverVocab: Int = 1 << 18): Seq[(String, String, Int)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     if (maxDriverVocab <= 0) return trainMergesDistributed(df, textCol, numMerges)
     val spark = df.sparkSession
@@ -122,10 +129,15 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  private def toSymbols(w: String): Array[String] = {
-    val chars = w.toCharArray.map(_.toString)
-    chars(chars.length - 1) = chars(chars.length - 1) + Eow
-    chars
+  /** Initial symbols are CODE POINTS, not UTF-16 chars: splitting a
+    * supplementary-plane character into lone surrogates would be mangled
+    * to '?' by the UTF8String round trip inside the distributed trainer
+    * (and by any UTF-8 sink), silently collapsing distinct symbols.
+    */
+  private[operators] def toSymbols(w: String): Array[String] = {
+    val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    cps(cps.length - 1) = cps(cps.length - 1) + Eow
+    cps
   }
 
   /** Left-to-right non-overlapping application of one merge — the ONE
@@ -264,12 +276,9 @@ object Bpe {
     val bc = spark.sparkContext.broadcast(ranks)
     val tokenizeWord = (w: String) => {
       val rk = bc.value
-      var syms = {
-        val chars = w.toCharArray.map(_.toString)
-        if (chars.nonEmpty)
-          chars(chars.length - 1) = chars(chars.length - 1) + Eow
-        chars.toVector
-      }
+      // code-point split, same as training's toSymbols
+      var syms =
+        if (w.isEmpty) Vector.empty[String] else toSymbols(w).toVector
       var done = false
       while (!done && syms.length > 1) {
         var bestRank = Int.MaxValue

@@ -2064,7 +2064,10 @@ object EventQueries extends QueryGroup {
     (s, dir) => {
       val docs = Tables(s, dir).documents
         .withColumn("ts",
-          expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, cast(doc_id as int), 0)"))
+          // doc_id stays BIGINT in the interval arithmetic — a cast to
+          // int would silently wrap past 2^31 at larger scale factors
+          // and diverge from the oracle's to_minutes(doc_id)
+          expr("timestamp'2024-01-01 00:00:00' + doc_id * interval '1' minute"))
       graft.streaming.CorpusMonitor
         .qualityByWindow(docs, "ts", "text", windowDuration = "1 hour")
         .orderBy("window_start", "lang_pred")

@@ -7,10 +7,29 @@ class BpeSpec extends SparkSpec {
   /** Independent reference trainer over a word-frequency dict (the
     * classic in-memory algorithm, written separately from the operator).
     */
+  /** UTF-8 byte order — Spark SQL's string ordering, which both product
+    * trainers use for count ties; Scala's String ordering (UTF-16 code
+    * units) disagrees on supplementary-plane symbols, so the reference
+    * must not use it.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def naiveTrain(
       wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
     var seqs: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
-      val chars = w.map(_.toString).toVector
+      val chars = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
       (chars.init :+ (chars.last + Bpe.Eow)) -> f
     }
     val out = Seq.newBuilder[(String, String)]
@@ -26,7 +45,18 @@ class BpeSpec extends SparkSpec {
       }
       if (counts.isEmpty) stop = true
       else {
-        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        // ties break (count desc, l, r) in UTF-8 BYTE order — Scala's
+        // default String ordering (UTF-16 code units) would disagree on
+        // supplementary-plane symbols
+        val best = counts.toSeq.reduceLeft { (p, q) =>
+          val ((pl, pr), pc) = p
+          val ((ql, qr), qc) = q
+          val better =
+            if (qc != pc) qc > pc
+            else if (ql != pl) utf8Lt(ql, pl)
+            else utf8Lt(qr, pr)
+          if (better) q else p
+        }._1
         out += best
         val (l, r) = best
         seqs = seqs.map { case (syms, f) =>
@@ -121,6 +151,35 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.trainMerges(corpusDf(texts), "text", 10, maxDriverVocab = 1)
     val symsUsed = merges.map { case (l, r, _) => l + r }
     assert(symsUsed.forall(s => s.replace(Bpe.Eow, "").forall(_ == 'a')))
+  }
+
+  test("supplementary-plane count ties break in UTF-8 byte order in all three trainers") {
+    // "！" (U+FF01, UTF-8 EF BC 81) vs "𐀀" (U+10000, UTF-8 F0 90 80 80):
+    // UTF-8 byte order puts ！ first, UTF-16 code-unit order puts 𐀀
+    // (high surrogate D800) first — a tie on these two merge candidates
+    // distinguishes the orderings. Both words appear once → pure tie.
+    val texts = Seq("a！ a𐀀")
+    val driver = Bpe.trainMerges(corpusDf(texts), "text", 2)
+      .map { case (l, r, _) => (l, r) }
+    val dist = Bpe.trainMergesDistributed(corpusDf(texts), "text", 2)
+      .map { case (l, r, _) => (l, r) }
+    val naive = naiveTrain(wordFreq(texts), 2)
+    assert(driver == naive)
+    assert(dist == naive)
+    // UTF-8 order: the fullwidth-! pair merges before the U+10000 pair
+    assert(naive == Seq(("a", "！" + Bpe.Eow),
+      ("a", "𐀀" + Bpe.Eow)))
+  }
+
+  test("encode round-trips supplementary-plane characters as whole code points") {
+    val texts = Seq("𐀀z 𐀀z")
+    val merges = Bpe.trainMerges(corpusDf(texts), "text", 2)
+    val toks = Bpe.encode(corpusDf(texts), "text", merges)
+      .select("tokens").collect().head.getSeq[String](0)
+    // the learned word is one token containing the intact surrogate pair
+    assert(toks.forall(_.contains("𐀀")))
+    assert(toks.mkString("").replace(Bpe.Eow, " ").trim ==
+      "𐀀z 𐀀z")
   }
 
   test("encode of an unseen word falls back to character symbols") {

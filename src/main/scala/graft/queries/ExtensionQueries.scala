@@ -224,10 +224,27 @@ object DedupQueries extends QueryGroup {
     * quote-farm / template-expansion dup needs (Jaccard dilutes it).
     * Full oracle: all-pairs shared-shingle counts over a self-join.
     */
+  /** The full-corpus t=0.8 containment pair set — built once per corpus
+    * dir and checkpointed (same pattern as the jaccard pair cache in
+    * [[PipelineQueries]]). Containment is PAIRWISE (|sh(src)∩sh(dst)| /
+    * |sh(src)| depends on the two docs alone), so any consumer that
+    * needs the pairs among a SUBSET of docs can semi-join this list on
+    * both endpoints instead of re-running the shingle join.
+    */
+  private val containmentCache =
+    new graft.operators.LruCache[String, org.apache.spark.sql.DataFrame](8)
+
+  private[queries] def containmentPairsFor(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    containmentCache.getOrElseUpdate(dir) {
+      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id", 0.8)
+        .localCheckpoint(true)
+    }
+
   val containment: QueryDef = QueryDef(
     "dedup_containment",
     (s, dir) =>
-      Dedup.containmentPairs(Tables(s, dir).documents, "text", "doc_id", 0.8)
+      containmentPairsFor(s, dir)
         .orderBy("src", "dst"),
     Some(
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -969,7 +986,17 @@ object PipelineQueries extends QueryGroup {
       // once instead of re-running the upstream stages per consumer
       val s1 = withMin.filter(col("doc_id") === col("tmin"))
         .select("doc_id", "text").localCheckpoint(true)
-      val cp = Dedup.containmentPairs(s1, "text", "doc_id", 0.8)
+      // Containment is pairwise, so stage 2's pair list over the exact
+      // survivors is the per-corpus checkpointed full-corpus t=0.8 pair
+      // set (shared with dedup_containment) restricted to pairs whose
+      // both endpoints survived — two id semi-joins instead of
+      // rebuilding the shingle join.
+      val s1ids = s1.select("doc_id")
+      val cp = DedupQueries.containmentPairsFor(s, dir)
+        .join(s1ids.withColumnRenamed("doc_id", "src"), Seq("src"),
+          "left_semi")
+        .join(s1ids.withColumnRenamed("doc_id", "dst"), Seq("dst"),
+          "left_semi")
         .select("src", "dst").localCheckpoint(true)
       val rev = cp.select(col("src").as("rsrc"), col("dst").as("rdst"))
       val d2 = cp

@@ -204,8 +204,9 @@ object TextAnalysis {
     * frequencies derive from THAT (a second, vocabulary-bounded
     * aggregate — no second corpus scan); the corpus total is a 1-row
     * broadcast. Two shuffles total (term, then doc id), both carrying
-    * counts, never text. Float accumulation order makes the score
-    * oracle-unfriendly (rows-only gate); the unit spec pins semantics.
+    * counts, never text. Every log input is an exact integer count, so
+    * the 6-dp-rounded mean is engine-stable (full-oracle gate, same
+    * discipline as [[bigramLogProbScore]]).
     */
   def unigramLogProbScore(
       docs: org.apache.spark.sql.DataFrame,

@@ -1288,9 +1288,11 @@ object TextQueries extends QueryGroup {
         |  len(regexp_extract_all(t2, '\+\d{9,15}\b')) AS n_phone
         |FROM i ORDER BY doc_id""".stripMargin))
 
-  /** Unigram-LM quality score — float log accumulation is
-    * order-dependent across engines, so rows-only by design (like the
-    * hash-defined dedup gates); TextAnalysisSpec pins the semantics.
+  /** Unigram-LM quality score — full oracle: every log input is an
+    * exact integer count (corpus term frequency, corpus total), so the
+    * 6-dp-rounded mean is engine-stable, the same count-ratio + round
+    * discipline that keeps `text_bigram_logprob` hash-stable (float
+    * ordering noise ~1e-14, eight orders below the rounding step).
     */
   val unigramLogProb: QueryDef = QueryDef(
     "text_unigram_logprob",
@@ -1298,7 +1300,15 @@ object TextQueries extends QueryGroup {
       TextAnalysis.unigramLogProbScore(
           Tables(s, dir).documents, "text", "doc_id")
         .orderBy("doc_id"),
-    None)
+    Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |c AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |n AS (SELECT sum(tf) AS n_total FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * (ln(cnt) - ln(n_total))) / sum(tf), 6) AS avg_logprob
+        |FROM tf JOIN c USING (term) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Gopher-style rule filter: the five audit booleans + verdict per
     * document — full oracle (every rule is ratio/membership arithmetic

@@ -1907,6 +1907,34 @@ object EventQueries extends QueryGroup {
         |  ON c.ts >= e.ts - INTERVAL 60 SECONDS AND c.ts < e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
 
+  /** [[graft.streaming.StreamingJoin.intervalJoin]]'s BATCH contract
+    * under the hard oracle: `withWatermark` is a no-op on batch frames
+    * (Spark's EliminateEventTimeWatermark), so the SAME operator code
+    * runs here as a plain range-predicate join — click → purchase
+    * attribution within 30 minutes. StreamingJoinSpec locks
+    * batch ≡ streaming on shared input, so this gate anchors both
+    * paths to DuckDB (the CorpusMonitor pattern).
+    */
+  val intervalJoin: QueryDef = QueryDef(
+    "events_interval_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.streaming.StreamingJoin.intervalJoin(
+          left = e.filter(col("event_type") === "click"),
+          right = e.filter(col("event_type") === "purchase"),
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          within = "30 minutes")
+        .orderBy("key", "left_ts", "right_ts")
+    },
+    Some(
+      """SELECT c.user_id AS key, c.ts AS left_ts, p.ts AS right_ts,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
+        | AND p.ts <= c.ts + INTERVAL '30 minutes'
+        |ORDER BY key, left_ts, right_ts""".stripMargin))
+
   /** Ordered-conversion funnel ([[graft.operators.Funnel]]): first
     * view → first click within a day AFTER it → first purchase within
     * a day after THAT, per user. Full oracle on the per-user stage
@@ -2155,8 +2183,8 @@ object EventQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
-      asofExec, asofExecForward, asofExecMultiKey, rangeJoin, funnel,
-      movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor)
+      asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
+      funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor)
 }
 
 object IoQueries extends QueryGroup {

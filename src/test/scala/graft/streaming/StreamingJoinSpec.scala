@@ -46,6 +46,40 @@ class StreamingJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch and streaming interval joins agree on shared input") {
+    val s = spark
+    import s.implicits._
+    // deterministic corpus: 40 views, clicks at varying lags (some
+    // in-window, some past it, some with no view)
+    val t0 = 1000000L
+    val views = (1L to 40L).map(u => Ev(u, new Timestamp(t0 + u * 1000)))
+    val clicks = (1L to 50L).map { u =>
+      Ev(u, new Timestamp(t0 + u * 1000 + (u % 13) * 90000))
+    }
+    // BATCH path: withWatermark is a no-op on batch frames, so the
+    // exact operator code runs as a plain range-predicate join
+    val batch = StreamingJoin.intervalJoin(
+        views.toDF("user_id", "ts"), clicks.toDF("user_id", "ts"),
+        "user_id", "ts", "ts", within = "10 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.getTimestamp(2)).map(_.getTime)))
+      .toSeq.sortBy(x => (x._1, x._2, x._3.getOrElse(0L)))
+    val vs = MemoryStream[Ev](s)
+    val cs = MemoryStream[Ev](s)
+    val q = StreamingJoin.intervalJoin(
+        vs.toDF(), cs.toDF(), "user_id", "ts", "ts", within = "10 minutes")
+      .writeStream.format("memory").queryName("ssj_batch_eq")
+      .outputMode("append").start()
+    try {
+      vs.addData(views)
+      cs.addData(clicks)
+      q.processAllAvailable()
+      assert(batch.nonEmpty)
+      assert(rows("ssj_batch_eq") == batch)
+    } finally q.stop()
+  }
+
   test("left-outer emits unmatched views once the watermark passes the window") {
     val s = spark
     import s.implicits._

@@ -148,6 +148,11 @@ object CoreQueries extends QueryGroup {
     * "has an element with base_url = X AND direct = true". Spark primitive:
     * the higher-order `exists` over an array<struct> column — built here
     * from lineitem so the oracle can state it as an EXISTS subquery.
+    *
+    * BENCH NOTE: ~90% of this gate's measured time is the collect_list
+    * group-by that CONSTRUCTS the array-of-struct input from flat TPC-H
+    * rows, not the `exists` filter under test — a slow reading here is
+    * gate-construction cost, not an operator regression.
     */
   val q9ElemMatch: QueryDef = QueryDef(
     "q9_elemmatch_exists",

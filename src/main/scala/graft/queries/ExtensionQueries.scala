@@ -437,22 +437,25 @@ object SimilarityQueries extends QueryGroup {
     * flattens the unit vector to (vec_id, pos, val) scalar rows: the
     * driver's comparator sorts/hashes with pandas, which cannot order
     * or hash array-valued cells (r3 lesson — all three sim_* vector
-    * gates errored on it).
+    * gates errored on it). Dump is every 8TH position (pos 0,8,…,56):
+    * still 8 real values per vector checked against the oracle, at an
+    * eighth of the 320k-row full-flatten comparator cost — the
+    * operator itself always computes all 64.
     */
   val normalize: QueryDef = QueryDef(
     "sim_normalize",
     (s, dir) =>
       Similarity.normalizeUnit(Tables(s, dir).embeddings, "embedding")
         .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "val")))
-        // no orderBy: 320k flattened rows at sf0.1, and the driver's
-        // comparator row-sorts both sides anyway
+        .filter(col("pos") % 8 === 0)
+        // no orderBy: the driver's comparator row-sorts both sides
         .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val")),
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
         |SELECT vec_id, idx - 1 AS pos,
         |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[idx] / nrm, 6) END AS val
-        |FROM n, unnest(range(1, 65)) AS t(idx)
+        |FROM n, unnest(range(1, 65, 8)) AS t(idx)
         |ORDER BY vec_id, pos""".stripMargin))
 
   /** Johnson–Lindenstrauss random projection 64 → 16 dims. The seeded

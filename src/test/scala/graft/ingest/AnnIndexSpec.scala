@@ -98,6 +98,53 @@ class AnnIndexSpec extends SparkSpec {
     assert(ids(4) == exact)
   }
 
+  test("pruned-probe recall@10 beats stated floors at sf0.1") {
+    // The *_exact gates prove probe-everything ≡ brute force; this pins
+    // the quality side of the pruned configurations the rows-only gates
+    // leave unstated. Floors are from measurement on the driver-
+    // generated sf0.1 embeddings (PERF.md records the measured values);
+    // the data and seeds are deterministic, so the measured recall is
+    // reproducible, and the floors sit a safety margin below it.
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val qids = (0L until 10L).toSeq
+    val exactTop = Similarity.topKCosineBatch(
+        emb01, "vec_id", "embedding", qids, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val ivfPath = AnnIndex.writeIvf(emb01, "vec_id", "embedding",
+      tmp("ivf-recall"), numCentroids = 16)
+    val lshPath = AnnIndex.writeLsh(emb01, "vec_id", "embedding",
+      tmp("lsh-recall"), dim = 64, numPlanes = 4)
+    val vecs = qids.map(q =>
+      q -> AnnIndex.lookupVector(emb01, "vec_id", "embedding", q)).toMap
+    def recall(ids: Long => Set[Long]): Double =
+      qids.map(q => (ids(q) & exactTop(q)).size / 10.0).sum / qids.size
+    val ivf4 = recall(q => results(AnnIndex.ivfTopK(spark, ivfPath,
+      "vec_id", "embedding", vecs(q), k = 10, nProbes = 4,
+      excludeId = Some(q))).map(_._1).toSet)
+    def lshRecall(h: Int) = recall(q => results(AnnIndex.lshTopK(spark,
+      lshPath, "vec_id", "embedding", vecs(q), k = 10,
+      excludeId = Some(q), maxHamming = h)).map(_._1).toSet)
+    val lsh0 = lshRecall(0)
+    val lsh1 = lshRecall(1)
+    info(f"recall@10 over ${qids.size} queries: IVF nProbes=4/16 " +
+      f"$ivf4%.2f, LSH single-probe $lsh0%.2f, LSH maxHamming=1 $lsh1%.2f")
+    assert(ivf4 >= 0.50, f"IVF nProbes=4 recall@10 $ivf4%.2f below floor 0.50")
+    // single-probe sees ~1/16 of a near-random corpus — recall is
+    // STRUCTURALLY low there (measured 0.12); the shipped multi-probe
+    // configuration (maxHamming=1, 5/16 buckets) is the one with a
+    // meaningful floor
+    assert(lsh0 >= 0.05, f"LSH single-probe recall@10 $lsh0%.2f below floor 0.05")
+    assert(lsh1 >= lsh0, f"maxHamming=1 recall $lsh1%.2f < single-probe $lsh0%.2f")
+    assert(lsh1 >= 0.20, f"LSH maxHamming=1 recall@10 $lsh1%.2f below floor 0.20")
+    // more probes must not lose recall
+    val ivf8 = recall(q => results(AnnIndex.ivfTopK(spark, ivfPath,
+      "vec_id", "embedding", vecs(q), k = 10, nProbes = 8,
+      excludeId = Some(q))).map(_._1).toSet)
+    assert(ivf8 >= ivf4, f"nProbes=8 recall $ivf8%.2f < nProbes=4 $ivf4%.2f")
+  }
+
   test("probeBuckets enumerates the hamming ball exactly once each") {
     val b = AnnIndex.probeBuckets(5L, 4, 1)
     assert(b == Seq(5L, 4L, 7L, 1L, 13L)) // self + 4 single-bit flips

@@ -51,7 +51,7 @@ object HeavyHitters {
   /** Mergeable-summaries combine: sum counters, then if > k survive,
     * subtract the (k+1)-th largest count from all and drop ≤0.
     */
-  private[operators] def mgMerge(
+  private[graft] def mgMerge(
       a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
     val sum = scala.collection.mutable.HashMap.empty[String, Long]
     (a.iterator ++ b.iterator).foreach { case (key, c) =>

@@ -359,6 +359,31 @@ object AnalyticsQueries extends QueryGroup {
         |HAVING count(*) > 0.034 * (SELECT count(*) FROM t)
         |ORDER BY cnt DESC, item""".stripMargin))
 
+  /** The streaming heavy-hitter monitor's BATCH contract under the hard
+    * oracle: the same hash-group → per-group Misra–Gries machinery
+    * ([[graft.streaming.StreamingHeavyHitters.heavyHittersViaGroups]]),
+    * collapsed to the exact answer by verification — same HAVING oracle
+    * as [[heavyHitters]], so the grouped candidate path must reach the
+    * identical exact set. StreamingHeavyHittersSpec locks the streaming
+    * monitor's verified candidates to this batch path.
+    */
+  val heavyHittersGrouped: QueryDef = QueryDef(
+    "agg_heavy_hitters_grouped",
+    (s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingHeavyHitters.heavyHittersViaGroups(
+        Tables(s, dir).documents.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .as[String],
+        phi = 0.034, numGroups = 32)
+    },
+    Some(
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS item
+        |           FROM documents)
+        |SELECT item, count(*) AS cnt FROM t GROUP BY item
+        |HAVING count(*) > 0.034 * (SELECT count(*) FROM t)
+        |ORDER BY cnt DESC, item""".stripMargin))
+
   /** Mergeable approximate percentiles (Spark's built-in KLL-style
     * `percentile_approx` sketch) — the at-scale counterpart of the
     * exact `agg_percentiles` gate, completing the approx family
@@ -436,5 +461,5 @@ object AnalyticsQueries extends QueryGroup {
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
-      approxPercentiles, promoRevenue, forecastRevenue)
+      heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue)
 }

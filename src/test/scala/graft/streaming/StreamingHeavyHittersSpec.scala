@@ -59,6 +59,45 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming candidates + exact verify equal the batch path and exact MG") {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: 3 true heavy hitters over φ=0.1, long cold tail
+    val items: Seq[String] = Seq.fill(60)("alpha") ++ Seq.fill(45)("beta") ++
+      Seq.fill(35)("gamma") ++ (1 to 160).map(i => s"cold${i % 80}")
+    val n = items.size.toLong
+    def verify(candidates: Set[String]): Seq[(String, Long)] = {
+      val counts = items.groupBy(identity).view.mapValues(_.size.toLong)
+      candidates.toSeq.map(c => c -> counts.getOrElse(c, 0L))
+        .filter(_._2 > 0.1 * n).sortBy { case (i, c) => (-c, i) }
+    }
+    // streaming: run the monitor over the stream, take the FINAL
+    // candidate union, verify exactly
+    val in = MemoryStream[String](s)
+    val q = StreamingHeavyHitters.monitor(in.toDS(), phi = 0.1, numGroups = 4)
+      .writeStream.format("memory").queryName("shh_contract")
+      .outputMode("update").start()
+    val streamed = try {
+      in.addData(items.take(150): _*)
+      q.processAllAvailable()
+      in.addData(items.drop(150): _*)
+      q.processAllAvailable()
+      verify(latest("shh_contract").keys.map(_._2).toSet)
+    } finally q.stop()
+    // batch contract path (what the agg_heavy_hitters_grouped gate runs)
+    val batch = StreamingHeavyHitters.heavyHittersViaGroups(
+        items.toDS(), phi = 0.1, numGroups = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ungrouped exact two-pass MG
+    val exact = graft.operators.HeavyHitters.heavyHitters(
+        items.toDF("item"), org.apache.spark.sql.functions.col("item"),
+        phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(batch == Seq(("alpha", 60L), ("beta", 45L), ("gamma", 35L)))
+    assert(streamed == batch)
+    assert(exact == batch)
+  }
+
   test("rejects invalid phi and numGroups") {
     val s = spark
     import s.implicits._

@@ -222,6 +222,97 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** One decoded audio row: real container metadata + exact content
+    * sums (integer PCM arithmetic, so cross-engine checkable).
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      // sum of the signed 16-bit samples — an exact content checksum
+      pcm_sum: Long)
+
+  /** Deterministic 16-bit sample for the synthetic audio corpus: a
+    * closed-form function of (i, doc_id) so an external engine can
+    * recompute the decoded content without any codec.
+    */
+  @inline def synthSample(i: Int, docId: Long): Int =
+    ((((i.toLong * 37 + docId * 11) % 65536) + 65536) % 65536).toInt - 32768
+
+  /** Synthetic clip length in samples, derived from doc_id. */
+  @inline def synthSampleCount(docId: Long): Int =
+    (((docId % 50) + 50) % 50).toInt + 20
+
+  /** Build a deterministic audio corpus: one real WAV (RIFF container,
+    * 16-bit signed little-endian mono PCM at 8 kHz) per document,
+    * encoded with the JDK's `javax.sound.sampled` writer on the
+    * executors. Lossless PCM, so decode is exact from doc_id alone.
+    */
+  def syntheticAudioTable(documents: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, true, false) // signed, little-endian
+      ids.map { id =>
+        val n = synthSampleCount(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = synthSample(i, id)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        MediaRow(id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` WAV parse → format
+    * metadata + exact PCM content sum. Same partition-preserving batch
+    * shape as [[decodeImages]]; payloads that are not a RIFF/WAV
+    * container (or fail to parse) are dropped.
+    */
+  def decodeAudio(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.payload
+        if (p == null || p.length < 12 ||
+          p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F') None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(p))
+          val f = ais.getFormat
+          val data = ais.readAllBytes()
+          ais.close()
+          val bytesPerFrame = (f.getSampleSizeInBits / 8) * f.getChannels
+          val n = if (bytesPerFrame > 0) data.length / bytesPerFrame else 0
+          var sum = 0L
+          if (f.getSampleSizeInBits == 16) {
+            val be = f.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = if (be) data(i + 1) else data(i)
+              val hi = if (be) data(i) else data(i + 1)
+              sum += (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toLong
+              i += 2
+            }
+          }
+          Some(AudioFeatures(r.doc_id, "wav", f.getSampleRate.toInt,
+            f.getChannels, n.toLong, sum))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Resize stub: descriptor-space op preserving the batch shape. */
   def resizeStub(features: Dataset[MediaFeatures], w: Int, h: Int)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {

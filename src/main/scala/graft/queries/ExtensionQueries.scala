@@ -2288,5 +2288,29 @@ object MultimodalQueries extends QueryGroup {
         |       AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(decodeStub, decodeReal)
+  /** REAL `javax.sound.sampled` WAV decode under the hard oracle: the
+    * synthetic corpus encodes 16-bit PCM sample = closed-form
+    * fn(i, doc_id) into actual RIFF/WAV containers, the operator
+    * parses them back with the JDK codec, and DuckDB recomputes
+    * sample count / rate / exact PCM sum from doc_id alone.
+    */
+  val audioReal: QueryDef = QueryDef(
+    "multimodal_audio_decode",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decodeAudio(
+        Multimodal.syntheticAudioTable(Tables(s, dir).documents))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("pcm_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, 'wav' AS format, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, doc_id % 50 + 20),
+        |      i -> (i * 37 + doc_id * 11) % 65536 - 32768)) AS BIGINT) AS pcm_sum
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(decodeStub, decodeReal, audioReal)
 }

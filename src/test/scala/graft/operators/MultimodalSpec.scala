@@ -88,6 +88,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode recovers format, length and exact PCM content") {
+    implicit val s = spark
+    val decoded = Multimodal.decodeAudio(Multimodal.syntheticAudioTable(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == docs.count())
+    decoded.foreach { case (id, f) =>
+      val n = Multimodal.synthSampleCount(id)
+      assert(f.format == "wav" && f.sample_rate == 8000 && f.channels == 1)
+      assert(f.n_samples == n)
+      val expectedSum =
+        (0 until n).map(i => Multimodal.synthSample(i, id).toLong).sum
+      assert(f.pcm_sum == expectedSum, s"PCM checksum mismatch for doc $id")
+    }
+  }
+
+  test("audio decode drops non-RIFF payloads instead of failing") {
+    implicit val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRow(900001L, Array[Byte]('R', 'I', 'F', 'F', 0, 0)),
+      Multimodal.MediaRow(900002L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+      .union(Multimodal.syntheticAudioTable(docs.limit(5)))
+    val out = Multimodal.decodeAudio(mixed).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.doc_id < 900000L))
+  }
+
   test("real decode is partition-preserving (no shuffle in the plan)") {
     implicit val s = spark
     val plan = Multimodal.decodeImages(Multimodal.syntheticImageTable(docs))

@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata.
   *
-  * Two decode paths share one batch shape (`mapPartitions`, the Scala
+  * All decode paths share one batch shape (`mapPartitions`, the Scala
   * analogue of a `mapInPandas` Arrow-batch pass; codec init once per
-  * partition, narrow plan, no shuffle):
+  * partition, narrow plan, no shuffle). Three REAL JDK codecs — one per
+  * modality, each with a deterministic synthetic corpus (content =
+  * closed-form fn of doc_id) so the full encode→decode round trip is
+  * oracle-checkable cross-engine:
   *
-  *   - [[decodeImages]] — a REAL codec: `javax.imageio` PNG/BMP decode
-  *     (JDK-only, headless-safe), format sniffed from magic bytes,
-  *     width/height/pixel-sum/descriptor read from the actual raster.
-  *     [[syntheticImageTable]] builds a deterministic image corpus
-  *     (pixel = closed-form fn of x, y, doc_id) so the full
-  *     encode→decode round trip is oracle-checkable cross-engine.
-  *   - [[decodeStubColumns]]/[[decodeBatches]] — the arithmetic STUB kept
-  *     as the fallback for payloads with no codec in this environment
-  *     (audio/video), deriving fake dimensions from the bytes.
+  *   - [[decodeImages]]/[[resizeImages]] — `javax.imageio` PNG/BMP
+  *     (format sniffed from magic bytes; width/height/pixel-sum/
+  *     descriptor read from the actual raster; deterministic
+  *     nearest-neighbour resample).
+  *   - [[decodeAudio]] — `javax.sound.sampled` WAV/PCM parse (sample
+  *     rate/channels/exact 16-bit PCM sums from the real container).
+  *   - [[sampleFrames]] — multi-frame animated GIF parse with
+  *     every-k-th-frame rasterization (the video shape: container
+  *     seek + selective frame decode).
+  *   - [[decodeStubColumns]]/[[decodeBatches]] — the arithmetic STUB
+  *     kept as the fallback for payloads with no JDK codec (e.g. real
+  *     MP4/JPEG2000), deriving fake dimensions from the bytes.
   */
 object Multimodal {
 
@@ -309,6 +315,110 @@ object Multimodal {
           Some(AudioFeatures(r.doc_id, "wav", f.getSampleRate.toInt,
             f.getChannels, n.toLong, sum))
         } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** One sampled video frame: real per-frame raster metadata. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      pixel_sum: Long)
+
+  /** Synthetic frame count per clip, derived from doc_id. */
+  @inline def synthFrames(docId: Long): Int = (((docId % 9) + 9) % 9).toInt + 2
+
+  /** Build a deterministic "video" corpus: one real multi-frame
+    * animated GIF per document (the one multi-frame container the JDK
+    * reads AND writes), frame k's pixel = [[synthPixel]](x, y,
+    * doc_id + k) on a 256-gray palette — lossless, so per-frame decode
+    * is exact from doc_id alone. Encoded on the executors; writer
+    * initialized once per partition.
+    */
+  def syntheticVideoTable(documents: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      // explicit 256-gray palette: unlike TYPE_BYTE_GRAY (whose
+      // setRGB/getRGB pass through linear-gamma color conversion),
+      // indexed samples round-trip BIT-EXACTLY through the container
+      val grays = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      ids.map { id =>
+        val w = synthWidth(id)
+        val h = synthHeight(id)
+        val out = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // interlaced (progressive) GIF rows come back PERMUTED through
+        // the JDK reader — disable it; non-interlaced is bit-exact
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        var k = 0
+        val nFrames = synthFrames(id)
+        while (k < nFrames) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, synthPixel(x, y, id + k))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), param)
+          k += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        MediaRow(id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL frame sampling: parse the GIF container, decode ONLY every
+    * k-th frame (frame_idx % everyK == 0 — the reader seeks by index,
+    * skipped frames are never rasterized), emit per-frame metadata +
+    * exact gray-channel sum. Same partition-preserving batch shape as
+    * the other decoders; undecodable payloads are dropped.
+    */
+  def sampleFrames(media: DataFrame, everyK: Int)(
+      implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val p = r.payload
+        if (p == null || p.length < 6 ||
+          p(0) != 'G' || p(1) != 'I' || p(2) != 'F') Iterator.empty
+        else try {
+          reader.setInput(
+            ImageIO.createImageInputStream(new ByteArrayInputStream(p)))
+          val n = reader.getNumImages(true)
+          (0 until n by everyK).iterator.map { k =>
+            val img = reader.read(k)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            FrameFeatures(r.doc_id, k, w, h, sum)
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }
   }

@@ -2312,5 +2312,35 @@ object MultimodalQueries extends QueryGroup {
         |      i -> (i * 37 + doc_id * 11) % 65536 - 32768)) AS BIGINT) AS pcm_sum
         |FROM documents ORDER BY doc_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(decodeStub, decodeReal, audioReal)
+  /** REAL multi-frame decode + frame sampling under the hard oracle:
+    * the synthetic corpus encodes each doc as an animated GIF (frame
+    * k's pixel = closed-form fn(x, y, doc_id + k), 256-gray indexed
+    * palette → lossless), the operator parses the container and
+    * rasterizes every 2nd frame only, and DuckDB recomputes each
+    * sampled frame's dimensions and pixel sum from doc_id alone.
+    */
+  val frameSample: QueryDef = QueryDef(
+    "multimodal_frame_sample",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.syntheticVideoTable(Tables(s, dir).documents), everyK = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("pixel_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 4 AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(
+        |        range(0, (doc_id % 13 + 4) * (doc_id % 7 + 4)),
+        |        i -> ((i % (doc_id % 13 + 4)) * 31
+        |            + (i // (doc_id % 13 + 4)) * 17 + doc_id + k) % 256))
+        |       AS BIGINT) AS pixel_sum
+        |FROM documents, unnest(range(0, doc_id % 9 + 2, 2)) AS t(k)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(decodeStub, decodeReal, audioReal, frameSample)
 }

@@ -116,6 +116,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.doc_id < 900000L))
   }
 
+  test("real GIF frame sampling decodes exactly the every-k-th frames") {
+    implicit val s = spark
+    val media = Multimodal.syntheticVideoTable(docs.limit(30))
+    val sampled = Multimodal.sampleFrames(media, everyK = 2)
+      .collect().groupBy(_.doc_id)
+    assert(sampled.size == 30)
+    sampled.foreach { case (id, frames) =>
+      val n = Multimodal.synthFrames(id)
+      val expectIdx = (0 until n by 2).toSeq
+      assert(frames.map(_.frame_idx).sorted.toSeq == expectIdx)
+      frames.foreach { f =>
+        val w = Multimodal.synthWidth(id)
+        val h = Multimodal.synthHeight(id)
+        assert(f.width == w && f.height == h)
+        val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.synthPixel(x, y, id + f.frame_idx).toLong).sum
+        assert(f.pixel_sum == expectedSum,
+          s"frame checksum mismatch doc $id frame ${f.frame_idx}")
+      }
+    }
+    // everyK = 1 decodes all frames
+    val all = Multimodal.sampleFrames(media, everyK = 1).collect()
+      .groupBy(_.doc_id)
+    all.foreach { case (id, frames) =>
+      assert(frames.length == Multimodal.synthFrames(id))
+    }
+  }
+
+  test("frame sampling drops non-GIF payloads instead of failing") {
+    implicit val s = spark
+    import s.implicits._
+    val mixed = Seq(Multimodal.MediaRow(900001L, Array[Byte]('G', 'I', 'F', 0)))
+      .toDF("doc_id", "payload")
+      .union(Multimodal.syntheticVideoTable(docs.limit(4)))
+    val out = Multimodal.sampleFrames(mixed, everyK = 1).collect()
+    assert(out.map(_.doc_id).distinct.length == 4)
+  }
+
   test("real decode is partition-preserving (no shuffle in the plan)") {
     implicit val s = spark
     val plan = Multimodal.decodeImages(Multimodal.syntheticImageTable(docs))

@@ -240,6 +240,25 @@ object ScaleCheck {
         graft.ingest.AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
         k = 10, nProbes = 4)
     })
+
+    // multimodal codecs are scan-local kernels (no shuffle anywhere in
+    // the plan) — cost must be linear in the corpus with zero skew
+    // sensitivity; the encode side dominates (container writers)
+    {
+      implicit val sp: SparkSession = spark
+      time("mm_image_decode_1x",
+        graft.operators.Multimodal.decodeImages(
+          graft.operators.Multimodal.syntheticImageTable(docs)).toDF())
+      time(s"mm_image_decode_${dup}x",
+        graft.operators.Multimodal.decodeImages(
+          graft.operators.Multimodal.syntheticImageTable(blown)).toDF())
+      time("mm_frame_sample_1x",
+        graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.syntheticVideoTable(docs), 2).toDF())
+      time(s"mm_frame_sample_${dup}x",
+        graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.syntheticVideoTable(blown), 2).toDF())
+    }
     spark.stop()
   }
 }

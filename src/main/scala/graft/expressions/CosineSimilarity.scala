@@ -95,6 +95,21 @@ object GraftFunctions {
       "cosine_sim", build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", buildIntersect, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", buildBloomProbe, "scala_udf")
+  }
+
+  /** Builder exposing Catalyst's codegen'd `BloomFilterMightContain`
+    * (the engine's own runtime-filter probe) for [[graft.operators
+    * .BloomJoin]]: arg 0 is the serialized filter as a foldable binary
+    * literal, arg 1 the probe key (cast to long — the filter is built
+    * over long keys by `DataFrameStatFunctions.bloomFilter`, and both
+    * sides address the same `putLong`/`mightContainLong` hash path).
+    */
+  def buildBloomProbe(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "bloom_might_contain(filter, key) takes two args")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs.head, Cast(exprs(1), org.apache.spark.sql.types.LongType))
   }
 
   /** Builder for [[SortedIntersectCount]] — inputs must already be
@@ -119,5 +134,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => GraftFunctions.buildIntersect(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildBloomProbe(exprs)))
   }
 }

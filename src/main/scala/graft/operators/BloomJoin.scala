@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered equi-joins (SURVEY.md §2.6 / the 100 TB design
+  * point "minimize shuffles").
+  *
+  * The scenario AQE and broadcast joins both miss: the build side is too
+  * large to broadcast as a hash relation (say 10⁸ distinct keys ≈ GBs of
+  * hashed rows) but its KEY SET compresses into a Bloom filter a few MB
+  * wide. Building that filter with one mergeable aggregate and
+  * broadcasting it lets the probe side discard non-matching rows
+  * MAP-SIDE, before the shuffle — at 100 TB the exchange then carries
+  * only `selectivity + fpp` of the fact table instead of all of it.
+  * Spark's own `InjectRuntimeFilter` applies the same idea
+  * opportunistically (size/selectivity heuristics, shuffle joins only);
+  * this operator is the explicit, deterministic form for pipelines that
+  * know their selectivity up front.
+  *
+  * Correctness contract: a Bloom filter has NO false negatives, so
+  * pre-filter + exact join is result-identical to the plain join —
+  * false positives (~fpp of the pruned side) survive the pre-filter and
+  * are removed by the exact join that follows. The `join_bloom_prefilter`
+  * gate proves identity against the PLAIN semi-join oracle, same pattern
+  * as `join_salted_skew`.
+  *
+  * The probe predicate is Catalyst's own codegen'd
+  * `BloomFilterMightContain` (registered as `bloom_might_contain` by
+  * [[graft.expressions.GraftFunctions]]) — not a Scala UDF — so the
+  * pre-filter stays inside whole-stage codegen; the filter bytes ride
+  * the expression as a foldable binary literal, which Spark broadcasts
+  * with the task binary.
+  */
+object BloomJoin {
+
+  /** Serialized Bloom filter over `build`'s long join keys. One
+    * `treeAggregate` job (per-partition filters OR-merged), driver holds
+    * only the final bitset. `expectedKeys` sizes the filter — pass the
+    * known dimension cardinality at scale to skip the count job.
+    */
+  def buildKeyFilter(
+      build: DataFrame, buildKey: String, fpp: Double = 0.01,
+      expectedKeys: Option[Long] = None): Array[Byte] = {
+    val keys = build.select(col(buildKey).cast("long").as("k")).na.drop()
+    val expected = math.max(1L, expectedKeys.getOrElse(keys.count()))
+    val bf = keys.stat.bloomFilter("k", expected, fpp)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `bloom_might_contain` probe column for `key` against filter bytes.
+    * Null keys yield null (they match nothing — callers pick the branch
+    * nulls belong to, per join type).
+    */
+  def mightContain(df: DataFrame, filterBytes: Array[Byte], key: Column): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    call_function("bloom_might_contain", lit(filterBytes), key)
+  }
+
+  /** LEFT SEMI join of `probe` against `build`'s keys, Bloom-prefiltered:
+    * probe rows provably absent from the build key set are dropped
+    * map-side; survivors run the exact semi-join that removes the ~fpp
+    * false positives. Null probe keys match nothing in a semi-join, so
+    * the null-valued probe predicate correctly drops them pre-shuffle.
+    */
+  def semiJoin(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      fpp: Double = 0.01, expectedKeys: Option[Long] = None): DataFrame = {
+    val bytes = buildKeyFilter(build, buildKey, fpp, expectedKeys)
+    probe.filter(mightContain(probe, bytes, col(probeKey)))
+      .join(build.select(buildKey), col(probeKey) === col(buildKey),
+        "left_semi")
+  }
+
+  /** LEFT ANTI join of `probe` against `build`'s keys, Bloom-split:
+    * rows the filter proves absent (plus null-keyed rows, which an
+    * anti-join always emits) are in the answer IMMEDIATELY with no join
+    * at all; only the bloom hits — `selectivity + fpp` of the probe —
+    * pay the exact anti-join that separates true matches from false
+    * positives. Same lossless-split contract as
+    * [[IncrementalDedup.splitByFilter]], lifted to general keys.
+    */
+  def antiJoin(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      fpp: Double = 0.01, expectedKeys: Option[Long] = None): DataFrame = {
+    val bytes = buildKeyFilter(build, buildKey, fpp, expectedKeys)
+    val hit = coalesce(mightContain(probe, bytes, col(probeKey)), lit(false))
+    probe.filter(!hit).unionAll(
+      probe.filter(hit)
+        .join(build.select(buildKey), col(probeKey) === col(buildKey),
+          "left_anti"))
+  }
+}

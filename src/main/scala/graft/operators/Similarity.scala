@@ -155,6 +155,40 @@ object Similarity {
       .drop("_nrm")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage/IO
+    * compression step for embedding columns at corpus scale: 4× smaller
+    * than float32 on disk and over the wire (the PQ index compresses
+    * further but is lossy per-subspace; int8 keeps per-element error
+    * ≤ scale/254). code_i = round(x_i · 127 / max|x|) ∈ [−127, 127]
+    * with one float scale per vector; the all-zero vector quantizes to
+    * zero codes with scale 0. Scan-local projection — no shuffle; both
+    * the scale (a max, not an accumulation) and the codes (rounded
+    * element-wise double arithmetic) are order-independent, so the gate
+    * runs under the full oracle.
+    */
+  def quantizeInt8(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val s = col("_scale")
+    val absMax: Column => Column = v =>
+      aggregate(transform(v, x => abs(x.cast("double"))), lit(0.0d),
+        (acc, x) => greatest(acc, x))
+    df.withColumn("_scale", absMax(col(vecCol)))
+      .select(col(idCol), s.as("scale"),
+        when(s === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") * 127.0 / s, 0).cast("tinyint")))
+          .as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = code_i · scale / 127. */
+  def dequantizeInt8(
+      df: DataFrame, codesCol: String, scaleCol: String,
+      outCol: String = "approx"): DataFrame =
+    df.withColumn(outCol,
+      transform(col(codesCol),
+        c => c.cast("double") * col(scaleCol) / 127.0))
+
   /** Random projection (Johnson–Lindenstrauss) to `outDim` dimensions:
     * y = Rᵀx with R a dense ±1/√outDim sign matrix derived STATELESSLY
     * from (seed, i, j) — every task regenerates the same matrix from

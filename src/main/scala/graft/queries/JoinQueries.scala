@@ -132,6 +132,42 @@ object JoinQueries extends QueryGroup {
         |FROM dims FULL OUTER JOIN facts ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin))
 
+  /** Bloom-prefiltered semi-join, gated: [[graft.operators.BloomJoin]]
+    * builds a Bloom filter over the selective orders subset's keys and
+    * drops lineitem rows MAP-SIDE before the join shuffle (the fact
+    * side's exchange carries only `selectivity + fpp` of the table — the
+    * 100 TB case where the build side outgrows broadcast but its key
+    * set fits a few-MB filter). The oracle is the PLAIN semi-join,
+    * proving pre-filter + exact join is result-identical — a Bloom
+    * filter has no false negatives, and the exact join removes the ~fpp
+    * false positives.
+    */
+  val joinBloomPrefilter: QueryDef = QueryDef(
+    "join_bloom_prefilter",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.BloomJoin.semiJoin(
+          t.lineitem,
+          t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 250000).select("o_orderkey"),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt " +
+        "FROM lineitem WHERE EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_orderkey = l_orderkey " +
+        "AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"))
+
   override def defs: Seq[QueryDef] =
-    Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti, joinFullOuter)
+    Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti, joinFullOuter,
+      joinBloomPrefilter)
 }

@@ -72,9 +72,11 @@ object BloomJoin {
       probeKey: String, buildKey: String,
       fpp: Double = 0.01, expectedKeys: Option[Long] = None): DataFrame = {
     val bytes = buildKeyFilter(build, buildKey, fpp, expectedKeys)
+    // alias the build key so probeKey == buildKey (same-named columns,
+    // the common self-corpus case) doesn't make the condition ambiguous
+    val keys = build.select(col(buildKey).as("_bloom_build_key"))
     probe.filter(mightContain(probe, bytes, col(probeKey)))
-      .join(build.select(buildKey), col(probeKey) === col(buildKey),
-        "left_semi")
+      .join(keys, col(probeKey) === col("_bloom_build_key"), "left_semi")
   }
 
   /** LEFT ANTI join of `probe` against `build`'s keys, Bloom-split:
@@ -91,9 +93,9 @@ object BloomJoin {
       fpp: Double = 0.01, expectedKeys: Option[Long] = None): DataFrame = {
     val bytes = buildKeyFilter(build, buildKey, fpp, expectedKeys)
     val hit = coalesce(mightContain(probe, bytes, col(probeKey)), lit(false))
+    val keys = build.select(col(buildKey).as("_bloom_build_key"))
     probe.filter(!hit).unionAll(
       probe.filter(hit)
-        .join(build.select(buildKey), col(probeKey) === col(buildKey),
-          "left_anti"))
+        .join(keys, col(probeKey) === col("_bloom_build_key"), "left_anti"))
   }
 }

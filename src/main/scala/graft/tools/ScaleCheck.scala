@@ -241,6 +241,29 @@ object ScaleCheck {
         k = 10, nProbes = 4)
     })
 
+    // bloom-prefiltered joins: the filter build is fixed-size (the
+    // benchmark subset), the probe side is the blown corpus — cost must
+    // track the probe scan, and the anti split's immediate-emit path
+    // must carry the provably-absent mass without touching the join
+    import graft.operators.{BloomJoin, HybridSearch}
+    val bloomBuild = docs.filter(col("doc_id") % 23 === 0)
+    time(s"bloom_semi_${dup}x",
+      BloomJoin.semiJoin(blown, bloomBuild, "doc_id", "doc_id"))
+    time(s"bloom_anti_${dup}x",
+      BloomJoin.antiJoin(blown, bloomBuild, "doc_id", "doc_id"))
+
+    // hybrid RRF: both candidate pools are bounded (TakeOrdered /
+    // broadcast-query kernel), so fusion cost must track the two
+    // corpus scans — the rank windows never see more than poolSize rows
+    time(s"hybrid_rrf_${dup}x",
+      HybridSearch.rrfFusion(blown, embBig, "text", "doc_id",
+        Seq("spark", "vector", "customer"), "vec_id", "embedding",
+        queryVecId = 0L, k = 20))
+
+    // int8 quantization: scan-local projection, zero shuffles — linear
+    time(s"quantize_int8_${dup}x",
+      Similarity.quantizeInt8(embBig, "vec_id", "embedding"))
+
     // multimodal codecs are scan-local kernels (no shuffle anywhere in
     // the plan) — cost must be linear in the corpus with zero skew
     // sensitivity; the encode side dominates (container writers)

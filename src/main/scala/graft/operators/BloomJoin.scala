@@ -36,15 +36,48 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** Serialized Bloom filter over `build`'s long join keys. One
-    * `treeAggregate` job (per-partition filters OR-merged), driver holds
-    * only the final bitset. `expectedKeys` sizes the filter — pass the
-    * known dimension cardinality at scale to skip the count job.
+  import org.apache.spark.sql.types._
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Long image of a join key for the Bloom filter: integral keys cast
+    * losslessly (preserving the filter's native `putLong` path); every
+    * other type goes through `xxhash64` — the SAME function on build and
+    * probe sides, so join-equal keys collide by construction, and a hash
+    * collision is merely an extra Bloom false positive removed by the
+    * exact join that follows. Null keys must stay null (`xxhash64(null)`
+    * returns the seed, which would silently give null keys a real filter
+    * entry and break the nulls-match-nothing contract).
+    */
+  private def keyAsLong(dt: DataType, key: Column): Column =
+    if (integral(dt)) key.cast("long")
+    else when(key.isNull, lit(null).cast("long")).otherwise(xxhash64(key))
+
+  /** Join-equality across DIFFERENT non-integral types would let Spark
+    * coerce the join condition while the two sides' xxhash64 images
+    * disagree — a false-NEGATIVE vector. Refuse loudly; the caller
+    * pre-casts one side instead.
+    */
+  private def checkKeyTypes(probe: DataType, build: DataType): Unit =
+    require((integral(probe) && integral(build)) || probe == build,
+      s"BloomJoin keys must both be integral or share one exact type, " +
+        s"got $probe vs $build — pre-cast one side")
+
+  /** Serialized Bloom filter over `build`'s join keys (any type — see
+    * [[keyAsLong]]). One `treeAggregate` job (per-partition filters
+    * OR-merged), driver holds only the final bitset. `expectedKeys`
+    * sizes the filter — pass the known dimension cardinality at scale to
+    * skip the count job.
     */
   def buildKeyFilter(
       build: DataFrame, buildKey: String, fpp: Double = 0.01,
       expectedKeys: Option[Long] = None): Array[Byte] = {
-    val keys = build.select(col(buildKey).cast("long").as("k")).na.drop()
+    val dt = build.schema(buildKey).dataType
+    val keys = build.filter(col(buildKey).isNotNull)
+      .select(keyAsLong(dt, col(buildKey)).as("k"))
     val expected = math.max(1L, expectedKeys.getOrElse(keys.count()))
     val bf = keys.stat.bloomFilter("k", expected, fpp)
     val out = new ByteArrayOutputStream()
@@ -52,13 +85,15 @@ object BloomJoin {
     out.toByteArray
   }
 
-  /** `bloom_might_contain` probe column for `key` against filter bytes.
-    * Null keys yield null (they match nothing — callers pick the branch
-    * nulls belong to, per join type).
+  /** `bloom_might_contain` probe column for `df(key)` against filter
+    * bytes, applying the same key normalization the filter was built
+    * with. Null keys yield null (they match nothing — callers pick the
+    * branch nulls belong to, per join type).
     */
-  def mightContain(df: DataFrame, filterBytes: Array[Byte], key: Column): Column = {
+  def mightContain(df: DataFrame, filterBytes: Array[Byte], key: String): Column = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    call_function("bloom_might_contain", lit(filterBytes), key)
+    call_function("bloom_might_contain", lit(filterBytes),
+      keyAsLong(df.schema(key).dataType, col(key)))
   }
 
   /** LEFT SEMI join of `probe` against `build`'s keys, Bloom-prefiltered:
@@ -71,11 +106,12 @@ object BloomJoin {
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       fpp: Double = 0.01, expectedKeys: Option[Long] = None): DataFrame = {
+    checkKeyTypes(probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
     val bytes = buildKeyFilter(build, buildKey, fpp, expectedKeys)
     // alias the build key so probeKey == buildKey (same-named columns,
     // the common self-corpus case) doesn't make the condition ambiguous
     val keys = build.select(col(buildKey).as("_bloom_build_key"))
-    probe.filter(mightContain(probe, bytes, col(probeKey)))
+    probe.filter(mightContain(probe, bytes, probeKey))
       .join(keys, col(probeKey) === col("_bloom_build_key"), "left_semi")
   }
 
@@ -91,8 +127,9 @@ object BloomJoin {
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       fpp: Double = 0.01, expectedKeys: Option[Long] = None): DataFrame = {
+    checkKeyTypes(probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
     val bytes = buildKeyFilter(build, buildKey, fpp, expectedKeys)
-    val hit = coalesce(mightContain(probe, bytes, col(probeKey)), lit(false))
+    val hit = coalesce(mightContain(probe, bytes, probeKey), lit(false))
     val keys = build.select(col(buildKey).as("_bloom_build_key"))
     probe.filter(!hit).unionAll(
       probe.filter(hit)

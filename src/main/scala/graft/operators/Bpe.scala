@@ -79,6 +79,14 @@ object Bpe {
       .limit(maxDriverVocab)
       .as[(String, Long)]
       .collect()
+    // the truncated regime must be LOUD: a caller whose vocabulary
+    // outgrew the cap gets a different merge table than the exact
+    // trainer, and nothing downstream would flag it
+    if (dict.length == maxDriverVocab)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BPE dict hit maxDriverVocab=$maxDriverVocab — training on the " +
+          "top-V words by frequency; raise the cap (with driver heap to " +
+          "match) or pass <= 0 for the exact distributed trainer")
     trainOnWordDict(dict, numMerges)
   }
 

@@ -55,7 +55,11 @@ object HybridSearch {
           coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
           .as("_rrf"),
         col("lex_rank"), col("vec_rank"))
-      .orderBy(col("_rrf").desc, col(docIdCol))
+      // the top-k cut orders on the ROUNDED score (the oracle's ORDER BY
+      // binds to the rounded output alias) with id tie-break — ordering
+      // on raw _rrf could pick a different row set when two sums land
+      // within 5e-7 at the k boundary
+      .orderBy(round(col("_rrf"), 6).desc, col(docIdCol))
       .limit(k)
       .select(col(docIdCol), round(col("_rrf"), 6).as("rrf"),
         col("lex_rank"), col("vec_rank"))

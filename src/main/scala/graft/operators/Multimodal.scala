@@ -152,10 +152,22 @@ object Multimodal {
     * "BM" header); empty string when unrecognised.
     */
   def sniffFormat(bytes: Array[Byte]): String =
-    if (bytes.length >= 8 &&
+    if (bytes == null) ""
+    else if (bytes.length >= 8 &&
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else ""
+
+  /** Decode via ImageIO, mapping null, unrecognised, and CORRUPT
+    * payloads (valid magic, truncated body — ImageIO.read throws, it
+    * doesn't return null) to null so callers drop the row instead of
+    * failing the task: a 100 TB media corpus WILL contain bad rows.
+    */
+  private def readImageOrNull(payload: Array[Byte]): BufferedImage =
+    if (sniffFormat(payload).isEmpty) null
+    else
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
 
   /** REAL decode: `javax.imageio` PNG/BMP → raster metadata + content
     * summaries. Same partition-preserving batch shape as the stub path;
@@ -166,9 +178,7 @@ object Multimodal {
     media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
         val fmt = sniffFormat(r.payload)
-        val img =
-          if (fmt.isEmpty) null
-          else ImageIO.read(new ByteArrayInputStream(r.payload))
+        val img = readImageOrNull(r.payload)
         if (img == null) None
         else {
           val w = img.getWidth
@@ -203,9 +213,7 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val src =
-          if (sniffFormat(r.payload).isEmpty) null
-          else ImageIO.read(new ByteArrayInputStream(r.payload))
+        val src = readImageOrNull(r.payload)
         if (src == null) None
         else {
           val sw = src.getWidth
@@ -398,27 +406,38 @@ object Multimodal {
         val p = r.payload
         if (p == null || p.length < 6 ||
           p(0) != 'G' || p(1) != 'I' || p(2) != 'F') Iterator.empty
-        else try {
-          reader.setInput(
-            ImageIO.createImageInputStream(new ByteArrayInputStream(p)))
-          val n = reader.getNumImages(true)
-          (0 until n by everyK).iterator.map { k =>
-            val img = reader.read(k)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sum += (img.getRGB(x, y) >> 16) & 0xff
-                x += 1
+        else {
+          // memory-backed stream (no FileCacheImageInputStream temp file
+          // / fd per row), closed eagerly — the sampled frames of one
+          // clip are materialized before moving on, so the per-row
+          // buffer is bounded by frames/everyK rasters, not leaked for
+          // the executor's lifetime
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(p))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = List.newBuilder[FrameFeatures]
+            (0 until n by everyK).foreach { k =>
+              val img = reader.read(k)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              out += FrameFeatures(r.doc_id, k, w, h, sum)
             }
-            FrameFeatures(r.doc_id, k, w, h, sum)
-          }
-        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+            out.result().iterator
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+          finally iis.close()
+        }
       }
     }
   }

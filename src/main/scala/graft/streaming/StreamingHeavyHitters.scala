@@ -83,7 +83,12 @@ object StreamingHeavyHitters {
       .flatMap(_._2._1.keysIterator).distinct.toSeq
     val n = perGroup.iterator.map(_._2._2).sum
     val base = items.toDF("item")
-    if (n == 0) return base.groupBy("item").agg(count("*").as("cnt"))
+    // n == 0 means zero non-null items: the answer is EMPTY (not the
+    // unfiltered group-by, which would emit a spurious (null, cnt) row
+    // for an all-null input); keep the aggregate so the schema matches
+    if (n == 0)
+      return base.filter(col("item").isNotNull)
+        .groupBy("item").agg(count("*").as("cnt"))
     base
       .filter(col("item").isNotNull && col("item").isin(candidates: _*))
       .groupBy("item")

@@ -56,6 +56,46 @@ class BloomJoinSpec extends SparkSpec {
     assert(BloomJoin.antiJoin(probe, build, "k", "bk", fpp = 0.5).count() == plainAnti)
   }
 
+  // string-keyed frames: the xxhash64 normalization path
+  private def probeBuildStr = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val probeRows = (1 to 2000).map(i => Row(s"key_${i % 500 + 1}", i)) ++
+      Seq(Row(null, 9001), Row(null, 9002))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 4),
+      StructType(Seq(StructField("k", StringType), StructField("payload", IntegerType))))
+    val build = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ((1 to 100) ++ (1 to 50)).map(i => Row(s"key_$i")) :+ Row(null), 2),
+      StructType(Seq(StructField("bk", StringType))))
+    (probe, build)
+  }
+
+  test("string keys: bloom semi/anti equal plain (xxhash64 path, nulls handled)") {
+    val (probe, build) = probeBuildStr
+    val plainSemi = probe.join(build, col("k") === col("bk"), "left_semi")
+      .collect().map(r => (r.get(0), r.getInt(1))).toSet
+    val plainAnti = probe.join(build, col("k") === col("bk"), "left_anti")
+      .collect().map(r => (r.get(0), r.getInt(1))).toSet
+    val bloomSemi = BloomJoin.semiJoin(probe, build, "k", "bk")
+      .collect().map(r => (r.get(0), r.getInt(1))).toSet
+    val bloomAnti = BloomJoin.antiJoin(probe, build, "k", "bk")
+      .collect().map(r => (r.get(0), r.getInt(1))).toSet
+    assert(bloomSemi == plainSemi && bloomSemi.nonEmpty)
+    assert(bloomAnti == plainAnti)
+    assert(bloomAnti.exists(_._2 == 9001)) // null-keyed rows emitted by anti
+  }
+
+  test("mismatched non-integral key types are refused loudly") {
+    val (probe, _) = probeBuildStr
+    val (_, buildLong) = probeBuild
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(probe, buildLong, "k", "bk")
+    }
+    assert(e.getMessage.contains("pre-cast"))
+  }
+
   /** All nodes, recursing through AQE wrappers and reused stages. */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val nested = p match {
@@ -91,7 +131,7 @@ class BloomJoinSpec extends SparkSpec {
   test("predicate stays codegen (native expression, not a UDF)") {
     val (probe, build) = probeBuild
     val bytes = BloomJoin.buildKeyFilter(build, "bk")
-    val df = probe.filter(BloomJoin.mightContain(probe, bytes, col("k")))
+    val df = probe.filter(BloomJoin.mightContain(probe, bytes, "k"))
     val ks = nodes(df.queryExecution.executedPlan)
       .map(_.getClass.getSimpleName)
     assert(ks.exists(_.contains("WholeStageCodegen")),

@@ -63,13 +63,19 @@ class MultimodalSpec extends SparkSpec {
   test("real decode drops undecodable payloads instead of failing") {
     implicit val s = spark
     import s.implicits._
+    // PNG magic with a truncated body: sniffs as "png" but ImageIO.read
+    // THROWS (not null) — must be dropped, not fail the task
+    val truncatedPng = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
     val mixed = Seq(
       Multimodal.MediaRow(1L, Array[Byte](1, 2, 3)), // garbage
+      Multimodal.MediaRow(2L, truncatedPng),
       Multimodal.MediaRow(0L, null)).toDF("doc_id", "payload")
         .union(Multimodal.syntheticImageTable(docs.limit(5)))
-        .filter(org.apache.spark.sql.functions.col("payload").isNotNull)
     val out = Multimodal.decodeImages(mixed).collect()
     assert(out.length == 5)
+    // resize shares the guarded decode path
+    assert(Multimodal.resizeImages(mixed, 4, 4).count() == 5)
   }
 
   test("real resize resamples with deterministic nearest-neighbour pixels") {

@@ -98,6 +98,15 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(exact == batch)
   }
 
+  test("all-null and empty batch inputs yield an empty result, not a null row") {
+    val s = spark
+    import s.implicits._
+    val allNull = Seq[String](null, null, null).toDS()
+    assert(StreamingHeavyHitters.heavyHittersViaGroups(allNull, 0.2).count() == 0)
+    assert(StreamingHeavyHitters.heavyHittersViaGroups(
+      s.emptyDataset[String], 0.2).count() == 0)
+  }
+
   test("rejects invalid phi and numGroups") {
     val s = spark
     import s.implicits._

@@ -97,6 +97,18 @@ object GraftFunctions {
       "sorted_intersect_count", buildIntersect, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", buildBloomProbe, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", buildJaroWinkler, "scala_udf")
+  }
+
+  /** Builder for [[JaroWinkler]]; inputs cast to string here (same
+    * private[sql] ImplicitCastInputTypes workaround as [[build]]).
+    */
+  def buildJaroWinkler(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "jaro_winkler(a, b) takes two strings")
+    JaroWinkler(
+      Cast(exprs.head, org.apache.spark.sql.types.StringType),
+      Cast(exprs(1), org.apache.spark.sql.types.StringType))
   }
 
   /** Builder exposing Catalyst's codegen'd `BloomFilterMightContain`
@@ -140,5 +152,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
           .getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => GraftFunctions.buildBloomProbe(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildJaroWinkler(exprs)))
   }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance (Levenshtein) near-duplicate pairs at corpus
+  * scale — the character-level complement to the token-set kernels in
+  * [[Dedup]] (entity resolution over names/titles, OCR-noise dedup,
+  * key-mangling detection in a training corpus).
+  *
+  * Candidate generation is the q-gram COUNT FILTER (Gravano et al.,
+  * VLDB 2001; tightened by the Ed-Join location filters, Xiao et al.,
+  * VLDB 2008 — public literature): one edit operation destroys at most
+  * `q` of a string's |s| − q + 1 positional q-grams, so
+  *
+  *   ed(a,b) ≤ k  ⇒  |Gq(a) ∩multiset Gq(b)| ≥ max(|a|,|b|) − q + 1 − k·q
+  *
+  * Pairs below that bound are provably beyond distance k and are never
+  * verified; survivors get one exact `levenshtein` check, so the result
+  * is IDENTICAL to the naive all-pairs join at any threshold — the
+  * filter only prunes work, never recall.
+  *
+  * 100 TB shape: the shuffle carries (gram, id, multiplicity) rows —
+  * bounded by total text volume, never by pair count; the candidate
+  * join groups by gram (vocabulary-distributed keys), the verify join
+  * rejoins only candidate ids to their strings. Strings too short to
+  * yield a positive bound (both |s| ≤ q − 1 + k·q) can share zero
+  * grams while within distance k, so the short class pairs through a
+  * 3-neighbour length-bucket block join instead — still exact, and
+  * bounded by the short-string subcorpus, which for near-dup workloads
+  * (names, titles) is the whole point of the operator.
+  */
+object EditDistance {
+
+  /** All unordered pairs (id_a < id_b) within Levenshtein distance
+    * `maxDist`, with the exact distance. `strCol` must be non-null
+    * (null rows are dropped); ids must be long-castable and unique per
+    * string row.
+    */
+  def pairs(
+      df: DataFrame, strCol: String, idCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    Dedup.requireLongCastableId(df, idCol)
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+
+    // ---- short class: both strings ≤ shortMax ⇒ the gram bound can be
+    // non-positive; exact 3-neighbour length-bucket block join
+    val shortMax = q - 1 + maxDist * q
+    val bucketW = maxDist + 1
+    val short = base.filter(col("len") <= shortMax)
+    val shortLeft = short.select(
+      (col("len") / bucketW).cast("int").as("bkt"),
+      col("id").as("id_a"), col("s").as("s_a"), col("len").as("len_a"))
+    val shortRight = short.select(
+      explode(sequence((col("len") / bucketW).cast("int") - 1,
+        (col("len") / bucketW).cast("int") + 1)).as("bkt"),
+      col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b"))
+    val shortPairs = shortLeft.join(shortRight, Seq("bkt"))
+      // each unordered pair matches exactly once: the left side emits
+      // only its own bucket, so (b,a) never re-matches under id_a < id_b
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b")
+
+    // ---- long class: at least one string > shortMax ⇒ bound ≥ 1, so
+    // every qualifying pair shares a gram; count-filter candidate join
+    val grams = base.filter(col("len") >= q)
+      .select(col("id"), col("len"),
+        explode(expr(s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))"))
+          .as("gram"))
+      .groupBy("id", "len", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val ga = grams.select(col("id").as("id_a"), col("len").as("len_a"),
+      col("gram"), col("cnt").as("cnt_a"))
+    val gb = grams.select(col("id").as("id_b"), col("len").as("len_b"),
+      col("gram"), col("cnt").as("cnt_b"))
+    val candidates = ga.join(gb, Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        greatest(col("len_a"), col("len_b")) > shortMax)
+      .groupBy("id_a", "id_b", "len_a", "len_b")
+      .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("common"))
+      .filter(col("common") >=
+        greatest(col("len_a"), col("len_b")) - lit(q - 1) - lit(maxDist * q))
+      .select("id_a", "id_b")
+    val sA = base.select(col("id").as("id_a"), col("s").as("s_a"))
+    val sB = base.select(col("id").as("id_b"), col("s").as("s_b"))
+    val longPairs = candidates.join(sA, "id_a").join(sB, "id_b")
+      .select("id_a", "id_b", "s_a", "s_b")
+
+    // ---- exact verify (the filters above are candidate pruners only);
+    // the threshold variant early-terminates the DP at maxDist+1
+    shortPairs.unionByName(longPairs)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

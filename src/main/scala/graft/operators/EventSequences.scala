@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence analytics over per-user event streams: first-order Markov
+  * transition estimation and conversion-touch attribution — the
+  * behavioral-analytics complement to the windowed/funnel operators
+  * ([[graft.streaming.EventWindows]], [[Funnel]]).
+  *
+  * Both are one-shuffle shapes: the only wide exchange is the
+  * hash-partition by user for the per-user ordered window; everything
+  * after operates on type-level frames bounded by the EVENT-TYPE
+  * vocabulary (≤ tens of rows), broadcast where joined. Determinism:
+  * event order is (ts, tieCol) — the tie column makes same-timestamp
+  * sequences reproducible across engines, and probabilities are single
+  * IEEE divisions of exact counts, 6-dp-rounded (the proven
+  * cross-engine contract).
+  */
+object EventSequences {
+
+  private def userWindow(userCol: String, tsCol: String, tieCol: String) =
+    Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+
+  /** First-order Markov transition matrix: for each observed
+    * (prev → next) event-type pair, the transition count and the
+    * maximum-likelihood probability P(next | prev) = cnt / Σ_next cnt.
+    * The totals frame is one row per event type — broadcast back onto
+    * the pair counts, so the corpus shuffles exactly once (the user
+    * window).
+    */
+  def transitions(
+      events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val pairs = events
+      .withColumn("prev", lag(col(typeCol), 1).over(userWindow(userCol, tsCol, tieCol)))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("prev").agg(sum("cnt").as("n"))
+    pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"), col("cnt"),
+        round(col("cnt") * lit(1.0) / col("n"), 6).as("prob"))
+  }
+
+  /** First/last-touch conversion attribution: each `convType` event is
+    * attributed to the first (resp. most recent) strictly-prior
+    * non-conversion event of the same user — "direct" when the
+    * conversion has no prior touch. Output: one row per channel with
+    * both conversion counts (0 when a channel only wins one model).
+    */
+  def touchAttribution(
+      events: DataFrame, convType: String,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    val w = userWindow(userCol, tsCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch: Column = when(col(typeCol) =!= convType, col(typeCol))
+    val conversions = events
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(coalesce(col("ft"), lit("direct")).as("ft"),
+        coalesce(col("lt"), lit("direct")).as("lt"))
+    val byFirst = conversions.groupBy(col("ft").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val byLast = conversions.groupBy(col("lt").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+  }
+}

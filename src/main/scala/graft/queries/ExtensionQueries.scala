@@ -260,10 +260,33 @@ object DedupQueries extends QueryGroup {
         |WHERE c * 1.0 / n.n >= 0.8
         |ORDER BY src, dst""".stripMargin))
 
+  /** Exact Levenshtein near-dup pairs over the distinct part-name
+    * dictionary ([[graft.operators.EditDistance]]): q-gram count-filter
+    * candidates + threshold-bounded verify, oracle = the naive
+    * length-banded all-pairs join (identical result set by the filter's
+    * soundness bound). Names span the operator's short AND long classes
+    * (len 7–12 vs shortMax 8 at k=2, q=3), so both candidate paths are
+    * under the hash.
+    */
+  val editDistance: QueryDef = QueryDef(
+    "dedup_edit_distance",
+    (s, dir) =>
+      graft.operators.EditDistance.pairs(
+        Tables(s, dir).part.groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id")),
+        "p_name", "id", maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH p AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+        |FROM p a JOIN p b ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
       embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic,
-      containment)
+      containment, editDistance)
 }
 
 object SimilarityQueries extends QueryGroup {
@@ -1618,10 +1641,44 @@ object TextQueries extends QueryGroup {
         |SELECT source, round((klp + klq) / (2 * ln(2)), 6) AS jsd
         |FROM kl JOIN klq USING (source) ORDER BY source""".stripMargin))
 
+  /** Jaro–Winkler similarity pairs over the distinct part-name
+    * dictionary via the native codegen'd expression
+    * ([[graft.expressions.JaroWinkler]]), proven against DuckDB's
+    * `jaro_winkler_similarity` under the hash. The self-join is a
+    * broadcast nested-loop over a VOCABULARY-bounded frame (distinct
+    * names, not rows) — the operator contract for unprunable
+    * similarity scoring: JW admits no sound candidate filter, so it
+    * applies to name dictionaries, with [[graft.operators
+    * .EditDistance]] as the corpus-scale prunable alternative. Both
+    * threshold and output round to 6 dp on both engines.
+    */
+  val jaroWinkler: QueryDef = QueryDef(
+    "text_jaro_winkler",
+    (s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      val p = Tables(s, dir).part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+      val a = p.select(col("id").as("id_a"), col("p_name").as("s_a"))
+      val b = p.select(col("id").as("id_b"), col("p_name").as("s_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("jw",
+          round(call_function("jaro_winkler", col("s_a"), col("s_b")), 6))
+        .filter(col("jw") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jw"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH p AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
-      bigramLogProb, pmi, winnow, jsDivergence)
+      bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -2269,10 +2326,65 @@ object EventQueries extends QueryGroup {
          |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     })
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences ([[graft.operators.EventSequences.transitions]]): one
+    * user-partitioned window shuffle; the totals join is a broadcast of
+    * ≤ #event-types rows. Probabilities are single divisions of exact
+    * counts (the `c * 1.0 / n` contract), 6-dp-rounded.
+    */
+  val markovTransitions: QueryDef = QueryDef(
+    "events_markov_transitions",
+    (s, dir) =>
+      graft.operators.EventSequences.transitions(Tables(s, dir).events)
+        .orderBy("prev", "next"),
+    Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, event_type AS next, count(*) AS cnt FROM seq
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, sum(cnt) AS n FROM t GROUP BY prev)
+        |SELECT t.prev, t.next, t.cnt, round(t.cnt * 1.0 / tot.n, 6) AS prob
+        |FROM t JOIN tot USING (prev) ORDER BY prev, next""".stripMargin))
+
+  /** First/last-touch conversion attribution
+    * ([[graft.operators.EventSequences.touchAttribution]]): purchases
+    * attributed to the first resp. latest strictly-prior non-purchase
+    * touch per user ("direct" when none). Same single user-window
+    * shuffle; channel frames are event-type-bounded.
+    */
+  val attribution: QueryDef = QueryDef(
+    "events_attribution",
+    (s, dir) =>
+      graft.operators.EventSequences.touchAttribution(
+        Tables(s, dir).events, convType = "purchase")
+        .orderBy("channel"),
+    Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events),
+        |conv AS (SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt
+        |         FROM seq WHERE event_type = 'purchase'),
+        |f AS (SELECT ft AS channel, count(*) AS first_touch FROM conv GROUP BY 1),
+        |l AS (SELECT lt AS channel, count(*) AS last_touch FROM conv GROUP BY 1)
+        |SELECT coalesce(f.channel, l.channel) AS channel,
+        |  coalesce(first_touch, 0) AS first_touch,
+        |  coalesce(last_touch, 0) AS last_touch
+        |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+        |ORDER BY channel""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
-      funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor)
+      funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
+      markovTransitions, attribution)
 }
 
 object IoQueries extends QueryGroup {

@@ -264,6 +264,37 @@ object ScaleCheck {
     time(s"quantize_int8_${dup}x",
       Similarity.quantizeInt8(embBig, "vec_id", "embedding"))
 
+    // edit distance: gram-join candidates must scale with shared-gram
+    // mass, not pair count; rehearse on 40-char prefixes of the DISTINCT
+    // texts (the gate shape) and on the blown corpus — dup-dense input
+    // makes every duplicate cluster a dist-0 clique, so this is the
+    // cluster-quadratic upper bound like the other dedup rows
+    val prefixes = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("id"))
+      .select(col("id"), substring(col("text"), 1, 40).as("s"))
+    val prefixesBig = blown.groupBy(col("text"), (col("doc_id") / 10000000L).cast("long").as("rep"))
+      .agg(min(col("doc_id")).as("id"))
+      .select(col("id"), substring(col("text"), 1, 40).as("s"))
+    time("edit_distance_1x",
+      graft.operators.EditDistance.pairs(prefixes, "s", "id", 3))
+    time(s"edit_distance_${dup}x",
+      graft.operators.EditDistance.pairs(prefixesBig, "s", "id", 3))
+
+    // event sequences: one user-window shuffle, type-bounded tails —
+    // cost must track the events scan linearly
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val eventsBig = (0 until dup).map(i =>
+      events.select(col("event_id"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"), col("props")))
+      .reduce(_ unionByName _)
+    time("markov_transitions_1x",
+      graft.operators.EventSequences.transitions(events))
+    time(s"markov_transitions_${dup}x",
+      graft.operators.EventSequences.transitions(eventsBig))
+    time(s"attribution_${dup}x",
+      graft.operators.EventSequences.touchAttribution(eventsBig, "purchase"))
+
     // multimodal codecs are scan-local kernels (no shuffle anywhere in
     // the plan) — cost must be linear in the corpus with zero skew
     // sensitivity; the encode side dominates (container writers)

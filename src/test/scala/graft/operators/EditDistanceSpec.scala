@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EditDistanceSpec extends SparkSpec {
+
+  /** Plain DP reference — the definition the operator must reproduce. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0)
+      d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
+  private def naivePairs(ss: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- ss; (ib, sb) <- ss if ia < ib
+      d = lev(sa, sb) if d <= k
+    } yield (ia, ib, d)).toSet
+
+  private def opPairs(ss: Seq[(Long, String)], k: Int, q: Int): Set[(Long, Long, Int)] = {
+    val s = spark
+    import s.implicits._
+    EditDistance.pairs(ss.toDF("id", "s"), "s", "id", k, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  // strings spanning the short class, the long class, and the boundary,
+  // with planted near-dup clusters and decoys
+  private val corpus: Seq[(Long, String)] = {
+    val bases = Seq("small ring", "the quick brown fox jumps over the dog",
+      "abcdefghijklmnop", "xy", "a", "", "edit distance near duplicates",
+      "zzzz")
+    val mutations = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq(
+        b,                                          // exact dup source
+        if (b.nonEmpty) b.drop(1) else b + "q",     // 1 deletion / insertion
+        b + "x",                                    // 1 insertion
+        if (b.length > 2) b.updated(1, 'Q') else b, // 1 substitution
+        b.reverse,                                  // far (usually)
+        b + " totally different tail here")         // far
+    }
+    mutations.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  test("pairs equals brute force across k and q (both candidate classes)") {
+    for (k <- Seq(1, 2, 3); q <- Seq(2, 3)) {
+      assert(opPairs(corpus, k, q) == naivePairs(corpus, k),
+        s"mismatch at k=$k q=$q")
+    }
+    assert(naivePairs(corpus, 2).nonEmpty) // the test isn't vacuous
+  }
+
+  test("short-class strings (below the gram bound) still pair exactly") {
+    val shorts = Seq(0L -> "ab", 1L -> "ac", 2L -> "b", 3L -> "abc",
+      4L -> "", 5L -> "a", 6L -> "xyz", 7L -> "xy")
+    for (k <- Seq(1, 2)) {
+      assert(opPairs(shorts, k, 3) == naivePairs(shorts, k), s"k=$k")
+    }
+  }
+
+  test("null strings are dropped, not paired") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "alpha"), (1L, null), (2L, "alphb")).toDF("id", "s")
+    val got = EditDistance.pairs(df, "s", "id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((0L, 2L, 1)))
+  }
+
+  test("rejects invalid parameters") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException](EditDistance.pairs(df, "s", "id", -1))
+    intercept[IllegalArgumentException](EditDistance.pairs(df, "s", "id", 1, q = 1))
+  }
+}

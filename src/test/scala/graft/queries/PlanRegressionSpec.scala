@@ -103,6 +103,33 @@ class PlanRegressionSpec extends SparkSpec {
       s"absent-term fill join came back: $joins")
   }
 
+  test("dedup_edit_distance: candidate join is hash-based, never cartesian") {
+    // the q-gram count filter exists to REPLACE the quadratic all-pairs
+    // join; a refactor that degrades the gram equi-join into a nested
+    // loop (e.g. by moving the length band into the join condition
+    // wrong) would scan-the-corpus² at scale
+    val ks = kinds("dedup_edit_distance")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+    assert(!ks.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"nested-loop join crept in: $ks")
+  }
+
+  test("events_markov_transitions: one user-window shuffle, totals broadcast") {
+    val ks = kinds("events_markov_transitions")
+    assert(ks.contains("WindowExec"), s"no window: $ks")
+    assert(ks.contains("BroadcastHashJoinExec"),
+      s"type-bounded totals should broadcast: $ks")
+  }
+
+  test("text_jaro_winkler: the dictionary self-join broadcasts (documented NL)") {
+    // JW admits no sound candidate filter — the operator contract is a
+    // VOCABULARY-bounded dictionary, so the nested loop must at least
+    // broadcast its small side, never shuffle-replicate both
+    val ks = kinds("text_jaro_winkler")
+    assert(ks.exists(_.contains("BroadcastNestedLoopJoin")), s"plan: $ks")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+  }
+
   test("agg gates keep partial aggregation (map-side combine)") {
     // two HashAggregates (partial + final) around the exchange
     Seq("a4_per_publisher_counts", "agg_histogram").foreach { gate =>

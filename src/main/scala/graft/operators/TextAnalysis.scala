@@ -192,6 +192,44 @@ object TextAnalysis {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Zipf-law fit per corpus group: the least-squares slope (and
+    * intercept) of ln(frequency) against ln(rank) over each group's
+    * `topK` most frequent terms. Natural text tracks slope ≈ −1
+    * (Zipf 1949, public literature); a corpus slice that deviates hard
+    * — much flatter (template/boilerplate floods) or much steeper
+    * (tiny effective vocabulary, e.g. log spam) — is the classic
+    * cheap distribution-health diagnostic next to
+    * [[jsDivergenceByGroup]].
+    *
+    * Plan: token explode → per-(group, term) count (map-side
+    * combined), rank via one window over the VOCABULARY-bounded
+    * frequency frame, then a per-group `regr_slope`/`regr_intercept`
+    * over ≤ topK rows. Nothing after the first aggregate scales with
+    * corpus size. Output rounds to 4 dp — the regression sums are
+    * floating-point but span ≤ topK terms, so cross-engine noise sits
+    * orders below the rounding step (the [[bigramLogProbScore]]
+    * discipline).
+    */
+  def zipfSlope(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, groupCol: String,
+      topK: Int = 500): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2, s"topK must be >= 2 to fit a line, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = tok.groupBy("grp", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("slope"),
+        round(regr_intercept(log(col("cnt")), log(col("rank"))), 4).as("intercept"))
+  }
+
   /** Unigram language-model quality score (the CCNet-style proxy for
     * "does this look like the corpus"): per doc, the mean log
     * probability of its tokens under the corpus's own unigram

@@ -21,18 +21,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark's vectorized
-    * reader; with spark.sql.legacy.parquet.nanosAsLong it arrives as a long
-    * of epoch-nanos, converted here to TimestampType via integer division
-    * (`div`, not `/` — double division would lose precision past 2^53).
+  /** events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+    * build's handling of nanos timestamps it arrives as one of three
+    * types, all normalized here to session-TZ TimestampType (sessions
+    * run UTC, and the data is UTC wall time):
+    *  - long epoch-nanos (spark.sql.legacy.parquet.nanosAsLong honored):
+    *    integer division to micros (`div`, not `/` — double division
+    *    would lose precision past 2^53);
+    *  - TIMESTAMP_NTZ (builds that read nanos natively, truncated to
+    *    micros): cast reinterprets the UTC wall time as an instant;
+    *  - TIMESTAMP: already what every consumer expects.
     */
   def events: DataFrame = {
     val base = t("events")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
-    if (base.schema("ts").dataType == LongType)
-      base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else base
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    base.schema("ts").dataType match {
+      case LongType =>
+        base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        base.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => base
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -30,8 +30,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("bucketed result equals the naive inequality join") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.Tables(spark, "/root/testdata/sf0.001").events
     val errors = e.filter(col("event_type") === "error")
     val clicks = e.filter(col("event_type") === "click")
     // 1h window: sf0.001 events are ~72min apart, 60s would match nothing

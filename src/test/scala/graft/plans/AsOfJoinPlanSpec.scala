@@ -11,11 +11,10 @@ import org.apache.spark.sql.functions._
 
 class AsOfJoinPlanSpec extends SparkSpec {
 
-  private def events = {
-    val nanos = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    nanos.withColumn("ts",
-      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
-  }
+  // Tables.events normalizes ts across Spark builds (long nanos vs
+  // native TIMESTAMP_NTZ reads of parquet TIMESTAMP(NANOS))
+  private def events =
+    graft.Tables(spark, "/root/testdata/sf0.001").events
 
   /** Every physical node, recursing through AQE's stage wrappers
     * (QueryStageExec keeps its stage plan as a field, not a child, so

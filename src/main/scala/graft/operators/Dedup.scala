@@ -572,7 +572,7 @@ object Dedup {
     * so every task emits only K of the K² pairs. Without it the single
     * task holding the cluster row would serialize the whole emission.
     */
-  private def expandClusterPairs(
+  private[operators] def expandClusterPairs(
       clusters: DataFrame, repPairs: DataFrame,
       scoreCol: String, withinScore: Column): DataFrame = {
     val cross = repPairs

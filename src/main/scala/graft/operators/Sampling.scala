@@ -261,4 +261,34 @@ object Sampling {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Deterministic train/val/test assignment by content-free id hash —
+    * the split every training pipeline needs to be STABLE across reruns,
+    * engines, and corpus growth (a doc's split never changes when other
+    * docs arrive, unlike `randomSplit`). The first two hex chars of
+    * `md5(cast(id AS string))` index one of 256 buckets; `splits` gives
+    * each label an integer bucket WIDTH out of 256 (e.g. train→204,
+    * val→26, test→26 ≈ 80/10/10). Integer widths make the contract
+    * exactly portable: any SQL engine replays it as a CASE over
+    * `substr(md5(id::VARCHAR), 1, 2)`.
+    *
+    * Scan-local projection — zero shuffles, trivially codegen'd.
+    */
+  def deterministicSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 256,
+      s"bucket widths must sum to 256, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "every split needs at least 1 bucket")
+    val hex = substring(md5(col(idCol).cast("string")), 1, 2)
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val labelled = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (label, upper)) =>
+          val cond = hex < lit(f"${upper}%02x")
+          Some(acc.fold(when(cond, label))(_.when(cond, label)))
+      }
+    val split = labelled.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", split)
+  }
 }

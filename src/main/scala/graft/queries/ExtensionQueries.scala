@@ -283,10 +283,133 @@ object DedupQueries extends QueryGroup {
         |FROM p a JOIN p b ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Entity-resolution scored pairs ([[graft.operators.EntityResolution
+    * .scoredPairs]]): multi-pass blocking (2-char prefix OR suffix key)
+    * → codegen'd Jaro–Winkler on the candidates → 6-dp-rounded
+    * threshold. The oracle states the IDENTICAL blocking contract —
+    * pairs disagreeing on both keys are unscored by design on both
+    * engines, so the hash pins the blocking semantics, not just the
+    * scorer.
+    */
+  val erPairs: QueryDef = QueryDef(
+    "er_scored_pairs",
+    (s, dir) =>
+      graft.operators.EntityResolution.scoredPairs(
+          Tables(s, dir).part.groupBy(col("p_name"))
+            .agg(min(col("p_partkey")).as("id")),
+          "p_name", "id", threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH p AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
+        |k AS (SELECT id, s, unnest([substr(lower(s), 1, 2), 'sfx:' || right(lower(s), 2)]) AS bk FROM p),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |         FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id)
+        |SELECT id_a, id_b, round(jaro_winkler_similarity(s_a, s_b), 6) AS jw
+        |FROM cand WHERE round(jaro_winkler_similarity(s_a, s_b), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Full entity assignment ([[graft.operators.EntityResolution
+    * .clusters]]): every dictionary row labelled with its transitive
+    * cluster (min reachable id through the ≥0.9 match graph; singletons
+    * keep their own id). Oracle = the same blocking+scoring feeding a
+    * RECURSIVE CTE min-reachable-id, LEFT-joined back onto the full
+    * dictionary — the total-assignment contract, not just the matched
+    * subset.
+    */
+  val erClusters: QueryDef = QueryDef(
+    "er_clusters",
+    (s, dir) =>
+      graft.operators.EntityResolution.clusters(
+          Tables(s, dir).part.groupBy(col("p_name"))
+            .agg(min(col("p_partkey")).as("id")),
+          "p_name", "id", threshold = 0.9)
+        .orderBy("id"),
+    Some(
+      """WITH RECURSIVE
+        |p AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
+        |k AS (SELECT id, s, unnest([substr(lower(s), 1, 2), 'sfx:' || right(lower(s), 2)]) AS bk FROM p),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |         FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id),
+        |m AS (SELECT id_a, id_b FROM cand
+        |      WHERE round(jaro_winkler_similarity(s_a, s_b), 6) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM m UNION SELECT id_b, id_a FROM m),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT p.id, coalesce(lab.component, p.id) AS cluster
+        |FROM p LEFT JOIN lab ON lab.node = p.id ORDER BY id""".stripMargin))
+
+  /** Portable MinHash+LSH under the HARD oracle
+    * ([[graft.operators.PortableSketches.minhashPairs]]): md5-derived
+    * token hashes and hash family, banded candidates, exact-jaccard
+    * verify — the oracle replays the ENTIRE pipeline (signatures,
+    * band keys, candidate join, verify), so the S-curve approximation
+    * itself is pinned, not just the final pair set. The xxhash-based
+    * [[minhashLsh]] stays rows-only (Spark-internal hashes have no SQL
+    * replay); this gate proves the LSH machinery.
+    */
+  val minhashExact: QueryDef = QueryDef(
+    "dedup_minhash_exact",
+    (s, dir) =>
+      graft.operators.PortableSketches.minhashPairs(
+          Tables(s, dir).documents, "text", "doc_id", 0.8)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, unnest(list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END)) AS w FROM w),
+        |hx AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT % 2147483647 AS x FROM tk),
+        |fam AS (SELECT i, ('0x'||substr(md5('a'||i::VARCHAR),1,7))::BIGINT % 2147483646 + 1 AS a,
+        |               ('0x'||substr(md5('b'||i::VARCHAR),1,7))::BIGINT % 2147483647 AS b
+        |        FROM range(32) f(i)),
+        |sg AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS mh
+        |       FROM hx CROSS JOIN fam GROUP BY doc_id, i),
+        |bd AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY i) AS key
+        |       FROM sg GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |ints AS (SELECT cd.id_a, cd.id_b, count(*) AS c
+        |         FROM cand cd JOIN tk a ON a.doc_id = cd.id_a JOIN tk b ON b.doc_id = cd.id_b AND b.w = a.w
+        |         GROUP BY cd.id_a, cd.id_b)
+        |SELECT i.id_a, i.id_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+        |FROM ints i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8 ORDER BY id_a, id_b""".stripMargin))
+
+  /** Portable 60-bit SimHash under the HARD oracle
+    * ([[graft.operators.PortableSketches.simhashPairs]]): md5-bit
+    * signatures, pigeonhole-complete banding (4×15 bits ⇒ banded join
+    * ≡ all-pairs at hamming ≤ 3), so unlike the xxhash-based rows-only
+    * [[simhash]] gate the full pair set is value-checked — DuckDB
+    * recomputes every signature bit from md5 and every distance from
+    * bit_count(xor).
+    */
+  val simhashExact: QueryDef = QueryDef(
+    "dedup_simhash_exact",
+    (s, dir) =>
+      graft.operators.PortableSketches.simhashPairs(
+          Tables(s, dir).documents, "text", "doc_id", 3)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM tk),
+        |b AS (SELECT doc_id, r, CASE WHEN ((h >> r) & 1) = 1 THEN 1 ELSE -1 END AS cc
+        |      FROM h CROSS JOIN range(60) rr(r)),
+        |s AS (SELECT doc_id, r, CASE WHEN sum(cc) > 0 THEN (1::BIGINT << r) ELSE 0::BIGINT END AS bitv
+        |      FROM b GROUP BY doc_id, r),
+        |sig AS (SELECT doc_id, sum(bitv)::BIGINT AS sig FROM s GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
       embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic,
-      containment, editDistance)
+      containment, editDistance, erPairs, erClusters, minhashExact,
+      simhashExact)
 }
 
 object SimilarityQueries extends QueryGroup {
@@ -1183,10 +1306,57 @@ object PipelineQueries extends QueryGroup {
         |UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM kept
         |ORDER BY doc_id""".stripMargin))
 
+  /** PageRank centrality over the near-dup similarity graph
+    * ([[graft.operators.PageRank]]) — the canonical-survivor /
+    * source-authority signal, on the SAME cached t=0.95 pair list the
+    * components gates cluster. All-integer fixed-point arithmetic
+    * (rank_fp = floor(rank·1e12)) makes three power iterations exactly
+    * replayable as three unrolled SQL stages — integer sums are
+    * order-independent, so this is a hash-exact gate on an ITERATIVE
+    * graph algorithm. Total assignment: isolated docs hold the
+    * teleport-only rank.
+    */
+  val pagerankGate: QueryDef = QueryDef(
+    "graph_pagerank",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.PageRank.pagerank(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          edges, "src", "dst", iterations = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |nn AS (SELECT DISTINCT doc_id FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM nn),
+        |r0 AS (SELECT doc_id, (1000000000000 // n)::BIGINT AS r FROM nn CROSS JOIN cnt),
+        |it1 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum(r0.r // deg.d)::BIGINT AS m FROM e JOIN r0 ON r0.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |it2 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum(it1.r // deg.d)::BIGINT AS m FROM e JOIN it1 ON it1.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |it3 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum(it2.r // deg.d)::BIGINT AS m FROM e JOIN it2 ON it2.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
+        |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
-      decontaminateWinnow, dedupCascade)
+      decontaminateWinnow, dedupCascade, pagerankGate)
 }
 
 object TextQueries extends QueryGroup {
@@ -1675,10 +1845,33 @@ object TextQueries extends QueryGroup {
         |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Zipf-law slope per language ([[graft.operators.TextAnalysis
+    * .zipfSlope]]): least-squares ln(freq)~ln(rank) over each group's
+    * top-500 terms. Both engines fit the same ≤500-point regression
+    * (Spark `regr_slope` vs DuckDB's), 4-dp-rounded — the noise floor
+    * of a bounded double regression sits orders below the step.
+    */
+  val zipf: QueryDef = QueryDef(
+    "text_zipf_slope",
+    (s, dir) =>
+      TextAnalysis.zipfSlope(Tables(s, dir).documents, "text", "lang",
+          topK = 500)
+        .orderBy("grp"),
+    Some(
+      """WITH t AS (SELECT lang AS grp,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT grp, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT grp, term, cnt,
+        |  row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, term) AS rank FROM tf)
+        |SELECT grp, count(*)::BIGINT AS n_terms,
+        |  round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
+        |  round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept
+        |FROM r WHERE rank <= 500 GROUP BY grp ORDER BY grp""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
-      bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler)
+      bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -1845,9 +2038,30 @@ object SamplingQueries extends QueryGroup {
         |SELECT doc_id, lang, n_chars, priority FROM r
         |WHERE rn <= 15 ORDER BY lang, doc_id""".stripMargin))
 
+  /** Deterministic 80/10/10 train/val/test split
+    * ([[graft.operators.Sampling.deterministicSplit]]): md5-bucketed by
+    * id, so assignments are stable across reruns, engines, and corpus
+    * growth — the oracle replays the identical CASE over
+    * `substr(md5(id), 1, 2)`. Scan-local, zero shuffles.
+    */
+  val splitHash: QueryDef = QueryDef(
+    "pipeline_split_hash",
+    (s, dir) =>
+      graft.operators.Sampling.deterministicSplit(
+          Tables(s, dir).documents,
+          "doc_id", Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        .select("doc_id", "split")
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR),1,2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR),1,2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
-      weightedSample, weightedPerGroup)
+      weightedSample, weightedPerGroup, splitHash)
 }
 
 object EventQueries extends QueryGroup {

@@ -282,8 +282,7 @@ object ScaleCheck {
 
     // event sequences: one user-window shuffle, type-bounded tails —
     // cost must track the events scan linearly
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val events = graft.Tables(spark, dir).events
     val eventsBig = (0 until dup).map(i =>
       events.select(col("event_id"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
         col("ts"), col("event_type"), col("value"), col("props")))
@@ -313,6 +312,52 @@ object ScaleCheck {
         graft.operators.Multimodal.sampleFrames(
           graft.operators.Multimodal.syntheticVideoTable(blown), 2).toDF())
     }
+
+    // portable (md5-contract) sketches: same banding scale shapes as the
+    // xxhash paths — simhash clusters identical sigs first (band join at
+    // distinct-signature scale), minhash candidate volume tracks output
+    time("portable_simhash_1x",
+      graft.operators.PortableSketches.simhashPairs(docs, "text", "doc_id", 3))
+    time(s"portable_simhash_${dup}x",
+      graft.operators.PortableSketches.simhashPairs(blown, "text", "doc_id", 3))
+    time("portable_minhash_1x",
+      graft.operators.PortableSketches.minhashPairs(docs, "text", "doc_id", 0.95))
+    time(s"portable_minhash_${dup}x",
+      graft.operators.PortableSketches.minhashPairs(blown, "text", "doc_id", 0.95))
+
+    // pagerank: per-iteration cost is two keyed shuffles bounded by |E|
+    // (the near-dup pair list), never by corpus size
+    {
+      val pairs1 = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      def sym(p: DataFrame) =
+        p.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      time("pagerank_1x",
+        graft.operators.PageRank.pagerank(docs.select("doc_id"), "doc_id",
+          sym(pairs1), "src", "dst", 3))
+      time(s"pagerank_${dup}x",
+        graft.operators.PageRank.pagerank(blown.select("doc_id"), "doc_id",
+          sym(pairsD), "src", "dst", 3))
+    }
+
+    // entity resolution: block keys bound the candidate join exactly like
+    // the LSH band joins — scored pairs grow with true match volume
+    {
+      val dict = spark.read.parquet(s"$dir/part.parquet")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+      val dictBig = (0 until dup).map(i =>
+        dict.select(concat(col("p_name"), lit(" v" + i)).as("p_name"),
+          (col("id") + lit(i * 10000000L)).as("id")))
+        .reduce(_ unionByName _)
+      time("er_pairs_1x",
+        graft.operators.EntityResolution.scoredPairs(dict, "p_name", "id", 0.9))
+      time(s"er_pairs_${dup}x",
+        graft.operators.EntityResolution.scoredPairs(dictBig, "p_name", "id", 0.9))
+    }
+
     spark.stop()
   }
 }

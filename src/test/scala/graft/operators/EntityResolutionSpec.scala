@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: blocking contract, score-once semantics, and the
+  * total cluster assignment (see [[EntityResolution]] scaladoc for the
+  * stated trade-off the blocking contract encodes).
+  */
+class EntityResolutionSpec extends SparkSpec {
+
+  private def dict(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "name")
+  }
+
+  test("pairs within a prefix or suffix block are scored; others are not") {
+    val df = dict(
+      1L -> "goldenrod lace",   // prefix "go", suffix "ce"
+      2L -> "goldenrod lacy",   // prefix "go" — same prefix block as 1
+      3L -> "xylophone lace",   // suffix "ce" — same suffix block as 1
+      4L -> "zzgoldenrod lazz") // similar-ish to nothing by block: no shared key
+    val got = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "same-prefix pair must be scored")
+    assert(got.contains((1L, 3L)), "same-suffix pair must be scored")
+    // id 4 shares no 2-char prefix/suffix block with anyone: unscored by
+    // design even though its string is JW-similar to id 1
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      s"blocked-out pair leaked into scoring: $got")
+  }
+
+  test("a pair agreeing on BOTH keys is emitted exactly once") {
+    val df = dict(1L -> "alpha beta", 2L -> "alpha betb", 3L -> "unrelated")
+    val rows = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.5)
+      .collect()
+    assert(rows.count(r => r.getLong(0) == 1L && r.getLong(1) == 2L) == 1,
+      s"double-keyed pair scored more than once: ${rows.mkString(",")}")
+  }
+
+  test("scores match the codegen'd jaro_winkler expression, 6-dp rounded") {
+    val df = dict(1L -> "martha", 2L -> "marhta", 3L -> "dwayne", 4L -> "duane")
+    graft.expressions.GraftFunctions.register(spark)
+    val expected = spark.sql(
+      "SELECT round(jaro_winkler('martha', 'marhta'), 6)").head().getDouble(0)
+    val got = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.9)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .head().getDouble(2)
+    assert(got == expected, s"$got != $expected")
+  }
+
+  test("clusters are transitive and the assignment is total") {
+    // chain: 1~2 (prefix), 2~3 (prefix) — 3 and 1 land in one cluster
+    // even if their direct score were below threshold; 9 is a singleton
+    val df = dict(
+      1L -> "cornflower blue", 2L -> "cornflower blu",
+      3L -> "cornflower bl", 9L -> "entirely different")
+    val got = EntityResolution.clusters(df, "name", "id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4, "assignment must cover every input row")
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"transitive chain not merged: $got")
+    assert(got(9L) == 9L, "singleton must keep its own id")
+  }
+
+  test("the candidate join is a hash join on the block key, never a nested loop") {
+    val df = dict((1L to 40L).map(i => i -> s"name number $i"): _*)
+    val plan = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocking must keep the join a hash equi-join:\n$plan")
+  }
+}

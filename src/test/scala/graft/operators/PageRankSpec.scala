@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: hand-computed integer ranks (the arithmetic is
+  * exact, so the assertions are equalities, not tolerances), total
+  * assignment, and the plan shape.
+  */
+class PageRankSpec extends SparkSpec {
+
+  // path graph 1–2–3 (symmetrized) + isolated node 9
+  private def nodes = {
+    val s = spark
+    import s.implicits._
+    Seq(1L, 2L, 3L, 9L).toDF("id")
+  }
+  private def edges = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+  }
+
+  test("two iterations produce the hand-computed exact integer ranks") {
+    // N=4: r0 = 250000000000 each, base = 15e12/400 = 37500000000
+    // iter1: m = (125e9, 500e9, 125e9) -> r = (143.75e9, 462.5e9, 143.75e9)
+    // iter2: m = (231.25e9, 287.5e9, 231.25e9)
+    //        -> r = (234.0625e9, 281.875e9, 234.0625e9); isolated keeps base
+    val got = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 234062500000L, 2L -> 281875000000L,
+      3L -> 234062500000L, 9L -> 37500000000L), s"got $got")
+  }
+
+  test("assignment is total and the hub outranks the leaves") {
+    val got = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4, "every node must be ranked")
+    assert(got(2L) > got(1L) && got(2L) > got(3L),
+      s"degree-2 hub must outrank the path ends: $got")
+    assert(got(9L) < got(1L), s"isolated node must rank last: $got")
+    assert(got(1L) == got(3L), s"symmetric nodes must tie exactly: $got")
+  }
+
+  test("rank mass never exceeds the teleport+damping budget") {
+    val got = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 3)
+      .agg(sum("rank_fp")).head().getLong(0)
+    // dangling (isolated) nodes leak their damped mass by design:
+    // total <= SCALE, and >= the pure-teleport floor 0.15*SCALE
+    assert(got <= PageRank.Scale && got >= 15L * PageRank.Scale / 100,
+      s"mass out of bounds: $got")
+  }
+
+  test("iteration joins stay hash/sort equi-joins") {
+    val plan = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+  }
+}

@@ -231,4 +231,40 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedReservoirTake(df, "doc_id", "w", 0)
     }
   }
+
+  test("deterministicSplit is total, stable, and near the stated fractions") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 204, "val" -> 26, "test" -> 26)
+    val got = Sampling.deterministicSplit(df, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000, "every row must be assigned")
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    // 204/256 = 79.7%, 26/256 = 10.2% — allow binomial noise
+    assert(math.abs(counts("train") - 1594) < 80, s"$counts")
+    assert(math.abs(counts("val") - 203) < 60, s"$counts")
+    assert(math.abs(counts("test") - 203) < 60, s"$counts")
+    // stability: a second run and a disjoint corpus agree on shared ids
+    val again = Sampling.deterministicSplit(df.filter(col("doc_id") <= 100), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    again.foreach { case (id, s) => assert(got(id) == s, s"id $id flipped") }
+  }
+
+  test("deterministicSplit matches the md5-threshold contract per row") {
+    import spark.implicits._
+    val df = (1L to 50L).toDF("doc_id")
+    val got = Sampling.deterministicSplit(df, "doc_id",
+        Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to 50L).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      val expect = if (hex < "cc") "train" else if (hex < "e6") "val" else "test"
+      assert(got(id) == expect, s"id $id: ${got(id)} != $expect (hex $hex)")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(df, "doc_id", Seq("a" -> 100, "b" -> 100))
+    }
+  }
 }

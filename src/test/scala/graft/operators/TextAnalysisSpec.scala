@@ -176,6 +176,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((2L, r4(d2))))
   }
 
+  test("Kneser-Ney matches a hand computation, discount and continuation") {
+    val s2 = spark
+    import s2.implicits._
+    // corpus: "a b a b" and "a c"
+    // bigram types: (a,b)=2, (b,a)=1, (a,c)=1; B=3
+    // left stats: a -> cl=3, N1+(a,.)=2; b -> cl=1, N1+(b,.)=1
+    // right stats: N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pBgivenA = (math.max(2 - 0.75, 0) + 0.75 * (2 * 1) / 3.0) / 3.0 // 1.75/3
+    val pAgivenB = (math.max(1 - 0.75, 0) + 0.75 * (1 * 1) / 3.0) / 1.0 // 0.5
+    val pCgivenA = (math.max(1 - 0.75, 0) + 0.75 * (2 * 1) / 3.0) / 3.0 // 0.75/3
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (2 * math.log(pBgivenA) + math.log(pAgivenB)) / 3
+    assert(got(1L) == ((3L, r4(d1))))
+    assert(got(2L) == ((1L, r4(math.log(pCgivenA)))))
+  }
+
+  test("Kneser-Ney continuation: versatile words score higher after rare contexts") {
+    val s2 = spark
+    import s2.implicits._
+    // "the" follows many distinct contexts; "francisco" follows only
+    // "san" — a bigram (x, the) unseen-ish gets more smoothing mass
+    // than (x, francisco) even at equal raw counts. Build: several
+    // contexts each followed by "the"; "san francisco" repeated.
+    val corpus = Seq(
+      "over the", "under the", "near the", "behind the",
+      "san francisco", "san francisco", "san francisco", "san francisco")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // probe doc: "x the" vs "y francisco" — both bigrams have raw count
+    // 1 in the probe-extended corpus
+    val df = (corpus ++ Seq((100L, "probe the"), (101L, "probe francisco")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) > got(101L),
+      s"high-continuation word must get more smoothing mass: $got")
+  }
+
   test("bigram log-prob is order-aware where the unigram score is not") {
     val s2 = spark
     import s2.implicits._

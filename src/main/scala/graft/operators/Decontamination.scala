@@ -156,4 +156,43 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[fuzzyContaminated]] under the PORTABLE md5 contract
+    * ([[PortableSketches]]): same candidates-then-exact-verify
+    * semantics, but every signature row, band key, and verify count is
+    * restatable in SQL — so the whole cross-corpus decontamination
+    * pipeline (including which near-dup pairs the banding can miss)
+    * sits under a hard oracle. Same broadcast shape: the benchmark's
+    * banded keys and hash sets broadcast, the corpus never shuffles.
+    */
+  def fuzzyContaminatedPortable(
+      docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 32,
+      rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val bands = numHashes / rowsPerBand
+    val spark = docs.sparkSession
+    def banded(df: DataFrame, side: String): DataFrame =
+      PortableSketches.minhashSignatures60(
+          df, textCol, idCol, numHashes, shingleSize)
+        .select(col(idCol).as(s"${side}_id"), col("hs").as(s"${side}_hs"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws(":", transform(
+                slice(col("signature"), b * rowsPerBand + 1, rowsPerBand),
+                _.cast("string"))).as("key"))): _*)).as("bb"))
+        .select(col(s"${side}_id"), col(s"${side}_hs"),
+          col("bb.band").as("band"), col("bb.key").as("key"))
+    val bench = broadcast(banded(benchmark, "bench"))
+    banded(docs, "doc")
+      .join(bench, Seq("band", "key"))
+      .select(col("doc_id"), col("bench_id"),
+        Dedup.jaccardSorted(spark, col("doc_hs"), col("bench_hs"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
+  }
 }

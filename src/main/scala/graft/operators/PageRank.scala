@@ -51,8 +51,51 @@ object PageRank {
   def pagerank(
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
+    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val nCount = n0.count()
+    val n = n0.select(col(idCol).as("id"),
+      lit(Scale / nCount).as("r0"),
+      lit((15L * Scale) / (100L * nCount)).as("base"))
+    power(n, edges, srcCol, dstCol, iterations)
+      .select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
+  /** PERSONALIZED PageRank: teleport lands only on `seeds` (a trusted
+    * domain list, a curated source set), so rank measures proximity to
+    * the seed set through the graph — the trust-propagation weighting
+    * (TrustRank, Gyöngyi et al. 2004). Same fixed-point contract:
+    * rank⁰ = SCALE div |S| on seeds else 0, and the teleport term
+    * (15·SCALE) div (100·|S|) is added on seed nodes only. Non-seed
+    * components hold rank 0 — reachability from the seeds IS the
+    * signal.
+    */
+  def pagerankPersonalized(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, seeds: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val seedIds = seeds.select(col(idCol)).distinct()
+    val flagged = n0.join(
+        seedIds.withColumn("_seed", lit(true)), Seq(idCol), "left")
+      .localCheckpoint(true)
+    val sCount = flagged.filter(col("_seed")).count()
+    require(sCount > 0, "at least one seed must be a graph node")
+    val n = flagged.select(col(idCol).as("id"),
+      when(col("_seed"), lit(Scale / sCount)).otherwise(lit(0L)).as("r0"),
+      when(col("_seed"), lit((15L * Scale) / (100L * sCount)))
+        .otherwise(lit(0L)).as("base"))
+    power(n, edges, srcCol, dstCol, iterations)
+      .select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
+  /** The shared damped power loop over a node frame carrying each
+    * node's initial rank (`r0`) and per-round additive teleport term
+    * (`base`). Returns (id, r) after `iterations` rounds.
+    */
+  private def power(
+      n: DataFrame, edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
     require(iterations >= 1, "at least one power iteration")
-    val n = nodes.select(col(idCol)).distinct().localCheckpoint(true)
     // one shuffle + one materialization of the edge list, partitioned
     // by src — every round's build-side join and the degree aggregate
     // reuse this layout
@@ -61,9 +104,7 @@ object PageRank {
       .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val nCount = n.count()
-    val base = (15L * Scale) / (100L * nCount)
-    var ranks = n.select(col(idCol).as("id"), lit(Scale / nCount).as("r"))
+    var ranks = n.select(col("id"), col("r0").as("r"))
     var i = 0
     while (i < iterations) {
       // per-source emission rate on the NODE-scale frame
@@ -73,13 +114,13 @@ object PageRank {
       val inMass = e.join(rates.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("rate")).as("m"))
-      ranks = n.select(col(idCol).as("id"))
+      ranks = n.select(col("id"), col("base"))
         .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("85 * coalesce(m, 0L) div 100")).as("r"))
+          (col("base") + expr("85 * coalesce(m, 0L) div 100")).as("r"))
         .localCheckpoint(true)
       i += 1
     }
-    ranks.select(col("id").as(idCol), col("r").as("rank_fp"))
+    ranks
   }
 }

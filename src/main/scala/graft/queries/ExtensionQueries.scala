@@ -1188,6 +1188,43 @@ object PipelineQueries extends QueryGroup {
     },
     None)
 
+  /** Fuzzy decontamination under the HARD oracle
+    * ([[graft.operators.Decontamination.fuzzyContaminatedPortable]]):
+    * the md5-contract signatures/banding/verify replayed by DuckDB —
+    * the xxhash [[decontaminateFuzzy]] stays rows-only; this twin
+    * value-checks the cross-corpus pipeline end to end.
+    */
+  val decontaminateFuzzyExact: QueryDef = QueryDef(
+    "pipeline_decontaminate_fuzzy_exact",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Decontamination.fuzzyContaminatedPortable(
+          docs, docs.filter(col("doc_id") % 23 === 0),
+          "text", "doc_id", threshold = 0.8)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, unnest(list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |   ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END)) AS w FROM w),
+        |hx AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT % 2147483647 AS x FROM tk),
+        |fam AS (SELECT i, ('0x'||substr(md5('a'||i::VARCHAR),1,7))::BIGINT % 2147483646 + 1 AS a,
+        |               ('0x'||substr(md5('b'||i::VARCHAR),1,7))::BIGINT % 2147483647 AS b
+        |        FROM range(32) f(i)),
+        |sg AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS mh FROM hx CROSS JOIN fam GROUP BY doc_id, i),
+        |bd AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY i) AS key
+        |       FROM sg GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT d.doc_id AS did, b.doc_id AS bench_id
+        |         FROM bd d JOIN bd b ON d.band = b.band AND d.key = b.key
+        |         WHERE b.doc_id % 23 = 0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |ints AS (SELECT cd.did, cd.bench_id, count(*) AS c
+        |         FROM cand cd JOIN tk a ON a.doc_id = cd.did JOIN tk b ON b.doc_id = cd.bench_id AND b.w = a.w
+        |         GROUP BY 1, 2)
+        |SELECT i.did AS doc_id, i.bench_id, round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+        |FROM ints i JOIN sz sa ON sa.doc_id = i.did JOIN sz sb ON sb.doc_id = i.bench_id
+        |WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8 ORDER BY doc_id, bench_id""".stripMargin))
+
   /** Winnow-fingerprint decontamination: docs sharing ≥ 3 selected
     * fingerprints with the benchmark stand-in. Exact-substring-grade
     * signal at winnow density; FULL oracle (the engine-portable hash
@@ -1382,10 +1419,60 @@ object PipelineQueries extends QueryGroup {
         |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
         |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
 
+  /** Personalized (seeded) PageRank
+    * ([[graft.operators.PageRank.pagerankPersonalized]]): teleport
+    * restricted to a trusted seed set — TrustRank-style source
+    * weighting; same all-integer fixed point, same unrolled-SQL
+    * hash-exact oracle, with the seed CASE in every stage.
+    */
+  val pagerankSeededGate: QueryDef = QueryDef(
+    "graph_pagerank_seeded",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = jaccardPairsFor(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.PageRank.pagerankPersonalized(
+          docs.select(col("doc_id")), "doc_id", edges, "src", "dst",
+          docs.filter(col("doc_id") % 23 === 0).select(col("doc_id")),
+          iterations = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |sd AS (SELECT DISTINCT doc_id, (doc_id % 23 = 0) AS seed FROM documents),
+        |cnt AS (SELECT count(*) AS s FROM sd WHERE seed),
+        |r0 AS (SELECT doc_id, CASE WHEN seed THEN (1000000000000 // s)::BIGINT ELSE 0 END AS r
+        |       FROM sd CROSS JOIN cnt),
+        |it1 AS (SELECT sd.doc_id, (CASE WHEN sd.seed THEN 15000000000000 // (100*cnt.s) ELSE 0 END
+        |          + (85 * coalesce(m.m, 0)) // 100)::BIGINT AS r
+        |        FROM sd CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum(r0.r // deg.d)::BIGINT AS m FROM e JOIN r0 ON r0.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) m ON m.dst = sd.doc_id),
+        |it2 AS (SELECT sd.doc_id, (CASE WHEN sd.seed THEN 15000000000000 // (100*cnt.s) ELSE 0 END
+        |          + (85 * coalesce(m.m, 0)) // 100)::BIGINT AS r
+        |        FROM sd CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum(it1.r // deg.d)::BIGINT AS m FROM e JOIN it1 ON it1.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) m ON m.dst = sd.doc_id),
+        |it3 AS (SELECT sd.doc_id, (CASE WHEN sd.seed THEN 15000000000000 // (100*cnt.s) ELSE 0 END
+        |          + (85 * coalesce(m.m, 0)) // 100)::BIGINT AS r
+        |        FROM sd CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum(it2.r // deg.d)::BIGINT AS m FROM e JOIN it2 ON it2.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) m ON m.dst = sd.doc_id)
+        |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
-      decontaminateWinnow, dedupCascade, pagerankGate)
+      decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
+      pagerankGate, pagerankSeededGate)
 }
 
 object TextQueries extends QueryGroup {

@@ -62,6 +62,26 @@ class DecontaminationSpec extends SparkSpec {
     assert(!byDoc.contains(3L))
   }
 
+  test("portable fuzzy matches the xxhash path's semantics on leaks") {
+    val a = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    val near = "the quick brown fox jumps over the lazy dog and runs away fast now"
+    val corpus = docs((1L, a), (2L, near),
+      (3L, "completely different text about database engines and storage"))
+    val bench = docs((100L, a))
+    val got = Decontamination.fuzzyContaminatedPortable(
+        corpus, bench, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).toSeq == Seq((1L, 100L, 1.0))) // ONE row despite 8 bands
+    assert(byDoc.contains(2L) && byDoc(2L).head._3 > 0.5 && byDoc(2L).head._3 < 1.0)
+    assert(!byDoc.contains(3L))
+    // benchmark side broadcasts — the corpus must not shuffle for the probe
+    val plan = Decontamination.fuzzyContaminatedPortable(
+        corpus, bench, "text", "doc_id", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+  }
+
   test("fuzzy: returned jaccards are exact and recall at 1.0 is total") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter(org.apache.spark.sql.functions.col("doc_id") % 23 === 0)

@@ -52,6 +52,38 @@ class PageRankSpec extends SparkSpec {
       s"mass out of bounds: $got")
   }
 
+  test("personalized: two iterations match the hand-computed seeded ranks") {
+    val s = spark
+    import s.implicits._
+    // seed {1} on the 1-2-3 path: S=1, r0 = (1e12, 0, 0, 0),
+    // seed base = 15e12/100 = 150000000000
+    // iter1: m=(0, 1e12, 0) -> r=(150e9, 850e9, 0, 0)
+    // iter2: m=(425e9, 150e9, 425e9)
+    //        -> r=(150e9+361.25e9, 127.5e9, 361.25e9, 0)
+    val seeds = Seq(1L).toDF("id")
+    val got = PageRank.pagerankPersonalized(
+        nodes, "id", edges, "src", "dst", seeds, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 511250000000L, 2L -> 127500000000L,
+      3L -> 361250000000L, 9L -> 0L), s"got $got")
+  }
+
+  test("personalized: rank measures proximity to the seed set") {
+    val s = spark
+    import s.implicits._
+    val got = PageRank.pagerankPersonalized(
+        nodes, "id", edges, "src", "dst", Seq(1L).toDF("id"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > got(3L), s"one hop must outrank two hops: $got")
+    assert(got(9L) == 0L, "unreachable nodes hold zero rank")
+    intercept[IllegalArgumentException] {
+      PageRank.pagerankPersonalized(
+        nodes, "id", edges, "src", "dst", Seq(555L).toDF("id"))
+        .collect()
+    }
+  }
+
   test("iteration joins stay hash/sort equi-joins") {
     val plan = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 2)
       .queryExecution.executedPlan.toString

@@ -73,4 +73,42 @@ object EventSequences {
         coalesce(col("first_touch"), lit(0L)).as("first_touch"),
         coalesce(col("last_touch"), lit(0L)).as("last_touch"))
   }
+
+  /** Per-group z-score outliers: events whose value sits ≥ `threshold`
+    * sample standard deviations from their group's mean — the metric
+    * anomaly monitor (latency spikes, fraud amounts, corrupted
+    * measurements).
+    *
+    * Cross-engine determinism: values are exact 2-dp decimals in the
+    * source, so the per-group sum and sum-of-squares are EXACT decimal
+    * aggregates (order-independent); mean/variance/z are then computed
+    * in ONE fixed double association from those exact inputs, and z is
+    * 4-dp-rounded before the threshold compare — the same discipline
+    * as [[graft.streaming.CorpusMonitor]]'s means.
+    *
+    * Plan: one partial-aggregating groupBy on the type (stats frame is
+    * type-vocabulary-sized, broadcast back), then a scan-local
+    * projection + filter — the corpus shuffles only the map-side
+    * partial sums.
+    */
+  def zscoreAnomalies(
+      events: DataFrame, typeCol: String = "event_type",
+      idCol: String = "event_id", valueCol: String = "value",
+      threshold: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val stats = events.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s"),
+        sum(v * v).as("ss"))
+      .filter(col("n") >= 2)
+    val m = col("s").cast("double") / col("n")
+    val msq = col("ss").cast("double") / col("n")
+    val variance = (msq - m * m) * col("n") / (col("n") - 1)
+    val z = round((col(valueCol) - m) / sqrt(variance), 4)
+    events
+      .join(broadcast(stats), typeCol)
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= threshold)
+      .select(col(idCol), col(typeCol), col(valueCol), col("z"))
+  }
 }

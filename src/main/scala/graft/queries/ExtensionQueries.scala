@@ -2011,11 +2011,44 @@ object TextQueries extends QueryGroup {
         |JOIN ls ON ls.l = d.l JOIN rs ON rs.r = d.r CROSS JOIN bb
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
+  private val BlocklistPatterns = Seq("spark", "data", "at", "customer", "er")
+
+  /** Aho–Corasick blocklist matching ([[graft.operators.Blocklist]]):
+    * one automaton pass per doc regardless of pattern count; the
+    * oracle restates the match contract positionally (every i with
+    * substr(t, i, len(p)) = p counts — overlaps included), so the
+    * automaton's fail-link traversal is value-checked, not just
+    * spec-checked. The pattern list deliberately nests ("at" inside
+    * "data", "er" inside "customer") to keep the overlap cases live
+    * on real data.
+    */
+  val blocklist: QueryDef = QueryDef(
+    "text_blocklist",
+    (s, dir) =>
+      graft.operators.Blocklist.flagMatches(
+          Tables(s, dir).documents, "text", "doc_id", BlocklistPatterns)
+        .orderBy("doc_id"),
+    Some {
+      val hs = BlocklistPatterns.zipWithIndex.map { case (p, i) =>
+        s"len(list_filter(range(1, len(t) - ${p.length} + 2), " +
+          s"i -> substr(t, i, ${p.length}) = '$p')) AS h$i"
+      }.mkString(",\n  ")
+      val nPat = BlocklistPatterns.indices
+        .map(i => s"CASE WHEN h$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val nHits = BlocklistPatterns.indices.map(i => s"h$i").mkString(" + ")
+      s"""WITH tt AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  $hs FROM tt)
+         |SELECT doc_id, ($nPat)::BIGINT AS n_patterns,
+         |  ($nHits)::BIGINT AS n_hits
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
-      kneserNey)
+      kneserNey, blocklist)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -2738,11 +2771,34 @@ object EventQueries extends QueryGroup {
         |FROM f FULL OUTER JOIN l ON f.channel = l.channel
         |ORDER BY channel""".stripMargin))
 
+  /** Per-type z-score outliers
+    * ([[graft.operators.EventSequences.zscoreAnomalies]]): exact
+    * decimal sum/sum-of-squares per group, one fixed double
+    * association for mean/variance/z, 4-dp round before the threshold
+    * — the metric-anomaly monitor under the hard oracle.
+    */
+  val zscoreAnomaly: QueryDef = QueryDef(
+    "events_zscore_anomaly",
+    (s, dir) =>
+      graft.operators.EventSequences.zscoreAnomalies(Tables(s, dir).events)
+        .orderBy("event_id"),
+    Some(
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS s,
+        |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+        |  FROM events GROUP BY event_type HAVING count(*) >= 2),
+        |z AS (SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s::DOUBLE / n)
+        |    / sqrt((ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) * n / (n - 1)), 4) AS z
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
-      markovTransitions, attribution)
+      markovTransitions, attribution, zscoreAnomaly)
 }
 
 object IoQueries extends QueryGroup {

@@ -343,6 +343,19 @@ object ScaleCheck {
           sym(pairsD), "src", "dst", 3))
     }
 
+    // blocklist: scan-local automaton — cost linear in corpus chars and
+    // INDEPENDENT of pattern count (500 patterns ≈ 5), zero shuffles
+    {
+      val pats5 = Seq("spark", "data", "at", "customer", "er")
+      val pats500 = (0 until 500).map(i => f"pattern$i%03d needle") ++ pats5
+      time("blocklist_5pat_1x",
+        graft.operators.Blocklist.flagMatches(docs, "text", "doc_id", pats5))
+      time(s"blocklist_5pat_${dup}x",
+        graft.operators.Blocklist.flagMatches(blown, "text", "doc_id", pats5))
+      time(s"blocklist_500pat_${dup}x",
+        graft.operators.Blocklist.flagMatches(blown, "text", "doc_id", pats500))
+    }
+
     // entity resolution: block keys bound the candidate join exactly like
     // the LSH band joins — scored pairs grow with true match volume
     {

@@ -66,4 +66,32 @@ class EventSequencesSpec extends SparkSpec {
     val none = Seq((1L, 1L, ts(1), "view")).toDF("event_id", "user_id", "ts", "event_type")
     assert(EventSequences.touchAttribution(none, "purchase").count() == 0)
   }
+
+  test("zscore flags exactly the hand-computed outlier") {
+    val s = spark
+    import s.implicits._
+    // 15 x 10.00 + one 1000.00: m=71.875, var=61256.25 (std exactly
+    // 247.5), z(1000) = 928.125/247.5 = 3.75; z(10) = -0.25
+    val rows = (1L to 15L).map(i => (i, "a", 10.00)) :+ ((16L, "a", 1000.00))
+    val df = rows.toDF("event_id", "event_type", "value").repartition(7)
+    val got = EventSequences.zscoreAnomalies(df, threshold = 3.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((16L, 3.75)), s"got ${got.toSeq}")
+  }
+
+  test("zscore is partitioning-independent and groups are isolated") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 15L).map(i => (i, "a", 10.00)) ++
+      Seq((16L, "a", 1000.00)) ++
+      // group b: tight cluster, no outlier — must contribute nothing
+      (21L to 30L).map(i => (i, "b", 5.00 + (i % 3) * 0.5))
+    val a = EventSequences.zscoreAnomalies(rows.toDF("event_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val b = EventSequences.zscoreAnomalies(
+        rows.toDF("event_id", "event_type", "value").repartition(13))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(a == b, "decimal sums must make the stats order-independent")
+    assert(a.map(_._1) == Set(16L))
+  }
 }

@@ -869,4 +869,66 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Clustering-vs-ground-truth agreement: mutual information, the two
+    * entropies, normalized mutual information
+    * NMI = MI / √(H(labels)·H(clusters)) (Strehl & Ghosh 2002), and the
+    * adjusted Rand index ARI (Hubert & Arabie 1985) — the two standard
+    * external clustering evaluations. One row out.
+    *
+    * Every probability is a ratio of exact integer counts — the ARI's
+    * pair counts Σ C(·,2) stay INTEGER until the final two divisions;
+    * the log terms use one fixed association mirrored by the SQL
+    * oracle, and the ≤ |labels|·|clusters| summations are 4-dp-rounded
+    * (the LM-gate discipline — summation-order noise sits at 1e-15).
+    * Plan: one corpus-scale groupBy to the contingency cells;
+    * marginals, entropies, and the fusion are all vocabulary-bounded
+    * frames glued by broadcast 1-row crossJoins.
+    */
+  def clusterAgreement(
+      assign: DataFrame, idCol: String, clusterCol: String,
+      truth: DataFrame, labelCol: String): DataFrame = {
+    val joined = assign
+      .select(col(idCol), col(clusterCol).cast("string").as("c"))
+      .join(truth.select(col(idCol), col(labelCol).cast("string").as("l")),
+        idCol)
+    val cells = joined.groupBy(col("c"), col("l"))
+      .agg(count(lit(1)).as("nlc"))
+    val nTot = cells.agg(sum(col("nlc")).as("n"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("nlc")).as("nc"))
+    val lm = cells.groupBy(col("l")).agg(sum(col("nlc")).as("nl"))
+    val mi = cells.join(cm, "c").join(lm, "l").crossJoin(broadcast(nTot))
+      .agg(sum((col("nlc") * lit(1.0) / col("n")) *
+        log(col("n") * col("nlc") * lit(1.0) / (col("nc") * col("nl"))))
+        .as("mi"))
+    val pairCells = cells
+      .agg(sum(expr("nlc * (nlc - 1) div 2")).as("sc"))
+    val pairC = cm.agg(sum(expr("nc * (nc - 1) div 2")).as("sa"))
+    val pairL = lm.agg(sum(expr("nl * (nl - 1) div 2")).as("sb"))
+    val hc = cm.crossJoin(broadcast(nTot))
+      .agg((-sum((col("nc") * lit(1.0) / col("n")) *
+        log(col("nc") * lit(1.0) / col("n")))).as("h_cluster"))
+    val hl = lm.crossJoin(broadcast(nTot))
+      .agg((-sum((col("nl") * lit(1.0) / col("n")) *
+        log(col("nl") * lit(1.0) / col("n")))).as("h_label"))
+    // ARI = (sc − sa·sb/C(n,2)) / ((sa+sb)/2 − sa·sb/C(n,2));
+    // sc/sa/sb/C(n,2) are exact integers, the two divisions mirror the
+    // oracle's association
+    val expected = col("sa") * col("sb") * lit(1.0) /
+      expr("n * (n - 1) div 2")
+    val maxIdx = (col("sa") + col("sb")) * lit(1.0) / 2
+    nTot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hc)).crossJoin(broadcast(pairCells))
+      .crossJoin(broadcast(pairC)).crossJoin(broadcast(pairL))
+      .select(col("n").cast("long").as("n_points"),
+        round(col("mi"), 4).as("mi"),
+        round(col("h_label"), 4).as("h_label"),
+        round(col("h_cluster"), 4).as("h_cluster"),
+        round(when(col("h_label") > 0 && col("h_cluster") > 0,
+            col("mi") / sqrt(col("h_label") * col("h_cluster")))
+          .otherwise(lit(0.0)), 4).as("nmi"),
+        round(when(maxIdx - expected =!= 0.0,
+            (col("sc") - expected) / (maxIdx - expected))
+          .otherwise(lit(0.0)), 4).as("ari"))
+  }
 }

@@ -838,11 +838,65 @@ object SimilarityQueries extends QueryGroup {
         |SELECT doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** External clustering evaluation
+    * ([[graft.operators.Similarity.clusterAgreement]]): NMI between the
+    * nearest-centroid assignment and the true labels — 294/500 vectors
+    * land nearer another label's centroid at sf0.01, so the metric is
+    * far from its trivial fixed points. The oracle replays assignment,
+    * contingency, entropies, and the fusion.
+    */
+  val clusterNmi: QueryDef = QueryDef(
+    "sim_cluster_nmi",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.clusterAgreement(
+        Similarity.centroidAssign(emb, "vec_id", "embedding", "label"),
+        "vec_id", "assigned", emb.select(col("vec_id"), col("label")), "label")
+    },
+    Some(
+      """WITH x AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS val,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |comp AS (SELECT label AS clabel, pos, avg(val) AS c
+        |         FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, comp.clabel,
+        |        sum((x.val - comp.c) * (x.val - comp.c)) AS dist2
+        |      FROM x JOIN comp ON comp.pos = x.pos
+        |      GROUP BY 1, 2),
+        |a AS (SELECT vec_id, clabel AS assigned FROM (
+        |  SELECT vec_id, clabel,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+        |  FROM d) WHERE rn = 1),
+        |j AS (SELECT a.assigned::VARCHAR AS c, e.label::VARCHAR AS l
+        |      FROM a JOIN embeddings e ON e.vec_id = a.vec_id),
+        |cells AS (SELECT c, l, count(*) AS nlc FROM j GROUP BY 1, 2),
+        |nt AS (SELECT sum(nlc) AS n FROM cells),
+        |cm AS (SELECT c, sum(nlc) AS nc FROM cells GROUP BY c),
+        |lm AS (SELECT l, sum(nlc) AS nl FROM cells GROUP BY l),
+        |mi AS (SELECT sum((nlc * 1.0 / n) * ln(n * nlc * 1.0 / (nc * nl))) AS mi
+        |       FROM cells JOIN cm USING (c) JOIN lm USING (l) CROSS JOIN nt),
+        |hc AS (SELECT -sum((nc * 1.0 / n) * ln(nc * 1.0 / n)) AS h_cluster FROM cm CROSS JOIN nt),
+        |hl AS (SELECT -sum((nl * 1.0 / n) * ln(nl * 1.0 / n)) AS h_label FROM lm CROSS JOIN nt),
+        |pc AS (SELECT sum(nlc * (nlc - 1) // 2) AS sc FROM cells),
+        |pa AS (SELECT sum(nc * (nc - 1) // 2) AS sa FROM cm),
+        |pb AS (SELECT sum(nl * (nl - 1) // 2) AS sb FROM lm)
+        |SELECT n::BIGINT AS n_points, round(mi, 4) AS mi,
+        |  round(h_label, 4) AS h_label, round(h_cluster, 4) AS h_cluster,
+        |  round(CASE WHEN h_label > 0 AND h_cluster > 0
+        |        THEN mi / sqrt(h_label * h_cluster) ELSE 0 END, 4) AS nmi,
+        |  round(CASE WHEN (sa + sb) * 1.0 / 2 - sa * sb * 1.0 / (n * (n - 1) // 2) <> 0
+        |        THEN (sc - sa * sb * 1.0 / (n * (n - 1) // 2))
+        |           / ((sa + sb) * 1.0 / 2 - sa * sb * 1.0 / (n * (n - 1) // 2))
+        |        ELSE 0 END, 4) AS ari
+        |FROM nt CROSS JOIN mi CROSS JOIN hl CROSS JOIN hc
+        |CROSS JOIN pc CROSS JOIN pa CROSS JOIN pb""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
-      centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8)
+      centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
+      clusterNmi)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

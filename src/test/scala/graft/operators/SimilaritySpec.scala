@@ -208,6 +208,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("clusterAgreement: NMI hits 1 on relabelings, 0 on independence") {
+    import spark.implicits._
+    def frame(rows: (Long, Int)*) = rows.toDF("id", "v")
+    val truth = frame(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1)
+    // a pure relabeling (0<->7, 1<->9) is a perfect clustering: NMI = 1
+    val relabeled = frame(1L -> 7, 2L -> 7, 3L -> 9, 4L -> 9)
+    val perfect = Similarity.clusterAgreement(
+        relabeled, "id", "v", truth, "v").head()
+    assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(5) == 1.0,
+      s"$perfect")
+    // one cluster containing everything carries zero information
+    val collapsed = frame(1L -> 5, 2L -> 5, 3L -> 5, 4L -> 5)
+    val zero = Similarity.clusterAgreement(
+        collapsed, "id", "v", truth, "v").head()
+    assert(zero.getDouble(1) == 0.0 && zero.getDouble(4) == 0.0, s"$zero")
+    assert(zero.getDouble(5) == 0.0, s"collapsed ARI: $zero")
+    // balanced but independent: each cluster splits every label evenly
+    val indep = frame(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1)
+    val ind = Similarity.clusterAgreement(
+        indep, "id", "v", truth, "v").head()
+    assert(ind.getDouble(4) == 0.0, s"$ind")
+    // worse than chance: ARI goes negative where NMI cannot
+    assert(ind.getDouble(5) == -0.5, s"independent ARI: $ind")
+    assert(ind.getLong(0) == 4)
+  }
+
   test("lloydIterate: one round re-assigns to the true nearest mean") {
     import spark.implicits._
     // two tight groups, one point mislabeled: a Lloyd round must move

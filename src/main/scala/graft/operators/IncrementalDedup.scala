@@ -139,6 +139,33 @@ object IncrementalDedup {
       .drop("_ch")
   }
 
+  /** Corpus snapshot diff — the data-versioning primitive operations
+    * teams run between crawl/ingest versions: every id labelled
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, content differs), or `unchanged`. Content is
+    * compared by md5 so the full-outer join moves 16-byte digests, not
+    * document text, and the contract is SQL-restatable (md5 is the
+    * engine-portable hash of this repo's oracle family).
+    *
+    * One join keyed by id (both sides pre-projected to (id, digest));
+    * at 100 TB co-partition or bucket both snapshots by id and the
+    * exchange disappears.
+    */
+  def snapshotDiff(
+      old: DataFrame, current: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idCol),
+        md5(col(textCol)).as(s"_h_$side"))
+    keyed(old, "old")
+      .join(keyed(current, "new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_old").isNull, lit("added"))
+          .when(col("_h_new").isNull, lit("removed"))
+          .when(col("_h_old") =!= col("_h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   private def corpusKeyFrame(corpus: DataFrame, key: Column): DataFrame =
     corpus
       .select(sha2(key.cast("string"), 256).as("content_hash"))

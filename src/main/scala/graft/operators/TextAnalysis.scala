@@ -368,6 +368,46 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Deflate compression ratio per document — the model-free redundancy
+    * signal quality filters pair with LM scores (Gopher-family
+    * pipelines): boilerplate/repetitive text compresses far below
+    * prose, near-random noise barely compresses at all. ratio =
+    * deflated_bytes / utf8_bytes, 4-dp.
+    *
+    * JVM kernel (java.util.zip.Deflater, default level, one Deflater
+    * reused per partition) — scan-local, zero shuffles, deterministic
+    * for a given JVM zlib. No SQL engine ships deflate, so the gate is
+    * rows-only BY DESIGN; the spec locks the orderings the signal
+    * exists for (repetitive < prose < high-entropy) and
+    * partition-independence.
+    */
+  def compressionRatio(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    Dedup.requireLongCastableId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](64 * 1024)
+        val d = new java.util.zip.Deflater()
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset()
+          d.setInput(raw)
+          d.finish()
+          var compressed = 0L
+          while (!d.finished()) compressed += d.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 0.0
+            else math.rint(compressed.toDouble / raw.length * 1e4) / 1e4
+          (id, raw.length.toLong, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "ratio")
+  }
+
   /** Corpus collocations by pointwise mutual information over adjacent
     * word pairs: PMI(l,r) = ln(c(l,r)·N / (c(l,·)·c(·,r))) with all
     * marginals taken over BIGRAM POSITIONS (so the distribution sums to

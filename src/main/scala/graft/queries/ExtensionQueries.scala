@@ -1522,11 +1522,48 @@ object PipelineQueries extends QueryGroup {
         |           JOIN deg ON deg.src = e.src GROUP BY e.dst) m ON m.dst = sd.doc_id)
         |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
 
+  /** Corpus snapshot diff
+    * ([[graft.operators.IncrementalDedup.snapshotDiff]]): v2 is derived
+    * deterministically from the corpus (drop ids ≡0 mod 7, rewrite text
+    * for ids ≡0 mod 5, add shifted copies for ids ≡0 mod 11), so both
+    * engines diff the identical pair of snapshots; digests move, text
+    * does not.
+    */
+  val snapshotDiffGate: QueryDef = QueryDef(
+    "pipeline_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.operators.IncrementalDedup.snapshotDiff(docs, v2, "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS h FROM v2)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
-      pagerankGate, pagerankSeededGate)
+      pagerankGate, pagerankSeededGate, snapshotDiffGate)
 }
 
 object TextQueries extends QueryGroup {
@@ -2098,11 +2135,23 @@ object TextQueries extends QueryGroup {
          |FROM h ORDER BY doc_id""".stripMargin
     })
 
+  /** Deflate compression ratio
+    * ([[graft.operators.TextAnalysis.compressionRatio]]) — rows-only BY
+    * DESIGN (no SQL engine ships deflate); the spec locks the signal's
+    * orderings and determinism.
+    */
+  val compressionRatio: QueryDef = QueryDef(
+    "text_compression_ratio",
+    (s, dir) =>
+      TextAnalysis.compressionRatio(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
-      kneserNey, blocklist)
+      kneserNey, blocklist, compressionRatio)
 }
 
 object SamplingQueries extends QueryGroup {

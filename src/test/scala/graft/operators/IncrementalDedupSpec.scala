@@ -157,4 +157,17 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(kept == Set(2L, 4L, 5L, 6L))
     } finally q.stop()
   }
+
+  test("snapshotDiff labels all four statuses and nothing else") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = IncrementalDedup.snapshotDiff(old, cur, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $got")
+  }
 }

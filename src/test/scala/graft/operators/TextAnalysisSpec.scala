@@ -307,4 +307,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.length == 1)
     assert(fps.head.getLong(1) == TextAnalysis.polyHash("just two"))
   }
+
+  test("compression ratio orders repetitive < prose < high-entropy") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (1L, "spam spam spam " * 150),
+      (2L, ("the quick brown fox jumps over the lazy dog and then " +
+        "considers a second, rather different sentence about rivers. ") * 20),
+      (3L, noise),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2,
+      s"signal ordering broken: $got")
+    assert(got(1L)._2 < 0.05, s"pure repetition must crush: ${got(1L)}")
+    assert(got(4L) == ((0L, 0.0)), "empty text: zero bytes, zero ratio")
+    // deterministic across partitionings (stateless per-row kernel)
+    val again = TextAnalysis.compressionRatio(df.repartition(5), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
 }

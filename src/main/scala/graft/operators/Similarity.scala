@@ -892,8 +892,12 @@ object Similarity {
       .select(col(idCol), col(clusterCol).cast("string").as("c"))
       .join(truth.select(col(idCol), col(labelCol).cast("string").as("l")),
         idCol)
+    // the contingency table is the ONLY corpus-scale computation —
+    // materialize it once (≤ |labels|·|clusters| rows) so the seven
+    // downstream aggregates don't re-run the assignment pipeline
     val cells = joined.groupBy(col("c"), col("l"))
       .agg(count(lit(1)).as("nlc"))
+      .localCheckpoint(true)
     val nTot = cells.agg(sum(col("nlc")).as("n"))
     val cm = cells.groupBy(col("c")).agg(sum(col("nlc")).as("nc"))
     val lm = cells.groupBy(col("l")).agg(sum(col("nlc")).as("nl"))

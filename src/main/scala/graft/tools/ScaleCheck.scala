@@ -356,6 +356,36 @@ object ScaleCheck {
         graft.operators.Blocklist.flagMatches(blown, "text", "doc_id", pats500))
     }
 
+    // compression ratio: per-row Deflater kernel, zero shuffles —
+    // linear in corpus bytes
+    time("compression_ratio_1x",
+      graft.operators.TextAnalysis.compressionRatio(docs, "text", "doc_id"))
+    time(s"compression_ratio_${dup}x",
+      graft.operators.TextAnalysis.compressionRatio(blown, "text", "doc_id"))
+
+    // snapshot diff: both sides projected to 16-byte digests before the
+    // id-keyed full outer join — the exchange carries digests, not text
+    time(s"snapshot_diff_${dup}x", {
+      val v2 = blown.filter(col("doc_id") % 7 =!= 0)
+      graft.operators.IncrementalDedup.snapshotDiff(blown, v2, "text", "doc_id")
+    })
+
+    // clustering eval: one corpus groupBy to the contingency cells,
+    // everything downstream bounded by |labels| x |clusters|
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      time(s"cluster_nmi_${dup}x",
+        graft.operators.Similarity.clusterAgreement(
+          graft.operators.Similarity.centroidAssign(
+            embBig, "vec_id", "embedding", "label"),
+          "vec_id", "assigned",
+          embBig.select(col("vec_id"), col("label")), "label"))
+    }
+
     // entity resolution: block keys bound the candidate join exactly like
     // the LSH band joins — scored pairs grow with true match volume
     {

@@ -64,4 +64,22 @@ class BlocklistSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("the stateless kernel runs unchanged on a stream") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)](s)
+    val q = Blocklist.flagMatches(
+        in.toDS().toDF("doc_id", "text"), "text", "doc_id", Seq("bad", "worse"))
+      .writeStream.format("memory").queryName("blocklist_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a bad bad day"), (2L, "all fine here"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM blocklist_sink")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(1L -> ((1L, 2L)), 2L -> ((0L, 0L))), s"got $got")
+    } finally q.stop()
+  }
 }

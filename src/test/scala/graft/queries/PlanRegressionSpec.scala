@@ -138,4 +138,41 @@ class PlanRegressionSpec extends SparkSpec {
         s"$gate lost partial aggregation: $ks")
     }
   }
+
+  test("pagerank rounds never sort-merge the edge list") {
+    // the shuffled-hash pin: checkpointed ranks have unknown stats, and
+    // without the hint AQE flips rounds 2+ to SMJ (2 s -> 25 s per
+    // round at 38.6M rehearsal edges)
+    Seq("graph_pagerank", "graph_pagerank_seeded").foreach { gate =>
+      val ks = kinds(gate)
+      assert(!ks.exists(_.contains("SortMergeJoin")),
+        s"$gate edge join degenerated to sort-merge: $ks")
+    }
+  }
+
+  test("scan-local gates carry only their orderBy exchange") {
+    // the operator itself is shuffle-free; the single range exchange is
+    // the gate's deterministic orderBy for the driver dump
+    Seq("text_blocklist", "text_compression_ratio", "pipeline_split_hash")
+      .foreach { gate =>
+        val ks = kinds(gate)
+        assert(ks.count(_.contains("Exchange")) <= 1,
+          s"$gate grew a shuffle beyond the orderBy: $ks")
+      }
+  }
+
+  test("snapshot diff joins digests, not document text") {
+    // both sides project (id, md5) BEFORE the full-outer exchange — the
+    // join input schemas must not carry the text column
+    val joins = nodes(finalPlan("pipeline_snapshot_diff"))
+      .filter(_.getClass.getSimpleName.contains("Join"))
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        val cols = side.output.map(_.name)
+        assert(!cols.contains("text"),
+          s"join side carries text: $cols")
+      }
+    }
+  }
 }

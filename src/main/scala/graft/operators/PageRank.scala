@@ -88,21 +88,48 @@ object PageRank {
       .select(col("id").as(idCol), col("r").as("rank_fp"))
   }
 
+  /** Edge-WEIGHTED PageRank: rank flows proportional to integer edge
+    * weights (e.g. round(jaccard·1e6) on a similarity graph — stronger
+    * near-dups pull more rank, the refinement that makes centrality a
+    * better canonical-survivor signal than degree alone). Same
+    * fixed-point contract with per-source rate = rank div Σw and
+    * per-edge contribution rate·w: the rate truncates BEFORE the weight
+    * scaling, so the per-edge truncation bias is < w·1e-12 — identical
+    * on both engines, orders below ranking decisions. Weights must be
+    * positive longs; per-edge products stay under 2^63 because
+    * rate ≤ SCALE and Σ_out w ≥ w.
+    */
+  def pagerankWeighted(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int = 3): DataFrame = {
+    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val nCount = n0.count()
+    val n = n0.select(col(idCol).as("id"),
+      lit(Scale / nCount).as("r0"),
+      lit((15L * Scale) / (100L * nCount)).as("base"))
+    power(n, edges, srcCol, dstCol, iterations, Some(weightCol))
+      .select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
   /** The shared damped power loop over a node frame carrying each
     * node's initial rank (`r0`) and per-round additive teleport term
-    * (`base`). Returns (id, r) after `iterations` rounds.
+    * (`base`). With a weight column, out-mass splits proportional to
+    * the weights (weight 1 everywhere ≡ the unweighted recurrence).
+    * Returns (id, r) after `iterations` rounds.
     */
   private def power(
       n: DataFrame, edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int, weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "at least one power iteration")
     // one shuffle + one materialization of the edge list, partitioned
     // by src — every round's build-side join and the degree aggregate
     // reuse this layout
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        weightCol.map(w => col(w).cast("long")).getOrElse(lit(1L)).as("w"))
       .repartition(col("src"))
       .localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .localCheckpoint(true)
     var ranks = n.select(col("id"), col("r0").as("r"))
     var i = 0
@@ -113,7 +140,7 @@ object PageRank {
         .select(col("src"), expr("r div deg").as("rate"))
       val inMass = e.join(rates.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rate")).as("m"))
+        .agg(sum(col("rate") * col("w")).as("m"))
       ranks = n.select(col("id"), col("base"))
         .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),

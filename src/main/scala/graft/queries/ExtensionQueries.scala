@@ -1559,11 +1559,62 @@ object PipelineQueries extends QueryGroup {
         |FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  /** Similarity-WEIGHTED PageRank
+    * ([[graft.operators.PageRank.pagerankWeighted]]): edge weight =
+    * round(jaccard·1e6), so stronger near-dups pull more rank — the
+    * centrality refinement for canonical-survivor choice. Same
+    * integer fixed point, same unrolled hash-exact oracle with the
+    * weighted rate·w contributions.
+    */
+  val pagerankWeightedGate: QueryDef = QueryDef(
+    "graph_pagerank_weighted",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+        .withColumn("w", round(col("jaccard") * 1e6, 0).cast("long"))
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+      graft.operators.PageRank.pagerankWeighted(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          edges, "src", "dst", "w", iterations = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |            CAST(round(c * 1.0 / (sa.n + sb.n - c) * 1000000) AS BIGINT) AS w
+        |          FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst, w FROM pairs
+        |      UNION ALL SELECT id_b, id_a, w FROM pairs),
+        |deg AS (SELECT src, sum(w)::BIGINT AS d FROM e GROUP BY src),
+        |nn AS (SELECT DISTINCT doc_id FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM nn),
+        |r0 AS (SELECT doc_id, (1000000000000 // n)::BIGINT AS r FROM nn CROSS JOIN cnt),
+        |it1 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum((r0.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN r0 ON r0.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |it2 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum((it1.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN it1 ON it1.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |it3 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum((it2.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN it2 ON it2.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
+        |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
-      pagerankGate, pagerankSeededGate, snapshotDiffGate)
+      pagerankGate, pagerankSeededGate, pagerankWeightedGate,
+      snapshotDiffGate)
 }
 
 object TextQueries extends QueryGroup {

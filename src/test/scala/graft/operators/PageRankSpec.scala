@@ -84,6 +84,36 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("weighted: one iteration matches the hand-computed 3:1 split") {
+    val s = spark
+    import s.implicits._
+    // 1-2 at weight 3, 2-3 at weight 1 (sym): SW = (3, 4, 1)
+    // rates = (250e9 div 3, 250e9 div 4, 250e9) = (83333333333, 62.5e9, 250e9)
+    // m(1) = 62.5e9*3; m(2) = 83333333333*3 + 250e9; m(3) = 62.5e9*1
+    // r1 = (196875000000, 462499999999, 90625000000, base 37.5e9)
+    val we = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val got = PageRank.pagerankWeighted(
+        nodes, "id", we, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 196875000000L, 2L -> 462499999999L,
+      3L -> 90625000000L, 9L -> 37500000000L), s"got $got")
+  }
+
+  test("weighted with unit weights equals the unweighted recurrence") {
+    val s = spark
+    import s.implicits._
+    val unit = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val a = PageRank.pagerankWeighted(
+        nodes, "id", unit, "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"$a != $b")
+  }
+
   test("iteration joins stay hash/sort equi-joins") {
     val plan = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 2)
       .queryExecution.executedPlan.toString

@@ -96,11 +96,19 @@ object EventSequences {
       idCol: String = "event_id", valueCol: String = "value",
       threshold: Double = 3.0): DataFrame = {
     val v = col(valueCol).cast("decimal(18,2)")
+    // zero-variance guard on EXACT decimals (min==max ⇔ variance==0):
+    // Spark's Divide yields NULL on /0 (rows silently dropped) while
+    // DuckDB's IEEE 0.0/0.0 is NaN, and NaN > threshold — a constant-
+    // valued group would emit EVERY row on the oracle side. Mirror the
+    // same min<>max guard in the oracle SQL.
     val stats = events.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"),
         sum(v).as("s"),
-        sum(v * v).as("ss"))
-      .filter(col("n") >= 2)
+        sum(v * v).as("ss"),
+        min(v).as("vmin"),
+        max(v).as("vmax"))
+      .filter(col("n") >= 2 && col("vmin") =!= col("vmax"))
+      .drop("vmin", "vmax")
     val m = col("s").cast("double") / col("n")
     val msq = col("ss").cast("double") / col("n")
     val variance = (msq - m * m) * col("n") / (col("n") - 1)

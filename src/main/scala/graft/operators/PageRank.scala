@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * ranking decision.
   *
   * Dangling mass (nodes with no out-edges keep their rank out of
-  * circulation) is dropped, the standard simplification for similarity
-  * graphs where isolated nodes are the common case and only relative
-  * order within components matters.
+  * circulation) is dropped by default, the standard simplification for
+  * similarity graphs where isolated nodes are the common case and only
+  * relative order within components matters; [[pagerankDangling]] is
+  * the opt-in full recurrence that redistributes it uniformly each
+  * round (link graphs with meaningful sinks).
   *
   * Scale: the edge list is hash-partitioned by src and materialized
   * ONCE; per-round degree rates live on the NODE-scale frame (never
@@ -53,6 +55,7 @@ object PageRank {
       srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
     val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
     val nCount = n0.count()
+    require(nCount > 0, "graph must have at least one node")
     val n = n0.select(col(idCol).as("id"),
       lit(Scale / nCount).as("r0"),
       lit((15L * Scale) / (100L * nCount)).as("base"))
@@ -105,10 +108,46 @@ object PageRank {
       iterations: Int = 3): DataFrame = {
     val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
     val nCount = n0.count()
+    require(nCount > 0, "graph must have at least one node")
+    // the contract says "weights must be positive longs" — enforce it:
+    // a zero/negative (or null) weight silently corrupts Σ_out w and
+    // every downstream rate. One edge-scale aggregate, once.
+    val badW = edges
+      .filter(col(weightCol).isNull || col(weightCol).cast("long") <= 0L)
+      .limit(1).count()
+    require(badW == 0L,
+      s"edge weights in '$weightCol' must be positive non-null longs")
     val n = n0.select(col(idCol).as("id"),
       lit(Scale / nCount).as("r0"),
       lit((15L * Scale) / (100L * nCount)).as("base"))
     power(n, edges, srcCol, dstCol, iterations, Some(weightCol))
+      .select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
+  /** PageRank WITH dangling-mass redistribution — the full Brin & Page
+    * recurrence for link graphs where sinks are meaningful (a source-
+    * authority graph with many leaf domains): each round the rank held
+    * by out-degree-0 nodes is collected and redistributed uniformly,
+    * so no mass leaves circulation and sink-heavy regions are not
+    * systematically under-ranked.
+    *
+    * rankⁱ⁺¹(v) = (15·SCALE) div (100·N)
+    *            + (85 · (Σ_{u→v} (rankⁱ(u) div deg(u)) + Dⁱ div N)) div 100
+    * with Dⁱ = Σ_{deg(u)=0} rankⁱ(u) — an exact integer sum, so the
+    * fixed-point / unrolled-SQL oracle property is preserved. Cost over
+    * [[pagerank]]: ONE node-scale aggregate per round (the dangling
+    * sum); the edge-side plan is identical.
+    */
+  def pagerankDangling(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
+    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val nCount = n0.count()
+    require(nCount > 0, "graph must have at least one node")
+    val n = n0.select(col(idCol).as("id"),
+      lit(Scale / nCount).as("r0"),
+      lit((15L * Scale) / (100L * nCount)).as("base"))
+    power(n, edges, srcCol, dstCol, iterations, None, Some(nCount))
       .select(col("id").as(idCol), col("r").as("rank_fp"))
   }
 
@@ -120,7 +159,8 @@ object PageRank {
     */
   private def power(
       n: DataFrame, edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, weightCol: Option[String] = None): DataFrame = {
+      iterations: Int, weightCol: Option[String] = None,
+      danglingN: Option[Long] = None): DataFrame = {
     require(iterations >= 1, "at least one power iteration")
     // one shuffle + one materialization of the edge list, partitioned
     // by src — every round's build-side join and the degree aggregate
@@ -141,10 +181,23 @@ object PageRank {
       val inMass = e.join(rates.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("rate") * col("w")).as("m"))
+      // opt-in dangling redistribution: collect the rank held by
+      // out-degree-0 nodes (node-scale left-anti + 1-row aggregate, an
+      // exact integer sum) and hand each node its uniform share inside
+      // the damped term — D div N on the driver is the same 64-bit
+      // floor division the unrolled SQL replays
+      val dShare = danglingN.map { nTotal =>
+        val d = ranks
+          .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
+          .head.getLong(0)
+        d / nTotal
+      }.getOrElse(0L)
       ranks = n.select(col("id"), col("base"))
         .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (col("base") + expr("85 * coalesce(m, 0L) div 100")).as("r"))
+          (col("base") +
+            expr(s"85 * (coalesce(m, 0L) + ${dShare}L) div 100")).as("r"))
         .localCheckpoint(true)
       i += 1
     }

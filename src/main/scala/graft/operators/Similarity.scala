@@ -916,11 +916,14 @@ object Similarity {
       .agg((-sum((col("nl") * lit(1.0) / col("n")) *
         log(col("nl") * lit(1.0) / col("n")))).as("h_label"))
     // ARI = (sc − sa·sb/C(n,2)) / ((sa+sb)/2 − sa·sb/C(n,2));
-    // sc/sa/sb/C(n,2) are exact integers, the two divisions mirror the
-    // oracle's association
-    val expected = col("sa") * col("sb") * lit(1.0) /
-      expr("n * (n - 1) div 2")
-    val maxIdx = (col("sa") + col("sb")) * lit(1.0) / 2
+    // sc/sa/sb are exact integers, but sa·sb (and n·(n−1)) must be
+    // computed in double: once any cluster exceeds ~80k rows the long
+    // product silently wraps in non-ANSI Spark while the oracle
+    // promotes to HUGEINT — cast BEFORE multiplying, same order as the
+    // oracle SQL
+    val expected = col("sa").cast("double") * col("sb") /
+      (col("n").cast("double") * (col("n") - 1) / 2)
+    val maxIdx = (col("sa").cast("double") + col("sb")) / 2
     nTot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
       .crossJoin(broadcast(hc)).crossJoin(broadcast(pairCells))
       .crossJoin(broadcast(pairC)).crossJoin(broadcast(pairL))

@@ -392,6 +392,11 @@ object TextAnalysis {
       .mapPartitions { it =>
         val buf = new Array[Byte](64 * 1024)
         val d = new java.util.zip.Deflater()
+        // release the native zlib buffer when the task ends — without
+        // end() it is held until finalization, accumulating across
+        // tasks in a long-lived executor
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           d.reset()

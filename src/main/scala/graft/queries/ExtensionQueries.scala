@@ -884,9 +884,9 @@ object SimilarityQueries extends QueryGroup {
         |  round(h_label, 4) AS h_label, round(h_cluster, 4) AS h_cluster,
         |  round(CASE WHEN h_label > 0 AND h_cluster > 0
         |        THEN mi / sqrt(h_label * h_cluster) ELSE 0 END, 4) AS nmi,
-        |  round(CASE WHEN (sa + sb) * 1.0 / 2 - sa * sb * 1.0 / (n * (n - 1) // 2) <> 0
-        |        THEN (sc - sa * sb * 1.0 / (n * (n - 1) // 2))
-        |           / ((sa + sb) * 1.0 / 2 - sa * sb * 1.0 / (n * (n - 1) // 2))
+        |  round(CASE WHEN (sa::DOUBLE + sb) / 2 - sa::DOUBLE * sb / (n::DOUBLE * (n - 1) / 2) <> 0
+        |        THEN (sc - sa::DOUBLE * sb / (n::DOUBLE * (n - 1) / 2))
+        |           / ((sa::DOUBLE + sb) / 2 - sa::DOUBLE * sb / (n::DOUBLE * (n - 1) / 2))
         |        ELSE 0 END, 4) AS ari
         |FROM nt CROSS JOIN mi CROSS JOIN hl CROSS JOIN hc
         |CROSS JOIN pc CROSS JOIN pa CROSS JOIN pb""".stripMargin))
@@ -1609,12 +1609,64 @@ object PipelineQueries extends QueryGroup {
         |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
         |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
 
+  /** PageRank with dangling-mass redistribution
+    * ([[graft.operators.PageRank.pagerankDangling]]): the full Brin &
+    * Page recurrence — each round the rank held by out-degree-0 nodes
+    * (isolated docs, the COMMON case in a near-dup graph) is summed
+    * and handed back uniformly inside the damped term. Non-vacuous by
+    * construction: most docs are isolated, so Dⁱ is large and every
+    * rank differs from the drop-dangling gate. Same integer fixed
+    * point; the unrolled SQL carries a dangling-sum stage per round.
+    */
+  val pagerankDanglingGate: QueryDef = QueryDef(
+    "graph_pagerank_dangling",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.PageRank.pagerankDangling(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          edges, "src", "dst", iterations = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |nn AS (SELECT DISTINCT doc_id FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM nn),
+        |r0 AS (SELECT doc_id, (1000000000000 // n)::BIGINT AS r FROM nn CROSS JOIN cnt),
+        |d0 AS (SELECT (coalesce(sum(r0.r) FILTER (WHERE deg.src IS NULL), 0) // (SELECT n FROM cnt))::BIGINT AS dsh
+        |       FROM r0 LEFT JOIN deg ON deg.src = r0.doc_id),
+        |it1 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * (coalesce(s.m, 0) + d0.dsh)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt CROSS JOIN d0 LEFT JOIN
+        |          (SELECT e.dst, sum(r0.r // deg.d)::BIGINT AS m FROM e JOIN r0 ON r0.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |d1 AS (SELECT (coalesce(sum(it1.r) FILTER (WHERE deg.src IS NULL), 0) // (SELECT n FROM cnt))::BIGINT AS dsh
+        |       FROM it1 LEFT JOIN deg ON deg.src = it1.doc_id),
+        |it2 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * (coalesce(s.m, 0) + d1.dsh)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN
+        |          (SELECT e.dst, sum(it1.r // deg.d)::BIGINT AS m FROM e JOIN it1 ON it1.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |d2 AS (SELECT (coalesce(sum(it2.r) FILTER (WHERE deg.src IS NULL), 0) // (SELECT n FROM cnt))::BIGINT AS dsh
+        |       FROM it2 LEFT JOIN deg ON deg.src = it2.doc_id),
+        |it3 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * (coalesce(s.m, 0) + d2.dsh)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN
+        |          (SELECT e.dst, sum(it2.r // deg.d)::BIGINT AS m FROM e JOIN it2 ON it2.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
+        |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
-      snapshotDiffGate)
+      pagerankDanglingGate, snapshotDiffGate)
 }
 
 object TextQueries extends QueryGroup {
@@ -2940,7 +2992,9 @@ object EventQueries extends QueryGroup {
       """WITH st AS (SELECT event_type, count(*) AS n,
         |  sum(CAST(value AS DECIMAL(18,2))) AS s,
         |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
-        |  FROM events GROUP BY event_type HAVING count(*) >= 2),
+        |  FROM events GROUP BY event_type
+        |  HAVING count(*) >= 2
+        |    AND min(CAST(value AS DECIMAL(18,2))) <> max(CAST(value AS DECIMAL(18,2)))),
         |z AS (SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - s::DOUBLE / n)
         |    / sqrt((ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) * n / (n - 1)), 4) AS z
@@ -3017,7 +3071,30 @@ object IoQueries extends QueryGroup {
       "SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id"))
 
-  def defs: Seq[QueryDef] = Seq(jsonlRoundTrip, csvRoundTrip, zorderValues)
+  /** WARC round-trip extract ([[graft.sources.Warc]]) — the crawl
+    * entry-point format: documents written as member-per-record
+    * `.warc.gz` (record metadata closed-form in doc_id), read back by
+    * the streaming record parser, payload decoded and doc_id recovered
+    * from the target URI. Lossless by construction, so the oracle
+    * restates the extract straight off the parquet original — header
+    * framing, Content-Length byte math (UTF-8, not chars), and
+    * concatenated-gzip-member handling all sit under the hash.
+    */
+  val warcExtract: QueryDef = QueryDef(
+    "io_warc_extract",
+    (s, dir) =>
+      graft.sources.Warc.roundTripExtract(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || doc_id AS target_uri,
+        |  octet_length(encode(text)) AS n_bytes, text
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, zorderValues)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -114,6 +114,71 @@ class PageRankSpec extends SparkSpec {
     assert(a == b, s"$a != $b")
   }
 
+  test("dangling: two iterations match the hand-computed sink-graph ranks") {
+    val s = spark
+    import s.implicits._
+    // chain 1→2→3, node 3 is a sink. N=3: r0 = 333333333333 each,
+    // base = 15e12 div 300 = 50000000000.
+    // iter1: D = r(3) = 333333333333, share = D div 3 = 111111111111
+    //   r(1) = base + 85·(0+share) div 100            = 144444444444
+    //   r(2) = base + 85·(333333333333+share) div 100 = 427777777777
+    //   r(3) = base + 85·(333333333333+share) div 100 = 427777777777
+    // iter2: D = 427777777777, share = 142592592592
+    //   r(1) = base + 85·share div 100                        = 171203703703
+    //   r(2) = base + 85·(144444444444+share) div 100         = 293981481480
+    //   r(3) = base + 85·(427777777777+share) div 100         = 534814814813
+    val chainNodes = Seq(1L, 2L, 3L).toDF("id")
+    val chainEdges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.pagerankDangling(
+        chainNodes, "id", chainEdges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 171203703703L, 2L -> 293981481480L,
+      3L -> 534814814813L), s"got $got")
+  }
+
+  test("dangling: rank mass is conserved up to integer truncation") {
+    val s = spark
+    import s.implicits._
+    val chainNodes = Seq(1L, 2L, 3L).toDF("id")
+    val chainEdges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.pagerankDangling(
+        chainNodes, "id", chainEdges, "src", "dst", iterations = 3)
+      .agg(sum("rank_fp")).head().getLong(0)
+    // the drop-dangling variant would leak ~85% of the sink's rank per
+    // round; redistribution keeps the total within truncation slack
+    // (< 1 unit per node per arithmetic step)
+    assert(got <= PageRank.Scale && got >= PageRank.Scale - 100L,
+      s"mass not conserved: $got")
+  }
+
+  test("dangling on a graph with no dangling nodes equals plain pagerank") {
+    val s = spark
+    import s.implicits._
+    val cyc = Seq(1L, 2L, 3L).toDF("id")
+    val cycEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = PageRank.pagerankDangling(cyc, "id", cycEdges, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.pagerank(cyc, "id", cycEdges, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"$a != $b")
+  }
+
+  test("contract errors: empty graph and non-positive weights are rejected") {
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      PageRank.pagerank(
+        Seq.empty[Long].toDF("id"), "id", edges, "src", "dst")
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.pagerankWeighted(
+        nodes, "id",
+        Seq((1L, 2L, 0L), (2L, 1L, 3L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+  }
+
   test("iteration joins stay hash/sort equi-joins") {
     val plan = PageRank.pagerank(nodes, "id", edges, "src", "dst", iterations = 2)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** WARC source/sink: member-per-record round trip on real data,
+  * framing edge cases (truncation, missing Content-Length, garbage),
+  * FAILFAST vs audited quarantine, and file-level parallelism.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def freshDir(name: String): String = {
+    val p = Files.createTempDirectory(s"warc-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** Hand-roll one WARC record (optionally mangled) for edge cases. */
+  private def record(
+      id: Long, text: String, contentLength: Option[Long] = None,
+      truncatePayload: Int = 0): Array[Byte] = {
+    val payload = text.getBytes(StandardCharsets.UTF_8)
+    val len = contentLength.getOrElse(payload.length.toLong)
+    val header =
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: urn:graft:doc:$id\r\n" +
+        s"WARC-Target-URI: https://example.org/doc/$id\r\n" +
+        s"Content-Length: $len\r\n\r\n"
+    val body = payload.dropRight(truncatePayload)
+    header.getBytes(StandardCharsets.ISO_8859_1) ++ body ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("round trip preserves ids, payload bytes, and UTF-8 text") {
+    val dir = freshDir("rt")
+    Warc.write(docs, "doc_id", "text", s"$dir/out", numPartitions = 4)
+    val back = Warc.read(spark, s"$dir/out")
+      .select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    val orig = docs.select(col("doc_id"), col("text"))
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("writer emits one gzip member per record, reader spans members") {
+    val dir = freshDir("members")
+    val five = docs.limit(5)
+    Warc.write(five, "doc_id", "text", s"$dir/out", numPartitions = 1)
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = Files.readAllBytes(part.toPath)
+    // count gzip member headers: magic 1f 8b 08 at member starts
+    var members = 0
+    var i = 0
+    while (i + 2 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+        bytes(i + 2) == 8) members += 1
+      i += 1
+    }
+    assert(members == 5, s"expected 5 gzip members, found $members")
+    assert(Warc.read(spark, s"$dir/out").count() == 5)
+  }
+
+  test("content length counts UTF-8 bytes, not chars") {
+    val dir = freshDir("utf8")
+    val s = spark
+    import s.implicits._
+    val row = Seq((1L, "naïve — ünïcødé ✓")).toDF("doc_id", "text")
+    Warc.write(row, "doc_id", "text", s"$dir/out")
+    val got = Warc.read(spark, s"$dir/out")
+      .select(col("content_length"), col("payload").cast("string"))
+      .head()
+    assert(got.getLong(0) ==
+      "naïve — ünïcødé ✓".getBytes(StandardCharsets.UTF_8).length.toLong)
+    assert(got.getString(1) == "naïve — ünïcødé ✓")
+  }
+
+  test("strict read fails fast on a truncated payload") {
+    val dir = freshDir("trunc")
+    Files.write(Paths.get(dir, "bad.warc"),
+      record(1, "intact record") ++
+        record(2, "this payload gets cut", truncatePayload = 7))
+    val e = intercept[SparkException] {
+      Warc.read(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("truncated") ||
+      Option(e.getCause).exists(_.getMessage.contains("truncated")))
+  }
+
+  test("strict read fails fast on a missing Content-Length") {
+    val dir = freshDir("nolen")
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+      "orphan payload\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+    Files.write(Paths.get(dir, "bad.warc"), record(1, "ok") ++ noLen)
+    intercept[SparkException] {
+      Warc.read(spark, dir).collect()
+    }
+  }
+
+  test("audited read quarantines the failure, keeps prior records") {
+    val dir = freshDir("audit")
+    Files.write(Paths.get(dir, "bad.warc"),
+      record(1, "good one") ++ record(2, "also good") ++
+        "not a warc header at all\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    val rows = Warc.readAudited(spark, dir).collect()
+    val good = rows.filter(_.getAs[String]("_corrupt") == null)
+    val bad = rows.filter(_.getAs[String]("_corrupt") != null)
+    assert(good.length == 2)
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("_corrupt").contains("record #3"))
+    // a clean file in the same directory is unaffected
+    Files.write(Paths.get(dir, "good.warc"), record(9, "clean file"))
+    val again = Warc.readAudited(spark, dir)
+    assert(again.filter(col("_corrupt").isNull).count() == 3)
+  }
+
+  test("audited read flags gzip corruption instead of crashing") {
+    val dir = freshDir("gzbad")
+    val buf = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(buf)
+    gz.write(record(1, "compressed fine"))
+    gz.finish()
+    val whole = buf.toByteArray
+    // keep the gzip header, chop the deflate stream mid-flight
+    Files.write(Paths.get(dir, "bad.warc.gz"),
+      whole.dropRight(whole.length / 3))
+    val rows = Warc.readAudited(spark, dir).collect()
+    assert(rows.exists(_.getAs[String]("_corrupt") != null))
+  }
+
+  test("parallelism is per file: each archive is its own partition") {
+    val dir = freshDir("par")
+    Warc.write(docs, "doc_id", "text", s"$dir/out", numPartitions = 6)
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".warc.gz"))
+    assert(parts == 6)
+    assert(Warc.read(spark, s"$dir/out").rdd.getNumPartitions >= 1)
+    assert(Warc.read(spark, s"$dir/out").count() == docs.count())
+  }
+}

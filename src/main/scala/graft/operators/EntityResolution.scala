@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * Σ_blocks |b|², bounded by the key's selectivity, not corpus².
   * Scoring runs inside codegen on the joined rows; clustering reuses
   * the O(log n)-round label propagation. Skewed blocks (a dominant
-  * 2-char prefix) are the same hazard as any skewed join key — at
-  * cluster scale pair a hot-block salt or a frequency cap with this
-  * operator; the gate's dictionary keys are near-uniform.
+  * 2-char prefix — real name dictionaries are Zipfian) are the
+  * classic quadratic-task hazard: [[scoredPairsCapped]] bounds it with
+  * the standard blocking mitigation (Christen 2012 §4.2) — hot keys
+  * are SUB-BLOCKED by extending the key, and keys still over the cap
+  * after extension are DROPPED, so no block ever exceeds `maxBlock`
+  * and per-task work is provably ≤ maxBlock² per block. [[scoredPairs]]
+  * stays the uncapped contract for near-uniform dictionaries.
   */
 object EntityResolution {
 
@@ -59,6 +63,64 @@ object EntityResolution {
         // prefix pass (an untagged collision would silently widen both
         // blocks' candidate sets)
         concat(lit("sfx:"), expr(s"right(lower(s), $prefixLen)")))).as("bk"))
+    scoreKeyed(keyed, threshold)
+  }
+
+  /** Skew-hardened scored pairs: same multi-pass blocking and scoring
+    * as [[scoredPairs]], but no block is ever allowed to exceed
+    * `maxBlock` rows. A key over the cap is SUB-BLOCKED once — the key
+    * is extended with the next `subLen` lowercase chars (prefix pass:
+    * the chars after the prefix; suffix pass: the chars before the
+    * suffix) — and an extended key STILL over the cap is dropped
+    * entirely: its pairs are unscored by declared contract, the same
+    * stated trade-off as blocking itself. Result: candidate volume per
+    * key ≤ maxBlock², so one Zipf-hot key ("ma", "jo" in a person-name
+    * dictionary) can no longer pin a single task at |corpus|² work.
+    *
+    * The cap decision uses the block-count frame (|distinct keys| rows,
+    * broadcast back) — two map-side-combined aggregates, no extra wide
+    * shuffle over the dictionary.
+    */
+  def scoredPairsCapped(
+      df: DataFrame, strCol: String, idCol: String,
+      threshold: Double, prefixLen: Int = 2, maxBlock: Int = 50,
+      subLen: Int = 6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    require(subLen >= 1, s"subLen must be >= 1, got $subLen")
+    Dedup.requireLongCastableId(df, idCol)
+    val spark = df.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    // one-level sub-block + cap for one blocking pass: the keyed frame
+    // carries its extension chars; hot keys swap to key#ext, and keys
+    // hot even after extension are filtered out
+    def capPass(pass: DataFrame): DataFrame = {
+      val c1 = pass.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+      val extended = pass.join(broadcast(c1), Seq("bk"))
+        .select(col("id"), col("s"),
+          when(col("cnt") <= maxBlock, col("bk"))
+            .otherwise(concat(col("bk"), lit("#"), col("ext"))).as("bk"))
+      val c2 = extended.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+      extended.join(broadcast(c2), Seq("bk"))
+        .filter(col("cnt") <= maxBlock)
+        .select(col("id"), col("s"), col("bk"))
+    }
+    val pre = base.select(col("id"), col("s"),
+      substring(lower(col("s")), 1, prefixLen).as("bk"),
+      substring(lower(col("s")), prefixLen + 1, subLen).as("ext"))
+    val suf = base.select(col("id"), col("s"),
+      concat(lit("sfx:"), expr(s"right(lower(s), $prefixLen)")).as("bk"),
+      expr(s"substring(right(lower(s), ${prefixLen + subLen}), 1, $subLen)")
+        .as("ext"))
+    scoreKeyed(capPass(pre).unionByName(capPass(suf)), threshold)
+  }
+
+  /** Shared candidate join + scorer over a (id, s, bk) keyed frame. */
+  private def scoreKeyed(keyed: DataFrame, threshold: Double): DataFrame = {
     val a = keyed.select(col("bk"), col("id").as("id_a"), col("s").as("s_a"))
     val b = keyed.select(col("bk"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("bk"))

@@ -405,11 +405,44 @@ object DedupQueries extends QueryGroup {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Skew-hardened ER pairs ([[graft.operators.EntityResolution
+    * .scoredPairsCapped]]): no block may exceed maxBlock=6 rows — hot
+    * keys are sub-blocked by the next 6 chars, still-hot extended keys
+    * dropped by contract. On this dictionary every 8-row block crosses
+    * the cap, so the oracle (which replays cap, sub-block extension,
+    * and drop with the same window counts) is exercising the
+    * mitigation, not an idle code path.
+    */
+  val erPairsCapped: QueryDef = QueryDef(
+    "er_scored_pairs_capped",
+    (s, dir) =>
+      graft.operators.EntityResolution.scoredPairsCapped(
+          Tables(s, dir).part.groupBy(col("p_name"))
+            .agg(min(col("p_partkey")).as("id")),
+          "p_name", "id", threshold = 0.9, maxBlock = 6)
+        .orderBy("id_a", "id_b"),
+    Some(
+      """WITH p AS (SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
+        |k1 AS (SELECT id, s, substr(lower(s), 1, 2) AS bk, substr(lower(s), 3, 6) AS ext FROM p),
+        |k1e AS (SELECT id, s, CASE WHEN cnt <= 6 THEN bk ELSE bk || '#' || ext END AS bk
+        |        FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS cnt FROM k1)),
+        |k1f AS (SELECT id, s, bk FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS cnt FROM k1e) WHERE cnt <= 6),
+        |k2 AS (SELECT id, s, 'sfx:' || right(lower(s), 2) AS bk, substr(right(lower(s), 8), 1, 6) AS ext FROM p),
+        |k2e AS (SELECT id, s, CASE WHEN cnt <= 6 THEN bk ELSE bk || '#' || ext END AS bk
+        |        FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS cnt FROM k2)),
+        |k2f AS (SELECT id, s, bk FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS cnt FROM k2e) WHERE cnt <= 6),
+        |k AS (SELECT * FROM k1f UNION ALL SELECT * FROM k2f),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |         FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id)
+        |SELECT id_a, id_b, round(jaro_winkler_similarity(s_a, s_b), 6) AS jw
+        |FROM cand WHERE round(jaro_winkler_similarity(s_a, s_b), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
       embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic,
-      containment, editDistance, erPairs, erClusters, minhashExact,
-      simhashExact)
+      containment, editDistance, erPairs, erPairsCapped, erClusters,
+      minhashExact, simhashExact)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -401,6 +401,27 @@ object ScaleCheck {
         graft.operators.EntityResolution.scoredPairs(dictBig, "p_name", "id", 0.9))
     }
 
+    // capped ER under a Zipf-hot dictionary: 30% of a 50k-name
+    // dictionary shares ONE 2-char prefix ("ma…"), the uncapped
+    // contract's worst case (a 15k-row block = 112M candidate pairs in
+    // one task). The cap bounds every block at maxBlock, so candidates
+    // collapse from quadratic-in-hot-block to ≤ maxBlock² per
+    // surviving sub-block — the row to compare against er_pairs above.
+    {
+      val s2 = spark
+      import s2.implicits._
+      val hotDict = s2.range(0, 50000L * dup).select(col("id"),
+        when(col("id") % 10 < 3,
+          concat(lit("martha common "), col("id").cast("string")))
+          .otherwise(concat(
+            // near-uniform tail: spread first chars by id
+            substring(md5(col("id").cast("string")), 1, 6),
+            lit(" "), col("id").cast("string"))).as("p_name"))
+      time(s"er_pairs_capped_hot_${dup}x",
+        graft.operators.EntityResolution.scoredPairsCapped(
+          hotDict, "p_name", "id", 0.9, maxBlock = 100))
+    }
+
     spark.stop()
   }
 }

@@ -64,6 +64,55 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got(9L) == 9L, "singleton must keep its own id")
   }
 
+  test("capped: a hot block is sub-blocked, a still-hot extension is dropped") {
+    // 12 names share the hot prefix "ho" AND the hot suffix "zz"
+    // (both blocks over maxBlock=4). Prefix pass: the 6-char extension
+    // "t<L>xxxx" is group-determined → sub-blocks of 3, kept. Suffix
+    // pass: the extension is "zzzzzz" for every name → the extended
+    // key is STILL 12 rows → dropped by contract.
+    val hot = (0L until 12L).map { i =>
+      i -> s"hot${('a' + (i / 3).toInt).toChar}xxxx${i}zzzzzzzz"
+    } // hotaxxxx0zzz… hotaxxxx1zzz… hotbxxxx3zzz… … hotdxxxx11zzz…
+    val df = dict(hot: _*)
+    val capped = EntityResolution.scoredPairsCapped(
+        df, "name", "id", threshold = 0.1, maxBlock = 4, subLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // kept pairs only within 3-row sub-blocks: max candidate id gap 2
+    assert(capped.nonEmpty, "sub-blocked groups must still be scored")
+    assert(capped.forall { case (a, b) => a / 3 == b / 3 },
+      s"pair crossed a sub-block boundary (hot key not capped): $capped")
+    // the uncapped operator scores ALL 66 pairs — the hazard the cap bounds
+    val uncapped = EntityResolution.scoredPairs(
+        df, "name", "id", threshold = 0.1)
+      .count()
+    assert(uncapped == 66L, s"uncapped hot block must go quadratic: $uncapped")
+  }
+
+  test("capped equals uncapped when every block is under the cap") {
+    val df = dict(
+      1L -> "goldenrod lace", 2L -> "goldenrod lacy",
+      3L -> "xylophone lace", 4L -> "different thing")
+    val a = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = EntityResolution.scoredPairsCapped(
+        df, "name", "id", threshold = 0.5, maxBlock = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, s"cap must be a no-op on uniform blocks: $a != $b")
+  }
+
+  test("capped: candidate volume is bounded by maxBlock per block") {
+    // Zipf-hot dictionary: 200 names in ONE 2-char prefix block
+    val df = dict((1L to 200L).map(i => i -> s"ma$i common name"): _*)
+    val cap = 8
+    val keyed = EntityResolution.scoredPairsCapped(
+      df, "name", "id", threshold = 0.0001, maxBlock = cap, subLen = 2)
+    // with the cap, no block exceeds `cap`, so candidates ≤ Σ C(cap,2)
+    // per surviving block — far below the uncapped C(200,2)=19900
+    val n = keyed.count()
+    assert(n < 19900 / 4,
+      s"capped candidates must be far below the quadratic count: $n")
+  }
+
   test("the candidate join is a hash join on the block key, never a nested loop") {
     val df = dict((1L to 40L).map(i => i -> s"name number $i"): _*)
     val plan = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.9)

@@ -354,6 +354,15 @@ object ScaleCheck {
         graft.operators.Blocklist.flagMatches(blown, "text", "doc_id", pats5))
       time(s"blocklist_500pat_${dup}x",
         graft.operators.Blocklist.flagMatches(blown, "text", "doc_id", pats500))
+      // 10⁴ patterns: the documented real-list scale — the broadcast
+      // automaton must keep build+ship flat (one executor copy, not a
+      // per-stage closure re-serialization), and match cost stays
+      // linear in corpus chars
+      val pats10k = (0 until 10000).map(i => f"block$i%04d phrase") ++ pats5
+      time("blocklist_10kpat_1x",
+        graft.operators.Blocklist.flagMatches(docs, "text", "doc_id", pats10k))
+      time(s"blocklist_10kpat_${dup}x",
+        graft.operators.Blocklist.flagMatches(blown, "text", "doc_id", pats10k))
     }
 
     // compression ratio: per-row Deflater kernel, zero shuffles —

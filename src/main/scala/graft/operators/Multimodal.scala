@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * closed-form fn of doc_id) so the full encode→decode round trip is
   * oracle-checkable cross-engine:
   *
-  *   - [[decodeImages]]/[[resizeImages]] — `javax.imageio` PNG/BMP
+  *   - [[decodeImages]]/[[resizeImages]] — `javax.imageio` PNG/BMP/JPEG
   *     (format sniffed from magic bytes; width/height/pixel-sum/
   *     descriptor read from the actual raster; deterministic
-  *     nearest-neighbour resample).
+  *     nearest-neighbour resample). JPEG is the lossy one: metadata
+  *     sits under the hard oracle, pixel content under a spec-pinned
+  *     error bound.
   *   - [[decodeAudio]] — `javax.sound.sampled` WAV/PCM parse (sample
   *     rate/channels/exact 16-bit PCM sums from the real container).
   *   - [[sampleFrames]] — multi-frame animated GIF parse with
@@ -127,22 +129,46 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
-        val w = synthWidth(id)
-        val h = synthHeight(id)
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = synthPixel(x, y, id)
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          y += 1
-        }
         val fmt = if (id % 2 == 0) "png" else "bmp"
         val out = new ByteArrayOutputStream()
-        ImageIO.write(img, fmt, out)
+        ImageIO.write(paintSynthetic(id), fmt, out)
+        MediaRow(id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** The shared synthetic raster: gray pixel r=g=b=[[synthPixel]]. */
+  private def paintSynthetic(id: Long): BufferedImage = {
+    val w = synthWidth(id)
+    val h = synthHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = synthPixel(x, y, id)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** JPEG variant of the synthetic corpus — the dominant web image
+    * format, and the LOSSY one: the JDK encoder's DCT quantization
+    * perturbs pixel values, so unlike PNG/BMP the decoded content is
+    * oracle-checkable only through its exact metadata (format sniff,
+    * raster dimensions) plus a spec-pinned per-pixel error bound
+    * against [[synthPixel]] — the same pattern as the ANN gates'
+    * recall floors.
+    */
+  def syntheticJpegTable(documents: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(paintSynthetic(id), "jpg", out)
         MediaRow(id, out.toByteArray)
       }
     }.toDF("doc_id", "payload")
@@ -156,6 +182,9 @@ object Multimodal {
     else if (bytes.length >= 8 &&
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff) "jpeg"
     else ""
 
   /** Decode via ImageIO, mapping null, unrecognised, and CORRUPT

@@ -3150,6 +3150,7 @@ object MultimodalQueries extends QueryGroup {
       val docs = Tables(s, dir).documents
       (kind match {
         case "image" => Multimodal.syntheticImageTable(docs)
+        case "jpeg"  => Multimodal.syntheticJpegTable(docs)
         case "audio" => Multimodal.syntheticAudioTable(docs)
         case "video" => Multimodal.syntheticVideoTable(docs)
       }).localCheckpoint(true)
@@ -3254,5 +3255,31 @@ object MultimodalQueries extends QueryGroup {
         |FROM documents, unnest(range(0, doc_id % 9 + 2, 2)) AS t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(decodeStub, decodeReal, audioReal, frameSample)
+  /** REAL JPEG decode ([[graft.operators.Multimodal
+    * .syntheticJpegTable]] + [[graft.operators.Multimodal
+    * .decodeImages]]) — the dominant (and lossy) web image format.
+    * The JDK encoder's DCT quantization makes pixel values
+    * codec-defined, so the hard oracle covers what IS exact — the
+    * magic-byte sniff and the raster dimensions recomputed closed-form
+    * from doc_id — while MultimodalSpec pins the decoded content to a
+    * per-pixel error bound against the encoded pattern (the ANN
+    * recall-floor pattern for approximate outputs).
+    */
+  val jpegDecode: QueryDef = QueryDef(
+    "multimodal_jpeg_decode",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decodeImages(syntheticMediaFor(s, dir, "jpeg"))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, 'jpeg' AS format,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 4 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample)
 }

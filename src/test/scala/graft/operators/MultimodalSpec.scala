@@ -60,6 +60,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG decode: metadata exact, pixel content inside the lossy bound") {
+    implicit val s = spark
+    // metadata (sniff, dimensions) is EXACT — the hard-oracle side of
+    // the multimodal_jpeg_decode gate
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticJpegTable(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == docs.count())
+    decoded.foreach { case (id, f) =>
+      assert(f.format == "jpeg", s"doc $id sniffed as ${f.format}")
+      assert(f.width == Multimodal.synthWidth(id) &&
+        f.height == Multimodal.synthHeight(id))
+    }
+    // pixel content is codec-defined (DCT quantization) — pin it to an
+    // error bound vs the encoded pattern instead of an equality:
+    // measured max|err| = 42, mean = 6.8 on this corpus; bounds carry
+    // margin for JDK codec drift without ever letting a broken decode
+    // (shifted raster, channel swap → errors ~128) pass
+    val payloads = Multimodal.syntheticJpegTable(docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    var maxErr = 0
+    var sumErr = 0L
+    var n = 0L
+    payloads.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val e = math.abs(((img.getRGB(x, y) >> 16) & 0xff) -
+            Multimodal.synthPixel(x, y, id))
+          if (e > maxErr) maxErr = e
+          sumErr += e
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    assert(maxErr <= 64, s"per-pixel JPEG error out of bound: $maxErr")
+    assert(sumErr.toDouble / n <= 12.0,
+      s"mean JPEG error out of bound: ${sumErr.toDouble / n}")
+  }
+
   test("real decode drops undecodable payloads instead of failing") {
     implicit val s = spark
     import s.implicits._

@@ -144,6 +144,20 @@ object Blocklist {
     }
   }
 
+  /** (n_patterns, n_hits) from one automaton pass over lowered text. */
+  @inline private def summarize(a: Automaton, text: String): (Long, Long) = {
+    val counts = a.countMatches(text.toLowerCase)
+    var hit = 0L
+    var total = 0L
+    var i = 0
+    while (i < counts.length) {
+      if (counts(i) > 0) hit += 1
+      total += counts(i)
+      i += 1
+    }
+    (hit, total)
+  }
+
   /** (id, n_patterns, n_hits) per document; see the object doc for the
     * match contract. `patterns` are matched case-insensitively.
     */
@@ -160,18 +174,37 @@ object Blocklist {
       .mapPartitions { it =>
         val a = auto.value
         it.map { case (id, text) =>
-          val counts = a.countMatches(text.toLowerCase)
-          var hit = 0L
-          var total = 0L
-          var i = 0
-          while (i < counts.length) {
-            if (counts(i) > 0) hit += 1
-            total += counts(i)
-            i += 1
-          }
+          val (hit, total) = summarize(a, text)
           (id, hit, total)
         }
       }
       .toDF(idCol, "n_patterns", "n_hits")
+  }
+
+  /** [[flagMatches]] with the event-time column carried through the
+    * kernel — the shape a streaming windowed aggregation needs
+    * (recovering the timestamp afterwards would be a stream-stream
+    * join). Stateless, so it runs identically on a batch frame and on
+    * a stream; see [[graft.streaming.CorpusMonitor.blocklistByWindow]].
+    */
+  def flagMatchesWithTs(
+      docs: DataFrame, textCol: String, idCol: String, tsCol: String,
+      patterns: Seq[String]): DataFrame = {
+    Dedup.requireLongCastableId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val auto = spark.sparkContext.broadcast(
+      Automaton(patterns.map(_.toLowerCase).toArray))
+    docs.select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(textCol))
+      .as[(Long, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        val a = auto.value
+        it.map { case (id, ts, text) =>
+          val (hit, total) = summarize(a, text)
+          (id, ts, hit, total)
+        }
+      }
+      .toDF(idCol, tsCol, "n_patterns", "n_hits")
   }
 }

@@ -2238,7 +2238,8 @@ object TextQueries extends QueryGroup {
         |JOIN ls ON ls.l = d.l JOIN rs ON rs.r = d.r CROSS JOIN bb
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
-  private val BlocklistPatterns = Seq("spark", "data", "at", "customer", "er")
+  private[queries] val BlocklistPatterns =
+    Seq("spark", "data", "at", "customer", "er")
 
   /** Aho–Corasick blocklist matching ([[graft.operators.Blocklist]]):
     * one automaton pass per doc regardless of pattern count; the
@@ -3035,11 +3036,81 @@ object EventQueries extends QueryGroup {
         |SELECT event_id, event_type, value, z FROM z
         |WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin))
 
+  /** Streaming safety-monitor composition under the batch contract
+    * ([[graft.streaming.CorpusMonitor.blocklistByWindow]] +
+    * [[graft.operators.EventSequences.zscoreAnomalies]]): per event-
+    * time window, blocklist-hit stats from the broadcast Aho–Corasick
+    * kernel, then hit-volume outlier windows flagged by z-score — the
+    * "spam burst in this hour" alert. Total assignment: every window
+    * row is emitted, `z` non-null only where |z| ≥ 1. The oracle
+    * replays per-position match counts, hour truncation, the exact-
+    * decimal window stats, and the z arithmetic.
+    */
+  val blocklistMonitor: QueryDef = QueryDef(
+    "events_blocklist_monitor",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("ts",
+          expr("timestamp'2024-01-01 00:00:00' + doc_id * interval '1' minute"))
+      val windows = graft.streaming.CorpusMonitor.blocklistByWindow(
+          docs, "ts", "text", "doc_id", TextQueries.BlocklistPatterns)
+        .withColumn("wid", unix_timestamp(col("window_start")).cast("long"))
+      val anomalies = graft.operators.EventSequences.zscoreAnomalies(
+        windows.select(col("wid").as("window_id"),
+          lit("hits").as("metric"),
+          col("total_hits").cast("double").as("value")),
+        typeCol = "metric", idCol = "window_id", valueCol = "value",
+        threshold = 1.0)
+      windows
+        .join(anomalies.select(col("window_id").as("wid"), col("z")),
+          Seq("wid"), "left")
+        .select(col("window_start"), col("n_docs"), col("n_flagged"),
+          col("flagged_share"), col("total_hits"), col("max_hits"), col("z"))
+        .orderBy("window_start")
+    },
+    Some {
+      val pats = TextQueries.BlocklistPatterns
+      val hs = pats.zipWithIndex.map { case (p, i) =>
+        s"len(list_filter(range(1, len(t) - ${p.length} + 2), " +
+          s"i -> substr(t, i, ${p.length}) = '$p')) AS h$i"
+      }.mkString(",\n  ")
+      val nPat = pats.indices
+        .map(i => s"CASE WHEN h$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val nHits = pats.indices.map(i => s"h$i").mkString(" + ")
+      s"""WITH tt AS (SELECT doc_id, lower(text) AS t,
+         |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+         |  FROM documents),
+         |h AS (SELECT doc_id, ts,
+         |  $hs FROM tt),
+         |d AS (SELECT doc_id, date_trunc('hour', ts) AS window_start,
+         |    ($nPat)::BIGINT AS n_patterns, ($nHits)::BIGINT AS n_hits
+         |  FROM h),
+         |w AS (SELECT window_start, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN n_patterns > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+         |    round(sum(CASE WHEN n_patterns > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS flagged_share,
+         |    sum(n_hits)::BIGINT AS total_hits, max(n_hits)::BIGINT AS max_hits
+         |  FROM d GROUP BY 1),
+         |st AS (SELECT count(*) AS n, sum(CAST(total_hits AS DECIMAL(18,2))) AS s,
+         |    sum(CAST(total_hits AS DECIMAL(18,2)) * CAST(total_hits AS DECIMAL(18,2))) AS ss
+         |  FROM w
+         |  HAVING count(*) >= 2
+         |    AND min(CAST(total_hits AS DECIMAL(18,2))) <> max(CAST(total_hits AS DECIMAL(18,2)))),
+         |zf AS (SELECT window_start AS zw,
+         |    round((total_hits - s::DOUBLE / n)
+         |      / sqrt((ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) * n / (n - 1)), 4) AS z
+         |  FROM w CROSS JOIN st),
+         |za AS (SELECT zw, z FROM zf WHERE abs(z) >= 1.0)
+         |SELECT window_start, n_docs, n_flagged, flagged_share,
+         |  total_hits, max_hits, za.z AS z
+         |FROM w LEFT JOIN za ON za.zw = w.window_start
+         |ORDER BY window_start""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
-      markovTransitions, attribution, zscoreAnomaly)
+      markovTransitions, attribution, zscoreAnomaly, blocklistMonitor)
 }
 
 object IoQueries extends QueryGroup {

@@ -56,4 +56,46 @@ object CorpusMonitor {
         col("lang_pred"), col("n_docs"), col("avg_tokens"),
         col("max_tokens"), col("avg_quality"), col("low_quality_share"))
   }
+
+  /** The safety face of the monitor: per tumbling event-time window,
+    * blocklist-hit statistics from ONE broadcast-automaton pass
+    * ([[graft.operators.Blocklist.flagMatchesWithTs]]) — doc count,
+    * flagged docs (≥1 pattern present), flagged share, total and max
+    * occurrence counts. The kernel is stateless and scan-local, so the
+    * identical code runs on a stream under a watermark (state per
+    * window is five sums, dropped when the watermark closes it); batch
+    * ≡ streaming is spec-asserted and the batch face sits under the
+    * DuckDB oracle (events_blocklist_monitor), composed there with
+    * [[graft.operators.EventSequences.zscoreAnomalies]] to flag
+    * hit-volume outlier windows — the "a spam burst landed in this
+    * hour" alert.
+    *
+    * The share is computed from exact integer sums in one fixed double
+    * association (the [[qualityByWindow]] discipline), so cross-engine
+    * hashes match.
+    */
+  def blocklistByWindow(
+      docs: DataFrame, tsCol: String, textCol: String, idCol: String,
+      patterns: Seq[String], windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val flagged = graft.operators.Blocklist.flagMatchesWithTs(
+      docs, textCol, idCol, tsCol, patterns)
+    val withMark =
+      if (flagged.isStreaming) flagged.withWatermark(tsCol, watermarkDelay)
+      else flagged
+    val n = count(lit(1))
+    val nFlagged = sum(when(col("n_patterns") > 0, 1L).otherwise(0L))
+    withMark
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        n.as("n_docs"),
+        nFlagged.as("n_flagged"),
+        round(nFlagged.cast("double") / n, 6).as("flagged_share"),
+        sum(col("n_hits")).as("total_hits"),
+        max(col("n_hits")).as("max_hits"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_docs"), col("n_flagged"), col("flagged_share"),
+        col("total_hits"), col("max_hits"))
+  }
 }

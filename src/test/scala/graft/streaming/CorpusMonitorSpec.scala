@@ -68,6 +68,66 @@ class CorpusMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blocklist monitor: streaming windows emit hit stats under a watermark") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pats = Seq("spam", "junk")
+    val docs = Seq(
+      (1L, ts(1), "clean text here"),
+      (2L, ts(2), "spam spam and more junk"),   // 3 hits, flagged
+      (3L, ts(31), "junk only"),                // next window, 1 hit
+      (4L, ts(32), "nothing bad"))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](s)
+    val q = CorpusMonitor.blocklistByWindow(
+        in.toDF.toDF("doc_id", "ts", "text"), "ts", "text", "doc_id", pats,
+        windowDuration = "30 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("blocklist_monitor")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("blocklist_monitor")
+        .orderBy("window_start").collect()
+      assert(got.length == 2)
+      val w1 = got(0)
+      assert(w1.getAs[Long]("n_docs") == 2 &&
+        w1.getAs[Long]("n_flagged") == 1 &&
+        w1.getAs[Long]("total_hits") == 3 &&
+        w1.getAs[Long]("max_hits") == 3)
+      assert(w1.getAs[Double]("flagged_share") == 0.5)
+      val w2 = got(1)
+      assert(w2.getAs[Long]("n_docs") == 2 &&
+        w2.getAs[Long]("n_flagged") == 1 &&
+        w2.getAs[Long]("total_hits") == 1)
+    } finally q.stop()
+  }
+
+  test("blocklist monitor: batch and streaming produce identical windows") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pats = Seq("the", "und")
+    val docs = rows.zipWithIndex.map { case ((t, text), i) => (i.toLong, t, text) }
+    val batch = CorpusMonitor.blocklistByWindow(
+        docs.toDF("doc_id", "ts", "text"), "ts", "text", "doc_id", pats,
+        windowDuration = "30 minutes")
+      .orderBy("window_start").collect().map(_.toSeq).toSeq
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](s)
+    val q = CorpusMonitor.blocklistByWindow(
+        in.toDF.toDF("doc_id", "ts", "text"), "ts", "text", "doc_id", pats,
+        windowDuration = "30 minutes")
+      .writeStream.format("memory").queryName("blocklist_monitor_b")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("blocklist_monitor_b")
+        .orderBy("window_start").collect().map(_.toSeq).toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("low-quality share flags a bad batch inside its window") {
     val s = spark
     import s.implicits._

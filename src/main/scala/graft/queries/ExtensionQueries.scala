@@ -450,12 +450,14 @@ object SimilarityQueries extends QueryGroup {
   /** Brute-force top-10 for query vector 0 — the expected side of every
     * exact-equivalence ANN gate below as well as the baseline's own.
     */
-  private val bruteForceTop10Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |q AS (SELECT v FROM e WHERE vec_id = 0)
-      |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
-      |FROM e, q WHERE e.vec_id <> 0
-      |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+  private def bruteForceTop10SqlFor(qid: Long): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = $qid)
+       |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
+       |FROM e, q WHERE e.vec_id <> $qid
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+
+  private val bruteForceTop10Sql: String = bruteForceTop10SqlFor(0L)
 
   /** Exact brute-force cosine top-k — the ANN baseline. */
   val topK: QueryDef = QueryDef(
@@ -553,6 +555,53 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
     },
     None)
+
+  /** Exact-equivalence twin for the BATCH IVF probe: with nProbes =
+    * numCentroids every query's probed union is the whole corpus, so
+    * the batch fan-out (broadcast routes, shared pruned scan, per-query
+    * window rank, self-exclusion) must reproduce the brute-force batch
+    * top-k bit for bit — the same oracle as `sim_topk_batch`. The
+    * pruned-probe batch gate above stays rows-only by design.
+    */
+  val annIvfBatchExact: QueryDef = QueryDef(
+    "sim_ann_ivf_batch_exact",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.ivfIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), numCentroids = 16)
+      val queries = Seq(0L, 1L, 2L).map(q =>
+        q -> AnnIndex.lookupVector(emb, "vec_id", "embedding", q))
+      AnnIndex.ivfTopKBatch(s, idx, "vec_id", "embedding",
+          queries, k = 5, nProbes = 16)
+        .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |      FROM e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin))
+
+  /** Exact-equivalence twin for the MULTI-PROBE LSH path on a probe
+    * route of its own: query vector 7 (a different bucket walk than
+    * the `sim_ann_lsh_exact` query-0 twin), maxHamming = numPlanes so
+    * the hamming-neighbour enumeration visits every one of the 2^4
+    * bucket directories — the enumeration machinery itself must
+    * reassemble the exact brute-force top-k for ITS query.
+    */
+  val annLshMultiProbeExact: QueryDef = QueryDef(
+    "sim_ann_lsh_multiprobe_exact",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = AnnIndex.lshIndexFor(emb, "vec_id", "embedding",
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), dim = 64, numPlanes = 4)
+      AnnIndex.lshTopK(s, idx, "vec_id", "embedding",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 7L),
+        k = 10, excludeId = Some(7L), maxHamming = 4)
+    },
+    Some(bruteForceTop10SqlFor(7L)))
 
   /** Exact-equivalence gate for the persisted IVF probe: probing ALL
     * numCentroids cells must return exactly the brute-force top-k —
@@ -926,7 +975,8 @@ object SimilarityQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
-      annIvfExact, annLshExact, annIvfPqExact,
+      annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
+      annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
       clusterNmi)

@@ -148,6 +148,40 @@ object Warc {
       .toDF()
   }
 
+  /** Streaming read of a WARC drop directory — the continuous-crawl
+    * ingest shape (the [[Jsonl.readStream]] contract): new `.warc(.gz)`
+    * part files land, each micro-batch admits up to `maxFilesPerTrigger`
+    * whole archives (`binaryFile` source — the FILE is the unit, gzip
+    * members don't split), and the same record parser as [[read]] runs
+    * over each file's bytes. Always audited: a malformed record becomes
+    * a `_corrupt` row — FAILFAST inside a stream would poison the
+    * trigger and wedge the query on one bad archive.
+    */
+  def readStream(
+      spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // binaryFile's schema is FIXED by the source, but a streaming
+      // read must still state it explicitly (no inference on streams)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val raw = new BufferedInputStream(
+          new java.io.ByteArrayInputStream(bytes), 1 << 16)
+        val in =
+          if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+          else raw
+        recordIterator(file, in, failFast = false)
+      }
+      .toDF()
+  }
+
   /** Lazy record-at-a-time iterator over one archive stream; closes the
     * stream at EOF or on the quarantined failure row.
     */
@@ -252,8 +286,12 @@ object Warc {
     * parquet table.
     */
   def roundTripExtract(docs: DataFrame, tag: String): DataFrame = {
-    val path = written.getOrElseUpdate(tag) {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft-warc/$tag"
+    // a leading '_' or '.' would make Hadoop's FileInputFormat treat
+    // the corpus DIRECTORY itself as hidden (binaryFiles lists through
+    // hiddenFileFilter) and fail with "input path does not exist"
+    val safeTag = tag.replaceAll("^[_.]+", "")
+    val path = written.getOrElseUpdate(safeTag) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-warc/$safeTag"
       write(docs, "doc_id", "text", p, numPartitions = 8)
       p
     }

@@ -138,6 +138,34 @@ class WarcSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("_corrupt") != null))
   }
 
+  test("streaming drop-directory ingest matches the batch read") {
+    val dir = freshDir("stream")
+    val five = docs.limit(5)
+    Warc.write(five, "doc_id", "text", s"$dir/out", numPartitions = 2)
+    val q = Warc.readStream(spark, s"$dir/out", maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("warc_stream")
+        .select(col("record_id"), col("payload").cast("string"))
+      val batch = Warc.read(spark, s"$dir/out")
+        .select(col("record_id"), col("payload").cast("string"))
+      assert(streamed.count() == 5)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      // a file landing later is picked up incrementally, including its
+      // quarantined corrupt tail
+      Files.write(Paths.get(s"$dir/out", "late.warc"),
+        record(99, "late arrival") ++
+          "garbage trailer\r\n".getBytes(StandardCharsets.ISO_8859_1))
+      q.processAllAvailable()
+      val after = spark.table("warc_stream")
+      assert(after.filter(col("_corrupt").isNull).count() == 6)
+      assert(after.filter(col("_corrupt").isNotNull).count() == 1)
+    } finally q.stop()
+  }
+
   test("parallelism is per file: each archive is its own partition") {
     val dir = freshDir("par")
     Warc.write(docs, "doc_id", "text", s"$dir/out", numPartitions = 6)

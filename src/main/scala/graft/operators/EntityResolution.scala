@@ -119,6 +119,23 @@ object EntityResolution {
     scoreKeyed(capPass(pre).unionByName(capPass(suf)), threshold)
   }
 
+  /** Total cluster assignment over the CAPPED pair graph — the
+    * skew-hardened composition for Zipfian dictionaries: same
+    * transitive-closure semantics as [[clusters]], candidates bounded
+    * per [[scoredPairsCapped]].
+    */
+  def clustersCapped(
+      df: DataFrame, strCol: String, idCol: String,
+      threshold: Double, prefixLen: Int = 2, maxBlock: Int = 50,
+      subLen: Int = 6): DataFrame = {
+    val pairs = scoredPairsCapped(
+      df, strCol, idCol, threshold, prefixLen, maxBlock, subLen)
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comp.select(col("node").as("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+  }
+
   /** Shared candidate join + scorer over a (id, s, bk) keyed frame. */
   private def scoreKeyed(keyed: DataFrame, threshold: Double): DataFrame = {
     val a = keyed.select(col("bk"), col("id").as("id_a"), col("s").as("s_a"))

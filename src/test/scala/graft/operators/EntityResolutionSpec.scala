@@ -113,6 +113,18 @@ class EntityResolutionSpec extends SparkSpec {
       s"capped candidates must be far below the quadratic count: $n")
   }
 
+  test("capped clusters equal uncapped clusters when no block is hot") {
+    val df = dict(
+      1L -> "cornflower blue", 2L -> "cornflower blu",
+      3L -> "cornflower bl", 9L -> "entirely different")
+    val a = EntityResolution.clusters(df, "name", "id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = EntityResolution.clustersCapped(
+        df, "name", "id", threshold = 0.9, maxBlock = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"$a != $b")
+  }
+
   test("the candidate join is a hash join on the block key, never a nested loop") {
     val df = dict((1L to 40L).map(i => i -> s"name number $i"): _*)
     val plan = EntityResolution.scoredPairs(df, "name", "id", threshold = 0.9)

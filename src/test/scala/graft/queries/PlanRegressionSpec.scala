@@ -161,6 +161,44 @@ class PlanRegressionSpec extends SparkSpec {
       }
   }
 
+  test("dangling pagerank keeps the shuffled-hash pin and adds no joins") {
+    // the dangling variant adds ONE node-scale aggregate per round —
+    // never an extra edge-scale join, and never a sort-merge round
+    val ks = kinds("graph_pagerank_dangling")
+    assert(!ks.exists(_.contains("SortMergeJoin")),
+      s"dangling edge join degenerated to sort-merge: $ks")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+  }
+
+  test("capped ER stays a hash equi-join through sub-blocking") {
+    // the cap machinery (two block-count joins + key rewrite) must not
+    // degrade the candidate join into a nested loop — the whole point
+    // is bounding the equi-join's per-key work
+    val ks = kinds("er_scored_pairs_capped")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+    assert(!ks.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"nested-loop join crept in: $ks")
+  }
+
+  test("warc extract and jpeg decode carry only their orderBy exchange") {
+    // both are file/partition-local kernels (record parser, codec);
+    // the single range exchange is the gate's deterministic orderBy
+    Seq("io_warc_extract", "multimodal_jpeg_decode").foreach { gate =>
+      val ks = kinds(gate)
+      assert(ks.count(_.contains("Exchange")) <= 1,
+        s"$gate grew a shuffle beyond the orderBy: $ks")
+    }
+  }
+
+  test("blocklist monitor: window stats broadcast, no degenerate join") {
+    // the z-score stats frame is metric-vocabulary-sized and must
+    // broadcast back onto the window rows, not shuffle them
+    val ks = kinds("events_blocklist_monitor")
+    assert(ks.contains("BroadcastHashJoinExec"),
+      s"stats should broadcast: $ks")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+  }
+
   test("snapshot diff joins digests, not document text") {
     // both sides project (id, md5) BEFORE the full-outer exchange — the
     // join input schemas must not carry the text column

@@ -13,6 +13,30 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Heuristic HTML→text extraction as one codegen'd column-expression
+    * chain — the crawl front end's boilerplate step (CCNet/Gopher-style
+    * pipelines start from exactly this shape after WARC/HTTP split):
+    * drop `<script>`/`<style>` blocks, strip remaining tags, decode the
+    * six commonest entities (`&amp;` LAST, so double-escaped sequences
+    * like `&amp;lt;` decode to the literal `&lt;` and never cascade),
+    * collapse whitespace. The CONTRACT is this exact chain, mirrored
+    * in the oracle SQL — a deterministic heuristic, not an HTML5
+    * parser: malformed nesting degrades to extra whitespace, never to
+    * an error or a skipped row. Zero shuffles, whole-stage codegen.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) =>
+        replace(acc, lit(e), lit(r))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** BPE-ish subword token count: words, numbers, and individual
     * punctuation as separate tokens (the usual pre-tokenizer split).
     */

@@ -3247,8 +3247,43 @@ object IoQueries extends QueryGroup {
         |  octet_length(encode(text)) AS n_bytes, text
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** The complete crawl front end under ONE hash
+    * ([[graft.sources.Warc.writeHttp]] → [[graft.sources.Warc
+    * .splitHttp]] → [[graft.operators.TextAnalysis.htmlToText]]):
+    * documents become HTTP-response WARC records (status line +
+    * headers + HTML body from a deterministic template), are read
+    * back through the record parser, split at the RFC 9112 header/
+    * body boundary, and reduced to clean text by the column-only
+    * HTML extractor. The oracle rebuilds the template and replays the
+    * IDENTICAL regex/replace chain in DuckDB — script/style removal,
+    * tag strip, entity decode order (amp last), whitespace collapse —
+    * so the extraction contract itself is hash-pinned end to end.
+    */
+  val warcHttpExtract: QueryDef = QueryDef(
+    "io_warc_http_extract",
+    (s, dir) =>
+      graft.sources.Warc.roundTripHttpExtract(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style><script>var docId = ' || doc_id
+        |    || ';</script></head><body><h1>Doc ' || doc_id || '</h1><p>' || text || ' &amp; more</p></body></html>' AS html
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, regexp_replace(html, '<script.*?</script>', ' ', 'gis') AS x FROM h),
+        |t2 AS (SELECT doc_id, regexp_replace(x, '<style.*?</style>', ' ', 'gis') AS x FROM t1),
+        |t3 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM t2),
+        |t4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM t3)
+        |SELECT doc_id, 200 AS http_status,
+        |  'text/html; charset=utf-8' AS content_type,
+        |  trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
+        |FROM t4 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, zorderValues)
+    Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
+      zorderValues)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -90,8 +90,87 @@ object Warc {
     }.count(): Unit
   }
 
+  /** HTTP-response variant of the synthetic corpus — the shape REAL
+    * crawl archives carry (`WARC-Type: response`, payload =
+    * `application/http; msgtype=response`: status line + headers +
+    * blank line + HTML body). The HTML wraps the document text in a
+    * deterministic template (title/h1/script/style/entity), so the
+    * whole front-end chain — WARC framing → HTTP split → HTML→text —
+    * is closed-form replayable from (doc_id, text).
+    */
+  def writeHttp(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      numPartitions: Int = 0): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base0 = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    val base = if (numPartitions > 0) base0.repartition(numPartitions) else base0
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsDriver = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsDriver.exists(root)) fsDriver.delete(root, true)
+    fsDriver.mkdirs(root)
+    base.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(
+          path, f"part-$idx%05d.warc.gz")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        var n = 0L
+        try it.foreach { case (id, text) =>
+          val body = htmlFor(id, if (text == null) "" else text)
+            .getBytes(StandardCharsets.UTF_8)
+          val head =
+            s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n"
+          writeRecordBytes(out, id,
+            head.getBytes(StandardCharsets.ISO_8859_1) ++ body,
+            "application/http; msgtype=response")
+          n += 1
+        } finally out.close()
+        Iterator.single(n)
+      }
+    }.count(): Unit
+  }
+
+  /** The deterministic HTML template (closed-form in id + text). */
+  def htmlFor(id: Long, text: String): String =
+    s"<html><head><title>Doc $id</title>" +
+      "<style>p { margin: 0; }</style>" +
+      s"<script>var docId = $id;</script></head>" +
+      s"<body><h1>Doc $id</h1><p>$text &amp; more</p></body></html>"
+
+  /** Split `application/http` response payloads into status line,
+    * content type, and body — pure column expressions (the first
+    * CRLF CRLF is the header/body boundary per RFC 9112; malformed
+    * payloads yield status null and an empty body, never an error).
+    */
+  def splitHttp(records: DataFrame): DataFrame = {
+    val p = col("payload").cast("string")
+    val boundary = locate("\r\n\r\n", p)
+    // regexp_extract yields '' on no match, and ''.cast(int) THROWS
+    // under ANSI — route through nullif so malformed payloads yield
+    // null status, not a task failure
+    val statusStr = regexp_extract(p, "^HTTP/1\\.[01] (\\d+)", 1)
+    records
+      .withColumn("http_status",
+        when(statusStr =!= "", statusStr.cast("int")))
+      .withColumn("http_content_type",
+        regexp_extract(p, "(?i)content-type:\\s*([^\\r\\n]+)", 1))
+      .withColumn("body",
+        when(boundary > 0, p.substr(boundary + lit(4), length(p)))
+          .otherwise(lit("")))
+  }
+
   /** One record = one finished gzip member on the shared stream. */
-  private def writeRecord(out: OutputStream, id: Long, text: String): Unit = {
+  private def writeRecord(out: OutputStream, id: Long, text: String): Unit =
+    writeRecordBytes(out, id, text.getBytes(StandardCharsets.UTF_8),
+      "text/plain; charset=utf-8")
+
+  private def writeRecordBytes(
+      out: OutputStream, id: Long, payload: Array[Byte],
+      contentType: String): Unit = {
     // shield the part-file stream: GZIPOutputStream.close() must end
     // its Deflater without closing the underlying file
     val shield = new FilterOutputStream(out) {
@@ -100,14 +179,13 @@ object Warc {
       override def close(): Unit = flush()
     }
     val gz = new GZIPOutputStream(shield, 64 * 1024)
-    val payload = text.getBytes(StandardCharsets.UTF_8)
     val header =
       s"""WARC/1.0\r
          |WARC-Type: response\r
          |WARC-Record-ID: urn:graft:doc:$id\r
          |WARC-Date: 2024-01-01T00:00:00Z\r
          |WARC-Target-URI: https://example.org/doc/$id\r
-         |Content-Type: text/plain; charset=utf-8\r
+         |Content-Type: $contentType\r
          |Content-Length: ${payload.length}\r
          |\r
          |""".stripMargin
@@ -302,5 +380,28 @@ object Warc {
         col("target_uri"),
         col("content_length").as("n_bytes"),
         col("payload").cast("string").as("text"))
+  }
+
+  /** Full crawl front-end round trip for the oracle gate: documents
+    * written as HTTP-response WARC records (deterministic HTML
+    * template), read back, HTTP-split, and HTML-extracted — the
+    * complete raw-crawl → clean-text chain under one hash. Status and
+    * content type surface as columns so the HTTP parse is checked,
+    * not just the final text.
+    */
+  def roundTripHttpExtract(docs: DataFrame, tag: String): DataFrame = {
+    val safeTag = tag.replaceAll("^[_.]+", "") + ".http"
+    val path = written.getOrElseUpdate(safeTag) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-warc/$safeTag"
+      writeHttp(docs, "doc_id", "text", p, numPartitions = 8)
+      p
+    }
+    splitHttp(read(docs.sparkSession, path))
+      .select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("http_status"),
+        col("http_content_type").as("content_type"),
+        graft.operators.TextAnalysis.htmlToText(col("body")).as("text"))
   }
 }

@@ -15,6 +15,31 @@ class TextAnalysisSpec extends SparkSpec {
   private def eval(text: String, c: org.apache.spark.sql.Column): Any =
     one(text).select(c).collect().head.get(0)
 
+  test("html to text: tags stripped, script/style dropped, entities decoded") {
+    import org.apache.spark.sql.functions.col
+    val html = "<html><head><title>T</title><style>p{color:red}</style>" +
+      "<script>var x = '<p>not text</p>';</script></head>" +
+      "<body><h1>Head</h1><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;</p></body></html>"
+    assert(eval(html, TextAnalysis.htmlToText(col("text"))) ==
+      "T Head Tom & Jerry <3 \"quoted\"")
+  }
+
+  test("html to text: amp decodes LAST so double-escapes never cascade") {
+    import org.apache.spark.sql.functions.col
+    // &amp;lt; is the ESCAPED text "&lt;" — must render as the literal
+    // string "&lt;", not cascade-decode to "<"
+    assert(eval("<p>&amp;lt;tag&amp;gt;</p>",
+      TextAnalysis.htmlToText(col("text"))) == "&lt;tag&gt;")
+  }
+
+  test("html to text: malformed nesting degrades to whitespace, not error") {
+    import org.apache.spark.sql.functions.col
+    assert(eval("<p>open <b>bold <i>never closed",
+      TextAnalysis.htmlToText(col("text"))) == "open bold never closed")
+    assert(eval("plain text, no markup at all",
+      TextAnalysis.htmlToText(col("text"))) == "plain text, no markup at all")
+  }
+
   test("token counts: whitespace and bpe-ish") {
     assert(eval("the quick  brown fox", TextAnalysis.tokenCount(col("text"))) == 4)
     assert(eval("ab, cd3", TextAnalysis.bpeishTokenCount(col("text"))) == 4)

@@ -138,6 +138,53 @@ class WarcSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("_corrupt") != null))
   }
 
+  test("http corpus: status, content type, and body split at the CRLF boundary") {
+    val dir = freshDir("http")
+    Warc.writeHttp(docs.limit(10), "doc_id", "text", s"$dir/out", 2)
+    val got = Warc.splitHttp(Warc.read(spark, s"$dir/out"))
+      .select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        col("warc_type"), col("content_type"),
+        col("http_status"), col("http_content_type"), col("body"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 10)
+    got.foreach { case (id, r) =>
+      assert(r.getAs[String]("warc_type") == "response")
+      assert(r.getAs[String]("content_type")
+        .startsWith("application/http"))
+      assert(r.getAs[Int]("http_status") == 200)
+      assert(r.getAs[String]("http_content_type") == "text/html; charset=utf-8")
+      val body = r.getAs[String]("body")
+      assert(body.startsWith("<html>") && body.endsWith("</html>"),
+        s"body not split at the header boundary for doc $id")
+    }
+  }
+
+  test("http split: payload without a header boundary yields null status, empty body") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "not an http payload at all".getBytes(StandardCharsets.UTF_8)))
+      .toDF("doc_id", "payload")
+    val r = Warc.splitHttp(rows).collect().head
+    assert(r.getAs[Any]("http_status") == null)
+    assert(r.getAs[String]("body") == "")
+  }
+
+  test("http extract recovers the document text through the full chain") {
+    val five = docs.limit(5)
+    val got = Warc.roundTripHttpExtract(five, tag = "spec_http_chain")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = five.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, t) =>
+      // template adds "Doc N" (title + h1) before and "& more" after
+      assert(t == s"Doc $id Doc $id ${expected(id)} & more"
+        .replaceAll("\\s+", " ").trim, s"chain mangled doc $id: $t")
+    }
+  }
+
   test("streaming drop-directory ingest matches the batch read") {
     val dir = freshDir("stream")
     val five = docs.limit(5)

@@ -3281,9 +3281,40 @@ object IoQueries extends QueryGroup {
         |  trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
         |FROM t4 ORDER BY doc_id""".stripMargin))
 
+  /** URL canonicalization ([[graft.operators.UrlNormalize]]) — the
+    * crawl-frontier dedup key. Synthetic messy URLs exercise every
+    * rule at once (mixed-case host, default port, fragment, utm
+    * param, unsorted params, case-SENSITIVE path preserved); the
+    * oracle replays the identical chain with DuckDB list functions,
+    * and a distinct-count column pins the dedup effect (doc_id %35
+    * collisions survive canonicalization as true duplicates).
+    */
+  val urlCanonicalize: QueryDef = QueryDef(
+    "io_url_canonicalize",
+    (s, dir) => {
+      val urls = Tables(s, dir).documents.select(col("doc_id"),
+        concat(lit("HTTPS://Example.COM:443/Path/"), col("doc_id") % 7,
+          lit("?utm_source=feed&b="), col("doc_id") % 5,
+          lit("&a="), col("doc_id") % 7, lit("#sec")).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          graft.operators.UrlNormalize.canonicalize(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://Example.COM:443/Path/' || (doc_id % 7)
+        |    || '?utm_source=feed&b=' || (doc_id % 5)
+        |    || '&a=' || (doc_id % 7) || '#sec' AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    'https://example.com/Path/' || (doc_id % 7)
+        |    || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 5) AS canonical
+        |  FROM u)
+        |SELECT doc_id, url, canonical FROM c ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
-      zorderValues)
+      urlCanonicalize, zorderValues)
 }
 
 object MultimodalQueries extends QueryGroup {

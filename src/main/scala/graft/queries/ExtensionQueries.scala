@@ -3312,9 +3312,38 @@ object IoQueries extends QueryGroup {
         |  FROM u)
         |SELECT doc_id, url, canonical FROM c ORDER BY doc_id""".stripMargin))
 
+  /** Frontier dedup — the composition the canonical key exists for:
+    * group the messy URL stream by canonical form, keep the min-id
+    * survivor and the variant count (one hash aggregate with map-side
+    * combine; at crawl scale this IS the fetch-scheduler's dedup).
+    * 500 messy URLs collapse to 35 true pages at sf0.01 — the dedup
+    * effect sits under the hash, not just the per-row rewrite.
+    */
+  val urlFrontier: QueryDef = QueryDef(
+    "io_url_frontier_dedup",
+    (s, dir) => {
+      val urls = Tables(s, dir).documents.select(col("doc_id"),
+        concat(lit("HTTPS://Example.COM:443/Path/"), col("doc_id") % 7,
+          lit("?utm_source=feed&b="), col("doc_id") % 5,
+          lit("&a="), col("doc_id") % 7, lit("#sec")).as("url"))
+      urls
+        .groupBy(graft.operators.UrlNormalize.canonicalize(col("url"))
+          .as("canonical"))
+        .agg(min(col("doc_id")).as("survivor"),
+          count(lit(1)).as("n_variants"))
+        .orderBy("canonical")
+    },
+    Some(
+      """WITH c AS (SELECT doc_id,
+        |    'https://example.com/Path/' || (doc_id % 7)
+        |    || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 5) AS canonical
+        |  FROM documents)
+        |SELECT canonical, min(doc_id) AS survivor, count(*) AS n_variants
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
-      urlCanonicalize, zorderValues)
+      urlCanonicalize, urlFrontier, zorderValues)
 }
 
 object MultimodalQueries extends QueryGroup {

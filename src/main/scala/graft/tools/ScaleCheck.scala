@@ -410,6 +410,30 @@ object ScaleCheck {
         graft.operators.EntityResolution.scoredPairs(dictBig, "p_name", "id", 0.9))
     }
 
+    // WARC entry format: member-per-record gzip write + streaming
+    // record parse of the blown corpus — the raw-crawl ingest path
+    // must stay linear in corpus bytes (file-per-task parallelism)
+    {
+      val s2 = spark
+      val warcDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft-scale-warc"
+      if (only.forall(_.exists("warc_roundtrip".startsWith))) {
+        val t0 = System.nanoTime()
+        graft.sources.Warc.write(blown, "doc_id", "text", warcDir, 32)
+        val rows = graft.sources.Warc.read(s2, warcDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val label = s"warc_roundtrip_${dup}x"
+        println(f"[scale] $label%-28s $sec%8.1f s  $rows%12d rows")
+      }
+    }
+
+    // URL canonicalization: scalar chain over the blown corpus — pure
+    // codegen, must track corpus size linearly with zero shuffles
+    time(s"url_canonicalize_${dup}x",
+      blown.select(graft.operators.UrlNormalize.canonicalize(
+        concat(lit("HTTPS://Host.EX:443/p/"), col("doc_id"),
+          lit("?utm_source=x&b=1&a=2#f"))).as("canonical")))
+
     // capped ER under a Zipf-hot dictionary: 30% of a 50k-name
     // dictionary shares ONE 2-char prefix ("ma…"), the uncapped
     // contract's worst case (a 15k-row block = 112M candidate pairs in

@@ -181,23 +181,26 @@ object PageRank {
       val inMass = e.join(rates.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("rate") * col("w")).as("m"))
-      // opt-in dangling redistribution: collect the rank held by
-      // out-degree-0 nodes (node-scale left-anti + 1-row aggregate, an
-      // exact integer sum) and hand each node its uniform share inside
-      // the damped term — D div N on the driver is the same 64-bit
-      // floor division the unrolled SQL replays
-      val dShare = danglingN.map { nTotal =>
-        val d = ranks
+      // opt-in dangling redistribution: the rank held by out-degree-0
+      // nodes (node-scale left-anti + 1-row exact integer aggregate,
+      // `D div N` the same 64-bit floor division the unrolled SQL
+      // replays) joins back as a broadcast 1-row frame — fully
+      // IN-PLAN, so each round stays one job with no driver-side
+      // collect/sync point between rounds
+      val dangling = danglingN.map { nTotal =>
+        ranks
           .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-          .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
-          .head.getLong(0)
-        d / nTotal
-      }.getOrElse(0L)
-      ranks = n.select(col("id"), col("base"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+          .select(expr(s"dmass div ${nTotal}L").as("dshare"))
+      }
+      val withMass = n.select(col("id"), col("base"))
         .join(inMass.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      ranks = dangling.fold(withMass.withColumn("dshare", lit(0L))) { d =>
+          withMass.crossJoin(broadcast(d))
+        }
         .select(col("id"),
           (col("base") +
-            expr(s"85 * (coalesce(m, 0L) + ${dShare}L) div 100")).as("r"))
+            expr("85 * (coalesce(m, 0L) + dshare) div 100")).as("r"))
         .localCheckpoint(true)
       i += 1
     }

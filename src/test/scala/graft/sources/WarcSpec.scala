@@ -213,6 +213,32 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("framing survives adversarial payloads (WARC magic and CRLFs inside)") {
+    val s = spark
+    import s.implicits._
+    // payloads that LOOK like record boundaries — Content-Length
+    // framing must carry the parser straight over them
+    val traps = Seq(
+      1L -> "before\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nafter",
+      2L -> "Content-Length: 99999\r\n\r\n<- not a real header",
+      3L -> ("\r\n" * 20),
+      4L -> "HTTP/1.1 200 OK\r\n\r\nbody with trailing CRLFs\r\n\r\n\r\n",
+      // deterministic pseudo-random binary-ish text
+      5L -> (0 until 500).map(i => ((i * 2654435761L) % 94 + 33).toChar)
+        .mkString)
+    val dir = freshDir("adversarial")
+    Warc.write(traps.toDF("doc_id", "text"), "doc_id", "text", s"$dir/out", 1)
+    val back = Warc.read(spark, s"$dir/out")
+      .select(
+        regexp_extract(col("record_id"), "(\\d+)$", 1).cast("long").as("id"),
+        col("payload").cast("string").as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.size == 5, s"record count wrong: ${back.keySet}")
+    traps.foreach { case (id, text) =>
+      assert(back(id) == text, s"payload $id mangled by framing")
+    }
+  }
+
   test("parallelism is per file: each archive is its own partition") {
     val dir = freshDir("par")
     Warc.write(docs, "doc_id", "text", s"$dir/out", numPartitions = 6)

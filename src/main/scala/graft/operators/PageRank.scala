@@ -151,6 +151,32 @@ object PageRank {
       .select(col("id").as(idCol), col("r").as("rank_fp"))
   }
 
+  /** Weighted edges AND dangling-mass redistribution together — the
+    * full recurrence for a weighted link graph with sinks (authority
+    * over a similarity-weighted domain graph). Orthogonal composition
+    * of [[pagerankWeighted]]'s rate·w flow and [[pagerankDangling]]'s
+    * per-round redistribution; unit weights reproduce
+    * [[pagerankDangling]] exactly (spec-locked).
+    */
+  def pagerankWeightedDangling(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int = 3): DataFrame = {
+    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val nCount = n0.count()
+    require(nCount > 0, "graph must have at least one node")
+    val badW = edges
+      .filter(col(weightCol).isNull || col(weightCol).cast("long") <= 0L)
+      .limit(1).count()
+    require(badW == 0L,
+      s"edge weights in '$weightCol' must be positive non-null longs")
+    val n = n0.select(col(idCol).as("id"),
+      lit(Scale / nCount).as("r0"),
+      lit((15L * Scale) / (100L * nCount)).as("base"))
+    power(n, edges, srcCol, dstCol, iterations, Some(weightCol), Some(nCount))
+      .select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
   /** The shared damped power loop over a node frame carrying each
     * node's initial rank (`r0`) and per-round additive teleport term
     * (`base`). With a weight column, out-mass splits proportional to

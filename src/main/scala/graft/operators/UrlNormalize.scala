@@ -48,4 +48,30 @@ object UrlNormalize {
     concat(headNoPort, path,
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
+
+  /** Lowercased host (no port) — the crawl scheduler's politeness and
+    * per-site aggregation key. Empty string for non-URL input.
+    */
+  def host(url: Column): Column =
+    lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:#]+)", 1))
+
+  /** Frontier layout for a polite fetcher: canonical-key dedup
+    * survivors, hash-partitioned BY HOST and sorted within each
+    * partition by (host, url) — every host's queue is contiguous and
+    * ordered inside one partition, so per-host rate limiting is a
+    * sequential walk with no cross-executor coordination. The dedup
+    * aggregate and the layout shuffle share the same pass.
+    */
+  def frontierByHost(
+      urls: org.apache.spark.sql.DataFrame, urlCol: String,
+      idCol: String, numPartitions: Int): org.apache.spark.sql.DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be > 0")
+    urls
+      .groupBy(canonicalize(col(urlCol)).as("canonical"))
+      .agg(min(col(idCol)).as("survivor"))
+      .withColumn("host", host(col("canonical")))
+      .repartition(numPartitions, col("host"))
+      .sortWithinPartitions("host", "canonical")
+  }
 }

@@ -164,6 +164,21 @@ class PageRankSpec extends SparkSpec {
     assert(a == b, s"$a != $b")
   }
 
+  test("weighted dangling with unit weights equals the unweighted dangling") {
+    val s = spark
+    import s.implicits._
+    val chainNodes = Seq(1L, 2L, 3L).toDF("id")
+    val unit = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val a = PageRank.pagerankWeightedDangling(
+        chainNodes, "id", unit, "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.pagerankDangling(
+        chainNodes, "id", Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"$a != $b")
+  }
+
   test("contract errors: empty graph and non-positive weights are rejected") {
     val s = spark
     import s.implicits._

@@ -56,6 +56,40 @@ class UrlNormalizeSpec extends SparkSpec {
     assert(variants.map(canon).distinct.size == 1)
   }
 
+  test("host extraction: lowercased, port and path stripped, empty on junk") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "HTTPS://Sub.Example.COM:8443/a/b?q=1",
+      "http://plain.org",
+      "not a url").toDF("u")
+      .select(UrlNormalize.host(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("sub.example.com", "plain.org", ""))
+  }
+
+  test("frontier layout: each host's queue is contiguous and ordered") {
+    val s = spark
+    import s.implicits._
+    val urls = (1L to 60L).map { i =>
+      (i, s"https://host${i % 3}.example/p/${i % 10}?utm_source=x&k=$i")
+    }.toDF("id", "url")
+    val frontier = UrlNormalize.frontierByHost(urls, "url", "id", 4)
+    import org.apache.spark.sql.Row
+    val parts = frontier.select("host", "canonical").rdd
+      .glom().collect().map(_.toSeq)
+    // every host appears in exactly ONE partition…
+    val hostToParts = parts.zipWithIndex.flatMap { case (rows, pi) =>
+      rows.map { case Row(h: String, _) => h -> pi }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    assert(hostToParts.nonEmpty)
+    assert(hostToParts.values.forall(_ == 1), s"host split: $hostToParts")
+    // …and each partition is sorted by (host, canonical)
+    parts.foreach { rows =>
+      val keys = rows.map { case Row(h: String, c: String) => (h, c) }
+      assert(keys == keys.sorted, "partition not ordered")
+    }
+  }
+
   test("the expression is codegen-friendly: zero shuffles") {
     val s = spark
     import s.implicits._

@@ -242,6 +242,67 @@ object Dedup {
       .toDF(idCol, textCol, "n_dropped")
   }
 
+  /** Boilerplate removal at aligned token-block granularity — the OTHER
+    * C4-family sub-document rule: where [[dedupTokenBlocks]] keeps the
+    * first occurrence of a repeated block, this drops EVERY occurrence
+    * of any block whose corpus frequency reaches `minDf` (C4 discards
+    * all copies of any line occurring three or more times — navigation
+    * chrome, cookie banners, licence stubs carry no training signal
+    * even once). Documents are reassembled from their surviving blocks;
+    * a document that was pure boilerplate survives as an empty string
+    * (the caller's length filter is the right place to cut it).
+    *
+    * Shuffle shape matches [[dedupTokenBlocks]]: kernels emit (id, idx,
+    * 64-bit block hash); the frequency count is a partial-aggregating
+    * `count` per hash (map-side combine bounds a 10⁹-repeat block at
+    * one row per map task), and only the drop list — boilerplate
+    * occurrences, a small corpus fraction by design — is joined back.
+    * Text never shuffles.
+    */
+  def removeBoilerplateBlocks(
+      df: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int = 8, minDf: Long = 3L): DataFrame = {
+    requireLongCastableId(df, idCol)
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = blockTokens
+    def numBlocks(nWords: Int): Int = math.max(1, (nWords + k - 1) / k)
+    def blockAt(w: Array[String], i: Int): String =
+      w.slice(i * k, math.min((i + 1) * k, w.length)).mkString(" ")
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol))
+    val blocks = base
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.trim.split("\\s+")
+          (0 until numBlocks(w.length)).iterator
+            .map(i => (id, i, hash64(blockAt(w, i))))
+        }
+      }
+      .toDF("id", "idx", "h")
+    val hot = blocks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val drops = blocks
+      .join(hot, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(collect_list(col("idx")).as("drop_idxs"))
+    base
+      .join(drops, Seq("id"), "left")
+      .as[(Long, String, Option[scala.collection.Seq[Int]])]
+      .mapPartitions { it =>
+        it.map { case (id, text, dropped) =>
+          val drop = dropped.map(_.toSet).getOrElse(Set.empty[Int])
+          val w = text.trim.split("\\s+")
+          val kept = (0 until numBlocks(w.length)).filterNot(drop)
+            .map(blockAt(w, _))
+          (id, kept.mkString(" "), drop.size.toLong)
+        }
+      }
+      .toDF(idCol, textCol, "n_dropped")
+  }
+
   /** MinHash signature of the shingle set: k permutations of the universal
     * family h_i(x) = (a_i·x + b_i) mod p over xxhash64(shingle).
     * p = 2³¹−1 keeps every product below 2^62 — exact long arithmetic

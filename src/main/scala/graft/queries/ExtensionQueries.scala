@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ingest.AnnIndex
-import graft.operators.{ConnectedComponents, Decontamination, Dedup, IncrementalDedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontamination, Dedup, Dsir, IncrementalDedup, Multimodal, Packing, QualityClassifier, Similarity, TextAnalysis}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,30 @@ object DedupQueries extends QueryGroup {
         |SELECT doc_id,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY idx), '') AS text,
         |  count(*) FILTER (WHERE rn > 1) AS n_dropped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Boilerplate block removal (C4's "discard any line occurring three
+    * or more times" rule at the aligned 8-token-block grid): every
+    * occurrence of a corpus-frequent block is cut — distinct from
+    * [[tokenBlocks]]' first-survivor rule. Full oracle: DuckDB rebuilds
+    * the block grid, counts frequencies, drops hot blocks everywhere.
+    */
+  val boilerplate: QueryDef = QueryDef(
+    "dedup_boilerplate",
+    (s, dir) =>
+      Dedup.removeBoilerplateBlocks(Tables(s, dir).documents, "text",
+          "doc_id", blockTokens = 8, minDf = 3L)
+        .orderBy("doc_id"),
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, greatest(1, CAST(ceil(len(ws)*1.0/8) AS BIGINT)) AS nb FROM w),
+        |x AS (SELECT doc_id, ws, unnest(range(0, nb)) AS idx FROM n),
+        |b AS (SELECT doc_id, idx, array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ') AS block FROM x),
+        |f AS (SELECT block, count(*) AS df FROM b GROUP BY block),
+        |r AS (SELECT doc_id, idx, block, df FROM b JOIN f USING (block))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN df < 3 THEN block END, ' ' ORDER BY idx), '') AS text,
+        |  count(*) FILTER (WHERE df >= 3) AS n_dropped
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** SemDeDup: within-cluster pairwise-cosine pruning over the
@@ -440,7 +464,8 @@ object DedupQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, semantic,
+      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, boilerplate,
+      semantic,
       containment, editDistance, erPairs, erPairsCapped, erClusters,
       minhashExact, simhashExact)
 }
@@ -1744,12 +1769,42 @@ object PipelineQueries extends QueryGroup {
         |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
         |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
 
+  /** DSIR data selection ([[graft.operators.Dsir]]): top-100 most
+    * target-like documents (target = the English slice) by mean hashed
+    * unigram log-likelihood ratio under add-1 smoothed md5-bucket
+    * models. Every log input is an exact integer count and the bucket
+    * hash is the md5 contract, so the oracle rebuilds both models and
+    * the ranking; 6-dp rounding absorbs float ordering noise
+    * (`text_unigram_logprob` precedent).
+    */
+  val dsirSelect: QueryDef = QueryDef(
+    "pipeline_dsir_select",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id",
+        buckets = 1024)
+      Dsir.selectTopK(w, "doc_id", 100)
+    },
+    Some(
+      """WITH tk AS (SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |f AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 7))::BIGINT % 1024 AS b FROM tk),
+        |ct AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS ct_t, count(*) AS ct_r FROM f GROUP BY b),
+        |tt AS (SELECT sum(ct_t) AS t_t, sum(ct_r) AS t_r FROM ct),
+        |m AS (SELECT b, ln(ct_t + 1) - ln(t_t + 1024) - ln(ct_r + 1) + ln(t_r + 1024) AS llr FROM ct CROSS JOIN tt),
+        |tf AS (SELECT doc_id, b, count(*) AS tf FROM f GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |        round(sum(tf * llr) / sum(tf), 6) AS avg_llr
+        |      FROM tf JOIN m USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, avg_llr FROM s
+        |ORDER BY avg_llr DESC, doc_id LIMIT 100""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
-      pagerankDanglingGate, snapshotDiffGate)
+      pagerankDanglingGate, snapshotDiffGate, dsirSelect)
 }
 
 object TextQueries extends QueryGroup {
@@ -2334,11 +2389,34 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id"),
     None)
 
+  /** Hashed-linear quality classifier inference
+    * ([[graft.operators.QualityClassifier.portableLogitMilli]]): the
+    * fastText-style model-based filter under the md5 contract — bucket
+    * = h28(token) mod 1024, integer milli-weights w_b = h28('w'||b) mod
+    * 2001 − 1000, bias from h28('bias'); per-doc logits are EXACT long
+    * sums over distinct-token buckets. The oracle rebuilds model and
+    * inference from the contract alone.
+    */
+  val qualityClassifier: QueryDef = QueryDef(
+    "text_quality_classifier",
+    (s, dir) =>
+      QualityClassifier.portableLogitMilli(
+          Tables(s, dir).documents, "text", "doc_id", buckets = 1024)
+        .orderBy("doc_id"),
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |f AS (SELECT doc_id, w, ('0x' || substr(md5(w), 1, 7))::BIGINT % 1024 AS b FROM tk),
+        |wt AS (SELECT doc_id, (('0x' || substr(md5('w' || b::VARCHAR), 1, 7))::BIGINT % 2001) - 1000 AS wt FROM f),
+        |s AS (SELECT doc_id, count(*) AS n_feat, sum(wt)::BIGINT AS sw FROM wt GROUP BY doc_id),
+        |bs AS (SELECT (('0x' || substr(md5('bias'), 1, 7))::BIGINT % 2001) - 1000 AS b0)
+        |SELECT doc_id, n_feat, (sw + b0)::BIGINT AS logit_milli, (sw + b0) > 0 AS label
+        |FROM s CROSS JOIN bs ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
-      kneserNey, blocklist, compressionRatio)
+      kneserNey, blocklist, compressionRatio, qualityClassifier)
 }
 
 object SamplingQueries extends QueryGroup {

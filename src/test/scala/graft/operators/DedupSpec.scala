@@ -255,6 +255,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, "a b c d", 0L), (2L, "", 1L)))
   }
 
+  test("boilerplate removal cuts EVERY occurrence of a corpus-hot block") {
+    // "x y z w" appears 3 times (docs 1, 2, 3) -> df=3 >= minDf=3, all
+    // three cut (including the FIRST — the contract first-survivor
+    // dedup would keep); "a b c d" appears twice -> kept everywhere.
+    val df = docs(
+      (1L, "x y z w a b c d"),
+      (2L, "a b c d x y z w"),
+      (3L, "x y z w m n o p"))
+    val out = Dedup.removeBoilerplateBlocks(df, "text", "doc_id",
+        blockTokens = 4, minDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "a b c d", 1L),
+      (2L, "a b c d", 1L),
+      (3L, "m n o p", 1L)))
+  }
+
+  test("boilerplate removal counts WITHIN-doc repeats toward the df") {
+    // block repeated 3x inside one doc alone reaches minDf=3 (C4 counts
+    // occurrences, not distinct docs) and is cut everywhere
+    val df = docs((1L, "u v u v u v"), (2L, "u v q r"))
+    val out = Dedup.removeBoilerplateBlocks(df, "text", "doc_id",
+        blockTokens = 2, minDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "", 3L), (2L, "q r", 1L)))
+  }
+
   test("token-block dedup matches a string-keyed reference on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = Dedup.dedupTokenBlocks(d, "text", "doc_id", blockTokens = 8)

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural graph metrics over the pair graphs the pipeline already
+  * builds (near-dup pairs, ER candidate pairs, domain links): local
+  * clustering via triangle counts, link prediction via neighbor-set
+  * Jaccard, and HITS hubs/authorities. Complements [[PageRank]]
+  * (global centrality) and [[ConnectedComponents]] (reachability).
+  *
+  * Scale discipline shared by all three: shuffles carry (long, long)
+  * edge rows and node-scale aggregates only; triangle/wedge generation
+  * is bounded by degree-ordered orientation (the standard compact-
+  * forward bound of O(m^1.5) wedges instead of Σ deg² — Latapy 2008);
+  * HITS is all-64-bit-integer fixed point like [[PageRank]], so a
+  * fixed iteration count is exactly reproducible by unrolled SQL.
+  *
+  * Reference scope: extension surface (SURVEY.md §2.6) — the reference
+  * has no graph operators.
+  */
+object GraphMetrics {
+
+  /** (node, triangles) for every endpoint of `edges` — the per-node
+    * triangle participation count (local clustering numerator, a spam/
+    * template-farm signal on near-dup graphs: organic near-dup pairs
+    * are sparse, template families are cliques).
+    *
+    * `edges` is an undirected pair list (one row per edge, any
+    * orientation; duplicates and self-loops are dropped). Each
+    * triangle is enumerated exactly once from its lowest-(degree, id)
+    * corner: orienting every edge from lower to higher (deg, id) rank
+    * makes wedge fan-out per node ≤ its ORIENTED out-degree, which the
+    * orientation bounds by O(√m) on any graph — hubs never explode the
+    * wedge join (the same reason ER blocking needed a cap; here the
+    * orientation IS the cap, with no approximation).
+    */
+  def triangleCounts(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src is the lower-ranked endpoint
+    val oriented = sym
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(true)
+    // wedges from the shared lowest-rank corner; close over the
+    // undirected edge set (id-ordered pair lookup against canon)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("c"),
+        col("x.dst").as("d1"), col("y.dst").as("d2"))
+    val tri = wedges.join(canon,
+        least(col("d1"), col("d2")) === col("u") &&
+          greatest(col("d1"), col("d2")) === col("v"))
+      .select(col("c"), col("d1"), col("d2"))
+    val corners = tri.select(explode(array(col("c"), col("d1"), col("d2")))
+      .as("id"))
+    val counts = corners.groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id").as("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Link prediction / second-order similarity: for every node pair
+    * sharing at least `minCommon` neighbors, the Jaccard of their
+    * neighbor SETS — common / (deg_a + deg_b − common) — the classic
+    * "you share most of your near-dup partners" signal that catches
+    * pairs the direct edge missed. Output (id_a, id_b, common,
+    * jaccard) with id_a < id_b, 6-dp round.
+    *
+    * The wedge join fans out Σ_v deg(v)² over wedge CENTERS — on a
+    * Zipf-degree graph pair this with a hub cap (drop or sub-sample
+    * centers above a degree bound, the [[EntityResolution]] treatment)
+    * before calling; near-dup graphs are degree-bounded by the dedup
+    * threshold itself.
+    */
+  def neighborJaccard(
+      edges: DataFrame, aCol: String, bCol: String,
+      minCommon: Long = 1L): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val common = sym.as("x").join(sym.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("id_a"), col("y.v").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 6)
+          .as("jaccard"))
+  }
+
+  /** HITS fixed-point scale: 1e9 (not [[PageRank.Scale]]'s 1e12) so the
+    * un-normalized half-step sums stay under 2^63 out to ~10⁹-edge
+    * graphs (Σ over edges of scores ≤ m · 1e9).
+    */
+  val HitsScale: Long = 1000000000L
+
+  /** (node, auth_fp, hub_fp): Kleinberg's HITS over a DIRECTED edge
+    * list, all-integer fixed point. Per round: authority = in-edge sum
+    * of hub scores, renormalized to total ≈ [[HitsScale]] by the exact
+    * integer contraction x div max(1, Σx div SCALE); then hubs from
+    * the new authorities symmetrically. Normalization keeps magnitudes
+    * bounded without products (no overflow at any graph size the edge
+    * bound admits), and every step is order-independent 64-bit integer
+    * arithmetic — a fixed iteration count is EXACTLY reproducible by
+    * unrolled SQL, the [[PageRank]] oracle discipline.
+    *
+    * Nodes = distinct edge endpoints; sources hold authority 0, sinks
+    * hub 0 — genuinely directional, unlike rank on a symmetrized graph.
+    * Scale shape: edges hash-partitioned by the probe key and
+    * materialized once; each half-round joins node-scale score frames
+    * (`shuffle_hash` pin — checkpointed scores have no stats) and runs
+    * one 1-row total aggregate folded back in-plan as a broadcast
+    * cross join (no driver sync between rounds).
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "at least one HITS iteration")
+    val eBySrc = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // second layout keyed by dst so NEITHER half-step ever re-shuffles
+    // the edge list (each round joins each layout once)
+    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
+    val nodes = eBySrc.select(col("src").as("id"))
+      .unionByName(eBySrc.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val nCount = nodes.count()
+    require(nCount > 0, "graph must have at least one edge")
+
+    // one half-step: scores flow across `flow` (probe-keyed), land on
+    // the opposite endpoint, renormalize by the exact contraction
+    def halfStep(
+        scores: DataFrame, flowKey: String, landKey: String): DataFrame = {
+      val e = if (flowKey == "src") eBySrc else eByDst
+      val mass = e
+        .join(scores.select(col("id").as(flowKey), col("s"))
+          .hint("shuffle_hash"), flowKey)
+        .groupBy(col(landKey).as("id"))
+        .agg(sum(col("s")).as("m"))
+      val raw = nodes.join(mass, Seq("id"), "left")
+        .select(col("id"), coalesce(col("m"), lit(0L)).as("v"))
+      val q = raw.agg(
+        greatest(expr(s"sum(v) div ${HitsScale}L"), lit(1L)).as("q"))
+      raw.crossJoin(broadcast(q))
+        .select(col("id"), expr("v div q").as("s"))
+        .localCheckpoint(true)
+    }
+
+    var hubs = nodes.select(col("id"), lit(HitsScale / nCount).as("s"))
+    var auths = hubs
+    var i = 0
+    while (i < iterations) {
+      auths = halfStep(hubs, "src", "dst")
+      hubs = halfStep(auths, "dst", "src")
+      i += 1
+    }
+    nodes
+      .join(auths.select(col("id"), col("s").as("auth_fp")), Seq("id"))
+      .join(hubs.select(col("id"), col("s").as("hub_fp")), Seq("id"))
+      .select(col("id").as("node"), col("auth_fp"), col("hub_fp"))
+  }
+}

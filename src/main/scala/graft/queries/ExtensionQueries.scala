@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ingest.AnnIndex
-import graft.operators.{ConnectedComponents, Decontamination, Dedup, Dsir, IncrementalDedup, Multimodal, Packing, QualityClassifier, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontamination, Dedup, Dsir, GraphMetrics, IncrementalDedup, Multimodal, Packing, QualityClassifier, Similarity, TextAnalysis}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.functions._
 
@@ -1769,6 +1769,167 @@ object PipelineQueries extends QueryGroup {
         |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
         |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
 
+  /** Weighted edges + dangling redistribution composed
+    * ([[graft.operators.PageRank.pagerankWeightedDangling]]) — the full
+    * recurrence over the similarity-weighted graph. The unrolled SQL
+    * carries BOTH the rate·w flow and the per-round dangling stage
+    * (dangling = no weighted out-edge).
+    */
+  val pagerankWeightedDanglingGate: QueryDef = QueryDef(
+    "graph_pagerank_weighted_dangling",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+        .withColumn("w", round(col("jaccard") * 1e6, 0).cast("long"))
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+      graft.operators.PageRank.pagerankWeightedDangling(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          edges, "src", "dst", "w", iterations = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |            CAST(round(c * 1.0 / (sa.n + sb.n - c) * 1000000) AS BIGINT) AS w
+        |          FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst, w FROM pairs
+        |      UNION ALL SELECT id_b, id_a, w FROM pairs),
+        |deg AS (SELECT src, sum(w)::BIGINT AS d FROM e GROUP BY src),
+        |nn AS (SELECT DISTINCT doc_id FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM nn),
+        |r0 AS (SELECT doc_id, (1000000000000 // n)::BIGINT AS r FROM nn CROSS JOIN cnt),
+        |d0 AS (SELECT (coalesce(sum(r0.r) FILTER (WHERE deg.src IS NULL), 0) // (SELECT n FROM cnt))::BIGINT AS dsh
+        |       FROM r0 LEFT JOIN deg ON deg.src = r0.doc_id),
+        |it1 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * (coalesce(s.m, 0) + d0.dsh)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt CROSS JOIN d0 LEFT JOIN
+        |          (SELECT e.dst, sum((r0.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN r0 ON r0.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |d1 AS (SELECT (coalesce(sum(it1.r) FILTER (WHERE deg.src IS NULL), 0) // (SELECT n FROM cnt))::BIGINT AS dsh
+        |       FROM it1 LEFT JOIN deg ON deg.src = it1.doc_id),
+        |it2 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * (coalesce(s.m, 0) + d1.dsh)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN
+        |          (SELECT e.dst, sum((it1.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN it1 ON it1.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id),
+        |d2 AS (SELECT (coalesce(sum(it2.r) FILTER (WHERE deg.src IS NULL), 0) // (SELECT n FROM cnt))::BIGINT AS dsh
+        |       FROM it2 LEFT JOIN deg ON deg.src = it2.doc_id),
+        |it3 AS (SELECT nn.doc_id, ((15000000000000 // (100*cnt.n)) + (85 * (coalesce(s.m, 0) + d2.dsh)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN
+        |          (SELECT e.dst, sum((it2.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN it2 ON it2.doc_id = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.doc_id)
+        |SELECT doc_id, r AS rank_fp FROM it3 ORDER BY doc_id""".stripMargin))
+
+  /** Per-node triangle counts
+    * ([[graft.operators.GraphMetrics.triangleCounts]]) over the
+    * near-dup pair graph — template families are cliques, organic
+    * near-dups are sparse. Degree-ordered orientation bounds the wedge
+    * join; the oracle enumerates each a<b<c triangle directly (pair
+    * rows are already id-ordered).
+    */
+  val trianglesGate: QueryDef = QueryDef(
+    "graph_triangles",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      GraphMetrics.triangleCounts(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |tr AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+        |       FROM pairs ab JOIN pairs bc ON ab.id_b = bc.id_a
+        |       JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+        |nn AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |cr AS (SELECT a AS id FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr),
+        |ct AS (SELECT id, count(*) AS t FROM cr GROUP BY id)
+        |SELECT nn.id AS doc_id, coalesce(ct.t, 0)::BIGINT AS triangles
+        |FROM nn LEFT JOIN ct USING (id) ORDER BY doc_id""".stripMargin))
+
+  /** Neighbor-set Jaccard link prediction
+    * ([[graft.operators.GraphMetrics.neighborJaccard]]): second-order
+    * similarity — pairs sharing near-dup partners that the direct
+    * threshold missed. Oracle replays the wedge count + degree join.
+    */
+  val neighborJaccardGate: QueryDef = QueryDef(
+    "graph_jaccard_neighbors",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      GraphMetrics.neighborJaccard(pairs, "id_a", "id_b", minCommon = 1L)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |dg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+        |cm AS (SELECT a.v AS id_a, b.v AS id_b, count(*) AS common
+        |       FROM e a JOIN e b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2)
+        |SELECT id_a, id_b, common::BIGINT AS common,
+        |  round(common * 1.0 / (da.d + db.d - common), 6) AS jaccard
+        |FROM cm JOIN dg da ON da.id = id_a JOIN dg db ON db.id = id_b
+        |ORDER BY id_a, id_b""".stripMargin))
+
+  /** HITS hubs/authorities ([[graft.operators.GraphMetrics.hits]])
+    * over the DIRECTED pair graph (id_a→id_b: lower doc ids point at
+    * their later near-dups — sources become hubs, sinks authorities).
+    * All-integer fixed point with exact renormalizing contractions;
+    * the unrolled SQL replays both half-steps of both rounds.
+    */
+  val hitsGate: QueryDef = QueryDef(
+    "graph_hits",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      GraphMetrics.hits(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          "src", "dst", iterations = 2)
+        .select(col("node").as("doc_id"), col("auth_fp"), col("hub_fp"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM pairs),
+        |nn AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |cnt AS (SELECT count(*) AS n FROM nn),
+        |h0 AS (SELECT id, (1000000000 // n)::BIGINT AS s FROM nn CROSS JOIN cnt),
+        |a1r AS (SELECT nn.id, coalesce(m.m, 0)::BIGINT AS v FROM nn LEFT JOIN
+        |        (SELECT e.dst, sum(h0.s)::BIGINT AS m FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst) m ON m.dst = nn.id),
+        |qa1 AS (SELECT greatest(sum(v) // 1000000000, 1)::BIGINT AS q FROM a1r),
+        |a1 AS (SELECT id, (v // q)::BIGINT AS s FROM a1r CROSS JOIN qa1),
+        |h1r AS (SELECT nn.id, coalesce(m.m, 0)::BIGINT AS v FROM nn LEFT JOIN
+        |        (SELECT e.src, sum(a1.s)::BIGINT AS m FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src) m ON m.src = nn.id),
+        |qh1 AS (SELECT greatest(sum(v) // 1000000000, 1)::BIGINT AS q FROM h1r),
+        |h1 AS (SELECT id, (v // q)::BIGINT AS s FROM h1r CROSS JOIN qh1),
+        |a2r AS (SELECT nn.id, coalesce(m.m, 0)::BIGINT AS v FROM nn LEFT JOIN
+        |        (SELECT e.dst, sum(h1.s)::BIGINT AS m FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst) m ON m.dst = nn.id),
+        |qa2 AS (SELECT greatest(sum(v) // 1000000000, 1)::BIGINT AS q FROM a2r),
+        |a2 AS (SELECT id, (v // q)::BIGINT AS s FROM a2r CROSS JOIN qa2),
+        |h2r AS (SELECT nn.id, coalesce(m.m, 0)::BIGINT AS v FROM nn LEFT JOIN
+        |        (SELECT e.src, sum(a2.s)::BIGINT AS m FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src) m ON m.src = nn.id),
+        |qh2 AS (SELECT greatest(sum(v) // 1000000000, 1)::BIGINT AS q FROM h2r),
+        |h2 AS (SELECT id, (v // q)::BIGINT AS s FROM h2r CROSS JOIN qh2)
+        |SELECT nn.id AS doc_id, a2.s AS auth_fp, h2.s AS hub_fp
+        |FROM nn JOIN a2 ON a2.id = nn.id JOIN h2 ON h2.id = nn.id
+        |ORDER BY doc_id""".stripMargin))
+
   /** DSIR data selection ([[graft.operators.Dsir]]): top-100 most
     * target-like documents (target = the English slice) by mean hashed
     * unigram log-likelihood ratio under add-1 smoothed md5-bucket
@@ -1804,7 +1965,8 @@ object PipelineQueries extends QueryGroup {
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
-      pagerankDanglingGate, snapshotDiffGate, dsirSelect)
+      pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
+      neighborJaccardGate, hitsGate, snapshotDiffGate, dsirSelect)
 }
 
 object TextQueries extends QueryGroup {

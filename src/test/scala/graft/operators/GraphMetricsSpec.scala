@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class GraphMetricsSpec extends SparkSpec {
+
+  private def edges(rows: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b")
+  }
+
+  test("triangle counts: one triangle plus a pendant edge") {
+    val out = GraphMetrics.triangleCounts(
+        edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangle counts on K4: every node in 3 triangles") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = GraphMetrics.triangleCounts(k4, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts ignore duplicate/reversed/self edges") {
+    val messy = edges((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (2L, 2L))
+    val out = GraphMetrics.triangleCounts(messy, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("neighbor jaccard: triangle gives 1/3 everywhere; path gives 1.0") {
+    val tri = GraphMetrics.neighborJaccard(
+        edges((1L, 2L), (1L, 3L), (2L, 3L)), "id_a", "id_b")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(tri.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(tri.values.forall { case (c, j) => c == 1L && j == 0.333333 })
+    val path = GraphMetrics.neighborJaccard(
+        edges((1L, 2L), (2L, 3L)), "id_a", "id_b")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(path == Map((1L, 3L) -> ((1L, 1.0)))) // twins: N(1)=N(3)={2}
+  }
+
+  test("neighbor jaccard minCommon filters low-overlap pairs") {
+    // 1 and 4 share {2,3}; 2 and 3 share {1,4}; every other pair
+    // shares at most one neighbor and is cut at minCommon=2
+    val g = edges((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (5L, 2L))
+    val out = GraphMetrics.neighborJaccard(g, "id_a", "id_b", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 4L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("hits: hand-computed chain, one iteration") {
+    // 1→2, 1→3, 2→3: node 1 is the pure hub, node 3 the pure authority
+    val out = GraphMetrics.hits(
+        edges((1L, 2L), (1L, 3L), (2L, 3L)), "id_a", "id_b", iterations = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val h0 = GraphMetrics.HitsScale / 3 // 333333333
+    assert(out(1L) == ((0L, 3 * h0)))
+    assert(out(2L) == ((h0, 2 * h0)))
+    assert(out(3L) == ((2 * h0, 0L)))
+  }
+
+  test("hits respects graph automorphisms; the hub-center dominates") {
+    // path 1—2—3 symmetrized: swapping 1 and 3 is an automorphism, so
+    // their scores must agree exactly; the center holds the authority
+    // mass. (hub ≠ auth at finite k even on symmetric graphs — they
+    // are odd vs even powers of A applied to the start vector.)
+    val sym = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val out = GraphMetrics.hits(sym, "id_a", "id_b", iterations = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == out(3L))
+    assert(out(2L)._1 > out(1L)._1) // center dominates authority
+    assert(out.values.forall { case (a, h) => a >= 0L && h >= 0L })
+  }
+
+  test("hits renormalization keeps totals near HitsScale across rounds") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val out = GraphMetrics.hits(g, "id_a", "id_b", iterations = 3).collect()
+    val ta = out.map(_.getLong(1)).sum
+    val th = out.map(_.getLong(2)).sum
+    assert(ta > GraphMetrics.HitsScale / 2 && ta <= GraphMetrics.HitsScale * 2)
+    assert(th > GraphMetrics.HitsScale / 2 && th <= GraphMetrics.HitsScale * 2)
+  }
+}

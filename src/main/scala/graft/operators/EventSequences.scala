@@ -74,6 +74,75 @@ object EventSequences {
         coalesce(col("last_touch"), lit(0L)).as("last_touch"))
   }
 
+  /** Merge overlapping-or-touching intervals per key into maximal
+    * islands — span coalescing (redaction spans, availability windows,
+    * on-call shifts, session gap-bridging). An interval starts a new
+    * island iff its start exceeds the running maximum end of every
+    * earlier interval of the same key; islands aggregate to
+    * (key, min start, max end, member count).
+    *
+    * One shuffle (the per-key window); the island id is a cumulative
+    * sum over the same window, so no second exchange before the final
+    * per-(key, island) aggregate, which re-uses the same hash
+    * partitioning. Deterministic under ties: identical (start, end)
+    * rows land in the same island regardless of intra-tie order.
+    */
+  def mergeIntervals(
+      intervals: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    intervals
+      .withColumn("_island", island)
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as(startCol),
+        max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
+  }
+
+  /** Type-2 slowly-changing-dimension history: collapse each key's
+    * attribute stream into validity ranges — one row per consecutive
+    * run of an unchanged value, with [valid_from, valid_to) bounds
+    * (valid_to NULL on the open current version). The warehouse-side
+    * "latest_by_key, but with history" — audit trails, dimension
+    * builds, config drift.
+    *
+    * One shuffle: the per-key (ts, tie) window marks change points,
+    * the cumulative change count is the version number, and both the
+    * run aggregate and the valid_to lead reuse the key partitioning.
+    * Determinism: tie column makes same-timestamp streams
+    * reproducible; values within a run are constant so min(attr) is
+    * exact.
+    */
+  def scd2History(
+      events: DataFrame, keyCol: String = "user_id",
+      attrCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = userWindow(keyCol, tsCol, tieCol)
+    val chg = when(lag(col(attrCol), 1).over(w).isNull ||
+      lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L)
+    val versioned = events
+      .withColumn("version",
+        sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = versioned
+      .groupBy(col(keyCol), col("version"))
+      .agg(min(col(attrCol)).as("value"),
+        min(unix_micros(col(tsCol))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1)
+          .over(Window.partitionBy(col(keyCol)).orderBy(col("version"))))
+      .select(col(keyCol), col("version"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
   /** Per-group z-score outliers: events whose value sits ≥ `threshold`
     * sample standard deviations from their group's mean — the metric
     * anomaly monitor (latency spikes, fraud amounts, corrupted

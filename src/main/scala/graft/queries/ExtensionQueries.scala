@@ -3396,11 +3396,83 @@ object EventQueries extends QueryGroup {
          |ORDER BY window_start""".stripMargin
     })
 
+  /** Interval island merge
+    * ([[graft.operators.EventSequences.mergeIntervals]]): per-user
+    * spans [ts, ts + value·600 s) coalesce wherever they overlap or
+    * touch — 10 000 intervals collapse to ~4 700 islands at sf0.01.
+    * Bounds are exact epoch-micros longs (the 2-dp decimal value times
+    * an integer scale), so the running-max island logic is identical
+    * integer arithmetic on both engines.
+    */
+  val intervalMerge: QueryDef = QueryDef(
+    "events_interval_merge",
+    (s, dir) => {
+      val iv = Tables(s, dir).events.select(
+        col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          (col("value").cast("decimal(18,2)") * lit(600000000L))
+            .cast("long")).as("end_us"))
+      graft.operators.EventSequences.mergeIntervals(
+          iv, "user_id", "start_us", "end_us")
+        .orderBy("user_id", "start_us")
+    },
+    Some(
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS start_us,
+        |             epoch_us(ts) + (CAST(value AS DECIMAL(18,2)) * 600000000)::BIGINT AS end_us
+        |           FROM events),
+        |x AS (SELECT user_id, start_us, end_us,
+        |        max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |y AS (SELECT user_id, start_us, end_us,
+        |        CASE WHEN pm IS NULL OR start_us > pm THEN 1 ELSE 0 END AS ni
+        |      FROM x),
+        |z AS (SELECT user_id, start_us, end_us,
+        |        sum(ni) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM y)
+        |SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
+        |  count(*) AS n_merged
+        |FROM z GROUP BY user_id, island ORDER BY user_id, start_us""".stripMargin))
+
+  /** SCD type-2 history ([[graft.operators.EventSequences.scd2History]]):
+    * each user's event-type stream collapsed into validity ranges with
+    * [valid_from, valid_to) micros bounds, valid_to NULL on the open
+    * version — the dimension-build shape over the same window as
+    * latest_by_key. Full oracle: lag/cumsum/lead restated in SQL.
+    */
+  val scd2: QueryDef = QueryDef(
+    "events_scd2_history",
+    (s, dir) =>
+      graft.operators.EventSequences.scd2History(Tables(s, dir).events)
+        .orderBy("user_id", "version"),
+    Some(
+      """WITH m AS (SELECT user_id, event_type, ts, event_id,
+        |        CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM events),
+        |v AS (SELECT user_id, event_type, ts,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |      FROM m),
+        |r AS (SELECT user_id, version::BIGINT AS version,
+        |        min(event_type) AS value,
+        |        min(epoch_us(ts)) AS valid_from_us,
+        |        count(*) AS n_events
+        |      FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, value, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+        |  n_events
+        |FROM r ORDER BY user_id, version""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
-      markovTransitions, attribution, zscoreAnomaly, blocklistMonitor)
+      markovTransitions, attribution, zscoreAnomaly, blocklistMonitor,
+      intervalMerge, scd2)
 }
 
 object IoQueries extends QueryGroup {

@@ -94,4 +94,57 @@ class EventSequencesSpec extends SparkSpec {
     assert(a == b, "decimal sums must make the stats order-independent")
     assert(a.map(_._1) == Set(16L))
   }
+
+  test("interval merge coalesces overlapping AND touching spans per key") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // key 1: [0,10] ∪ [5,20] ∪ [20,25] → one island; [30,40] separate
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 40L),
+      // key 2: nested interval swallowed by the running max
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 150L, 160L)
+    ).toDF("user_id", "start_us", "end_us")
+    val out = EventSequences.mergeIntervals(iv, "user_id", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 0L, 25L, 3L), (1L, 30L, 40L, 1L),
+      (2L, 0L, 100L, 2L), (2L, 150L, 160L, 1L)))
+  }
+
+  test("interval merge is repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val iv = (1L to 200L)
+      .map(i => (i % 7, i * 10L, i * 10L + (i % 13) * 5L))
+      .toDF("user_id", "start_us", "end_us")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventSequences.mergeIntervals(df, "user_id", "start_us", "end_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(iv) == run(iv.repartition(17)))
+  }
+
+  test("scd2 history collapses runs and chains validity bounds") {
+    val s = spark
+    import s.implicits._
+    // user 1 types: A A B A — versions (A,2 events), (B,1), (A,1) —
+    // the value RECURS in version 3, which latest_by_key cannot express
+    val df = Seq(
+      (1L, 1L, ts(1), "A"), (2L, 1L, ts(2), "A"),
+      (3L, 1L, ts(3), "B"), (4L, 1L, ts(4), "A"),
+      (5L, 2L, ts(1), "C"), (6L, 2L, ts(2), "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventSequences.scd2History(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+      .toSet
+    def us(m: Int) = ts(m).getTime * 1000L
+    assert(out == Set(
+      (1L, 1L, "A", us(1), us(3), 2L),
+      (1L, 2L, "B", us(3), us(4), 1L),
+      (1L, 3L, "A", us(4), -1L, 1L),
+      (2L, 1L, "C", us(1), -1L, 2L)))
+  }
 }

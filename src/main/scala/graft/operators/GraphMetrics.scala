@@ -111,6 +111,99 @@ object GraphMetrics {
           .as("jaccard"))
   }
 
+  /** R-round k-core peel: repeatedly drop nodes whose degree in the
+    * CURRENT subgraph is below `k` (degrees recomputed each round on
+    * the surviving edges), a fixed number of rounds — the dense-core
+    * extractor (template-farm cliques, collusion rings) whose
+    * fixed-round form keeps the unrolled-SQL oracle property
+    * (fixpoint iteration has a data-dependent round count; R rounds of
+    * peeling is the deterministic prefix, and R ≥ graph diameter
+    * reaches the true k-core). Output (node, deg): the survivors of
+    * round R with the degree that justified keeping them.
+    *
+    * Per round: one node-scale degree aggregate + two semi-joins
+    * filtering the edge list; edges are re-checkpointed per round so
+    * the plan stays flat, and edge rows only ever shrink.
+    */
+  def kCorePeel(
+      edges: DataFrame, aCol: String, bCol: String,
+      k: Long, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "at least one peel round")
+    require(k >= 1, "k must be positive")
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var e = canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    var keep: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      keep = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+      val ids = keep.select(col("node"))
+      e = e
+        .join(ids.withColumnRenamed("node", "u").hint("shuffle_hash"), "u",
+          "left_semi")
+        .join(ids.withColumnRenamed("node", "v").hint("shuffle_hash"), "v",
+          "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    keep
+  }
+
+  /** Bounded-depth BFS from a seed set: (node, dist) for every node
+    * within `maxDepth` hops of any seed over the UNDIRECTED graph —
+    * trust-frontier labelling (how far does a document sit from the
+    * curated set), the reachability complement to
+    * [[PageRank.pagerankPersonalized]]'s continuous proximity. Seeds
+    * not in the edge set still label themselves at dist 0.
+    *
+    * Round r: the unlabelled neighbors of the r−1 frontier join in at
+    * dist r — one frontier-keyed join + anti-join per round, both
+    * node-scale; the labelled set is re-checkpointed so rounds stay
+    * O(frontier), the textbook pregel-without-pregel shape.
+    */
+  def bfsLayers(
+      edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be at least 1")
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    var labelled = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = labelled.select(col("node"))
+    var d = 1L
+    while (d <= maxDepth) {
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "u").hint("shuffle_hash"),
+          "u", "left_semi")
+        .select(col("v").as("node"))
+        .distinct()
+        .join(labelled.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      labelled = labelled.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+      d += 1L
+    }
+    labelled
+  }
+
   /** HITS fixed-point scale: 1e9 (not [[PageRank.Scale]]'s 1e12) so the
     * un-normalized half-step sums stay under 2^63 out to ~10⁹-edge
     * graphs (Σ over edges of scores ≤ m · 1e9).

@@ -1930,6 +1930,77 @@ object PipelineQueries extends QueryGroup {
         |FROM nn JOIN a2 ON a2.id = nn.id JOIN h2 ON h2.id = nn.id
         |ORDER BY doc_id""".stripMargin))
 
+  /** 3-round k-core peel ([[graft.operators.GraphMetrics.kCorePeel]],
+    * k = 3): the near-dup graph's dense cores after the peeling
+    * cascade (176 → 106 → 105 → 105 nodes at sf0.01 — round 2 removes
+    * a node only exposed by round 1's cuts, so the cascade itself is
+    * under the hash). Unrolled SQL replays every round's degree
+    * recompute + two-sided edge filter.
+    */
+  val kcoreGate: QueryDef = QueryDef(
+    "graph_kcore_peel",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      GraphMetrics.kCorePeel(pairs, "id_a", "id_b", k = 3L, rounds = 3)
+        .select(col("node").as("doc_id"), col("deg"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e0 AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |d1 AS (SELECT u AS node, count(*) AS deg FROM e0 GROUP BY u),
+        |k1 AS (SELECT node, deg FROM d1 WHERE deg >= 3),
+        |e1 AS (SELECT e0.u, e0.v FROM e0 JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v),
+        |d2 AS (SELECT u AS node, count(*) AS deg FROM e1 GROUP BY u),
+        |k2 AS (SELECT node, deg FROM d2 WHERE deg >= 3),
+        |e2 AS (SELECT e1.u, e1.v FROM e1 JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v),
+        |d3 AS (SELECT u AS node, count(*) AS deg FROM e2 GROUP BY u),
+        |k3 AS (SELECT node, deg FROM d3 WHERE deg >= 3)
+        |SELECT node AS doc_id, deg FROM k3 ORDER BY doc_id""".stripMargin))
+
+  /** Bounded-depth BFS from the trusted seed set
+    * ([[graft.operators.GraphMetrics.bfsLayers]], seeds = doc_id ≡ 0
+    * mod 23, depth 3): discrete trust-frontier labelling — layer sizes
+    * 22/83/42/5 at sf0.01, so every round's anti-join against the
+    * labelled set is exercised. Unrolled SQL replays the frontier
+    * expansion round by round.
+    */
+  val bfsGate: QueryDef = QueryDef(
+    "graph_bfs_layers",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = jaccardPairsFor(s, dir)
+      GraphMetrics.bfsLayers(pairs, "id_a", "id_b",
+          docs.filter(col("doc_id") % 23 === 0), "doc_id", maxDepth = 3)
+        .select(col("node").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e0 AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |l0 AS (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 23 = 0),
+        |n1 AS (SELECT DISTINCT e0.v AS node FROM e0 JOIN l0 ON l0.node = e0.u
+        |       WHERE e0.v NOT IN (SELECT node FROM l0)),
+        |l1 AS (SELECT node, dist FROM l0 UNION ALL SELECT node, 1 FROM n1),
+        |n2 AS (SELECT DISTINCT e0.v AS node FROM e0 JOIN n1 ON n1.node = e0.u
+        |       WHERE e0.v NOT IN (SELECT node FROM l1)),
+        |l2 AS (SELECT node, dist FROM l1 UNION ALL SELECT node, 2 FROM n2),
+        |n3 AS (SELECT DISTINCT e0.v AS node FROM e0 JOIN n2 ON n2.node = e0.u
+        |       WHERE e0.v NOT IN (SELECT node FROM l2))
+        |SELECT node AS doc_id, dist::BIGINT AS dist
+        |FROM (SELECT node, dist FROM l2 UNION ALL SELECT node, 3 FROM n3)
+        |ORDER BY doc_id""".stripMargin))
+
   /** DSIR data selection ([[graft.operators.Dsir]]): top-100 most
     * target-like documents (target = the English slice) by mean hashed
     * unigram log-likelihood ratio under add-1 smoothed md5-bucket
@@ -1966,7 +2037,8 @@ object PipelineQueries extends QueryGroup {
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
-      neighborJaccardGate, hitsGate, snapshotDiffGate, dsirSelect)
+      neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
+      dsirSelect)
 }
 
 object TextQueries extends QueryGroup {

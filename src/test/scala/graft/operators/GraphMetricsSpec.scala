@@ -57,6 +57,35 @@ class GraphMetricsSpec extends SparkSpec {
     assert(out == Set((1L, 4L, 2L), (2L, 3L, 2L)))
   }
 
+  test("k-core peel cascades: each round's cuts expose the next") {
+    // triangle {1,2,3} with a tail 3—4—5: round 1 cuts 5 (deg 1),
+    // which drops 4 to deg 1 for round 2; the triangle survives k=2
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val out = GraphMetrics.kCorePeel(g, "id_a", "id_b", k = 2L, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round only: 5 is gone but 4 still held its pre-cut degree
+    val r1 = GraphMetrics.kCorePeel(g, "id_a", "id_b", k = 2L, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("bfs layers label min-hop distance, bounded by maxDepth") {
+    val s = spark
+    import s.implicits._
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+    val seeds = Seq(1L, 99L).toDF("doc_id") // 99: isolated seed
+    val out = GraphMetrics.bfsLayers(g, "id_a", "id_b", seeds, "doc_id",
+        maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L))
+    // depth 3 reaches node 4; 5 and 6 stay unreachable
+    val d3 = GraphMetrics.bfsLayers(g, "id_a", "id_b", seeds, "doc_id",
+        maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d3 == out + (4L -> 3L))
+  }
+
   test("hits: hand-computed chain, one iteration") {
     // 1→2, 1→3, 2→3: node 1 is the pure hub, node 3 the pure authority
     val out = GraphMetrics.hits(

@@ -15,7 +15,7 @@ object SparkEntry {
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
       AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
       TextQueries, SamplingQueries, EventQueries, MultimodalQueries,
-      PipelineQueries, IoQueries)
+      PipelineQueries, IoQueries, EvalQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

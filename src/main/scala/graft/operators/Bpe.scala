@@ -275,6 +275,55 @@ object Bpe {
     * (original columns..., tokens array, n_tokens). No shuffle; the
     * merge table broadcasts.
     */
+  /** Fixed merge list for [[portableMergeChain]] — common English
+    * letter pairs, ordered so every merge's components are single
+    * characters or products of STRICTLY earlier merges (which makes
+    * the one-pass-per-rank chain coincide with iterative
+    * lowest-rank-first BPE on these rules).
+    */
+  val PortableMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "s" -> "t")
+
+  /** md5-contract-style PORTABLE twin of [[encode]] (the
+    * [[PortableSketches]] discipline): BPE encoding restated as a
+    * replace chain any SQL engine can replay verbatim, so the full
+    * tokenize-and-merge pipeline sits under the hard oracle that the
+    * corpus-trained [[trainMerges]]+[[encode]] path (rows-only by
+    * design) cannot.
+    *
+    * Contract: lowercase, strip to `[a-z ]`, truncate to `maxChars`
+    * chars; split to character tokens joined by U+001F; then for each
+    * rule (x, y) in [[PortableMerges]] in order, replace every
+    * non-overlapping left-to-right occurrence of `x⟂y` with `xy` —
+    * which is precisely one standard BPE merge pass, and both Spark's
+    * `replace` and DuckDB's `replace` implement exactly that scan.
+    * Output per doc: token count and the pipe-joined token stream.
+    *
+    * Pure string expressions, whole-stage codegen, zero shuffles —
+    * tokenization stays inside the scan at any corpus size.
+    */
+  def portableMergeChain(
+      df: DataFrame, textCol: String, idCol: String,
+      maxChars: Int = 64): DataFrame = {
+    val sep = "\u001F"
+    val base = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z ]", ""), 1, maxChars)
+    val chars = rtrim(regexp_replace(col("_b"), "(.)", "$1" + sep), sep)
+    val merged = PortableMerges.foldLeft(chars) { case (c, (x, y)) =>
+      // non-overlapping left-to-right replace-all == one BPE merge pass
+      call_function("replace", c, lit(x + sep + y), lit(x + y))
+    }
+    df.select(col(idCol), base.as("_b"))
+      .select(col(idCol), col("_b"), merged.as("_t"))
+      .select(col(idCol),
+        when(length(col("_b")) === 0, 0L)
+          .otherwise(size(split(col("_t"), sep)).cast("long"))
+          .as("n_tokens"),
+        translate(col("_t"), sep, "|").as("tokens"))
+  }
+
   def encode(
       df: DataFrame, textCol: String,
       merges: Seq[(String, String, Int)]): DataFrame = {

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Filter-model evaluation — the metrics a pipeline owner reads before
+  * trusting a quality classifier ([[QualityClassifier]]) or a dedup
+  * stage ([[Dedup]]) enough to delete data with it. The reference
+  * engine has no model evaluation (SURVEY.md §2); this is extension
+  * surface for the training-data pipeline, where "we filtered 40% of
+  * the corpus" is only defensible next to the AUC / precision-recall /
+  * agreement numbers that justify the threshold.
+  *
+  * Scale shapes:
+  *  - [[rocAuc]] aggregates to DISTINCT SCORES first (one hash
+  *    aggregate with map-side combine), then runs the rank prefix-sum
+  *    over that score-domain-bounded frame. For integer milli-logits
+  *    the domain is thousands of values regardless of corpus size;
+  *    callers with continuous scores quantize first (the standard
+  *    binned-AUC move — at 1e-6 bins the estimate error is far below
+  *    reporting precision).
+  *  - [[prAtThresholds]] is one pass: each row fans out to the ≤dozens
+  *    of broadcast thresholds, then a threshold-keyed aggregate.
+  *  - [[cohenKappa]] and [[pairwiseClusterEval]] are contingency
+  *    aggregates (label-domain- resp. cluster-count-bounded), the
+  *    [[Similarity.clusterAgreement]] shape.
+  *
+  * All ratio math casts to double BEFORE multiplying (the ARI lesson:
+  * long pair-products wrap at ~80k-row cells); counts stay exact longs.
+  */
+object Evaluation {
+
+  /** ROC AUC of `scoreCol` against boolean `labelCol` via the
+    * Mann-Whitney rank statistic with average-rank tie handling:
+    *
+    *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)
+    *
+    * where R⁺ is the sum of average ranks of the positives. Computed
+    * from per-score group counts: a group of n rows at score s, with
+    * c rows strictly below, has average rank c + (n+1)/2 — so
+    * 2·R⁺ = Σ_s p_s·(2·c_s + n_s + 1), all integer until the final
+    * division. Returns one row (n_pos, n_neg, auc rounded 6 dp).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("p"))
+    // Prefix-sum over the distinct-score frame: the unpartitioned
+    // window is deliberate — the frame is score-domain-bounded (see
+    // object doc), not corpus-sized, so one task holds KBs.
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("below", coalesce(sum("n").over(w), lit(0L)))
+    c.agg(
+        sum("p").as("np"),
+        sum(col("n") - col("p")).as("nn"),
+        // double BEFORE multiply: p·(2c+n+1) wraps long at ~1e10 rows
+        sum(col("p").cast("double") *
+          (lit(2) * col("below") + col("n") + lit(1))).as("r2"))
+      .select(
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        round(
+          (col("r2") / 2 - col("np").cast("double") * (col("np") + 1) / 2) /
+            (col("np").cast("double") * col("nn")), 6).as("auc"))
+  }
+
+  /** Precision / recall / F1 of the rule `score >= t` against boolean
+    * `labelCol`, one output row per threshold. Single corpus pass:
+    * rows fan out to the broadcast threshold list (explode of a
+    * literal array — no join), then one threshold-keyed aggregate.
+    * Ratios are NULL when undefined (no predicted resp. no true
+    * positives), matching SQL CASE semantics.
+    */
+  def prAtThresholds(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val t = explode(array(thresholds.map(lit): _*)).as("threshold")
+    val pred = col(scoreCol) >= col("threshold")
+    val lab = col(labelCol)
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val pDen = col("tp") + col("fp")
+    val rDen = col("tp") + col("fn")
+    val prec = when(pDen > 0, col("tp").cast("double") / pDen)
+    val rec = when(rDen > 0, col("tp").cast("double") / rDen)
+    df.select(col(scoreCol), lab.as("_lab"), t)
+      .groupBy("threshold")
+      .agg(
+        cnt(pred && col("_lab")).as("tp"),
+        cnt(pred && !col("_lab")).as("fp"),
+        cnt(!pred && col("_lab")).as("fn"),
+        cnt(!pred && !col("_lab")).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        round(when(pDen > 0 && rDen > 0 && (prec + rec) > 0,
+          lit(2) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
+
+  /** Cohen's kappa between two boolean raters (e.g. the cheap hashed
+    * classifier vs the rule cascade it distills): one 2×2 contingency
+    * aggregate; κ = (p_o − p_e)/(1 − p_e), NULL when the raters are
+    * constant (p_e = 1 leaves chance-agreement undefined). Returns one
+    * row (n, p_o, p_e, kappa — ratios rounded 6 dp).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    // double BEFORE multiply: marginal products wrap long at ~3e9 rows
+    val nd = col("n").cast("double")
+    val n11 = col("n11").cast("double")
+    val n10 = col("n10").cast("double")
+    val n01 = col("n01").cast("double")
+    val n00 = col("n00").cast("double")
+    val po = (n11 + n00) / nd
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) /
+      (nd * nd)
+    df.agg(
+        count(lit(1)).as("n"),
+        cnt(a && b).as("n11"),
+        cnt(a && !b).as("n10"),
+        cnt(!a && b).as("n01"),
+        cnt(!a && !b).as("n00"))
+      .select(col("n"),
+        round(po, 6).as("p_o"),
+        round(pe, 6).as("p_e"),
+        round(when(lit(1.0) - pe =!= 0.0, (po - pe) / (lit(1.0) - pe)), 6)
+          .as("kappa"))
+  }
+
+  /** Pairwise precision / recall / F1 of a predicted duplicate
+    * clustering against a reference clustering (Menestrina et al.'s
+    * pairwise measure — the standard ER/dedup report): a pair of rows
+    * is a predicted positive iff they share `predCol`, a true positive
+    * iff additionally they share `truthCol`. All three pair counts come
+    * from cluster-size aggregates (the [[Similarity.clusterAgreement]]
+    * contingency shape — one groupBy each, C(n,2) per cell, never the
+    * pairs themselves), so the operator is cluster-count-bounded and
+    * never materializes a quadratic pair list. Returns one row
+    * (tp_pairs, pred_pairs, truth_pairs, precision, recall, f1).
+    */
+  def pairwiseClusterEval(
+      df: DataFrame, predCol: String, truthCol: String): DataFrame = {
+    val pairs = expr("sum(n * (n - 1) div 2)")
+    val tp = df.groupBy(predCol, truthCol).agg(count(lit(1)).as("n"))
+      .agg(pairs.as("tp_pairs"))
+    val pp = df.groupBy(predCol).agg(count(lit(1)).as("n"))
+      .agg(pairs.as("pred_pairs"))
+    val rp = df.groupBy(truthCol).agg(count(lit(1)).as("n"))
+      .agg(pairs.as("truth_pairs"))
+    val prec = when(col("pred_pairs") > 0,
+      col("tp_pairs").cast("double") / col("pred_pairs"))
+    val rec = when(col("truth_pairs") > 0,
+      col("tp_pairs").cast("double") / col("truth_pairs"))
+    tp.crossJoin(pp).crossJoin(rp) // 1-row frames: broadcast glue
+      .select(col("tp_pairs"), col("pred_pairs"), col("truth_pairs"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        round(when(prec.isNotNull && rec.isNotNull && (prec + rec) > 0,
+          lit(2) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
+}

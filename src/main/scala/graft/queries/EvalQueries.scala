@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Evaluation, QualityClassifier, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Filter-model evaluation gates ([[graft.operators.Evaluation]]): the
+  * metrics that justify deleting data with a classifier or a dedup
+  * stage. Every gate is full-oracle — the scores/labels under
+  * evaluation are themselves md5-contract or closed-form operators
+  * (classifier logits, Gopher rule labels, blocking keys), so DuckDB
+  * rebuilds BOTH the model outputs and the metric from the contracts
+  * alone and the whole evaluate-the-filter pipeline sits under one
+  * hash.
+  */
+object EvalQueries extends QueryGroup {
+
+  /** Shared oracle CTE: the md5-contract classifier score per doc
+    * (same contract as the `text_quality_classifier` gate).
+    */
+  private val ScoreCte =
+    """tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+      |f AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT % 1024 AS b FROM tk),
+      |wt AS (SELECT doc_id, (('0x' || substr(md5('w' || b::VARCHAR), 1, 7))::BIGINT % 2001) - 1000 AS wt FROM f),
+      |sc AS (SELECT doc_id, sum(wt)::BIGINT + (('0x' || substr(md5('bias'), 1, 7))::BIGINT % 2001) - 1000 AS score FROM wt GROUP BY doc_id)""".stripMargin
+
+  /** Shared oracle CTE: the Gopher rule-cascade keep label per doc
+    * (same contract as the `text_gopher_rules` gate).
+    */
+  private val LabelCte =
+    """gb AS (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS nw,
+      |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+      |      / greatest(length(text), 1) AS praw,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |        list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)::BIGINT)),
+      |        (a, b) -> a + b) * 1.0
+      |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mwl,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+      |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS alpha_frac,
+      |    len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+      |        ['the','a','an','of','and','or','to','in','is','it'])) AS n_stops
+      |  FROM documents),
+      |lb AS (SELECT doc_id, (nw BETWEEN 10 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0)
+      |    AND alpha_frac >= 0.8 AND praw <= 0.1 AND n_stops >= 2 AS label FROM gb)""".stripMargin
+
+  /** Spark side of the shared (score, label) frame: classifier
+    * milli-logit joined to the Gopher keep label on doc_id — the
+    * "does the cheap model reproduce the expensive rule cascade"
+    * distillation question.
+    */
+  private def scoreLabel(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(s, dir).documents
+    val score = QualityClassifier
+      .portableLogitMilli(docs, "text", "doc_id", buckets = 1024)
+      .select(col("doc_id"), col("logit_milli").as("score"))
+    val label = docs.select(col("doc_id"),
+      TextAnalysis.gopherKeep(TextAnalysis.gopherRules(col("text")))
+        .as("label"))
+    score.join(label, "doc_id")
+  }
+
+  /** ROC AUC of the hashed classifier against the Gopher label
+    * ([[Evaluation.rocAuc]]): Mann-Whitney with average-rank ties,
+    * integer rank sums until the final division — the oracle replays
+    * classifier, labels, AND the rank statistic.
+    */
+  val auc: QueryDef = QueryDef(
+    "eval_auc",
+    (s, dir) => Evaluation.rocAuc(scoreLabel(s, dir), "score", "label"),
+    Some(
+      s"""WITH $ScoreCte,
+         |$LabelCte,
+         |j AS (SELECT sc.score, lb.label FROM sc JOIN lb USING (doc_id)),
+         |g AS (SELECT score AS s, count(*) AS n,
+         |  sum(CASE WHEN label THEN 1 ELSE 0 END) AS p FROM j GROUP BY score),
+         |cm AS (SELECT s, n, p, coalesce(sum(n) OVER
+         |  (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g),
+         |a AS (SELECT sum(p)::BIGINT AS np, sum(n - p)::BIGINT AS nn,
+         |  sum(p::DOUBLE * (2 * below + n + 1)) AS r2 FROM cm)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  round((r2 / 2 - np::DOUBLE * (np + 1) / 2) / (np::DOUBLE * nn), 6) AS auc
+         |FROM a""".stripMargin))
+
+  /** Precision / recall / F1 at three operating thresholds on the
+    * milli-logit ([[Evaluation.prAtThresholds]]) — the table a
+    * pipeline owner reads to pick the filter's cut point.
+    */
+  val prThreshold: QueryDef = QueryDef(
+    "eval_pr_threshold",
+    (s, dir) =>
+      Evaluation.prAtThresholds(scoreLabel(s, dir), "score", "label",
+          Seq(1000L, 3000L, 5000L))
+        .orderBy("threshold"),
+    Some(
+      s"""WITH $ScoreCte,
+         |$LabelCte,
+         |j AS (SELECT sc.score, lb.label FROM sc JOIN lb USING (doc_id)),
+         |t AS (SELECT unnest([1000, 3000, 5000])::BIGINT AS threshold),
+         |g AS (SELECT threshold,
+         |  sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |  sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |  sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |  sum(CASE WHEN score < threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn
+         |FROM j CROSS JOIN t GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE END, 6) AS precision,
+         |  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE END, 6) AS recall,
+         |  round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+         |      AND tp / (tp + fp)::DOUBLE + tp / (tp + fn)::DOUBLE > 0
+         |    THEN 2 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+         |      / (tp / (tp + fp)::DOUBLE + tp / (tp + fn)::DOUBLE) END, 6) AS f1
+         |FROM g ORDER BY threshold""".stripMargin))
+
+  /** Cohen's kappa between the classifier's own label (logit > 0) and
+    * the Gopher label ([[Evaluation.cohenKappa]]) — chance-corrected
+    * rater agreement over the 2×2 contingency aggregate.
+    */
+  val kappa: QueryDef = QueryDef(
+    "eval_kappa",
+    (s, dir) => {
+      val j = scoreLabel(s, dir)
+        .select((col("score") > 0).as("a"), col("label").as("b"))
+      Evaluation.cohenKappa(j, "a", "b")
+    },
+    Some(
+      s"""WITH $ScoreCte,
+         |$LabelCte,
+         |j AS (SELECT sc.score > 0 AS a, lb.label AS b FROM sc JOIN lb USING (doc_id)),
+         |c AS (SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+         |  sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+         |  sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+         |  sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00 FROM j),
+         |k AS (SELECT n,
+         |  (n11 + n00) / n::DOUBLE AS po,
+         |  ((n11 + n10)::DOUBLE * (n11 + n01) + (n01 + n00)::DOUBLE * (n10 + n00))
+         |    / (n::DOUBLE * n) AS pe
+         |FROM c)
+         |SELECT n, round(po, 6) AS p_o, round(pe, 6) AS p_e,
+         |  round(CASE WHEN 1.0 - pe <> 0.0 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+         |FROM k""".stripMargin))
+
+  /** Pairwise dedup evaluation ([[Evaluation.pairwiseClusterEval]]):
+    * word-prefix blocking (first 4 words) as the predicted duplicate
+    * clustering, scored against a 40-char-prefix reference clustering
+    * — pair counts from cluster-size aggregates only, never a
+    * materialized pair list.
+    */
+  val dedupPairs: QueryDef = QueryDef(
+    "eval_dedup_pairs",
+    (s, dir) => {
+      val a = Tables(s, dir).documents.select(
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 4), " ")
+          .as("pred"),
+        substring(col("text"), 1, 40).as("truth"))
+      Evaluation.pairwiseClusterEval(a, "pred", "truth")
+    },
+    Some(
+      """WITH a AS (SELECT
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:4], ' ') AS pred,
+        |    substr(text, 1, 40) AS truth
+        |  FROM documents),
+        |tp AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS tp_pairs
+        |  FROM (SELECT count(*) AS n FROM a GROUP BY pred, truth)),
+        |pp AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS pred_pairs
+        |  FROM (SELECT count(*) AS n FROM a GROUP BY pred)),
+        |rp AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS truth_pairs
+        |  FROM (SELECT count(*) AS n FROM a GROUP BY truth))
+        |SELECT tp_pairs, pred_pairs, truth_pairs,
+        |  round(CASE WHEN pred_pairs > 0 THEN tp_pairs / pred_pairs::DOUBLE END, 6) AS precision,
+        |  round(CASE WHEN truth_pairs > 0 THEN tp_pairs / truth_pairs::DOUBLE END, 6) AS recall,
+        |  round(CASE WHEN pred_pairs > 0 AND truth_pairs > 0
+        |      AND tp_pairs / pred_pairs::DOUBLE + tp_pairs / truth_pairs::DOUBLE > 0
+        |    THEN 2 * (tp_pairs / pred_pairs::DOUBLE) * (tp_pairs / truth_pairs::DOUBLE)
+        |      / (tp_pairs / pred_pairs::DOUBLE + tp_pairs / truth_pairs::DOUBLE) END, 6) AS f1
+        |FROM tp, pp, rp""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(auc, prThreshold, kappa, dedupPairs)
+}

@@ -2646,11 +2646,44 @@ object TextQueries extends QueryGroup {
         |SELECT doc_id, n_feat, (sw + b0)::BIGINT AS logit_milli, (sw + b0) > 0 AS label
         |FROM s CROSS JOIN bs ORDER BY doc_id""".stripMargin))
 
+  /** Portable BPE merge chain ([[graft.operators.Bpe
+    * .portableMergeChain]]) — the md5-contract-style twin that puts
+    * the tokenize-and-merge pipeline under the hard oracle the
+    * corpus-trained `text_bpe_encode` path (rows-only by design)
+    * cannot: char tokens over normalized text, 12 fixed merges, each
+    * merge = one non-overlapping left-to-right replace-all that both
+    * engines' `replace` implement identically.
+    */
+  val bpePortable: QueryDef = QueryDef(
+    "text_bpe_portable",
+    (s, dir) =>
+      graft.operators.Bpe.portableMergeChain(
+          Tables(s, dir).documents, "text", "doc_id", maxChars = 64)
+        .orderBy("doc_id"),
+    Some {
+      val chain = graft.operators.Bpe.PortableMerges.foldLeft("t") {
+        case (acc, (x, y)) =>
+          s"replace($acc, '$x' || chr(31) || '$y', '$x$y')"
+      }
+      s"""WITH b AS (SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 64) AS s
+         |  FROM documents),
+         |c AS (SELECT doc_id, s,
+         |    rtrim(regexp_replace(s, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS t
+         |  FROM b),
+         |m AS (SELECT doc_id, s, $chain AS t FROM c)
+         |SELECT doc_id,
+         |  (CASE WHEN s = '' THEN 0 ELSE len(string_split(t, chr(31))) END)::BIGINT AS n_tokens,
+         |  replace(t, chr(31), '|') AS tokens
+         |FROM m ORDER BY doc_id""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
-      kneserNey, blocklist, compressionRatio, qualityClassifier)
+      kneserNey, blocklist, compressionRatio, qualityClassifier,
+      bpePortable)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -3725,9 +3758,61 @@ object IoQueries extends QueryGroup {
         |SELECT canonical, min(doc_id) AS survivor, count(*) AS n_variants
         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin))
 
+  /** ORC round trip ([[graft.sources.Orc]]) — the Hive/Trino-side
+    * columnar interchange, schema-checked read after a
+    * partition-per-file write; the oracle is the parquet original, so
+    * the gate proves sink+source byte fidelity on real data.
+    */
+  val orcRoundTrip: QueryDef = QueryDef(
+    "io_orc_roundtrip",
+    (s, dir) =>
+      graft.sources.Orc.roundTrip(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id"))
+
+  /** Domain-level corpus stats + floor filter (the C4/RefinedWeb move:
+    * aggregate per registrable host, drop thin domains): synthetic
+    * multi-host URLs → [[graft.operators.UrlNormalize.host]] → ONE
+    * hash aggregate with map-side combine, scalar floor on the result.
+    * mean_chars is integer-sum ÷ count (one exact division — no
+    * float-accumulation ordering on either engine).
+    */
+  val domainStats: QueryDef = QueryDef(
+    "io_domain_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val urls = docs.select(col("doc_id"), col("n_chars"),
+        concat(lit("https://host"), col("doc_id") % 17,
+          lit(".example.org/p/"), col("doc_id")).as("url"))
+      urls
+        .withColumn("host", graft.operators.UrlNormalize.host(col("url")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .filter(col("n_docs") >= 30)
+        .select(col("host"), col("n_docs"), col("total_chars"),
+          round(col("total_chars").cast("double") / col("n_docs"), 2)
+            .as("mean_chars"))
+        .orderBy("host")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'host' || (doc_id % 17) || '.example.org' AS host FROM documents),
+        |g AS (SELECT host, count(*)::BIGINT AS n_docs,
+        |    sum(n_chars)::BIGINT AS total_chars
+        |  FROM u GROUP BY host HAVING count(*) >= 30)
+        |SELECT host, n_docs, total_chars,
+        |  round(total_chars / n_docs::DOUBLE, 2) AS mean_chars
+        |FROM g ORDER BY host""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
-      urlCanonicalize, urlFrontier, zorderValues)
+      urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
+      domainStats)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -188,4 +188,37 @@ class BpeSpec extends SparkSpec {
       .select("tokens").collect().head.getSeq[String](0)
     assert(toks == Seq("z", "q" + Bpe.Eow))
   }
+
+  /** Portable merge chain: the replace-all contract hand-checked,
+    * including a cascading merge (t,h then th,e), the non-overlapping
+    * left-to-right rule, normalization, and the empty-doc zero.
+    */
+  test("portableMergeChain: hand-computed chain on 'the thin threads'") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "The thin TH-reads!"), (2L, ""), (3L, "zzz 123"))
+      .toDF("doc_id", "text")
+    val got = Bpe.portableMergeChain(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // "the thin threads" -> chars; t+h -> th everywhere; th+e -> the;
+    // i+n -> in; r+e -> re; remaining letters stay single
+    assert(got(1L) == ((10L, "the| |th|in| |th|re|a|d|s")),
+      s"got ${got(1L)}")
+    assert(got(2L) == ((0L, "")), "empty text -> zero tokens")
+    assert(got(3L) == ((4L, "z|z|z| ")), "digits stripped, space kept")
+  }
+
+  test("portableMergeChain: overlapping pair merges left-to-right") {
+    val s = spark
+    import s.implicits._
+    // "ttth" -> t,t,t,h: the single t+h merge fires once at the end
+    // ("ananan" exercises a+n thrice, non-overlapping: an|an|an -> and?)
+    val df = Seq((1L, "ttth"), (2L, "ananan")).toDF("doc_id", "text")
+    val got = Bpe.portableMergeChain(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "t|t|th")
+    // a+n -> an,an,an; then an+d has no d -> stays
+    assert(got(2L) == "an|an|an")
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Filter-model evaluation metrics against hand-computed values —
+  * including the tie handling in AUC, both error directions in the
+  * pairwise dedup measure, and the undefined-ratio edges (constant
+  * raters, empty prediction sets) that must surface as NULL, never as
+  * a division blow-up.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private def scored(rows: (Long, Boolean)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("score", "label")
+  }
+
+  test("rocAuc: perfect separation gives 1.0, reversed gives 0.0") {
+    val perfect = scored(1L -> false, 2L -> false, 3L -> true, 4L -> true)
+    val r = Evaluation.rocAuc(perfect, "score", "label").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0)
+    val rev = scored(1L -> true, 2L -> true, 3L -> false, 4L -> false)
+    assert(Evaluation.rocAuc(rev, "score", "label").head().getDouble(2) == 0.0)
+  }
+
+  test("rocAuc: average-rank tie handling") {
+    // scores: pos at {2, 1}, neg at {2, 0} — the tie at 2 counts half.
+    // Pairs: (2,2)=0.5, (2,0)=1, (1,2)=0, (1,0)=1 → AUC = 2.5/4 = 0.625
+    val df = scored(2L -> true, 1L -> true, 2L -> false, 0L -> false)
+    assert(Evaluation.rocAuc(df, "score", "label").head().getDouble(2)
+      == 0.625)
+  }
+
+  test("rocAuc: random-ish interleave matches the quadratic definition") {
+    val rows = Seq(5L -> true, 3L -> false, 8L -> true, 3L -> true,
+      1L -> false, 9L -> false, 3L -> false, 7L -> true)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val expected = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+      (pos.size * neg.size)
+    val got = Evaluation.rocAuc(scored(rows: _*), "score", "label")
+      .head().getDouble(2)
+    assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
+  }
+
+  test("prAtThresholds: counts and ratios at each cut") {
+    val df = scored(10L -> true, 8L -> true, 6L -> false, 4L -> true,
+      2L -> false)
+    val byT = Evaluation
+      .prAtThresholds(df, "score", "label", Seq(5L, 7L, 11L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // t=5: pred {10,8,6} → tp=2 fp=1 fn=1 tn=1, P=2/3 R=2/3
+    val t5 = byT(5L)
+    assert((t5.getLong(1), t5.getLong(2), t5.getLong(3), t5.getLong(4))
+      == ((2L, 1L, 1L, 1L)))
+    assert(t5.getDouble(5) == 0.666667 && t5.getDouble(6) == 0.666667)
+    assert(t5.getDouble(7) == 0.666667) // F1 = P = R here
+    // t=7: pred {10,8} → tp=2 fp=0, P=1, R=2/3, F1=0.8
+    val t7 = byT(7L)
+    assert(t7.getDouble(5) == 1.0 && t7.getDouble(6) == 0.666667)
+    assert(t7.getDouble(7) == 0.8)
+    // t=11: nothing predicted → precision NULL, recall 0, f1 NULL
+    val t11 = byT(11L)
+    assert(t11.isNullAt(5) && t11.getDouble(6) == 0.0 && t11.isNullAt(7))
+  }
+
+  test("cohenKappa: hand-computed 2x2 and the constant-rater NULL") {
+    val s = spark
+    import s.implicits._
+    // n11=4 n10=1 n01=2 n00=3, n=10: po=0.7,
+    // pe = (5*6 + 5*4)/100 = 0.5 → kappa = 0.4
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("a", "b")
+    val r = Evaluation.cohenKappa(df, "a", "b").head()
+    assert(r.getLong(0) == 10)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+    // both raters constant-true: pe=1 → kappa undefined (NULL)
+    val const = Seq.fill(5)((true, true)).toDF("a", "b")
+    assert(Evaluation.cohenKappa(const, "a", "b").head().isNullAt(3))
+  }
+
+  test("pairwiseClusterEval: both error directions counted") {
+    val s = spark
+    import s.implicits._
+    // pred clusters {1,2,3}{4}{5}; truth clusters {1,2}{3,4}{5}
+    // pred pairs {12,13,23}=3; truth pairs {12,34}=2; tp={12}=1
+    val df = Seq((1L, "p1", "t1"), (2L, "p1", "t1"), (3L, "p1", "t2"),
+      (4L, "p2", "t2"), (5L, "p3", "t3")).toDF("id", "pred", "truth")
+    val r = Evaluation.pairwiseClusterEval(df, "pred", "truth").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.333333) // precision 1/3
+    assert(r.getDouble(4) == 0.5)      // recall 1/2
+    assert(r.getDouble(5) == 0.4)      // F1
+  }
+
+  test("pairwiseClusterEval: singleton-only clusterings give NULL ratios") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "pred", "truth")
+    val r = Evaluation.pairwiseClusterEval(df, "pred", "truth").head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+}

@@ -80,20 +80,42 @@ object GraphMetrics {
     * pairs the direct edge missed. Output (id_a, id_b, common,
     * jaccard) with id_a < id_b, 6-dp round.
     *
-    * The wedge join fans out Σ_v deg(v)² over wedge CENTERS — on a
-    * Zipf-degree graph pair this with a hub cap (drop or sub-sample
-    * centers above a degree bound, the [[EntityResolution]] treatment)
-    * before calling; near-dup graphs are degree-bounded by the dedup
-    * threshold itself.
+    * The wedge join fans out Σ_v deg(v)² over wedge CENTERS — the
+    * quadratic-hub hazard ([[EntityResolution]]'s Zipf-block problem
+    * in graph form). `maxDegree` is the built-in mitigation: nodes
+    * whose full-graph degree exceeds it are EXCLUDED (with all their
+    * edges) and the similarity runs on the remaining subgraph, degrees
+    * recomputed there so numerator and denominator stay consistent.
+    * On a near-dup pair graph the hubs are template cliques — every
+    * pair inside one is already a DIRECT near-dup, so second-order
+    * similarity over them is pure cost with no signal (a 780-clique
+    * alone contributes ~10⁸ wedges; measured 16.6 s → 0.9 s at cap 64
+    * on the sf0.1 pair graph). Default keeps the exact all-node
+    * semantics for degree-bounded graphs.
     */
   def neighborJaccard(
       edges: DataFrame, aCol: String, bCol: String,
-      minCommon: Long = 1L): DataFrame = {
-    val canon = edges
+      minCommon: Long = 1L, maxDegree: Long = Long.MaxValue): DataFrame = {
+    val canon0 = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    val canon =
+      if (maxDegree == Long.MaxValue) canon0
+      else {
+        val sym0 = canon0.unionByName(
+          canon0.select(col("v").as("u"), col("u").as("v")))
+        // node-scale survivor list; hubs are few, the semi-joins
+        // broadcast
+        val keep = sym0.groupBy(col("u").as("id"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") <= maxDegree)
+          .select("id")
+        canon0
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+      }
     val sym = canon.select(col("u"), col("v"))
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)

@@ -1858,13 +1858,18 @@ object PipelineQueries extends QueryGroup {
   /** Neighbor-set Jaccard link prediction
     * ([[graft.operators.GraphMetrics.neighborJaccard]]): second-order
     * similarity — pairs sharing near-dup partners that the direct
-    * threshold missed. Oracle replays the wedge count + degree join.
+    * threshold missed — under the degree-64 hub cap (template cliques
+    * are excluded: their members are already DIRECT near-dups, and
+    * their wedges are ~99.5% of the fan-out for zero signal). Oracle
+    * replays the cap, the subgraph degree recompute, and the wedge
+    * count.
     */
   val neighborJaccardGate: QueryDef = QueryDef(
     "graph_jaccard_neighbors",
     (s, dir) => {
       val pairs = jaccardPairsFor(s, dir)
-      GraphMetrics.neighborJaccard(pairs, "id_a", "id_b", minCommon = 1L)
+      GraphMetrics.neighborJaccard(pairs, "id_a", "id_b", minCommon = 1L,
+          maxDegree = 64L)
         .orderBy("id_a", "id_b")
     },
     Some(
@@ -1874,7 +1879,10 @@ object PipelineQueries extends QueryGroup {
         |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
-        |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |e0 AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |dg0 AS (SELECT u AS id, count(*) AS d FROM e0 GROUP BY u),
+        |keep AS (SELECT id FROM dg0 WHERE d <= 64),
+        |e AS (SELECT u, v FROM e0 WHERE u IN (SELECT id FROM keep) AND v IN (SELECT id FROM keep)),
         |dg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
         |cm AS (SELECT a.v AS id_a, b.v AS id_b, count(*) AS common
         |       FROM e a JOIN e b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2)

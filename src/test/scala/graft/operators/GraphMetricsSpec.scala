@@ -57,6 +57,24 @@ class GraphMetricsSpec extends SparkSpec {
     assert(out == Set((1L, 4L, 2L), (2L, 3L, 2L)))
   }
 
+  test("neighbor jaccard maxDegree excludes hubs and recomputes degrees") {
+    // hub 9 touches everyone; without it, 1-2-3 is a path through 2.
+    // cap 3 drops node 9 (deg 4) and ALL its edges; on the remaining
+    // subgraph N(1)={2}, N(3)={2} -> (1,3) jaccard 1.0 — the 1.0 only
+    // holds if degrees were recomputed after the hub removal.
+    val g = edges((1L, 2L), (2L, 3L), (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+    val out = GraphMetrics.neighborJaccard(g, "id_a", "id_b",
+        minCommon = 1L, maxDegree = 3L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map((1L, 3L) -> ((1L, 1.0))), s"got $out")
+    // default cap = unlimited keeps the exact semantics (hub wedges in)
+    val full = GraphMetrics.neighborJaccard(g, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 4L)), "uncapped keeps hub-mediated pairs")
+  }
+
   test("k-core peel cascades: each round's cuts expose the next") {
     // triangle {1,2,3} with a tail 3—4—5: round 1 cuts 5 (deg 1),
     // which drops 4 to deg 1 for round 2; the triangle survives k=2

@@ -998,13 +998,56 @@ object SimilarityQueries extends QueryGroup {
         |FROM nt CROSS JOIN mi CROSS JOIN hl CROSS JOIN hc
         |CROSS JOIN pc CROSS JOIN pa CROSS JOIN pb""".stripMargin))
 
+  /** Distributed PCA ([[graft.operators.Pca.powerProject]]): top
+    * principal component of the first 16 embedding dims — milli-
+    * quantized integer Gram sums (ONE 1-row aggregate), 3 unrolled
+    * power iterations, scan-local projection. FULL oracle: the SQL is
+    * machine-generated from the same contract — 136 Gram sums, the
+    * three iteration layers as single-row CTEs in the identical
+    * left-associated index order, the same norm and rounding — so a
+    * whole PCA sits under the cross-engine hash.
+    */
+  val pcaPower: QueryDef = QueryDef(
+    "sim_pca_power",
+    (s, dir) =>
+      graft.operators.Pca.powerProject(
+          Tables(s, dir).embeddings, "vec_id", "embedding",
+          dims = 16, iterations = 3)
+        .orderBy("vec_id"),
+    Some {
+      val d = 16
+      def gRef(i: Int, j: Int) = if (i <= j) s"g_${i}_$j" else s"g_${j}_$i"
+      val qCols = (0 until d)
+        .map(i => s"round(embedding[${i + 1}] * 1000)::BIGINT AS q$i")
+        .mkString(", ")
+      val gCols = (for { i <- 0 until d; j <- i until d }
+        yield s"sum(q$i * q$j)::DOUBLE AS g_${i}_$j").mkString(", ")
+      val v1 = (0 until d).map(i =>
+        (0 until d).map(j => s"${gRef(i, j)} * 1.0").mkString(" + ") +
+          s" AS v$i").mkString(", ")
+      def step(prev: String) = (0 until d).map(i =>
+        (0 until d).map(j => s"${gRef(i, j)} * $prev.v$j")
+          .mkString(" + ") + s" AS v$i").mkString(", ")
+      val nrm = "sqrt(" +
+        (0 until d).map(i => s"v$i * v$i").mkString(" + ") + ")"
+      val proj = (0 until d).map(i => s"q.q$i * vf.v$i").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id, $qCols FROM embeddings),
+         |g AS (SELECT $gCols FROM q),
+         |v1 AS (SELECT $v1 FROM g),
+         |v2 AS (SELECT ${step("v1")} FROM g, v1),
+         |v3 AS (SELECT ${step("v2")} FROM g, v2),
+         |n AS (SELECT $nrm AS nrm FROM v3)
+         |SELECT q.vec_id, round(($proj) / n.nrm, 4) AS pc1
+         |FROM q, v3 vf, n ORDER BY q.vec_id""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
-      clusterNmi)
+      clusterNmi, pcaPower)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -455,6 +455,38 @@ object ScaleCheck {
           hotDict, "p_name", "id", 0.9, maxBlock = 100))
     }
 
+    // neighbor Jaccard under the hub cap: the blown corpus merges each
+    // template clique across copies (degrees ×dup, wedges ×dup²), so
+    // UNCAPPED second-order similarity goes quadratic-in-clique — the
+    // cap excludes hubs up front and the wedge volume must track the
+    // low-degree subgraph only (≈1% of Σdeg² at sf0.1, measured)
+    {
+      val pairs1 = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      time("jaccard_nbr_cap_1x",
+        graft.operators.GraphMetrics.neighborJaccard(
+          pairs1, "id_a", "id_b", 1L, maxDegree = 64L))
+      time(s"jaccard_nbr_cap_${dup}x",
+        graft.operators.GraphMetrics.neighborJaccard(
+          pairsD, "id_a", "id_b", 1L, maxDegree = 64L))
+    }
+
+    // PCA: one 1-row Gram aggregate (dim²/2 longs) + scan-local
+    // projection — must track corpus size linearly, state is dim²
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+      time("pca_power_1x",
+        graft.operators.Pca.powerProject(emb, "vec_id", "embedding", 16, 3))
+      time(s"pca_power_${dup}x",
+        graft.operators.Pca.powerProject(embBig, "vec_id", "embedding", 16, 3))
+    }
+
     spark.stop()
   }
 }

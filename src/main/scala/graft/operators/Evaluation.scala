@@ -134,6 +134,26 @@ object Evaluation {
           .as("kappa"))
   }
 
+  /** Calibration table: rows bucketed by `floor(score / binWidth)`,
+    * each bin reporting its count, positive count, and observed
+    * positive rate — the reliability-diagram data that says whether
+    * "logit 3000" means the same thing across corpus slices before a
+    * single global threshold is trusted. One hash aggregate,
+    * bin-domain-bounded output. `bin_lo` is the bin's inclusive lower
+    * score edge.
+    */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.groupBy(floor(col(scoreCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .select(col("bin"), (col("bin") * binWidth).as("bin_lo"), col("n"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+  }
+
   /** Pairwise precision / recall / F1 of a predicted duplicate
     * clustering against a reference clustering (Menestrina et al.'s
     * pairwise measure — the standard ER/dedup report): a pair of rows

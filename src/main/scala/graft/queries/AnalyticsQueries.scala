@@ -457,9 +457,45 @@ object AnalyticsQueries extends QueryGroup {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin))
 
+  /** md5-contract count-min sketch
+    * ([[graft.operators.CountMinSketch]]): 4×256 counters over all
+    * token occurrences, point estimates for five probe words next to
+    * their exact counts. FULL oracle — row hashes, counter table, the
+    * min-over-rows answer, and the exact recount all restate in SQL,
+    * so the sketch's overestimate property sits under the hash
+    * (estimate ≥ true on every row of the output, spec-asserted too).
+    */
+  val countMinPortable: QueryDef = QueryDef(
+    "agg_countmin_portable",
+    (s, dir) =>
+      graft.operators.CountMinSketch.estimate(
+          graft.Tables(s, dir).documents, "text",
+          probes = Seq("agg", "key", "row", "scan", "zzz_absent"),
+          depth = 4, width = 256)
+        .orderBy("word"),
+    Some(
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk FROM documents),
+        |tk AS (SELECT tk FROM tok WHERE tk <> ''),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        |cells AS (SELECT row,
+        |    ('0x' || substr(md5(row::VARCHAR || ':' || tk), 1, 7))::BIGINT % 256 AS bucket
+        |  FROM tk CROSS JOIN rows_),
+        |sk AS (SELECT row, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+        |pr AS (SELECT unnest(['agg', 'key', 'row', 'scan', 'zzz_absent']) AS word),
+        |pc AS (SELECT word, row,
+        |    ('0x' || substr(md5(row::VARCHAR || ':' || word), 1, 7))::BIGINT % 256 AS bucket
+        |  FROM pr CROSS JOIN rows_),
+        |est AS (SELECT word, min(coalesce(cnt, 0))::BIGINT AS estimate
+        |  FROM pc LEFT JOIN sk USING (row, bucket) GROUP BY word),
+        |tr AS (SELECT tk AS word, count(*)::BIGINT AS true_count FROM tk
+        |  WHERE tk IN ('agg', 'key', 'row', 'scan', 'zzz_absent') GROUP BY tk)
+        |SELECT word, estimate, coalesce(true_count, 0)::BIGINT AS true_count
+        |FROM est LEFT JOIN tr USING (word) ORDER BY word""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
-      heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue)
+      heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
+      countMinPortable)
 }

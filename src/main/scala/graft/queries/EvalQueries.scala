@@ -178,5 +178,27 @@ object EvalQueries extends QueryGroup {
         |      / (tp_pairs / pred_pairs::DOUBLE + tp_pairs / truth_pairs::DOUBLE) END, 6) AS f1
         |FROM tp, pp, rp""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(auc, prThreshold, kappa, dedupPairs)
+  /** Calibration table ([[Evaluation.calibrationBins]]): milli-logit
+    * bins of width 1000 with each bin's observed Gopher-label rate —
+    * the reliability diagram behind the threshold table.
+    */
+  val calibration: QueryDef = QueryDef(
+    "eval_calibration",
+    (s, dir) =>
+      Evaluation.calibrationBins(scoreLabel(s, dir), "score", "label",
+          binWidth = 1000L)
+        .orderBy("bin"),
+    Some(
+      s"""WITH $ScoreCte,
+         |$LabelCte,
+         |j AS (SELECT sc.score, lb.label FROM sc JOIN lb USING (doc_id)),
+         |g AS (SELECT floor(score / 1000)::BIGINT AS bin, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos
+         |FROM j GROUP BY 1)
+         |SELECT bin, (bin * 1000)::BIGINT AS bin_lo, n, n_pos,
+         |  round(n_pos / n::DOUBLE, 6) AS pos_rate
+         |FROM g ORDER BY bin""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(auc, prThreshold, kappa, dedupPairs, calibration)
 }

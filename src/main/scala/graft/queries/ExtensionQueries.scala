@@ -3860,10 +3860,32 @@ object IoQueries extends QueryGroup {
         |  round(total_chars / n_docs::DOUBLE, 2) AS mean_chars
         |FROM g ORDER BY host""".stripMargin))
 
+  /** Hive-style partition pruning
+    * ([[graft.ingest.PartitionedLayout]]): documents laid out
+    * partitioned BY LANGUAGE, read back with an equality predicate
+    * that must prune directories at planning time (the spec asserts
+    * `partitionFilters` reaches the scan and fewer partitions than
+    * exist are listed). The oracle is the same predicate on the
+    * parquet original — values prove the layout round-trips, the plan
+    * proves the skip.
+    */
+  val partitionPrune: QueryDef = QueryDef(
+    "io_partition_prune",
+    (s, dir) =>
+      graft.ingest.PartitionedLayout.roundTrip(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"), "lang")
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' " +
+        "ORDER BY doc_id"))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      domainStats)
+      domainStats, partitionPrune)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -84,6 +84,21 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.cohenKappa(const, "a", "b").head().isNullAt(3))
   }
 
+  test("calibrationBins: bins, edges, and rates — negatives floor down") {
+    val df = scored(-1500L -> false, -500L -> false, -500L -> true,
+      500L -> true, 1500L -> true, 1700L -> false)
+    val bins = Evaluation.calibrationBins(df, "score", "label", 1000L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // -1500 -> bin -2; -500 -> bin -1 (floor, not truncate)
+    assert(bins(-2L) == ((-2000L, 1L, 0L, 0.0)))
+    assert(bins(-1L) == ((-1000L, 2L, 1L, 0.5)))
+    assert(bins(0L) == ((0L, 1L, 1L, 1.0)))
+    assert(bins(1L) == ((1000L, 2L, 1L, 0.5)))
+  }
+
   test("pairwiseClusterEval: both error directions counted") {
     val s = spark
     import s.implicits._

@@ -302,4 +302,54 @@ object GraphMetrics {
       .join(hubs.select(col("id"), col("s").as("hub_fp")), Seq("id"))
       .select(col("id").as("node"), col("auth_fp"), col("hub_fp"))
   }
+
+  /** Newman modularity of a node partition over an undirected graph:
+    *
+    *   Q = (internal edges)/m − Σ_c (d_c / 2m)²
+    *
+    * — the standard "is this partition better than chance" score for a
+    * community assignment (here: how assortative the near-dup graph is
+    * under a label like language or source). One row out:
+    * (n_edges, n_communities, internal_edges, modularity).
+    *
+    * Scale shape: an edge-scale label join (two hash joins against the
+    * node-scale label frame), then community-scale aggregates. The
+    * Σ d_c² term accumulates in decimal(38,0) — exact at any degree
+    * mass, converted to double ONCE at the end, so the score is
+    * partition-order-independent on both engines (the ARI lesson).
+    * Nodes missing a label drop with their edges (inner join, loud in
+    * n_edges).
+    */
+  def modularity(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val lbl = labels.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("c"))
+    val labeled = canon
+      .join(lbl.select(col("id").as("u"), col("c").as("cu")), "u")
+      .join(lbl.select(col("id").as("v"), col("c").as("cv")), "v")
+      .localCheckpoint(true)
+    val edgeAgg = labeled.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("internal"))
+    val dc = labeled.select(col("cu").as("c"))
+      .unionByName(labeled.select(col("cv").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+    val dcAgg = dc.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("dc").cast("decimal(18,0)") * col("dc").cast("decimal(18,0)"))
+        .as("sum_dc2"))
+    edgeAgg.crossJoin(dcAgg)
+      .select(col("m").as("n_edges"),
+        col("n_communities").cast("long").as("n_communities"),
+        col("internal").as("internal_edges"),
+        round(col("internal").cast("double") / col("m") -
+          col("sum_dc2").cast("double") /
+            (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
+  }
 }

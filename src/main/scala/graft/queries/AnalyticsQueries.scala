@@ -492,10 +492,43 @@ object AnalyticsQueries extends QueryGroup {
         |SELECT word, estimate, coalesce(true_count, 0)::BIGINT AS true_count
         |FROM est LEFT JOIN tr USING (word) ORDER BY word""".stripMargin))
 
+  /** md5-contract HyperLogLog ([[graft.operators.HyperLogLog]]): the
+    * full-oracle twin to `a3_approx_distinct` (engine-internal HLL,
+    * rows-only by design). 64 registers over distinct document texts;
+    * the gated columns stay in EXACT integer algebra (register maxes,
+    * Σ 2^(r_max−reg), α·m²·2^r_max/denom — one double division, no
+    * transcendental), with the true distinct count beside the
+    * estimate. The ln-based small-range correction is spec-bounded
+    * instead (libm ulp drift is not cross-engine hashable).
+    */
+  val hllPortable: QueryDef = QueryDef(
+    "agg_hll_portable",
+    (s, dir) =>
+      graft.operators.HyperLogLog.summary(
+          graft.Tables(s, dir).documents, "text", m = 64),
+    Some(
+      """WITH h AS (SELECT ('0x' || substr(md5(text), 1, 7))::BIGINT % 64 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(text), 8, 15))::BIGINT = 0 THEN 61
+        |       ELSE 61 - length(bin(('0x' || substr(md5(text), 8, 15))::BIGINT)) END AS rho
+        |  FROM documents),
+        |r AS (SELECT bucket, max(rho)::BIGINT AS reg FROM h GROUP BY bucket),
+        |f AS (SELECT count(*)::BIGINT AS n_filled, max(reg)::BIGINT AS r_max,
+        |  sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_filled FROM r),
+        |d AS (SELECT sum(1::BIGINT << (f.r_max - reg)::INT)::BIGINT AS d_filled FROM r, f),
+        |e AS (SELECT count(DISTINCT text)::BIGINT AS exact FROM documents)
+        |SELECT 64::BIGINT AS m,
+        |  (zero_filled + (64 - n_filled))::BIGINT AS n_zero,
+        |  r_max,
+        |  (d_filled + (64 - n_filled) * (1::BIGINT << r_max::INT))::BIGINT AS denom,
+        |  round(0.709::DOUBLE * 64 * 64 * ((1::BIGINT << r_max::INT)::DOUBLE) /
+        |    ((d_filled + (64 - n_filled) * (1::BIGINT << r_max::INT))::DOUBLE), 4) AS est_raw,
+        |  exact
+        |FROM f, d, e""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
-      countMinPortable)
+      countMinPortable, hllPortable)
 }

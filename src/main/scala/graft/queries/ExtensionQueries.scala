@@ -2082,6 +2082,40 @@ object PipelineQueries extends QueryGroup {
         |SELECT doc_id, n_tokens, avg_llr FROM s
         |ORDER BY avg_llr DESC, doc_id LIMIT 100""".stripMargin))
 
+  /** Newman modularity ([[graft.operators.GraphMetrics.modularity]])
+    * of the LANGUAGE partition over the near-dup pair graph — "is the
+    * near-dup structure language-assortative beyond chance". Full
+    * oracle: edge-label join, internal-edge count, and the exact
+    * Σ d_c² algebra all restate in SQL.
+    */
+  val modularityGate: QueryDef = QueryDef(
+    "graph_modularity",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      val labels = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"))
+      GraphMetrics.modularity(pairs, "id_a", "id_b",
+        labels, "doc_id", "lang")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |lbl AS (SELECT doc_id, lang FROM documents),
+        |le AS (SELECT la.lang AS cu, lb.lang AS cv
+        |       FROM pairs JOIN lbl la ON la.doc_id = id_a JOIN lbl lb ON lb.doc_id = id_b),
+        |ea AS (SELECT count(*)::BIGINT AS m,
+        |       sum(CASE WHEN cu = cv THEN 1 ELSE 0 END)::BIGINT AS internal FROM le),
+        |dcs AS (SELECT c, count(*)::BIGINT AS dc
+        |        FROM (SELECT cu AS c FROM le UNION ALL SELECT cv FROM le) GROUP BY c),
+        |da AS (SELECT count(*)::BIGINT AS n_communities, sum(dc * dc) AS sum_dc2 FROM dcs)
+        |SELECT m AS n_edges, n_communities, internal AS internal_edges,
+        |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) AS modularity
+        |FROM ea, da""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -2089,7 +2123,7 @@ object PipelineQueries extends QueryGroup {
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
       neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
-      dsirSelect)
+      dsirSelect, modularityGate)
 }
 
 object TextQueries extends QueryGroup {

@@ -75,6 +75,31 @@ class GraphMetricsSpec extends SparkSpec {
     assert(full.contains((1L, 4L)), "uncapped keeps hub-mediated pairs")
   }
 
+  test("modularity: hand-computed two-community barbell") {
+    val s = spark
+    import s.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by one bridge (3,4):
+    // m=7, internal=6; degrees: A={2,2,3}=7, B={3,2,2}=7
+    // Q = 6/7 - 2*(7/14)^2 = 6/7 - 1/2 = 0.357143
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val lbl = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("id", "c")
+    val r = GraphMetrics.modularity(g, "id_a", "id_b", lbl, "id", "c").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 2L, 6L)))
+    assert(r.getDouble(3) == 0.357143, s"got ${r.getDouble(3)}")
+  }
+
+  test("modularity: the all-in-one partition scores zero") {
+    val s = spark
+    import s.implicits._
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val lbl = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("id", "c")
+    // internal/m = 1, sum_dc2 = (2m)^2 -> Q = 1 - 1 = 0
+    val r = GraphMetrics.modularity(g, "id_a", "id_b", lbl, "id", "c").head()
+    assert(r.getDouble(3) == 0.0)
+  }
+
   test("k-core peel cascades: each round's cuts expose the next") {
     // triangle {1,2,3} with a tail 3—4—5: round 1 cuts 5 (deg 1),
     // which drops 4 to deg 1 for round 2; the triangle survives k=2

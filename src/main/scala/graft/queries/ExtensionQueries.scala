@@ -4025,6 +4025,33 @@ object MultimodalQueries extends QueryGroup {
     * rasterizes every 2nd frame only, and DuckDB recomputes each
     * sampled frame's dimensions and pixel sum from doc_id alone.
     */
+  /** REAL resize under the hard oracle
+    * ([[graft.operators.Multimodal.resizeImages]]): decode →
+    * explicit-index nearest-neighbour resample to 4×4 → PNG re-encode
+    * → decode AGAIN — two codec round trips plus the resample, and
+    * DuckDB recomputes the final pixel sum from doc_id alone via the
+    * same `x·sw/4` source-index arithmetic. Partition-preserving
+    * mapPartitions kernels, no shuffle.
+    */
+  val resizeReal: QueryDef = QueryDef(
+    "multimodal_resize",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decodeImages(
+          Multimodal.resizeImages(syntheticMediaFor(s, dir, "image"), 4, 4))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("pixel_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, 'png' AS format, 4 AS width, 4 AS height,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    i -> (((i % 4) * (doc_id % 13 + 4) // 4) * 31
+        |        + ((i // 4) * (doc_id % 7 + 4) // 4) * 17 + doc_id) % 256))
+        |  AS BIGINT) AS pixel_sum
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   val frameSample: QueryDef = QueryDef(
     "multimodal_frame_sample",
     (s, dir) => {
@@ -4073,5 +4100,6 @@ object MultimodalQueries extends QueryGroup {
         |FROM documents ORDER BY doc_id""".stripMargin))
 
   def defs: Seq[QueryDef] =
-    Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample)
+    Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample,
+      resizeReal)
 }

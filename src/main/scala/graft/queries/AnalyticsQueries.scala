@@ -525,10 +525,32 @@ object AnalyticsQueries extends QueryGroup {
         |  exact
         |FROM f, d, e""".stripMargin))
 
+  /** md5-contract KMV / bottom-k distinct sketch
+    * ([[graft.operators.KmvSketch]]): the k = 128 smallest distinct
+    * text hashes, estimate (k−1)·2²⁸/h_k beside the exact count —
+    * exact integers into one double division, the whole sketch ORDER
+    * BY hash LIMIT k restated in SQL.
+    */
+  val kmvPortable: QueryDef = QueryDef(
+    "agg_kmv_portable",
+    (s, dir) =>
+      graft.operators.KmvSketch.summary(
+          graft.Tables(s, dir).documents, "text", k = 128),
+    Some(
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 7))::BIGINT AS h FROM documents),
+        |sk AS (SELECT h FROM h ORDER BY h LIMIT 128),
+        |a AS (SELECT count(*)::BIGINT AS n_kept, max(h)::BIGINT AS h_k FROM sk),
+        |e AS (SELECT count(DISTINCT text)::BIGINT AS exact FROM documents)
+        |SELECT 128::BIGINT AS k, n_kept, h_k,
+        |  round(CASE WHEN n_kept < 128 THEN n_kept::DOUBLE
+        |    ELSE 127::DOUBLE * 268435456::DOUBLE / h_k::DOUBLE END, 4) AS est_distinct,
+        |  exact
+        |FROM a, e""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
-      countMinPortable, hllPortable)
+      countMinPortable, hllPortable, kmvPortable)
 }

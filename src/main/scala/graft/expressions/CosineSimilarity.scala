@@ -99,6 +99,16 @@ object GraftFunctions {
       "bloom_might_contain", buildBloomProbe, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", buildJaroWinkler, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents", buildStripAccents, "scala_udf")
+  }
+
+  /** Builder for [[StripAccents]]; input cast to string (same
+    * private[sql] ImplicitCastInputTypes workaround as [[build]]).
+    */
+  def buildStripAccents(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "strip_accents(s) takes one string")
+    StripAccents(Cast(exprs.head, org.apache.spark.sql.types.StringType))
   }
 
   /** Builder for [[JaroWinkler]]; inputs cast to string here (same
@@ -157,5 +167,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => GraftFunctions.buildJaroWinkler(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("strip_accents"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StripAccents].getName, "strip_accents"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildStripAccents(exprs)))
   }
 }

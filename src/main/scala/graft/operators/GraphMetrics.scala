@@ -352,4 +352,69 @@ object GraphMetrics {
           col("sum_dc2").cast("double") /
             (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan 2007,
+    * made deterministic): every node starts labeled with its own id;
+    * each round EVERY node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by smallest label, isolated
+    * nodes keeping their current label. A fixed iteration count with
+    * the deterministic tie-break makes the result exactly reproducible
+    * by unrolled SQL — the same discipline as [[PageRank]]/[[GraphMetrics.hits]],
+    * with a vote-count window rank in place of the integer fixed point.
+    *
+    * Communities differ from [[ConnectedComponents]]: a long chain is
+    * ONE component but fragments into several communities — LPA is the
+    * density signal (template families, topic pockets) where components
+    * are the reachability signal.
+    *
+    * Scale: the symmetrized edge list is materialized once; each round
+    * shuffles (dst, label, count) vote rows — bounded by |E|, carried
+    * as longs — and the per-dst argmax is one window over the vote
+    * aggregate's own partitioning. Labels are node-scale, joined to the
+    * edge list with a shuffled-hash build ([[PageRank]]'s pin: the
+    * checkpointed label frame has unknown stats, and sort-merge would
+    * re-sort the edges every round); per-round checkpoint keeps the
+    * plan flat in the iteration count.
+    */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val e = canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(canon.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("label"))
+      .localCheckpoint(true)
+    val byDst = Window.partitionBy(col("dst"))
+      .orderBy(col("c").desc, col("label").asc)
+    var i = 0
+    while (i < iterations) {
+      val votes = e
+        .join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = votes
+        .withColumn("rk", row_number().over(byDst))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("id"), col("label").as("newl"))
+      labels = labels
+        .join(best.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("community"))
+  }
 }

@@ -13,6 +13,24 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Unicode accent folding ([[graft.expressions.StripAccents]] — NFD +
+    * combining-mark removal, codegen'd; ASCII rows are a zero-copy
+    * pass-through). Requires `GraftFunctions.register(spark)` first.
+    */
+  def stripAccents(text: Column): Column =
+    call_function("strip_accents", text)
+
+  /** Canonical match key for multilingual text: Unicode lowercase →
+    * accent fold → whitespace collapse → trim. The normalization every
+    * dedup/decontamination key and cross-lingual join should share; one
+    * codegen'd projection, zero shuffles. Characters with no canonical
+    * decomposition (`ß ø œ`) are KEPT — this is mark removal, not
+    * transliteration (contract proved cross-engine by the
+    * `text_normalize_unicode` gate vs DuckDB `strip_accents`).
+    */
+  def normalizeForMatch(text: Column): Column =
+    trim(regexp_replace(stripAccents(lower(text)), "\\s+", " "))
+
   /** Heuristic HTML→text extraction as one codegen'd column-expression
     * chain — the crawl front end's boilerplate step (CCNet/Gopher-style
     * pipelines start from exactly this shape after WARC/HTTP split):

@@ -2116,6 +2116,48 @@ object PipelineQueries extends QueryGroup {
         |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) AS modularity
         |FROM ea, da""".stripMargin))
 
+  /** Label-propagation communities
+    * ([[graft.operators.GraphMetrics.labelPropagation]]): 3 synchronous
+    * rounds of most-frequent-neighbor-label with the deterministic
+    * min-label tie-break, over the same near-dup similarity graph as
+    * the pagerank/components gates. The unrolled-SQL oracle replays
+    * every round with a window rank (count DESC, label ASC) — any
+    * nondeterminism in the vote, the tie-break, or the isolated-node
+    * keep rule breaks the hash. Community labels complement
+    * `dedup_components`: same graph, density pockets vs reachability.
+    */
+  val lpaGate: QueryDef = QueryDef(
+    "graph_label_propagation",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      GraphMetrics.labelPropagation(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b", iterations = 3)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+        |v1 AS (SELECT e.dst, l.label, count(*) AS c FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+        |b1 AS (SELECT dst, label FROM (SELECT dst, label,
+        |        row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rk FROM v1) WHERE rk = 1),
+        |l1 AS (SELECT l0.id, coalesce(b1.label, l0.label) AS label FROM l0 LEFT JOIN b1 ON b1.dst = l0.id),
+        |v2 AS (SELECT e.dst, l.label, count(*) AS c FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+        |b2 AS (SELECT dst, label FROM (SELECT dst, label,
+        |        row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rk FROM v2) WHERE rk = 1),
+        |l2 AS (SELECT l1.id, coalesce(b2.label, l1.label) AS label FROM l1 LEFT JOIN b2 ON b2.dst = l1.id),
+        |v3 AS (SELECT e.dst, l.label, count(*) AS c FROM e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
+        |b3 AS (SELECT dst, label FROM (SELECT dst, label,
+        |        row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rk FROM v3) WHERE rk = 1),
+        |l3 AS (SELECT l2.id, coalesce(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON b3.dst = l2.id)
+        |SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -2123,7 +2165,7 @@ object PipelineQueries extends QueryGroup {
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
       neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
-      dsirSelect, modularityGate)
+      dsirSelect, modularityGate, lpaGate)
 }
 
 object TextQueries extends QueryGroup {
@@ -2763,12 +2805,135 @@ object TextQueries extends QueryGroup {
          |FROM m ORDER BY doc_id""".stripMargin
     })
 
+  /** Unicode normalization ([[TextAnalysis.normalizeForMatch]] over the
+    * codegen'd [[graft.expressions.StripAccents]]): lowercase → NFD
+    * accent fold → whitespace collapse, the canonical match key every
+    * multilingual dedup/decontamination pipeline applies before keying.
+    *
+    * Corpus: deterministic accented text rebuilt from doc_id (three
+    * vocab words with messy spacing) so non-ASCII actually flows — the
+    * testdata text is ASCII. The oracle derives the folded form
+    * INDEPENDENTLY in closed form (per-word expected strings, not a
+    * replay of the chain), so a wrong fold on any vocab word — or a
+    * transliteration where mark-removal was contracted (`ß ø œ` must
+    * survive) — breaks the hash. DuckDB-semantics parity
+    * (`strip_accents`) is additionally pinned in StripAccentsSpec.
+    */
+  val normalizeUnicode: QueryDef = {
+    val raw = Seq("Café", "Noël", "Déjà", "Größe", "Façade", "Über",
+      "Niño", "Sørensen", "Ångström", "Pâté", "Crème", "Brûlée",
+      "naïve", "Zürich", "Œuvre")
+    val folded = Seq("café", "noël", "déjà", "größe", "façade", "über",
+      "niño", "sørensen", "ångström", "pâté", "crème", "brûlée",
+      "naïve", "zürich", "œuvre").map(w =>
+      java.text.Normalizer.normalize(w, java.text.Normalizer.Form.NFD)
+        .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK))
+    // hand-check the independent derivation stays honest: the fold is
+    // computed HERE at definition time (driver side, plain JDK, no
+    // Spark), and the literal list below is what the oracle embeds
+    require(folded == Seq("cafe", "noel", "deja", "große", "facade",
+      "uber", "nino", "sørensen", "angstrom", "pate", "creme", "brulee",
+      "naive", "zurich", "œuvre"), s"unexpected fold: $folded")
+    QueryDef(
+      "text_normalize_unicode",
+      (s, dir) => {
+        graft.expressions.GraftFunctions.register(s)
+        val vocab = array(raw.map(lit): _*)
+        def pick(idx: org.apache.spark.sql.Column) =
+          element_at(vocab, (idx + 1).cast("int"))
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            concat(lit(" "), pick(col("doc_id") % 15),
+              lit("  "), pick((col("doc_id") * 7 + 3) % 15),
+              lit(" "), pick((col("doc_id") * 13 + 5) % 15)).as("messy"))
+          .select(col("doc_id"), col("messy"),
+            TextAnalysis.normalizeForMatch(col("messy")).as("norm"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rawList = raw.map(w => s"'$w'").mkString(", ")
+        val foldList = folded.map(w => s"'$w'").mkString(", ")
+        s"""WITH v AS (SELECT doc_id,
+           |    [$rawList] AS r, [$foldList] AS f,
+           |    (doc_id % 15) + 1 AS i1,
+           |    ((doc_id * 7 + 3) % 15) + 1 AS i2,
+           |    ((doc_id * 13 + 5) % 15) + 1 AS i3
+           |  FROM documents)
+           |SELECT doc_id,
+           |  ' ' || r[i1] || '  ' || r[i2] || ' ' || r[i3] AS messy,
+           |  f[i1] || ' ' || f[i2] || ' ' || f[i3] AS norm
+           |FROM v ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** Sentence-level cross-document duplication
+    * ([[graft.operators.SentenceDedup]]) — the C4/RefinedWeb boilerplate
+    * signal: fraction of each document's sentences that also occur in
+    * OTHER documents. The testdata text carries no punctuation, so the
+    * corpus is rebuilt deterministically: each doc's real words chopped
+    * into 7-word sentences with cycling `.`/`!`/`?` terminators, plus
+    * two boilerplate sentences injected on doc_id % 3 / % 5 — the
+    * cross-doc duplicates the operator exists to catch. The oracle
+    * replays corpus construction, the RE2-safe split contract, md5
+    * keying, and the distinct-doc frequency join under the hash.
+    */
+  val sentenceDedup: QueryDef = QueryDef(
+    "text_sentence_dedup",
+    (s, dir) => {
+      val ws = split(trim(col("text")), "\\s+")
+      val nc = floor((size(ws) + lit(6)) / lit(7)).cast("long")
+      val punct = array(lit("."), lit("!"), lit("?"))
+      val parts = transform(sequence(lit(0L), nc - 1), i =>
+        concat(array_join(slice(ws, (i * 7 + 1).cast("int"), lit(7)), " "),
+          element_at(punct, (i % 3 + 1).cast("int"))))
+      val messy = concat(
+        when(col("doc_id") % 3 === 0,
+          lit("Subscribe to our newsletter today! ")).otherwise(lit("")),
+        array_join(parts, " "),
+        when(col("doc_id") % 5 === 0,
+          lit(" Click here to read more.")).otherwise(lit("")))
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), messy.as("text"))
+      graft.operators.SentenceDedup.crossDocStats(docs).orderBy("doc_id")
+    },
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |    FROM documents),
+        |c AS (SELECT doc_id, ws, (len(ws) + 6) // 7 AS nc FROM w),
+        |g AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, nc - 1)) AS i FROM c),
+        |p AS (SELECT doc_id, i,
+        |    array_to_string(ws[(i*7+1):(i*7+7)], ' ')
+        |      || ['.', '!', '?'][(i % 3) + 1] AS part
+        |  FROM g),
+        |b AS (SELECT doc_id, string_agg(part, ' ' ORDER BY i) AS body
+        |  FROM p GROUP BY doc_id),
+        |m AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |        THEN 'Subscribe to our newsletter today! ' ELSE '' END)
+        |    || body ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |        THEN ' Click here to read more.' ELSE '' END) AS messy
+        |  FROM b),
+        |e AS (SELECT doc_id,
+        |    unnest(string_split_regex(messy, '[.!?]+\s+|[.!?]+$')) AS sraw
+        |  FROM m),
+        |e2 AS (SELECT doc_id, md5(lower(trim(sraw))) AS k
+        |  FROM e WHERE trim(sraw) <> ''),
+        |f AS (SELECT k, count(DISTINCT doc_id) AS nd FROM e2 GROUP BY k)
+        |SELECT e2.doc_id AS doc_id,
+        |  count(*) AS n_sent,
+        |  (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END))::BIGINT AS n_cross,
+        |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS dup_ratio
+        |FROM e2 JOIN f USING (k) GROUP BY e2.doc_id ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
-      bpePortable)
+      bpePortable, normalizeUnicode, sentenceDedup)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -161,4 +161,50 @@ class GraphMetricsSpec extends SparkSpec {
     assert(ta > GraphMetrics.HitsScale / 2 && ta <= GraphMetrics.HitsScale * 2)
     assert(th > GraphMetrics.HitsScale / 2 && th <= GraphMetrics.HitsScale * 2)
   }
+
+  test("label propagation: two triangles + bridge, hand-computed rounds") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3—4, isolate 7
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    // synchronous min-tie-break rounds, worked by hand:
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4
+    // r2: 1→1 2→1 3→1 4→4 5→3 6→3
+    // r3: 1→1 2→1 3→1 4→3 5→3 6→3  (7 keeps 7 throughout)
+    val out = GraphMetrics.labelPropagation(nodes, "id", g, "id_a", "id_b",
+        iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+  }
+
+  test("label propagation round 1 matches the hand computation too") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val out = GraphMetrics.labelPropagation(nodes, "id", g, "id_a", "id_b",
+        iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("label propagation input orientation and duplicates are canonicalized") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 3L).toDF("id")
+    // duplicate edges in both orientations + a self-loop must not
+    // change the vote counts
+    val g = edges((1L, 2L), (2L, 1L), (2L, 1L), (2L, 3L), (3L, 3L))
+    val clean = edges((1L, 2L), (2L, 3L))
+    val a = GraphMetrics.labelPropagation(nodes, "id", g, "id_a", "id_b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphMetrics.labelPropagation(nodes, "id", clean, "id_a", "id_b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

@@ -110,4 +110,59 @@ object HyperLogLog {
     if (raw <= 2.5 * m && nZero > 0) m * math.log(m.toDouble / nZero)
     else raw
   }
+
+  /** Per-group register tables: (group, bucket, reg). One map-side-
+    * combined aggregate; output is ≤ |groups|·m rows no matter the
+    * corpus size.
+    */
+  def registersByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    df.select(col(groupCol).as("g"),
+        bucketOf(col(valueCol), m).as("bucket"),
+        rhoOf(col(valueCol)).as("rho"))
+      .groupBy("g", "bucket")
+      .agg(max("rho").as("reg"))
+  }
+
+  /** [[summary]] per group — the distinct-count-per-key shape every
+    * corpus profile needs (distinct docs per language, per domain, per
+    * shard) at sketch cost: ONE corpus-scale aggregate to ≤ |groups|·m
+    * register rows, then group-scale joins. Same exact-integer algebra
+    * as the global summary (register maxes, Σ 2^(r_max−reg), one
+    * double division), so the whole per-group table sits under a
+    * cross-engine hash; `exact` is computed beside it for the gate. At
+    * 100 TB the exact column is the expensive one — a production call
+    * drops it and keeps only the sketch pass.
+    */
+  def summaryByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      m: Int = 64): DataFrame = {
+    val regs = registersByGroup(df, groupCol, valueCol, m)
+    val filled = regs.groupBy("g").agg(
+      count(lit(1)).as("n_filled"),
+      max("reg").as("r_max"),
+      sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("zero_filled"))
+    val denomFilled = regs.join(filled.select(col("g"), col("r_max")), "g")
+      .groupBy("g")
+      .agg(sum(expr(
+        "shiftleft(cast(1 as bigint), cast(r_max - reg as int))"))
+        .as("d_filled"))
+    val exact = df.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(valueCol)).as("exact"))
+    val pow2rmax = expr("shiftleft(cast(1 as bigint), cast(r_max as int))")
+    val denom = col("d_filled") + (lit(m.toLong) - col("n_filled")) * pow2rmax
+    filled.join(denomFilled, "g").join(exact, "g")
+      .select(
+        col("g").as(groupCol),
+        lit(m.toLong).as("m"),
+        (col("zero_filled") + (lit(m.toLong) - col("n_filled")))
+          .cast("long").as("n_zero"),
+        col("r_max").cast("long").as("r_max"),
+        denom.cast("long").as("denom"),
+        round(lit(alpha(m)) * m * m * pow2rmax.cast("double") /
+          denom.cast("double"), 4).as("est_raw"),
+        col("exact").cast("long").as("exact"))
+  }
 }

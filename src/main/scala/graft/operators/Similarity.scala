@@ -53,6 +53,12 @@ object Similarity {
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
         round(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
+      // zero-norm vectors have no defined cosine — skip them, matching
+      // the batch kernel; without this Spark ranks NaN FIRST (NaN is
+      // greatest in its sort order) and a zero-norm row would sit atop
+      // every top-k (surfaced by truncated prefixes, where zero-norm
+      // slices of nonzero vectors are possible)
+      .filter(!isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -126,6 +132,30 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
     partial.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Matryoshka retrieval (Kusupati 2022 MRL): rank by cosine over the
+    * FIRST `dims` coordinates only. MRL-trained embeddings concentrate
+    * information in prefixes, so a d/4 prefix preserves most of the
+    * ranking at a quarter of the scan bandwidth and distance FLOPs —
+    * the standard cheap first pass in front of a full-dimension rerank
+    * (the IVF-PQ ADC shape, but with zero index build).
+    *
+    * Cosine is scale-invariant, so no renormalization of the truncated
+    * vectors is needed; scoring/rounding/tie-break match [[topKCosine]]
+    * exactly, and the `sim_matryoshka_topk` gate replays the slice +
+    * cosine in DuckDB (`v[1:dims]`) under the hash. At 100 TB the win
+    * is column bytes: store the prefix as its own parquet column (or
+    * rely on nested-column pruning of a fixed-size list) and the
+    * first-pass scan reads dims/d of the embedding bytes.
+    */
+  def topKCosineTruncated(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val sliced = embeddings.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    topKCosine(sliced, idCol, vecCol, queryId, k)
   }
 
   /** Unit-length (L2) normalization of the embedding column — the

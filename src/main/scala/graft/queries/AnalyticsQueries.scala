@@ -547,10 +547,47 @@ object AnalyticsQueries extends QueryGroup {
         |  exact
         |FROM a, e""".stripMargin))
 
+  /** Per-group md5-contract HyperLogLog
+    * ([[graft.operators.HyperLogLog.summaryByGroup]]): the
+    * distinct-per-key profile (distinct texts per language) as one
+    * register table of ≤ |langs|·64 rows — the corpus-profile shape a
+    * 100 TB pipeline runs instead of |langs| exact count-distincts.
+    * Same exact-integer algebra as `agg_hll_portable`, replayed per
+    * group by the oracle.
+    */
+  val hllGrouped: QueryDef = QueryDef(
+    "agg_hll_grouped",
+    (s, dir) =>
+      graft.operators.HyperLogLog.summaryByGroup(
+          graft.Tables(s, dir).documents, "lang", "text", m = 64)
+        .orderBy("lang"),
+    Some(
+      """WITH h AS (SELECT lang,
+        |  ('0x' || substr(md5(text), 1, 7))::BIGINT % 64 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(text), 8, 15))::BIGINT = 0 THEN 61
+        |       ELSE 61 - length(bin(('0x' || substr(md5(text), 8, 15))::BIGINT)) END AS rho
+        |  FROM documents),
+        |r AS (SELECT lang, bucket, max(rho)::BIGINT AS reg FROM h GROUP BY lang, bucket),
+        |f AS (SELECT lang, count(*)::BIGINT AS n_filled, max(reg)::BIGINT AS r_max,
+        |  sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_filled
+        |  FROM r GROUP BY lang),
+        |d AS (SELECT r.lang, sum(1::BIGINT << (f.r_max - r.reg)::INT)::BIGINT AS d_filled
+        |  FROM r JOIN f ON f.lang = r.lang GROUP BY r.lang),
+        |e AS (SELECT lang, count(DISTINCT text)::BIGINT AS exact FROM documents GROUP BY lang)
+        |SELECT f.lang AS lang, 64::BIGINT AS m,
+        |  (zero_filled + (64 - n_filled))::BIGINT AS n_zero,
+        |  r_max,
+        |  (d_filled + (64 - n_filled) * (1::BIGINT << r_max::INT))::BIGINT AS denom,
+        |  round(0.709::DOUBLE * 64 * 64 * ((1::BIGINT << r_max::INT)::DOUBLE) /
+        |    ((d_filled + (64 - n_filled) * (1::BIGINT << r_max::INT))::DOUBLE), 4) AS est_raw,
+        |  exact
+        |FROM f JOIN d ON d.lang = f.lang JOIN e ON e.lang = f.lang
+        |ORDER BY lang""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
-      countMinPortable, hllPortable, kmvPortable)
+      countMinPortable, hllPortable, kmvPortable, hllGrouped)
 }

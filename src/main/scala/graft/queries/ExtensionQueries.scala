@@ -1041,13 +1041,34 @@ object SimilarityQueries extends QueryGroup {
          |FROM q, v3 vf, n ORDER BY q.vec_id""".stripMargin
     })
 
+  /** Matryoshka prefix retrieval
+    * ([[graft.operators.Similarity.topKCosineTruncated]]): exact top-k
+    * by cosine over the first 16 of 64 dims — the cheap first pass an
+    * MRL-embedding pipeline runs before full-dim rerank. Full oracle:
+    * DuckDB slices the same prefix (`v[1:16]`) and replays score,
+    * rounding, and tie-break under the hash. MatryoshkaSpec pins the
+    * prefix/full ranking overlap floor on the test corpus.
+    */
+  val matryoshkaTopK: QueryDef = QueryDef(
+    "sim_matryoshka_topk",
+    (s, dir) =>
+      Similarity.topKCosineTruncated(Tables(s, dir).embeddings,
+        "vec_id", "embedding", queryId = 0L, k = 10, dims = 16),
+    Some(
+      """WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS v FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
+        |      FROM e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, sim FROM s WHERE NOT isnan(sim)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
-      clusterNmi, pcaPower)
+      clusterNmi, pcaPower, matryoshkaTopK)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -2158,6 +2179,55 @@ object PipelineQueries extends QueryGroup {
         |l3 AS (SELECT l2.id, coalesce(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON b3.dst = l2.id)
         |SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id""".stripMargin))
 
+  /** Content-defined chunking ([[graft.operators.CdcChunking]]):
+    * md5-contract boundary decisions, chunk extents, and cross-doc
+    * chunk frequencies all replayed by the oracle. A shared tail is
+    * appended to every 4th doc — because boundaries are content-defined
+    * the chunker RESYNCS inside the tail regardless of each doc's
+    * distinct prefix length, so the tail's later chunks hash-collide
+    * across ~125 docs; fixed-stride chunking would share nothing. That
+    * resync effect (n_shared > 0 exactly for the tailed docs, modulo
+    * rare organic collisions) sits under the hash.
+    */
+  val cdcChunks: QueryDef = QueryDef(
+    "pipeline_cdc_chunks",
+    (s, dir) => {
+      val tail = " the quick brown fox jumps over the lazy dog and " +
+        "resyncs content defined chunks after any prefix shift"
+      val docs = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(tail)).otherwise(lit("")))
+          .as("text"))
+      graft.operators.CdcChunking.crossDocStats(docs).orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 4 = 0
+        |      THEN ' the quick brown fox jumps over the lazy dog and resyncs content defined chunks after any prefix shift'
+        |      ELSE '' END) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t, unnest(generate_series(8, length(t) - 1)) AS i FROM d),
+        |bnd AS (SELECT doc_id, i FROM g
+        |  WHERE ('0x' || substr(md5(substr(t, i - 7, 8)), 1, 7))::BIGINT % 16 = 0),
+        |bl AS (SELECT d.doc_id, t,
+        |    coalesce(list_sort(list(i) FILTER (i IS NOT NULL)), []) AS bs
+        |  FROM d LEFT JOIN bnd ON bnd.doc_id = d.doc_id GROUP BY d.doc_id, t),
+        |ch AS (SELECT doc_id, t, bs,
+        |    unnest(generate_series(1, len(bs) + 1)) AS j FROM bl),
+        |ck AS (SELECT doc_id,
+        |    substr(t,
+        |      (CASE WHEN j = 1 THEN 0 ELSE bs[j - 1] END) + 1,
+        |      (CASE WHEN j <= len(bs) THEN bs[j] ELSE length(t) END)
+        |        - (CASE WHEN j = 1 THEN 0 ELSE bs[j - 1] END)) AS chunk
+        |  FROM ch),
+        |kk AS (SELECT doc_id, md5(chunk) AS k FROM ck),
+        |f AS (SELECT k, count(DISTINCT doc_id) AS nd FROM kk GROUP BY k)
+        |SELECT kk.doc_id AS doc_id, count(*) AS n_chunks,
+        |  (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END))::BIGINT AS n_shared,
+        |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS shared_ratio
+        |FROM kk JOIN f USING (k) GROUP BY kk.doc_id ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -2165,7 +2235,7 @@ object PipelineQueries extends QueryGroup {
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
       neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
-      dsirSelect, modularityGate, lpaGate)
+      dsirSelect, modularityGate, lpaGate, cdcChunks)
 }
 
 object TextQueries extends QueryGroup {

@@ -43,4 +43,24 @@ class HyperLogLogSpec extends SparkSpec {
       values((0 until 40).map(i => s"y$i")), "v")
     assert(math.abs(est40 - 40.0) / 40.0 < 0.25, s"estimate $est40")
   }
+
+  test("summaryByGroup: each group's row equals its own global summary") {
+    val s = spark
+    import s.implicits._
+    val df = ((0 until 700).map(i => ("a", s"doc-$i")) ++
+      (0 until 90).map(i => ("b", s"other-$i")) ++
+      Seq(("c", "solo"))).toDF("g", "v")
+    val grouped = HyperLogLog.summaryByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6))).toMap
+    assert(grouped.keySet == Set("a", "b", "c"))
+    for ((g, n) <- Seq(("a", 700), ("b", 90), ("c", 1))) {
+      val solo = HyperLogLog.summary(df.filter($"g" === g), "v").head()
+      assert(grouped(g) == ((solo.getLong(0), solo.getLong(1),
+        solo.getLong(2), solo.getLong(3), solo.getDouble(4),
+        solo.getLong(5))), s"group $g mismatch")
+      assert(grouped(g)._6 == n)
+    }
+  }
 }

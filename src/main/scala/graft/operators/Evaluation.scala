@@ -185,4 +185,56 @@ object Evaluation {
         round(when(prec.isNotNull && rec.isNotNull && (prec + rec) > 0,
           lit(2) * prec * rec / (prec + rec)), 6).as("f1"))
   }
+
+  /** Ranking agreement between a CANDIDATE retrieval run and its
+    * ground-truth ranking — recall@k, MRR, and graded nDCG@k per query.
+    * The operator behind every "is the cheap retrieval path good
+    * enough" decision: matryoshka prefix vs full-dim, pruned ANN vs
+    * brute force, hybrid fusion vs either leg.
+    *
+    * Inputs are two (queryCol, idCol, rankCol) frames with ranks
+    * 1..k per query. Relevance is graded from the TRUTH rank
+    * (rel = k+1−rt, so truth #1 carries weight k); DCG discounts by
+    * log2(rank+1); the ideal DCG is the closed-form constant
+    * Σ (k+1−i)/log2(i+1), computed once on the driver and inlined —
+    * the one float association mirrored verbatim by the oracle (the
+    * NMI-gate discipline for transcendental terms). MRR is the
+    * reciprocal candidate rank of the truth's #1 item, 0 when missed.
+    *
+    * Plan: one (query, id) hash join between two ≤|queries|·k-row
+    * frames, one per-query aggregate — trivially broadcastable at any
+    * corpus scale because BOTH sides are k-bounded per query.
+    */
+  def rankingAgreement(
+      candidate: DataFrame, truth: DataFrame,
+      queryCol: String, idCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idcg = idealDcg(k)
+    val c = candidate.select(col(queryCol).as("q"), col(idCol).as("id"),
+      col(rankCol).as("rc"))
+    val t = truth.select(col(queryCol).as("q"), col(idCol).as("id"),
+      col(rankCol).as("rt"))
+    val j = c.join(t, Seq("q", "id"), "left")
+    j.groupBy(col("q"))
+      .agg(
+        sum(when(col("rt").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        max(when(col("rt") === 1, lit(1.0) / col("rc"))).as("mrr_raw"),
+        sum(when(col("rt").isNotNull,
+          (lit(k + 1) - col("rt")).cast("double") /
+            (log(col("rc") + 1) / log(lit(2.0)))).otherwise(lit(0.0)))
+          .as("dcg_raw"))
+      .select(col("q").as(queryCol),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 6).as("mrr"),
+        round(col("dcg_raw"), 4).as("dcg"),
+        round(col("dcg_raw") / lit(idcg), 4).as("ndcg"))
+  }
+
+  /** The inlined ideal-DCG constant for [[rankingAgreement]] — exposed
+    * so gate SQL can embed the IDENTICAL double literal.
+    */
+  def idealDcg(k: Int): Double =
+    (1 to k).map(i => (k + 1 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
 }

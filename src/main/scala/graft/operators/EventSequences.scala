@@ -188,4 +188,41 @@ object EventSequences {
       .filter(abs(col("z")) >= threshold)
       .select(col(idCol), col(typeCol), col(valueCol), col("z"))
   }
+
+  /** Robust per-group anomalies via the modified z-score (Iglewicz &
+    * Hoaglin 1993): mz = 0.6745·(x − median)/MAD with
+    * MAD = median(|x − median|). The outlier-resistant sibling of
+    * [[zscoreAnomalies]] — one extreme value inflates a standard
+    * deviation enough to hide itself (masking), but moves a median by
+    * at most one rank, so MAD flags exactly the rows the mean-based
+    * score conceals. Default threshold 3.5 per the source.
+    *
+    * Plan: two grouped EXACT percentile aggregates (the
+    * `agg_percentiles` cross-engine contract: Spark `percentile` ≡
+    * DuckDB `quantile_cont`) with the type-vocabulary-sized stats
+    * broadcast back between them; the corpus shuffles map-side partial
+    * aggregates only. Zero-MAD groups (≥half the group at the median —
+    * e.g. constant values) are excluded by the same guard discipline
+    * as z-score: Spark's NULL-on-/0 vs DuckDB's NaN would otherwise
+    * diverge, so both sides filter mad > 0 explicitly.
+    */
+  def madAnomalies(
+      events: DataFrame, typeCol: String = "event_type",
+      idCol: String = "event_id", valueCol: String = "value",
+      threshold: Double = 3.5): DataFrame = {
+    val med = events.groupBy(col(typeCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .drop("n")
+    val mad = events.join(broadcast(med), typeCol)
+      .groupBy(col(typeCol), col("med"))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+      .filter(col("mad") > 0)
+    events.join(broadcast(mad), typeCol)
+      .withColumn("mz",
+        round(lit(0.6745) * (col(valueCol) - col("med")) / col("mad"), 4))
+      .filter(abs(col("mz")) >= threshold)
+      .select(col(idCol), col(typeCol), col(valueCol), col("mz"))
+  }
 }

@@ -31,6 +31,34 @@ object TextAnalysis {
   def normalizeForMatch(text: Column): Column =
     trim(regexp_replace(stripAccents(lower(text)), "\\s+", " "))
 
+  /** Per-script character counts — the multilingual routing signal in
+    * front of language ID ([[langId]] is marker-word based and
+    * Latin-only; script counts are the coarse pass that routes a doc to
+    * the right per-script model). Four counting classes over BMP
+    * ranges: Latin letters, Cyrillic U+0400–04FF, Greek U+0370–03FF,
+    * CJK unified U+4E00–9FFF. Pure codegen'd regexp counts — one
+    * scan-local projection, zero shuffles; every class is replayable by
+    * any RE2 engine (`[^\x{0400}-\x{04FF}]`).
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] = Seq(
+    "latin" -> length(regexp_replace(text, "[^A-Za-z]", "")),
+    "cyrillic" -> length(regexp_replace(text, "[^Ѐ-ӿ]", "")),
+    "greek" -> length(regexp_replace(text, "[^Ͱ-Ͽ]", "")),
+    "cjk" -> length(regexp_replace(text, "[^一-鿿]", "")))
+
+  /** Dominant script with the fixed tie-break latin > cyrillic > greek
+    * > cjk (deterministic, mirrored in the oracle SQL).
+    */
+  def dominantScript(text: Column): Column = {
+    val c = scriptCounts(text).toMap
+    when(c("latin") >= c("cyrillic") && c("latin") >= c("greek") &&
+      c("latin") >= c("cjk"), lit("latin"))
+      .when(c("cyrillic") >= c("greek") && c("cyrillic") >= c("cjk"),
+        lit("cyrillic"))
+      .when(c("greek") >= c("cjk"), lit("greek"))
+      .otherwise(lit("cjk"))
+  }
+
   /** Heuristic HTML→text extraction as one codegen'd column-expression
     * chain — the crawl front end's boilerplate step (CCNet/Gopher-style
     * pipelines start from exactly this shape after WARC/HTTP split):

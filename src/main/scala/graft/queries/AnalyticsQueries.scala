@@ -584,10 +584,106 @@ object AnalyticsQueries extends QueryGroup {
         |FROM f JOIN d ON d.lang = f.lang JOIN e ON e.lang = f.lang
         |ORDER BY lang""".stripMargin))
 
+  /** KMV sketch set algebra ([[graft.operators.KmvSketch.setSummary]]):
+    * union / intersection / Jaccard estimates for two document subsets
+    * (doc_id % 2 vs % 3 — true overlap on the % 6 docs plus shared
+    * texts) from two 64-row sketches, never a corpus join — the
+    * query-planning / snapshot-overlap primitive. Bottom-k ranking,
+    * union-sketch membership, both estimators, and the sketch-not-full
+    * exactness rule all replay in SQL beside the true counts.
+    */
+  val kmvSetOps: QueryDef = QueryDef(
+    "agg_kmv_set_ops",
+    (s, dir) => {
+      val d = graft.Tables(s, dir).documents
+      graft.operators.KmvSketch.setSummary(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 3 === 0),
+        "text", k = 64)
+    },
+    Some(
+      """WITH ha AS (SELECT DISTINCT ('0x'||substr(md5(text),1,7))::BIGINT AS h
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |hb AS (SELECT DISTINCT ('0x'||substr(md5(text),1,7))::BIGINT AS h
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (SELECT DISTINCT h FROM
+        |    (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 64),
+        |m AS (SELECT h,
+        |    CASE WHEN h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+        |      THEN 1 ELSE 0 END AS in_both FROM ku),
+        |a AS (SELECT count(*)::BIGINT AS n_kept, max(h)::BIGINT AS h_k,
+        |    sum(in_both)::BIGINT AS n_both FROM m),
+        |eu AS (SELECT count(DISTINCT text)::BIGINT AS exact_union
+        |    FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+        |ei AS (SELECT count(*)::BIGINT AS exact_intersection FROM
+        |    (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) ta
+        |    JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0) tb
+        |    USING (text))
+        |SELECT 64::BIGINT AS k, n_kept, h_k,
+        |  round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |    ELSE 63::DOUBLE * 268435456::DOUBLE / h_k::DOUBLE END, 4) AS est_union,
+        |  round((n_both::DOUBLE / n_kept::DOUBLE) *
+        |    (CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |     ELSE 63::DOUBLE * 268435456::DOUBLE / h_k::DOUBLE END), 4) AS est_intersection,
+        |  round(n_both::DOUBLE / n_kept::DOUBLE, 6) AS jaccard_est,
+        |  exact_union, exact_intersection
+        |FROM a, eu, ei""".stripMargin))
+
+  /** KMV join-size estimation
+    * ([[graft.operators.KmvSketch.joinSizeEstimate]]): |orders ⋈
+    * lineitem| estimated from two 128-row key sketches carrying
+    * per-key multiplicities — the planner primitive that prices a
+    * shuffle before paying for it. Sketch ranking, intersection
+    * sampling, both estimators, and the exact Σ nA·nB (computed from
+    * per-key counts on the RAW keys, never the 28-bit hashes) all
+    * replay in SQL.
+    */
+  val kmvJoinEstimate: QueryDef = QueryDef(
+    "agg_kmv_join_estimate",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.KmvSketch.joinSizeEstimate(
+        t.orders, "o_orderkey", t.lineitem, "l_orderkey", k = 128)
+    },
+    Some(
+      """WITH ca AS (SELECT o_orderkey AS key, count(*)::BIGINT AS na FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS key, count(*)::BIGINT AS nb FROM lineitem GROUP BY 1),
+        |ka AS (SELECT ('0x'||substr(md5(key::VARCHAR),1,7))::BIGINT AS h, na
+        |    FROM ca ORDER BY h LIMIT 128),
+        |kb AS (SELECT ('0x'||substr(md5(key::VARCHAR),1,7))::BIGINT AS h, nb
+        |    FROM cb ORDER BY h LIMIT 128),
+        |ku AS (SELECT DISTINCT h FROM
+        |    (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 128),
+        |u AS (SELECT count(*)::BIGINT AS n_kept, max(h)::BIGINT AS h_k,
+        |    sum(CASE WHEN h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_both FROM ku),
+        |sm AS (SELECT count(*)::BIGINT AS n_sample,
+        |    coalesce(sum(na * nb), 0)::BIGINT AS sum_mult
+        |    FROM ka JOIN kb USING (h)),
+        |ex AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join_rows
+        |    FROM ca JOIN cb USING (key))
+        |SELECT 128::BIGINT AS k, n_kept, n_sample,
+        |  round((n_both::DOUBLE / n_kept::DOUBLE) *
+        |    (CASE WHEN n_kept < 128 THEN n_kept::DOUBLE
+        |     ELSE 127::DOUBLE * 268435456::DOUBLE / h_k::DOUBLE END), 4)
+        |    AS est_inter_keys,
+        |  round(CASE WHEN n_sample > 0 THEN sum_mult::DOUBLE / n_sample::DOUBLE
+        |    ELSE 0 END, 6) AS avg_mult,
+        |  round((n_both::DOUBLE / n_kept::DOUBLE) *
+        |    (CASE WHEN n_kept < 128 THEN n_kept::DOUBLE
+        |     ELSE 127::DOUBLE * 268435456::DOUBLE / h_k::DOUBLE END) *
+        |    (CASE WHEN n_sample > 0 THEN sum_mult::DOUBLE / n_sample::DOUBLE
+        |     ELSE 0 END), 2) AS est_join_rows,
+        |  exact_join_rows
+        |FROM u, sm, ex""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
-      countMinPortable, hllPortable, kmvPortable, hllGrouped)
+      countMinPortable, hllPortable, kmvPortable, hllGrouped, kmvSetOps,
+      kmvJoinEstimate)
 }

@@ -199,6 +199,69 @@ object EvalQueries extends QueryGroup {
          |  round(n_pos / n::DOUBLE, 6) AS pos_rate
          |FROM g ORDER BY bin""".stripMargin))
 
+  /** Retrieval-ranking agreement ([[Evaluation.rankingAgreement]]):
+    * recall@10, MRR, and graded nDCG@10 of the matryoshka prefix-16
+    * retrieval (`sim_matryoshka_topk`'s cheap first pass, run as a
+    * 3-query batch) against the full-dimension ground truth — the
+    * "is the cheap path good enough" report. Both rankings, the join,
+    * and every metric replay in SQL; the ideal-DCG constant is computed
+    * once on the driver and embedded as the identical double literal
+    * in the oracle (the NMI discipline for transcendental terms).
+    */
+  val rankAgreement: QueryDef = {
+    val k = 10
+    val idcg = Evaluation.idealDcg(k)
+    QueryDef(
+      "eval_rank_agreement",
+      (s, dir) => {
+        import graft.operators.Similarity
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables(s, dir).embeddings
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        def ranked(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("rk", row_number().over(w))
+        val truth = ranked(Similarity.topKCosineBatch(
+          emb, "vec_id", "embedding", Seq(0L, 1L, 2L), k))
+        val cand = ranked(Similarity.topKCosineBatch(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), 1, 16).as("embedding")),
+          "vec_id", "embedding", Seq(0L, 1L, 2L), k))
+        Evaluation.rankingAgreement(cand, truth,
+            "query_id", "vec_id", "rk", k)
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ep AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+           |qp AS (SELECT vec_id AS query_id, v AS qv FROM ep WHERE vec_id IN (0, 1, 2)),
+           |ts AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+           |       FROM e, q WHERE e.vec_id <> q.query_id
+           |         AND NOT isnan(list_cosine_similarity(e.v, q.qv))),
+           |tr AS (SELECT query_id, vec_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rt
+           |       FROM ts QUALIFY rt <= $k),
+           |cs AS (SELECT qp.query_id, ep.vec_id, round(list_cosine_similarity(ep.v, qp.qv), 6) AS sim
+           |       FROM ep, qp WHERE ep.vec_id <> qp.query_id
+           |         AND NOT isnan(list_cosine_similarity(ep.v, qp.qv))),
+           |cr AS (SELECT query_id, vec_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rc
+           |       FROM cs QUALIFY rc <= $k),
+           |j AS (SELECT cr.query_id, cr.rc, tr.rt
+           |      FROM cr LEFT JOIN tr ON tr.query_id = cr.query_id AND tr.vec_id = cr.vec_id)
+           |SELECT query_id,
+           |  sum(CASE WHEN rt IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           |  round(sum(CASE WHEN rt IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / $k, 6) AS recall,
+           |  round(coalesce(max(CASE WHEN rt = 1 THEN 1.0 / rc END), 0.0), 6) AS mrr,
+           |  round(sum(CASE WHEN rt IS NOT NULL
+           |    THEN (${k + 1} - rt)::DOUBLE / (ln(rc + 1) / ln(2.0)) ELSE 0.0 END), 4) AS dcg,
+           |  round(sum(CASE WHEN rt IS NOT NULL
+           |    THEN (${k + 1} - rt)::DOUBLE / (ln(rc + 1) / ln(2.0)) ELSE 0.0 END)
+           |    / CAST('$idcg' AS DOUBLE), 4) AS ndcg
+           |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(auc, prThreshold, kappa, dedupPairs, calibration)
+    Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement)
 }

@@ -2998,12 +2998,73 @@ object TextQueries extends QueryGroup {
         |    AS dup_ratio
         |FROM e2 JOIN f USING (k) GROUP BY e2.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Unicode script profiling ([[TextAnalysis.scriptCounts]] /
+    * [[TextAnalysis.dominantScript]]): per-script character counts +
+    * deterministic dominant script — the coarse multilingual router in
+    * front of per-script language ID. Corpus rebuilt deterministically
+    * from doc_id as three words drawn from Latin/Cyrillic/Greek/CJK
+    * vocabularies (the testdata text is ASCII-only); the oracle
+    * rebuilds the same text and replays the RE2 counting classes and
+    * the tie-break CASE chain under the hash.
+    */
+  val scriptProfile: QueryDef = QueryDef(
+    "text_script_profile",
+    (s, dir) => {
+      val vocab = array(
+        array(lit("stream"), lit("data"), lit("engine"), lit("table")),
+        array(lit("данные"), lit("поток"), lit("слово"), lit("текст")),
+        array(lit("δεδομένα"), lit("ροή"), lit("λέξη"), lit("κείμενο")),
+        array(lit("数据"), lit("流"), lit("处理"), lit("文本")))
+      def pick(a: Long, b: Long, c: Long, d: Long) =
+        element_at(element_at(vocab,
+            ((col("doc_id") * a + b) % 4 + 1).cast("int")),
+          ((col("doc_id") * c + d) % 4 + 1).cast("int"))
+      val built = concat_ws(" ",
+        pick(1, 0, 7, 0), pick(5, 1, 3, 2), pick(11, 2, 13, 1))
+      val withText = Tables(s, dir).documents
+        .select(col("doc_id"), built.as("mtext"))
+      val counts = TextAnalysis.scriptCounts(col("mtext")).map {
+        case (n, c) => c.cast("long").as(s"n_$n")
+      }
+      withText.select(
+          Seq(col("doc_id"), col("mtext")) ++ counts :+
+            TextAnalysis.dominantScript(col("mtext")).as("dominant"): _*)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH v AS (SELECT doc_id,
+        |    [['stream','data','engine','table'],
+        |     ['данные','поток','слово','текст'],
+        |     ['δεδομένα','ροή','λέξη','κείμενο'],
+        |     ['数据','流','处理','文本']] AS vv
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    vv[((doc_id * 1 + 0) % 4 + 1)::INT][((doc_id * 7 + 0) % 4 + 1)::INT]
+        |    || ' ' ||
+        |    vv[((doc_id * 5 + 1) % 4 + 1)::INT][((doc_id * 3 + 2) % 4 + 1)::INT]
+        |    || ' ' ||
+        |    vv[((doc_id * 11 + 2) % 4 + 1)::INT][((doc_id * 13 + 1) % 4 + 1)::INT]
+        |      AS mtext
+        |  FROM v),
+        |c AS (SELECT doc_id, mtext,
+        |    length(regexp_replace(mtext, '[^A-Za-z]', '', 'g'))::BIGINT AS n_latin,
+        |    length(regexp_replace(mtext, '[^\x{0400}-\x{04FF}]', '', 'g'))::BIGINT AS n_cyrillic,
+        |    length(regexp_replace(mtext, '[^\x{0370}-\x{03FF}]', '', 'g'))::BIGINT AS n_greek,
+        |    length(regexp_replace(mtext, '[^\x{4E00}-\x{9FFF}]', '', 'g'))::BIGINT AS n_cjk
+        |  FROM m)
+        |SELECT doc_id, mtext, n_latin, n_cyrillic, n_greek, n_cjk,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk THEN 'latin'
+        |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk THEN 'cyrillic'
+        |       WHEN n_greek >= n_cjk THEN 'greek'
+        |       ELSE 'cjk' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
-      bpePortable, normalizeUnicode, sentenceDedup)
+      bpePortable, normalizeUnicode, sentenceDedup, scriptProfile)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -3751,6 +3812,32 @@ object EventQueries extends QueryGroup {
         |SELECT event_id, event_type, value, z FROM z
         |WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin))
 
+  /** Robust MAD anomalies ([[graft.operators.EventSequences
+    * .madAnomalies]]): the modified z-score 0.6745·(x−median)/MAD —
+    * the outlier-resistant sibling of `events_zscore_anomaly` (a
+    * masking-prone σ vs a rank-stable MAD). Exact grouped percentiles
+    * under the `agg_percentiles` cross-engine contract; the oracle
+    * replays both medians, the zero-MAD guard, and the 4-dp score.
+    */
+  val madAnomaly: QueryDef = QueryDef(
+    "events_mad_anomaly",
+    (s, dir) =>
+      graft.operators.EventSequences.madAnomalies(Tables(s, dir).events)
+        .orderBy("event_id"),
+    Some(
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type HAVING count(*) >= 2),
+        |md AS (SELECT e.event_type, med,
+        |    quantile_cont(abs(e.value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type)
+        |  GROUP BY e.event_type, med
+        |  HAVING quantile_cont(abs(e.value - med), 0.5) > 0),
+        |mz AS (SELECT e.event_id, e.event_type, e.value,
+        |    round(0.6745 * (e.value - med) / mad, 4) AS mz
+        |  FROM events e JOIN md USING (event_type))
+        |SELECT event_id, event_type, value, mz FROM mz
+        |WHERE abs(mz) >= 3.5 ORDER BY event_id""".stripMargin))
+
   /** Streaming safety-monitor composition under the batch contract
     * ([[graft.streaming.CorpusMonitor.blocklistByWindow]] +
     * [[graft.operators.EventSequences.zscoreAnomalies]]): per event-
@@ -3896,8 +3983,8 @@ object EventQueries extends QueryGroup {
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
-      markovTransitions, attribution, zscoreAnomaly, blocklistMonitor,
-      intervalMerge, scd2)
+      markovTransitions, attribution, zscoreAnomaly, madAnomaly,
+      blocklistMonitor, intervalMerge, scd2)
 }
 
 object IoQueries extends QueryGroup {

@@ -487,6 +487,59 @@ object ScaleCheck {
         graft.operators.Pca.powerProject(embBig, "vec_id", "embedding", 16, 3))
     }
 
+    // sentence-level dedup: the only corpus-scale exchange carries
+    // (doc_id, 32-byte md5 key) pairs; blown corpus duplicates every
+    // sentence dup-fold (worst case for the frequency aggregate's
+    // map-side combine — it must collapse before the shuffle)
+    time("sentence_dedup_1x",
+      graft.operators.SentenceDedup.crossDocStats(docs, "text", "doc_id"))
+    time(s"sentence_dedup_${dup}x",
+      graft.operators.SentenceDedup.crossDocStats(blown, "text", "doc_id"))
+
+    // CDC chunking: scan-local mapPartitions kernel (md5 per window —
+    // the portable contract's cost ceiling; a gear hash drops the
+    // constant) + the same hash-only dedup shuffle as sentences
+    time("cdc_chunks_1x",
+      graft.operators.CdcChunking.crossDocStats(docs, "text", "doc_id"))
+    time(s"cdc_chunks_${dup}x",
+      graft.operators.CdcChunking.crossDocStats(blown, "text", "doc_id"))
+
+    // label propagation: per-round cost is one |E|-bounded vote shuffle
+    // + a node-scale window — same discipline as pagerank (edge list
+    // materialized once, shuffle_hash pin on the label join)
+    {
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      time(s"label_prop_${dup}x",
+        graft.operators.GraphMetrics.labelPropagation(
+          blown.select("doc_id"), "doc_id", pairsD, "id_a", "id_b", 3))
+    }
+
+    // unicode normalize + script profile: pure codegen'd scalar chains
+    // (strip_accents fast-paths ASCII with a zero-copy return) — must
+    // track corpus size linearly with zero shuffles
+    graft.expressions.GraftFunctions.register(spark)
+    time(s"normalize_unicode_${dup}x",
+      blown.select(graft.operators.TextAnalysis.normalizeForMatch(
+        concat(col("text"), lit(" Café Größe naïve"))).as("n")))
+    time(s"script_profile_${dup}x",
+      blown.select(graft.operators.TextAnalysis.dominantScript(
+        col("text")).as("dom")))
+
+    // sketch family at 10x: per-group HLL is ONE map-side-combined
+    // aggregate to <= |groups|*64 register rows; KMV set algebra is two
+    // distinct-hash TopK passes then <=2k-row frames
+    {
+      val langs = blown.withColumn("lang",
+        concat(lit("l"), (col("doc_id") % 7).cast("string")))
+      time(s"hll_grouped_${dup}x",
+        graft.operators.HyperLogLog.summaryByGroup(langs, "lang", "text"))
+      time(s"kmv_set_ops_${dup}x",
+        graft.operators.KmvSketch.setSummary(
+          blown.filter(col("doc_id") % 2 === 0),
+          blown.filter(col("doc_id") % 3 === 0), "text", 128))
+    }
+
     spark.stop()
   }
 }

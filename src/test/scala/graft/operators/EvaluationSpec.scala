@@ -121,4 +121,38 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0)
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("rankingAgreement: hand-computed recall/MRR/nDCG at k=3") {
+    val s = spark
+    import s.implicits._
+    val truth = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3))
+      .toDF("q", "id", "rk")
+    // candidate swaps 1 and 2, misses 3 (id 9 instead)
+    val cand = Seq((7L, 2L, 1), (7L, 1L, 2), (7L, 9L, 3))
+      .toDF("q", "id", "rk")
+    val r = Evaluation.rankingAgreement(cand, truth, "q", "id", "rk", 3)
+      .head()
+    assert(r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.666667) // recall 2/3
+    assert(r.getDouble(3) == 0.5) // truth #1 found at candidate rank 2
+    val log23 = math.log(3.0) / math.log(2.0)
+    val dcg = 2.0 / 1.0 + 3.0 / log23
+    val ndcg = dcg / Evaluation.idealDcg(3)
+    assert(r.getDouble(4) == BigDecimal(dcg)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(r.getDouble(5) - ndcg) < 5e-5)
+  }
+
+  test("rankingAgreement: identical rankings score perfectly; disjoint zero") {
+    val s = spark
+    import s.implicits._
+    val t = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "id", "rk")
+    val perfect = Evaluation.rankingAgreement(t, t, "q", "id", "rk", 2).head()
+    assert(perfect.getDouble(2) == 1.0 && perfect.getDouble(3) == 1.0 &&
+      perfect.getDouble(5) == 1.0)
+    val miss = Seq((1L, 90L, 1), (1L, 91L, 2)).toDF("q", "id", "rk")
+    val zero = Evaluation.rankingAgreement(miss, t, "q", "id", "rk", 2).head()
+    assert(zero.getLong(1) == 0 && zero.getDouble(2) == 0.0 &&
+      zero.getDouble(3) == 0.0 && zero.getDouble(5) == 0.0)
+  }
 }

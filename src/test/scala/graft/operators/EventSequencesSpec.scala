@@ -95,6 +95,30 @@ class EventSequencesSpec extends SparkSpec {
     assert(a.map(_._1) == Set(16L))
   }
 
+  test("MAD flags the hand-computed outlier a masked z-score would shrink") {
+    val s = spark
+    import s.implicits._
+    // values 1..10 + 1000: median 6, abs devs sorted end in 994 with
+    // median 3 → mz(1000) = 0.6745·994/3 = 223.4843; mz(1) = −1.1242
+    val rows = (1L to 10L).map(i => (i, "a", i.toDouble)) :+ ((11L, "a", 1000.0))
+    val got = EventSequences.madAnomalies(
+        rows.toDF("event_id", "event_type", "value").repartition(5))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((11L, 223.4843)), s"got ${got.toSeq}")
+  }
+
+  test("MAD zero-MAD groups are excluded by the guard (documented limit)") {
+    val s = spark
+    import s.implicits._
+    // >half the group at one value → MAD 0 → whole group dropped, even
+    // though 1000 is an outlier: the same /0 cross-engine guard as
+    // zscore's zero-variance filter
+    val rows = (1L to 10L).map(i => (i, "a", 10.0)) :+ ((11L, "a", 1000.0))
+    val got = EventSequences.madAnomalies(
+      rows.toDF("event_id", "event_type", "value"))
+    assert(got.count() == 0)
+  }
+
   test("interval merge coalesces overlapping AND touching spans per key") {
     val s = spark
     import s.implicits._

@@ -355,4 +355,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(again == got)
   }
+
+  test("script counts and dominant script with deterministic tie-break") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "plain latin words only",
+      "данные поток текст",
+      "δεδομένα ροή",
+      "数据 流 处理",
+      "data данные",  // 4 latin vs 6 cyrillic → cyrillic
+      "αβ 数据",      // 2 greek vs 2 cjk → tie → greek
+      "1234 !?")      // nothing → all zero → tie chain → latin
+      .toDF("t")
+    val counts = TextAnalysis.scriptCounts(col("t"))
+    val got = df.select(
+        Seq(col("t")) ++ counts.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.dominantScript(col("t")).as("dom"): _*)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getString(5)))
+    assert(got(0) == ((19, 0, 0, 0, "latin")))
+    assert(got(1) == ((0, 16, 0, 0, "cyrillic")))
+    assert(got(2) == ((0, 0, 11, 0, "greek")))
+    assert(got(3) == ((0, 0, 0, 5, "cjk")))
+    assert(got(4) == ((4, 6, 0, 0, "cyrillic")))
+    assert(got(5) == ((0, 0, 2, 2, "greek")))
+    assert(got(6) == ((0, 0, 0, 0, "latin")))
+  }
 }

@@ -84,8 +84,12 @@ object CdcChunking {
   def crossDocStats(
       docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // same double-consumer shape as SentenceDedup.crossDocStats: the
+    // (id, key) frame is materialized once so the chunking kernel does
+    // not run twice
     val inst = chunks(docs, textCol, idCol)
       .select(col(idCol), md5(col("chunk")).as("k"))
+      .localCheckpoint(true)
     val freq = inst.groupBy(col("k"))
       .agg(countDistinct(col(idCol)).as("nd"))
     inst.join(freq, "k")

@@ -225,4 +225,36 @@ object EventSequences {
       .filter(abs(col("mz")) >= threshold)
       .select(col(idCol), col(typeCol), col(valueCol), col("mz"))
   }
+
+  /** Trimmed per-group statistics: mean/count over the values inside
+    * the exact [p_lo, p_hi] percentile band — the robust location
+    * estimate a metrics dashboard shows when the raw mean is hostage
+    * to a handful of extremes (the read-side companion to
+    * [[madAnomalies]]'s flag-side view). Exact percentiles under the
+    * `agg_percentiles` cross-engine contract; two grouped aggregates
+    * with the type-vocabulary-sized bounds broadcast between them;
+    * the trimmed mean sums EXACT 2-dp decimals before the one double
+    * division (the money-column discipline — order-independent).
+    */
+  def trimmedStats(
+      events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value",
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val bounds = events.groupBy(col(typeCol))
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"),
+        count(lit(1)).as("n_all"))
+    events.join(broadcast(bounds), typeCol)
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .groupBy(col(typeCol), col("lo"), col("hi"), col("n_all"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("s"))
+      .select(col(typeCol),
+        round(col("lo"), 4).as("lo"),
+        round(col("hi"), 4).as("hi"),
+        col("n_all"), col("n_kept"),
+        round(col("s").cast("double") / col("n_kept"), 4)
+          .as("trimmed_mean"))
+  }
 }

@@ -291,4 +291,62 @@ object Sampling {
     val split = labelled.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
     df.withColumn("split", split)
   }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor id, k pseudo-random NON-neighbor ids from the universe —
+    * the (anchor, positive, negative) triple builder behind every
+    * embedding/retrieval trainer, with the negatives reproducible
+    * across reruns and engines (no RNG).
+    *
+    * Contract (md5, [[PortableSketches]] discipline): the universe is
+    * densely indexed rn = row_number over ascending id; candidate j of
+    * anchor a (j = 1..margin) is the universe row at
+    * `h28(md5(a ':' j)) mod N + 1`; candidates equal to the anchor, in
+    * `pairs` (either orientation), or duplicated (same candidate from
+    * two j's — keep the smallest j) are dropped; the first k surviving
+    * by j win. A dense-neighborhood anchor can yield fewer than k —
+    * deterministic, never padded.
+    *
+    * Scale: NO candidate cross join — exactly margin rows per anchor
+    * are generated (`margin·N` total), joined to the universe on the
+    * computed index (hash equi-join) and anti-joined to the pair list.
+    * The dense index is one window over id order: at 100 TB replace it
+    * with a precomputed id→rn dimension (zipWithIndex at ingest) and
+    * the operator is windowless.
+    */
+  def negativeSamples(
+      universe: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, margin: Int): DataFrame = {
+    require(k >= 1 && margin >= k, s"need margin >= k >= 1, got k=$k margin=$margin")
+    val ids = universe.select(col(idCol).cast("long").as("id")).distinct()
+    val indexed = ids.withColumn("rn",
+      row_number().over(Window.orderBy(col("id"))))
+    val n = indexed.count()
+    val cand = ids.select(col("id").as("anchor"))
+      .withColumn("j", explode(sequence(lit(1), lit(margin))))
+      .withColumn("slot",
+        pmod(conv(substring(md5(concat(col("anchor").cast("string"),
+          lit(":"), col("j").cast("string"))), 1, 7), 16, 10).cast("long"),
+          lit(n)) + 1)
+      .join(indexed.select(col("rn").as("slot"), col("id").as("neg_id")),
+        "slot")
+      .filter(col("neg_id") =!= col("anchor"))
+    val nbrs = pairs
+      .select(col(aCol).cast("long").as("anchor"),
+        col(bCol).cast("long").as("neg_id"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("anchor"),
+        col(aCol).cast("long").as("neg_id")))
+      .distinct()
+    val nonNbr = cand.join(nbrs, Seq("anchor", "neg_id"), "left_anti")
+    // dedup same (anchor, neg) from two j's: keep the smallest j, then
+    // rank the survivors by j — both as partial-aggregating min/rank
+    val firstJ = nonNbr.groupBy(col("anchor"), col("neg_id"))
+      .agg(min(col("j")).as("j"))
+    val byAnchor = Window.partitionBy(col("anchor"))
+      .orderBy(col("j"), col("neg_id"))
+    firstJ.withColumn("rk", row_number().over(byAnchor))
+      .filter(col("rk") <= k)
+      .select(col("anchor").as(idCol), col("neg_id"), col("j"))
+  }
 }

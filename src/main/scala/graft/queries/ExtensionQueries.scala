@@ -1224,7 +1224,7 @@ object PipelineQueries extends QueryGroup {
   private val pairCache =
     new graft.operators.LruCache[String, org.apache.spark.sql.DataFrame](8)
 
-  private def jaccardPairsFor(
+  private[queries] def jaccardPairsFor(
       s: org.apache.spark.sql.SparkSession, dir: String) =
     pairCache.getOrElseUpdate(dir) {
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id", 0.95)
@@ -2179,6 +2179,55 @@ object PipelineQueries extends QueryGroup {
         |l3 AS (SELECT l2.id, coalesce(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON b3.dst = l2.id)
         |SELECT id AS doc_id, label AS community FROM l3 ORDER BY doc_id""".stripMargin))
 
+  /** Community quality composition: [[GraphMetrics.modularity]] of the
+    * [[GraphMetrics.labelPropagation]] communities on the same graph —
+    * the "did LPA find real structure" number (vs `graph_modularity`,
+    * which scores the EXTERNAL lang labels). Both pieces' oracles
+    * compose: the unrolled LPA rounds feed the modularity CTEs, so the
+    * full detect-then-score pipeline sits under one hash.
+    */
+  val lpaModularityGate: QueryDef = QueryDef(
+    "graph_lpa_modularity",
+    (s, dir) => {
+      val pairs = jaccardPairsFor(s, dir)
+      val communities = GraphMetrics.labelPropagation(
+        Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", iterations = 3)
+      GraphMetrics.modularity(pairs, "id_a", "id_b",
+        communities, "doc_id", "community")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+        |v1 AS (SELECT e.dst, l.label, count(*) AS c FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+        |b1 AS (SELECT dst, label FROM (SELECT dst, label,
+        |        row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rk FROM v1) WHERE rk = 1),
+        |l1 AS (SELECT l0.id, coalesce(b1.label, l0.label) AS label FROM l0 LEFT JOIN b1 ON b1.dst = l0.id),
+        |v2 AS (SELECT e.dst, l.label, count(*) AS c FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+        |b2 AS (SELECT dst, label FROM (SELECT dst, label,
+        |        row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rk FROM v2) WHERE rk = 1),
+        |l2 AS (SELECT l1.id, coalesce(b2.label, l1.label) AS label FROM l1 LEFT JOIN b2 ON b2.dst = l1.id),
+        |v3 AS (SELECT e.dst, l.label, count(*) AS c FROM e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
+        |b3 AS (SELECT dst, label FROM (SELECT dst, label,
+        |        row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rk FROM v3) WHERE rk = 1),
+        |l3 AS (SELECT l2.id, coalesce(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON b3.dst = l2.id),
+        |le AS (SELECT la.label AS cu, lb.label AS cv
+        |       FROM pairs JOIN l3 la ON la.id = id_a JOIN l3 lb ON lb.id = id_b),
+        |ea AS (SELECT count(*)::BIGINT AS m,
+        |       sum(CASE WHEN cu = cv THEN 1 ELSE 0 END)::BIGINT AS internal FROM le),
+        |dcs AS (SELECT c, count(*)::BIGINT AS dc
+        |        FROM (SELECT cu AS c FROM le UNION ALL SELECT cv FROM le) GROUP BY c),
+        |da AS (SELECT count(*)::BIGINT AS n_communities, sum(dc * dc) AS sum_dc2 FROM dcs)
+        |SELECT m AS n_edges, n_communities, internal AS internal_edges,
+        |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) AS modularity
+        |FROM ea, da""".stripMargin))
+
   /** Content-defined chunking ([[graft.operators.CdcChunking]]):
     * md5-contract boundary decisions, chunk extents, and cross-doc
     * chunk frequencies all replayed by the oracle. A shared tail is
@@ -2235,7 +2284,7 @@ object PipelineQueries extends QueryGroup {
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
       neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
-      dsirSelect, modularityGate, lpaGate, cdcChunks)
+      dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks)
 }
 
 object TextQueries extends QueryGroup {
@@ -3252,9 +3301,53 @@ object SamplingQueries extends QueryGroup {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic negative sampling
+    * ([[graft.operators.Sampling.negativeSamples]]): 2 md5-contract
+    * pseudo-random non-neighbors per doc against the near-dup pair
+    * graph — the contrastive-training triple builder, margin-bounded
+    * candidate generation (no cross join). The oracle replays the
+    * dense index, slot hashing, neighbor anti-join, min-j dedup, and
+    * the (j, neg_id) rank.
+    */
+  val negativeSamples: QueryDef = QueryDef(
+    "pipeline_negative_samples",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.operators.Sampling.negativeSamples(
+          docs.select(col("doc_id")), "doc_id",
+          PipelineQueries.jaccardPairsFor(s, dir), "id_a", "id_b",
+          k = 2, margin = 8)
+        .orderBy("doc_id", "j")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |u AS (SELECT DISTINCT doc_id AS id FROM documents),
+        |ix AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM u),
+        |cnt AS (SELECT count(*) AS n FROM u),
+        |cd AS (SELECT a.id AS anchor, t.j,
+        |    (('0x' || substr(md5(a.id::VARCHAR || ':' || t.j::VARCHAR), 1, 7))::BIGINT
+        |      % cnt.n) + 1 AS slot
+        |  FROM u a CROSS JOIN cnt, generate_series(1, 8) AS t(j)),
+        |c2 AS (SELECT anchor, j, ix.id AS neg_id
+        |  FROM cd JOIN ix ON ix.rn = cd.slot WHERE ix.id <> cd.anchor),
+        |nb AS (SELECT id_a AS anchor, id_b AS neg_id FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nn AS (SELECT anchor, neg_id, min(j) AS j FROM c2
+        |  ANTI JOIN nb USING (anchor, neg_id) GROUP BY anchor, neg_id)
+        |SELECT anchor AS doc_id, neg_id, j FROM
+        |  (SELECT anchor, neg_id, j,
+        |     row_number() OVER (PARTITION BY anchor ORDER BY j, neg_id) AS rk
+        |   FROM nn)
+        |WHERE rk <= 2 ORDER BY doc_id, j""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
-      weightedSample, weightedPerGroup, splitHash)
+      weightedSample, weightedPerGroup, splitHash, negativeSamples)
 }
 
 object EventQueries extends QueryGroup {
@@ -3838,6 +3931,34 @@ object EventQueries extends QueryGroup {
         |SELECT event_id, event_type, value, mz FROM mz
         |WHERE abs(mz) >= 3.5 ORDER BY event_id""".stripMargin))
 
+  /** Trimmed per-group statistics
+    * ([[graft.operators.EventSequences.trimmedStats]]): exact
+    * [p05, p95] band per event type, then the mean of the surviving
+    * values as exact decimals into one double division — the robust
+    * read-side companion to the anomaly flags. Oracle replays bounds,
+    * band filter, and decimal-sum mean.
+    */
+  val trimmedStatsGate: QueryDef = QueryDef(
+    "events_trimmed_stats",
+    (s, dir) =>
+      graft.operators.EventSequences.trimmedStats(Tables(s, dir).events)
+        .orderBy("event_type"),
+    Some(
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi,
+        |    count(*)::BIGINT AS n_all
+        |  FROM events GROUP BY event_type),
+        |k AS (SELECT e.event_type, b.lo, b.hi, b.n_all,
+        |    count(*)::BIGINT AS n_kept,
+        |    sum(CAST(e.value AS DECIMAL(18,2))) AS s
+        |  FROM events e JOIN b USING (event_type)
+        |  WHERE e.value >= b.lo AND e.value <= b.hi
+        |  GROUP BY e.event_type, b.lo, b.hi, b.n_all)
+        |SELECT event_type, round(lo, 4) AS lo, round(hi, 4) AS hi,
+        |  n_all, n_kept, round(s::DOUBLE / n_kept, 4) AS trimmed_mean
+        |FROM k ORDER BY event_type""".stripMargin))
+
   /** Streaming safety-monitor composition under the batch contract
     * ([[graft.streaming.CorpusMonitor.blocklistByWindow]] +
     * [[graft.operators.EventSequences.zscoreAnomalies]]): per event-
@@ -3984,7 +4105,7 @@ object EventQueries extends QueryGroup {
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
-      blocklistMonitor, intervalMerge, scd2)
+      trimmedStatsGate, blocklistMonitor, intervalMerge, scd2)
 }
 
 object IoQueries extends QueryGroup {

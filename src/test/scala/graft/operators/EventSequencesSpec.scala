@@ -119,6 +119,22 @@ class EventSequencesSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("trimmed stats: band bounds and mean are exact on a hand case") {
+    val s = spark
+    import s.implicits._
+    // 1..20 + 1000: p05 at index 0.05·20 = 1 → 2.0; p95 at 19 → 20.0;
+    // band keeps 2..20 (19 values), trimmed mean 209/19 = 11.0 — the
+    // raw mean is 57.6, hostage to the one extreme
+    val rows = ((1L to 20L).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)))
+    val r = EventSequences.trimmedStats(
+        rows.toDF("event_type", "value").repartition(5))
+      .head()
+    assert(r.getString(0) == "a")
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 20.0)
+    assert(r.getLong(3) == 21 && r.getLong(4) == 19)
+    assert(r.getDouble(5) == 11.0)
+  }
+
   test("interval merge coalesces overlapping AND touching spans per key") {
     val s = spark
     import s.implicits._

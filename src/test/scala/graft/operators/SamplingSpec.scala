@@ -267,4 +267,51 @@ class SamplingSpec extends SparkSpec {
       Sampling.deterministicSplit(df, "doc_id", Seq("a" -> 100, "b" -> 100))
     }
   }
+
+  test("negative samples: never anchor/neighbor, <= k, partition-stable") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Sampling.negativeSamples(ids, "id", pairs, "id_a", "id_b",
+        k = 3, margin = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.values.forall(_.length <= 3))
+    val nbr = Map(1L -> Set(2L, 5L), 2L -> Set(1L), 3L -> Set(4L),
+      4L -> Set(3L), 5L -> Set(1L)).withDefaultValue(Set.empty[Long])
+    out.foreach { case (a, n, _) =>
+      assert(n != a, s"anchor $a sampled itself")
+      assert(!nbr(a).contains(n), s"anchor $a sampled neighbor $n")
+    }
+    // enough margin that every anchor gets its full k here
+    assert(byAnchor.size == 20 && byAnchor.values.forall(_.length == 3))
+    val again = Sampling.negativeSamples(ids.repartition(7), "id",
+        pairs.repartition(3), "id_a", "id_b", k = 3, margin = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("negative samples follow the md5 slot contract on a hand case") {
+    val sp = spark
+    import sp.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = 6
+    def slot(a: Long, j: Int): Long =
+      PortableSketches.hash28(md, s"$a:$j") % n + 1 // ids 1..6 → rn == id
+    val ids = (1L to 6L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val expected = (1L to 6L).flatMap { a =>
+      (1 to 6).map(j => (j, slot(a, j)))
+        .filter(_._2 != a)
+        .groupBy(_._2).map { case (neg, js) => (js.map(_._1).min, neg) }
+        .toSeq.sorted.take(2).map { case (j, neg) => (a, neg, j) }
+    }
+    val got = Sampling.negativeSamples(ids, "id", noPairs, "id_a", "id_b",
+        k = 2, margin = 6)
+      .orderBy("id", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
 }

@@ -257,4 +257,45 @@ object EventSequences {
         round(col("s").cast("double") / col("n_kept"), 4)
           .as("trimmed_mean"))
   }
+
+  /** Exponentially time-decayed per-user value sum — the feature-store
+    * recency aggregate ("recent activity counts more"): each event
+    * weighs 2^−⌊age_days/halfLifeDays⌋, age measured in calendar days
+    * back from the corpus max timestamp, exponent capped at
+    * `maxHalfLives` (beyond 20 half-lives the weight is < 1e-6 —
+    * contract-zeroed rather than summed as float dust).
+    *
+    * EXACT integer algebra (the PageRank fixed-point discipline):
+    * weights are powers of two, so each term is
+    * cents · 2^(cap − e) — an exact long shift — and the per-user sum
+    * is order-independent integer arithmetic; ONE double division by
+    * 2^cap·100 at the end. That is what makes an exponential-decay
+    * aggregate cross-engine hashable at all (a float `exp` sum never
+    * is). One map-side-combined aggregate; the reference timestamp is
+    * a broadcast 1-row cross join.
+    */
+  def decayedSum(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      halfLifeDays: Int = 7, maxHalfLives: Int = 20): DataFrame = {
+    require(halfLifeDays >= 1 && maxHalfLives >= 1 && maxHalfLives <= 60,
+      s"bad decay config ($halfLifeDays, $maxHalfLives)")
+    val ref = events.agg(max(col(tsCol)).as("_ref"))
+    val denom = math.pow(2.0, maxHalfLives) * 100.0
+    events.crossJoin(broadcast(ref))
+      .withColumn("_age", datediff(to_date(col("_ref")), to_date(col(tsCol))))
+      .withColumn("_hl",
+        least(expr(s"_age div $halfLifeDays"), lit(maxHalfLives)).cast("int"))
+      .withColumn("_cents",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("_fp",
+        col("_cents") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), $maxHalfLives - _hl)"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_fp")).as("decayed_fp"))
+      .select(col(userCol), col("n_events"), col("decayed_fp"),
+        round(col("decayed_fp").cast("double") / lit(denom), 6)
+          .as("decayed"))
+  }
 }

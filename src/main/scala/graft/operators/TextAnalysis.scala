@@ -46,6 +46,33 @@ object TextAnalysis {
     "greek" -> length(regexp_replace(text, "[^Ͱ-Ͽ]", "")),
     "cjk" -> length(regexp_replace(text, "[^一-鿿]", "")))
 
+  /** Syllable estimate for readability scoring: vowel-group runs
+    * (`[aeiouy]+`) across the text, plus one per word with NO vowel
+    * group (numerals, initialisms — every pronounced word carries at
+    * least one syllable). The standard cheap estimator behind Flesch;
+    * a pure codegen'd regexp count, replayable by RE2.
+    */
+  def syllableCount(text: Column): Column = {
+    val groups = size(regexp_extract_all(lower(text),
+      lit("[aeiouy]+"), lit(0)))
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val zeroVowel = size(filter(words, w => !w.rlike("[aeiouyAEIOUY]")))
+    groups + zeroVowel
+  }
+
+  /** Flesch reading ease from the three counts:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * 4-dp — the classic document-quality feature (a curation filter
+    * drops the unreadable tails on both ends). Callers supply the
+    * counts so the sentence contract stays explicit
+    * ([[SentenceDedup.sentences]] is the gated one).
+    */
+  def fleschScore(nWords: Column, nSentences: Column,
+      nSyllables: Column): Column =
+    round(lit(206.835)
+      - lit(1.015) * (nWords.cast("double") / nSentences)
+      - lit(84.6) * (nSyllables.cast("double") / nWords), 4)
+
   /** Dominant script with the fixed tie-break latin > cyrillic > greek
     * > cjk (deterministic, mirrored in the oracle SQL).
     */

@@ -2228,6 +2228,30 @@ object PipelineQueries extends QueryGroup {
         |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) AS modularity
         |FROM ea, da""".stripMargin))
 
+  /** k-anonymity release gate ([[graft.operators.Governance]]): does
+    * the (lang, source) quasi-identifier combination isolate fewer
+    * than 5 documents anywhere, and what would enforcing k=5 cost in
+    * suppressed rows? One group-cardinality-bounded aggregate; the
+    * oracle replays group counts, the violation threshold, and the
+    * risk rate.
+    */
+  val kAnonymityGate: QueryDef = QueryDef(
+    "pipeline_k_anonymity",
+    (s, dir) =>
+      graft.operators.Governance.kAnonymity(
+        Tables(s, dir).documents, Seq("lang", "source"), k = 5),
+    Some(
+      """WITH g AS (SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY lang, source)
+        |SELECT 5::BIGINT AS k,
+        |  count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        |  sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  sum(n)::BIGINT AS n_rows,
+        |  round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+        |    AS risk_rate
+        |FROM g""".stripMargin))
+
   /** Content-defined chunking ([[graft.operators.CdcChunking]]):
     * md5-contract boundary decisions, chunk extents, and cross-doc
     * chunk frequencies all replayed by the oracle. A shared tail is
@@ -2284,7 +2308,8 @@ object PipelineQueries extends QueryGroup {
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
       neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
-      dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks)
+      dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
+      kAnonymityGate)
 }
 
 object TextQueries extends QueryGroup {
@@ -3108,12 +3133,83 @@ object TextQueries extends QueryGroup {
         |       ELSE 'cjk' END AS dominant
         |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** Flesch reading ease ([[TextAnalysis.fleschScore]] over
+    * [[TextAnalysis.syllableCount]] + the [[SentenceDedup.sentences]]
+    * contract): the classic readability quality feature. Runs on the
+    * same deterministic punctuated corpus as `text_sentence_dedup`;
+    * the oracle rebuilds the corpus and replays word, sentence, and
+    * vowel-group counts plus the 4-dp score arithmetic.
+    */
+  val readability: QueryDef = QueryDef(
+    "text_readability",
+    (s, dir) => {
+      val ws = split(trim(col("text")), "\\s+")
+      val nc = floor((size(ws) + lit(6)) / lit(7)).cast("long")
+      val punct = array(lit("."), lit("!"), lit("?"))
+      val parts = transform(sequence(lit(0L), nc - 1), i =>
+        concat(array_join(slice(ws, (i * 7 + 1).cast("int"), lit(7)), " "),
+          element_at(punct, (i % 3 + 1).cast("int"))))
+      val messy = concat(
+        when(col("doc_id") % 3 === 0,
+          lit("Subscribe to our newsletter today! ")).otherwise(lit("")),
+        array_join(parts, " "),
+        when(col("doc_id") % 5 === 0,
+          lit(" Click here to read more.")).otherwise(lit("")))
+      Tables(s, dir).documents
+        .select(col("doc_id"), messy.as("mtext"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("mtext")).cast("long").as("n_words"),
+          size(graft.operators.SentenceDedup.sentences(col("mtext")))
+            .cast("long").as("n_sentences"),
+          TextAnalysis.syllableCount(col("mtext")).cast("long")
+            .as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          TextAnalysis.fleschScore(col("n_words"), col("n_sentences"),
+            col("n_syllables")).as("flesch"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |    FROM documents),
+        |c AS (SELECT doc_id, ws, (len(ws) + 6) // 7 AS nc FROM w),
+        |g AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, nc - 1)) AS i FROM c),
+        |p AS (SELECT doc_id, i,
+        |    array_to_string(ws[(i*7+1):(i*7+7)], ' ')
+        |      || ['.', '!', '?'][(i % 3) + 1] AS part
+        |  FROM g),
+        |b AS (SELECT doc_id, string_agg(part, ' ' ORDER BY i) AS body
+        |  FROM p GROUP BY doc_id),
+        |m AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |        THEN 'Subscribe to our newsletter today! ' ELSE '' END)
+        |    || body ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |        THEN ' Click here to read more.' ELSE '' END) AS mtext
+        |  FROM b),
+        |n AS (SELECT doc_id,
+        |    len(string_split_regex(trim(mtext), '\s+'))::BIGINT AS n_words,
+        |    len(list_filter(list_transform(
+        |        string_split_regex(mtext, '[.!?]+\s+|[.!?]+$'), s -> trim(s)),
+        |      s -> s <> ''))::BIGINT AS n_sentences,
+        |    (len(regexp_extract_all(lower(mtext), '[aeiouy]+'))
+        |     + len(list_filter(string_split_regex(trim(mtext), '\s+'),
+        |         w -> NOT regexp_matches(w, '[aeiouyAEIOUY]'))))::BIGINT
+        |      AS n_syllables
+        |  FROM m)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |    - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+        |FROM n ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
-      bpePortable, normalizeUnicode, sentenceDedup, scriptProfile)
+      bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
+      readability)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -3959,6 +4055,32 @@ object EventQueries extends QueryGroup {
         |  n_all, n_kept, round(s::DOUBLE / n_kept, 4) AS trimmed_mean
         |FROM k ORDER BY event_type""".stripMargin))
 
+  /** Time-decayed per-user value sum
+    * ([[graft.operators.EventSequences.decayedSum]]): recency-weighted
+    * feature aggregate with power-of-two weights so the whole decay is
+    * EXACT long arithmetic under the hash (an `exp`-based decay never
+    * cross-engine-hashes). Oracle replays the calendar age, the capped
+    * half-life exponent, the shift, and the single final division.
+    */
+  val decayedSumGate: QueryDef = QueryDef(
+    "events_decayed_sum",
+    (s, dir) =>
+      graft.operators.EventSequences.decayedSum(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH r AS (SELECT max(ts) AS ref FROM events),
+        |a AS (SELECT user_id,
+        |    (r.ref::DATE - ts::DATE) AS age_days,
+        |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+        |  FROM events, r),
+        |h AS (SELECT user_id, least(age_days // 7, 20) AS hl, cents FROM a),
+        |f AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    sum(cents * (1::BIGINT << (20 - hl)))::BIGINT AS decayed_fp
+        |  FROM h GROUP BY user_id)
+        |SELECT user_id, n_events, decayed_fp,
+        |  round(decayed_fp::DOUBLE / 104857600.0, 6) AS decayed
+        |FROM f ORDER BY user_id""".stripMargin))
+
   /** Streaming safety-monitor composition under the batch contract
     * ([[graft.streaming.CorpusMonitor.blocklistByWindow]] +
     * [[graft.operators.EventSequences.zscoreAnomalies]]): per event-
@@ -4105,7 +4227,8 @@ object EventQueries extends QueryGroup {
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
-      trimmedStatsGate, blocklistMonitor, intervalMerge, scd2)
+      trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
+      scd2)
 }
 
 object IoQueries extends QueryGroup {

@@ -135,6 +135,30 @@ class EventSequencesSpec extends SparkSpec {
     assert(r.getDouble(5) == 11.0)
   }
 
+  test("decayed sum: exact power-of-two weights, capped exponent") {
+    val s = spark
+    import s.implicits._
+    def d(day: String) = Timestamp.valueOf(s"2026-01-$day 12:00:00")
+    // ref = Jan 29. ages: 0d (hl 0, w 1), 7d (hl 1, w 1/2),
+    // and one ancient event capped at 20 half-lives
+    val rows = Seq(
+      (1L, d("29"), 10.00), (1L, d("22"), 20.00),
+      (2L, d("29"), 8.00))
+      .toDF("user_id", "ts", "value")
+      // ancient: way past the cap — weight exactly 2^-20
+      .unionByName(Seq((1L, Timestamp.valueOf("2020-01-01 00:00:00"), 40.00))
+        .toDF("user_id", "ts", "value"))
+    val got = EventSequences.decayedSum(rows, halfLifeDays = 7,
+        maxHalfLives = 20)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // user 1: 1000·2^20 + 2000·2^19 + 4000·2^0 = 2097156000
+    assert(got(0) == ((1L, 3L, 2097156000L, 20.000038)))
+    // user 2: 800·2^20 / (2^20·100) = 8.0 exactly
+    assert(got(1) == ((2L, 1L, 838860800L, 8.0)))
+  }
+
   test("interval merge coalesces overlapping AND touching spans per key") {
     val s = spark
     import s.implicits._

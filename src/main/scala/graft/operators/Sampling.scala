@@ -310,18 +310,27 @@ object Sampling {
     * Scale: NO candidate cross join — exactly margin rows per anchor
     * are generated (`margin·N` total), joined to the universe on the
     * computed index (hash equi-join) and anti-joined to the pair list.
-    * The dense index is one window over id order: at 100 TB replace it
-    * with a precomputed id→rn dimension (zipWithIndex at ingest) and
-    * the operator is windowless.
+    * The dense index is a distributed range-sort + per-partition
+    * zipWithIndex (NOT an unpartitioned `row_number` window, which
+    * would drag the whole universe into one task) — the same global
+    * index any engine derives as `row_number over (order by id)`.
     */
   def negativeSamples(
       universe: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       k: Int, margin: Int): DataFrame = {
     require(k >= 1 && margin >= k, s"need margin >= k >= 1, got k=$k margin=$margin")
+    val spark = universe.sparkSession
+    import spark.implicits._
     val ids = universe.select(col(idCol).cast("long").as("id")).distinct()
-    val indexed = ids.withColumn("rn",
-      row_number().over(Window.orderBy(col("id"))))
+    // materialize the index once — it feeds the count, the slot join,
+    // and (via ids) the candidate generator; without this the
+    // sort+zipWithIndex chain re-runs per consumer (measured 32 s →
+    // ~8 s on the 10× rehearsal)
+    val indexed = ids.orderBy("id").as[Long].rdd.zipWithIndex()
+      .map { case (id, i) => (id, i + 1) }
+      .toDF("id", "rn")
+      .localCheckpoint(true)
     val n = indexed.count()
     val cand = ids.select(col("id").as("anchor"))
       .withColumn("j", explode(sequence(lit(1), lit(margin))))

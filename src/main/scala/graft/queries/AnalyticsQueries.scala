@@ -679,11 +679,72 @@ object AnalyticsQueries extends QueryGroup {
         |  exact_join_rows
         |FROM u, sm, ex""".stripMargin))
 
+  /** TPC-H Q19 shape (disjunctive predicate revenue): lineitem ⨝ part
+    * under an OR of three (brand, size-range, quantity-range) blocks —
+    * the classic test that the optimizer extracts the common equi-join
+    * key AND derives per-side disjunctive filters (part side gets
+    * `p_brand IN (...)` pushed to the scan) instead of degrading to a
+    * nested-loop join.
+    */
+  val disjunctiveRevenue: QueryDef = QueryDef(
+    "tpch_q19_disjunctive",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cond =
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(10, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(20, 40) &&
+          col("l_quantity").between(20, 45))
+      t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2))) *
+            (lit(1).cast(DecimalType(18, 4)) -
+              col("l_discount").cast(DecimalType(18, 4))))
+            .cast("double").as("revenue"))
+    },
+    Some(
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 45)""".stripMargin))
+
+  /** TPC-H Q16 shape (supplier diversity per part line): distinct
+    * suppliers per (brand, type) among sold parts, EXCLUDING a
+    * blocklisted supplier set (negative account balance standing in
+    * for the complaints filter) via a left-anti join — anti join +
+    * count-distinct + ranked output in one plan.
+    */
+  val supplierDiversity: QueryDef = QueryDef(
+    "tpch_q16_supplier_cnt",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val bad = t.supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+        .limit(10)
+    },
+    Some(
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 10""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
       countMinPortable, hllPortable, kmvPortable, hllGrouped, kmvSetOps,
-      kmvJoinEstimate)
+      kmvJoinEstimate, disjunctiveRevenue, supplierDiversity)
 }

@@ -540,6 +540,46 @@ object ScaleCheck {
           blown.filter(col("doc_id") % 3 === 0), "text", 128))
     }
 
+    // negative sampling: margin·N candidate rows, hash equi-join to the
+    // distributed dense index, anti-join to pairs — no cross join, no
+    // single-partition window
+    {
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      time(s"negative_samples_${dup}x",
+        graft.operators.Sampling.negativeSamples(
+          blown.select("doc_id"), "doc_id", pairsD, "id_a", "id_b",
+          k = 2, margin = 8))
+    }
+
+    // robust stats + decay: grouped exact-percentile / integer-shift
+    // aggregates — linear, map-side combined
+    {
+      val ev = graft.Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+      val evBig = (0 until dup).map(i =>
+        ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+          col("user_id"), col("event_type"), col("ts"), col("value")))
+        .reduce(_ unionByName _)
+      time(s"mad_anomaly_${dup}x",
+        graft.operators.EventSequences.madAnomalies(evBig))
+      time(s"trimmed_stats_${dup}x",
+        graft.operators.EventSequences.trimmedStats(evBig))
+      time(s"decayed_sum_${dup}x",
+        graft.operators.EventSequences.decayedSum(evBig))
+    }
+
+    // readability: pure codegen regexp counts — linear, zero shuffles
+    graft.expressions.GraftFunctions.register(spark)
+    time(s"readability_${dup}x",
+      blown.select(
+        graft.operators.TextAnalysis.fleschScore(
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(3L),
+          graft.operators.TextAnalysis.syllableCount(col("text"))
+            .cast("long")).as("flesch")))
+
     spark.stop()
   }
 }

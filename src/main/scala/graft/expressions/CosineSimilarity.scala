@@ -172,5 +172,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[StripAccents].getName, "strip_accents"),
       (exprs: Seq[Expression]) => GraftFunctions.buildStripAccents(exprs)))
+    ext.injectOptimizerRule(_ => IntersectPrefilterRule)
   }
 }

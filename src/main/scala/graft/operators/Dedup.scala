@@ -491,6 +491,43 @@ object Dedup {
     c.cast("double") / (size(a) + size(b) - c)
   }
 
+  /** Absolute-overlap verify: keep candidate pairs whose SORTED hash
+    * sets share at least `minOverlap` elements, with the count beside
+    * each surviving pair — the threshold form of the verify stage
+    * (decontamination "≥ k shared shingles", citation overlap, common-
+    * token confirmation) where jaccard's ratio is the wrong contract
+    * because a long document must not dilute a verbatim 50-token leak.
+    *
+    * Runs through [[graft.expressions.SortedIntersectCount]] under the
+    * [[graft.expressions.IntersectPrefilterRule]] optimizer rule: the
+    * plan's Filter gains derived `size(set) >= minOverlap` conjuncts
+    * that short-circuit the O(|a|+|b|) merge walk for every pair one
+    * short side already disqualifies. Sets are md5-h28 element hashes
+    * (the portable contract — any SQL engine replays them), sorted
+    * distinct, so the exchange carries longs.
+    */
+  def verifyOverlapCount(
+      candidates: DataFrame, docs: DataFrame,
+      elemsCol: Column, idCol: String, minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val spark = docs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    graft.expressions.IntersectPrefilter.install(spark)
+    val hashed = array_sort(array_distinct(transform(elemsCol,
+      w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))))
+    val sets = docs.select(col(idCol).as("vid"), hashed.as("hset"))
+    candidates
+      .join(sets.withColumnRenamed("vid", "id_a")
+        .withColumnRenamed("hset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("vid", "id_b")
+        .withColumnRenamed("hset", "set_b"), "id_b")
+      .filter(call_function("sorted_intersect_count",
+        col("set_a"), col("set_b")) >= minOverlap)
+      .select(col("id_a"), col("id_b"),
+        call_function("sorted_intersect_count",
+          col("set_a"), col("set_b")).cast("long").as("overlap"))
+  }
+
   /** Exact set-Jaccard for candidate pairs (the verify stage after LSH
     * pruning), on the SAME element set the signatures hashed — `setCol`
     * is any array expression over `docs` (word set, shingle set, ...).

@@ -462,12 +462,46 @@ object DedupQueries extends QueryGroup {
         |FROM cand WHERE round(jaro_winkler_similarity(s_a, s_b), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Absolute-overlap verify ([[Dedup.verifyOverlapCount]]) over a
+    * deterministic candidate list (consecutive-id pairs): keeps pairs
+    * sharing ≥ 25 distinct md5-h28 word hashes via the codegen'd
+    * [[graft.expressions.SortedIntersectCount]] under the
+    * [[graft.expressions.IntersectPrefilterRule]] optimizer rule
+    * (derived `size >= 25` conjuncts short-circuit the merge walk —
+    * plan-locked in IntersectPrefilterRuleSpec). The oracle replays
+    * hashing, distinct-set intersection, and the threshold; 92/499
+    * pairs survive at sf0.01, so the filter is non-vacuous both ways.
+    */
+  val overlapVerified: QueryDef = QueryDef(
+    "dedup_overlap_verified",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val cand = d.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), "id_b")
+        .select("id_a", "id_b")
+      Dedup.verifyOverlapCount(cand, d,
+          split(lower(col("text")), "\\s+"), "doc_id", minOverlap = 25)
+        .orderBy("id_a")
+    },
+    Some(
+      """WITH w AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      string_split_regex(lower(text), '\s+'),
+        |      x -> ('0x' || substr(md5(x), 1, 7))::BIGINT))) AS hs
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.hs, b.hs))::BIGINT AS overlap
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b, overlap FROM p WHERE overlap >= 25
+        |ORDER BY id_a""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
       embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, boilerplate,
       semantic,
       containment, editDistance, erPairs, erPairsCapped, erClusters,
-      minhashExact, simhashExact)
+      minhashExact, simhashExact, overlapVerified)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -1265,6 +1265,22 @@ object PipelineQueries extends QueryGroup {
         .localCheckpoint(true)
     }
 
+  /** LPA communities over the cached pair graph, themselves cached —
+    * `graph_label_propagation` and `graph_lpa_modularity` share the
+    * same 3-round computation (the pairCache pattern one level up).
+    */
+  private val lpaCache =
+    new graft.operators.LruCache[String, org.apache.spark.sql.DataFrame](8)
+
+  private[queries] def lpaCommunitiesFor(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    lpaCache.getOrElseUpdate(dir) {
+      GraphMetrics.labelPropagation(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          jaccardPairsFor(s, dir), "id_a", "id_b", iterations = 3)
+        .localCheckpoint(true)
+    }
+
   val components: QueryDef = QueryDef(
     "dedup_components",
     (s, dir) =>
@@ -2183,13 +2199,8 @@ object PipelineQueries extends QueryGroup {
     */
   val lpaGate: QueryDef = QueryDef(
     "graph_label_propagation",
-    (s, dir) => {
-      val pairs = jaccardPairsFor(s, dir)
-      GraphMetrics.labelPropagation(
-          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
-          pairs, "id_a", "id_b", iterations = 3)
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      lpaCommunitiesFor(s, dir).orderBy("doc_id"),
     Some(
       """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
@@ -2222,14 +2233,9 @@ object PipelineQueries extends QueryGroup {
     */
   val lpaModularityGate: QueryDef = QueryDef(
     "graph_lpa_modularity",
-    (s, dir) => {
-      val pairs = jaccardPairsFor(s, dir)
-      val communities = GraphMetrics.labelPropagation(
-        Tables(s, dir).documents.select(col("doc_id")), "doc_id",
-        pairs, "id_a", "id_b", iterations = 3)
-      GraphMetrics.modularity(pairs, "id_a", "id_b",
-        communities, "doc_id", "community")
-    },
+    (s, dir) =>
+      GraphMetrics.modularity(jaccardPairsFor(s, dir), "id_a", "id_b",
+        lpaCommunitiesFor(s, dir), "doc_id", "community"),
     Some(
       """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),

@@ -740,11 +740,58 @@ object AnalyticsQueries extends QueryGroup {
         |GROUP BY p_brand, p_type
         |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 10""".stripMargin))
 
+  /** TPC-H Q21 shape (sole-blame supplier): suppliers with a returned
+    * lineitem on orders where OTHER suppliers participated (EXISTS)
+    * but NONE of them had returns (NOT EXISTS) — the classic
+    * correlated-exists pair, planned as one semi-join plus one
+    * anti-join on the same distinct (order, supplier) frames, never a
+    * correlated subquery per row.
+    */
+  val soleBlame: QueryDef = QueryDef(
+    "tpch_q21_sole_blame",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val all = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .distinct().localCheckpoint(true)
+      val ret = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct().localCheckpoint(true)
+      val otherAny = all.select(col("l_orderkey").as("o2"),
+        col("l_suppkey").as("s2"))
+      val otherRet = ret.select(col("l_orderkey").as("o3"),
+        col("l_suppkey").as("s3"))
+      val blamed = ret
+        .join(otherAny, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(otherRet, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      blamed.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some(
+      """WITH al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |      WHERE l_returnflag = 'R'),
+        |b AS (SELECT r.l_orderkey, r.l_suppkey FROM r
+        |  WHERE EXISTS (SELECT 1 FROM al o WHERE o.l_orderkey = r.l_orderkey
+        |                AND o.l_suppkey <> r.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM r o2 WHERE o2.l_orderkey = r.l_orderkey
+        |                AND o2.l_suppkey <> r.l_suppkey))
+        |SELECT s_name, count(*) AS numwait
+        |FROM b JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
       countMinPortable, hllPortable, kmvPortable, hllGrouped, kmvSetOps,
-      kmvJoinEstimate, disjunctiveRevenue, supplierDiversity)
+      kmvJoinEstimate, disjunctiveRevenue, supplierDiversity, soleBlame)
 }

@@ -570,6 +570,19 @@ object ScaleCheck {
         graft.operators.EventSequences.decayedSum(evBig))
     }
 
+    // overlap verify under the IntersectPrefilterRule: consecutive-id
+    // candidates over the blown corpus — per-pair cost is the merge
+    // walk, short-circuited by the derived size conjuncts
+    {
+      val cand = blown.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .join(blown.select(col("doc_id").as("id_b")), "id_b")
+        .select("id_a", "id_b")
+      time(s"overlap_verify_${dup}x",
+        Dedup.verifyOverlapCount(cand, blown,
+          split(lower(col("text")), "\\s+"), "doc_id", 25))
+    }
+
     // readability: pure codegen regexp counts — linear, zero shuffles
     graft.expressions.GraftFunctions.register(spark)
     time(s"readability_${dup}x",

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Sequence analytics over per-user event streams: first-order Markov
   * transition estimation and conversion-touch attribution — the
@@ -297,5 +298,53 @@ object EventSequences {
       .select(col(userCol), col("n_events"), col("decayed_fp"),
         round(col("decayed_fp").cast("double") / lit(denom), 6)
           .as("decayed"))
+  }
+
+  /** Grouped OLS trend: per-key least-squares slope and intercept of
+    * value over time, in EXACT integer fixed-point end to end. Time is
+    * CENTERED per group — x = whole seconds since the group's first
+    * event (`(µs − t0µs) div 1e6`, floor division on non-negatives, so
+    * every engine truncates identically) — because raw epoch seconds
+    * squared would overflow any fixed-width accumulator; y is the
+    * value in ten-thousandths (long). The per-group moment sums
+    * (Σx, Σy, Σxy, Σx²) are plain longs; the closed forms
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) / 10⁴
+    *   intercept = (Σx²·Σy − Σx·Σxy) / (n·Σx² − (Σx)²) / 10⁴
+    *
+    * combine them in DECIMAL(38,0) (the only place products can pass
+    * 2⁶³) and divide ONCE in double at the surface (round 6) — a
+    * DuckDB oracle replays this hash-for-hash via HUGEINT. Two
+    * aggregates over the same key partitioning (t0, then moments) —
+    * one corpus shuffle, exchange reused; zero-time-variance groups
+    * yield null, not NaN.
+    */
+  def olsTrend(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val t0 = events.groupBy(col(keyCol))
+      .agg(min(unix_micros(col(tsCol))).as("_t0"))
+    val d = DecimalType(38, 0)
+    val m = events
+      .join(t0, keyCol)
+      .withColumn("_x", expr(s"(unix_micros($tsCol) - _t0) div 1000000"))
+      .withColumn("_y",
+        (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_x") * col("_x")).as("sxx"))
+    def dd(c: Column) = c.cast(d)
+    val den = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    m.select(col(keyCol), col("n").as("n_events"),
+        when(den =!= 0,
+          round((dd(col("n")) * dd(col("sxy")) -
+            dd(col("sx")) * dd(col("sy"))).cast("double") /
+            (den.cast("double") * 10000d), 6)).as("slope"),
+        when(den =!= 0,
+          round((dd(col("sxx")) * dd(col("sy")) -
+            dd(col("sx")) * dd(col("sxy"))).cast("double") /
+            (den.cast("double") * 10000d), 6)).as("intercept"))
   }
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Feature engineering for training-data pipelines: the operators that
+  * turn a curated corpus into model inputs — smoothed target encoding
+  * for categorical columns, the hashing trick for unbounded vocabularies,
+  * per-dimension embedding scaling stats, and rare-term TF-IDF pair
+  * candidates. All contracts are engine-portable: integer/decimal
+  * arithmetic end-to-end with ONE double division at the surface, md5
+  * for every pseudo-random hash, so a DuckDB oracle replays each result
+  * hash-for-hash.
+  *
+  * Scale shapes: every operator is one hash aggregate (plus at most a
+  * 1-row or dim-width broadcast back); nothing shuffles the corpus
+  * twice, nothing collects.
+  */
+object Features {
+
+  /** Smoothed target encoding (m-estimate / empirical-Bayes shrinkage,
+    * Micci-Barreca 2001): enc(c) = (Σ_c y + m·prior) / (n_c + m) with
+    * prior = the global mean. Restated multiplicatively in integer
+    * fixed-point (y in ten-thousandths) so the ONLY float step is the
+    * final division:
+    *
+    *   enc(c) = (N·Σ_c y' + m·Σy') / (N·(n_c + m) · 10⁴)
+    *
+    * with the N·Σ products combined in DECIMAL(38,0) — long×long would
+    * silently wrap once N·n_c passes 2⁶³ (≈3·10⁹ rows on both sides,
+    * i.e. exactly the 100 TB regime). One groupBy on the category; the
+    * global (Σy', N) rides a 1-row broadcast. High-cardinality
+    * categories are just more groups — the aggregate stays
+    * map-side-combining at any cardinality.
+    */
+  def targetEncode(
+      df: DataFrame, catCol: String, targetCol: String,
+      m: Int): DataFrame = {
+    val y = (col(targetCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val d = DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d)
+    val global = df.agg(sum(y).as("gsum"), count(lit(1)).as("gn"))
+    df.groupBy(col(catCol).as("category"))
+      .agg(sum(y).as("csum"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(global))
+      .select(col("category"), col("n"),
+        round((dd(col("gn")) * dd(col("csum")) +
+          dd(lit(m)) * dd(col("gsum"))).cast("double") /
+          ((dd(col("gn")) * dd(col("n") + lit(m))).cast("double") * 10000d),
+          6).as("enc"))
+  }
+
+  /** Hashing-trick feature histogram (Weinberger et al. 2009): every
+    * whitespace token lands in bucket h28(md5(token)) mod `nBuckets`.
+    * The md5 contract makes assignments identical in any engine; the
+    * histogram is one vocabulary-bounded aggregate after a scan-local
+    * tokenize (the corpus text never shuffles — only (bucket, count)
+    * partials).
+    */
+  def hashedFeatureHistogram(
+      df: DataFrame, textCol: String, nBuckets: Int): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(pmod(conv(substring(md5(col("w")), 1, 7), 16, 10)
+        .cast("long"), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-dimension min-max scaling statistics over an `Array[Float]`
+    * embedding column: for each dimension, (min, max) and the mean of
+    * the min-max-scaled values — closed-form from the exact aggregates
+    *
+    *   scaled_mean = (Σv − n·min) / (n·(max − min))
+    *
+    * so no per-element float division ever happens (summation-order
+    * noise cannot reach the result: Σv is an exact DECIMAL(28,10) sum
+    * of the floats' exact double values). One posexplode + one groupBy
+    * on the 64-value dim domain; zero-variance dims yield null (no
+    * scale exists), not NaN.
+    */
+  def minMaxScaleStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("v").cast(DecimalType(28, 10))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("pos"), col("vmin"), col("vmax"),
+        when(col("vmax") > col("vmin"),
+          round((col("s") - col("n") * col("vmin").cast(DecimalType(28, 10)))
+            .cast("double") /
+            (col("n").cast("double") * (col("vmax") - col("vmin"))), 6))
+          .as("scaled_mean"))
+
+  /** Rare-term TF-IDF pair candidates: documents scored against each
+    * other through SHARED RARE TERMS only (df ∈ [dfMin, dfMax]) with
+    * integer weights w(d,t) = tf(d,t) · (1000000 div df(t)) — integer
+    * division on both engines, so the dot products are exact longs.
+    * Terms are word BIGRAMS: unigram vocabularies saturate (every word
+    * frequent ⇒ no discriminative terms), while bigram df distributions
+    * keep a discriminative tail even over small vocabularies — the
+    * same reason shingle-based near-dup contracts outperform word sets.
+    *
+    * The df cap IS the scale story (same reason PPJoin prefixes work):
+    * candidate pairs are Σ_t df(t)² ≤ dfMax·Σ_t df(t), linear in the
+    * posting list volume — an uncapped term join would go quadratic on
+    * every stopword. Returns the top-k pairs by dot product
+    * (deterministic tiebreak), via TakeOrdered — no global sort.
+    */
+  def tfidfRareTermPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      dfMin: Int, dfMax: Int, k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')")
+          .as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+        .as("w"))
+      .groupBy("id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w")
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq").between(dfMin, dfMax))
+    val weighted = tf
+      .join(dfreq, "w")
+      .select(col("id"), col("w"),
+        (col("tf") * expr("1000000 div dfreq")).as("wt"))
+    val a = weighted.select(col("id").as("id_a"), col("w"),
+      col("wt").as("wa"))
+    val b = weighted.select(col("id").as("id_b"), col("w"),
+      col("wt").as("wb"))
+    a.join(b, Seq("w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .orderBy(col("dot").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

@@ -787,11 +787,313 @@ object AnalyticsQueries extends QueryGroup {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
 
+  /** Exact decimal revenue term shared by the Q4/Q7/Q8/Q15/Q17 shapes:
+    * extendedprice × (1 − discount) in DECIMAL so both engines agree
+    * bit-for-bit before the final cast to double.
+    */
+  private def drev: org.apache.spark.sql.Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 4)) -
+        col("l_discount").cast(DecimalType(18, 4)))
+
+  private val drevSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  /** TPC-H Q4 shape (order priority checking): orders from one year with
+    * at least one lineitem shipped >30 days after the order date (the
+    * dataset has no commit/receipt dates — late shipping is the stand-in),
+    * counted per priority. The correlated EXISTS plans as ONE left-semi
+    * hash join on orderkey with the date comparison as its residual —
+    * never a per-row subquery; at 100 TB both sides shuffle once on
+    * orderkey and the year filter prunes the orders scan first.
+    */
+  val priorityChecking: QueryDef = QueryDef(
+    "tpch_q4_priority_checking",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val o = t.orders.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      o.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_cnt"))
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS order_cnt
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** TPC-H Q7 shape (volume shipping between two nations, both
+    * directions): supplier and customer frames are pre-filtered to the
+    * two nations BEFORE touching the fact table — the scale-correct
+    * plan is two broadcast joins against a lineitem⨝orders shuffle,
+    * not a post-join nation filter over the full fact join.
+    */
+  val volumeShipping: QueryDef = QueryDef(
+    "tpch_q7_volume_shipping",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val nat = t.nation.filter(col("n_nationkey").isin(1, 2))
+      val sup = t.supplier
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = t.customer
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(drev).cast("double").as("revenue"))
+    },
+    Some(
+      s"""SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year, $drevSql AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_nationkey IN (1, 2) AND n2.n_nationkey IN (1, 2)
+        |    AND n1.n_nationkey <> n2.n_nationkey)
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  /** TPC-H Q8 shape (national market share): of PROMO-part revenue sold
+    * to customers in region 0, the share supplied by NATION_3, per
+    * year. Numerator and denominator are exact decimal sums; only the
+    * final share divides in double (rounded to 6 dp so both engines
+    * agree). Part and the two nation-side dims broadcast; one fact
+    * shuffle on orderkey.
+    */
+  val marketShare: QueryDef = QueryDef(
+    "tpch_q8_market_share",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val promo = t.part.filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val cusR = t.customer
+        .join(t.nation.filter(col("n_regionkey") === 0),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = t.supplier
+        .join(t.nation.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t.lineitem
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cusR), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", drev)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double") /
+            sum(drev).cast("double"), 6).as("mkt_share"))
+    },
+    Some(
+      s"""SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |        CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT o_orderdate, n2.n_name AS supp_nation, $drevSql AS volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE n1.n_regionkey = 0 AND p_type = 'PROMO')
+        |GROUP BY year(o_orderdate)""".stripMargin))
+
+  /** TPC-H Q12 shape (shipping priority split): lineitems shipped in
+    * 1996 grouped by linestatus (no shipmode column in this schema),
+    * split into high/low order-priority counts via conditional sums —
+    * one fact shuffle on orderkey, map-side partial aggregation.
+    */
+  val priorityShipping: QueryDef = QueryDef(
+    "tpch_q12_priority_split",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_cnt"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_cnt"))
+    },
+    Some(
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_cnt,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin))
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join customer→orders with the priority exclusion INSIDE the join
+    * condition (so order-less customers survive as c_count=0), then the
+    * distribution of counts. Two aggregations, each one shuffle; the
+    * second is on the tiny (c_count) domain.
+    */
+  val custDist: QueryDef = QueryDef(
+    "tpch_q13_custdist",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin))
+
+  /** TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    * quarter, keep the supplier(s) hitting the max. The max is a 1-row
+    * broadcast joined back on EXACT decimal equality (casting to double
+    * before comparing would be a cross-engine tie hazard); only the
+    * output casts to double.
+    */
+  val topSupplier: QueryDef = QueryDef(
+    "tpch_q15_top_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rev = t.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(drev).as("rev_d"))
+      val mx = rev.agg(max(col("rev_d")).as("mx"))
+      rev.join(broadcast(mx), col("rev_d") === col("mx"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_revenue"))
+    },
+    Some(
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, sum($drevSql) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM rev)""".stripMargin))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    * brand whose quantity is below 20% of that part's average quantity.
+    * The avg threshold compare is restated multiplicatively in exact
+    * decimals (5·q·cnt < Σq) so neither engine divides; per-part stats
+    * join back as a broadcast (|parts of one brand| is tiny vs the fact).
+    */
+  val smallQtyRevenue: QueryDef = QueryDef(
+    "tpch_q17_small_qty",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val brandLi = t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+      val stats = brandLi.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qsum"),
+          count(lit(1)).as("qcnt"))
+      brandLi.join(broadcast(stats), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 *
+          col("qcnt") < col("qsum"))
+        .agg(count(lit(1)).as("n_small"),
+          dsum(col("l_extendedprice"), "total_price"))
+    },
+    Some(
+      """WITH st AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+        |    count(*) AS qcnt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4' GROUP BY l_partkey)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN st ON l_partkey = pk
+        |WHERE p_brand = 'Brand#4'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qcnt < qsum""".stripMargin))
+
+  /** TPC-H Q22 shape (global sales opportunity): customers above the
+    * positive-balance average with NO urgent orders (every customer has
+    * SOME order in this dataset — the urgent subset keeps the anti-join
+    * non-vacuous), bucketed by custkey mod 7 standing in for the phone
+    * country code. The average compare is multiplicative in exact
+    * decimals (bal·cnt > Σbal); the global stats ride a 1-row broadcast.
+    */
+  val salesOpportunity: QueryDef = QueryDef(
+    "tpch_q22_sales_opportunity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val stats = t.customer.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bsum"),
+          count(lit(1)).as("bcnt"))
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      t.customer
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("bcnt") >
+          col("bsum"))
+        .groupBy(pmod(col("c_custkey"), lit(7)).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal"), "totacctbal"))
+    },
+    Some(
+      """WITH st AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bsum,
+        |    count(*) AS bcnt FROM customer WHERE c_acctbal > 0)
+        |SELECT c_custkey % 7 AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, st
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bcnt > bsum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_custkey % 7""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
       percentiles, largeOrders, topKPerGroupAgg, histogram, heavyHitters,
       heavyHittersGrouped, approxPercentiles, promoRevenue, forecastRevenue,
       countMinPortable, hllPortable, kmvPortable, hllGrouped, kmvSetOps,
-      kmvJoinEstimate, disjunctiveRevenue, supplierDiversity, soleBlame)
+      kmvJoinEstimate, disjunctiveRevenue, supplierDiversity, soleBlame,
+      priorityChecking, volumeShipping, marketShare, priorityShipping,
+      custDist, topSupplier, smallQtyRevenue, salesOpportunity)
 }

@@ -1096,13 +1096,38 @@ object SimilarityQueries extends QueryGroup {
         |SELECT vec_id, sim FROM s WHERE NOT isnan(sim)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
 
+  /** Per-dimension min-max scaling stats ([[graft.operators.Features
+    * .minMaxScaleStats]]): the feature-normalization pass before
+    * training, with the scaled mean computed closed-form from exact
+    * aggregates — no per-element float division, so summation order
+    * cannot reach the hash. Full oracle.
+    */
+  val featureScale: QueryDef = QueryDef(
+    "sim_feature_scale",
+    (s, dir) =>
+      graft.operators.Features.minMaxScaleStats(
+          Tables(s, dir).embeddings, "embedding")
+        .orderBy("pos"),
+    Some(
+      """WITH x AS (SELECT idx - 1 AS pos, v[idx]::DOUBLE AS val
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |    unnest(range(1, 65)) AS t(idx)),
+        |a AS (SELECT pos, min(val) AS vmin, max(val) AS vmax,
+        |    sum(CAST(val AS DECIMAL(28,10))) AS s, count(*) AS n
+        |  FROM x GROUP BY pos)
+        |SELECT pos, vmin, vmax,
+        |  CASE WHEN vmax > vmin THEN
+        |    round((s - n * CAST(vmin AS DECIMAL(28,10)))::DOUBLE /
+        |      (n::DOUBLE * (vmax - vmin)), 6) END AS scaled_mean
+        |FROM a ORDER BY pos""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
-      clusterNmi, pcaPower, matryoshkaTopK)
+      clusterNmi, pcaPower, matryoshkaTopK, featureScale)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -2341,6 +2366,30 @@ object PipelineQueries extends QueryGroup {
         |    AS shared_ratio
         |FROM kk JOIN f USING (k) GROUP BY kk.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Smoothed target encoding ([[graft.operators.Features
+    * .targetEncode]], m-estimate m=10 on order priority → total
+    * price): the categorical-feature encoder every tabular training
+    * pipeline runs, restated in integer fixed-point with DECIMAL(38,0)
+    * combination so the oracle replays enc to the digit via HUGEINT.
+    */
+  val targetEncoding: QueryDef = QueryDef(
+    "pipeline_target_encoding",
+    (s, dir) =>
+      graft.operators.Features.targetEncode(
+          Tables(s, dir).orders, "o_orderpriority", "o_totalprice", m = 10)
+        .orderBy("category"),
+    Some(
+      """WITH f AS (SELECT o_orderpriority AS category,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM orders),
+        |g AS (SELECT sum(y)::BIGINT AS gsum, count(*) AS gn FROM f),
+        |c AS (SELECT category, sum(y)::BIGINT AS csum, count(*) AS n
+        |      FROM f GROUP BY 1)
+        |SELECT category, n,
+        |  round((gn::HUGEINT * csum + 10::HUGEINT * gsum)::DOUBLE /
+        |    ((gn::HUGEINT * (n + 10))::DOUBLE * 10000), 6) AS enc
+        |FROM c, g ORDER BY category""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -2349,7 +2398,7 @@ object PipelineQueries extends QueryGroup {
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
       neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
-      kAnonymityGate)
+      kAnonymityGate, targetEncoding)
 }
 
 object TextQueries extends QueryGroup {
@@ -3243,13 +3292,65 @@ object TextQueries extends QueryGroup {
         |    - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
         |FROM n ORDER BY doc_id""".stripMargin))
 
+  /** Hashing-trick feature histogram ([[graft.operators.Features
+    * .hashedFeatureHistogram]]): md5-bucketed token features over the
+    * corpus — the unbounded-vocabulary featurizer, assignments
+    * engine-portable by the md5 contract; only (bucket, count)
+    * partials ever shuffle.
+    */
+  val hashedFeatures: QueryDef = QueryDef(
+    "text_hashed_features",
+    (s, dir) =>
+      graft.operators.Features.hashedFeatureHistogram(
+          Tables(s, dir).documents, "text", nBuckets = 64)
+        .orderBy("bucket"),
+    Some(
+      """SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT ('0x' || substr(md5(w), 1, 7))::BIGINT % 64 AS bucket
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '')
+        |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Rare-term TF-IDF pair candidates ([[graft.operators.Features
+    * .tfidfRareTermPairs]]): top-20 document pairs by exact integer
+    * TF-IDF dot product over shared bigram terms with df ∈ [2, 20] —
+    * the df cap bounds candidates the way PPJoin prefixes do (an
+    * uncapped term join goes quadratic on every stopword). The oracle
+    * replays bigram tokenize, df filter, integer-division weights, and
+    * the ranked pair join.
+    */
+  val tfidfPairs: QueryDef = QueryDef(
+    "text_tfidf_pairs",
+    (s, dir) =>
+      graft.operators.Features.tfidfRareTermPairs(
+        Tables(s, dir).documents, "doc_id", "text",
+        dfMin = 2, dfMax = 20, k = 20),
+    Some(
+      """WITH tk AS (SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT id, ws[i] || ' ' || ws[i+1] AS w
+        |       FROM tk, unnest(range(1, len(ws))) AS t(i)),
+        |tf AS (SELECT id, w, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY w
+        |       HAVING count(*) BETWEEN 2 AND 20),
+        |wt AS (SELECT id, tf.w, tf * (1000000 // dfreq) AS wt
+        |       FROM tf JOIN df ON tf.w = df.w)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  sum(a.wt * b.wt)::BIGINT AS dot
+        |FROM wt a JOIN wt b ON a.w = b.w AND a.id < b.id
+        |GROUP BY 1, 2
+        |ORDER BY dot DESC, id_a, id_b LIMIT 20""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
-      readability)
+      readability, hashedFeatures, tfidfPairs)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -4262,13 +4363,46 @@ object EventQueries extends QueryGroup {
         |  n_events
         |FROM r ORDER BY user_id, version""".stripMargin))
 
+  /** Grouped OLS trend ([[graft.operators.EventSequences.olsTrend]]):
+    * per-user least-squares slope/intercept of value over centered
+    * time, exact integer fixed-point moments with DECIMAL(38,0)
+    * combination — the oracle replays the identical closed forms via
+    * HUGEINT, including the floor division to whole seconds and the
+    * null on zero time variance.
+    */
+  val olsTrend: QueryDef = QueryDef(
+    "events_ols_trend",
+    (s, dir) =>
+      graft.operators.EventSequences.olsTrend(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+        |            FROM events GROUP BY 1),
+        |b AS (SELECT e.user_id, (epoch_us(ts) - t0) // 1000000 AS x,
+        |        CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |      FROM events e JOIN t0 USING (user_id)),
+        |m AS (SELECT user_id, count(*) AS n, sum(x)::BIGINT AS sx,
+        |        sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+        |        sum(x*x)::BIGINT AS sxx
+        |      FROM b GROUP BY 1)
+        |SELECT user_id, n AS n_events,
+        |  CASE WHEN n::HUGEINT*sxx - sx::HUGEINT*sx <> 0 THEN
+        |    round((n::HUGEINT*sxy - sx::HUGEINT*sy)::DOUBLE /
+        |      ((n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE * 10000), 6)
+        |  END AS slope,
+        |  CASE WHEN n::HUGEINT*sxx - sx::HUGEINT*sx <> 0 THEN
+        |    round((sxx::HUGEINT*sy - sx::HUGEINT*sxy)::DOUBLE /
+        |      ((n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE * 10000), 6)
+        |  END AS intercept
+        |FROM m ORDER BY user_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
-      scd2)
+      scd2, olsTrend)
 }
 
 object IoQueries extends QueryGroup {
@@ -4522,10 +4656,37 @@ object IoQueries extends QueryGroup {
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' " +
         "ORDER BY doc_id"))
 
+  /** OAI-PMH harvest-page XML ingestion
+    * ([[graft.sources.XmlRecords]]) — the reference's own wire format
+    * read back in: documents become `ListRecords` pages (identifier/
+    * datestamp/setSpecs closed-form in doc_id, every 13th record
+    * deleted with no metadata, text XML-escaped), parsed back through
+    * the StAX pull reader. Lossless by construction, so the oracle
+    * restates every column — including the deleted-record null shape —
+    * straight off the parquet table.
+    */
+  val xmlRecords: QueryDef = QueryDef(
+    "io_xml_records",
+    (s, dir) =>
+      graft.sources.XmlRecords.roundTripExtract(
+          Tables(s, dir).documents,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  'oai:graft:' || doc_id AS identifier,
+        |  CAST(DATE '2024-01-01' + (doc_id % 365)::INTEGER AS VARCHAR)
+        |    AS datestamp,
+        |  (doc_id % 13 = 0) AS deleted,
+        |  'language:' || lang || ',source:' || source AS sets,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS language,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      domainStats, partitionPrune)
+      domainStats, partitionPrune, xmlRecords)
 }
 
 object MultimodalQueries extends QueryGroup {

@@ -300,6 +300,83 @@ object EventSequences {
           .as("decayed"))
   }
 
+  /** Time-grid gap fill with last-observation-carried-forward: resample
+    * each key's event stream onto a daily grid spanning [first, last]
+    * event day and forward-fill the value — the standard alignment
+    * step before any cross-series computation (regular-interval
+    * features, downstream joins on day). Per day the observed value is
+    * the key's LAST event that day (ts desc, tie desc — deterministic
+    * under same-timestamp streams); grid days with no event carry the
+    * previous day's value with `filled = true`.
+    *
+    * Scale shape: the grid explodes to |keys|·|days| rows — the
+    * OUTPUT size, so nothing is amplified beyond what the caller asked
+    * for; per-key windows (day pick, then LOCF) ride one hash
+    * partitioning on the key, and values stay exact decimals end to
+    * end (LOCF copies, never recomputes).
+    */
+  def gapFillLocf(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val day = to_date(col(tsCol))
+    val pick = Window.partitionBy(col(keyCol), day)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val daily = events
+      .withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), day.as("day"),
+        col(valueCol).cast(DecimalType(18, 4)).as("_obs"))
+    val grid = events
+      .groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("_d0"),
+        max(to_date(col(tsCol))).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val locf = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq(keyCol, "day"), "left_outer")
+      .withColumn("value",
+        last(col("_obs"), ignoreNulls = true).over(locf).cast("double"))
+      .withColumn("filled", col("_obs").isNull)
+      .drop("_obs")
+  }
+
+  /** One-sided CUSUM drift detection in exact integer fixed-point:
+    * per key, over the (ts, tie) event order, the classic recursion
+    * s_i = max(0, s_{i−1} + (y_i − target − slack)) — target = the
+    * key's FIRST observed value (drift is measured against where the
+    * series started), slack k and threshold h in the same
+    * ten-thousandths fixed point. The recursion is NOT a window
+    * primitive, but the prefix identity
+    *
+    *   s_i = P_i − min(0, min_{j≤i} P_j),   P = running Σ(y−target−k)
+    *
+    * turns it into two cumulative windows over one key partitioning —
+    * no iteration, no UDAF, exact longs an oracle replays. Emits every
+    * event with its CUSUM statistic and the drift flag (s > h).
+    */
+  def cusumDrift(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      tieCol: String = "event_id",
+      slackFp: Long = 50000L, thresholdFp: Long = 500000L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("_y",
+        (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long"))
+      .withColumn("_target", first(col("_y")).over(cum))
+      .withColumn("_p",
+        sum(col("_y") - col("_target") - lit(slackFp)).over(cum))
+      .withColumn("_pmin", least(lit(0L), min(col("_p")).over(cum)))
+      .select(col(keyCol), col(tieCol), col("_y").as("value_fp"),
+        (col("_p") - col("_pmin")).as("cusum_fp"),
+        (col("_p") - col("_pmin") > thresholdFp).as("drift"))
+  }
+
   /** Grouped OLS trend: per-key least-squares slope and intercept of
     * value over time, in EXACT integer fixed-point end to end. Time is
     * CENTERED per group — x = whole seconds since the group's first

@@ -142,4 +142,44 @@ object Features {
       .orderBy(col("dot").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** Per-dimension Spearman rank correlation between an embedding
+    * dimension and an integer label — the feature-relevance screen
+    * before training (monotone association, robust to feature scale).
+    * Ordinal ranks with a deterministic id tiebreak (NOT midranks —
+    * a contract choice that keeps everything integer: midranks halve,
+    * and the oracle replays the identical row_number ordering), then
+    * the classic closed form
+    *
+    *   ρ = 1 − 6·Σd² / (n·(n²−1))
+    *
+    * combined in DECIMAL(38,0) (n³ passes 2⁶³ at ~2M rows per
+    * dimension) with ONE double division at the surface. Cost shape:
+    * two per-dimension sort windows over (pos) partitions — the
+    * honest cost of exact rank statistics; the dimension count (not
+    * the corpus) bounds the partition fan-out, and each partition
+    * sorts independently.
+    */
+  def rankCorrelation(
+      df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val x = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("id"), col("lbl"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+    val wx = Window.partitionBy(col("pos")).orderBy(col("v"), col("id"))
+    val wy = Window.partitionBy(col("pos")).orderBy(col("lbl"), col("id"))
+    val d = DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d)
+    x.withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("_d", (col("rx") - col("ry")).cast("long"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("_d") * col("_d")).as("sd2"))
+      .select(col("pos"), col("n"),
+        when(col("n") > 1,
+          round(lit(1.0) - (dd(lit(6)) * dd(col("sd2"))).cast("double") /
+            (dd(col("n")) * (dd(col("n")) * dd(col("n")) - lit(1)))
+              .cast("double"), 6)).as("rho"))
+  }
 }

@@ -1121,13 +1121,43 @@ object SimilarityQueries extends QueryGroup {
         |      (n::DOUBLE * (vmax - vmin)), 6) END AS scaled_mean
         |FROM a ORDER BY pos""".stripMargin))
 
+  /** Per-dimension Spearman rank correlation with the label
+    * ([[graft.operators.Features.rankCorrelation]]): ordinal ranks
+    * with deterministic tiebreak, ρ combined in DECIMAL(38,0) — the
+    * oracle replays the identical row_number orderings via HUGEINT.
+    */
+  val rankCorrelation: QueryDef = QueryDef(
+    "sim_rank_correlation",
+    (s, dir) =>
+      graft.operators.Features.rankCorrelation(
+          Tables(s, dir).embeddings, "vec_id", "embedding", "label")
+        .orderBy("pos"),
+    Some(
+      """WITH x AS (SELECT vec_id AS id, lbl, idx - 1 AS pos,
+        |    v[idx]::DOUBLE AS val
+        |  FROM (SELECT vec_id, label AS lbl,
+        |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |    unnest(range(1, 65)) AS t(idx)),
+        |r AS (SELECT pos,
+        |    row_number() OVER (PARTITION BY pos ORDER BY val, id) AS rx,
+        |    row_number() OVER (PARTITION BY pos ORDER BY lbl, id) AS ry
+        |  FROM x),
+        |a AS (SELECT pos, count(*) AS n,
+        |    sum((rx - ry) * (rx - ry))::BIGINT AS sd2
+        |  FROM r GROUP BY pos)
+        |SELECT pos, n,
+        |  CASE WHEN n > 1 THEN
+        |    round(1.0 - (6::HUGEINT * sd2)::DOUBLE /
+        |      (n::HUGEINT * (n::HUGEINT * n - 1))::DOUBLE, 6) END AS rho
+        |FROM a ORDER BY pos""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
-      clusterNmi, pcaPower, matryoshkaTopK, featureScale)
+      clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -4396,13 +4426,75 @@ object EventQueries extends QueryGroup {
         |  END AS intercept
         |FROM m ORDER BY user_id""".stripMargin))
 
+  /** Daily-grid gap fill with LOCF
+    * ([[graft.operators.EventSequences.gapFillLocf]]): the
+    * time-series alignment step — per-user daily grid, last event of
+    * the day wins, missing days carry forward. The oracle replays the
+    * grid generation, the deterministic day pick, and the
+    * IGNORE-NULLS running fill.
+    */
+  val gapFill: QueryDef = QueryDef(
+    "events_gap_fill_locf",
+    (s, dir) =>
+      graft.operators.EventSequences.gapFillLocf(Tables(s, dir).events)
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("value"), col("filled"))
+        .orderBy("user_id", "day"),
+    Some(
+      """WITH daily AS (SELECT user_id, day, obs FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day,
+        |      CAST(value AS DECIMAL(18,4)) AS obs,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |        max(CAST(ts AS DATE)) AS d1 FROM events GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.day, obs FROM g
+        |  LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |  CAST(last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS value,
+        |  obs IS NULL AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin))
+
+  /** One-sided CUSUM drift ([[graft.operators.EventSequences
+    * .cusumDrift]]): the recursion restated as two cumulative windows
+    * via the prefix-min identity, exact longs end to end — the oracle
+    * replays P = Σy − (target+k)·i and the running min.
+    */
+  val cusum: QueryDef = QueryDef(
+    "events_cusum_drift",
+    (s, dir) =>
+      graft.operators.EventSequences.cusumDrift(Tables(s, dir).events)
+        .orderBy("user_id", "event_id"),
+    Some(
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts, y,
+        |    sum(y) OVER w - (first_value(y) OVER w + 50000)
+        |      * row_number() OVER w AS p
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT user_id, event_id, y, p,
+        |    least(0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pmin
+        |  FROM c)
+        |SELECT user_id, event_id, y AS value_fp,
+        |  (p - pmin)::BIGINT AS cusum_fp,
+        |  (p - pmin) > 500000 AS drift
+        |FROM d ORDER BY user_id, event_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
-      scd2, olsTrend)
+      scd2, olsTrend, gapFill, cusum)
 }
 
 object IoQueries extends QueryGroup {
@@ -4683,10 +4775,57 @@ object IoQueries extends QueryGroup {
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Warehouse MERGE semantics ([[graft.operators.MergeUpsert]]):
+    * apply a closed-form CDC changeset (updates for id%3, tombstones
+    * for id%7, inserts keyed id+1e6 for id%11) to the documents table
+    * in ONE full-outer join, every surviving row action-classified.
+    * The oracle replays the changeset construction and the null-
+    * pattern CASE.
+    */
+  val mergeUpsert: QueryDef = QueryDef(
+    "io_merge_upsert",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val upd = d
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("lang"), lit(false).as("del"))
+      val dels = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"), col("lang"),
+          lit(true).as("del"))
+      val ins = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"), col("lang"),
+          lit(false).as("del"))
+      graft.operators.MergeUpsert.merge(
+          d, upd.unionByName(dels).unionByName(ins),
+          "doc_id", Seq("text", "lang"), "del")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, text, lang FROM documents),
+        |s AS (
+        |  SELECT doc_id, text || ' v2' AS text, lang, false AS del
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id, text, lang, true
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 1000000, 'new ' || text, lang, false
+        |    FROM documents WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
+        |  COALESCE(s.text, t.text) AS text,
+        |  COALESCE(s.lang, t.lang) AS lang,
+        |  CASE WHEN s.doc_id IS NOT NULL AND t.doc_id IS NOT NULL
+        |         THEN 'update'
+        |       WHEN s.doc_id IS NOT NULL THEN 'insert'
+        |       ELSE 'keep' END AS action
+        |FROM t FULL OUTER JOIN s ON t.doc_id = s.doc_id
+        |WHERE NOT COALESCE(s.del, false)
+        |ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      domainStats, partitionPrune, xmlRecords)
+      domainStats, partitionPrune, xmlRecords, mergeUpsert)
 }
 
 object MultimodalQueries extends QueryGroup {

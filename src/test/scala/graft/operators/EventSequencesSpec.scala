@@ -211,4 +211,74 @@ class EventSequencesSpec extends SparkSpec {
       (1L, 3L, "A", us(4), -1L, 1L),
       (2L, 1L, "C", us(1), -1L, 2L)))
   }
+
+  test("olsTrend recovers an exact line; zero time variance yields null") {
+    val s = spark
+    import s.implicits._
+    // user 1: y = 2x + 3 at x = 0, 60, 120 seconds (minutes 1..3)
+    // user 2: two events at the SAME instant → no slope
+    val df = Seq(
+      (1L, 1L, ts(1), 3.0), (2L, 1L, ts(2), 123.0),
+      (3L, 1L, ts(3), 243.0),
+      (4L, 2L, ts(5), 7.0), (5L, 2L, ts(5), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.olsTrend(df).orderBy("user_id").collect()
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 2.0) // slope per second
+    assert(out(0).getDouble(3) == 3.0) // intercept at group start
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
+  test("gapFillLocf fills missing grid days with the prior value") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 10:00:00")
+    // user 1: events on days 1 and 4 (two on day 1 — later one wins)
+    val df = Seq(
+      (1L, 1L, day(1), 5.0),
+      (2L, 1L, Timestamp.valueOf("2026-01-01 11:00:00"), 7.0),
+      (3L, 1L, day(4), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.gapFillLocf(df)
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("2026-01-01", 7.0, false), // last event of the day wins
+      ("2026-01-02", 7.0, true),
+      ("2026-01-03", 7.0, true),
+      ("2026-01-04", 9.0, false)))
+  }
+
+  test("cusumDrift matches the hand-run recursion and flags the shift") {
+    val s = spark
+    import s.implicits._
+    // baseline 10.0, slack 5.0 ⇒ drift only when values exceed 15
+    val vals = Seq(10.0, 10.0, 30.0, 40.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, ts(i + 1), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.cusumDrift(df,
+        slackFp = 50000L, thresholdFp = 200000L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(3), r.getBoolean(4)))
+    // recursion: s=max(0, s + (y-10-5)) in units of 1e-4
+    // y=10: s=0; y=10: s=0; y=30: s=15; y=40: s=40; y=10: s=35
+    assert(out.toSeq == Seq((0L, false), (0L, false),
+      (150000L, false), (400000L, true), (350000L, true)))
+  }
+
+  test("olsTrend slope is invariant to a constant value shift") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, 1L, ts(1), 1.25), (2L, 1L, ts(2), 4.5), (3L, 1L, ts(4), 2.0))
+    val df0 = base.toDF("event_id", "user_id", "ts", "value")
+    val df1 = base.map { case (e, u, t, v) => (e, u, t, v + 100.0) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val s0 = EventSequences.olsTrend(df0).head()
+    val s1 = EventSequences.olsTrend(df1).head()
+    assert(s0.getDouble(2) == s1.getDouble(2))
+    assert(math.abs(s1.getDouble(3) - s0.getDouble(3) - 100.0) < 1e-6)
+  }
 }

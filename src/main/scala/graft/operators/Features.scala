@@ -124,13 +124,20 @@ object Features {
         .as("w"))
       .groupBy("id", "w")
       .agg(count(lit(1)).as("tf"))
+      // tf feeds BOTH the df aggregate and the weighted join —
+      // materialize the tokenize+count chain once
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("w")
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq").between(dfMin, dfMax))
+    // dfreq is band-bounded (rare terms only) → broadcast; weighted is
+    // its posting volume → materialize ONCE for the self-join instead
+    // of re-running the tokenize+count chain per side
     val weighted = tf
-      .join(dfreq, "w")
+      .join(broadcast(dfreq), "w")
       .select(col("id"), col("w"),
         (col("tf") * expr("1000000 div dfreq")).as("wt"))
+      .localCheckpoint(true)
     val a = weighted.select(col("id").as("id_a"), col("w"),
       col("wt").as("wa"))
     val b = weighted.select(col("id").as("id_b"), col("w"),

@@ -593,6 +593,67 @@ object ScaleCheck {
           graft.operators.TextAnalysis.syllableCount(col("text"))
             .cast("long")).as("flesch")))
 
+    // feature engineering: hashing trick is one vocabulary-bounded
+    // aggregate; target encoding one category aggregate + 1-row
+    // broadcast; TF-IDF pairs bounded by the df cap (candidates
+    // multiply with dup² inside a band, the pathological upper bound —
+    // watch shape, not cost)
+    time(s"hashed_features_${dup}x",
+      graft.operators.Features.hashedFeatureHistogram(blown, "text", 64))
+    locally {
+      val cat = blown.select(
+        concat(lit("c"), (col("doc_id") % 100).cast("string")).as("cat"),
+        (col("doc_id") % 977).cast("double").as("y"))
+      time(s"target_encode_${dup}x",
+        graft.operators.Features.targetEncode(cat, "cat", "y", 10))
+    }
+    // df band scales with dup (every df multiplies on the blown
+    // corpus; the 1x band would go empty and skip the pair join)
+    time(s"tfidf_pairs_${dup}x",
+      graft.operators.Features.tfidfRareTermPairs(
+        blown, "doc_id", "text", 2, 20 * dup, 20))
+
+    // rank correlation: two per-dim sort windows — fan-out bounded by
+    // the 64-dim domain, each partition sorts |corpus| rows
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      time(s"rank_corr_${dup}x",
+        graft.operators.Features.rankCorrelation(
+          embBig, "vec_id", "embedding", "label"))
+    }
+
+    // event resample/drift/trend: per-key windows and moment
+    // aggregates over one key partitioning — linear in events
+    {
+      val ev = graft.Tables(spark, dir).events
+      val evBig = (0 until dup).map(i =>
+        ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+          (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("event_type"), col("ts"), col("value")))
+        .reduce(_ unionByName _)
+      time(s"gap_fill_locf_${dup}x",
+        graft.operators.EventSequences.gapFillLocf(evBig))
+      time(s"cusum_drift_${dup}x",
+        graft.operators.EventSequences.cusumDrift(evBig))
+      time(s"ols_trend_${dup}x",
+        graft.operators.EventSequences.olsTrend(evBig))
+    }
+
+    // MERGE upsert: one full-outer hash join, changeset side ~40% of
+    // the corpus here (worst-case shuffle merge, no broadcast)
+    {
+      val src = blown.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          (col("doc_id") % 7 === 0).as("del"))
+      time(s"merge_upsert_${dup}x",
+        graft.operators.MergeUpsert.merge(
+          blown, src, "doc_id", Seq("text"), "del"))
+    }
+
     spark.stop()
   }
 }

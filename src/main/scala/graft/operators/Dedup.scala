@@ -1047,4 +1047,39 @@ object Dedup {
       .filter(col("hamming") <= maxHammingDistance)
     expandClusterPairs(clusters, repPairs, "hamming", lit(0))
   }
+
+  /** Dedup threshold sweep: given an exact similarity pair list (e.g.
+    * [[ngramJaccardPairs]] at the LOWEST threshold of interest —
+    * computed ONCE), the per-threshold dedup impact curve: pair count
+    * and touched-document count at each candidate threshold. This is
+    * how a pipeline PICKS its near-dup threshold — sweep the curve,
+    * find the knee — without re-running the pair join per setting.
+    *
+    * Thresholds are double literals on both engines (identical binary
+    * values, so boundary comparisons agree bit-for-bit); thresholds
+    * with zero surviving pairs still appear with zero counts. Cost:
+    * the pair list explodes |thresholds|× — pairs-scale, not
+    * corpus-scale.
+    */
+  def thresholdSweep(
+      pairs: DataFrame, jacCol: String, idACol: String, idBCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    val base = pairs.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("t"))
+    val survived = pairs
+      .select(col(jacCol).as("_j"), col(idACol).as("_a"),
+        col(idBCol).as("_b"))
+      .withColumn("t", explode(array(thresholds.map(lit): _*)))
+      .filter(col("_j") >= col("t"))
+    val nPairs = survived.groupBy("t")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = survived
+      .select(col("t"), explode(array(col("_a"), col("_b"))).as("_d"))
+      .groupBy("t")
+      .agg(countDistinct(col("_d")).as("n_docs"))
+    base.join(nPairs, Seq("t"), "left_outer")
+      .join(nDocs, Seq("t"), "left_outer")
+      .select(col("t"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
 }

@@ -968,4 +968,42 @@ object Similarity {
             (col("sc") - expected) / (maxIdx - expected))
           .otherwise(lit(0.0)), 4).as("ari"))
   }
+
+  /** Mutual-nearest-neighbor pairs between two embedding sets — the
+    * bitext/translation-pair mining shape (Artetxe & Schwenk 2019 use
+    * margin scoring; plain mutual-top-1 is its exact backbone): a pair
+    * survives iff each side is the other's single best match.
+    * Similarities round to 6 dp with id tiebreaks, so an oracle replays
+    * the double cosine bit-for-bit.
+    *
+    * Scale shape: B broadcasts (the query/low-resource side of bitext
+    * mining is the small one by construction), and each side's top-1
+    * is a map-side-combining ARGMAX aggregate (max of a (sim, −id)
+    * struct — same order as a sim-desc/id-asc window, without one):
+    * the A×B scored stream is never materialized or window-sorted;
+    * only |A|+|B| argmax rows ever shuffle. At corpus-scale B, swap
+    * the cross scoring for the persisted-ANN candidate join and keep
+    * the aggregates unchanged.
+    */
+  def mutualNearest(
+      a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val av = a.select(col(idCol).cast("long").as("id_a"),
+      col(vecCol).as("_va"))
+    val bv = b.select(col(idCol).cast("long").as("id_b"),
+      col(vecCol).as("_vb"))
+    def scored = av.join(broadcast(bv))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(a.sparkSession, col("_va"), col("_vb")), 6)
+          .as("sim"))
+    val bestA = scored.groupBy("id_a")
+      .agg(max(struct(col("sim"), (-col("id_b")).as("_nb"))).as("m"))
+      .select(col("id_a"), (-col("m._nb")).as("id_b"),
+        col("m.sim").as("sim"))
+    val bestB = scored.groupBy("id_b")
+      .agg(max(struct(col("sim"), (-col("id_a")).as("_na"))).as("m"))
+      .select((-col("m._na")).as("id_a"), col("id_b"),
+        col("m.sim").as("sim"))
+    bestA.join(bestB, Seq("id_a", "id_b", "sim"))
+  }
 }

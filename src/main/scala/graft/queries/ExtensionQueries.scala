@@ -496,12 +496,50 @@ object DedupQueries extends QueryGroup {
         |SELECT id_a, id_b, overlap FROM p WHERE overlap >= 25
         |ORDER BY id_a""".stripMargin))
 
+  /** Dedup threshold sweep ([[graft.operators.Dedup.thresholdSweep]]):
+    * the pair list is computed ONCE at the lowest threshold and the
+    * per-threshold impact curve (pairs, touched docs) read off it —
+    * how a pipeline picks its near-dup threshold without re-running
+    * the join per setting. Zero-pair thresholds appear with zeros.
+    */
+  val thresholdSweepGate: QueryDef = QueryDef(
+    "dedup_threshold_sweep",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables(s, dir).documents, "text", "doc_id", 0.8)
+      Dedup.thresholdSweep(pairs, "jaccard", "id_a", "id_b",
+          Seq(0.8, 0.85, 0.9, 0.95, 1.0))
+        .orderBy("t")
+    },
+    Some(
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+        |      FROM c JOIN sz sa ON sa.doc_id = id_a
+        |        JOIN sz sb ON sb.doc_id = id_b
+        |      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        |th AS (SELECT unnest([0.8, 0.85, 0.9, 0.95, 1.0])::DOUBLE AS t),
+        |s AS (SELECT t, id_a, id_b FROM p JOIN th ON j >= t),
+        |np AS (SELECT t, count(*) AS n_pairs FROM s GROUP BY t),
+        |nd AS (SELECT t, count(DISTINCT d) AS n_docs FROM (
+        |    SELECT t, id_a AS d FROM s
+        |    UNION ALL SELECT t, id_b FROM s) GROUP BY t)
+        |SELECT th.t, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(n_docs, 0)::BIGINT AS n_docs
+        |FROM th LEFT JOIN np ON th.t = np.t LEFT JOIN nd ON th.t = nd.t
+        |ORDER BY th.t""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
       embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, boilerplate,
       semantic,
       containment, editDistance, erPairs, erPairsCapped, erClusters,
-      minhashExact, simhashExact, overlapVerified)
+      minhashExact, simhashExact, overlapVerified, thresholdSweepGate)
 }
 
 object SimilarityQueries extends QueryGroup {
@@ -1151,13 +1189,47 @@ object SimilarityQueries extends QueryGroup {
         |      (n::HUGEINT * (n::HUGEINT * n - 1))::DOUBLE, 6) END AS rho
         |FROM a ORDER BY pos""".stripMargin))
 
+  /** Mutual-nearest-neighbor pairs
+    * ([[graft.operators.Similarity.mutualNearest]]) between the
+    * even- and odd-label embedding sets — the bitext-mining backbone
+    * (a pair survives iff each side is the other's top-1). Full
+    * oracle: DuckDB replays the cross scoring and both QUALIFY
+    * windows.
+    */
+  val mutualNearest: QueryDef = QueryDef(
+    "sim_mutual_nearest",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      graft.operators.Similarity.mutualNearest(
+          e.filter(col("label") % 2 === 0),
+          e.filter(col("label") % 2 === 1),
+          "vec_id", "embedding")
+        .orderBy("id_a")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
+        |s AS (SELECT id_a, id_b,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim FROM a, b),
+        |ba AS (SELECT * FROM s QUALIFY row_number() OVER (
+        |    PARTITION BY id_a ORDER BY sim DESC, id_b) = 1),
+        |bb AS (SELECT * FROM s QUALIFY row_number() OVER (
+        |    PARTITION BY id_b ORDER BY sim DESC, id_a) = 1)
+        |SELECT ba.id_a, ba.id_b, ba.sim
+        |FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
+        |  AND ba.sim = bb.sim
+        |ORDER BY ba.id_a""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
-      clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation)
+      clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
+      mutualNearest)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -4822,10 +4894,84 @@ object IoQueries extends QueryGroup {
         |WHERE NOT COALESCE(s.del, false)
         |ORDER BY doc_id""".stripMargin))
 
+  /** Column-profile drift ([[graft.operators.DataProfile.drift]]):
+    * the per-ingest data-quality monitor — exact per-column row/null/
+    * distinct/bounds profiles of two snapshots (documents vs a
+    * closed-form mutation: %7 deleted, %3 text-suffixed) joined into
+    * the drift report. One aggregate per snapshot; the oracle replays
+    * both profiles and the delta join.
+    */
+  val profileDrift: QueryDef = QueryDef(
+    "io_profile_drift",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val after = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.DataProfile.drift(d, after,
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+    Some(
+      """WITH b AS (SELECT doc_id, text, lang, source, n_chars
+        |           FROM documents),
+        |a AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+        |      AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |pb AS (
+        |  SELECT 'doc_id' AS col, count(*) AS n,
+        |      count(CASE WHEN doc_id IS NULL THEN 1 END) AS nulls,
+        |      count(DISTINCT doc_id) AS nd,
+        |      min(doc_id::VARCHAR) AS mn, max(doc_id::VARCHAR) AS mx FROM b
+        |  UNION ALL SELECT 'text', count(*),
+        |      count(CASE WHEN text IS NULL THEN 1 END),
+        |      count(DISTINCT text), min(text), max(text) FROM b
+        |  UNION ALL SELECT 'lang', count(*),
+        |      count(CASE WHEN lang IS NULL THEN 1 END),
+        |      count(DISTINCT lang), min(lang), max(lang) FROM b
+        |  UNION ALL SELECT 'source', count(*),
+        |      count(CASE WHEN source IS NULL THEN 1 END),
+        |      count(DISTINCT source), min(source), max(source) FROM b
+        |  UNION ALL SELECT 'n_chars', count(*),
+        |      count(CASE WHEN n_chars IS NULL THEN 1 END),
+        |      count(DISTINCT n_chars), min(n_chars::VARCHAR),
+        |      max(n_chars::VARCHAR) FROM b),
+        |pa AS (
+        |  SELECT 'doc_id' AS col, count(*) AS n,
+        |      count(CASE WHEN doc_id IS NULL THEN 1 END) AS nulls,
+        |      count(DISTINCT doc_id) AS nd,
+        |      min(doc_id::VARCHAR) AS mn, max(doc_id::VARCHAR) AS mx FROM a
+        |  UNION ALL SELECT 'text', count(*),
+        |      count(CASE WHEN text IS NULL THEN 1 END),
+        |      count(DISTINCT text), min(text), max(text) FROM a
+        |  UNION ALL SELECT 'lang', count(*),
+        |      count(CASE WHEN lang IS NULL THEN 1 END),
+        |      count(DISTINCT lang), min(lang), max(lang) FROM a
+        |  UNION ALL SELECT 'source', count(*),
+        |      count(CASE WHEN source IS NULL THEN 1 END),
+        |      count(DISTINCT source), min(source), max(source) FROM a
+        |  UNION ALL SELECT 'n_chars', count(*),
+        |      count(CASE WHEN n_chars IS NULL THEN 1 END),
+        |      count(DISTINCT n_chars), min(n_chars::VARCHAR),
+        |      max(n_chars::VARCHAR) FROM a)
+        |SELECT pb.col AS "column",
+        |  pb.n AS rows_before, pa.n AS rows_after,
+        |  pa.n - pb.n AS rows_delta,
+        |  pb.nulls::BIGINT AS nulls_before, pa.nulls::BIGINT AS nulls_after,
+        |  pb.nd AS distinct_before, pa.nd AS distinct_after,
+        |  pa.nd - pb.nd AS distinct_delta,
+        |  pb.mn IS DISTINCT FROM pa.mn AS min_changed,
+        |  pb.mx IS DISTINCT FROM pa.mx AS max_changed
+        |FROM pb JOIN pa ON pb.col = pa.col
+        |ORDER BY pb.col""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      domainStats, partitionPrune, xmlRecords, mergeUpsert)
+      domainStats, partitionPrune, xmlRecords, mergeUpsert, profileDrift)
 }
 
 object MultimodalQueries extends QueryGroup {

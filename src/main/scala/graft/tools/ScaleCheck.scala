@@ -654,6 +654,39 @@ object ScaleCheck {
           blown, src, "doc_id", Seq("text"), "del"))
     }
 
+    // profile drift: one multi-distinct aggregate per snapshot —
+    // linear, |cols|-way expand, map-side combined
+    time(s"profile_drift_${dup}x",
+      graft.operators.DataProfile.drift(
+        blown, blown.filter(col("doc_id") % 7 =!= 0),
+        Seq("doc_id", "text")))
+
+    // threshold sweep: reads the checkpointed pair list per threshold —
+    // pairs-scale explode, never re-runs the pair join
+    locally {
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.8)
+        .localCheckpoint(true)
+      time(s"threshold_sweep_${dup}x",
+        Dedup.thresholdSweep(pairsD, "jaccard", "id_a", "id_b",
+          Seq(0.8, 0.85, 0.9, 0.95, 1.0)))
+    }
+
+    // mutual nearest: the bitext shape — the blown corpus is the big
+    // (A) side, the broadcast (B) side stays at its natural size (the
+    // low-resource language); scored frame materialized once
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      time(s"mutual_nearest_${dup}x",
+        graft.operators.Similarity.mutualNearest(
+          embBig.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 1),
+          "vec_id", "embedding"))
+    }
+
     spark.stop()
   }
 }

@@ -374,4 +374,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("thresholdSweep counts pairs/docs per threshold, zeros included") {
+    val s2 = spark
+    import s2.implicits._
+    // pair (1,2): jaccard 1.0; pair (3,4): 3/5 = 0.6; (5) isolated
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb cc"),
+      (3L, "dd ee ff gg"), (4L, "dd ee ff hh"),
+      (5L, "zz yy")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+    val sweep = Dedup.thresholdSweep(pairs, "jaccard", "id_a", "id_b",
+        Seq(0.5, 0.7, 1.0))
+      .orderBy("t").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.toSeq == Seq(
+      (0.5, 2L, 4L),  // both pairs, 4 docs touched
+      (0.7, 1L, 2L),  // only the exact pair
+      (1.0, 1L, 2L)))
+  }
 }

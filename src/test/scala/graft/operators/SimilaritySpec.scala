@@ -305,4 +305,36 @@ class SimilaritySpec extends SparkSpec {
       else assert(dupOf.contains(hits.keys.min), s"id $id dup_of $dupOf")
     }
   }
+
+  test("mutualNearest keeps only reciprocal top-1 pairs") {
+    val s = spark
+    import s.implicits._
+    // a1's best is b1 and vice versa (mutual); a2's best is also b1,
+    // but b1 prefers a1 — so a2 pairs with nobody
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(1.0f, 0.05f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mutualNearest(
+        a, b, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("mutualNearest on identical sets pairs everyone with their twin") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)))
+    val a = vecs.toDF("vec_id", "embedding")
+    val b = vecs.map { case (i, v) => (i + 100, v) }
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mutualNearest(
+        a, b, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 101L), (2L, 102L), (3L, 103L)))
+  }
 }

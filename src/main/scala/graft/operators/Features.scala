@@ -150,6 +150,76 @@ object Features {
       .limit(k)
   }
 
+  /** χ² feature screening for hashed token features against a binary
+    * class (the 2×2 contingency closed form — Manning & Schütze §5.3.3):
+    * per bucket, presence/absence vs positive/negative class,
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * a single fixed-order expression over exact counts (no per-cell
+    * float summation whose order could drift), products in
+    * DECIMAL(38,0) — N⁴ passes 2⁶³ at ~56k docs — one double division,
+    * round 4. Degenerate margins (a bucket in every/no doc, or a
+    * single-class corpus) yield null, not NaN.
+    *
+    * Scale shape: one scan-local tokenize → distinct (doc, bucket,
+    * class) frame → one bucket-bounded aggregate + a 1-row global
+    * broadcast.
+    */
+  def chi2BinaryFeatures(
+      df: DataFrame, idCol: String, textCol: String, nBuckets: Int,
+      positive: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d)
+    val docs = df.select(col(idCol).as("id"), positive.as("pos"),
+      col(textCol).as("_t"))
+    val global = docs.agg(count(lit(1)).as("nn"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val present = docs
+      .select(col("id"), col("pos"),
+        explode(split(lower(col("_t")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), col("pos"),
+        pmod(conv(substring(md5(col("w")), 1, 7), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)).as("bucket"))
+      .distinct()
+    val cells = present.groupBy("bucket")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("ab"))
+      .crossJoin(broadcast(global))
+      .select(col("bucket"), col("a"), (col("ab") - col("a")).as("b"),
+        (col("np") - col("a")).as("c"),
+        (col("nn") - col("np") - col("ab") + col("a")).as("d"),
+        col("nn"))
+    val den = dd(col("a") + col("b")) * dd(col("c") + col("d")) *
+      dd(col("a") + col("c")) * dd(col("b") + col("d"))
+    val adbc = dd(col("a")) * dd(col("d")) - dd(col("b")) * dd(col("c"))
+    cells.select(col("bucket"), col("a"), col("b"), col("c"), col("d"),
+      when(den =!= 0,
+        round((dd(col("nn")) * adbc * adbc).cast("double") /
+          den.cast("double"), 4)).as("chi2"))
+  }
+
+  /** Per-dimension quantile binning (equal-frequency discretization):
+    * ntile over a deterministic (value, id) order — rank-based, so the
+    * bin ASSIGNMENT is exact and engine-portable (no float boundary
+    * arithmetic); emits per (dim, bin) the count and value bounds.
+    * One per-dim sort window, fan-out bounded by the dim domain.
+    */
+  def quantileBins(
+      df: DataFrame, idCol: String, vecCol: String,
+      nBins: Int): DataFrame = {
+    val x = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+    val w = Window.partitionBy(col("pos")).orderBy(col("v"), col("id"))
+    x.withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy("pos", "bin")
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"))
+  }
+
   /** Per-dimension Spearman rank correlation between an embedding
     * dimension and an integer label — the feature-relevance screen
     * before training (monotone association, robust to feature scale).

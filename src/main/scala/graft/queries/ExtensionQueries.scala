@@ -1222,6 +1222,30 @@ object SimilarityQueries extends QueryGroup {
         |  AND ba.sim = bb.sim
         |ORDER BY ba.id_a""".stripMargin))
 
+  /** Per-dimension quantile binning ([[graft.operators.Features
+    * .quantileBins]]): rank-based equal-frequency discretization —
+    * bin ASSIGNMENT is ntile over a deterministic order, so no float
+    * boundary arithmetic can drift between engines.
+    */
+  val quantileBinsGate: QueryDef = QueryDef(
+    "sim_quantile_bins",
+    (s, dir) =>
+      graft.operators.Features.quantileBins(
+          Tables(s, dir).embeddings, "vec_id", "embedding", nBins = 4)
+        .orderBy("pos", "bin"),
+    Some(
+      """WITH x AS (SELECT vec_id AS id, idx - 1 AS pos,
+        |    v[idx]::DOUBLE AS val
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings),
+        |    unnest(range(1, 65)) AS t(idx)),
+        |b AS (SELECT pos,
+        |    ntile(4) OVER (PARTITION BY pos ORDER BY val, id) AS bin,
+        |    val FROM x)
+        |SELECT pos, bin::BIGINT AS bin, count(*) AS cnt,
+        |  min(val) AS vmin, max(val) AS vmax
+        |FROM b GROUP BY 1, 2 ORDER BY pos, bin""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1229,7 +1253,7 @@ object SimilarityQueries extends QueryGroup {
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
-      mutualNearest)
+      mutualNearest, quantileBinsGate)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -3446,13 +3470,51 @@ object TextQueries extends QueryGroup {
         |GROUP BY 1, 2
         |ORDER BY dot DESC, id_a, id_b LIMIT 20""".stripMargin))
 
+  /** χ² feature screening ([[graft.operators.Features
+    * .chi2BinaryFeatures]]): hashed-bucket presence vs lang='en' under
+    * the 2×2 closed form — one fixed-order expression over exact
+    * counts, DECIMAL(38,0) products, one double division. The oracle
+    * replays the md5 buckets, the contingency, and the closed form via
+    * HUGEINT.
+    */
+  val chi2Features: QueryDef = QueryDef(
+    "text_chi2_features",
+    (s, dir) =>
+      graft.operators.Features.chi2BinaryFeatures(
+          Tables(s, dir).documents, "doc_id", "text", nBuckets = 64,
+          positive = col("lang") === "en")
+        .orderBy("bucket"),
+    Some(
+      """WITH docs AS (SELECT doc_id AS id, (lang = 'en') AS pos, text
+        |              FROM documents),
+        |g AS (SELECT count(*) AS nn,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS np FROM docs),
+        |pr AS (SELECT DISTINCT id, pos,
+        |    ('0x' || substr(md5(w), 1, 7))::BIGINT % 64 AS bucket
+        |  FROM (SELECT id, pos,
+        |        unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM docs)
+        |  WHERE w <> ''),
+        |cells AS (SELECT bucket,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    count(*)::BIGINT AS ab FROM pr GROUP BY bucket),
+        |x AS (SELECT bucket, a, ab - a AS b, np - a AS c,
+        |      nn - np - ab + a AS d, nn FROM cells, g)
+        |SELECT bucket, a, b, c, d,
+        |  CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) <> 0 THEN
+        |    round((nn::HUGEINT * (a::HUGEINT*d - b::HUGEINT*c)
+        |        * (a::HUGEINT*d - b::HUGEINT*c))::DOUBLE /
+        |      ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d))::DOUBLE, 4)
+        |  END AS chi2
+        |FROM x ORDER BY bucket""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
-      readability, hashedFeatures, tfidfPairs)
+      readability, hashedFeatures, tfidfPairs, chi2Features)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -149,6 +149,35 @@ object XmlRecords {
       .toDF()
   }
 
+  /** Streaming read of a harvest-page drop directory (the continuous-
+    * harvest ingest shape, same contract as [[Warc.readStream]]): new
+    * page files land, each micro-batch admits up to `maxFilesPerTrigger`
+    * whole pages (`binaryFile` source — the FILE is the unit), and the
+    * same StAX parser runs over each page's bytes. Always audited: a
+    * malformed page becomes a `_corrupt` row — FAILFAST inside a
+    * stream would wedge the query on one bad page.
+    */
+  def readStream(
+      spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.xml")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        recordIterator(file,
+          new BufferedInputStream(
+            new java.io.ByteArrayInputStream(bytes), 1 << 16),
+          failFast = false)
+      }
+      .toDF()
+  }
+
   /** Hardened StAX factory: no DTDs, no external entities, coalesced
     * text nodes (one CHARACTERS event per element body).
     */

@@ -671,6 +671,22 @@ object ScaleCheck {
           Seq(0.8, 0.85, 0.9, 0.95, 1.0)))
     }
 
+    // chi2 screening: distinct (doc, bucket, class) frame → one
+    // bucket-bounded aggregate; quantile bins: 64-partition ntile
+    time(s"chi2_features_${dup}x",
+      graft.operators.Features.chi2BinaryFeatures(
+        blown, "doc_id", "text", 64, col("doc_id") % 2 === 0))
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      time(s"quantile_bins_${dup}x",
+        graft.operators.Features.quantileBins(
+          embBig, "vec_id", "embedding", 4))
+    }
+
     // mutual nearest: the bitext shape — the blown corpus is the big
     // (A) side, the broadcast (B) side stays at its natural size (the
     // low-resource language); scored frame materialized once

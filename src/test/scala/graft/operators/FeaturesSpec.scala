@@ -116,6 +116,58 @@ class FeaturesSpec extends SparkSpec {
       .head().isNullAt(2))
   }
 
+  test("chi2BinaryFeatures matches the hand-computed 2x2 statistic") {
+    val s = spark
+    import s.implicits._
+    // one distinct token per doc → each bucket's presence is exactly
+    // the docs carrying that token; "hot" appears in both positives,
+    // "cold" in both negatives → maximal association: chi2 = N = 4
+    val df = Seq(
+      (1L, "hot", true), (2L, "hot", true),
+      (3L, "cold", false), (4L, "cold", false))
+      .toDF("id", "text", "pos")
+    val out = Features.chi2BinaryFeatures(df, "id", "text",
+        nBuckets = 1024, positive = col("pos"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    // both buckets: a=2,b=0,c=0,d=2 (or mirrored) → chi2 = 4·16/16 = 4
+    assert(out == Set((2L, 0L, 0L, 2L, 4.0), (0L, 2L, 2L, 0L, 4.0)))
+  }
+
+  test("chi2BinaryFeatures: independent feature scores 0, degenerate null") {
+    val s = spark
+    import s.implicits._
+    // "both" appears in one positive and one negative of a balanced
+    // corpus → perfectly independent → chi2 = 0; "all" appears in
+    // every doc → (c+d)=0 margin → null
+    val df = Seq(
+      (1L, "both all", true), (2L, "x all", true),
+      (3L, "both all", false), (4L, "y all", false))
+      .toDF("id", "text", "pos")
+    val rows = Features.chi2BinaryFeatures(df, "id", "text",
+        nBuckets = 1024, positive = col("pos")).collect()
+    val byCells = rows.map(r => ((r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)), r)).toMap
+    val both = byCells((1L, 1L, 1L, 1L))
+    assert(both.getDouble(5) == 0.0)
+    val all = byCells((2L, 2L, 0L, 0L))
+    assert(all.isNullAt(5))
+  }
+
+  test("quantileBins: equal-frequency bins with deterministic bounds") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 8).map(i => (i.toLong, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Features.quantileBins(df, "vec_id", "embedding", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1.0, 2.0), (2L, 2L, 3.0, 4.0),
+      (3L, 2L, 5.0, 6.0), (4L, 2L, 7.0, 8.0)))
+  }
+
   test("rankCorrelation ties break on id identically for both rankings") {
     val s = spark
     import s.implicits._

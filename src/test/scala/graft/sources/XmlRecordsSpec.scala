@@ -125,6 +125,31 @@ class XmlRecordsSpec extends SparkSpec {
       Option(r.getAs[String]("identifier")).contains("oai:graft:")))
   }
 
+  test("readStream ingests dropped pages and quarantines the bad one") {
+    val dir = freshDir("stream")
+    val ckpt = freshDir("ckpt")
+    writePage(dir, "p1.xml",
+      "<OAI-PMH><ListRecords>" +
+        XmlRecords.recordXml(1L, "en", "alpha", "one") +
+        XmlRecords.recordXml(2L, "de", "beta", "two") +
+        "</ListRecords></OAI-PMH>")
+    writePage(dir, "p2.xml",
+      "<OAI-PMH><ListRecords><record><header>" +
+        "<identifier>oai:graft:9</identifier>") // truncated page
+    val q = XmlRecords.readStream(spark, dir, maxFilesPerTrigger = 10)
+      .writeStream.format("memory").queryName("xml_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM xml_stream").collect()
+      assert(rows.length == 3)
+      assert(rows.count(_.getAs[String]("_corrupt") != null) == 1)
+      assert(rows.filter(_.getAs[String]("_corrupt") == null)
+        .map(_.getAs[String]("identifier")).toSet ==
+        Set("oai:graft:1", "oai:graft:2"))
+    } finally q.stop()
+  }
+
   test("deleted records carry header sets but no metadata") {
     val s = spark
     import s.implicits._

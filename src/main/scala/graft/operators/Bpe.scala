@@ -361,4 +361,16 @@ object Bpe {
     df.withColumn("tokens", tokenize(col(textCol)))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
+
+  /** Detokenize an [[encode]]d frame: BPE subwords are substrings of
+    * the normalized words (plus the `</w>` end-of-word marker
+    * [[toSymbols]] appends), so concatenating them and stripping the
+    * markers recovers the normalized text with whitespace removed —
+    * the tokenizer's lossless-round-trip property, checkable against
+    * the raw text without knowing the merge table.
+    */
+  def detokenized(
+      encoded: DataFrame, tokensCol: String = "tokens"): DataFrame =
+    encoded.withColumn("detok",
+      expr(s"replace(concat_ws('', $tokensCol), '</w>', '')"))
 }

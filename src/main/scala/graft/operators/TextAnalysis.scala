@@ -648,4 +648,52 @@ object TextAnalysis {
       }
       .toDF(idCol, "fp")
   }
+
+  /** Trending terms: top-k tokens per time bucket (count desc, term
+    * asc tiebreak) — the corpus-drift dashboard behind "what changed
+    * in this month's crawl". One (bucket, term) aggregate (vocabulary-
+    * bounded, map-side combined) + a rank window over the bucket
+    * domain; the corpus text never shuffles.
+    */
+  def trendingTerms(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      bucketCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(bucketCol.as("bucket"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("bucket", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val rk = Window.partitionBy(col("bucket"))
+      .orderBy(col("cnt").desc, col("w"))
+    counts.withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Per-group vocabulary diversity: token/type counts, type-token
+    * ratio, and Shannon entropy of the term distribution (nats,
+    * rounded — the float log sum is vocabulary-bounded, same contract
+    * as the JS-divergence gate). The corpus-health panel per source.
+    */
+  def vocabDiversity(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("grp")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n_tokens")
+    counts.join(totals, "grp")
+      .groupBy("grp")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("n_types")).as("n_types"),
+        round(-sum(p * log(p)), 4).as("entropy"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -3508,13 +3508,92 @@ object TextQueries extends QueryGroup {
         |  END AS chi2
         |FROM x ORDER BY bucket""".stripMargin))
 
+  /** Trending terms ([[graft.operators.TextAnalysis.trendingTerms]]):
+    * top-3 tokens per month, months from the closed-form document
+    * datestamp ([[graft.sources.XmlRecords.datestampFor]] contract) —
+    * the corpus-drift dashboard; one vocabulary-bounded aggregate +
+    * a 12-partition rank window.
+    */
+  val trendingTerms: QueryDef = QueryDef(
+    "text_trending_terms",
+    (s, dir) =>
+      graft.operators.TextAnalysis.trendingTerms(
+          Tables(s, dir).documents, "text",
+          month(date_add(lit("2024-01-01").cast("date"),
+            (col("doc_id") % 365).cast("int"))).cast("long"), k = 3)
+        .orderBy("bucket", "rk"),
+    Some(
+      """WITH tk AS (SELECT
+        |    month(DATE '2024-01-01' + (doc_id % 365)::INTEGER)::BIGINT
+        |      AS bucket,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT bucket, w, count(*) AS cnt FROM tk WHERE w <> ''
+        |      GROUP BY 1, 2)
+        |SELECT bucket, w, cnt,
+        |  row_number() OVER (PARTITION BY bucket
+        |    ORDER BY cnt DESC, w)::BIGINT AS rk
+        |FROM c QUALIFY rk <= 3 ORDER BY bucket, rk""".stripMargin))
+
+  /** Per-source vocabulary diversity ([[graft.operators.TextAnalysis
+    * .vocabDiversity]]): token/type counts, TTR, Shannon entropy —
+    * the corpus-health panel; the float log sum is vocabulary-bounded
+    * (same contract as the JS-divergence gate).
+    */
+  val vocabDiversity: QueryDef = QueryDef(
+    "text_vocab_diversity",
+    (s, dir) =>
+      graft.operators.TextAnalysis.vocabDiversity(
+          Tables(s, dir).documents, "text", "lang")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang"),
+    Some(
+      """WITH tk AS (SELECT lang AS grp,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT grp, w, count(*) AS c FROM tk WHERE w <> ''
+        |      GROUP BY 1, 2),
+        |t AS (SELECT grp, sum(c)::BIGINT AS n_tokens,
+        |      count(*) AS n_types FROM c GROUP BY grp)
+        |SELECT c.grp AS lang, t.n_tokens, t.n_types,
+        |  round(-sum((c::DOUBLE / n_tokens) * ln(c::DOUBLE / n_tokens)), 4)
+        |    AS entropy,
+        |  round(n_types::DOUBLE / n_tokens, 6) AS ttr
+        |FROM c JOIN t ON c.grp = t.grp
+        |GROUP BY c.grp, t.n_tokens, t.n_types
+        |ORDER BY lang""".stripMargin))
+
+  /** BPE round trip ([[graft.operators.Bpe.detokenized]]): subwords
+    * concatenate back to the whitespace-stripped normalized text —
+    * the tokenizer's lossless property under the hard oracle, checked
+    * WITHOUT knowing the merge table (the oracle restates the
+    * normalization only).
+    */
+  val bpeRoundTrip: QueryDef = QueryDef(
+    "text_bpe_roundtrip",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = bpeMerges.getOrElseUpdate(dir) {
+        graft.operators.Bpe.trainMerges(docs, "text", numMerges = 24)
+      }
+      graft.operators.Bpe.detokenized(
+          graft.operators.Bpe.encode(docs, "text", merges))
+        .select(col("doc_id"), col("detok"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
-      readability, hashedFeatures, tfidfPairs, chi2Features)
+      readability, hashedFeatures, tfidfPairs, chi2Features,
+      trendingTerms, vocabDiversity, bpeRoundTrip)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -221,4 +221,18 @@ class BpeSpec extends SparkSpec {
     // a+n -> an,an,an; then an+d has no d -> stays
     assert(got(2L) == "an|an|an")
   }
+
+  test("detokenized recovers the whitespace-stripped normalized text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The QUICK  brown fox"), (2L, "ünïcødé Text"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 8)
+    val got = Bpe.detokenized(Bpe.encode(docs, "text", merges))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("detok")).toMap
+    assert(got(1L) == "thequickbrownfox")
+    assert(got(2L) == "ünïcødétext")
+  }
 }

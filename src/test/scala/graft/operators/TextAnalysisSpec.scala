@@ -383,4 +383,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5) == ((0, 0, 2, 2, "greek")))
     assert(got(6) == ((0, 0, 0, 0, "latin")))
   }
+
+  test("trendingTerms ranks per bucket with the term tiebreak") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aa aa bb"), (1L, "bb cc"), (2L, "zz"))
+      .toDF("m", "text")
+    val got = TextAnalysis.trendingTerms(df, "text", col("m"), k = 2)
+      .orderBy("bucket", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // bucket 1: aa×2, bb×2 — tie breaks alphabetically; cc misses k=2
+    assert(got.toSeq == Seq(
+      (1L, "aa", 2L, 1L), (1L, "bb", 2L, 2L), (2L, "zz", 1L, 1L)))
+  }
+
+  test("vocabDiversity: uniform distribution hits ln(n_types) entropy") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("u", "aa bb cc dd"),    // uniform over 4 types → H = ln 4
+      ("k", "aa aa aa aa"))    // single type → H = 0
+      .toDF("g", "text")
+    val got = TextAnalysis.vocabDiversity(df, "text", "g")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got(0) == (("k", 4L, 1L, 0.0, 0.25)))
+    assert(got(1)._4 == math.rint(math.log(4) * 1e4) / 1e4)
+    assert(got(1) == (("u", 4L, 4L, got(1)._4, 1.0)))
+  }
 }

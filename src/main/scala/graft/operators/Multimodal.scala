@@ -232,6 +232,46 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash, Krawetz 2013): decode →
+    * nearest-neighbour 9×8 grayscale downsample (the SAME `x·sw/w`
+    * index arithmetic as [[resizeImages]], so the sample grid is
+    * bit-deterministic) → per-row left-to-right gradient signs packed
+    * as 8 hex bytes (bit x of row y set iff p(x+1,y) > p(x,y)). The
+    * image near-dup key: equal hashes ⇒ visually identical layout;
+    * hamming distance on the 64 bits ranks near-dups. Emitted as a
+    * 16-hex-char string — engine-portable, no sign-bit hazards.
+    * Partition-preserving kernel, no shuffle; undecodable rows drop.
+    */
+  def dhashImages(media: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = readImageOrNull(r.payload)
+        if (img == null) None
+        else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          def p(x: Int, y: Int): Int =
+            (img.getRGB(x * sw / 9, y * sh / 8) >> 16) & 0xff
+          val sb = new StringBuilder(16)
+          var y = 0
+          while (y < 8) {
+            var byte = 0
+            var x = 0
+            while (x < 8) {
+              if (p(x + 1, y) > p(x, y)) byte |= 1 << x
+              x += 1
+            }
+            sb.append(f"$byte%02x")
+            y += 1
+          }
+          Some((r.doc_id, sb.toString))
+        }
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
   /** REAL resize: decode → nearest-neighbour resample (explicit source
     * index `x*sw/w`, `y*sh/h` — no Graphics2D interpolation, so the
     * result is bit-deterministic across JVMs) → re-encode PNG. Batch

@@ -5292,7 +5292,31 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(doc_id % 7 + 4 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Perceptual dHash ([[graft.operators.Multimodal.dhashImages]]):
+    * the image near-dup key — real PNG/BMP decode, 9×8 nearest-
+    * neighbour grid, per-row gradient bits as 8 hex bytes. The oracle
+    * recomputes every bit from doc_id alone via the same `x·sw/9`
+    * index arithmetic and the closed-form pixel pattern.
+    */
+  val dhash: QueryDef = QueryDef(
+    "multimodal_dhash",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.dhashImages(syntheticMediaFor(s, dir, "image"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, array_to_string(list_transform(range(0, 8),
+        |  y -> printf('%02x', CAST(list_sum(list_transform(range(0, 8),
+        |    x -> CASE WHEN
+        |      ((((x+1) * (doc_id % 13 + 4)) // 9) * 31
+        |        + ((y * (doc_id % 7 + 4)) // 8) * 17 + doc_id) % 256
+        |      > (((x * (doc_id % 13 + 4)) // 9) * 31
+        |        + ((y * (doc_id % 7 + 4)) // 8) * 17 + doc_id) % 256
+        |      THEN 1 << x ELSE 0 END)) AS INTEGER))), '') AS dhash
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample,
-      resizeReal)
+      resizeReal, dhash)
 }

@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
@@ -270,6 +270,44 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "dhash")
+  }
+
+  /** Image near-dup pairs on the [[dhashImages]] key: all pairs at
+    * hamming distance ≤ `maxHamming` over the 64-bit hash, found by
+    * 4×16-bit pigeonhole banding — EXACT for maxHamming ≤ 3 (3 flipped
+    * bits cannot touch all 4 bands, so some band collides; the same
+    * argument as the simhash family). Bands are hex SUBSTRINGS (no
+    * 64-bit sign hazards); the verify xors band integers and sums
+    * `bit_count` — engine-portable. Candidates are Σ|bucket|², never
+    * all-pairs.
+    */
+  def dhashNearDupPairs(
+      hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16 pigeonhole banding is exact only for hamming <= 3")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("dhash"), b * 4 + 1, 4).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("dhash").as("ha"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("dhash").as("hb"), col("band"), col("key"))
+    def bandInt(h: Column, i: Int): Column =
+      conv(substring(h, i * 4 + 1, 4), 16, 10).cast("int")
+    val hamming = (0 until 4).map(i =>
+      bit_count(bandInt(col("ha"), i).bitwiseXOR(bandInt(col("hb"), i)))
+        .cast("long")).reduce(_ + _)
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** REAL resize: decode → nearest-neighbour resample (explicit source

@@ -5316,7 +5316,44 @@ object MultimodalQueries extends QueryGroup {
         |      THEN 1 << x ELSE 0 END)) AS INTEGER))), '') AS dhash
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** dHash near-dup pairs ([[graft.operators.Multimodal
+    * .dhashNearDupPairs]]): hamming ≤ 3 via 4×16-bit pigeonhole
+    * banding — the oracle does ALL-PAIRS hamming over the closed-form
+    * hashes, so the gate proves banding ≡ brute force (the simhash
+    * argument, replayed for images).
+    */
+  val dhashNearDup: QueryDef = QueryDef(
+    "multimodal_dhash_neardup",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.dhashNearDupPairs(
+          Multimodal.dhashImages(syntheticMediaFor(s, dir, "image")))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH bytes AS (SELECT doc_id, y,
+        |    CAST(list_sum(list_transform(range(0, 8), x ->
+        |      CASE WHEN
+        |        ((((x+1) * (doc_id % 13 + 4)) // 9) * 31
+        |          + ((y * (doc_id % 7 + 4)) // 8) * 17 + doc_id) % 256
+        |        > (((x * (doc_id % 13 + 4)) // 9) * 31
+        |          + ((y * (doc_id % 7 + 4)) // 8) * 17 + doc_id) % 256
+        |        THEN 1 << x ELSE 0 END)) AS INTEGER) AS byte
+        |  FROM documents, unnest(range(0, 8)) AS t(y)),
+        |bands AS (SELECT b0.doc_id, b0.y // 2 AS band,
+        |    b0.byte * 256 + b1.byte AS v
+        |  FROM bytes b0 JOIN bytes b1
+        |    ON b0.doc_id = b1.doc_id AND b1.y = b0.y + 1
+        |  WHERE b0.y % 2 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  sum(bit_count(xor(a.v, b.v)))::BIGINT AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING sum(bit_count(xor(a.v, b.v))) <= 3
+        |ORDER BY id_a, id_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample,
-      resizeReal, dhash)
+      resizeReal, dhash, dhashNearDup)
 }

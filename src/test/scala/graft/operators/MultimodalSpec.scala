@@ -239,4 +239,22 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == hashes)
   }
+
+  test("dhash near-dup banding equals brute-force hamming <= 3") {
+    implicit val s = spark
+    val hashes = Multimodal.dhashImages(
+      Multimodal.syntheticImageTable(docs))
+    val got = Multimodal.dhashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // brute force on the driver over the same hashes
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getString(1))
+    def bits(h: String): Long = java.lang.Long.parseUnsignedLong(h, 16)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(bits(ha) ^ bits(hb)) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // the synthetic corpus does contain near-dups
+  }
 }

@@ -1087,6 +1087,190 @@ object AnalyticsQueries extends QueryGroup {
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_custkey % 7""".stripMargin))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the dataset has no
+    * partsupp table, so the supply catalog is the DISTINCT
+    * (l_partkey, l_suppkey) pairs actually observed in lineitem and
+    * s_acctbal stands in for ps_supplycost. The correlated min is
+    * restated as a per-part aggregate joined back on EXACT double
+    * equality (both engines read the same untouched parquet values —
+    * no arithmetic happens before the compare). The catalog distinct
+    * is the one fact-scale shuffle; part/supplier/nation dims all
+    * broadcast.
+    */
+  val minCostSupplier: QueryDef = QueryDef(
+    "tpch_q2_min_cost_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ps = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      val sup = t.supplier
+        .join(t.nation.filter(col("n_regionkey") === 0),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"),
+          col("n_name"))
+      val parts = t.part
+        .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_brand"))
+      val cand = ps
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_acctbal"),
+          col("s_name"), col("n_name"))
+      val mn = cand.groupBy(col("p_partkey").as("mpk"))
+        .agg(min(col("s_acctbal")).as("mb"))
+      cand.join(broadcast(mn),
+          col("p_partkey") === col("mpk") && col("s_acctbal") === col("mb"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |sup AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+        |        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |        WHERE n_regionkey = 0),
+        |cand AS (SELECT p_partkey, p_brand, s_acctbal, s_name, n_name
+        |         FROM ps JOIN sup ON l_suppkey = s_suppkey
+        |         JOIN part ON l_partkey = p_partkey
+        |         WHERE p_size = 15 AND p_type = 'SMALL'),
+        |mn AS (SELECT p_partkey AS mpk, min(s_acctbal) AS mb
+        |       FROM cand GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM cand JOIN mn ON p_partkey = mpk AND s_acctbal = mb
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin))
+
+  /** TPC-H Q9 shape (product-type profit): revenue minus a supply-cost
+    * proxy (p_retailprice·l_quantity / 10 — the dataset has no
+    * ps_supplycost), grouped by supplier nation and order year over
+    * parts matching a name substring. Both sums stay in EXACT decimal
+    * independently; the single divide-and-subtract happens once per
+    * output row in double, identically ordered on both engines. The
+    * 5-way join shuffles the fact on orderkey once; part, supplier,
+    * and nation broadcast.
+    */
+  val productProfit: QueryDef = QueryDef(
+    "tpch_q9_product_profit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cost = col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(18, 2))
+      val sup = t.supplier
+        .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(drev).cast("double") -
+          sum(cost).cast("double") / 10, 4).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(
+      s"""WITH j AS (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    $drevSql AS rev,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_name LIKE '%red%')
+        |SELECT nation, o_year,
+        |  round(CAST(sum(rev) AS DOUBLE) -
+        |        CAST(sum(cost) AS DOUBLE) / 10, 4) AS profit
+        |FROM j GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin))
+
+  /** TPC-H Q11 shape (important stock): per-part value
+    * (Σ l_extendedprice over lineitems supplied from one nation —
+    * the partsupp value proxy) kept where it exceeds 1/1000 of the
+    * total. The fraction compare is restated multiplicatively on
+    * EXACT decimals (pv·1000 > tv) so neither engine divides; the
+    * total rides a 1-row broadcast. One fact-side aggregate keyed by
+    * part — the same shape survives any scale-up because the output
+    * is bounded by |part|.
+    */
+  val importantStock: QueryDef = QueryDef(
+    "tpch_q11_important_stock",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val natSup = t.supplier.filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey"))
+      val v = t.lineitem
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("pv"))
+      val tot = v.agg(sum(col("pv")).as("tv"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("pv") * 1000 > col("tv"))
+        .select(col("p_partkey"), col("pv").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    },
+    Some(
+      """WITH v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pv
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 1 GROUP BY 1),
+        |tot AS (SELECT sum(pv) AS tv FROM v)
+        |SELECT p_partkey, CAST(pv AS DOUBLE) AS part_value
+        |FROM v, tot WHERE pv * 1000 > tv
+        |ORDER BY part_value DESC, p_partkey""".stripMargin))
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers in one
+    * nation who shipped more than a quantity threshold of any
+    * name-matched part in 1996 — the nested-IN chain restated as
+    * semi-joins: part filter broadcasts into the fact, the
+    * (suppkey, partkey) quantity aggregate replaces the
+    * availqty-vs-half-shipped compare (no partsupp table), and the
+    * surviving supplier keys semi-join the supplier dim. Quantity
+    * sums stay in exact decimal up to the threshold compare.
+    */
+  val promotionSuppliers: QueryDef = QueryDef(
+    "tpch_q20_promotion_suppliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pk = t.part.filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val big = t.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+        .filter(col("sq") > 40)
+        .select(col("l_suppkey")).distinct()
+      t.supplier
+        .join(big, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t.nation.filter(col("n_nationkey") === 3)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+    Some(
+      """WITH pk AS (SELECT p_partkey FROM part
+        |            WHERE p_name LIKE 'small%'),
+        |shipped AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem JOIN pk ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |big AS (SELECT DISTINCT l_suppkey FROM shipped WHERE sq > 40)
+        |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier JOIN big ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey = 3 ORDER BY s_name""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(rollup, topKPerGroup, shippingPriority, localSupplierVolume,
       approxDistinct, cube, returnedItems, saltedJoin, groupingSets,
@@ -1095,5 +1279,6 @@ object AnalyticsQueries extends QueryGroup {
       countMinPortable, hllPortable, kmvPortable, hllGrouped, kmvSetOps,
       kmvJoinEstimate, disjunctiveRevenue, supplierDiversity, soleBlame,
       priorityChecking, volumeShipping, marketShare, priorityShipping,
-      custDist, topSupplier, smallQtyRevenue, salesOpportunity)
+      custDist, topSupplier, smallQtyRevenue, salesOpportunity,
+      minCostSupplier, productProfit, importantStock, promotionSuppliers)
 }

@@ -199,6 +199,29 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
   }
 
+  test("tpch_q2: all dims broadcast; the only wide shuffle is the catalog distinct") {
+    // part/supplier/nation and the per-part min all ride broadcasts —
+    // at 100 TB the DISTINCT (partkey, suppkey) catalog is the one
+    // fact-scale exchange, so a refactor that turns a dim join into a
+    // sort-merge join must fail here.
+    val ks = kinds("tpch_q2_min_cost_supplier")
+    assert(ks.contains("BroadcastHashJoinExec"), s"no broadcast join: $ks")
+    assert(!ks.contains("SortMergeJoinExec"), s"dim join degraded: $ks")
+  }
+
+  test("tpch_q9: part and supplier dims broadcast, name filter not on the fact scan") {
+    val ks = kinds("tpch_q9_product_profit")
+    assert(ks.count(_ == "BroadcastHashJoinExec") >= 2,
+      s"dims not broadcast: $ks")
+  }
+
+  test("tpch_q20: nested-IN chain stays semi/broadcast, never cartesian") {
+    val ks = kinds("tpch_q20_promotion_suppliers")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+    assert(pushedFilters("tpch_q20_promotion_suppliers")
+      .contains("l_shipdate"), "date range not pushed to the fact scan")
+  }
+
   test("snapshot diff joins digests, not document text") {
     // both sides project (id, md5) BEFORE the full-outer exchange — the
     // join input schemas must not carry the text column

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Column-level data profiling and snapshot drift — the data-quality
   * monitor a production pipeline runs on every ingest batch (the
@@ -71,5 +73,96 @@ object DataProfile {
           .as("distinct_delta"),
         (!(col("_min0") <=> col("_min1"))).as("min_changed"),
         (!(col("_max0") <=> col("_max1"))).as("max_changed"))
+  }
+
+  /** Per-bucket Merkle-style dataset digest — the cheap "did anything
+    * in this partition change" primitive for 100 TB snapshot
+    * comparison: instead of a row-level full-outer join
+    * ([[IncrementalDedup.snapshotDiff]] — fact-scale exchange), two
+    * digest frames of `nBuckets` rows are compared, and only buckets
+    * whose digests differ need the row-level pass.
+    *
+    * The digest is ORDER-INDEPENDENT and O(1)-state per bucket: each
+    * row hashes to md5(id ":" content); the bucket accumulates the
+    * row count and the exact DECIMAL(38,0) sums of two 60-bit slices
+    * of that hash (commutative, so no per-bucket sort or hash-list
+    * state — an aggregate, not a collect_list). All three accumulators
+    * are md5-contract portable: DuckDB replays them bit-for-bit, which
+    * is what puts a *digest* under a cross-engine oracle.
+    *
+    * One shuffle keyed by bucket; map-side combine does almost all the
+    * work (32 partial rows per task regardless of input size).
+    */
+  def merkleDigest(
+      df: DataFrame, idCol: String, contentCol: String,
+      nBuckets: Int): DataFrame = {
+    val idS = col(idCol).cast("string")
+    val rowh = md5(concat_ws(":", idS, col(contentCol)))
+    val bucket = pmod(conv(substring(md5(idS), 1, 7), 16, 10)
+      .cast("long"), lit(nBuckets)).as("bucket")
+    df.select(bucket,
+        conv(substring(rowh, 1, 15), 16, 10)
+          .cast(DecimalType(38, 0)).as("_h1"),
+        conv(substring(rowh, 16, 15), 16, 10)
+          .cast(DecimalType(38, 0)).as("_h2"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_h1")).as("_s1"), sum(col("_h2")).as("_s2"))
+      .select(col("bucket"), col("n_rows"),
+        md5(concat_ws(":", col("n_rows").cast("string"),
+          col("_s1").cast("string"), col("_s2").cast("string")))
+          .as("digest"))
+  }
+
+  /** Bucket-level diff of two [[merkleDigest]] frames: each bucket
+    * labelled added / removed / changed / unchanged. The join is
+    * nBuckets-scale — the whole point: at 100 TB this compares two
+    * snapshots by moving a few thousand digest rows, and the row-level
+    * diff then runs only over `changed` buckets.
+    */
+  def changedBuckets(
+      old: DataFrame, current: DataFrame,
+      idCol: String, contentCol: String, nBuckets: Int): DataFrame = {
+    val a = merkleDigest(old, idCol, contentCol, nBuckets)
+      .select(col("bucket"), col("n_rows").as("n_old"),
+        col("digest").as("_d_old"))
+    val b = merkleDigest(current, idCol, contentCol, nBuckets)
+      .select(col("bucket"), col("n_rows").as("n_new"),
+        col("digest").as("_d_new"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("_d_old").isNull, lit("added"))
+          .when(col("_d_new").isNull, lit("removed"))
+          .when(col("_d_old") =!= col("_d_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Key-skew profile — the pre-join / pre-groupBy diagnostic that
+    * decides whether a key needs salting ([[SkewJoin]]) before a
+    * shuffle at scale: the top-k hottest keys with their exact counts,
+    * basis-point share of all rows (integer division — exact on both
+    * engines), and the cumulative share down the ranking.
+    *
+    * One count aggregate keyed by the profiled key (map-side
+    * combined), a TakeOrdered top-k, and ≤k-row windows — nothing
+    * downstream of the aggregate scales with the corpus.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("cnt").desc, col("key"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("key"), col("cnt"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        sum(expr("cnt * 10000 div total"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_share_bp"),
+        col("n_keys"))
   }
 }

@@ -5109,10 +5109,128 @@ object IoQueries extends QueryGroup {
         |FROM pb JOIN pa ON pb.col = pa.col
         |ORDER BY pb.col""".stripMargin))
 
+  /** Per-bucket Merkle digest ([[graft.operators.DataProfile
+    * .merkleDigest]]): order-independent O(1)-state bucket digests
+    * (row count + exact DECIMAL sums of two 60-bit md5 slices) — the
+    * snapshot-comparison primitive that moves nBuckets rows instead
+    * of the corpus. Every accumulator is md5-contract portable, so
+    * the *digest itself* sits under the cross-engine hash.
+    */
+  val merkleDigestGate: QueryDef = QueryDef(
+    "io_merkle_digest",
+    (s, dir) =>
+      graft.operators.DataProfile.merkleDigest(
+          Tables(s, dir).documents, "doc_id", "text", nBuckets = 32)
+        .orderBy("bucket"),
+    Some(
+      """WITH r AS (SELECT
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 32
+        |      AS bucket,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+        |      ::BIGINT AS h1,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 16, 15))
+        |      ::BIGINT AS h2
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_rows,
+        |  md5(count(*)::VARCHAR || ':' || sum(h1)::VARCHAR || ':' ||
+        |      sum(h2)::VARCHAR) AS digest
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Bucket-level snapshot diff ([[graft.operators.DataProfile
+    * .changedBuckets]]): v2 derives deterministically from the corpus
+    * (drop ids ≡0 mod 17, rewrite text for ids ≡0 mod 5, add shifted
+    * copies for ids ≡0 mod 23); the diff joins two 128-row digest
+    * frames — the row-level pass ([[graft.operators.IncrementalDedup
+    * .snapshotDiff]]) then only needs the `changed` buckets.
+    */
+  val merkleChangedGate: QueryDef = QueryDef(
+    "io_merkle_changed",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.operators.DataProfile.changedBuckets(
+          docs, v2, "doc_id", "text", nBuckets = 128)
+        .orderBy("bucket")
+    },
+    Some(
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 23 = 0),
+        |da AS (SELECT bucket, count(*) AS n_rows,
+        |    md5(count(*)::VARCHAR || ':' || sum(h1)::VARCHAR || ':' ||
+        |        sum(h2)::VARCHAR) AS digest
+        |  FROM (SELECT
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 128
+        |        AS bucket,
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+        |        ::BIGINT AS h1,
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 16, 15))
+        |        ::BIGINT AS h2
+        |    FROM documents) GROUP BY bucket),
+        |db AS (SELECT bucket, count(*) AS n_rows,
+        |    md5(count(*)::VARCHAR || ':' || sum(h1)::VARCHAR || ':' ||
+        |        sum(h2)::VARCHAR) AS digest
+        |  FROM (SELECT
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 128
+        |        AS bucket,
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+        |        ::BIGINT AS h1,
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 16, 15))
+        |        ::BIGINT AS h2
+        |    FROM v2) GROUP BY bucket)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+        |  coalesce(da.n_rows, 0)::BIGINT AS n_old,
+        |  coalesce(db.n_rows, 0)::BIGINT AS n_new,
+        |  CASE WHEN da.digest IS NULL THEN 'added'
+        |       WHEN db.digest IS NULL THEN 'removed'
+        |       WHEN da.digest <> db.digest THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+        |ORDER BY bucket""".stripMargin))
+
+  /** Key-skew profile ([[graft.operators.DataProfile.keySkewProfile]]):
+    * top-10 hottest event keys with exact counts, basis-point share
+    * (integer division), and cumulative share — the pre-shuffle
+    * diagnostic that decides when [[graft.operators.SkewJoin]] salting
+    * is warranted. Everything after the one key-count aggregate is
+    * ≤k rows.
+    */
+  val keySkewGate: QueryDef = QueryDef(
+    "io_key_skew_profile",
+    (s, dir) =>
+      graft.operators.DataProfile.keySkewProfile(
+          Tables(s, dir).events, "user_id", k = 10)
+        .orderBy("rk"),
+    Some(
+      """WITH c AS (SELECT user_id::VARCHAR AS key, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS n_keys
+        |      FROM c),
+        |tk AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rk,
+        |  key, cnt, cnt * 10000 // total AS share_bp,
+        |  sum(cnt * 10000 // total)
+        |    OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING)
+        |    AS cum_share_bp,
+        |  n_keys
+        |FROM tk, t ORDER BY rk""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      domainStats, partitionPrune, xmlRecords, mergeUpsert, profileDrift)
+      domainStats, partitionPrune, xmlRecords, mergeUpsert, profileDrift,
+      merkleDigestGate, merkleChangedGate, keySkewGate)
 }
 
 object MultimodalQueries extends QueryGroup {

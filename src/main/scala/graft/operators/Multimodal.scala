@@ -549,6 +549,201 @@ object Multimodal {
     }
   }
 
+  /** Per-channel raster statistics: exact R/G/B sums plus red-channel
+    * extremes — the image-corpus quality profile (dead-pixel / blank /
+    * over-exposed detection keys off exactly these). Same
+    * partition-preserving kernel shape as [[decodeImages]]; every
+    * accumulator is integer-exact so the lossless formats sit under
+    * the full cross-engine oracle.
+    */
+  final case class ImageChannelStats(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      min_px: Int,
+      max_px: Int)
+
+  def imageChannelStats(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[ImageChannelStats] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fmt = sniffFormat(r.payload)
+        val img = readImageOrNull(r.payload)
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var mn = 255; var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val red = (rgb >> 16) & 0xff
+              sr += red
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              if (red < mn) mn = red
+              if (red > mx) mx = red
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageChannelStats(r.doc_id, fmt, w, h, sr, sg, sb, mn, mx))
+        }
+      }
+    }
+  }
+
+  /** One fixed-size audio analysis frame: exact integer energy and
+    * zero-crossing count.
+    */
+  final case class AudioFrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      n: Int,
+      energy: Long,
+      zc: Long)
+
+  /** Frame-level audio features over REAL WAV decode: the PCM stream
+    * is split into fixed `frameSize`-sample windows; each frame emits
+    * Σv² (the energy the VAD/silence-trim stage thresholds on) and
+    * the within-frame zero-crossing count (the cheapest
+    * voiced/unvoiced discriminator). Both are integer-exact — 16-bit
+    * samples make Σv² ≤ n·2³⁰, far inside a long — so the whole
+    * feature pipeline sits under the hard oracle, unlike float
+    * RMS/FFT features. Partition-preserving; undecodable rows drop.
+    */
+  def audioFrameFeatures(media: DataFrame, frameSize: Int)(
+      implicit spark: SparkSession): Dataset[AudioFrameFeatures] = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.payload
+        if (p == null || p.length < 12 ||
+          p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F') {
+          Iterator.empty
+        } else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(p))
+          val f = ais.getFormat
+          val data = ais.readAllBytes()
+          ais.close()
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1) {
+            Iterator.empty
+          } else {
+            val be = f.isBigEndian
+            val n = data.length / 2
+            val out = List.newBuilder[AudioFrameFeatures]
+            var f0 = 0
+            while (f0 * frameSize < n) {
+              val lo = f0 * frameSize
+              val hi = math.min(lo + frameSize, n)
+              var energy = 0L
+              var zc = 0L
+              var prevNeg = false
+              var i = lo
+              while (i < hi) {
+                val b0 = if (be) data(2 * i + 1) else data(2 * i)
+                val b1 = if (be) data(2 * i) else data(2 * i + 1)
+                val v = (((b1 & 0xff) << 8) | (b0 & 0xff)).toShort.toInt
+                energy += v.toLong * v
+                val neg = v < 0
+                if (i > lo && neg != prevNeg) zc += 1
+                prevNeg = neg
+                i += 1
+              }
+              out += AudioFrameFeatures(r.doc_id, f0, hi - lo, energy, zc)
+              f0 += 1
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+  }
+
+  /** One frame-to-frame change row: exact absolute raster difference
+    * and the cut decision.
+    */
+  final case class SceneCut(
+      doc_id: Long,
+      frame_idx: Int,
+      diff: Long,
+      is_cut: Boolean)
+
+  /** Scene-cut detection over REAL multi-frame decode: consecutive
+    * frames of each clip are diffed pixel-by-pixel (Σ|gray_k −
+    * gray_{k−1}|, integer-exact) and a cut fires where the MEAN
+    * absolute change exceeds `meanDiffThreshold` — stated
+    * multiplicatively (diff > w·h·T) so no division happens on either
+    * engine. This is the keyframe-selection primitive a video
+    * training-data pipeline runs before sampling frames for captioning.
+    * The kernel holds exactly two rasters at a time regardless of clip
+    * length; frames whose dimensions disagree with their predecessor
+    * are skipped (stated contract). Partition-preserving, no shuffle.
+    */
+  def sceneCuts(media: DataFrame, meanDiffThreshold: Long)(
+      implicit spark: SparkSession): Dataset[SceneCut] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow].mapPartitions { rows =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val p = r.payload
+        if (p == null || p.length < 6 ||
+          p(0) != 'G' || p(1) != 'I' || p(2) != 'F') Iterator.empty
+        else {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(p))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = List.newBuilder[SceneCut]
+            var prev: Array[Int] = null
+            var pw = 0; var ph = 0
+            var k = 0
+            while (k < n) {
+              val img = reader.read(k)
+              val w = img.getWidth
+              val h = img.getHeight
+              val cur = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  cur(y * w + x) = (img.getRGB(x, y) >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              if (prev != null && w == pw && h == ph) {
+                var diff = 0L
+                var i = 0
+                while (i < cur.length) {
+                  diff += math.abs(cur(i) - prev(i))
+                  i += 1
+                }
+                out += SceneCut(r.doc_id, k, diff,
+                  diff > w.toLong * h * meanDiffThreshold)
+              }
+              prev = cur; pw = w; ph = h
+              k += 1
+            }
+            out.result().iterator
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+          finally iis.close()
+        }
+      }
+    }
+  }
+
   /** Resize stub: descriptor-space op preserving the batch shape. */
   def resizeStub(features: Dataset[MediaFeatures], w: Int, h: Int)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {

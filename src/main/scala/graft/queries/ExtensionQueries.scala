@@ -5471,7 +5471,105 @@ object MultimodalQueries extends QueryGroup {
         |HAVING sum(bit_count(xor(a.v, b.v))) <= 3
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Per-channel raster statistics ([[graft.operators.Multimodal
+    * .imageChannelStats]]): real PNG/BMP decode → exact R/G/B sums and
+    * red-channel extremes — the image-corpus quality profile. The
+    * synthetic corpus is gray (r=g=b), so all three channel sums
+    * replay from the one closed-form pixel pattern; min/max replay via
+    * list aggregates.
+    */
+  val imageStats: QueryDef = QueryDef(
+    "multimodal_image_stats",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.imageChannelStats(syntheticMediaFor(s, dir, "image"))
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH px AS (SELECT doc_id,
+        |    list_transform(range(0, (doc_id % 13 + 4) * (doc_id % 7 + 4)),
+        |      i -> ((i % (doc_id % 13 + 4)) * 31
+        |          + (i // (doc_id % 13 + 4)) * 17 + doc_id) % 256) AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 4 AS INTEGER) AS height,
+        |  CAST(list_sum(l) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(l) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(l) AS BIGINT) AS sum_b,
+        |  CAST(list_aggregate(l, 'min') AS INTEGER) AS min_px,
+        |  CAST(list_aggregate(l, 'max') AS INTEGER) AS max_px
+        |FROM px ORDER BY doc_id""".stripMargin))
+
+  /** Frame-level audio features ([[graft.operators.Multimodal
+    * .audioFrameFeatures]]): real WAV decode → 16-sample windows, each
+    * emitting exact integer Σv² energy and the zero-crossing count —
+    * the VAD/silence-trim features, integer-exact so the whole frame
+    * pipeline sits under the hard oracle. DuckDB replays the PCM
+    * closed form, the framing, and the within-frame crossing pairs.
+    */
+  val audioFrames: QueryDef = QueryDef(
+    "multimodal_audio_frames",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.audioFrameFeatures(
+          syntheticMediaFor(s, dir, "audio"), frameSize = 16)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 20 AS ns FROM documents),
+        |s AS (SELECT doc_id, i,
+        |    (i * 37 + doc_id * 11) % 65536 - 32768 AS v
+        |  FROM d, unnest(range(0, ns)) AS t(i)),
+        |w AS (SELECT doc_id, i, v,
+        |    CAST(i // 16 AS INTEGER) AS frame_idx,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+        |    (i % 16) > 0 AS in_frame_pair
+        |  FROM s)
+        |SELECT doc_id, frame_idx, CAST(count(*) AS INTEGER) AS n,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN in_frame_pair AND ((v < 0) <> (pv < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |FROM w GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  /** Scene-cut detection ([[graft.operators.Multimodal.sceneCuts]]):
+    * real multi-frame GIF decode, consecutive frames diffed
+    * pixel-by-pixel, cut where mean |Δ| > 2 (stated multiplicatively —
+    * no division). The synthetic pattern shifts by +1 mod 256 each
+    * frame, so the exact diff is w·h + 254·c where c counts the
+    * predecessor's 255-valued pixels — DuckDB replays that closed
+    * form, making the decode+diff kernel hash-checkable.
+    */
+  val sceneCutsGate: QueryDef = QueryDef(
+    "multimodal_scene_cuts",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.sceneCuts(
+          syntheticMediaFor(s, dir, "video"), meanDiffThreshold = 2L)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH g AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+        |    doc_id % 7 + 4 AS h, doc_id % 9 + 2 AS nf FROM documents),
+        |k AS (SELECT doc_id, w, h, kk AS frame_idx
+        |      FROM g, unnest(range(1, nf)) AS t(kk)),
+        |c AS (SELECT doc_id, frame_idx, w, h,
+        |    len(list_filter(range(0, w * h),
+        |      i -> ((i % w) * 31 + (i // w) * 17 + doc_id + frame_idx - 1)
+        |           % 256 = 255)) AS c255
+        |  FROM k)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(w * h + 254 * c255 AS BIGINT) AS diff,
+        |  (w * h + 254 * c255) > (w * h * 2) AS is_cut
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample,
-      resizeReal, dhash, dhashNearDup)
+      resizeReal, dhash, dhashNearDup, imageStats, audioFrames,
+      sceneCutsGate)
 }

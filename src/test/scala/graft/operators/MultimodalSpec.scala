@@ -257,4 +257,83 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute)
     assert(brute.nonEmpty) // the synthetic corpus does contain near-dups
   }
+
+  test("channel stats separate R/G/B on a non-gray raster") {
+    implicit val s = spark
+    import s.implicits._
+    // 2×1 PNG: (255,0,10) and (1,2,3) → sums (256, 2, 13), red min/max (1, 255)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (255 << 16) | (0 << 8) | 10)
+    img.setRGB(1, 0, (1 << 16) | (2 << 8) | 3)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(Multimodal.MediaRow(1L, out.toByteArray))
+      .toDF("doc_id", "payload")
+    val st = Multimodal.imageChannelStats(media).collect().head
+    assert(st.width == 2 && st.height == 1)
+    assert(st.sum_r == 256 && st.sum_g == 2 && st.sum_b == 13)
+    assert(st.min_px == 1 && st.max_px == 255)
+  }
+
+  test("audio frames: energy and zero-crossings from a hand-built WAV") {
+    implicit val s = spark
+    import s.implicits._
+    // samples: +100, -100, +100, -100, 50 → frameSize 4: frame0 has
+    // energy 4·100², zc 3; frame1 has energy 2500, zc 0, n 1
+    val samples = Array[Short](100, -100, 100, -100, 50)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val media = Seq(Multimodal.MediaRow(7L, out.toByteArray))
+      .toDF("doc_id", "payload")
+    val fr = Multimodal.audioFrameFeatures(media, frameSize = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.length == 2)
+    assert(fr(0).n == 4 && fr(0).energy == 40000L && fr(0).zc == 3)
+    assert(fr(1).n == 1 && fr(1).energy == 2500L && fr(1).zc == 0)
+  }
+
+  test("scene cuts fire on an actual frame change, not on stillness") {
+    implicit val s = spark
+    import s.implicits._
+    // 3-frame GIF: frame1 == frame0 (diff 0, no cut), frame2 inverts
+    // every pixel (mean |Δ| large → cut at threshold 2)
+    val w = 4; val h = 4
+    def frame(invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (invert) 255 - (x * 16) else x * 16
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(frame(false), frame(false), frame(true)).foreach { f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val media = Seq(Multimodal.MediaRow(3L, out.toByteArray))
+      .toDF("doc_id", "payload")
+    val cuts = Multimodal.sceneCuts(media, meanDiffThreshold = 2L)
+      .collect().sortBy(_.frame_idx)
+    assert(cuts.length == 2)
+    assert(cuts(0).frame_idx == 1 && cuts(0).diff == 0L && !cuts(0).is_cut)
+    // per-pixel |Δ| = |255 - 2·(x·16)| ≥ 135 ⇒ mean ≫ 2
+    assert(cuts(1).frame_idx == 2 && cuts(1).diff > 32L * w * h &&
+      cuts(1).is_cut)
+  }
 }

@@ -135,4 +135,53 @@ object BloomJoin {
       probe.filter(hit)
         .join(keys, col(probeKey) === col("_bloom_build_key"), "left_anti"))
   }
+
+  // === Portable (md5-contract) Bloom filter ===
+  //
+  // The engine-portable twin of the xxhash64 filter above, in the same
+  // twin pattern as PortableSketches: bit position j of a key is
+  // md5(key ":" j) sliced to 60 bits mod m — restatable in any engine
+  // with md5, so the FILTER ITSELF (which keys pass, which false
+  // positives occur) sits under the cross-engine oracle, not just the
+  // downstream exact join. Use the xxhash64 path for production speed;
+  // use this when the bit-set must be reproduced outside the JVM
+  // (a serialized index another system probes, or a gate).
+
+  /** The k md5-contract bit positions of a key. */
+  private def portablePos(key: Column, m: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      pmod(conv(substring(md5(concat_ws(":", key.cast("string"),
+        j.cast("string"))), 1, 15), 16, 10).cast("long"), lit(m)))
+
+  /** The filter's set bits as a distinct single-column frame (≤ m
+    * rows — broadcastable by construction for any practical m).
+    */
+  def portableBloomBits(
+      build: DataFrame, key: String, m: Int, k: Int): DataFrame =
+    build.filter(col(key).isNotNull)
+      .select(explode(portablePos(col(key), m, k)).as("pos"))
+      .distinct()
+
+  /** Per-probe-key membership verdict against [[portableBloomBits]]:
+    * a key passes iff ALL its distinct positions are set (two
+    * positions of one key may coincide, so the test is got == need,
+    * not got == k). The bit frame broadcasts; the probe side does one
+    * map-side explode and a key-scale aggregate — nothing joins at
+    * fact scale.
+    */
+  def portableMightContain(
+      probe: DataFrame, key: String, bits: DataFrame,
+      m: Int, k: Int): DataFrame = {
+    val pp = probe.filter(col(key).isNotNull)
+      .select(col(key).as("key")).distinct()
+      .select(col("key"), explode(portablePos(col("key"), m, k)).as("pos"))
+      .distinct()
+    val need = pp.groupBy("key").agg(count(lit(1)).as("_need"))
+    val got = pp.join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("_got"))
+    need.join(got, Seq("key"), "left_outer")
+      .select(col("key"),
+        (coalesce(col("_got"), lit(0L)) === col("_need"))
+          .as("might_contain"))
+  }
 }

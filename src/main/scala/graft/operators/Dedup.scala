@@ -1082,4 +1082,36 @@ object Dedup {
       .select(col("t"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
+
+  /** Cross-source overlap matrix — the provenance-governance report a
+    * multi-source corpus needs before mixing: per unordered source
+    * pair, how many near-dup pairs straddle it (including the diagonal
+    * — within-source redundancy). Decides which source to drop or
+    * down-weight when two crawls substantially duplicate each other.
+    *
+    * Runs off an EXISTING pair list (the checkpointed dedup output).
+    * The labels frame is corpus-scale at 100 TB, so the PAIR side is
+    * what broadcasts — each resolution step streams the labels scan
+    * past a broadcast of the (pairs-scale) unresolved frame, then the
+    * matrix aggregate is |sources|²-bounded. Nothing re-touches
+    * document text, and the labels never shuffle. (If the pair list
+    * itself is fact-scale, dedup first — a pair list that size IS the
+    * problem this report exists to surface.)
+    */
+  def sourceOverlapMatrix(
+      pairs: DataFrame, labels: DataFrame,
+      idACol: String, idBCol: String,
+      idCol: String, srcCol: String): DataFrame = {
+    val withA = labels
+      .select(col(idCol).as(idACol), col(srcCol).as("_src_a"))
+      .join(broadcast(pairs.select(col(idACol), col(idBCol))), Seq(idACol))
+    val withB = labels
+      .select(col(idCol).as(idBCol), col(srcCol).as("_src_b"))
+      .join(broadcast(withA), Seq(idBCol))
+    withB
+      .select(least(col("_src_a"), col("_src_b")).as("source_a"),
+        greatest(col("_src_a"), col("_src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -534,12 +534,45 @@ object DedupQueries extends QueryGroup {
         |FROM th LEFT JOIN np ON th.t = np.t LEFT JOIN nd ON th.t = nd.t
         |ORDER BY th.t""".stripMargin))
 
+  /** Cross-source overlap matrix ([[graft.operators.Dedup
+    * .sourceOverlapMatrix]]): per unordered source pair, how many
+    * near-dup pairs straddle it — the provenance report that decides
+    * which of two substantially-duplicating crawls to drop. Runs off
+    * the checkpointed t=0.95 pair list (shared with the components /
+    * cascade gates); the corpus-scale label frame streams past a
+    * broadcast of the pairs, so labels never shuffle.
+    */
+  val sourceOverlap: QueryDef = QueryDef(
+    "dedup_source_overlap",
+    (s, dir) =>
+      Dedup.sourceOverlapMatrix(
+          PipelineQueries.jaccardPairsFor(s, dir),
+          Tables(s, dir).documents, "id_a", "id_b", "doc_id", "source")
+        .orderBy("source_a", "source_b"),
+    Some(
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT id_a, id_b
+        |       FROM c JOIN sz sa ON sa.doc_id = id_a
+        |       JOIN sz sb ON sb.doc_id = id_b
+        |       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |lab AS (SELECT doc_id, source FROM documents)
+        |SELECT least(la.source, lb.source) AS source_a,
+        |  greatest(la.source, lb.source) AS source_b,
+        |  count(*) AS n_pairs
+        |FROM jp JOIN lab la ON la.doc_id = id_a
+        |JOIN lab lb ON lb.doc_id = id_b
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
       embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, boilerplate,
       semantic,
       containment, editDistance, erPairs, erPairsCapped, erClusters,
-      minhashExact, simhashExact, overlapVerified, thresholdSweepGate)
+      minhashExact, simhashExact, overlapVerified, thresholdSweepGate,
+      sourceOverlap)
 }
 
 object SimilarityQueries extends QueryGroup {

@@ -167,7 +167,55 @@ object JoinQueries extends QueryGroup {
         "AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000) " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"))
 
+  /** Portable md5-contract Bloom filter ([[graft.operators.BloomJoin
+    * .portableBloomBits]] / `portableMightContain`): bit position j of
+    * a key is md5(key ":" j) mod m, so DuckDB rebuilds the IDENTICAL
+    * bit set and the gate hash-checks the filter's exact membership
+    * verdicts — including which false positives occur (m=4096 over
+    * ~1300 build keys yields true negatives, false positives,
+    * and true positives at sf0.01). The twin pattern of
+    * `join_bloom_prefilter`: that gate proves the xxhash64 path's
+    * downstream identity; this one puts the filter itself under the
+    * oracle.
+    */
+  val joinBloomPortable: QueryDef = QueryDef(
+    "join_bloom_portable",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val build = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      val bits = graft.operators.BloomJoin
+        .portableBloomBits(build, "k", m = 4096, k = 3)
+      val verdicts = graft.operators.BloomJoin.portableMightContain(
+        t.customer.select(col("c_custkey")), "c_custkey", bits,
+        m = 4096, k = 3)
+      verdicts
+        .join(build.distinct().select(col("k").as("key"),
+          lit(true).as("_p")), Seq("key"), "left_outer")
+        .select(col("key"), col("might_contain"),
+          coalesce(col("_p"), lit(false)).as("present"))
+        .orderBy("key")
+    },
+    Some(
+      """WITH ck AS (SELECT DISTINCT o_custkey AS key FROM orders
+        |            WHERE o_orderpriority = '1-URGENT'),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(key::VARCHAR || ':' || j), 1, 15))
+        |      ::BIGINT % 4096 AS pos
+        |  FROM ck, unnest(range(0, 3)) AS t(j)),
+        |pp AS (SELECT DISTINCT c_custkey AS key,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || ':' || j), 1, 15))
+        |      ::BIGINT % 4096 AS pos
+        |  FROM customer, unnest(range(0, 3)) AS t(j)),
+        |need AS (SELECT key, count(*) AS need FROM pp GROUP BY key),
+        |got AS (SELECT key, count(*) AS got
+        |        FROM pp JOIN bits USING (pos) GROUP BY key)
+        |SELECT need.key, coalesce(got.got, 0) = need.need AS might_contain,
+        |  need.key IN (SELECT key FROM ck) AS present
+        |FROM need LEFT JOIN got ON got.key = need.key
+        |ORDER BY need.key""".stripMargin))
+
   override def defs: Seq[QueryDef] =
     Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti, joinFullOuter,
-      joinBloomPrefilter)
+      joinBloomPrefilter, joinBloomPortable)
 }

@@ -138,4 +138,39 @@ class BloomJoinSpec extends SparkSpec {
       s"bloom probe fell out of codegen: $ks")
     assert(df.count() > 0)
   }
+
+  test("portable bloom: no false negatives, FPs only from bit collisions") {
+    val s = spark
+    import s.implicits._
+    val build = (0L until 100L).map(i => i * 3).toDF("k")
+    val bits = BloomJoin.portableBloomBits(build, "k", m = 64, k = 2)
+    // m=64 over 100 keys: nearly saturated — every build key MUST pass
+    val verdicts = BloomJoin
+      .portableMightContain((0L until 300L).toDF("p"), "p", bits,
+        m = 64, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 100L).map(_ * 3).foreach { k =>
+      assert(verdicts(k), s"false negative on build key $k")
+    }
+    // and with a ROOMY filter, absent keys are mostly rejected
+    val bigBits = BloomJoin.portableBloomBits(build, "k", m = 65536, k = 3)
+    val roomy = BloomJoin
+      .portableMightContain((1000L until 1300L).toDF("p"), "p", bigBits,
+        m = 65536, k = 3)
+      .collect().count(_.getBoolean(1))
+    assert(roomy < 15, s"$roomy/300 absent keys passed a 64k-bit filter")
+  }
+
+  test("portable bloom verdicts are deterministic across partitionings") {
+    val s = spark
+    import s.implicits._
+    val build = (0L until 50L).toDF("k")
+    val probe = (0L until 200L).toDF("p")
+    def run(parts: Int) = BloomJoin.portableMightContain(
+        probe.repartition(parts), "p",
+        BloomJoin.portableBloomBits(build.repartition(parts), "k", 256, 3),
+        256, 3)
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(run(1).sameElements(run(7)))
+  }
 }

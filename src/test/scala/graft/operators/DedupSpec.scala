@@ -393,4 +393,21 @@ class DedupSpec extends SparkSpec {
       (0.7, 1L, 2L),  // only the exact pair
       (1.0, 1L, 2L)))
   }
+
+  test("source overlap matrix folds pairs into unordered source cells") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, "crawl_a"), (2L, "crawl_b"), (3L, "crawl_a"),
+      (4L, "crawl_c"), (5L, "crawl_b")).toDF("doc_id", "source")
+    val m = Dedup.sourceOverlapMatrix(pairs, labels,
+        "id_a", "id_b", "doc_id", "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq == Seq(
+      ("crawl_a", "crawl_a", 1L),  // 1-3 within crawl_a
+      ("crawl_a", "crawl_b", 2L),  // 1-2 and 2-3, both directions fold
+      ("crawl_b", "crawl_c", 1L))) // 4-5 normalized to (b, c)
+  }
 }

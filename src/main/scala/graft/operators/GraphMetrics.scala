@@ -422,4 +422,37 @@ object GraphMetrics {
     }
     labels.select(col("id").as(idCol), col("label").as("community"))
   }
+
+  /** One-hop neighbor-degree aggregation — the simplest GNN-style
+    * message pass, integer-exact: per node, its neighbor count plus
+    * the sum and max of its neighbors' degrees (degree-2 structural
+    * features; high nbr_deg_max flags hub-adjacency, nbr_deg_sum /
+    * n_neighbors is the mean a float GNN layer would compute).
+    * Isolated nodes appear with zeros.
+    *
+    * Cost: one degree aggregate + one edges⨝degrees hash join keyed
+    * by node + one node-scale aggregate — all |E|-bounded, the same
+    * per-round shape as pagerank, run once.
+    */
+  def neighborDegreeAgg(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val agg = sym
+      .join(deg.select(col("id").as("dst"), col("deg")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("deg")).as("nbr_deg_sum"),
+        max(col("deg")).as("nbr_deg_max"))
+    nodes.select(col(idCol).cast("long").as(idCol))
+      .join(agg.withColumnRenamed("src", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("nbr_deg_sum"), lit(0L)).as("nbr_deg_sum"),
+        coalesce(col("nbr_deg_max"), lit(0L)).as("nbr_deg_max"))
+  }
 }

@@ -134,6 +134,77 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-
+    * negatives upgrade): for each query, the k MOST similar vectors
+    * whose label DIFFERS from the query's — near the anchor in
+    * embedding space but semantically wrong, exactly the examples a
+    * retrieval/rerank model learns most from. Same broadcast-queries /
+    * per-partition-top-k kernel as [[topKCosineBatch]] (zero wide
+    * shuffles; the merge ranks partitions×queries×k rows), with the
+    * label-mismatch test INSIDE the scan so same-label vectors never
+    * occupy heap slots. Scoring, rounding, and (sim desc, id asc)
+    * tie-break match [[topKCosine]], so the gate replays in SQL.
+    */
+  def hardNegativesBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    Dedup.requireLongCastableId(embeddings, idCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col(labelCol).cast("long"))
+      .as[(Long, Array[Double], Long)]
+    val queries = rows.filter(r => queryIds.contains(r._1))
+      .collect().sortBy(_._1)
+    val qNorms = queries.map { case (_, v, _) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((queries, qNorms))
+    val partial = rows.mapPartitions { it =>
+      val (qs, qn) = bc.value
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)])
+      it.foreach { case (id, v, lbl) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val vn = math.sqrt(s)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv, qlbl) = qs(qi)
+          if (qid != id && lbl != qlbl) {
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += v(j) * qv(j); j += 1 }
+            val denom = vn * qn(qi)
+            val sim = if (denom == 0.0) Double.NaN
+              else BigDecimal(d / denom)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val h = heaps(qi)
+            if (!sim.isNaN && (h.size < k || sim > h.last._1 ||
+                (sim == h.last._1 && id < h.last._2))) {
+              val at = h.indexWhere { case (hs, hid, _) =>
+                sim > hs || (sim == hs && id < hid) }
+              if (at < 0) h.append((sim, id, lbl))
+              else h.insert(at, (sim, id, lbl))
+              if (h.size > k) h.remove(k)
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (sim, id, lbl) => (qs(qi)._1, id, lbl, sim) }
+      }
+    }.toDF("query_id", idCol, "neg_label", "sim")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    partial.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Matryoshka retrieval (Kusupati 2022 MRL): rank by cosine over the
     * FIRST `dims` coordinates only. MRL-trained embeddings concentrate
     * information in prefixes, so a d/4 prefix preserves most of the

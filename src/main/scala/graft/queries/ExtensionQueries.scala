@@ -615,6 +615,35 @@ object SimilarityQueries extends QueryGroup {
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
         |ORDER BY query_id, sim DESC, vec_id""".stripMargin))
 
+  /** Hard-negative mining ([[graft.operators.Similarity
+    * .hardNegativesBatch]]): per query, the top-5 most-similar vectors
+    * with a DIFFERENT label — the contrastive-training examples a
+    * retrieval model learns most from. Same broadcast-queries
+    * partial-top-k kernel as `sim_topk_batch` with the label-mismatch
+    * test inside the scan; the oracle replays cosine + label filter +
+    * ranked window.
+    */
+  val hardNegatives: QueryDef = QueryDef(
+    "sim_hard_negatives",
+    (s, dir) =>
+      Similarity.hardNegativesBatch(Tables(s, dir).embeddings, "vec_id",
+          "embedding", "label", queryIds = Seq(0L, 1L, 2L), k = 5)
+        .orderBy(col("query_id"), col("sim").desc, col("vec_id")),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlbl
+        |      FROM e WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        CAST(e.label AS BIGINT) AS neg_label,
+        |        round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |      FROM e, q
+        |      WHERE e.vec_id <> q.query_id AND e.label <> q.qlbl)
+        |SELECT query_id, vec_id, neg_label, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, vec_id) <= 5
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin))
+
   /** LSH-bucketed single-probe ANN against the PERSISTED index (the
     * 100 TB path: the bucket layout is written once at ingest; the probe
     * scans only its bucket's partition). Approximate — rows-only; the
@@ -1286,7 +1315,7 @@ object SimilarityQueries extends QueryGroup {
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
-      mutualNearest, quantileBinsGate)
+      mutualNearest, quantileBinsGate, hardNegatives)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -2189,6 +2218,40 @@ object PipelineQueries extends QueryGroup {
         |FROM cm JOIN dg da ON da.id = id_a JOIN dg db ON db.id = id_b
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** One-hop neighbor-degree aggregation ([[graft.operators
+    * .GraphMetrics.neighborDegreeAgg]]): per document, its neighbor
+    * count plus the sum and max of neighbor degrees over the near-dup
+    * graph — the integer-exact GNN-style structural features
+    * (hub-adjacency, mean neighbor connectivity). One |E|-bounded
+    * join + two node-scale aggregates off the cached pair list.
+    */
+  val neighborAggGate: QueryDef = QueryDef(
+    "graph_neighbor_agg",
+    (s, dir) =>
+      GraphMetrics.neighborDegreeAgg(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          jaccardPairsFor(s, dir), "id_a", "id_b")
+        .orderBy("doc_id"),
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |dg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+        |ag AS (SELECT e.src, count(*) AS n_neighbors,
+        |         sum(d.deg)::BIGINT AS nbr_deg_sum,
+        |         max(d.deg)::BIGINT AS nbr_deg_max
+        |       FROM e JOIN dg d ON d.id = e.dst GROUP BY e.src)
+        |SELECT doc_id, coalesce(n_neighbors, 0)::BIGINT AS n_neighbors,
+        |  coalesce(nbr_deg_sum, 0)::BIGINT AS nbr_deg_sum,
+        |  coalesce(nbr_deg_max, 0)::BIGINT AS nbr_deg_max
+        |FROM documents LEFT JOIN ag ON src = doc_id
+        |ORDER BY doc_id""".stripMargin))
+
   /** HITS hubs/authorities ([[graft.operators.GraphMetrics.hits]])
     * over the DIRECTED pair graph (id_a→id_b: lower doc ids point at
     * their later near-dups — sources become hubs, sinks authorities).
@@ -2555,7 +2618,8 @@ object PipelineQueries extends QueryGroup {
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
-      neighborJaccardGate, hitsGate, kcoreGate, bfsGate, snapshotDiffGate,
+      neighborJaccardGate, neighborAggGate, hitsGate, kcoreGate, bfsGate,
+      snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
       kAnonymityGate, targetEncoding)
 }
@@ -4734,13 +4798,48 @@ object EventQueries extends QueryGroup {
         |  (p - pmin) > 500000 AS drift
         |FROM d ORDER BY user_id, event_id""".stripMargin))
 
+  /** A-priori frequent pairs ([[graft.operators.FrequentItemsets
+    * .frequentPairs]]): event-type pairs co-occurring in ≥570 user-day
+    * baskets, with the exact per-item counts and basket total the
+    * confidence/lift divisions need. The oracle replays the basket
+    * distinct, the level-1 prune, and the within-basket pair join.
+    */
+  val frequentPairs: QueryDef = QueryDef(
+    "events_frequent_pairs",
+    (s, dir) =>
+      graft.operators.FrequentItemsets.frequentPairs(
+          Tables(s, dir).events
+            .select(concat_ws("@", col("user_id").cast("string"),
+              to_date(col("ts")).cast("string")).as("basket"),
+              col("event_type")),
+          "basket", "event_type", minSupport = 570L)
+        .orderBy("item_a", "item_b"),
+    Some(
+      """WITH it AS (SELECT DISTINCT
+        |    user_id::VARCHAR || '@' || ts::DATE::VARCHAR AS basket,
+        |    event_type AS item
+        |  FROM events),
+        |f AS (SELECT item, count(*) AS cnt FROM it GROUP BY item
+        |      HAVING count(*) >= 570),
+        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
+        |fi AS (SELECT basket, it.item, f.cnt
+        |       FROM it JOIN f ON f.item = it.item)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  count(*) AS support, a.cnt AS count_a, b.cnt AS count_b,
+        |  n_baskets
+        |FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item,
+        |  tot
+        |GROUP BY 1, 2, 4, 5, 6
+        |HAVING count(*) >= 570
+        |ORDER BY item_a, item_b""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
-      scd2, olsTrend, gapFill, cusum)
+      scd2, olsTrend, gapFill, cusum, frequentPairs)
 }
 
 object IoQueries extends QueryGroup {

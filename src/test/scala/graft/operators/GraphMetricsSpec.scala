@@ -207,4 +207,22 @@ class GraphMetricsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("neighbor degree aggregation: star + isolated node") {
+    val s = spark
+    import s.implicits._
+    // star: 1-2, 1-3, 1-4; node 5 isolated.
+    // degrees: 1→3, leaves→1.
+    val nodes = (1L to 5L).toDF("id")
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L))
+    val out = GraphMetrics.neighborDegreeAgg(nodes, "id", g, "id_a", "id_b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 1L),  // hub sees three degree-1 leaves
+      (2L, 1L, 3L, 3L),  // each leaf sees the degree-3 hub
+      (3L, 1L, 3L, 3L),
+      (4L, 1L, 3L, 3L),
+      (5L, 0L, 0L, 0L))) // isolated node appears with zeros
+  }
 }

@@ -337,4 +337,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 101L), (2L, 102L), (3L, 103L)))
   }
+
+  test("hard negatives exclude same-label vectors and match filtered top-k") {
+    val s = spark
+    import s.implicits._
+    // query 0 (label 1): 1 is nearly identical but SAME label → must
+    // not appear; the top negatives are the other-label vectors by sim
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0), 1L),
+      (1L, Array(0.99, 0.01, 0.0), 1L),  // same label — excluded
+      (2L, Array(0.9, 0.1, 0.0), 2L),
+      (3L, Array(0.5, 0.5, 0.0), 2L),
+      (4L, Array(0.0, 1.0, 0.0), 3L))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.hardNegativesBatch(
+        vecs, "vec_id", "embedding", "label", Seq(0L), k = 2)
+      .orderBy(org.apache.spark.sql.functions.col("sim").desc).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 2L), (3L, 2L)))
+  }
 }

@@ -3683,6 +3683,53 @@ object TextQueries extends QueryGroup {
         |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Luhn-gated card redaction ([[graft.operators.Redaction
+    * .redactCards]]): every doc gets one known-valid card number and
+    * one doc_id-derived candidate whose Luhn validity varies (~10%
+    * pass), so masking must make the ARITHMETIC decision, not just
+    * match the digit shape. The oracle replays extraction, the
+    * checksum fold, and the literal-replace reduction.
+    */
+  val luhnRedaction: QueryDef = QueryDef(
+    "text_luhn_redaction",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val withCards = concat(
+        col("text"), lit(" pay 4111111111111111 or 52"),
+        lpad((col("doc_id") % 100000000L).cast("string"), 12, "0"),
+        (col("doc_id") % 10).cast("string"))
+      graft.operators.Redaction.redactCards(
+          docs.select(col("doc_id"), withCards.as("text")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id,
+        |    text || ' pay 4111111111111111 or 52'
+        |      || lpad((doc_id % 100000000)::VARCHAR, 12, '0')
+        |      || (doc_id % 10)::VARCHAR AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    list_distinct(regexp_extract_all(text, '\b\d{13,16}\b'))
+        |      AS cands
+        |  FROM p),
+        |v AS (SELECT doc_id, text, cands,
+        |    list_filter(cands, n ->
+        |      list_sum(list_transform(range(0, length(n)), i ->
+        |        CASE WHEN i % 2 = 1 THEN
+        |          CASE WHEN substring(reverse(n), i + 1, 1)::INT < 5
+        |            THEN 2 * substring(reverse(n), i + 1, 1)::INT
+        |            ELSE 2 * substring(reverse(n), i + 1, 1)::INT - 9 END
+        |        ELSE substring(reverse(n), i + 1, 1)::INT END)) % 10 = 0)
+        |      AS valid
+        |  FROM c)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(text, valid),
+        |    (a, x) -> replace(a, x, '<CARD>')) AS redacted,
+        |  len(cands)::BIGINT AS n_candidates,
+        |  len(valid)::BIGINT AS n_valid
+        |FROM v ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
@@ -3690,7 +3737,7 @@ object TextQueries extends QueryGroup {
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
-      trendingTerms, vocabDiversity, bpeRoundTrip)
+      trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction)
 }
 
 object SamplingQueries extends QueryGroup {

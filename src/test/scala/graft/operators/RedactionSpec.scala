@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class RedactionSpec extends SparkSpec {
 
@@ -47,5 +48,38 @@ class RedactionSpec extends SparkSpec {
   test("phone shorter than 9 digits is left alone") {
     val (out, _, _, np) = redactOne("call +12345678 maybe")
     assert(out == "call +12345678 maybe" && np == 0L)
+  }
+
+  test("luhnValid agrees with the classic test vectors") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("4111111111111111", true),  // the canonical valid Visa test PAN
+      ("4111111111111112", false), // one digit off
+      ("79927398713", true),       // the ISO/IEC 7812 worked example
+      ("79927398710", false),
+      ("4242424242424242", true))
+    val out = cases.map(_._1).toDF("n")
+      .select(col("n"), Redaction.luhnValid(col("n")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (n, exp) =>
+      assert(out(n) == exp, s"luhn($n) should be $exp")
+    }
+  }
+
+  test("card redaction masks only Luhn-valid candidates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "order 4111111111111112 then pay 4242424242424242 ok"),
+      (2L, "tracking 1234567890123 only"),
+      (3L, "no digits at all"))
+      .toDF("doc_id", "text")
+    val out = Redaction.redactCards(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ("order 4111111111111112 then pay <CARD> ok", 2L, 1L))
+    assert(out(1) == ("tracking 1234567890123 only", 1L, 0L))
+    assert(out(2) == ("no digits at all", 0L, 0L))
   }
 }

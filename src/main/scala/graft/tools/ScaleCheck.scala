@@ -703,6 +703,115 @@ object ScaleCheck {
           "vec_id", "embedding"))
     }
 
+    // merkle digest: ONE bucket-keyed shuffle whose map-side combine
+    // reduces every task to <= nBuckets partial rows — cost must track
+    // the scan, state must not (the whole point of the digest)
+    time("merkle_digest_1x",
+      graft.operators.DataProfile.merkleDigest(docs, "doc_id", "text", 1024))
+    time(s"merkle_digest_${dup}x",
+      graft.operators.DataProfile.merkleDigest(blown, "doc_id", "text", 1024))
+    time(s"merkle_changed_${dup}x",
+      graft.operators.DataProfile.changedBuckets(
+        blown, blown.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 1024))
+
+    // key-skew profile: one key-count aggregate; everything after is
+    // <= k rows — the diagnostic must stay cheaper than the shuffle
+    // it is deciding about
+    locally {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      val evBig = (0 until dup).map(i =>
+        ev.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("event_id")))
+        .reduce(_ unionByName _)
+      time(s"key_skew_profile_${dup}x",
+        graft.operators.DataProfile.keySkewProfile(evBig, "user_id", 20))
+
+      // frequent pairs: basket distinct is the one fact-scale shuffle;
+      // the within-basket self-join is bounded by the level-1 prune
+      // (|item vocab| stays 5 here — the aggregate domain never grows)
+      time(s"frequent_pairs_${dup}x",
+        graft.operators.FrequentItemsets.frequentPairs(
+          evBig.select(concat_ws("@", col("user_id").cast("string"),
+            (col("event_id") % 97).cast("string")).as("basket"),
+            col("event_type")),
+          "basket", "event_type", 10L))
+    }
+
+    // portable bloom: build side explodes k positions then collapses to
+    // <= m distinct bits (map-side combined); probe side is one
+    // broadcast semi-join + key-scale aggregate — both linear
+    locally {
+      val keys = blown.select(col("doc_id").as("k"))
+      val bits = graft.operators.BloomJoin.portableBloomBits(
+        keys.filter(col("k") % 3 === 0), "k", 1 << 20, 3)
+      time(s"bloom_portable_${dup}x",
+        graft.operators.BloomJoin.portableMightContain(
+          keys, "k", bits, 1 << 20, 3))
+    }
+
+    // neighbor-degree aggregation: |E|-bounded join + node-scale
+    // aggregates — the single-round pagerank shape
+    locally {
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      time(s"neighbor_agg_${dup}x",
+        graft.operators.GraphMetrics.neighborDegreeAgg(
+          blown.select("doc_id"), "doc_id", pairsD, "id_a", "id_b"))
+    }
+
+    // hard negatives: broadcast-queries partial-top-k kernel — linear
+    // scan, merge is partitions x queries x k rows
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      time(s"hard_negatives_${dup}x",
+        graft.operators.Similarity.hardNegativesBatch(
+          embBig, "vec_id", "embedding", "label",
+          (0L until 10L).toSeq, 10))
+    }
+
+    // luhn card redaction: higher-order fold per row, zero shuffles —
+    // linear in corpus chars like the regex redaction path
+    time(s"luhn_redaction_${dup}x",
+      graft.operators.Redaction.redactCards(
+        blown.select(col("doc_id"), concat(col("text"),
+          lit(" pay 4111111111111111 or 52"),
+          lpad((col("doc_id") % 100000000L).cast("string"), 12, "0"),
+          (col("doc_id") % 10).cast("string")).as("text")),
+        "text", "doc_id"))
+
+    // audio frame features + scene cuts: partition-preserving codec
+    // kernels (encode on the executors, decode+feature in the same
+    // task) — zero shuffles, linear in media bytes
+    locally {
+      implicit val s2: SparkSession = spark
+      time(s"audio_frames_${dup}x",
+        graft.operators.Multimodal.audioFrameFeatures(
+          graft.operators.Multimodal.syntheticAudioTable(blown), 16).toDF())
+      time(s"scene_cuts_${dup}x",
+        graft.operators.Multimodal.sceneCuts(
+          graft.operators.Multimodal.syntheticVideoTable(blown), 2L).toDF())
+      time(s"image_stats_${dup}x",
+        graft.operators.Multimodal.imageChannelStats(
+          graft.operators.Multimodal.syntheticImageTable(blown)).toDF())
+    }
+
+    // cross-source overlap: pair-scale broadcasts past the label scan,
+    // |sources|^2-bounded aggregate — labels never shuffle
+    locally {
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      val labels = blown.select(col("doc_id"),
+        concat(lit("src"), (col("doc_id") % 20).cast("string")).as("source"))
+      time(s"source_overlap_${dup}x",
+        Dedup.sourceOverlapMatrix(pairsD, labels,
+          "id_a", "id_b", "doc_id", "source"))
+    }
+
     spark.stop()
   }
 }

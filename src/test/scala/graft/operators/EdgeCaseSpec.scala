@@ -84,4 +84,74 @@ class EdgeCaseSpec extends SparkSpec {
     // well above 0 but below 1 (each group is half the corpus)
     assert(jsd.values.forall(v => v > 0.2 && v <= 1.0))
   }
+
+  test("merkle digest: empty corpus yields an empty digest frame") {
+    assert(DataProfile.merkleDigest(docs(), "doc_id", "text", 16)
+      .count() == 0)
+  }
+
+  test("changedBuckets: empty-vs-nonempty labels every bucket added") {
+    val cur = docs(1L -> "aa", 2L -> "bb")
+    val out = DataProfile.changedBuckets(docs(), cur, "doc_id", "text", 16)
+      .collect().map(_.getString(3))
+    assert(out.nonEmpty && out.forall(_ == "added"))
+  }
+
+  test("key skew profile: k above the key count returns every key") {
+    import spark.implicits._
+    val out = DataProfile.keySkewProfile(
+      Seq("a", "a", "b").toDF("k"), "k", 10).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("share_bp")).sum <= 10000)
+  }
+
+  test("frequent pairs: empty input and single-item baskets yield no pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("basket", "item")
+    assert(FrequentItemsets.frequentPairs(empty, "basket", "item", 1).count() == 0)
+    val singles = Seq(("b1", "x"), ("b2", "y")).toDF("basket", "item")
+    assert(FrequentItemsets.frequentPairs(singles, "basket", "item", 1).count() == 0)
+  }
+
+  test("audio frames: frameSize beyond the clip yields one short frame") {
+    implicit val s = spark
+    val media = Multimodal.syntheticAudioTable(
+      docs(3L -> "unused").select(col("doc_id")))
+    val n = Multimodal.synthSampleCount(3L)
+    val fr = Multimodal.audioFrameFeatures(media, frameSize = 10000)
+      .collect()
+    assert(fr.length == 1 && fr.head.n == n)
+  }
+
+  test("scene cuts: a single-frame clip emits no cut rows") {
+    implicit val s = spark
+    import spark.implicits._
+    // synthFrames >= 2 always, so hand-build a 1-frame GIF
+    val img = new java.awt.image.BufferedImage(
+      3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    val media = Seq(Multimodal.MediaRow(1L, out.toByteArray))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.sceneCuts(media, 2L).count() == 0)
+  }
+
+  test("portable bloom: empty build side rejects every probe") {
+    import spark.implicits._
+    val bits = BloomJoin.portableBloomBits(
+      Seq.empty[Long].toDF("k"), "k", 64, 3)
+    val out = BloomJoin.portableMightContain(
+      (0L until 10L).toDF("p"), "p", bits, 64, 3).collect()
+    assert(out.length == 10 && out.forall(!_.getBoolean(1)))
+  }
+
+  test("luhn: single digit and empty-adjacent candidates never crash the fold") {
+    import spark.implicits._
+    val out = Redaction.redactCards(
+      Seq((1L, "short 123 stays"), (2L, "")).toDF("doc_id", "text"),
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "short 123 stays")
+    assert(out(0).getLong(2) == 0L) // 3 digits: not a candidate
+    assert(out(1).getString(1) == "")
+  }
 }

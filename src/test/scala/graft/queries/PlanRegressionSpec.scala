@@ -222,6 +222,42 @@ class PlanRegressionSpec extends SparkSpec {
       .contains("l_shipdate"), "date range not pushed to the fact scan")
   }
 
+  test("io_merkle_digest: exactly one exchange, map-side partials collapse") {
+    // the digest's entire value is that every task reduces to
+    // <= nBuckets partial rows before the single bucket-keyed shuffle;
+    // a second exchange (e.g. a sneaky sort or re-aggregate) means the
+    // O(1)-state contract broke
+    val ks = kinds("io_merkle_digest")
+    val shuffles = ks.count(_ == "ShuffleExchangeExec")
+    assert(shuffles <= 2, s"digest plan grew exchanges: $ks") // agg + orderBy
+    assert(ks.count(_ == "HashAggregateExec") >= 2,
+      s"no partial aggregation: $ks")
+  }
+
+  test("join_bloom_portable: bit set broadcasts, no fact-scale join") {
+    val ks = kinds("join_bloom_portable")
+    assert(ks.contains("BroadcastHashJoinExec"), s"bits not broadcast: $ks")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+  }
+
+  test("events_frequent_pairs: level-1 prune broadcasts into the pair join") {
+    val ks = kinds("events_frequent_pairs")
+    assert(ks.contains("BroadcastHashJoinExec"),
+      s"frequent-item prune not broadcast: $ks")
+  }
+
+  test("dedup_source_overlap: labels stream past broadcast pairs, text never joins") {
+    val plan = finalPlan("dedup_source_overlap")
+    val joins = nodes(plan).filter(_.getClass.getSimpleName.contains("Join"))
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        assert(!side.output.map(_.name).contains("text"),
+          s"join side carries text: ${side.output.map(_.name)}")
+      }
+    }
+    assert(kinds("dedup_source_overlap").contains("BroadcastHashJoinExec"))
+  }
+
   test("snapshot diff joins digests, not document text") {
     // both sides project (id, md5) BEFORE the full-outer exchange — the
     // join input schemas must not carry the text column

@@ -240,8 +240,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
   }
 
-  test("events_frequent_pairs: level-1 prune broadcasts into the pair join") {
-    val ks = kinds("events_frequent_pairs")
+  test("frequent pairs: level-1 prune broadcasts into the pair join") {
+    // the gate's minSupport empties the result at sf0.001 (AQE then
+    // collapses every join to a LocalTableScan), so the lock drives
+    // the operator with a support that survives this corpus
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(org.apache.spark.sql.functions.col("user_id").cast("string")
+        .as("basket"),
+        org.apache.spark.sql.functions.col("event_type"))
+    val df = graft.operators.FrequentItemsets.frequentPairs(
+      ev, "basket", "event_type", 2L)
+    df.collect()
+    val ks = nodes(df.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName)
     assert(ks.contains("BroadcastHashJoinExec"),
       s"frequent-item prune not broadcast: $ks")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -93,25 +93,33 @@ object DataProfile {
     * One shuffle keyed by bucket; map-side combine does almost all the
     * work (32 partial rows per task regardless of input size).
     */
+  /** The md5-contract digest primitives, shared with the streaming
+    * face ([[graft.streaming.CorpusMonitor.digestByWindow]]) so batch
+    * and stream accumulate the identical arithmetic.
+    */
+  private[graft] def digestBucket(idCol: String, nBuckets: Int): Column =
+    pmod(conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("long"), lit(nBuckets))
+
+  private[graft] def digestSlice(
+      idCol: String, contentCol: String, from: Int): Column =
+    conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
+      col(contentCol))), from, 15), 16, 10).cast(DecimalType(38, 0))
+
+  private[graft] def digestHex: Column =
+    md5(concat_ws(":", col("n_rows").cast("string"),
+      col("_s1").cast("string"), col("_s2").cast("string")))
+
   def merkleDigest(
       df: DataFrame, idCol: String, contentCol: String,
       nBuckets: Int): DataFrame = {
-    val idS = col(idCol).cast("string")
-    val rowh = md5(concat_ws(":", idS, col(contentCol)))
-    val bucket = pmod(conv(substring(md5(idS), 1, 7), 16, 10)
-      .cast("long"), lit(nBuckets)).as("bucket")
-    df.select(bucket,
-        conv(substring(rowh, 1, 15), 16, 10)
-          .cast(DecimalType(38, 0)).as("_h1"),
-        conv(substring(rowh, 16, 15), 16, 10)
-          .cast(DecimalType(38, 0)).as("_h2"))
+    df.select(digestBucket(idCol, nBuckets).as("bucket"),
+        digestSlice(idCol, contentCol, 1).as("_h1"),
+        digestSlice(idCol, contentCol, 16).as("_h2"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("_h1")).as("_s1"), sum(col("_h2")).as("_s2"))
-      .select(col("bucket"), col("n_rows"),
-        md5(concat_ws(":", col("n_rows").cast("string"),
-          col("_s1").cast("string"), col("_s2").cast("string")))
-          .as("digest"))
+      .select(col("bucket"), col("n_rows"), digestHex.as("digest"))
   }
 
   /** Bucket-level diff of two [[merkleDigest]] frames: each bucket

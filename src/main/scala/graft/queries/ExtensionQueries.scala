@@ -5405,11 +5405,46 @@ object IoQueries extends QueryGroup {
         |  n_keys
         |FROM tk, t ORDER BY rk""".stripMargin))
 
+  /** Windowed streaming digest, batch face ([[graft.streaming
+    * .CorpusMonitor.digestByWindow]]): per (event-day, bucket), the
+    * same md5-contract digest as `io_merkle_digest` — the continuous
+    * dataset-fingerprint emission an ingest stream publishes.
+    * Timestamps are the closed-form document datestamp
+    * ([[graft.sources.XmlRecords.datestampFor]] contract), day-aligned
+    * on both engines; batch ≡ streaming is spec-asserted
+    * (CorpusMonitorSpec), the arithmetic is oracle-checked here.
+    */
+  val merkleWindowGate: QueryDef = QueryDef(
+    "io_merkle_window",
+    (s, dir) =>
+      graft.streaming.CorpusMonitor.digestByWindow(
+          Tables(s, dir).documents.withColumn("ts",
+            date_add(lit("2024-01-01").cast("date"),
+              (col("doc_id") % 365).cast("int")).cast("timestamp")),
+          "ts", "doc_id", "text", nBuckets = 8)
+        .orderBy("window_start", "bucket"),
+    Some(
+      """WITH d AS (SELECT doc_id, text,
+        |    (DATE '2024-01-01' + ((doc_id % 365)::INT))::TIMESTAMP AS ts
+        |  FROM documents),
+        |r AS (SELECT date_trunc('day', ts) AS window_start,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 8
+        |      AS bucket,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+        |      ::BIGINT AS h1,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 16, 15))
+        |      ::BIGINT AS h2
+        |  FROM d)
+        |SELECT window_start, bucket, count(*) AS n_rows,
+        |  md5(count(*)::VARCHAR || ':' || sum(h1)::VARCHAR || ':' ||
+        |      sum(h2)::VARCHAR) AS digest
+        |FROM r GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert, profileDrift,
-      merkleDigestGate, merkleChangedGate, keySkewGate)
+      merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate)
 }
 
 object MultimodalQueries extends QueryGroup {

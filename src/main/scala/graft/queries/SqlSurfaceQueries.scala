@@ -116,6 +116,71 @@ object SqlSurfaceQueries extends QueryGroup {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) " +
         "AS k_value FROM events ORDER BY event_id"))
 
+  /** The ranking-window family in one result: rank, dense_rank,
+    * percent_rank, cume_dist, ntile — the remaining window surface a
+    * migrating user expects beyond row_number (`topk_per_group`) and
+    * the frame-based windows (`events_moving_window`). The fractional
+    * ranks divide the same exact integers on both engines and round
+    * to 6 dp.
+    */
+  val rankFamily: QueryDef = QueryDef(
+    "window_rank_family",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, dir).customer
+        .select(col("c_mktsegment"), col("c_custkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    },
+    Some(
+      """SELECT c_mktsegment, c_custkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin))
+
+  /** UNPIVOT (wide → long): per-flag measure columns stacked into
+    * (measure, value) rows — the reshaping step metric exporters and
+    * drift reports run; `stack` stays a projection (no shuffle beyond
+    * the aggregate that built the wide frame).
+    */
+  val unpivot: QueryDef = QueryDef(
+    "unpivot_stack",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), expr(
+          "stack(3, 'n_rows', n_rows, 'n_orders', n_orders, " +
+            "'n_parts', n_parts) AS (measure, value)"))
+        .orderBy("l_returnflag", "measure"),
+    Some(
+      """WITH w AS (SELECT l_returnflag, count(*) AS n_rows,
+        |    count(DISTINCT l_orderkey) AS n_orders,
+        |    count(DISTINCT l_partkey) AS n_parts
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_orders', n_orders FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_parts', n_parts FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(aboveAverage, nullSafeEq, pivot, setOps, jsonMap)
+    Seq(aboveAverage, nullSafeEq, pivot, setOps, jsonMap, rankFamily,
+      unpivot)
 }

@@ -98,4 +98,35 @@ object CorpusMonitor {
         col("n_docs"), col("n_flagged"), col("flagged_share"),
         col("total_hits"), col("max_hits"))
   }
+
+  /** The versioning face of the monitor: per tumbling event-time
+    * window and digest bucket, the same order-independent md5-contract
+    * digest as [[graft.operators.DataProfile.merkleDigest]] — so an
+    * ingest stream continuously emits the per-window dataset
+    * fingerprints a downstream consumer compares against its own copy
+    * (did yesterday's partition change under me?). The accumulators
+    * are commutative integer/decimal sums, so streaming state per
+    * (window, bucket) is three values and batch ≡ streaming holds bit
+    * for bit; the batch face sits under the DuckDB oracle
+    * (`io_merkle_window`).
+    */
+  def digestByWindow(
+      docs: DataFrame, tsCol: String, idCol: String, contentCol: String,
+      nBuckets: Int, windowDuration: String = "1 day",
+      watermarkDelay: String = "1 day"): DataFrame = {
+    import graft.operators.DataProfile
+    val withMark =
+      if (docs.isStreaming) docs.withWatermark(tsCol, watermarkDelay)
+      else docs
+    withMark
+      .select(col(tsCol),
+        DataProfile.digestBucket(idCol, nBuckets).as("bucket"),
+        DataProfile.digestSlice(idCol, contentCol, 1).as("_h1"),
+        DataProfile.digestSlice(idCol, contentCol, 16).as("_h2"))
+      .groupBy(window(col(tsCol), windowDuration), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_h1")).as("_s1"), sum(col("_h2")).as("_s2"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("n_rows"), DataProfile.digestHex.as("digest"))
+  }
 }

@@ -138,4 +138,40 @@ class CorpusMonitorSpec extends SparkSpec {
       .collect()
     assert(out.forall(_.getAs[Double]("low_quality_share") == 1.0))
   }
+
+  test("windowed digest: batch and streaming agree, and match merkleDigest per window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq(
+      (ts(1), 1L, "alpha body"), (ts(2), 2L, "beta body"),
+      (ts(31), 3L, "gamma body"), (ts(32), 4L, "delta body"))
+    val batch = CorpusMonitor.digestByWindow(
+        docs.toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        nBuckets = 4, windowDuration = "30 minutes")
+      .orderBy("window_start", "bucket")
+      .collect().map(_.toSeq).toSeq
+    // each window's digests equal the plain batch digest of its docs
+    val w1 = graft.operators.DataProfile.merkleDigest(
+        docs.take(2).map(d => (d._2, d._3)).toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    batch.filter(_.head == ts(0)).foreach { row =>
+      assert(w1(row(1).asInstanceOf[Long]) == row(3).asInstanceOf[String])
+    }
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)](s)
+    val q = CorpusMonitor.digestByWindow(
+        in.toDF.toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        nBuckets = 4, windowDuration = "30 minutes")
+      .writeStream.format("memory").queryName("digest_monitor")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("digest_monitor")
+        .orderBy("window_start", "bucket")
+        .collect().map(_.toSeq).toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
 }

@@ -424,4 +424,29 @@ object EventSequences {
             dd(col("sx")) * dd(col("sxy"))).cast("double") /
             (den.cast("double") * 10000d), 6)).as("intercept"))
   }
+
+  /** Rolling distinct actives — the trailing-N-day distinct-key count
+    * per calendar day (rolling DAU/WAU/MAU): each (day, key) distinct
+    * pair is exploded to the N window-end days it contributes to,
+    * then counted distinct per day. Exact, and the explode factor is
+    * the window LENGTH (not the corpus): cost is |distinct day-key|·N.
+    * Days with no events emit nothing (semi-join against observed
+    * days keeps phantom trailing days out). At 100 TB with long
+    * windows, swap the exact countDistinct for the gated HLL merge
+    * ([[HyperLogLog]]) — the explode shape is unchanged.
+    */
+  def rollingDistinct(
+      events: DataFrame, tsCol: String, keyCol: String,
+      days: Int): DataFrame = {
+    require(days > 0, s"days must be positive, got $days")
+    val de = events
+      .select(to_date(col(tsCol)).as("_d"), col(keyCol).as("_k"))
+      .distinct()
+    val observed = de.select(col("_d").as("day")).distinct()
+    de.select(explode(sequence(col("_d"),
+          date_add(col("_d"), days - 1))).as("day"), col("_k"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_k")).as("active"))
+  }
 }

@@ -4880,13 +4880,32 @@ object EventQueries extends QueryGroup {
         |HAVING count(*) >= 570
         |ORDER BY item_a, item_b""".stripMargin))
 
+  /** Rolling 7-day distinct actives ([[graft.operators.EventSequences
+    * .rollingDistinct]]): trailing-week distinct users per calendar
+    * day — the rolling-WAU report. Exact; the explode factor is the
+    * window length, not the corpus.
+    */
+  val rollingActives: QueryDef = QueryDef(
+    "events_rolling_distinct",
+    (s, dir) =>
+      graft.operators.EventSequences.rollingDistinct(
+          Tables(s, dir).events, "ts", "user_id", days = 7)
+        .orderBy("day"),
+    Some(
+      """WITH de AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+        |obs AS (SELECT DISTINCT d AS day FROM de),
+        |x AS (SELECT o.day, de.user_id
+        |      FROM de JOIN obs o ON o.day BETWEEN de.d AND de.d + 6)
+        |SELECT day, count(DISTINCT user_id) AS active
+        |FROM x GROUP BY day ORDER BY day""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
-      scd2, olsTrend, gapFill, cusum, frequentPairs)
+      scd2, olsTrend, gapFill, cusum, frequentPairs, rollingActives)
 }
 
 object IoQueries extends QueryGroup {
@@ -5399,8 +5418,8 @@ object IoQueries extends QueryGroup {
         |tk AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
         |SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rk,
         |  key, cnt, cnt * 10000 // total AS share_bp,
-        |  sum(cnt * 10000 // total)
-        |    OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING)
+        |  (sum(cnt * 10000 // total)
+        |    OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING))::BIGINT
         |    AS cum_share_bp,
         |  n_keys
         |FROM tk, t ORDER BY rk""".stripMargin))

@@ -281,4 +281,26 @@ class EventSequencesSpec extends SparkSpec {
     assert(s0.getDouble(2) == s1.getDouble(2))
     assert(math.abs(s1.getDouble(3) - s0.getDouble(3) - 100.0) < 1e-6)
   }
+
+  test("rollingDistinct counts trailing-window distinct keys per observed day") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user A on days 1 and 2 (distinct-per-day dedup matters on day 1:
+    // two events), user B on day 5 only
+    val ev = Seq((t(1), "A"), (t(1), "A"), (t(2), "A"), (t(5), "B"))
+      .toDF("ts", "user_id")
+    val out = EventSequences.rollingDistinct(ev, "ts", "user_id", days = 3)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    // observed days: 1, 2, 5. 3-day windows ending there:
+    // day1 ← {A}, day2 ← {A}, day5 ← {B} (A's day-2 activity expired day 4)
+    assert(out.toSeq == Seq(
+      "2024-01-01" -> 1L, "2024-01-02" -> 1L, "2024-01-05" -> 1L))
+    // widen to 4 days: day 5 now also sees A's day-2 activity
+    val wide = EventSequences.rollingDistinct(ev, "ts", "user_id", days = 4)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(wide("2024-01-05") == 2L)
+  }
 }

@@ -358,4 +358,39 @@ object Sampling {
       .filter(col("rk") <= k)
       .select(col("anchor").as(idCol), col("neg_id"), col("j"))
   }
+
+  /** Curriculum ordering with proportional source interleaving — the
+    * deterministic training-order builder: within each source, docs
+    * rank easy→hard by the score (curriculum); across sources, each
+    * doc's order key is its source-PROGRESS in exact integers
+    * (`(r−1)·total div n_source`), so every source advances through
+    * its own curriculum at the same relative pace regardless of size —
+    * a 100× bigger source cannot starve a small one the way naive
+    * score-sorted concatenation does, and unlike fixed round-robin
+    * slots the interleave stays proportional under skewed source
+    * sizes.
+    *
+    * All arithmetic is exact integer rank algebra (two windows + one
+    * integer division) — no RNG, so the order is reproducible across
+    * engines and reruns; ties break (source, id). At 100 TB: the
+    * per-source rank window partitions by source; a single global
+    * row_number is driver-truth ordering and intentionally avoided —
+    * downstream shuffles/writes sort by (pos_key, source, rank)
+    * instead.
+    */
+  def curriculumInterleave(
+      df: DataFrame, idCol: String, scoreCol: String,
+      srcCol: String): DataFrame = {
+    val bySrc = Window.partitionBy(col(srcCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val total = df.agg(count(lit(1)).as("_total"))
+    val sizes = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("_n_src"))
+    df.select(col(idCol), col(srcCol), col(scoreCol))
+      .withColumn("rank_in_source", row_number().over(bySrc).cast("long"))
+      .join(broadcast(sizes), Seq(srcCol))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col(srcCol), col("rank_in_source"),
+        expr("(rank_in_source - 1) * _total div _n_src").as("pos_key"))
+  }
 }

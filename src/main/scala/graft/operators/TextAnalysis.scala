@@ -696,4 +696,40 @@ object TextAnalysis {
       .withColumn("ttr",
         round(col("n_types").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Per-document keyword extraction: the top-k terms of each doc by
+    * integer TF-IDF weight (tf · (10⁶ div df) — the
+    * [[Features.tfidfRareTermPairs]] weight contract, exact on any
+    * engine) — the document-tagging primitive behind faceted corpus
+    * browsers and topic drill-downs. Ubiquitous terms (df over
+    * `dfMaxShare` of docs) are excluded: a word in every doc
+    * distinguishes nothing and would dominate raw tf.
+    *
+    * One tokenize + per-doc tf aggregate (the corpus-scale shuffle),
+    * one vocabulary-bounded df aggregate hash-joined back, and a
+    * per-doc top-k window bounded by each doc's distinct-term count.
+    */
+  def docKeywords(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int, dfMaxShare: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.agg(count(lit(1)).as("_n_docs"))
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(Dedup.words(textCol)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("dfreq"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("dfreq") <= col("_n_docs") * dfMaxShare)
+      .select(col("w"), col("dfreq"))
+    tf.join(dfreq, Seq("w"))
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("dfreq"),
+        expr("tf * (1000000 div dfreq)").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -3683,6 +3683,36 @@ object TextQueries extends QueryGroup {
         |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Per-document keywords ([[graft.operators.TextAnalysis
+    * .docKeywords]]): top-3 terms per doc by the integer TF-IDF
+    * weight, ubiquitous terms (df > 80% of the corpus) excluded — the
+    * document-tagging primitive. One corpus tokenize, one
+    * vocabulary-bounded df aggregate, a per-doc top-k window.
+    */
+  val docKeywordsGate: QueryDef = QueryDef(
+    "text_doc_keywords",
+    (s, dir) =>
+      TextAnalysis.docKeywords(
+          Tables(s, dir).documents, "doc_id", "text", k = 3,
+          dfMaxShare = 0.8)
+        .orderBy("doc_id", "rk"),
+    Some(
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |tf AS (SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        |j AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.dfreq,
+        |    tf.tf * (1000000 // dfq.dfreq) AS score
+        |  FROM tf JOIN dfq USING (term), n
+        |  WHERE dfq.dfreq <= nd * 0.8)
+        |SELECT doc_id, term, tf, dfreq, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, term) AS rk
+        |FROM j QUALIFY rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
   /** Luhn-gated card redaction ([[graft.operators.Redaction
     * .redactCards]]): every doc gets one known-valid card number and
     * one doc_id-derived candidate whose Luhn validity varies (~10%
@@ -3737,7 +3767,8 @@ object TextQueries extends QueryGroup {
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
-      trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction)
+      trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
+      docKeywordsGate)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -3969,9 +4000,34 @@ object SamplingQueries extends QueryGroup {
         |   FROM nn)
         |WHERE rk <= 2 ORDER BY doc_id, j""".stripMargin))
 
+  /** Curriculum + proportional source interleave ([[graft.operators
+    * .Sampling.curriculumInterleave]]): within-source easy→hard ranks
+    * (n_chars as the difficulty proxy) with an exact-integer
+    * source-progress order key, so skewed sources advance at the same
+    * relative pace — the deterministic training-order builder. The
+    * oracle replays both windows and the integer division.
+    */
+  val curriculum: QueryDef = QueryDef(
+    "pipeline_curriculum",
+    (s, dir) =>
+      graft.operators.Sampling.curriculumInterleave(
+          Tables(s, dir).documents, "doc_id", "n_chars", "source")
+        .orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT count(*) AS total FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rank_in_source,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source, rank_in_source,
+        |  ((rank_in_source - 1) * total) // n_src AS pos_key
+        |FROM r, t ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
-      weightedSample, weightedPerGroup, splitHash, negativeSamples)
+      weightedSample, weightedPerGroup, splitHash, negativeSamples,
+      curriculum)
 }
 
 object EventQueries extends QueryGroup {

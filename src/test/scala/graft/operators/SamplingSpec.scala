@@ -314,4 +314,26 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("curriculum interleave: proportional progress, deterministic ties") {
+    val sp = spark
+    import sp.implicits._
+    // source A: 4 docs, source B: 2 docs, total 6.
+    // A ranks (by score asc, id): a1<a2<a3<a4 -> pos_key 0,1,3,4 ((r-1)*6 div 4)
+    // B ranks: b1<b2 -> pos_key 0,3 ((r-1)*6 div 2)
+    val df = Seq(
+      (1L, 10L, "A"), (2L, 20L, "A"), (3L, 30L, "A"), (4L, 40L, "A"),
+      (5L, 15L, "B"), (6L, 25L, "B"))
+      .toDF("id", "difficulty", "src")
+    val out = Sampling.curriculumInterleave(df, "id", "difficulty", "src")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 0L)) && out(2L) == ((2L, 1L)) &&
+      out(3L) == ((3L, 3L)) && out(4L) == ((4L, 4L)))
+    assert(out(5L) == ((1L, 0L)) && out(6L) == ((2L, 3L)))
+    // ordering by (pos_key, src, rank) interleaves: a1,b1,a2,a3,b2,a4
+    val order = Sampling.curriculumInterleave(df, "id", "difficulty", "src")
+      .orderBy("pos_key", "src", "rank_in_source")
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 5L, 2L, 3L, 6L, 4L))
+  }
 }

@@ -413,4 +413,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._4 == math.rint(math.log(4) * 1e4) / 1e4)
     assert(got(1) == (("u", 4L, 4L, got(1)._4, 1.0)))
   }
+
+  test("doc keywords: ubiquity cap, integer weights, per-doc top-k") {
+    val sp = spark
+    import sp.implicits._
+    // "common" is in every doc (df 3 > 3*0.7 -> excluded);
+    // alpha (df 2 <= 2.1) survives the cap;
+    // doc 1's best keyword is "rare" (tf 2, df 1 -> score 2_000_000)
+    val df = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common alpha beta"),
+      (3L, "common beta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docKeywords(df, "doc_id", "text", k = 2,
+        dfMaxShare = 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    assert(!out.values.flatten.exists(_._2 == "common"))
+    val d1 = out(1L).sortBy(_._4)
+    assert(d1.head._2 == "rare" && d1.head._3 == 2000000L)
+    // alpha: tf 1, df 2 -> 500000, rank 2 in doc 1
+    assert(d1(1)._2 == "alpha" && d1(1)._3 == 500000L)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -237,4 +237,73 @@ object Evaluation {
     */
   def idealDcg(k: Int): Double =
     (1 to k).map(i => (k + 1 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
+
+  /** Two-sample Kolmogorov–Smirnov distance over an INTEGER metric —
+    * "did this source's length/quality distribution drift from that
+    * one's": D = max |F_a − F_b| over the union of observed values.
+    * The statistic stays EXACT until the last step: the ECDF compare
+    * is restated over integers as max |cum_a·n_b − cum_b·n_a|, one
+    * integer maximum, divided once by n_a·n_b in double (6 dp).
+    *
+    * Cost: one (group, value) count aggregate, then cumulative windows
+    * over the DISTINCT-VALUE domain — bounded by the metric's
+    * cardinality, not the corpus (lengths, scores ≪ rows). Output is
+    * one row.
+    */
+  def ksDistance(
+      df: DataFrame, valueCol: String, grpCol: String,
+      grpA: String, grpB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .filter(col(grpCol).isin(grpA, grpB) && col(valueCol).isNotNull)
+      .select(col(grpCol).as("_g"), col(valueCol).cast("long").as("_x"))
+    val cnt = vals.groupBy(col("_x"))
+      .agg(sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.agg(
+      sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("n_b"))
+    cnt
+      .select(col("_x"), sum(col("_ca")).over(w).as("_cuma"),
+        sum(col("_cb")).over(w).as("_cumb"))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+  }
+
+  /** Two-proportion A/B significance: per-variant exposed/converted
+    * counts and the pooled z statistic — the experiment readout. The
+    * counts are exact; z is a fixed chain of double ops over them,
+    * rounded to 4 dp (cross-engine stable — every input is an
+    * integer).
+    */
+  def abProportionTest(
+      assignments: DataFrame, unitCol: String, variantCol: String,
+      converted: Column): DataFrame = {
+    val per = assignments
+      .groupBy(col(unitCol).as("_u"), col(variantCol).as("_v"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("_conv"))
+    val cells = per.groupBy(col("_v"))
+      .agg(count(lit(1)).as("n"), sum(col("_conv")).as("conv"))
+    val a = cells.filter(col("_v") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = cells.filter(col("_v") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round({
+          val p1 = col("conv_a").cast("double") / col("n_a")
+          val p2 = col("conv_b").cast("double") / col("n_b")
+          val p = (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b"))
+          (p1 - p2) / sqrt(p * (lit(1.0) - p) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+        }, 4).as("z"))
+  }
 }

@@ -37,6 +37,44 @@ object Similarity {
     call_function("cosine_sim", a, b)
   }
 
+  /** Per-label embedding cohesion report — the "are my class clusters
+    * tight" diagnostic run after training or labeling: per label, the
+    * member count plus the mean and minimum cosine of members to their
+    * label centroid. A label whose min_cos is far below its avg_cos
+    * contains outliers (mislabeled or polysemous examples).
+    *
+    * Exactness discipline: the "centroid" is the per-dimension EXACT
+    * DECIMAL SUM vector, not the mean — cosine is scale-invariant, so
+    * cos(v, Σ) ≡ cos(v, Σ/n) and no order-sensitive float mean ever
+    * forms. Per-member cosines round to 6 dp; the label mean then
+    * sums those as DECIMAL(18,6) (order-independent) before its one
+    * double division. One posexplode aggregate (|labels|·dim rows),
+    * centroids broadcast, one label-scale aggregate.
+    */
+  def classSeparation(
+      embeddings: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val cents = embeddings
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_v")))
+      .groupBy(col("label"), col("_pos"))
+      .agg(sum(col("_v").cast(dec)).as("_c"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_c")))),
+        s => s.getField("_c").cast("double")).as("_cvec"))
+    val j = embeddings
+      .select(col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), round(cosine(col("_v"), col("_cvec")), 6).as("_cos"))
+    j.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_cos").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_cos"),
+        min(col("_cos")).as("min_cos"))
+  }
+
   /** Exact top-k nearest neighbours of one stored vector, brute force.
     * The query vector is collected (one row) and inlined as a literal —
     * the corpus side never shuffles; the plan is scan → project →

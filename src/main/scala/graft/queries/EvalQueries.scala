@@ -262,6 +262,74 @@ object EvalQueries extends QueryGroup {
            |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin))
   }
 
+  /** Two-sample KS distance ([[graft.operators.Evaluation
+    * .ksDistance]]): distribution drift of doc length between two
+    * sources — the ECDF compare restated over exact integers
+    * (max |cum_a·n_b − cum_b·n_a|), one double division at the end.
+    * Cumulative windows run over the DISTINCT-VALUE domain, not the
+    * corpus.
+    */
+  val ksDistanceGate: QueryDef = QueryDef(
+    "eval_ks_distance",
+    (s, dir) =>
+      graft.operators.Evaluation.ksDistance(
+        graft.Tables(s, dir).documents, "n_chars", "source",
+        "src0", "src1"),
+    Some(
+      """WITH v AS (SELECT source AS g, n_chars::BIGINT AS x
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |t AS (SELECT
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM v),
+        |c AS (SELECT x,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM v GROUP BY x),
+        |cu AS (SELECT x,
+        |    (sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING))::BIGINT
+        |      AS cuma,
+        |    (sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING))::BIGINT
+        |      AS cumb
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  max(abs(cuma * n_b - cumb * n_a))::BIGINT AS d_num,
+        |  round(max(abs(cuma * n_b - cumb * n_a))::DOUBLE /
+        |    (n_a * n_b)::DOUBLE, 6) AS ks
+        |FROM cu, t GROUP BY n_a, n_b""".stripMargin))
+
+  /** Two-proportion A/B readout ([[graft.operators.Evaluation
+    * .abProportionTest]]): users split by id parity, conversion =
+    * any purchase over 150 — exact per-variant counts plus the pooled
+    * z statistic (fixed double chain over integers, 4 dp).
+    */
+  val abTest: QueryDef = QueryDef(
+    "eval_ab_test",
+    (s, dir) => {
+      val ev = graft.Tables(s, dir).events
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.operators.Evaluation.abProportionTest(
+        ev, "user_id", "variant",
+        col("event_type") === "purchase" && col("value") > 150)
+    },
+    Some(
+      """WITH per AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |        THEN 1 ELSE 0 END)::BIGINT AS conv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT v, count(*) AS n, sum(conv)::BIGINT AS conv
+        |      FROM per GROUP BY v)
+        |SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+        |  round(((a.conv::DOUBLE / a.n) - (b.conv::DOUBLE / b.n)) /
+        |    sqrt(((a.conv + b.conv)::DOUBLE / (a.n + b.n)) *
+        |      (1.0 - (a.conv + b.conv)::DOUBLE / (a.n + b.n)) *
+        |      (1.0 / a.n + 1.0 / b.n)), 4) AS z
+        |FROM (SELECT * FROM c WHERE v = 'A') a,
+        |     (SELECT * FROM c WHERE v = 'B') b""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement)
+    Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
+      ksDistanceGate, abTest)
 }

@@ -1308,6 +1308,37 @@ object SimilarityQueries extends QueryGroup {
         |  min(val) AS vmin, max(val) AS vmax
         |FROM b GROUP BY 1, 2 ORDER BY pos, bin""".stripMargin))
 
+  /** Per-label embedding cohesion ([[graft.operators.Similarity
+    * .classSeparation]]): member count, mean and min cosine to the
+    * label centroid — the cluster-tightness diagnostic. The centroid
+    * is the EXACT decimal sum vector (cosine is scale-invariant, so
+    * no order-sensitive float mean forms); member cosines round to
+    * 6 dp and the label mean sums them as decimals.
+    */
+  val classSeparationGate: QueryDef = QueryDef(
+    "sim_class_separation",
+    (s, dir) =>
+      Similarity.classSeparation(
+          Tables(s, dir).embeddings, "embedding", "label")
+        .orderBy("label"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |px AS (SELECT label, idx, CAST(sum(CAST(v[idx] AS DECIMAL(28,10)))
+        |         AS DOUBLE) AS c
+        |  FROM e, unnest(range(1, 65)) AS t(idx)
+        |  GROUP BY label, idx),
+        |cv AS (SELECT label, list(c ORDER BY idx) AS cvec
+        |       FROM px GROUP BY label),
+        |j AS (SELECT e.label,
+        |    round(list_cosine_similarity(e.v, cv.cvec), 6) AS cos
+        |  FROM e JOIN cv USING (label))
+        |SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_cos,
+        |  min(cos) AS min_cos
+        |FROM j GROUP BY label ORDER BY label""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1315,7 +1346,7 @@ object SimilarityQueries extends QueryGroup {
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
-      mutualNearest, quantileBinsGate, hardNegatives)
+      mutualNearest, quantileBinsGate, hardNegatives, classSeparationGate)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -155,4 +155,34 @@ class EvaluationSpec extends SparkSpec {
     assert(zero.getLong(1) == 0 && zero.getDouble(2) == 0.0 &&
       zero.getDouble(3) == 0.0 && zero.getDouble(5) == 0.0)
   }
+
+  test("ksDistance: hand-computed ECDF gap, zero for identical samples") {
+    val sp = spark
+    import sp.implicits._
+    // a = {1,2,3}, b = {1,4}: max gap is at x=3 -> |3/3 - 1/2| = 1/2
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("b", 4L))
+      .toDF("g", "x")
+    val r = Evaluation.ksDistance(df, "x", "g", "a", "b").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 3 && r.getDouble(3) == 0.5)
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "x")
+    assert(Evaluation.ksDistance(same, "x", "g", "a", "b")
+      .head().getDouble(3) == 0.0)
+  }
+
+  test("abProportionTest: per-unit conversion dedup and the pooled z") {
+    val sp = spark
+    import sp.implicits._
+    // unit 1 (A) converts twice -> counts once; unit 2 (A) never;
+    // units 3, 4 (B) never. p=0.25 pooled -> z = 0.5/sqrt(0.1875*1) = 1.1547
+    val df = Seq(
+      (1L, "A", true), (1L, "A", true), (2L, "A", false),
+      (3L, "B", false), (4L, "B", false))
+      .toDF("unit", "variant", "conv")
+    val r = Evaluation.abProportionTest(df, "unit", "variant",
+      org.apache.spark.sql.functions.col("conv")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1 &&
+      r.getLong(2) == 2 && r.getLong(3) == 0)
+    assert(r.getDouble(4) == 1.1547)
+  }
 }

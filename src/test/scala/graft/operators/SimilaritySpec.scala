@@ -356,4 +356,19 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((2L, 2L), (3L, 2L)))
   }
+
+  test("classSeparation: tight cluster scores 1.0, orthogonal pair 0.707107") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Array(1.0, 0.0), 1L), (2L, Array(2.0, 0.0), 1L), // colinear
+      (3L, Array(1.0, 0.0), 2L), (4L, Array(0.0, 1.0), 2L)) // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.classSeparation(df, "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 2L, 1.0, 1.0)))
+    // cos(v, v1+v2) for orthogonal unit vectors = 1/sqrt(2)
+    assert(out(1)._2 == 2L && out(1)._3 == 0.707107 && out(1)._4 == 0.707107)
+  }
 }

@@ -49,4 +49,32 @@ object Governance {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** l-diversity (Machanavajjhala 2007) — k-anonymity's complement: a
+    * quasi-identifier group can be large yet still leak if every
+    * member shares the SAME sensitive value; a group is safe only when
+    * it contains ≥ l distinct sensitive values. One release-gate
+    * summary row: group counts, violating groups, rows at risk. Same
+    * single-aggregate shape as [[kAnonymity]] (one groupBy on the
+    * quasi columns with an exact distinct on the sensitive column —
+    * group-domain-bounded output).
+    */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, s"need quasi columns and l >= 2")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("nd"))
+    groups.agg(
+        lit(l.toLong).as("l"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("nd") < l, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("nd") < l, col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("n")).as("n_rows"))
+      .select(col("l"), col("n_groups"), col("n_violating"),
+        col("rows_at_risk"), col("n_rows"),
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 6)
+          .as("risk_rate"))
+  }
 }

@@ -2570,6 +2570,32 @@ object PipelineQueries extends QueryGroup {
         |    AS risk_rate
         |FROM g""".stripMargin))
 
+  /** l-diversity release gate ([[graft.operators.Governance
+    * .lDiversity]]): groups on (lang, source) with fewer than l=3
+    * distinct values of the sensitive column (the doc-length bucket
+    * stands in) leak even when k-anonymous — the complement check to
+    * `pipeline_k_anonymity`, same single-aggregate shape.
+    */
+  val lDiversityGate: QueryDef = QueryDef(
+    "pipeline_l_diversity",
+    (s, dir) =>
+      graft.operators.Governance.lDiversity(
+        Tables(s, dir).documents
+          .withColumn("len_bucket", expr("n_chars div 100")),
+        Seq("lang", "source"), "len_bucket", l = 3),
+    Some(
+      """WITH g AS (SELECT lang, source, count(*)::BIGINT AS n,
+        |    count(DISTINCT n_chars // 100)::BIGINT AS nd
+        |  FROM documents GROUP BY lang, source)
+        |SELECT 3::BIGINT AS l,
+        |  count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        |  sum(CASE WHEN nd < 3 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  sum(n)::BIGINT AS n_rows,
+        |  round(sum(CASE WHEN nd < 3 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+        |    AS risk_rate
+        |FROM g""".stripMargin))
+
   /** Content-defined chunking ([[graft.operators.CdcChunking]]):
     * md5-contract boundary decisions, chunk extents, and cross-doc
     * chunk frequencies all replayed by the oracle. A shared tail is
@@ -2652,7 +2678,7 @@ object PipelineQueries extends QueryGroup {
       neighborJaccardGate, neighborAggGate, hitsGate, kcoreGate, bfsGate,
       snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
-      kAnonymityGate, targetEncoding)
+      kAnonymityGate, lDiversityGate, targetEncoding)
 }
 
 object TextQueries extends QueryGroup {

@@ -27,4 +27,21 @@ class GovernanceSpec extends SparkSpec {
     val r = Governance.kAnonymity(df, Seq("lang", "source"), 5).head()
     assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getDouble(5) == 0.0)
   }
+
+  test("l-diversity: a large-but-uniform group violates; a diverse one passes") {
+    val s = spark
+    import s.implicits._
+    // group (en, a): 10 rows but all share sensitive value 1 -> violates l=2
+    // group (en, b): 2 rows with 2 distinct values -> safe
+    val df = ((1 to 10).map(_ => ("en", "a", 1L)) ++
+      Seq(("en", "b", 1L), ("en", "b", 2L)))
+      .toDF("lang", "source", "sens")
+    val r = Governance.lDiversity(df, Seq("lang", "source"), "sens", 2).head()
+    assert(r.getLong(0) == 2L)       // l
+    assert(r.getLong(1) == 2L)       // n_groups
+    assert(r.getLong(2) == 1L)       // n_violating
+    assert(r.getLong(3) == 10L)      // rows_at_risk: the big uniform group
+    assert(r.getLong(4) == 12L)
+    assert(math.abs(r.getDouble(5) - 10.0 / 12) < 1e-6)
+  }
 }

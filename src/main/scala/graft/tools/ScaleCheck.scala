@@ -812,6 +812,58 @@ object ScaleCheck {
           "id_a", "id_b", "doc_id", "source"))
     }
 
+    // curriculum interleave: one per-source rank window + broadcast
+    // size/total joins — the window partitions by source, so fan-out
+    // tracks source sizes, never one global sort
+    locally {
+      val withMeta = blown.select(col("doc_id"),
+        length(col("text")).as("difficulty"),
+        concat(lit("src"), (col("doc_id") % 20).cast("string")).as("source"))
+      time(s"curriculum_${dup}x",
+        graft.operators.Sampling.curriculumInterleave(
+          withMeta, "doc_id", "difficulty", "source"))
+    }
+
+    // per-doc keywords: corpus tokenize + vocabulary-bounded df join +
+    // per-doc windows bounded by each doc's distinct terms
+    time(s"doc_keywords_${dup}x",
+      graft.operators.TextAnalysis.docKeywords(
+        blown, "doc_id", "text", 3, dfMaxShare = 0.8))
+
+    // rolling distinct actives: explode factor = window length (7),
+    // then one day-keyed distinct aggregate
+    locally {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("user_id"))
+      val evBig = (0 until dup).map(i =>
+        ev.select(col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id")))
+        .reduce(_ unionByName _)
+      time(s"rolling_distinct_${dup}x",
+        graft.operators.EventSequences.rollingDistinct(
+          evBig, "ts", "user_id", 7))
+
+      // KS distance: cumulative windows over the DISTINCT-VALUE domain
+      val labeled = evBig.select(col("user_id"),
+        (col("user_id") % 2 === 0).cast("string").as("g"),
+        pmod(col("user_id"), lit(1000)).as("metric"))
+      time(s"ks_distance_${dup}x",
+        graft.operators.Evaluation.ksDistance(
+          labeled, "metric", "g", "true", "false"))
+    }
+
+    // class separation: one posexplode aggregate (|labels|*dim rows) +
+    // broadcast centroids + label-scale aggregate
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+      time(s"class_separation_${dup}x",
+        graft.operators.Similarity.classSeparation(
+          embBig, "embedding", "label"))
+    }
+
     spark.stop()
   }
 }

@@ -449,4 +449,38 @@ object EventSequences {
       .groupBy(col("day"))
       .agg(countDistinct(col("_k")).as("active"))
   }
+
+  /** Sweep-line maximum concurrency per group — "how many sessions /
+    * jobs / connections were open at once": each CLOSED interval
+    * contributes +1 at its start and −1 at its end; the running sum's
+    * maximum is the peak. Boundary ties order +1 before −1 (an
+    * interval ending exactly when another starts overlaps it — the
+    * closed-interval contract), and permuting identical (t, Δ) rows
+    * cannot change the prefix-sum multiset, so the max is
+    * deterministic.
+    *
+    * The cumulative window partitions by the group (day, tenant, …) —
+    * fan-out is the per-group interval count, never one global sort.
+    * Output: (group, n_intervals, max_concurrent).
+    */
+  def maxConcurrency(
+      intervals: DataFrame, startCol: String, endCol: String,
+      grpCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(grpCol).as("_g"), col(startCol).as("_t"), lit(1L).as("_d"))
+      .unionByName(intervals
+        .select(col(grpCol).as("_g"), col(endCol).as("_t"),
+          lit(-1L).as("_d")))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_t"), col("_d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = intervals.groupBy(col(grpCol).as("_g"))
+      .agg(count(lit(1)).as("n_intervals"))
+    deltas.withColumn("_c", sum(col("_d")).over(w))
+      .groupBy(col("_g"))
+      .agg(max(col("_c")).as("max_concurrent"))
+      .join(counts, Seq("_g"))
+      .select(col("_g").as(grpCol), col("n_intervals"),
+        col("max_concurrent"))
+  }
 }

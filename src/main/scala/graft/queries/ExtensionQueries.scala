@@ -5012,13 +5012,57 @@ object EventQueries extends QueryGroup {
         |SELECT day, count(DISTINCT user_id) AS active
         |FROM x GROUP BY day ORDER BY day""".stripMargin))
 
+  /** Sweep-line peak concurrency ([[graft.operators.EventSequences
+    * .maxConcurrency]]): per day, the maximum number of user sessions
+    * (5-minute-gap sessionization, closed [min ts, max ts] extents)
+    * open at once — the capacity-planning readout. The oracle replays
+    * sessionization, the ±1 deltas with starts-before-ends tie order,
+    * and the per-day running max.
+    */
+  val maxConcurrencyGate: QueryDef = QueryDef(
+    "events_max_concurrency",
+    (s, dir) => {
+      val iv = Tables(s, dir).events
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 minutes").as("w"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .select(to_date(col("s")).as("day"), col("s"), col("e"))
+      graft.operators.EventSequences.maxConcurrency(iv, "s", "e", "day")
+        .orderBy("day")
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '5 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sx AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d),
+        |iv AS (SELECT min(ts) AS s, max(ts) AS e
+        |       FROM sx GROUP BY user_id, sid),
+        |dl AS (SELECT s::DATE AS day, s AS t, 1 AS delta FROM iv
+        |       UNION ALL SELECT s::DATE, e, -1 FROM iv),
+        |r AS (SELECT day, sum(delta) OVER (PARTITION BY day
+        |        ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS c
+        |      FROM dl),
+        |nc AS (SELECT s::DATE AS day, count(*) AS n_intervals
+        |       FROM iv GROUP BY 1)
+        |SELECT r.day, nc.n_intervals, max(c)::BIGINT AS max_concurrent
+        |FROM r JOIN nc ON nc.day = r.day
+        |GROUP BY r.day, nc.n_intervals ORDER BY r.day""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
-      scd2, olsTrend, gapFill, cusum, frequentPairs, rollingActives)
+      scd2, olsTrend, gapFill, cusum, frequentPairs, rollingActives,
+      maxConcurrencyGate)
 }
 
 object IoQueries extends QueryGroup {

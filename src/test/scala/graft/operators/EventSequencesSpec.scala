@@ -303,4 +303,23 @@ class EventSequencesSpec extends SparkSpec {
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(wide("2024-01-05") == 2L)
   }
+
+  test("maxConcurrency: sweep line with closed-interval boundary overlap") {
+    val sp = spark
+    import sp.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // [0,10], [5,15] overlap -> 2; [15,20] starts exactly at 15:
+    // closed intervals overlap at the boundary -> peak 2 there too;
+    // [30,35] alone -> never 3 except... all in group "g"
+    val iv = Seq(
+      ("g", t(0), t(10)), ("g", t(5), t(15)), ("g", t(15), t(20)),
+      ("g", t(30), t(35)))
+      .toDF("grp", "s", "e")
+    val r = EventSequences.maxConcurrency(iv, "s", "e", "grp").head()
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2)
+    // make a triple overlap: add [4,6]
+    val iv3 = iv.union(Seq(("g", t(4), t(6))).toDF("grp", "s", "e"))
+    assert(EventSequences.maxConcurrency(iv3, "s", "e", "grp")
+      .head().getLong(2) == 3)
+  }
 }

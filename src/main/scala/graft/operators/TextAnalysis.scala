@@ -732,4 +732,30 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("term"))).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Per-token character offsets — the span-alignment primitive NER /
+    * PII annotation pipelines need to map token-level predictions back
+    * to character positions. Offsets are defined over the NORMALIZED
+    * form (trimmed text with single-space joins — the same
+    * canonicalization every tokenize in this repo applies), where they
+    * are a pure prefix sum: start_i = Σ_{j<i} len_j + i, end_i =
+    * start_i + len_i. One posexplode + a per-doc cumulative window
+    * bounded by doc length.
+    */
+  def tokenOffsets(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("idx", "token")))
+      .filter(col("token") =!= "")
+      .withColumn("start",
+        (coalesce(sum(length(col("token"))).over(w), lit(0)) +
+          col("idx")).cast("long"))
+      .withColumn("end", col("start") + length(col("token")))
+      .select(col(idCol), col("idx").cast("long").as("idx"), col("token"),
+        col("start"), col("end"))
+  }
 }

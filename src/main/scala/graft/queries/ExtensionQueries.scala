@@ -3770,6 +3770,35 @@ object TextQueries extends QueryGroup {
         |                     ORDER BY score DESC, term) AS rk
         |FROM j QUALIFY rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
+  /** Token character offsets ([[graft.operators.TextAnalysis
+    * .tokenOffsets]]): per-token (start, end) positions over the
+    * normalized single-space form — the NER/PII span-alignment
+    * primitive, a pure prefix sum replayed by the oracle via
+    * cumulative windows.
+    */
+  val tokenOffsetsGate: QueryDef = QueryDef(
+    "text_token_offsets",
+    (s, dir) =>
+      TextAnalysis.tokenOffsets(
+          Tables(s, dir).documents.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id", "idx"),
+    Some(
+      """WITH t AS (SELECT doc_id, idx - 1 AS idx, ws[idx] AS token
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |    unnest(range(1, len(ws) + 1)) AS u(idx)
+        |  WHERE ws[idx] <> ''),
+        |o AS (SELECT doc_id, idx, token,
+        |    (coalesce(sum(length(token)) OVER (PARTITION BY doc_id
+        |       ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |       PRECEDING), 0) + idx)::BIGINT AS start
+        |  FROM t)
+        |SELECT doc_id, idx::BIGINT AS idx, token, start,
+        |  (start + length(token))::BIGINT AS "end"
+        |FROM o ORDER BY doc_id, idx""".stripMargin))
+
   /** Luhn-gated card redaction ([[graft.operators.Redaction
     * .redactCards]]): every doc gets one known-valid card number and
     * one doc_id-derived candidate whose Luhn validity varies (~10%
@@ -3825,7 +3854,7 @@ object TextQueries extends QueryGroup {
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
-      docKeywordsGate)
+      docKeywordsGate, tokenOffsetsGate)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -5616,11 +5645,33 @@ object IoQueries extends QueryGroup {
         |      sum(h2)::VARCHAR) AS digest
         |FROM r GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin))
 
+  /** Parquet schema evolution ([[graft.sources.ParquetEvolution]]):
+    * a dataset dir holding a two-column v1 batch (even ids) and a
+    * four-column v2 batch (odd ids) reads back as the union schema
+    * with v1's absent columns null — the long-lived-dataset contract.
+    * The oracle unions the same two projections by name.
+    */
+  val schemaEvolution: QueryDef = QueryDef(
+    "io_schema_evolution",
+    (s, dir) => {
+      val path = graft.sources.ParquetEvolution.evolvedDir(
+        Tables(s, dir).documents,
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      graft.sources.ParquetEvolution.readMerged(s, path)
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert, profileDrift,
-      merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate)
+      merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
+      schemaEvolution)
 }
 
 object MultimodalQueries extends QueryGroup {

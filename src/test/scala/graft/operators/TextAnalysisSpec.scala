@@ -436,4 +436,20 @@ class TextAnalysisSpec extends SparkSpec {
     // alpha: tf 1, df 2 -> 500000, rank 2 in doc 1
     assert(d1(1)._2 == "alpha" && d1(1)._3 == 500000L)
   }
+
+  test("token offsets: prefix-sum positions over the normalized form") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "  ab cde  f ")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenOffsets(df, "doc_id", "text")
+      .orderBy("idx").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+    // normalized form "ab cde f": ab@[0,2), cde@[3,6), f@[7,8)
+    assert(out.toSeq == Seq(("ab", 0L, 2L), ("cde", 3L, 6L), ("f", 7L, 8L)))
+    // reconstruct: each token slice of the normalized text matches
+    val norm = "ab cde f"
+    out.foreach { case (tok, s0, e0) =>
+      assert(norm.substring(s0.toInt, e0.toInt) == tok)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -378,6 +378,54 @@ object Sampling {
     * downstream shuffles/writes sort by (pos_key, source, rank)
     * instead.
     */
+  /** Distribution-matched downsampling toward a UNIFORM group target —
+    * the "rebalance the language / source mix" curation move: each
+    * group's keep-rate is min(1, target/actual) in exact basis points,
+    * and a row survives iff its md5-uniform draw (the portable
+    * [[shuffleKey]] contract) falls under its group's rate. Groups at
+    * or below target keep everything; over-represented groups thin
+    * deterministically — no RNG, rerun-stable, engine-replayable.
+    *
+    * One group-count aggregate (broadcast back as rates), one
+    * scan-local filter. Returns the per-group summary
+    * (group, n_before, target, rate_bp, n_kept); [[distributionMatchKeep]]
+    * returns the surviving rows themselves.
+    */
+  def distributionMatchKeep(
+      df: DataFrame, idCol: String, grpCol: String): DataFrame = {
+    val rates = matchRates(df, grpCol)
+    df.join(broadcast(rates), Seq(grpCol))
+      .filter(mdUniformBp(col(idCol)) < col("rate_bp"))
+      .drop("n_before", "target", "rate_bp")
+  }
+
+  def distributionMatchSummary(
+      df: DataFrame, idCol: String, grpCol: String): DataFrame = {
+    val rates = matchRates(df, grpCol)
+    val kept = df.join(broadcast(rates), Seq(grpCol))
+      .filter(mdUniformBp(col(idCol)) < col("rate_bp"))
+      .groupBy(col(grpCol)).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(grpCol), "left_outer")
+      .select(col(grpCol), col("n_before"), col("target"), col("rate_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** md5-uniform draw in [0, 10000) — the engine-portable coin. */
+  private def mdUniformBp(id: Column): Column =
+    pmod(conv(substring(md5(concat_ws(":", id.cast("string"),
+      lit("dm"))), 1, 7), 16, 10).cast("long"), lit(10000))
+
+  private def matchRates(df: DataFrame, grpCol: String): DataFrame = {
+    val cnts = df.groupBy(col(grpCol)).agg(count(lit(1)).as("n_before"))
+    val tot = cnts.agg(sum(col("n_before")).as("_tot"),
+      count(lit(1)).as("_ng"))
+    cnts.crossJoin(broadcast(tot))
+      .select(col(grpCol), col("n_before"),
+        expr("_tot div _ng").as("target"),
+        least(lit(10000L),
+          expr("(_tot div _ng) * 10000 div n_before")).as("rate_bp"))
+  }
+
   def curriculumInterleave(
       df: DataFrame, idCol: String, scoreCol: String,
       srcCol: String): DataFrame = {

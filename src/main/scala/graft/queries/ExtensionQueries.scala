@@ -4110,10 +4110,41 @@ object SamplingQueries extends QueryGroup {
         |  ((rank_in_source - 1) * total) // n_src AS pos_key
         |FROM r, t ORDER BY doc_id""".stripMargin))
 
+  /** Distribution-matched rebalance ([[graft.operators.Sampling
+    * .distributionMatchSummary]]): thin over-represented languages
+    * toward the uniform mix with exact basis-point keep-rates and the
+    * portable md5 coin — deterministic resampling, no RNG. The 'en'
+    * group (4× the others here) thins; at-or-under-target groups keep
+    * rate 10000. The oracle replays rates and every coin flip.
+    */
+  val distributionMatch: QueryDef = QueryDef(
+    "pipeline_distribution_match",
+    (s, dir) =>
+      graft.operators.Sampling.distributionMatchSummary(
+          Tables(s, dir).documents, "doc_id", "lang")
+        .orderBy("lang"),
+    Some(
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_before
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_before)::BIGINT AS tot,
+        |             count(*)::BIGINT AS ng FROM c),
+        |r AS (SELECT lang, n_before, tot // ng AS target,
+        |    least(10000, (tot // ng) * 10000 // n_before) AS rate_bp
+        |  FROM c, t),
+        |k AS (SELECT d.lang, count(*)::BIGINT AS n_kept
+        |  FROM documents d JOIN r ON r.lang = d.lang
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':dm'), 1, 7))
+        |          ::BIGINT % 10000 < r.rate_bp
+        |  GROUP BY d.lang)
+        |SELECT r.lang, r.n_before, r.target, r.rate_bp,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+        |FROM r LEFT JOIN k ON k.lang = r.lang
+        |ORDER BY r.lang""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
       weightedSample, weightedPerGroup, splitHash, negativeSamples,
-      curriculum)
+      curriculum, distributionMatch)
 }
 
 object EventQueries extends QueryGroup {

@@ -336,4 +336,32 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(order == Seq(1L, 5L, 2L, 3L, 6L, 4L))
   }
+
+  test("distribution match: over-represented group thins, others keep all") {
+    val sp = spark
+    import sp.implicits._
+    // group a: 40 rows (over target 15), b: 5, c: 1 -> target = 46 div 3 = 15
+    val rows = (1L to 40L).map(i => (i, "a")) ++
+      (41L to 45L).map(i => (i, "b")) :+ ((46L, "c"))
+    val df = rows.toDF("id", "g")
+    val sum = Sampling.distributionMatchSummary(df, "id", "g")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sum(0)._1 == "a" && sum(0)._3 == 15L &&
+      sum(0)._4 == 15L * 10000 / 40)
+    assert(sum(1) == (("b", 5L, 15L, 10000L, 5L)))
+    assert(sum(2) == (("c", 1L, 15L, 10000L, 1L)))
+    // kept rows agree with the summary counts
+    val kept = Sampling.distributionMatchKeep(df, "id", "g")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sum.foreach { case (g, _, _, _, nk) => assert(kept.getOrElse(g, 0L) == nk) }
+    // determinism across partitionings
+    val again = Sampling.distributionMatchKeep(df.repartition(7), "id", "g")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.distributionMatchKeep(df, "id", "g")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(first == again)
+  }
 }

@@ -1114,4 +1114,31 @@ object Dedup {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Leakage-free train/test assignment — split at NEAR-DUP CLUSTER
+    * granularity, not row granularity: a near-dup of a test document
+    * sitting in train is contamination that row-level splitting
+    * cannot prevent. Every document takes its connected component's
+    * min-id as cluster id (singletons are their own cluster) and the
+    * whole cluster lands in one md5-assigned bucket, so no pair ever
+    * straddles the split.
+    *
+    * Cost on top of an existing component labelling: one left join of
+    * the component frame (near-dup-scale) onto the corpus ids + a
+    * scan-local md5 bucket — the split adds nothing corpus-quadratic.
+    */
+  def leakageFreeSplit(
+      docs: DataFrame, components: DataFrame, idCol: String,
+      nodeCol: String, componentCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    docs.select(col(idCol))
+      .join(components.select(col(nodeCol).as(idCol),
+        col(componentCol).as("_comp")), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_comp"), col(idCol)).as("cluster_id"))
+      .withColumn("split_bucket",
+        pmod(conv(substring(md5(concat_ws(":",
+          col("cluster_id").cast("string"), lit("ls"))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+  }
 }

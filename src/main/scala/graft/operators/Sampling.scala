@@ -410,6 +410,24 @@ object Sampling {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Stratified K-fold assignment — balanced cross-validation folds
+    * WITHIN each stratum: rows rank by the portable md5 coin inside
+    * their group and take fold = (rank − 1) mod k, so every
+    * (group, fold) cell differs by at most one row — exactly balanced,
+    * deterministic, engine-replayable. One rank window per group.
+    */
+  def stratifiedKFold(
+      df: DataFrame, idCol: String, grpCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val key = pmod(conv(substring(md5(concat_ws(":",
+      col(idCol).cast("string"), lit("kf"))), 1, 15), 16, 10)
+      .cast("long"), lit(1000000007L))
+    val w = Window.partitionBy(col(grpCol)).orderBy(key, col(idCol))
+    df.select(col(idCol), col(grpCol))
+      .withColumn("fold",
+        pmod(row_number().over(w).cast("long") - 1L, lit(k.toLong)))
+  }
+
   /** md5-uniform draw in [0, 10000) — the engine-portable coin. */
   private def mdUniformBp(id: Column): Column =
     pmod(conv(substring(md5(concat_ws(":", id.cast("string"),

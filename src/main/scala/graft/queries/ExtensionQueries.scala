@@ -1547,6 +1547,47 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id"),
     Some(componentsOracle))
 
+  /** Leakage-free cluster-level split ([[graft.operators.Dedup
+    * .leakageFreeSplit]]): every near-dup cluster (connected component
+    * over the t=0.95 pair graph, singletons their own cluster) lands
+    * wholly in one md5-assigned bucket — a near-dup of a test doc can
+    * never sit in train. The oracle replays components (recursive CTE)
+    * and the cluster-keyed bucket hash.
+    */
+  val clusterSplit: QueryDef = QueryDef(
+    "pipeline_cluster_split",
+    (s, dir) => {
+      val comp = ConnectedComponents.components(
+        jaccardPairsFor(s, dir), "id_a", "id_b")
+      Dedup.leakageFreeSplit(Tables(s, dir).documents, comp,
+          "doc_id", "node", "component", buckets = 10)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH RECURSIVE
+        |t AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM c
+        |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |comp AS (SELECT node, min(r) AS component
+        |         FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |  coalesce(comp.component, d.doc_id) AS cluster_id,
+        |  ('0x' || substr(md5(coalesce(comp.component, d.doc_id)::VARCHAR
+        |     || ':ls'), 1, 15))::BIGINT % 10 AS split_bucket
+        |FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
+
   /** Overlapping chunk boundaries (32-token chunks, 8-token overlap):
     * shuffle-free per-row arithmetic + explode; full oracle.
     */
@@ -2678,7 +2719,7 @@ object PipelineQueries extends QueryGroup {
       neighborJaccardGate, neighborAggGate, hitsGate, kcoreGate, bfsGate,
       snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
-      kAnonymityGate, lDiversityGate, targetEncoding)
+      kAnonymityGate, lDiversityGate, targetEncoding, clusterSplit)
 }
 
 object TextQueries extends QueryGroup {
@@ -4141,10 +4182,30 @@ object SamplingQueries extends QueryGroup {
         |FROM r LEFT JOIN k ON k.lang = r.lang
         |ORDER BY r.lang""".stripMargin))
 
+  /** Stratified K-fold ([[graft.operators.Sampling.stratifiedKFold]]):
+    * per-language folds balanced to within one row by ranking on the
+    * portable md5 coin and taking rank mod k — deterministic CV
+    * assignment, replayed fold-for-fold by the oracle.
+    */
+  val kfold: QueryDef = QueryDef(
+    "pipeline_kfold",
+    (s, dir) =>
+      graft.operators.Sampling.stratifiedKFold(
+          Tables(s, dir).documents, "doc_id", "lang", k = 5)
+        .orderBy("doc_id"),
+    Some(
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':kf'), 1, 15))
+        |        ::BIGINT % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, (rn - 1) % 5 AS fold
+        |FROM r ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
       weightedSample, weightedPerGroup, splitHash, negativeSamples,
-      curriculum, distributionMatch)
+      curriculum, distributionMatch, kfold)
 }
 
 object EventQueries extends QueryGroup {

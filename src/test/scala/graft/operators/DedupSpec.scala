@@ -410,4 +410,24 @@ class DedupSpec extends SparkSpec {
       ("crawl_a", "crawl_b", 2L),  // 1-2 and 2-3, both directions fold
       ("crawl_b", "crawl_c", 1L))) // 4-5 normalized to (b, c)
   }
+
+  test("leakage-free split keeps every near-dup cluster in one bucket") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 30L).toDF("doc_id")
+    // clusters: {1,2,3} via chain, {10,11}; rest singletons
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "component")
+    val out = Dedup.leakageFreeSplit(docs, comp, "doc_id",
+        "node", "component", buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // all members of a cluster share cluster id AND bucket
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._2).distinct.size == 1)
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._3).distinct.size == 1)
+    assert(byDoc(10L)._3 == byDoc(11L)._3)
+    // singleton keeps its own id as the cluster
+    assert(byDoc(20L)._2 == 20L)
+    assert(out.forall(t => t._3 >= 0 && t._3 < 4))
+  }
 }

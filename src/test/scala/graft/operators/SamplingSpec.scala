@@ -364,4 +364,24 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(first == again)
   }
+
+  test("stratified k-fold: balanced cells, deterministic assignment") {
+    val sp = spark
+    import sp.implicits._
+    val df = ((1L to 23L).map(i => (i, "a")) ++ (100L to 106L).map(i => (i, "b")))
+      .toDF("id", "g")
+    val folds = Sampling.stratifiedKFold(df, "id", "g", k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    // group a: 23 rows over 5 folds -> sizes {5,5,5,4,4}; b: 7 -> {2,2,1,1,1}
+    val sizes = folds.groupBy(identity).view.mapValues(_.size).toMap
+    (0L to 4L).foreach { f =>
+      assert(math.abs(sizes(("a", f)) - 23.0 / 5) < 1.0)
+      assert(math.abs(sizes(("b", f)) - 7.0 / 5) < 1.0)
+    }
+    val again = Sampling.stratifiedKFold(df.repartition(9), "id", "g", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val first = Sampling.stratifiedKFold(df, "id", "g", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first == again)
+  }
 }

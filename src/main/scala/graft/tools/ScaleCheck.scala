@@ -864,6 +864,57 @@ object ScaleCheck {
           embBig, "embedding", "label"))
     }
 
+    // token offsets: posexplode + per-doc cumulative window — fan-out
+    // bounded by doc length, linear in corpus tokens
+    time(s"token_offsets_${dup}x",
+      graft.operators.TextAnalysis.tokenOffsets(blown, "doc_id", "text"))
+
+    // distribution match + k-fold + cluster split: count aggregates,
+    // broadcast rates, md5 coin filters / per-group rank windows —
+    // nothing wider than one corpus shuffle each
+    locally {
+      val labeled = blown.select(col("doc_id"),
+        concat(lit("g"), (col("doc_id") % 7).cast("string")).as("g"))
+      time(s"distribution_match_${dup}x",
+        graft.operators.Sampling.distributionMatchSummary(
+          labeled, "doc_id", "g"))
+      time(s"kfold_${dup}x",
+        graft.operators.Sampling.stratifiedKFold(labeled, "doc_id", "g", 5))
+      val pairsD = Dedup.ngramJaccardPairs(blown, "text", "doc_id", 0.95)
+        .localCheckpoint(true)
+      val comp = graft.operators.ConnectedComponents
+        .components(pairsD, "id_a", "id_b").localCheckpoint(true)
+      time(s"cluster_split_${dup}x",
+        Dedup.leakageFreeSplit(blown, comp, "doc_id",
+          "node", "component", 10))
+    }
+
+    // sweep-line concurrency: per-day windows over session intervals
+    locally {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("user_id"))
+      val evBig = (0 until dup).map(i =>
+        ev.select(col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id")))
+        .reduce(_ unionByName _)
+      val iv = evBig
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .select(to_date(col("s")).as("day"), col("s"), col("e"))
+      time(s"max_concurrency_${dup}x",
+        graft.operators.EventSequences.maxConcurrency(iv, "s", "e", "day"))
+    }
+
+    // schema evolution: mergeSchema read over a two-generation dir —
+    // footer-merge planning + scan, linear
+    locally {
+      val p = graft.sources.ParquetEvolution.evolvedDir(
+        blown.select(col("doc_id"), col("text"),
+          lit("en").as("lang"), length(col("text")).as("n_chars")),
+        tag = s"scale_${dup}x")
+      time(s"schema_evolution_${dup}x",
+        graft.sources.ParquetEvolution.readMerged(spark, p))
+    }
+
     spark.stop()
   }
 }

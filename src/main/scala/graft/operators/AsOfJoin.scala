@@ -59,4 +59,51 @@ object AsOfJoin {
       .filter(col("_is_left") === 1)
       .drop("_is_left", "_rv")
   }
+
+  /** Backward as-of with a TOLERANCE (pandas `merge_asof(tolerance=…)`):
+    * the most recent right row at or before each left row matches only
+    * if it is within `toleranceSeconds` — a click from last week does
+    * not explain today's purchase. Same union + per-key window shape
+    * as [[asOf]] (one shuffle, no range join), with the matched row's
+    * TIMESTAMP carried through the window as a struct so the gap test
+    * is exact microsecond arithmetic; stale matches null out, and the
+    * surviving gap is reported in microseconds.
+    */
+  def asOfTolerance(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      rightValueCol: String, toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, "tolerance must be non-negative")
+    val rightDedup = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(rightValueCol)).as(rightValueCol))
+    val rvType = rightDedup.schema(rightValueCol).dataType
+    val leftTagged = left
+      .withColumn("_is_left", lit(1))
+      .withColumn("_rv", lit(null).cast(rvType))
+      .withColumn("_rts", lit(null).cast("long"))
+    val rightTagged = rightDedup.select(
+      col(keyCol), col(tsCol), lit(0).as("_is_left"),
+      col(rightValueCol).as("_rv"), unix_micros(col(tsCol)).as("_rts"))
+    val leftCols = leftTagged.columns
+    val rightAligned = rightTagged.select(leftCols.map(c =>
+      if (rightTagged.columns.contains(c)) col(c)
+      else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = toleranceSeconds * 1000000L
+    leftTagged.unionByName(rightAligned)
+      // the struct must be NULL on left rows (a struct of null fields is
+      // itself non-null and would shadow the true last right row)
+      .withColumn("_m",
+        last(when(col("_is_left") === 0,
+          struct(col("_rv"), col("_rts"))), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .withColumn("_gap", unix_micros(col(tsCol)) - col("_m").getField("_rts"))
+      .withColumn(s"matched_$rightValueCol",
+        when(col("_gap") <= tolUs, col("_m").getField("_rv")))
+      .withColumn("asof_gap_us", when(col("_gap") <= tolUs, col("_gap")))
+      .drop("_is_left", "_rv", "_rts", "_m", "_gap")
+  }
 }

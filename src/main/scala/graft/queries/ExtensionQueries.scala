@@ -4301,6 +4301,42 @@ object EventQueries extends QueryGroup {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin))
 
+  /** Tolerance-bounded as-of ([[graft.operators.AsOfJoin
+    * .asOfTolerance]], pandas `merge_asof(tolerance=…)`): the most
+    * recent click explains a purchase only within 30 minutes — stale
+    * matches null out, surviving gaps reported in exact microseconds.
+    * The oracle is DuckDB's native ASOF join with the same gap CASE.
+    */
+  val asofTolerance: QueryDef = QueryDef(
+    "events_asof_tolerance",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.operators.AsOfJoin.asOfTolerance(
+          left = e.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id"),
+          right = e.filter(col("event_type") === "click")
+            .select("user_id", "ts", "event_id"),
+          keyCol = "user_id", tsCol = "ts", rightValueCol = "event_id",
+          toleranceSeconds = 1800L)
+        .select(col("event_id"), col("matched_event_id"),
+          col("asof_gap_us"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |j AS (SELECT p.event_id, c.click_id,
+        |        epoch_us(p.ts) - epoch_us(c.ts) AS gap
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT event_id,
+        |  CASE WHEN gap <= 1800000000 THEN click_id END
+        |    AS matched_event_id,
+        |  CASE WHEN gap <= 1800000000 THEN gap END AS asof_gap_us
+        |FROM j ORDER BY event_id""".stripMargin))
+
   /** The same as-of join through the CUSTOM CATALYST OPERATOR
     * (graft.plans.AsOfJoinPlan: logical node → strategy → co-partitioned
     * co-sorted single-pass merge exec, §7.3c) — checked against the
@@ -5180,6 +5216,7 @@ object EventQueries extends QueryGroup {
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
+      asofTolerance,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
       scd2, olsTrend, gapFill, cusum, frequentPairs, rollingActives,

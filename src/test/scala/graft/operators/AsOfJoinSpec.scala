@@ -40,4 +40,34 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().head
     assert(out.getLong(3) == 9L)
   }
+
+  test("tolerance: in-window matches keep, stale matches null out") {
+    val purchases = df(Seq(
+      (1L, "2024-01-01 10:30:00", 100L),   // click 10:20 -> 600s gap, in
+      (1L, "2024-01-01 12:00:00", 101L),   // click 10:20 -> 6000s, stale
+      (2L, "2024-01-01 09:00:00", 102L)))  // no prior click at all
+    val clicks = df(Seq((1L, "2024-01-01 10:20:00", 7L)))
+    val out = AsOfJoin.asOfTolerance(purchases, clicks,
+        "user_id", "ts", "event_id", toleranceSeconds = 1800L)
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(100L) == ((Some(7L), Some(600000000L))))
+    assert(out(101L) == ((None, None)))
+    assert(out(102L) == ((None, None)))
+  }
+
+  test("tolerance: a left row cannot shadow the true last right row") {
+    // left row at 10:25 sits between the click and the later purchase —
+    // the window must still see the 10:20 click for the 10:30 purchase
+    val purchases = df(Seq(
+      (1L, "2024-01-01 10:25:00", 200L),
+      (1L, "2024-01-01 10:30:00", 201L)))
+    val clicks = df(Seq((1L, "2024-01-01 10:20:00", 7L)))
+    val out = AsOfJoin.asOfTolerance(purchases, clicks,
+        "user_id", "ts", "event_id", toleranceSeconds = 3600L)
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(200L) == Some(7L) && out(201L) == Some(7L))
+  }
 }

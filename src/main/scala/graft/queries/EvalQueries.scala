@@ -329,7 +329,55 @@ object EvalQueries extends QueryGroup {
         |FROM (SELECT * FROM c WHERE v = 'A') a,
         |     (SELECT * FROM c WHERE v = 'B') b""".stripMargin))
 
+  /** Language-ID confusion matrix: the marker-heuristic classifier
+    * ([[TextAnalysis.langId]]) against the stored labels, one
+    * (actual, predicted) cell per row with the per-actual recall —
+    * the error-analysis view behind every "is the cheap classifier
+    * good enough to filter with" decision. One label-domain-bounded
+    * aggregate.
+    */
+  val confusionMatrix: QueryDef = QueryDef(
+    "eval_confusion_matrix",
+    (s, dir) => {
+      val d = graft.Tables(s, dir).documents
+        .select(col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+      val totals = d.groupBy(col("actual")).agg(count(lit(1)).as("n_actual"))
+      d.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("actual"))
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("n_actual"), 6).as("share"))
+        .orderBy("actual", "predicted")
+    },
+    Some {
+      def hits(markers: Seq[String]) = {
+        val l = markers.map(w => s"'$w'").mkString(", ")
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+          s"w -> list_contains([$l], w)))"
+      }
+      val en = hits(TextAnalysis.LangMarkers("en"))
+      val de = hits(TextAnalysis.LangMarkers("de"))
+      val fr = hits(TextAnalysis.LangMarkers("fr"))
+      val es = hits(TextAnalysis.LangMarkers("es"))
+      s"""WITH h AS (SELECT lang AS actual,
+        |    $en AS en, $de AS de, $fr AS fr, $es AS es FROM documents),
+        |p AS (SELECT actual, CASE
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |    ELSE 'es' END AS predicted
+        |  FROM h),
+        |t AS (SELECT actual, count(*) AS n_actual FROM p GROUP BY actual)
+        |SELECT p.actual AS actual, predicted, count(*) AS n,
+        |  round(count(*)::DOUBLE / t.n_actual, 6) AS share
+        |FROM p JOIN t ON t.actual = p.actual
+        |GROUP BY p.actual, predicted, t.n_actual
+        |ORDER BY p.actual, predicted""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
-      ksDistanceGate, abTest)
+      ksDistanceGate, abTest, confusionMatrix)
 }

@@ -94,7 +94,7 @@ object Dsir {
       .agg(sum(col("tf")).as("n_tokens"),
         (sum(col("tf") * col("llr")) / sum(col("tf"))).as("raw_llr"))
       .select(col("id").as(idCol), col("n_tokens"),
-        round(col("raw_llr"), 6).as("avg_llr"))
+        Numerics.roundz(col("raw_llr"), 6).as("avg_llr"))
   }
 
   /** Top-k most target-like documents (avg_llr desc, id asc tiebreak) —

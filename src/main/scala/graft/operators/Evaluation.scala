@@ -130,7 +130,8 @@ object Evaluation {
       .select(col("n"),
         round(po, 6).as("p_o"),
         round(pe, 6).as("p_e"),
-        round(when(lit(1.0) - pe =!= 0.0, (po - pe) / (lit(1.0) - pe)), 6)
+        Numerics.roundz(
+          when(lit(1.0) - pe =!= 0.0, (po - pe) / (lit(1.0) - pe)), 6)
           .as("kappa"))
   }
 
@@ -273,7 +274,7 @@ object Evaluation {
         max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
           .as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        round(col("d_num").cast("double") /
+        Numerics.roundz(col("d_num").cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
@@ -297,7 +298,7 @@ object Evaluation {
       .select(col("n").as("n_b"), col("conv").as("conv_b"))
     a.crossJoin(broadcast(b))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        round({
+        Numerics.roundz({
           val p1 = col("conv_a").cast("double") / col("n_a")
           val p2 = col("conv_b").cast("double") / col("n_b")
           val p = (col("conv_a") + col("conv_b")).cast("double") /

@@ -252,10 +252,10 @@ object EventSequences {
       .agg(count(lit(1)).as("n_kept"),
         sum(col(valueCol).cast("decimal(18,2)")).as("s"))
       .select(col(typeCol),
-        round(col("lo"), 4).as("lo"),
-        round(col("hi"), 4).as("hi"),
+        Numerics.roundz(col("lo"), 4).as("lo"),
+        Numerics.roundz(col("hi"), 4).as("hi"),
         col("n_all"), col("n_kept"),
-        round(col("s").cast("double") / col("n_kept"), 4)
+        Numerics.roundz(col("s").cast("double") / col("n_kept"), 4)
           .as("trimmed_mean"))
   }
 
@@ -296,7 +296,7 @@ object EventSequences {
       .agg(count(lit(1)).as("n_events"),
         sum(col("_fp")).as("decayed_fp"))
       .select(col(userCol), col("n_events"), col("decayed_fp"),
-        round(col("decayed_fp").cast("double") / lit(denom), 6)
+        Numerics.roundz(col("decayed_fp").cast("double") / lit(denom), 6)
           .as("decayed"))
   }
 
@@ -416,11 +416,11 @@ object EventSequences {
     val den = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
     m.select(col(keyCol), col("n").as("n_events"),
         when(den =!= 0,
-          round((dd(col("n")) * dd(col("sxy")) -
+          Numerics.roundz((dd(col("n")) * dd(col("sxy")) -
             dd(col("sx")) * dd(col("sy"))).cast("double") /
             (den.cast("double") * 10000d), 6)).as("slope"),
         when(den =!= 0,
-          round((dd(col("sxx")) * dd(col("sy")) -
+          Numerics.roundz((dd(col("sxx")) * dd(col("sy")) -
             dd(col("sx")) * dd(col("sxy"))).cast("double") /
             (den.cast("double") * 10000d), 6)).as("intercept"))
   }

@@ -46,7 +46,7 @@ object Features {
       .agg(sum(y).as("csum"), count(lit(1)).as("n"))
       .crossJoin(broadcast(global))
       .select(col("category"), col("n"),
-        round((dd(col("gn")) * dd(col("csum")) +
+        Numerics.roundz((dd(col("gn")) * dd(col("csum")) +
           dd(lit(m)) * dd(col("gsum"))).cast("double") /
           ((dd(col("gn")) * dd(col("n") + lit(m))).cast("double") * 10000d),
           6).as("enc"))
@@ -255,7 +255,8 @@ object Features {
       .agg(count(lit(1)).as("n"), sum(col("_d") * col("_d")).as("sd2"))
       .select(col("pos"), col("n"),
         when(col("n") > 1,
-          round(lit(1.0) - (dd(lit(6)) * dd(col("sd2"))).cast("double") /
+          Numerics.roundz(lit(1.0) -
+            (dd(lit(6)) * dd(col("sd2"))).cast("double") /
             (dd(col("n")) * (dd(col("n")) * dd(col("n")) - lit(1)))
               .cast("double"), 6)).as("rho"))
   }

@@ -348,7 +348,7 @@ object GraphMetrics {
       .select(col("m").as("n_edges"),
         col("n_communities").cast("long").as("n_communities"),
         col("internal").as("internal_edges"),
-        round(col("internal").cast("double") / col("m") -
+        Numerics.roundz(col("internal").cast("double") / col("m") -
           col("sum_dc2").cast("double") /
             (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
   }

@@ -90,6 +90,6 @@ object Pca {
     val dot = (0 until dims)
       .map(i => col(s"q$i").cast("double") * lit(v(i)))
       .reduce(_ + _)
-    q.select(col(idCol), round(dot / lit(norm), 4).as("pc1"))
+    q.select(col(idCol), Numerics.roundz(dot / lit(norm), 4).as("pc1"))
   }
 }

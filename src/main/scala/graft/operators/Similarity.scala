@@ -67,10 +67,10 @@ object Similarity {
       .select(col(labelCol).cast("long").as("label"),
         col(vecCol).cast("array<double>").as("_v"))
       .join(broadcast(cents), Seq("label"))
-      .select(col("label"), round(cosine(col("_v"), col("_cvec")), 6).as("_cos"))
+      .select(col("label"), Numerics.roundz(cosine(col("_v"), col("_cvec")), 6).as("_cos"))
     j.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("_cos").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+        Numerics.roundz(sum(col("_cos").cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
           count(lit(1)), 6).as("avg_cos"),
         min(col("_cos")).as("min_cos"))
   }
@@ -90,7 +90,7 @@ object Similarity {
     embeddings
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
+        Numerics.roundz(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
       // zero-norm vectors have no defined cosine — skip them, matching
       // the batch kernel; without this Spark ranks NaN FIRST (NaN is
       // greatest in its sort order) and a zero-norm row would sit atop
@@ -980,7 +980,7 @@ object Similarity {
     assigned
       .filter(col("prediction").isin(probes: _*) && col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
+        Numerics.roundz(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -1004,7 +1004,7 @@ object Similarity {
     bucketed
       .filter(col("bucket") === qBucket && col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
+        Numerics.roundz(cosineFast(embeddings.sparkSession, col(vecCol), qLit), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -1067,13 +1067,13 @@ object Similarity {
       .crossJoin(broadcast(hc)).crossJoin(broadcast(pairCells))
       .crossJoin(broadcast(pairC)).crossJoin(broadcast(pairL))
       .select(col("n").cast("long").as("n_points"),
-        round(col("mi"), 4).as("mi"),
-        round(col("h_label"), 4).as("h_label"),
-        round(col("h_cluster"), 4).as("h_cluster"),
-        round(when(col("h_label") > 0 && col("h_cluster") > 0,
+        Numerics.roundz(col("mi"), 4).as("mi"),
+        Numerics.roundz(col("h_label"), 4).as("h_label"),
+        Numerics.roundz(col("h_cluster"), 4).as("h_cluster"),
+        Numerics.roundz(when(col("h_label") > 0 && col("h_cluster") > 0,
             col("mi") / sqrt(col("h_label") * col("h_cluster")))
           .otherwise(lit(0.0)), 4).as("nmi"),
-        round(when(maxIdx - expected =!= 0.0,
+        Numerics.roundz(when(maxIdx - expected =!= 0.0,
             (col("sc") - expected) / (maxIdx - expected))
           .otherwise(lit(0.0)), 4).as("ari"))
   }
@@ -1103,7 +1103,7 @@ object Similarity {
       col(vecCol).as("_vb"))
     def scored = av.join(broadcast(bv))
       .select(col("id_a"), col("id_b"),
-        round(cosineFast(a.sparkSession, col("_va"), col("_vb")), 6)
+        Numerics.roundz(cosineFast(a.sparkSession, col("_va"), col("_vb")), 6)
           .as("sim"))
     val bestA = scored.groupBy("id_a")
       .agg(max(struct(col("sim"), (-col("id_b")).as("_nb"))).as("m"))

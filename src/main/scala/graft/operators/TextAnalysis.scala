@@ -69,7 +69,7 @@ object TextAnalysis {
     */
   def fleschScore(nWords: Column, nSentences: Column,
       nSyllables: Column): Column =
-    round(lit(206.835)
+    Numerics.roundz(lit(206.835)
       - lit(1.015) * (nWords.cast("double") / nSentences)
       - lit(84.6) * (nSyllables.cast("double") / nWords), 4)
 
@@ -323,8 +323,8 @@ object TextAnalysis {
       .groupBy(col("grp"))
       .agg(
         count(lit(1)).cast("long").as("n_terms"),
-        round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("slope"),
-        round(regr_intercept(log(col("cnt")), log(col("rank"))), 4).as("intercept"))
+        Numerics.roundz(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("slope"),
+        Numerics.roundz(regr_intercept(log(col("cnt")), log(col("rank"))), 4).as("intercept"))
   }
 
   /** Unigram language-model quality score (the CCNet-style proxy for
@@ -362,7 +362,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).cast("long").as("n_tokens"),
-        round(
+        Numerics.roundz(
           sum(col("tf") * (log(col("cnt")) - log(col("n_total"))))
             / sum(col("tf")), 6).as("avg_logprob"))
   }
@@ -408,7 +408,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).cast("long").as("n_bigrams"),
-        round(
+        Numerics.roundz(
           sum(col("tf") * (log(col("cbg") + lit(1)) - log(col("cl") + col("v"))))
             / sum(col("tf")), 4).as("avg_logprob"))
   }
@@ -461,7 +461,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).cast("long").as("n_bigrams"),
-        round(sum(col("tf") * log(prob)) / sum(col("tf")), 4)
+        Numerics.roundz(sum(col("tf") * log(prob)) / sum(col("tf")), 4)
           .as("avg_logprob"))
   }
 
@@ -539,7 +539,7 @@ object TextAnalysis {
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
       .filter(col("cnt") >= minCount)
       .select(col("l"), col("r"), col("cnt"),
-        round(log(col("cnt") * col("n") / (col("cl") * col("cr"))), 4)
+        Numerics.roundz(log(col("cnt") * col("n") / (col("cl") * col("cr"))), 4)
           .as("pmi"))
   }
 
@@ -596,7 +596,7 @@ object TextAnalysis {
           .as("klqPresent"),
         sum(col("q")).as("qsum"))
       .select(col("grp").as(groupCol),
-        round((col("klp") + col("klqPresent") +
+        Numerics.roundz((col("klp") + col("klqPresent") +
             (lit(1.0) - col("qsum")) * lit(math.log(2.0))) /
           lit(2 * math.log(2)), 6).as("jsd"))
   }
@@ -692,7 +692,7 @@ object TextAnalysis {
       .groupBy("grp")
       .agg(first(col("n_tokens")).as("n_tokens"),
         first(col("n_types")).as("n_types"),
-        round(-sum(p * log(p)), 4).as("entropy"))
+        Numerics.roundz(-sum(p * log(p)), 4).as("entropy"))
       .withColumn("ttr",
         round(col("n_types").cast("double") / col("n_tokens"), 6))
   }

@@ -1185,7 +1185,7 @@ object AnalyticsQueries extends QueryGroup {
         |  WHERE p_name LIKE '%red%')
         |SELECT nation, o_year,
         |  round(CAST(sum(rev) AS DOUBLE) -
-        |        CAST(sum(cost) AS DOUBLE) / 10, 4) AS profit
+        |        CAST(sum(cost) AS DOUBLE) / 10, 4) + 0 AS profit
         |FROM j GROUP BY nation, o_year
         |ORDER BY nation, o_year DESC""".stripMargin))
 

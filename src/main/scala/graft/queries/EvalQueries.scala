@@ -140,7 +140,7 @@ object EvalQueries extends QueryGroup {
          |    / (n::DOUBLE * n) AS pe
          |FROM c)
          |SELECT n, round(po, 6) AS p_o, round(pe, 6) AS p_e,
-         |  round(CASE WHEN 1.0 - pe <> 0.0 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+         |  round(CASE WHEN 1.0 - pe <> 0.0 THEN (po - pe) / (1.0 - pe) END, 6) + 0 AS kappa
          |FROM k""".stripMargin))
 
   /** Pairwise dedup evaluation ([[Evaluation.pairwiseClusterEval]]):
@@ -295,7 +295,7 @@ object EvalQueries extends QueryGroup {
         |SELECT n_a, n_b,
         |  max(abs(cuma * n_b - cumb * n_a))::BIGINT AS d_num,
         |  round(max(abs(cuma * n_b - cumb * n_a))::DOUBLE /
-        |    (n_a * n_b)::DOUBLE, 6) AS ks
+        |    (n_a * n_b)::DOUBLE, 6) + 0 AS ks
         |FROM cu, t GROUP BY n_a, n_b""".stripMargin))
 
   /** Two-proportion A/B readout ([[graft.operators.Evaluation
@@ -325,7 +325,7 @@ object EvalQueries extends QueryGroup {
         |  round(((a.conv::DOUBLE / a.n) - (b.conv::DOUBLE / b.n)) /
         |    sqrt(((a.conv + b.conv)::DOUBLE / (a.n + b.n)) *
         |      (1.0 - (a.conv + b.conv)::DOUBLE / (a.n + b.n)) *
-        |      (1.0 / a.n + 1.0 / b.n)), 4) AS z
+        |      (1.0 / a.n + 1.0 / b.n)), 4) + 0 AS z
         |FROM (SELECT * FROM c WHERE v = 'A') a,
         |     (SELECT * FROM c WHERE v = 'B') b""".stripMargin))
 

@@ -583,7 +583,7 @@ object SimilarityQueries extends QueryGroup {
   private def bruteForceTop10SqlFor(qid: Long): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT v FROM e WHERE vec_id = $qid)
-       |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
+       |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) + 0 AS sim
        |FROM e, q WHERE e.vec_id <> $qid
        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
 
@@ -609,7 +609,7 @@ object SimilarityQueries extends QueryGroup {
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
-        |s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sim
         |      FROM e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
@@ -636,7 +636,7 @@ object SimilarityQueries extends QueryGroup {
         |      FROM e WHERE vec_id IN (0, 1, 2)),
         |s AS (SELECT q.query_id, e.vec_id,
         |        CAST(e.label AS BIGINT) AS neg_label,
-        |        round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |        round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sim
         |      FROM e, q
         |      WHERE e.vec_id <> q.query_id AND e.label <> q.qlbl)
         |SELECT query_id, vec_id, neg_label, sim FROM s
@@ -737,7 +737,7 @@ object SimilarityQueries extends QueryGroup {
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
-        |s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |s AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sim
         |      FROM e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 5
@@ -841,7 +841,7 @@ object SimilarityQueries extends QueryGroup {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
         |SELECT vec_id, idx - 1 AS pos,
-        |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[idx] / nrm, 6) END AS val
+        |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[idx] / nrm, 6) + 0 END AS val
         |FROM n, unnest(range(1, 65, 8)) AS t(idx)
         |ORDER BY vec_id, pos""".stripMargin))
 
@@ -911,7 +911,7 @@ object SimilarityQueries extends QueryGroup {
         |      FROM range(16) j(j) CROSS JOIN range(64) i(i)),
         |p AS (SELECT vec_id, m.j AS pos, sum(m.s * x.x)::BIGINT AS acc
         |      FROM x JOIN m ON m.i = x.i GROUP BY 1, 2)
-        |SELECT vec_id, pos, round(acc / 1000000000.0 * 0.25, 6) AS value
+        |SELECT vec_id, pos, round(acc / 1000000000.0 * 0.25, 6) + 0 AS value
         |FROM p ORDER BY vec_id, pos""".stripMargin))
 
   /** Mean-pool vector aggregation (chunk→doc pooling / centroids) over
@@ -933,7 +933,7 @@ object SimilarityQueries extends QueryGroup {
         |a AS (SELECT grp, idx,
         |  CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
         |  FROM x GROUP BY 1, 2)
-        |SELECT grp, idx - 1 AS pos, round(m, 6) AS val
+        |SELECT grp, idx - 1 AS pos, round(m, 6) + 0 AS val
         |FROM a ORDER BY grp, pos""".stripMargin))
 
   /** Nearest-centroid assignment (distributed k-means E-step with
@@ -1065,7 +1065,7 @@ object SimilarityQueries extends QueryGroup {
         |        FROM lexpool),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |vpool AS (SELECT vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |vpool AS (SELECT vec_id, round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sim
         |          FROM e, q WHERE e.vec_id <> 0
         |          ORDER BY sim DESC, vec_id LIMIT 100),
         |vec AS (SELECT vec_id,
@@ -1121,14 +1121,14 @@ object SimilarityQueries extends QueryGroup {
         |pc AS (SELECT sum(nlc * (nlc - 1) // 2) AS sc FROM cells),
         |pa AS (SELECT sum(nc * (nc - 1) // 2) AS sa FROM cm),
         |pb AS (SELECT sum(nl * (nl - 1) // 2) AS sb FROM lm)
-        |SELECT n::BIGINT AS n_points, round(mi, 4) AS mi,
-        |  round(h_label, 4) AS h_label, round(h_cluster, 4) AS h_cluster,
+        |SELECT n::BIGINT AS n_points, round(mi, 4) + 0 AS mi,
+        |  round(h_label, 4) + 0 AS h_label, round(h_cluster, 4) + 0 AS h_cluster,
         |  round(CASE WHEN h_label > 0 AND h_cluster > 0
-        |        THEN mi / sqrt(h_label * h_cluster) ELSE 0 END, 4) AS nmi,
+        |        THEN mi / sqrt(h_label * h_cluster) ELSE 0 END, 4) + 0 AS nmi,
         |  round(CASE WHEN (sa::DOUBLE + sb) / 2 - sa::DOUBLE * sb / (n::DOUBLE * (n - 1) / 2) <> 0
         |        THEN (sc - sa::DOUBLE * sb / (n::DOUBLE * (n - 1) / 2))
         |           / ((sa::DOUBLE + sb) / 2 - sa::DOUBLE * sb / (n::DOUBLE * (n - 1) / 2))
-        |        ELSE 0 END, 4) AS ari
+        |        ELSE 0 END, 4) + 0 AS ari
         |FROM nt CROSS JOIN mi CROSS JOIN hl CROSS JOIN hc
         |CROSS JOIN pc CROSS JOIN pa CROSS JOIN pb""".stripMargin))
 
@@ -1171,7 +1171,7 @@ object SimilarityQueries extends QueryGroup {
          |v2 AS (SELECT ${step("v1")} FROM g, v1),
          |v3 AS (SELECT ${step("v2")} FROM g, v2),
          |n AS (SELECT $nrm AS nrm FROM v3)
-         |SELECT q.vec_id, round(($proj) / n.nrm, 4) AS pc1
+         |SELECT q.vec_id, round(($proj) / n.nrm, 4) + 0 AS pc1
          |FROM q, v3 vf, n ORDER BY q.vec_id""".stripMargin
     })
 
@@ -1191,7 +1191,7 @@ object SimilarityQueries extends QueryGroup {
     Some(
       """WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS v FROM embeddings),
         |q AS (SELECT v FROM e WHERE vec_id = 0),
-        |s AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS sim
+        |s AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) + 0 AS sim
         |      FROM e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, sim FROM s WHERE NOT isnan(sim)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
@@ -1248,7 +1248,7 @@ object SimilarityQueries extends QueryGroup {
         |SELECT pos, n,
         |  CASE WHEN n > 1 THEN
         |    round(1.0 - (6::HUGEINT * sd2)::DOUBLE /
-        |      (n::HUGEINT * (n::HUGEINT * n - 1))::DOUBLE, 6) END AS rho
+        |      (n::HUGEINT * (n::HUGEINT * n - 1))::DOUBLE, 6) + 0 END AS rho
         |FROM a ORDER BY pos""".stripMargin))
 
   /** Mutual-nearest-neighbor pairs
@@ -1274,7 +1274,7 @@ object SimilarityQueries extends QueryGroup {
         |a AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
         |b AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
         |s AS (SELECT id_a, id_b,
-        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim FROM a, b),
+        |    round(list_cosine_similarity(a.v, b.v), 6) + 0 AS sim FROM a, b),
         |ba AS (SELECT * FROM s QUALIFY row_number() OVER (
         |    PARTITION BY id_a ORDER BY sim DESC, id_b) = 1),
         |bb AS (SELECT * FROM s QUALIFY row_number() OVER (
@@ -1331,11 +1331,11 @@ object SimilarityQueries extends QueryGroup {
         |cv AS (SELECT label, list(c ORDER BY idx) AS cvec
         |       FROM px GROUP BY label),
         |j AS (SELECT e.label,
-        |    round(list_cosine_similarity(e.v, cv.cvec), 6) AS cos
+        |    round(list_cosine_similarity(e.v, cv.cvec), 6) + 0 AS cos
         |  FROM e JOIN cv USING (label))
         |SELECT label, count(*) AS n,
         |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-        |    / count(*), 6) AS avg_cos,
+        |    / count(*), 6) + 0 AS avg_cos,
         |  min(cos) AS min_cos
         |FROM j GROUP BY label ORDER BY label""".stripMargin))
 
@@ -2467,7 +2467,7 @@ object PipelineQueries extends QueryGroup {
         |m AS (SELECT b, ln(ct_t + 1) - ln(t_t + 1024) - ln(ct_r + 1) + ln(t_r + 1024) AS llr FROM ct CROSS JOIN tt),
         |tf AS (SELECT doc_id, b, count(*) AS tf FROM f GROUP BY 1, 2),
         |s AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-        |        round(sum(tf * llr) / sum(tf), 6) AS avg_llr
+        |        round(sum(tf * llr) / sum(tf), 6) + 0 AS avg_llr
         |      FROM tf JOIN m USING (b) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, avg_llr FROM s
         |ORDER BY avg_llr DESC, doc_id LIMIT 100""".stripMargin))
@@ -2503,7 +2503,7 @@ object PipelineQueries extends QueryGroup {
         |        FROM (SELECT cu AS c FROM le UNION ALL SELECT cv FROM le) GROUP BY c),
         |da AS (SELECT count(*)::BIGINT AS n_communities, sum(dc * dc) AS sum_dc2 FROM dcs)
         |SELECT m AS n_edges, n_communities, internal AS internal_edges,
-        |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) AS modularity
+        |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) + 0 AS modularity
         |FROM ea, da""".stripMargin))
 
   /** Label-propagation communities
@@ -2584,7 +2584,7 @@ object PipelineQueries extends QueryGroup {
         |        FROM (SELECT cu AS c FROM le UNION ALL SELECT cv FROM le) GROUP BY c),
         |da AS (SELECT count(*)::BIGINT AS n_communities, sum(dc * dc) AS sum_dc2 FROM dcs)
         |SELECT m AS n_edges, n_communities, internal AS internal_edges,
-        |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) AS modularity
+        |  round(internal::DOUBLE / m - sum_dc2::DOUBLE / (4::DOUBLE * m * m), 6) + 0 AS modularity
         |FROM ea, da""".stripMargin))
 
   /** k-anonymity release gate ([[graft.operators.Governance]]): does
@@ -2707,7 +2707,7 @@ object PipelineQueries extends QueryGroup {
         |      FROM f GROUP BY 1)
         |SELECT category, n,
         |  round((gn::HUGEINT * csum + 10::HUGEINT * gsum)::DOUBLE /
-        |    ((gn::HUGEINT * (n + 10))::DOUBLE * 10000), 6) AS enc
+        |    ((gn::HUGEINT * (n + 10))::DOUBLE * 10000), 6) + 0 AS enc
         |FROM c, g ORDER BY category""".stripMargin))
 
   def defs: Seq[QueryDef] =
@@ -2950,7 +2950,7 @@ object TextQueries extends QueryGroup {
         |c AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
         |n AS (SELECT sum(tf) AS n_total FROM tf)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(sum(tf * (ln(cnt) - ln(n_total))) / sum(tf), 6) AS avg_logprob
+        |  round(sum(tf * (ln(cnt) - ln(n_total))) / sum(tf), 6) + 0 AS avg_logprob
         |FROM tf JOIN c USING (term) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
@@ -3091,7 +3091,7 @@ object TextQueries extends QueryGroup {
         |cu AS (SELECT term, count(*) AS cl FROM u GROUP BY 1),
         |v AS (SELECT count(DISTINCT term) AS v FROM u)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |  round(sum(tf * (ln(cbg + 1) - ln(cl + v))) / sum(tf), 4) AS avg_logprob
+        |  round(sum(tf * (ln(cbg + 1) - ln(cl + v))) / sum(tf), 4) + 0 AS avg_logprob
         |FROM tf JOIN cb USING (l, r) JOIN cu ON cu.term = tf.l CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
@@ -3113,7 +3113,7 @@ object TextQueries extends QueryGroup {
         |        sum(cnt) OVER (PARTITION BY r) AS cr,
         |        sum(cnt) OVER () AS n
         |      FROM c)
-        |SELECT l, r, cnt, round(ln(cnt * n * 1.0 / (cl * cr)), 4) AS pmi
+        |SELECT l, r, cnt, round(ln(cnt * n * 1.0 / (cl * cr)), 4) + 0 AS pmi
         |FROM m WHERE cnt >= 20 ORDER BY l, r""".stripMargin))
 
   /** Winnowing fingerprint sets (MOSS): window-min over positional
@@ -3171,7 +3171,7 @@ object TextQueries extends QueryGroup {
         |       LEFT JOIN sc ON sc.source = s.source AND sc.w = cc.w
         |       JOIN sn ON sn.source = s.source CROSS JOIN cn),
         |klq AS (SELECT source, sum(q * ln(2 * q / (p + q))) AS klq FROM q2 GROUP BY source)
-        |SELECT source, round((klp + klq) / (2 * ln(2)), 6) AS jsd
+        |SELECT source, round((klp + klq) / (2 * ln(2)), 6) + 0 AS jsd
         |FROM kl JOIN klq USING (source) ORDER BY source""".stripMargin))
 
   /** Jaro–Winkler similarity pairs over the distinct part-name
@@ -3227,8 +3227,8 @@ object TextQueries extends QueryGroup {
         |r AS (SELECT grp, term, cnt,
         |  row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, term) AS rank FROM tf)
         |SELECT grp, count(*)::BIGINT AS n_terms,
-        |  round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
-        |  round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept
+        |  round(regr_slope(ln(cnt), ln(rank)), 4) + 0 AS slope,
+        |  round(regr_intercept(ln(cnt), ln(rank)), 4) + 0 AS intercept
         |FROM r WHERE rank <= 500 GROUP BY grp ORDER BY grp""".stripMargin))
 
   /** Interpolated Kneser–Ney bigram log-likelihood
@@ -3253,7 +3253,7 @@ object TextQueries extends QueryGroup {
         |rs AS (SELECT r, count(*) AS n1pr FROM bt GROUP BY r),
         |bb AS (SELECT count(*) AS b FROM bt)
         |SELECT d.doc_id, sum(d.tf)::BIGINT AS n_bigrams,
-        |  round(sum(d.tf * ln((greatest(bt.c - 0.75, 0) + 0.75 * (ls.n1pl * rs.n1pr) / bb.b) / ls.cl)) / sum(d.tf), 4) AS avg_logprob
+        |  round(sum(d.tf * ln((greatest(bt.c - 0.75, 0) + 0.75 * (ls.n1pl * rs.n1pr) / bb.b) / ls.cl)) / sum(d.tf), 4) + 0 AS avg_logprob
         |FROM dtf d JOIN bt ON bt.l = d.l AND bt.r = d.r
         |JOIN ls ON ls.l = d.l JOIN rs ON rs.r = d.r CROSS JOIN bb
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
@@ -3610,7 +3610,7 @@ object TextQueries extends QueryGroup {
         |  FROM m)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
-        |    - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+        |    - 84.6 * (n_syllables::DOUBLE / n_words), 4) + 0 AS flesch
         |FROM n ORDER BY doc_id""".stripMargin))
 
   /** Hashing-trick feature histogram ([[graft.operators.Features
@@ -3751,7 +3751,7 @@ object TextQueries extends QueryGroup {
         |t AS (SELECT grp, sum(c)::BIGINT AS n_tokens,
         |      count(*) AS n_types FROM c GROUP BY grp)
         |SELECT c.grp AS lang, t.n_tokens, t.n_types,
-        |  round(-sum((c::DOUBLE / n_tokens) * ln(c::DOUBLE / n_tokens)), 4)
+        |  round(-sum((c::DOUBLE / n_tokens) * ln(c::DOUBLE / n_tokens)), 4) + 0
         |    AS entropy,
         |  round(n_types::DOUBLE / n_tokens, 6) AS ttr
         |FROM c JOIN t ON c.grp = t.grp
@@ -4849,8 +4849,8 @@ object EventQueries extends QueryGroup {
         |  FROM events e JOIN b USING (event_type)
         |  WHERE e.value >= b.lo AND e.value <= b.hi
         |  GROUP BY e.event_type, b.lo, b.hi, b.n_all)
-        |SELECT event_type, round(lo, 4) AS lo, round(hi, 4) AS hi,
-        |  n_all, n_kept, round(s::DOUBLE / n_kept, 4) AS trimmed_mean
+        |SELECT event_type, round(lo, 4) + 0 AS lo, round(hi, 4) + 0 AS hi,
+        |  n_all, n_kept, round(s::DOUBLE / n_kept, 4) + 0 AS trimmed_mean
         |FROM k ORDER BY event_type""".stripMargin))
 
   /** Time-decayed per-user value sum
@@ -4876,7 +4876,7 @@ object EventQueries extends QueryGroup {
         |    sum(cents * (1::BIGINT << (20 - hl)))::BIGINT AS decayed_fp
         |  FROM h GROUP BY user_id)
         |SELECT user_id, n_events, decayed_fp,
-        |  round(decayed_fp::DOUBLE / 104857600.0, 6) AS decayed
+        |  round(decayed_fp::DOUBLE / 104857600.0, 6) + 0 AS decayed
         |FROM f ORDER BY user_id""".stripMargin))
 
   /** Streaming safety-monitor composition under the batch contract
@@ -5045,11 +5045,11 @@ object EventQueries extends QueryGroup {
         |SELECT user_id, n AS n_events,
         |  CASE WHEN n::HUGEINT*sxx - sx::HUGEINT*sx <> 0 THEN
         |    round((n::HUGEINT*sxy - sx::HUGEINT*sy)::DOUBLE /
-        |      ((n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE * 10000), 6)
+        |      ((n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE * 10000), 6) + 0
         |  END AS slope,
         |  CASE WHEN n::HUGEINT*sxx - sx::HUGEINT*sx <> 0 THEN
         |    round((sxx::HUGEINT*sy - sx::HUGEINT*sxy)::DOUBLE /
-        |      ((n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE * 10000), 6)
+        |      ((n::HUGEINT*sxx - sx::HUGEINT*sx)::DOUBLE * 10000), 6) + 0
         |  END AS intercept
         |FROM m ORDER BY user_id""".stripMargin))
 

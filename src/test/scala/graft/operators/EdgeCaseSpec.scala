@@ -154,4 +154,71 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L) // 3 digits: not a candidate
     assert(out(1).getString(1) == "")
   }
+
+  // ---- signed-zero contract (round 8's red gate class) ----------------
+  // DuckDB's round keeps IEEE sign (-1e-10 → -0.0) while Spark's goes
+  // through BigDecimal (→ +0.0); the driver's exact value hash fails on
+  // a single such cell. Every rounded surface whose inner expression
+  // can be negative carries `roundz` + the oracle's `+ 0` mirror. These
+  // tests CONSTRUCT epsilon-negative inputs and assert the Spark output
+  // is positive zero at the raw-bits level (sign bit clear).
+
+  private def isPosZero(x: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(x) == 0L
+
+  test("roundz: epsilon-negative and raw -0.0 normalize to +0.0; null passes through") {
+    import spark.implicits._
+    val r = Seq((lit(-1e-10), "eps"), (lit(-0.0), "negzero"),
+        (lit(null).cast("double"), "null"))
+      .foldLeft(Seq.empty[(String, Option[Double])]) { case (acc, (c, tag)) =>
+        val v = spark.range(1).select(Numerics.roundz(c, 6).as("v"))
+          .collect().head
+        acc :+ (tag, if (v.isNullAt(0)) None else Some(v.getDouble(0)))
+      }.toMap
+    assert(r("eps").exists(isPosZero))
+    assert(r("negzero").exists(isPosZero))
+    assert(r("null").isEmpty)
+  }
+
+  test("ols trend: an epsilon-negative slope rounds to POSITIVE zero") {
+    import spark.implicits._
+    // two points 10^6 s apart with a -0.0001 value drop: exact slope
+    // -1e-10, which rounds to zero at 6 dp — the r08 red-gate shape.
+    val ev = Seq(
+        (27L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)),
+          new java.math.BigDecimal("0.0001")),
+        (27L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000000)),
+          new java.math.BigDecimal("0.0000")))
+      .toDF("user_id", "ts", "value")
+    val row = EventSequences.olsTrend(ev).collect().head
+    val slope = row.getDouble(row.fieldIndex("slope"))
+    assert(slope == 0.0 && isPosZero(slope),
+      s"slope must be +0.0, got raw bits ${java.lang.Double.doubleToRawLongBits(slope)}")
+  }
+
+  test("vocab diversity: a single-type corpus yields +0.0 entropy (not -0.0)") {
+    // -sum(1·ln 1) is IEEE -0.0 before the round — THE classic case.
+    val out = TextAnalysis.vocabDiversity(
+        docs(1L -> "same same same").withColumn("src", lit("a")),
+        "text", "src").collect().head
+    val h = out.getDouble(out.fieldIndex("entropy"))
+    assert(h == 0.0 && isPosZero(h))
+  }
+
+  test("target encoding / spearman / modularity: zero-valued outputs carry a clear sign bit") {
+    import spark.implicits._
+    // target encoding of an all-zero y: enc = 0 on every category
+    val enc = Features.targetEncode(
+        Seq(("a", 0.0), ("a", 0.0), ("b", 0.0)).toDF("cat", "y"),
+        "cat", "y", m = 10).collect()
+    assert(enc.forall(r => isPosZero(r.getDouble(r.fieldIndex("enc")))))
+    // modularity of a 2-community graph engineered near zero keeps +0.0
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("id", "community")
+    val m = GraphMetrics.modularity(edges, "src", "dst", comm, "id",
+      "community").collect().head
+    val mod = m.getDouble(m.fieldIndex("modularity"))
+    assert(!(mod == 0.0) || isPosZero(mod))
+  }
 }

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir> [gate,gate,...]
+Usage: check_oracle.py <sfDir> <verifyOutDir> [gate,gate,...] [--atol X]
 
 For each query dir under verifyOutDir: read the Spark parquet result,
 run the corresponding oracle SQL (oracle_sql.json) in DuckDB with the
@@ -14,6 +14,14 @@ failure classes the looser value-level compare missed in round 3:
     numpy.ndarray" — the driver errors the gate even when rows-only);
   * dtype drift (DuckDB HUGEINT -> pandas float64 vs Spark BIGINT ->
     int64 hash differently even when the values are equal).
+
+Floats are compared EXACTLY by default — bit-level, so `-0.0 != 0.0`
+— because the driver hashes value reprs and a single signed-zero cell
+fails its hash (round 8 shipped a red `events_ols_trend` precisely
+because the old `atol=5e-7` + Python's `-0.0 == 0.0` hid it).
+`--atol X` restores the tolerance compare as an explicit DIAGNOSTIC
+mode (useful to separate "algorithm wrong" from "last-digit ulp"),
+never as the acceptance bar.
 """
 import json
 import sys
@@ -40,8 +48,10 @@ def canon_frame(df, name, side):
              .reset_index(drop=True)
 
 
-def frames_equal(s, o):
-    """Value compare with 6-dp float tolerance but exact dtype check."""
+def frames_equal(s, o, atol=None):
+    """Value compare: exact (bit-level, zero-sign-aware) floats by
+    default, exact dtype-kind check always; `atol` switches floats to
+    the legacy tolerance compare for DIAGNOSTIC runs only."""
     for c in s.columns:
         # The driver hashes VALUES, so int32 vs int64 (same integers)
         # match — but int64 vs float64 (5 vs 5.0, e.g. DuckDB HUGEINT
@@ -52,11 +62,20 @@ def frames_equal(s, o):
     for c in s.columns:
         a, b = s[c], o[c]
         if a.dtype.kind == "f":
-            both_nan = a.isna() & b.isna()
-            close = np.isclose(a.fillna(0), b.fillna(0),
-                               rtol=0, atol=5e-7, equal_nan=True)
-            if not (both_nan | (close & (a.isna() == b.isna()))).all():
-                i = int(np.argmin(both_nan | close))
+            av = a.to_numpy(dtype="float64")
+            bv = b.to_numpy(dtype="float64")
+            both_nan = np.isnan(av) & np.isnan(bv)
+            if atol is not None:
+                close = np.isclose(np.nan_to_num(av), np.nan_to_num(bv),
+                                   rtol=0, atol=atol)
+                eq = both_nan | (close & (np.isnan(av) == np.isnan(bv)))
+            else:
+                # Driver-faithful: identical bits (so -0.0 != 0.0) or
+                # both-NaN. repr('-0.0') != repr('0.0') is exactly how
+                # the driver's hash sees a signed-zero cell.
+                eq = (av.view("int64") == bv.view("int64")) | both_nan
+            if not eq.all():
+                i = int(np.argmin(eq))
                 return False, f"value '{c}' row {i}: {a[i]!r} != {b[i]!r}"
         else:
             if a.dtype.kind in "iu" and a.dtype != b.dtype:
@@ -68,7 +87,7 @@ def frames_equal(s, o):
     return True, None
 
 
-def main(sf_dir, out_dir, only=None):
+def main(sf_dir, out_dir, only=None, atol=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -102,7 +121,7 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: rowcount {len(s)} != {len(o)}")
             n_fail += 1
             continue
-        ok, why = frames_equal(s, o)
+        ok, why = frames_equal(s, o, atol)
         if ok:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
@@ -129,5 +148,11 @@ def main(sf_dir, out_dir, only=None):
 
 
 if __name__ == "__main__":
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    sys.exit(main(sys.argv[1], sys.argv[2], only))
+    argv = list(sys.argv[1:])
+    atol = None
+    if "--atol" in argv:
+        i = argv.index("--atol")
+        atol = float(argv[i + 1])
+        del argv[i:i + 2]
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
+    sys.exit(main(argv[0], argv[1], only, atol))

@@ -266,38 +266,66 @@ object Evaluation {
     val tot = vals.agg(
       sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("n_b"))
+    // cum·n products run in DECIMAL(38,0): beyond ~3e9 rows per group
+    // the long product passes 2⁶³ and silently wraps while the oracle
+    // promotes to HUGEINT. d_num casts back to BIGINT at the surface
+    // (oracle contract; the quotient feeding `ks` uses the exact
+    // decimal). Both groups must be non-empty — an absent group makes
+    // D undefined, so fail loudly rather than emit a null/NaN row.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d38)
     cnt
       .select(col("_x"), sum(col("_ca")).over(w).as("_cuma"),
         sum(col("_cb")).over(w).as("_cumb"))
       .crossJoin(broadcast(tot))
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
-        max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
-          .as("d_num"))
-      .select(col("n_a"), col("n_b"), col("d_num"),
-        Numerics.roundz(col("d_num").cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+        max(abs(dd(col("_cuma")) * dd(col("n_b")) -
+          dd(col("_cumb")) * dd(col("n_a")))).as("_d"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_d"))
+          .otherwise(raise_error(lit(
+            s"ksDistance: group '$grpA' or '$grpB' has no rows — " +
+              "two-sample D is undefined")))
+          .cast("long").as("d_num"),
+        Numerics.roundz(col("_d").cast("double") /
+          (dd(col("n_a")) * dd(col("n_b"))).cast("double"), 6).as("ks"))
   }
 
   /** Two-proportion A/B significance: per-variant exposed/converted
     * counts and the pooled z statistic — the experiment readout. The
     * counts are exact; z is a fixed chain of double ops over them,
     * rounded to 4 dp (cross-engine stable — every input is an
-    * integer).
+    * integer). The two variant labels are parameters (default "A"/"B");
+    * a label with NO assigned units raises at runtime instead of the
+    * silent empty frame a filter-and-cross-join would produce.
     */
   def abProportionTest(
       assignments: DataFrame, unitCol: String, variantCol: String,
-      converted: Column): DataFrame = {
+      converted: Column, labelA: String = "A",
+      labelB: String = "B"): DataFrame = {
+    require(labelA != labelB, "variant labels must differ")
     val per = assignments
       .groupBy(col(unitCol).as("_u"), col(variantCol).as("_v"))
       .agg(max(when(converted, 1L).otherwise(0L)).as("_conv"))
     val cells = per.groupBy(col("_v"))
       .agg(count(lit(1)).as("n"), sum(col("_conv")).as("conv"))
-    val a = cells.filter(col("_v") === "A")
-      .select(col("n").as("n_a"), col("conv").as("conv_a"))
-    val b = cells.filter(col("_v") === "B")
-      .select(col("n").as("n_b"), col("conv").as("conv_b"))
-    a.crossJoin(broadcast(b))
-      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+    // one always-present row: a missing label leaves its cell null and
+    // trips raise_error rather than vanishing from a cross join
+    def cell(lbl: String, c: Column) = max(when(col("_v") === lbl, c))
+    cells.agg(
+        cell(labelA, col("n")).as("_na"), cell(labelA, col("conv")).as("conv_a"),
+        cell(labelB, col("n")).as("_nb"), cell(labelB, col("conv")).as("conv_b"))
+      .select(
+        when(col("_na").isNotNull, col("_na"))
+          .otherwise(raise_error(lit(
+            s"abProportionTest: no units carry variant label '$labelA'")))
+          .as("n_a"),
+        col("conv_a"),
+        when(col("_nb").isNotNull, col("_nb"))
+          .otherwise(raise_error(lit(
+            s"abProportionTest: no units carry variant label '$labelB'")))
+          .as("n_b"),
+        col("conv_b"),
         Numerics.roundz({
           val p1 = col("conv_a").cast("double") / col("n_a")
           val p2 = col("conv_b").cast("double") / col("n_b")

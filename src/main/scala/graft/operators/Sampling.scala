@@ -457,6 +457,13 @@ object Sampling {
       .join(broadcast(sizes), Seq(srcCol))
       .crossJoin(broadcast(total))
       .select(col(idCol), col(srcCol), col("rank_in_source"),
-        expr("(rank_in_source - 1) * _total div _n_src").as("pos_key"))
+        // (rank−1)·total runs in DECIMAL(38,0): at multi-billion-row
+        // sources inside a multi-billion-row corpus the long product
+        // passes 2⁶³ and would silently wrap while the oracle promotes
+        // to HUGEINT. decimal×decimal ≤ 8.5e37 < 10³⁸ stays exact, and
+        // IntegralDivide returns BIGINT (the quotient ≤ total always
+        // fits), so the output schema is unchanged.
+        expr("cast(rank_in_source - 1 as decimal(38,0)) * _total div _n_src")
+          .as("pos_key"))
   }
 }

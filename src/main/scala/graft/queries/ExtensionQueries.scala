@@ -4234,6 +4234,12 @@ object EventQueries extends QueryGroup {
         |SELECT window_start, event_type, count(*) AS cnt
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Session boundary convention (both session gates): Spark's
+    * `session_window` spans are `[t, t+gap)` and merely-touching
+    * windows do NOT overlap, so an event exactly `gap` after its
+    * predecessor starts a NEW session — the oracle's `>=` replays
+    * that; a `>` there would diverge on any exact-300 s gap.
+    */
   val sessions: QueryDef = QueryDef(
     "events_sessionization",
     (s, dir) =>
@@ -4243,7 +4249,7 @@ object EventQueries extends QueryGroup {
       """WITH d AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '5 minutes'
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '5 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (SELECT user_id, ts, value,
@@ -5192,7 +5198,7 @@ object EventQueries extends QueryGroup {
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL '5 minutes'
+        |              >= INTERVAL '5 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |sx AS (SELECT user_id, ts,

@@ -310,6 +310,84 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Skew-hardened [[dhashNearDupPairs]]: identical output whenever no
+    * 28-bit sub-bucket exceeds `maxBucket` (the gated corpus and any
+    * diverse crawl), with per-bucket work bounded at maxBucket² even
+    * when a near-constant-image corpus (blank thumbnails) collapses
+    * onto one 16-bit band key.
+    *
+    * The cap is EXACT where ER's drop-only cap is lossy, because the
+    * pigeonhole recurses: a pair at hamming ≤ 3 matches some band `b`
+    * exactly; if bucket (b,key) is hot, the ≤ 3 flips are confined to
+    * the OTHER 48 bits, so among that bucket's 4×12-bit sub-bands some
+    * sub-band also matches — the pair still collides on the extended
+    * key. Only a sub-bucket still over the cap (≥ maxBucket images
+    * sharing 28 of 64 bits) is dropped, by declared contract — and that
+    * regime is the quadratic-OUTPUT case (the bucket members are
+    * mutually near-dup), where no pairs-shaped operator can be
+    * sub-quadratic; use connected components over a sampled pair set
+    * there instead.
+    *
+    * The first cap decision joins a ≤ 4·2¹⁶-row count frame
+    * (broadcast, bounded by the band keyspace, not the corpus); the
+    * second runs only over hot-bucket rows. Hot rows explode ×4 — a
+    * corpus-bounded constant, not a blow-up.
+    */
+  def dhashNearDupPairsCapped(
+      hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 2000): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16 pigeonhole banding is exact only for hamming <= 3")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("dhash"), b * 4 + 1, 4).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val c1 = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("_cnt"))
+    val keyed = banded.join(broadcast(c1), Seq("band", "key"))
+    val small = keyed.filter(col("_cnt") <= maxBucket)
+      .select(col("doc_id"), col("dhash"), col("band"),
+        col("key").as("bkey"))
+    // hot buckets: re-band the 12 remaining hex chars (48 bits) into
+    // 4×3-hex sub-bands; `rest` drops band b's 4 chars by position
+    val rest = concat(
+      expr("substring(dhash, 1, band * 4)"),
+      expr("substring(dhash, band * 4 + 5, 16)"))
+    val hot = keyed.filter(col("_cnt") > maxBucket)
+      .select(col("doc_id"), col("dhash"), col("band"), col("key"),
+        rest.as("_rest"))
+      .select(col("doc_id"), col("dhash"), col("band"),
+        explode(array((0 until 4).map(sb =>
+          concat(col("key"), lit(s"#$sb:"),
+            substring(col("_rest"), sb * 3 + 1, 3))): _*)).as("bkey"))
+    val c2 = hot.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_cnt2"))
+    val hotKept = hot.join(c2, Seq("band", "bkey"))
+      .filter(col("_cnt2") <= maxBucket)
+      .select(col("doc_id"), col("dhash"), col("band"), col("bkey"))
+    val all = small.unionByName(hotKept)
+    val a = all.select(col("doc_id").as("id_a"), col("dhash").as("ha"),
+      col("band"), col("bkey"))
+    val b = all.select(col("doc_id").as("id_b"), col("dhash").as("hb"),
+      col("band"), col("bkey"))
+    def bandInt(h: Column, i: Int): Column =
+      conv(substring(h, i * 4 + 1, 4), 16, 10).cast("int")
+    val hamming = (0 until 4).map(i =>
+      bit_count(bandInt(col("ha"), i).bitwiseXOR(bandInt(col("hb"), i)))
+        .cast("long")).reduce(_ + _)
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** REAL resize: decode → nearest-neighbour resample (explicit source
     * index `x*sw/w`, `y*sh/h` — no Graphics2D interpolation, so the
     * result is bit-deterministic across JVMs) → re-encode PNG. Batch

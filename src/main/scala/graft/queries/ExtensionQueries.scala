@@ -6047,6 +6047,47 @@ object MultimodalQueries extends QueryGroup {
         |HAVING sum(bit_count(xor(a.v, b.v))) <= 3
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Skew-hardened twin of [[dhashNearDup]] ([[graft.operators
+    * .Multimodal.dhashNearDupPairsCapped]]): `maxBucket = 25` is BELOW
+    * this corpus's largest band buckets (45/41/40/36/… at sf0.01), so
+    * the hot path — recursive 12-bit sub-banding of over-cap buckets —
+    * provably ENGAGES here, while every sub-bucket stays ≤ 24 ≤ cap so
+    * nothing is dropped. Same ALL-PAIRS oracle as the uncapped gate:
+    * the hash proves capped banding ≡ brute force with the recursion
+    * live, not just on a corpus where the cap is a no-op.
+    */
+  val dhashNearDupCapped: QueryDef = QueryDef(
+    "multimodal_dhash_neardup_capped",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.dhashNearDupPairsCapped(
+          Multimodal.dhashImages(syntheticMediaFor(s, dir, "image")),
+          maxBucket = 25)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH bytes AS (SELECT doc_id, y,
+        |    CAST(list_sum(list_transform(range(0, 8), x ->
+        |      CASE WHEN
+        |        ((((x+1) * (doc_id % 13 + 4)) // 9) * 31
+        |          + ((y * (doc_id % 7 + 4)) // 8) * 17 + doc_id) % 256
+        |        > (((x * (doc_id % 13 + 4)) // 9) * 31
+        |          + ((y * (doc_id % 7 + 4)) // 8) * 17 + doc_id) % 256
+        |        THEN 1 << x ELSE 0 END)) AS INTEGER) AS byte
+        |  FROM documents, unnest(range(0, 8)) AS t(y)),
+        |bands AS (SELECT b0.doc_id, b0.y // 2 AS band,
+        |    b0.byte * 256 + b1.byte AS v
+        |  FROM bytes b0 JOIN bytes b1
+        |    ON b0.doc_id = b1.doc_id AND b1.y = b0.y + 1
+        |  WHERE b0.y % 2 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  sum(bit_count(xor(a.v, b.v)))::BIGINT AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING sum(bit_count(xor(a.v, b.v))) <= 3
+        |ORDER BY id_a, id_b""".stripMargin))
+
   /** Per-channel raster statistics ([[graft.operators.Multimodal
     * .imageChannelStats]]): real PNG/BMP decode → exact R/G/B sums and
     * red-channel extremes — the image-corpus quality profile. The
@@ -6146,6 +6187,6 @@ object MultimodalQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(decodeStub, decodeReal, jpegDecode, audioReal, frameSample,
-      resizeReal, dhash, dhashNearDup, imageStats, audioFrames,
-      sceneCutsGate)
+      resizeReal, dhash, dhashNearDup, dhashNearDupCapped, imageStats,
+      audioFrames, sceneCutsGate)
 }

@@ -455,6 +455,33 @@ object ScaleCheck {
           hotDict, "p_name", "id", 0.9, maxBlock = 100))
     }
 
+    // capped dhash banding under a blank-thumbnail collapse: 30% of the
+    // corpus shares ONE hash (all 4 band keys identical — the crawl
+    // pathology), the rest are diverse. Uncapped banding would put the
+    // whole hot block in one bucket (quadratic in 0.3·N); the cap
+    // sub-bands hot buckets and drops the still-hot 28-bit sub-buckets
+    // by declared contract, so per-bucket work stays ≤ maxBucket² and
+    // the runtime must track the DIVERSE fraction, not the hot block
+    {
+      val s2 = spark
+      import s2.implicits._
+      val nImg = 5000L * dup
+      // ids ≡ 4 (mod 10) are a hamming-1 twin of their predecessor's
+      // hash (last nibble's low bit flipped), so the diverse fraction
+      // carries real pairs the cap must keep finding
+      val skewHashes = s2.range(0, nImg).select(col("id").as("doc_id"),
+        when(col("id") % 10 < 3, lit("00000000000000ff"))
+          .when(col("id") % 10 === 4, concat(
+            substring(md5((col("id") - 1).cast("string")), 1, 15),
+            translate(substring(md5((col("id") - 1).cast("string")), 16, 1),
+              "0123456789abcdef", "1032547698badcfe")))
+          .otherwise(substring(md5(col("id").cast("string")), 1, 16))
+          .as("dhash"))
+      time(s"dhash_capped_hot_${dup}x",
+        graft.operators.Multimodal.dhashNearDupPairsCapped(
+          skewHashes, maxHamming = 3, maxBucket = 2000))
+    }
+
     // neighbor Jaccard under the hub cap: the blown corpus merges each
     // template clique across copies (degrees ×dup, wedges ×dup²), so
     // UNCAPPED second-order similarity goes quadratic-in-clique — the

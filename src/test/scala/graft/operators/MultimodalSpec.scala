@@ -258,6 +258,44 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty) // the synthetic corpus does contain near-dups
   }
 
+  test("capped dhash banding equals uncapped with the hot path engaged") {
+    implicit val s = spark
+    import s.implicits._
+    val hashes = Multimodal.dhashImages(Multimodal.syntheticImageTable(docs))
+    val uncapped = Multimodal.dhashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cap far below the corpus's largest band bucket so hot buckets
+    // sub-band; sub-buckets stay under the cap here, so results must
+    // be IDENTICAL (the recursive pigeonhole is exact, not approximate)
+    val capped = Multimodal.dhashNearDupPairsCapped(
+        hashes, maxHamming = 3, maxBucket = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("capped dhash bounds a near-constant corpus and keeps true pairs") {
+    implicit val s = spark
+    import s.implicits._
+    // 60% of the corpus shares ONE hash (the blank-thumbnail collapse);
+    // the rest are distinct hashes with a few planted hamming-1 pairs
+    val constant = (0L until 60L).map(i => (i, "00000000000000ff"))
+    val planted = (100L until 120L).map { i =>
+      val h = f"${i * 0x9e3779b97f4a7c15L}%016x"
+      (i, h)
+    } ++ Seq((900L, "123456789abcdef0"), (901L, "123456789abcdef1"))
+    val hashes = (constant ++ planted).toDF("doc_id", "dhash")
+    val capped = Multimodal.dhashNearDupPairsCapped(
+        hashes, maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the planted diverse pair survives the cap (its buckets are small)
+    assert(capped.contains((900L, 901L, 1L)))
+    // the constant block's sub-buckets are ALL identical 28-bit keys →
+    // over-cap → dropped by declared contract: no constant-block pair
+    // appears, and no bucket ever exceeded maxBucket² work
+    assert(!capped.exists { case (a, b, _) => a < 60L && b < 60L })
+  }
+
   test("channel stats separate R/G/B on a non-gray raster") {
     implicit val s = spark
     import s.implicits._

@@ -1101,17 +1101,64 @@ object Similarity {
       col(vecCol).as("_va"))
     val bv = b.select(col(idCol).cast("long").as("id_b"),
       col(vecCol).as("_vb"))
-    def scored = av.join(broadcast(bv))
-      .select(col("id_a"), col("id_b"),
-        Numerics.roundz(cosineFast(a.sparkSession, col("_va"), col("_vb")), 6)
-          .as("sim"))
-    val bestA = scored.groupBy("id_a")
-      .agg(max(struct(col("sim"), (-col("id_b")).as("_nb"))).as("m"))
-      .select(col("id_a"), (-col("m._nb")).as("id_b"),
+    mutualFromCross(a.sparkSession, av.join(broadcast(bv)))
+  }
+
+  /** [[mutualNearest]] for a B side too large to broadcast: the A×B
+    * scoring is TILED instead — `shuffle_replicate_nl` pins Spark's
+    * cartesian-product join, so the flops land in |Apart|·|Bpart|
+    * independent tasks each holding one (A tile × B tile) block, with
+    * no executor ever needing a whole side in memory. Same flop count
+    * as the broadcast path (mutual-TOP-1 needs every true score; an
+    * ANN prefilter that can miss the argmax would change the answer),
+    * identical output bit-for-bit: the per-pair rounded cosine and the
+    * (sim, −id) argmax structs are order-independent, so tiling cannot
+    * reorder its way to a different result. `tilesPerSide` bounds tile
+    * height ≈ |side|/tiles; size it so a tile of vectors fits an
+    * executor's working memory.
+    */
+  def mutualNearestBlocked(
+      a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      tilesPerSide: Int = 8): DataFrame = {
+    require(tilesPerSide >= 1, s"tilesPerSide must be >= 1, got $tilesPerSide")
+    val av = a.select(col(idCol).cast("long").as("id_a"),
+      col(vecCol).as("_va")).repartition(tilesPerSide)
+    val bv = b.select(col(idCol).cast("long").as("id_b"),
+      col(vecCol).as("_vb")).repartition(tilesPerSide)
+    mutualFromCross(a.sparkSession, av.hint("shuffle_replicate_nl").join(bv))
+  }
+
+  /** Shared mutual-top-1 tail: ONE pass over the scored stream. Each
+    * (a,b) score fans into two tagged argmax candidates (side 0 keyed
+    * by id_a, side 1 by id_b) BEFORE the hash aggregate, so the
+    * map-side combine reduces every tile to its distinct keys and the
+    * cross stream is scored exactly once — never materialized (caching
+    * A×B would cost |A|·|B| rows of storage to save map-local flops;
+    * the wrong trade at any scale). Only the ≤ |A|+|B|-row argmax
+    * frame persists, for the two-sided filter-join.
+    */
+  private def mutualFromCross(
+      spark: org.apache.spark.sql.SparkSession,
+      cross: DataFrame): DataFrame = {
+    val scored = cross.select(col("id_a"), col("id_b"),
+      Numerics.roundz(cosineFast(spark, col("_va"), col("_vb")), 6)
+        .as("sim"))
+    val best = scored.select(explode(array(
+        struct(lit(0).as("side"), col("id_a").as("k"),
+          struct(col("sim"), (-col("id_b")).as("_o")).as("cand")),
+        struct(lit(1).as("side"), col("id_b").as("k"),
+          struct(col("sim"), (-col("id_a")).as("_o")).as("cand"))))
+        .as("t"))
+      .select(col("t.side").as("side"), col("t.k").as("k"),
+        col("t.cand").as("cand"))
+      .groupBy(col("side"), col("k"))
+      .agg(max(col("cand")).as("m"))
+      .localCheckpoint(true)
+    val bestA = best.filter(col("side") === 0)
+      .select(col("k").as("id_a"), (-col("m._o")).as("id_b"),
         col("m.sim").as("sim"))
-    val bestB = scored.groupBy("id_b")
-      .agg(max(struct(col("sim"), (-col("id_a")).as("_na"))).as("m"))
-      .select((-col("m._na")).as("id_a"), col("id_b"),
+    val bestB = best.filter(col("side") === 1)
+      .select((-col("m._o")).as("id_a"), col("k").as("id_b"),
         col("m.sim").as("sim"))
     bestA.join(bestB, Seq("id_a", "id_b", "sim"))
   }

@@ -1284,6 +1284,40 @@ object SimilarityQueries extends QueryGroup {
         |  AND ba.sim = bb.sim
         |ORDER BY ba.id_a""".stripMargin))
 
+  /** Tiled twin of [[mutualNearest]] ([[graft.operators.Similarity
+    * .mutualNearestBlocked]]): the scoring cross product runs as a
+    * `shuffle_replicate_nl` cartesian over 4×4 tiles instead of
+    * broadcasting B — the shape for corpus-scale bitext where neither
+    * side fits one executor. Same oracle as the broadcast gate: the
+    * hash proves tiling is bit-identical (per-pair rounded cosines +
+    * order-independent argmax structs cannot drift under re-tiling).
+    */
+  val mutualNearestBlocked: QueryDef = QueryDef(
+    "sim_mutual_nearest_blocked",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      graft.operators.Similarity.mutualNearestBlocked(
+          e.filter(col("label") % 2 === 0),
+          e.filter(col("label") % 2 === 1),
+          "vec_id", "embedding", tilesPerSide = 4)
+        .orderBy("id_a")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
+        |s AS (SELECT id_a, id_b,
+        |    round(list_cosine_similarity(a.v, b.v), 6) + 0 AS sim FROM a, b),
+        |ba AS (SELECT * FROM s QUALIFY row_number() OVER (
+        |    PARTITION BY id_a ORDER BY sim DESC, id_b) = 1),
+        |bb AS (SELECT * FROM s QUALIFY row_number() OVER (
+        |    PARTITION BY id_b ORDER BY sim DESC, id_a) = 1)
+        |SELECT ba.id_a, ba.id_b, ba.sim
+        |FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
+        |  AND ba.sim = bb.sim
+        |ORDER BY ba.id_a""".stripMargin))
+
   /** Per-dimension quantile binning ([[graft.operators.Features
     * .quantileBins]]): rank-based equal-frequency discretization —
     * bin ASSIGNMENT is ntile over a deterministic order, so no float
@@ -1346,7 +1380,8 @@ object SimilarityQueries extends QueryGroup {
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
-      mutualNearest, quantileBinsGate, hardNegatives, classSeparationGate)
+      mutualNearest, mutualNearestBlocked, quantileBinsGate, hardNegatives,
+      classSeparationGate)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

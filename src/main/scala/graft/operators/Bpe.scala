@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    pair-count updates (lazy-deletion heap) — a 32k-merge vocab is
   *    ONE Spark job plus driver compute, not 32k sequential jobs. The
   *    fallback [[trainMergesDistributed]] keeps the exact per-merge
-  *    distributed rounds (localCheckpoint'd per round, like
+  *    distributed rounds (materialized per round via [[Materialize]], like
   *    [[ConnectedComponents]]) for untruncatable vocabularies.
   *  - ties on pair count break lexicographically in UTF-8 order in
   *    BOTH trainers — the training is deterministic,
@@ -103,7 +105,7 @@ object Bpe {
     val words = wordFrequencies(df, textCol).as[(String, Long)]
     // symbol sequences over the distinct-word frame
     var seqs = words.map { case (w, f) => (toSymbols(w), f) }
-      .toDF("syms", "freq").localCheckpoint(true)
+      .toDF("syms", "freq").materialized
     val merges = Seq.newBuilder[(String, String, Int)]
     var rank = 0
     var exhausted = false
@@ -125,7 +127,7 @@ object Bpe {
         merges += ((l, r, rank))
         seqs = seqs.as[(Array[String], Long)]
           .map { case (syms, f) => (applyMerge(syms, l, r), f) }
-          .toDF("syms", "freq").localCheckpoint(true)
+          .toDF("syms", "freq").materialized
         rank += 1
       }
     }

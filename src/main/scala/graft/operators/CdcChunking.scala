@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -89,7 +91,7 @@ object CdcChunking {
     // not run twice
     val inst = chunks(docs, textCol, idCol)
       .select(col(idCol), md5(col("chunk")).as("k"))
-      .localCheckpoint(true)
+      .materialized
     val freq = inst.groupBy(col("k"))
       .agg(countDistinct(col(idCol)).as("nd"))
     inst.join(freq, "k")

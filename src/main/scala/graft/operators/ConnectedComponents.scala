@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -85,22 +87,23 @@ object ConnectedComponents {
     val projected = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e = (if (preContract) localContract(projected) else projected)
-      .localCheckpoint(true)
-    // localCheckpoint (not cache) everywhere the loop re-reads a frame:
-    // an iterative plan that only CACHES still carries its whole logical
+      .materialized
+    // checkpoint (not cache) everywhere the loop re-reads a frame: an
+    // iterative plan that only CACHES still carries its whole logical
     // history, and each round references the prior round twice — the
     // plan TREE doubles per iteration and the driver dies formatting it
     // long before any data pressure. Checkpointing truncates lineage to
     // the materialized blocks, the standard shape for iterative graph
-    // algorithms on Spark (at cluster scale use reliable checkpoints to
-    // survive executor loss).
+    // algorithms on Spark. [[Materialize]] picks the strategy: local
+    // blocks by default, reliable DFS checkpoints (survive executor
+    // loss) when spark.graft.checkpoint.dir is set.
     val sym = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .materialized
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -124,7 +127,7 @@ object ConnectedComponents {
         .join(jumpTo, stepped("label") === col("jn"), "left")
         .select(stepped("node"), stepped("_old"),
           least(stepped("label"), coalesce(col("jl"), stepped("label"))).as("label"))
-        .localCheckpoint(true)
+        .materialized
       changed = jumped.filter(col("label") < col("_old")).count()
       labels = jumped.select("node", "label")
       iter += 1
@@ -168,13 +171,13 @@ object ConnectedComponents {
     val projected = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val raw = (if (preContract) localContract(projected) else projected)
-      .localCheckpoint(true)
+      .materialized
     // node universe BEFORE dropping self-loops — a node whose only edge
     // is (v, v) is still a (singleton) component
     val nodes = raw.select(col("src").as("node"))
       .unionByName(raw.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val in = raw.filter(col("src") =!= col("dst"))
     import org.apache.spark.sql.expressions.Window
 
@@ -203,14 +206,14 @@ object ConnectedComponents {
         .distinct()
     }
 
-    var e = largeStar(in).localCheckpoint(true)
+    var e = largeStar(in).materialized
     var converged = false
     var iter = 0
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
           s"star contraction not converged after $maxIter rounds")
-      val next = largeStar(smallStar(e)).localCheckpoint(true)
+      val next = largeStar(smallStar(e)).materialized
       // both sides are distinct sets, so equal counts + empty one-way
       // difference ⇒ set equality (one difference job, not two)
       converged = next.count() == e.count() && next.exceptAll(e).isEmpty

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -712,7 +714,7 @@ object Dedup {
       // lazy plan re-evaluates the interpreted HOF hash chain per row
       // per aggregate expression (measured 4.4 s vs 0.25 s at sf0.1 —
       // see [[containmentPairs]], same shape)
-      .localCheckpoint(true)
+      .materialized
     // CLUSTER identical token sets first: on templated / duplicated
     // corpora, distinct sets grow far slower than docs (sf0.1: 3935 of
     // 5000; a 10×-duplicated corpus: unchanged), so the quadratic-ish
@@ -724,7 +726,7 @@ object Dedup {
     val clusters = keyed.groupBy(col("ckey")).agg(
       first(col("ws")).as("ws"), first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
-      .localCheckpoint(true)
+      .materialized
     // prefix tokens are the 8-byte hashes, not strings — smaller join
     // shuffles, same identity (the kernels already accept the 2⁻⁶⁴
     // hash-collision rate)
@@ -804,11 +806,11 @@ object Dedup {
       .withColumn("hs", array_sort(transform(col("ws"), w => xxhash64(w))))
       .withColumn("ckey", xxhash64(
         concat_ws(",", transform(col("hs"), h => h.cast("string")))))
-      .localCheckpoint(true)
+      .materialized
     val clusters = keyed.groupBy(col("ckey")).agg(
       first(col("ws")).as("ws"), first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
-      .localCheckpoint(true)
+      .materialized
     // token rows carry the 8-byte shingle HASH, not the string — the
     // candidate join's shuffle volume drops by the mean shingle width
     // (hash identity ≡ shingle identity up to the 2⁻⁶⁴ collisions the

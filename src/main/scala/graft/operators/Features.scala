@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,7 +128,7 @@ object Features {
       .agg(count(lit(1)).as("tf"))
       // tf feeds BOTH the df aggregate and the weighted join —
       // materialize the tokenize+count chain once
-      .localCheckpoint(true)
+      .materialized
     val dfreq = tf.groupBy("w")
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq").between(dfMin, dfMax))
@@ -137,7 +139,7 @@ object Features {
       .join(broadcast(dfreq), "w")
       .select(col("id"), col("w"),
         (col("tf") * expr("1000000 div dfreq")).as("wt"))
-      .localCheckpoint(true)
+      .materialized
     val a = weighted.select(col("id").as("id_a"), col("w"),
       col("wt").as("wa"))
     val b = weighted.select(col("id").as("id_b"), col("w"),

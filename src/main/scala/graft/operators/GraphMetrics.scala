@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,7 +44,7 @@ object GraphMetrics {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val sym = canon.select(col("u"), col("v"))
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
@@ -53,7 +55,7 @@ object GraphMetrics {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u").as("src"), col("v").as("dst"))
-      .localCheckpoint(true)
+      .materialized
     // wedges from the shared lowest-rank corner; close over the
     // undirected edge set (id-ordered pair lookup against canon)
     val wedges = oriented.as("x").join(oriented.as("y"),
@@ -118,7 +120,7 @@ object GraphMetrics {
       }
     val sym = canon.select(col("u"), col("v"))
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .materialized
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val common = sym.as("x").join(sym.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
@@ -160,20 +162,20 @@ object GraphMetrics {
     var e = canon.select(col("u"), col("v"))
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
-      .localCheckpoint(true)
+      .materialized
     var keep: DataFrame = null
     var i = 0
     while (i < rounds) {
       keep = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .localCheckpoint(true)
+        .materialized
       val ids = keep.select(col("node"))
       e = e
         .join(ids.withColumnRenamed("node", "u").hint("shuffle_hash"), "u",
           "left_semi")
         .join(ids.withColumnRenamed("node", "v").hint("shuffle_hash"), "v",
           "left_semi")
-        .localCheckpoint(true)
+        .materialized
       i += 1
     }
     keep
@@ -203,11 +205,11 @@ object GraphMetrics {
     val sym = canon.select(col("u"), col("v"))
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
-      .localCheckpoint(true)
+      .materialized
     var labelled = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .materialized
     var frontier = labelled.select(col("node"))
     var d = 1L
     while (d <= maxDepth) {
@@ -218,8 +220,8 @@ object GraphMetrics {
         .distinct()
         .join(labelled.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint(true)
-      labelled = labelled.unionByName(next).localCheckpoint(true)
+        .materialized
+      labelled = labelled.unionByName(next).materialized
       frontier = next.select(col("node"))
       d += 1L
     }
@@ -259,14 +261,14 @@ object GraphMetrics {
         col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .materialized
     // second layout keyed by dst so NEITHER half-step ever re-shuffles
     // the edge list (each round joins each layout once)
-    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
+    val eByDst = eBySrc.repartition(col("dst")).materialized
     val nodes = eBySrc.select(col("src").as("id"))
       .unionByName(eBySrc.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val nCount = nodes.count()
     require(nCount > 0, "graph must have at least one edge")
 
@@ -286,7 +288,7 @@ object GraphMetrics {
         greatest(expr(s"sum(v) div ${HitsScale}L"), lit(1L)).as("q"))
       raw.crossJoin(broadcast(q))
         .select(col("id"), expr("v div q").as("s"))
-        .localCheckpoint(true)
+        .materialized
     }
 
     var hubs = nodes.select(col("id"), lit(HitsScale / nCount).as("s"))
@@ -333,7 +335,7 @@ object GraphMetrics {
     val labeled = canon
       .join(lbl.select(col("id").as("u"), col("c").as("cu")), "u")
       .join(lbl.select(col("id").as("v"), col("c").as("cv")), "v")
-      .localCheckpoint(true)
+      .materialized
     val edgeAgg = labeled.agg(
       count(lit(1)).as("m"),
       sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("internal"))
@@ -389,11 +391,11 @@ object GraphMetrics {
     val e = canon.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(canon.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .materialized
     var labels = nodes
       .select(col(idCol).cast("long").as("id"),
         col(idCol).cast("long").as("label"))
-      .localCheckpoint(true)
+      .materialized
     var i = 0
     while (i < iterations) {
       val votes = e
@@ -417,7 +419,7 @@ object GraphMetrics {
         .join(best.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("newl"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .materialized
       i += 1
     }
     labels.select(col("id").as(idCol), col("label").as("community"))

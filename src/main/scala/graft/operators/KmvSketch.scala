@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,8 +65,8 @@ object KmvSketch {
   def setSummary(
       dfA: DataFrame, dfB: DataFrame, valueCol: String,
       k: Int): DataFrame = {
-    val ka = bottomK(dfA, valueCol, k).localCheckpoint(true)
-    val kb = bottomK(dfB, valueCol, k).localCheckpoint(true)
+    val ka = bottomK(dfA, valueCol, k).materialized
+    val kb = bottomK(dfB, valueCol, k).materialized
     val ku = ka.unionByName(kb).distinct().orderBy("h").limit(k)
     val marked = ku
       .join(broadcast(ka.withColumn("in_a", lit(1L))), Seq("h"), "left")
@@ -123,13 +125,13 @@ object KmvSketch {
     // on the raw keys, never the 28-bit hashes (at ~2^14 distinct keys
     // a 2^-28 hash collision is no longer negligible for an exact column)
     val ca = dfA.groupBy(col(keyColA).as("key"))
-      .agg(count(lit(1)).as("na")).localCheckpoint(true)
+      .agg(count(lit(1)).as("na")).materialized
     val cb = dfB.groupBy(col(keyColB).as("key"))
-      .agg(count(lit(1)).as("nb")).localCheckpoint(true)
+      .agg(count(lit(1)).as("nb")).materialized
     val ka = ca.select(h28(col("key").cast("string")).as("h"), col("na"))
-      .orderBy("h").limit(k).localCheckpoint(true)
+      .orderBy("h").limit(k).materialized
     val kb = cb.select(h28(col("key").cast("string")).as("h"), col("nb"))
-      .orderBy("h").limit(k).localCheckpoint(true)
+      .orderBy("h").limit(k).materialized
     val ku = ka.select("h").unionByName(kb.select("h"))
       .distinct().orderBy("h").limit(k)
     val sample = ka.join(kb, "h") // shared keys inside both sketches

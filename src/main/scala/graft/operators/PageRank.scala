@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -53,7 +55,7 @@ object PageRank {
   def pagerank(
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
-    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val n0 = nodes.select(col(idCol)).distinct().materialized
     val nCount = n0.count()
     require(nCount > 0, "graph must have at least one node")
     val n = n0.select(col(idCol).as("id"),
@@ -76,11 +78,11 @@ object PageRank {
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, seeds: DataFrame,
       iterations: Int = 3): DataFrame = {
-    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val n0 = nodes.select(col(idCol)).distinct().materialized
     val seedIds = seeds.select(col(idCol)).distinct()
     val flagged = n0.join(
         seedIds.withColumn("_seed", lit(true)), Seq(idCol), "left")
-      .localCheckpoint(true)
+      .materialized
     val sCount = flagged.filter(col("_seed")).count()
     require(sCount > 0, "at least one seed must be a graph node")
     val n = flagged.select(col(idCol).as("id"),
@@ -106,7 +108,7 @@ object PageRank {
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, weightCol: String,
       iterations: Int = 3): DataFrame = {
-    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val n0 = nodes.select(col(idCol)).distinct().materialized
     val nCount = n0.count()
     require(nCount > 0, "graph must have at least one node")
     // the contract says "weights must be positive longs" — enforce it:
@@ -141,7 +143,7 @@ object PageRank {
   def pagerankDangling(
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, iterations: Int = 3): DataFrame = {
-    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val n0 = nodes.select(col(idCol)).distinct().materialized
     val nCount = n0.count()
     require(nCount > 0, "graph must have at least one node")
     val n = n0.select(col(idCol).as("id"),
@@ -162,7 +164,7 @@ object PageRank {
       nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, weightCol: String,
       iterations: Int = 3): DataFrame = {
-    val n0 = nodes.select(col(idCol)).distinct().localCheckpoint(true)
+    val n0 = nodes.select(col(idCol)).distinct().materialized
     val nCount = n0.count()
     require(nCount > 0, "graph must have at least one node")
     val badW = edges
@@ -194,9 +196,9 @@ object PageRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         weightCol.map(w => col(w).cast("long")).getOrElse(lit(1L)).as("w"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .materialized
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-      .localCheckpoint(true)
+      .materialized
     var ranks = n.select(col("id"), col("r0").as("r"))
     var i = 0
     while (i < iterations) {
@@ -227,7 +229,7 @@ object PageRank {
         .select(col("id"),
           (col("base") +
             expr("85 * (coalesce(m, 0L) + dshare) div 100")).as("r"))
-        .localCheckpoint(true)
+        .materialized
       i += 1
     }
     ranks

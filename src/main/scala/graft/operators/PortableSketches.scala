@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -221,7 +223,7 @@ object PortableSketches {
     val spark = df.sparkSession
     val sigs = minhashSignatures60(df, textCol, idCol, numHashes, shingleSize)
       .select(col(idCol).as("id"), col("signature"), col("hs"))
-      .localCheckpoint(true)
+      .materialized
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -330,7 +332,7 @@ object Sampling {
     val indexed = ids.orderBy("id").as[Long].rdd.zipWithIndex()
       .map { case (id, i) => (id, i + 1) }
       .toDF("id", "rn")
-      .localCheckpoint(true)
+      .materialized
     val n = indexed.count()
     val cand = ids.select(col("id").as("anchor"))
       .withColumn("j", explode(sequence(lit(1), lit(margin))))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -61,7 +63,7 @@ object SentenceDedup {
     val inst = docs
       .select(col(idCol), explode(sentences(col(textCol))).as("sent"))
       .select(col(idCol), sentenceKey(col("sent")).as("k"))
-      .localCheckpoint(true)
+      .materialized
     val freq = inst.groupBy(col("k"))
       .agg(countDistinct(col(idCol)).as("nd"))
     inst.join(freq, "k")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -785,7 +787,7 @@ object Similarity {
     val base = embeddings
       .select(col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<double>").as("_v"))
-      .localCheckpoint(true)
+      .materialized
     var assigned = embeddings
       .select(col(idCol).cast("long").as("_id"),
         col(labelCol).cast("int").as("assigned"))
@@ -827,7 +829,7 @@ object Similarity {
           }
         }
         .toDF("_id", "assigned")
-        .localCheckpoint(true)
+        .materialized
       round += 1
     }
     assigned.select(col("_id").as(idCol), col("assigned"))
@@ -1036,7 +1038,7 @@ object Similarity {
     // downstream aggregates don't re-run the assignment pipeline
     val cells = joined.groupBy(col("c"), col("l"))
       .agg(count(lit(1)).as("nlc"))
-      .localCheckpoint(true)
+      .materialized
     val nTot = cells.agg(sum(col("nlc")).as("n"))
     val cm = cells.groupBy(col("c")).agg(sum(col("nlc")).as("nc"))
     val lm = cells.groupBy(col("l")).agg(sum(col("nlc")).as("nl"))
@@ -1153,7 +1155,7 @@ object Similarity {
         col("t.cand").as("cand"))
       .groupBy(col("side"), col("k"))
       .agg(max(col("cand")).as("m"))
-      .localCheckpoint(true)
+      .materialized
     val bestA = best.filter(col("side") === 0)
       .select(col("k").as("id_a"), (-col("m._o")).as("id_b"),
         col("m.sim").as("sim"))

@@ -5589,6 +5589,56 @@ object IoQueries extends QueryGroup {
         |WHERE NOT COALESCE(s.del, false)
         |ORDER BY doc_id""".stripMargin))
 
+  /** The same MERGE applied TRANSACTIONALLY ([[graft.sources
+    * .TxTable.mergeInto]]): documents becomes TxTable version 0, the
+    * closed-form changeset commits as one atomic version 1 (immutable
+    * parquet data files + rename-published manifest — snapshot
+    * isolation, optimistic concurrency), and the gate reads the table
+    * BACK from disk. Same oracle as [[mergeUpsert]] minus the `action`
+    * metadata column: the hash proves the full
+    * write-commit-resolve-read cycle preserves MERGE semantics
+    * bit-for-bit, closing the 100 TB ingest path (harvest commits
+    * while queries keep serving their resolved snapshot).
+    */
+  val mergeUpsertAcid: QueryDef = QueryDef(
+    "io_merge_upsert_acid",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val upd = d
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("lang"), lit(false).as("del"))
+      val dels = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"), col("lang"),
+          lit(true).as("del"))
+      val ins = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"), col("lang"),
+          lit(false).as("del"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-acid-merge-").toString
+      graft.sources.TxTable.create(d, root)
+      graft.sources.TxTable.mergeInto(
+        root, upd.unionByName(dels).unionByName(ins),
+        "doc_id", Seq("text", "lang"), "del")
+      graft.sources.TxTable.read(s, root).orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, text, lang FROM documents),
+        |s AS (
+        |  SELECT doc_id, text || ' v2' AS text, lang, false AS del
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id, text, lang, true
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 1000000, 'new ' || text, lang, false
+        |    FROM documents WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
+        |  COALESCE(s.text, t.text) AS text,
+        |  COALESCE(s.lang, t.lang) AS lang
+        |FROM t FULL OUTER JOIN s ON t.doc_id = s.doc_id
+        |WHERE NOT COALESCE(s.del, false)
+        |ORDER BY doc_id""".stripMargin))
+
   /** Column-profile drift ([[graft.operators.DataProfile.drift]]):
     * the per-ingest data-quality monitor — exact per-column row/null/
     * distinct/bounds profiles of two snapshots (documents vs a
@@ -5839,7 +5889,8 @@ object IoQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      domainStats, partitionPrune, xmlRecords, mergeUpsert, profileDrift,
+      domainStats, partitionPrune, xmlRecords, mergeUpsert,
+      mergeUpsertAcid, profileDrift,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)
 }

@@ -51,11 +51,23 @@ object Redaction {
       regexp_count(afterIp, lit(PhoneRe)).cast("long").as("n_phone"))
   }
 
-  /** Word-bounded 13-16 digit runs — payment-card CANDIDATES; the
-    * Luhn check below separates real card numbers from order ids and
-    * tracking numbers that match the same shape.
+  /** Word-bounded CONTIGUOUS 13-16 digit runs — payment-card
+    * CANDIDATES; the Luhn check below separates real card numbers
+    * from order ids and tracking numbers that match the same shape.
+    * Stated scope: contiguous runs ONLY — separator-formatted numbers
+    * ("4111 1111 1111 1111", dash-grouped) are NOT candidates here;
+    * [[redactCardsSeparated]] is the pass that catches them.
     */
   val CardCandidateRe = "\\b\\d{13,16}\\b"
+
+  /** Separator-tolerant candidates: 13-16 digits with at most one
+    * space or dash between adjacent digits — covers the common
+    * printed forms (4-4-4-4 spaced, dash-grouped) AND plain
+    * contiguous runs (every separator is optional), while word
+    * boundaries keep longer digit runs excluded exactly as in
+    * [[CardCandidateRe]]. Only syntax Java regex and RE2 agree on.
+    */
+  val CardSeparatedRe = "\\b\\d(?:[ -]?\\d){12,15}\\b"
   val CardToken = "<CARD>"
 
   /** Luhn mod-10 checksum validity of a digit string (ISO/IEC 7812):
@@ -90,6 +102,26 @@ object Redaction {
     val cands = array_distinct(
       regexp_extract_all(col(textCol), lit(CardCandidateRe), lit(0)))
     val valid = filter(cands, c => luhnValid(c))
+    df.select(
+      col(idCol),
+      aggregate(valid, col(textCol),
+        (acc, c) => call_function("replace", acc, c, lit(CardToken)))
+        .as("redacted"),
+      size(cands).cast("long").as("n_candidates"),
+      size(valid).cast("long").as("n_valid"))
+  }
+
+  /** [[redactCards]] over [[CardSeparatedRe]]: candidates may carry
+    * single space/dash separators; the Luhn decision runs on the
+    * digits alone (separators stripped before the checksum fold) and
+    * the replacement masks the EXACT matched span, separators
+    * included. Same one-scan, no-UDF shape as the contiguous pass.
+    */
+  def redactCardsSeparated(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cands = array_distinct(
+      regexp_extract_all(col(textCol), lit(CardSeparatedRe), lit(0)))
+    val valid = filter(cands, c => luhnValid(translate(c, " -", "")))
     df.select(
       col(idCol),
       aggregate(valid, col(textCol),

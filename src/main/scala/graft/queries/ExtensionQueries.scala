@@ -3922,6 +3922,71 @@ object TextQueries extends QueryGroup {
         |  len(valid)::BIGINT AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin))
 
+  /** Separator-tolerant card redaction ([[graft.operators.Redaction
+    * .redactCardsSeparated]]): every doc gets one known-valid SPACED
+    * card ("4111 1111 1111 1111" — invisible to the contiguous pass)
+    * and one dash-grouped doc_id-derived candidate whose Luhn validity
+    * varies, so the gate proves the separator-stripped checksum
+    * decision AND the exact-span (separators included) replacement.
+    */
+  val luhnRedactionSeparated: QueryDef = QueryDef(
+    "text_luhn_redaction_separated",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val digits = concat(lit("52"),
+        lpad((col("doc_id") % 100000000L).cast("string"), 12, "0"),
+        (col("doc_id") % 10).cast("string"))
+      val grouped = concat(
+        substring(digits, 1, 4), lit("-"), substring(digits, 5, 4),
+        lit("-"), substring(digits, 9, 4), lit("-"),
+        substring(digits, 13, 3))
+      val withCards = concat(col("text"),
+        lit(" pay 4111 1111 1111 1111 or "), grouped)
+      graft.operators.Redaction.redactCardsSeparated(
+          docs.select(col("doc_id"), withCards.as("text")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH g AS (SELECT doc_id,
+        |    '52' || lpad((doc_id % 100000000)::VARCHAR, 12, '0')
+        |      || (doc_id % 10)::VARCHAR AS d
+        |  FROM documents),
+        |p AS (SELECT t.doc_id,
+        |    t.text || ' pay 4111 1111 1111 1111 or '
+        |      || substring(d, 1, 4) || '-' || substring(d, 5, 4)
+        |      || '-' || substring(d, 9, 4) || '-' || substring(d, 13, 3)
+        |      AS text
+        |  FROM documents t JOIN g ON t.doc_id = g.doc_id),
+        |c AS (SELECT doc_id, text,
+        |    list_distinct(regexp_extract_all(text,
+        |      '\b\d(?:[ -]?\d){12,15}\b')) AS cands
+        |  FROM p),
+        |v AS (SELECT doc_id, text, cands,
+        |    list_filter(cands, s ->
+        |      list_sum(list_transform(
+        |        range(0, length(replace(replace(s, ' ', ''), '-', ''))),
+        |        i -> CASE WHEN i % 2 = 1 THEN
+        |          CASE WHEN substring(reverse(
+        |              replace(replace(s, ' ', ''), '-', '')),
+        |              i + 1, 1)::INT < 5
+        |            THEN 2 * substring(reverse(
+        |              replace(replace(s, ' ', ''), '-', '')),
+        |              i + 1, 1)::INT
+        |            ELSE 2 * substring(reverse(
+        |              replace(replace(s, ' ', ''), '-', '')),
+        |              i + 1, 1)::INT - 9 END
+        |        ELSE substring(reverse(
+        |          replace(replace(s, ' ', ''), '-', '')),
+        |          i + 1, 1)::INT END)) % 10 = 0) AS valid
+        |  FROM c)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(text, valid),
+        |    (a, x) -> replace(a, x, '<CARD>')) AS redacted,
+        |  len(cands)::BIGINT AS n_candidates,
+        |  len(valid)::BIGINT AS n_valid
+        |FROM v ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
@@ -3930,7 +3995,7 @@ object TextQueries extends QueryGroup {
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
-      docKeywordsGate, tokenOffsetsGate)
+      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate)
 }
 
 object SamplingQueries extends QueryGroup {

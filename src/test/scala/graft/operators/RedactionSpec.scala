@@ -82,4 +82,33 @@ class RedactionSpec extends SparkSpec {
     assert(out(1) == ("tracking 1234567890123 only", 1L, 0L))
     assert(out(2) == ("no digits at all", 0L, 0L))
   }
+
+  test("separator-tolerant pass masks spaced and dashed valid cards") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // the most common printed forms: spaced and dash-grouped, both
+      // Luhn-valid — invisible to the contiguous pass by its contract
+      (1L, "pay 4111 1111 1111 1111 today"),
+      (2L, "card 4242-4242-4242-4242 on file"),
+      // valid contiguous run still caught (separators optional)
+      (3L, "pay 4242424242424242 ok"),
+      // separated but Luhn-INVALID: counted as candidate, not masked
+      (4L, "ref 4111 1111 1111 1112 stays"),
+      // 10-digit phone-ish grouping: too few digits, not a candidate
+      (5L, "call 123-456-7890 now"))
+      .toDF("doc_id", "text")
+    val contiguous = Redaction.redactCards(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => r.getLong(3))
+    assert(contiguous(0) == 0L && contiguous(1) == 0L,
+      "contiguous pass must not see separated forms (stated contract)")
+    val out = Redaction.redactCardsSeparated(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ("pay <CARD> today", 1L, 1L))
+    assert(out(1) == ("card <CARD> on file", 1L, 1L))
+    assert(out(2) == ("pay <CARD> ok", 1L, 1L))
+    assert(out(3) == ("ref 4111 1111 1111 1112 stays", 1L, 0L))
+    assert(out(4) == ("call 123-456-7890 now", 0L, 0L))
+  }
 }

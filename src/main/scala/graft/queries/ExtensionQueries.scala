@@ -5704,6 +5704,57 @@ object IoQueries extends QueryGroup {
         |WHERE NOT COALESCE(s.del, false)
         |ORDER BY doc_id""".stripMargin))
 
+  /** Manifest file-skipping ([[graft.sources.TxTable.readRange]]):
+    * documents becomes a doc_id-range-clustered TxTable (8 files,
+    * per-file min/max in the manifest), then a narrow key-range query
+    * reads back ONLY the overlapping files plus the row filter. The
+    * oracle is the plain BETWEEN — the hash proves file-level skipping
+    * never changes an answer; TxTableSpec separately pins that the
+    * pruned file list is a strict subset (the scan really shrank).
+    */
+  val txtableSkipping: QueryDef = QueryDef(
+    "io_txtable_skipping",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txtable-skip-").toString
+      graft.sources.TxTable.create(d, root,
+        clusterCol = Some("doc_id"), buckets = 8)
+      graft.sources.TxTable.readRange(s, root, 100L, 199L)
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text, lang FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199
+        |ORDER BY doc_id""".stripMargin))
+
+  /** Compaction roundtrip ([[graft.sources.TxTable.compact]]): the
+    * clustered table accretes two closed-form appended slices (the
+    * per-batch small-file pattern), compacts back to 8 re-clustered
+    * files, and the gate reads the COMPACTED table. Oracle = the union
+    * of the three slices: the hash proves compaction is contents-
+    * preserving; the spec pins that the file count actually fell and
+    * stats survive.
+    */
+  val txtableCompact: QueryDef = QueryDef(
+    "io_txtable_compact",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txtable-compact-").toString
+      graft.sources.TxTable.create(d.filter(col("doc_id") % 3 =!= 0), root,
+        clusterCol = Some("doc_id"), buckets = 8)
+      graft.sources.TxTable.append(
+        d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0), root)
+      graft.sources.TxTable.append(
+        d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1), root)
+      graft.sources.TxTable.compact(s, root, buckets = 8)
+      graft.sources.TxTable.read(s, root).orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text, lang FROM documents
+        |ORDER BY doc_id""".stripMargin))
+
   /** Column-profile drift ([[graft.operators.DataProfile.drift]]):
     * the per-ingest data-quality monitor — exact per-column row/null/
     * distinct/bounds profiles of two snapshots (documents vs a
@@ -5955,7 +6006,7 @@ object IoQueries extends QueryGroup {
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
-      mergeUpsertAcid, profileDrift,
+      mergeUpsertAcid, txtableSkipping, txtableCompact, profileDrift,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)
 }

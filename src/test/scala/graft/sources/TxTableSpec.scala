@@ -103,6 +103,65 @@ class TxTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxTable.readVersion(spark, root, 0L).count() == 3L)
   }
 
+  test("range-clustered table records per-file stats and prunes reads") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L to 400L: _*), root,
+      clusterCol = Some("id"), buckets = 8)
+    val snap = TxTable.latestSnapshot(spark, root)
+    assert(snap.clusterCol.contains("id"))
+    assert(snap.files.size >= 4, s"expected several files, got ${snap.files}")
+    assert(snap.stats.size == snap.files.size)
+    // range clustering: file spans are disjoint, so a narrow range
+    // must touch a strict subset of files
+    val pruned = TxTable.prunedFiles(snap, 10L, 20L)
+    assert(pruned.size < snap.files.size,
+      s"no pruning: ${pruned.size} of ${snap.files.size}")
+    val got = TxTable.readRange(spark, root, 10L, 20L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (10L to 20L).toSet)
+    // stats survive an append and the appended rows are found
+    TxTable.append(rows(1000L), root)
+    val got2 = TxTable.readRange(spark, root, 900L, 1100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1000L))
+  }
+
+  test("compact folds small files down without changing contents") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L to 50L: _*), root,
+      clusterCol = Some("id"), buckets = 4)
+    (0 until 5).foreach(i => TxTable.append(rows(100L + i), root))
+    val before = TxTable.latestSnapshot(spark, root)
+    val pre = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v = TxTable.compact(spark, root, buckets = 4)
+    val after = TxTable.snapshot(spark, root, v)
+    assert(after.files.size < before.files.size,
+      s"${after.files.size} !< ${before.files.size}")
+    val post = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(post == pre)
+    // compaction preserves clustering + stats (skipping still works)
+    assert(after.stats.size == after.files.size)
+  }
+
+  test("streaming batches commit exactly once across redelivery") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L), root)
+    assert(TxTable.addStreamingBatch(rows(10L), root, "s1", 0L).contains(1L))
+    assert(TxTable.addStreamingBatch(rows(11L), root, "s1", 1L).contains(2L))
+    // restart redelivers batch 1: must be a no-op skip
+    assert(TxTable.addStreamingBatch(rows(11L), root, "s1", 1L).isEmpty)
+    assert(TxTable.addStreamingBatch(rows(12L), root, "s1", 2L).contains(3L))
+    // an independent stream has its own high-water mark
+    assert(TxTable.addStreamingBatch(rows(20L), root, "s2", 0L).contains(4L))
+    val got = TxTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 10L, 11L, 12L, 20L))
+    val s = TxTable.latestSnapshot(spark, root)
+    assert(s.headers.get("stream:s1").contains("2"))
+    assert(s.headers.get("stream:s2").contains("0"))
+  }
+
   test("vacuum drops unreferenced files but keeps readable versions") {
     val root = tmpRoot()
     TxTable.create(rows(1L, 2L), root)

@@ -145,6 +145,84 @@ object DedupQueries extends QueryGroup {
         |FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Maximal repeated spans ([[graft.operators.RepeatedSpans.spans]],
+    * the Lee et al. 2022 ExactSubstr shape): token intervals covered
+    * by corpus-duplicated 8-grams, overlapping hits merged per doc —
+    * where [[sharedSpans]] counts window PAIRS, this reports the
+    * merged REGIONS a span-removal pass would cut. md5 gram keys, so
+    * the oracle replays identity exactly.
+    */
+  val repeatedSpansGate: QueryDef = QueryDef(
+    "dedup_repeated_spans",
+    (s, dir) =>
+      graft.operators.RepeatedSpans.spans(
+          Tables(s, dir).documents, "text", "doc_id", n = 8)
+        .orderBy("doc_id", "start"),
+    Some(
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS ws FROM documents),
+        |g AS (SELECT doc_id, i AS idx,
+        |    md5(array_to_string(ws[i+1:i+8], ' ')) AS gram
+        |  FROM d, unnest(range(0, greatest(len(ws) - 7, 0))) AS u(i)),
+        |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, idx, idx + 7 AS e FROM g JOIN f USING (gram)),
+        |m AS (SELECT doc_id, idx, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM h),
+        |sx AS (SELECT doc_id, idx, e,
+        |    sum(CASE WHEN pe IS NULL OR idx > pe + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |  FROM m)
+        |SELECT doc_id, min(idx)::BIGINT AS start, max(e)::BIGINT AS "end",
+        |  count(*)::BIGINT AS n_hits
+        |FROM sx GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin))
+
+  /** Canonical-survivor span removal ([[graft.operators.RepeatedSpans
+    * .removeRepeated]]): every duplicated 8-gram keeps ONLY its
+    * (doc, idx)-minimum occurrence; all other covered tokens are cut
+    * and the text reassembled — exactly one copy of every duplicated
+    * region survives corpus-wide. The oracle rebuilds the cleaned
+    * strings token-by-token, so the hash locks the reconstruction,
+    * not just the counts.
+    */
+  val repeatedSpanRemoval: QueryDef = QueryDef(
+    "dedup_repeated_span_removal",
+    (s, dir) =>
+      graft.operators.RepeatedSpans.removeRepeated(
+          Tables(s, dir).documents, "text", "doc_id", n = 8)
+        .orderBy("doc_id"),
+    Some(
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS ws FROM documents),
+        |g AS (SELECT doc_id, i AS idx,
+        |    md5(array_to_string(ws[i+1:i+8], ' ')) AS gram
+        |  FROM d, unnest(range(0, greatest(len(ws) - 7, 0))) AS u(i)),
+        |x AS (SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, idx)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS df
+        |  FROM g),
+        |rem AS (SELECT DISTINCT doc_id, idx + k AS tok_idx
+        |  FROM x, unnest(range(0, 8)) AS r(k)
+        |  WHERE df >= 2 AND rn > 1),
+        |tok AS (SELECT doc_id, i AS tok_idx, ws[i+1] AS tok
+        |  FROM d, unnest(range(0, len(ws))) AS t(i)),
+        |tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id,
+        |    string_agg(t.tok, ' ' ORDER BY t.tok_idx) AS cleaned,
+        |    count(*) AS n_kept
+        |  FROM tok t LEFT JOIN rem r
+        |    ON t.doc_id = r.doc_id AND t.tok_idx = r.tok_idx
+        |  WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+        |SELECT tot.doc_id, coalesce(k.cleaned, '') AS cleaned,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  (tot.n - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+        |FROM tot LEFT JOIN kept k ON tot.doc_id = k.doc_id
+        |ORDER BY tot.doc_id""".stripMargin))
+
   /** Incremental cross-corpus dedup: odd doc_ids are the "new batch",
     * even doc_ids the existing corpus; keep the batch rows whose
     * normalized word-set key is unseen. Bloom-prefiltered on the Spark
@@ -568,7 +646,8 @@ object DedupQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(exact, remap, remapPriority, ngramJaccard, minhashLsh, simhash,
-      embeddingCosine, sharedSpans, incrementalNew, tokenBlocks, boilerplate,
+      embeddingCosine, sharedSpans, repeatedSpansGate, repeatedSpanRemoval,
+      incrementalNew, tokenBlocks, boilerplate,
       semantic,
       containment, editDistance, erPairs, erPairsCapped, erClusters,
       minhashExact, simhashExact, overlapVerified, thresholdSweepGate,

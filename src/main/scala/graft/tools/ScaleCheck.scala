@@ -455,6 +455,19 @@ object ScaleCheck {
           hotDict, "p_name", "id", 0.9, maxBlock = 100))
     }
 
+    // repeated-span dedup (ExactSubstr shape): the blown corpus turns
+    // every document into a dup-fold-deep repeat, so the gram frequency
+    // aggregate and the hit window both run at their worst case; the
+    // only corpus-scale exchange is (gram-md5, doc, idx) and the span
+    // merge is per-doc — must track corpus size, not pairs
+    time("repeated_spans_1x",
+      graft.operators.RepeatedSpans.spans(docs, "text", "doc_id", 8))
+    time(s"repeated_spans_${dup}x",
+      graft.operators.RepeatedSpans.spans(blown, "text", "doc_id", 8))
+    time(s"repeated_span_removal_${dup}x",
+      graft.operators.RepeatedSpans.removeRepeated(
+        blown, "text", "doc_id", 8))
+
     // capped dhash banding under a blank-thumbnail collapse: 30% of the
     // corpus shares ONE hash (all 4 band keys identical — the crawl
     // pathology), the rest are diverse. Uncapped banding would put the

@@ -291,6 +291,109 @@ object Evaluation {
           (dd(col("n_a")) * dd(col("n_b"))).cast("double"), 6).as("ks"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover) distance between two
+    * groups' integer-valued samples — the drift metric that, unlike
+    * [[ksDistance]]'s sup-norm, weighs HOW FAR mass moved:
+    * W₁ = ∫|F_A − F_B| dx = Σᵢ |F_A(xᵢ) − F_B(xᵢ)|·(xᵢ₊₁ − xᵢ) over
+    * the sorted distinct values. Same aggregate-over-the-distinct-
+    * value-domain shape as KS (bounded by metric cardinality, not
+    * corpus), same DECIMAL(38,0) rank algebra so nothing wraps at any
+    * scale; `w1_num` = Σ|cumA·n_b − cumB·n_a|·gap is the exact
+    * integer numerator, `w1` its one final double division by
+    * n_a·n_b, 6 dp.
+    */
+  def wasserstein1(
+      df: DataFrame, valueCol: String, grpCol: String,
+      grpA: String, grpB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .filter(col(grpCol).isin(grpA, grpB) && col(valueCol).isNotNull)
+      .select(col(grpCol).as("_g"), col(valueCol).cast("long").as("_x"))
+    val cnt = vals.groupBy(col("_x"))
+      .agg(sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("_x"))
+    val tot = vals.agg(
+      sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("n_b"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d38)
+    cnt
+      .select(col("_x"), sum(col("_ca")).over(w).as("_cuma"),
+        sum(col("_cb")).over(w).as("_cumb"))
+      .withColumn("_gap",
+        coalesce(lead(col("_x"), 1).over(wNext) - col("_x"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(abs(dd(col("_cuma")) * dd(col("n_b")) -
+          dd(col("_cumb")) * dd(col("n_a"))) * dd(col("_gap"))).as("_d"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_d"))
+          .otherwise(raise_error(lit(
+            s"wasserstein1: group '$grpA' or '$grpB' has no rows — " +
+              "the transport distance is undefined")))
+          .cast("long").as("w1_num"),
+        Numerics.roundz(col("_d").cast("double") /
+          (dd(col("n_a")) * dd(col("n_b"))).cast("double"), 6).as("w1"))
+  }
+
+  /** Krippendorff's alpha (nominal data, ≥ 2 raters, missing ratings
+    * allowed) — the inter-annotator agreement standard for label
+    * quality audits. α = 1 − D_o/D_e with
+    * D_o = (1/N)·Σ_u [Σ_c o_uc(m_u − o_uc)]/(m_u − 1) and
+    * D_e = (1/(N(N−1)))·Σ_c n_c(N − n_c), units with one rating
+    * dropped per the definition.
+    *
+    * Exactness discipline: every count is integer; the ONLY rational
+    * step (the per-unit 1/(m_u−1)) is regrouped by m — units sharing
+    * a rating count sum their integer disagreements first, then a
+    * FIXED-ORDER fold over the ≤ #raters (m, S_m) pairs (sorted
+    * array, left fold — both engines replay the identical float
+    * op sequence) produces the observed-disagreement numerator.
+    * Duplicate (unit, rater) ratings resolve to min(category),
+    * deterministically.
+    */
+  def krippendorffAlpha(
+      ratings: DataFrame, unitCol: String, raterCol: String,
+      catCol: String): DataFrame = {
+    val r = ratings
+      .groupBy(col(unitCol).as("_u"), col(raterCol).as("_r"))
+      .agg(min(col(catCol).cast("string")).as("_c"))
+    val perUnitCat = r.groupBy(col("_u"), col("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val perUnit = perUnitCat.groupBy(col("_u"))
+      .agg(sum(col("_o")).as("_m"), sum(col("_o") * col("_o")).as("_o2"))
+      .filter(col("_m") >= 2)
+    // S_m = Σ_{units with m ratings} (m² − Σ_c o_uc²), exact integers
+    val byM = perUnit.groupBy(col("_m"))
+      .agg(sum(col("_m") * col("_m") - col("_o2")).as("_s"),
+        count(lit(1)).as("_units"), sum(col("_m")).as("_n"))
+    val mFold = byM.agg(
+      sum(col("_units")).as("n_units"), sum(col("_n")).as("n_ratings"),
+      aggregate(
+        array_sort(collect_list(struct(col("_m"), col("_s")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("_s").cast("double") /
+          (s.getField("_m").cast("double") - 1.0)).as("_do_num"))
+    // n_c over KEPT units only: category totals join back on the units
+    val keptCats = perUnitCat.join(perUnit.select(col("_u")), Seq("_u"))
+      .groupBy(col("_c")).agg(sum(col("_o")).as("_nc"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val de = keptCats.crossJoin(broadcast(
+        mFold.select(col("n_ratings").as("_nn"))))
+      .agg(sum(col("_nc").cast(d38) *
+        (col("_nn") - col("_nc")).cast(d38)).as("_de_num"))
+    mFold.crossJoin(broadcast(de))
+      .select(col("n_units"), col("n_ratings"),
+        col("_de_num").cast("long").as("de_num"),
+        Numerics.roundz(
+          lit(1.0) - (col("n_ratings").cast("double") - 1.0) *
+            col("_do_num") / col("_de_num").cast("double"), 4)
+          .as("alpha"))
+  }
+
   /** Two-proportion A/B significance: per-variant exposed/converted
     * counts and the pooled z statistic — the experiment readout. The
     * counts are exact; z is a fixed chain of double ops over them,

@@ -298,6 +298,81 @@ object EvalQueries extends QueryGroup {
         |    (n_a * n_b)::DOUBLE, 6) + 0 AS ks
         |FROM cu, t GROUP BY n_a, n_b""".stripMargin))
 
+  /** Exact 1-D transport drift ([[graft.operators.Evaluation
+    * .wasserstein1]]): same src0/src1 length split as the KS gate but
+    * the INTEGRAL of the ECDF gap — `w1_num` is the exact
+    * gap-weighted integer sum, `w1` the one final division.
+    */
+  val wassersteinGate: QueryDef = QueryDef(
+    "eval_wasserstein",
+    (s, dir) =>
+      graft.operators.Evaluation.wasserstein1(
+        graft.Tables(s, dir).documents, "n_chars", "source",
+        "src0", "src1"),
+    Some(
+      """WITH v AS (SELECT source AS g, n_chars::BIGINT AS x
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |t AS (SELECT
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM v),
+        |c AS (SELECT x,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM v GROUP BY x),
+        |cu AS (SELECT x,
+        |    (sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING))::BIGINT
+        |      AS cuma,
+        |    (sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING))::BIGINT
+        |      AS cumb,
+        |    coalesce(lead(x) OVER (ORDER BY x) - x, 0)::BIGINT AS gap
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  sum(abs(cuma * n_b - cumb * n_a) * gap)::BIGINT AS w1_num,
+        |  round(sum(abs(cuma * n_b - cumb * n_a) * gap)::DOUBLE /
+        |    (n_a * n_b)::DOUBLE, 6) + 0 AS w1
+        |FROM cu, t GROUP BY n_a, n_b""".stripMargin))
+
+  /** Inter-annotator agreement ([[graft.operators.Evaluation
+    * .krippendorffAlpha]]): a 120-unit × ~4-rater synthetic panel
+    * (unit = doc_id mod 120, rater = doc_id div 120, label = lang).
+    * Counts are exact integers; the single rational step regroups by
+    * rating count and both engines fold the (m, S_m) pairs in the
+    * SAME sorted order, so the 4-dp alpha replays bit-for-bit.
+    */
+  val krippendorffGate: QueryDef = QueryDef(
+    "eval_krippendorff_alpha",
+    (s, dir) => {
+      val d = graft.Tables(s, dir).documents
+        .select((col("doc_id") % 120).as("unit"),
+          (col("doc_id") / lit(120)).cast("long").as("rater"),
+          col("lang"))
+      graft.operators.Evaluation.krippendorffAlpha(
+        d, "unit", "rater", "lang")
+    },
+    Some(
+      """WITH r AS (SELECT doc_id % 120 AS u, doc_id // 120 AS rtr,
+        |    min(lang) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |oc AS (SELECT u, c, count(*) AS o FROM r GROUP BY u, c),
+        |pu AS (SELECT u, sum(o) AS m, sum(o * o) AS o2 FROM oc
+        |  GROUP BY u HAVING sum(o) >= 2),
+        |bym AS (SELECT m, sum(m * m - o2) AS s, count(*) AS units,
+        |    sum(m) AS n FROM pu GROUP BY m),
+        |f AS (SELECT sum(units)::BIGINT AS n_units,
+        |    sum(n)::BIGINT AS n_ratings,
+        |    list_sum(list(s::DOUBLE / (m - 1)::DOUBLE ORDER BY m))
+        |      AS do_num
+        |  FROM bym),
+        |kc AS (SELECT c, sum(o)::BIGINT AS nc FROM oc
+        |  JOIN pu USING (u) GROUP BY c),
+        |de AS (SELECT sum(nc * (f.n_ratings - nc))::BIGINT AS de_num
+        |  FROM kc, f)
+        |SELECT f.n_units, f.n_ratings, de.de_num,
+        |  round(1.0 - (f.n_ratings - 1)::DOUBLE * f.do_num /
+        |    de.de_num::DOUBLE, 4) + 0 AS alpha
+        |FROM f, de""".stripMargin))
+
   /** Two-proportion A/B readout ([[graft.operators.Evaluation
     * .abProportionTest]]): users split by id parity, conversion =
     * any purchase over 150 — exact per-variant counts plus the pooled
@@ -379,5 +454,6 @@ object EvalQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
-      ksDistanceGate, abTest, confusionMatrix)
+      ksDistanceGate, wassersteinGate, krippendorffGate, abTest,
+      confusionMatrix)
 }

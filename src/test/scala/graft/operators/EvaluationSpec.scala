@@ -185,4 +185,48 @@ class EvaluationSpec extends SparkSpec {
       r.getLong(2) == 2 && r.getLong(3) == 0)
     assert(r.getDouble(4) == 1.1547)
   }
+
+  test("wasserstein1: hand-computed transport, zero for identical samples") {
+    val sp = spark
+    import sp.implicits._
+    // A = {0, 2}, B = {2, 4}: W1 = |.5|*2 + |.5|*2 = 2; num = 8
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 2L), ("b", 4L))
+      .toDF("g", "x")
+    val r = Evaluation.wasserstein1(df, "x", "g", "a", "b").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 8L && r.getDouble(3) == 2.0)
+    // KS would see the same 0.5 sup for a FAR shift; W1 scales with it
+    val far = Seq(("a", 0L), ("a", 2L), ("b", 2L), ("b", 100L))
+      .toDF("g", "x")
+    assert(Evaluation.wasserstein1(far, "x", "g", "a", "b")
+      .head().getDouble(3) == 50.0)
+    val same = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L))
+      .toDF("g", "x")
+    assert(Evaluation.wasserstein1(same, "x", "g", "a", "b")
+      .head().getDouble(3) == 0.0)
+  }
+
+  test("krippendorffAlpha: hand-computed nominal alpha, singletons dropped") {
+    val sp = spark
+    import sp.implicits._
+    // 4 units x 2 raters: one unit disagrees -> S_2 = 2, N = 8,
+    // n = (3, 5), De_num = 30, alpha = 1 - 7*2/30 = 0.5333
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "b"), (3L, 2L, "b"),
+      (4L, 1L, "b"), (4L, 2L, "b"),
+      (9L, 1L, "a")) // single-rating unit: dropped per definition
+      .toDF("unit", "rater", "cat")
+    val r = Evaluation.krippendorffAlpha(df, "unit", "rater", "cat").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)
+    assert(r.getLong(2) == 30L)
+    assert(r.getDouble(3) == 0.5333)
+    // perfect agreement -> alpha = 1
+    val perfect = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "b"), (2L, 2L, "b"))
+      .toDF("unit", "rater", "cat")
+    assert(Evaluation.krippendorffAlpha(perfect, "unit", "rater", "cat")
+      .head().getDouble(3) == 1.0)
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-pair aggregation — the curation layer for RLHF /
+  * arena-style comparison data: battles (model_a, model_b, outcome)
+  * fold into per-matchup statistics and a tournament ranking.
+  *
+  * Everything is exact integer counting plus one final rounded
+  * division per surfaced rate, so the whole family sits under the
+  * cross-engine oracle (no iterative MLE here by design — a
+  * Bradley–Terry fit's fixed point is float-iteration-order dependent
+  * and belongs behind a spec, not a hash gate; Copeland's
+  * majority-matchup score is the standard deterministic tournament
+  * rank and needs nothing beyond the win matrix).
+  *
+  * Scale shape: one hash aggregate over canonicalized pairs (a < b,
+  * outcome flipped to match), then a model-scale explode of the
+  * matchup frame — |models|² rows at most, broadcast territory; the
+  * battle stream itself never shuffles twice.
+  */
+object Preference {
+
+  /** Per-matchup stats on CANONICAL pairs (model_a < model_b;
+    * outcomes flipped to match): battles, wins for each side, ties,
+    * and a 6-dp win rate for the lower-id side. `outcome`: 0 = first
+    * model won, 1 = second won, 2 = tie; anything else raises.
+    */
+  def winMatrix(
+      battles: DataFrame, aCol: String, bCol: String,
+      outcomeCol: String): DataFrame = {
+    val oc = col(outcomeCol).cast("long")
+    val checked = when(oc.isin(0L, 1L, 2L), oc)
+      .otherwise(raise_error(concat(
+        lit("winMatrix: outcome must be 0|1|2, got "), oc)))
+    val canon = battles.select(
+      least(col(aCol).cast("long"), col(bCol).cast("long")).as("model_a"),
+      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("model_b"),
+      when(col(aCol).cast("long") <= col(bCol).cast("long"), checked)
+        .otherwise(
+          // flipped pair: swap win sides, ties stay ties
+          when(checked === 0L, lit(1L)).when(checked === 1L, lit(0L))
+            .otherwise(lit(2L))).as("_o"))
+      .filter(col("model_a") =!= col("model_b"))
+    canon.groupBy(col("model_a"), col("model_b"))
+      .agg(count(lit(1)).as("n_battles"),
+        sum(when(col("_o") === 0L, 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("_o") === 1L, 1L).otherwise(0L)).as("wins_b"),
+        sum(when(col("_o") === 2L, 1L).otherwise(0L)).as("ties"))
+      .withColumn("win_rate_a", Numerics.roundz(
+        col("wins_a").cast("double") / col("n_battles"), 6))
+  }
+
+  /** Copeland tournament ranking over the [[winMatrix]]: a matchup is
+    * WON by the side with strictly more wins (ties in the matchup
+    * majority count for neither). copeland = matchups won − matchups
+    * lost; equal scores share a dense rank, so the readout is
+    * reproducible under re-partitioning. The rank window is global —
+    * fine on a model-scale (not corpus-scale) frame.
+    */
+  def copelandRanking(
+      battles: DataFrame, aCol: String, bCol: String,
+      outcomeCol: String): DataFrame = {
+    val m = winMatrix(battles, aCol, bCol, outcomeCol)
+    val perSide = m.select(col("model_a").as("model"),
+        when(col("wins_a") > col("wins_b"), 1L).otherwise(0L).as("_w"),
+        when(col("wins_b") > col("wins_a"), 1L).otherwise(0L).as("_l"))
+      .unionByName(m.select(col("model_b").as("model"),
+        when(col("wins_b") > col("wins_a"), 1L).otherwise(0L).as("_w"),
+        when(col("wins_a") > col("wins_b"), 1L).otherwise(0L).as("_l")))
+    val scored = perSide.groupBy(col("model"))
+      .agg(count(lit(1)).as("n_matchups"), sum(col("_w")).as("won"),
+        sum(col("_l")).as("lost"))
+      .withColumn("copeland", col("won") - col("lost"))
+    val w = Window.orderBy(col("copeland").desc)
+    scored.withColumn("rank", dense_rank().over(w))
+      .select(col("model"), col("n_matchups"), col("won"), col("lost"),
+        col("copeland"), col("rank").cast("long").as("rank"))
+  }
+}

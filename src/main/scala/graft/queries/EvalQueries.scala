@@ -373,6 +373,83 @@ object EvalQueries extends QueryGroup {
         |    de.de_num::DOUBLE, 4) + 0 AS alpha
         |FROM f, de""".stripMargin))
 
+  /** Preference-pair matchup stats ([[graft.operators.Preference
+    * .winMatrix]]): an arena-style battle log derived from events
+    * (models = event_id arithmetic, outcome = event_id mod 3, with
+    * reversed-order pairs present so canonicalization is exercised) —
+    * exact per-matchup counts plus the 6-dp win rate.
+    */
+  val preferenceMatrix: QueryDef = QueryDef(
+    "eval_preference_matrix",
+    (s, dir) => {
+      val b = graft.Tables(s, dir).events
+        .select((col("event_id") % 8).as("ma"),
+          ((col("event_id") / lit(8)).cast("long") % 8).as("mb"),
+          (col("event_id") % 3).as("outcome"))
+        .filter(col("ma") =!= col("mb"))
+      graft.operators.Preference.winMatrix(b, "ma", "mb", "outcome")
+        .orderBy("model_a", "model_b")
+    },
+    Some(
+      """WITH b AS (SELECT event_id % 8 AS ma,
+        |    (event_id // 8) % 8 AS mb, event_id % 3 AS o
+        |  FROM events WHERE event_id % 8 <> (event_id // 8) % 8),
+        |c AS (SELECT least(ma, mb) AS model_a,
+        |    greatest(ma, mb) AS model_b,
+        |    CASE WHEN ma <= mb THEN o
+        |         WHEN o = 0 THEN 1 WHEN o = 1 THEN 0 ELSE 2 END AS o
+        |  FROM b)
+        |SELECT model_a, model_b, count(*)::BIGINT AS n_battles,
+        |  sum(CASE WHEN o = 0 THEN 1 ELSE 0 END)::BIGINT AS wins_a,
+        |  sum(CASE WHEN o = 1 THEN 1 ELSE 0 END)::BIGINT AS wins_b,
+        |  sum(CASE WHEN o = 2 THEN 1 ELSE 0 END)::BIGINT AS ties,
+        |  round(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*), 6) + 0 AS win_rate_a
+        |FROM c GROUP BY model_a, model_b
+        |ORDER BY model_a, model_b""".stripMargin))
+
+  /** Copeland tournament ranking ([[graft.operators.Preference
+    * .copelandRanking]]) over the same battle log: matchup majorities,
+    * copeland = won − lost, equal scores share a dense rank.
+    */
+  val preferenceRanking: QueryDef = QueryDef(
+    "eval_preference_ranking",
+    (s, dir) => {
+      val b = graft.Tables(s, dir).events
+        .select((col("event_id") % 8).as("ma"),
+          ((col("event_id") / lit(8)).cast("long") % 8).as("mb"),
+          (col("event_id") % 3).as("outcome"))
+        .filter(col("ma") =!= col("mb"))
+      graft.operators.Preference.copelandRanking(b, "ma", "mb", "outcome")
+        .orderBy("model")
+    },
+    Some(
+      """WITH b AS (SELECT event_id % 8 AS ma,
+        |    (event_id // 8) % 8 AS mb, event_id % 3 AS o
+        |  FROM events WHERE event_id % 8 <> (event_id // 8) % 8),
+        |c AS (SELECT least(ma, mb) AS model_a,
+        |    greatest(ma, mb) AS model_b,
+        |    CASE WHEN ma <= mb THEN o
+        |         WHEN o = 0 THEN 1 WHEN o = 1 THEN 0 ELSE 2 END AS o
+        |  FROM b),
+        |m AS (SELECT model_a, model_b,
+        |    sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS wa,
+        |    sum(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS wb
+        |  FROM c GROUP BY model_a, model_b),
+        |ps AS (SELECT model_a AS model,
+        |    CASE WHEN wa > wb THEN 1 ELSE 0 END AS w,
+        |    CASE WHEN wb > wa THEN 1 ELSE 0 END AS l FROM m
+        |  UNION ALL SELECT model_b,
+        |    CASE WHEN wb > wa THEN 1 ELSE 0 END,
+        |    CASE WHEN wa > wb THEN 1 ELSE 0 END FROM m),
+        |sc AS (SELECT model, count(*)::BIGINT AS n_matchups,
+        |    sum(w)::BIGINT AS won, sum(l)::BIGINT AS lost,
+        |    (sum(w) - sum(l))::BIGINT AS copeland
+        |  FROM ps GROUP BY model)
+        |SELECT model, n_matchups, won, lost, copeland,
+        |  dense_rank() OVER (ORDER BY copeland DESC)::BIGINT AS rank
+        |FROM sc ORDER BY model""".stripMargin))
+
   /** Two-proportion A/B readout ([[graft.operators.Evaluation
     * .abProportionTest]]): users split by id parity, conversion =
     * any purchase over 150 — exact per-variant counts plus the pooled
@@ -454,6 +531,6 @@ object EvalQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
-      ksDistanceGate, wassersteinGate, krippendorffGate, abTest,
-      confusionMatrix)
+      ksDistanceGate, wassersteinGate, krippendorffGate,
+      preferenceMatrix, preferenceRanking, abTest, confusionMatrix)
 }

@@ -2,10 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
 
 /** The [[Materialize]] knob: every iterative operator must return
   * bit-identical results whether per-round frames are local-checkpoint
@@ -15,17 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * path REALLY writes checkpoint files (the fault-tolerance property
   * is the files' existence, not a config no-op).
   */
-class CheckpointStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private lazy val spark = SparkSession.builder()
-    .appName("checkpoint-strategy-spec").master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class CheckpointStrategySpec extends graft.SparkSpec {
 
   override def afterAll(): Unit = {
     spark.conf.unset(Materialize.DirKey)
-    spark.stop()
+    super.afterAll()
   }
 
   private def edges = {

@@ -35,10 +35,26 @@ object Preference {
     val checked = when(oc.isin(0L, 1L, 2L), oc)
       .otherwise(raise_error(concat(
         lit("winMatrix: outcome must be 0|1|2, got "), oc)))
+    // a non-integral or null model id would cast to null, making
+    // least/greatest/inequality silently drop the row (an empty
+    // matrix, not an error) — so the cast is VALIDATED: any id that
+    // does not survive the long cast raises, matching the outcome
+    // check's style
+    def checkedId(c: String) = {
+      // try_cast, not cast: under ANSI a malformed id raises a generic
+      // CAST_INVALID_INPUT and with ANSI off it silently nulls — this
+      // pins ONE deterministic, named failure either way
+      val casted = col(c).try_cast("long")
+      when(casted.isNotNull, casted).otherwise(raise_error(concat(
+        lit(s"winMatrix: model id in '$c' must be integral, got "),
+        coalesce(col(c).cast("string"), lit("null")))))
+    }
+    val ida = checkedId(aCol)
+    val idb = checkedId(bCol)
     val canon = battles.select(
-      least(col(aCol).cast("long"), col(bCol).cast("long")).as("model_a"),
-      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("model_b"),
-      when(col(aCol).cast("long") <= col(bCol).cast("long"), checked)
+      least(ida, idb).as("model_a"),
+      greatest(ida, idb).as("model_b"),
+      when(ida <= idb, checked)
         .otherwise(
           // flipped pair: swap win sides, ties stay ties
           when(checked === 0L, lit(1L)).when(checked === 1L, lit(0L))

@@ -51,4 +51,22 @@ class PreferenceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("outcome must be 0|1|2"))
   }
+
+  test("non-integral model ids raise instead of emptying the matrix") {
+    val s = spark
+    import s.implicits._
+    // string model names — the normal arena case — must not silently
+    // cast to null and drop every row
+    val named = Seq(("gpt", "claude", 0L)).toDF("model_a", "model_b", "outcome")
+    val e = intercept[Exception] {
+      Preference.winMatrix(named, "model_a", "model_b", "outcome").collect()
+    }
+    assert(e.getMessage.contains("must be integral"))
+    // numeric strings DO cast and still work
+    val numeric = Seq(("1", "2", 0L), ("2", "1", 1L))
+      .toDF("model_a", "model_b", "outcome")
+    val m = Preference.winMatrix(numeric, "model_a", "model_b", "outcome")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(m((1L, 2L)) == 2L)
+  }
 }

@@ -5834,6 +5834,68 @@ object IoQueries extends QueryGroup {
       """SELECT doc_id, text, lang FROM documents
         |ORDER BY doc_id""".stripMargin))
 
+  /** 2-D box read over a Z-ORDER-clustered TxTable
+    * ([[graft.sources.TxTable.createClustered]] with two cluster
+    * columns → Morton-curve file layout, per-file min/max of BOTH
+    * columns in the manifest; [[graft.sources.TxTable.readBox]] prunes
+    * on both before any parquet footer opens). The oracle is the plain
+    * two-predicate BETWEEN — the hash proves multi-dimension file
+    * skipping never changes an answer; TxTableSpec separately pins
+    * that the box actually touches fewer files than either dimension
+    * alone.
+    */
+  val txtableZorderBox: QueryDef = QueryDef(
+    "io_txtable_zorder_box",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .select("doc_id", "n_chars", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txtable-zbox-").toString
+      graft.sources.TxTable.createClustered(
+        d, root, Seq("doc_id", "n_chars"), buckets = 16)
+      graft.sources.TxTable.readBox(s, root, 100L, 1400L, 100L, 200L)
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, n_chars, text, lang FROM documents
+        |WHERE doc_id BETWEEN 100 AND 1400
+        |  AND n_chars BETWEEN 100 AND 200
+        |ORDER BY doc_id""".stripMargin))
+
+  /** Incremental small-file compaction
+    * ([[graft.sources.TxTable.autoCompact]]): the clustered table
+    * accretes four closed-form single-file appends (the per-batch
+    * streaming pattern), then autoCompact folds ONLY the sub-threshold
+    * files — the large initial file is never rewritten (its manifest
+    * line, stats included, carries over verbatim; the spec pins that).
+    * Oracle = union of all five slices: the hash proves the
+    * incremental fold is contents-preserving end to end.
+    */
+  val txtableAutoCompact: QueryDef = QueryDef(
+    "io_txtable_autocompact",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txtable-autoc-").toString
+      graft.sources.TxTable.createClustered(
+        d.filter(col("doc_id") % 5 =!= 0), root, Seq("doc_id"),
+        buckets = 1)
+      (0L until 4L).foreach { k =>
+        graft.sources.TxTable.append(
+          d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 4 === k),
+          root, buckets = 1)
+      }
+      // smallBytes sits between the append slices (~1/20 of the
+      // table each) and the initial 4/5-of-table file
+      graft.sources.TxTable.autoCompact(s, root,
+        smallBytes = 1L << 20, targetBytes = 1L << 30,
+        minSmallFiles = 2)
+      graft.sources.TxTable.read(s, root).orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text, lang FROM documents
+        |ORDER BY doc_id""".stripMargin))
+
   /** Column-profile drift ([[graft.operators.DataProfile.drift]]):
     * the per-ingest data-quality monitor — exact per-column row/null/
     * distinct/bounds profiles of two snapshots (documents vs a
@@ -6085,7 +6147,8 @@ object IoQueries extends QueryGroup {
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
-      mergeUpsertAcid, txtableSkipping, txtableCompact, profileDrift,
+      mergeUpsertAcid, txtableSkipping, txtableCompact,
+      txtableZorderBox, txtableAutoCompact, profileDrift,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)
 }

@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   * A manifest lists the COMPLETE active file set of its version (no
   * log replay needed to resolve a snapshot — one file read). Line
   * format: `version=N` first; then `key=value` table headers carried
-  * forward commit-to-commit (`cluster=<col>` declares the range-
-  * clustering column, `stream:<id>=<batchId>` records the last
-  * committed batch per streaming source); then one line per data file
-  * — `data/<uuid>/<name>` optionally followed by TAB-separated
-  * min/max of the cluster column, the file-skipping statistics.
+  * forward commit-to-commit (`cluster=<col>[,<col2>]` declares the
+  * clustering column(s) — one column = range clustering, two =
+  * z-order layout via [[graft.ingest.ZOrder]]; `stream:<id>=<batchId>`
+  * records the last committed batch per streaming source); then one
+  * line per data file — `data/<uuid>/<name>` optionally followed by
+  * TAB-separated min/max per cluster column (in declaration order),
+  * the file-skipping statistics that let [[readRange]] and [[readBox]]
+  * prune whole files before any parquet footer is opened.
   *
   * Commit protocol: write new data files under a fresh uuid dir
   * (invisible to every reader — readers only open files named by a
@@ -64,14 +67,22 @@ import org.apache.spark.sql.functions._
 object TxTable {
 
   /** One resolved version: `files` are root-relative paths, `stats`
-    * maps a file to (min, max) of the cluster column where recorded,
+    * maps a file to (min, max) per cluster column where recorded (one
+    * pair per declared cluster column, in declaration order),
     * `headers` carries the table metadata (`cluster`, `stream:<id>`).
     */
   final case class Snapshot(
       version: Long, files: Seq[String],
-      stats: Map[String, (Long, Long)],
+      stats: Map[String, Seq[(Long, Long)]],
       headers: Map[String, String]) {
-    def clusterCol: Option[String] = headers.get("cluster")
+    /** Declared cluster columns: empty (unclustered), one (range
+      * clustering), or two (z-order clustering — both columns carry
+      * file stats, so range predicates on EITHER prune files).
+      */
+    def clusterCols: Seq[String] =
+      headers.get("cluster").toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim).filter(_.nonEmpty)
+    def clusterCol: Option[String] = clusterCols.headOption
   }
 
   final class CommitConflict(msg: String)
@@ -85,15 +96,22 @@ object TxTable {
   private def manifestPath(root: String, v: Long) =
     new Path(logDir(root), f"$v%020d.txn")
 
-  /** All committed versions, ascending; empty for a non-table path. */
+  // committed manifests ONLY — in-flight temp manifests live in the
+  // same dir as `.tmp-<uuid>.txn` and must never parse as versions
+  private val ManifestName = """^(\d{20})\.txn$""".r
+
+  /** All committed versions, ascending; empty for a non-table path.
+    * Strict name match: a temp manifest left by an in-flight (or
+    * crashed) writer is invisible here, so reads and appends stay
+    * correct concurrently with any commit attempt.
+    */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = logDir(root)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".txn"))
-      .map(_.stripSuffix(".txn").toLong)
+      .collect { case ManifestName(v) => v.toLong }
       .sorted
   }
 
@@ -120,8 +138,13 @@ object TxTable {
     }.toMap
     val entries = fileLines.map(_.split("\t").toSeq)
     val files = entries.map(_.head)
+    // path alone = no stats; path + 2k fields = k (min,max) pairs,
+    // one per cluster column in declaration order
     val stats = entries.collect {
-      case Seq(path, mn, mx) => path -> (mn.toLong, mx.toLong)
+      case e if e.size >= 3 && e.size % 2 == 1 =>
+        e.head -> e.tail.grouped(2).map {
+          case Seq(mn, mx) => (mn.toLong, mx.toLong)
+        }.toSeq
     }.toMap
     Snapshot(version, files, stats, headers)
   }
@@ -154,44 +177,83 @@ object TxTable {
     spark.read.parquet(files.map(f => s"$root/$f"): _*)
   }
 
-  /** Key-range read with FILE-LEVEL skipping: only files whose
-    * manifest [min,max] overlaps [lo,hi] are opened (a file with no
-    * recorded stats is conservatively read). The row filter is still
-    * applied, so the result is exact whether or not stats exist —
-    * stats only shrink the scan, never the answer.
+  /** Key-range read with FILE-LEVEL skipping on the FIRST cluster
+    * column: only files whose manifest [min,max] overlaps [lo,hi] are
+    * opened (a file with no recorded stats is conservatively read).
+    * The row filter is still applied, so the result is exact whether
+    * or not stats exist — stats only shrink the scan, never the
+    * answer.
     */
   def readRange(
       spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
     val s = latestSnapshot(spark, root)
     val c = s.clusterCol.getOrElse(throw new IllegalArgumentException(
       s"TxTable $root has no cluster column; readRange needs one"))
-    readFiles(spark, root, prunedFiles(s, lo, hi))
+    readFiles(spark, root, prunedFiles(s, 0, lo, hi))
       .filter(col(c).between(lo, hi))
   }
 
-  /** The post-skipping file list for [lo,hi] — exposed so callers and
-    * specs can assert how much of the table a range touches.
+  /** 2-D box read over a z-order-clustered table: files are pruned by
+    * BOTH columns' manifest stats (a z-clustered file covers a compact
+    * Morton segment, i.e. a tight bounding box in each dimension, so a
+    * box predicate skips ~√-fraction of files per dimension instead of
+    * pruning on one and scanning all of the other). Exact regardless
+    * of stats — the row filter still applies.
     */
-  def prunedFiles(s: Snapshot, lo: Long, hi: Long): Seq[String] =
+  def readBox(
+      spark: SparkSession, root: String, loA: Long, hiA: Long,
+      loB: Long, hiB: Long): DataFrame = {
+    val s = latestSnapshot(spark, root)
+    val cs = s.clusterCols
+    require(cs.size == 2,
+      s"TxTable $root has cluster columns $cs; readBox needs exactly 2")
+    val pruned = prunedFiles(s, 0, loA, hiA)
+      .intersect(prunedFiles(s, 1, loB, hiB))
+    readFiles(spark, root, pruned)
+      .filter(col(cs.head).between(loA, hiA) &&
+        col(cs(1)).between(loB, hiB))
+  }
+
+  /** The post-skipping file list for [lo,hi] on cluster column `idx` —
+    * exposed so callers and specs can assert how much of the table a
+    * range touches.
+    */
+  def prunedFiles(s: Snapshot, idx: Int, lo: Long, hi: Long): Seq[String] =
     s.files.filter { f =>
-      s.stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      s.stats.get(f).flatMap(_.lift(idx)).forall {
+        case (mn, mx) => mx >= lo && mn <= hi
+      }
     }
 
+  /** [[prunedFiles]] on the first cluster column. */
+  def prunedFiles(s: Snapshot, lo: Long, hi: Long): Seq[String] =
+    prunedFiles(s, 0, lo, hi)
+
   /** Write `df`'s rows as new immutable data files; returns manifest
-    * entries (path, optional cluster-column stats). With a cluster
-    * column the frame is range-repartitioned first so each file holds
-    * a contiguous key span — that is what makes the min/max entries
-    * selective instead of all-overlapping — and per-file stats come
-    * from ONE aggregate over the just-written files.
+    * entries (path, optional per-cluster-column stats). One cluster
+    * column range-repartitions the frame so each file holds a
+    * contiguous key span — that is what makes the min/max entries
+    * selective instead of all-overlapping. Two cluster columns lay the
+    * frame out along the Morton curve ([[graft.ingest.ZOrder]]) so
+    * each file is a tight bounding box in BOTH dimensions and either
+    * column's stats prune. Per-file stats come from ONE aggregate over
+    * the just-written files.
     */
   private def writeDataFiles(
-      df: DataFrame, root: String, cluster: Option[String],
+      df: DataFrame, root: String, cluster: Seq[String],
       buckets: Int): Seq[String] = {
     val sub = s"data/${UUID.randomUUID()}"
     val dest = new Path(root, sub)
     val toWrite = cluster match {
-      case Some(c) => df.repartitionByRange(buckets, col(c))
-      case None    => df
+      case Seq()  => df
+      case Seq(c) => df.repartitionByRange(buckets, col(c))
+      case Seq(a, b) =>
+        graft.ingest.ZOrder.zValue(df, a, b)
+          .repartitionByRange(buckets, col("z"))
+          .sortWithinPartitions(col("z"))
+          .drop("z")
+      case cs => throw new IllegalArgumentException(
+        s"TxTable supports at most 2 cluster columns, got $cs")
     }
     toWrite.write.parquet(dest.toString)
     val f = fs(df.sparkSession, dest)
@@ -199,24 +261,39 @@ object TxTable {
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .sorted
-    cluster match {
-      case None => names.map(n => s"$sub/$n")
-      case Some(c) =>
-        val spark = df.sparkSession
-        val stats = spark.read.parquet(dest.toString)
-          .select(input_file_name().as("_f"), col(c).cast("long").as("_k"))
-          .groupBy(col("_f"))
-          .agg(min(col("_k")).as("_mn"), max(col("_k")).as("_mx"))
-          .collect()
-          .map(r => (new Path(r.getString(0)).getName,
-            (r.getLong(1), r.getLong(2))))
-          .toMap
-        names.map { n =>
-          stats.get(n) match {
-            case Some((mn, mx)) => s"$sub/$n\t$mn\t$mx"
-            case None           => s"$sub/$n" // empty file: no stats
-          }
+    if (cluster.isEmpty) names.map(n => s"$sub/$n")
+    else {
+      val spark = df.sparkSession
+      val keyed = spark.read.parquet(dest.toString)
+        .select(input_file_name().as("_f") +:
+          cluster.zipWithIndex.map { case (c, i) =>
+            col(c).cast("long").as(s"_k$i") }: _*)
+      val aggExprs = cluster.indices.flatMap(i => Seq(
+        min(col(s"_k$i")).as(s"_mn$i"),
+        max(col(s"_k$i")).as(s"_mx$i")))
+      val stats = keyed
+        .groupBy(col("_f"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .collect()
+        .flatMap { r =>
+          // an all-null (or non-castable) cluster column leaves
+          // min/max null: emit the file WITHOUT stats — the
+          // conservative always-read path — instead of an NPE
+          // mid-write with data files already on disk
+          if ((1 until 1 + 2 * cluster.size).exists(r.isNullAt)) None
+          else Some((new Path(r.getString(0)).getName,
+            cluster.indices.map(i =>
+              (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))))
         }
+        .toMap
+      names.map { n =>
+        stats.get(n) match {
+          case Some(pairs) =>
+            (s"$sub/$n" +: pairs.flatMap { case (mn, mx) =>
+              Seq(mn.toString, mx.toString) }).mkString("\t")
+          case None => s"$sub/$n" // empty file: no stats
+        }
+      }
     }
   }
 
@@ -237,9 +314,22 @@ object TxTable {
       ((s"version=$version" +: headerLines) ++ fileEntries)
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // rename-no-overwrite: atomic publish; a concurrent winner makes
-    // the destination exist and the rename report failure
-    val won = !f.exists(dest) && f.rename(tmp, dest)
+    // publish via FileContext rename with Rename.NONE — fail-if-exists
+    // is enforced by the filesystem layer (atomically on HDFS and
+    // no-overwrite-rename stores), not by a check-then-act exists()
+    // probe; two racing writers cannot both observe success for the
+    // same version, so the loser's manifest is never clobbered
+    val won =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => false
+        case _: java.io.IOException => false
+      }
     if (!won) f.delete(tmp, false)
     won
   }
@@ -248,8 +338,10 @@ object TxTable {
   private def entryLines(s: Snapshot): Seq[String] =
     s.files.map { f =>
       s.stats.get(f) match {
-        case Some((mn, mx)) => s"$f\t$mn\t$mx"
-        case None           => f
+        case Some(pairs) =>
+          (f +: pairs.flatMap { case (mn, mx) =>
+            Seq(mn.toString, mx.toString) }).mkString("\t")
+        case None => f
       }
     }
 
@@ -260,11 +352,25 @@ object TxTable {
     */
   def create(
       df: DataFrame, root: String, clusterCol: Option[String] = None,
+      buckets: Int = 8): Long =
+    createClustered(df, root, clusterCol.toSeq, buckets)
+
+  /** Create with explicit cluster columns: 0 (unclustered), 1 (range
+    * clustering), or 2 (z-order — every write lays files along the
+    * Morton curve and records BOTH columns' min/max, so [[readRange]]
+    * on either and [[readBox]] on both prune at the file level).
+    */
+  def createClustered(
+      df: DataFrame, root: String, clusterCols: Seq[String],
       buckets: Int = 8): Long = {
     require(versions(df.sparkSession, root).isEmpty,
       s"TxTable already exists at $root")
-    val entries = writeDataFiles(df, root, clusterCol, buckets)
-    val headers = clusterCol.map(c => "cluster" -> c).toMap
+    require(clusterCols.size <= 2,
+      s"TxTable supports at most 2 cluster columns, got $clusterCols")
+    val entries = writeDataFiles(df, root, clusterCols, buckets)
+    val headers =
+      if (clusterCols.isEmpty) Map.empty[String, String]
+      else Map("cluster" -> clusterCols.mkString(","))
     if (!tryCommit(df.sparkSession, root, 0L, headers, entries))
       throw new CommitConflict(s"concurrent create at $root")
     0L
@@ -277,7 +383,7 @@ object TxTable {
       buckets: Int = 8): Long = {
     val spark = df.sparkSession
     val pre = latestSnapshot(spark, root)
-    val entries = writeDataFiles(df, root, pre.clusterCol, buckets)
+    val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestSnapshot(spark, root)
@@ -311,7 +417,7 @@ object TxTable {
       s.headers.get(key).exists(_.toLong >= batchId)
     val pre = latestSnapshot(spark, root)
     if (committed(pre)) return None
-    val entries = writeDataFiles(df, root, pre.clusterCol, buckets)
+    val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestSnapshot(spark, root)
@@ -333,7 +439,7 @@ object TxTable {
       buckets: Int = 8): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, root, expectedVersion)
-    val entries = writeDataFiles(df, root, cur.clusterCol, buckets)
+    val entries = writeDataFiles(df, root, cur.clusterCols, buckets)
     if (!tryCommit(spark, root, expectedVersion + 1, cur.headers, entries))
       throw new CommitConflict(
         s"overwrite at $root: version ${expectedVersion + 1} already " +
@@ -359,7 +465,7 @@ object TxTable {
     val merged = graft.operators.MergeUpsert.merge(
         target, source, keyCol, valueCols, tombstoneCol)
       .drop("action")
-    val entries = writeDataFiles(merged, root, cur.clusterCol, buckets)
+    val entries = writeDataFiles(merged, root, cur.clusterCols, buckets)
     if (!tryCommit(spark, root, cur.version + 1, cur.headers, entries))
       throw new CommitConflict(
         s"mergeInto at $root: snapshot v${cur.version} went stale " +
@@ -376,9 +482,9 @@ object TxTable {
   def compact(spark: SparkSession, root: String, buckets: Int = 8): Long = {
     val cur = latestSnapshot(spark, root)
     val all = readVersion(spark, root, cur.version)
-    val entries = cur.clusterCol match {
-      case Some(_) => writeDataFiles(all, root, cur.clusterCol, buckets)
-      case None    => writeDataFiles(all.coalesce(buckets), root, None, buckets)
+    val entries = cur.clusterCols match {
+      case Seq() => writeDataFiles(all.coalesce(buckets), root, Nil, buckets)
+      case cs    => writeDataFiles(all, root, cs, buckets)
     }
     if (!tryCommit(spark, root, cur.version + 1, cur.headers, entries))
       throw new CommitConflict(
@@ -386,25 +492,83 @@ object TxTable {
     cur.version + 1
   }
 
-  /** Drop data files referenced by NO kept version (the newest
-    * `keepVersions` manifests survive; older manifests are removed).
-    * Readers of vacuumed versions break — run only past any reader
-    * horizon, the standard retention contract.
+  /** Incremental compaction — the production OPTIMIZE shape: rewrite
+    * ONLY files smaller than `smallBytes`, bin-packed into
+    * ~`targetBytes` outputs, and keep every already-large file
+    * untouched (its bytes are never read or rewritten). A full
+    * [[compact]] rewrites the whole table every time — at 100 TB that
+    * is a table-scale write to fold in a few KB-scale streaming
+    * commits; this touches |small files| only, so the cost tracks the
+    * accretion rate, not the table size. No-op (returns None) when
+    * fewer than `minSmallFiles` qualify. Read-modify-write conflict
+    * semantics like [[compact]]. Returns the committed version.
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Unit = {
+  def autoCompact(
+      spark: SparkSession, root: String, smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20, minSmallFiles: Int = 4): Option[Long] = {
+    val cur = latestSnapshot(spark, root)
+    val f = fs(spark, new Path(root))
+    val sized = cur.files.map { rel =>
+      rel -> f.getFileStatus(new Path(root, rel)).getLen
+    }
+    val (small, large) = sized.partition(_._2 < smallBytes)
+    if (small.size < minSmallFiles) return None
+    val smallDf = readFiles(spark, root, small.map(_._1))
+    val outFiles = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val entries = writeDataFiles(smallDf, root, cur.clusterCols, outFiles)
+    val keptLarge = large.map(_._1).toSet
+    val keptLines = entryLines(cur).filter { line =>
+      keptLarge.contains(line.split("\t").head)
+    }
+    if (!tryCommit(spark, root, cur.version + 1, cur.headers,
+        keptLines ++ entries))
+      throw new CommitConflict(
+        s"autoCompact at $root: snapshot v${cur.version} went stale")
+    Some(cur.version + 1)
+  }
+
+  /** Drop data files referenced by NO kept version (the newest
+    * `keepVersions` manifests survive; older manifests are removed),
+    * plus orphaned temp manifests from crashed commit attempts.
+    *
+    * `retentionMs` is the writer-safety window (Delta-style): writers
+    * stage data files BEFORE their manifest commits, so an
+    * unreferenced dir may belong to an IN-FLIGHT commit, not a dead
+    * one. Only dirs whose every file is older than `retentionMs` are
+    * deleted — run with the default (24 h) and any writer that
+    * started inside the window is safe. `retentionMs = 0` deletes
+    * immediately and is correct ONLY with concurrent writers (and
+    * readers of vacuumed versions) excluded.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+      retentionMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(spark, root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val live = keep.flatMap(v => snapshot(spark, root, v).files).toSet
     val f = fs(spark, new Path(root))
+    val horizon = System.currentTimeMillis() - retentionMs
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) {
       f.listStatus(dataDir).foreach { sub =>
         val subRel = s"data/${sub.getPath.getName}"
-        val all = f.listStatus(sub.getPath).toSeq.map(_.getPath.getName)
-        if (all.forall(n => !live.contains(s"$subRel/$n")))
-          f.delete(sub.getPath, true)
+        val all = f.listStatus(sub.getPath).toSeq
+        val unreferenced =
+          all.forall(st => !live.contains(s"$subRel/${st.getPath.getName}"))
+        val pastRetention = sub.getModificationTime <= horizon &&
+          all.forall(_.getModificationTime <= horizon)
+        if (unreferenced && pastRetention) f.delete(sub.getPath, true)
       }
+    }
+    // temp manifests past retention are crash leftovers, never
+    // in-flight (a commit writes and renames them within one call)
+    val ld = logDir(root)
+    if (f.exists(ld)) f.listStatus(ld).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".tmp-") && n.endsWith(".txn") &&
+          st.getModificationTime <= horizon)
+        f.delete(st.getPath, false)
     }
     drop.foreach(v => f.delete(manifestPath(root, v), false))
   }

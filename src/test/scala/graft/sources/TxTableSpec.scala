@@ -168,11 +168,123 @@ class TxTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxTable.mergeInto(root,
       rows(1L).withColumn("del", lit(true)), "id", Seq("text"), "del")
     TxTable.append(rows(7L), root)
-    TxTable.vacuum(spark, root, keepVersions = 2)
+    // retention 0: this test IS the excluded-writers case
+    TxTable.vacuum(spark, root, keepVersions = 2, retentionMs = 0L)
     // v0's files are referenced by no kept manifest → gone
     assert(TxTable.versions(spark, root) == Seq(1L, 2L))
     intercept[Exception] { TxTable.readVersion(spark, root, 0L) }
     assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
       Set(2L, 7L))
+  }
+
+  test("z-order clustering: 2-column stats, readBox prunes on both dims") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    // 32×32 grid: x and y each uniform in [0,31]
+    val grid = (0 until 1024).map(i => (i.toLong, (i % 32).toLong,
+      (i / 32).toLong)).toDF("id", "x", "y")
+    TxTable.createClustered(grid, root, Seq("x", "y"), buckets = 16)
+    val snap = TxTable.latestSnapshot(spark, root)
+    assert(snap.clusterCols == Seq("x", "y"))
+    assert(snap.files.size == 16)
+    // every file carries TWO stat pairs
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.size == 2)))
+    // a small box must prune on both dimensions: strictly fewer files
+    // than either single-dimension range alone
+    val boxFiles = TxTable.prunedFiles(snap, 0, 4, 7)
+      .intersect(TxTable.prunedFiles(snap, 1, 4, 7))
+    assert(boxFiles.size < snap.files.size,
+      s"box touched all ${snap.files.size} files")
+    // the answer is exact regardless of pruning
+    val got = TxTable.readBox(spark, root, 4, 7, 4, 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (0 until 1024).filter(i =>
+      (i % 32) >= 4 && (i % 32) <= 7 && (i / 32) >= 4 && (i / 32) <= 7)
+      .map(_.toLong).toSet
+    assert(got == want)
+    // z-layout means a range on EITHER single column also prunes
+    assert(TxTable.prunedFiles(snap, 0, 0, 3).size < snap.files.size)
+    assert(TxTable.prunedFiles(snap, 1, 0, 3).size < snap.files.size)
+    // appends inherit the z-order clustering
+    val extra = Seq((5000L, 2L, 2L)).toDF("id", "x", "y")
+    TxTable.append(extra, root)
+    val got2 = TxTable.readBox(spark, root, 0, 3, 0, 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2.contains(5000L))
+  }
+
+  test("autoCompact folds only small files and keeps large ones") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    // one "large" initial file (single bucket) + several small appends
+    val big = (0L until 2000L).map(i => (i, s"text-$i"))
+      .toDF("id", "text")
+    TxTable.createClustered(big, root, Seq("id"), buckets = 1)
+    (0 until 5).foreach { k =>
+      TxTable.append(rows(10000L + k), root, buckets = 1)
+    }
+    val before = TxTable.latestSnapshot(spark, root)
+    assert(before.files.size == 6)
+    val bigFile = TxTable.snapshot(spark, root, 0L).files.head
+    // threshold between the sizes: the 2000-row file stays put
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigLen = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, bigFile)).getLen
+    val v = TxTable.autoCompact(spark, root, smallBytes = bigLen,
+      targetBytes = 1L << 30, minSmallFiles = 2)
+    assert(v.nonEmpty)
+    val after = TxTable.latestSnapshot(spark, root)
+    // 5 small files folded into 1; the large file survives UNTOUCHED
+    assert(after.files.size == 2)
+    assert(after.files.contains(bigFile))
+    // stats survive for the kept large file
+    assert(after.stats.get(bigFile).exists(_.nonEmpty))
+    // contents identical
+    assert(TxTable.read(spark, root).count() == 2005L)
+    // below minSmallFiles → no-op
+    assert(TxTable.autoCompact(spark, root, smallBytes = bigLen,
+      targetBytes = 1L << 30, minSmallFiles = 4).isEmpty)
+  }
+
+  test("vacuum retention protects in-flight writers' staged files") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L), root)
+    TxTable.append(rows(2L), root)
+    TxTable.append(rows(3L), root)
+    // simulate an in-flight writer: freshly staged data dir, no
+    // manifest yet — default retention must NOT delete it
+    val staged = new org.apache.hadoop.fs.Path(
+      root, s"data/${java.util.UUID.randomUUID()}")
+    val f = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(staged)
+    val out = f.create(new org.apache.hadoop.fs.Path(staged, "part-0.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    TxTable.vacuum(spark, root, keepVersions = 1)
+    assert(f.exists(staged), "retention window must protect staged files")
+    // with retention waived, the unreferenced staged dir goes
+    TxTable.vacuum(spark, root, keepVersions = 1, retentionMs = 0L)
+    assert(!f.exists(staged))
+  }
+
+  test("versions ignores temp manifests from in-flight commits") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L), root)
+    // a crashed writer's leftover temp manifest must not break reads
+    val tmp = new org.apache.hadoop.fs.Path(
+      root, s"_txlog/.tmp-${java.util.UUID.randomUUID()}.txn")
+    val f = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp)
+    out.write("version=99\n".getBytes); out.close()
+    assert(TxTable.versions(spark, root) == Seq(0L))
+    assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(1L))
+    val v = TxTable.append(rows(2L), root)
+    assert(v == 1L)
+    // vacuum with retention 0 clears the orphan
+    TxTable.vacuum(spark, root, keepVersions = 2, retentionMs = 0L)
+    assert(!f.exists(tmp))
   }
 }

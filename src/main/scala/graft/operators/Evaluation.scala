@@ -438,4 +438,91 @@ object Evaluation {
             (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
         }, 4).as("z"))
   }
+
+  /** Mann–Whitney U (rank-sum) test — the non-parametric two-sample
+    * comparison an experiment readout needs when the metric is skewed
+    * (latencies, token counts) and a mean-based z test misleads.
+    *
+    * Shuffle shape: one hash aggregate to per-VALUE counts (vocabulary
+    * -bounded — |distinct metric values| rows, not corpus rows), one
+    * ordered window over that small frame for cumulative ranks, one
+    * final 1-row reduce. Average ranks for ties come from the
+    * closed form `cum_before + (n_v + 1)/2`, so 2·R and 2·U are exact
+    * integers; the normal-approximation z (with the standard tie
+    * correction) is the only float, rounded to 6 dp.
+    *
+    * Output (1 row): `n_a`, `n_b`, `u2_a` = 2·U_A (exact), `z`.
+    */
+  def mannWhitneyU(
+      df: DataFrame, valueCol: String, inA: Column): DataFrame = {
+    val perValue = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("_na"),
+        count(lit(1)).as("_n"))
+    val w = Window.orderBy(col("_v"))
+    val ranked = perValue
+      .withColumn("_cum", coalesce(
+        sum(col("_n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // 2·avgRank = 2·cum_before + n_v + 1 keeps rank math integral
+      .withColumn("_r2", lit(2) * col("_cum") + col("_n") + lit(1))
+    val agg = ranked.agg(
+      sum(col("_na")).as("n_a"),
+      sum(col("_n") - col("_na")).as("n_b"),
+      sum(col("_na") * col("_r2")).as("_r2a"),
+      sum(col("_n") * col("_n") * col("_n") - col("_n")).as("_ties"))
+    agg.select(
+      col("n_a"), col("n_b"),
+      (col("_r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+      Numerics.roundz({
+        val na = col("n_a").cast("double")
+        val nb = col("n_b").cast("double")
+        val n = na + nb
+        val u = (col("_r2a") - col("n_a") * (col("n_a") + 1))
+          .cast("double") / 2.0
+        val mu = na * nb / 2.0
+        val varU = na * nb / 12.0 *
+          ((n + 1.0) - col("_ties").cast("double") / (n * (n - 1.0)))
+        (u - mu) / sqrt(varU)
+      }, 6).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
+    * pre-experiment-covariate adjustment: θ = cov(y, x)/var(x) over
+    * ALL units (pooled, the published estimator), and each arm's
+    * adjusted mean is `mean(y) − θ·(mean(x) − mean(x)_pooled)`.
+    *
+    * Everything reduces to the five integer sums (n, Σx, Σy, Σxx,
+    * Σxy) per arm plus their pooled totals — one hash aggregate over
+    * units, then 2-row arithmetic. θ and the means are fixed double
+    * chains over exact integers, rounded to 6 dp.
+    *
+    * Output: one row per arm — `arm`, `n`, `mean_y`, `mean_y_adj`.
+    */
+  def cuped(
+      df: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val per = df.groupBy(col(armCol).cast("long").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("long")).as("_sx"),
+        sum(col(yCol).cast("long")).as("_sy"),
+        sum(col(xCol).cast("long") * col(xCol).cast("long")).as("_sxx"),
+        sum(col(xCol).cast("long") * col(yCol).cast("long")).as("_sxy"))
+    val tot = per.agg(sum(col("n")).as("_tn"), sum(col("_sx")).as("_tsx"),
+      sum(col("_sy")).as("_tsy"), sum(col("_sxx")).as("_tsxx"),
+      sum(col("_sxy")).as("_tsxy"))
+    per.crossJoin(broadcast(tot)).select(
+      col("arm"), col("n"),
+      Numerics.roundz(
+        col("_sy").cast("double") / col("n"), 6).as("mean_y"),
+      Numerics.roundz({
+        val theta = (col("_tn") * col("_tsxy") - col("_tsx") * col("_tsy"))
+          .cast("double") /
+          (col("_tn") * col("_tsxx") - col("_tsx") * col("_tsx"))
+            .cast("double")
+        val meanXArm = col("_sx").cast("double") / col("n")
+        val meanXAll = col("_tsx").cast("double") / col("_tn")
+        col("_sy").cast("double") / col("n") - theta * (meanXArm - meanXAll)
+      }, 6).as("mean_y_adj"))
+  }
 }

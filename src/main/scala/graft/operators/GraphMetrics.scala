@@ -457,4 +457,47 @@ object GraphMetrics {
         coalesce(col("nbr_deg_sum"), lit(0L)).as("nbr_deg_sum"),
         coalesce(col("nbr_deg_max"), lit(0L)).as("nbr_deg_max"))
   }
+
+  /** Bounded-round Bellman–Ford: single/multi-source shortest paths
+    * over a WEIGHTED directed edge list with integer weights —
+    * distances stay exact longs, so the result is hash-stable under
+    * any partitioning. `rounds` bounds the relaxation count: paths of
+    * more than `rounds` hops are not discovered (pick rounds ≥
+    * diameter for the full answer, or keep it small for a bounded-
+    * horizon distance label — the crawl-frontier / trust-propagation
+    * use). Unreached nodes are absent from the output.
+    *
+    * Per round: one shuffle-on-dst aggregate (candidate relaxations,
+    * map-side-combined min) + one node-keyed min merge — |E|- then
+    * |V|-bounded, the pagerank round shape; edges are materialized
+    * once and distance frames per round (lineage truncated through
+    * [[Materialize]], so the reliable-checkpoint knob applies).
+    */
+  def bellmanFord(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      sources: DataFrame, sourceCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be at least 1")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .repartition(col("u"))
+      .materialized
+    var dist = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .materialized
+    var r = 0
+    while (r < rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "u").hint("shuffle_hash"), "u")
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .materialized
+      r += 1
+    }
+    dist
+  }
 }

@@ -529,8 +529,79 @@ object EvalQueries extends QueryGroup {
         |ORDER BY p.actual, predicted""".stripMargin
     })
 
+  /** Mann–Whitney U rank-sum test ([[graft.operators.Evaluation
+    * .mannWhitneyU]]): English vs non-English document lengths — the
+    * non-parametric check a skewed length distribution needs. The
+    * per-value rank closed form keeps 2·R and 2·U exact integers
+    * (`u2_a` is hash-exact); only the tie-corrected z is float,
+    * 6-dp-rounded with the signed-zero guard. The oracle replays the
+    * identical value-domain rank arithmetic.
+    */
+  val mannWhitneyGate: QueryDef = QueryDef(
+    "eval_mann_whitney",
+    (s, dir) =>
+      graft.operators.Evaluation.mannWhitneyU(
+        Tables(s, dir).documents, "n_chars", col("lang") === "en"),
+    Some(
+      """WITH pv AS (SELECT n_chars AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+        |    count(*) AS n
+        |  FROM documents GROUP BY n_chars),
+        |rk AS (SELECT v, na, n, coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM pv),
+        |ag AS (SELECT sum(na)::BIGINT AS n_a, sum(n - na)::BIGINT AS n_b,
+        |    sum(na * (2 * cum + n + 1))::BIGINT AS r2a,
+        |    sum(n * n * n - n)::BIGINT AS ties
+        |  FROM rk)
+        |SELECT n_a, n_b, (r2a - n_a * (n_a + 1))::BIGINT AS u2_a,
+        |  round(((r2a - n_a * (n_a + 1))::DOUBLE / 2.0
+        |      - n_a::DOUBLE * n_b / 2.0) /
+        |    sqrt(n_a::DOUBLE * n_b / 12.0 *
+        |      ((n_a::DOUBLE + n_b + 1.0)
+        |        - ties::DOUBLE / ((n_a::DOUBLE + n_b) * (n_a::DOUBLE + n_b - 1.0)))),
+        |    6) + 0 AS z
+        |FROM ag""".stripMargin))
+
+  /** CUPED variance-reduced experiment readout
+    * ([[graft.operators.Evaluation.cuped]]): users split by id parity,
+    * covariate x = pre-metric (even event ids per user), outcome y =
+    * post-metric (odd event ids) — per-arm raw and adjusted means
+    * under the pooled θ = cov(y,x)/var(x). All five sums are exact
+    * integers; the oracle replays the identical double chains.
+    */
+  val cupedGate: QueryDef = QueryDef(
+    "eval_cuped",
+    (s, dir) => {
+      val per = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 2)
+      graft.operators.Evaluation.cuped(per, "arm", "x", "y")
+        .orderBy("arm")
+    },
+    Some(
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS y,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM per GROUP BY arm),
+        |t AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+        |    sum(sxx) AS tsxx, sum(sxy) AS tsxy FROM pa)
+        |SELECT arm, n::BIGINT AS n,
+        |  round(sy::DOUBLE / n, 6) + 0 AS mean_y,
+        |  round(sy::DOUBLE / n
+        |    - ((tn * tsxy - tsx * tsy)::DOUBLE / (tn * tsxx - tsx * tsx)::DOUBLE)
+        |      * (sx::DOUBLE / n - tsx::DOUBLE / tn), 6) + 0 AS mean_y_adj
+        |FROM pa, t ORDER BY arm""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
-      preferenceMatrix, preferenceRanking, abTest, confusionMatrix)
+      preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
+      mannWhitneyGate, cupedGate)
 }

@@ -2824,6 +2824,61 @@ object PipelineQueries extends QueryGroup {
         |    ((gn::HUGEINT * (n + 10))::DOUBLE * 10000), 6) + 0 AS enc
         |FROM c, g ORDER BY category""".stripMargin))
 
+  /** Weighted shortest paths ([[graft.operators.GraphMetrics
+    * .bellmanFord]], 4 relaxation rounds from node 0) over a
+    * closed-form directed graph (47 nodes, two edge families per doc:
+    * u=doc_id%47 → (3·doc_id+1)%47 with weight doc_id%9+1 and
+    * u → (5·doc_id+2)%47 with weight doc_id%9+3 — every node has two
+    * out-neighbors, so diamond paths compete and the min-relaxation
+    * actually adjudicates). Integer weights keep every distance
+    * exact; the oracle unrolls all four rounds — each one a
+    * candidate-relaxation join + a node-keyed min merge — so the
+    * multi-round fixed-point behavior itself sits under the hash.
+    */
+  val shortestPathsGate: QueryDef = QueryDef(
+    "graph_shortest_paths",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val e = docs.select(
+          (col("doc_id") % 47).as("u"),
+          ((col("doc_id") * 3 + 1) % 47).as("v"),
+          (col("doc_id") % 9 + 1).as("w"))
+        .unionByName(docs.select(
+          (col("doc_id") % 47).as("u"),
+          ((col("doc_id") * 5 + 2) % 47).as("v"),
+          (col("doc_id") % 9 + 3).as("w")))
+        .filter(col("u") =!= col("v"))
+      GraphMetrics.bellmanFord(e, "u", "v", "w",
+          docs.filter(col("doc_id") === 0), "doc_id", rounds = 4)
+        .orderBy("node")
+    },
+    Some(
+      """WITH e AS (SELECT u, v, w FROM (
+        |             SELECT doc_id % 47 AS u, (doc_id * 3 + 1) % 47 AS v,
+        |               doc_id % 9 + 1 AS w FROM documents
+        |             UNION ALL
+        |             SELECT doc_id % 47, (doc_id * 5 + 2) % 47,
+        |               doc_id % 9 + 3 FROM documents)
+        |           WHERE u <> v),
+        |d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS dist),
+        |r1 AS (SELECT e.v AS node, min(d0.dist + e.w) AS dist FROM e
+        |       JOIN d0 ON d0.node = e.u GROUP BY e.v),
+        |d1 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+        |r2 AS (SELECT e.v AS node, min(d1.dist + e.w) AS dist FROM e
+        |       JOIN d1 ON d1.node = e.u GROUP BY e.v),
+        |d2 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+        |r3 AS (SELECT e.v AS node, min(d2.dist + e.w) AS dist FROM e
+        |       JOIN d2 ON d2.node = e.u GROUP BY e.v),
+        |d3 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node),
+        |r4 AS (SELECT e.v AS node, min(d3.dist + e.w) AS dist FROM e
+        |       JOIN d3 ON d3.node = e.u GROUP BY e.v),
+        |d4 AS (SELECT node, min(dist) AS dist FROM
+        |       (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY node)
+        |SELECT node, dist::BIGINT AS dist FROM d4 ORDER BY node""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -2833,7 +2888,8 @@ object PipelineQueries extends QueryGroup {
       neighborJaccardGate, neighborAggGate, hitsGate, kcoreGate, bfsGate,
       snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
-      kAnonymityGate, lDiversityGate, targetEncoding, clusterSplit)
+      kAnonymityGate, lDiversityGate, targetEncoding, clusterSplit,
+      shortestPathsGate)
 }
 
 object TextQueries extends QueryGroup {

@@ -180,7 +180,40 @@ object SqlSurfaceQueries extends QueryGroup {
         |  SELECT l_returnflag, 'n_parts', n_parts FROM w)
         |ORDER BY l_returnflag, measure""".stripMargin))
 
+  /** Value-RANGE window frame — `RANGE BETWEEN 30 PRECEDING AND
+    * CURRENT ROW` over order-date days: the trailing-30-day customer
+    * spend that ROWS frames (`events_moving_window`) cannot express
+    * (peers at the same day all join the frame; gaps in the date
+    * axis shrink it). Money sums go through DECIMAL(18,2) on both
+    * engines (the order-independence contract), then one double cast.
+    */
+  val rangeFrame: QueryDef = QueryDef(
+    "window_range_frame",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01"))
+          .cast("long").as("d"),
+        col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("d"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("spend_30d"))
+        .orderBy("o_orderkey")
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS d,
+        |  sum(o_totalprice::DECIMAL(18,2)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::DOUBLE AS spend_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(aboveAverage, nullSafeEq, pivot, setOps, jsonMap, rankFamily,
-      unpivot)
+      unpivot, rangeFrame)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Filter-model evaluation metrics against hand-computed values —
   * including the tie handling in AUC, both error directions in the
@@ -228,5 +229,38 @@ class EvaluationSpec extends SparkSpec {
       .toDF("unit", "rater", "cat")
     assert(Evaluation.krippendorffAlpha(perfect, "unit", "rater", "cat")
       .head().getDouble(3) == 1.0)
+  }
+
+  test("mannWhitneyU: exact 2U and tie-corrected z") {
+    val s = spark
+    import s.implicits._
+    // A = {1,3}, B = {2,4}: ranks 1..4, R_A = 4, U_A = 1,
+    // z = (1-2)/sqrt((4/12)*5) = -0.774597
+    val df = Seq((1L, "a"), (3L, "a"), (2L, "b"), (4L, "b"))
+      .toDF("v", "g")
+    val r = Evaluation.mannWhitneyU(df, "v", col("g") === "a").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L) // 2·U_A
+    assert(r.getDouble(3) == -0.774597)
+    // ties: A = {1,2}, B = {2,3} → avg rank 2.5 for the tied pair,
+    // U_A = 0.5, ties term 6, z = -sqrt(1.5)
+    val t = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("v", "g")
+    val rt = Evaluation.mannWhitneyU(t, "v", col("g") === "a").head()
+    assert(rt.getLong(2) == 1L) // 2·U_A = 1 (half-integer U from ties)
+    assert(rt.getDouble(3) == -1.224745)
+  }
+
+  test("cuped: pooled theta adjusts per-arm means") {
+    val s = spark
+    import s.implicits._
+    // pooled theta = (4·47 − 10·16)/(4·30 − 100) = 1.4;
+    // arm0 adj = 2.5 + 1.4 = 3.9, arm1 adj = 5.5 − 1.4 = 4.1
+    val df = Seq((0L, 1L, 2L), (0L, 2L, 3L), (1L, 3L, 5L), (1L, 4L, 6L))
+      .toDF("arm", "x", "y")
+    val r = Evaluation.cuped(df, "arm", "x", "y")
+      .orderBy("arm").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((0L, 2L, 2.5, 3.9), (1L, 2L, 5.5, 4.1)))
   }
 }

@@ -225,4 +225,32 @@ class GraphMetricsSpec extends SparkSpec {
       (4L, 1L, 3L, 3L),
       (5L, 0L, 0L, 0L))) // isolated node appears with zeros
   }
+
+  test("bellmanFord relaxes competing paths to exact min distances") {
+    val s = spark
+    import s.implicits._
+    // 0→1 (w=10) and 0→2 (w=1) → 2→1 (w=2): the 2-hop path wins.
+    // 1→3 (w=1): distance to 3 improves only after dist(1) settles —
+    // needs 3 rounds, pinning the multi-round propagation.
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("u", "v", "w")
+    val src = Seq(Tuple1(0L)).toDF("node0")
+    val got = GraphMetrics.bellmanFord(e, "u", "v", "w", src, "node0", 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 3L), (2L, 1L), (3L, 4L)))
+    // one round: only direct edges from the source relax
+    val r1 = GraphMetrics.bellmanFord(e, "u", "v", "w", src, "node0", 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.toSeq == Seq((0L, 0L), (1L, 10L), (2L, 1L)))
+  }
+
+  test("bellmanFord multi-source takes the nearest source") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 5L, 4L), (9L, 5L, 1L)).toDF("u", "v", "w")
+    val src = Seq(Tuple1(0L), Tuple1(9L)).toDF("n")
+    val got = GraphMetrics.bellmanFord(e, "u", "v", "w", src, "n", 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (5L, 1L), (9L, 0L)))
+  }
 }

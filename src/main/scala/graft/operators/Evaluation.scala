@@ -525,4 +525,92 @@ object Evaluation {
         col("_sy").cast("double") / col("n") - theta * (meanXArm - meanXAll)
       }, 6).as("mean_y_adj"))
   }
+
+  /** Benjamini–Hochberg FDR control — the multiple-comparison
+    * correction an experiment platform applies when one launch ships
+    * dozens of metric readouts: p-values ranked ascending, k* = the
+    * largest rank with `p ≤ rank·q/m`, every metric at rank ≤ k*
+    * rejected (the step-up rule — metrics ABOVE their own line still
+    * reject when a later rank crosses, which is what a naive
+    * per-metric threshold gets wrong).
+    *
+    * Deterministic: rank ties break on the metric name. The frame is
+    * metric-count-sized (dozens), so the single global rank window is
+    * metadata-cheap. Output per metric: `p`, `rank`, `bh_threshold`
+    * (= rank·q/m, 6 dp), `rejected`.
+    */
+  def fdrBh(
+      df: DataFrame, metricCol: String, pCol: String,
+      q: Double): DataFrame = {
+    val w = Window.orderBy(col("_p"), col(metricCol))
+    val ranked = df
+      .select(col(metricCol), col(pCol).cast("double").as("_p"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("_thr", col("rank").cast("double") * q / col("_m"))
+      .withColumn("_hit", when(col("_p") <= col("_thr"), col("rank")))
+    val kStar = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("_kstar", max(col("_hit")).over(kStar))
+      .select(col(metricCol), col("_p").as("p"), col("rank"),
+        Numerics.roundz(col("_thr"), 6).as("bh_threshold"),
+        (col("_kstar").isNotNull &&
+          col("rank") <= col("_kstar")).as("rejected"))
+  }
+
+  /** Murphy decomposition of the Brier score over forecast bins —
+    * reliability (calibration error), resolution (discrimination), and
+    * uncertainty, with `brier = reliability − resolution +
+    * uncertainty`. The classifier-quality readout beyond a bare
+    * calibration table: a filter model can be perfectly calibrated
+    * (rel 0) and useless (res 0).
+    *
+    * Forecasts are integer milli-probabilities (the [[rocAuc]]
+    * quantization contract) binned by centi-prob decile. All bin
+    * sums are exact longs; reliability's cross-bin sum uses the
+    * integer fixed-point `Σ (D_k² div n_k)` (D_k = Σp − 1000·Σy per
+    * bin, in milli-units) so no float accumulates across bins, and
+    * resolution comes off the decomposition identity — each surfaced
+    * number is ONE short double chain off exact integers, 6 dp.
+    *
+    * Output (1 row): `n`, `brier`, `reliability`, `resolution`,
+    * `uncertainty`.
+    */
+  def brierDecomposition(
+      df: DataFrame, milliProbCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val p = col(milliProbCol).cast("long")
+    val perBin = df
+      .select((p / 100).cast("long").as("_bin"), p.as("_p"),
+        when(y =!= 0L, 1L).otherwise(0L).as("_y"))
+      .withColumn("_e", col("_p") - lit(1000L) * col("_y"))
+      .groupBy(col("_bin"))
+      .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_sp"),
+        sum(col("_y")).as("_sy"), sum(col("_e") * col("_e")).as("_se2"))
+    val agg = perBin.agg(
+      sum(col("_n")).as("n"), sum(col("_sy")).as("_ty"),
+      sum(col("_se2")).as("_brier_fp"),
+      sum(expr("(_sp - 1000 * _sy) * (_sp - 1000 * _sy) div _n"))
+        .as("_rel_fp"))
+    agg.select(
+      col("n"),
+      Numerics.roundz(col("_brier_fp").cast("double") /
+        (lit(1000000.0) * col("n")), 6).as("brier"),
+      Numerics.roundz(col("_rel_fp").cast("double") /
+        (lit(1000000.0) * col("n")), 6).as("reliability"),
+      Numerics.roundz({
+        val unc = (col("_ty") * (col("n") - col("_ty"))).cast("double") /
+          (col("n").cast("double") * col("n"))
+        val rel = col("_rel_fp").cast("double") / (lit(1000000.0) * col("n"))
+        val brier = col("_brier_fp").cast("double") /
+          (lit(1000000.0) * col("n"))
+        rel + unc - brier
+      }, 6).as("resolution"),
+      Numerics.roundz(
+        (col("_ty") * (col("n") - col("_ty"))).cast("double") /
+          (col("n").cast("double") * col("n")), 6).as("uncertainty"))
+  }
 }

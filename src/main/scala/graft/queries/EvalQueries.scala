@@ -599,9 +599,81 @@ object EvalQueries extends QueryGroup {
         |      * (sx::DOUBLE / n - tsx::DOUBLE / tn), 6) + 0 AS mean_y_adj
         |FROM pa, t ORDER BY arm""".stripMargin))
 
+  /** Benjamini–Hochberg FDR ([[graft.operators.Evaluation.fdrBh]],
+    * q = 0.10) over per-event-type pseudo-p-values (closed-form exact
+    * rationals `(Σ event_id mod 997)/997`): the step-up rule — a
+    * metric above its own BH line still rejects when a later rank
+    * crosses — sits under the hash. Rejected flag cast to 0/1 for the
+    * cross-engine compare.
+    */
+  val fdrGate: QueryDef = QueryDef(
+    "eval_fdr_bh",
+    (s, dir) => {
+      val pv = Tables(s, dir).events
+        .groupBy(col("event_type").as("metric"))
+        .agg(((sum(col("event_id")) % 997).cast("double") / 997.0)
+          .as("pval"))
+      graft.operators.Evaluation.fdrBh(pv, "metric", "pval", 0.10)
+        .withColumn("rejected", col("rejected").cast("long"))
+        .orderBy("metric")
+    },
+    Some(
+      """WITH pv AS (SELECT event_type AS metric,
+        |    (sum(event_id) % 997)::DOUBLE / 997.0 AS p
+        |  FROM events GROUP BY event_type),
+        |rk AS (SELECT metric, p,
+        |    row_number() OVER (ORDER BY p, metric) AS rank,
+        |    count(*) OVER () AS m FROM pv),
+        |th AS (SELECT metric, p, rank, rank::DOUBLE * 0.1 / m AS thr,
+        |    CASE WHEN p <= rank::DOUBLE * 0.1 / m THEN rank END AS hit
+        |  FROM rk),
+        |ks AS (SELECT max(hit) AS kstar FROM th)
+        |SELECT metric, p, rank::BIGINT AS rank,
+        |  round(thr, 6) + 0 AS bh_threshold,
+        |  (CASE WHEN kstar IS NOT NULL AND rank <= kstar
+        |        THEN 1 ELSE 0 END)::BIGINT AS rejected
+        |FROM th, ks ORDER BY metric""".stripMargin))
+
+  /** Murphy decomposition of the Brier score
+    * ([[graft.operators.Evaluation.brierDecomposition]]): forecasts =
+    * event_id mod 1001 milli-probs, labels = event_id mod 7 < 3,
+    * decile bins. Reliability's cross-bin sum is the integer
+    * fixed-point `Σ (D² div n)`, resolution comes off the identity
+    * `brier = rel − res + unc` — so every float is one short chain
+    * over exact integers and the oracle replays it bit-for-bit.
+    */
+  val brierGate: QueryDef = QueryDef(
+    "eval_brier_decomposition",
+    (s, dir) => {
+      val d = Tables(s, dir).events.select(
+        (col("event_id") % 1001).as("mp"),
+        (col("event_id") % 7 < 3).cast("long").as("lbl"))
+      graft.operators.Evaluation.brierDecomposition(d, "mp", "lbl")
+    },
+    Some(
+      """WITH d AS (SELECT event_id % 1001 AS p,
+        |    CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |pb AS (SELECT p // 100 AS bin, count(*) AS n, sum(p) AS sp,
+        |    sum(y) AS sy, sum((p - 1000*y)*(p - 1000*y)) AS se2
+        |  FROM d GROUP BY 1),
+        |ag AS (SELECT sum(n)::BIGINT AS n, sum(sy)::BIGINT AS ty,
+        |    sum(se2)::BIGINT AS brier_fp,
+        |    sum((sp - 1000*sy)*(sp - 1000*sy) // n)::BIGINT AS rel_fp
+        |  FROM pb)
+        |SELECT n,
+        |  round(brier_fp::DOUBLE / (1000000.0 * n), 6) + 0 AS brier,
+        |  round(rel_fp::DOUBLE / (1000000.0 * n), 6) + 0 AS reliability,
+        |  round(rel_fp::DOUBLE / (1000000.0 * n)
+        |    + (ty * (n - ty))::DOUBLE / (n::DOUBLE * n)
+        |    - brier_fp::DOUBLE / (1000000.0 * n), 6) + 0 AS resolution,
+        |  round((ty * (n - ty))::DOUBLE / (n::DOUBLE * n), 6) + 0
+        |    AS uncertainty
+        |FROM ag""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
-      mannWhitneyGate, cupedGate)
+      mannWhitneyGate, cupedGate, fdrGate, brierGate)
 }

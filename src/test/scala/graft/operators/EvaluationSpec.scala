@@ -251,6 +251,38 @@ class EvaluationSpec extends SparkSpec {
     assert(rt.getDouble(3) == -1.224745)
   }
 
+  test("fdrBh: step-up rule rejects above-own-line metrics below k*") {
+    val s = spark
+    import s.implicits._
+    // m=3, q=0.3 → lines 0.1/0.2/0.3. p1=0.11 exceeds ITS line but
+    // rank-2's 0.12 ≤ 0.2 sets k*=2, so p1 still rejects (step-up).
+    val df = Seq(("p1", 0.11), ("p2", 0.12), ("p3", 0.9))
+      .toDF("metric", "p")
+    val r = Evaluation.fdrBh(df, "metric", "p", 0.3)
+      .orderBy("rank").collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getBoolean(4)))
+    assert(r.toSeq == Seq(("p1", 1L, true), ("p2", 2L, true),
+      ("p3", 3L, false)))
+    // nothing under any line → kstar null → nothing rejected
+    val none = Seq(("a", 0.5), ("b", 0.9)).toDF("metric", "p")
+    assert(Evaluation.fdrBh(none, "metric", "p", 0.05)
+      .collect().forall(!_.getBoolean(4)))
+  }
+
+  test("brierDecomposition: identity holds on a hand case") {
+    val s = spark
+    import s.implicits._
+    // bins 1 and 9: rel = 0.01, res = 0.25, unc = 0.25, brier = 0.01
+    val df = Seq((100L, 0L), (900L, 1L), (100L, 0L), (900L, 1L))
+      .toDF("mp", "lbl")
+    val r = Evaluation.brierDecomposition(df, "mp", "lbl").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.01)   // brier
+    assert(r.getDouble(2) == 0.01)   // reliability
+    assert(r.getDouble(3) == 0.25)   // resolution
+    assert(r.getDouble(4) == 0.25)   // uncertainty
+  }
+
   test("cuped: pooled theta adjusts per-arm means") {
     val s = spark
     import s.implicits._

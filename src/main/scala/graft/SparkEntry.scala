@@ -15,7 +15,7 @@ object SparkEntry {
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
       AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
       TextQueries, SamplingQueries, EventQueries, MultimodalQueries,
-      PipelineQueries, IoQueries, EvalQueries)
+      PipelineQueries, IoQueries, EvalQueries, ProfilingQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -487,6 +487,59 @@ object Evaluation {
       }, 6).as("z"))
   }
 
+  /** Kruskal–Wallis H (the k-group extension of [[mannWhitneyU]]):
+    * rank-sum one-way test over `groupCol` groups of the integral
+    * `valueCol`, with the standard tie correction
+    * H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Same scale shape as the two-group test: ranks never materialize
+    * per row — the per-distinct-value aggregate (vocabulary-bounded)
+    * carries counts per group, and 2·avgRank = 2·cumBefore + n_v + 1
+    * keeps every rank sum an exact integer. The only doubles are the
+    * final fixed chain over those integers; the cross-group Σ R²/n
+    * fold runs in group order (sorted collect over k group rows — k
+    * is the number of test arms, driver-safe by construction), so the
+    * sum order is deterministic and the oracle replays it with
+    * `list_sum(list(… ORDER BY g))`.
+    */
+  def kruskalWallis(
+      df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val pv = df
+      .groupBy(col(valueCol).cast("long").as("_v"),
+        col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"))
+    val nv = pv.groupBy(col("_v")).agg(sum(col("_n")).as("_nv"))
+    val w = Window.orderBy(col("_v"))
+    val ranked = nv
+      .withColumn("_cum", coalesce(
+        sum(col("_nv")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_r2", lit(2) * col("_cum") + col("_nv") + lit(1))
+    val perGroup = pv.join(ranked.select("_v", "_r2"), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_n")).as("_ng"), sum(col("_n") * col("_r2")).as("_r2g"))
+    val ties = nv.agg(
+      sum(col("_nv") * col("_nv") * col("_nv") - col("_nv")).as("_t"))
+    perGroup
+      .agg(count(lit(1)).as("k"), sum(col("_ng")).as("n"),
+        aggregate(
+          array_sort(collect_list(struct(col("_g"), col("_r2g"),
+            col("_ng")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("_r2g").cast("double") *
+            s.getField("_r2g").cast("double") /
+            (lit(4.0) * s.getField("_ng").cast("double"))).as("_rs"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("_t").as("ties"),
+        Numerics.roundz({
+          val n = col("n").cast("double")
+          val hRaw = lit(12.0) / (n * (n + 1.0)) * col("_rs") -
+            lit(3.0) * (n + 1.0)
+          val c = lit(1.0) - col("_t").cast("double") / (n * n * n - n)
+          hRaw / c
+        }, 6).as("h"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
     * pre-experiment-covariate adjustment: θ = cov(y, x)/var(x) over
     * ALL units (pooled, the published estimator), and each arm's

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concentration / inequality readouts over monetary-style columns —
+  * the "how skewed is this corpus/revenue/token distribution" summary
+  * a curation pipeline reads before rebalancing (cf. the distribution
+  * rebalance and quality-bucket operators in [[Sampling]]).
+  *
+  * Everything is exact integer arithmetic until one final double
+  * division: values are fixed-pointed to cents, ranks come from a
+  * per-group window `row_number` (ties broken by the id column, which
+  * leaves the rank-weighted sum invariant — equal values contribute
+  * the same total regardless of their order), and the Gini closed
+  * form over sorted values
+  *
+  *   G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)
+  *
+  * needs only the two integer sums. One shuffle (hash by group for
+  * the sort window), one aggregate; nothing driver-side. At 100 TB
+  * the per-group sort is the cost — groups are processed
+  * independently, so skew in group sizes is the thing to watch
+  * (`keySkewProfile` diagnoses it), and the integer sums map-side
+  * combine.
+  */
+object Inequality {
+
+  /** Per-group Gini coefficient of `valueCol` (a 2-dp non-negative
+    * monetary double), plus the exact supporting sums. `idCol` is the
+    * deterministic tiebreak for equal values.
+    */
+  def giniByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100d, 0).cast("long")
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_c"), col("_id"))
+    df.select(col(groupCol).as("_g"), cents.as("_c"), col(idCol).as("_id"))
+      .withColumn("_i", row_number().over(w))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_c")).as("sum_cents"),
+        sum(col("_i") * col("_c")).as("_t"))
+      .select(col(groupCol), col("n"), col("sum_cents"),
+        Numerics.roundz(
+          (lit(2) * col("_t") - (col("n") + 1) * col("sum_cents"))
+            .cast("double") /
+            (col("n") * col("sum_cents")).cast("double"), 6).as("gini"))
+  }
+}

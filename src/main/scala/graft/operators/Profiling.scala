@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-quality profiling: the checks a data engineer runs before
+  * trusting a 100 TB drop — does column A still determine column B
+  * (functional dependency, with the violation rate when it doesn't),
+  * is every foreign key actually present on the other side (inclusion
+  * dependency coverage), and do the leading digits of a monetary
+  * column follow Benford's law (the classic fabricated-data /
+  * truncation-bug tripwire).
+  *
+  * All three reduce to grouped integer counts — two hash aggregates
+  * for an FD (group by (lhs, rhs), then by lhs with max/sum), one
+  * distinct + one semi-join for an IND, one aggregate for Benford —
+  * so each scales as a shuffle on the profiled key, never a sort,
+  * never driver-side state. Complements [[DataProfile]] (per-column
+  * stats) with cross-column structure.
+  */
+object Profiling {
+
+  /** g3-style violation measure for one candidate FD lhs → rhs:
+    * the share of rows that would have to be dropped for the
+    * dependency to hold exactly (1 − Σ_lhs max_rhs count / N),
+    * plus the exact group counts behind it. Null lhs/rhs are rows
+    * like any other (grouped as their own key).
+    */
+  def fdViolation(
+      df: DataFrame, name: String, lhs: Column, rhs: Column): DataFrame = {
+    val pairs = df.groupBy(lhs.as("_l"), rhs.as("_r"))
+      .agg(count(lit(1)).as("_n"))
+    pairs.groupBy(col("_l"))
+      .agg(sum(col("_n")).as("_tot"), max(col("_n")).as("_keep"),
+        count(lit(1)).as("_nrhs"))
+      .agg(sum(col("_tot")).as("n_rows"),
+        count(lit(1)).as("n_lhs"),
+        sum(when(col("_nrhs") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+        sum(col("_tot") - col("_keep")).as("n_violating_rows"))
+      .select(lit(name).as("fd"), col("n_rows"), col("n_lhs"),
+        col("n_violating_lhs"), col("n_violating_rows"),
+        Numerics.roundz(col("n_violating_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("g3"))
+  }
+
+  /** Inclusion-dependency coverage: how many distinct non-null values
+    * of `fk` in `child` appear as `pk` in `parent`. Distinct first
+    * (the FK side usually repeats each key many times), then one
+    * semi-join against the PK side — at scale the distinct is the
+    * only wide exchange and the PK side joins broadcast-or-shuffled
+    * as its size dictates.
+    */
+  def inclusionCoverage(
+      child: DataFrame, fk: String, parent: DataFrame, pk: String,
+      name: String): DataFrame = {
+    val fks = child.select(col(fk).as("_k")).filter(col("_k").isNotNull)
+      .distinct()
+    val matched = fks.join(
+      parent.select(col(pk).as("_k")).distinct(), Seq("_k"), "left_semi")
+    fks.agg(count(lit(1)).as("n_distinct_fk"))
+      .crossJoin(broadcast(matched.agg(count(lit(1)).as("n_matched"))))
+      .select(lit(name).as("ind"), col("n_distinct_fk"), col("n_matched"),
+        Numerics.roundz(col("n_matched").cast("double") /
+          col("n_distinct_fk").cast("double"), 6).as("coverage"))
+  }
+
+  /** First-significant-digit profile of a positive 2-dp monetary
+    * column vs the Benford expectation log10(1+1/d): per digit the
+    * exact count, observed share, expected share, and the chi²
+    * contribution n·(obs−exp)²/exp. The digit is taken from the
+    * integer cents value's decimal representation — pure integer/
+    * string arithmetic, no float log10 on the data path, so the digit
+    * assignment is bit-identical across engines.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100d, 0).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val perDigit = df.filter(col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // ln(1 + 1/d)/ln(10) — the SAME expression shape the oracle runs,
+    // so the per-digit expectation is the identical double chain
+    val expected =
+      log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+        log(lit(10.0))
+    perDigit
+      .crossJoin(broadcast(perDigit.agg(sum(col("n")).as("_tot"))))
+      .select(col("digit"), col("n"),
+        Numerics.roundz(col("n").cast("double") /
+          col("_tot").cast("double"), 6).as("obs_share"),
+        Numerics.roundz(expected, 6).as("exp_share"),
+        Numerics.roundz({
+          // explicit e·e, not pow(e, 2): the two engines' pow may
+          // differ in the last ulp while multiplication is exact IEEE
+          val e = col("n").cast("double") / col("_tot").cast("double") -
+            expected
+          e * e / expected * col("_tot").cast("double")
+        }, 4).as("chi2_term"))
+  }
+}

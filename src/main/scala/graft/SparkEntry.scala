@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(CoreQueries, MetricsQueries, JoinQueries, ParityQueries,
       AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
       TextQueries, SamplingQueries, EventQueries, MultimodalQueries,
-      PipelineQueries, IoQueries, EvalQueries, ProfilingQueries)
+      PipelineQueries, IoQueries, EvalQueries, ProfilingQueries,
+      SeriesQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -540,6 +540,47 @@ object Evaluation {
         }, 6).as("h"))
   }
 
+  /** Decile lift / cumulative-gains table — the model-targeting
+    * readout: rank units by score, cut into `buckets` equal tiles,
+    * and report per-tile and cumulative positive capture vs the base
+    * rate. `ntile` over (score desc, id) — the id tiebreak makes the
+    * tile assignment deterministic; both engines implement standard
+    * SQL ntile (first n mod b tiles get the extra row), so the cut
+    * points agree exactly. All counts exact; lift = (pos·N)/(n·P) as
+    * one integer-ratio division per row.
+    *
+    * Scale: the global sort behind ntile is the cost — a range
+    * exchange on score, the same shape as any global rank; everything
+    * downstream is a `buckets`-row frame.
+    */
+  def liftGains(
+      df: DataFrame, scoreCol: String, idCol: String, positive: Column,
+      buckets: Int = 10): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val perTile = df
+      .select(col(scoreCol), col(idCol),
+        when(positive, 1L).otherwise(0L).as("_y"))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+    val totals = perTile.agg(sum(col("n")).as("_N"),
+      sum(col("n_pos")).as("_P"))
+    val cw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTile
+      .withColumn("cum_n", sum(col("n")).over(cw))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cw))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
+        Numerics.roundz(col("cum_pos").cast("double") /
+          col("_P").cast("double"), 6).as("gain"),
+        Numerics.roundz((col("n_pos") * col("_N")).cast("double") /
+          (col("n") * col("_P")).cast("double"), 6).as("lift"),
+        Numerics.roundz((col("cum_pos") * col("_N")).cast("double") /
+          (col("cum_n") * col("_P")).cast("double"), 6).as("cum_lift"))
+      .orderBy("bucket")
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
     * pre-experiment-covariate adjustment: θ = cov(y, x)/var(x) over
     * ALL units (pooled, the published estimator), and each arm's

@@ -483,4 +483,109 @@ object EventSequences {
       .select(col("_g").as(grpCol), col("n_intervals"),
         col("max_concurrent"))
   }
+
+  /** Per-key union coverage: total length covered by the key's
+    * intervals counting overlaps once — [[mergeIntervals]] then one
+    * sum of exact island lengths. The utilization readout beside
+    * [[maxConcurrency]] (peak) and the island list (shape): "how many
+    * seconds of this user's day were inside at least one session".
+    * Same single shuffle as the merge (hash by key for the island
+    * window); the sums are map-side-combined longs.
+    */
+  def intervalCoverage(
+      intervals: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame =
+    mergeIntervals(intervals, keyCol, startCol, endCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col(endCol) - col(startCol)).as("covered"))
+
+  /** Renormalized finite-window EWMA: each key's smoothed level over
+    * its most recent `k` values, weights β^0..β^(k−1) newest-first,
+    * divided by the realized weight mass (so short histories are
+    * unbiased). The online-feature shape ("user's recent spend
+    * level") computed batch-side.
+    *
+    * Determinism contract: β must be a dyadic rational (default 3/4)
+    * so the weight chain w·β is EXACT at every step (3^j·2^-2j has an
+    * exact double for j < 20) and Σw is exact under any summation
+    * order; the value-weighted sum is the only rounding chain, and it
+    * folds in rank order (sorted collect over ≤ k rows per key) so
+    * the oracle replays it with `list_sum(list(… ORDER BY rn))`.
+    * Scale: one hash shuffle by key, per-key state ≤ k rows; the
+    * rank filter prunes everything older before the fold.
+    */
+  def ewmaLast(
+      events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, beta: Double = 0.75, k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 64, s"window k=$k out of range")
+    // exact repeated multiply — NOT pow(), whose last ulp may differ
+    // across engines; the oracle builds the same chain recursively
+    val weights = Array.iterate(1.0, k)(_ * beta)
+    val wExpr = element_at(array(weights.map(lit): _*), col("_rn"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .withColumn("_term", col(valueCol) * wExpr)
+      .withColumn("_w", wExpr)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_used"),
+        aggregate(
+          array_sort(collect_list(struct(col("_rn"), col("_term")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("_term")).as("_s"),
+        sum(col("_w")).as("_wsum"))
+      .select(col(keyCol), col("n_used"),
+        Numerics.roundz(col("_s") / col("_wsum"), 6).as("ewma"))
+  }
+
+  /** Sample autocorrelation of an integer series at lags 1..maxLag —
+    * the seasonality/persistence readout over a per-day aggregate
+    * stream. `series` must carry a dense integer index `idxCol`
+    * (1..n) and an integral `valueCol`.
+    *
+    * The standard estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * is computed in expanded form scaled by n², which makes every
+    * term an exact integer:
+    *
+    *   num·n² = n²·Σ x_t·x_{t+k} − n·S·(Σhead + Σtail) + (n−k)·S²
+    *   den·n² = n²·Q − n·S²        (S = Σx, Q = Σx²)
+    *
+    * so the only double op is the final division. The series is an
+    * AGGREGATE (one row per day/window) — node-scale, so the per-lag
+    * self-join is a broadcast join at any corpus size; the corpus
+    * exchange happened upstream in the groupBy that built the series.
+    */
+  def acf(
+      series: DataFrame, idxCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    val x = series.select(col(idxCol).as("_t"),
+      col(valueCol).cast("long").as("_x"))
+    val totals = x.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_S"),
+      sum(col("_x") * col("_x")).as("_Q"))
+    val lags = series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = lags.crossJoin(x.as("a"))
+      .join(x.as("b"), col("b._t") === col("a._t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a._x") * col("b._x")).as("_P"),
+        sum(col("a._x")).as("_h"), sum(col("b._x")).as("_tl"))
+    val num = (col("_n") * col("_n") * col("_P") -
+      col("_n") * col("_S") * (col("_h") + col("_tl")) +
+      (col("_n") - col("lag")) * col("_S") * col("_S"))
+    val den = (col("_n") * col("_n") * col("_Q") -
+      col("_n") * col("_S") * col("_S"))
+    pairs.crossJoin(broadcast(totals))
+      .select(col("lag"), col("n_pairs"),
+        // a constant series has zero variance: acf is undefined ->
+        // explicit null (ANSI division would raise on the 0 denominator)
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(Numerics.roundz(
+            num.cast("double") / den.cast("double"), 6))
+          .as("acf"))
+      .orderBy("lag")
+  }
 }

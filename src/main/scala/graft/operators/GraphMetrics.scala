@@ -500,4 +500,39 @@ object GraphMetrics {
     }
     dist
   }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of the
+    * endpoint degrees over the directed edge list — positive when
+    * hubs link to hubs (social shape), negative when hubs link to
+    * leaves (hub-and-spoke / crawl-frontier shape). For an undirected
+    * graph pass both edge directions, as the other graph operators
+    * here do.
+    *
+    * Everything is exact integers until one final double chain: the
+    * degree frame is one count aggregate, each edge picks up its two
+    * endpoint degrees via node-scale joins, and the correlation needs
+    * only the six sums (M, Σdu, Σdv, Σdu·dv, Σdu², Σdv²) — map-side
+    * combined, no sort, no iteration.
+    */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+    val deg = e.groupBy(col("_u").as("_n")).agg(count(lit(1)).as("_d"))
+    val sums = e
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+      .agg(count(lit(1)).as("m_edges"),
+        sum(col("_du")).as("_su"), sum(col("_dv")).as("_sv"),
+        sum(col("_du") * col("_dv")).as("_suv"),
+        sum(col("_du") * col("_du")).as("_squ"),
+        sum(col("_dv") * col("_dv")).as("_sqv"))
+    sums.select(col("m_edges"),
+      Numerics.roundz(
+        (col("m_edges") * col("_suv") - col("_su") * col("_sv"))
+          .cast("double") /
+          (sqrt((col("m_edges") * col("_squ") - col("_su") * col("_su"))
+            .cast("double")) *
+            sqrt((col("m_edges") * col("_sqv") - col("_sv") * col("_sv"))
+              .cast("double"))), 6).as("assortativity"))
+  }
 }

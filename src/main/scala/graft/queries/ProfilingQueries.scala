@@ -179,5 +179,74 @@ object ProfilingQueries extends QueryGroup {
         |FROM (SELECT * FROM i1 UNION ALL SELECT * FROM i2)
         |ORDER BY ind""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(gini, benford, kruskal, fd, ind)
+  /** Degree assortativity of the near-dup similarity graph
+    * ([[graft.operators.GraphMetrics.degreeAssortativity]]) — the
+    * same cached t=0.95 pair list the components/PageRank gates use,
+    * symmetrized; six exact integer sums then one double chain.
+    */
+  val assortativity: QueryDef = QueryDef(
+    "graph_degree_assortativity",
+    (s, dir) => {
+      val pairs = PipelineQueries.jaccardPairsFor(s, dir)
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.GraphMetrics.degreeAssortativity(edges, "src", "dst")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src AS nd, count(*) AS d FROM e GROUP BY src),
+        |j AS (SELECT du.d AS du, dv.d AS dv FROM e
+        |      JOIN deg du ON du.nd = e.src JOIN deg dv ON dv.nd = e.dst),
+        |ag AS (SELECT count(*)::BIGINT AS m, sum(du)::BIGINT AS su,
+        |    sum(dv)::BIGINT AS sv, sum(du * dv)::BIGINT AS suv,
+        |    sum(du * du)::BIGINT AS squ, sum(dv * dv)::BIGINT AS sqv
+        |  FROM j)
+        |SELECT m AS m_edges,
+        |  round((m * suv - su * sv)::DOUBLE /
+        |    (sqrt((m * squ - su * su)::DOUBLE) *
+        |     sqrt((m * sqv - sv * sv)::DOUBLE)), 6) + 0 AS assortativity
+        |FROM ag""".stripMargin))
+
+  /** Decile lift / cumulative gains
+    * ([[graft.operators.Evaluation.liftGains]]): documents ranked by
+    * length, positives = English docs — standard SQL ntile on both
+    * engines with a doc_id tiebreak, exact counts, integer-ratio lift.
+    */
+  val lift: QueryDef = QueryDef(
+    "eval_lift_gains",
+    (s, dir) =>
+      graft.operators.Evaluation.liftGains(
+        Tables(s, dir).documents, "n_chars", "doc_id",
+        col("lang") === "en"),
+    Some(
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS bucket
+        |  FROM documents),
+        |pt AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        |  FROM r GROUP BY bucket),
+        |tt AS (SELECT sum(n)::BIGINT AS nn, sum(n_pos)::BIGINT AS p FROM pt),
+        |c AS (SELECT bucket, n, n_pos,
+        |    sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS cum_pos
+        |  FROM pt)
+        |SELECT bucket::BIGINT AS bucket, n, n_pos, cum_pos::BIGINT AS cum_pos,
+        |  round(cum_pos::DOUBLE / p::DOUBLE, 6) + 0 AS gain,
+        |  round((n_pos * nn)::DOUBLE / (n * p)::DOUBLE, 6) + 0 AS lift,
+        |  round((cum_pos * nn)::DOUBLE / (cum_n * p)::DOUBLE, 6) + 0
+        |    AS cum_lift
+        |FROM c CROSS JOIN tt ORDER BY bucket""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(gini, benford, kruskal, fd, ind, assortativity, lift)
 }

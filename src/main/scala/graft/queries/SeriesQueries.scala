@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Time-series feature gates (round 10): renormalized EWMA levels,
+  * autocorrelation of a per-day aggregate stream, and interval union
+  * coverage — the per-key temporal features an online store would
+  * serve, computed batch-side with the engine's exact-arithmetic
+  * contracts.
+  */
+object SeriesQueries extends QueryGroup {
+
+  /** Per-user EWMA of the last-20 event values
+    * ([[graft.operators.EventSequences.ewmaLast]]): β=3/4 dyadic so
+    * the weight chain is exact, value-weighted sum folded in rank
+    * order, renormalized by the realized weight mass.
+    */
+  val ewma: QueryDef = QueryDef(
+    "events_ewma",
+    (s, dir) =>
+      graft.operators.EventSequences.ewmaLast(
+          Tables(s, dir).events, "user_id", "ts", "event_id", "value")
+        .orderBy("user_id"),
+    Some(
+      """WITH RECURSIVE wts(j, w) AS (
+        |  SELECT 0, CAST(1.0 AS DOUBLE)
+        |  UNION ALL SELECT j + 1, w * 0.75 FROM wts WHERE j + 1 < 20),
+        |r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, value, rn FROM r WHERE rn <= 20),
+        |t AS (SELECT user_id, rn, value * w AS term, w
+        |  FROM f JOIN wts ON wts.j = rn - 1)
+        |SELECT user_id, count(*)::BIGINT AS n_used,
+        |  round(list_sum(list(term ORDER BY rn)) / sum(w), 6) + 0 AS ewma
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Autocorrelation of the daily event-count series at lags 1..5
+    * ([[graft.operators.EventSequences.acf]]): dense day index over
+    * observed days, all-integer expanded estimator, one double
+    * division per lag.
+    */
+  val acfGate: QueryDef = QueryDef(
+    "events_acf",
+    (s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("_day"))
+        .agg(count(lit(1)).as("_x"))
+        .withColumn("_t", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_day"))))
+      graft.operators.EventSequences.acf(daily, "_t", "_x", maxLag = 5)
+    },
+    Some(
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        |    FROM events GROUP BY 1),
+        |s AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS q FROM s),
+        |lg AS (SELECT unnest(range(1, 6)) AS lag),
+        |p AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+        |    sum(a.x * b.x)::BIGINT AS pp, sum(a.x)::BIGINT AS h,
+        |    sum(b.x)::BIGINT AS tl
+        |  FROM lg CROSS JOIN s a JOIN s b ON b.t = a.t + lg.lag
+        |  GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  round((n * n * pp - n * sx * (h + tl) + (n - lag) * sx * sx)
+        |      ::DOUBLE /
+        |    (n * n * q - n * sx * sx)::DOUBLE, 6) + 0 AS acf
+        |FROM p CROSS JOIN tot ORDER BY lag""".stripMargin))
+
+  /** Per-user session-union coverage
+    * ([[graft.operators.EventSequences.intervalCoverage]]): the same
+    * exact epoch-micros spans as `events_interval_merge`, islands
+    * merged then summed — seconds inside at least one session.
+    */
+  val coverage: QueryDef = QueryDef(
+    "events_interval_coverage",
+    (s, dir) => {
+      val iv = Tables(s, dir).events.select(
+        col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          (col("value").cast("decimal(18,2)") * lit(600000000L))
+            .cast("long")).as("end_us"))
+      graft.operators.EventSequences.intervalCoverage(
+          iv, "user_id", "start_us", "end_us")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS start_us,
+        |             epoch_us(ts) + (CAST(value AS DECIMAL(18,2)) * 600000000)::BIGINT AS end_us
+        |           FROM events),
+        |x AS (SELECT user_id, start_us, end_us,
+        |        max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |y AS (SELECT user_id, start_us, end_us,
+        |        CASE WHEN pm IS NULL OR start_us > pm THEN 1 ELSE 0 END AS ni
+        |      FROM x),
+        |z AS (SELECT user_id, start_us, end_us,
+        |        sum(ni) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM y),
+        |isl AS (SELECT user_id, min(start_us) AS s, max(end_us) AS e
+        |        FROM z GROUP BY user_id, island)
+        |SELECT user_id, count(*)::BIGINT AS n_islands,
+        |  sum(e - s)::BIGINT AS covered
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(ewma, acfGate, coverage)
+}

@@ -156,6 +156,34 @@ object EntityResolution {
     * when nothing matched (singletons keep their identity — ER output
     * is a total assignment, not just the matched subset).
     */
+  /** Survivorship / golden-record selection: one canonical row per
+    * cluster, chosen by an explicit priority order (completeness,
+    * recency, quality — caller-supplied sort columns with a unique
+    * final tiebreak), plus the cluster size. The step after matching
+    * that actually DEDUPLICATES: every cluster keeps exactly its best
+    * representative, deterministically.
+    *
+    * One hash shuffle by cluster; the rank window and the size count
+    * share it (count(*) over the same partition — no second
+    * exchange). Skewed giant clusters cost a per-cluster sort, not a
+    * join — the usual mega-cluster diagnosis applies upstream at
+    * pair-generation time, not here.
+    */
+  def goldenRecord(
+      records: DataFrame, clusterCol: String,
+      priority: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(priority.nonEmpty, "priority order must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(priority: _*)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+    records
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(cw))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   def clusters(
       df: DataFrame, strCol: String, idCol: String,
       threshold: Double, prefixLen: Int = 2): DataFrame = {

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Everything is exact integer counting plus one final rounded
   * division per surfaced rate, so the whole family sits under the
-  * cross-engine oracle (no iterative MLE here by design — a
-  * Bradley–Terry fit's fixed point is float-iteration-order dependent
-  * and belongs behind a spec, not a hash gate; Copeland's
-  * majority-matchup score is the standard deterministic tournament
-  * rank and needs nothing beyond the win matrix).
+  * cross-engine oracle (no fixed-point MLE by design — a converged
+  * Bradley–Terry fit is float-iteration-order dependent and belongs
+  * behind a spec, not a hash gate; [[bradleyTerryTwoStep]] instead
+  * unrolls a FIXED MM step count with deterministic fold order, and
+  * Copeland's majority-matchup score is the standard deterministic
+  * tournament rank needing nothing beyond the win matrix).
   *
   * Scale shape: one hash aggregate over canonicalized pairs (a < b,
   * outcome flipped to match), then a model-scale explode of the
@@ -94,5 +95,58 @@ object Preference {
     scored.withColumn("rank", dense_rank().over(w))
       .select(col("model"), col("n_matchups"), col("won"), col("lost"),
         col("copeland"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Two fixed minorization–maximization steps of the Bradley–Terry
+    * strength fit (Hunter 2004's MM update π'_i = W_i / Σ_j
+    * n_ij/(π_i+π_j)), from the uniform start π=1 — decisive battles
+    * only, ties excluded. NOT the fixed point (which is float-
+    * iteration-order dependent and stays spec-side per the object
+    * doc); a FIXED unrolled step count with deterministic fold order
+    * is hash-gateable, the same trick as the unrolled PageRank gates.
+    *
+    *   step 1 from π=1: π¹_i = W_i / (G_i/2) = 2·W_i/G_i — exact
+    *   integer-ratio doubles;
+    *   step 2 folds Σ_j n_ij/(π¹_i+π¹_j) in opponent order (sorted
+    *   collect over a models-scale frame), so the oracle replays it
+    *   with `list_sum(list(… ORDER BY j))`.
+    *
+    * π¹_i+π¹_j > 0 whenever i,j met decisively (their head-to-head
+    * had a winner, so at least one of them has a win), so the step-2
+    * division is total. Scale: one shuffle over the battle stream to
+    * the participant frame; everything after is |models|²-bounded.
+    */
+  def bradleyTerryTwoStep(
+      battles: DataFrame, aCol: String, bCol: String,
+      outcomeCol: String): DataFrame = {
+    val oc = col(outcomeCol).cast("long")
+    val dec = battles.filter(oc.isin(0L, 1L))
+      .select(col(aCol).cast("long").as("_a"),
+        col(bCol).cast("long").as("_b"), oc.as("_o"))
+    val part = dec.select(col("_a").as("_m"), col("_b").as("_j"),
+        when(col("_o") === 0L, 1L).otherwise(0L).as("_w"))
+      .unionByName(dec.select(col("_b").as("_m"), col("_a").as("_j"),
+        when(col("_o") === 1L, 1L).otherwise(0L).as("_w")))
+    val nij = part.groupBy(col("_m"), col("_j"))
+      .agg(count(lit(1)).as("_n"))
+    val pi1 = part.groupBy(col("_m"))
+      .agg(sum(col("_w")).as("wins"), count(lit(1)).as("games"))
+      .withColumn("_pi1",
+        lit(2.0) * col("wins").cast("double") / col("games").cast("double"))
+    val den = nij
+      .join(pi1.select(col("_m"), col("_pi1")), Seq("_m"))
+      .join(pi1.select(col("_m").as("_j"), col("_pi1").as("_pij")),
+        Seq("_j"))
+      .groupBy(col("_m"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_j"),
+          (col("_n").cast("double") / (col("_pi1") + col("_pij")))
+            .as("_t")))),
+        lit(0.0), (acc, s) => acc + s.getField("_t")).as("_den"))
+    pi1.join(den, Seq("_m"))
+      .select(col("_m").as("model"), col("wins"), col("games"),
+        Numerics.roundz(col("_pi1"), 6).as("pi1"),
+        Numerics.roundz(
+          col("wins").cast("double") / col("_den"), 6).as("pi2"))
   }
 }

@@ -431,6 +431,43 @@ object Sampling {
   }
 
   /** md5-uniform draw in [0, 10000) — the engine-portable coin. */
+  /** Temporal train/val/test split with embargo gaps — the
+    * leakage-safe alternative to the md5 split when the label leaks
+    * through TIME (forecasting, churn, any target computed from
+    * later events): cut points at trainPct / trainPct+valPct of the
+    * observed micros span, with a `gapUs` embargo band EXCLUDED
+    * before each cut so no training window overlaps an evaluation
+    * window through lagged features.
+    *
+    * Returns the 5-way summary (train / embargo1 / val / embargo2 /
+    * test: count + micros bounds). Cut arithmetic is exact long
+    * DIV — no float on the boundary, so the assignment is
+    * reproducible bit-for-bit on any engine at any span. Two passes:
+    * one min/max aggregate (map-side combined), one broadcast of the
+    * 1-row bounds frame back onto the stream — no sort, no window.
+    */
+  def temporalSplit(
+      df: DataFrame, tsCol: String, trainPct: Int = 80,
+      valPct: Int = 10, gapUs: Long = 86400000000L): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"bad split percentages ($trainPct, $valPct)")
+    val us = unix_micros(col(tsCol))
+    val bounds = df.agg(min(us).as("_lo"), max(us).as("_hi"))
+    val cut1 = expr(s"_lo + (_hi - _lo) * $trainPct DIV 100")
+    val cut2 = expr(s"_lo + (_hi - _lo) * ${trainPct + valPct} DIV 100")
+    df.select(us.as("_us"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("_us") < cut1 - gapUs, "train")
+          .when(col("_us") < cut1, "embargo1")
+          .when(col("_us") < cut2 - gapUs, "val")
+          .when(col("_us") < cut2, "embargo2")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("_us")).as("min_us"),
+        max(col("_us")).as("max_us"))
+  }
+
   private def mdUniformBp(id: Column): Column =
     pmod(conv(substring(md5(concat_ws(":", id.cast("string"),
       lit("dm"))), 1, 7), 16, 10).cast("long"), lit(10000))

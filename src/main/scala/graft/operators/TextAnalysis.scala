@@ -709,6 +709,40 @@ object TextAnalysis {
     * one vocabulary-bounded df aggregate hash-joined back, and a
     * per-doc top-k window bounded by each doc's distinct-term count.
     */
+  /** Chao1 species-richness estimate of the vocabulary per group —
+    * "how many distinct words does this corpus slice REALLY have,
+    * given we only sampled it": observed types plus the
+    * bias-corrected singleton/doubleton term
+    *
+    *   chao1 = V + f1·(f1−1) / (2·(f2+1))
+    *
+    * (Chao 1984, bias-corrected form — defined even when no word
+    * occurs exactly twice). The curation use: compare chao1/V across
+    * sources to spot slices whose vocabulary is far from saturated
+    * (more data would still add words) vs exhausted ones.
+    *
+    * Same single corpus-scale shuffle as [[vocabDiversity]] (tokenize
+    * + per-(group, word) count, map-side combined); the frequency-of-
+    * frequency sums are vocabulary-bounded, and the estimator is one
+    * integer ratio — exact until the final rounded division.
+    */
+  def chao1Richness(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol).as("grp"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp"), col("n_types"), col("f1"), col("f2"),
+        Numerics.roundz(col("n_types").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2) * (col("f2") + 1)).cast("double"), 4).as("chao1"))
+
   def docKeywords(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int, dfMaxShare: Double = 0.5): org.apache.spark.sql.DataFrame = {

@@ -671,9 +671,52 @@ object EvalQueries extends QueryGroup {
         |    AS uncertainty
         |FROM ag""".stripMargin))
 
+  /** Two unrolled Bradley–Terry MM steps
+    * ([[graft.operators.Preference.bradleyTerryTwoStep]]) over the
+    * same arena battle log as `eval_preference_matrix` — decisive
+    * battles only; step 1 is the exact integer-ratio 2W/G, step 2
+    * folds Σ_j n_ij/(π_i+π_j) in opponent order so the oracle can
+    * replay the identical double chain.
+    */
+  val bradleyTerryGate: QueryDef = QueryDef(
+    "eval_bradley_terry",
+    (s, dir) => {
+      val b = graft.Tables(s, dir).events
+        .select((col("event_id") % 8).as("ma"),
+          ((col("event_id") / lit(8)).cast("long") % 8).as("mb"),
+          (col("event_id") % 3).as("outcome"))
+        .filter(col("ma") =!= col("mb"))
+      graft.operators.Preference.bradleyTerryTwoStep(b, "ma", "mb",
+          "outcome")
+        .orderBy("model")
+    },
+    Some(
+      """WITH b AS (SELECT event_id % 8 AS ma,
+        |    (event_id // 8) % 8 AS mb, event_id % 3 AS o
+        |  FROM events WHERE event_id % 8 <> (event_id // 8) % 8),
+        |d AS (SELECT ma, mb, o FROM b WHERE o IN (0, 1)),
+        |part AS (SELECT ma AS m, mb AS j,
+        |    CASE WHEN o = 0 THEN 1 ELSE 0 END AS w FROM d
+        |  UNION ALL SELECT mb, ma,
+        |    CASE WHEN o = 1 THEN 1 ELSE 0 END FROM d),
+        |nij AS (SELECT m, j, count(*)::BIGINT AS n FROM part
+        |  GROUP BY m, j),
+        |p1 AS (SELECT m, sum(w)::BIGINT AS wins,
+        |    count(*)::BIGINT AS games,
+        |    2.0 * sum(w)::DOUBLE / count(*)::DOUBLE AS pi1
+        |  FROM part GROUP BY m),
+        |dn AS (SELECT nij.m,
+        |    list_sum(list(nij.n::DOUBLE / (a.pi1 + bb.pi1) ORDER BY nij.j))
+        |      AS den
+        |  FROM nij JOIN p1 a ON a.m = nij.m JOIN p1 bb ON bb.m = nij.j
+        |  GROUP BY nij.m)
+        |SELECT p1.m AS model, wins, games, round(pi1, 6) + 0 AS pi1,
+        |  round(wins::DOUBLE / den, 6) + 0 AS pi2
+        |FROM p1 JOIN dn ON dn.m = p1.m ORDER BY model""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
-      mannWhitneyGate, cupedGate, fdrGate, brierGate)
+      mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate)
 }

@@ -215,7 +215,39 @@ object JoinQueries extends QueryGroup {
         |FROM need LEFT JOIN got ON got.key = need.key
         |ORDER BY need.key""".stripMargin))
 
+  /** Grid-blocked spatial distance self-join
+    * ([[graft.operators.Spatial.gridNeighborPairs]]): synthetic
+    * integer points derived from customer keys (multiplicative-hash
+    * coordinates, exact long arithmetic both engines), all pairs
+    * within Euclidean distance 20 000. The ORACLE IS ALL-PAIRS — the
+    * gate proves the 3×3-cell blocking finds exactly the brute-force
+    * pair set while candidate work stays Σ per-cell occupancy, never
+    * n².
+    */
+  val joinSpatialGrid: QueryDef = QueryDef(
+    "join_spatial_grid",
+    (s, dir) => {
+      val pts = Tables(s, dir).customer.select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 2654435761L % 1000000L).as("x"),
+        (col("c_custkey") * 2246822519L % 1000000L).as("y"))
+      graft.operators.Spatial.gridNeighborPairs(pts, "id", "x", "y",
+          maxDist = 20000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH p AS (SELECT c_custkey AS id,
+        |    (c_custkey * 2654435761) % 1000000 AS x,
+        |    (c_custkey * 2246822519) % 1000000 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 400000000
+        |ORDER BY id_a, id_b""".stripMargin))
+
   override def defs: Seq[QueryDef] =
     Seq(joinBroadcast, joinMultiway, joinSemi, joinAnti, joinFullOuter,
-      joinBloomPrefilter, joinBloomPortable)
+      joinBloomPrefilter, joinBloomPortable, joinSpatialGrid)
 }

@@ -247,6 +247,116 @@ object ProfilingQueries extends QueryGroup {
         |    AS cum_lift
         |FROM c CROSS JOIN tt ORDER BY bucket""".stripMargin))
 
+  /** Golden-record survivorship over the near-dup clusters
+    * ([[graft.operators.EntityResolution.goldenRecord]]): every doc
+    * joins its component (isolated docs are their own cluster) and
+    * each cluster keeps exactly its best representative by
+    * (n_chars desc, doc_id) — the step that turns matching into an
+    * actual deduplicated corpus.
+    */
+  val golden: QueryDef = QueryDef(
+    "er_golden_record",
+    (s, dir) => {
+      val pairs = PipelineQueries.jaccardPairsFor(s, dir)
+      val comp = graft.operators.ConnectedComponents.components(
+        pairs, "id_a", "id_b")
+      val clustered = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .select(col("cluster"), col("doc_id"), col("n_chars"))
+      graft.operators.EntityResolution.goldenRecord(
+          clustered, "cluster",
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("cluster"), col("doc_id").as("golden_doc"),
+          col("n_chars"), col("n_members"))
+        .orderBy("cluster")
+    },
+    Some(
+      """WITH RECURSIVE
+        |tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |nn AS (SELECT DISTINCT src AS node FROM eg),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nn
+        |  UNION
+        |  SELECT eg.dst, reach.r FROM reach JOIN eg ON eg.src = reach.node),
+        |comp AS (SELECT node AS doc_id, min(r) AS component
+        |         FROM reach GROUP BY node),
+        |cl AS (SELECT d.doc_id, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS cluster
+        |       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |rk AS (SELECT cluster, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY n_chars DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY cluster) AS n_members
+        |       FROM cl)
+        |SELECT cluster, doc_id AS golden_doc, n_chars,
+        |  n_members::BIGINT AS n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin))
+
+  /** Chao1 vocabulary-richness estimate per language
+    * ([[graft.operators.TextAnalysis.chao1Richness]]): observed types
+    * plus the bias-corrected f1/f2 term — "is this slice's vocabulary
+    * saturated"; same tokenization contract as the vocab gates.
+    */
+  val chao1: QueryDef = QueryDef(
+    "text_chao1_vocab",
+    (s, dir) =>
+      graft.operators.TextAnalysis.chao1Richness(
+          Tables(s, dir).documents, "text", "lang")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang"),
+    Some(
+      """WITH tk AS (SELECT lang AS grp,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT grp, w, count(*) AS c FROM tk WHERE w <> ''
+        |      GROUP BY 1, 2),
+        |a AS (SELECT grp, count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        |  FROM c GROUP BY grp)
+        |SELECT grp AS lang, n_types, f1, f2,
+        |  round(n_types::DOUBLE + (f1 * (f1 - 1))::DOUBLE /
+        |    (2 * (f2 + 1))::DOUBLE, 4) + 0 AS chao1
+        |FROM a ORDER BY lang""".stripMargin))
+
+  /** Temporal split with embargo gaps
+    * ([[graft.operators.Sampling.temporalSplit]]): 80/10/10 cuts of
+    * the observed micros span with a 1-day embargo band excluded
+    * before each cut — exact long DIV on both engines, no float on
+    * any boundary.
+    */
+  val temporal: QueryDef = QueryDef(
+    "pipeline_temporal_split",
+    (s, dir) =>
+      graft.operators.Sampling.temporalSplit(Tables(s, dir).events, "ts")
+        .orderBy("split"),
+    Some(
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |s AS (SELECT us, lo + (hi - lo) * 80 // 100 AS c1,
+        |    lo + (hi - lo) * 90 // 100 AS c2
+        |  FROM e CROSS JOIN b),
+        |a AS (SELECT CASE
+        |    WHEN us < c1 - 86400000000 THEN 'train'
+        |    WHEN us < c1 THEN 'embargo1'
+        |    WHEN us < c2 - 86400000000 THEN 'val'
+        |    WHEN us < c2 THEN 'embargo2'
+        |    ELSE 'test' END AS split, us FROM s)
+        |SELECT split, count(*)::BIGINT AS n, min(us) AS min_us,
+        |  max(us) AS max_us
+        |FROM a GROUP BY split ORDER BY split""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(gini, benford, kruskal, fd, ind, assortativity, lift)
+    Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
+      golden, chao1, temporal)
 }

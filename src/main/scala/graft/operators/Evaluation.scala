@@ -581,6 +581,91 @@ object Evaluation {
       .orderBy("bucket")
   }
 
+  /** Brown–Forsythe (median-centered Levene) test of equal variances
+    * across `groupCol` groups of the integral `valueCol` — the
+    * homogeneity check run before trusting a pooled-variance readout.
+    *
+    * Exactness: group medians of integers are k or k+0.5, so the
+    * centered deviations doubled (z = 2·|v − med|) are exact longs
+    * and every per-group sum is integer. The one-way-ANOVA F over
+    * those z values needs Σ s_i²/n_i — folded in group order like
+    * [[kruskalWallis]] — and then a fixed double chain. One shuffle
+    * for the median (per-group exact percentile), one for the sums.
+    */
+  def leveneBrownForsythe(
+      df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v = df.select(col(groupCol).cast("string").as("_g"),
+      col(valueCol).cast("long").as("_v"))
+    val med = v.groupBy(col("_g"))
+      .agg(expr("percentile(_v, 0.5)").as("_med"))
+    val z = v.join(med, Seq("_g"))
+      .select(col("_g"),
+        abs(lit(2) * col("_v") -
+          (lit(2.0) * col("_med")).cast("long")).as("_z2"))
+    val pg = z.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_z2")).as("_s"),
+        sum(col("_z2") * col("_z2")).as("_q"))
+    pg.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+        sum(col("_s")).as("_S"), sum(col("_q")).as("_Q"),
+        aggregate(
+          array_sort(collect_list(struct(col("_g"), col("_s"),
+            col("_n")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("_s").cast("double") *
+            s.getField("_s").cast("double") /
+            s.getField("_n").cast("double")).as("_fold"))
+      .select(col("k"), col("n"),
+        Numerics.roundz({
+          val nd = col("n").cast("double")
+          val kd = col("k").cast("double")
+          val ssb = col("_fold") -
+            col("_S").cast("double") * col("_S").cast("double") / nd
+          val ssw = col("_Q").cast("double") - col("_fold")
+          (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+        }, 6).as("f"))
+  }
+
+  /** Pearson chi-square test of independence over the (aCol, bCol)
+    * contingency table, with Cramér's V effect size. Zero cells are
+    * materialized (row-margin × column-margin grid, a k_a·k_b-bounded
+    * frame) so the statistic matches the textbook definition; each
+    * cell's (o−e)²/e term is the identical double chain both engines
+    * run, summed in (a, b) order. The corpus-scale work is ONE hash
+    * aggregate; margins and the grid are category-vocabulary-sized.
+    */
+  def chi2Independence(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val cb = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val tot = obs.agg(sum(col("_o")).as("_N"))
+    val ks = ra.agg(count(lit(1)).as("_ka"))
+      .crossJoin(cb.agg(count(lit(1)).as("_kb")))
+    val e = (col("_r") * col("_c")).cast("double") /
+      col("_N").cast("double")
+    val term = (col("_o").cast("double") - e) *
+      (col("_o").cast("double") - e) / e
+    val cells = ra.crossJoin(cb)
+      .join(obs, Seq("_a", "_b"), "left")
+      .na.fill(0L, Seq("_o"))
+      .crossJoin(broadcast(tot))
+      .select(col("_a"), col("_b"), term.as("_t"))
+    cells
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_a"), col("_b"), col("_t")))),
+        lit(0.0), (acc, s) => acc + s.getField("_t")).as("_chi2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
+      .select(col("_N").as("n"),
+        ((col("_ka") - 1) * (col("_kb") - 1)).as("dof"),
+        Numerics.roundz(col("_chi2"), 4).as("chi2"),
+        Numerics.roundz(sqrt(col("_chi2") /
+          (col("_N").cast("double") *
+            least(col("_ka") - 1, col("_kb") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
     * pre-experiment-covariate adjustment: θ = cov(y, x)/var(x) over
     * ALL units (pooled, the published estimator), and each arm's

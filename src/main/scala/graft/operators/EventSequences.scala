@@ -541,6 +541,31 @@ object EventSequences {
         Numerics.roundz(col("_s") / col("_wsum"), 6).as("ewma"))
   }
 
+  /** Day-of-week seasonality profile: per weekday (0 = Sunday), the
+    * event count, the number of observed calendar days, and the
+    * seasonal index — that weekday's mean daily volume relative to
+    * the overall mean, as the exact integer ratio
+    * (n_dow·D_total)/(d_dow·N_total). The load-shaping readout
+    * [[acf]] detects and this one localizes. One hash aggregate over
+    * the stream (map-side combined, 7-row result).
+    */
+  def dowSeasonality(events: DataFrame, tsCol: String): DataFrame = {
+    val d = events.select(
+      (dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
+      to_date(col(tsCol)).as("_day"))
+    val per = d.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("_day")).as("n_days"))
+    val tot = per.agg(sum(col("n_events")).as("_N"),
+      sum(col("n_days")).as("_D"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_events"), col("n_days"),
+        Numerics.roundz((col("n_events") * col("_D")).cast("double") /
+          (col("n_days") * col("_N")).cast("double"), 6)
+          .as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   /** Sample autocorrelation of an integer series at lags 1..maxLag —
     * the seasonality/persistence readout over a per-day aggregate
     * stream. `series` must carry a dense integer index `idxCol`

@@ -64,6 +64,33 @@ object Profiling {
           col("n_distinct_fk").cast("double"), 6).as("coverage"))
   }
 
+  /** Per-group mode with deterministic tie-break (highest count, then
+    * lowest value), plus the distinct-value count and the mode's
+    * share — the categorical-column profile row. One hash aggregate
+    * to (group, value) counts, then a per-group rank window over the
+    * value-vocabulary-bounded frame.
+    */
+  def modePerGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol).as("_g"),
+        col(valueCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_n").desc, col("_v"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g"))
+    counts
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_tot", sum(col("_n")).over(tw))
+      .withColumn("n_distinct", count(lit(1)).over(tw))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as(groupCol), col("_v").as("mode"),
+        col("_n").as("n_mode"), col("n_distinct"),
+        Numerics.roundz(col("_n").cast("double") /
+          col("_tot").cast("double"), 6).as("share"))
+  }
+
   /** First-significant-digit profile of a positive 2-dp monetary
     * column vs the Benford expectation log10(1+1/d): per digit the
     * exact count, observed share, expected share, and the chi²

@@ -743,6 +743,35 @@ object TextAnalysis {
           (col("f1") * (col("f1") - 1)).cast("double") /
             (lit(2) * (col("f2") + 1)).cast("double"), 4).as("chao1"))
 
+  /** N-gram novelty of a held-out slice against the rest of the
+    * corpus: the share of the slice's distinct word n-grams never
+    * seen in the training side — the "is this source actually adding
+    * new content" acquisition signal (high novelty → new material;
+    * near zero → the slice is re-crawled/boilerplate text the model
+    * already has). The complement of decontamination overlap: there
+    * the MATCHED grams are the signal, here the unmatched ones.
+    *
+    * Same shingle contract as the dedup family
+    * ([[Dedup.shingles]]). Scale: both sides reduce to DISTINCT gram
+    * sets (gram-hash-bounded shuffles with map-side combine) and one
+    * anti join — never doc×doc, never a sort.
+    */
+  def ngramNovelty(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      heldout: Column, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(heldout.as("_h"),
+        explode(Dedup.shingles(textCol, n)).as("_g"))
+    val train = grams.filter(!col("_h")).select(col("_g")).distinct()
+    val held = grams.filter(col("_h")).select(col("_g")).distinct()
+    val unseen = held.join(train, Seq("_g"), "left_anti")
+    held.agg(count(lit(1)).as("n_heldout_grams"))
+      .crossJoin(broadcast(unseen.agg(count(lit(1)).as("n_unseen"))))
+      .select(col("n_heldout_grams"), col("n_unseen"),
+        Numerics.roundz(col("n_unseen").cast("double") /
+          col("n_heldout_grams").cast("double"), 6).as("novelty"))
+  }
+
   def docKeywords(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int, dfMaxShare: Double = 0.5): org.apache.spark.sql.DataFrame = {

@@ -356,7 +356,123 @@ object ProfilingQueries extends QueryGroup {
         |  max(us) AS max_us
         |FROM a GROUP BY split ORDER BY split""".stripMargin))
 
+  /** Brown–Forsythe equal-variance test of doc length across sources
+    * ([[graft.operators.Evaluation.leveneBrownForsythe]]): exact
+    * integer deviations around per-group medians (doubled to clear
+    * the .5), ANOVA F with the ordered cross-group fold.
+    */
+  val levene: QueryDef = QueryDef(
+    "stats_levene_bf",
+    (s, dir) =>
+      graft.operators.Evaluation.leveneBrownForsythe(
+        Tables(s, dir).documents, "n_chars", "source"),
+    Some(
+      """WITH v AS (SELECT source AS g, n_chars AS v FROM documents),
+        |md AS (SELECT g, quantile_cont(v, 0.5) AS med FROM v GROUP BY g),
+        |z AS (SELECT v.g, abs(2 * v.v - CAST(2.0 * med AS BIGINT)) AS z2
+        |      FROM v JOIN md ON md.g = v.g),
+        |pg AS (SELECT g, count(*)::BIGINT AS n, sum(z2)::BIGINT AS s,
+        |    sum(z2 * z2)::BIGINT AS q FROM z GROUP BY g),
+        |ag AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(s)::BIGINT AS ts, sum(q)::BIGINT AS tq,
+        |    list_sum(list(s::DOUBLE * s::DOUBLE / n::DOUBLE ORDER BY g))
+        |      AS fold
+        |  FROM pg)
+        |SELECT k, n,
+        |  round(((fold - ts::DOUBLE * ts::DOUBLE / n::DOUBLE)
+        |      / (k::DOUBLE - 1.0))
+        |    / ((tq::DOUBLE - fold) / (n::DOUBLE - k::DOUBLE)), 6) + 0
+        |    AS f
+        |FROM ag""".stripMargin))
+
+  /** Chi-square independence of lang × source
+    * ([[graft.operators.Evaluation.chi2Independence]]): full margin
+    * grid with zero cells materialized, per-cell (o−e)²/e chains
+    * summed in cell order, Cramér's V effect size.
+    */
+  val chi2: QueryDef = QueryDef(
+    "stats_chi2_independence",
+    (s, dir) =>
+      graft.operators.Evaluation.chi2Independence(
+        Tables(s, dir).documents, "lang", "source"),
+    Some(
+      """WITH o AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+        |    FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o)::BIGINT AS r FROM o GROUP BY a),
+        |cb AS (SELECT b, sum(o)::BIGINT AS c FROM o GROUP BY b),
+        |tt AS (SELECT sum(o)::BIGINT AS n FROM o),
+        |g AS (SELECT ra.a, cb.b, ra.r, cb.c, coalesce(o.o, 0) AS o
+        |      FROM ra CROSS JOIN cb
+        |      LEFT JOIN o ON o.a = ra.a AND o.b = cb.b),
+        |t AS (SELECT a, b,
+        |    (o::DOUBLE - (r * c)::DOUBLE / n::DOUBLE)
+        |      * (o::DOUBLE - (r * c)::DOUBLE / n::DOUBLE)
+        |      / ((r * c)::DOUBLE / n::DOUBLE) AS t
+        |  FROM g CROSS JOIN tt),
+        |ag AS (SELECT list_sum(list(t ORDER BY a, b)) AS chi2 FROM t),
+        |ks AS (SELECT (SELECT count(*) FROM ra)::BIGINT AS ka,
+        |    (SELECT count(*) FROM cb)::BIGINT AS kb)
+        |SELECT n, (ka - 1) * (kb - 1) AS dof,
+        |  round(chi2, 4) + 0 AS chi2,
+        |  round(sqrt(chi2 / (n::DOUBLE * least(ka - 1, kb - 1)::DOUBLE)),
+        |    6) + 0 AS cramers_v
+        |FROM ag CROSS JOIN tt CROSS JOIN ks""".stripMargin))
+
+  /** N-gram novelty of the 'src0' slice vs the rest
+    * ([[graft.operators.TextAnalysis.ngramNovelty]]): distinct
+    * trigram sets both sides, one anti join — the acquisition
+    * signal's gate.
+    */
+  val novelty: QueryDef = QueryDef(
+    "text_ngram_novelty",
+    (s, dir) =>
+      graft.operators.TextAnalysis.ngramNovelty(
+        Tables(s, dir).documents, "text", col("source") === "src0"),
+    Some(
+      """WITH w AS (SELECT source = 'src0' AS h,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT h, list_distinct(CASE WHEN len(ws) < 3
+        |    THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 1),
+        |      i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END)
+        |    AS shs FROM w),
+        |t AS (SELECT h, unnest(shs) AS g FROM sh),
+        |tr AS (SELECT DISTINCT g FROM t WHERE NOT h),
+        |he AS (SELECT DISTINCT g FROM t WHERE h),
+        |un AS (SELECT count(*)::BIGINT AS n_unseen FROM he
+        |       WHERE g NOT IN (SELECT g FROM tr)),
+        |hc AS (SELECT count(*)::BIGINT AS n_heldout_grams FROM he)
+        |SELECT n_heldout_grams, n_unseen,
+        |  round(n_unseen::DOUBLE / n_heldout_grams::DOUBLE, 6) + 0
+        |    AS novelty
+        |FROM hc CROSS JOIN un""".stripMargin))
+
+  /** Per-source modal language ([[graft.operators.Profiling
+    * .modePerGroup]]): deterministic tie-break, distinct count, and
+    * the mode's share.
+    */
+  val mode: QueryDef = QueryDef(
+    "agg_mode_per_group",
+    (s, dir) =>
+      graft.operators.Profiling.modePerGroup(
+          Tables(s, dir).documents, "source", "lang")
+        .orderBy("source"),
+    Some(
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+        |    FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, n,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, lang) AS rn,
+        |    sum(n) OVER (PARTITION BY source) AS tot,
+        |    count(*) OVER (PARTITION BY source) AS n_distinct
+        |  FROM c)
+        |SELECT source, lang AS mode, n AS n_mode,
+        |  n_distinct::BIGINT AS n_distinct,
+        |  round(n::DOUBLE / tot::DOUBLE, 6) + 0 AS share
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
-      golden, chao1, temporal)
+      golden, chao1, temporal, levene, chi2, novelty, mode)
 }

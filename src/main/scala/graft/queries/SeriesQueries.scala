@@ -109,5 +109,27 @@ object SeriesQueries extends QueryGroup {
         |  sum(e - s)::BIGINT AS covered
         |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(ewma, acfGate, coverage)
+  /** Day-of-week seasonality
+    * ([[graft.operators.EventSequences.dowSeasonality]]): per-weekday
+    * volume and the exact integer-ratio seasonal index; dow numbering
+    * aligned to Sunday=0 on both engines.
+    */
+  val dow: QueryDef = QueryDef(
+    "events_dow_seasonality",
+    (s, dir) =>
+      graft.operators.EventSequences.dowSeasonality(
+        Tables(s, dir).events, "ts"),
+    Some(
+      """WITH d AS (SELECT dayofweek(ts)::BIGINT AS dow, ts::DATE AS day
+        |    FROM events),
+        |p AS (SELECT dow, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT day)::BIGINT AS n_days FROM d GROUP BY dow),
+        |t AS (SELECT sum(n_events)::BIGINT AS nn,
+        |    sum(n_days)::BIGINT AS dd FROM p)
+        |SELECT dow, n_events, n_days,
+        |  round((n_events * dd)::DOUBLE / (n_days * nn)::DOUBLE, 6) + 0
+        |    AS seasonal_index
+        |FROM p CROSS JOIN t ORDER BY dow""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(ewma, acfGate, coverage, dow)
 }

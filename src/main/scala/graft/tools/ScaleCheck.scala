@@ -955,6 +955,22 @@ object ScaleCheck {
         graft.sources.ParquetEvolution.readMerged(spark, p))
     }
 
+    // spatial grid join: candidate volume is Σ per-cell occupancy × 9,
+    // so holding DENSITY constant while growing the extent 10× must
+    // scale ~linearly — the spatial analogue of the banding checks
+    locally {
+      def pts(n: Long, xSpan: Long) = spark.range(n).select(
+        col("id"),
+        (col("id") * 2654435761L % xSpan).as("x"),
+        (col("id") * 2246822519L % 1000000L).as("y"))
+      time("spatial_grid_1x",
+        graft.operators.Spatial.gridNeighborPairs(
+          pts(100000L, 1000000L), "id", "x", "y", 5000L))
+      time(s"spatial_grid_${dup}x",
+        graft.operators.Spatial.gridNeighborPairs(
+          pts(100000L * dup, 1000000L * dup), "id", "x", "y", 5000L))
+    }
+
     spark.stop()
   }
 }

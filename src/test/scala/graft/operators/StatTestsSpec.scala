@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch-4 fixtures: Brown–Forsythe on groups with known
+  * deviation structure, chi-square independence against hand-computed
+  * tables, n-gram novelty on controlled overlap, mode tie-breaks, and
+  * day-of-week seasonality on a synthetic week.
+  */
+class StatTestsSpec extends SparkSpec {
+
+  test("leveneBrownForsythe: equal spread gives F = 0") {
+    val s = spark
+    import s.implicits._
+    // both groups have identical |v - median| multisets -> SSB = 0
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 11L), ("b", 13L), ("b", 15L)).toDF("g", "v")
+    val out = Evaluation.leveneBrownForsythe(df, "v", "g").collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 6L)
+    assert(math.abs(out.getDouble(2)) < 1e-9)
+  }
+
+  test("leveneBrownForsythe: wide vs narrow group gives large F") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 12L),
+      ("b", 0L), ("b", 10L), ("b", 90L), ("b", 100L)).toDF("g", "v")
+    val out = Evaluation.leveneBrownForsythe(df, "v", "g").collect()(0)
+    assert(out.getDouble(2) > 10.0)
+  }
+
+  test("chi2Independence: independent 2x2 table gives chi2 = 0") {
+    val s = spark
+    import s.implicits._
+    // perfectly proportional counts: (x,p)=2,(x,q)=4,(y,p)=3,(y,q)=6
+    val rows = Seq.fill(2)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(3)(("y", "p")) ++ Seq.fill(6)(("y", "q"))
+    val out = Evaluation.chi2Independence(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(out.getLong(0) == 15L && out.getLong(1) == 1L)
+    assert(math.abs(out.getDouble(2)) < 1e-9)
+    assert(math.abs(out.getDouble(3)) < 1e-9)
+  }
+
+  test("chi2Independence: diagonal 2x2 includes the zero cells") {
+    val s = spark
+    import s.implicits._
+    // 5 (x,p) and 5 (y,q): zero cells (x,q), (y,p) must enter chi2
+    //   e = 2.5 everywhere -> chi2 = 4 * (2.5)^2/2.5 = 10
+    val rows = Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))
+    val out = Evaluation.chi2Independence(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(math.abs(out.getDouble(2) - 10.0) < 1e-9)
+    assert(math.abs(out.getDouble(3) - 1.0) < 1e-9)  // Cramér's V = 1
+  }
+
+  test("ngramNovelty: exact share of unseen trigrams") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("t", "a b c d"),    // train grams: "a b c", "b c d"
+      ("h", "a b c e f g") // held: "a b c"(seen) + 3 unseen
+    ).toDF("side", "text")
+    val out = TextAnalysis.ngramNovelty(df, "text",
+      col("side") === "h").collect()(0)
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L)
+    assert(math.abs(out.getDouble(2) - 0.75) < 1e-9)
+  }
+
+  test("modePerGroup: tie on count breaks to the lower value") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", "zz"), ("g", "aa"), ("g", "zz"), ("g", "aa"),
+      ("g", "mm")).toDF("grp", "v")
+    val out = Profiling.modePerGroup(df, "grp", "v").collect()(0)
+    assert(out.getString(1) == "aa" && out.getLong(2) == 2L)
+    assert(out.getLong(3) == 3L)
+    assert(math.abs(out.getDouble(4) - 0.4) < 1e-9)
+  }
+
+  test("dowSeasonality: uniform week has all indexes = 1") {
+    val s = spark
+    import s.implicits._
+    // 2 events on each of 7 consecutive days
+    val df = (0 until 14).map(i =>
+        Tuple1(86400L * (i % 7) + 3600L * (i / 7)))
+      .toDF("sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = EventSequences.dowSeasonality(df, "ts").collect()
+    assert(out.length == 7)
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L))
+    assert(out.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9))
+  }
+}

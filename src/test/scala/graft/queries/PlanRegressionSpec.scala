@@ -283,4 +283,47 @@ class PlanRegressionSpec extends SparkSpec {
       }
     }
   }
+
+  test("join_spatial_grid: candidate join is a cell-key equi-join") {
+    // the whole point of grid blocking is to never cross-join points;
+    // the 9-cell probe explode must feed a HASH join on (_cx, _cy)
+    val ks = kinds("join_spatial_grid")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+    assert(!ks.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"nested loop: $ks")
+    assert(ks.exists(k => k.contains("HashJoin") || k.contains("SortMergeJoin")),
+      s"no equi-join found: $ks")
+  }
+
+  test("agg_gini_by_group: the rank window and the group agg share one hash exchange") {
+    // window partitionBy(group) and the following groupBy(group) hash
+    // the same key — a refactor that re-keys in between would double
+    // the corpus shuffle
+    val ks = kinds("agg_gini_by_group")
+    val exchanges = ks.count(_.contains("ShuffleExchange"))
+    assert(ks.contains("WindowExec"), s"no window: $ks")
+    assert(exchanges <= 2, // group hash + final orderBy range
+      s"$exchanges exchanges (expected window+sort only): $ks")
+  }
+
+  test("events_ewma: rank filter prunes before the fold aggregate") {
+    // the per-key state is <= k rows because the row_number filter sits
+    // UNDER the collect_list aggregate; losing it makes state O(history)
+    val plan = finalPlan("events_ewma")
+    val ks = nodes(plan).map(_.getClass.getSimpleName)
+    assert(ks.contains("WindowExec"), s"no window: $ks")
+    assert(nodes(plan).exists(p =>
+      p.getClass.getSimpleName == "FilterExec" &&
+        p.toString.contains("_rn")), s"rank filter missing: $ks")
+  }
+
+  test("profile_inclusion_deps: FK distinct precedes the PK semi-join") {
+    val ks = kinds("profile_inclusion_deps")
+    assert(!ks.exists(_.contains("CartesianProduct") &&
+      !ks.exists(_.contains("BroadcastExchange"))), s"plan: $ks")
+    assert(nodes(finalPlan("profile_inclusion_deps")).exists { p =>
+      val s = p.getClass.getSimpleName
+      s.contains("HashJoin") || s.contains("SortMergeJoin")
+    }, "no join for the semi-join probe")
+  }
 }

@@ -16,7 +16,7 @@ object SparkEntry {
       AnalyticsQueries, SqlSurfaceQueries, DedupQueries, SimilarityQueries,
       TextQueries, SamplingQueries, EventQueries, MultimodalQueries,
       PipelineQueries, IoQueries, EvalQueries, ProfilingQueries,
-      SeriesQueries)
+      SeriesQueries, MiningQueries)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -792,4 +792,98 @@ object Evaluation {
         (col("_ty") * (col("n") - col("_ty"))).cast("double") /
           (col("n").cast("double") * col("n")), 6).as("uncertainty"))
   }
+
+  /** Delete-one jackknife standard error of a ratio metric
+    * R = Σnum / Σden — the correct uncertainty for ratio-of-sums
+    * metrics (revenue per session, discount share) where the naive
+    * per-row variance is wrong because numerator and denominator
+    * covary (Efron & Tibshirani ch. 11).
+    *
+    * Distributed-exact shape: the leave-one-out replicates
+    * R_i = (S_y − y_i)/(S_x − x_i) are each a ratio of exact longs
+    * (inputs are 1e-4 fixed-point units of the money columns), so
+    * every replicate is computed as FIXED-POINT integer division
+    * ((S_y − y_i)·10⁹ div (S_x − x_i), decimal(38,0) intermediates so
+    * nothing overflows) — order-independent exact sums Σr and Σr²
+    * follow, never a float accumulation across partitions. Two
+    * passes: one aggregate for (S_y, S_x, n) broadcast back, one
+    * scan-local replicate + final aggregate. SE =
+    * sqrt((n−1)/n · (Σr² − (Σr)²/n)) / 10⁹, one fixed double chain.
+    *
+    * Contract: all (S_x − x_i) must be positive (a corpus whose total
+    * is dominated by one row has no meaningful jackknife anyway).
+    */
+  def jackknifeRatioSE(
+      df: DataFrame, numFp: Column, denFp: Column): DataFrame = {
+    val base = df.select(numFp.cast("long").as("_y"),
+      denFp.cast("long").as("_x"))
+    val tot = base.agg(sum(col("_y")).as("_sy"), sum(col("_x")).as("_sx"),
+      count(lit(1)).as("n"))
+    val rep = base.crossJoin(broadcast(tot))
+      .select(col("n"), col("_sy"), col("_sx"),
+        expr("CAST((CAST(_sy - _y AS DECIMAL(38,0)) * 1000000000) div " +
+          "CAST(_sx - _x AS DECIMAL(38,0)) AS DECIMAL(38,0))").as("_r"))
+    rep.groupBy(col("n"), col("_sy"), col("_sx"))
+      .agg(sum(col("_r")).as("_s"),
+        sum(col("_r") * col("_r")).as("_sq"))
+      .select(col("n"),
+        Numerics.roundz(col("_sy").cast("double") /
+          col("_sx").cast("double"), 6).as("ratio"),
+        Numerics.roundz({
+          val nd = col("n").cast("double")
+          val s = col("_s").cast("double")
+          val sq = col("_sq").cast("double")
+          sqrt(((nd - 1.0) / nd) * (sq - s * s / nd)) / 1e9
+        }, 8).as("se_jackknife"))
+  }
+
+  /** Mutual information between two categorical columns, in nats,
+    * with the sqrt-normalized variant NMI = I/√(H_a·H_b) — the
+    * feature-vs-label association readout that, unlike chi-square,
+    * is directly comparable across feature cardinalities.
+    *
+    * Only observed cells contribute (0·log 0 = 0), so no margin grid
+    * is needed: one corpus-scale hash aggregate to (a, b) counts,
+    * then margins and the MI sum over the vocabulary-bounded cell
+    * frame. Each cell's p·ln(pN²/(r·c)) term is the identical double
+    * chain on both engines, folded in (a, b) order; entropies fold
+    * over their margins in key order.
+    */
+  def mutualInformation(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val cb = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val tot = obs.agg(sum(col("_o")).as("_N"))
+    def entropyFold(margin: DataFrame, key: String, cnt: String) =
+      margin.crossJoin(broadcast(tot))
+        .select(col(key), (col(cnt).cast("double") /
+            col("_N").cast("double")).as("_p"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col(key), col("_p")))),
+          lit(0.0),
+          (acc, s) => acc - s.getField("_p") * log(s.getField("_p"))))
+    val mi = obs.join(broadcast(ra), Seq("_a"))
+      .join(broadcast(cb), Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("_a"), col("_b"),
+        ((col("_o").cast("double") / col("_N").cast("double")) *
+          log((col("_o").cast("double") * col("_N").cast("double")) /
+            (col("_r").cast("double") * col("_c").cast("double"))))
+          .as("_t"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_a"), col("_b"), col("_t")))),
+        lit(0.0), (acc, s) => acc + s.getField("_t")).as("_mi"))
+    mi.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(entropyFold(ra, "_a", "_r").toDF("_ha")))
+      .crossJoin(broadcast(entropyFold(cb, "_b", "_c").toDF("_hb")))
+      .select(col("_N").as("n"),
+        Numerics.roundz(col("_mi"), 6).as("mi_nats"),
+        Numerics.roundz(col("_ha"), 6).as("h_a"),
+        Numerics.roundz(col("_hb"), 6).as("h_b"),
+        Numerics.roundz(col("_mi") / sqrt(col("_ha") * col("_hb")), 6)
+          .as("nmi_sqrt"))
+  }
 }

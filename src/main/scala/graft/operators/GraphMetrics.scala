@@ -535,4 +535,57 @@ object GraphMetrics {
             sqrt((col("m_edges") * col("_sqv") - col("_sv") * col("_sv"))
               .cast("double"))), 6).as("assortativity"))
   }
+
+  /** Per-node local clustering coefficient 2T/(d(d−1)) — how
+    * clique-like each node's neighborhood is (1 inside a template
+    * clique, ~0 on an organic near-dup chain), the per-node
+    * complement of the global [[triangleCounts]] readout. Nodes with
+    * degree < 2 get coefficient 0 by convention. Same cost shape as
+    * triangle counting (its degree-oriented wedge join IS the work);
+    * the division is one exact-integer ratio per node.
+    */
+  def localClustering(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    triangleCounts(edges, aCol, bCol)
+      .join(deg, col("node") === col("id"))
+      .select(col("node"), col("degree"), col("triangles"),
+        Numerics.roundz(
+          when(col("degree") < 2, lit(0.0))
+            .otherwise((lit(2) * col("triangles")).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double")),
+          6).as("lcc"))
+  }
+
+  /** Edge reciprocity of a directed graph: the share of distinct
+    * non-loop edges (a, b) whose reverse (b, a) is also present —
+    * near 1 for conversational/mutual structure, near 0 for
+    * feed-forward flows. One distinct on the edge key and one
+    * self-join on the swapped key (both hash-partitioned by the edge
+    * pair, never node-fanout), then a 1-row exact ratio.
+    */
+  def reciprocity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("_a"),
+        col(dstCol).cast("string").as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+      .materialized
+    val rec = e.as("x").join(e.as("y"),
+        col("x._a") === col("y._b") && col("x._b") === col("y._a"))
+      .select(col("x._a"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        Numerics.roundz(col("n_reciprocal").cast("double") /
+          col("n_edges").cast("double"), 6).as("reciprocity"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -820,5 +822,44 @@ object TextAnalysis {
       .withColumn("end", col("start") + length(col("token")))
       .select(col(idCol), col("idx").cast("long").as("idx"), col("token"),
         col("start"), col("end"))
+  }
+
+  /** Pairwise vocabulary Jaccard between corpus slices (sources): for
+    * every slice pair, |V_a ∩ V_b| / |V_a ∪ V_b| over the distinct
+    * word sets — the source-overlap map that tells a curation run
+    * which feeds are near-clones of each other BEFORE any doc-level
+    * dedup. Output (src_a, src_b, common, n_a, n_b, jaccard) with
+    * src_a < src_b.
+    *
+    * Scale shape: the corpus reduces to the DISTINCT (slice, word)
+    * frame first (word-bounded, map-side combined), intersections
+    * come from a word-keyed self-join of that frame (fan-out per word
+    * ≤ slices², with `slices` a config-scale constant), and sizes are
+    * one aggregate — never doc×doc, never text shuffled twice.
+    */
+  def sourceVocabJaccard(
+      df: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val vocab = df
+      .select(col(sliceCol).cast("string").as("_s"),
+        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+")))
+          .as("_w"))
+      .distinct()
+      .materialized
+    val sizes = vocab.groupBy(col("_s")).agg(count(lit(1)).as("_n"))
+    val common = vocab.as("a").join(vocab.as("b"),
+        col("a._w") === col("b._w") && col("a._s") < col("b._s"))
+      .groupBy(col("a._s").as("src_a"), col("b._s").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col("_s").as("src_a"),
+        col("_n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("_s").as("src_b"),
+        col("_n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("common"),
+        col("n_a"), col("n_b"),
+        Numerics.roundz(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
   }
 }

@@ -193,4 +193,96 @@ object EntityResolution {
       .join(comp.select(col("node").as("id"), col("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
   }
+
+  /** Fellegi–Sunter match/unmatch weight estimation over blocked
+    * candidate pairs: per comparison field, the m-probability
+    * (agreement given match), u-probability (agreement given
+    * non-match), and the log₂ agreement/disagreement weights the
+    * classical linkage decision rule sums — fitted by TWO UNROLLED EM
+    * steps from the fixed start (π=0.1, m=0.9, u=0.1), the same
+    * fixed-iteration-count trick the PageRank/Bradley–Terry gates use
+    * to make an iterative fit exactly SQL-replayable.
+    *
+    * Scale shape: the ONLY corpus-scale work is one hash aggregate
+    * collapsing the pair stream to its agreement-PATTERN counts — at
+    * most 2^F rows for F binary fields (here F=3 → ≤8). Both EM steps
+    * run on that tiny frame; every float sum over it is an ordered
+    * fold (pattern-key order), so the result is a deterministic
+    * double chain, not a partition-order accident. Missing patterns
+    * contribute 0 to every sum, so only observed ones are needed.
+    *
+    * `pairs` must carry the 0/1 agreement indicator columns `fields`.
+    * Output: one row per field — (field, m, u, w_agree, w_disagree)
+    * plus the shared match prevalence π and pair count.
+    */
+  def fellegiSunterWeights(
+      pairs: DataFrame, fields: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(fields.size >= 2 && fields.size <= 8,
+      s"2..8 comparison fields, got ${fields.size}")
+    val idx = fields.indices
+    val pat = pairs
+      .select(fields.zipWithIndex.map { case ((_, c), i) =>
+        c.cast("int").as(s"_g$i") }: _*)
+      .groupBy(idx.map(i => col(s"_g$i")): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val patKey = struct(idx.map(i => col(s"_g$i")): _*)
+    // one EM step: scalars is a 1-row frame carrying _N, _G{i} (exact
+    // integer margins) and the current _pi, _m{i}, _u{i}; per-pattern
+    // membership weight w, then 1+F ordered folds in pattern-key order
+    def step(scalars: DataFrame): DataFrame = {
+      val joined = pat.crossJoin(broadcast(scalars))
+      val pm = idx.foldLeft(col("_pi")) { (acc, i) =>
+        acc * when(col(s"_g$i") === 1, col(s"_m$i"))
+          .otherwise(lit(1.0) - col(s"_m$i")) }
+      val pu = idx.foldLeft(lit(1.0) - col("_pi")) { (acc, i) =>
+        acc * when(col(s"_g$i") === 1, col(s"_u$i"))
+          .otherwise(lit(1.0) - col(s"_u$i")) }
+      val terms = joined.select(
+        (Seq(col("_tot")) ++ idx.map(i => col(s"_ag$i")) ++
+          Seq(patKey.as("_k"), (col("_cnt") * (pm / (pm + pu))).as("_t")) ++
+          idx.map(i => (col("_cnt") * (pm / (pm + pu)) * col(s"_g$i"))
+            .as(s"_t$i"))): _*)
+      def fold(termCol: String) =
+        aggregate(
+          array_sort(collect_list(struct(col("_k"), col(termCol)))),
+          lit(0.0), (acc, s) => acc + s.getField(termCol))
+      val folded = terms
+        .groupBy((Seq(col("_tot")) ++ idx.map(i => col(s"_ag$i"))): _*)
+        .agg(fold("_t").as("_SW"),
+          idx.map(i => fold(s"_t$i").as(s"_SW$i")): _*)
+      // clamp every probability into [1e-6, 1-1e-6] — the standard EM
+      // degeneracy guard (a field agreeing on ALL pairs would push u
+      // to exactly 1 and the disagreement weight to log(1/0)); the
+      // oracle mirrors the identical least/greatest chain
+      def clamp(c: org.apache.spark.sql.Column) =
+        least(greatest(c, lit(1e-6)), lit(1.0) - lit(1e-6))
+      folded.select(
+        (Seq(col("_tot")) ++ idx.map(i => col(s"_ag$i")) ++
+          Seq(clamp(col("_SW") / col("_tot").cast("double")).as("_pi")) ++
+          idx.flatMap(i => Seq(
+            clamp(col(s"_SW$i") / col("_SW")).as(s"_m$i"),
+            clamp((col(s"_ag$i").cast("double") - col(s"_SW$i")) /
+              (col("_tot").cast("double") - col("_SW"))).as(s"_u$i")))): _*)
+    }
+    val start = pat.agg(
+      sum(col("_cnt")).as("_tot"),
+      (idx.map(i => sum(col("_cnt") * col(s"_g$i")).as(s"_ag$i")) ++
+        Seq(lit(0.1).as("_pi")) ++
+        idx.flatMap(i =>
+          Seq(lit(0.9).as(s"_m$i"), lit(0.1).as(s"_u$i")))): _*)
+    val fitted = step(step(start))
+    val rows = fields.zipWithIndex.map { case ((name, _), i) =>
+      fitted.select(lit(name).as("field"),
+        col("_tot").as("n_pairs"),
+        Numerics.roundz(col("_pi"), 6).as("pi"),
+        Numerics.roundz(col(s"_m$i"), 6).as("m"),
+        Numerics.roundz(col(s"_u$i"), 6).as("u"),
+        Numerics.roundz(log2(col(s"_m$i") / col(s"_u$i")), 6)
+          .as("w_agree"),
+        Numerics.roundz(log2((lit(1.0) - col(s"_m$i")) /
+          (lit(1.0) - col(s"_u$i"))), 6).as("w_disagree"))
+    }
+    rows.reduce(_ unionByName _).orderBy("field")
+  }
 }

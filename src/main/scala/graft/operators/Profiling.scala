@@ -124,4 +124,83 @@ object Profiling {
           e * e / expected * col("_tot").cast("double")
         }, 4).as("chi2_term"))
   }
+
+  /** Coarse quantile normalization: within each group, rows are cut
+    * into `k` rank buckets (SQL ntile with an id tiebreak — the
+    * deterministic-cut contract), and each bucket is mapped to the
+    * CROSS-GROUP mean of that bucket's per-group integer sums — the
+    * distribution-alignment step that makes a metric comparable
+    * across sources whose scales drift (the k-binned form of
+    * microarray quantile normalization, which at 100 TB is the right
+    * form anyway: full-rank QN needs a global sort per group, the
+    * k-binned one needs a per-group window + two k·groups-bounded
+    * aggregates).
+    *
+    * Output: (group, bucket, n, group_mean, normalized_mean) — all
+    * means exact-integer sums divided once at the end.
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 2, s"k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"), col("_id"))
+    val bucketed = df
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"), col(idCol).as("_id"))
+      .withColumn("bucket", ntile(k).over(w).cast("long"))
+    val per = bucketed.groupBy(col("_g"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"))
+    val cross = per.groupBy(col("bucket"))
+      .agg(sum(col("_s")).as("_cs"), sum(col("n")).as("_cn"))
+    per.join(broadcast(cross), Seq("bucket"))
+      .select(col("_g").as(groupCol), col("bucket"), col("n"),
+        Numerics.roundz(col("_s").cast("double") /
+          col("n").cast("double"), 6).as("group_mean"),
+        Numerics.roundz(col("_cs").cast("double") /
+          col("_cn").cast("double"), 6).as("normalized_mean"))
+  }
+
+  /** Mergeable equi-width histogram quantiles over an integral
+    * column: `bins` fixed-width bins between the observed min/max
+    * (width = (max−min) div bins + 1 — the all-integer contract), a
+    * cumulative count across the ≤`bins`-row frame, and for each
+    * requested percentile p the FIRST bin whose cumulative count
+    * reaches ceil(p·N/100). Error is bounded by one bin width; state
+    * is O(bins) longs and merges by addition — the deterministic
+    * portable-sketch answer to "approximate quantiles at 100 TB"
+    * beside the engine-defined `approx_percentile` (whose gate is
+    * rows-only for exactly that reason; this one full-hashes).
+    *
+    * Output per p: (p, bin, lo_edge, cum_count) — pure BIGINTs.
+    */
+  def histogramQuantiles(
+      df: DataFrame, valueCol: String, bins: Int = 64,
+      percentiles: Seq[Int] = Seq(25, 50, 90, 99)): DataFrame = {
+    require(bins >= 2 && percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100))
+    val base = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+    val bounds = base.agg(min(col("_v")).as("_min"), max(col("_v")).as("_max"),
+      count(lit(1)).as("_N"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .select(expr(s"(_v - _min) div ((_max - _min) div $bins + 1)")
+        .as("bin"), col("_min"), col("_max"), col("_N"))
+      .groupBy(col("bin"), col("_min"), col("_max"), col("_N"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cum = binned.withColumn("cum_count",
+      sum(col("_cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val ps = percentiles.map(p =>
+      cum.filter(col("cum_count") * 100 >= col("_N") * p)
+        .orderBy(col("bin")).limit(1)
+        .select(lit(p.toLong).as("p"), col("bin"),
+          (col("_min") +
+            col("bin") * expr(s"(_max - _min) div $bins + 1"))
+            .as("lo_edge"),
+          col("cum_count")))
+    ps.reduce(_ unionByName _).orderBy("p")
+  }
 }

@@ -201,6 +201,114 @@ object MiningQueries extends QueryGroup {
         |FROM cm JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b
         |ORDER BY src_a, src_b""".stripMargin))
 
+  /** Fellegi–Sunter m/u weights over (brand, size)-blocked part pairs
+    * ([[graft.operators.EntityResolution.fellegiSunterWeights]]):
+    * three binary agreement fields (first name word, price within
+    * $100, exact type), TWO UNROLLED EM steps from the fixed
+    * (π=0.1, m=0.9, u=0.1) start — the corpus-scale work is one
+    * aggregate to ≤8 pattern counts; the oracle replays both steps
+    * over that frame with every float sum folded in pattern order.
+    */
+  val fellegiSunter: QueryDef = QueryDef(
+    "er_fellegi_sunter",
+    (s, dir) => {
+      val p = Tables(s, dir).part.select(
+        col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("_w1"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("_cents"))
+      val pairs = p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      graft.operators.EntityResolution.fellegiSunterWeights(pairs, Seq(
+        "name_first_word" -> (col("a._w1") === col("b._w1")),
+        "price_within_100" ->
+          (abs(col("a._cents") - col("b._cents")) <= 10000L),
+        "type_exact" -> (col("a.p_type") === col("b.p_type"))))
+    },
+    Some(
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_type,
+        |    split_part(p_name, ' ', 1) AS w1,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM part),
+        |pr AS (SELECT
+        |    CASE WHEN a.w1 = b.w1 THEN 1 ELSE 0 END AS g0,
+        |    CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 1 ELSE 0 END
+        |      AS g1,
+        |    CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g2
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand
+        |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey),
+        |pat AS (SELECT g0, g1, g2, count(*)::BIGINT AS n
+        |  FROM pr GROUP BY 1, 2, 3),
+        |mg AS (SELECT sum(n)::BIGINT AS nn, sum(n * g0)::BIGINT AS gg0,
+        |    sum(n * g1)::BIGINT AS gg1, sum(n * g2)::BIGINT AS gg2
+        |  FROM pat),
+        |s1 AS (SELECT g0, g1, g2, n,
+        |    0.1::DOUBLE * (CASE WHEN g0 = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END)
+        |      * (CASE WHEN g1 = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END)
+        |      * (CASE WHEN g2 = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END) AS pm,
+        |    (1.0::DOUBLE - 0.1::DOUBLE)
+        |      * (CASE WHEN g0 = 1 THEN 0.1::DOUBLE ELSE 1.0::DOUBLE - 0.1::DOUBLE END)
+        |      * (CASE WHEN g1 = 1 THEN 0.1::DOUBLE ELSE 1.0::DOUBLE - 0.1::DOUBLE END)
+        |      * (CASE WHEN g2 = 1 THEN 0.1::DOUBLE ELSE 1.0::DOUBLE - 0.1::DOUBLE END) AS pu
+        |  FROM pat),
+        |f1 AS (SELECT
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) ORDER BY g0, g1, g2)) AS sw,
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) * g0 ORDER BY g0, g1, g2)) AS sw0,
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) * g1 ORDER BY g0, g1, g2)) AS sw1,
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) * g2 ORDER BY g0, g1, g2)) AS sw2
+        |  FROM s1),
+        |e1 AS (SELECT nn, gg0, gg1, gg2,
+        |    least(greatest(sw / nn::DOUBLE, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS pi,
+        |    least(greatest(sw0 / sw, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS m0, least(greatest((gg0::DOUBLE - sw0) / (nn::DOUBLE - sw), 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS u0,
+        |    least(greatest(sw1 / sw, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS m1, least(greatest((gg1::DOUBLE - sw1) / (nn::DOUBLE - sw), 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS u1,
+        |    least(greatest(sw2 / sw, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS m2, least(greatest((gg2::DOUBLE - sw2) / (nn::DOUBLE - sw), 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS u2
+        |  FROM f1 CROSS JOIN mg),
+        |s2 AS (SELECT g0, g1, g2, n,
+        |    pi * (CASE WHEN g0 = 1 THEN m0 ELSE 1.0::DOUBLE - m0 END)
+        |       * (CASE WHEN g1 = 1 THEN m1 ELSE 1.0::DOUBLE - m1 END)
+        |       * (CASE WHEN g2 = 1 THEN m2 ELSE 1.0::DOUBLE - m2 END) AS pm,
+        |    (1.0::DOUBLE - pi)
+        |       * (CASE WHEN g0 = 1 THEN u0 ELSE 1.0::DOUBLE - u0 END)
+        |       * (CASE WHEN g1 = 1 THEN u1 ELSE 1.0::DOUBLE - u1 END)
+        |       * (CASE WHEN g2 = 1 THEN u2 ELSE 1.0::DOUBLE - u2 END) AS pu
+        |  FROM pat CROSS JOIN e1),
+        |f2 AS (SELECT
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) ORDER BY g0, g1, g2)) AS sw,
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) * g0 ORDER BY g0, g1, g2)) AS sw0,
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) * g1 ORDER BY g0, g1, g2)) AS sw1,
+        |    list_sum(list(n::DOUBLE * (pm / (pm + pu)) * g2 ORDER BY g0, g1, g2)) AS sw2
+        |  FROM s2),
+        |e2 AS (SELECT nn, gg0, gg1, gg2,
+        |    least(greatest(sw / nn::DOUBLE, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS pi,
+        |    least(greatest(sw0 / sw, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS m0, least(greatest((gg0::DOUBLE - sw0) / (nn::DOUBLE - sw), 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS u0,
+        |    least(greatest(sw1 / sw, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS m1, least(greatest((gg1::DOUBLE - sw1) / (nn::DOUBLE - sw), 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS u1,
+        |    least(greatest(sw2 / sw, 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS m2, least(greatest((gg2::DOUBLE - sw2) / (nn::DOUBLE - sw), 0.000001::DOUBLE), 1.0::DOUBLE - 0.000001::DOUBLE) AS u2
+        |  FROM f2 CROSS JOIN mg)
+        |SELECT * FROM (
+        |  SELECT 'name_first_word' AS field, nn AS n_pairs,
+        |    round(pi, 6) + 0 AS pi, round(m0, 6) + 0 AS m,
+        |    round(u0, 6) + 0 AS u,
+        |    round(log2(m0 / u0), 6) + 0 AS w_agree,
+        |    round(log2((1.0::DOUBLE - m0) / (1.0::DOUBLE - u0)), 6) + 0
+        |      AS w_disagree
+        |  FROM e2
+        |  UNION ALL
+        |  SELECT 'price_within_100', nn, round(pi, 6) + 0,
+        |    round(m1, 6) + 0, round(u1, 6) + 0,
+        |    round(log2(m1 / u1), 6) + 0,
+        |    round(log2((1.0::DOUBLE - m1) / (1.0::DOUBLE - u1)), 6) + 0
+        |  FROM e2
+        |  UNION ALL
+        |  SELECT 'type_exact', nn, round(pi, 6) + 0,
+        |    round(m2, 6) + 0, round(u2, 6) + 0,
+        |    round(log2(m2 / u2), 6) + 0,
+        |    round(log2((1.0::DOUBLE - m2) / (1.0::DOUBLE - u2)), 6) + 0
+        |  FROM e2)
+        |ORDER BY field""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard)
+    Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter)
 }

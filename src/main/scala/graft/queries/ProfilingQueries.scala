@@ -472,7 +472,66 @@ object ProfilingQueries extends QueryGroup {
         |  round(n::DOUBLE / tot::DOUBLE, 6) + 0 AS share
         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin))
 
+  /** Coarse quantile normalization of doc length across sources
+    * ([[graft.operators.Profiling.quantileNormalize]]): 20 ntile
+    * buckets per source (doc_id tiebreak), each mapped to the
+    * cross-source bucket mean — exact integer sums, one division.
+    */
+  val qnorm: QueryDef = QueryDef(
+    "stats_quantile_normalize",
+    (s, dir) =>
+      graft.operators.Profiling.quantileNormalize(
+          Tables(s, dir).documents, "source", "n_chars", "doc_id", 20)
+        .orderBy("source", "bucket"),
+    Some(
+      """WITH r AS (SELECT source AS g, n_chars::BIGINT AS v,
+        |    ntile(20) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id)::BIGINT AS bucket
+        |  FROM documents),
+        |per AS (SELECT g, bucket, count(*)::BIGINT AS n,
+        |    sum(v)::BIGINT AS s FROM r GROUP BY 1, 2),
+        |cr AS (SELECT bucket, sum(s)::BIGINT AS cs, sum(n)::BIGINT AS cn
+        |  FROM per GROUP BY bucket)
+        |SELECT g AS source, per.bucket, n,
+        |  round(s::DOUBLE / n::DOUBLE, 6) + 0 AS group_mean,
+        |  round(cs::DOUBLE / cn::DOUBLE, 6) + 0 AS normalized_mean
+        |FROM per JOIN cr ON cr.bucket = per.bucket
+        |ORDER BY source, per.bucket""".stripMargin))
+
+  /** Equi-width histogram quantiles of doc length
+    * ([[graft.operators.Profiling.histogramQuantiles]]): 64 integer
+    * bins, cumulative counts, first bin reaching ceil(p·N/100) —
+    * the deterministic mergeable-sketch quantile, pure BIGINTs.
+    */
+  val histQuantiles: QueryDef = QueryDef(
+    "agg_histogram_quantiles",
+    (s, dir) =>
+      graft.operators.Profiling.histogramQuantiles(
+        Tables(s, dir).documents, "n_chars", 64, Seq(25, 50, 90, 99)),
+    Some(
+      """WITH b AS (SELECT n_chars::BIGINT AS v FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        |bd AS (SELECT min(v) AS mn, max(v) AS mx, count(*)::BIGINT AS nn
+        |  FROM b),
+        |bn AS (SELECT (v - mn) // ((mx - mn) // 64 + 1) AS bin
+        |  FROM b CROSS JOIN bd),
+        |g AS (SELECT bin, count(*)::BIGINT AS n FROM bn GROUP BY bin),
+        |c AS (SELECT bin, sum(n)
+        |    OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM g),
+        |q AS (SELECT t.p::BIGINT AS p, min(c.bin)::BIGINT AS bin
+        |  FROM (VALUES (25), (50), (90), (99)) t(p)
+        |  CROSS JOIN bd JOIN c ON c.cum * 100 >= bd.nn * t.p
+        |  GROUP BY t.p)
+        |SELECT q.p, q.bin,
+        |  (bd.mn + q.bin * ((bd.mx - bd.mn) // 64 + 1))::BIGINT
+        |    AS lo_edge,
+        |  c.cum AS cum_count
+        |FROM q JOIN c ON c.bin = q.bin CROSS JOIN bd
+        |ORDER BY p""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
-      golden, chao1, temporal, levene, chi2, novelty, mode)
+      golden, chao1, temporal, levene, chi2, novelty, mode,
+      qnorm, histQuantiles)
 }

@@ -117,6 +117,43 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(out.getDouble(2) - 0.5) < 1e-9)
   }
 
+  test("fellegiSunterWeights: symmetric fields get identical weights; degenerate field clamps") {
+    val s = spark
+    import s.implicits._
+    // x0 and x1 have mirror-image pattern multisets -> same fitted m/u;
+    // x2 agrees on EVERY pair -> u would be exactly 1 without the clamp
+    val pairs = Seq((1, 1, 1), (1, 0, 1), (0, 0, 1), (0, 1, 1),
+      (1, 1, 1), (0, 0, 1)).toDF("x0", "x1", "x2")
+    val out = EntityResolution.fellegiSunterWeights(pairs, Seq(
+      "f0" -> (col("x0") === 1), "f1" -> (col("x1") === 1),
+      "f2" -> (col("x2") === 1)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(6))).toMap
+    assert(out("f0") == out("f1"))
+    // clamped u ~ 1 - 1e-6, still finite disagreement weight
+    assert(out("f2")._2 > 0.999 && !out("f2")._3.isInfinite)
+    assert(out.values.forall(v => v._1 > 0 && v._1 < 1 &&
+      v._2 > 0 && v._2 < 1))
+  }
+
+  test("fellegiSunterWeights: EM pulls m up and u down for a discriminative field") {
+    val s = spark
+    import s.implicits._
+    // 20 "match-like" pairs agreeing on both fields, 80 random pairs
+    // agreeing on nothing -> both fields should fit m >> u
+    val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(80)((0, 0))
+    val out = EntityResolution.fellegiSunterWeights(
+      rows.toDF("x0", "x1"),
+      Seq("f0" -> (col("x0") === 1), "f1" -> (col("x1") === 1)))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(3) > 0.9, s"m=${r.getDouble(3)}")
+      assert(r.getDouble(4) < 0.1, s"u=${r.getDouble(4)}")
+      assert(r.getDouble(5) > 0, "agreement weight positive")
+      assert(r.getDouble(6) < 0, "disagreement weight negative")
+    }
+  }
+
   test("sourceVocabJaccard: controlled overlap") {
     val s = spark
     import s.implicits._

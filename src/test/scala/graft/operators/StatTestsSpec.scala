@@ -92,4 +92,38 @@ class StatTestsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L))
     assert(out.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9))
   }
+
+  test("quantileNormalize: shifted groups land on the shared bucket mean") {
+    val s = spark
+    import s.implicits._
+    // group b = group a + 100 at every rank; cross-group bucket mean
+    // is the midpoint, group means keep the offset
+    val rows = (1 to 40).map(i => ("a", i.toLong * 10, i.toLong)) ++
+      (1 to 40).map(i => ("b", i.toLong * 10 + 100, 1000L + i))
+    val out = Profiling.quantileNormalize(
+      rows.toDF("g", "v", "id"), "g", "v", "id", 4)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size == 8)
+    // bucket 1 of a: values 10..100 mean 55; of b: 110..200 mean 155;
+    // normalized mean = 105 for both
+    assert(out(("a", 1L)) == ((10L, 55.0, 105.0)))
+    assert(out(("b", 1L)) == ((10L, 155.0, 105.0)))
+    assert(out(("a", 4L))._3 == out(("b", 4L))._3)
+  }
+
+  test("histogramQuantiles: uniform 1..1000 hits bin-resolution quantiles") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).toDF("v")
+    val out = Profiling.histogramQuantiles(df, "v", bins = 100,
+      percentiles = Seq(25, 50, 99)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // width = (999 div 100)+1 = 10; bin b covers [1+10b, 10+10b]
+    // p25 -> cum 250 at bin 24 (values 241..250): lo_edge 241
+    assert(out(25L) == ((241L, 250L)))
+    assert(out(50L) == ((491L, 500L)))
+    assert(out(99L) == ((981L, 990L)))
+  }
 }

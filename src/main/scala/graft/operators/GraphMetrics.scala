@@ -588,4 +588,44 @@ object GraphMetrics {
         Numerics.roundz(col("n_reciprocal").cast("double") /
           col("n_edges").cast("double"), 6).as("reciprocity"))
   }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for each
+    * degree threshold: the edge density among nodes of degree > k —
+    * rising φ with k means the hubs form their own dense core (the
+    * "rich club" of template families / crawl hubs). One degree
+    * aggregate, then per threshold a broadcast-membership filter over
+    * the canonical edge list and two counts; thresholds are a
+    * config-scale constant, so the edge list is scanned |ks| times
+    * with no pair blow-up. φ is 0 by convention when N_k < 2.
+    */
+  def richClub(
+      edges: DataFrame, aCol: String, bCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"thresholds: $ks")
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .materialized
+    val deg = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("_d"))
+    val rows = ks.map { k =>
+      val club = deg.filter(col("_d") > k).select(col("id"))
+      val nNodes = club.agg(count(lit(1)).as("n_nodes"))
+      val nEdges = canon
+        .join(broadcast(club.select(col("id").as("u"))), Seq("u"))
+        .join(broadcast(club.select(col("id").as("v"))), Seq("v"))
+        .agg(count(lit(1)).as("n_edges"))
+      nNodes.crossJoin(broadcast(nEdges))
+        .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
+          Numerics.roundz(
+            when(col("n_nodes") < 2, lit(0.0))
+              .otherwise((lit(2) * col("n_edges")).cast("double") /
+                (col("n_nodes") * (col("n_nodes") - 1)).cast("double")),
+            6).as("phi"))
+    }
+    rows.reduce(_ unionByName _).orderBy("k")
+  }
 }

@@ -203,4 +203,39 @@ object Profiling {
           col("cum_count")))
     ps.reduce(_ unionByName _).orderBy("p")
   }
+
+  /** Population stability index between a slice and the rest of the
+    * corpus over a categorical column — THE drift tripwire model
+    * monitoring runs on every feature (PSI < 0.1 stable, > 0.25
+    * investigate). Laplace-smoothed shares p = (n+1)/(N+K) over the
+    * union category domain, so empty cells are defined without an
+    * ad-hoc epsilon, and the smoothing is part of the stated
+    * contract. Σ (p−q)·ln(p/q) folded in category order; the
+    * corpus-scale work is one hash aggregate to ≤2·K cells.
+    */
+  def psi(
+      df: DataFrame, catCol: String, slice: Column): DataFrame = {
+    val counts = df
+      .groupBy(col(catCol).cast("string").as("_c"), slice.as("_s"))
+      .agg(count(lit(1)).as("_n"))
+    val a = counts.filter(col("_s")).select(col("_c"), col("_n").as("_na"))
+    val b = counts.filter(!col("_s")).select(col("_c"), col("_n").as("_nb"))
+    val grid = a.join(b, Seq("_c"), "full_outer")
+      .na.fill(0L, Seq("_na", "_nb"))
+    val tot = grid.agg(sum(col("_na")).as("_ta"), sum(col("_nb")).as("_tb"),
+      count(lit(1)).as("n_bins"))
+    val withP = grid.crossJoin(broadcast(tot))
+      .select(col("_c"), col("n_bins"),
+        ((col("_na") + 1).cast("double") /
+          (col("_ta") + col("n_bins")).cast("double")).as("_p"),
+        ((col("_nb") + 1).cast("double") /
+          (col("_tb") + col("n_bins")).cast("double")).as("_q"))
+    withP.groupBy(col("n_bins"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_c"),
+          ((col("_p") - col("_q")) * log(col("_p") / col("_q")))
+            .as("_t")))),
+        lit(0.0), (acc, s) => acc + s.getField("_t")).as("_psi"))
+      .select(col("n_bins"), Numerics.roundz(col("_psi"), 6).as("psi"))
+  }
 }

@@ -862,4 +862,44 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Heaps'-law fit V = K·N^β over corpus slices: each slice
+    * contributes one (token count N_s, vocabulary size V_s) point,
+    * and β/K come from OLS on (ln N, ln V) — the vocabulary-growth
+    * exponent (β ≈ 0.4–0.6 for natural text; β near 1 flags
+    * ID-like/junk token streams, β near 0 a closed template
+    * vocabulary). The corpus-scale work is two token aggregates;
+    * the regression runs over the |slices|-point frame with every
+    * float sum folded in slice order.
+    */
+  def heapsLaw(
+      df: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(sliceCol).cast("string").as("_s"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+    val pts = tok.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), countDistinct(col("_w")).as("_v"))
+      .select(col("_s"), log(col("_n").cast("double")).as("_x"),
+        log(col("_v").cast("double")).as("_y"))
+    def fold(term: org.apache.spark.sql.Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("_s"), term.as(name)))),
+        lit(0.0), (acc, s) => acc + s.getField(name))
+    pts
+      .agg(count(lit(1)).as("n_slices"),
+        fold(col("_x"), "_tx").as("_sx"), fold(col("_y"), "_ty").as("_sy"),
+        fold(col("_x") * col("_y"), "_txy").as("_sxy"),
+        fold(col("_x") * col("_x"), "_txx").as("_sxx"))
+      .select(col("n_slices"),
+        Numerics.roundz({
+          val n = col("n_slices").cast("double")
+          (n * col("_sxy") - col("_sx") * col("_sy")) /
+            (n * col("_sxx") - col("_sx") * col("_sx"))
+        }, 6).as("beta"),
+        Numerics.roundz({
+          val n = col("n_slices").cast("double")
+          val b = (n * col("_sxy") - col("_sx") * col("_sy")) /
+            (n * col("_sxx") - col("_sx") * col("_sx"))
+          exp((col("_sy") - b * col("_sx")) / n)
+        }, 4).as("k"))
+  }
 }

@@ -309,6 +309,43 @@ object MiningQueries extends QueryGroup {
         |  FROM e2)
         |ORDER BY field""".stripMargin))
 
+  /** Rich-club coefficient of the near-dup graph at thresholds
+    * 2/4/8 ([[graft.operators.GraphMetrics.richClub]]): edge density
+    * among nodes of degree > k — template families light this up.
+    */
+  val richClubGate: QueryDef = QueryDef(
+    "graph_rich_club",
+    (s, dir) => {
+      val pairs = PipelineQueries.jaccardPairsFor(s, dir)
+      graft.operators.GraphMetrics.richClub(pairs, "id_a", "id_b",
+        Seq(2, 4, 8))
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT u AS id, count(*)::BIGINT AS d FROM e GROUP BY u),
+        |ks AS (SELECT k::BIGINT AS k FROM (VALUES (2), (4), (8)) t(k)),
+        |club AS (SELECT ks.k, deg.id FROM ks JOIN deg ON deg.d > ks.k),
+        |nn AS (SELECT k, count(*)::BIGINT AS n_nodes FROM club GROUP BY k),
+        |ne AS (SELECT cu.k, count(*)::BIGINT AS n_edges
+        |  FROM pairs p JOIN club cu ON cu.id = p.id_a
+        |  JOIN club cv ON cv.id = p.id_b AND cv.k = cu.k
+        |  GROUP BY cu.k)
+        |SELECT ks.k, coalesce(nn.n_nodes, 0)::BIGINT AS n_nodes,
+        |  coalesce(ne.n_edges, 0)::BIGINT AS n_edges,
+        |  round(CASE WHEN coalesce(nn.n_nodes, 0) < 2 THEN 0.0
+        |    ELSE (2 * coalesce(ne.n_edges, 0))::DOUBLE /
+        |      (nn.n_nodes * (nn.n_nodes - 1))::DOUBLE END, 6) + 0 AS phi
+        |FROM ks LEFT JOIN nn ON nn.k = ks.k LEFT JOIN ne ON ne.k = ks.k
+        |ORDER BY ks.k""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter)
+    Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter,
+      richClubGate)
 }

@@ -530,8 +530,65 @@ object ProfilingQueries extends QueryGroup {
         |FROM q JOIN c ON c.bin = q.bin CROSS JOIN bd
         |ORDER BY p""".stripMargin))
 
+  /** PSI of the lang distribution, src0 slice vs rest
+    * ([[graft.operators.Profiling.psi]]): Laplace-smoothed shares
+    * over the union category domain, terms folded in category order.
+    */
+  val psiGate: QueryDef = QueryDef(
+    "stats_psi",
+    (s, dir) =>
+      graft.operators.Profiling.psi(
+        Tables(s, dir).documents, "lang", col("source") === "src0"),
+    Some(
+      """WITH c AS (SELECT lang AS cat, source = 'src0' AS s,
+        |    count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+        |a AS (SELECT cat, n AS na FROM c WHERE s),
+        |b AS (SELECT cat, n AS nb FROM c WHERE NOT s),
+        |g AS (SELECT coalesce(a.cat, b.cat) AS cat,
+        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+        |t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+        |    count(*)::BIGINT AS n_bins FROM g),
+        |p AS (SELECT cat, n_bins,
+        |    (na + 1)::DOUBLE / (ta + n_bins)::DOUBLE AS p,
+        |    (nb + 1)::DOUBLE / (tb + n_bins)::DOUBLE AS q
+        |  FROM g CROSS JOIN t),
+        |f AS (SELECT n_bins,
+        |    list_sum(list((p - q) * ln(p / q) ORDER BY cat)) AS psi
+        |  FROM p GROUP BY n_bins)
+        |SELECT n_bins, round(psi, 6) + 0 AS psi FROM f""".stripMargin))
+
+  /** Heaps'-law vocabulary-growth fit across sources
+    * ([[graft.operators.TextAnalysis.heapsLaw]]): one (ln N, ln V)
+    * point per source, OLS folded in slice order.
+    */
+  val heaps: QueryDef = QueryDef(
+    "text_heaps_law",
+    (s, dir) =>
+      graft.operators.TextAnalysis.heapsLaw(
+        Tables(s, dir).documents, "source", "text"),
+    Some(
+      """WITH tok AS (SELECT source AS s,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |pts AS (SELECT s, ln(count(*)::DOUBLE) AS x,
+        |    ln(count(DISTINCT w)::DOUBLE) AS y FROM tok GROUP BY s),
+        |f AS (SELECT count(*)::BIGINT AS n_slices,
+        |    list_sum(list(x ORDER BY s)) AS sx,
+        |    list_sum(list(y ORDER BY s)) AS sy,
+        |    list_sum(list(x * y ORDER BY s)) AS sxy,
+        |    list_sum(list(x * x ORDER BY s)) AS sxx
+        |  FROM pts)
+        |SELECT n_slices,
+        |  round((n_slices::DOUBLE * sxy - sx * sy) /
+        |    (n_slices::DOUBLE * sxx - sx * sx), 6) + 0 AS beta,
+        |  round(exp((sy - ((n_slices::DOUBLE * sxy - sx * sy) /
+        |      (n_slices::DOUBLE * sxx - sx * sx)) * sx) /
+        |    n_slices::DOUBLE), 4) + 0 AS k
+        |FROM f""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
       golden, chao1, temporal, levene, chi2, novelty, mode,
-      qnorm, histQuantiles)
+      qnorm, histQuantiles, psiGate, heaps)
 }

@@ -126,4 +126,51 @@ class StatTestsSpec extends SparkSpec {
     assert(out(50L) == ((491L, 500L)))
     assert(out(99L) == ((981L, 990L)))
   }
+
+  test("psi: identical distributions give 0; disjoint supports give a large value") {
+    val s = spark
+    import s.implicits._
+    val same = (Seq.fill(10)(("x", true)) ++ Seq.fill(10)(("x", false)) ++
+      Seq.fill(5)(("y", true)) ++ Seq.fill(5)(("y", false)))
+      .toDF("cat", "h")
+    val r1 = Profiling.psi(same, "cat", col("h")).collect()(0)
+    assert(r1.getLong(0) == 2L && math.abs(r1.getDouble(1)) < 1e-9)
+    val disjoint = (Seq.fill(20)(("x", true)) ++ Seq.fill(20)(("y", false)))
+      .toDF("cat", "h")
+    val r2 = Profiling.psi(disjoint, "cat", col("h")).collect()(0)
+    assert(r2.getDouble(1) > 2.0, s"psi=${r2.getDouble(1)}")
+  }
+
+  test("heapsLaw: exact power-law points recover beta") {
+    val s = spark
+    import s.implicits._
+    // slices with V = N^0.5 exactly: N in {100, 400, 900},
+    // V in {10, 20, 30} -> beta = 0.5, K = 1
+    def slice(tag: String, n: Int, v: Int): Seq[(String, String)] = {
+      val words = (0 until n).map(i => s"w${i % v}")
+      Seq((tag, words.mkString(" ")))
+    }
+    val df = (slice("a", 100, 10) ++ slice("b", 400, 20) ++
+      slice("c", 900, 30)).toDF("src", "text")
+    val out = TextAnalysis.heapsLaw(df, "src", "text").collect()(0)
+    assert(out.getLong(0) == 3L)
+    assert(math.abs(out.getDouble(1) - 0.5) < 1e-6)
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-3)
+  }
+
+  test("richClub: star vs clique thresholds") {
+    val s = spark
+    import s.implicits._
+    // K4 clique (degrees 3) plus pendant chain: nodes 1-4 all degree>2
+    // only within the clique -> phi(2) over the clique = 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = GraphMetrics.richClub(edges, "a", "b", Seq(2, 4))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // degree>2: nodes 1,2,3 (deg 3) and 4 (deg 4) -> 6 internal edges, phi=1
+    assert(out(2L) == ((4L, 6L, 1.0)))
+    // degree>4: nobody -> phi 0 by convention
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
 }

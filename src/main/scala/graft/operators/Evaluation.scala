@@ -635,9 +635,13 @@ object Evaluation {
     */
   def chi2Independence(
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    // cell frame materialized: margins/total/grid are four consumers,
+    // each would rescan the corpus otherwise (plan-locked)
     val obs = df.groupBy(col(aCol).cast("string").as("_a"),
         col(bCol).cast("string").as("_b"))
       .agg(count(lit(1)).as("_o"))
+      .materialized
     val ra = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
     val cb = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
     val tot = obs.agg(sum(col("_o")).as("_N"))
@@ -793,6 +797,45 @@ object Evaluation {
           (col("n").cast("double") * col("n")), 6).as("uncertainty"))
   }
 
+  /** Split-conformal calibration threshold: for each miscoverage
+    * level α, the k-th smallest nonconformity score with
+    * k = ceil((n+1)(1−α)) — the distribution-free prediction-set
+    * cutoff (Vovk; Angelopoulos & Bates 2023). Guarantees ≥1−α
+    * coverage on exchangeable data with NO model assumptions, which
+    * is why it's the standard uncertainty wrapper over any scorer.
+    *
+    * Exact and distributed: scores are integral (the house
+    * fixed-point contract), k is exact integer arithmetic
+    * (ceil(a/b) = (a+b−1) div b), and the k-th order statistic comes
+    * from a per-value count aggregate + cumulative window over the
+    * value-bounded frame — never a global row sort. Ties are handled
+    * exactly (first value whose cumulative count reaches k).
+    */
+  def conformalQuantile(
+      df: DataFrame, scoreCol: String,
+      alphasPct: Seq[Int] = Seq(10, 5)): DataFrame = {
+    require(alphasPct.nonEmpty && alphasPct.forall(a => a >= 1 && a < 100))
+    val perValue = df.select(col(scoreCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+    val cum = perValue.withColumn("_cum",
+        sum(col("_n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(broadcast(
+        perValue.agg(sum(col("_n")).as("_tot"))))
+    val rows = alphasPct.map { a =>
+      // k = ceil((n+1) * (100-a) / 100), all integer
+      val k = expr(s"((_tot + 1) * ${100 - a} + 99) div 100")
+      cum.filter(col("_cum") >= k)
+        .orderBy(col("_v")).limit(1)
+        .select(lit(a.toLong).as("alpha_pct"), col("_tot").as("n"),
+          k.as("k"), col("_v").as("threshold"))
+    }
+    rows.reduce(_ unionByName _).orderBy("alpha_pct")
+  }
+
   /** Delete-one jackknife standard error of a ratio metric
     * R = Σnum / Σden — the correct uncertainty for ratio-of-sums
     * metrics (revenue per session, discount share) where the naive
@@ -851,9 +894,14 @@ object Evaluation {
     */
   def mutualInformation(
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    // materialize the cell frame: four consumers (margins, total, MI
+    // terms) would otherwise each rescan the corpus — the cell frame
+    // is vocabulary-bounded, the corpus is not (plan-locked)
     val obs = df.groupBy(col(aCol).cast("string").as("_a"),
         col(bCol).cast("string").as("_b"))
       .agg(count(lit(1)).as("_o"))
+      .materialized
     val ra = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
     val cb = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
     val tot = obs.agg(sum(col("_o")).as("_N"))

@@ -714,9 +714,37 @@ object EvalQueries extends QueryGroup {
         |  round(wins::DOUBLE / den, 6) + 0 AS pi2
         |FROM p1 JOIN dn ON dn.m = p1.m ORDER BY model""".stripMargin))
 
+  /** Split-conformal thresholds over doc length as the nonconformity
+    * score ([[graft.operators.Evaluation.conformalQuantile]]):
+    * k = ceil((n+1)(1−α)) all-integer, k-th order statistic from a
+    * per-value cumulative window — never a global row sort.
+    */
+  val conformalGate: QueryDef = QueryDef(
+    "eval_conformal_quantile",
+    (s, dir) =>
+      graft.operators.Evaluation.conformalQuantile(
+        graft.Tables(s, dir).documents, "n_chars", Seq(10, 5, 1)),
+    Some(
+      """WITH v AS (SELECT n_chars::BIGINT AS v FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        |pv AS (SELECT v, count(*)::BIGINT AS n FROM v GROUP BY v),
+        |c AS (SELECT v, sum(n)
+        |    OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM pv),
+        |t AS (SELECT sum(n)::BIGINT AS nn FROM pv),
+        |al AS (SELECT a::BIGINT AS a FROM (VALUES (10), (5), (1)) x(a)),
+        |q AS (SELECT a, ((nn + 1) * (100 - a) + 99) // 100 AS k, nn
+        |  FROM al CROSS JOIN t),
+        |r AS (SELECT q.a AS alpha_pct, q.nn AS n, q.k,
+        |    min(c.v) AS threshold
+        |  FROM q JOIN c ON c.cum >= q.k GROUP BY 1, 2, 3)
+        |SELECT alpha_pct, n, k, threshold FROM r
+        |ORDER BY alpha_pct""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
-      mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate)
+      mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
+      conformalGate)
 }

@@ -971,6 +971,51 @@ object ScaleCheck {
           pts(100000L * dup, 1000000L * dup), "id", "x", "y", 5000L))
     }
 
+    // skyline: the prefilter must keep the exact pass's global-order
+    // window at candidate scale — 10x the cloud, ~flat frontier work
+    locally {
+      // offset keeps id=0 off the (0,0) corner, which would dominate
+      // the whole cloud and trivialize the exact pass
+      def cloud(n: Long) = spark.range(1L, n + 1L).select(col("id"),
+        ((col("id") * 2654435761L + 987654321L) % 10000000L).as("x"),
+        ((col("id") * 2246822519L + 123456789L) % 10000000L).as("y"))
+      time("skyline_1x",
+        graft.operators.Skyline.skyline2dMin(
+          cloud(500000L), "id", "x", "y"))
+      time(s"skyline_${dup}x",
+        graft.operators.Skyline.skyline2dMin(
+          cloud(500000L * dup), "id", "x", "y"))
+    }
+
+    // source vocab jaccard: corpus reduces to the distinct (slice,
+    // word) frame before the word-keyed self-join — linear in tokens
+    time(s"vocab_jaccard_${dup}x",
+      graft.operators.TextAnalysis.sourceVocabJaccard(
+        blown.select(col("doc_id"), col("text"),
+          concat(lit("s"), (col("doc_id") % 10).cast("string"))
+            .as("source")),
+        "source", "text"))
+
+    // Fellegi-Sunter: pair stream collapses to <=8 pattern counts in
+    // one aggregate; 10x pairs, same tiny EM frame
+    locally {
+      def dict(n: Long) = spark.range(n).select(col("id"),
+        (col("id") % (n / 50 + 1)).as("blk"),
+        (col("id") % 7).as("f1"), (col("id") % 11).as("f2"),
+        (col("id") % 13).as("f3"))
+      def pairsOf(n: Long) = {
+        val d = dict(n)
+        d.as("a").join(d.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      }
+      time(s"fellegi_sunter_${dup}x",
+        graft.operators.EntityResolution.fellegiSunterWeights(
+          pairsOf(5000L * dup), Seq(
+            "f1" -> (col("a.f1") === col("b.f1")),
+            "f2" -> (col("a.f2") === col("b.f2")),
+            "f3" -> (col("a.f3") === col("b.f3")))))
+    }
+
     spark.stop()
   }
 }

@@ -295,4 +295,21 @@ class EvaluationSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
     assert(r.toSeq == Seq((0L, 2L, 2.5, 3.9), (1L, 2L, 5.5, 4.1)))
   }
+
+  test("conformalQuantile: textbook k-th order statistic with ties") {
+    val s = spark
+    import s.implicits._
+    // scores 1..19 -> n=19; alpha=10%: k=ceil(20*0.9)=18 -> threshold 18
+    val df = (1L to 19L).toDF("score")
+    val r = Evaluation.conformalQuantile(df, "score", Seq(10))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 19L, 18L, 18L)))
+    // heavy tie block: 10 copies of 5, then 6..14 -> n=19, k=18 lands
+    // inside the post-tie run
+    val tied = (Seq.fill(10)(5L) ++ (6L to 14L)).toDF("score")
+    val r2 = Evaluation.conformalQuantile(tied, "score", Seq(10))
+      .collect()(0)
+    assert(r2.getLong(3) == 13L)
+  }
 }

@@ -326,4 +326,52 @@ class PlanRegressionSpec extends SparkSpec {
       s.contains("HashJoin") || s.contains("SortMergeJoin")
     }, "no join for the semi-join probe")
   }
+
+  test("join_skyline_2d: prefilter prunes before the global-order window") {
+    // the exact pass's single-partition RANGE window must sit ABOVE
+    // the _prevMin bucket filter — losing the filter feeds the whole
+    // corpus into one task's sort
+    val plan = finalPlan("join_skyline_2d")
+    val prunes = nodes(plan).filter(p =>
+      p.getClass.getSimpleName == "FilterExec" &&
+        p.toString.contains("_prevMin"))
+    assert(prunes.nonEmpty, "bucket prefilter missing")
+    // and the window operators exist for the exact pass
+    assert(nodes(plan).count(_.getClass.getSimpleName == "WindowExec") >= 2,
+      "exact-pass windows missing")
+    // no filter-free path: every WindowExec over the global x order
+    // must have the prefilter somewhere beneath it
+    val globalWins = nodes(plan).filter(p =>
+      p.getClass.getSimpleName == "WindowExec" &&
+        p.toString.contains("_minLess"))
+    globalWins.foreach { w =>
+      assert(nodes(w).exists(p =>
+        p.getClass.getSimpleName == "FilterExec" &&
+          p.toString.contains("_prevMin")),
+        "global-order window not fed by the pruned candidate set")
+    }
+  }
+
+  test("er_fellegi_sunter: corpus-scale work is one aggregate, EM stays on the pattern frame") {
+    // the blocked pair join feeds ONE hash aggregate to <=8 pattern
+    // rows; both EM steps must run above it (object-hash aggregates on
+    // the tiny frame), never re-joining the pair stream
+    val ks = kinds("er_fellegi_sunter")
+    assert(!ks.exists(_.contains("CartesianProduct")), s"cartesian: $ks")
+    val scanCount = scans("er_fellegi_sunter")
+      .count(_.metadata.get("Location").exists(_.contains("part.parquet")))
+    assert(scanCount <= 4, s"part scanned $scanCount times")
+  }
+
+  test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
+    for (gate <- Seq("stats_psi", "stats_mutual_information",
+        "stats_chi2_independence")) {
+      val docScans = scans(gate)
+        .count(_.metadata.get("Location").exists(_.contains("documents")))
+      assert(docScans <= 2, s"$gate: documents scanned $docScans times")
+      assert(!kinds(gate).exists(_.contains("CartesianProduct")) ||
+        kinds(gate).count(_.contains("BroadcastExchange")) > 0,
+        s"$gate: unbroadcast cartesian")
+    }
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -76,5 +78,63 @@ object Governance {
         col("rows_at_risk"), col("n_rows"),
         round(col("rows_at_risk").cast("double") / col("n_rows"), 6)
           .as("risk_rate"))
+  }
+
+  /** t-closeness (Li, Li & Venkatasubramanian, ICDE'07) — the third
+    * leg of the release triad: a group can be k-anonymous AND
+    * l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * differs sharply from the corpus. For an ordinal sensitive
+    * column, the class-vs-global distance is the normalized ordered
+    * EMD: Σ_v |cumshare_class(v) − cumshare_global(v)| / (K−1) over
+    * the full global domain (flat segments for values a class never
+    * takes).
+    *
+    * Scale shape: one corpus aggregate to (class, value) counts;
+    * everything after runs on the classes×domain grid (both
+    * config-bounded), with the |Δcum| terms folded per class in value
+    * order — deterministic double chains, never a partition-order
+    * sum. Output one row per class: quasi columns, class size n, and
+    * t (6-dp).
+    */
+  def tCloseness(
+      df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need quasi columns")
+    val q = quasiCols.map(col)
+    val cells = df
+      .groupBy((q :+ col(sensitiveCol).cast("long").as("_v")): _*)
+      .agg(count(lit(1)).as("_n"))
+      .materialized
+    val classes = cells.groupBy(q: _*).agg(sum(col("_n")).as("_ng"))
+    val domain = cells.groupBy(col("_v")).agg(sum(col("_n")).as("_nv"))
+    val domCum = domain
+      .withColumn("_cumAll", sum(col("_nv")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(broadcast(domain.agg(sum(col("_nv")).as("_tot"),
+        count(lit(1)).as("_k"))))
+      .select(col("_v"), col("_cumAll"), col("_tot"), col("_k"))
+    val grid = classes.crossJoin(broadcast(domCum))
+      .join(cells, quasiCols :+ "_v", "left")
+      .na.fill(0L, Seq("_n"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(q: _*).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val terms = grid
+      .withColumn("_cumG", sum(col("_n")).over(wc))
+      .select((q ++ Seq(col("_ng"), col("_k"),
+        struct(col("_v"),
+          abs(col("_cumG").cast("double") / col("_ng").cast("double") -
+            col("_cumAll").cast("double") / col("_tot").cast("double"))
+            .as("_t")).as("_kv"))): _*)
+    terms
+      .groupBy((q :+ col("_ng") :+ col("_k")): _*)
+      .agg(aggregate(array_sort(collect_list(col("_kv"))), lit(0.0),
+        (acc, s) => acc + s.getField("_t")).as("_sum"))
+      .select((q :+ col("_ng").as("n") :+
+        Numerics.roundz(col("_sum") / (col("_k") - 1).cast("double"), 6)
+          .as("t")): _*)
   }
 }

@@ -345,7 +345,88 @@ object MiningQueries extends QueryGroup {
         |FROM ks LEFT JOIN nn ON nn.k = ks.k LEFT JOIN ne ON ne.k = ks.k
         |ORDER BY ks.k""".stripMargin))
 
+  /** t-closeness over (lang, source) classes with the doc-length
+    * bucket as ordinal sensitive value
+    * ([[graft.operators.Governance.tCloseness]]): per-class ordered
+    * EMD vs the corpus distribution, |Δcum| folded in value order
+    * over the full global domain, normalized by K−1.
+    */
+  val tClosenessGate: QueryDef = QueryDef(
+    "gov_t_closeness",
+    (s, dir) =>
+      graft.operators.Governance.tCloseness(
+          Tables(s, dir).documents
+            .withColumn("len_bucket", expr("n_chars div 100")),
+          Seq("lang", "source"), "len_bucket")
+        .orderBy("lang", "source"),
+    Some(
+      """WITH cells AS (SELECT lang, source, n_chars // 100 AS v,
+        |    count(*)::BIGINT AS n FROM documents GROUP BY 1, 2, 3),
+        |cls AS (SELECT lang, source, sum(n)::BIGINT AS ng
+        |  FROM cells GROUP BY 1, 2),
+        |dom AS (SELECT v, sum(n)::BIGINT AS nv FROM cells GROUP BY v),
+        |domc AS (SELECT v, sum(nv)
+        |    OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cumall
+        |  FROM dom),
+        |tt AS (SELECT sum(nv)::BIGINT AS tot, count(*)::BIGINT AS k
+        |  FROM dom),
+        |grid AS (SELECT cls.lang, cls.source, cls.ng, domc.v,
+        |    domc.cumall, coalesce(cells.n, 0) AS n
+        |  FROM cls CROSS JOIN domc
+        |  LEFT JOIN cells ON cells.lang = cls.lang
+        |    AND cells.source = cls.source AND cells.v = domc.v),
+        |gc AS (SELECT lang, source, ng, v, cumall,
+        |    sum(n) OVER (PARTITION BY lang, source ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cumg
+        |  FROM grid),
+        |f AS (SELECT lang, source, ng,
+        |    list_sum(list(abs(cumg::DOUBLE / ng::DOUBLE -
+        |      cumall::DOUBLE / tot::DOUBLE) ORDER BY v)) AS s
+        |  FROM gc CROSS JOIN tt GROUP BY 1, 2, 3)
+        |SELECT lang, source, ng AS n,
+        |  round(s / (k - 1)::DOUBLE, 6) + 0 AS t
+        |FROM f CROSS JOIN tt ORDER BY lang, source""".stripMargin))
+
+  /** Kendall τ-b between quantity and price bucket over lineitem
+    * ([[graft.operators.Evaluation.kendallTauB]]): concordant/
+    * discordant from contingency-cell pairs, exact integer tie
+    * correction — the O(n²) definition collapsed to cell-frame work.
+    */
+  val kendall: QueryDef = QueryDef(
+    "eval_kendall_tau_b",
+    (s, dir) =>
+      graft.operators.Evaluation.kendallTauB(
+        Tables(s, dir).lineitem.select(
+          col("l_quantity").cast("long").as("qty_bucket"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) div 1000000").as("price_bucket")),
+        "qty_bucket", "price_bucket"),
+    Some(
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS a,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) // 1000000 AS bb
+        |  FROM lineitem),
+        |cells AS (SELECT a, bb, count(*)::BIGINT AS n
+        |  FROM b GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    sum(CASE WHEN c2.bb > c1.bb THEN c1.n * c2.n ELSE 0
+        |      END)::BIGINT AS concordant,
+        |    sum(CASE WHEN c2.bb < c1.bb THEN c1.n * c2.n ELSE 0
+        |      END)::BIGINT AS discordant
+        |  FROM cells c1 JOIN cells c2 ON c2.a > c1.a),
+        |ta AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS n1t,
+        |    sum(t)::BIGINT AS nn
+        |  FROM (SELECT a, sum(n)::BIGINT AS t FROM cells GROUP BY a)),
+        |tb AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS n2t
+        |  FROM (SELECT bb, sum(n)::BIGINT AS t FROM cells GROUP BY bb))
+        |SELECT nn AS n, concordant, discordant,
+        |  round((concordant - discordant)::DOUBLE /
+        |    sqrt((((nn * (nn - 1)) // 2)::DOUBLE - n1t::DOUBLE) *
+        |      (((nn * (nn - 1)) // 2)::DOUBLE - n2t::DOUBLE)), 6) + 0
+        |    AS tau_b
+        |FROM cd CROSS JOIN ta CROSS JOIN tb""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter,
-      richClubGate)
+      richClubGate, tClosenessGate, kendall)
 }

@@ -312,4 +312,25 @@ class EvaluationSpec extends SparkSpec {
       .collect()(0)
     assert(r2.getLong(3) == 13L)
   }
+
+  test("kendallTauB: perfect monotone gives 1, reversal gives -1, ties corrected") {
+    val s = spark
+    import s.implicits._
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    val r1 = Evaluation.kendallTauB(mono.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 0L)
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9)
+    val rev = mono.map { case (a, b) => (a, -b) }
+    val r2 = Evaluation.kendallTauB(rev.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(math.abs(r2.getDouble(3) + 1.0) < 1e-9)
+    // hand case with ties: (1,1),(1,2),(2,1),(2,2) -> C=1, D=1,
+    // n0=6, n1=n2=2 -> tau = 0/4 = 0
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val r3 = Evaluation.kendallTauB(tied.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 1L)
+    assert(r3.getDouble(3) == 0.0)
+  }
 }

@@ -44,4 +44,27 @@ class GovernanceSpec extends SparkSpec {
     assert(r.getLong(4) == 12L)
     assert(math.abs(r.getDouble(5) - 10.0 / 12) < 1e-6)
   }
+
+  test("tCloseness: global-matching class scores 0, concentrated class scores high") {
+    val s = spark
+    import s.implicits._
+    // class A mirrors the global mix (half 0s, half 2s); class B is
+    // all value 2 -> |cum diff| = 0.5 at v=0 and v=1, 0 at v=2;
+    // K=2 distinct values -> wait, domain {0,2} -> K=2, t_B = 0.5/1
+    val rows = Seq(("A", 0L), ("A", 0L), ("A", 2L), ("A", 2L),
+      ("B", 2L), ("B", 2L), ("B", 2L), ("B", 2L))
+    val out = Governance.tCloseness(
+        rows.toDF("q", "sens"), Seq("q"), "sens")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // global: 2/8 at v=0 -> cumshare 0.25; A: cum 0.5 -> |0.25|;
+    // B: cum 0 -> |0.25|. t = 0.25/(2-1)
+    assert(math.abs(out("A") - 0.25) < 1e-6)
+    assert(math.abs(out("B") - 0.25) < 1e-6)
+    // a class identical to the global distribution scores exactly 0
+    val uni = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L))
+    val out2 = Governance.tCloseness(
+        uni.toDF("q", "sens"), Seq("q"), "sens")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out2("A") == 0.0 && out2("B") == 0.0)
+  }
 }

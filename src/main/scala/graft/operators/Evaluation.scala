@@ -797,6 +797,40 @@ object Evaluation {
           (col("n").cast("double") * col("n")), 6).as("uncertainty"))
   }
 
+  /** Cliff's delta ordinal effect size between slice A and the rest:
+    * (#(a>b) − #(a<b)) / (n_a·n_b) — the tie-robust companion to
+    * [[mannWhitneyU]] (δ = 2U/(n_a·n_b) − 1 without the normal
+    * approximation), the standard "how often does A exceed B"
+    * readout. |δ| < .147 negligible, > .474 large (Romano 2006).
+    *
+    * Exact and distributed: one hash aggregate to per-value
+    * (n_a, n_b) counts, a cumulative window over the value-bounded
+    * frame, then #(a>b) = Σ_v n_a(v)·cumB(<v) and
+    * #(a<b) = Σ_v n_a(v)·(N_b − cumB(≤v)) — pure 64-bit integers
+    * until the final division.
+    */
+  def cliffsDelta(
+      df: DataFrame, valueCol: String, inA: Column): DataFrame = {
+    val perValue = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("_na"),
+        sum(when(inA, 0L).otherwise(1L)).as("_nb"))
+    val cum = perValue.withColumn("_cumB",
+      sum(col("_nb")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    cum
+      .crossJoin(broadcast(perValue.agg(sum(col("_na")).as("_ta"),
+        sum(col("_nb")).as("_tb"))))
+      .agg(first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
+        sum(col("_na") * (col("_cumB") - col("_nb"))).as("n_gt"),
+        sum(col("_na") * (col("_tb") - col("_cumB"))).as("n_lt"))
+      .select(col("n_a"), col("n_b"), col("n_gt"), col("n_lt"),
+        Numerics.roundz((col("n_gt") - col("n_lt")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("delta"))
+  }
+
   /** Kendall τ-b rank correlation between two BOUNDED-CARDINALITY
     * ordinal columns (buckets/deciles/grades — the judge-agreement
     * and monotone-association readout that, unlike Spearman, has an

@@ -426,7 +426,34 @@ object MiningQueries extends QueryGroup {
         |    AS tau_b
         |FROM cd CROSS JOIN ta CROSS JOIN tb""".stripMargin))
 
+  /** Cliff's delta of doc length, English slice vs rest
+    * ([[graft.operators.Evaluation.cliffsDelta]]): exact
+    * greater/less pair counts from one cumulative window.
+    */
+  val cliffs: QueryDef = QueryDef(
+    "eval_cliffs_delta",
+    (s, dir) =>
+      graft.operators.Evaluation.cliffsDelta(
+        Tables(s, dir).documents, "n_chars", col("lang") === "en"),
+    Some(
+      """WITH pv AS (SELECT n_chars::BIGINT AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nb
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT v, na, nb, sum(nb)
+        |    OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cumb
+        |  FROM pv),
+        |t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+        |  FROM pv),
+        |ag AS (SELECT sum(na * (cumb - nb))::BIGINT AS n_gt,
+        |    sum(na * (tb - cumb))::BIGINT AS n_lt
+        |  FROM c CROSS JOIN t)
+        |SELECT ta AS n_a, tb AS n_b, n_gt, n_lt,
+        |  round((n_gt - n_lt)::DOUBLE / (ta * tb)::DOUBLE, 6) + 0
+        |    AS delta
+        |FROM ag CROSS JOIN t""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter,
-      richClubGate, tClosenessGate, kendall)
+      richClubGate, tClosenessGate, kendall, cliffs)
 }

@@ -333,4 +333,22 @@ class EvaluationSpec extends SparkSpec {
     assert(r3.getLong(1) == 1L && r3.getLong(2) == 1L)
     assert(r3.getDouble(3) == 0.0)
   }
+
+  test("cliffsDelta: hand pair counts with ties") {
+    val s = spark
+    import s.implicits._
+    // A = {1, 3, 3}, B = {2, 3}: pairs (a,b): 1<2,1<3, 3>2,3=3, 3>2,3=3
+    // -> gt=2, lt=2, delta=0
+    val df = Seq((1L, true), (3L, true), (3L, true),
+      (2L, false), (3L, false)).toDF("v", "a")
+    val r = Evaluation.cliffsDelta(df, "v", col("a")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) == 0.0)
+    // complete separation: A all above B -> delta = 1
+    val sep = Seq((10L, true), (11L, true), (1L, false), (2L, false))
+      .toDF("v", "a")
+    val r2 = Evaluation.cliffsDelta(sep, "v", col("a")).collect()(0)
+    assert(r2.getDouble(4) == 1.0)
+  }
 }

@@ -1011,4 +1011,96 @@ object Evaluation {
         Numerics.roundz(col("_mi") / sqrt(col("_ha") * col("_hb")), 6)
           .as("nmi_sqrt"))
   }
+
+  /** Cohen's d (and its small-sample Hedges' g correction) between
+    * slice A and the rest — the standardized mean difference an
+    * experiment readout pairs with the [[abProportionTest]] z: "the
+    * treatment moved the metric by 0.3 pooled standard deviations"
+    * survives metric-scale changes where a raw delta does not.
+    *
+    * Exact and distributed: ONE hash aggregate to the six moment sums
+    * (n, Σv, Σv² per slice) over integer fixed-point values — Σv as
+    * long, Σv² in DECIMAL(38,0) because squared cents pass 2⁶³ at
+    * corpus scale — then the closed-form chain
+    * sp² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2), d = (m_a−m_b)/sp,
+    * g = d·(1 − 3/(4n−9)) as the only doubles, rounded at 6.
+    */
+  def cohensD(
+      df: DataFrame, valueCol: String, inA: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+      .cast("long")
+    val m = df.select(v.as("_v"), inA.as("_a")).agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_a"), 0L).otherwise(1L)).as("n_b"),
+      sum(when(col("_a"), col("_v")).otherwise(0L)).as("_sa"),
+      sum(when(!col("_a"), col("_v")).otherwise(0L)).as("_sb"),
+      sum(when(col("_a"), col("_v").cast(d38) * col("_v").cast(d38))
+        .otherwise(lit(0).cast(d38))).as("_qa"),
+      sum(when(!col("_a"), col("_v").cast(d38) * col("_v").cast(d38))
+        .otherwise(lit(0).cast(d38))).as("_qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("_sa").cast("double") / na
+    val mb = col("_sb").cast("double") / nb
+    val va = (col("_qa").cast("double") - na * ma * ma) / (na - 1.0)
+    val vb = (col("_qb").cast("double") - nb * mb * mb) / (nb - 1.0)
+    val sp = sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0))
+    // d is scale-invariant: numerator and denominator share the 10⁴
+    // fixed-point factor, so no rescale is needed
+    val dEff = (ma - mb) / sp
+    m.select(col("n_a"), col("n_b"),
+      Numerics.roundz(ma / 10000.0, 6).as("mean_a"),
+      Numerics.roundz(mb / 10000.0, 6).as("mean_b"),
+      Numerics.roundz(dEff, 6).as("cohens_d"),
+      Numerics.roundz(
+        dEff * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0)),
+        6).as("hedges_g"))
+  }
+
+  /** One-way ANOVA F over `groupCol` arms of the integer fixed-point
+    * `valueCol` — the k-group mean comparison behind "did any variant
+    * move the metric" before pairwise drill-down (the parametric
+    * companion to [[kruskalWallis]]).
+    *
+    * One corpus-scale hash aggregate to per-group (n, Σv, Σv²) — Σv²
+    * in DECIMAL(38,0) — then SSW = Σ_g(Σv²_g − S_g²/n_g) and
+    * SSB = Σ_g S_g²/n_g − S²/N fold over the k-row group frame in
+    * SORTED group order (k = arm count, driver-safe), so the float
+    * association order is deterministic and a DuckDB oracle replays
+    * it with `list_sum(list(… ORDER BY g))`.
+    */
+  def anovaF(
+      df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+      .cast("long")
+    val g = df.select(col(groupCol).cast("string").as("_g"), v.as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
+        sum(col("_v").cast(d38) * col("_v").cast(d38)).as("_q"))
+    val folded = g.agg(
+      count(lit(1)).as("k"), sum(col("_n")).as("n"),
+      sum(col("_s")).as("_ts"),
+      sum(col("_q")).as("_tq"),
+      aggregate(
+        array_sort(collect_list(struct(col("_g"), col("_s"), col("_n")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("_s").cast("double") *
+          s.getField("_s").cast("double") /
+          s.getField("_n").cast("double")).as("_ssqn"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("_ssqn") -
+      col("_ts").cast("double") * col("_ts").cast("double") / nD
+    val ssw = col("_tq").cast("double") - col("_ssqn")
+    // raw SS are corpus-scale doubles whose ulp exceeds any fixed
+    // decimal rounding (a 1.8e11 double has ulp ~3e-5 — round(·,4) is
+    // not representable); surface the scale-free η² instead
+    folded.select(col("k"), col("n"),
+      Numerics.roundz(ssb / (ssb + ssw), 6).as("eta_squared"),
+      Numerics.roundz((ssb / (kD - 1.0)) / (ssw / (nD - kD)), 6).as("f"))
+  }
 }

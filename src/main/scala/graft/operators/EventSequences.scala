@@ -463,6 +463,151 @@ object EventSequences {
     * fan-out is the per-group interval count, never one global sort.
     * Output: (group, n_intervals, max_concurrent).
     */
+  /** Pettitt changepoint test per key — the rank-based (distribution
+    * -free) "did this series shift, and when" readout for metric
+    * streams where a mean-shift CUSUM ([[cusumDrift]]) is fooled by
+    * heavy tails. U_t = 2·Σ_{i≤t} r_i − t(n+1) over the series' ranks
+    * in TIME order; K = max|U_t| is the statistic, the first argmax is
+    * the changepoint, and p ≈ 2·exp(−6K²/(n³+n²)) is the standard
+    * approximation.
+    *
+    * Exact integer path: average ranks for ties are half-integers, so
+    * we carry 2r = 2·rank() + ties − 1 (integral) and U_t directly as
+    * ΣR2 − t(n+1) — no float ranks, the only double is the final p.
+    * Two per-key windows (one over value for ranks, one over time for
+    * the prefix sum) share the same hash partition by key — one
+    * corpus shuffle; time ties break on the id column so the prefix
+    * order is deterministic and the oracle replays it.
+    */
+  def pettittTest(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val wv = Window.partitionBy(col("_k")).orderBy(col("_y"))
+    val wt = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_id"))
+    val ranked = events
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), y.as("_y"))
+      .withColumn("_ties",
+        count(lit(1)).over(Window.partitionBy(col("_k"), col("_y"))))
+      .withColumn("_r2",
+        lit(2) * rank().over(wv) + col("_ties") - lit(1))
+    val u = ranked
+      .withColumn("_t", row_number().over(wt))
+      .withColumn("_cum", sum(col("_r2"))
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("_k"))))
+      .filter(col("_t") < col("_n"))
+      .select(col("_k"), col("_n"), col("_t"),
+        (col("_cum") - col("_t") * (col("_n") + 1)).as("_u"))
+    u.withColumn("_kmax",
+        max(abs(col("_u"))).over(Window.partitionBy(col("_k"))))
+      .groupBy(col("_k"))
+      .agg(first(col("_n")).as("n"),
+        first(col("_kmax")).as("k_stat"),
+        min(when(abs(col("_u")) === col("_kmax"), col("_t")))
+          .cast("long").as("t_star"))
+      .select(col("_k").as(keyCol), col("n"), col("k_stat"),
+        col("t_star"),
+        Numerics.roundz(
+          lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double") *
+            col("k_stat").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double") +
+              col("n").cast("double") * col("n").cast("double"))),
+          6).as("p_approx"))
+  }
+
+  /** Rolling 7-point Pearson correlation between the daily event
+    * COUNT and the daily value SUM — "does volume still track value"
+    * as a drifting-relationship monitor. The corpus collapses to one
+    * row per observed day in a single hash aggregate; the trailing
+    * window then runs over that day-bounded frame. All window moments
+    * (Σx, Σy, Σxy, Σx², Σy²) are exact — products go through
+    * DECIMAL(38,0) because squared daily cent-sums pass 2⁶³ — and the
+    * correlation is one double chain over them, emitted only for full
+    * windows.
+    */
+  def rollingCorrDaily(
+      events: DataFrame, tsCol: String = "ts",
+      valueCol: String = "value", window: Int = 7): DataFrame = {
+    require(window > 1, s"window must be >1, got $window")
+    val d38 = DecimalType(38, 0)
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"), sum(y).as("_y"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(-(window - 1), 0)
+    val nD = lit(window).cast("double")
+    val sx = sum(col("_x")).over(w).cast("double")
+    val sy = sum(col("_y").cast(d38)).over(w).cast("double")
+    // cast BEFORE multiplying: long·long wraps silently at 2⁶³ while
+    // decimal·decimal widens (the ARI lesson from the eval family)
+    val sxy = sum(col("_x").cast(d38) * col("_y").cast(d38)).over(w)
+      .cast("double")
+    val sxx = sum(col("_x").cast(d38) * col("_x").cast(d38)).over(w)
+      .cast("double")
+    val syy = sum((col("_y").cast(d38) * col("_y").cast(d38))).over(w)
+      .cast("double")
+    daily
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_r",
+        (nD * sxy - sx * sy) /
+          sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)))
+      .filter(col("_cnt") === window)
+      .select(col("day"), col("_x").as("n_events"),
+        Numerics.roundz(col("_r"), 6).as("roll_corr"))
+  }
+
+  /** Classical seasonal decomposition of the daily value-sum series:
+    * trend = centered 7-day moving average, seasonal = per-day-of-week
+    * mean of the detrended series, residual = value − trend −
+    * seasonal. The fixed-point contract keeps the whole thing exact
+    * until the surface: daily totals are integer cents, the 7-day
+    * window SUM s7 is an integer, the detrended value is carried as
+    * 7·c − s7 (integer — no division inside the aggregate), and the
+    * per-dow seasonal mean divides two exact integers once. Emitted
+    * only for days with a full centered window.
+    *
+    * Scale shape: one corpus hash aggregate to days, then windows and
+    * a dow-keyed (≤7-row) aggregate over the day-bounded frame.
+    */
+  def seasonalDecompose(
+      events: DataFrame, tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(y).as("_c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val centered = daily
+      .withColumn("_s7", sum(col("_c")).over(w))
+      .withColumn("_w7", count(lit(1)).over(w))
+      .filter(col("_w7") === 7)
+      .withColumn("_detr7", lit(7) * col("_c") - col("_s7"))
+      .withColumn("_dow", dayofweek(col("day")))
+    val seasonal = centered.groupBy(col("_dow"))
+      .agg(sum(col("_detr7")).as("_sd"), count(lit(1)).as("_nd"))
+      .select(col("_dow"),
+        (col("_sd").cast("double") /
+          (lit(7.0) * col("_nd").cast("double"))).as("_seas"))
+    centered.join(broadcast(seasonal), Seq("_dow"))
+      .select(col("day"),
+        Numerics.roundz(col("_c").cast("double") / 10000.0, 4)
+          .as("value"),
+        Numerics.roundz(col("_s7").cast("double") / 7.0 / 10000.0, 6)
+          .as("trend"),
+        Numerics.roundz(col("_seas") / 10000.0, 6).as("seasonal"),
+        Numerics.roundz(
+          (col("_c").cast("double") -
+            col("_s7").cast("double") / 7.0 - col("_seas")) / 10000.0,
+          6).as("residual"))
+  }
+
   def maxConcurrency(
       intervals: DataFrame, startCol: String, endCol: String,
       grpCol: String): DataFrame = {

@@ -741,10 +741,57 @@ object EvalQueries extends QueryGroup {
         |SELECT alpha_pct, n, k, threshold FROM r
         |ORDER BY alpha_pct""".stripMargin))
 
+  /** Cohen's d / Hedges' g standardized mean difference
+    * ([[graft.operators.Evaluation.cohensD]]): urgent-priority orders
+    * vs the rest, exact fixed-point moments, one double chain.
+    */
+  val cohensDGate: QueryDef = QueryDef(
+    "eval_cohens_d",
+    (s, dir) =>
+      graft.operators.Evaluation.cohensD(
+        Tables(s, dir).orders, "o_totalprice",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+    Some(
+      """WITH v AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS v,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS a
+        |  FROM orders),
+        |m AS (SELECT
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS sa,
+        |    sum(CASE WHEN NOT a THEN v ELSE 0 END)::BIGINT AS sb,
+        |    sum(CASE WHEN a THEN v::HUGEINT * v::HUGEINT
+        |      ELSE 0 END) AS qa,
+        |    sum(CASE WHEN NOT a THEN v::HUGEINT * v::HUGEINT
+        |      ELSE 0 END) AS qb
+        |  FROM v),
+        |d AS (SELECT n_a, n_b,
+        |    n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+        |    sa::DOUBLE / n_a::DOUBLE AS ma,
+        |    sb::DOUBLE / n_b::DOUBLE AS mb,
+        |    (qa::DOUBLE - n_a::DOUBLE * (sa::DOUBLE / n_a::DOUBLE)
+        |      * (sa::DOUBLE / n_a::DOUBLE)) / (n_a::DOUBLE - 1.0) AS va,
+        |    (qb::DOUBLE - n_b::DOUBLE * (sb::DOUBLE / n_b::DOUBLE)
+        |      * (sb::DOUBLE / n_b::DOUBLE)) / (n_b::DOUBLE - 1.0) AS vb
+        |  FROM m),
+        |e AS (SELECT n_a, n_b, na, nb, ma, mb,
+        |    (ma - mb) / sqrt(((na - 1.0) * va + (nb - 1.0) * vb)
+        |      / (na + nb - 2.0)) AS deff
+        |  FROM d)
+        |SELECT n_a, n_b,
+        |  round(ma / 10000.0, 6) + 0 AS mean_a,
+        |  round(mb / 10000.0, 6) + 0 AS mean_b,
+        |  round(deff, 6) + 0 AS cohens_d,
+        |  round(deff * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6) + 0
+        |    AS hedges_g
+        |FROM e""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
-      conformalGate)
+      conformalGate, cohensDGate)
 }

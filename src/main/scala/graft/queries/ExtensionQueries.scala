@@ -5959,6 +5959,29 @@ object IoQueries extends QueryGroup {
     * the drift report. One aggregate per snapshot; the oracle replays
     * both profiles and the delta join.
     */
+  /** Snapshot time travel ([[graft.sources.TxTable.readVersion]]):
+    * version 0 holds the even documents, version 1 appends the odds;
+    * the gate reads VERSION 0 *after* the append committed. The oracle
+    * is the even slice alone — the hash proves an old snapshot is
+    * immutable under later commits (the reader contract concurrent
+    * harvest-ingest + query needs), and TxTableSpec separately pins
+    * the version list and the latest-read union.
+    */
+  val txtableTimeTravel: QueryDef = QueryDef(
+    "io_txtable_timetravel",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txtable-tt-").toString
+      graft.sources.TxTable.create(d.filter(col("doc_id") % 2 === 0), root)
+      graft.sources.TxTable.append(d.filter(col("doc_id") % 2 === 1), root)
+      graft.sources.TxTable.readVersion(s, root, 0L).orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text, lang FROM documents
+        |WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin))
+
   val profileDrift: QueryDef = QueryDef(
     "io_profile_drift",
     (s, dir) => {
@@ -6204,7 +6227,8 @@ object IoQueries extends QueryGroup {
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, txtableSkipping, txtableCompact,
-      txtableZorderBox, txtableAutoCompact, profileDrift,
+      txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
+      profileDrift,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)
 }

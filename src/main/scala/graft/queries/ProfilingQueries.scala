@@ -587,8 +587,39 @@ object ProfilingQueries extends QueryGroup {
         |    n_slices::DOUBLE), 4) + 0 AS k
         |FROM f""".stripMargin))
 
+  /** One-way ANOVA F of order value across priority arms
+    * ([[graft.operators.Evaluation.anovaF]]): per-group exact moments
+    * (Σv² through DECIMAL(38,0)/HUGEINT), the cross-group Σ S²/n fold
+    * replayed in sorted group order on both sides.
+    */
+  val anova: QueryDef = QueryDef(
+    "stats_anova_f",
+    (s, dir) =>
+      graft.operators.Evaluation.anovaF(
+        Tables(s, dir).orders, "o_totalprice", "o_orderpriority"),
+    Some(
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS v
+        |  FROM orders),
+        |pg AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v::HUGEINT) AS q FROM v GROUP BY g),
+        |f AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(s)::BIGINT AS ts, sum(q) AS tq,
+        |    list_sum(list(s::DOUBLE * s::DOUBLE / n::DOUBLE ORDER BY g))
+        |      AS ssqn
+        |  FROM pg)
+        |SELECT k, n,
+        |  round((ssqn - ts::DOUBLE * ts::DOUBLE / n::DOUBLE) /
+        |    ((ssqn - ts::DOUBLE * ts::DOUBLE / n::DOUBLE)
+        |      + (tq::DOUBLE - ssqn)), 6) + 0 AS eta_squared,
+        |  round(((ssqn - ts::DOUBLE * ts::DOUBLE / n::DOUBLE)
+        |      / (k::DOUBLE - 1.0)) /
+        |    ((tq::DOUBLE - ssqn) / (n::DOUBLE - k::DOUBLE)), 6) + 0 AS f
+        |FROM f""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
       golden, chao1, temporal, levene, chi2, novelty, mode,
-      qnorm, histQuantiles, psiGate, heaps)
+      qnorm, histQuantiles, psiGate, heaps, anova)
 }

@@ -131,5 +131,109 @@ object SeriesQueries extends QueryGroup {
         |    AS seasonal_index
         |FROM p CROSS JOIN t ORDER BY dow""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(ewma, acfGate, coverage, dow)
+  /** Pettitt rank changepoint per user
+    * ([[graft.operators.EventSequences.pettittTest]]): U_t carried as
+    * exact integers via doubled ranks, K/t* integral, p the only
+    * float.
+    */
+  val pettitt: QueryDef = QueryDef(
+    "events_pettitt_change",
+    (s, dir) =>
+      graft.operators.EventSequences.pettittTest(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH v AS (SELECT user_id AS k, ts, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM events),
+        |r AS (SELECT k, ts, id,
+        |    count(*) OVER (PARTITION BY k, y) AS ties,
+        |    rank() OVER (PARTITION BY k ORDER BY y) AS rk
+        |  FROM v),
+        |u AS (SELECT k,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, id) AS t,
+        |    count(*) OVER (PARTITION BY k) AS n,
+        |    sum(2 * rk + ties - 1) OVER (PARTITION BY k
+        |      ORDER BY ts, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r),
+        |uu AS (SELECT k, n, t, cum - t * (n + 1) AS u
+        |  FROM u WHERE t < n),
+        |uw AS (SELECT *, max(abs(u)) OVER (PARTITION BY k) AS kmax
+        |  FROM uu),
+        |agg AS (SELECT k, any_value(n)::BIGINT AS n,
+        |    any_value(kmax)::BIGINT AS k_stat,
+        |    min(CASE WHEN abs(u) = kmax THEN t END)::BIGINT AS t_star
+        |  FROM uw GROUP BY k)
+        |SELECT k AS user_id, n, k_stat, t_star,
+        |  round(2.0 * exp(-6.0 * k_stat::DOUBLE * k_stat::DOUBLE /
+        |    (n::DOUBLE * n::DOUBLE * n::DOUBLE
+        |      + n::DOUBLE * n::DOUBLE)), 6) + 0 AS p_approx
+        |FROM agg ORDER BY user_id""".stripMargin))
+
+  /** Rolling 7-day count↔value-sum Pearson correlation
+    * ([[graft.operators.EventSequences.rollingCorrDaily]]): day-frame
+    * window over exact decimal moments, full windows only.
+    */
+  val rollingCorr: QueryDef = QueryDef(
+    "events_rolling_corr",
+    (s, dir) =>
+      graft.operators.EventSequences.rollingCorrDaily(
+          Tables(s, dir).events)
+        .orderBy("day"),
+    Some(
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+        |    sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT))::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x,
+        |    count(*) OVER win AS cnt,
+        |    (sum(x) OVER win)::DOUBLE AS sx,
+        |    (sum(y::HUGEINT) OVER win)::DOUBLE AS sy,
+        |    (sum(x::HUGEINT * y::HUGEINT) OVER win)::DOUBLE AS sxy,
+        |    (sum(x::HUGEINT * x::HUGEINT) OVER win)::DOUBLE AS sxx,
+        |    (sum(y::HUGEINT * y::HUGEINT) OVER win)::DOUBLE AS syy
+        |  FROM d WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, x AS n_events,
+        |  round((7.0 * sxy - sx * sy) /
+        |    sqrt((7.0 * sxx - sx * sx) * (7.0 * syy - sy * sy)), 6) + 0
+        |    AS roll_corr
+        |FROM w WHERE cnt = 7 ORDER BY day""".stripMargin))
+
+  /** Classical 7-day seasonal decomposition of the daily value series
+    * ([[graft.operators.EventSequences.seasonalDecompose]]): integer
+    * cents end to end — trend sum, 7·c − s7 detrending, one division
+    * per surface column.
+    */
+  val seasonal: QueryDef = QueryDef(
+    "events_seasonal_decompose",
+    (s, dir) =>
+      graft.operators.EventSequences.seasonalDecompose(
+          Tables(s, dir).events)
+        .orderBy("day"),
+    Some(
+      """WITH d AS (SELECT ts::DATE AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT))::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, c,
+        |    sum(c) OVER win AS s7, count(*) OVER win AS w7,
+        |    dayofweek(day) AS dow
+        |  FROM d WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT day, c, s7, dow, 7 * c - s7 AS detr7 FROM w
+        |  WHERE w7 = 7),
+        |seas AS (SELECT dow,
+        |    sum(detr7)::DOUBLE / (7.0 * count(*)::DOUBLE) AS sv
+        |  FROM f GROUP BY dow)
+        |SELECT day,
+        |  round(c::DOUBLE / 10000.0, 4) + 0 AS value,
+        |  round(s7::DOUBLE / 7.0 / 10000.0, 6) + 0 AS trend,
+        |  round(sv / 10000.0, 6) + 0 AS seasonal,
+        |  round((c::DOUBLE - s7::DOUBLE / 7.0 - sv) / 10000.0, 6) + 0
+        |    AS residual
+        |FROM f JOIN seas USING (dow) ORDER BY day""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal)
 }

@@ -351,4 +351,34 @@ class EvaluationSpec extends SparkSpec {
     val r2 = Evaluation.cliffsDelta(sep, "v", col("a")).collect()(0)
     assert(r2.getDouble(4) == 1.0)
   }
+
+  test("cohensD matches the textbook pooled-sd computation") {
+    val s = spark
+    import s.implicits._
+    // A = {1,2,3}: mean 2, var 1. B = {5,6,7,8}: mean 6.5, var 5/3.
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (5.0, false), (6.0, false), (7.0, false), (8.0, false))
+      .toDF("v", "a")
+    val r = Evaluation.cohensD(df, "v", col("a")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 6.5)
+    val sp2 = (2.0 * 1.0 + 3.0 * (5.0 / 3.0)) / 5.0 // = 1.4
+    val d = (2.0 - 6.5) / math.sqrt(sp2)
+    assert(math.abs(r.getDouble(4) - d) < 1e-6)
+    val g = d * (1.0 - 3.0 / (4.0 * 7 - 9))
+    assert(math.abs(r.getDouble(5) - g) < 1e-6)
+  }
+
+  test("anovaF recovers the exact hand-computed F on integer groups") {
+    val s = spark
+    import s.implicits._
+    // A={1,2,3} B={2,3,4} C={6,7,8}: SSB=42, SSW=6, F=(42/2)/(6/6)=21
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 6.0), ("c", 7.0), ("c", 8.0)).toDF("g", "v")
+    val r = Evaluation.anovaF(df, "v", "g").head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 9L)))
+    assert(r.getDouble(2) == 0.875) // η² = 42/48
+    assert(r.getDouble(3) == 21.0)
+  }
 }

@@ -322,4 +322,69 @@ class EventSequencesSpec extends SparkSpec {
     assert(EventSequences.maxConcurrency(iv3, "s", "e", "grp")
       .head().getLong(2) == 3)
   }
+
+  test("pettittTest finds the clean level shift with exact K and t*") {
+    val s = spark
+    import s.implicits._
+    // 1,1,1 then 10,10,10: ranks (avg ties) 2,2,2,5,5,5
+    // U_t = 2Σr − t·7: -3,-6,-9,-6,-3 → K=9 at t*=3
+    val df = (1 to 6).map(i =>
+        (i.toLong, 1L, ts(i), if (i <= 3) 1.0 else 10.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = EventSequences.pettittTest(df).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 9L, 3L)))
+    val p = 2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0))
+    assert(math.abs(r.getDouble(4) - p) < 1e-6)
+    // a constant series has U_t = 0 everywhere → K = 0, p = 2 (capped
+    // conceptually; the approximation is only meaningful for large K)
+    val flat = (1 to 4).map(i => (i.toLong, 1L, ts(i), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(EventSequences.pettittTest(flat).head().getLong(2) == 0L)
+  }
+
+  test("rollingCorrDaily emits full windows only and matches the moments") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-02-$d%02d 10:00:00")
+    // day d has d events of value d → x=d, y=d²·10⁴ cents
+    val rows = for { d <- 1 to 8; k <- 1 to d }
+      yield ((d * 100 + k).toLong, 1L, day(d), d.toDouble)
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.rollingCorrDaily(df).orderBy("day").collect()
+    assert(out.length == 2) // 8 observed days → windows ending day 7, 8
+    def corr(ds: Seq[Int]): Double = {
+      val xs = ds.map(_.toDouble)
+      val ys = ds.map(d => d.toDouble * d * 10000)
+      val n = ds.size.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    assert(math.abs(out(0).getDouble(2) - corr(1 to 7)) < 1e-5)
+    assert(math.abs(out(1).getDouble(2) - corr(2 to 8)) < 1e-5)
+  }
+
+  test("seasonalDecompose: components re-add to the value, seasonal is dow-pure") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 12:00:00")
+    // 21 days of dow pattern + slow trend
+    val df = (1 to 21).map { d =>
+      (d.toLong, 1L, day(d), 100.0 + (d % 7) * 10.0 + d * 0.5)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.seasonalDecompose(df).orderBy("day").collect()
+    assert(out.length == 15) // 21 − 6 edge days
+    out.foreach { r =>
+      val (v, tr, se, re) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(v - (tr + se + re)) < 1e-4)
+    }
+    // seasonal depends only on the day of week
+    val byDow = out.groupBy(_.getDate(0).toLocalDate.getDayOfWeek)
+      .values.map(_.map(_.getDouble(3)).distinct)
+    byDow.foreach(ds => assert(ds.size == 1))
+  }
 }

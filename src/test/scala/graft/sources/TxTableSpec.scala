@@ -2,20 +2,16 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 class TxTableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .appName("txtable-spec").master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+  // MUST reuse the JVM-shared session: builder().getOrCreate() returns
+  // the suite-shared one anyway, and stopping it here killed every
+  // suite scheduled after this spec (SparkPlan.session() NPEs).
+  private lazy val spark = graft.SparkSpec.session
 
   private def tmpRoot() =
     Files.createTempDirectory("graft-txtable-").toString

@@ -106,4 +106,63 @@ object AsOfJoin {
       .withColumn("asof_gap_us", when(col("_gap") <= tolUs, col("_gap")))
       .drop("_is_left", "_rv", "_rts", "_m", "_gap")
   }
+
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')`): each
+    * left row matches the closest right row in EITHER direction, ties
+    * going backward (the at-or-before row). Same single union +
+    * per-key-sorted frame as [[asOf]] — the backward candidate is a
+    * running `last(ignoreNulls)` and the forward candidate a
+    * `first(ignoreNulls)` over the mirrored frame of the SAME sort
+    * (one shuffle, one sort, two window frames; no range join, no
+    * second exchange). Equal-ts right rows order before left rows, so
+    * a same-timestamp match is backward with gap 0. Output adds
+    * `matched_<col>`, `asof_gap_us` (absolute), and `asof_dir`
+    * ('backward'/'forward', null when no right row exists).
+    */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      rightValueCol: String): DataFrame = {
+    val rightDedup = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(rightValueCol)).as(rightValueCol))
+    val rvType = rightDedup.schema(rightValueCol).dataType
+    val leftTagged = left
+      .withColumn("_is_left", lit(1))
+      .withColumn("_rv", lit(null).cast(rvType))
+      .withColumn("_rts", lit(null).cast("long"))
+    val rightTagged = rightDedup.select(
+      col(keyCol), col(tsCol), lit(0).as("_is_left"),
+      col(rightValueCol).as("_rv"), unix_micros(col(tsCol)).as("_rts"))
+    val leftCols = leftTagged.columns
+    val rightAligned = rightTagged.select(leftCols.map(c =>
+      if (rightTagged.columns.contains(c)) col(c)
+      else lit(null).cast(leftTagged.schema(c).dataType).as(c)): _*)
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_is_left"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+    val m = when(col("_is_left") === 0, struct(col("_rv"), col("_rts")))
+    leftTagged.unionByName(rightAligned)
+      .withColumn("_b", last(m, ignoreNulls = true).over(wb))
+      .withColumn("_f", first(m, ignoreNulls = true).over(wf))
+      .filter(col("_is_left") === 1)
+      .withColumn("_gb",
+        unix_micros(col(tsCol)) - col("_b").getField("_rts"))
+      .withColumn("_gf",
+        col("_f").getField("_rts") - unix_micros(col(tsCol)))
+      .withColumn("_takeB",
+        col("_b").isNotNull &&
+          (col("_f").isNull || col("_gb") <= col("_gf")))
+      .withColumn(s"matched_$rightValueCol",
+        when(col("_takeB"), col("_b").getField("_rv"))
+          .otherwise(col("_f").getField("_rv")))
+      .withColumn("asof_gap_us",
+        when(col("_takeB"), col("_gb")).otherwise(col("_gf")))
+      .withColumn("asof_dir",
+        when(col("_takeB"), lit("backward"))
+          .when(col("_f").isNotNull, lit("forward")))
+      .drop("_is_left", "_rv", "_rts", "_b", "_f", "_gb", "_gf",
+        "_takeB")
+  }
 }

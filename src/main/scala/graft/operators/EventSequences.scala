@@ -521,6 +521,84 @@ object EventSequences {
           6).as("p_approx"))
   }
 
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    * slopes over the trailing `lastK` events — the slope estimate
+    * that survives the outliers which drag [[olsTrend]] (29% breakdown
+    * point vs 0%). O(K²) pairs per key, so K bounds the blow-up by
+    * contract (the standard windowed Theil–Sen move); the pair join is
+    * key-equi with an x< filter, so it shuffles once on the key and
+    * never goes cross-key.
+    *
+    * Determinism: x = whole seconds since the key's window start
+    * (exact), y = ten-thousandths (long); each slope is ONE double
+    * division of exact integers (identical in any engine), equal-x
+    * pairs are excluded (vertical), and the median picks the value(s)
+    * at fixed rank positions — tie order among equal doubles cannot
+    * change the selected values.
+    */
+  def theilSen(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value", lastK: Int = 200): DataFrame = {
+    val wRecent = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val recent = events
+      .withColumn("_rn", row_number().over(wRecent))
+      .filter(col("_rn") <= lastK)
+    val t0 = recent.groupBy(col(keyCol))
+      .agg(min(unix_micros(col(tsCol))).as("_t0"))
+    val b = recent.join(t0, keyCol)
+      .select(col(keyCol).as("_k"),
+        expr(s"(unix_micros($tsCol) - _t0) div 1000000").as("_x"),
+        (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+          .as("_y"))
+    val pairs = b.as("a")
+      .join(b.select(col("_k"), col("_x").as("_x2"), col("_y").as("_y2"))
+        .as("bb"), Seq("_k"))
+      .filter(col("_x") < col("_x2"))
+      .select(col("_k"),
+        ((col("_y2") - col("_y")).cast("double") /
+          (col("_x2") - col("_x")).cast("double") / 10000.0).as("_s"))
+    val wS = Window.partitionBy(col("_k")).orderBy(col("_s"))
+    val ranked = pairs
+      .withColumn("_r", row_number().over(wS))
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy(col("_k"))))
+    ranked
+      // integer div, not SQL true-division: the two median positions
+      .filter(col("_r") === expr("(_c + 1) div 2") ||
+        col("_r") === expr("_c div 2 + 1"))
+      .groupBy(col("_k"))
+      .agg(first(col("_c")).as("n_pairs"),
+        Numerics.roundz(avg(col("_s")), 6).as("sen_slope"))
+      .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
+  }
+
+  /** Frequent consecutive event-type TRIPLES per corpus — the 3-gram
+    * extension of the transition matrix: which three-step behavioral
+    * motifs dominate. One per-user ordered window (two leads), one
+    * type³-bounded hash aggregate; top rows by exact count with a
+    * lexicographic tie-break so the cut is total and replayable.
+    */
+  def frequentTriples(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type", top: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val tri = events
+      .withColumn("_t2", lead(col(typeCol), 1).over(w))
+      .withColumn("_t3", lead(col(typeCol), 2).over(w))
+      .filter(col("_t2").isNotNull && col("_t3").isNotNull)
+      .groupBy(col(typeCol).as("t1"), col("_t2").as("t2"),
+        col("_t3").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    tri.withColumn("_r", row_number().over(Window.orderBy(
+        col("n").desc, col("t1"), col("t2"), col("t3"))))
+      .filter(col("_r") <= top)
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        col("_r").cast("long").as("rank"))
+  }
+
   /** Rolling 7-point Pearson correlation between the daily event
     * COUNT and the daily value SUM — "does volume still track value"
     * as a drifting-relationship monitor. The corpus collapses to one

@@ -49,4 +49,39 @@ object Inequality {
             .cast("double") /
             (col("n") * col("sum_cents")).cast("double"), 6).as("gini"))
   }
+
+  /** Per-group EXACT weighted median (lower median): the smallest
+    * value whose cumulative weight reaches half the group's total —
+    * "the price point where half the quantity sits", the
+    * skew-robust center an approximate percentile can't pin exactly.
+    *
+    * All-integer: values are cents, weights are integral longs, and
+    * the pick condition 2·cumw ≥ totw multiplies through so no
+    * fraction ever materializes. One hash shuffle by group for the
+    * cumulative window (values pre-aggregated per (group, value), so
+    * the window frame is value-domain-bounded, not row-bounded), then
+    * a min over qualifying values. The output value is the exact
+    * input cent amount divided once.
+    */
+  def weightedMedianByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100d, 0).cast("long")
+    val wgt = round(col(weightCol), 0).cast("long")
+    val pv = df
+      .select(col(groupCol).as("_g"), cents.as("_c"), wgt.as("_w"))
+      .groupBy(col("_g"), col("_c"))
+      .agg(sum(col("_w")).as("_wv"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("_cum", sum(col("_wv")).over(w))
+      .withColumn("_tot",
+        sum(col("_wv")).over(Window.partitionBy(col("_g"))))
+      .filter(lit(2) * col("_cum") >= col("_tot"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(min(col("_c")).as("_med"), first(col("_tot")).as("total_weight"))
+      .select(col(groupCol), col("total_weight"),
+        Numerics.roundz(col("_med").cast("double") / 100.0, 2)
+          .as("weighted_median"))
+  }
 }

@@ -88,6 +88,31 @@ object Redaction {
     aggregate(folded, lit(0), (a, x) => a + x) % 10 === 0
   }
 
+  /** ISO 7064 mod-97 checksum (the IBAN / structured-ID validity
+    * rule): move the first four characters to the end, map letters to
+    * two digits (A→10 … Z→35), and the resulting big decimal number
+    * must be ≡ 1 (mod 97). Big-integer arithmetic never materializes:
+    * the fold carries the running remainder — (acc·10 + d) mod 97 per
+    * digit, (acc·100 + code) mod 97 per letter — so the whole check is
+    * a codegen'd higher-order `aggregate` over the characters: one
+    * scan-local expression, no UDF, no shuffle, same shape as
+    * [[luhnValid]]. Input must be pre-normalized (uppercase,
+    * no spaces); characters outside [0-9A-Z] make the result false
+    * via a poisoned remainder (98, unreachable by any mod-97 step).
+    */
+  def mod97Valid(s: Column): Column = {
+    val rearranged = concat(substring(s, 5, 1000000), substring(s, 1, 4))
+    val chars = filter(split(rearranged, ""), ch => ch =!= "")
+    val rem = aggregate(chars, lit(0L), (acc, ch) => {
+      val a = ascii(ch)
+      when(acc === 98L, lit(98L))
+        .when(a >= 48 && a <= 57, (acc * 10 + (a - 48)) % 97)
+        .when(a >= 65 && a <= 90, (acc * 100 + (a - 55)) % 97)
+        .otherwise(lit(98L))
+    })
+    length(s) >= 5 && rem === 1L
+  }
+
   /** Checksum-gated card redaction: only candidates that PASS Luhn
     * are masked (a pipeline that masks every 16-digit run destroys
     * order ids and corrupts perfectly safe text — the false-positive

@@ -4122,6 +4122,48 @@ object TextQueries extends QueryGroup {
         |  len(valid)::BIGINT AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin))
 
+  /** ISO 7064 mod-97 structured-ID validation
+    * ([[graft.operators.Redaction.mod97Valid]]): IBAN-shaped
+    * candidates derived from customer keys (so validity varies with
+    * real data), the rearrange+fold remainder chain replayed by the
+    * oracle as a recursive character walk — the VALIDITY DECISION is
+    * under the hash, not just the string shape.
+    */
+  val mod97: QueryDef = QueryDef(
+    "text_mod97_checksum",
+    (s, dir) => {
+      val cand = concat(lit("DE"),
+        lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+        lpad(col("c_custkey").cast("string"), 16, "0"))
+      Tables(s, dir).customer
+        .select(col("c_custkey"), cand.as("_s"))
+        .groupBy(graft.operators.Redaction.mod97Valid(col("_s"))
+          .as("is_valid"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("is_valid")
+    },
+    Some(
+      """WITH RECURSIVE c AS (SELECT c_custkey AS key,
+        |    'DE' || lpad((c_custkey % 100)::VARCHAR, 2, '0')
+        |         || lpad(c_custkey::VARCHAR, 16, '0') AS s
+        |  FROM customer),
+        |re AS (SELECT key, substr(s, 5) || substr(s, 1, 4) AS t FROM c),
+        |st AS (
+        |  SELECT key, t, 0::BIGINT AS acc, 1::BIGINT AS i FROM re
+        |  UNION ALL
+        |  SELECT key, t,
+        |    CASE WHEN ascii(substr(t, i::INT, 1)) BETWEEN 48 AND 57
+        |      THEN (acc * 10 + (ascii(substr(t, i::INT, 1)) - 48)) % 97
+        |      ELSE (acc * 100 + (ascii(substr(t, i::INT, 1)) - 55)) % 97
+        |    END, i + 1
+        |  FROM st WHERE i <= length(t)),
+        |fin AS (SELECT key, acc FROM st WHERE i = length(t) + 1)
+        |SELECT (acc = 1) AS is_valid, count(*)::BIGINT AS n,
+        |  min(key)::BIGINT AS min_key, max(key)::BIGINT AS max_key
+        |FROM fin GROUP BY 1 ORDER BY is_valid""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
@@ -4130,7 +4172,7 @@ object TextQueries extends QueryGroup {
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
-      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate)
+      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97)
 }
 
 object SamplingQueries extends QueryGroup {
@@ -4577,6 +4619,59 @@ object EventQueries extends QueryGroup {
         |    AS matched_event_id,
         |  CASE WHEN gap <= 1800000000 THEN gap END AS asof_gap_us
         |FROM j ORDER BY event_id""".stripMargin))
+
+  /** Nearest as-of ([[graft.operators.AsOfJoin.asOfNearest]], pandas
+    * `direction='nearest'`): each purchase matches the CLOSEST click in
+    * either direction, ties backward. The oracle replays the exact
+    * union + two-frame window shape (DuckDB native ASOF is one-
+    * directional), so candidate choice, gap arithmetic, and direction
+    * labels are all under the hash.
+    */
+  val asofNearest: QueryDef = QueryDef(
+    "events_asof_nearest",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      graft.operators.AsOfJoin.asOfNearest(
+          left = e.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id"),
+          right = e.filter(col("event_type") === "click")
+            .select("user_id", "ts", "event_id"),
+          keyCol = "user_id", tsCol = "ts", rightValueCol = "event_id")
+        .select(col("event_id"), col("matched_event_id"),
+          col("asof_gap_us"), col("asof_dir"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS v FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |u AS (SELECT user_id, ts, event_id, 1 AS is_left,
+        |        NULL::BIGINT AS rv, NULL::BIGINT AS rts FROM p
+        |      UNION ALL
+        |      SELECT user_id, ts, NULL, 0, v, epoch_us(ts) FROM c),
+        |w AS (SELECT *,
+        |    last_value(rv IGNORE NULLS) OVER wb AS brv,
+        |    last_value(rts IGNORE NULLS) OVER wb AS brts,
+        |    first_value(rv IGNORE NULLS) OVER wf AS frv,
+        |    first_value(rts IGNORE NULLS) OVER wf AS frts
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT event_id, brv, frv,
+        |    epoch_us(ts) - brts AS gb, frts - epoch_us(ts) AS gf,
+        |    (brts IS NOT NULL AND (frts IS NULL
+        |      OR epoch_us(ts) - brts <= frts - epoch_us(ts))) AS takeb,
+        |    frts IS NOT NULL AS hasf
+        |  FROM w WHERE is_left = 1)
+        |SELECT event_id,
+        |  CASE WHEN takeb THEN brv ELSE frv END AS matched_event_id,
+        |  CASE WHEN takeb THEN gb ELSE gf END AS asof_gap_us,
+        |  CASE WHEN takeb THEN 'backward'
+        |       WHEN hasf THEN 'forward' END AS asof_dir
+        |FROM g ORDER BY event_id""".stripMargin))
 
   /** The same as-of join through the CUSTOM CATALYST OPERATOR
     * (graft.plans.AsOfJoinPlan: logical node → strategy → co-partitioned
@@ -5457,7 +5552,7 @@ object EventQueries extends QueryGroup {
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
-      asofTolerance,
+      asofTolerance, asofNearest,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,
       scd2, olsTrend, gapFill, cusum, frequentPairs, rollingActives,

@@ -618,8 +618,34 @@ object ProfilingQueries extends QueryGroup {
         |    ((tq::DOUBLE - ssqn) / (n::DOUBLE - k::DOUBLE)), 6) + 0 AS f
         |FROM f""".stripMargin))
 
+  /** Exact weighted median of line price by return flag, weighted by
+    * quantity ([[graft.operators.Inequality.weightedMedianByGroup]]):
+    * all-integer pick condition 2·cumw ≥ totw over the per-(group,
+    * value) pre-aggregate.
+    */
+  val wmedian: QueryDef = QueryDef(
+    "agg_weighted_median",
+    (s, dir) =>
+      graft.operators.Inequality.weightedMedianByGroup(
+          Tables(s, dir).lineitem, "l_returnflag", "l_extendedprice",
+          "l_quantity")
+        .orderBy("l_returnflag"),
+    Some(
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS w FROM lineitem),
+        |pv AS (SELECT g, c, sum(w)::BIGINT AS wv FROM v GROUP BY g, c),
+        |cw AS (SELECT g, c, wv,
+        |    sum(wv) OVER (PARTITION BY g ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wv) OVER (PARTITION BY g) AS tot FROM pv)
+        |SELECT g AS l_returnflag, any_value(tot)::BIGINT AS total_weight,
+        |  round(min(c)::DOUBLE / 100.0, 2) + 0 AS weighted_median
+        |FROM cw WHERE 2 * cum >= tot
+        |GROUP BY g ORDER BY l_returnflag""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
       golden, chao1, temporal, levene, chi2, novelty, mode,
-      qnorm, histQuantiles, psiGate, heaps, anova)
+      qnorm, histQuantiles, psiGate, heaps, anova, wmedian)
 }

@@ -234,6 +234,61 @@ object SeriesQueries extends QueryGroup {
         |    AS residual
         |FROM f JOIN seas USING (dow) ORDER BY day""".stripMargin))
 
+  /** Theil–Sen robust trend per user
+    * ([[graft.operators.EventSequences.theilSen]]): median of pairwise
+    * slopes over the trailing-K window, each slope one double division
+    * of exact integers, median values picked at fixed rank positions.
+    */
+  val theilSenGate: QueryDef = QueryDef(
+    "events_theil_sen",
+    (s, dir) =>
+      graft.operators.EventSequences.theilSen(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH rec AS (SELECT user_id AS k, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM events),
+        |rc AS (SELECT * FROM rec WHERE rn <= 200),
+        |t0 AS (SELECT k, min(epoch_us(ts)) AS t0 FROM rc GROUP BY k),
+        |b AS (SELECT rc.k, (epoch_us(ts) - t0.t0) // 1000000 AS x, y
+        |  FROM rc JOIN t0 ON rc.k = t0.k),
+        |p AS (SELECT a.k,
+        |    ((bb.y - a.y)::DOUBLE / (bb.x - a.x)::DOUBLE) / 10000.0 AS s
+        |  FROM b a JOIN b bb ON a.k = bb.k AND a.x < bb.x),
+        |r AS (SELECT k, s,
+        |    row_number() OVER (PARTITION BY k ORDER BY s) AS r,
+        |    count(*) OVER (PARTITION BY k) AS c FROM p)
+        |SELECT k AS user_id, any_value(c)::BIGINT AS n_pairs,
+        |  round(avg(s), 6) + 0 AS sen_slope
+        |FROM r WHERE r = (c + 1) // 2 OR r = c // 2 + 1
+        |GROUP BY k ORDER BY user_id""".stripMargin))
+
+  /** Frequent consecutive event-type triples
+    * ([[graft.operators.EventSequences.frequentTriples]]): 3-gram
+    * behavioral motifs, exact counts, total lexicographic tie-break.
+    */
+  val triples: QueryDef = QueryDef(
+    "events_frequent_triples",
+    (s, dir) =>
+      graft.operators.EventSequences.frequentTriples(
+          Tables(s, dir).events)
+        .orderBy("rank"),
+    Some(
+      """WITH t AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT t1, t2, t3, count(*)::BIGINT AS n FROM t
+        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY n DESC, t1, t2, t3) AS rk FROM g)
+        |SELECT t1, t2, t3, n, rk::BIGINT AS rank FROM r
+        |WHERE rk <= 20 ORDER BY rank""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal)
+    Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
+      theilSenGate, triples)
 }

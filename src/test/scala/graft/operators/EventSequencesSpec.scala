@@ -387,4 +387,37 @@ class EventSequencesSpec extends SparkSpec {
       .values.map(_.map(_.getDouble(3)).distinct)
     byDow.foreach(ds => assert(ds.size == 1))
   }
+
+  test("theilSen: median pairwise slope resists one outlier") {
+    val s = spark
+    import s.implicits._
+    def tm(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m%01d:00")
+    // y = 2x (x in minutes→seconds: slope 2/60 per second) with one
+    // wild outlier at x=3: OLS bends, Theil–Sen holds the 2/60 line
+    val df = Seq((1L, 1L, tm(0), 0.0), (2L, 1L, tm(1), 2.0),
+      (3L, 1L, tm(2), 4.0), (4L, 1L, tm(3), 500.0), (5L, 1L, tm(4), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = EventSequences.theilSen(df).head()
+    assert(r.getLong(1) == 10L) // C(5,2) pairs
+    // slopes: 6 clean pairs at 2/60≈0.0333; 4 outlier pairs huge/neg.
+    // sorted middle two are clean → median = 2/60
+    assert(math.abs(r.getDouble(2) - 2.0 / 60.0) < 1e-4)
+    val ols = EventSequences.olsTrend(df).head().getDouble(2)
+    assert(math.abs(ols - 2.0 / 60.0) > 0.1) // OLS got dragged
+  }
+
+  test("frequentTriples counts 3-step motifs with a total tie-break") {
+    val s = spark
+    import s.implicits._
+    // user 1: a b c a b c  → (a,b,c)×2, (b,c,a), (c,a,b)
+    val ev = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => ((i + 1).toLong, 1L, ts(i + 1), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventSequences.frequentTriples(ev).orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.head == (("a", "b", "c", 2L)))
+    assert(out.length == 3)
+    assert(out.map(_._4).toSeq == Seq(2L, 1L, 1L))
+  }
 }

@@ -110,4 +110,18 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getLong(2) == 2L)     // 1,2 matched
     assert(math.abs(out.getDouble(3) - 2.0 / 3.0) < 1e-6)
   }
+
+  test("weightedMedianByGroup picks the 2·cumw ≥ totw value exactly") {
+    val s = spark
+    import s.implicits._
+    // g1: values 1(w1), 2(w1), 3(w10) → tot 12, cum at 3 is 12 ≥ 6,
+    //     cum at 2 is 2 < 6 → median 3. g2: 5(w2), 7(w2) → tot 4,
+    //     cum at 5 is 2, 2·2 ≥ 4 → LOWER median 5.
+    val df = Seq(("g1", 1.0, 1.0), ("g1", 2.0, 1.0), ("g1", 3.0, 10.0),
+      ("g2", 5.0, 2.0), ("g2", 7.0, 2.0)).toDF("g", "v", "w")
+    val out = Inequality.weightedMedianByGroup(df, "g", "v", "w")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("g1", 12L, 3.0), ("g2", 4L, 5.0)))
+  }
 }

@@ -111,4 +111,20 @@ class RedactionSpec extends SparkSpec {
     assert(out(3) == ("ref 4111 1111 1111 1112 stays", 1L, 0L))
     assert(out(4) == ("call 123-456-7890 now", 0L, 0L))
   }
+
+  test("mod97Valid agrees with the published IBAN test vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "DE89370400440532013000" -> true,  // Deutsche Bundesbank example
+      "GB82WEST12345698765432" -> true,  // UK example with letters
+      "DE89370400440532013001" -> false, // one digit off
+      "GB82WEST12345698765431" -> false,
+      "DE00" -> false,                   // too short (< 5 chars)
+      "DE89 3704" -> false               // un-normalized input → poison
+    ).toDF("iban", "expect")
+    val out = df.select(col("expect"),
+      Redaction.mod97Valid(col("iban")).as("got")).collect()
+    out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
 }

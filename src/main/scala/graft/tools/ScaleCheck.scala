@@ -1016,6 +1016,54 @@ object ScaleCheck {
             "f3" -> (col("a.f3") === col("b.f3")))))
     }
 
+    // Theil-Sen / Pettitt / nearest-as-of: per-user work is bounded
+    // (K² pairs resp. two windows over ~80 events); USERS scale with
+    // the corpus, so 10x users should be ~linear wall
+    locally {
+      def ev(users: Long) = spark.range(users * 80L).select(
+        col("id").as("event_id"),
+        (col("id") % users).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          expr(s"(id div $users) * 60000000") +
+          (col("id") % users) * 7L).as("ts"),
+        ((col("id") * 2654435761L % 1000L).cast("double") / 10.0)
+          .as("value"))
+      time("theil_sen_1x",
+        graft.operators.EventSequences.theilSen(ev(1000L)))
+      time(s"theil_sen_${dup}x",
+        graft.operators.EventSequences.theilSen(ev(1000L * dup)))
+      time(s"pettitt_${dup}x",
+        graft.operators.EventSequences.pettittTest(ev(1000L * dup)))
+      val big = ev(1000L * dup)
+      time(s"asof_nearest_${dup}x",
+        graft.operators.AsOfJoin.asOfNearest(
+          big.filter(col("event_id") % 3 === 0),
+          big.filter(col("event_id") % 3 === 1),
+          "user_id", "ts", "value"))
+    }
+
+    // weighted median: corpus collapses to the per-(group, value)
+    // frame before any window; mod-97: scan-local codegen fold
+    locally {
+      def vals(n: Long) = spark.range(n).select(
+        concat(lit("g"), (col("id") % 7).cast("string")).as("g"),
+        ((col("id") * 2654435761L % 100000L).cast("double") / 100.0)
+          .as("v"),
+        (col("id") % 50 + 1).cast("double").as("w"))
+      time(s"weighted_median_${dup}x",
+        graft.operators.Inequality.weightedMedianByGroup(
+          vals(1000000L * dup), "g", "v", "w"))
+      def cand(n: Long) = spark.range(n).select(col("id"),
+        concat(lit("DE"),
+          lpad((col("id") % 100).cast("string"), 2, "0"),
+          lpad(col("id").cast("string"), 16, "0")).as("s"))
+      time(s"mod97_${dup}x",
+        cand(1000000L * dup)
+          .groupBy(graft.operators.Redaction.mod97Valid(col("s"))
+            .as("v"))
+          .agg(count(lit(1)).as("n")))
+    }
+
     spark.stop()
   }
 }

@@ -363,6 +363,44 @@ class PlanRegressionSpec extends SparkSpec {
     assert(scanCount <= 4, s"part scanned $scanCount times")
   }
 
+  test("events_asof_nearest: both window frames ride ONE key exchange, no join") {
+    // the backward last() and forward first() share the same
+    // (key, ts, is_left) sort — a refactor that materializes two sorts
+    // or falls back to a range join doubles the corpus shuffle
+    val ks = kinds("events_asof_nearest")
+    assert(!ks.exists(_.contains("Join")), s"unexpected join: $ks")
+    val exchanges = ks.count(_.contains("ShuffleExchange"))
+    assert(exchanges <= 3, // union key hash + final orderBy + AQE read
+      s"$exchanges exchanges: $ks")
+    assert(ks.count(_ == "WindowExec") <= 2, s"window blowup: $ks")
+  }
+
+  test("agg_weighted_median: value pre-aggregate sits UNDER the cumulative window") {
+    // the window frame must be the per-(group, value) aggregate, not
+    // corpus rows — losing the pre-aggregate makes window state O(rows)
+    val plan = finalPlan("agg_weighted_median")
+    val ns = nodes(plan)
+    val ks = ns.map(_.getClass.getSimpleName)
+    assert(ks.contains("WindowExec"), s"no window: $ks")
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      nodes(p).drop(1).exists(_.getClass.getSimpleName
+        .contains("HashAggregate"))
+    val windows = ns.filter(_.getClass.getSimpleName == "WindowExec")
+    assert(windows.forall(hasAggBelow),
+      "cumulative window runs over raw corpus rows, not the (group, value) frame")
+  }
+
+  test("events_theil_sen: pair join is key-equi (never cartesian), trailing-K filter under it") {
+    val plan = finalPlan("events_theil_sen")
+    val ks = nodes(plan).map(_.getClass.getSimpleName)
+    assert(!ks.exists(_.contains("CartesianProduct")) &&
+      !ks.exists(_.contains("BroadcastNestedLoop")),
+      s"pair join degenerated to cartesian: $ks")
+    assert(nodes(plan).exists(p =>
+      p.getClass.getSimpleName == "FilterExec" &&
+        p.toString.contains("_rn")), s"trailing-K filter missing: $ks")
+  }
+
   test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
     for (gate <- Seq("stats_psi", "stats_mutual_information",
         "stats_chi2_independence")) {

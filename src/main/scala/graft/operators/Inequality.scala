@@ -84,4 +84,65 @@ object Inequality {
         Numerics.roundz(col("_med").cast("double") / 100.0, 2)
           .as("weighted_median"))
   }
+
+  /** Two-phase exact weighted median — the 100 TB shape of
+    * [[weightedMedianByGroup]], HASH-IDENTICAL output. The plain
+    * variant's cumulative window runs over the per-(group, value)
+    * frame, which approaches corpus size when values are near-unique
+    * (prices, latencies); here phase 1 aggregates to COARSE BUCKETS
+    * (value div 2^bucketBits — a few hundred rows per group regardless
+    * of corpus size), walks the bucket histogram to the one bucket
+    * holding the weighted median and its exact preceding cumulative
+    * weight, then phase 2 runs the value-ordered pick ONLY inside that
+    * bucket (a broadcast semi-join prunes the rest of the corpus
+    * before any sort). Both windows are bucket- resp. bucket-slice-
+    * bounded; nothing corpus-scale ever sorts.
+    */
+  def weightedMedianByGroupBucketed(
+      df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, bucketBits: Int = 16): DataFrame = {
+    require(bucketBits > 0 && bucketBits < 62, s"bad bits $bucketBits")
+    val cents = round(col(valueCol) * 100d, 0).cast("long")
+    val wgt = round(col(weightCol), 0).cast("long")
+    val width = 1L << bucketBits
+    val rows = df
+      .select(col(groupCol).as("_g"), cents.as("_c"), wgt.as("_w"))
+      .withColumn("_b", expr(s"_c div ${width}L"))
+    val perB = rows.groupBy(col("_g"), col("_b"))
+      .agg(sum(col("_w")).as("_wb"))
+    val wB = Window.partitionBy(col("_g")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumB = perB
+      .withColumn("_cumb", sum(col("_wb")).over(wB))
+      .withColumn("_tot",
+        sum(col("_wb")).over(Window.partitionBy(col("_g"))))
+    // the bucket where the cumulative weight first crosses half, plus
+    // the exact cumulative weight BEFORE it (offset into phase 2)
+    val target = cumB.filter(lit(2) * col("_cumb") >= col("_tot"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_g")).orderBy(col("_b"))))
+      .filter(col("_rk") === 1)
+      .select(col("_g"), col("_b").as("_tb"),
+        (col("_cumb") - col("_wb")).as("_off"), col("_tot"))
+    // target derives from rows → alias both sides of the self-join
+    val inB = rows.as("r")
+      .join(broadcast(target.select(col("_g").as("_tg"), col("_tb"),
+        col("_off"), col("_tot"))),
+        col("r._g") === col("_tg") && col("r._b") === col("_tb"))
+      .select(col("r._g").as("_g"), col("r._c").as("_c"),
+        col("r._w").as("_w"), col("_off"), col("_tot"))
+    val pv = inB.groupBy(col("_g"), col("_c"))
+      .agg(sum(col("_w")).as("_wv"), first(col("_off")).as("_off"),
+        first(col("_tot")).as("_tot"))
+    val w2 = Window.partitionBy(col("_g")).orderBy(col("_c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pv.withColumn("_cum", col("_off") + sum(col("_wv")).over(w2))
+      .filter(lit(2) * col("_cum") >= col("_tot"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(min(col("_c")).as("_med"),
+        first(col("_tot")).as("total_weight"))
+      .select(col(groupCol), col("total_weight"),
+        Numerics.roundz(col("_med").cast("double") / 100.0, 2)
+          .as("weighted_median"))
+  }
 }

@@ -644,8 +644,24 @@ object ProfilingQueries extends QueryGroup {
         |FROM cw WHERE 2 * cum >= tot
         |GROUP BY g ORDER BY l_returnflag""".stripMargin))
 
+  /** The 100 TB two-phase weighted median
+    * ([[graft.operators.Inequality.weightedMedianByGroupBucketed]]):
+    * bucket histogram → exact pass inside the median bucket only.
+    * SAME oracle as `agg_weighted_median` — the hash proves the
+    * pruned two-phase walk is answer-identical to the plain pick.
+    */
+  val wmedianBucketed: QueryDef = QueryDef(
+    "agg_weighted_median_bucketed",
+    (s, dir) =>
+      graft.operators.Inequality.weightedMedianByGroupBucketed(
+          Tables(s, dir).lineitem, "l_returnflag", "l_extendedprice",
+          "l_quantity")
+        .orderBy("l_returnflag"),
+    wmedian.oracle)
+
   def defs: Seq[QueryDef] =
     Seq(gini, benford, kruskal, fd, ind, assortativity, lift,
       golden, chao1, temporal, levene, chi2, novelty, mode,
-      qnorm, histQuantiles, psiGate, heaps, anova, wmedian)
+      qnorm, histQuantiles, psiGate, heaps, anova, wmedian,
+      wmedianBucketed)
 }

@@ -124,4 +124,20 @@ class ProfilingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq(("g1", 12L, 3.0), ("g2", 4L, 5.0)))
   }
+
+  test("bucketed weighted median equals the plain pick, incl. tiny buckets") {
+    val s = spark
+    import s.implicits._
+    // values span many buckets at bucketBits=2 (width 4 cents) so the
+    // bucket walk, offset carry, and in-bucket pick all engage
+    val df = (1 to 200).map { i =>
+      (s"g${i % 3}", i.toDouble / 7.0, (i % 9 + 1).toDouble)
+    }.toDF("g", "v", "w")
+    val plain = Inequality.weightedMedianByGroup(df, "g", "v", "w")
+      .orderBy("g").collect().map(_.toSeq)
+    val bucketed = Inequality
+      .weightedMedianByGroupBucketed(df, "g", "v", "w", bucketBits = 2)
+      .orderBy("g").collect().map(_.toSeq)
+    assert(plain.toSeq == bucketed.toSeq)
+  }
 }

@@ -1059,6 +1059,34 @@ object Evaluation {
         6).as("hedges_g"))
   }
 
+  /** McNemar's test for PAIRED classifiers — "is model B actually
+    * better than model A on the same items", the readout that a naive
+    * two-proportion z gets wrong because the predictions share items.
+    * Only the discordant cells matter: b = A right ∧ B wrong,
+    * c = A wrong ∧ B right; χ² = (|b−c|−1)²/(b+c) with the standard
+    * continuity correction. ONE hash aggregate over the corpus to the
+    * four contingency cells; every count exact, χ² the only float
+    * (null when b+c = 0 — no discordant evidence, not χ²=∞).
+    */
+  def mcnemar(
+      df: DataFrame, truth: Column, predA: Column,
+      predB: Column): DataFrame = {
+    val aRight = predA === truth
+    val bRight = predB === truth
+    val m = df.agg(
+      sum(when(aRight && bRight, 1L).otherwise(0L)).as("both_right"),
+      sum(when(aRight && !bRight, 1L).otherwise(0L)).as("only_a"),
+      sum(when(!aRight && bRight, 1L).otherwise(0L)).as("only_b"),
+      sum(when(!aRight && !bRight, 1L).otherwise(0L)).as("both_wrong"))
+    m.select(col("both_right"), col("only_a"), col("only_b"),
+      col("both_wrong"),
+      when(col("only_a") + col("only_b") > 0,
+        Numerics.roundz({
+          val d = abs(col("only_a") - col("only_b")).cast("double") - 1.0
+          d * d / (col("only_a") + col("only_b")).cast("double")
+        }, 6)).as("chi2"))
+  }
+
   /** One-way ANOVA F over `groupCol` arms of the integer fixed-point
     * `valueCol` — the k-group mean comparison behind "did any variant
     * move the metric" before pairwise drill-down (the parametric

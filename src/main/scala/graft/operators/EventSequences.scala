@@ -573,6 +573,88 @@ object EventSequences {
       .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Wald–Wolfowitz runs test per key — "are this series' ups and
+    * downs random or regime-like": signs are taken against the key's
+    * exact LOWER MEDIAN (rank (n+1) div 2 — an actual data value, no
+    * interpolation), equal-to-median rows drop, runs are counted as
+    * 1 + sign changes in time order, and the normal-approximation z
+    * over (n₊, n₋, R) is the only float. Two per-key windows (value
+    * rank for the median, time order for the change count) plus one
+    * median join — all on the same key hash.
+    */
+  def runsTest(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val base = events.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      col(idCol).as("_id"), y.as("_y"))
+    val wv = Window.partitionBy(col("_k")).orderBy(col("_y"), col("_id"))
+    val med = base
+      .withColumn("_rn", row_number().over(wv))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("_k"))))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("_k"), col("_y").as("_med"))
+    val signed = base.join(med, Seq("_k"))
+      .filter(col("_y") =!= col("_med"))
+      .withColumn("_s", when(col("_y") > col("_med"), 1).otherwise(-1))
+    val wt = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_id"))
+    val agg = signed
+      .withColumn("_chg",
+        when(lag(col("_s"), 1).over(wt).isNull, 0L)
+          .when(lag(col("_s"), 1).over(wt) =!= col("_s"), 1L)
+          .otherwise(0L))
+      .groupBy(col("_k"))
+      .agg(sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_s") === -1, 1L).otherwise(0L)).as("n_neg"),
+        (sum(col("_chg")) + 1L).as("runs"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + 1.0
+    val vr = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - 1.0))
+    agg.select(col("_k").as(keyCol), col("n_pos"), col("n_neg"),
+      col("runs"),
+      when(col("n_pos") > 0 && col("n_neg") > 0 &&
+          col("n_pos") + col("n_neg") > 1,
+        Numerics.roundz((col("runs").cast("double") - mu) / sqrt(vr), 6))
+        .as("z"))
+  }
+
+  /** Exact conversion-lag quantiles: the p50/p90 of the gap between a
+    * conversion event and its most recent prior trigger (per-pair
+    * backward as-of), reported in EXACT microseconds — the quantile
+    * pick is the value at rank ⌈q·n⌉ (an actual observed gap, all
+    * integer, nothing to round). The as-of is the one-union-window
+    * shape of [[AsOfJoin.asOf]]; the global rank runs over the
+    * matched-conversion frame (conversion-bounded, not corpus-
+    * bounded).
+    */
+  def conversionLagQuantiles(
+      events: DataFrame, fromType: String, toType: String,
+      typeCol: String = "event_type", keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val gaps = AsOfJoin.asOfTolerance(
+        left = events.filter(col(typeCol) === toType)
+          .select(col(keyCol), col(tsCol), col(idCol)),
+        right = events.filter(col(typeCol) === fromType)
+          .select(col(keyCol), col(tsCol), col(idCol)),
+        keyCol = keyCol, tsCol = tsCol, rightValueCol = idCol,
+        toleranceSeconds = 320L * 1000000L) // effectively unbounded
+      .filter(col("asof_gap_us").isNotNull)
+      .select(col("asof_gap_us").as("_g"))
+    val w = Window.orderBy(col("_g"))
+    gaps.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("_rn") === expr("(_n + 1) div 2") ||
+        col("_rn") === expr("(9 * _n + 9) div 10"))
+      .agg(first(col("_n")).as("n_conversions"),
+        min(col("_g")).as("p50_us"), max(col("_g")).as("p90_us"))
+  }
+
   /** Frequent consecutive event-type TRIPLES per corpus — the 3-gram
     * extension of the transition matrix: which three-step behavioral
     * motifs dominate. One per-user ordered window (two leads), one

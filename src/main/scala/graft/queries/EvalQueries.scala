@@ -788,10 +788,45 @@ object EvalQueries extends QueryGroup {
         |    AS hedges_g
         |FROM e""".stripMargin))
 
+  /** McNemar's paired-classifier test
+    * ([[graft.operators.Evaluation.mcnemar]]): two marker-word
+    * "classifiers" against the language label — one contingency
+    * aggregate, continuity-corrected χ² from the discordant cells.
+    */
+  val mcnemarGate: QueryDef = QueryDef(
+    "eval_mcnemar",
+    (s, dir) =>
+      graft.operators.Evaluation.mcnemar(
+        Tables(s, dir).documents,
+        truth = col("lang") === "en",
+        predA = col("text").contains(" the "),
+        predB = col("text").contains(" and ")),
+    Some(
+      """WITH p AS (SELECT (lang = 'en') AS t,
+        |    (text LIKE '% the %') AS a, (text LIKE '% and %') AS b
+        |  FROM documents),
+        |m AS (SELECT
+        |    sum(CASE WHEN a = t AND b = t THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_right,
+        |    sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END)::BIGINT
+        |      AS only_a,
+        |    sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END)::BIGINT
+        |      AS only_b,
+        |    sum(CASE WHEN a <> t AND b <> t THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_wrong
+        |  FROM p)
+        |SELECT both_right, only_a, only_b, both_wrong,
+        |  CASE WHEN only_a + only_b > 0 THEN
+        |    round((abs(only_a - only_b)::DOUBLE - 1.0)
+        |      * (abs(only_a - only_b)::DOUBLE - 1.0)
+        |      / (only_a + only_b)::DOUBLE, 6) + 0
+        |  END AS chi2
+        |FROM m""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
-      conformalGate, cohensDGate)
+      conformalGate, cohensDGate, mcnemarGate)
 }

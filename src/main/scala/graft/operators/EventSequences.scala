@@ -573,6 +573,69 @@ object EventSequences {
       .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Retention cohort matrix — THE activation/retention readout: users
+    * are cohorted by their FIRST active day; for each (cohort_day,
+    * day_offset ≤ maxOffset) the matrix holds the distinct users still
+    * active, plus the cohort size and the exact-integer-derived rate.
+    * Two hash aggregates (user→first day; (cohort, offset)→distinct
+    * users) and a cohort-keyed size join — offsets bound the second
+    * frame at cohorts×maxOffset regardless of corpus size.
+    */
+  def retentionCohorts(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", maxOffset: Int = 14): DataFrame = {
+    val days = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .distinct()
+    val first = days.groupBy(col("_u")).agg(min(col("_d")).as("_c"))
+    val sized = first.groupBy(col("_c").as("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    days.join(first, Seq("_u"))
+      .withColumn("_off", datediff(col("_d"), col("_c")))
+      .filter(col("_off") <= maxOffset)
+      .groupBy(col("_c").as("cohort_day"), col("_off").cast("long")
+        .as("day_offset"))
+      .agg(countDistinct(col("_u")).as("active_users"))
+      .join(sized, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_size"),
+        Numerics.roundz(col("active_users").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** RFM segmentation — recency/frequency/monetary quintiles, the
+    * classic behavioral-value grid. Per-user metrics come from ONE
+    * hash aggregate (recency = days since the user's last event
+    * relative to the corpus max day — a 1-row broadcast); each metric
+    * is quintiled by `ntile(5)` under a TOTAL order (metric, user) so
+    * bucket assignment is deterministic and the oracle replays it
+    * (both engines share the standard ntile contract: first n mod k
+    * buckets get the extra row). Output is the 125-bounded segment
+    * grid with user counts — corpus-scale rows never leave the
+    * aggregate.
+    */
+  def rfmSegments(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val per = events.groupBy(col(userCol).as("_u"))
+      .agg(max(to_date(col(tsCol))).as("_last"),
+        count(lit(1)).as("_f"), sum(y).as("_m"))
+    val maxDay = per.agg(max(col("_last")).as("_maxd"))
+    val metrics = per.crossJoin(broadcast(maxDay))
+      .select(col("_u"), datediff(col("_maxd"), col("_last")).as("_r"),
+        col("_f"), col("_m"))
+    val scored = metrics
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("_r"), col("_u"))).cast("long"))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("_f").desc, col("_u"))).cast("long"))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("_m").desc, col("_u"))).cast("long"))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), min(col("_u")).as("sample_user"))
+  }
+
   /** Wald–Wolfowitz runs test per key — "are this series' ups and
     * downs random or regime-like": signs are taken against the key's
     * exact LOWER MEDIAN (rank (n+1) div 2 — an actual data value, no

@@ -55,4 +55,41 @@ object FrequentItemsets {
       .select(col("item_a"), col("item_b"), col("support"),
         col("count_a"), col("count_b"), col("n_baskets"))
   }
+
+  /** Directional association rules from the [[frequentPairs]] output:
+    * each frequent pair unfolds to antecedent→consequent BOTH ways
+    * with confidence = support/count(antecedent) and
+    * lift = support·n_baskets / (count_a·count_b) — the "customers
+    * who X also Y" readout with the base-rate correction that keeps
+    * popular items from dominating. The expensive part (pair support)
+    * is the one basket-keyed join inside frequentPairs; the rule
+    * unfold is a 2× projection of the pair-bounded frame. Lift
+    * multiplies count_a·count_b as DOUBLES (the ARI overflow lesson);
+    * confidence/lift are the only floats, rounded at 6.
+    */
+  def associationRules(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, minConfidencePct: Long = 0L): DataFrame = {
+    val pairs = frequentPairs(df, basketCol, itemCol, minSupport)
+    val fwd = pairs.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("support"),
+      col("count_a").as("n_antecedent"), col("count_b").as("n_consequent"),
+      col("n_baskets"))
+    val rev = pairs.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("support"),
+      col("count_b").as("n_antecedent"), col("count_a").as("n_consequent"),
+      col("n_baskets"))
+    fwd.unionByName(rev)
+      // integer-exact confidence threshold: 100·support ≥ pct·n_ant
+      .filter(lit(100) * col("support") >=
+        lit(minConfidencePct) * col("n_antecedent"))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_antecedent"), col("n_consequent"),
+        Numerics.roundz(col("support").cast("double") /
+          col("n_antecedent").cast("double"), 6).as("confidence"),
+        Numerics.roundz(col("support").cast("double") *
+          col("n_baskets").cast("double") /
+          (col("n_antecedent").cast("double") *
+            col("n_consequent").cast("double")), 6).as("lift"))
+  }
 }

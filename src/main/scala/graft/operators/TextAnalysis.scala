@@ -902,4 +902,35 @@ object TextAnalysis {
           exp((col("_sy") - b * col("_sx")) / n)
         }, 4).as("k"))
   }
+
+  /** Code-document detection — the C4/Gopher-style "this isn't prose"
+    * filter a natural-language corpus runs before training: counts of
+    * code-indicative characters (braces, semicolons, parens) from
+    * exact length-difference arithmetic (no regex backtracking), a
+    * per-kilochar symbol score, and the flag contract
+    * `is_code ⇔ braces ≥ minBraces ∧ score ≥ threshold‰`. One
+    * codegen'd scan-local projection, no shuffle; the threshold is
+    * applied in exact integer cross-multiplication so the DECISION is
+    * engine-stable.
+    */
+  def codeDetect(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minBraces: Int = 2,
+      permilleThreshold: Int = 8): org.apache.spark.sql.DataFrame = {
+    def cnt(ch: String) =
+      length(col(textCol)) - length(regexp_replace(col(textCol),
+        java.util.regex.Pattern.quote(ch), ""))
+    val braces = (cnt("{") + cnt("}")).cast("long")
+    val semis = cnt(";").cast("long")
+    val parens = (cnt("(") + cnt(")")).cast("long")
+    val nChars = greatest(length(col(textCol)).cast("long"), lit(1L))
+    val sym = braces + semis + parens
+    df.select(col(idCol), braces.as("n_braces"), semis.as("n_semis"),
+      parens.as("n_parens"),
+      Numerics.roundz(sym.cast("double") * 1000.0 /
+        nChars.cast("double"), 6).as("symbols_per_kchar"),
+      (braces >= minBraces &&
+        sym * 1000L >= lit(permilleThreshold.toLong) * nChars)
+        .as("is_code"))
+  }
 }

@@ -4122,6 +4122,35 @@ object TextQueries extends QueryGroup {
         |  len(valid)::BIGINT AS n_valid
         |FROM v ORDER BY doc_id""".stripMargin))
 
+  /** Code-document detection ([[graft.operators.TextAnalysis
+    * .codeDetect]]): exact length-difference symbol counts, integer
+    * cross-multiplied flag decision — the prose-vs-code filter.
+    */
+  val codeDetect: QueryDef = QueryDef(
+    "text_code_detect",
+    (s, dir) =>
+      graft.operators.TextAnalysis.codeDetect(
+          Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(
+      """WITH c AS (SELECT doc_id,
+        |    (length(text) - length(replace(text, '{', ''))
+        |      + length(text) - length(replace(text, '}', '')))::BIGINT
+        |      AS n_braces,
+        |    (length(text) - length(replace(text, ';', '')))::BIGINT
+        |      AS n_semis,
+        |    (length(text) - length(replace(text, '(', ''))
+        |      + length(text) - length(replace(text, ')', '')))::BIGINT
+        |      AS n_parens,
+        |    greatest(length(text)::BIGINT, 1) AS n
+        |  FROM documents)
+        |SELECT doc_id, n_braces, n_semis, n_parens,
+        |  round((n_braces + n_semis + n_parens)::DOUBLE * 1000.0
+        |    / n::DOUBLE, 6) + 0 AS symbols_per_kchar,
+        |  (n_braces >= 2 AND
+        |    (n_braces + n_semis + n_parens) * 1000 >= 8 * n) AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin))
+
   /** ISO 7064 mod-97 structured-ID validation
     * ([[graft.operators.Redaction.mod97Valid]]): IBAN-shaped
     * candidates derived from customer keys (so validity varies with
@@ -4172,7 +4201,7 @@ object TextQueries extends QueryGroup {
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
-      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97)
+      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97, codeDetect)
 }
 
 object SamplingQueries extends QueryGroup {

@@ -453,7 +453,50 @@ object MiningQueries extends QueryGroup {
         |    AS delta
         |FROM ag CROSS JOIN t""".stripMargin))
 
+  /** Directional association rules over (user, day) behavioral
+    * baskets ([[graft.operators.FrequentItemsets.associationRules]]):
+    * confidence and lift on top of the gated pair support — the
+    * "users who X also Y, corrected for base rates" readout.
+    */
+  val assocRules: QueryDef = QueryDef(
+    "mining_association_rules",
+    (s, dir) =>
+      graft.operators.FrequentItemsets.associationRules(
+          Tables(s, dir).events
+            .select(concat_ws("@", col("user_id").cast("string"),
+              to_date(col("ts")).cast("string")).as("basket"),
+              col("event_type")),
+          "basket", "event_type", minSupport = 570L,
+          minConfidencePct = 30L)
+        .orderBy("antecedent", "consequent"),
+    Some(
+      """WITH it AS (SELECT DISTINCT
+        |    user_id::VARCHAR || '@' || ts::DATE::VARCHAR AS basket,
+        |    event_type AS item
+        |  FROM events),
+        |f AS (SELECT item, count(*) AS cnt FROM it GROUP BY item
+        |      HAVING count(*) >= 570),
+        |tot AS (SELECT count(DISTINCT basket)::BIGINT AS nb FROM it),
+        |fi AS (SELECT basket, it.item, f.cnt
+        |       FROM it JOIN f ON f.item = it.item),
+        |p AS (SELECT a.item AS ia, b.item AS ib,
+        |    a.cnt::BIGINT AS ca, b.cnt::BIGINT AS cb,
+        |    count(*)::BIGINT AS s
+        |  FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 570),
+        |r AS (SELECT ia AS antecedent, ib AS consequent, s,
+        |        ca AS na, cb AS nc FROM p
+        |      UNION ALL SELECT ib, ia, s, cb, ca FROM p)
+        |SELECT antecedent, consequent, s AS support,
+        |  na AS n_antecedent, nc AS n_consequent,
+        |  round(s::DOUBLE / na::DOUBLE, 6) + 0 AS confidence,
+        |  round(s::DOUBLE * nb::DOUBLE / (na::DOUBLE * nc::DOUBLE), 6)
+        |    + 0 AS lift
+        |FROM r CROSS JOIN tot
+        |WHERE 100 * s >= 30 * na
+        |ORDER BY antecedent, consequent""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter,
-      richClubGate, tClosenessGate, kendall, cliffs)
+      richClubGate, tClosenessGate, kendall, cliffs, assocRules)
 }

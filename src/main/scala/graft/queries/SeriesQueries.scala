@@ -359,7 +359,59 @@ object SeriesQueries extends QueryGroup {
         |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10"""
         .stripMargin))
 
+  /** Retention cohort matrix
+    * ([[graft.operators.EventSequences.retentionCohorts]]): first-day
+    * cohorts × day offsets ≤ 14, distinct actives + exact retention.
+    */
+  val retention: QueryDef = QueryDef(
+    "events_retention_cohorts",
+    (s, dir) =>
+      graft.operators.EventSequences.retentionCohorts(
+          Tables(s, dir).events)
+        .orderBy("cohort_day", "day_offset"),
+    Some(
+      """WITH d AS (SELECT DISTINCT user_id AS u, ts::DATE AS d
+        |  FROM events),
+        |f AS (SELECT u, min(d) AS c FROM d GROUP BY u),
+        |sz AS (SELECT c AS cohort_day, count(*)::BIGINT AS cohort_size
+        |  FROM f GROUP BY c),
+        |m AS (SELECT f.c AS cohort_day, (d.d - f.c)::BIGINT AS day_offset,
+        |    count(DISTINCT d.u)::BIGINT AS active_users
+        |  FROM d JOIN f ON d.u = f.u
+        |  WHERE d.d - f.c <= 14 GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, active_users, cohort_size,
+        |  round(active_users::DOUBLE / cohort_size::DOUBLE, 6) + 0
+        |    AS retention
+        |FROM m JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin))
+
+  /** RFM quintile grid ([[graft.operators.EventSequences.rfmSegments]]):
+    * deterministic ntile(5) under a total order, 125-bounded output.
+    */
+  val rfm: QueryDef = QueryDef(
+    "events_rfm_segments",
+    (s, dir) =>
+      graft.operators.EventSequences.rfmSegments(Tables(s, dir).events)
+        .orderBy("r_q", "f_q", "m_q"),
+    Some(
+      """WITH per AS (SELECT user_id AS u, max(ts::DATE) AS last_d,
+        |    count(*)::BIGINT AS f,
+        |    sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT))::BIGINT AS m
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(last_d) AS maxd FROM per),
+        |met AS (SELECT u, (maxd - last_d)::BIGINT AS r, f, m
+        |  FROM per CROSS JOIN mx),
+        |q AS (SELECT u,
+        |    ntile(5) OVER (ORDER BY r, u)::BIGINT AS r_q,
+        |    ntile(5) OVER (ORDER BY f DESC, u)::BIGINT AS f_q,
+        |    ntile(5) OVER (ORDER BY m DESC, u)::BIGINT AS m_q
+        |  FROM met)
+        |SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users,
+        |  min(u)::BIGINT AS sample_user
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
-      theilSenGate, triples, runs, convLag)
+      theilSenGate, triples, runs, convLag, retention, rfm)
 }

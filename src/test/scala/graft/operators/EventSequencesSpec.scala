@@ -463,6 +463,41 @@ class EventSequencesSpec extends SparkSpec {
     assert(r.getLong(2) == 540L * 1000000L)
   }
 
+  test("retentionCohorts: first-day cohorts, offsets, exact rates") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-04-$d%02d 09:00:00")
+    // cohort day1: users 1,2 (user 1 returns day2; both return day3)
+    // cohort day2: user 3 (returns day3)
+    val ev = Seq((1L, day(1)), (2L, day(1)), (1L, day(2)), (3L, day(2)),
+      (1L, day(3)), (2L, day(3)), (3L, day(3)), (1L, day(3)))
+      .toDF("user_id", "ts")
+    val out = EventSequences.retentionCohorts(ev)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-04-01", 0L, 2L, 2L, 1.0),
+      ("2024-04-01", 1L, 1L, 2L, 0.5),
+      ("2024-04-01", 2L, 2L, 2L, 1.0),
+      ("2024-04-02", 0L, 1L, 1L, 1.0),
+      ("2024-04-02", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("rfmSegments: quintiles are deterministic and grid counts sum to users") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-05-$d%02d 09:00:00")
+    val ev = (1 to 20).flatMap { u =>
+      (1 to u).map(i => ((u * 100 + i).toLong, u.toLong, day(u % 10 + 1),
+        u.toDouble))
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = EventSequences.rfmSegments(ev).collect()
+    assert(out.map(_.getLong(3)).sum == 20L) // every user lands once
+    val again = EventSequences.rfmSegments(ev.repartition(7)).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("frequentTriples counts 3-step motifs with a total tie-break") {
     val s = spark
     import s.implicits._

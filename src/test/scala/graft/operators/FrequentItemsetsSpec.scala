@@ -37,6 +37,24 @@ class FrequentItemsetsSpec extends SparkSpec {
       ("rare", "x", 1L)))
   }
 
+  test("associationRules: confidence/lift per direction, threshold in integers") {
+    val out = FrequentItemsets
+      .associationRules(baskets, "basket", "item", 2L)
+      .orderBy("antecedent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6)))
+    // pair (x,y): s=3, n_x=4, n_y=3, baskets=4
+    // x→y: conf 3/4, lift 3·4/(4·3)=1 ; y→x: conf 1, lift 1
+    assert(out.toSeq == Seq(("x", "y", 3L, 0.75, 1.0),
+      ("y", "x", 3L, 1.0, 1.0)))
+    // a 80% confidence floor keeps only y→x (100·3 ≥ 80·n_ant)
+    val strict = FrequentItemsets
+      .associationRules(baskets, "basket", "item", 2L,
+        minConfidencePct = 80L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(strict.toSeq == Seq(("y", "x")))
+  }
+
   test("result is invariant to input partitioning") {
     val a = FrequentItemsets.frequentPairs(baskets, "basket", "item", 2L)
       .orderBy("item_a", "item_b").collect()

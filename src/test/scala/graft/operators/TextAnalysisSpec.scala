@@ -452,4 +452,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(norm.substring(s0.toInt, e0.toInt) == tok)
     }
   }
+
+  test("codeDetect: symbol counts exact, flag needs braces AND density") {
+    val sp = spark
+    import sp.implicits._
+    val code = "int f(int x) { return g(x); }" // 29 chars
+    val prose = "plain text with one; semicolon but no braces at all"
+    val sparseBraces = "{x}" + " a" * 200 // braces but low density
+    val df = Seq((1L, code), (2L, prose), (3L, sparseBraces))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeDetect(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // code: 2 braces, 1 semi, 4 parens → 7 symbols / 29 chars
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) ==
+      ((2L, 1L, 4L)))
+    assert(out(0).getBoolean(5))
+    assert(!out(1).getBoolean(5)) // no braces
+    assert(!out(2).getBoolean(5)) // braces but 2/403 < 8‰
+  }
 }

@@ -213,7 +213,68 @@ object SqlSurfaceQueries extends QueryGroup {
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::DOUBLE AS spend_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** RECURSIVE CTE (Spark 4.1 `UnionLoop`): ancestor-walk depth in the
+    * implicit doc_id binary hierarchy (child → id div 2) — bounded
+    * recursion (⌈log₂ N⌉ iterations), each step a self-reference over
+    * the shrinking frontier, gated against DuckDB's WITH RECURSIVE on
+    * the identical walk. The SQL-surface row a migrating user checks
+    * before trusting hierarchy rollups to the engine.
+    */
+  val recursiveCte: QueryDef = QueryDef(
+    "sql_recursive_hierarchy",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("documents_rec")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT doc_id, doc_id AS cur, 0 AS depth
+          |  FROM documents_rec WHERE doc_id % 11 = 0
+          |  UNION ALL
+          |  SELECT doc_id, cur div 2 AS cur, depth + 1 AS depth
+          |  FROM anc WHERE cur > 1)
+          |SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth_to_root
+          |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    Some(
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id, doc_id AS cur, 0 AS depth
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, cur // 2 AS cur, depth + 1 AS depth
+        |  FROM anc WHERE cur > 1)
+        |SELECT doc_id, max(depth)::BIGINT AS depth_to_root
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
+    * orders per customer — the "top-N per group without a window"
+    * idiom. Both engines run the same correlated-lateral SQL text
+    * modulo the decimal cast.
+    */
+  val lateralTopK: QueryDef = QueryDef(
+    "sql_lateral_topk",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("customer_lat")
+      t.orders.createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey,
+          |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+          |    AS totalprice
+          |FROM customer_lat c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_lat
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+    Some(
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_totalprice AS DECIMAL(18,2))::DOUBLE AS totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c_custkey, o_orderkey""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(aboveAverage, nullSafeEq, pivot, setOps, jsonMap, rankFamily,
-      unpivot, rangeFrame)
+      unpivot, rangeFrame, recursiveCte, lateralTopK)
 }

@@ -401,6 +401,24 @@ class PlanRegressionSpec extends SparkSpec {
         p.toString.contains("_rn")), s"trailing-K filter missing: $ks")
   }
 
+  test("sql_recursive_hierarchy: executes through UnionLoopExec with bounded depth") {
+    val ks = kinds("sql_recursive_hierarchy")
+    assert(ks.exists(_.contains("UnionLoop")),
+      s"recursive CTE did not plan as UnionLoop: $ks")
+  }
+
+  test("sql_lateral_topk: per-row limit stays under the correlated join") {
+    // the lateral subquery must keep its LIMIT (top-2) — losing it
+    // turns the per-customer probe into a full orders scan per row
+    val plan = finalPlan("sql_lateral_topk")
+    val s = plan.toString
+    assert(nodes(plan).exists(p => {
+      val n = p.getClass.getSimpleName
+      n.contains("Limit") || n.contains("TakeOrdered") ||
+        n.contains("Window") // row_number rewrite is also acceptable
+    }), s"no per-group limit operator in: ${s.take(500)}")
+  }
+
   test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
     for (gate <- Seq("stats_psi", "stats_mutual_information",
         "stats_chi2_independence")) {

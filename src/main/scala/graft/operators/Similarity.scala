@@ -77,6 +77,68 @@ object Similarity {
         min(col("_cos")).as("min_cos"))
   }
 
+  /** Deterministic Lloyd k-means over the embedding corpus — the
+    * clustering primitive under SemDeDup-style semantic curation and
+    * IVF coarse quantizers, made ORACLE-REPLAYABLE: seeds are the k
+    * lowest-id vectors (no RNG), assignment is argmin of the
+    * index-order-folded squared distance with ties to the lower
+    * cluster id (a `min(struct(dist, cluster))` — total), and new
+    * centroids are per-dimension DECIMAL(28,10)-exact sums divided
+    * once in double. Every iteration is one broadcast of k vectors
+    * against the corpus plus one dim-keyed aggregate — no corpus
+    * self-join, no driver loop over rows (the `iters` loop is plan
+    * construction, k·dims rows collected nowhere).
+    *
+    * Output after `iters` Lloyd updates + final assignment: per
+    * cluster (n, SSE via per-row DECIMAL(18,6) exact sum, min id).
+    */
+  def kmeansLloyd(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"bad k=$k iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val e = embeddings.select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+    def dist2(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("_id"), col("_v"),
+          struct(dist2(col("_v"), col("_cv")).as("_d"), col("_c"))
+            .as("_dc"))
+        .groupBy(col("_id"))
+        .agg(min(col("_dc")).as("_m"), first(col("_v")).as("_v"))
+        .select(col("_id"), col("_v"),
+          col("_m").getField("_c").as("_c"),
+          col("_m").getField("_d").as("_d"))
+    var cents = e.orderBy(col("_id")).limit(k)
+      .select(row_number().over(Window.orderBy(col("_id"))).cast("long")
+        .as("_c"), col("_v").as("_cv"))
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      cents = a
+        .select(col("_c"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy(col("_c"), col("_pos"))
+        .agg(sum(col("_x").cast(dec)).as("_s"), count(lit(1)).as("_n"))
+        .groupBy(col("_c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_s"),
+            col("_n")))),
+          s => s.getField("_s").cast("double") /
+            s.getField("_n").cast("double")).as("_cv"))
+    }
+    assign(cents)
+      .groupBy(col("_c").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        Numerics.roundz(
+          sum(col("_d").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), 4).as("sse"),
+        min(col("_id")).as("min_id"))
+  }
+
   /** Exact top-k nearest neighbours of one stored vector, brute force.
     * The query vector is collected (one row) and inlined as a literal —
     * the corpus side never shuffles; the plan is scan → project →

@@ -1452,9 +1452,62 @@ object SimilarityQueries extends QueryGroup {
         |  min(cos) AS min_cos
         |FROM j GROUP BY label ORDER BY label""".stripMargin))
 
+  /** Deterministic Lloyd k-means ([[Similarity.kmeansLloyd]], k=4,
+    * 2 updates): lowest-id seeds, index-order-folded distances, ties
+    * to the lower cluster, decimal-exact centroid sums — the oracle
+    * replays BOTH Lloyd iterations and the final assignment, so the
+    * whole trajectory (not just the last stats) is under the hash.
+    */
+  val kmeans: QueryDef = QueryDef(
+    "sim_kmeans_lloyd",
+    (s, dir) =>
+      Similarity.kmeansLloyd(
+          Tables(s, dir).embeddings, "vec_id", "embedding")
+        .orderBy("cluster"),
+    Some {
+      val d2 = (v: String, c: String) =>
+        s"list_reduce(list_transform(range(1, 65), i -> " +
+          s"($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) AS c, v AS cv
+         |       FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+         |d1 AS (SELECT e.id, e.v, c0.c, ${d2("e.v", "c0.cv")} AS d
+         |       FROM e CROSS JOIN c0),
+         |a1 AS (SELECT id, v, c FROM (SELECT *, row_number() OVER (
+         |         PARTITION BY id ORDER BY d, c) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |px1 AS (SELECT c, idx,
+         |    CAST(sum(CAST(v[idx] AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM a1, unnest(range(1, 65)) AS t(idx) GROUP BY c, idx),
+         |c1 AS (SELECT c, list(m ORDER BY idx) AS cv FROM px1 GROUP BY c),
+         |d2 AS (SELECT e.id, e.v, c1.c, ${d2("e.v", "c1.cv")} AS d
+         |       FROM e CROSS JOIN c1),
+         |a2 AS (SELECT id, v, c FROM (SELECT *, row_number() OVER (
+         |         PARTITION BY id ORDER BY d, c) AS rn FROM d2)
+         |       WHERE rn = 1),
+         |px2 AS (SELECT c, idx,
+         |    CAST(sum(CAST(v[idx] AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM a2, unnest(range(1, 65)) AS t(idx) GROUP BY c, idx),
+         |c2 AS (SELECT c, list(m ORDER BY idx) AS cv FROM px2 GROUP BY c),
+         |df AS (SELECT e.id, c2.c, ${d2("e.v", "c2.cv")} AS d
+         |       FROM e CROSS JOIN c2),
+         |af AS (SELECT id, c, d FROM (SELECT *, row_number() OVER (
+         |         PARTITION BY id ORDER BY d, c) AS rn FROM df)
+         |       WHERE rn = 1)
+         |SELECT c AS cluster, count(*)::BIGINT AS n,
+         |  round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 4) + 0
+         |    AS sse,
+         |  min(id)::BIGINT AS min_id
+         |FROM af GROUP BY c ORDER BY cluster""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
+      kmeans,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,

@@ -400,4 +400,27 @@ class SimilaritySpec extends SparkSpec {
     // cos(v, v1+v2) for orthogonal unit vectors = 1/sqrt(2)
     assert(out(1)._2 == 2L && out(1)._3 == 0.707107 && out(1)._4 == 0.707107)
   }
+
+  test("kmeansLloyd: separable blobs recover exactly, SSE non-increasing") {
+    val s = spark
+    import s.implicits._
+    // two tight 2-d blobs far apart; k=2 seeds are ids 1,2 (one per blob)
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.1f)), (3L, Seq(0.1f, 0.0f)), (5L, Seq(0.0f, 0.0f)),
+      (2L, Seq(9.0f, 9.1f)), (4L, Seq(9.1f, 9.0f)), (6L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(rows, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .orderBy("cluster").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L)) // 3 points each
+    assert(out(0).getLong(3) == 1L && out(1).getLong(3) == 2L)
+    // one Lloyd update must not increase total SSE vs zero updates
+    def sse(iters: Int) = Similarity.kmeansLloyd(rows, "vec_id",
+      "embedding", k = 2, iters = iters).collect().map(_.getDouble(2)).sum
+    assert(sse(2) <= sse(0) + 1e-9)
+    // deterministic under repartitioning
+    val again = Similarity.kmeansLloyd(rows.repartition(5), "vec_id",
+      "embedding", k = 2, iters = 2).orderBy("cluster").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

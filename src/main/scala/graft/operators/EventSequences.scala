@@ -573,6 +573,45 @@ object EventSequences {
       .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Bot / automation regularity detector: real users arrive with
+    * bursty inter-event gaps; schedulers tick. Per key this computes
+    * the gap count, mean gap, and coefficient of variation — and makes
+    * the FLAG DECISION in exact integer arithmetic so it cannot flip
+    * across engines: cv < τ (τ = pct/100) ⇔
+    * 10⁴·(n·Σg² − (Σg)²) < pct²·(Σg)², evaluated in DECIMAL(38,0).
+    * One window for gaps (lag over the key sort), one aggregate; the
+    * float cv is display-only.
+    */
+  def botRegularity(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      cvThresholdPct: Int = 10, minGaps: Int = 5): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val gaps = events
+      .select(col(keyCol).as("_k"), unix_micros(col(tsCol)).as("_ts"),
+        col(idCol).as("_id"))
+      .withColumn("_g", col("_ts") - lag(col("_ts"), 1).over(w))
+      .filter(col("_g").isNotNull)
+    val m = gaps.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("_sg"),
+        sum(col("_g").cast(d38) * col("_g").cast(d38)).as("_sq"))
+    val n = col("n_gaps").cast(d38)
+    val sg = col("_sg").cast(d38)
+    val varNum = n * col("_sq") - sg * sg // n²·variance, exact
+    m.select(col("_k").as(keyCol), col("n_gaps"),
+      Numerics.roundz(col("_sg").cast("double") /
+        col("n_gaps").cast("double") / 1000000.0, 6).as("mean_gap_s"),
+      when(col("_sg") > 0,
+        Numerics.roundz(
+          sqrt(varNum.cast("double")) / col("_sg").cast("double"), 6))
+        .as("cv"),
+      (col("n_gaps") >= minGaps && col("_sg") > 0 &&
+        varNum * lit(10000).cast(d38) <
+          lit(cvThresholdPct.toLong * cvThresholdPct).cast(d38) * sg * sg)
+        .as("is_bot"))
+  }
+
   /** Retention cohort matrix — THE activation/retention readout: users
     * are cohorted by their FIRST active day; for each (cohort_day,
     * day_offset ≤ maxOffset) the matrix holds the distinct users still

@@ -903,6 +903,34 @@ object TextAnalysis {
         }, 4).as("k"))
   }
 
+  /** Per-source template prefix detection — shared boilerplate heads
+    * ("Subject: …", licence banners, scraper chrome) show up as a long
+    * common prefix across a source's documents. The longest common
+    * prefix of a GROUP is LCP(min, max) under binary string order (any
+    * byte disagreeing in some member disagrees in one of the order
+    * extremes), so the corpus collapses to two strings per source in
+    * ONE aggregate; the LCP itself exploits monotonicity — prefix_i(a)
+    * = prefix_i(b) holds exactly for i ≤ LCP, so a bounded
+    * filter-count over 1..cap positions IS the length. Scan + one
+    * hash aggregate; cap bounds per-source work at cap² char
+    * comparisons.
+    */
+  def sourceCommonPrefix(
+      df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, cap: Int = 40): org.apache.spark.sql.DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), min(col(textCol)).as("_a"),
+        max(col(textCol)).as("_b"))
+    val lim = least(length(col("_a")), length(col("_b")), lit(cap))
+    val lcp = when(lim > 0,
+      size(filter(sequence(lit(1), lim),
+        i => col("_a").substr(lit(1), i) === col("_b").substr(lit(1), i))))
+      .otherwise(0).cast("long")
+    g.select(col(groupCol), col("n_docs"), lcp.as("lcp_len"),
+      col("_a").substr(lit(1), lcp.cast("int")).as("prefix"))
+  }
+
   /** Code-document detection — the C4/Gopher-style "this isn't prose"
     * filter a natural-language corpus runs before training: counts of
     * code-indicative characters (braces, semicolons, parens) from

@@ -4179,6 +4179,32 @@ object TextQueries extends QueryGroup {
     * .codeDetect]]): exact length-difference symbol counts, integer
     * cross-multiplied flag decision — the prose-vs-code filter.
     */
+  /** Per-source template prefix
+    * ([[graft.operators.TextAnalysis.sourceCommonPrefix]]): group LCP
+    * = LCP(min, max) under binary order, bounded filter-count length,
+    * the prefix string itself under the hash.
+    */
+  val commonPrefix: QueryDef = QueryDef(
+    "text_source_common_prefix",
+    (s, dir) =>
+      graft.operators.TextAnalysis.sourceCommonPrefix(
+          Tables(s, dir).documents, "source", "text")
+        .orderBy("source"),
+    Some(
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    min(text) AS a, max(text) AS b FROM documents
+        |  GROUP BY source),
+        |l AS (SELECT source, n_docs, a, b,
+        |    least(length(a), length(b), 40) AS lim FROM s),
+        |p AS (SELECT source, n_docs, a,
+        |    (CASE WHEN lim > 0 THEN len(list_filter(range(1, lim + 1),
+        |      i -> substr(a, 1, i::INT) = substr(b, 1, i::INT)))
+        |    ELSE 0 END)::BIGINT AS lcp_len
+        |  FROM l)
+        |SELECT source, n_docs, lcp_len,
+        |  substr(a, 1, lcp_len::INT) AS prefix
+        |FROM p ORDER BY source""".stripMargin))
+
   val codeDetect: QueryDef = QueryDef(
     "text_code_detect",
     (s, dir) =>
@@ -4254,7 +4280,7 @@ object TextQueries extends QueryGroup {
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
-      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97, codeDetect)
+      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97, codeDetect, commonPrefix)
 }
 
 object SamplingQueries extends QueryGroup {

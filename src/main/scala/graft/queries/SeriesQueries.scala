@@ -411,7 +411,37 @@ object SeriesQueries extends QueryGroup {
         |  min(u)::BIGINT AS sample_user
         |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin))
 
+  /** Bot regularity detector
+    * ([[graft.operators.EventSequences.botRegularity]]): gap CV with
+    * the flag decided in DECIMAL(38,0) cross-multiplication.
+    */
+  val botReg: QueryDef = QueryDef(
+    "events_bot_regularity",
+    (s, dir) =>
+      graft.operators.EventSequences.botRegularity(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS id
+        |  FROM events),
+        |g AS (SELECT k, t - lag(t) OVER (PARTITION BY k
+        |    ORDER BY t, id) AS g FROM e),
+        |m AS (SELECT k, count(*)::BIGINT AS n_gaps,
+        |    sum(g)::BIGINT AS sg,
+        |    sum(g::HUGEINT * g::HUGEINT) AS sq
+        |  FROM g WHERE g IS NOT NULL GROUP BY k)
+        |SELECT k AS user_id, n_gaps,
+        |  round(sg::DOUBLE / n_gaps::DOUBLE / 1000000.0, 6) + 0
+        |    AS mean_gap_s,
+        |  CASE WHEN sg > 0 THEN
+        |    round(sqrt((n_gaps::HUGEINT * sq
+        |      - sg::HUGEINT * sg::HUGEINT)::DOUBLE) / sg::DOUBLE, 6) + 0
+        |  END AS cv,
+        |  (n_gaps >= 5 AND sg > 0 AND
+        |    (n_gaps::HUGEINT * sq - sg::HUGEINT * sg::HUGEINT) * 10000
+        |      < 100 * (sg::HUGEINT * sg::HUGEINT)) AS is_bot
+        |FROM m ORDER BY user_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
-      theilSenGate, triples, runs, convLag, retention, rfm)
+      theilSenGate, triples, runs, convLag, retention, rfm, botReg)
 }

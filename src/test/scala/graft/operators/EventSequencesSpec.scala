@@ -463,6 +463,27 @@ class EventSequencesSpec extends SparkSpec {
     assert(r.getLong(2) == 540L * 1000000L)
   }
 
+  test("botRegularity: metronome flags, bursty human does not") {
+    val s = spark
+    import s.implicits._
+    def at(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // user 1: exactly every 60s (cv = 0) → bot
+    // user 2: gaps 10,300,5,600,45,200 s (cv >> 0.1) → human
+    val bot = (0 to 6).map(i => ((i + 1).toLong, 1L, at(i * 60), "x"))
+    val human = Seq(0, 10, 310, 315, 915, 960, 1160).zipWithIndex.map {
+      case (t, i) => ((i + 20).toLong, 2L, at(t), "x")
+    }
+    val df = (bot ++ human).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventSequences.botRegularity(df).orderBy("user_id").collect()
+    assert(out(0).getLong(1) == 6L && out(0).getDouble(3) == 0.0)
+    assert(out(0).getBoolean(4))
+    assert(!out(1).getBoolean(4) && out(1).getDouble(3) > 0.5)
+    // fewer than minGaps never flags, even if perfectly regular
+    val few = (0 to 3).map(i => ((i + 50).toLong, 3L, at(i * 60), "x"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(!EventSequences.botRegularity(few).head().getBoolean(4))
+  }
+
   test("retentionCohorts: first-day cohorts, offsets, exact rates") {
     val s = spark
     import s.implicits._

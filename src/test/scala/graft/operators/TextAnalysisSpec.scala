@@ -453,6 +453,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sourceCommonPrefix: group LCP via order extremes, cap respected") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("s1", "Subject: hello world"), ("s1", "Subject: hello there"),
+      ("s1", "Subject: hola"),        // LCP "Subject: h"
+      ("s2", "alpha"), ("s2", "beta"), // no common prefix
+      ("s3", "same"), ("s3", "same")) // identical → full string
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceCommonPrefix(df, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(("s1", 10L, "Subject: h"), ("s2", 0L, ""),
+      ("s3", 4L, "same")))
+    // cap truncates a longer-than-cap shared head
+    val long = Seq(("s", "x" * 100 + "a"), ("s", "x" * 100 + "b"))
+      .toDF("source", "text")
+    assert(TextAnalysis.sourceCommonPrefix(long, "source", "text", cap = 8)
+      .head().getLong(2) == 8L)
+  }
+
   test("codeDetect: symbol counts exact, flag needs braces AND density") {
     val sp = spark
     import sp.implicits._

@@ -2932,6 +2932,55 @@ object PipelineQueries extends QueryGroup {
         |       (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY node)
         |SELECT node, dist::BIGINT AS dist FROM d4 ORDER BY node""".stripMargin))
 
+  /** End-to-end curation composition — the whole pre-training prep
+    * chain as ONE gated plan: length+token quality filter → exact
+    * content dedup (md5 text hash, min-id survivor) → deterministic
+    * md5 train/val/test split → per-split corpus stats. Every stage
+    * is an already-gated operator; this gate pins that they COMPOSE
+    * (no stage reorders, drops, or double-counts when chained), with
+    * the full chain replayed by one oracle. One scan, one hash-bounded
+    * dedup window, no extra shuffles beyond the stages themselves.
+    */
+  val endToEnd: QueryDef = QueryDef(
+    "pipeline_end_to_end",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val filtered = Tables(s, dir).documents
+        .filter(col("n_chars").between(100, 5000))
+        .withColumn("_tok", TextAnalysis.tokenCount(col("text")))
+        .filter(col("_tok") >= 20)
+      val deduped = filtered
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1)
+      graft.operators.Sampling.deterministicSplit(deduped, "doc_id",
+          Seq("train" -> 204, "val" -> 26, "test" -> 26))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_tok")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some(
+      """WITH f AS (SELECT doc_id, text, lang,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tok
+        |  FROM documents WHERE n_chars BETWEEN 100 AND 5000),
+        |f2 AS (SELECT * FROM f WHERE tok >= 20),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM f2),
+        |dd AS (SELECT doc_id, lang, tok FROM d WHERE rn = 1),
+        |sp AS (SELECT *,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+        |           THEN 'train'
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM dd)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  sum(tok)::BIGINT AS total_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -2942,7 +2991,7 @@ object PipelineQueries extends QueryGroup {
       snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
       kAnonymityGate, lDiversityGate, targetEncoding, clusterSplit,
-      shortestPathsGate)
+      shortestPathsGate, endToEnd)
 }
 
 object TextQueries extends QueryGroup {

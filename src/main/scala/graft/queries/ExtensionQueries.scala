@@ -1459,7 +1459,7 @@ object SimilarityQueries extends QueryGroup {
     * whole trajectory (not just the last stats) is under the hash.
     */
   val kmeans: QueryDef = QueryDef(
-    "sim_kmeans_lloyd",
+    "sim_kmeans_sse",
     (s, dir) =>
       Similarity.kmeansLloyd(
           Tables(s, dir).embeddings, "vec_id", "embedding")

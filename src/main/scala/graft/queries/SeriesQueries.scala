@@ -389,7 +389,7 @@ object SeriesQueries extends QueryGroup {
     * deterministic ntile(5) under a total order, 125-bounded output.
     */
   val rfm: QueryDef = QueryDef(
-    "events_rfm_segments",
+    "events_rfm_grid",
     (s, dir) =>
       graft.operators.EventSequences.rfmSegments(Tables(s, dir).events)
         .orderBy("r_q", "f_q", "m_q"),

@@ -18,7 +18,14 @@ object SparkEntry {
       PipelineQueries, IoQueries, EvalQueries, ProfilingQueries,
       SeriesQueries, MiningQueries)
 
-  private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
+  private lazy val all: Seq[QueryDef] = {
+    val defs = groups.flatMap(_.defs)
+    // duplicate names silently shadow each other in the toMap below —
+    // fail fast instead (it has happened across parallel work streams)
+    val dup = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate gate names: ${dup.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

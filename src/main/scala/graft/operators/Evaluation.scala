@@ -1059,6 +1059,45 @@ object Evaluation {
         6).as("hedges_g"))
   }
 
+  /** Difference-in-differences — the quasi-experimental readout when
+    * you can't randomize: (treated.after − treated.before) −
+    * (control.after − control.before) removes both the group baseline
+    * and the common time trend. ONE hash aggregate to the four cell
+    * moments (n, Σv as exact fixed-point longs), then the four means
+    * and the DiD estimate as the only floats. Output also carries the
+    * four cell means so the parallel-trends eyeball check is in the
+    * same row.
+    */
+  def diffInDiff(
+      df: DataFrame, valueCol: String, treated: Column,
+      after: Column): DataFrame = {
+    val v = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+      .cast("long")
+    val cells =
+      cell2(col("_t"), col("_a"), true, true, "n11", "s11") ++
+        cell2(col("_t"), col("_a"), true, false, "n10", "s10") ++
+        cell2(col("_t"), col("_a"), false, true, "n01", "s01") ++
+        cell2(col("_t"), col("_a"), false, false, "n00", "s00")
+    val m = df.select(v.as("_v"), treated.as("_t"), after.as("_a"))
+      .agg(cells.head, cells.tail: _*)
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double") / 10000.0
+    m.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      Numerics.roundz(mean("s11", "n11"), 6).as("treated_after"),
+      Numerics.roundz(mean("s10", "n10"), 6).as("treated_before"),
+      Numerics.roundz(mean("s01", "n01"), 6).as("control_after"),
+      Numerics.roundz(mean("s00", "n00"), 6).as("control_before"),
+      Numerics.roundz(
+        (mean("s11", "n11") - mean("s10", "n10")) -
+          (mean("s01", "n01") - mean("s00", "n00")), 6).as("did"))
+  }
+
+  private def cell2(t: Column, a: Column, tv: Boolean, av: Boolean,
+      nName: String, sName: String): Seq[Column] = Seq(
+    sum(when(t === tv && a === av, 1L).otherwise(0L)).as(nName),
+    sum(when(t === tv && a === av, col("_v")).otherwise(0L)).as(sName))
+
   /** McNemar's test for PAIRED classifiers — "is model B actually
     * better than model A on the same items", the readout that a naive
     * two-proportion z gets wrong because the predictions share items.

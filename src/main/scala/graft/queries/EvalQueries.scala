@@ -823,10 +823,55 @@ object EvalQueries extends QueryGroup {
         |  END AS chi2
         |FROM m""".stripMargin))
 
+  /** Difference-in-differences
+    * ([[graft.operators.Evaluation.diffInDiff]]): even/odd users as
+    * treated/control, first/second calendar half as before/after —
+    * four exact cell moments in one aggregate, DiD the only float.
+    */
+  val didGate: QueryDef = QueryDef(
+    "eval_diff_in_diff",
+    (s, dir) =>
+      graft.operators.Evaluation.diffInDiff(
+        Tables(s, dir).events, "value",
+        treated = col("user_id") % 2 === 0,
+        after = to_date(col("ts")) >= lit("2024-01-16").cast("date")),
+    Some(
+      """WITH p AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+        |    (user_id % 2 = 0) AS t,
+        |    (ts::DATE >= DATE '2024-01-16') AS a
+        |  FROM events),
+        |m AS (SELECT
+        |    sum(CASE WHEN t AND a THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |    sum(CASE WHEN t AND a THEN v ELSE 0 END)::BIGINT AS s11,
+        |    sum(CASE WHEN t AND NOT a THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |    sum(CASE WHEN t AND NOT a THEN v ELSE 0 END)::BIGINT AS s10,
+        |    sum(CASE WHEN NOT t AND a THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |    sum(CASE WHEN NOT t AND a THEN v ELSE 0 END)::BIGINT AS s01,
+        |    sum(CASE WHEN NOT t AND NOT a THEN 1 ELSE 0 END)::BIGINT
+        |      AS n00,
+        |    sum(CASE WHEN NOT t AND NOT a THEN v ELSE 0 END)::BIGINT
+        |      AS s00
+        |  FROM p)
+        |SELECT n11, n10, n01, n00,
+        |  round(s11::DOUBLE / n11::DOUBLE / 10000.0, 6) + 0
+        |    AS treated_after,
+        |  round(s10::DOUBLE / n10::DOUBLE / 10000.0, 6) + 0
+        |    AS treated_before,
+        |  round(s01::DOUBLE / n01::DOUBLE / 10000.0, 6) + 0
+        |    AS control_after,
+        |  round(s00::DOUBLE / n00::DOUBLE / 10000.0, 6) + 0
+        |    AS control_before,
+        |  round((s11::DOUBLE / n11::DOUBLE / 10000.0
+        |      - s10::DOUBLE / n10::DOUBLE / 10000.0)
+        |    - (s01::DOUBLE / n01::DOUBLE / 10000.0
+        |      - s00::DOUBLE / n00::DOUBLE / 10000.0), 6) + 0 AS did
+        |FROM m""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
-      conformalGate, cohensDGate, mcnemarGate)
+      conformalGate, cohensDGate, mcnemarGate, didGate)
 }

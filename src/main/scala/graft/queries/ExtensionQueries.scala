@@ -6234,6 +6234,29 @@ object IoQueries extends QueryGroup {
         |WHERE doc_id % 2 = 0
         |ORDER BY doc_id""".stripMargin))
 
+  /** Change-data feed ([[graft.sources.TxTable.readChanges]]): the
+    * rows added by versions (0, 2] of an append-only table — the
+    * incremental-consumer read that touches ONLY delta files. Oracle
+    * = the two appended slices; the hash proves file-set subtraction
+    * is exactly the appended data, nothing replayed, nothing lost.
+    */
+  val txtableChanges: QueryDef = QueryDef(
+    "io_txtable_changes",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txtable-cdf-").toString
+      graft.sources.TxTable.create(d.filter(col("doc_id") % 3 === 0), root)
+      graft.sources.TxTable.append(d.filter(col("doc_id") % 3 === 1), root)
+      graft.sources.TxTable.append(d.filter(col("doc_id") % 3 === 2), root)
+      graft.sources.TxTable.readChanges(s, root, 0L, 2L)
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text, lang FROM documents
+        |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin))
+
   val profileDrift: QueryDef = QueryDef(
     "io_profile_drift",
     (s, dir) => {
@@ -6480,7 +6503,7 @@ object IoQueries extends QueryGroup {
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
-      profileDrift,
+      txtableChanges, profileDrift,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)
 }

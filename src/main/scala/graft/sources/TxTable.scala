@@ -168,6 +168,29 @@ object TxTable {
     readFiles(spark, root, s.files)
   }
 
+  /** Change-data feed for APPEND-STYLE commits: the rows added by
+    * versions (fromVersion, toVersion] — exactly the files present in
+    * the destination snapshot but absent from the source one, so an
+    * incremental consumer reads ONLY the delta files (no diffing of
+    * row contents, no full-table scan). Contract: valid for commits
+    * that never rewrite surviving rows into new files (create/append/
+    * streaming batches); a compaction or merge inside the range
+    * rewrites files and would replay surviving rows — use the
+    * Merkle-bucket snapshot diff for row-level semantics there.
+    */
+  def readChanges(
+      spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = snapshot(spark, root, fromVersion).files.toSet
+    val to = snapshot(spark, root, toVersion).files
+    val delta = to.filterNot(from)
+    // empty range ⇒ empty frame with the table's schema, not a throw
+    if (delta.isEmpty) readFiles(spark, root, to).limit(0)
+    else readFiles(spark, root, delta)
+  }
+
   private def readFiles(
       spark: SparkSession, root: String, files: Seq[String]): DataFrame = {
     if (files.isEmpty)

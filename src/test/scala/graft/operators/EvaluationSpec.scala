@@ -393,6 +393,25 @@ class EvaluationSpec extends SparkSpec {
       .head().isNullAt(4))
   }
 
+  test("diffInDiff removes group baseline and common trend exactly") {
+    val s = spark
+    import s.implicits._
+    // control: 10 → 12 (+2 common trend); treated: 20 → 25
+    // DiD = (25−20) − (12−10) = 3
+    val df = Seq(
+      (10.0, false, false), (10.0, false, false),
+      (12.0, false, true), (12.0, false, true),
+      (20.0, true, false), (20.0, true, false),
+      (25.0, true, true), (25.0, true, true))
+      .toDF("v", "t", "a")
+    val r = Evaluation.diffInDiff(df, "v", col("t"), col("a")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) == 25.0 && r.getDouble(5) == 20.0)
+    assert(r.getDouble(6) == 12.0 && r.getDouble(7) == 10.0)
+    assert(r.getDouble(8) == 3.0)
+  }
+
   test("anovaF recovers the exact hand-computed F on integer groups") {
     val s = spark
     import s.implicits._

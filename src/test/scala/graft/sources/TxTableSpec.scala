@@ -47,6 +47,23 @@ class TxTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxTable.versions(spark, root) == Seq(0L, 1L))
   }
 
+  test("readChanges returns exactly the appended delta, empty range is empty") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L, 2L), root)          // v0
+    TxTable.append(rows(3L), root)              // v1
+    TxTable.append(rows(4L, 5L), root)          // v2
+    def ids(from: Long, to: Long) =
+      TxTable.readChanges(spark, root, from, to)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(0L, 2L) == Set(3L, 4L, 5L))
+    assert(ids(1L, 2L) == Set(4L, 5L))
+    assert(ids(0L, 1L) == Set(3L))
+    assert(ids(2L, 2L) == Set.empty[Long]) // same version → empty, no throw
+    // schema survives the empty case
+    assert(TxTable.readChanges(spark, root, 2L, 2L).columns.toSeq ==
+      Seq("id", "text"))
+  }
+
   test("append retries past a lost commit race") {
     val root = tmpRoot()
     TxTable.create(rows(1L), root)

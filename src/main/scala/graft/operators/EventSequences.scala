@@ -573,6 +573,61 @@ object EventSequences {
       .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Kaplan–Meier survival estimator over user lifetimes — the churn
+    * curve: lifetime = days between a user's first and last event;
+    * a user whose last activity stops ≥ `censorGapDays` before the
+    * corpus horizon is a DEATH, anyone still active near the horizon
+    * is right-CENSORED (their lifetime is a lower bound, and KM is
+    * exactly the estimator that uses censored rows correctly — they
+    * stay in the risk set up to their observed lifetime).
+    *
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct death times, with
+    * nᵢ = #(lifetime ≥ tᵢ) from the lifetime histogram's reverse
+    * cumulative — the corpus collapses to one row per user in one
+    * aggregate, then to one row per distinct lifetime. The running
+    * product is computed per row by an ORDERED LIST FOLD over the
+    * (day-bounded) death-time frame — not a window product — so the
+    * float association order is fixed and a DuckDB oracle replays it
+    * factor for factor.
+    */
+  def kaplanMeier(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", censorGapDays: Int = 3): DataFrame = {
+    val per = events.groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("_f"),
+        max(to_date(col(tsCol))).as("_l"))
+    val horizon = per.agg(max(col("_l")).as("_m"))
+    val life = per.crossJoin(broadcast(horizon))
+      .select(datediff(col("_l"), col("_f")).cast("long").as("_t"),
+        (datediff(col("_m"), col("_l")) >= censorGapDays).as("_dead"))
+    val hist = life.groupBy(col("_t"))
+      .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_dead"), 0L).otherwise(1L)).as("_c"),
+        count(lit(1)).as("_m"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = hist
+      .withColumn("_below", coalesce(sum(col("_m")).over(w), lit(0L)))
+      .withColumn("_tot",
+        sum(col("_m")).over(Window.partitionBy()))
+      .withColumn("_n", col("_tot") - col("_below"))
+      .filter(col("_d") > 0)
+      .select(col("_t"), col("_d"), col("_c"), col("_n"))
+    val folded = risk.crossJoin(broadcast(risk.agg(
+      array_sort(collect_list(struct(col("_t").as("t"), col("_d").as("d"),
+        col("_n").as("n")))).as("_all"))))
+    folded.select(col("_t").as("lifetime_days"),
+        col("_n").as("n_at_risk"), col("_d").as("deaths"),
+        col("_c").as("censored"),
+        Numerics.roundz(
+          aggregate(
+            transform(
+              filter(col("_all"), x => x.getField("t") <= col("_t")),
+              x => lit(1.0) - x.getField("d").cast("double") /
+                x.getField("n").cast("double")),
+            lit(1.0), (acc, f) => acc * f), 6).as("survival"))
+  }
+
   /** Bot / automation regularity detector: real users arrive with
     * bursty inter-event gaps; schedulers tick. Per key this computes
     * the gap count, mean gap, and coefficient of variation — and makes

@@ -441,7 +441,44 @@ object SeriesQueries extends QueryGroup {
         |      < 100 * (sg::HUGEINT * sg::HUGEINT)) AS is_bot
         |FROM m ORDER BY user_id""".stripMargin))
 
+  /** Kaplan–Meier churn curve
+    * ([[graft.operators.EventSequences.kaplanMeier]]): right-censored
+    * user lifetimes, risk sets from the reverse cumulative, the
+    * running product as an ordered list fold both sides.
+    */
+  val km: QueryDef = QueryDef(
+    "events_kaplan_meier",
+    (s, dir) =>
+      graft.operators.EventSequences.kaplanMeier(Tables(s, dir).events)
+        .orderBy("lifetime_days"),
+    Some(
+      """WITH per AS (SELECT user_id, min(ts::DATE) AS f,
+        |    max(ts::DATE) AS l FROM events GROUP BY user_id),
+        |hz AS (SELECT max(l) AS m FROM per),
+        |life AS (SELECT (l - f)::BIGINT AS t,
+        |    ((m - l) >= 3) AS dead FROM per CROSS JOIN hz),
+        |hist AS (SELECT t,
+        |    sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    sum(CASE WHEN dead THEN 0 ELSE 1 END)::BIGINT AS c,
+        |    count(*)::BIGINT AS mm
+        |  FROM life GROUP BY t),
+        |risk AS (SELECT t, d, c,
+        |    (sum(mm) OVER () - coalesce(sum(mm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS n
+        |  FROM hist),
+        |dr AS (SELECT t, d, c, n FROM risk WHERE d > 0),
+        |al AS (SELECT list(struct_pack(t := t, d := d, n := n)
+        |    ORDER BY t) AS alls FROM dr)
+        |SELECT t AS lifetime_days, n AS n_at_risk, d AS deaths,
+        |  c AS censored,
+        |  round(list_reduce(list_prepend(1.0::DOUBLE,
+        |    list_transform(list_filter(alls, x -> x.t <= dr.t),
+        |      x -> 1.0 - x.d::DOUBLE / x.n::DOUBLE)),
+        |    (a, b) -> a * b), 6) + 0 AS survival
+        |FROM dr CROSS JOIN al ORDER BY lifetime_days""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
-      theilSenGate, triples, runs, convLag, retention, rfm, botReg)
+      theilSenGate, triples, runs, convLag, retention, rfm, botReg, km)
 }

@@ -463,6 +463,29 @@ class EventSequencesSpec extends SparkSpec {
     assert(r.getLong(2) == 540L * 1000000L)
   }
 
+  test("kaplanMeier matches the textbook estimator with censoring") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 09:00:00")
+    // horizon = day 20. Users (first, last):
+    //  u1 (1,3):  t=2,  dead (gap 17)
+    //  u2 (1,5):  t=4,  dead
+    //  u3 (2,6):  t=4,  dead
+    //  u4 (1,19): t=18, censored (gap 1)
+    //  u5 (1,20): t=19, censored (gap 0)
+    val spans = Seq((1L, 1, 3), (2L, 1, 5), (3L, 2, 6), (4L, 1, 19),
+      (5L, 1, 20))
+    val ev = spans.flatMap { case (u, f, l) =>
+      Seq((u, day(f)), (u, day(l)))
+    }.toDF("user_id", "ts")
+    val out = EventSequences.kaplanMeier(ev).orderBy("lifetime_days")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // death times: t=2 (n=5, d=1) → S=0.8; t=4 (n=4, d=2) → S=0.8·0.5=0.4
+    assert(out.toSeq == Seq((2L, 5L, 1L, 0L, 0.8), (4L, 4L, 2L, 0L, 0.4)))
+  }
+
   test("botRegularity: metronome flags, bursty human does not") {
     val s = spark
     import s.implicits._

@@ -1042,6 +1042,41 @@ object ScaleCheck {
           "user_id", "ts", "value"))
     }
 
+    // k-means: E-step is a broadcast of k vectors against the corpus,
+    // M-step a dim-keyed aggregate — 10x vectors should be ~linear
+    locally {
+      def vecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          i => ((col("id") * 37 + i * 101) % 1000).cast("double") / 100.0)
+          .as("embedding"))
+      time("kmeans_1x",
+        graft.operators.Similarity.kmeansLloyd(
+          vecs(15000L), "vec_id", "embedding", k = 8, iters = 2))
+      time(s"kmeans_${dup}x",
+        graft.operators.Similarity.kmeansLloyd(
+          vecs(15000L * dup), "vec_id", "embedding", k = 8, iters = 2))
+    }
+
+    // retention / survival: corpus → one row per user → one row per
+    // (cohort, offset) resp. distinct lifetime; users scale with data
+    locally {
+      def ev(users: Long) = spark.range(users * 20L).select(
+        (col("id") % users).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          expr(s"(id div $users) * 86400000000") +
+          (col("id") % users) * 11L).as("ts"))
+      time(s"retention_${dup}x",
+        graft.operators.EventSequences.retentionCohorts(
+          ev(10000L * dup)))
+      // truncate each user's span to (user % 20)+1 days so lifetimes
+      // spread 0..19 and real deaths exist (not all-censored)
+      time(s"kaplan_meier_${dup}x",
+        graft.operators.EventSequences.kaplanMeier(
+          ev(10000L * dup).filter(expr(
+            "(unix_micros(ts) - 1700000000000000) div 86400000000" +
+              " <= user_id % 20"))))
+    }
+
     // weighted median: corpus collapses to the per-(group, value)
     // frame before any window; mod-97: scan-local codegen fold
     locally {

@@ -628,6 +628,72 @@ object EventSequences {
             lit(1.0), (acc, f) => acc * f), 6).as("survival"))
   }
 
+  /** Log-rank test — "do these two cohorts churn differently",
+    * the hypothesis-test companion to [[kaplanMeier]] that uses
+    * right-censored rows correctly (a naive mean-lifetime comparison
+    * is biased by censoring). At each pooled death time t:
+    * O₁ accumulates group-1 deaths (exact int), E₁ accumulates
+    * d_t·n₁t/n_t and V the hypergeometric variance — both folded in
+    * SORTED time order over the day-bounded death-time frame, so the
+    * float association is fixed and replayable. χ² = (O₁−E₁)²/V.
+    *
+    * Risk sets come from one bounded join (users × death-times, times
+    * day-bounded) — no per-user windows, no corpus self-join.
+    */
+  def logRankTest(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", inGroup1: Column,
+      censorGapDays: Int = 3): DataFrame = {
+    val per = events.groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("_f"),
+        max(to_date(col(tsCol))).as("_l"),
+        max(when(inGroup1, 1L).otherwise(0L)).as("_g"))
+    val horizon = per.agg(max(col("_l")).as("_m"))
+    val life = per.crossJoin(broadcast(horizon))
+      .select(datediff(col("_l"), col("_f")).cast("long").as("_t"),
+        (datediff(col("_m"), col("_l")) >= censorGapDays).as("_dead"),
+        col("_g"))
+    val times = life.filter(col("_dead"))
+      .select(col("_t").as("_dt")).distinct()
+    val cells = life.join(broadcast(times), col("_t") >= col("_dt"))
+      .groupBy(col("_dt"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_g")).as("_n1"),
+        sum(when(col("_dead") && col("_t") === col("_dt"), 1L)
+          .otherwise(0L)).as("_d"),
+        sum(when(col("_dead") && col("_t") === col("_dt"), col("_g"))
+          .otherwise(0L)).as("_d1"))
+    val folded = cells.agg(
+      count(lit(1)).as("n_death_times"),
+      sum(col("_d1")).as("o1"),
+      aggregate(
+        array_sort(collect_list(struct(col("_dt"), col("_d"), col("_n1"),
+          col("_n")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("_d").cast("double") *
+          s.getField("_n1").cast("double") /
+          s.getField("_n").cast("double")).as("_e1"),
+      aggregate(
+        array_sort(collect_list(struct(col("_dt"), col("_d"), col("_n1"),
+          col("_n")))),
+        lit(0.0),
+        (acc, s) => {
+          val n = s.getField("_n").cast("double")
+          val n1 = s.getField("_n1").cast("double")
+          val d = s.getField("_d").cast("double")
+          acc + when(s.getField("_n") > 1,
+            d * (n1 / n) * (lit(1.0) - n1 / n) * (n - d) / (n - 1.0))
+            .otherwise(lit(0.0))
+        }).as("_v"))
+    folded.select(col("n_death_times"), col("o1"),
+      Numerics.roundz(col("_e1"), 6).as("e1"),
+      when(col("_v") > 0.0,
+        Numerics.roundz(
+          (col("o1").cast("double") - col("_e1")) *
+            (col("o1").cast("double") - col("_e1")) / col("_v"), 6))
+        .as("chi2"))
+  }
+
   /** Bot / automation regularity detector: real users arrive with
     * bursty inter-event gaps; schedulers tick. Per key this computes
     * the gap count, mean gap, and coefficient of variation — and makes

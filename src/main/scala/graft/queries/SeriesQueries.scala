@@ -478,7 +478,54 @@ object SeriesQueries extends QueryGroup {
         |    (a, b) -> a * b), 6) + 0 AS survival
         |FROM dr CROSS JOIN al ORDER BY lifetime_days""".stripMargin))
 
+  /** Log-rank two-cohort churn comparison
+    * ([[graft.operators.EventSequences.logRankTest]]): even vs odd
+    * users, O/E/V folded in sorted death-time order, χ² the surface.
+    */
+  val logRank: QueryDef = QueryDef(
+    "events_log_rank",
+    (s, dir) =>
+      graft.operators.EventSequences.logRankTest(
+        Tables(s, dir).events, inGroup1 = col("user_id") % 2 === 0),
+    Some(
+      """WITH per AS (SELECT user_id, min(ts::DATE) AS f,
+        |    max(ts::DATE) AS l,
+        |    max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS g
+        |  FROM events GROUP BY user_id),
+        |hz AS (SELECT max(l) AS m FROM per),
+        |life AS (SELECT (l - f)::BIGINT AS t, ((m - l) >= 3) AS dead, g
+        |  FROM per CROSS JOIN hz),
+        |times AS (SELECT DISTINCT t AS dt FROM life WHERE dead),
+        |cells AS (SELECT dt, count(*)::BIGINT AS n,
+        |    sum(g)::BIGINT AS n1,
+        |    sum(CASE WHEN dead AND t = dt THEN 1 ELSE 0 END)::BIGINT
+        |      AS d,
+        |    sum(CASE WHEN dead AND t = dt THEN g ELSE 0 END)::BIGINT
+        |      AS d1
+        |  FROM life JOIN times ON life.t >= times.dt GROUP BY dt),
+        |al AS (SELECT count(*)::BIGINT AS n_death_times,
+        |    sum(d1)::BIGINT AS o1,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(d::DOUBLE * n1::DOUBLE / n::DOUBLE ORDER BY dt)),
+        |      (a, b) -> a + b) AS e1,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(CASE WHEN n > 1 THEN
+        |          d::DOUBLE * (n1::DOUBLE / n::DOUBLE)
+        |          * (1.0 - n1::DOUBLE / n::DOUBLE)
+        |          * (n::DOUBLE - d::DOUBLE) / (n::DOUBLE - 1.0)
+        |        ELSE 0.0 END ORDER BY dt)),
+        |      (a, b) -> a + b) AS v
+        |  FROM cells)
+        |SELECT n_death_times, o1, round(al.e1, 6) + 0 AS e1,
+        |  CASE WHEN v > 0.0 THEN
+        |    round((o1::DOUBLE - al.e1) * (o1::DOUBLE - al.e1) / v, 6)
+        |      + 0
+        |  END AS chi2
+        |FROM al""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
-      theilSenGate, triples, runs, convLag, retention, rfm, botReg, km)
+      theilSenGate, triples, runs, convLag, retention, rfm, botReg, km,
+      logRank)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class EventSequencesSpec extends SparkSpec {
 
@@ -484,6 +485,29 @@ class EventSequencesSpec extends SparkSpec {
         r.getDouble(4)))
     // death times: t=2 (n=5, d=1) → S=0.8; t=4 (n=4, d=2) → S=0.8·0.5=0.4
     assert(out.toSeq == Seq((2L, 5L, 1L, 0L, 0.8), (4L, 4L, 2L, 0L, 0.4)))
+  }
+
+  test("logRankTest: identical cohorts give chi2 ~ 0, disjoint churn separates") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 09:00:00")
+    // horizon day 20. Group1 (even users) dies at t=2; group0 at t=8.
+    val spans = Seq(
+      (2L, 1, 3), (4L, 1, 3), (6L, 1, 3),    // g1, t=2, dead
+      (1L, 1, 9), (3L, 1, 9), (5L, 1, 9),    // g0, t=8, dead
+      (7L, 1, 20), (8L, 1, 20))              // censored, one per group
+    val ev = spans.flatMap { case (u, f, l) =>
+      Seq((u, day(f)), (u, day(l)))
+    }.toDF("user_id", "ts")
+    val r = EventSequences.logRankTest(ev,
+      inGroup1 = col("user_id") % 2 === 0).head()
+    // death times: t=2 (n=8, n1=4, d=3 all g1), t=8 (n=5, n1=1, d=3 g0)
+    // O1 = 3; E1 = 3·4/8 + 3·1/5 = 1.5 + 0.6 = 2.1
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 2.1) < 1e-9)
+    // V = 3·(4/8)(1−4/8)(8−3)/7 + 3·(1/5)(1−1/5)(5−3)/4
+    val v = 3.0 * 0.5 * 0.5 * 5 / 7 + 3.0 * 0.2 * 0.8 * 2 / 4
+    assert(math.abs(r.getDouble(3) - (3.0 - 2.1) * (3.0 - 2.1) / v) < 1e-5)
   }
 
   test("botRegularity: metronome flags, bursty human does not") {

@@ -813,13 +813,15 @@ object EventSequences {
     val base = events.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
       col(idCol).as("_id"), y.as("_y"))
     val wv = Window.partitionBy(col("_k")).orderBy(col("_y"), col("_id"))
-    val med = base
+    // median attached via a second window on the SAME key partition —
+    // no join back, no second corpus shuffle
+    val signed = base
       .withColumn("_rn", row_number().over(wv))
       .withColumn("_n",
         count(lit(1)).over(Window.partitionBy(col("_k"))))
-      .filter(col("_rn") === expr("(_n + 1) div 2"))
-      .select(col("_k"), col("_y").as("_med"))
-    val signed = base.join(med, Seq("_k"))
+      .withColumn("_med",
+        max(when(col("_rn") === expr("(_n + 1) div 2"), col("_y")))
+          .over(Window.partitionBy(col("_k"))))
       .filter(col("_y") =!= col("_med"))
       .withColumn("_s", when(col("_y") > col("_med"), 1).otherwise(-1))
     val wt = Window.partitionBy(col("_k"))

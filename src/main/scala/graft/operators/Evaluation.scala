@@ -155,6 +155,44 @@ object Evaluation {
         round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
   }
 
+  /** Expected Calibration Error — the one-number summary of
+    * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|acc_b − conf_b|, the gap
+    * between what the model says and what happens, weighted by where
+    * the mass is. Confidence is the sigmoid of the milli-logit
+    * QUANTIZED to an exact micro-probability long per row
+    * (round(σ·10⁶)) so per-bin confidence sums are integers —
+    * corpus-order float accumulation never happens; the outer sum
+    * folds the bin-bounded frame in sorted bin order. One corpus
+    * aggregate, everything after is bin-frame work.
+    */
+  def expectedCalibrationError(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = lit(1.0) /
+      (lit(1.0) + exp(-col(scoreCol).cast("double") / 1000.0))
+    val bins = df
+      .select(floor(col(scoreCol) / binWidth).cast("long").as("_b"),
+        col(labelCol).cast("long").as("_l"),
+        round(p * 1000000.0, 0).cast("long").as("_pm"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_l")).as("_np"),
+        sum(col("_pm")).as("_spm"))
+    bins.agg(
+      count(lit(1)).as("n_bins"), sum(col("_n")).as("n"),
+      aggregate(
+        array_sort(collect_list(struct(col("_b"), col("_n"), col("_np"),
+          col("_spm")))),
+        lit(0.0),
+        (acc, s) => {
+          val n = s.getField("_n").cast("double")
+          acc + n * abs(s.getField("_np").cast("double") / n -
+            s.getField("_spm").cast("double") / (n * 1000000.0))
+        }).as("_w"))
+      .select(col("n_bins"), col("n"),
+        Numerics.roundz(col("_w") / col("n").cast("double"), 6).as("ece"))
+  }
+
   /** Pairwise precision / recall / F1 of a predicted duplicate
     * clustering against a reference clustering (Menestrina et al.'s
     * pairwise measure — the standard ER/dedup report): a pair of rows

@@ -505,4 +505,54 @@ object Sampling {
         expr("cast(rank_in_source - 1 as decimal(38,0)) * _total div _n_src")
           .as("pos_key"))
   }
+
+  /** Neyman optimal stratified allocation — the sampling budget split
+    * that minimizes estimator variance: n_h ∝ N_h·σ_h (big noisy
+    * strata get more budget than small uniform ones). Per-stratum σ
+    * comes from exact fixed-point moments (Σv long, Σv² DECIMAL(38,0))
+    * cast to double once; quotas q_h = B·w_h/ΣW with the cross-stratum
+    * ΣW folded in sorted stratum order. Integerization is LARGEST
+    * REMAINDER (floor everything, hand the leftover to the biggest
+    * fractional parts, ties to the lexicographically first stratum) —
+    * a total, replayable rule, so the allocation itself is under the
+    * oracle, not just the quotas. Stratum-frame work throughout after
+    * one corpus aggregate.
+    */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = (col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+      .cast("long")
+    val g = df.select(col(stratumCol).cast("string").as("_g"), v.as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
+        sum(col("_v").cast(d38) * col("_v").cast(d38)).as("_q"))
+    val nD = col("_n").cast("double")
+    val sigma = sqrt(
+      greatest(lit(0.0),
+        (col("_q").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") / nD) / nD))
+    val w = g.select(col("_g"), col("_n"), (nD * sigma).as("_w"))
+    val tot = w.agg(
+      aggregate(array_sort(collect_list(struct(col("_g"), col("_w")))),
+        lit(0.0), (acc, s) => acc + s.getField("_w")).as("_tw"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .withColumn("_q", lit(budget.toDouble) * col("_w") / col("_tw"))
+      .withColumn("_base", floor(col("_q")).cast("long"))
+      .withColumn("_rem", col("_q") - floor(col("_q")))
+    val leftover = quotas.agg(
+      (lit(budget) - sum(col("_base"))).as("_left"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("_g"))).cast("long"))
+      .select(col("_g").as(stratumCol), col("_n").as("n_rows"),
+        Numerics.roundz(col("_w") / col("_n").cast("double") / 10000.0, 6)
+          .as("sigma"),
+        Numerics.roundz(col("_q"), 6).as("quota"),
+        (col("_base") + when(col("_rk") <= col("_left"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

@@ -868,10 +868,40 @@ object EvalQueries extends QueryGroup {
         |      - s00::DOUBLE / n00::DOUBLE / 10000.0), 6) + 0 AS did
         |FROM m""".stripMargin))
 
+  /** Expected Calibration Error
+    * ([[Evaluation.expectedCalibrationError]]): per-row sigmoid
+    * quantized to exact micro-probabilities, bin frame folded in
+    * sorted order — the one-number calibration summary next to the
+    * per-bin table.
+    */
+  val eceGate: QueryDef = QueryDef(
+    "eval_ece",
+    (s, dir) =>
+      Evaluation.expectedCalibrationError(scoreLabel(s, dir),
+        "score", "label", binWidth = 1000L),
+    Some(
+      s"""WITH $ScoreCte,
+         |$LabelCte,
+         |j AS (SELECT sc.score, lb.label FROM sc JOIN lb USING (doc_id)),
+         |b AS (SELECT floor(score / 1000)::BIGINT AS bin,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS np,
+         |    sum(CAST(round(1.0 / (1.0 + exp(-(score::DOUBLE) / 1000.0))
+         |      * 1000000.0, 0) AS BIGINT))::BIGINT AS spm
+         |  FROM j GROUP BY 1),
+         |ef AS (SELECT count(*)::BIGINT AS n_bins, sum(n)::BIGINT AS n,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(n::DOUBLE * abs(np::DOUBLE / n::DOUBLE
+         |        - spm::DOUBLE / (n::DOUBLE * 1000000.0)) ORDER BY bin)),
+         |      (a, b) -> a + b) AS w
+         |  FROM b)
+         |SELECT n_bins, n, round(ef.w / n::DOUBLE, 6) + 0 AS ece
+         |FROM ef""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
-      conformalGate, cohensDGate, mcnemarGate, didGate)
+      conformalGate, cohensDGate, mcnemarGate, didGate, eceGate)
 }

@@ -4636,10 +4636,51 @@ object SamplingQueries extends QueryGroup {
         |SELECT doc_id, lang, (rn - 1) % 5 AS fold
         |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** Neyman optimal stratified allocation
+    * ([[graft.operators.Sampling.neymanAllocation]]): n_h ∝ N_h·σ_h
+    * with largest-remainder integerization — the allocation itself
+    * (not just the quotas) under the oracle.
+    */
+  val neyman: QueryDef = QueryDef(
+    "sample_neyman_allocation",
+    (s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+          Tables(s, dir).orders, "o_orderpriority", "o_totalprice",
+          budget = 1000L)
+        .orderBy("o_orderpriority"),
+    Some(
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS v
+        |  FROM orders),
+        |pg AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v::HUGEINT) AS q FROM v GROUP BY g),
+        |ww AS (SELECT g, n,
+        |    n::DOUBLE * sqrt(greatest(0.0,
+        |      (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |        / n::DOUBLE)) AS w
+        |  FROM pg),
+        |tw AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(w ORDER BY g)), (a, b) -> a + b) AS tw FROM ww),
+        |qt AS (SELECT g, n, ww.w AS w,
+        |    1000.0 * ww.w / tw AS quota,
+        |    floor(1000.0 * ww.w / tw)::BIGINT AS base,
+        |    1000.0 * ww.w / tw - floor(1000.0 * ww.w / tw) AS rem
+        |  FROM ww CROSS JOIN tw),
+        |lo AS (SELECT (1000 - sum(base))::BIGINT AS lft FROM qt),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rk
+        |  FROM qt)
+        |SELECT g AS o_orderpriority, n AS n_rows,
+        |  round(rk.w / n::DOUBLE / 10000.0, 6) + 0 AS sigma,
+        |  round(rk.quota, 6) + 0 AS quota,
+        |  (base + CASE WHEN rk.rk <= lft THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc
+        |FROM rk CROSS JOIN lo ORDER BY o_orderpriority""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
       weightedSample, weightedPerGroup, splitHash, negativeSamples,
-      curriculum, distributionMatch, kfold)
+      curriculum, distributionMatch, kfold, neyman)
 }
 
 object EventQueries extends QueryGroup {

@@ -393,6 +393,21 @@ class EvaluationSpec extends SparkSpec {
       .head().isNullAt(4))
   }
 
+  test("expectedCalibrationError: perfectly calibrated bins give ~0") {
+    val s = spark
+    import s.implicits._
+    // score 0 → sigmoid 0.5: half positives in that bin → gap 0.
+    // score 4000 → sigmoid ≈ 0.982: all positives → gap ≈ 0.018.
+    val df = (Seq.fill(50)((0L, true)) ++ Seq.fill(50)((0L, false)) ++
+      Seq.fill(100)((4000L, true))).toDF("score", "label")
+    val r = Evaluation.expectedCalibrationError(df, "score", "label",
+      binWidth = 1000L).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 200L)
+    val conf4k = 1.0 / (1.0 + math.exp(-4.0))
+    val expect = (100.0 * 0.0 + 100.0 * (1.0 - conf4k)) / 200.0
+    assert(math.abs(r.getDouble(2) - expect) < 1e-5)
+  }
+
   test("diffInDiff removes group baseline and common trend exactly") {
     val s = spark
     import s.implicits._

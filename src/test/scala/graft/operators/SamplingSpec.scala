@@ -384,4 +384,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(first == again)
   }
+
+  test("neymanAllocation: budget splits by N_h·sigma_h and sums exactly") {
+    val s = spark
+    import s.implicits._
+    // stratum a: 100 rows, sd 0 (constant) → zero weight;
+    // stratum b: 100 rows alternating ±10 around 50 → sigma 10;
+    // stratum c: 50 rows alternating ±30 around 50 → sigma 30.
+    // weights: a=0, b=1000, c=1500 → quotas 0 / 40 / 60 of budget 100
+    val rows =
+      (1 to 100).map(i => ("a", 50.0)) ++
+      (1 to 100).map(i => ("b", if (i % 2 == 0) 60.0 else 40.0)) ++
+      (1 to 50).map(i => ("c", if (i % 2 == 0) 80.0 else 20.0))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), "g", "v",
+        budget = 100L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(4)))
+    assert(out(0) == (("a", 0.0, 0L)))
+    assert(out(1) == (("b", 10.0, 40L)))
+    assert(out(2) == (("c", 30.0, 60L)))
+    assert(out.map(_._3).sum == 100L) // largest remainder preserves B
+  }
 }

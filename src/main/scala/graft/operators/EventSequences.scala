@@ -573,6 +573,40 @@ object EventSequences {
       .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Maximum drawdown per key — the "worst peak-to-trough slide" of
+    * the running value sum, the risk readout for any cumulative
+    * series (revenue, token budget, quota). ENTIRELY integer: cum is
+    * an exact fixed-point prefix sum in (ts, id) order, peak a running
+    * max over the same frame, drawdown = peak − cum; the argmax picks
+    * the FIRST worst row by the same total order. One key shuffle,
+    * two window frames on one sort, no floats anywhere.
+    */
+  def maxDrawdown(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val cum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    val rows = events
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), y.as("_y"))
+      .withColumn("_cum", sum(col("_y")).over(cum))
+      .withColumn("_peak", max(col("_cum")).over(cum))
+      .withColumn("_dd", col("_peak") - col("_cum"))
+      .withColumn("_t", row_number().over(wt).cast("long"))
+    rows
+      .withColumn("_mdd",
+        max(col("_dd")).over(Window.partitionBy(col("_k"))))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("_cum")).as("peak_fp"),
+        first(col("_mdd")).as("max_drawdown_fp"),
+        min(when(col("_dd") === col("_mdd"), col("_t"))).as("trough_at"))
+      .select(col("_k").as(keyCol), col("n_events"), col("peak_fp"),
+        col("max_drawdown_fp"), col("trough_at"))
+  }
+
   /** Kaplan–Meier survival estimator over user lifetimes — the churn
     * curve: lifetime = days between a user's first and last event;
     * a user whose last activity stops ≥ `censorGapDays` before the
@@ -1142,5 +1176,38 @@ object EventSequences {
             num.cast("double") / den.cast("double"), 6))
           .as("acf"))
       .orderBy("lag")
+  }
+
+  /** Partial autocorrelation at lags 1..3 via the Durbin–Levinson
+    * closed forms — "is the lag-2 correlation real or just lag-1
+    * echoing twice", the AR-order readout next to [[acf]]. Built ON
+    * TOP of the ROUNDED acf surface (both engines agree on those
+    * doubles bit-for-bit, so every downstream chain is deterministic
+    * by construction):
+    *
+    *   φ11 = r1
+    *   φ22 = (r2 − r1²)/(1 − r1²),  φ21 = r1·(1 − φ22)
+    *   φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)
+    *
+    * One 3-row pivot over the acf frame; nulls (constant series)
+    * propagate.
+    */
+  def pacf(
+      series: DataFrame, idxCol: String, valueCol: String): DataFrame = {
+    val r = acf(series, idxCol, valueCol, maxLag = 3)
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val r1 = col("r1")
+    val r2 = col("r2")
+    val r3 = col("r3")
+    val p22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val p21 = r1 * (lit(1.0) - p22)
+    r.select(r1, r2, r3,
+      Numerics.roundz(r1, 6).as("pacf1"),
+      Numerics.roundz(p22, 6).as("pacf2"),
+      Numerics.roundz(
+        (r3 - p21 * r2 - p22 * r1) /
+          (lit(1.0) - p21 * r1 - p22 * r2), 6).as("pacf3"))
   }
 }

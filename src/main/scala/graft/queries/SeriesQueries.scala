@@ -524,8 +524,80 @@ object SeriesQueries extends QueryGroup {
         |  END AS chi2
         |FROM al""".stripMargin))
 
+  /** Maximum drawdown per user
+    * ([[graft.operators.EventSequences.maxDrawdown]]): peak-to-trough
+    * slide of the running value sum — integers end to end.
+    */
+  val drawdown: QueryDef = QueryDef(
+    "events_max_drawdown",
+    (s, dir) =>
+      graft.operators.EventSequences.maxDrawdown(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH v AS (SELECT user_id AS k, ts, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM events),
+        |c AS (SELECT k, sum(y) OVER (PARTITION BY k ORDER BY ts, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts, id) AS t
+        |  FROM v),
+        |p AS (SELECT k, t, cum, max(cum) OVER (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c),
+        |d AS (SELECT k, t, cum, peak - cum AS dd FROM p),
+        |m AS (SELECT *, max(dd) OVER (PARTITION BY k) AS mdd FROM d)
+        |SELECT k AS user_id, count(*)::BIGINT AS n_events,
+        |  max(cum)::BIGINT AS peak_fp,
+        |  any_value(mdd)::BIGINT AS max_drawdown_fp,
+        |  min(CASE WHEN dd = mdd THEN t END)::BIGINT AS trough_at
+        |FROM m GROUP BY k ORDER BY user_id""".stripMargin))
+
+  /** Partial autocorrelation (Durbin–Levinson lags 1..3) of the daily
+    * event-count series ([[graft.operators.EventSequences.pacf]]):
+    * built on the ROUNDED acf surface so every downstream double is
+    * bit-identical by construction.
+    */
+  val pacfGate: QueryDef = QueryDef(
+    "events_pacf",
+    (s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("_day"))
+        .agg(count(lit(1)).as("_x"))
+        .withColumn("_t", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_day"))))
+      graft.operators.EventSequences.pacf(daily, "_t", "_x")
+    },
+    Some(
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        |    FROM events GROUP BY 1),
+        |s AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS q FROM s),
+        |lg AS (SELECT unnest(range(1, 4)) AS lag),
+        |p AS (SELECT lag, sum(a.x * b.x)::BIGINT AS pp,
+        |    sum(a.x)::BIGINT AS h, sum(b.x)::BIGINT AS tl
+        |  FROM lg CROSS JOIN s a JOIN s b ON b.t = a.t + lg.lag
+        |  GROUP BY lag),
+        |ac AS (SELECT lag,
+        |    round((n * n * pp - n * sx * (h + tl)
+        |        + (n - lag) * sx * sx)::DOUBLE /
+        |      (n * n * q - n * sx * sx)::DOUBLE, 6) + 0 AS acf
+        |  FROM p CROSS JOIN tot),
+        |pv AS (SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN acf END) AS r3 FROM ac)
+        |SELECT r1, r2, r3,
+        |  round(r1, 6) + 0 AS pacf1,
+        |  round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) + 0 AS pacf2,
+        |  round((r3 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1)))
+        |      * r2 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1) /
+        |    (1.0 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r1
+        |      - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 6) + 0
+        |    AS pacf3
+        |FROM pv""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
       theilSenGate, triples, runs, convLag, retention, rfm, botReg, km,
-      logRank)
+      logRank, drawdown, pacfGate)
 }

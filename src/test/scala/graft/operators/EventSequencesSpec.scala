@@ -487,6 +487,44 @@ class EventSequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 5L, 1L, 0L, 0.8), (4L, 4L, 2L, 0L, 0.4)))
   }
 
+  test("maxDrawdown: hand case, all-integer, first trough wins ties") {
+    val s = spark
+    import s.implicits._
+    // values: +10, +20, −25, +5, −15 → cum 10,30,5,10,−5
+    // peaks   10,30,30,30,30 → dd 0,0,25,20,35 → mdd 35 at t=5
+    val vals = Seq(10.0, 20.0, -25.0, 5.0, -15.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, ts(i + 1), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val r = EventSequences.maxDrawdown(df).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 300000L, 350000L, 5L)))
+    // monotone series never draws down
+    val up = (1 to 4).map(i => (i.toLong, 2L, ts(i), 10.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(EventSequences.maxDrawdown(up).head().getLong(3) == 0L)
+  }
+
+  test("pacf: AR(1)-like acf gives pacf2 ~ 0, chain matches closed form") {
+    val s = spark
+    import s.implicits._
+    // build a series whose rounded acf we then feed the closed forms:
+    // any series works — we assert pacf2/pacf3 equal the hand chain
+    val daily = (1 to 40).map(i =>
+      (i.toLong, (50 + 20 * math.sin(i / 3.0)).round))
+      .toDF("_t", "_x")
+    val r = EventSequences.pacf(daily, "_t", "_x").head()
+    val (r1, r2, r3) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p22)
+    assert(r.getDouble(3) == math.rint(r1 * 1e6) / 1e6 ||
+      math.abs(r.getDouble(3) - r1) < 1e-6)
+    assert(math.abs(r.getDouble(4) - p22) < 1e-6)
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      (1.0 - p21 * r1 - p22 * r2)
+    assert(math.abs(r.getDouble(5) - p33) < 1e-6)
+  }
+
   test("logRankTest: identical cohorts give chi2 ~ 0, disjoint churn separates") {
     val s = spark
     import s.implicits._

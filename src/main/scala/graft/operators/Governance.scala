@@ -137,4 +137,27 @@ object Governance {
         Numerics.roundz(col("_sum") / (col("_k") - 1).cast("double"), 6)
           .as("t")): _*)
   }
+
+  /** k-anonymity ENFORCEMENT by suppression — the action behind
+    * [[kAnonymity]]'s measurement: rows whose quasi-identifier cell
+    * holds fewer than k records get those columns masked to `'*'`
+    * (the cell no longer isolates anyone); everything else passes
+    * through unchanged, with the decision flag carried for the
+    * release audit. One QI-cell aggregate broadcast back onto the
+    * scan — cell-cardinality-bounded state, corpus never self-joins
+    * wide.
+    */
+  def kAnonymizeSuppress(
+      df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi columns and k >= 2")
+    val q = quasiCols.map(col)
+    val cells = df.groupBy(q: _*).agg(count(lit(1)).as("_cn"))
+    val joined = df.join(broadcast(cells), quasiCols)
+    val masked = quasiCols.foldLeft(
+      joined.withColumn("suppressed", col("_cn") < k)) { (d, c) =>
+      d.withColumn(c,
+        when(col("suppressed"), lit("*")).otherwise(col(c).cast("string")))
+    }
+    masked.drop("_cn")
+  }
 }

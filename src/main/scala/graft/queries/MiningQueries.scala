@@ -496,7 +496,32 @@ object MiningQueries extends QueryGroup {
         |WHERE 100 * s >= 30 * na
         |ORDER BY antecedent, consequent""".stripMargin))
 
+  /** k-anonymity enforcement by suppression
+    * ([[graft.operators.Governance.kAnonymizeSuppress]]): rows in
+    * sub-k (lang, source) cells get both QI columns masked; the
+    * row-level masking decision is under the hash.
+    */
+  val kSuppress: QueryDef = QueryDef(
+    "gov_k_suppress",
+    (s, dir) =>
+      graft.operators.Governance.kAnonymizeSuppress(
+          Tables(s, dir).documents.select("doc_id", "lang", "source"),
+          Seq("lang", "source"), k = 25)
+        .select("doc_id", "lang", "source", "suppressed")
+        .orderBy("doc_id"),
+    Some(
+      """WITH c AS (SELECT lang, source, count(*)::BIGINT AS cn
+        |  FROM documents GROUP BY lang, source),
+        |j AS (SELECT d.doc_id, d.lang, d.source, c.cn < 25 AS suppressed
+        |  FROM documents d JOIN c USING (lang, source))
+        |SELECT doc_id,
+        |  CASE WHEN suppressed THEN '*' ELSE lang END AS lang,
+        |  CASE WHEN suppressed THEN '*' ELSE source END AS source,
+        |  suppressed
+        |FROM j ORDER BY doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter,
-      richClubGate, tClosenessGate, kendall, cliffs, assocRules)
+      richClubGate, tClosenessGate, kendall, cliffs, assocRules,
+      kSuppress)
 }

@@ -67,4 +67,19 @@ class GovernanceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(out2("A") == 0.0 && out2("B") == 0.0)
   }
+
+  test("kAnonymizeSuppress masks exactly the sub-k cells, passes the rest") {
+    val s = spark
+    import s.implicits._
+    // cell (en, web): 3 rows (≥ 3 keeps); cell (fr, web): 1 row (masked)
+    val df = Seq((1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "fr", "web")).toDF("id", "lang", "source")
+    val out = Governance.kAnonymizeSuppress(df, Seq("lang", "source"), 3)
+      .select("id", "lang", "source", "suppressed")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(out.take(3).forall(t => t._2 == "en" && !t._4))
+    assert(out(3) == ((4L, "*", "*", true)))
+  }
 }

@@ -573,6 +573,76 @@ object EventSequences {
       .select(col("_k").as(keyCol), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Burstiness index (Goh & Barabási 2008): B = (σ−μ)/(σ+μ) of the
+    * inter-event gaps — −1 for a metronome, 0 for Poisson, →1 for
+    * extreme bursts; the one-number companion to [[botRegularity]]'s
+    * thresholded flag. Same exact moment sums (Σg long, Σg² in
+    * DECIMAL(38,0)); σ and the index are the only floats, computed as
+    * one fixed chain: σ = √(n·Σg² − (Σg)²)/n, μ = Σg/n.
+    */
+  def burstiness(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      minGaps: Int = 2): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val gaps = events
+      .select(col(keyCol).as("_k"), unix_micros(col(tsCol)).as("_ts"),
+        col(idCol).as("_id"))
+      .withColumn("_g", col("_ts") - lag(col("_ts"), 1).over(w))
+      .filter(col("_g").isNotNull)
+    val m = gaps.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("_sg"),
+        sum(col("_g").cast(d38) * col("_g").cast(d38)).as("_sq"))
+      .filter(col("n_gaps") >= minGaps)
+    val nD = col("n_gaps").cast("double")
+    val sigma = sqrt((col("n_gaps").cast(d38) * col("_sq") -
+      col("_sg").cast(d38) * col("_sg").cast(d38)).cast("double")) / nD
+    val mu = col("_sg").cast("double") / nD
+    m.select(col("_k").as(keyCol), col("n_gaps"),
+      when(sigma + mu > 0.0,
+        Numerics.roundz((sigma - mu) / (sigma + mu), 6)).as("burstiness"))
+  }
+
+  /** Empirical Markov entropy rate — how predictable the behavioral
+    * stream is: Ĥ = −Σ_{i,j} (n_ij/N)·ln(n_ij/n_i) over observed
+    * transitions (nats/step; 0 = fully deterministic chains). Counts
+    * are the exact transition aggregate of [[transitions]]; the only
+    * floats are per-cell log terms folded in SORTED (prev, next)
+    * order over the type²-bounded frame.
+    */
+  def markovEntropyRate(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val cells = events
+      .withColumn("_nx", lead(col(typeCol), 1).over(w))
+      .filter(col("_nx").isNotNull)
+      .groupBy(col(typeCol).as("_p"), col("_nx").as("_n"))
+      .agg(count(lit(1)).as("_c"))
+    val rows = cells
+      .withColumn("_rowTot",
+        sum(col("_c")).over(Window.partitionBy(col("_p"))))
+      .withColumn("_tot",
+        sum(col("_c")).over(Window.partitionBy()))
+    rows.agg(
+      count(lit(1)).as("n_cells"),
+      first(col("_tot")).as("n_transitions"),
+      Numerics.roundz(
+        aggregate(
+          array_sort(collect_list(struct(col("_p"), col("_n"),
+            col("_c"), col("_rowTot"), col("_tot")))),
+          lit(0.0),
+          (acc, s) => acc -
+            s.getField("_c").cast("double") /
+              s.getField("_tot").cast("double") *
+              log(s.getField("_c").cast("double") /
+                s.getField("_rowTot").cast("double"))),
+        6).as("entropy_rate_nats"))
+  }
+
   /** Maximum drawdown per key — the "worst peak-to-trough slide" of
     * the running value sum, the risk readout for any cumulative
     * series (revenue, token budget, quota). ENTIRELY integer: cum is

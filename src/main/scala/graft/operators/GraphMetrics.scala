@@ -23,6 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** Discrete power-law exponent MLE (Clauset–Shalizi–Newman eq. 3.7
+    * continuous approximation): α = 1 + n / Σ ln(d_i/(dmin−½)) over
+    * degrees ≥ dmin — "how heavy is this graph's hub tail", the
+    * one-number scale-free diagnostic next to the degree histogram.
+    * Degrees are exact ints from one edge aggregate; the log fold runs
+    * in sorted (degree, node) order so the float sum is deterministic
+    * and replayable. Degree-domain-bounded work after the aggregate.
+    */
+  def powerLawAlpha(
+      edges: org.apache.spark.sql.DataFrame, srcCol: String,
+      dstCol: String, dmin: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1, got $dmin")
+    val deg = edges
+      .select(col(srcCol).as("_n"))
+      .unionByName(edges.select(col(dstCol).as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") >= dmin)
+      // degree-domain pre-aggregate: the fold frame is |distinct
+      // degrees|, not |nodes|
+      .groupBy(col("_d")).agg(count(lit(1)).as("_m"))
+    deg.agg(
+      sum(col("_m")).as("n_nodes"),
+      Numerics.roundz(
+        lit(1.0) + sum(col("_m")).cast("double") /
+          aggregate(
+            array_sort(collect_list(struct(col("_d"), col("_m")))),
+            lit(0.0),
+            (acc, s) => acc + s.getField("_m").cast("double") *
+              log(s.getField("_d").cast("double") /
+                (lit(dmin.toDouble) - 0.5))),
+        6).as("alpha"))
+  }
+
   /** (node, triangles) for every endpoint of `edges` — the per-node
     * triangle participation count (local clustering numerator, a spam/
     * template-farm signal on near-dup graphs: organic near-dup pairs

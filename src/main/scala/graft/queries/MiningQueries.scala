@@ -520,8 +520,37 @@ object MiningQueries extends QueryGroup {
         |  suppressed
         |FROM j ORDER BY doc_id""".stripMargin))
 
+  /** Power-law degree exponent MLE
+    * ([[graft.operators.GraphMetrics.powerLawAlpha]]): CSN α over the
+    * near-dup graph's degrees ≥ 2, log fold in sorted degree order
+    * over the degree-domain frame.
+    */
+  val powerLaw: QueryDef = QueryDef(
+    "graph_powerlaw_alpha",
+    (s, dir) => {
+      val pairs = PipelineQueries.jaccardPairsFor(s, dir)
+      graft.operators.GraphMetrics.powerLawAlpha(pairs, "id_a", "id_b")
+    },
+    Some(
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |cj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cj JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+        |e AS (SELECT id_a AS u FROM pairs UNION ALL SELECT id_b FROM pairs),
+        |deg AS (SELECT u, count(*)::BIGINT AS d FROM e GROUP BY u),
+        |dd AS (SELECT d, count(*)::BIGINT AS m FROM deg
+        |       WHERE d >= 2 GROUP BY d)
+        |SELECT sum(m)::BIGINT AS n_nodes,
+        |  round(1.0 + sum(m)::DOUBLE /
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(m::DOUBLE * ln(d::DOUBLE / 1.5) ORDER BY d)),
+        |      (a, b) -> a + b), 6) + 0 AS alpha
+        |FROM dd""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(skyline, jackknife, mi, lcc, recip, vocabJaccard, fellegiSunter,
       richClubGate, tClosenessGate, kendall, cliffs, assocRules,
-      kSuppress)
+      kSuppress, powerLaw)
 }

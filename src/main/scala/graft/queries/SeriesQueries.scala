@@ -596,8 +596,65 @@ object SeriesQueries extends QueryGroup {
         |    AS pacf3
         |FROM pv""".stripMargin))
 
+  /** Goh–Barabási burstiness per user
+    * ([[graft.operators.EventSequences.burstiness]]): (σ−μ)/(σ+μ) of
+    * gaps from exact moments, one float chain.
+    */
+  val bursty: QueryDef = QueryDef(
+    "events_burstiness",
+    (s, dir) =>
+      graft.operators.EventSequences.burstiness(Tables(s, dir).events)
+        .orderBy("user_id"),
+    Some(
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id AS id
+        |  FROM events),
+        |g AS (SELECT k, t - lag(t) OVER (PARTITION BY k
+        |    ORDER BY t, id) AS g FROM e),
+        |m AS (SELECT k, count(*)::BIGINT AS n_gaps,
+        |    sum(g)::BIGINT AS sg, sum(g::HUGEINT * g::HUGEINT) AS sq
+        |  FROM g WHERE g IS NOT NULL GROUP BY k HAVING count(*) >= 2)
+        |SELECT k AS user_id, n_gaps,
+        |  CASE WHEN sqrt((n_gaps::HUGEINT * sq
+        |        - sg::HUGEINT * sg::HUGEINT)::DOUBLE) / n_gaps::DOUBLE
+        |      + sg::DOUBLE / n_gaps::DOUBLE > 0.0 THEN
+        |    round((sqrt((n_gaps::HUGEINT * sq
+        |        - sg::HUGEINT * sg::HUGEINT)::DOUBLE) / n_gaps::DOUBLE
+        |      - sg::DOUBLE / n_gaps::DOUBLE) /
+        |      (sqrt((n_gaps::HUGEINT * sq
+        |        - sg::HUGEINT * sg::HUGEINT)::DOUBLE) / n_gaps::DOUBLE
+        |      + sg::DOUBLE / n_gaps::DOUBLE), 6) + 0
+        |  END AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin))
+
+  /** Empirical Markov entropy rate
+    * ([[graft.operators.EventSequences.markovEntropyRate]]): corpus
+    * predictability in nats/step, sorted fold over the type² cells.
+    */
+  val markovEntropy: QueryDef = QueryDef(
+    "events_markov_entropy",
+    (s, dir) =>
+      graft.operators.EventSequences.markovEntropyRate(
+        Tables(s, dir).events),
+    Some(
+      """WITH t AS (SELECT event_type AS p,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nx
+        |  FROM events),
+        |cells AS (SELECT p, nx AS n, count(*)::BIGINT AS c FROM t
+        |  WHERE nx IS NOT NULL GROUP BY p, nx),
+        |rt AS (SELECT p, n, c,
+        |    sum(c) OVER (PARTITION BY p) AS row_tot,
+        |    sum(c) OVER () AS tot FROM cells)
+        |SELECT count(*)::BIGINT AS n_cells,
+        |  any_value(tot)::BIGINT AS n_transitions,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(-(c::DOUBLE / tot::DOUBLE
+        |        * ln(c::DOUBLE / row_tot::DOUBLE)) ORDER BY p, n)),
+        |    (a, b) -> a + b), 6) + 0 AS entropy_rate_nats
+        |FROM rt""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
       theilSenGate, triples, runs, convLag, retention, rfm, botReg, km,
-      logRank, drawdown, pacfGate)
+      logRank, drawdown, pacfGate, bursty, markovEntropy)
 }

@@ -487,6 +487,41 @@ class EventSequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 5L, 1L, 0L, 0.8), (4L, 4L, 2L, 0L, 0.4)))
   }
 
+  test("burstiness: metronome → −1, single spike gap mix > 0") {
+    val s = spark
+    import s.implicits._
+    def at(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val regular = (0 to 5).map(i => ((i + 1).toLong, 1L, at(i * 60), "x"))
+    // gaps 1,1,1,1,3600 → heavy burst
+    val burstTimes = Seq(0, 1, 2, 3, 4, 3604)
+    val burst = burstTimes.zipWithIndex.map { case (t, i) =>
+      ((i + 10).toLong, 2L, at(t), "x")
+    }
+    val df = (regular ++ burst)
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventSequences.burstiness(df).orderBy("user_id").collect()
+    assert(out(0).getDouble(2) == -1.0) // σ=0 metronome
+    // one spike among n=5 gaps maxes out near (√4−1)/(√4+1) = 1/3
+    assert(out(1).getDouble(2) > 0.3)   // bursty
+  }
+
+  test("markovEntropyRate: deterministic chain → 0, fair coin → ln 2") {
+    val s = spark
+    import s.implicits._
+    // a→b→a→b…: every row is deterministic → H = 0
+    val det = (1 to 10).map(i =>
+      (i.toLong, 1L, ts(i), if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(EventSequences.markovEntropyRate(det).head().getDouble(2) == 0.0)
+    // from each state, next is a or b equally often → H = ln 2
+    val coin = Seq("a", "a", "b", "b", "a", "b", "a", "a", "b", "b", "a",
+      "b", "a").zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, 1L, ts(i + 1), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val h = EventSequences.markovEntropyRate(coin).head().getDouble(2)
+    assert(h > 0.6 && h <= math.log(2.0) + 1e-9)
+  }
+
   test("maxDrawdown: hand case, all-integer, first trough wins ties") {
     val s = spark
     import s.implicits._

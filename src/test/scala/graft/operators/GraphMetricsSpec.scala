@@ -253,4 +253,18 @@ class GraphMetricsSpec extends SparkSpec {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((0L, 0L), (5L, 1L), (9L, 0L)))
   }
+
+  test("powerLawAlpha: uniform degree d gives the closed-form alpha") {
+    // a 4-cycle: every node has degree 2 → α = 1 + n/(n·ln(2/1.5))
+    val cyc = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val r = GraphMetrics.powerLawAlpha(cyc, "id_a", "id_b").head()
+    assert(r.getLong(0) == 4L)
+    val expect = 1.0 + 1.0 / math.log(2.0 / 1.5)
+    assert(math.abs(r.getDouble(1) - expect) < 1e-6)
+    // hub-and-spoke has a heavier tail mix → smaller denominator terms
+    // for leaves (degree 1 filtered by dmin=2), only the hub counts
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val r2 = GraphMetrics.powerLawAlpha(star, "id_a", "id_b").head()
+    assert(r2.getLong(0) == 1L) // only the hub has degree >= 2
+  }
 }

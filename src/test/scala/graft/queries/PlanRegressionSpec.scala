@@ -419,6 +419,29 @@ class PlanRegressionSpec extends SparkSpec {
     }), s"no per-group limit operator in: ${s.take(500)}")
   }
 
+  test("events_kaplan_meier: survival fold rides the death-time frame, not rows") {
+    // the ordered-list fold must sit above the lifetime-histogram
+    // aggregate: a refactor that folds over per-user rows makes the
+    // collect_list state O(users)
+    val plan = finalPlan("events_kaplan_meier")
+    val ns = nodes(plan)
+    val ks = ns.map(_.getClass.getSimpleName)
+    assert(ks.count(_.contains("HashAggregate")) >= 2,
+      s"lifetime histogram aggregate missing: $ks")
+    assert(!ks.exists(_.contains("CartesianProduct")) ||
+      ns.exists(_.getClass.getSimpleName.contains("Broadcast")),
+      s"non-broadcast cartesian: $ks")
+  }
+
+  test("sim_kmeans_sse: E-step broadcasts centroids, corpus never self-joins") {
+    val ks = kinds("sim_kmeans_sse")
+    assert(ks.exists(_.contains("BroadcastNestedLoop")) ||
+      ks.exists(_.contains("BroadcastExchange")),
+      s"centroids not broadcast: $ks")
+    assert(!ks.exists(_.contains("SortMergeJoin")),
+      s"corpus-scale join in the assignment step: $ks")
+  }
+
   test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
     for (gate <- Seq("stats_psi", "stats_mutual_information",
         "stats_chi2_independence")) {

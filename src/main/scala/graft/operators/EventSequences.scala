@@ -732,6 +732,71 @@ object EventSequences {
             lit(1.0), (acc, f) => acc * f), 6).as("survival"))
   }
 
+  /** Discrete hazard table — the per-time-step face of
+    * [[kaplanMeier]]: h(t) = d_t/n_t, the conditional churn
+    * probability at exactly lifetime t given survival so far. Same
+    * lifetime histogram and reverse-cumulative risk sets; the hazard
+    * is one division of exact integers per death time.
+    */
+  def hazardTable(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", censorGapDays: Int = 3): DataFrame = {
+    val per = events.groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("_f"),
+        max(to_date(col(tsCol))).as("_l"))
+    val horizon = per.agg(max(col("_l")).as("_m"))
+    val life = per.crossJoin(broadcast(horizon))
+      .select(datediff(col("_l"), col("_f")).cast("long").as("_t"),
+        (datediff(col("_m"), col("_l")) >= censorGapDays).as("_dead"))
+    val hist = life.groupBy(col("_t"))
+      .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
+        count(lit(1)).as("_mm"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("_below", coalesce(sum(col("_mm")).over(w), lit(0L)))
+      .withColumn("_tot", sum(col("_mm")).over(Window.partitionBy()))
+      .filter(col("_d") > 0)
+      .select(col("_t").as("lifetime_days"),
+        (col("_tot") - col("_below")).as("n_at_risk"),
+        col("_d").as("deaths"),
+        Numerics.roundz(col("_d").cast("double") /
+          (col("_tot") - col("_below")).cast("double"), 6).as("hazard"))
+  }
+
+  /** Value-weighted cohort retention (net revenue retention): for each
+    * first-day cohort and day offset, the cohort's value on that day
+    * as a fraction of its day-0 value — "do the dollars stick, not
+    * just the logins". Exact integer cents per (cohort, offset) cell
+    * from one aggregate; the day-0 base joins back cohort-keyed.
+    */
+  def revenueRetention(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      maxOffset: Int = 14): DataFrame = {
+    val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
+    val first = events
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("_c"))
+    val cells = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"),
+        y.as("_y"))
+      .join(first, Seq("_u"))
+      .withColumn("_off", datediff(col("_d"), col("_c")))
+      .filter(col("_off") <= maxOffset)
+      .groupBy(col("_c").as("cohort_day"),
+        col("_off").cast("long").as("day_offset"))
+      .agg(sum(col("_y")).as("_cents"))
+    val base = cells.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("_cents").as("_base"))
+    cells.join(base, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"),
+        col("_cents").as("value_fp"),
+        when(col("_base") =!= 0,
+          Numerics.roundz(col("_cents").cast("double") /
+            col("_base").cast("double"), 6)).as("revenue_retention"))
+  }
+
   /** Log-rank test — "do these two cohorts churn differently",
     * the hypothesis-test companion to [[kaplanMeier]] that uses
     * right-censored rows correctly (a naive mean-lifetime comparison

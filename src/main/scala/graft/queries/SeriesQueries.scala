@@ -653,8 +653,64 @@ object SeriesQueries extends QueryGroup {
         |    (a, b) -> a + b), 6) + 0 AS entropy_rate_nats
         |FROM rt""".stripMargin))
 
+  /** Discrete hazard table
+    * ([[graft.operators.EventSequences.hazardTable]]): h(t) = d/n per
+    * death time, one integer division each.
+    */
+  val hazard: QueryDef = QueryDef(
+    "events_hazard_table",
+    (s, dir) =>
+      graft.operators.EventSequences.hazardTable(Tables(s, dir).events)
+        .orderBy("lifetime_days"),
+    Some(
+      """WITH per AS (SELECT user_id, min(ts::DATE) AS f,
+        |    max(ts::DATE) AS l FROM events GROUP BY user_id),
+        |hz AS (SELECT max(l) AS m FROM per),
+        |life AS (SELECT (l - f)::BIGINT AS t, ((m - l) >= 3) AS dead
+        |  FROM per CROSS JOIN hz),
+        |hist AS (SELECT t,
+        |    sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    count(*)::BIGINT AS mm FROM life GROUP BY t),
+        |risk AS (SELECT t, d,
+        |    (sum(mm) OVER () - coalesce(sum(mm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS n
+        |  FROM hist)
+        |SELECT t AS lifetime_days, n AS n_at_risk, d AS deaths,
+        |  round(d::DOUBLE / n::DOUBLE, 6) + 0 AS hazard
+        |FROM risk WHERE d > 0 ORDER BY lifetime_days""".stripMargin))
+
+  /** Net-revenue cohort retention
+    * ([[graft.operators.EventSequences.revenueRetention]]): cohort
+    * value at offset t over its day-0 value, exact cents.
+    */
+  val revRetention: QueryDef = QueryDef(
+    "events_revenue_retention",
+    (s, dir) =>
+      graft.operators.EventSequences.revenueRetention(
+          Tables(s, dir).events)
+        .orderBy("cohort_day", "day_offset"),
+    Some(
+      """WITH f AS (SELECT user_id AS u, min(ts::DATE) AS c FROM events
+        |  GROUP BY user_id),
+        |cells AS (SELECT f.c AS cohort_day,
+        |    (e.ts::DATE - f.c)::BIGINT AS day_offset,
+        |    sum(CAST(CAST(e.value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT))::BIGINT AS cents
+        |  FROM events e JOIN f ON e.user_id = f.u
+        |  WHERE (e.ts::DATE - f.c) <= 14 GROUP BY 1, 2),
+        |base AS (SELECT cohort_day, cents AS b FROM cells
+        |  WHERE day_offset = 0)
+        |SELECT cohort_day, day_offset, cents AS value_fp,
+        |  CASE WHEN b <> 0 THEN
+        |    round(cents::DOUBLE / b::DOUBLE, 6) + 0 END
+        |    AS revenue_retention
+        |FROM cells JOIN base USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(ewma, acfGate, coverage, dow, pettitt, rollingCorr, seasonal,
       theilSenGate, triples, runs, convLag, retention, rfm, botReg, km,
-      logRank, drawdown, pacfGate, bursty, markovEntropy)
+      logRank, drawdown, pacfGate, bursty, markovEntropy, hazard,
+      revRetention)
 }

@@ -560,6 +560,37 @@ class EventSequencesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - p33) < 1e-6)
   }
 
+  test("hazardTable: h(t) = d/n at each death time, risk sets shrink") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 09:00:00")
+    // same spans as the KM spec: deaths at t=2 (1 of 5), t=4 (2 of 4)
+    val spans = Seq((1L, 1, 3), (2L, 1, 5), (3L, 2, 6), (4L, 1, 19),
+      (5L, 1, 20))
+    val ev = spans.flatMap { case (u, f, l) =>
+      Seq((u, day(f)), (u, day(l)))
+    }.toDF("user_id", "ts")
+    val out = EventSequences.hazardTable(ev).orderBy("lifetime_days")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 5L, 1L, 0.2), (4L, 4L, 2L, 0.5)))
+  }
+
+  test("revenueRetention: cohort dollars at offset over day-0 dollars") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-07-$d%02d 09:00:00")
+    // cohort day1: u1 spends 10 on d1, 5 on d2; u2 spends 10 on d1
+    // → base 20, offset1 value 5 → NRR 0.25
+    val ev = Seq((1L, day(1), 10.0), (2L, day(1), 10.0),
+      (1L, day(2), 5.0)).toDF("user_id", "ts", "value")
+    val out = EventSequences.revenueRetention(ev)
+      .orderBy("day_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 200000L, 1.0), (1L, 50000L, 0.25)))
+  }
+
   test("logRankTest: identical cohorts give chi2 ~ 0, disjoint churn separates") {
     val s = spark
     import s.implicits._

@@ -506,6 +506,38 @@ object Sampling {
           .as("pos_key"))
   }
 
+  /** Epoch mixing — the data-recipe repetition step ("3.5 epochs of
+    * wiki, 0.5 of crawl"): each row is emitted ⌊w⌋ times plus one more
+    * with probability frac(w), decided by the portable md5 coin in
+    * basis points (NO RNG — replayable row for row). The fan-out is
+    * the WEIGHT, not the corpus (explode of a ≤⌈w⌉-element sequence
+    * per row, scan-local); epoch index is carried so downstream
+    * shuffling can interleave epochs.
+    */
+  def epochMix(
+      df: DataFrame, idCol: String, grpCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight))
+      .forall(w => w >= 0 && w <= 8), "weights must be in [0, 8]")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(grpCol) === k, lit(v)).otherwise(acc)
+    }
+    val full = floor(w).cast("int")
+    // frac(w) in basis points, exact for the 4-dp weights recipes use
+    val fracBp = round((w - floor(w)) * 10000.0, 0).cast("long")
+    val coin = pmod(conv(substring(md5(concat_ws(":",
+      col(idCol).cast("string"), lit("epoch"))), 1, 7), 16, 10)
+      .cast("long"), lit(10000))
+    df.withColumn("_copies",
+        full + when(coin < fracBp, 1).otherwise(0))
+      .filter(col("_copies") > 0)
+      // generator can't nest inside a cast — explode a long sequence
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("_copies").cast("long"))))
+      .drop("_copies")
+  }
+
   /** Neyman optimal stratified allocation — the sampling budget split
     * that minimizes estimator variance: n_h ∝ N_h·σ_h (big noisy
     * strata get more budget than small uniform ones). Per-stratum σ

@@ -4677,10 +4677,40 @@ object SamplingQueries extends QueryGroup {
         |    AS alloc
         |FROM rk CROSS JOIN lo ORDER BY o_orderpriority""".stripMargin))
 
+  /** Epoch mixing ([[graft.operators.Sampling.epochMix]]): fractional
+    * per-source repetition with the portable md5 coin — the training
+    * data recipe step, per-copy rows under the hash.
+    */
+  val epochs: QueryDef = QueryDef(
+    "pipeline_epoch_mix",
+    (s, dir) =>
+      graft.operators.Sampling.epochMix(
+          Tables(s, dir).documents.select("doc_id", "source"),
+          "doc_id", "source",
+          weights = Map("src0" -> 2.5, "src1" -> 1.5, "src2" -> 0.25),
+          defaultWeight = 1.0)
+        .orderBy("doc_id", "epoch"),
+    Some(
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.5
+        |      WHEN 'src2' THEN 0.25 ELSE 1.0 END AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    floor(w)::INT
+        |      + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':'
+        |          || 'epoch'), 1, 7))::BIGINT % 10000
+        |        < CAST(round((w - floor(w)) * 10000.0, 0) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, source, unnest(range(1, copies + 1))::BIGINT
+        |    AS epoch
+        |FROM c WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(stratified, shuffleShards, mixture, qualityBuckets, temperatureMix,
       weightedSample, weightedPerGroup, splitHash, negativeSamples,
-      curriculum, distributionMatch, kfold, neyman)
+      curriculum, distributionMatch, kfold, neyman, epochs)
 }
 
 object EventQueries extends QueryGroup {

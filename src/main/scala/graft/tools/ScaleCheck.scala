@@ -712,7 +712,8 @@ object ScaleCheck {
     }
 
     // chi2 screening: distinct (doc, bucket, class) frame → one
-    // bucket-bounded aggregate; quantile bins: 64-partition ntile
+    // bucket-bounded aggregate; quantile bins: Ranks range-bucketed
+    // per-dim ntile (dims × sub-buckets parallel, no per-dim full sort)
     time(s"chi2_features_${dup}x",
       graft.operators.Features.chi2BinaryFeatures(
         blown, "doc_id", "text", 64, col("doc_id") % 2 === 0))
@@ -1097,6 +1098,33 @@ object ScaleCheck {
           .groupBy(graft.operators.Redaction.mod97Valid(col("s"))
             .as("v"))
           .agg(count(lit(1)).as("n")))
+    }
+
+    // global rank/ntile family (Ranks): the former unpartitioned-ntile
+    // operators — per-user RFM quintiles, lift/gains deciles, per-dim
+    // quantile bins — must scale ~linearly in USERS/rows now that
+    // ranking is range-bucketed (pre-rewrite, 10x users all sorted in
+    // ONE task, three times for RFM)
+    locally {
+      def ev(users: Long) = spark.range(users * 20L).select(
+        col("id").as("event_id"),
+        (col("id") % users).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          expr(s"(id div $users) * 86400000000") +
+          (col("id") % users) * 11L).as("ts"),
+        ((col("id") * 2654435761L % 1000L).cast("double") / 10.0)
+          .as("value"))
+      time("rfm_segments_1x",
+        graft.operators.EventSequences.rfmSegments(ev(100000L)))
+      time(s"rfm_segments_${dup}x",
+        graft.operators.EventSequences.rfmSegments(ev(100000L * dup)))
+      def scored(n: Long) = spark.range(n).select(col("id"),
+        ((col("id") * 2654435761L) % 100000L).as("score"),
+        (col("id") % 7 === 0).as("y"))
+      time(s"lift_gains_${dup}x",
+        graft.operators.Evaluation.liftGains(
+          scored(1000000L * dup), "score", "id", col("y")))
+      // (quantile_bins has its own embeddings-based row above)
     }
 
     spark.stop()

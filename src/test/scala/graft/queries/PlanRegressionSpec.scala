@@ -442,6 +442,23 @@ class PlanRegressionSpec extends SparkSpec {
       s"corpus-scale join in the assignment step: $ks")
   }
 
+  test("global-rank gates: no unpartitioned window anywhere (single-partition sort ban)") {
+    // these five gates used to run `ntile()` / `row_number()` over
+    // Window.orderBy(…) with NO partition key — Spark executes that as
+    // ONE task holding every row. They now rank via Ranks' range
+    // buckets; any WindowExec with an empty partitionSpec here means
+    // the single-partition sort crept back.
+    for (gate <- Seq("events_rfm_grid", "events_rfm_segments",
+        "eval_lift_gains", "sim_quantile_bins", "sim_rank_correlation")) {
+      val windows = nodes(finalPlan(gate)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+      }
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$gate: unpartitioned WindowExec (single-partition sort): " +
+          w.windowExpression.mkString(", ")))
+    }
+  }
+
   test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
     for (gate <- Seq("stats_psi", "stats_mutual_information",
         "stats_chi2_independence")) {

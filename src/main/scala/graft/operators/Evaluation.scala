@@ -933,6 +933,12 @@ object Evaluation {
     * from a per-value count aggregate + cumulative window over the
     * value-bounded frame — never a global row sort. Ties are handled
     * exactly (first value whose cumulative count reaches k).
+    *
+    * Undersized calibration: when k = ceil((n+1)(1−α)) exceeds n (a
+    * small calibration set at a small α, e.g. α=1% with n<99), the
+    * conformal threshold is +∞ — the α row is still EMITTED, with a
+    * NULL threshold and its (k, n), so callers see the condition
+    * instead of a silently missing row.
     */
   def conformalQuantile(
       df: DataFrame, scoreCol: String,
@@ -941,20 +947,25 @@ object Evaluation {
     val perValue = df.select(col(scoreCol).cast("long").as("_v"))
       .filter(col("_v").isNotNull)
       .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+    val tot = perValue.agg(coalesce(sum(col("_n")), lit(0L)).as("_tot"))
     val cum = perValue.withColumn("_cum",
         sum(col("_n")).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("_v"))
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
-      .crossJoin(broadcast(
-        perValue.agg(sum(col("_n")).as("_tot"))))
+      .crossJoin(broadcast(tot))
     val rows = alphasPct.map { a =>
       // k = ceil((n+1) * (100-a) / 100), all integer
       val k = expr(s"((_tot + 1) * ${100 - a} + 99) div 100")
-      cum.filter(col("_cum") >= k)
+      val found = cum.filter(col("_cum") >= k)
         .orderBy(col("_v")).limit(1)
+        .select(lit(a.toLong).as("alpha_pct"), col("_v").as("_thf"))
+      tot
         .select(lit(a.toLong).as("alpha_pct"), col("_tot").as("n"),
-          k.as("k"), col("_v").as("threshold"))
+          k.as("k"))
+        .join(found, Seq("alpha_pct"), "left")
+        .select(col("alpha_pct"), col("n"), col("k"),
+          col("_thf").as("threshold"))
     }
     rows.reduce(_ unionByName _).orderBy("alpha_pct")
   }

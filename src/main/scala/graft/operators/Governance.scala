@@ -152,7 +152,19 @@ object Governance {
     require(quasiCols.nonEmpty && k >= 2, s"need quasi columns and k >= 2")
     val q = quasiCols.map(col)
     val cells = df.groupBy(q: _*).agg(count(lit(1)).as("_cn"))
-    val joined = df.join(broadcast(cells), quasiCols)
+    // null-safe (<=>) join back: groupBy counts the NULL cell as a
+    // group, so the join must match it too — a null-rejecting equality
+    // would silently DROP every row with a NULL quasi column from the
+    // release (row loss in a privacy operator), instead of suppressing
+    // or passing it like any other cell
+    val cellsR = quasiCols.zipWithIndex.foldLeft(cells) {
+      case (d, (c, i)) => d.withColumnRenamed(c, s"_qc_$i")
+    }
+    val cond = quasiCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"_qc_$i") }
+      .reduce(_ && _)
+    val joined = df.join(broadcast(cellsR), cond)
+      .drop(quasiCols.indices.map(i => s"_qc_$i"): _*)
     val masked = quasiCols.foldLeft(
       joined.withColumn("suppressed", col("_cn") < k)) { (d, c) =>
       d.withColumn(c,

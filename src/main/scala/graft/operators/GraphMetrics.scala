@@ -535,22 +535,28 @@ object GraphMetrics {
   }
 
   /** Degree assortativity (Newman 2002): Pearson correlation of the
-    * endpoint degrees over the directed edge list — positive when
-    * hubs link to hubs (social shape), negative when hubs link to
-    * leaves (hub-and-spoke / crawl-frontier shape). For an undirected
-    * graph pass both edge directions, as the other graph operators
-    * here do.
+    * endpoint TOTAL degrees over the edge list — positive when hubs
+    * link to hubs (social shape), negative when hubs link to leaves
+    * (hub-and-spoke / crawl-frontier shape). Degrees count occurrences
+    * at EITHER endpoint, so a directed (non-symmetrized) edge list is
+    * safe: a node appearing only as dst still has a degree, and no
+    * edge is dropped by the degree joins. For an undirected graph pass
+    * both edge directions (each endpoint's total degree then doubles —
+    * Pearson correlation is scale-invariant, so the coefficient is
+    * unchanged).
     *
     * Everything is exact integers until one final double chain: the
-    * degree frame is one count aggregate, each edge picks up its two
-    * endpoint degrees via node-scale joins, and the correlation needs
-    * only the six sums (M, Σdu, Σdv, Σdu·dv, Σdu², Σdv²) — map-side
-    * combined, no sort, no iteration.
+    * degree frame is one count aggregate over the unioned endpoints,
+    * each edge picks up its two endpoint degrees via node-scale joins,
+    * and the correlation needs only the six sums (M, Σdu, Σdv, Σdu·dv,
+    * Σdu², Σdv²) — map-side combined, no sort, no iteration.
     */
   def degreeAssortativity(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
-    val deg = e.groupBy(col("_u").as("_n")).agg(count(lit(1)).as("_d"))
+    val deg = e.select(col("_u").as("_n"))
+      .unionByName(e.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
     val sums = e
       .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
       .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -14,9 +16,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * per batch, so the membership test is pushed to it as two
   * scan-shaped passes with no wide exchange anywhere:
   *
-  *  1. a Bloom filter over the corpus's 256-bit content keys is built
-  *     with Spark's mergeable sketch aggregate (one corpus scan,
-  *     partial sketches merged on the driver) and broadcast;
+  *  1. a Bloom filter over the corpus's content keys (xxhash64 of the
+  *     256-bit hash — long keys so probes use Catalyst's codegen'd
+  *     `BloomFilterMightContain`) is built with Spark's mergeable
+  *     sketch aggregate (one corpus scan, partial sketches merged on
+  *     the driver) and shipped as a literal in the probe expression;
   *  2. the incoming batch probes the filter map-side — the
   *     overwhelmingly-novel majority exits here, having touched
   *     nothing but the broadcast bitset;
@@ -80,13 +84,37 @@ object IncrementalDedup {
     * aggregate merges per-partition filters). Reusable across batches
     * and across a streaming job's lifetime — rebuild when the corpus
     * grows past the filter's design fpp.
+    *
+    * The filter is built over `xxhash64(content_hash)` LONGS, not the
+    * hash string: probes then run through Catalyst's codegen'd
+    * `BloomFilterMightContain` (the engine's own runtime-filter
+    * expression) instead of a boxed Scala UDF that would break
+    * whole-stage codegen on every probe scan. An xxhash64 collision is
+    * one more false positive for the exact confirm path to remove —
+    * never a false negative (equal keys hash equal), so the lossless
+    * split and set-difference contracts are untouched.
     */
   def buildCorpusFilter(
       corpus: DataFrame, key: Column, fpp: Double = 0.01,
       expectedKeys: Option[Long] = None): BloomFilter = {
     val keys = corpusKeyFrame(corpus, key)
+      .select(xxhash64(col("content_hash")).as("_kh"))
     val expected = math.max(1L, expectedKeys.getOrElse(corpus.count()))
-    keys.stat.bloomFilter("content_hash", expected, fpp)
+    keys.stat.bloomFilter("_kh", expected, fpp)
+  }
+
+  /** Codegen'd probe predicate for a `content_hash` column against a
+    * corpus filter: `bloom_might_contain(bytes, xxhash64(hash))`, with
+    * nulls kept null (xxhash64(null) would hit the seed's bit pattern
+    * and break the nulls-match-nothing contract). The filter bytes
+    * ride the plan as a foldable binary literal.
+    */
+  private def probe(df: DataFrame, filter: BloomFilter, hashCol: Column): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val out = new ByteArrayOutputStream()
+    filter.writeTo(out)
+    call_function("bloom_might_contain", lit(out.toByteArray),
+      when(hashCol.isNull, lit(null).cast("long")).otherwise(xxhash64(hashCol)))
   }
 
   /** Lossless split of a batch OR STREAMING frame against a corpus
@@ -101,11 +129,9 @@ object IncrementalDedup {
     */
   def splitByFilter(
       df: DataFrame, filter: BloomFilter, key: Column): (DataFrame, DataFrame) = {
-    val bf = df.sparkSession.sparkContext.broadcast(filter)
-    val hit = udf((h: String) => h != null && bf.value.mightContainString(h))
     val keyed = df.withColumn("content_hash", sha2(key.cast("string"), 256))
-    (keyed.filter(!hit(col("content_hash"))).drop("content_hash"),
-      keyed.filter(hit(col("content_hash"))))
+    val hit = coalesce(probe(df, filter, col("content_hash")), lit(false))
+    (keyed.filter(!hit).drop("content_hash"), keyed.filter(hit))
   }
 
   /** Streaming front line of incremental ingest: the novel-against-
@@ -127,12 +153,11 @@ object IncrementalDedup {
   def streamingNovel(
       stream: DataFrame, filter: BloomFilter, key: Column,
       tsCol: String, watermark: String = "10 minutes"): DataFrame = {
-    val bf = stream.sparkSession.sparkContext.broadcast(filter)
-    val hit = udf((h: String) => h != null && bf.value.mightContainString(h))
+    val hit = coalesce(probe(stream, filter, col("_ch")), lit(false))
     val keyed = stream
       .withColumn("_ch", sha2(key.cast("string"), 256))
       .withWatermark(tsCol, watermark)
-    val novel = keyed.filter(!hit(col("_ch")))
+    val novel = keyed.filter(!hit)
     novel.filter(col("_ch").isNotNull)
       .dropDuplicatesWithinWatermark("_ch")
       .unionByName(novel.filter(col("_ch").isNull))
@@ -179,11 +204,9 @@ object IncrementalDedup {
       fpp: Double, expectedCorpusKeys: Option[Long]): (DataFrame, DataFrame) = {
     val corpusKeys = corpusKeyFrame(corpus, key)
     val bloom = buildCorpusFilter(corpus, key, fpp, expectedCorpusKeys)
-    val bf = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => h != null && bf.value.mightContainString(h))
     val withKey = incoming.withColumn("_ch", sha2(key.cast("string"), 256))
     val suspectKeys = withKey
-      .filter(mightContain(col("_ch")))
+      .filter(coalesce(probe(incoming, bloom, col("_ch")), lit(false)))
       .select(col("_ch").as("content_hash"))
       .distinct()
     val confirmed = corpusKeys

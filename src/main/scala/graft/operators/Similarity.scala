@@ -119,7 +119,7 @@ object Similarity {
         .as("_c"), col("_v").as("_cv"))
     for (_ <- 1 to iters) {
       val a = assign(cents)
-      cents = a
+      val updated = a
         .select(col("_c"), posexplode(col("_v")).as(Seq("_pos", "_x")))
         .groupBy(col("_c"), col("_pos"))
         .agg(sum(col("_x").cast(dec)).as("_s"), count(lit(1)).as("_n"))
@@ -129,14 +129,29 @@ object Similarity {
             col("_n")))),
           s => s.getField("_s").cast("double") /
             s.getField("_n").cast("double")).as("_cv"))
+      // a cluster whose membership empties this round keeps its
+      // previous centroid (k-row left join — the M-step groupBy only
+      // covers ASSIGNED clusters, so without this the output would
+      // silently shrink below k with no indication to the caller)
+      cents = cents.select(col("_c"), col("_cv").as("_cv_prev"))
+        .join(updated.withColumnRenamed("_cv", "_cv_new"), Seq("_c"), "left")
+        .select(col("_c"),
+          coalesce(col("_cv_new"), col("_cv_prev")).as("_cv"))
     }
-    assign(cents)
+    // left join from the k-row centroid frame so a cluster that ends
+    // empty still SURFACES (n=0, NULL sse/min_id) instead of silently
+    // shrinking the output below k
+    val summary = assign(cents)
       .groupBy(col("_c").as("cluster"))
       .agg(count(lit(1)).as("n"),
         Numerics.roundz(
           sum(col("_d").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
             .cast("double"), 4).as("sse"),
         min(col("_id")).as("min_id"))
+    cents.select(col("_c").as("cluster"))
+      .join(broadcast(summary), Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sse"), col("min_id"))
   }
 
   /** Exact top-k nearest neighbours of one stored vector, brute force.

@@ -39,8 +39,16 @@ object Spatial {
     require(maxDist > 0, s"maxDist must be positive, got $maxDist")
     val p = points.select(col(idCol).cast("long").as("_id"),
       col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
-    val cx = floor(col("_x") / maxDist)
-    val cy = floor(col("_y") / maxDist)
+    // exact integer floor division for the cell key: (v − pmod(v, d))
+    // is the largest multiple of d ≤ v, so the `div` is exact at ANY
+    // coordinate magnitude — `floor(v / d)` in doubles can misplace a
+    // cell boundary beyond ~2^53 and (worst case) split a qualifying
+    // pair into non-adjacent cells. (Both join sides share the same
+    // expression, and the final dist² predicate is exact regardless.)
+    def cell(c: String): org.apache.spark.sql.Column =
+      expr(s"($c - pmod($c, ${maxDist}L)) div ${maxDist}L")
+    val cx = cell("_x")
+    val cy = cell("_y")
     val build = p.select(col("_id").as("_idb"), col("_x").as("_xb"),
       col("_y").as("_yb"), cx.as("_cx"), cy.as("_cy"))
     val offsets = Seq(-1L, 0L, 1L)

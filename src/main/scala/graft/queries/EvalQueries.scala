@@ -737,7 +737,7 @@ object EvalQueries extends QueryGroup {
         |  FROM al CROSS JOIN t),
         |r AS (SELECT q.a AS alpha_pct, q.nn AS n, q.k,
         |    min(c.v) AS threshold
-        |  FROM q JOIN c ON c.cum >= q.k GROUP BY 1, 2, 3)
+        |  FROM q LEFT JOIN c ON c.cum >= q.k GROUP BY 1, 2, 3)
         |SELECT alpha_pct, n, k, threshold FROM r
         |ORDER BY alpha_pct""".stripMargin))
 

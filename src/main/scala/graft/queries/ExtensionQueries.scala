@@ -6164,6 +6164,64 @@ object IoQueries extends QueryGroup {
         |WHERE NOT COALESCE(s.del, false)
         |ORDER BY doc_id""".stripMargin))
 
+  /** The reference's ACTUAL operating cycle, end to end under the hard
+    * oracle: documents render as OAI-PMH `ListRecords` harvest pages
+    * ([[graft.sources.XmlRecords]] — identifier/datestamp/setSpec/
+    * deleted-record wire shape), the pages are parsed back through the
+    * StAX reader, the parsed records MERGE into a serving
+    * [[graft.sources.TxTable]] in two harvest slices (even ids as the
+    * initial load, odd ids plus a re-delivered id%10 overlap as the
+    * incremental pass — resumption re-delivery must upsert
+    * idempotently), and [[graft.metrics.MetricsJob]] runs over the
+    * round-tripped TABLE read back from disk. The oracle restates the
+    * whole loop as per-source record counts (with the deleted-record
+    * split) straight off the parquet corpus — render → parse → commit
+    * → serve → aggregate, one hash.
+    */
+  val oaiLoop: QueryDef = QueryDef(
+    "pipeline_oai_loop",
+    (s, dir) => {
+      import s.implicits._
+      val parsed = graft.sources.XmlRecords.roundTripExtract(
+        Tables(s, dir).documents,
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val initial = parsed.filter(col("doc_id") % 2 === 0)
+      val incremental = parsed
+        .filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+        .withColumn("_del", lit(false))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-oai-loop-").toString
+      graft.sources.TxTable.create(initial, root)
+      graft.sources.TxTable.mergeInto(root, incremental, "doc_id",
+        Seq("identifier", "datestamp", "deleted", "sets", "language",
+          "text"), "_del")
+      val served = graft.sources.TxTable.read(s, root)
+      val studies = served.select(
+        regexp_extract(col("sets"), ",source:(.*)$", 1)
+          .as("_direct_base_url"),
+        struct(when(col("deleted"), graft.schema.RecordStatus.Deleted)
+          .otherwise(graft.schema.RecordStatus.Created).as("status"))
+          .as("_metadata"))
+      val m = graft.metrics.MetricsJob.run(studies)
+      (m.perPublisher.map(p =>
+        (p.baseUrl, p.records, p.recordsWithoutDeleted)) :+
+        (("_total", m.recordsTotal, m.recordsTotalWithoutDeleted)))
+        .toDF("base_url", "records", "records_without_deleted")
+        .orderBy("base_url")
+    },
+    Some(
+      """WITH r AS (SELECT source AS src, (doc_id % 13 = 0) AS deleted
+        |  FROM documents)
+        |SELECT src AS base_url, count(*)::BIGINT AS records,
+        |  count(CASE WHEN NOT deleted THEN 1 END)::BIGINT
+        |    AS records_without_deleted
+        |FROM r GROUP BY src
+        |UNION ALL
+        |SELECT '_total', count(*)::BIGINT,
+        |  count(CASE WHEN NOT deleted THEN 1 END)::BIGINT
+        |FROM r
+        |ORDER BY base_url""".stripMargin))
+
   /** Manifest file-skipping ([[graft.sources.TxTable.readRange]]):
     * documents becomes a doc_id-range-clustered TxTable (8 files,
     * per-file min/max in the manifest), then a narrow key-range query
@@ -6574,7 +6632,7 @@ object IoQueries extends QueryGroup {
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
-      mergeUpsertAcid, txtableSkipping, txtableCompact,
+      mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
       txtableChanges, profileDrift,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

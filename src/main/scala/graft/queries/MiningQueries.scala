@@ -513,7 +513,9 @@ object MiningQueries extends QueryGroup {
       """WITH c AS (SELECT lang, source, count(*)::BIGINT AS cn
         |  FROM documents GROUP BY lang, source),
         |j AS (SELECT d.doc_id, d.lang, d.source, c.cn < 25 AS suppressed
-        |  FROM documents d JOIN c USING (lang, source))
+        |  FROM documents d JOIN c
+        |    ON d.lang IS NOT DISTINCT FROM c.lang
+        |   AND d.source IS NOT DISTINCT FROM c.source)
         |SELECT doc_id,
         |  CASE WHEN suppressed THEN '*' ELSE lang END AS lang,
         |  CASE WHEN suppressed THEN '*' ELSE source END AS source,

@@ -203,7 +203,9 @@ object ProfilingQueries extends QueryGroup {
         |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |      UNION ALL SELECT id_b, id_a FROM pairs),
-        |deg AS (SELECT src AS nd, count(*) AS d FROM e GROUP BY src),
+        |deg AS (SELECT nd, count(*) AS d FROM
+        |      (SELECT src AS nd FROM e UNION ALL SELECT dst FROM e)
+        |      GROUP BY nd),
         |j AS (SELECT du.d AS du, dv.d AS dv FROM e
         |      JOIN deg du ON du.nd = e.src JOIN deg dv ON dv.nd = e.dst),
         |ag AS (SELECT count(*)::BIGINT AS m, sum(du)::BIGINT AS su,

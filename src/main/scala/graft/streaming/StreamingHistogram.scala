@@ -77,7 +77,12 @@ object StreamingHistogram {
       .select(col(keyCol).cast("string").as("key"),
         least(greatest(col(valueCol).cast("long"), lit(lo)), lit(hi))
           .as("_v"))
-      .select(col("key"), ((col("_v") - lo) / width).cast("long").as("bin"))
+      // exact Long division (`div`), matching the streaming side's
+      // `(clamped - lo) / width` Long arithmetic — a double division
+      // with a truncating cast can disagree by one bin for domains
+      // wider than ~2^53 and break the batch ≡ streaming contract
+      // (the clamped value is >= lo, so truncation == floor here)
+      .select(col("key"), expr(s"(_v - ${lo}L) div ${width}L").as("bin"))
       .groupBy(col("key"), col("bin")).agg(count(lit(1)).as("_n"))
     val cum = binned.withColumn("cum_count",
         sum(col("_n")).over(Window.partitionBy(col("key"))

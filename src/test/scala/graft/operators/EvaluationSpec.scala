@@ -313,6 +313,23 @@ class EvaluationSpec extends SparkSpec {
     assert(r2.getLong(3) == 13L)
   }
 
+  test("conformalQuantile: undersized calibration emits a NULL-threshold row") {
+    val s = spark
+    import s.implicits._
+    // n=19, alpha=1%: k = ceil(20·0.99) = 20 > n — the conformal
+    // threshold is +∞; the row must still appear (NULL threshold, with
+    // k and n) instead of silently vanishing
+    val df = (1L to 19L).toDF("score")
+    val rows = Evaluation.conformalQuantile(df, "score", Seq(10, 1))
+      .orderBy("alpha_pct").collect()
+    assert(rows.length == 2)
+    val a1 = rows(0)
+    assert(a1.getLong(0) == 1L && a1.getLong(1) == 19L &&
+      a1.getLong(2) == 20L && a1.isNullAt(3), s"got $a1")
+    val a10 = rows(1)
+    assert(a10.getLong(0) == 10L && a10.getLong(3) == 18L)
+  }
+
   test("kendallTauB: perfect monotone gives 1, reversal gives -1, ties corrected") {
     val s = spark
     import s.implicits._

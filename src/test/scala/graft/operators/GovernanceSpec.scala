@@ -82,4 +82,22 @@ class GovernanceSpec extends SparkSpec {
     assert(out.take(3).forall(t => t._2 == "en" && !t._4))
     assert(out(3) == ((4L, "*", "*", true)))
   }
+
+  test("kAnonymizeSuppress: NULL quasi values form a cell, rows never drop") {
+    val s = spark
+    import s.implicits._
+    // 3 rows in the (NULL, web) cell (>= k passes, nulls intact), 1 in
+    // (fr, NULL) (sub-k -> masked); a null-rejecting join-back would
+    // silently LOSE all four rows from the release
+    val df = Seq((1L, null, "web"), (2L, null, "web"), (3L, null, "web"),
+      (4L, "fr", null)).toDF("id", "lang", "source")
+    val out = Governance.kAnonymizeSuppress(df, Seq("lang", "source"), 3)
+      .select("id", "lang", "source", "suppressed")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(out.length == 4, s"rows lost: ${out.mkString(",")}")
+    assert(out.take(3).forall(t => t._2 == null && t._3 == "web" && !t._4))
+    assert(out(3) == ((4L, "*", "*", true)))
+  }
 }

@@ -158,6 +158,31 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom probe stays inside whole-stage codegen (no Scala UDF)") {
+    // the probe must be Catalyst's BloomFilterMightContain riding the
+    // plan as a literal — a boxed udf() would break codegen on every
+    // probe scan and show up here as ScalaUDF / BatchEvalPython nodes
+    // parquet-backed input — a local Seq frame would be folded to a
+    // LocalTableScan at optimization time and prove nothing
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter(col("doc_id") % 2 === 0)
+    val incoming = real.filter(col("doc_id") % 2 === 1)
+    val f = IncrementalDedup.buildCorpusFilter(corpus, col("text"))
+    val (novel, _) = IncrementalDedup.splitByFilter(incoming, f, col("text"))
+    novel.collect()
+    val plan = novel.queryExecution.executedPlan
+    assert(!plan.toString.contains("ScalaUDF"),
+      "probe fell back to a boxed Scala UDF")
+    assert(plan.toString.contains("bloom_might_contain") ||
+      plan.toString.contains("might_contain"),
+      s"codegen bloom probe missing from plan:\n${plan.toString.take(1500)}")
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.toString.contains("might_contain")),
+      "bloom probe filter not inside a WholeStageCodegen span")
+  }
+
   test("snapshotDiff labels all four statuses and nothing else") {
     val s = spark
     import s.implicits._

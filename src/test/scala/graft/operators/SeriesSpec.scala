@@ -83,6 +83,20 @@ class SeriesSpec extends SparkSpec {
     assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-6)
   }
 
+  test("degreeAssortativity: directed path keeps dst-only endpoints") {
+    val s = spark
+    import s.implicits._
+    // 1→2→3 NOT symmetrized: node 3 never appears as src. Degrees are
+    // total-degree (1,2,1); both edges must survive the degree joins —
+    // the old src-only degree silently dropped 2→3 (m was 1, not 2).
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphMetrics.degreeAssortativity(edges, "src", "dst")
+      .collect()(0)
+    assert(out.getLong(0) == 2L, s"edge dropped: $out")
+    // pairs (du,dv) = (1,2),(2,1): r = (2·4 − 3·3)/(√1·√1) = −1
+    assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-6)
+  }
+
   test("liftGains: perfect ranking concentrates positives in bucket 1") {
     val s = spark
     import s.implicits._

@@ -423,4 +423,23 @@ class SimilaritySpec extends SparkSpec {
       "embedding", k = 2, iters = 2).orderBy("cluster").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("kmeansLloyd: an emptied cluster surfaces with n=0, never vanishes") {
+    val s = spark
+    import s.implicits._
+    // all vectors identical: both seeds coincide, ties go to cluster 1,
+    // cluster 2 is empty every round — it must keep its carried
+    // centroid and appear in the output as n=0 (NULL sse/min_id)
+    // rather than silently shrinking k
+    val rows = (1L to 4L).map(i => (i, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(rows, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .orderBy("cluster").collect()
+    assert(out.length == 2, s"cluster vanished: ${out.mkString(",")}")
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 4L &&
+      out(0).getLong(3) == 1L)
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 0L &&
+      out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
 }

@@ -66,4 +66,24 @@ class StreamingHistogramSpec extends SparkSpec {
       assert(stateRows == 3L, s"state rows: $stateRows (one per key)")
     } finally q.stop()
   }
+
+  test("batch bins are exact Long division beyond 2^53 (streaming parity)") {
+    val s = spark
+    import s.implicits._
+    // domain [0, 2^60): width = 2^54. v = 37·2^54 − 1 belongs in bin 36,
+    // but v.toDouble rounds UP to 37·2^54 (double spacing is 2048 at
+    // this magnitude), so a double division + truncating cast yields 37
+    // — the one-off-bin drift the exact `div` arithmetic must not have
+    val hi = (1L << 60) - 1
+    val width = hi / 64 + 1 // = 2^54, the operator's own width formula
+    val v = 37L * width - 1
+    val batch = StreamingHistogram.batchQuantiles(
+        Seq(("a", v)).toDF("key", "value"), "key", "value",
+        lo = 0L, hi = hi, bins = 64, percentiles = Seq(50))
+      .collect()(0)
+    assert(batch.getLong(2) == 36L, s"bin drifted: $batch")
+    assert(batch.getLong(3) == 36L * width) // lo_edge from the same bin
+    // and the streaming side's Long arithmetic agrees by construction
+    assert((v - 0L) / width == 36L)
+  }
 }

@@ -942,13 +942,14 @@ object EventSequences {
     * plain `ntile(5)`. Output is the 125-bounded segment grid with
     * user counts.
     *
-    * Scale shape: the quintiles come from [[Ranks.withGlobalNtile]] —
-    * range-bucketed parallel ranking, NOT an unpartitioned window (an
-    * `ntile(5).over(Window.orderBy(…))` would move every per-user row
-    * through ONE task, three times). The users-scale metrics frame is
-    * materialized once so the three rank passes and their bounded
-    * boundary/count jobs scan cached blocks instead of re-aggregating
-    * the event corpus.
+    * Scale shape: all three quintiles batch through ONE
+    * [[Ranks.withRanks]] call — range-bucketed parallel ranking, NOT
+    * an unpartitioned window (an `ntile(5).over(Window.orderBy(…))`
+    * would move every per-user row through ONE task, three times).
+    * One shared boundary job, one shared count job, three chained
+    * window exchanges; the users-scale metrics frame is materialized
+    * once so the bounded jobs scan cached blocks instead of
+    * re-aggregating the event corpus.
     */
   def rfmSegments(
       events: DataFrame, userCol: String = "user_id",
@@ -963,14 +964,11 @@ object EventSequences {
       .select(col("_u"), datediff(col("_maxd"), col("_last")).as("_r"),
         col("_f"), col("_m"))
       .materialized
-    val scored = Seq(
-      ("r_q", col("_r"), false),
-      ("f_q", col("_f"), true),
-      ("m_q", col("_m"), true)).foldLeft(metrics) {
-      case (d, (out, key, desc)) =>
-        Ranks.withGlobalNtile(d, out, 5, key, descending = desc,
-          ties = Seq(col("_u")))
-    }
+    val scored = Ranks.withRanks(metrics, Seq(
+        Ranks.RankSpec("r_q", col("_r"), ntile = 5),
+        Ranks.RankSpec("f_q", col("_f"), descending = true, ntile = 5),
+        Ranks.RankSpec("m_q", col("_m"), descending = true, ntile = 5)),
+      ties = Seq(col("_u")), buckets = 64)
     scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), min(col("_u")).as("sample_user"))
   }

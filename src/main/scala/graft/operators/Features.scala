@@ -239,12 +239,12 @@ object Features {
     *
     * combined in DECIMAL(38,0) (n³ passes 2⁶³ at ~2M rows per
     * dimension) with ONE double division at the surface. Cost shape:
-    * two exact per-dimension rank passes via [[Ranks.withGroupRank]]
-    * (range sub-buckets inside each dim, so a task sorts ~n/buckets
-    * rows — a bare `Window.partitionBy(pos)` would cap parallelism at
-    * the dim count and sort ALL n rows of a dimension in one task);
-    * the second pass's bounded boundary/count jobs prune the first
-    * pass's unused rank column, so they cost a scan, not a window.
+    * both exact per-dimension rank passes batch through ONE
+    * [[Ranks.withRanks]] call (range sub-buckets inside each dim, so
+    * a task sorts ~n/buckets rows — a bare `Window.partitionBy(pos)`
+    * would cap parallelism at the dim count and sort ALL n rows of a
+    * dimension in one task) sharing one boundary job and one count
+    * job; the two window exchanges chain in the final plan.
     */
   def rankCorrelation(
       df: DataFrame, idCol: String, vecCol: String,
@@ -255,10 +255,10 @@ object Features {
         col("v").cast("double").as("v"))
     val d = DecimalType(38, 0)
     def dd(c: Column) = c.cast(d)
-    val ranked = Ranks.withGroupRank(
-      Ranks.withGroupRank(x, "rx", Seq("pos"), col("v"),
-        ties = Seq(col("id"))),
-      "ry", Seq("pos"), col("lbl"), ties = Seq(col("id")))
+    val ranked = Ranks.withRanks(x, Seq(
+        Ranks.RankSpec("rx", col("v")),
+        Ranks.RankSpec("ry", col("lbl"))),
+      groupCols = Seq("pos"), ties = Seq(col("id")))
     ranked
       .withColumn("_d", (col("rx") - col("ry")).cast("long"))
       .groupBy("pos")

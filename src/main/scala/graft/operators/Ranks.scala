@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
 /** Scale-safe EXACT global rank / ntile — the shared primitive behind
   * every "bucket by global rank" operator (RFM quintiles, lift/gains
@@ -34,8 +34,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     ~n/buckets rows.
   *  4. Per-bucket counts (one map-side-combined aggregate, ≤ groups ×
   *     buckets rows) are collected, prefix-summed on the driver, and
-  *     rebroadcast as a LITERAL offset frame; global rank = bucket
+  *     re-injected as LITERAL offset arrays; global rank = bucket
   *     offset + local rank.
+  *
+  * Several specs batch through ONE boundary job and ONE count job
+  * ([[withRanks]] — the count pass explodes a (spec, bucket) pair per
+  * spec per row, still map-side-combining to specs × buckets rows), so
+  * an operator ranking three metrics (RFM) pays three window exchanges
+  * but only two bounded driver actions total.
   *
   * Rank is exact — not an approximation — because bucketing is
   * monotone and the within-bucket order is the caller's total order.
@@ -55,6 +61,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranks {
 
+  /** One ranking to compute: `out` gets the exact SQL `ntile(k)` when
+    * `ntile` > 0, else the exact 1-based dense global/group rank.
+    * Order is (key asc|desc, shared ties…).
+    */
+  final case class RankSpec(
+      out: String, key: Column, descending: Boolean = false,
+      ntile: Int = 0)
+
   /** df + `out` = exact 1-based global rank under the total order
     * (key asc|desc, ties…). `buckets` bounds per-task sort size
     * (pick ≳ cluster cores at scale).
@@ -62,7 +76,7 @@ object Ranks {
   def withGlobalRank(
       df: DataFrame, out: String, key: Column, descending: Boolean = false,
       ties: Seq[Column] = Nil, buckets: Int = 64): DataFrame =
-    withGroupRank(df, out, Nil, key, descending, ties, buckets)
+    withRanks(df, Seq(RankSpec(out, key, descending)), Nil, ties, buckets)
 
   /** df + `out` = exact SQL `ntile(k)` (LongType) under the same total
     * order — drop-in for `ntile(k).over(Window.orderBy(…))` minus the
@@ -72,7 +86,8 @@ object Ranks {
       df: DataFrame, out: String, k: Int, key: Column,
       descending: Boolean = false, ties: Seq[Column] = Nil,
       buckets: Int = 64): DataFrame =
-    withGroupNtile(df, out, k, Nil, key, descending, ties, buckets)
+    withRanks(df, Seq(RankSpec(out, key, descending, ntile = k)), Nil,
+      ties, buckets)
 
   /** Per-group exact rank: `out` restarts at 1 within each value of
     * `groupCols` (bounded-domain group keys — dimensions, shards).
@@ -82,95 +97,87 @@ object Ranks {
   def withGroupRank(
       df: DataFrame, out: String, groupCols: Seq[String], key: Column,
       descending: Boolean = false, ties: Seq[Column] = Nil,
-      buckets: Int = 32): DataFrame = {
-    val (ranked, _) = rankImpl(df, out, groupCols, key, descending, ties, buckets)
-    ranked.drop("_gr_b", "_gr_n_total")
-  }
+      buckets: Int = 32): DataFrame =
+    withRanks(df, Seq(RankSpec(out, key, descending)), groupCols, ties,
+      buckets)
 
   /** Per-group exact SQL ntile(k) (LongType). */
   def withGroupNtile(
       df: DataFrame, out: String, k: Int, groupCols: Seq[String],
       key: Column, descending: Boolean = false, ties: Seq[Column] = Nil,
-      buckets: Int = 32): DataFrame = {
-    require(k > 0, s"ntile needs k > 0, got $k")
-    val (ranked, rankCol) =
-      rankImpl(df, "_gr_rank", groupCols, key, descending, ties, buckets)
-    // standard SQL ntile from the exact rank, all-integer: with
-    // n = q·k + r the first r tiles hold q+1 rows. The q = 0 branch
-    // (n < k) never reaches the `div q` arm: rank0 < n = r·(q+1).
-    // `greatest(…, 1)` on the ELSE divisor: when q = 0 that arm is
-    // unreachable, but codegen may still emit the ANSI division —
-    // substituting divisor 1 in the dead branch changes nothing.
-    val tile = expr(
-      s"""CASE WHEN ($rankCol - 1L) < (_gr_n_total % $k) * ((_gr_n_total div $k) + 1L)
-         |  THEN ($rankCol - 1L) div ((_gr_n_total div $k) + 1L)
-         |  ELSE (_gr_n_total % $k) +
-         |    (($rankCol - 1L) - (_gr_n_total % $k) * ((_gr_n_total div $k) + 1L))
-         |      div greatest(_gr_n_total div $k, 1L)
-         |END + 1L""".stripMargin)
-    ranked.withColumn(out, tile)
-      .drop("_gr_b", "_gr_n_total", rankCol)
-  }
+      buckets: Int = 32): DataFrame =
+    withRanks(df, Seq(RankSpec(out, key, descending, ntile = k)),
+      groupCols, ties, buckets)
 
-  /** Shared machinery — returns (df + bucket `_gr_b` + group total
-    * `_gr_n_total` + rank column, rank column name).
+  /** The batched core: every spec's rank/ntile in one pass — one
+    * boundary job, one count job, then one window exchange per spec
+    * chained in the caller's plan.
     */
-  private def rankImpl(
-      df: DataFrame, out: String, groupCols: Seq[String], key: Column,
-      descending: Boolean, ties: Seq[Column],
-      buckets: Int): (DataFrame, String) = {
+  def withRanks(
+      df: DataFrame, specs: Seq[RankSpec], groupCols: Seq[String] = Nil,
+      ties: Seq[Column] = Nil, buckets: Int = 32): DataFrame = {
+    require(specs.nonEmpty, "need at least one RankSpec")
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(specs.map(_.out).distinct.size == specs.size,
+      s"duplicate output columns in ${specs.map(_.out)}")
+    specs.foreach(sp => require(sp.ntile >= 0,
+      s"${sp.out}: ntile must be >= 0 (0 = plain rank), got ${sp.ntile}"))
     val spark = df.sparkSession
     val g = groupCols.map(col)
-    val keyd = key.cast("double")
+    val ng = groupCols.size
 
-    // 1. boundary estimation (one aggregate job, bounded collect)
+    // 1. ONE boundary job: an approx_percentile column per spec
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val boundaryRows: Array[Row] =
       if (buckets == 1) Array.empty
       else {
-        val agg = approx_percentile(keyd, array(fracs.map(lit): _*), lit(10000))
-          .as("_gr_bs")
-        (if (groupCols.isEmpty) df.agg(agg)
-         else df.groupBy(g: _*).agg(agg)).collect()
+        val aggs = specs.zipWithIndex.map { case (sp, i) =>
+          approx_percentile(sp.key.cast("double"),
+            array(fracs.map(lit): _*), lit(10000)).as(s"_gr_bs_$i")
+        }
+        (if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+         else df.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)).collect()
       }
 
-    // 2. deterministic bucket expression (literal boundaries only, so
-    //    every plan branch recomputes the identical assignment).
-    //    Ascending: #boundaries strictly below the key; null keys sort
-    //    first → the null comparisons fall out to bucket 0.
-    //    Descending: #boundaries strictly above; null keys sort LAST →
-    //    an explicit past-the-end bucket.
-    def bucketOf(bs: Column): Column = {
+    // 2. deterministic bucket expression per spec (literal boundaries
+    //    only, so every plan branch recomputes the identical
+    //    assignment). Ascending: #boundaries strictly below the key;
+    //    null keys sort first → the null comparisons fall out to
+    //    bucket 0. Descending: #boundaries strictly above; null keys
+    //    sort LAST → an explicit past-the-end bucket.
+    def bucketOf(sp: RankSpec, bs: Column): Column = {
+      val keyd = sp.key.cast("double")
       val cmp =
-        if (descending) size(filter(bs, b => b > keyd))
+        if (sp.descending) size(filter(bs, b => b > keyd))
         else size(filter(bs, b => keyd > b))
       val nonNull = coalesce(cmp.cast("long"), lit(0L))
-      if (descending) when(key.isNull, lit(buckets.toLong)).otherwise(nonNull)
+      if (sp.descending)
+        when(sp.key.isNull, lit(buckets.toLong)).otherwise(nonNull)
       else nonNull
     }
+    def degenerateBucket(sp: RankSpec): Column =
+      if (sp.descending) when(sp.key.isNull, lit(1L)).otherwise(lit(0L))
+      else lit(0L)
+
     val bucketed =
-      if (groupCols.isEmpty) {
-        val bs: Seq[Double] =
-          if (boundaryRows.isEmpty) Nil
-          else Option(boundaryRows.head
-              .getAs[scala.collection.Seq[Double]]("_gr_bs"))
+      if (boundaryRows.isEmpty) {
+        // empty input or buckets == 1: one bucket (+null bucket desc)
+        specs.zipWithIndex.foldLeft(df) { case (d, (sp, i)) =>
+          d.withColumn(s"_gr_b_$i", degenerateBucket(sp))
+        }
+      } else if (groupCols.isEmpty) {
+        specs.zipWithIndex.foldLeft(df) { case (d, (sp, i)) =>
+          val bs = Option(boundaryRows.head
+              .getAs[scala.collection.Seq[Double]](s"_gr_bs_$i"))
             .map(_.toSeq).getOrElse(Nil)
-        val b =
-          if (bs.isEmpty) {
-            if (descending) when(key.isNull, lit(1L)).otherwise(lit(0L))
-            else lit(0L)
-          } else bucketOf(array(bs.map(lit): _*))
-        df.withColumn("_gr_b", b)
-      } else if (boundaryRows.isEmpty) {
-        // empty input or buckets == 1: one bucket per group
-        val b =
-          if (descending) when(key.isNull, lit(1L)).otherwise(lit(0L))
-          else lit(0L)
-        df.withColumn("_gr_b", b)
+          d.withColumn(s"_gr_b_$i",
+            if (bs.isEmpty) degenerateBucket(sp)
+            else bucketOf(sp, array(bs.map(lit): _*)))
+        }
       } else {
-        // per-group literal boundary frame (rebuilt from the collected
-        // rows so every plan branch sees identical constants)
+        // per-group literal boundary frame (one frame carrying every
+        // spec's array, rebuilt from the collected rows so all plan
+        // branches see identical constants)
         val bSchema = StructType(boundaryRows.head.schema.fields)
         val renamed = groupCols.zipWithIndex.foldLeft(
           spark.createDataFrame(boundaryRows.toSeq.asJava, bSchema)) {
@@ -179,74 +186,116 @@ object Ranks {
         val cond = groupCols.zipWithIndex
           .map { case (c, i) => col(c) <=> col(s"_gr_g_$i") }
           .reduce(_ && _)
-        df.join(broadcast(renamed), cond, "left")
-          .withColumn("_gr_b", bucketOf(col("_gr_bs")))
-          .drop((groupCols.indices.map(i => s"_gr_g_$i") :+ "_gr_bs"): _*)
+        val joined = df.join(broadcast(renamed), cond, "left")
+        specs.zipWithIndex.foldLeft(joined) { case (d, (sp, i)) =>
+          d.withColumn(s"_gr_b_$i", bucketOf(sp, col(s"_gr_bs_$i")))
+        }.drop((groupCols.indices.map(i => s"_gr_g_$i") ++
+          specs.indices.map(i => s"_gr_bs_$i")): _*)
       }
 
-    // 3. local ranks at (group × bucket)-way parallelism
-    val ord = (if (descending) key.desc else key.asc) +: ties
-    val w = Window.partitionBy((g :+ col("_gr_b")): _*).orderBy(ord: _*)
-    val local = bucketed.withColumn("_gr_lr", row_number().over(w).cast("long"))
-
-    // 4. bucket counts → driver prefix sums → literal offsets. The
-    //    collect is ≤ groups × (buckets+1) rows by construction.
+    // 3. ONE count job: a (spec, bucket) pair per spec per row,
+    //    map-side combined to ≤ groups × specs × (buckets+1) rows
+    val pairs = array(specs.indices.map(i =>
+      struct(lit(i).as("_si"), col(s"_gr_b_$i").as("_sb"))): _*)
     val cntRows = bucketed
-      .groupBy((g :+ col("_gr_b")): _*)
+      .select((g :+ explode(pairs).as("_p")): _*)
+      .groupBy((g ++ Seq(col("_p._si").as("_si"), col("_p._sb").as("_sb"))): _*)
       .agg(count(lit(1)).as("_gr_n"))
       .collect()
-    val ng = groupCols.size
-    val ranked =
-      if (groupCols.isEmpty) {
-        // global: offsets become a literal array indexed by bucket —
-        // no join at all, the lookup is one codegen'd element_at
-        val byBucket = cntRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val total = byBucket.values.sum
-        val offs = (0L to buckets.toLong).scanLeft(0L) { (acc, b) =>
+
+    // driver prefix sums → per (group, spec) offset arrays indexed by
+    // bucket (buckets+1 entries, missing buckets contribute 0), plus
+    // the group total (identical across specs; taken from spec 0)
+    def offsetsOf(rows: Seq[Row]): (Map[Int, Seq[Long]], Long) = {
+      val bySpec = rows.groupBy(_.getInt(ng))
+      val total = bySpec.getOrElse(0, Nil).map(_.getLong(ng + 2)).sum
+      val arrays = bySpec.map { case (si, rs) =>
+        val byBucket =
+          rs.map(r => r.getLong(ng + 1) -> r.getLong(ng + 2)).toMap
+        si -> (0L to buckets.toLong).scanLeft(0L) { (acc, b) =>
           acc + byBucket.getOrElse(b, 0L)
         }.init
-        local
-          .withColumn(out,
-            element_at(array(offs.map(lit): _*), (col("_gr_b") + 1L)
-              .cast("int")) + col("_gr_lr"))
-          .withColumn("_gr_n_total", lit(total))
-          .drop("_gr_lr")
+      }
+      (arrays, total)
+    }
+
+    def ordOf(sp: RankSpec): Seq[Column] =
+      (if (sp.descending) sp.key.desc else sp.key.asc) +: ties
+
+    def tileOf(rankCol: String, totalSql: String, k: Int): Column =
+      // standard SQL ntile from the exact rank, all-integer: with
+      // n = q·k + r the first r tiles hold q+1 rows. The q = 0 branch
+      // (n < k) never reaches the `div q` arm (rank0 < n = r·(q+1));
+      // `greatest(…, 1)` keeps the dead branch's ANSI division alive
+      // under codegen without changing any reachable value.
+      expr(
+        s"""CASE WHEN ($rankCol - 1L) < (($totalSql) % $k) * ((($totalSql) div $k) + 1L)
+           |  THEN ($rankCol - 1L) div ((($totalSql) div $k) + 1L)
+           |  ELSE (($totalSql) % $k) +
+           |    (($rankCol - 1L) - (($totalSql) % $k) * ((($totalSql) div $k) + 1L))
+           |      div greatest(($totalSql) div $k, 1L)
+           |END + 1L""".stripMargin)
+
+    // 4. + 5. offsets as literals; one window per spec, chained
+    val ranked =
+      if (groupCols.isEmpty) {
+        val (offArrays, total) = offsetsOf(cntRows.toSeq)
+        specs.zipWithIndex.foldLeft(bucketed) { case (d, (sp, i)) =>
+          val w = Window.partitionBy(col(s"_gr_b_$i")).orderBy(ordOf(sp): _*)
+          val offs = offArrays.getOrElse(i, Seq.fill(buckets + 1)(0L))
+          val rank = element_at(array(offs.map(lit): _*),
+            (col(s"_gr_b_$i") + 1L).cast("int")) +
+            row_number().over(w).cast("long")
+          if (sp.ntile > 0)
+            d.withColumn(s"_gr_r_$i", rank)
+              .withColumn(sp.out,
+                tileOf(s"_gr_r_$i", total.toString + "L", sp.ntile))
+              .drop(s"_gr_r_$i")
+          else d.withColumn(sp.out, rank)
+        }
       } else {
-        val offRows: Seq[Row] = cntRows.toSeq
-          .groupBy(r => (0 until ng).map(r.get))
-          .flatMap { case (_, rows) =>
-            val sorted = rows.sortBy(_.getLong(ng))
-            val total = sorted.map(_.getLong(ng + 1)).sum
-            sorted.scanLeft((0L, null: Row)) { case ((acc, _), r) =>
-              (acc + r.getLong(ng + 1),
-                Row.fromSeq(r.toSeq.take(ng + 1) ++ Seq(acc, total)))
-            }.drop(1).map(_._2)
-          }.toSeq
+        // one literal frame per GROUP: group key, every spec's offset
+        // array, and the group total — joined back once (broadcast)
+        val byGroup = cntRows.toSeq.groupBy(r => (0 until ng).map(r.get))
+        val offRows: Seq[Row] = byGroup.map { case (gk, rs) =>
+          val (arrays, total) = offsetsOf(rs)
+          Row.fromSeq(gk ++
+            specs.indices.map(i =>
+              arrays.getOrElse(i, Seq.fill(buckets + 1)(0L))) :+
+            total)
+        }.toSeq
         val offSchema = StructType(
-          bucketed.select((g :+ col("_gr_b")): _*).schema.fields ++
-            Seq(StructField("_gr_off", LongType, nullable = false),
-              StructField("_gr_n_total", LongType, nullable = false)))
+          bucketed.select(g: _*).schema.fields ++
+            specs.indices.map(i =>
+              StructField(s"_gr_offs_$i", ArrayType(LongType), false)) :+
+            StructField("_gr_total", LongType, nullable = false))
         val offRenamed = groupCols.zipWithIndex.foldLeft(
-          spark.createDataFrame(offRows.asJava, offSchema)
-            .withColumnRenamed("_gr_b", "_gr_ob")) {
+          spark.createDataFrame(offRows.asJava, offSchema)) {
           case (d, (c, i)) => d.withColumnRenamed(c, s"_gr_og_$i")
         }
-        // bucket equality is null-safe (<=>) deliberately: a plain
-        // attribute equality lets InferFiltersFromConstraints push the
-        // bucket's defining expression (which references the caller's
-        // key column) across the join onto the literal relation, where
-        // ConvertToLocalRelation fails to bind it — an optimizer bug
-        // this shape otherwise triggers. Values are never null; the
-        // hash join strategy is unaffected.
-        val joinCond = (groupCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> col(s"_gr_og_$i") } :+
-          (col("_gr_b") <=> col("_gr_ob"))).reduce(_ && _)
-        local
-          .join(broadcast(offRenamed), joinCond)
-          .withColumn(out, col("_gr_off") + col("_gr_lr"))
-          .drop((groupCols.indices.map(i => s"_gr_og_$i") ++
-            Seq("_gr_ob", "_gr_off", "_gr_lr")): _*)
+        // null-safe group equality both for NULL group values and to
+        // keep InferFiltersFromConstraints from substituting bucket
+        // definitions across the join into the literal relation (an
+        // optimizer bug plain `=` triggers here —
+        // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in ConvertToLocalRelation)
+        val cond = groupCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> col(s"_gr_og_$i") }
+          .reduce(_ && _)
+        val joined = bucketed.join(broadcast(offRenamed), cond)
+        specs.zipWithIndex.foldLeft(joined) { case (d, (sp, i)) =>
+          val w = Window.partitionBy((g :+ col(s"_gr_b_$i")): _*)
+            .orderBy(ordOf(sp): _*)
+          val rank = element_at(col(s"_gr_offs_$i"),
+            (col(s"_gr_b_$i") + 1L).cast("int")) +
+            row_number().over(w).cast("long")
+          if (sp.ntile > 0)
+            d.withColumn(s"_gr_r_$i", rank)
+              .withColumn(sp.out, tileOf(s"_gr_r_$i", "_gr_total", sp.ntile))
+              .drop(s"_gr_r_$i")
+          else d.withColumn(sp.out, rank)
+        }.drop((groupCols.indices.map(i => s"_gr_og_$i") ++
+          specs.indices.map(i => s"_gr_offs_$i") :+ "_gr_total"): _*)
       }
-    (ranked, out)
+    ranked.drop(specs.indices.map(i => s"_gr_b_$i"): _*)
   }
 }

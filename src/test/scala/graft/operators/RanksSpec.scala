@@ -106,6 +106,36 @@ class RanksSpec extends SparkSpec {
     assertSame(got, expected)
   }
 
+  test("batched specs match three independent window ntiles/ranks") {
+    val expected = df
+      .withColumn("a", ntile(5).over(Window.orderBy(col("k"), col("id")))
+        .cast("long"))
+      .withColumn("b", ntile(3).over(Window.orderBy(col("v").desc,
+        col("id"))).cast("long"))
+      .withColumn("c", row_number().over(Window.orderBy(col("v"),
+        col("id"))).cast("long"))
+    val got = Ranks.withRanks(df, Seq(
+        Ranks.RankSpec("a", col("k"), ntile = 5),
+        Ranks.RankSpec("b", col("v"), descending = true, ntile = 3),
+        Ranks.RankSpec("c", col("v"))),
+      ties = Seq(col("id")), buckets = 8)
+    assertSame(got, expected)
+  }
+
+  test("batched group specs match per-group windows") {
+    val gdf = df.withColumn("grp", col("id") % 5)
+    val expected = gdf
+      .withColumn("a", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("b", ntile(4).over(Window.partitionBy(col("grp"))
+        .orderBy(col("k").desc, col("id"))).cast("long"))
+    val got = Ranks.withRanks(gdf, Seq(
+        Ranks.RankSpec("a", col("v")),
+        Ranks.RankSpec("b", col("k"), descending = true, ntile = 4)),
+      groupCols = Seq("grp"), ties = Seq(col("id")), buckets = 4)
+    assertSame(got, expected)
+  }
+
   test("empty input yields empty output with the rank column") {
     val empty = df.filter(col("id") < 0)
     val got = Ranks.withGlobalNtile(empty, "t", 4, col("v"),

@@ -1031,14 +1031,20 @@ object EventSequences {
     * backward as-of), reported in EXACT microseconds — the quantile
     * pick is the value at rank ⌈q·n⌉ (an actual observed gap, all
     * integer, nothing to round). The as-of is the one-union-window
-    * shape of [[AsOfJoin.asOf]]; the global rank runs over the
-    * matched-conversion frame (conversion-bounded, not corpus-
-    * bounded).
+    * shape of [[AsOfJoin.asOf]]; the global rank comes from
+    * [[Ranks.withGlobalRank]] — the matched-conversion frame scales
+    * WITH the corpus, so an unpartitioned `row_number` window (one
+    * task holding every conversion) is exactly the shape this repo
+    * bans; the gap frame is materialized once for the bounded
+    * boundary/count passes. The value at a rank is well-defined under
+    * gap ties (every tie order yields the same picked value), so no
+    * tiebreak column is needed.
     */
   def conversionLagQuantiles(
       events: DataFrame, fromType: String, toType: String,
       typeCol: String = "event_type", keyCol: String = "user_id",
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
     val gaps = AsOfJoin.asOfTolerance(
         left = events.filter(col(typeCol) === toType)
           .select(col(keyCol), col(tsCol), col(idCol)),
@@ -1048,9 +1054,10 @@ object EventSequences {
         toleranceSeconds = 320L * 1000000L) // effectively unbounded
       .filter(col("asof_gap_us").isNotNull)
       .select(col("asof_gap_us").as("_g"))
-    val w = Window.orderBy(col("_g"))
-    gaps.withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .materialized
+    val total = gaps.agg(count(lit(1)).as("_n"))
+    Ranks.withGlobalRank(gaps, "_rn", col("_g"))
+      .crossJoin(broadcast(total))
       .filter(col("_rn") === expr("(_n + 1) div 2") ||
         col("_rn") === expr("(9 * _n + 9) div 10"))
       .agg(first(col("_n")).as("n_conversions"),

@@ -449,7 +449,8 @@ class PlanRegressionSpec extends SparkSpec {
     // buckets; any WindowExec with an empty partitionSpec here means
     // the single-partition sort crept back.
     for (gate <- Seq("events_rfm_grid", "events_rfm_segments",
-        "eval_lift_gains", "sim_quantile_bins", "sim_rank_correlation")) {
+        "eval_lift_gains", "sim_quantile_bins", "sim_rank_correlation",
+        "events_conversion_lag")) {
       val windows = nodes(finalPlan(gate)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExecBase => w
       }

@@ -47,7 +47,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * monotone and the within-bucket order is the caller's total order.
   * Ties in the key are fine (they share a bucket; `ties` columns
   * order them); the caller's (key, ties…) must be a TOTAL order for
-  * ntile determinism, exactly as with the window form.
+  * ntile determinism, exactly as with the window form. A MASSIVELY
+  * tied key (one value on most rows) degrades toward one task holding
+  * the tied run — the declared skew boundary, same class as the LSH
+  * hot-band caps; results stay exact.
   *
   * NULL keys follow Spark's window defaults: NULLS FIRST ascending
   * (bucket 0), NULLS LAST descending (a dedicated past-the-end

@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   *
   *   G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)
   *
-  * needs only the two integer sums. One shuffle (hash by group for
-  * the sort window), one aggregate; nothing driver-side. At 100 TB
-  * the per-group sort is the cost — groups are processed
-  * independently, so skew in group sizes is the thing to watch
-  * (`keySkewProfile` diagnoses it), and the integer sums map-side
-  * combine.
+  * needs only the two integer sums. Ranks come from
+  * [[Ranks.withGroupRank]] (range sub-buckets INSIDE each group): a
+  * bare per-group window caps parallelism at the group count, and
+  * inequality groups are typically few (segments, languages) over
+  * corpus-scale rows — exactly the one-task-sorts-a-group shape this
+  * repo bans. The integer sums map-side combine.
   */
 object Inequality {
 
@@ -35,10 +35,10 @@ object Inequality {
       df: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100d, 0).cast("long")
-    val w = Window.partitionBy(col("_g"))
-      .orderBy(col("_c"), col("_id"))
-    df.select(col(groupCol).as("_g"), cents.as("_c"), col(idCol).as("_id"))
-      .withColumn("_i", row_number().over(w))
+    val base = df.select(col(groupCol).as("_g"), cents.as("_c"),
+      col(idCol).as("_id"))
+    Ranks.withGroupRank(base, "_i", Seq("_g"), col("_c"),
+        ties = Seq(col("_id")))
       .groupBy(col("_g").as(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(col("_c")).as("sum_cents"),

@@ -143,12 +143,14 @@ object Profiling {
       df: DataFrame, groupCol: String, valueCol: String, idCol: String,
       k: Int = 20): DataFrame = {
     require(k >= 2, s"k=$k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_g")).orderBy(col("_v"), col("_id"))
-    val bucketed = df
+    // per-group SQL ntile via Ranks (range sub-buckets inside each
+    // group) — a bare Window.partitionBy(group) would sort each whole
+    // group in one task, with parallelism capped at the group count
+    val base = df
       .select(col(groupCol).cast("string").as("_g"),
         col(valueCol).cast("long").as("_v"), col(idCol).as("_id"))
-      .withColumn("bucket", ntile(k).over(w).cast("long"))
+    val bucketed = Ranks.withGroupNtile(base, "bucket", k, Seq("_g"),
+      col("_v"), ties = Seq(col("_id")))
     val per = bucketed.groupBy(col("_g"), col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"))
     val cross = per.groupBy(col("bucket"))

@@ -295,15 +295,22 @@ class PlanRegressionSpec extends SparkSpec {
       s"no equi-join found: $ks")
   }
 
-  test("agg_gini_by_group: the rank window and the group agg share one hash exchange") {
-    // window partitionBy(group) and the following groupBy(group) hash
-    // the same key — a refactor that re-keys in between would double
-    // the corpus shuffle
-    val ks = kinds("agg_gini_by_group")
-    val exchanges = ks.count(_.contains("ShuffleExchange"))
-    assert(ks.contains("WindowExec"), s"no window: $ks")
-    assert(exchanges <= 2, // group hash + final orderBy range
-      s"$exchanges exchanges (expected window+sort only): $ks")
+  test("agg_gini_by_group: ranks ride (group, range-bucket) windows, not whole-group sorts") {
+    // the rank window must partition on (group, Ranks range bucket) so
+    // a few huge groups still spread over `buckets` tasks — a bare
+    // partitionBy(group) window (parallelism capped at the group
+    // count) must not come back
+    val plan = finalPlan("agg_gini_by_group")
+    val windows = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+    }
+    assert(windows.nonEmpty, "rank window missing")
+    windows.foreach(w => assert(w.partitionSpec.size >= 2,
+      s"whole-group sort window came back: ${w.partitionSpec}"))
+    val exchanges = nodes(plan)
+      .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+    assert(exchanges <= 4, // bucket window + group agg + orderBy (+AQE)
+      s"$exchanges exchanges: ${kinds("agg_gini_by_group")}")
   }
 
   test("events_ewma: rank filter prunes before the fold aggregate") {
@@ -450,7 +457,7 @@ class PlanRegressionSpec extends SparkSpec {
     // the single-partition sort crept back.
     for (gate <- Seq("events_rfm_grid", "events_rfm_segments",
         "eval_lift_gains", "sim_quantile_bins", "sim_rank_correlation",
-        "events_conversion_lag")) {
+        "events_conversion_lag", "stats_quantile_normalize")) {
       val windows = nodes(finalPlan(gate)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExecBase => w
       }

@@ -14,22 +14,27 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stratified deterministic take: the first ⌈fraction·|group|⌉ rows of
-    * every group in `orderCol` order. One shuffle on the group key; the
-    * two windows (rank + group size) share a single sort. Use for
+    * every group in `orderCol` order. Ranks come from
+    * [[Ranks.withGroupRank]] (range sub-buckets inside each stratum) —
+    * strata are typically FEW (languages, sources) over corpus-scale
+    * rows, so a bare per-group window would sort each whole stratum in
+    * one task; group sizes ride a strata-bounded broadcast. Use for
     * balanced eval slices / curriculum subsets where reproducibility
-    * beats randomness; for an unbiased random sample swap `orderCol`
-    * for a hash of the id — the plan shape is identical.
+    * beats randomness (`orderCol` should be unique within a group, as
+    * before — ties at the cutoff are order-unstable in any rank-based
+    * take); for an unbiased random sample swap `orderCol` for a hash
+    * of the id — the plan shape is identical.
     */
   def stratifiedTake(
       df: DataFrame, groupCol: String, orderCol: String,
       fraction: Double): DataFrame = {
-    val byGroup = Window.partitionBy(col(groupCol))
-    val ranked = df
-      .withColumn("_rn", row_number().over(byGroup.orderBy(col(orderCol))))
-      .withColumn("_n", count(lit(1)).over(byGroup))
-    ranked
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumnRenamed(groupCol, "_sg")
+    Ranks.withGroupRank(df, "_rn", Seq(groupCol), col(orderCol))
+      .join(broadcast(sizes), col(groupCol) <=> col("_sg"))
       .filter(col("_rn") <= ceil(lit(fraction) * col("_n")))
-      .drop("_rn", "_n")
+      .drop("_rn", "_n", "_sg")
   }
 
   /** Quantile bucket labels over a score column — the CCNet-style

@@ -1125,6 +1125,22 @@ object ScaleCheck {
         graft.operators.Evaluation.liftGains(
           scored(1000000L * dup), "score", "id", col("y")))
       // (quantile_bins has its own embeddings-based row above)
+      // few groups × corpus-scale rows — the exact shape the group-rank
+      // rewrite fixes (pre-rewrite: one task sorts a whole stratum)
+      def vals(n: Long) = spark.range(n).select(
+        concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+        col("id").as("id"),
+        ((col("id") * 2654435761L % 100000L).cast("double") / 100.0)
+          .as("v"))
+      time("gini_by_group_1x",
+        graft.operators.Inequality.giniByGroup(
+          vals(1000000L), "g", "v", "id"))
+      time(s"gini_by_group_${dup}x",
+        graft.operators.Inequality.giniByGroup(
+          vals(1000000L * dup), "g", "v", "id"))
+      time(s"stratified_take_${dup}x",
+        graft.operators.Sampling.stratifiedTake(
+          vals(1000000L * dup), "g", "id", 0.1))
     }
 
     spark.stop()

@@ -270,4 +270,28 @@ object Features {
             (dd(col("n")) * (dd(col("n")) * dd(col("n")) - lit(1)))
               .cast("double"), 6)).as("rho"))
   }
+
+  /** Rank normalization (the quantile transform): every row's score
+    * mapped to its normalized global rank (rank−1)/(n−1) ∈ [0, 1] —
+    * the scale-free score calibration feature pipelines apply before
+    * mixing heterogeneous quality signals (SQL `percent_rank` under a
+    * (score, id) total order, so the value is engine-portable and the
+    * division is one exact-integer ratio per row). The rank comes from
+    * [[Ranks.withGlobalRank]] — range-bucketed, never a
+    * single-partition sort; n rides a 1-row broadcast. A single-row
+    * input gets 0.0 by the SQL percent_rank convention.
+    */
+  def rankNormalize(
+      df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val total = base.agg(count(lit(1)).as("_n"))
+    Ranks.withGlobalRank(base, "_r", col("score"), ties = Seq(col("id")))
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("score"),
+        when(col("_n") > 1,
+          Numerics.roundz((col("_r") - 1L).cast("double") /
+            (col("_n") - 1L).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pct_rank"))
+  }
 }

@@ -1421,6 +1421,27 @@ object SimilarityQueries extends QueryGroup {
         |  min(val) AS vmin, max(val) AS vmax
         |FROM b GROUP BY 1, 2 ORDER BY pos, bin""".stripMargin))
 
+  /** Rank normalization / quantile transform
+    * ([[graft.operators.Features.rankNormalize]]): every document's
+    * length score mapped to its normalized global rank
+    * (rank−1)/(n−1) — SQL `percent_rank` under a (score, id) total
+    * order, computed through [[graft.operators.Ranks]] (range-bucketed,
+    * no single-partition sort) with one exact-integer ratio per row.
+    * This is the PER-ROW gate for the Ranks primitive itself (the
+    * ntile gates check tile aggregates; this hashes every rank).
+    */
+  val rankNormalizeGate: QueryDef = QueryDef(
+    "sim_rank_normalize",
+    (s, dir) =>
+      graft.operators.Features.rankNormalize(
+          Tables(s, dir).documents, "doc_id", "n_chars")
+        .orderBy("id"),
+    Some(
+      """SELECT doc_id AS id, n_chars::BIGINT AS score,
+        |  round(percent_rank() OVER (ORDER BY n_chars::BIGINT, doc_id), 6)
+        |    + 0 AS pct_rank
+        |FROM documents ORDER BY id""".stripMargin))
+
   /** Per-label embedding cohesion ([[graft.operators.Similarity
     * .classSeparation]]): member count, mean and min cosine to the
     * label centroid — the cluster-tightness diagnostic. The centroid
@@ -1512,7 +1533,8 @@ object SimilarityQueries extends QueryGroup {
       normalize, randomProjection, randomProjectionExact, meanPool,
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
-      mutualNearest, mutualNearestBlocked, quantileBinsGate, hardNegatives,
+      mutualNearest, mutualNearestBlocked, quantileBinsGate,
+      rankNormalizeGate, hardNegatives,
       classSeparationGate)
 }
 

@@ -168,6 +168,22 @@ class FeaturesSpec extends SparkSpec {
       (3L, 2L, 5.0, 6.0), (4L, 2L, 7.0, 8.0)))
   }
 
+  test("rankNormalize: (rank-1)/(n-1) under the (score, id) total order") {
+    val s = spark
+    import s.implicits._
+    // tied scores break on id, so the quantile transform is total:
+    // ranks 1..5 -> 0, .25, .5, .75, 1
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 30L))
+      .toDF("doc_id", "score")
+    val out = Features.rankNormalize(df, "doc_id", "score")
+      .orderBy("id").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // single row: 0.0 by the SQL percent_rank convention, no /0
+    val one = Features.rankNormalize(
+      Seq((9L, 42L)).toDF("doc_id", "score"), "doc_id", "score")
+    assert(one.head().getDouble(2) == 0.0)
+  }
+
   test("rankCorrelation ties break on id identically for both rankings") {
     val s = spark
     import s.implicits._

@@ -458,7 +458,7 @@ class PlanRegressionSpec extends SparkSpec {
     for (gate <- Seq("events_rfm_grid", "events_rfm_segments",
         "eval_lift_gains", "sim_quantile_bins", "sim_rank_correlation",
         "events_conversion_lag", "stats_quantile_normalize",
-        "sample_stratified_take")) {
+        "sample_stratified_take", "sim_rank_normalize")) {
       val windows = nodes(finalPlan(gate)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExecBase => w
       }

@@ -301,4 +301,47 @@ object Ranks {
       }
     ranked.drop(specs.indices.map(i => s"_gr_b_$i"): _*)
   }
+
+  /** Exact top-k rows per group under the total order (key desc|asc,
+    * ties…) WITHOUT a full per-group sort. A bare
+    * `row_number().over(partitionBy(group).orderBy(…))` moves each
+    * whole group to one task with parallelism capped at the group
+    * count — for a per-source vocabulary frame that is one task
+    * sorting a web-scale group's entire vocabulary to keep 500 rows.
+    *
+    * Here rows are salted into `salts` sub-buckets by a deterministic
+    * hash of the (key, ties…) order columns and ranked locally within
+    * (group, salt): any row of a group's global top-k is necessarily
+    * in its own sub-bucket's top-k (the rows ahead of it globally are a
+    * superset of those ahead of it in the sub-bucket), so keeping each
+    * sub-bucket's top-k and re-ranking the ≤ salts·k survivors per
+    * group is exact. The heavy pass runs at groups×salts-way
+    * parallelism; the final per-group sort touches ≤ salts·k rows.
+    *
+    * `out` is the exact 1-based rank (LongType); only rows with
+    * rank ≤ k survive. (key, ties…) must be a total order within each
+    * group, exactly as with the window form; single-pass, no bounded
+    * driver actions — unlike [[withRanks]] this never re-evaluates the
+    * input, so nondeterministic frames are safe.
+    */
+  def topKPerGroup(
+      df: DataFrame, out: String, k: Int, groupCols: Seq[String],
+      key: Column, descending: Boolean = true, ties: Seq[Column] = Nil,
+      salts: Int = 32): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(salts >= 1, s"need salts >= 1, got $salts")
+    val ord = ((if (descending) key.desc else key.asc) +: ties.map(_.asc))
+    val g = groupCols.map(col)
+    val salted = df.withColumn("_tk_s",
+      pmod(xxhash64((key +: ties): _*), lit(salts)))
+    val wLocal = Window.partitionBy((g :+ col("_tk_s")): _*).orderBy(ord: _*)
+    val survivors = salted
+      .withColumn("_tk_r", row_number().over(wLocal))
+      .filter(col("_tk_r") <= k)
+      .drop("_tk_s", "_tk_r")
+    val wFinal = Window.partitionBy(g: _*).orderBy(ord: _*)
+    survivors
+      .withColumn(out, row_number().over(wFinal).cast("long"))
+      .filter(col(out) <= k)
+  }
 }

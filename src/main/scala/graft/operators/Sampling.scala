@@ -491,13 +491,16 @@ object Sampling {
   def curriculumInterleave(
       df: DataFrame, idCol: String, scoreCol: String,
       srcCol: String): DataFrame = {
-    val bySrc = Window.partitionBy(col(srcCol))
-      .orderBy(col(scoreCol), col(idCol))
     val total = df.agg(count(lit(1)).as("_total"))
     val sizes = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("_n_src"))
-    df.select(col(idCol), col(srcCol), col(scoreCol))
-      .withColumn("rank_in_source", row_number().over(bySrc).cast("long"))
+    // exact per-source rank via Ranks range sub-buckets — a bare
+    // partitionBy(source) window would sort each WHOLE source in one
+    // task, parallelism capped at the source count (a handful)
+    Ranks.withGroupRank(
+        df.select(col(idCol), col(srcCol), col(scoreCol)),
+        "rank_in_source", Seq(srcCol), col(scoreCol),
+        ties = Seq(col(idCol)))
       .join(broadcast(sizes), Seq(srcCol))
       .crossJoin(broadcast(total))
       .select(col(idCol), col(srcCol), col("rank_in_source"),

@@ -301,27 +301,27 @@ object TextAnalysis {
     * [[jsDivergenceByGroup]].
     *
     * Plan: token explode → per-(group, term) count (map-side
-    * combined), rank via one window over the VOCABULARY-bounded
-    * frequency frame, then a per-group `regr_slope`/`regr_intercept`
-    * over ≤ topK rows. Nothing after the first aggregate scales with
-    * corpus size. Output rounds to 4 dp — the regression sums are
-    * floating-point but span ≤ topK terms, so cross-engine noise sits
-    * orders below the rounding step (the [[bigramLogProbScore]]
-    * discipline).
+    * combined), then [[Ranks.topKPerGroup]] over the frequency frame —
+    * a bare `partitionBy(group)` window would sort each group's ENTIRE
+    * vocabulary in one task with parallelism capped at the group
+    * count; the salted two-stage top-k keeps groups×salts-way
+    * parallelism and final per-group sorts of ≤ salts·topK rows — then
+    * a per-group `regr_slope`/`regr_intercept` over ≤ topK rows.
+    * Nothing after the first aggregate scales with corpus size. Output
+    * rounds to 4 dp — the regression sums are floating-point but span
+    * ≤ topK terms, so cross-engine noise sits orders below the
+    * rounding step (the [[bigramLogProbScore]] discipline).
     */
   def zipfSlope(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, groupCol: String,
       topK: Int = 500): org.apache.spark.sql.DataFrame = {
     require(topK >= 2, s"topK must be >= 2 to fit a line, got $topK")
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(groupCol).as("grp"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = tok.groupBy("grp", "term").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("grp"))
-      .orderBy(col("cnt").desc, col("term"))
-    tf.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    Ranks.topKPerGroup(tf, "rank", topK, Seq("grp"), col("cnt"),
+        descending = true, ties = Seq(col("term")))
       .groupBy(col("grp"))
       .agg(
         count(lit(1)).cast("long").as("n_terms"),
@@ -340,25 +340,34 @@ object TextAnalysis {
     * Plan: one token explode feeds a per-(doc, term) count; corpus term
     * frequencies derive from THAT (a second, vocabulary-bounded
     * aggregate — no second corpus scan); the corpus total is a 1-row
-    * broadcast. Two shuffles total (term, then doc id), both carrying
-    * counts, never text. Every log input is an exact integer count, so
+    * broadcast. Every shuffle carries counts, never text. Every log
+    * input is an exact integer count, so
     * the 6-dp-rounded mean is engine-stable (full-oracle gate, same
     * discipline as [[bigramLogProbScore]]).
     */
   def unigramLogProbScore(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // corpus term frequency as a WINDOW over the per-doc counts — no
-    // separate aggregate + join back (which would recompute the tf
-    // subtree); the only other tf consumer is the 1-row total, whose
-    // exchange AQE reuses
-    val withCnt = tf.withColumn("cnt",
-      sum(col("tf")).over(Window.partitionBy(col("term"))))
+      // the count aggregate, the 1-row total, and the probe all consume
+      // tf and AQE does not reuse the aggregate exchange across them —
+      // materialize once (wins from ~3x corpus up; ~0.2 s overhead at
+      // gate SF)
+      .materialized
+    // corpus term frequency via a vocabulary-bounded aggregate joined
+    // back, NOT a window over partitionBy(term): a stopword's posting
+    // list is corpus-sized, and a window pins the whole hot partition
+    // to ONE task with no recourse. The join is unhinted so AQE picks
+    // the right physical form per scale: broadcast when the term-count
+    // frame is small, else a shuffled join whose hot probe partitions
+    // the AQE skew rule splits (replicating the 1-row-per-term build
+    // side). Costs one extra pass over tf; at scale that beats the
+    // unsplittable single-task window sort by orders.
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val withCnt = tf.join(cnt, Seq("term"))
     val total = tf.agg(sum(col("tf")).as("n_total"))
     withCnt.crossJoin(broadcast(total))
       .groupBy(col(idCol))
@@ -376,9 +385,11 @@ object TextAnalysis {
     * unigram profile). P(w|c) = (count(c w) + 1) / (count(c) + V).
     *
     * Plan: positional bigrams via array zip (no self-join on position);
-    * per-doc tf aggregate; corpus bigram counts as a WINDOW over tf
-    * (same no-join-back shape as the unigram scorer); context counts
-    * and V are vocabulary-bounded frames. Every corpus-scale structure
+    * per-doc tf aggregate; corpus bigram counts via a bigram-vocab-
+    * bounded aggregate joined back (same skew-splittable shape as the
+    * unigram scorer — a window over partitionBy(l, r) would pin a hot
+    * bigram's whole posting list to one task); context counts and V
+    * are vocabulary-bounded frames. Every corpus-scale structure
     * here is bounded by vocabulary (or bigram vocabulary), never by
     * corpus positions. Output rounds to 4 dp — float log sums carry
     * ~1e-14 ordering noise, orders below the rounding step.
@@ -389,7 +400,6 @@ object TextAnalysis {
   def bigramLogProbScore(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = split(lower(trim(col(textCol))), "\\s+")
     val pairs = docs.select(col(idCol),
       explode(zip_with(
@@ -398,12 +408,16 @@ object TextAnalysis {
       .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
     val tf = pairs.groupBy(col(idCol), col("l"), col("r"))
       .agg(count(lit(1)).as("tf"))
-    val withBg = tf.withColumn("cbg",
-      sum(col("tf")).over(Window.partitionBy(col("l"), col("r"))))
+      .materialized // bigram-count aggregate + probe share one explode
+    val bg = tf.groupBy(col("l"), col("r")).agg(sum(col("tf")).as("cbg"))
+    val withBg = tf.join(bg, Seq("l", "r"))
     val toks = docs.select(
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val ctx = toks.groupBy(col("term")).agg(count(lit(1)).as("cl"))
-    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    // |V| is just ctx's row count — deriving it from ctx (vocabulary-
+    // bounded) instead of a second countDistinct over the corpus-scale
+    // token explode saves one full scan+shuffle of the corpus.
+    val vocab = ctx.agg(count(lit(1)).as("v"))
     withBg
       .join(ctx, col("l") === col("term"))
       .crossJoin(broadcast(vocab))
@@ -519,15 +533,21 @@ object TextAnalysis {
     * machine-learning detector" of a phrase-mining pass.
     *
     * One corpus-scale aggregate (pair counts, map-side combined); the
-    * marginals are windows over the bigram-vocabulary frame — nothing
-    * downstream of the first aggregate scales with the corpus. All
-    * inputs to the log are exact integers, so the 4-dp-rounded PMI is
-    * engine-stable.
+    * marginals are word-vocabulary-bounded aggregates OF that frame,
+    * joined back only onto pairs surviving the minCount filter — the
+    * filter runs BEFORE the join-back, so the probe side is the (tiny)
+    * collocation candidate set, not the full bigram-type frame. N is a
+    * broadcast 1-row frame. The former shape (marginals as windows
+    * over partitionBy(l) / partitionBy(r) plus an EMPTY-partition
+    * window for N) pinned a stopword context's whole neighbor list —
+    * and for N the entire bigram-type frame — to single tasks; nothing
+    * here exceeds one map-side-combined pass plus vocab-bounded joins.
+    * All inputs to the log are exact integers, so the 4-dp-rounded PMI
+    * is engine-stable.
     */
   def pmiBigrams(
       docs: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = split(lower(trim(col(textCol))), "\\s+")
     val cnt = docs.select(
       explode(zip_with(
@@ -535,11 +555,18 @@ object TextAnalysis {
         (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"))
       .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+      // four consumers (both marginals, N, the probe) and AQE does NOT
+      // reuse the aggregate exchange across them (audited reused=0) —
+      // materialize the vocab-bounded type frame once
+      .materialized
+    val cl = cnt.groupBy("l").agg(sum(col("cnt")).as("cl"))
+    val cr = cnt.groupBy("r").agg(sum(col("cnt")).as("cr"))
+    val n = cnt.agg(sum(col("cnt")).as("n"))
     cnt
-      .withColumn("cl", sum(col("cnt")).over(Window.partitionBy(col("l"))))
-      .withColumn("cr", sum(col("cnt")).over(Window.partitionBy(col("r"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
       .filter(col("cnt") >= minCount)
+      .join(cl, Seq("l"))
+      .join(cr, Seq("r"))
+      .crossJoin(broadcast(n))
       .select(col("l"), col("r"), col("cnt"),
         Numerics.roundz(log(col("cnt") * col("n") / (col("cl") * col("cr"))), 4)
           .as("pmi"))

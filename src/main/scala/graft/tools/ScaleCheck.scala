@@ -853,9 +853,9 @@ object ScaleCheck {
           "id_a", "id_b", "doc_id", "source"))
     }
 
-    // curriculum interleave: one per-source rank window + broadcast
-    // size/total joins — the window partitions by source, so fan-out
-    // tracks source sizes, never one global sort
+    // curriculum interleave: per-source ranks via Ranks range
+    // sub-buckets (each task sorts ~n/buckets of one source, never a
+    // whole source) + broadcast size/total joins
     locally {
       val withMeta = blown.select(col("doc_id"),
         length(col("text")).as("difficulty"),
@@ -863,6 +863,30 @@ object ScaleCheck {
       time(s"curriculum_${dup}x",
         graft.operators.Sampling.curriculumInterleave(
           withMeta, "doc_id", "difficulty", "source"))
+    }
+
+    // LM quality scorers: corpus term/bigram counts as vocab-bounded
+    // aggregates joined back (AQE broadcast / skew-split), never a
+    // partitionBy(term) window pinning a stopword's posting list
+    time("unigram_logprob_1x",
+      graft.operators.TextAnalysis.unigramLogProbScore(docs, "text", "doc_id"))
+    time(s"unigram_logprob_${dup}x",
+      graft.operators.TextAnalysis.unigramLogProbScore(blown, "text", "doc_id"))
+    time(s"bigram_logprob_${dup}x",
+      graft.operators.TextAnalysis.bigramLogProbScore(blown, "text", "doc_id"))
+
+    // PMI collocations: marginals join back onto the minCount-filtered
+    // candidate set; the only corpus-scale pass is the pair aggregate
+    time(s"pmi_bigrams_${dup}x",
+      graft.operators.TextAnalysis.pmiBigrams(blown, "text", 20L * dup))
+
+    // zipf slope: salted two-stage exact top-k per group — the heavy
+    // pass runs at groups×salts-way parallelism
+    locally {
+      val langd = blown.select(col("text"),
+        concat(lit("lang"), (col("doc_id") % 5).cast("string")).as("lang"))
+      time(s"zipf_slope_${dup}x",
+        graft.operators.TextAnalysis.zipfSlope(langd, "text", "lang"))
     }
 
     // per-doc keywords: corpus tokenize + vocabulary-bounded df join +

@@ -144,6 +144,39 @@ class RanksSpec extends SparkSpec {
     assert(got.count() === 0L)
   }
 
+  test("topKPerGroup matches per-group windowed top-k, desc with ties") {
+    val gdf = df.withColumn("grp", col("id") % 3)
+    val expected = gdf
+      .withColumn("r", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("k").desc, col("id"))).cast("long"))
+      .filter(col("r") <= 25)
+    val got = Ranks.topKPerGroup(gdf, "r", 25, Seq("grp"), col("k"),
+      descending = true, ties = Seq(col("id")), salts = 5)
+    assertSame(got, expected)
+  }
+
+  test("topKPerGroup ascending, k larger than a group") {
+    val gdf = df.withColumn("grp", col("id") % 100) // 5 rows per group
+    val expected = gdf
+      .withColumn("r", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("v"), col("id"))).cast("long"))
+      .filter(col("r") <= 10)
+    val got = Ranks.topKPerGroup(gdf, "r", 10, Seq("grp"), col("v"),
+      descending = false, ties = Seq(col("id")), salts = 4)
+    assertSame(got, expected)
+  }
+
+  test("topKPerGroup salts=1 degenerates to the plain window form") {
+    val gdf = df.withColumn("grp", col("id") % 2)
+    val expected = gdf
+      .withColumn("r", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("k").desc, col("id"))).cast("long"))
+      .filter(col("r") <= 7)
+    val got = Ranks.topKPerGroup(gdf, "r", 7, Seq("grp"), col("k"),
+      descending = true, ties = Seq(col("id")), salts = 1)
+    assertSame(got, expected)
+  }
+
   test("no unpartitioned window appears in the physical plan") {
     val got = Ranks.withGlobalNtile(df, "t", 5, col("v"),
       ties = Seq(col("id")), buckets = 8)

@@ -468,6 +468,53 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("LM scorers and PMI: corpus counts are aggregates joined back, never hot-key windows") {
+    // these three used to attach corpus term/bigram counts as
+    // sum().over(partitionBy(term)) windows — a stopword's posting list
+    // is corpus-sized and a window pins the whole hot partition to ONE
+    // task (pmi additionally ran an EMPTY-partition window for N). They
+    // are now vocabulary-bounded aggregates joined back (AQE broadcasts
+    // small, skew-splits large); any WindowExec here means the
+    // unsplittable hot-partition sort crept back.
+    for (gate <- Seq("text_unigram_logprob", "text_bigram_logprob",
+        "text_pmi_bigrams")) {
+      val windows = nodes(finalPlan(gate)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+      }
+      assert(windows.isEmpty,
+        s"$gate: window crept back over the count frame: " +
+          windows.map(_.windowExpression.mkString(",")).mkString(" | "))
+    }
+  }
+
+  test("text_zipf_slope: per-group top-k is salted two-stage, no whole-group sort") {
+    // the heavy rank pass must partition on (group, salt) — a bare
+    // partitionBy(group) window sorts each group's ENTIRE vocabulary in
+    // one task. The final (group)-partitioned window is fine: it only
+    // sees the <= salts·k survivors.
+    val windows = nodes(finalPlan("text_zipf_slope")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+    }
+    assert(windows.nonEmpty, "rank windows missing")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window: ${w.windowExpression.mkString(",")}"))
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      s"salted local top-k pass missing: " +
+        windows.map(_.partitionSpec.mkString(",")).mkString(" | "))
+  }
+
+  test("pipeline_curriculum: per-source ranks ride (source, range-bucket) windows") {
+    // a bare partitionBy(source) window caps parallelism at the source
+    // count (a handful) with each task sorting a whole source; the
+    // Ranks rewrite partitions every rank window on (source, bucket)
+    val windows = nodes(finalPlan("pipeline_curriculum")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+    }
+    assert(windows.nonEmpty, "rank window missing")
+    windows.foreach(w => assert(w.partitionSpec.size >= 2,
+      s"whole-source sort window came back: ${w.partitionSpec}"))
+  }
+
   test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
     for (gate <- Seq("stats_psi", "stats_mutual_information",
         "stats_chi2_independence")) {

@@ -1227,4 +1227,104 @@ object Evaluation {
       Numerics.roundz(ssb / (ssb + ssw), 6).as("eta_squared"),
       Numerics.roundz((ssb / (kD - 1.0)) / (ssw / (nD - kD)), 6).as("f"))
   }
+
+  /** Offline retrieval-quality metrics — recall@k, MRR@k, nDCG@k — for
+    * a CHEAP candidate ranking judged against the exact ranking and
+    * against label relevance: the eval a pipeline owner reads before
+    * trusting a truncated (matryoshka-prefix) index enough to serve
+    * retrieval with it. The cheap ranking is cosine over the first
+    * `prefixDim` dims; the truth ranking is cosine over the full
+    * vector; a candidate is RELEVANT when its label matches the
+    * query's.
+    *
+    * Per query id (all fractions 6-dp; sims 6-dp HALF_UP with ties
+    * broken by ascending id — the [[Similarity.topKCosine]] contract,
+    * zero-norm/NaN sims excluded per ranking):
+    *  - `recall_at_k`: |top-k(prefix) ∩ top-k(full)| / |top-k(full)|
+    *  - `mrr`: 1/rank of the first relevant hit in the prefix top-k
+    *    (0 when none)
+    *  - `ndcg_at_k`: Σ_rel-hits 1/log₂(rank+1) over the IDEAL dcg for
+    *    min(k, n_relevant) hits (0 when the corpus holds no relevant
+    *    candidate); binary gains
+    *  - `n_relevant`: corpus-wide relevant-candidate count
+    *
+    * Scale shape: the query rows broadcast onto one corpus scan; the
+    * scored frame carries (ids, label, two 6-dp sims) — never vectors
+    * or text; both top-k passes ride [[Ranks.topKPerGroup]] (salted
+    * two-stage, no whole-query-partition sort); every aggregate after
+    * that is queries×k-bounded. The IDCG ladder is a k-entry literal
+    * computed once on the driver.
+    */
+  def retrievalMetrics(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int,
+      prefixDim: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    val e = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"),
+      col(labelCol).cast("long").as("lbl"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("lbl").as("qlbl"))
+    // zero-norm slices have no defined cosine: surface NaN (excluded
+    // from each ranking below) instead of an ANSI divide-by-zero —
+    // the [[Similarity.topKCosine]] contract
+    def safeCos(a: Column, b: Column): Column = {
+      val den = Similarity.norm(a) * Similarity.norm(b)
+      when(den === 0.0, lit(Double.NaN))
+        .otherwise(Similarity.dot(a, b) / den)
+    }
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlbl"), col("vec_id"), col("lbl"),
+        Numerics.roundz(safeCos(col("v"), col("qv")), 6).as("sf"),
+        Numerics.roundz(safeCos(
+          slice(col("v"), 1, prefixDim),
+          slice(col("qv"), 1, prefixDim)), 6).as("sp"))
+    val predTop = Ranks.topKPerGroup(
+      scored.filter(!isnan(col("sp"))), "rk", k, Seq("query_id"),
+      col("sp"), descending = true, ties = Seq(col("vec_id")))
+    val truthTop = Ranks.topKPerGroup(
+        scored.filter(!isnan(col("sf"))), "trk", k, Seq("query_id"),
+        col("sf"), descending = true, ties = Seq(col("vec_id")))
+      .select(col("query_id"), col("vec_id"))
+    // corpus-wide relevant count per query (one bounded aggregate)
+    val nRel = scored.groupBy("query_id")
+      .agg(sum(when(col("lbl") === col("qlbl"), 1L).otherwise(0L))
+        .as("n_relevant"))
+    // prefix-ranking metrics from the queries×k-bounded top frame
+    val overlap = predTop.join(truthTop, Seq("query_id", "vec_id"), "semi")
+      .groupBy("query_id").agg(count(lit(1)).as("_hits"))
+    val truthN = truthTop.groupBy("query_id")
+      .agg(count(lit(1)).as("_tn"))
+    val relRank = when(col("lbl") === col("qlbl"), col("rk"))
+    val fromPred = predTop.groupBy("query_id").agg(
+      sum(when(col("lbl") === col("qlbl"),
+        lit(1.0) / log2(col("rk").cast("double") + 1.0))
+        .otherwise(0.0)).as("_dcg"),
+      min(relRank).as("_firstRel"))
+    // IDCG ladder: cumulative Σ 1/log₂(i+1), i = 1..k, as a literal
+    val idcgLadder = (1 to k).scanLeft(0.0) { (acc, i) =>
+      acc + 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    }.tail
+    val idcg = element_at(array(idcgLadder.map(lit): _*),
+      least(lit(k.toLong), col("n_relevant")).cast("int"))
+    q.select(col("query_id"))
+      .join(nRel, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .join(truthN, Seq("query_id"), "left")
+      .join(fromPred, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        Numerics.roundz(
+          coalesce(col("_hits"), lit(0L)).cast("double") /
+            greatest(coalesce(col("_tn"), lit(0L)), lit(1L)), 6)
+          .as("recall_at_k"),
+        Numerics.roundz(
+          coalesce(lit(1.0) / col("_firstRel"), lit(0.0)), 6).as("mrr"),
+        Numerics.roundz(
+          when(coalesce(col("n_relevant"), lit(0L)) === 0, 0.0)
+            .otherwise(coalesce(col("_dcg"), lit(0.0)) / idcg), 6)
+          .as("ndcg_at_k"))
+  }
 }

@@ -898,10 +898,68 @@ object EvalQueries extends QueryGroup {
          |SELECT n_bins, n, round(ef.w / n::DOUBLE, 6) + 0 AS ece
          |FROM ef""".stripMargin))
 
+  /** Retrieval-quality metrics ([[Evaluation.retrievalMetrics]]):
+    * recall@10 / MRR / nDCG@10 of matryoshka-prefix (16-dim) retrieval
+    * judged against full-vector exact top-10 and label relevance — the
+    * eval that decides whether the truncated index is good enough to
+    * serve. Full oracle: DuckDB replays both cosine rankings, the
+    * label-relevance grades, and the DCG ladder from the same 6-dp
+    * contracts.
+    */
+  val retrievalMetricsGate: QueryDef = QueryDef(
+    "eval_retrieval_metrics",
+    (s, dir) =>
+      Evaluation.retrievalMetrics(Tables(s, dir).embeddings, "vec_id",
+          "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+          k = 10, prefixDim = 16)
+        .orderBy("query_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, lbl AS qlbl FROM e
+        |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |s AS (SELECT q.qid, q.qlbl, e.vec_id, e.lbl,
+        |        round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sf,
+        |        round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 6) + 0 AS sp
+        |      FROM e, q WHERE e.vec_id <> q.qid),
+        |pt AS (SELECT qid, qlbl, vec_id, lbl,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sp DESC, vec_id) AS rk
+        |       FROM s WHERE NOT isnan(sp) QUALIFY rk <= 10),
+        |tt AS (SELECT qid, vec_id FROM s WHERE NOT isnan(sf)
+        |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sf DESC, vec_id) <= 10),
+        |nrel AS (SELECT qid,
+        |           CAST(sum(CASE WHEN lbl = qlbl THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+        |         FROM s GROUP BY qid),
+        |ov AS (SELECT pt.qid, count(*) AS hits FROM pt
+        |       JOIN tt ON pt.qid = tt.qid AND pt.vec_id = tt.vec_id
+        |       GROUP BY pt.qid),
+        |tn AS (SELECT qid, count(*) AS tn FROM tt GROUP BY qid),
+        |pm AS (SELECT qid,
+        |         sum(CASE WHEN lbl = qlbl THEN 1.0/log2(rk + 1.0) ELSE 0.0 END) AS dcg,
+        |         min(CASE WHEN lbl = qlbl THEN rk END) AS firstrel
+        |       FROM pt GROUP BY qid),
+        |idcg AS (SELECT i AS j, sum(1.0/log2(i + 1.0)) OVER (ORDER BY i) AS c
+        |         FROM generate_series(1, 10) t(i))
+        |SELECT q.qid AS query_id,
+        |  coalesce(nrel.n_relevant, 0) AS n_relevant,
+        |  round(coalesce(ov.hits, 0) * 1.0
+        |    / greatest(coalesce(tn.tn, 0), 1), 6) + 0 AS recall_at_k,
+        |  round(coalesce(1.0 / pm.firstrel, 0.0), 6) + 0 AS mrr,
+        |  round(CASE WHEN coalesce(nrel.n_relevant, 0) = 0 THEN 0.0
+        |        ELSE coalesce(pm.dcg, 0.0)
+        |          / (SELECT c FROM idcg WHERE j = least(10, nrel.n_relevant))
+        |        END, 6) + 0 AS ndcg_at_k
+        |FROM q LEFT JOIN nrel ON nrel.qid = q.qid
+        |LEFT JOIN ov ON ov.qid = q.qid
+        |LEFT JOIN tn ON tn.qid = q.qid
+        |LEFT JOIN pm ON pm.qid = q.qid
+        |ORDER BY query_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
-      conformalGate, cohensDGate, mcnemarGate, didGate, eceGate)
+      conformalGate, cohensDGate, mcnemarGate, didGate, eceGate,
+      retrievalMetricsGate)
 }

@@ -444,6 +444,64 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(8) == 3.0)
   }
 
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG, NaN prefix excluded") {
+    val s = spark
+    import s.implicits._
+    // 2-dim vectors, prefixDim=1 → prefix cosine is the SIGN of x
+    // (and NaN for x=0, which must drop out of the prefix ranking
+    // but still count as relevant corpus-wide)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),   // query A
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(0.1f, 0.9f), 1),
+      (4L, Array(-1.0f, 0.0f), 0),  // query B
+      (5L, Array(0.95f, -0.9f), 0),
+      (6L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Evaluation.retrievalMetrics(emb, "vec_id", "embedding",
+        "label", queryIds = Seq(0L, 4L), k = 3, prefixDim = 1)
+      .orderBy("query_id").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // query 0 (label 1): prefix ranking = 1,2,3 (x>0 ties, id asc);
+    // full top-3 = {1, 5, 2}; relevant = {1, 3, 6} → n_relevant 3;
+    // rel hits in prefix top-3: 1@1, 3@3
+    val a = out(0)
+    assert(a.getLong(0) == 0L && a.getLong(1) == 3L)
+    assert(a.getDouble(2) == r6(2.0 / 3.0), "recall A")
+    assert(a.getDouble(3) == 1.0, "mrr A")
+    val idcg3 = 1.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
+    assert(a.getDouble(4) == r6((1.0 / log2(2) + 1.0 / log2(4)) / idcg3),
+      "ndcg A")
+    // query 4 (label 0): candidates now include id 0 — prefix sims all
+    // -1 for x>0 → ranking 0,1,2 (id asc); full top-3 = {6, 3, 2};
+    // relevant = {2, 5} → n_relevant 2; first rel hit: 2@3;
+    // dcg = 1/log2(4); idcg over min(3,2) terms
+    val b = out(1)
+    assert(b.getLong(0) == 4L && b.getLong(1) == 2L)
+    assert(b.getDouble(2) == r6(1.0 / 3.0), "recall B")
+    assert(b.getDouble(3) == r6(1.0 / 3.0), "mrr B")
+    val idcg2 = 1.0 / log2(2) + 1.0 / log2(3)
+    assert(b.getDouble(4) == r6((1.0 / log2(4)) / idcg2), "ndcg B")
+  }
+
+  test("retrievalMetrics: no relevant candidates gives zero mrr and ndcg") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.5f, 0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Evaluation.retrievalMetrics(emb, "vec_id", "embedding",
+      "label", queryIds = Seq(0L), k = 2, prefixDim = 2).head()
+    assert(r.getLong(1) == 0L)
+    assert(r.getDouble(2) == 1.0) // prefix = full vector here
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+  }
+
   test("anovaF recovers the exact hand-computed F on integer groups") {
     val s = spark
     import s.implicits._

@@ -1241,4 +1241,73 @@ object Similarity {
         col("m.sim").as("sim"))
     bestA.join(bestB, Seq("id_a", "id_b", "sim"))
   }
+
+  /** Greedy k-center (farthest-point) diversity selection — the
+    * classic 2-approximation coreset picker (Gonzalez 1985): start
+    * from `seedId`, then repeatedly add the candidate FARTHEST (max
+    * min-cosine-distance) from everything selected so far. The
+    * standard "cover the embedding space with k exemplars" pass for
+    * eval-set curation and prompt selection — the diversity
+    * complement to [[semDeDup]]'s redundancy removal.
+    *
+    * Determinism contract: distance = 1 − cosine rounded to 6 dp
+    * HALF_UP at every step; ties broken by ascending id; zero-norm
+    * vectors (undefined cosine) are not candidates. Output: one row
+    * per selection, (sel_rank, vec_id, dist) where `dist` is the
+    * candidate's min-distance at the moment it was chosen (NULL for
+    * the seed) — the monotone non-increasing radius sequence a
+    * coverage plot reads directly.
+    *
+    * Scale shape: each of the k−1 rounds is ONE narrow corpus pass —
+    * the chosen center rides the plan as a literal vector, the
+    * arg-max is a 1-row TakeOrdered collect, and the running min-
+    * distance column materializes per round ([[Materialize]] strategy
+    * knob, the kmeansLloyd discipline). The corpus never self-joins
+    * and nothing shuffles but the k bounded collects.
+    */
+  def kCenterSelect(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def vecOf(id: Long): Array[Double] = {
+      val rows = e.filter(col("vec_id") === id).select(col("v")).collect()
+      require(rows.nonEmpty, s"vector id $id not found")
+      rows.head.getSeq[Double](0).toArray
+    }
+    def distTo(c: Array[Double]): Column = {
+      val cl = array(c.map(lit): _*)
+      val den = norm(col("v")) * math.sqrt(c.map(x => x * x).sum)
+      Numerics.roundz(
+        when(den === 0.0, lit(Double.NaN))
+          .otherwise(lit(1.0) - dot(col("v"), cl) / den), 6)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Option[Double])]
+    selected += ((1L, seedId, None))
+    var state = e.filter(col("vec_id") =!= seedId)
+      .withColumn("dmin", distTo(vecOf(seedId)))
+      .filter(!isnan(col("dmin")))
+      .select(col("vec_id"), col("v"), col("dmin"))
+      .materialized
+    var round = 2
+    while (round <= k) {
+      val top = state
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()
+      if (top.nonEmpty) {
+        val cid = top.head.getLong(0)
+        selected += ((round.toLong, cid, Some(top.head.getDouble(2))))
+        if (round < k) {
+          state = state.filter(col("vec_id") =!= cid)
+            .withColumn("dmin", least(col("dmin"), distTo(vecOf(cid))))
+            .materialized
+        }
+      } else round = k // candidate pool exhausted
+      round += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("sel_rank", "vec_id", "dist")
+  }
 }

@@ -1525,6 +1525,45 @@ object SimilarityQueries extends QueryGroup {
          |FROM af GROUP BY c ORDER BY cluster""".stripMargin
     })
 
+  /** Greedy k-center diversity selection
+    * ([[Similarity.kCenterSelect]]): seed 0, then 3 farthest-point
+    * rounds. Full oracle: the SQL unrolls the greedy recurrence as a
+    * chain of CTEs — each round takes the arg-max of the running
+    * 6-dp min-distance (ties by id) and folds the new center's
+    * distances in with `least`, exactly the Spark loop's contract.
+    */
+  val kCenterGate: QueryDef = QueryDef(
+    "sim_kcenter_select",
+    (s, dir) =>
+      Similarity.kCenterSelect(Tables(s, dir).embeddings, "vec_id",
+          "embedding", k = 4, seedId = 0L)
+        .orderBy("sel_rank"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c1 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+        |d1 AS (SELECT e.vec_id, e.v,
+        |         round(1 - list_cosine_similarity(e.v, c1.cv), 6) + 0 AS dm
+        |       FROM e, c1 WHERE e.vec_id <> 0),
+        |d1f AS (SELECT * FROM d1 WHERE NOT isnan(dm)),
+        |s2 AS (SELECT vec_id, dm FROM d1f ORDER BY dm DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT v AS cv FROM e WHERE vec_id = (SELECT vec_id FROM s2)),
+        |d2 AS (SELECT d.vec_id, d.v,
+        |         least(d.dm, round(1 - list_cosine_similarity(d.v, c2.cv), 6) + 0) AS dm
+        |       FROM d1f d, c2 WHERE d.vec_id <> (SELECT vec_id FROM s2)),
+        |s3 AS (SELECT vec_id, dm FROM d2 ORDER BY dm DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT v AS cv FROM e WHERE vec_id = (SELECT vec_id FROM s3)),
+        |d3 AS (SELECT d.vec_id, d.v,
+        |         least(d.dm, round(1 - list_cosine_similarity(d.v, c3.cv), 6) + 0) AS dm
+        |       FROM d2 d, c3 WHERE d.vec_id <> (SELECT vec_id FROM s3)),
+        |s4 AS (SELECT vec_id, dm FROM d3 ORDER BY dm DESC, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS vec_id,
+        |         CAST(NULL AS DOUBLE) AS dist
+        |  UNION ALL SELECT 2, vec_id, dm FROM s2
+        |  UNION ALL SELECT 3, vec_id, dm FROM s3
+        |  UNION ALL SELECT 4, vec_id, dm FROM s4)
+        |ORDER BY sel_rank""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1535,7 +1574,7 @@ object SimilarityQueries extends QueryGroup {
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
-      classSeparationGate)
+      classSeparationGate, kCenterGate)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -442,4 +442,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 0L &&
       out(1).isNullAt(2) && out(1).isNullAt(3))
   }
+
+  test("kCenterSelect: greedy farthest-point on hand-placed unit vectors") {
+    val s = spark
+    import s.implicits._
+    // angles 0°, 45°, 90°, 180° from the seed: round 2 must take the
+    // antipode (d=2), round 3 the orthogonal one (min-dist 1.0, since
+    // its distance to BOTH selected centers is exactly 1)
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.7071f, 0.7071f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(rows, "vec_id", "embedding",
+      k = 3, seedId = 0L).orderBy("sel_rank").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 3L), (3L, 2L)))
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) == 2.0)
+    assert(out(2).getDouble(2) == 1.0)
+  }
+
+  test("kCenterSelect: zero-norm vectors are never selected, pool can exhaust") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f)), // zero norm: not a candidate
+      (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // k exceeds the valid pool: output stops after the pool is empty
+    val out = Similarity.kCenterSelect(rows, "vec_id", "embedding",
+      k = 5, seedId = 0L).orderBy("sel_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+  }
 }

@@ -1242,6 +1242,87 @@ object Similarity {
     bestA.join(bestB, Seq("id_a", "id_b", "sim"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * per query, greedily pick k results from its `nCandidates`-deep
+    * relevance pool maximizing
+    *
+    *   λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * — the standard diversity re-ranker between ANN retrieval and the
+    * consumer (dedup the near-identical top hits without losing
+    * relevance). Complements [[kCenterSelect]] (corpus-global
+    * diversity) with the per-query form.
+    *
+    * Determinism contract: every cosine is 6-dp HALF_UP; the max-to-
+    * selected term is the max of those rounded sims (0 for the first
+    * pick); the combined score re-rounds to 6 dp; ties break by
+    * ascending id. Output: (query_id, sel_rank, vec_id, score).
+    *
+    * Scale shape: the relevance pool comes from [[topKCosineBatch]]
+    * (broadcast queries, zero corpus shuffle); the greedy loop then
+    * runs on the DRIVER over queries×nCandidates rows with their
+    * vectors — a bounded collect (the centroid/codebook class), k·n²
+    * driver flops per query, corpus touched exactly once.
+    */
+  def mmrRerank(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], nCandidates: Int, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"need nCandidates >= k >= 1, got k=$k nCandidates=$nCandidates")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = embeddings.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val cands = topKCosineBatch(embeddings, idCol, vecCol, queryIds,
+        nCandidates)
+      .select(col("query_id"), col(idCol).cast("long").as("_id"),
+        col("sim"))
+      .join(e, Seq("_id"))
+      .select(col("query_id"), col("_id"), col("sim"), col("_v"))
+      .as[(Long, Long, Double, Array[Double])]
+      .collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Double.NaN else r6(d / den)
+    }
+    val out = cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        // pool sorted by id for deterministic scans
+        val pool = scala.collection.mutable.ArrayBuffer(
+          rows.sortBy(_._2).map { case (_, id, sim, v) => (id, sim, v) }: _*)
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double])]
+        (1 to math.min(k, pool.size)).map { rank =>
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < pool.size) {
+            val (id, sim, v) = pool(i)
+            val maxSel = if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => cos(v, s._2)).max
+            val score = r6(lambda * sim - (1.0 - lambda) * maxSel)
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestIdx = i; bestScore = score; bestId = id
+            }
+            i += 1
+          }
+          val (id, _, v) = pool.remove(bestIdx)
+          selected += ((id, v))
+          (qid, rank.toLong, id, bestScore)
+        }
+    }
+    out.toDF("query_id", "sel_rank", "vec_id", "score")
+  }
+
   /** Greedy k-center (farthest-point) diversity selection — the
     * classic 2-approximation coreset picker (Gonzalez 1985): start
     * from `seedId`, then repeatedly add the candidate FARTHEST (max

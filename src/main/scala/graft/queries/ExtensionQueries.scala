@@ -1564,6 +1564,59 @@ object SimilarityQueries extends QueryGroup {
         |  UNION ALL SELECT 4, vec_id, dm FROM s4)
         |ORDER BY sel_rank""".stripMargin))
 
+  /** MMR diversity re-rank ([[Similarity.mmrRerank]]): top-3 from an
+    * 8-deep relevance pool per query at λ=0.5. Full oracle: the SQL
+    * rebuilds the pool (QUALIFY top-8), the candidate-candidate 6-dp
+    * cosine matrix, and unrolls the greedy argmax chain — the same
+    * rounded-score/id tie contract as the driver loop.
+    */
+  val mmrGate: QueryDef = QueryDef(
+    "sim_mmr_rerank",
+    (s, dir) =>
+      Similarity.mmrRerank(Tables(s, dir).embeddings, "vec_id",
+          "embedding", queryIds = Seq(0L, 1L, 2L), nCandidates = 8,
+          k = 3, lambda = 0.5)
+        .orderBy("query_id", "sel_rank"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |c AS (SELECT q.qid, e.vec_id, e.v,
+        |        round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sim
+        |      FROM e, q WHERE e.vec_id <> q.qid
+        |      QUALIFY row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY sim DESC, e.vec_id) <= 8),
+        |cc AS (SELECT a.qid, a.vec_id AS ida, b.vec_id AS idb,
+        |         round(list_cosine_similarity(a.v, b.v), 6) + 0 AS s
+        |       FROM c a JOIN c b ON a.qid = b.qid),
+        |p1 AS (SELECT qid, vec_id, round(0.5 * sim, 6) + 0 AS score
+        |       FROM c QUALIFY row_number() OVER (PARTITION BY qid
+        |         ORDER BY round(0.5 * sim, 6) DESC, vec_id) = 1),
+        |r2 AS (SELECT c.qid, c.vec_id, c.sim,
+        |         round(0.5 * c.sim - 0.5 * cc.s, 6) + 0 AS score
+        |       FROM c JOIN p1 ON c.qid = p1.qid AND c.vec_id <> p1.vec_id
+        |       JOIN cc ON cc.qid = c.qid AND cc.ida = c.vec_id
+        |         AND cc.idb = p1.vec_id),
+        |p2 AS (SELECT qid, vec_id, score FROM r2
+        |       QUALIFY row_number() OVER (PARTITION BY qid
+        |         ORDER BY score DESC, vec_id) = 1),
+        |r3 AS (SELECT c.qid, c.vec_id,
+        |         round(0.5 * c.sim - 0.5 * greatest(s1.s, s2.s), 6) + 0 AS score
+        |       FROM c
+        |       JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+        |       JOIN cc s1 ON s1.qid = c.qid AND s1.ida = c.vec_id
+        |         AND s1.idb = p1.vec_id
+        |       JOIN cc s2 ON s2.qid = c.qid AND s2.ida = c.vec_id
+        |         AND s2.idb = p2.vec_id
+        |       WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+        |p3 AS (SELECT qid, vec_id, score FROM r3
+        |       QUALIFY row_number() OVER (PARTITION BY qid
+        |         ORDER BY score DESC, vec_id) = 1)
+        |SELECT * FROM (
+        |  SELECT qid AS query_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, score FROM p1
+        |  UNION ALL SELECT qid, 2, vec_id, score FROM p2
+        |  UNION ALL SELECT qid, 3, vec_id, score FROM p3)
+        |ORDER BY query_id, sel_rank""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1574,7 +1627,7 @@ object SimilarityQueries extends QueryGroup {
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
-      classSeparationGate, kCenterGate)
+      classSeparationGate, kCenterGate, mmrGate)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -443,6 +443,26 @@ class SimilaritySpec extends SparkSpec {
       out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("mmrRerank: low lambda promotes the diverse hit over the near-dup") {
+    val s = spark
+    import s.implicits._
+    // ids 1 and 2 are near-duplicates hugging the query; id 3 is
+    // farther but diverse. Pure relevance (high λ) keeps 1,2,3;
+    // diversity-weighted (λ=0.3) must jump the near-dup: 1,3,2.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.05f)),
+      (2L, Seq(1.0f, 0.06f)),
+      (3L, Seq(0.9f, 0.35f))
+    ).toDF("vec_id", "embedding")
+    def picks(lambda: Double): Seq[Long] =
+      Similarity.mmrRerank(rows, "vec_id", "embedding",
+          queryIds = Seq(0L), nCandidates = 3, k = 3, lambda = lambda)
+        .orderBy("sel_rank").collect().map(_.getLong(2)).toSeq
+    assert(picks(0.9) == Seq(1L, 2L, 3L), "relevance-dominant order")
+    assert(picks(0.3) == Seq(1L, 3L, 2L), "diversity-dominant order")
+  }
+
   test("kCenterSelect: greedy farthest-point on hand-placed unit vectors") {
     val s = spark
     import s.implicits._

@@ -1378,11 +1378,14 @@ object Similarity {
       val top = state
         .orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()
       if (top.nonEmpty) {
+        // the 1-row argmax carries the winner's vector too — no
+        // separate lookup job per round
         val cid = top.head.getLong(0)
+        val cv = top.head.getSeq[Double](1).toArray
         selected += ((round.toLong, cid, Some(top.head.getDouble(2))))
         if (round < k) {
           state = state.filter(col("vec_id") =!= cid)
-            .withColumn("dmin", least(col("dmin"), distTo(vecOf(cid))))
+            .withColumn("dmin", least(col("dmin"), distTo(cv)))
             .materialized
         }
       } else round = k // candidate pool exhausted

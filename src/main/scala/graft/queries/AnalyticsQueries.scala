@@ -33,7 +33,11 @@ object AnalyticsQueries extends QueryGroup {
         "count(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"))
 
-  /** Top-k per group via ranked window (deterministic tiebreak on key). */
+  /** Top-k per group via ranked window (deterministic tiebreak on
+    * key). API-surface demo over a handful of segments; the
+    * corpus-scale form is [[graft.operators.Ranks.topKPerGroup]]
+    * (salted two-stage, no whole-group sort).
+    */
   val topKPerGroup: QueryDef = QueryDef(
     "topk_per_group",
     (s, dir) => {

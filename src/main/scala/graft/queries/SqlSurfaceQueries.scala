@@ -122,6 +122,12 @@ object SqlSurfaceQueries extends QueryGroup {
     * the frame-based windows (`events_moving_window`). The fractional
     * ranks divide the same exact integers on both engines and round
     * to 6 dp.
+    *
+    * Scale note: this gate DEMONSTRATES the SQL window API over a
+    * handful of segments; ranking a corpus-scale frame by a
+    * low-cardinality group belongs on [[graft.operators.Ranks]]
+    * (withGroupRank / withGroupNtile / topKPerGroup), which spreads
+    * each group over range sub-buckets instead of one task.
     */
   val rankFamily: QueryDef = QueryDef(
     "window_rank_family",

@@ -889,6 +889,32 @@ object ScaleCheck {
         graft.operators.TextAnalysis.zipfSlope(langd, "text", "lang"))
     }
 
+    // embedding-frame operators at a blown-up corpus: vec_id remapped,
+    // embeddings reused (the cost driver is row count, not values)
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embBig = (0 until dup).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _).cache()
+      embBig.count()
+      // retrieval metrics: one corpus scan + two salted top-k passes
+      time(s"retrieval_metrics_${dup}x",
+        graft.operators.Evaluation.retrievalMetrics(embBig, "vec_id",
+          "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+          k = 10, prefixDim = 16))
+      // k-center: k-1 narrow passes, literal centers, 1-row argmaxes
+      time(s"kcenter_${dup}x",
+        graft.operators.Similarity.kCenterSelect(embBig, "vec_id",
+          "embedding", k = 8, seedId = 0L))
+      // MMR: broadcast-queries pool + bounded driver greedy
+      time(s"mmr_${dup}x",
+        graft.operators.Similarity.mmrRerank(embBig, "vec_id",
+          "embedding", queryIds = Seq(0L, 1L, 2L), nCandidates = 16,
+          k = 5))
+      embBig.unpersist()
+    }
+
     // per-doc keywords: corpus tokenize + vocabulary-bounded df join +
     // per-doc windows bounded by each doc's distinct terms
     time(s"doc_keywords_${dup}x",

@@ -988,4 +988,46 @@ object TextAnalysis {
         sym * 1000L >= lit(permilleThreshold.toLong) * nChars)
         .as("is_code"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the corpus word-adjacency graph — the unsupervised
+    * "which terms matter" complement to the frequency-weighted
+    * [[docKeywords]] (a term ranks high by sitting in well-connected
+    * contexts, not by raw count).
+    *
+    * Graph contract: nodes = corpus vocabulary; for each adjacent
+    * token pair (a ≠ b), the undirected co-occurrence count feeds both
+    * directed edges, so w(u→v) = c(u,v) + c(v,u). The rank recurrence
+    * is [[PageRank.pagerankWeighted]]'s all-integer fixed-point form —
+    * the whole trajectory replayable in SQL. Output: the `topK` terms
+    * by rank (ties by term), with the fixed-point rank.
+    *
+    * Scale shape: one corpus-scale pair aggregate; every PageRank
+    * round shuffles the vocabulary-bounded edge/rank frames only. The
+    * final top-k is a TakeOrdered over the vocabulary frame.
+    */
+  def textRankTerms(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      iterations: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = docs.select(
+      explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l") =!= col("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("c"))
+    val edges = pairs
+      .select(col("l").as("src"), col("r").as("dst"), col("c"))
+      .unionByName(
+        pairs.select(col("r").as("src"), col("l").as("dst"), col("c")))
+      .groupBy("src", "dst").agg(sum(col("c")).as("cw"))
+    val vocab = docs.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .distinct()
+    PageRank.pagerankWeighted(vocab, "term", edges, "src", "dst", "cw",
+        iterations)
+      .orderBy(col("rank_fp").desc, col("term"))
+      .limit(topK)
+  }
 }

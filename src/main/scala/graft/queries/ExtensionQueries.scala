@@ -4435,6 +4435,41 @@ object TextQueries extends QueryGroup {
         |  min(key)::BIGINT AS min_key, max(key)::BIGINT AS max_key
         |FROM fin GROUP BY 1 ORDER BY is_valid""".stripMargin))
 
+  /** TextRank keywords ([[TextAnalysis.textRankTerms]]): weighted
+    * PageRank over the word-adjacency graph, top-20 terms. Full
+    * oracle: DuckDB rebuilds the positional bigram graph (correlated
+    * `unnest(range(1, len(l)))` lateral), the symmetric edge weights,
+    * and replays the all-integer fixed-point rank recurrence unrolled
+    * per iteration — the established `graph_pagerank_weighted`
+    * contract over a text-derived graph.
+    */
+  val textRank: QueryDef = QueryDef(
+    "text_textrank_terms",
+    (s, dir) =>
+      TextAnalysis.textRankTerms(Tables(s, dir).documents, "text",
+        iterations = 2, topK = 20),
+    Some(
+      """WITH lst AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        |bg AS (SELECT l[i] AS a, l[i+1] AS b FROM lst, unnest(range(1, len(l))) t(i)),
+        |pc AS (SELECT a, b, count(*) AS c FROM bg WHERE a <> b GROUP BY a, b),
+        |e AS (SELECT src, dst, sum(c)::BIGINT AS w FROM (
+        |        SELECT a AS src, b AS dst, c FROM pc
+        |        UNION ALL SELECT b, a, c FROM pc) GROUP BY src, dst),
+        |deg AS (SELECT src, sum(w)::BIGINT AS d FROM e GROUP BY src),
+        |nn AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM nn),
+        |r0 AS (SELECT term, (1000000000000 // n)::BIGINT AS r FROM nn CROSS JOIN cnt),
+        |it1 AS (SELECT nn.term, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum((r0.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN r0 ON r0.term = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.term),
+        |it2 AS (SELECT nn.term, ((15000000000000 // (100*cnt.n)) + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+        |        FROM nn CROSS JOIN cnt LEFT JOIN
+        |          (SELECT e.dst, sum((it1.r // deg.d) * e.w)::BIGINT AS m FROM e JOIN it1 ON it1.term = e.src
+        |           JOIN deg ON deg.src = e.src GROUP BY e.dst) s ON s.dst = nn.term)
+        |SELECT term, r AS rank_fp FROM it2
+        |ORDER BY rank_fp DESC, term LIMIT 20""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
@@ -4443,7 +4478,8 @@ object TextQueries extends QueryGroup {
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
-      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97, codeDetect, commonPrefix)
+      luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97,
+      codeDetect, commonPrefix, textRank)
 }
 
 object SamplingQueries extends QueryGroup {

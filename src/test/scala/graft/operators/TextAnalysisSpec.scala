@@ -491,4 +491,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(1).getBoolean(5)) // no braces
     assert(!out(2).getBoolean(5)) // braces but 2/403 < 8‰
   }
+
+  test("textRankTerms: the adjacency hub outranks its spokes") {
+    val s = spark
+    import s.implicits._
+    // 'b' is adjacent to three distinct words; each spoke touches only
+    // 'b' — the hub must take rank 1. Self-pairs ("e e") are dropped.
+    val df = Seq((1L, "a b"), (2L, "c b"), (3L, "d b"), (4L, "e e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRankTerms(df, "text",
+      iterations = 2, topK = 10).collect()
+    assert(out.head.getString(0) == "b")
+    // vocabulary smaller than topK: every term ranked exactly once
+    assert(out.map(_.getString(0)).toSet == Set("a", "b", "c", "d", "e"))
+    // ranks are the fixed-point longs, strictly ordered desc then term
+    val ranks = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(ranks.sortBy { case (r, t) => (-r, t) }.toSeq == ranks.toSeq)
+  }
 }

@@ -1259,6 +1259,7 @@ object Evaluation {
       embeddings: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queryIds: Seq[Long], k: Int,
       prefixDim: Int): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
     require(k >= 1, s"k must be >= 1, got $k")
     require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
     val e = embeddings.select(col(idCol).cast("long").as("vec_id"),
@@ -1281,6 +1282,11 @@ object Evaluation {
         Numerics.roundz(safeCos(
           slice(col("v"), 1, prefixDim),
           slice(col("qv"), 1, prefixDim)), 6).as("sp"))
+      // three consumers (both top-k passes, the relevant count) differ
+      // only by a filter over a broadcast join — no exchange below
+      // them, so nothing dedupes the cosine recompute; materialize the
+      // narrow (ids, label, two sims) frame once
+      .materialized
     val predTop = Ranks.topKPerGroup(
       scored.filter(!isnan(col("sp"))), "rk", k, Seq("query_id"),
       col("sp"), descending = true, ties = Seq(col("vec_id")))

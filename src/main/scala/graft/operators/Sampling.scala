@@ -488,6 +488,13 @@ object Sampling {
           expr("(_tot div _ng) * 10000 div n_before")).as("rate_bp"))
   }
 
+  /** NOTE: ranks run through [[Ranks.withGroupRank]], whose bounded
+    * boundary/count jobs re-evaluate `df` — the input must be
+    * DETERMINISTIC across jobs (the standard multi-pass contract);
+    * materialize nondeterministic frames (unordered limits, rand()
+    * filters) first or the collected offsets disagree with the rank
+    * pass.
+    */
   def curriculumInterleave(
       df: DataFrame, idCol: String, scoreCol: String,
       srcCol: String): DataFrame = {

@@ -1368,11 +1368,13 @@ object Similarity {
     val selected = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Long, Option[Double])]
     selected += ((1L, seedId, None))
-    var state = e.filter(col("vec_id") =!= seedId)
-      .withColumn("dmin", distTo(vecOf(seedId)))
-      .filter(!isnan(col("dmin")))
-      .select(col("vec_id"), col("v"), col("dmin"))
-      .materialized
+    // k = 1 is just the seed: skip the corpus distance pass entirely
+    var state = if (k == 1) null
+      else e.filter(col("vec_id") =!= seedId)
+        .withColumn("dmin", distTo(vecOf(seedId)))
+        .filter(!isnan(col("dmin")))
+        .select(col("vec_id"), col("v"), col("dmin"))
+        .materialized
     var round = 2
     while (round <= k) {
       val top = state

@@ -568,8 +568,15 @@ object TextAnalysis {
       .join(cr, Seq("r"))
       .crossJoin(broadcast(n))
       .select(col("l"), col("r"), col("cnt"),
-        Numerics.roundz(log(col("cnt") * col("n") / (col("cl") * col("cr"))), 4)
-          .as("pmi"))
+        // ln(cnt·N / (cl·cr)) as a SUM of logs: the long products
+        // cl·cr / cnt·N pass 2⁶³ at web scale (a stopword marginal is
+        // ~1e10; 1e20 wraps or throws under ANSI) — every individual
+        // count fits a double exactly below 2⁵³ and the 4-dp round
+        // absorbs the ≤4-ulp chain noise (oracle computes the same
+        // four-term sum)
+        Numerics.roundz(
+          log(col("cnt")) + log(col("n")) - log(col("cl")) - log(col("cr")),
+          4).as("pmi"))
   }
 
   /** Engine-portable polynomial hash (h·31 + codepoint, mod 2³¹−1) —

@@ -3499,7 +3499,7 @@ object TextQueries extends QueryGroup {
         |        sum(cnt) OVER (PARTITION BY r) AS cr,
         |        sum(cnt) OVER () AS n
         |      FROM c)
-        |SELECT l, r, cnt, round(ln(cnt * n * 1.0 / (cl * cr)), 4) + 0 AS pmi
+        |SELECT l, r, cnt, round(ln(cnt) + ln(n) - ln(cl) - ln(cr), 4) + 0 AS pmi
         |FROM m WHERE cnt >= 20 ORDER BY l, r""".stripMargin))
 
   /** Winnowing fingerprint sets (MOSS): window-min over positional

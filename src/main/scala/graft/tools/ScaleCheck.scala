@@ -272,9 +272,23 @@ object ScaleCheck {
     val prefixes = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("id"))
       .select(col("id"), substring(col("text"), 1, 40).as("s"))
+    // scale-out input holds DUP DENSITY constant: replica 0 keeps the
+    // original prefixes (the 1x problem, same true pairs); replicas
+    // 1..9 get fully-distinct md5-derived strings. Duplicating the
+    // prefixes verbatim (or mutating a few chars) inflates every gram
+    // bucket ~10x and the candidate-pair mass ~100x — the documented
+    // clique-quadratic worst case, which at sf0.1 spills >80 GB of
+    // shuffle and fills the disk. The honest 10x claim is "the gram
+    // prefilter discards a 10x-bigger corpus's noise at near-linear
+    // cost", not "pair mass is quadratic in duplication" (that bound
+    // is documented at 1x).
     val prefixesBig = blown.groupBy(col("text"), (col("doc_id") / 10000000L).cast("long").as("rep"))
       .agg(min(col("doc_id")).as("id"))
-      .select(col("id"), substring(col("text"), 1, 40).as("s"))
+      .select(col("id"), when(col("rep") === 0, substring(col("text"), 1, 40))
+        .otherwise(concat(
+          md5(concat_ws(":", col("rep"), col("text"))),
+          substring(md5(concat_ws(";", col("rep"), col("text"))), 1, 8)))
+        .as("s"))
     time("edit_distance_1x",
       graft.operators.EditDistance.pairs(prefixes, "s", "id", 3))
     time(s"edit_distance_${dup}x",

@@ -1333,4 +1333,77 @@ object Evaluation {
             .otherwise(coalesce(col("_dcg"), lit(0.0)) / idcg), 6)
           .as("ndcg_at_k"))
   }
+
+  /** Rank-biased overlap at depth d (Webber, Moffat & Zobel 2010,
+    * truncated form) between the cheap (matryoshka-prefix cosine) and
+    * exact (full-vector cosine) rankings per query:
+    *
+    *   RBO@d = Σ_{k=1..d} (1−p)·p^(k−1) · |S₁..k ∩ T₁..k| / k
+    *
+    * — the TOP-WEIGHTED agreement measure [[retrievalMetrics]]'s set
+    * recall can't express (recall@k treats rank 1 and rank k alike;
+    * RBO discounts disagreement geometrically with depth). The
+    * persistence p is taken as an exact decimal so every weight
+    * (1−p)·p^(k−1) is an exact decimal whose nearest-double literal
+    * both engines parse identically; prefix overlaps are exact
+    * integers; the weighted sum is one fixed left-associated chain in
+    * k order, rounded to 6 dp.
+    *
+    * Scale shape: same as [[retrievalMetrics]] — queries broadcast
+    * onto one materialized scored pass, both top-d rankings via
+    * [[Ranks.topKPerGroup]], then everything is queries×d-bounded.
+    * Output: (query_id, overlap_at_d, rbo).
+    */
+  def rankBiasedOverlap(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], d: Int, p: BigDecimal,
+      prefixDim: Int): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    require(d >= 1, s"d must be >= 1, got $d")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    val e = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def safeCos(a: Column, b: Column): Column = {
+      val den = Similarity.norm(a) * Similarity.norm(b)
+      when(den === 0.0, lit(Double.NaN))
+        .otherwise(Similarity.dot(a, b) / den)
+    }
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Numerics.roundz(safeCos(col("v"), col("qv")), 6).as("sf"),
+        Numerics.roundz(safeCos(
+          slice(col("v"), 1, prefixDim),
+          slice(col("qv"), 1, prefixDim)), 6).as("sp"))
+      .materialized // both top-d passes read it
+    val predTop = Ranks.topKPerGroup(
+      scored.filter(!isnan(col("sp"))), "rk", d, Seq("query_id"),
+      col("sp"), descending = true, ties = Seq(col("vec_id")))
+    val truthTop = Ranks.topKPerGroup(
+      scored.filter(!isnan(col("sf"))), "trk", d, Seq("query_id"),
+      col("sf"), descending = true, ties = Seq(col("vec_id")))
+    // a common item enters every prefix depth k >= max(rank_s, rank_t)
+    val common = predTop.select(col("query_id"), col("vec_id"), col("rk"))
+      .join(truthTop.select(col("query_id"), col("vec_id"), col("trk")),
+        Seq("query_id", "vec_id"))
+      .select(col("query_id"), greatest(col("rk"), col("trk")).as("_m"))
+    val xAggs = (1 to d).map(k =>
+      sum(when(col("_m") <= k, 1L).otherwise(0L)).as(s"_x$k"))
+    val xs = common.groupBy("query_id").agg(xAggs.head, xAggs.tail: _*)
+    // (1−p)·p^(k−1) exact decimals → nearest-double literals (the
+    // oracle embeds the identical decimal strings)
+    val weights = (1 to d).map(k =>
+      ((BigDecimal(1) - p) * p.pow(k - 1)).toDouble)
+    val rbo = (1 to d).map { k =>
+      coalesce(col(s"_x$k"), lit(0L)).cast("double") *
+        lit(weights(k - 1)) / lit(k.toDouble)
+    }.reduce(_ + _)
+    q.select(col("query_id"))
+      .join(xs, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col(s"_x$d"), lit(0L)).as("overlap_at_d"),
+        Numerics.roundz(rbo, 6).as("rbo"))
+  }
 }

@@ -955,11 +955,68 @@ object EvalQueries extends QueryGroup {
         |LEFT JOIN pm ON pm.qid = q.qid
         |ORDER BY query_id""".stripMargin))
 
+  /** Rank-biased overlap ([[Evaluation.rankBiasedOverlap]]): RBO@10
+    * (p = 0.9) between matryoshka-prefix and full-vector rankings —
+    * the top-weighted agreement next to `eval_retrieval_metrics`'
+    * set recall. The oracle embeds the identical exact-decimal weight
+    * literals and the same left-associated weighted sum.
+    */
+  val rboGate: QueryDef = QueryDef(
+    "eval_rbo",
+    (s, dir) =>
+      Evaluation.rankBiasedOverlap(Tables(s, dir).embeddings, "vec_id",
+          "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), d = 10,
+          p = BigDecimal("0.9"), prefixDim = 16)
+        .orderBy("query_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sf,
+        |        round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 6) + 0 AS sp
+        |      FROM e, q WHERE e.vec_id <> q.qid),
+        |pt AS (SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sp DESC, vec_id) AS rk
+        |       FROM s WHERE NOT isnan(sp) QUALIFY rk <= 10),
+        |tt AS (SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sf DESC, vec_id) AS trk
+        |       FROM s WHERE NOT isnan(sf) QUALIFY trk <= 10),
+        |cm AS (SELECT pt.qid, greatest(pt.rk, tt.trk) AS m
+        |       FROM pt JOIN tt ON pt.qid = tt.qid AND pt.vec_id = tt.vec_id),
+        |x AS (SELECT qid,
+        |        CAST(sum(CASE WHEN m <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |        CAST(sum(CASE WHEN m <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |        CAST(sum(CASE WHEN m <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+        |        CAST(sum(CASE WHEN m <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS x4,
+        |        CAST(sum(CASE WHEN m <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS x5,
+        |        CAST(sum(CASE WHEN m <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS x6,
+        |        CAST(sum(CASE WHEN m <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS x7,
+        |        CAST(sum(CASE WHEN m <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS x8,
+        |        CAST(sum(CASE WHEN m <= 9 THEN 1 ELSE 0 END) AS BIGINT) AS x9,
+        |        CAST(sum(CASE WHEN m <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS x10
+        |      FROM cm GROUP BY qid)
+        |SELECT q.qid AS query_id,
+        |  coalesce(x.x10, 0) AS overlap_at_d,
+        |  round(
+        |    coalesce(x1, 0) * CAST(0.1 AS DOUBLE) / CAST(1 AS DOUBLE)
+        |    + coalesce(x2, 0) * CAST(0.09 AS DOUBLE) / CAST(2 AS DOUBLE)
+        |    + coalesce(x3, 0) * CAST(0.081 AS DOUBLE) / CAST(3 AS DOUBLE)
+        |    + coalesce(x4, 0) * CAST(0.0729 AS DOUBLE) / CAST(4 AS DOUBLE)
+        |    + coalesce(x5, 0) * CAST(0.06561 AS DOUBLE) / CAST(5 AS DOUBLE)
+        |    + coalesce(x6, 0) * CAST(0.059049 AS DOUBLE) / CAST(6 AS DOUBLE)
+        |    + coalesce(x7, 0) * CAST(0.0531441 AS DOUBLE) / CAST(7 AS DOUBLE)
+        |    + coalesce(x8, 0) * CAST(0.04782969 AS DOUBLE) / CAST(8 AS DOUBLE)
+        |    + coalesce(x9, 0) * CAST(0.043046721 AS DOUBLE) / CAST(9 AS DOUBLE)
+        |    + coalesce(x10, 0) * CAST(0.0387420489 AS DOUBLE) / CAST(10 AS DOUBLE),
+        |    6) + 0 AS rbo
+        |FROM q LEFT JOIN x ON x.qid = q.qid
+        |ORDER BY query_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
       conformalGate, cohensDGate, mcnemarGate, didGate, eceGate,
-      retrievalMetricsGate)
+      retrievalMetricsGate, rboGate)
 }

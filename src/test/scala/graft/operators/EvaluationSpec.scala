@@ -487,6 +487,38 @@ class EvaluationSpec extends SparkSpec {
     assert(b.getDouble(4) == r6((1.0 / log2(4)) / idcg2), "ndcg B")
   }
 
+  test("rankBiasedOverlap: identical rankings give 1 - p^d, divergence is depth-weighted") {
+    val s = spark
+    import s.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // query (1,0); full ranking by cosine: 3 (.995), 2 (.707), 1 (0)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(1.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    // prefixDim = full dim → identical rankings → X_k = k and
+    // RBO@3 = Σ (1-p)·p^(k-1) = 0.1 + 0.09 + 0.081 = 0.271
+    val same = Evaluation.rankBiasedOverlap(emb, "vec_id", "embedding",
+      queryIds = Seq(0L), d = 3, p = BigDecimal("0.9"), prefixDim = 2)
+      .head()
+    assert(same.getLong(1) == 3L) // overlap_at_d
+    assert(same.getDouble(2) == r6(
+      1.0 * 0.1 / 1.0 + 2.0 * 0.09 / 2.0 + 3.0 * 0.081 / 3.0))
+    assert(same.getDouble(2) == 0.271)
+    // prefixDim = 1: id1's prefix is zero-norm (excluded), ids 2 and 3
+    // tie at prefix cos 1 → pred = [2, 3] vs truth = [3, 2, 1]:
+    // X = (0, 2, 2) → rbo = 2·0.09/2 + 2·0.081/3 = 0.144
+    val div = Evaluation.rankBiasedOverlap(emb, "vec_id", "embedding",
+      queryIds = Seq(0L), d = 3, p = BigDecimal("0.9"), prefixDim = 1)
+      .head()
+    assert(div.getLong(1) == 2L)
+    assert(div.getDouble(2) == 0.144)
+    assert(div.getDouble(2) < same.getDouble(2))
+  }
+
   test("retrievalMetrics: no relevant candidates gives zero mrr and ndcg") {
     val s = spark
     import s.implicits._

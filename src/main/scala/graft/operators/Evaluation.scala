@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *    the domain is thousands of values regardless of corpus size;
   *    callers with continuous scores quantize first (the standard
   *    binned-AUC move — at 1e-6 bins the estimate error is far below
-  *    reporting precision).
+  *    reporting precision). The contract is ENFORCED: the whole
+  *    rank-statistic family refuses fractional value columns at plan
+  *    time ([[requireIntegralValues]]).
   *  - [[prAtThresholds]] is one pass: each row fans out to the ≤dozens
   *    of broadcast thresholds, then a threshold-keyed aggregate.
   *  - [[cohenKappa]] and [[pairwiseClusterEval]] are contingency
@@ -30,6 +32,34 @@ import org.apache.spark.sql.functions._
   * long pair-products wrap at ~80k-row cells); counts stay exact longs.
   */
 object Evaluation {
+
+  /** Enforces the quantize-first contract of the rank-statistic
+    * family ([[rocAuc]], [[ksDistance]], [[wasserstein1]],
+    * [[mannWhitneyU]], [[kruskalWallis]], [[cliffsDelta]],
+    * [[kendallTauB]], [[conformalQuantile]]): these run exact prefix
+    * sums over the DISTINCT-value domain, which is bounded only for
+    * integral scores — a raw continuous double column would (a)
+    * silently truncate under the internal long cast and (b) degrade
+    * the value-domain window toward a corpus-scale single task. The
+    * guard is a zero-cost driver-side schema check: integral types
+    * (and scale-0 decimals) pass; fractional types fail loudly with
+    * the quantization recipe instead of degrading silently.
+    */
+  private[graft] def requireIntegralValues(
+      df: DataFrame, valueCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.select(col(valueCol)).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 => ()
+      case other => throw new IllegalArgumentException(
+        s"$op: value column '$valueCol' has type ${other.simpleString} — " +
+          "the rank-statistic family is exact over a value-DOMAIN-bounded " +
+          "frame only for integral scores. Quantize first, e.g. " +
+          s"CAST(round($valueCol * 1000) AS LONG) for milli-units (at " +
+          "1e-3 bins the estimate error is far below 6-dp reporting " +
+          "precision), then pass the integral column.")
+    }
+  }
 
   /** ROC AUC of `scoreCol` against boolean `labelCol` via the
     * Mann-Whitney rank statistic with average-rank tie handling:
@@ -43,6 +73,7 @@ object Evaluation {
     * division. Returns one row (n_pos, n_neg, auc rounded 6 dp).
     */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    requireIntegralValues(df, scoreCol, "rocAuc")
     val g = df
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"),
@@ -292,6 +323,7 @@ object Evaluation {
   def ksDistance(
       df: DataFrame, valueCol: String, grpCol: String,
       grpA: String, grpB: String): DataFrame = {
+    requireIntegralValues(df, valueCol, "ksDistance")
     import org.apache.spark.sql.expressions.Window
     val vals = df
       .filter(col(grpCol).isin(grpA, grpB) && col(valueCol).isNotNull)
@@ -343,6 +375,7 @@ object Evaluation {
   def wasserstein1(
       df: DataFrame, valueCol: String, grpCol: String,
       grpA: String, grpB: String): DataFrame = {
+    requireIntegralValues(df, valueCol, "wasserstein1")
     import org.apache.spark.sql.expressions.Window
     val vals = df
       .filter(col(grpCol).isin(grpA, grpB) && col(valueCol).isNotNull)
@@ -493,6 +526,7 @@ object Evaluation {
     */
   def mannWhitneyU(
       df: DataFrame, valueCol: String, inA: Column): DataFrame = {
+    requireIntegralValues(df, valueCol, "mannWhitneyU")
     val perValue = df
       .groupBy(col(valueCol).cast("long").as("_v"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("_na"),
@@ -542,6 +576,7 @@ object Evaluation {
     */
   def kruskalWallis(
       df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    requireIntegralValues(df, valueCol, "kruskalWallis")
     val pv = df
       .groupBy(col(valueCol).cast("long").as("_v"),
         col(groupCol).cast("string").as("_g"))
@@ -857,6 +892,7 @@ object Evaluation {
     */
   def cliffsDelta(
       df: DataFrame, valueCol: String, inA: Column): DataFrame = {
+    requireIntegralValues(df, valueCol, "cliffsDelta")
     val perValue = df
       .groupBy(col(valueCol).cast("long").as("_v"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("_na"),
@@ -890,6 +926,8 @@ object Evaluation {
     */
   def kendallTauB(
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    requireIntegralValues(df, aCol, "kendallTauB")
+    requireIntegralValues(df, bCol, "kendallTauB")
     import graft.operators.Materialize.MaterializeOps
     val cells = df.select(col(aCol).cast("long").as("_a"),
         col(bCol).cast("long").as("_b"))
@@ -944,6 +982,7 @@ object Evaluation {
       df: DataFrame, scoreCol: String,
       alphasPct: Seq[Int] = Seq(10, 5)): DataFrame = {
     require(alphasPct.nonEmpty && alphasPct.forall(a => a >= 1 && a < 100))
+    requireIntegralValues(df, scoreCol, "conformalQuantile")
     val perValue = df.select(col(scoreCol).cast("long").as("_v"))
       .filter(col("_v").isNotNull)
       .groupBy(col("_v")).agg(count(lit(1)).as("_n"))

@@ -280,11 +280,16 @@ object Features {
     * [[Ranks.withGlobalRank]] — range-bucketed, never a
     * single-partition sort; n rides a 1-row broadcast. A single-row
     * input gets 0.0 by the SQL percent_rank convention.
+    *
+    * Ranks on the RAW score column (any orderable numeric — model
+    * scores in [0,1] included; the double cast inside Ranks' bucketing
+    * is monotone), so fractional scores are never truncated. The
+    * `score` column echoes the input value unchanged.
     */
   def rankNormalize(
       df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-      col(scoreCol).cast("long").as("score"))
+      col(scoreCol).as("score"))
     val total = base.agg(count(lit(1)).as("_n"))
     Ranks.withGlobalRank(base, "_r", col("score"), ties = Seq(col("id")))
       .crossJoin(broadcast(total))

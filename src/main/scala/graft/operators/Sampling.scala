@@ -24,6 +24,13 @@ object Sampling {
     * before — ties at the cutoff are order-unstable in any rank-based
     * take); for an unbiased random sample swap `orderCol` for a hash
     * of the id — the plan shape is identical.
+    *
+    * NOTE: ranks run through [[Ranks.withGroupRank]], whose bounded
+    * boundary/count jobs re-evaluate `df` — the input must be
+    * DETERMINISTIC across jobs (the standard multi-pass contract);
+    * materialize nondeterministic frames (unordered limits, rand()
+    * filters) first or the collected offsets disagree with the rank
+    * pass and the returned ranks are silently wrong.
     */
   def stratifiedTake(
       df: DataFrame, groupCol: String, orderCol: String,

@@ -1258,6 +1258,15 @@ object Similarity {
     * pick); the combined score re-rounds to 6 dp; ties break by
     * ascending id. Output: (query_id, sel_rank, vec_id, score).
     *
+    * Missing-query contract: a query id that yields NO candidates
+    * (absent from the corpus, or a zero-norm vector) emits ZERO rows —
+    * a re-ranker has nothing to rank. This differs deliberately from
+    * [[Evaluation.retrievalMetrics]]/[[Evaluation.rankBiasedOverlap]],
+    * which left-join from the query frame so every requested id
+    * surfaces; callers needing to distinguish "no candidates" from
+    * "id not in corpus" should anti-join their queryIds against the
+    * output's query_id column.
+    *
     * Scale shape: the relevance pool comes from [[topKCosineBatch]]
     * (broadcast queries, zero corpus shuffle); the greedy loop then
     * runs on the DRIVER over queries×nCandidates rows with their
@@ -1339,12 +1348,18 @@ object Similarity {
     * the seed) — the monotone non-increasing radius sequence a
     * coverage plot reads directly.
     *
-    * Scale shape: each of the k−1 rounds is ONE narrow corpus pass —
-    * the chosen center rides the plan as a literal vector, the
-    * arg-max is a 1-row TakeOrdered collect, and the running min-
-    * distance column materializes per round ([[Materialize]] strategy
-    * knob, the kmeansLloyd discipline). The corpus never self-joins
-    * and nothing shuffles but the k bounded collects.
+    * Scale shape: the materialized per-round state is (vec_id, dmin)
+    * ONLY — 16 bytes/row, never the vectors — so the k−1 round
+    * materializations ([[Materialize]] strategy knob, the kmeansLloyd
+    * discipline) write id+distance, not embedding-width rows. Each
+    * round: the arg-max is a 1-row TakeOrdered collect over the slim
+    * state; the winner's VECTOR is fetched by one bounded id-lookup
+    * on the corpus (pushed-down point predicate); distances to the
+    * new center compute SCAN-LOCAL over the original corpus read (the
+    * center rides the plan as a literal vector — the embedding column
+    * is scanned but never shuffled) and fold into the state via one
+    * (vec_id ⋈ vec_id) join of two 16-byte/row frames. The corpus
+    * never self-joins; the only per-round shuffle is that narrow join.
     */
   def kCenterSelect(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -1373,21 +1388,25 @@ object Similarity {
       else e.filter(col("vec_id") =!= seedId)
         .withColumn("dmin", distTo(vecOf(seedId)))
         .filter(!isnan(col("dmin")))
-        .select(col("vec_id"), col("v"), col("dmin"))
+        .select(col("vec_id"), col("dmin")) // 16 B/row — vectors stay out
         .materialized
     var round = 2
     while (round <= k) {
       val top = state
         .orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()
       if (top.nonEmpty) {
-        // the 1-row argmax carries the winner's vector too — no
-        // separate lookup job per round
         val cid = top.head.getLong(0)
-        val cv = top.head.getSeq[Double](1).toArray
-        selected += ((round.toLong, cid, Some(top.head.getDouble(2))))
+        selected += ((round.toLong, cid, Some(top.head.getDouble(1))))
         if (round < k) {
+          // winner's vector by bounded id-lookup (pushed point
+          // predicate); new distances scan-local over the corpus,
+          // folded into the slim state by a narrow id join
+          val cv = vecOf(cid)
+          val dNew = e.select(col("vec_id"), distTo(cv).as("_dnew"))
           state = state.filter(col("vec_id") =!= cid)
-            .withColumn("dmin", least(col("dmin"), distTo(cv)))
+            .join(dNew, Seq("vec_id"))
+            .select(col("vec_id"),
+              least(col("dmin"), col("_dnew")).as("dmin"))
             .materialized
         }
       } else round = k // candidate pool exhausted

@@ -1433,8 +1433,12 @@ object SimilarityQueries extends QueryGroup {
   val rankNormalizeGate: QueryDef = QueryDef(
     "sim_rank_normalize",
     (s, dir) =>
+      // the long cast lives at the GATE (oracle types BIGINT);
+      // rankNormalize itself ranks any orderable numeric raw
       graft.operators.Features.rankNormalize(
-          Tables(s, dir).documents, "doc_id", "n_chars")
+          Tables(s, dir).documents
+            .withColumn("n_chars", col("n_chars").cast("long")),
+          "doc_id", "n_chars")
         .orderBy("id"),
     Some(
       """SELECT doc_id AS id, n_chars::BIGINT AS score,
@@ -6339,20 +6343,33 @@ object IoQueries extends QueryGroup {
       val incremental = parsed
         .filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
         .withColumn("_del", lit(false))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-oai-loop-").toString
-      graft.sources.TxTable.create(initial, root)
-      graft.sources.TxTable.mergeInto(root, incremental, "doc_id",
-        Seq("identifier", "datestamp", "deleted", "sets", "language",
-          "text"), "_del")
-      val served = graft.sources.TxTable.read(s, root)
-      val studies = served.select(
-        regexp_extract(col("sets"), ",source:(.*)$", 1)
-          .as("_direct_base_url"),
-        struct(when(col("deleted"), graft.schema.RecordStatus.Deleted)
-          .otherwise(graft.schema.RecordStatus.Created).as("status"))
-          .as("_metadata"))
-      val m = graft.metrics.MetricsJob.run(studies)
+      val rootPath = java.nio.file.Files
+        .createTempDirectory("graft-oai-loop-")
+      val root = rootPath.toString
+      // MetricsJob.run fully materializes its numbers on the driver,
+      // so the temp table is dead weight once `m` exists — delete it
+      // in a finally (bench/correctness runs invoke this gate n+warmup
+      // times; leaving tables would accrete /tmp parquet, the same
+      // disk-accrual class as /tmp/blockmgr-*)
+      val m = try {
+        graft.sources.TxTable.create(initial, root)
+        graft.sources.TxTable.mergeInto(root, incremental, "doc_id",
+          Seq("identifier", "datestamp", "deleted", "sets", "language",
+            "text"), "_del")
+        val served = graft.sources.TxTable.read(s, root)
+        val studies = served.select(
+          regexp_extract(col("sets"), ",source:(.*)$", 1)
+            .as("_direct_base_url"),
+          struct(when(col("deleted"), graft.schema.RecordStatus.Deleted)
+            .otherwise(graft.schema.RecordStatus.Created).as("status"))
+            .as("_metadata"))
+        graft.metrics.MetricsJob.run(studies)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       (m.perPublisher.map(p =>
         (p.baseUrl, p.records, p.recordsWithoutDeleted)) :+
         (("_total", m.recordsTotal, m.recordsTotalWithoutDeleted)))

@@ -49,11 +49,18 @@ import org.apache.spark.sql.functions._
   *     construction (they add files to whatever the latest manifest
   *     says) — on a lost race they re-read the new latest and retry,
   *     bounded.
-  *   - [[overwrite]] / [[mergeInto]] / [[compact]]: read-modify-write
-  *     — a lost race means the snapshot the result was derived from
-  *     is stale, so they FAIL with a conflict (caller re-runs on the
-  *     new snapshot); retrying silently would lose the interleaved
-  *     commit's rows.
+  *   - [[overwrite]] / [[compact]]: read-modify-write — a lost race
+  *     means the snapshot the result was derived from is stale, so
+  *     they FAIL with a conflict (caller re-runs on the new snapshot);
+  *     retrying silently would lose the interleaved commit's rows.
+  *   - [[mergeInto]]: read-modify-write with OPTIONAL optimistic
+  *     retry (`maxRetries > 0`): a lost race RE-READS the latest
+  *     snapshot and RE-RUNS the whole merge against it before
+  *     re-publishing — never re-publishing a result derived from a
+  *     stale snapshot, so every committed version v+1 equals
+  *     merge(snapshot v, source) exactly and the table history is the
+  *     serial order of the commit wins (no lost updates). Default
+  *     `maxRetries = 0` keeps the fail-on-conflict contract.
   *
   * At 100 TB: manifests are file LISTS (KB-scale text), data files
   * parquet with full predicate/column pushdown through the normal
@@ -474,26 +481,51 @@ object TxTable {
     * [[graft.operators.MergeUpsert]] CDC semantics, publish the result
     * as one atomic new version. The `action` column is merge-run
     * metadata, not table state — it is not persisted. Returns the new
-    * version; throws [[CommitConflict]] if any commit interleaved
-    * between snapshot resolution and publish (optimistic concurrency —
-    * the caller re-runs against the new snapshot).
+    * version.
+    *
+    * Conflict handling (the harvest-while-serving hazard — cf. the
+    * reference's soft-delete upserts, `tests/test_serve.py:274-306`):
+    * a merge is read-modify-write over the WHOLE table, so a commit
+    * that interleaves between snapshot resolution and publish makes
+    * the derived result stale — publishing it anyway would silently
+    * drop the interleaved commit's rows (the lost-update anomaly).
+    * The `Rename.NONE` CAS refuses the stale publish; then:
+    *   - `maxRetries = 0` (default): throw [[CommitConflict]] — the
+    *     caller re-runs against the new snapshot;
+    *   - `maxRetries > 0`: RE-READ the latest snapshot, RE-RUN the
+    *     entire merge against it (the source is re-evaluated — it
+    *     must be deterministic, the standard multi-pass contract),
+    *     and try the next version. Every committed version v+1 thus
+    *     equals merge(snapshot v, source) EXACTLY, so concurrent
+    *     merges serialize in commit order — the final table equals
+    *     the serial replay of the merges in version order (asserted
+    *     cross-process by TxRaceSpec's two-JVM merge race). Data
+    *     files written for a lost attempt are unreferenced and
+    *     reclaimed by [[vacuum]].
     */
   def mergeInto(
       root: String, source: DataFrame, keyCol: String,
       valueCols: Seq[String], tombstoneCol: String,
-      buckets: Int = 8): Long = {
+      buckets: Int = 8, maxRetries: Int = 0): Long = {
     val spark = source.sparkSession
-    val cur = latestSnapshot(spark, root)
-    val target = readVersion(spark, root, cur.version)
-    val merged = graft.operators.MergeUpsert.merge(
-        target, source, keyCol, valueCols, tombstoneCol)
-      .drop("action")
-    val entries = writeDataFiles(merged, root, cur.clusterCols, buckets)
-    if (!tryCommit(spark, root, cur.version + 1, cur.headers, entries))
-      throw new CommitConflict(
-        s"mergeInto at $root: snapshot v${cur.version} went stale " +
-          "during the merge; re-run against the new snapshot")
-    cur.version + 1
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestSnapshot(spark, root)
+      val target = readVersion(spark, root, cur.version)
+      val merged = graft.operators.MergeUpsert.merge(
+          target, source, keyCol, valueCols, tombstoneCol)
+        .drop("action")
+      val entries = writeDataFiles(merged, root, cur.clusterCols, buckets)
+      if (tryCommit(spark, root, cur.version + 1, cur.headers, entries))
+        committed = cur.version + 1
+      else if (attempt >= maxRetries)
+        throw new CommitConflict(
+          s"mergeInto at $root: snapshot v${cur.version} went stale " +
+            "during the merge; re-run against the new snapshot")
+      else attempt += 1
+    }
+    committed
   }
 
   /** Rewrite the table into `buckets` files — the small-file

@@ -917,10 +917,15 @@ object ScaleCheck {
         graft.operators.Evaluation.retrievalMetrics(embBig, "vec_id",
           "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
           k = 10, prefixDim = 16))
-      // k-center: k-1 narrow passes, literal centers, 1-row argmaxes
+      // k-center: k-1 narrow passes, literal centers, 1-row argmaxes;
+      // per-round state is (vec_id, dmin) only — at k=32 the round
+      // materializations write 16 B/row, not embedding-width rows
       time(s"kcenter_${dup}x",
         graft.operators.Similarity.kCenterSelect(embBig, "vec_id",
           "embedding", k = 8, seedId = 0L))
+      time(s"kcenter_k32_${dup}x",
+        graft.operators.Similarity.kCenterSelect(embBig, "vec_id",
+          "embedding", k = 32, seedId = 0L))
       // MMR: broadcast-queries pool + bounded driver greedy
       time(s"mmr_${dup}x",
         graft.operators.Similarity.mmrRerank(embBig, "vec_id",

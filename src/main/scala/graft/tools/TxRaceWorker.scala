@@ -5,22 +5,44 @@ import graft.sources.TxTable
 import org.apache.spark.sql.SparkSession
 
 /** One competitor in the multi-PROCESS TxTable commit race: a separate
-  * Spark driver JVM that appends `n` single-row frames to a shared
-  * table path, retrying through lost optimistic races. Launched twice
-  * concurrently by TxRaceSpec (and usable by hand for longer soaks) to
-  * exercise the real harvest-while-serving contention the in-JVM retry
-  * specs cannot: two drivers, two FileSystem instances, one directory,
-  * with the `FileContext.rename(…, Rename.NONE)` fail-if-exists
-  * publish as the only arbiter.
+  * Spark driver JVM that runs `n` commits against a shared table path,
+  * retrying through lost optimistic races. Launched twice concurrently
+  * by TxRaceSpec (and usable by hand for longer soaks) to exercise the
+  * real harvest-while-serving contention the in-JVM retry specs
+  * cannot: two drivers, two FileSystem instances, one directory, with
+  * the `FileContext.rename(…, Rename.NONE)` fail-if-exists publish as
+  * the only arbiter.
   *
-  *   java -cp … graft.tools.TxRaceWorker <tableRoot> <workerId> <n>
+  *   java -cp … graft.tools.TxRaceWorker <mode> <tableRoot> <workerId> <n>
+  *
+  * Modes:
+  *   - `append`: blind-append `n` single-row (worker, seq) frames —
+  *     conflict-free commits, exercises the version CAS.
+  *   - `merge`: run `n` [[TxTable.mergeInto]] calls on OVERLAPPING
+  *     keys — read-modify-write commits whose optimistic retry must
+  *     re-read the latest snapshot, exercising the lost-update
+  *     anomaly. Merge payload for (worker w, seq i), over schema
+  *     (k long, v string):
+  *       - upsert the CONTENDED key i % 5 to "w:i" (both workers hit
+  *         keys 0..4 — last committed merge must win);
+  *       - insert the PRIVATE key 1000·widx + i with "w:i" (a stale
+  *         re-publish would silently drop the other worker's private
+  *         rows — the anomaly the race is hunting);
+  *       - tombstone own private key 1000·widx + (i − 2) when i ≥ 2
+  *         (deletes must serialize too).
+  *     The orchestrator replays the merges in claimed-version order
+  *     and asserts the final table equals the replay exactly.
   *
   * Prints one `[txrace] worker=… seq=… version=…` line per commit;
-  * exits non-zero if any append exhausts its retries.
+  * exits non-zero if any commit exhausts its retries.
   */
 object TxRaceWorker {
+  /** widx: a small numeric namespace per worker id for private keys. */
+  private def widx(workerId: String): Long =
+    (workerId.hashCode.toLong & 0xffffL) + 1L
+
   def main(args: Array[String]): Unit = {
-    val Array(root, workerId, nStr) = args
+    val Array(mode, root, workerId, nStr) = args
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -32,9 +54,23 @@ object TxRaceWorker {
     import spark.implicits._
     try {
       (0 until n).foreach { i =>
-        val v = TxTable.append(
-          Seq((workerId, i.toLong)).toDF("worker", "seq"),
-          root, maxRetries = 200)
+        val v = mode match {
+          case "append" =>
+            TxTable.append(
+              Seq((workerId, i.toLong)).toDF("worker", "seq"),
+              root, maxRetries = 200)
+          case "merge" =>
+            val w = widx(workerId)
+            val rows = Seq(
+              (i.toLong % 5L, s"$workerId:$i", false),
+              (1000L * w + i, s"$workerId:$i", false)) ++
+              (if (i >= 2) Seq((1000L * w + i - 2, "", true)) else Nil)
+            TxTable.mergeInto(root,
+              rows.toDF("k", "v", "_del"), "k", Seq("v"), "_del",
+              maxRetries = 200)
+          case other =>
+            sys.error(s"unknown mode '$other' (append|merge)")
+        }
         // stdout is the race log the orchestrator asserts over
         println(s"[txrace] worker=$workerId seq=$i version=$v")
       }

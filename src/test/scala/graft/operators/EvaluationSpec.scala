@@ -17,6 +17,46 @@ class EvaluationSpec extends SparkSpec {
     rows.toDF("score", "label")
   }
 
+  test("rank-statistic family: quantize-first guard trips on fractional " +
+    "scores, passes integral") {
+    val s = spark
+    import s.implicits._
+    val frac = Seq((0.13, true), (0.77, false)).toDF("score", "label")
+      .withColumn("g", col("label").cast("string"))
+    // every family member refuses a raw double column, loudly
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Evaluation.rocAuc(frac, "score", "label"))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.ksDistance(frac, "score", "g", "true", "false"))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.wasserstein1(frac, "score", "g", "true", "false"))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.mannWhitneyU(frac, "score", col("label")))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.kruskalWallis(frac, "score", "g"))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.cliffsDelta(frac, "score", col("label")))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.kendallTauB(
+        frac.withColumn("b", col("score") * 2), "score", "b"))
+      .contains("Quantize first"))
+    assert(msg(Evaluation.conformalQuantile(frac, "score"))
+      .contains("Quantize first"))
+    // the documented recipe passes: milli-unit quantization
+    val milli = frac.withColumn("score",
+      org.apache.spark.sql.functions.expr(
+        "CAST(round(score * 1000) AS LONG)"))
+    assert(Evaluation.rocAuc(milli, "score", "label").head()
+      .getDouble(2) == 0.0)
+    // scale-0 decimals are integral too
+    val dec = frac.withColumn("score",
+      org.apache.spark.sql.functions.expr(
+        "CAST(round(score * 1000) AS DECIMAL(18,0))"))
+    assert(Evaluation.conformalQuantile(dec, "score", Seq(10))
+      .count() == 1)
+  }
+
   test("rocAuc: perfect separation gives 1.0, reversed gives 0.0") {
     val perfect = scored(1L -> false, 2L -> false, 3L -> true, 4L -> true)
     val r = Evaluation.rocAuc(perfect, "score", "label").head()

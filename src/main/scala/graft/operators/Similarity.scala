@@ -1332,6 +1332,81 @@ object Similarity {
     out.toDF("query_id", "sel_rank", "vec_id", "score")
   }
 
+  /** Late-interaction (MaxSim) retrieval over MULTI-VECTOR documents
+    * (Khattab & Zaharia, "ColBERT", SIGIR 2020): each document carries
+    * an ARRAY of token vectors; the relevance of doc d to query q is
+    *
+    *   score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(t, u)
+    *
+    * — per query token, the best-matching doc token, summed. The
+    * multi-vector shape between dense single-vector top-k
+    * ([[topKCosineBatch]]) and BM25 term matching ([[HybridSearch]])
+    * that modern retrieval evals expect.
+    *
+    * Determinism contract: each token cosine rounds to 6 dp HALF_UP;
+    * the per-query-token max is over those rounded values; the sum
+    * runs in DECIMAL(18,6) (exact, order-independent) and re-rounds
+    * to 6 dp; ties break by ascending doc id. Zero-norm DOC tokens
+    * are skipped inside the max (undefined cosine); zero-norm QUERY
+    * tokens are rejected up front; a doc with no valid tokens (empty
+    * array or all zero-norm) emits no rows; a doc whose id equals the
+    * query id is excluded (the [[topKCosineBatch]] convention).
+    *
+    * Scale shape: query tokens ride the plan as LITERAL vectors onto
+    * ONE corpus scan — per doc row, every (query token × doc token)
+    * cosine evaluates scan-local through the codegen'd `cosine_sim`
+    * and folds into per-query scores with array `aggregate` (no
+    * explode of the corpus, no join, nothing shuffles but the final
+    * top-k); the per-query exact top-k is the salted two-stage
+    * [[Ranks.topKPerGroup]], so one hot query never serializes into a
+    * single task. Output: (query_id, rank, doc_id, score), rank ≤ k.
+    */
+  def maxSimTopK(
+      docs: DataFrame, idCol: String, tokenVecsCol: String,
+      queries: Seq[(Long, Seq[Seq[Double]])], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids")
+    val spark = docs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tokenVecsCol).cast("array<array<double>>").as("_tv"))
+      .filter(col("_tv").isNotNull && size(col("_tv")) > 0)
+    // max over doc tokens of the 6-dp cosine to one literal query
+    // token; NaN cosines (zero-norm doc tokens) leave the accumulator
+    // untouched, so a doc with no valid token stays at -inf
+    def tokenMax(qv: Seq[Double]): Column = {
+      val qlit = array(qv.map(lit): _*)
+      aggregate(col("_tv"), lit(Double.NegativeInfinity),
+        (acc, t) => {
+          val c = Numerics.roundz(call_function("cosine_sim", t, qlit), 6)
+          when(isnan(c), acc).otherwise(greatest(acc, c))
+        })
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perQuery = queries.sortBy(_._1).map { case (qid, toks) =>
+      val valid = toks.filter(t => t.exists(_ != 0.0))
+      require(valid.nonEmpty, s"query $qid has no non-zero token vectors")
+      val maxes = valid.map(tokenMax)
+      val score = Numerics.roundz(
+        maxes.map(_.cast(dec)).reduce(_ + _).cast("double"), 6)
+      // the -inf check never reaches the decimal cast (CASE branches
+      // evaluate lazily), so ANSI casting stays safe
+      struct(lit(qid).as("query_id"),
+        when(maxes.head === lit(Double.NegativeInfinity),
+          lit(null).cast("double")).otherwise(score).as("score"))
+    }
+    val stacked = base
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("_q"))
+      .select(col("_q.query_id").as("query_id"), col("doc_id"),
+        col("_q.score").as("score"))
+      .filter(col("score").isNotNull && col("doc_id") =!= col("query_id"))
+    Ranks.topKPerGroup(stacked, "rank", k, Seq("query_id"), col("score"),
+        descending = true, ties = Seq(col("doc_id")))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Greedy k-center (farthest-point) diversity selection — the
     * classic 2-approximation coreset picker (Gonzalez 1985): start
     * from `seedId`, then repeatedly add the candidate FARTHEST (max

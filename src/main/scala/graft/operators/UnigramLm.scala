@@ -247,15 +247,21 @@ object UnigramLm {
       counts
     }
 
-    var lastCounts = mutable.HashMap.empty[String, Double]
+    // prune rounds: EM to fit, then drop the low-expectation tail of
+    // the multi-cp pieces, until the target size; then a final EM fit
+    // on the settled vocabulary. (No pruning needed → exactly emIters
+    // EM steps total, which is what the hand-corpus spec locks.)
     var rounds = 0
-    do {
+    while (singles.length + multis.length > vocabSize &&
+        math.max(vocabSize - singles.length, 0) < multis.length &&
+        rounds < 64) {
+      var lastCounts = mutable.HashMap.empty[String, Double]
       var it = 0
       while (it < emIters) { lastCounts = emStep(); it += 1 }
       val targetMulti = math.max(vocabSize - singles.length, 0)
-      if (singles.length + multis.length > vocabSize && targetMulti < multis.length) {
-        // prune: keep the top pruneKeep-fraction (floored at the
-        // target) of multi-cp pieces by (expected count desc, piece)
+      if (multis.length > targetMulti) {
+        // keep the top pruneKeep-fraction (floored at the target) of
+        // multi-cp pieces by (expected count desc, piece utf8 asc)
         val keep = math.max(targetMulti,
           math.floor(multis.length * pruneKeep).toInt)
           .min(multis.length - 1).max(targetMulti)
@@ -272,10 +278,10 @@ object UnigramLm {
         probs = next
       }
       rounds += 1
-    } while (singles.length + multis.length > vocabSize && rounds < 64)
+    }
     // settle probabilities on the final vocabulary
     var it = 0
-    while (it < emIters) { lastCounts = emStep(); it += 1 }
+    while (it < emIters) { emStep(); it += 1 }
 
     (singles ++ multis).sortWith(utf8Lt).map { p =>
       (p, math.round(math.log(probs(p)) * 1000.0))

@@ -1621,6 +1621,52 @@ object SimilarityQueries extends QueryGroup {
         |  UNION ALL SELECT qid, 3, vec_id, score FROM p3)
         |ORDER BY query_id, sel_rank""".stripMargin))
 
+  /** Late-interaction MaxSim retrieval ([[Similarity.maxSimTopK]]):
+    * the 64-dim embeddings become 4×16-dim "token" vectors per doc
+    * (deterministic slicing — the multi-vector shape without a
+    * token-vector table), queries 0–2 score every doc by
+    * Σ per-query-token max 6-dp cosine, top-10 per query through the
+    * salted exact top-k. Full oracle: DuckDB rebuilds the slices, the
+    * per-(query-token, doc) max, the DECIMAL(18,6) sum, and the
+    * (score desc, doc_id) ranking.
+    */
+  val maxSimGate: QueryDef = QueryDef(
+    "sim_maxsim_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val tokens = e.select(col("vec_id"),
+        expr("transform(array(0,1,2,3), i -> transform(" +
+          "slice(embedding, i*16+1, 16), x -> CAST(x AS DOUBLE)))")
+          .as("tok_vecs"))
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).grouped(16).map(_.toSeq).toSeq))
+        .toSeq
+      Similarity.maxSimTopK(tokens, "vec_id", "tok_vecs", queries, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |tok AS (SELECT vec_id, t, v[t*16+1 : t*16+16] AS tv
+        |  FROM e, unnest([0, 1, 2, 3]) AS u(t)),
+        |q AS (SELECT vec_id AS qid, t AS qt, tv AS qv
+        |  FROM tok WHERE vec_id IN (0, 1, 2)),
+        |pair AS (SELECT q.qid, q.qt, d.vec_id AS doc_id,
+        |    max(round(list_cosine_similarity(d.tv, q.qv), 6) + 0) AS mx
+        |  FROM tok d JOIN q ON d.vec_id <> q.qid
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid AS query_id, doc_id,
+        |    round(sum(CAST(mx AS DECIMAL(18,6)))::DOUBLE, 6) + 0 AS score
+        |  FROM pair GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1631,7 +1677,7 @@ object SimilarityQueries extends QueryGroup {
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
-      classSeparationGate, kCenterGate, mmrGate)
+      classSeparationGate, kCenterGate, mmrGate, maxSimGate)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -4171,6 +4217,36 @@ object TextQueries extends QueryGroup {
         |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val unigramPieces =
+    new graft.operators.LruCache[String, Seq[(String, Long)]](8)
+
+  /** Unigram-LM round trip ([[graft.operators.UnigramLm]]): train a
+    * SentencePiece-style piece vocabulary by EM over the corpus word
+    * dict (one corpus pass, the Bpe discipline), Viterbi-encode with
+    * integer milli-nat log-probs, and concatenate the pieces back —
+    * the OTHER tokenizer family's lossless property under the hard
+    * oracle, checked WITHOUT knowing the piece table (the oracle
+    * restates the normalization only).
+    */
+  val unigramLmRoundTrip: QueryDef = QueryDef(
+    "text_unigram_lm_roundtrip",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pieces = unigramPieces.getOrElseUpdate(dir) {
+        graft.operators.UnigramLm.trainPieces(docs, "text",
+          vocabSize = 512, maxPieceLen = 3, maxCandidates = 4096,
+          emIters = 2)
+      }
+      graft.operators.UnigramLm.detokenized(
+          graft.operators.UnigramLm.encode(docs, "text", pieces))
+        .select(col("doc_id"), col("detok"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Per-document keywords ([[graft.operators.TextAnalysis
     * .docKeywords]]): top-3 terms per doc by the integer TF-IDF
     * weight, ubiquitous terms (df > 80% of the corpus) excluded — the
@@ -4481,7 +4557,8 @@ object TextQueries extends QueryGroup {
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
-      trendingTerms, vocabDiversity, bpeRoundTrip, luhnRedaction,
+      trendingTerms, vocabDiversity, bpeRoundTrip, unigramLmRoundTrip,
+      luhnRedaction,
       luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97,
       codeDetect, commonPrefix, textRank)
 }

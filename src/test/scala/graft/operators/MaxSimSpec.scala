@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Late-interaction MaxSim retrieval against hand-computed scores:
+  * the Σ-of-per-token-maxes definition, zero-norm doc/query token
+  * handling, self-exclusion, id tie-breaks, and the all-invalid-doc
+  * drop — the contracts the oracle gate exercises at corpus scale.
+  */
+class MaxSimSpec extends SparkSpec {
+
+  private def docs(rows: (Long, Seq[Seq[Double]])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "toks")
+  }
+
+  test("maxSimTopK: sum of per-query-token maxes, hand-computed") {
+    val d = docs(
+      1L -> Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      2L -> Seq(Seq(1.0, 0.0)),
+      3L -> Seq(Seq(0.6, 0.8)))
+    val r = Similarity.maxSimTopK(d, "id", "toks",
+        Seq((10L, Seq(Seq(2.0, 0.0), Seq(0.0, 3.0)))), k = 10)
+      .orderBy("rank").collect()
+    // doc1: max(1,0)+max(0,1) = 2; doc3: max(.6,.8) = 1.4; doc2: 1+0 = 1
+    assert(r.map(x => (x.getLong(2), x.getDouble(3))).toSeq ==
+      Seq((1L, 2.0), (3L, 1.4), (2L, 1.0)))
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("maxSimTopK: zero-norm doc tokens are skipped; all-invalid and " +
+    "empty docs emit nothing; query id excluded") {
+    val d = docs(
+      10L -> Seq(Seq(1.0, 0.0)), // same id as the query: excluded
+      1L -> Seq(Seq(0.0, 0.0), Seq(1.0, 0.0)), // zero-norm token skipped
+      2L -> Seq(Seq(0.0, 0.0)), // all zero-norm: dropped
+      3L -> Seq())              // no tokens: dropped
+    val r = Similarity.maxSimTopK(d, "id", "toks",
+        Seq((10L, Seq(Seq(1.0, 0.0)))), k = 10).collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L))
+    assert(r.head.getDouble(3) == 1.0)
+  }
+
+  test("maxSimTopK: zero-norm query tokens drop; all-zero query rejected") {
+    val d = docs(1L -> Seq(Seq(1.0, 0.0)), 2L -> Seq(Seq(1.0, 0.0)))
+    // the zero-norm query token contributes nothing; score ties at 1.0
+    // and breaks by ascending doc id
+    val r = Similarity.maxSimTopK(d, "id", "toks",
+        Seq((9L, Seq(Seq(0.0, 0.0), Seq(3.0, 0.0)))), k = 2)
+      .orderBy("rank").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 1L), (2L, 2L)))
+    val e = intercept[IllegalArgumentException](
+      Similarity.maxSimTopK(d, "id", "toks",
+        Seq((9L, Seq(Seq(0.0, 0.0)))), k = 1))
+    assert(e.getMessage.contains("non-zero"))
+  }
+
+  test("maxSimTopK: multiple queries score in one pass, k bounds each") {
+    val d = docs(
+      1L -> Seq(Seq(1.0, 0.0)),
+      2L -> Seq(Seq(0.0, 1.0)),
+      3L -> Seq(Seq(1.0, 1.0)))
+    val r = Similarity.maxSimTopK(d, "id", "toks",
+        Seq((100L, Seq(Seq(1.0, 0.0))), (200L, Seq(Seq(0.0, 1.0)))), k = 1)
+      .orderBy("query_id").collect()
+    assert(r.length == 2)
+    assert(r.map(x => (x.getLong(0), x.getLong(2))).toSeq ==
+      Seq((100L, 1L), (200L, 2L)))
+  }
+}

@@ -515,6 +515,37 @@ class PlanRegressionSpec extends SparkSpec {
       s"whole-source sort window came back: ${w.partitionSpec}"))
   }
 
+  test("sim_maxsim_topk: one corpus scan, scan-local scoring, salted top-k") {
+    // MaxSim must never explode or join the corpus: the query tokens
+    // ride as literals, scoring folds scan-local, and the only
+    // shuffles serve the salted exact top-k (+ the gate's orderBy)
+    val plan = finalPlan("sim_maxsim_topk")
+    val ks = nodes(plan).map(_.getClass.getSimpleName)
+    assert(!ks.exists(_.contains("Join")), s"unexpected join: $ks")
+    val embScans = scans("sim_maxsim_topk")
+      .count(_.metadata.get("Location").exists(_.contains("embeddings")))
+    assert(embScans == 1, s"embeddings scanned $embScans times")
+    val windows = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+    }
+    assert(windows.nonEmpty, "top-k rank windows missing")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window: ${w.windowExpression.mkString(",")}"))
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "salted local top-k pass missing")
+  }
+
+  test("text_unigram_lm_roundtrip: encode is shuffle-free scan work " +
+    "(orderBy exchange only)") {
+    // the piece table broadcasts and each word segments independently;
+    // the only exchange the gate may carry is its own orderBy range
+    // exchange (training runs driver-side before the plan exists)
+    val ks = kinds("text_unigram_lm_roundtrip")
+    val exchanges = ks.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"encode shuffled: $ks")
+    assert(!ks.exists(_.contains("Join")), s"unexpected join: $ks")
+  }
+
   test("stats_psi / stats_mutual_information: one corpus aggregate each, no join back") {
     for (gate <- Seq("stats_psi", "stats_mutual_information",
         "stats_chi2_independence")) {

@@ -5451,6 +5451,54 @@ object EventQueries extends QueryGroup {
         |    AS r_quartile
         |FROM a ORDER BY user_id""".stripMargin))
 
+  /** The DuckDB restatement of [[graft.streaming.CorpusMonitor
+    * .qualityByWindow]] over any `base` CTE providing (doc_id, text,
+    * ts): langId markers, token count, the 6-dp quality score, and the
+    * per-(window, lang) order-independent sums — shared by the
+    * synthetic-timestamp gate and the OAI-loop monitor gate so both
+    * anchor the identical arithmetic.
+    */
+  private def monitorOracleSql(baseCte: String, truncUnit: String): String = {
+      def hits(markers: Seq[String]) = {
+        val l = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains([$l], w)))"
+      }
+      val en = hits(graft.operators.TextAnalysis.LangMarkers("en"))
+      val de = hits(graft.operators.TextAnalysis.LangMarkers("de"))
+      val fr = hits(graft.operators.TextAnalysis.LangMarkers("fr"))
+      val es = hits(graft.operators.TextAnalysis.LangMarkers("es"))
+      val stop = graft.operators.TextAnalysis.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS ($baseCte),
+         |h AS (SELECT *, $en AS en, $de AS de, $fr AS fr, $es AS es FROM base),
+         |l AS (SELECT doc_id, text, ts, CASE
+         |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |    ELSE 'es' END AS lang_pred FROM h),
+         |q AS (
+         |  SELECT doc_id, ts, lang_pred,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |    round(least(len(string_split_regex(trim(text), '\\s+')) * 1.0 / 100.0, 1.0) * 0.4
+         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |          / greatest(length(text), 1) * 5.0, 1.0)) * 0.4
+         |      + (CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |            list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)::BIGINT)),
+         |            (a, b) -> a + b) * 1.0
+         |            / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+         |  FROM l)
+         |SELECT date_trunc('$truncUnit', ts) AS window_start, lang_pred,
+         |  count(*) AS n_docs,
+         |  round(sum(n_tokens) * 1.0 / count(*), 6) AS avg_tokens,
+         |  max(n_tokens) AS max_tokens,
+         |  round(sum(CAST(quality AS DECIMAL(18,6))) * 1.0 / count(*), 6) AS avg_quality,
+         |  round(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |    AS low_quality_share
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** CorpusMonitor's BATCH path under the hard oracle: per (1-hour
     * event-time window × predicted language) volume + quality stats
     * over the documents table, with a deterministic synthetic event
@@ -5473,49 +5521,43 @@ object EventQueries extends QueryGroup {
         .qualityByWindow(docs, "ts", "text", windowDuration = "1 hour")
         .orderBy("window_start", "lang_pred")
     },
-    Some {
-      def hits(markers: Seq[String]) = {
-        val l = markers.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains([$l], w)))"
-      }
-      val en = hits(graft.operators.TextAnalysis.LangMarkers("en"))
-      val de = hits(graft.operators.TextAnalysis.LangMarkers("de"))
-      val fr = hits(graft.operators.TextAnalysis.LangMarkers("fr"))
-      val es = hits(graft.operators.TextAnalysis.LangMarkers("es"))
-      val stop = graft.operators.TextAnalysis.EnglishStopwords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
-         |  FROM documents),
-         |h AS (SELECT *, $en AS en, $de AS de, $fr AS fr, $es AS es FROM base),
-         |l AS (SELECT doc_id, text, ts, CASE
-         |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
-         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
-         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
-         |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-         |    ELSE 'es' END AS lang_pred FROM h),
-         |q AS (
-         |  SELECT doc_id, ts, lang_pred,
-         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
-         |    round(least(len(string_split_regex(trim(text), '\\s+')) * 1.0 / 100.0, 1.0) * 0.4
-         |      + (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
-         |          / greatest(length(text), 1) * 5.0, 1.0)) * 0.4
-         |      + (CASE WHEN list_reduce(list_prepend(0::BIGINT,
-         |            list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w)::BIGINT)),
-         |            (a, b) -> a + b) * 1.0
-         |            / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
-         |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
-         |  FROM l)
-         |SELECT date_trunc('hour', ts) AS window_start, lang_pred,
-         |  count(*) AS n_docs,
-         |  round(sum(n_tokens) * 1.0 / count(*), 6) AS avg_tokens,
-         |  max(n_tokens) AS max_tokens,
-         |  round(sum(CAST(quality AS DECIMAL(18,6))) * 1.0 / count(*), 6) AS avg_quality,
-         |  round(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-         |    AS low_quality_share
-         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    })
+    Some(monitorOracleSql(
+      """
+        |  SELECT doc_id, text,
+        |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts
+        |  FROM documents""".stripMargin, "hour")))
+
+  /** The STREAMING face of the OAI operating loop, batch-anchored:
+    * documents render as `ListRecords` harvest pages, the StAX parser
+    * reads them back, deleted records drop, the parsed `datestamp`
+    * becomes the event time, and [[graft.streaming.CorpusMonitor
+    * .qualityByWindow]] aggregates per (day window × predicted
+    * language). This exact composition — `XmlRecords.readStream` drop
+    * directory → exactly-once TxTable sink → monitor — is spec-locked
+    * batch ≡ streaming in StreamingOaiLoopSpec; this gate anchors the
+    * shared batch face to DuckDB (the oracle restates pages, parse,
+    * and monitor arithmetic straight off the parquet corpus: deleted =
+    * id%13=0, datestamp = 2024-01-01 + id%365 days).
+    */
+  val oaiMonitor: QueryDef = QueryDef(
+    "pipeline_oai_monitor",
+    (s, dir) => {
+      val parsed = graft.sources.XmlRecords.roundTripExtract(
+        Tables(s, dir).documents,
+        tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val live = parsed.filter(!col("deleted"))
+        .select(col("doc_id"), col("text"),
+          col("datestamp").cast("timestamp").as("ts"))
+      graft.streaming.CorpusMonitor
+        .qualityByWindow(live, "ts", "text", windowDuration = "24 hours")
+        .orderBy("window_start", "lang_pred")
+    },
+    Some(monitorOracleSql(
+      """
+        |  SELECT doc_id, text,
+        |    (DATE '2024-01-01' + to_days((doc_id % 365)::INT))::TIMESTAMP
+        |      AS ts
+        |  FROM documents WHERE doc_id % 13 <> 0""".stripMargin, "day")))
 
   /** First-order Markov transition matrix over per-user event
     * sequences ([[graft.operators.EventSequences.transitions]]): one
@@ -6013,6 +6055,7 @@ object EventQueries extends QueryGroup {
     Seq(tumbling, sliding, sessions, latestByKey, asofPurchaseClick,
       asofExec, asofExecForward, asofExecMultiKey, rangeJoin, intervalJoin,
       funnel, movingWindow, retention, lagLead, topPaths, rfm, corpusMonitor,
+      oaiMonitor,
       asofTolerance, asofNearest,
       markovTransitions, attribution, zscoreAnomaly, madAnomaly,
       trimmedStatsGate, decayedSumGate, blocklistMonitor, intervalMerge,

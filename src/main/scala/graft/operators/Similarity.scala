@@ -1363,16 +1363,85 @@ object Similarity {
     */
   def maxSimTopK(
       docs: DataFrame, idCol: String, tokenVecsCol: String,
-      queries: Seq[(Long, Seq[Seq[Double]])], k: Int): DataFrame = {
+      queries: Seq[(Long, Seq[Seq[Double]])], k: Int): DataFrame =
+    maxSimCore(docs, idCol, tokenVecsCol, queries, k, prune = None)
+
+  /** Pruned-scan scale path for [[maxSimTopK]] (the PLAID idea
+    * restated in the repo's LSH idiom): each document's POOLED token
+    * vector (element-wise sum — sign-equivalent to the mean) gets a
+    * random-hyperplane bucket ([[planeSigns]] — deterministic, no
+    * stored model); a query scores ONLY documents whose pooled bucket
+    * is within `maxHamming` bits of its own pooled bucket. The
+    * expensive per-token MaxSim fold sits behind the bucket CASE
+    * guard, so pruned docs cost one pooled projection, not
+    * |q tokens|×|doc tokens| cosines — and a persisted layout
+    * partitioned by bucket ([[graft.ingest.AnnIndex]] discipline)
+    * would prune the SCAN too. `maxHamming >= numPlanes` admits every
+    * bucket and reproduces [[maxSimTopK]] exactly — the probe-all
+    * twin the gate pins under the full oracle.
+    *
+    * Approximate by design otherwise: recall follows the LSH bit
+    * collision bound (per bit, P[agree] = 1 − θ/π for pooled-vector
+    * angle θ).
+    */
+  def maxSimTopKPruned(
+      docs: DataFrame, idCol: String, tokenVecsCol: String,
+      queries: Seq[(Long, Seq[Seq[Double]])], k: Int,
+      numPlanes: Int = 4, maxHamming: Int = 1): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 16,
+      s"numPlanes in [1,16], got $numPlanes")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val spark = docs.sparkSession
+    val dims = queries.flatMap(_._2.map(_.size)).distinct
+    require(dims.size == 1, s"query token dims disagree: $dims")
+    val dim = dims.head
+    val signs = planeSigns(spark, dim, numPlanes)
+    def bucketOfVec(v: Array[Double]): Long =
+      (0 until numPlanes).map { j =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += v(d) * signs(j)(d); d += 1 }
+        if (s > 0) 1L << j else 0L
+      }.reduce(_ | _)
+    val allowed: Map[Long, Seq[Long]] = queries.map { case (qid, toks) =>
+      val pooled = Array.ofDim[Double](dim)
+      toks.foreach(t => (0 until dim).foreach(d => pooled(d) += t(d)))
+      val qb = bucketOfVec(pooled)
+      qid -> (0L until (1L << numPlanes))
+        .filter(b => java.lang.Long.bitCount(b ^ qb) <= maxHamming)
+    }.toMap
+    // pooled doc vector, then the same sign projection as the driver's
+    val pooled = aggregate(col("_tv"),
+      array(Seq.fill(dim)(lit(0.0)): _*),
+      (acc, t) => zip_with(acc, t, (a, b) => a + b))
+    val bucket = (0 until numPlanes).map { j =>
+      val plane = array(signs(j).map(lit).toSeq: _*)
+      when(dot(col("_pool"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    maxSimCore(docs, idCol, tokenVecsCol, queries, k,
+      prune = Some((pooled, bucket, allowed)))
+  }
+
+  /** Shared MaxSim kernel: one corpus scan, per-query literal token
+    * vectors, optional bucket-prune guard AROUND the scoring fold.
+    */
+  private def maxSimCore(
+      docs: DataFrame, idCol: String, tokenVecsCol: String,
+      queries: Seq[(Long, Seq[Seq[Double]])], k: Int,
+      prune: Option[(Column, Column, Map[Long, Seq[Long]])]): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(queries.nonEmpty, "need at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query ids")
     val spark = docs.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    val base0 = docs.select(col(idCol).cast("long").as("doc_id"),
         col(tokenVecsCol).cast("array<array<double>>").as("_tv"))
       .filter(col("_tv").isNotNull && size(col("_tv")) > 0)
+    val base = prune match {
+      case Some((pooledExpr, bucketExpr, _)) =>
+        base0.withColumn("_pool", pooledExpr).withColumn("_bkt", bucketExpr)
+      case None => base0
+    }
     // max over doc tokens of the 6-dp cosine to one literal query
     // token; NaN cosines (zero-norm doc tokens) leave the accumulator
     // untouched, so a doc with no valid token stays at -inf
@@ -1392,10 +1461,17 @@ object Similarity {
       val score = Numerics.roundz(
         maxes.map(_.cast(dec)).reduce(_ + _).cast("double"), 6)
       // the -inf check never reaches the decimal cast (CASE branches
-      // evaluate lazily), so ANSI casting stays safe
-      struct(lit(qid).as("query_id"),
-        when(maxes.head === lit(Double.NegativeInfinity),
-          lit(null).cast("double")).otherwise(score).as("score"))
+      // evaluate lazily), so ANSI casting stays safe; the prune guard
+      // sits OUTERMOST, so a pruned doc never pays the scoring fold
+      val scored = when(maxes.head === lit(Double.NegativeInfinity),
+        lit(null).cast("double")).otherwise(score)
+      val guarded = prune match {
+        case Some((_, _, allowed)) =>
+          when(col("_bkt").isin(allowed(qid): _*), scored)
+            .otherwise(lit(null).cast("double"))
+        case None => scored
+      }
+      struct(lit(qid).as("query_id"), guarded.as("score"))
     }
     val stacked = base
       .select(col("doc_id"), explode(array(perQuery: _*)).as("_q"))

@@ -1633,17 +1633,7 @@ object SimilarityQueries extends QueryGroup {
   val maxSimGate: QueryDef = QueryDef(
     "sim_maxsim_topk",
     (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      val tokens = e.select(col("vec_id"),
-        expr("transform(array(0,1,2,3), i -> transform(" +
-          "slice(embedding, i*16+1, 16), x -> CAST(x AS DOUBLE)))")
-          .as("tok_vecs"))
-      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).grouped(16).map(_.toSeq).toSeq))
-        .toSeq
+      val (tokens, queries) = maxSimQueriesOf(s, dir)
       Similarity.maxSimTopK(tokens, "vec_id", "tok_vecs", queries, k = 10)
         .orderBy("query_id", "rank")
     },
@@ -1667,6 +1657,52 @@ object SimilarityQueries extends QueryGroup {
         |SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
+  private def maxSimQueriesOf(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables(s, dir).embeddings
+    val tokens = e.select(col("vec_id"),
+      expr("transform(array(0,1,2,3), i -> transform(" +
+        "slice(embedding, i*16+1, 16), x -> CAST(x AS DOUBLE)))")
+        .as("tok_vecs"))
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).grouped(16).map(_.toSeq).toSeq))
+      .toSeq
+    (tokens, queries)
+  }
+
+  /** Bucket-pruned MaxSim ([[Similarity.maxSimTopKPruned]]): pooled-
+    * vector LSH guards the scoring fold, so most docs pay one
+    * projection instead of 16 cosines. Approximate — rows-only;
+    * MaxSimSpec pins surviving scores equal to the exact path and the
+    * probe-all twin below pins the whole kernel to the oracle.
+    */
+  val maxSimPruned: QueryDef = QueryDef(
+    "sim_maxsim_pruned",
+    (s, dir) => {
+      val (tokens, queries) = maxSimQueriesOf(s, dir)
+      Similarity.maxSimTopKPruned(tokens, "vec_id", "tok_vecs", queries,
+          k = 10, numPlanes = 4, maxHamming = 1)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Probe-all twin: `maxHamming = numPlanes` admits every bucket, so
+    * the pruned kernel must reproduce [[Similarity.maxSimTopK]] bit
+    * for bit — same full oracle as `sim_maxsim_topk`.
+    */
+  val maxSimPrunedExact: QueryDef = QueryDef(
+    "sim_maxsim_pruned_exact",
+    (s, dir) => {
+      val (tokens, queries) = maxSimQueriesOf(s, dir)
+      Similarity.maxSimTopKPruned(tokens, "vec_id", "tok_vecs", queries,
+          k = 10, numPlanes = 4, maxHamming = 4)
+        .orderBy("query_id", "rank")
+    },
+    maxSimGate.oracle)
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1677,7 +1713,8 @@ object SimilarityQueries extends QueryGroup {
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
-      classSeparationGate, kCenterGate, mmrGate, maxSimGate)
+      classSeparationGate, kCenterGate, mmrGate, maxSimGate,
+      maxSimPruned, maxSimPrunedExact)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

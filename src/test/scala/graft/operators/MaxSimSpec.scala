@@ -58,6 +58,36 @@ class MaxSimSpec extends SparkSpec {
     assert(e.getMessage.contains("non-zero"))
   }
 
+  test("maxSimTopKPruned: probe-all equals exact; tight pruning returns " +
+    "a subset with identical scores") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val d = docs((1L to 30L).map(i =>
+      i -> Seq.fill(3)(Seq.fill(8)(rng.nextGaussian()))): _*)
+    val qs = Seq(
+      (100L, Seq.fill(2)(Seq.fill(8)(rng.nextGaussian()))),
+      (200L, Seq.fill(2)(Seq.fill(8)(rng.nextGaussian()))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Similarity.maxSimTopK(d, "id", "toks", qs, k = 30))
+    val probeAll = rows(Similarity.maxSimTopKPruned(d, "id", "toks", qs,
+      k = 30, numPlanes = 4, maxHamming = 4))
+    assert(probeAll == exact, "probe-all pruned != exact")
+    // tight prune: every surviving (query, doc) carries the exact
+    // score; ranks are a re-ranking of the survivors
+    val pruned = Similarity.maxSimTopKPruned(d, "id", "toks", qs,
+      k = 30, numPlanes = 4, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactScores = exact.map(t => (t._1, t._3) -> t._4).toMap
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (key, sc) =>
+      assert(exactScores(key) == sc, s"pruned score diverged at $key")
+    }
+    assert(pruned.size < exact.size, "hamming-0 prune admitted everything")
+  }
+
   test("maxSimTopK: multiple queries score in one pass, k bounds each") {
     val d = docs(
       1L -> Seq(Seq(1.0, 0.0)),

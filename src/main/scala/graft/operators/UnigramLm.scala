@@ -107,6 +107,82 @@ object UnigramLm {
   private def cps(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
+  /** Expected piece counts of ONE word under the current probs —
+    * log-space forward-backward (scaling-free, so long words cannot
+    * underflow). The shared E-step kernel: the driver trainer sums the
+    * raw doubles in dict order; the distributed trainer quantizes each
+    * word's contribution to micro-units and sums exact longs. Emits
+    * f · P[piece used at (i,j) | word], once per in-vocab span.
+    */
+  private def expectedCounts(
+      w: Array[String], f: Long, probs: scala.collection.Map[String, Double],
+      maxPieceLen: Int): Iterator[(String, Double)] = {
+    val n = w.length
+    if (n == 0) return Iterator.empty
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    // piece log-probs for every in-vocab span, by (start, end)
+    val lp = Array.ofDim[Double](n, n + 1)
+    var i = 0
+    while (i < n) {
+      var piece = ""
+      var j = i
+      while (j < math.min(n, i + maxPieceLen)) {
+        piece = piece + w(j)
+        lp(i)(j + 1) = probs.get(piece) match {
+          case Some(p) => math.log(p)
+          case None => Double.NegativeInfinity
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i1 = math.max(0, j - maxPieceLen)
+      while (i1 < j) {
+        if (lp(i1)(j) != Double.NegativeInfinity)
+          alpha(j) = lse(alpha(j), alpha(i1) + lp(i1)(j))
+        i1 += 1
+      }
+      j += 1
+    }
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    beta(n) = 0.0
+    var i2 = n - 1
+    while (i2 >= 0) {
+      var j2 = i2 + 1
+      val jMax = math.min(n, i2 + maxPieceLen)
+      while (j2 <= jMax) {
+        if (lp(i2)(j2) != Double.NegativeInfinity)
+          beta(i2) = lse(beta(i2), lp(i2)(j2) + beta(j2))
+        j2 += 1
+      }
+      i2 -= 1
+    }
+    val logZ = alpha(n) // singles always in vocab → finite
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    i = 0
+    while (i < n) {
+      var piece = ""
+      var j3 = i
+      while (j3 < math.min(n, i + maxPieceLen)) {
+        piece = piece + w(j3)
+        if (lp(i)(j3 + 1) != Double.NegativeInfinity) {
+          val e = math.exp(alpha(i) + lp(i)(j3 + 1) + beta(j3 + 1) - logZ)
+          if (e > 0.0) out += ((piece, f * e))
+        }
+        j3 += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   /** The in-memory fit over a (word, freq) dict: seed candidates →
     * (EM × emIters → prune to `pruneKeep`) until ≤ vocabSize → final
     * EM. All driver compute, all in deterministic dict/piece order.
@@ -159,77 +235,18 @@ object UnigramLm {
       multis.foreach(p => probs(p) = multiCounts(p) / tot)
     }
 
-    /** One EM pass: expected piece counts via log-space
-      * forward-backward over every dict word (scaling-free, so long
-      * words cannot underflow), then re-normalized probs. Returns the
-      * expected counts (the prune criterion).
+    /** One EM pass: expected piece counts via [[expectedCounts]] over
+      * every dict word in dict order, then re-normalized probs.
+      * Returns the expected counts (the prune criterion).
       */
     def emStep(): mutable.HashMap[String, Double] = {
       val counts = mutable.HashMap.empty[String, Double]
-      def lse(a: Double, b: Double): Double =
-        if (a == Double.NegativeInfinity) b
-        else if (b == Double.NegativeInfinity) a
-        else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
       var wi = 0
       while (wi < words.length) {
-        val w = words(wi); val f = freqs(wi); val n = w.length
-        // piece log-probs for every in-vocab span, by (start, end)
-        val lp = Array.ofDim[Double](n, n + 1)
-        var i = 0
-        while (i < n) {
-          var piece = ""
-          var j = i
-          while (j < math.min(n, i + maxPieceLen)) {
-            piece = piece + w(j)
-            lp(i)(j + 1) = probs.get(piece) match {
-              case Some(p) => math.log(p)
-              case None => Double.NegativeInfinity
-            }
-            j += 1
+        expectedCounts(words(wi), freqs(wi), probs, maxPieceLen)
+          .foreach { case (piece, e) =>
+            counts(piece) = counts.getOrElse(piece, 0.0) + e
           }
-          i += 1
-        }
-        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
-        alpha(0) = 0.0
-        var j = 1
-        while (j <= n) {
-          var i = math.max(0, j - maxPieceLen)
-          while (i < j) {
-            if (lp(i)(j) != Double.NegativeInfinity)
-              alpha(j) = lse(alpha(j), alpha(i) + lp(i)(j))
-            i += 1
-          }
-          j += 1
-        }
-        val beta = Array.fill(n + 1)(Double.NegativeInfinity)
-        beta(n) = 0.0
-        var i2 = n - 1
-        while (i2 >= 0) {
-          var j2 = i2 + 1
-          val jMax = math.min(n, i2 + maxPieceLen)
-          while (j2 <= jMax) {
-            if (lp(i2)(j2) != Double.NegativeInfinity)
-              beta(i2) = lse(beta(i2), lp(i2)(j2) + beta(j2))
-            j2 += 1
-          }
-          i2 -= 1
-        }
-        val logZ = alpha(n) // singles always in vocab → finite
-        i = 0
-        while (i < n) {
-          var piece = ""
-          var j3 = i
-          while (j3 < math.min(n, i + maxPieceLen)) {
-            piece = piece + w(j3)
-            if (lp(i)(j3 + 1) != Double.NegativeInfinity) {
-              val e = math.exp(alpha(i) + lp(i)(j3 + 1) + beta(j3 + 1) - logZ)
-              if (e > 0.0)
-                counts(piece) = counts.getOrElse(piece, 0.0) + f * e
-            }
-            j3 += 1
-          }
-          i += 1
-        }
         wi += 1
       }
       // M-step: renormalize over the live vocabulary (zero-expectation
@@ -283,6 +300,119 @@ object UnigramLm {
     var it = 0
     while (it < emIters) { emStep(); it += 1 }
 
+    (singles ++ multis).sortWith(utf8Lt).map { p =>
+      (p, math.round(math.log(probs(p)) * 1000.0))
+    }.toSeq
+  }
+
+  /** All-distributed trainer — the [[Bpe.trainMergesDistributed]]
+    * parallel, for vocabularies that must not be truncated and don't
+    * fit a driver heap: the WORD DICT never collects. Per EM
+    * iteration, ONE Spark pass over the materialized distinct-word
+    * frame (current piece probs broadcast) runs the same
+    * [[expectedCounts]] forward-backward kernel per word; each word's
+    * expected-count contribution QUANTIZES to integer MICRO-units
+    * (round half-up) and the per-piece totals are EXACT LONG sums —
+    * partition-order-independent, so the fit is deterministic on any
+    * cluster (raw double sums would flip last bits with partitioning).
+    * Only VOCABULARY-bounded frames ever reach the driver: the seed
+    * candidates (top `maxCandidates` by (count desc, piece UTF-8 asc),
+    * a TakeOrdered), the single-cp inventory, and one (piece, micro)
+    * row per live piece per iteration. Same prune schedule and output
+    * contract as [[trainPieces]]; micro-quantization perturbs probs
+    * below the milli-nat output precision on anything but adversarial
+    * boundaries (UnigramLmSpec pins exact agreement on the hand
+    * corpus).
+    */
+  def trainPiecesDistributed(
+      df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, maxCandidates: Int = 1 << 14,
+      emIters: Int = 2, pruneKeep: Double = 0.8): Seq[(String, Long)] = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(pruneKeep > 0.0 && pruneKeep < 1.0,
+      s"pruneKeep in (0,1), got $pruneKeep")
+    import graft.operators.Materialize.MaterializeOps
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mpl = maxPieceLen
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .materialized // every EM pass re-reads this frame
+      .as[(String, Long)]
+    // seed counts: singles (charset-bounded inventory) + top multi-cp
+    // candidates by (count desc, piece asc) — Spark's string order IS
+    // UTF-8 binary, matching the driver trainer's tie-break
+    val singleSeed = words.flatMap { case (w, f) =>
+      cps(w).iterator.map(c => (c, f))
+    }.toDF("p", "c").groupBy("p").agg(sum("c").as("c"))
+      .as[(String, Long)].collect().sortWith((a, b) => utf8Lt(a._1, b._1))
+    if (singleSeed.isEmpty) return Seq.empty
+    val multiSeed = words.flatMap { case (w, f) =>
+      val c = cps(w)
+      (0 until c.length).iterator.flatMap { i =>
+        (i + 2 to math.min(c.length, i + mpl)).iterator
+          .map(j => (c.slice(i, j).mkString, f))
+      }
+    }.toDF("p", "c").groupBy("p").agg(sum("c").as("c"))
+      .orderBy(col("c").desc, col("p"))
+      .limit(maxCandidates)
+      .as[(String, Long)].collect()
+    val singles = singleSeed.map(_._1)
+    var multis = multiSeed.map(_._1)
+    var probs: Map[String, Double] = {
+      val tot = (singleSeed.map(_._2) ++ multiSeed.map(_._2))
+        .map(_.toDouble).sum
+      (singleSeed ++ multiSeed).map { case (p, c) => p -> c / tot }.toMap
+    }
+    // one distributed E-step: exact long micro-unit piece totals
+    def emPass(): Map[String, Long] = {
+      val bc = spark.sparkContext.broadcast(probs)
+      val out = words.flatMap { case (w, f) =>
+        expectedCounts(cps(w), f, bc.value, mpl).flatMap { case (p, e) =>
+          val micro = math.round(e * 1e6) // half-up, deterministic
+          if (micro > 0L) Iterator.single((p, micro)) else Iterator.empty
+        }
+      }.toDF("p", "c").groupBy("p").agg(sum("c").as("c"))
+        .as[(String, Long)].collect().toMap
+      out
+    }
+    def mStep(counts: Map[String, Long]): Unit = {
+      multis = multis.filter(p => counts.getOrElse(p, 0L) > 0L)
+      val tot = (singles.map(p => math.max(counts.getOrElse(p, 0L), 1L)) ++
+        multis.map(counts)).map(_.toDouble).sum
+      probs = (singles.map(p =>
+        p -> math.max(counts.getOrElse(p, 0L), 1L) / tot) ++
+        multis.map(p => p -> counts(p) / tot)).toMap
+    }
+    var rounds = 0
+    while (singles.length + multis.length > vocabSize &&
+        math.max(vocabSize - singles.length, 0) < multis.length &&
+        rounds < 64) {
+      var last = Map.empty[String, Long]
+      var it = 0
+      while (it < emIters) { last = emPass(); mStep(last); it += 1 }
+      val targetMulti = math.max(vocabSize - singles.length, 0)
+      if (multis.length > targetMulti) {
+        val keep = math.max(targetMulti,
+          math.floor(multis.length * pruneKeep).toInt)
+          .min(multis.length - 1).max(targetMulti)
+        multis = multis
+          .sortWith { (a, b) =>
+            val ca = last.getOrElse(a, 0L)
+            val cb = last.getOrElse(b, 0L)
+            if (ca != cb) ca > cb else utf8Lt(a, b)
+          }
+          .take(keep)
+        val tot = (singles ++ multis).map(probs).sum
+        probs = (singles ++ multis).map(p => p -> probs(p) / tot).toMap
+      }
+      rounds += 1
+    }
+    var it = 0
+    while (it < emIters) { mStep(emPass()); it += 1 }
     (singles ++ multis).sortWith(utf8Lt).map { p =>
       (p, math.round(math.log(probs(p)) * 1000.0))
     }.toSeq

@@ -931,7 +931,41 @@ object ScaleCheck {
         graft.operators.Similarity.mmrRerank(embBig, "vec_id",
           "embedding", queryIds = Seq(0L, 1L, 2L), nCandidates = 16,
           k = 5))
+      // MaxSim: 4x16-d token vectors per doc, 3 queries — exact pays
+      // |q|x|d| cosines per doc on one scan; the pruned path's bucket
+      // guard should cut scoring work ~2^planes-fold per query
+      locally {
+        val tokens = embBig.select(col("vec_id"),
+          expr("transform(array(0,1,2,3), i -> transform(" +
+            "slice(embedding, i*16+1, 16), x -> CAST(x AS DOUBLE)))")
+            .as("tok_vecs"))
+        val queries = embBig.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)
+            .grouped(16).map(_.toSeq).toSeq)).toSeq
+        time(s"maxsim_exact_${dup}x",
+          graft.operators.Similarity.maxSimTopK(tokens, "vec_id",
+            "tok_vecs", queries, k = 10))
+        time(s"maxsim_pruned_${dup}x",
+          graft.operators.Similarity.maxSimTopKPruned(tokens, "vec_id",
+            "tok_vecs", queries, k = 10, numPlanes = 4, maxHamming = 1))
+      }
       embBig.unpersist()
+    }
+
+    // unigram-LM trainer: ONE corpus pass (word-freq aggregate) no
+    // matter the EM depth — the 10x cost is the aggregate, the
+    // driver EM is Heaps-bounded; encode is shuffle-free scan work
+    locally {
+      def trainEncode(df: DataFrame): DataFrame = {
+        val pieces = graft.operators.UnigramLm.trainPieces(
+          df, "text", vocabSize = 512, maxPieceLen = 3,
+          maxCandidates = 4096, emIters = 2)
+        graft.operators.UnigramLm.encode(df, "text", pieces)
+          .select(col("doc_id"), col("n_tokens"))
+      }
+      time("unigram_lm_1x", trainEncode(docs))
+      time(s"unigram_lm_${dup}x", trainEncode(blown))
     }
 
     // per-doc keywords: corpus tokenize + vocabulary-bounded df join +

@@ -98,6 +98,42 @@ class UnigramLmSpec extends SparkSpec {
     assert(multiUsed > 0, "no multi-cp piece ever chosen")
   }
 
+  test("trainPiecesDistributed: exact agreement with the driver trainer " +
+    "on the hand corpus (micro-quantized E-step)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(Tuple1("ab ab b")).toDF("text")
+    val drv = UnigramLm.trainPieces(docs, "text", vocabSize = 100,
+      maxPieceLen = 2, maxCandidates = 100, emIters = 1)
+    val dist = UnigramLm.trainPiecesDistributed(docs, "text",
+      vocabSize = 100, maxPieceLen = 2, maxCandidates = 100, emIters = 1)
+    assert(dist == drv)
+    assert(dist.toMap.apply("ab") ==
+      math.round(math.log(7.0 / 18.0) * 1000))
+  }
+
+  test("trainPiecesDistributed: lossless round trip, pruning to the " +
+    "target, deterministic across invocations") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the clef sings a long tune", "the the banana band plays",
+      "abracadabra banana magic", "clef banana the chorus").toDF("text")
+    val a = UnigramLm.trainPiecesDistributed(docs, "text", vocabSize = 24,
+      maxPieceLen = 3, maxCandidates = 64, emIters = 2)
+    val b = UnigramLm.trainPiecesDistributed(docs, "text", vocabSize = 24,
+      maxPieceLen = 3, maxCandidates = 64, emIters = 2)
+    assert(a == b)
+    val singles = a.map(_._1).filter(p => p.codePointCount(0, p.length) == 1)
+    assert(a.size <= math.max(24, singles.size))
+    val enc = UnigramLm.encode(docs, "text", a)
+    val got = UnigramLm.detokenized(enc)
+      .selectExpr("detok",
+        "regexp_replace(lower(trim(text)), '\\\\s+', '') AS want")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("trainPieces: deterministic across invocations") {
     val s = spark
     import s.implicits._

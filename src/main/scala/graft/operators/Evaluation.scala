@@ -1009,6 +1009,91 @@ object Evaluation {
     rows.reduce(_ unionByName _).orderBy("alpha_pct")
   }
 
+  /** Poisson(1) inverse-CDF thresholds at 28-bit resolution:
+    * T_k = ⌊P[X ≤ k] · 2²⁸⌋ for k = 0..8 — a 28-bit md5-derived
+    * uniform compared against these INTEGER literals yields a
+    * Poisson(1) draw with zero float arithmetic on either engine
+    * (draws > 9 have probability < 1.1e-7 and clamp to 9).
+    */
+  private val PoissonThresholds28: Seq[Long] = Seq(
+    98751885L, 197503771L, 246879713L, 263338361L, 267453023L,
+    268275955L, 268413111L, 268432704L, 268435153L)
+
+  /** Paired Poisson bootstrap for system comparison — "is metric A
+    * really better than metric B on these eval units, or is the gap
+    * within resampling noise": the standard significance readout for
+    * paired per-query eval scores (retrieval nDCG, win rates), where
+    * the PAIRED resample respects the per-unit correlation a two-
+    * sample test would throw away.
+    *
+    * Each (unit u, replicate r) gets a Poisson(1) weight — the
+    * distributed bootstrap standard (per-replicate multinomial
+    * resampling needs global coordination; independent Poisson(1)
+    * weights converge to the same bootstrap distribution) — derived
+    * from a 28-bit md5 integer compared against [[PoissonThresholds28]]:
+    * EXACT integer arithmetic, portable to any engine with md5 (the
+    * house md5-contract), deterministic under any partitioning.
+    * Replicate statistic Δ_r = Σ w·(a−b) / Σ w — integer numerator and
+    * denominator, one 6-dp division. The confidence band is the exact
+    * (⌈0.025·R⌉, ⌈0.975·R⌉) order statistic of the R replicate deltas.
+    *
+    * Output (1 row): n units, `delta_obs` = mean(a−b) 6 dp, `n_reps`
+    * (replicates with positive weight sum — all of them in practice),
+    * `ci_lo`, `ci_hi`, and `share_le_zero` = fraction of replicates
+    * with Δ_r ≤ 0 (the one-sided sign readout).
+    *
+    * Scale shape: the input is the PER-UNIT eval frame (queries /
+    * docs under eval — eval-scale, not corpus-scale); the explode is
+    * |units|×nBoot rows map-side-combined down to nBoot replicate
+    * rows, and the order statistics run on that nBoot-bounded frame
+    * (the conformalQuantile class). Metrics must be integral
+    * fixed-point ([[requireIntegralValues]] — the quantize-first
+    * contract).
+    */
+  def pairedBootstrap(
+      df: DataFrame, unitCol: String, aCol: String, bCol: String,
+      nBoot: Int = 200, tag: String = "pb"): DataFrame = {
+    require(nBoot >= 2, s"nBoot must be >= 2, got $nBoot")
+    requireIntegralValues(df, aCol, "pairedBootstrap")
+    requireIntegralValues(df, bCol, "pairedBootstrap")
+    val base = df.select(col(unitCol).cast("string").as("_u"),
+      (col(aCol).cast("long") - col(bCol).cast("long")).as("_d"))
+    val h = conv(substring(md5(concat(lit(s"$tag:"), col("_u"),
+      lit(":"), col("r").cast("string"))), 1, 7), 16, 10).cast("long")
+    val w = PoissonThresholds28
+      .map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val perRep = base
+      .select(col("_u"), col("_d"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("r"))
+      .withColumn("_w", w)
+      .groupBy(col("r"))
+      .agg(sum(col("_w")).as("_ws"), sum(col("_w") * col("_d")).as("_dn"))
+      .filter(col("_ws") > 0)
+      .select(Numerics.roundz(
+        col("_dn").cast("double") / col("_ws").cast("double"), 6)
+        .as("_delta"))
+    // exact order statistics over the nBoot-bounded replicate frame —
+    // the unpartitioned window is deliberate (≤ nBoot rows, one task)
+    val wOrd = Window.orderBy(col("_delta"))
+    val ranked = perRep
+      .withColumn("_rk", row_number().over(wOrd))
+      .crossJoin(broadcast(perRep.agg(count(lit(1)).as("n_reps"),
+        sum(when(col("_delta") <= 0.0, 1L).otherwise(0L)).as("_le0"))))
+    val band = ranked
+      .filter(col("_rk") === expr("CAST((n_reps * 25 + 999) div 1000 AS INT)") ||
+        col("_rk") === expr("CAST((n_reps * 975 + 999) div 1000 AS INT)"))
+      .groupBy(col("n_reps"), col("_le0"))
+      .agg(min(col("_delta")).as("ci_lo"), max(col("_delta")).as("ci_hi"))
+    val obs = base.agg(count(lit(1)).as("n"),
+      Numerics.roundz(sum(col("_d")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("delta_obs"))
+    obs.crossJoin(broadcast(band))
+      .select(col("n"), col("delta_obs"), col("n_reps"),
+        col("ci_lo"), col("ci_hi"),
+        Numerics.roundz(col("_le0").cast("double") /
+          col("n_reps").cast("double"), 6).as("share_le_zero"))
+  }
+
   /** Delete-one jackknife standard error of a ratio metric
     * R = Σnum / Σden — the correct uncertainty for ratio-of-sums
     * metrics (revenue per session, discount share) where the naive

@@ -1012,11 +1012,72 @@ object EvalQueries extends QueryGroup {
         |FROM q LEFT JOIN x ON x.qid = q.qid
         |ORDER BY query_id""".stripMargin))
 
+  /** Paired Poisson bootstrap ([[graft.operators.Evaluation
+    * .pairedBootstrap]]): per-doc metric A = char count vs metric B =
+    * 10× whitespace token count — observed mean difference, exact
+    * order-statistic 95% band over 200 md5-contract Poisson(1)
+    * replicates, sign share. The oracle replays the 28-bit md5
+    * uniform, the integer Poisson thresholds, the per-replicate
+    * weighted deltas, and the ceil-rank band.
+    */
+  val pairedBootstrapGate: QueryDef = QueryDef(
+    "eval_paired_bootstrap",
+    (s, dir) =>
+      Evaluation.pairedBootstrap(
+        Tables(s, dir).documents.select(col("doc_id"),
+          col("n_chars").cast("long").as("m_a"),
+          (TextAnalysis.tokenCount(col("text")).cast("long") * 10L)
+            .as("m_b")),
+        "doc_id", "m_a", "m_b", nBoot = 200, tag = "pb"),
+    Some(
+      """WITH u AS (SELECT doc_id::VARCHAR AS u,
+        |    n_chars::BIGINT
+        |      - 10 * len(string_split_regex(trim(text), '\s+'))::BIGINT
+        |      AS d
+        |  FROM documents),
+        |e AS (SELECT u.u, u.d, t.r FROM u, unnest(range(0, 200)) AS t(r)),
+        |hw AS (SELECT u, d, r,
+        |    ('0x' || substr(md5('pb:' || u || ':' || r::VARCHAR), 1, 7))
+        |      ::BIGINT AS h
+        |  FROM e),
+        |wts AS (SELECT r, d,
+        |    (CASE WHEN h >= 98751885 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 197503771 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 246879713 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 263338361 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 267453023 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 268275955 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 268413111 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 268432704 THEN 1 ELSE 0 END
+        |     + CASE WHEN h >= 268435153 THEN 1 ELSE 0 END)::BIGINT AS w
+        |  FROM hw),
+        |rep AS (SELECT r, sum(w)::BIGINT AS ws, sum(w * d)::BIGINT AS dn
+        |  FROM wts GROUP BY r HAVING sum(w) > 0),
+        |del AS (SELECT round(dn::DOUBLE / ws::DOUBLE, 6) + 0 AS delta
+        |  FROM rep),
+        |rk AS (SELECT delta, row_number() OVER (ORDER BY delta) AS rk
+        |  FROM del),
+        |agg AS (SELECT count(*)::BIGINT AS n_reps,
+        |    sum(CASE WHEN delta <= 0 THEN 1 ELSE 0 END)::BIGINT AS le0
+        |  FROM del),
+        |band AS (SELECT n_reps, le0,
+        |    min(delta) AS ci_lo, max(delta) AS ci_hi
+        |  FROM rk, agg
+        |  WHERE rk = (n_reps * 25 + 999) // 1000
+        |     OR rk = (n_reps * 975 + 999) // 1000
+        |  GROUP BY 1, 2),
+        |obs AS (SELECT count(*)::BIGINT AS n,
+        |    round(sum(d)::DOUBLE / count(*), 6) + 0 AS delta_obs
+        |  FROM u)
+        |SELECT n, delta_obs, n_reps, ci_lo, ci_hi,
+        |  round(le0::DOUBLE / n_reps, 6) + 0 AS share_le_zero
+        |FROM obs, band""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
       conformalGate, cohensDGate, mcnemarGate, didGate, eceGate,
-      retrievalMetricsGate, rboGate)
+      retrievalMetricsGate, rboGate, pairedBootstrapGate)
 }

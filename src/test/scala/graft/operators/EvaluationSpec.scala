@@ -57,6 +57,43 @@ class EvaluationSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("pairedBootstrap: constant difference collapses every replicate " +
+    "to it; identical metrics give a zero band; deterministic") {
+    val s = spark
+    import s.implicits._
+    // a - b = 7 on every unit: a weighted mean of a constant is the
+    // constant, so delta_obs, ci_lo, ci_hi are all EXACTLY 7
+    val const = (1L to 50L).map(i => (i, i * 10 + 7, i * 10))
+      .toDF("unit", "a", "b")
+    val r = Evaluation.pairedBootstrap(const, "unit", "a", "b",
+      nBoot = 64).head()
+    assert(r.getLong(0) == 50)
+    assert(r.getDouble(1) == 7.0)
+    assert(r.getDouble(3) == 7.0 && r.getDouble(4) == 7.0)
+    assert(r.getDouble(5) == 0.0) // no replicate delta <= 0
+    // identical metrics: everything at exactly 0, sign share 1
+    val same = (1L to 50L).map(i => (i, i, i)).toDF("unit", "a", "b")
+    val r0 = Evaluation.pairedBootstrap(same, "unit", "a", "b",
+      nBoot = 64).head()
+    assert(r0.getDouble(1) == 0.0 &&
+      r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0 &&
+      r0.getDouble(5) == 1.0)
+    // determinism across invocations (md5-contract weights)
+    val mixed = (1L to 40L).map(i =>
+      (i, i * 3 % 17, i * 5 % 13)).toDF("unit", "a", "b")
+    val x = Evaluation.pairedBootstrap(mixed, "unit", "a", "b").head()
+    val y = Evaluation.pairedBootstrap(mixed, "unit", "a", "b").head()
+    assert(x == y)
+    assert(x.getDouble(3) <= x.getDouble(1) &&
+      x.getDouble(1) <= x.getDouble(4),
+      "observed delta outside its own 95% band on iid-ish input")
+    // fractional metrics refused (quantize-first contract)
+    val frac = Seq((1L, 0.5, 1.0)).toDF("unit", "a", "b")
+    assert(intercept[IllegalArgumentException](
+      Evaluation.pairedBootstrap(frac, "unit", "a", "b"))
+      .getMessage.contains("Quantize first"))
+  }
+
   test("rocAuc: perfect separation gives 1.0, reversed gives 0.0") {
     val perfect = scored(1L -> false, 2L -> false, 3L -> true, 4L -> true)
     val r = Evaluation.rocAuc(perfect, "score", "label").head()

@@ -350,4 +350,71 @@ object AnnIndex {
       writeLsh(embeddings, idCol, vecCol,
         tmpPath(s"$tag/lsh$dim-$numPlanes"), dim, numPlanes)
     }
+
+  // ------------------------------------------------------------- MaxSim
+
+  /** Persist a MULTI-VECTOR (token-array) corpus partitioned by its
+    * pooled-vector LSH bucket ([[Similarity.withPooledBucket]] — the
+    * identical sign rule the in-plan pruned probe uses), with a
+    * `_meta` sidecar recording (dim, numPlanes). This is the layout
+    * that makes [[maxSimTopKIndexed]]'s bucket predicate a PARTITION
+    * filter — at 100 TB the probe reads Σ C(numPlanes, ≤h) of
+    * 2^numPlanes directories instead of scanning the corpus.
+    */
+  def writeMaxSim(
+      docs: DataFrame, idCol: String, tokenVecsCol: String,
+      path: String, dim: Int, numPlanes: Int = 4): String = {
+    val spark = docs.sparkSession
+    val signs = Similarity.planeSigns(spark, dim, numPlanes)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tokenVecsCol).cast("array<array<double>>").as("_tv"))
+      .filter(col("_tv").isNotNull && size(col("_tv")) > 0)
+    Similarity.withPooledBucket(base, dim, numPlanes, signs)
+      .withColumnRenamed("_bkt", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    import spark.implicits._
+    Seq((dim, numPlanes)).toDF("dim", "num_planes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    path
+  }
+
+  /** MaxSim probe against a persisted bucket-partitioned index: each
+    * query's admissible buckets (pooled bucket ± `maxHamming` bits)
+    * are computed driver-side; the scan reads ONLY the union of the
+    * probed buckets' partitions (directory pruning — AnnIndexSpec
+    * asserts the partition filter and the shrunken file list), and the
+    * per-query guard then scores each doc only for the queries whose
+    * probe set contains its bucket. Results are EXACTLY
+    * [[Similarity.maxSimTopKPruned]] at the same (numPlanes,
+    * maxHamming): persisted buckets are written by the same
+    * expression the in-plan path computes.
+    */
+  def maxSimTopKIndexed(
+      spark: SparkSession, indexPath: String,
+      queries: Seq[(Long, Seq[Seq[Double]])], k: Int,
+      maxHamming: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/_meta").collect().head
+    val (dim, numPlanes) = (meta.getInt(0), meta.getInt(1))
+    val signs = Similarity.planeSigns(spark, dim, numPlanes)
+    val allowed: Map[Long, Seq[Long]] = queries.map { case (qid, toks) =>
+      val qb = Similarity.pooledBucketOf(toks, dim, numPlanes, signs)
+      qid -> (0L until (1L << numPlanes))
+        .filter(b => java.lang.Long.bitCount(b ^ qb) <= maxHamming)
+    }.toMap
+    val union = allowed.values.flatten.toSeq.distinct.sorted
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(union: _*)) // partition-level pruning
+    Similarity.maxSimCore(idx, "doc_id", "_tv", queries, k,
+      prune = Some((
+        (d: DataFrame) => d.withColumn("_bkt", col("bucket")), allowed)))
+  }
+
+  /** Build-once-then-probe MaxSim index for a named corpus. */
+  def maxSimIndexFor(
+      docs: DataFrame, idCol: String, tokenVecsCol: String,
+      tag: String, dim: Int, numPlanes: Int = 4): String =
+    built.getOrElseUpdate(s"maxsim/$tag/$dim/$numPlanes") {
+      writeMaxSim(docs, idCol, tokenVecsCol,
+        tmpPath(s"$tag/maxsim$dim-$numPlanes"), dim, numPlanes)
+    }
 }

@@ -1396,20 +1396,23 @@ object Similarity {
     require(dims.size == 1, s"query token dims disagree: $dims")
     val dim = dims.head
     val signs = planeSigns(spark, dim, numPlanes)
-    def bucketOfVec(v: Array[Double]): Long =
-      (0 until numPlanes).map { j =>
-        var s = 0.0; var d = 0
-        while (d < dim) { s += v(d) * signs(j)(d); d += 1 }
-        if (s > 0) 1L << j else 0L
-      }.reduce(_ | _)
     val allowed: Map[Long, Seq[Long]] = queries.map { case (qid, toks) =>
-      val pooled = Array.ofDim[Double](dim)
-      toks.foreach(t => (0 until dim).foreach(d => pooled(d) += t(d)))
-      val qb = bucketOfVec(pooled)
+      val qb = pooledBucketOf(toks, dim, numPlanes, signs)
       qid -> (0L until (1L << numPlanes))
         .filter(b => java.lang.Long.bitCount(b ^ qb) <= maxHamming)
     }.toMap
-    // pooled doc vector, then the same sign projection as the driver's
+    maxSimCore(docs, idCol, tokenVecsCol, queries, k,
+      prune = Some((withPooledBucket(_, dim, numPlanes, signs), allowed)))
+  }
+
+  /** Adds `_bkt` = the pooled-token-vector LSH bucket to a MaxSim base
+    * frame (expects `_tv`) — shared by the in-plan pruned path and the
+    * index WRITER so persisted buckets match probe-time buckets bit
+    * for bit.
+    */
+  private[graft] def withPooledBucket(
+      df: DataFrame, dim: Int, numPlanes: Int,
+      signs: Array[Array[Double]]): DataFrame = {
     val pooled = aggregate(col("_tv"),
       array(Seq.fill(dim)(lit(0.0)): _*),
       (acc, t) => zip_with(acc, t, (a, b) => a + b))
@@ -1417,29 +1420,49 @@ object Similarity {
       val plane = array(signs(j).map(lit).toSeq: _*)
       when(dot(col("_pool"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    maxSimCore(docs, idCol, tokenVecsCol, queries, k,
-      prune = Some((pooled, bucket, allowed)))
+    df.withColumn("_pool", pooled).withColumn("_bkt", bucket)
+      .drop("_pool")
+  }
+
+  /** Pooled-vector bucket of one query's token vectors, driver-side —
+    * the same sign rule as [[withPooledBucket]].
+    */
+  private[graft] def pooledBucketOf(
+      toks: Seq[Seq[Double]], dim: Int, numPlanes: Int,
+      signs: Array[Array[Double]]): Long = {
+    val pooled = Array.ofDim[Double](dim)
+    toks.foreach(t => (0 until dim).foreach(d => pooled(d) += t(d)))
+    (0 until numPlanes).map { j =>
+      var s = 0.0; var d = 0
+      while (d < dim) { s += pooled(d) * signs(j)(d); d += 1 }
+      if (s > 0) 1L << j else 0L
+    }.foldLeft(0L)(_ | _)
   }
 
   /** Shared MaxSim kernel: one corpus scan, per-query literal token
-    * vectors, optional bucket-prune guard AROUND the scoring fold.
+    * vectors, optional bucket-prune guard AROUND the scoring fold
+    * (the prune function installs a `_bkt` column; the allowed map
+    * gives each query its admissible buckets).
     */
-  private def maxSimCore(
+  private[graft] def maxSimCore(
       docs: DataFrame, idCol: String, tokenVecsCol: String,
       queries: Seq[(Long, Seq[Seq[Double]])], k: Int,
-      prune: Option[(Column, Column, Map[Long, Seq[Long]])]): DataFrame = {
+      prune: Option[(DataFrame => DataFrame, Map[Long, Seq[Long]])]): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(queries.nonEmpty, "need at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query ids")
     val spark = docs.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val base0 = docs.select(col(idCol).cast("long").as("doc_id"),
-        col(tokenVecsCol).cast("array<array<double>>").as("_tv"))
+    // a persisted index carries its partition column through the
+    // narrowing so the prune function can alias it to _bkt
+    val keep = Seq(col(idCol).cast("long").as("doc_id"),
+      col(tokenVecsCol).cast("array<array<double>>").as("_tv")) ++
+      (if (docs.columns.contains("bucket")) Seq(col("bucket")) else Nil)
+    val base0 = docs.select(keep: _*)
       .filter(col("_tv").isNotNull && size(col("_tv")) > 0)
     val base = prune match {
-      case Some((pooledExpr, bucketExpr, _)) =>
-        base0.withColumn("_pool", pooledExpr).withColumn("_bkt", bucketExpr)
+      case Some((addBucket, _)) => addBucket(base0)
       case None => base0
     }
     // max over doc tokens of the 6-dp cosine to one literal query
@@ -1466,7 +1489,7 @@ object Similarity {
       val scored = when(maxes.head === lit(Double.NegativeInfinity),
         lit(null).cast("double")).otherwise(score)
       val guarded = prune match {
-        case Some((_, _, allowed)) =>
+        case Some((_, allowed)) =>
           when(col("_bkt").isin(allowed(qid): _*), scored)
             .otherwise(lit(null).cast("double"))
         case None => scored

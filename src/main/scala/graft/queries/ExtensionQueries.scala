@@ -1703,6 +1703,26 @@ object SimilarityQueries extends QueryGroup {
     },
     maxSimGate.oracle)
 
+  /** Persisted bucket-partitioned MaxSim probe
+    * ([[graft.ingest.AnnIndex.maxSimTopKIndexed]]): the pruned probe
+    * against the written layout, where the bucket predicate is a
+    * PARTITION filter (directory pruning — AnnIndexSpec asserts it and
+    * the shrunken file list). Rows-only (approximate family);
+    * spec-locked exactly equal to `sim_maxsim_pruned`'s in-plan path.
+    */
+  val maxSimIndexed: QueryDef = QueryDef(
+    "sim_maxsim_indexed",
+    (s, dir) => {
+      val (tokens, queries) = maxSimQueriesOf(s, dir)
+      val path = graft.ingest.AnnIndex.maxSimIndexFor(tokens, "vec_id",
+        "tok_vecs", tag = dir.replaceAll("[^A-Za-z0-9.]", "_"),
+        dim = 16, numPlanes = 4)
+      graft.ingest.AnnIndex.maxSimTopKIndexed(s, path, queries,
+          k = 10, maxHamming = 1)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1714,7 +1734,7 @@ object SimilarityQueries extends QueryGroup {
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
       classSeparationGate, kCenterGate, mmrGate, maxSimGate,
-      maxSimPruned, maxSimPrunedExact)
+      maxSimPruned, maxSimPrunedExact, maxSimIndexed)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

@@ -308,4 +308,57 @@ class AnnIndexSpec extends SparkSpec {
       assert(probe.contains(900001L), s"streamed row missing from probe: ${probe.toSeq}")
     } finally q.stop()
   }
+
+  test("persisted MaxSim probe equals the in-plan pruned probe and " +
+    "prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val tokens = emb.select(col("vec_id"),
+      expr("transform(array(0,1,2,3), i -> transform(" +
+        "slice(embedding, i*16+1, 16), x -> CAST(x AS DOUBLE)))")
+        .as("tok_vecs"))
+    val queries = emb.filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)
+        .grouped(16).map(_.toSeq).toSeq)).toSeq
+    val path = AnnIndex.writeMaxSim(tokens, "vec_id", "tok_vecs",
+      tmp("maxsim"), dim = 16, numPlanes = 4)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val fromIndex = AnnIndex.maxSimTopKIndexed(spark, path, queries,
+      k = 10, maxHamming = 1)
+    val inPlan = Similarity.maxSimTopKPruned(tokens, "vec_id", "tok_vecs",
+      queries, k = 10, numPlanes = 4, maxHamming = 1)
+    assert(rows(fromIndex) == rows(inPlan))
+    assert(rows(fromIndex).nonEmpty)
+    // the bucket IN (...) predicate must reach the scan as a PARTITION
+    // filter and actually shrink the directory list
+    fromIndex.collect()
+    // recurse through AQE wrappers/stages — the scan sits inside a
+    // finalized QueryStageExec after the top-k exchanges
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(nodes)
+    }
+    val scans = nodes(fromIndex.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("maxsim")) => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters: ${scan.metadata.mkString("\n")}")
+    assert(scan.metadata("PartitionFilters").contains("bucket"))
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).size
+    val total = scan.relation.location.listFiles(Nil, Nil).size
+    assert(selected < total, s"selected $selected of $total")
+  }
 }

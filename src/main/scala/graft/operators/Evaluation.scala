@@ -1062,6 +1062,10 @@ object Evaluation {
       lit(":"), col("r").cast("string"))), 1, 7), 16, 10).cast("long")
     val w = PoissonThresholds28
       .map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    // materialized: the ≤ nBoot-row replicate frame feeds BOTH the
+    // rank pass and the count/sign aggregate — without it the
+    // units×nBoot explode would run twice
+    import graft.operators.Materialize.MaterializeOps
     val perRep = base
       .select(col("_u"), col("_d"),
         explode(sequence(lit(0), lit(nBoot - 1))).as("r"))
@@ -1072,6 +1076,7 @@ object Evaluation {
       .select(Numerics.roundz(
         col("_dn").cast("double") / col("_ws").cast("double"), 6)
         .as("_delta"))
+      .materialized
     // exact order statistics over the nBoot-bounded replicate frame —
     // the unpartitioned window is deliberate (≤ nBoot rows, one task)
     val wOrd = Window.orderBy(col("_delta"))

@@ -22,7 +22,13 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional comma-separated gate filter (the Verify convention) for
+    // auditing just the gates a round touched.
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.collect() // materialize THIS query execution so AQE finalizes

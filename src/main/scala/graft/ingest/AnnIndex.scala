@@ -409,6 +409,32 @@ object AnnIndex {
         (d: DataFrame) => d.withColumn("_bkt", col("bucket")), allowed)))
   }
 
+  /** Incremental maintenance of a persisted MaxSim layout — the
+    * [[appendIvf]] shape for the multi-vector index: new docs are
+    * bucketed with the SAME pooled-vector sign expression the writer
+    * used (dim/planes from the `_meta` sidecar) and appended into
+    * their bucket partitions, so a streaming embedding feed
+    * (`foreachBatch`) keeps the index current without a rebuild; each
+    * batch costs one scan of the batch. Small files accrete per batch
+    * — fold them with the compaction discipline when probe latency
+    * goes file-open bound. Returns the appended row count.
+    */
+  def appendMaxSim(
+      spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, idCol: String, tokenVecsCol: String): Long = {
+    val meta = spark.read.parquet(s"$indexPath/_meta").collect().head
+    val (dim, numPlanes) = (meta.getInt(0), meta.getInt(1))
+    val signs = Similarity.planeSigns(spark, dim, numPlanes)
+    val base = newDocs.select(col(idCol).cast("long").as("doc_id"),
+        col(tokenVecsCol).cast("array<array<double>>").as("_tv"))
+      .filter(col("_tv").isNotNull && size(col("_tv")) > 0)
+    val bucketed = Similarity.withPooledBucket(base, dim, numPlanes, signs)
+      .withColumnRenamed("_bkt", "bucket")
+    val n = bucketed.count()
+    bucketed.write.mode("append").partitionBy("bucket").parquet(indexPath)
+    n
+  }
+
   /** Build-once-then-probe MaxSim index for a named corpus. */
   def maxSimIndexFor(
       docs: DataFrame, idCol: String, tokenVecsCol: String,

@@ -361,4 +361,32 @@ class AnnIndexSpec extends SparkSpec {
     val total = scan.relation.location.listFiles(Nil, Nil).size
     assert(selected < total, s"selected $selected of $total")
   }
+
+  test("appendMaxSim routes new docs to their buckets; probes see them " +
+    "immediately") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val tokens = emb.select(col("vec_id"),
+      expr("transform(array(0,1,2,3), i -> transform(" +
+        "slice(embedding, i*16+1, 16), x -> CAST(x AS DOUBLE)))")
+        .as("tok_vecs"))
+    val path = AnnIndex.writeMaxSim(tokens, "vec_id", "tok_vecs",
+      tmp("maxsim-append"), dim = 16, numPlanes = 4)
+    val before = spark.read.parquet(path).count()
+    // a near-clone of doc 0's token vectors lands in doc 0's bucket
+    val q0 = tokens.filter(col("vec_id") === 0L)
+      .select("tok_vecs").collect().head
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toSeq).toSeq
+    val clone = Seq((777777L, q0.map(_.map(_ * 1.01))))
+      .toDF("vec_id", "tok_vecs")
+    assert(AnnIndex.appendMaxSim(spark, path, clone, "vec_id",
+      "tok_vecs") == 1L)
+    assert(spark.read.parquet(path).count() == before + 1)
+    val probe = AnnIndex.maxSimTopKIndexed(spark, path,
+        Seq((0L, q0)), k = 3, maxHamming = 0)
+      .collect().map(_.getLong(2))
+    assert(probe.contains(777777L),
+      s"appended doc missing from probe: ${probe.toSeq}")
+  }
 }

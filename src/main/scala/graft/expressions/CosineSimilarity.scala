@@ -101,6 +101,20 @@ object GraftFunctions {
       "jaro_winkler", buildJaroWinkler, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "strip_accents", buildStripAccents, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "maxsim_token_max", buildMaxSimTokenMax, "scala_udf")
+  }
+
+  /** Builder for [[MaxSimTokenMax]]; inputs cast to array<array<double>>
+    * resp. array<double> (the same private[sql] ImplicitCastInputTypes
+    * workaround as [[build]]).
+    */
+  def buildMaxSimTokenMax(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "maxsim_token_max(token_vecs, query_vec) takes two args")
+    MaxSimTokenMax(
+      Cast(exprs.head, ArrayType(ArrayType(DoubleType))),
+      Cast(exprs(1), ArrayType(DoubleType)))
   }
 
   /** Builder for [[StripAccents]]; input cast to string (same
@@ -172,6 +186,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[StripAccents].getName, "strip_accents"),
       (exprs: Seq[Expression]) => GraftFunctions.buildStripAccents(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("maxsim_token_max"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MaxSimTokenMax].getName, "maxsim_token_max"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildMaxSimTokenMax(exprs)))
     ext.injectOptimizerRule(_ => IntersectPrefilterRule)
   }
 }

@@ -1466,16 +1466,12 @@ object Similarity {
       case None => base0
     }
     // max over doc tokens of the 6-dp cosine to one literal query
-    // token; NaN cosines (zero-norm doc tokens) leave the accumulator
-    // untouched, so a doc with no valid token stays at -inf
-    def tokenMax(qv: Seq[Double]): Column = {
-      val qlit = array(qv.map(lit): _*)
-      aggregate(col("_tv"), lit(Double.NegativeInfinity),
-        (acc, t) => {
-          val c = Numerics.roundz(call_function("cosine_sim", t, qlit), 6)
-          when(isnan(c), acc).otherwise(greatest(acc, c))
-        })
-    }
+    // token — the fused codegen'd [[graft.expressions.MaxSimTokenMax]]
+    // loop (NaN/zero-norm tokens skipped inside; a doc with no valid
+    // token stays at -inf), evaluated |q tokens| times per doc row
+    def tokenMax(qv: Seq[Double]): Column =
+      call_function("maxsim_token_max", col("_tv"),
+        array(qv.map(lit): _*))
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val perQuery = queries.sortBy(_._1).map { case (qid, toks) =>
       val valid = toks.filter(t => t.exists(_ != 0.0))

@@ -88,6 +88,42 @@ class MaxSimSpec extends SparkSpec {
     assert(pruned.size < exact.size, "hamming-0 prune admitted everything")
   }
 
+  test("MaxSimTokenMax expression == composed HOF formulation, " +
+    "randomized + edge cases") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    graft.expressions.GraftFunctions.register(s)
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      val toks = Seq.fill(1 + (i % 4).toInt)(
+        Seq.fill(8)(rng.nextGaussian()))
+      (i, toks)
+    } ++ Seq(
+      (900L, Seq(Seq.fill(8)(0.0))),                       // zero-norm only
+      (901L, Seq(Seq.fill(8)(0.0), Seq.fill(8)(1.0))),     // mixed
+      (902L, Seq.empty[Seq[Double]]))                       // no tokens
+    val df = rows.toDF("id", "toks")
+    val q = Seq.fill(8)(rng.nextGaussian())
+    val qlit = array(q.map(lit): _*)
+    val viaHof = aggregate(col("toks"), lit(Double.NegativeInfinity),
+      (acc, t) => {
+        val c = Numerics.roundz(call_function("cosine_sim", t, qlit), 6)
+        when(isnan(c), acc).otherwise(greatest(acc, c))
+      })
+    val viaExpr = call_function("maxsim_token_max", col("toks"), qlit)
+    val diff = df.select(col("id"), viaHof.as("h"), viaExpr.as("e"))
+      .filter(!(col("h") <=> col("e"))).collect()
+    assert(diff.isEmpty, s"expression diverged from HOF: ${diff.mkString(",")}")
+    // the mixed zero-norm doc takes its valid token's cosine (skip
+    // worked), and a ones-query against the ones-token gives exactly 1
+    val one = df.filter(col("id") === 901L)
+      .select(call_function("maxsim_token_max", col("toks"),
+        array(Seq.fill(8)(lit(1.0)): _*)).as("e"))
+      .head().getDouble(0)
+    assert(one == 1.0)
+  }
+
   test("maxSimTopK: multiple queries score in one pass, k bounds each") {
     val d = docs(
       1L -> Seq(Seq(1.0, 0.0)),

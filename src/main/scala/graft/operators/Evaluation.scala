@@ -1099,6 +1099,77 @@ object Evaluation {
           col("n_reps").cast("double"), 6).as("share_le_zero"))
   }
 
+  /** Wald's sequential probability ratio test over a Bernoulli event
+    * stream (Wald 1945) — the SEQUENTIAL face of the A/B family
+    * ([[abProportionTest]] is the fixed-horizon one): per event-time
+    * day, the cumulative log-likelihood ratio of H1: p = p1 against
+    * H0: p = p0,
+    *
+    *   LLR_t = k_t·ln(p1/p0) + (n_t − k_t)·ln((1−p1)/(1−p0)),
+    *
+    * with the classic decision boundaries ln((1−β)/α) (accept H1) and
+    * ln(β/(1−α)) (accept H0). The readout an experiment monitor wants:
+    * WHEN the evidence walk crossed, not just whether the final count
+    * clears a z-test.
+    *
+    * Determinism/portability: the four log constants are computed ONCE
+    * on the driver and ride both the plan and the oracle as the SAME
+    * shortest-round-trip decimal literals (the RBO discipline — both
+    * engines parse them to the identical double); k and n stay exact
+    * integers from one daily aggregate, so each day's LLR is one fixed
+    * double expression, 6-dp-rounded. Per-day `decision` is the
+    * boundary test of THAT day's LLR; the first-crossing day is the
+    * min day with a non-continue decision (SPRT stops there —
+    * later rows replay the counterfactual walk).
+    *
+    * Scale shape: one corpus-scale hash aggregate to (day, n, k); the
+    * cumulative window runs over the DAY-DOMAIN-bounded frame (the
+    * documented rocAuc class — days, not rows). Output: one row per
+    * day (day, n_cum, k_cum, llr, decision).
+    */
+  def sprtBernoulli(
+      df: DataFrame, tsCol: String, success: Column,
+      p0: Double, p1: Double, alphaPct: Int = 5,
+      betaPct: Int = 20): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0,1), got $p0, $p1")
+    require(alphaPct >= 1 && alphaPct < 100 && betaPct >= 1 && betaPct < 100,
+      s"alphaPct/betaPct in [1,100), got $alphaPct/$betaPct")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((100.0 - betaPct) / alphaPct)
+    val lower = math.log(betaPct / (100.0 - alphaPct))
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"),
+        when(success, 1L).otherwise(0L).as("_s"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("_n"), sum(col("_s")).as("_k"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .select(col("day"),
+        sum(col("_n")).over(w).as("n_cum"),
+        sum(col("_k")).over(w).as("k_cum"))
+      .select(col("day"), col("n_cum"), col("k_cum"),
+        Numerics.roundz(col("k_cum").cast("double") * lit(c1) +
+          (col("n_cum") - col("k_cum")).cast("double") * lit(c2), 6)
+          .as("llr"))
+      .withColumn("decision",
+        when(col("llr") >= lit(upper), lit("accept_h1"))
+          .when(col("llr") <= lit(lower), lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
+
+  /** The literal constants [[sprtBernoulli]] uses, exposed so gate
+    * oracles interpolate the IDENTICAL decimals.
+    */
+  private[graft] def sprtConstants(
+      p0: Double, p1: Double, alphaPct: Int, betaPct: Int)
+      : (Double, Double, Double, Double) =
+    (math.log(p1 / p0), math.log((1.0 - p1) / (1.0 - p0)),
+      math.log((100.0 - betaPct) / alphaPct),
+      math.log(betaPct / (100.0 - alphaPct)))
+
   /** Delete-one jackknife standard error of a ratio metric
     * R = Σnum / Σden — the correct uncertainty for ratio-of-sums
     * metrics (revenue per session, discount share) where the naive

@@ -1073,11 +1073,53 @@ object EvalQueries extends QueryGroup {
         |  round(le0::DOUBLE / n_reps, 6) + 0 AS share_le_zero
         |FROM obs, band""".stripMargin))
 
+  /** Wald SPRT over the purchase-conversion stream
+    * ([[graft.operators.Evaluation.sprtBernoulli]]): per event-time
+    * day, the cumulative LLR of H1: p=0.20 vs H0: p=0.15 with
+    * α=5%/β=20% boundaries — the sequential "when did the evidence
+    * cross" walk. The four log constants interpolate into BOTH the
+    * plan and this SQL as the same shortest-round-trip decimals, so
+    * each day's LLR is one identical IEEE expression on both engines.
+    */
+  val sprtGate: QueryDef = {
+    val (c1, c2, up, lo) =
+      graft.operators.Evaluation.sprtConstants(0.15, 0.20, 5, 20)
+    QueryDef(
+      "eval_sprt_walk",
+      (s, dir) =>
+        graft.operators.Evaluation.sprtBernoulli(
+            Tables(s, dir).events, "ts",
+            col("event_type") === "purchase", p0 = 0.15, p1 = 0.20,
+            alphaPct = 5, betaPct = 20)
+          .orderBy("day"),
+      Some(
+        s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+           |    count(*)::BIGINT AS n,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           |      END)::BIGINT AS k
+           |  FROM events GROUP BY 1),
+           |c AS (SELECT day,
+           |    sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           |      ::BIGINT AS n_cum,
+           |    sum(k) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           |      ::BIGINT AS k_cum
+           |  FROM d),
+           |l AS (SELECT day, n_cum, k_cum,
+           |    round(k_cum::DOUBLE * ($c1) +
+           |      (n_cum - k_cum)::DOUBLE * ($c2), 6) + 0 AS llr
+           |  FROM c)
+           |SELECT day, n_cum, k_cum, llr,
+           |  CASE WHEN llr >= ($up) THEN 'accept_h1'
+           |       WHEN llr <= ($lo) THEN 'accept_h0'
+           |       ELSE 'continue' END AS decision
+           |FROM l ORDER BY day""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
       conformalGate, cohensDGate, mcnemarGate, didGate, eceGate,
-      retrievalMetricsGate, rboGate, pairedBootstrapGate)
+      retrievalMetricsGate, rboGate, pairedBootstrapGate, sprtGate)
 }

@@ -94,6 +94,43 @@ class EvaluationSpec extends SparkSpec {
       .getMessage.contains("Quantize first"))
   }
 
+  test("sprtBernoulli: textbook LLR walk and first crossing on a hand " +
+    "stream") {
+    val s = spark
+    import s.implicits._
+    // day 1: 10 trials 6 successes; day 2: 10 trials 7 successes —
+    // testing H1 p=0.6 vs H0 p=0.3 at alpha=5% beta=20%:
+    // c1 = ln(2), c2 = ln(4/7); upper = ln(80/5) = ln(16)
+    // LLR day1 = 6 ln2 + 4 ln(4/7) = 1.920... < ln 16 = 2.7725 -> continue
+    // LLR day2 = 13 ln2 + 7 ln(4/7) = 5.0938... >= ln 16 -> accept_h1
+    val rows =
+      (1 to 10).map(i => ("2024-01-01 0" + (i % 10) + ":00:00", i <= 6)) ++
+      (1 to 10).map(i => ("2024-01-02 0" + (i % 10) + ":00:00", i <= 7))
+    val df = rows.toDF("tss", "succ")
+      .selectExpr("CAST(tss AS TIMESTAMP) AS ts", "succ")
+    val r = Evaluation.sprtBernoulli(df, "ts", col("succ"),
+        p0 = 0.3, p1 = 0.6, alphaPct = 5, betaPct = 20)
+      .orderBy("day").collect()
+    assert(r.length == 2)
+    val d1 = r(0); val d2 = r(1)
+    assert(d1.getLong(1) == 10 && d1.getLong(2) == 6)
+    val exp1 = BigDecimal(6 * math.log(2.0) + 4 * math.log(4.0 / 7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getDouble(3) == exp1)
+    assert(d1.getString(4) == "continue")
+    assert(d2.getLong(1) == 20 && d2.getLong(2) == 13)
+    assert(d2.getString(4) == "accept_h1")
+    // a losing stream walks to accept_h0
+    val bad = (1 to 40).map(i =>
+      ("2024-01-0" + (1 + i % 5) + " 00:00:00", i % 10 == 0))
+      .toDF("tss", "succ")
+      .selectExpr("CAST(tss AS TIMESTAMP) AS ts", "succ")
+    val last = Evaluation.sprtBernoulli(bad, "ts", col("succ"),
+        p0 = 0.3, p1 = 0.6, alphaPct = 5, betaPct = 20)
+      .orderBy(col("day").desc).limit(1).head()
+    assert(last.getString(4) == "accept_h0")
+  }
+
   test("rocAuc: perfect separation gives 1.0, reversed gives 0.0") {
     val perfect = scored(1L -> false, 2L -> false, 3L -> true, 4L -> true)
     val r = Evaluation.rocAuc(perfect, "score", "label").head()

@@ -613,6 +613,69 @@ object Evaluation {
         }, 6).as("h"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
+    * pooled odds ratio — the stratified-experiment readout the A/B
+    * family needs when assignment is confounded by a blocking factor
+    * (country, device, cohort): per stratum the 2×2 (treated ×
+    * converted) table; pooled evidence
+    *
+    *   χ²_CMH = (Σ_s (n11 − n1·n·1/n))² / Σ_s V_s,
+    *   V_s = n1·n0·n·1·n·0 / (n²(n−1)),
+    *   OR_MH = Σ_s (n11·n00/n) / Σ_s (n10·n01/n).
+    *
+    * (No continuity correction — the convention that matches large-N
+    * pipeline use; strata with n < 2 carry no information, V is
+    * undefined there, and are EXCLUDED — `n_strata` reports the
+    * survivors. NULL treatment/conversion counts as false.)
+    *
+    * Exactness discipline: one corpus-scale hash aggregate to
+    * strata×4 integer cells; every per-stratum term is ONE fixed
+    * double chain over those exact longs; the cross-stratum sums fold
+    * IN STRATUM ORDER over an `array_sort(collect_list(…))` of the
+    * strata-bounded frame (the kruskalWallis idiom), so the float sum
+    * order is deterministic and the oracle replays it with an ordered
+    * `list_reduce`. Output (1 row): n_strata, n, or_mh (NULL when the
+    * denominator is 0), cmh_chi2 (NULL when ΣV = 0), both 6 dp.
+    */
+  def cmhTest(
+      df: DataFrame, strataCol: String, treated: Column,
+      converted: Column): DataFrame = {
+    val per = df
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(
+        sum(when(treated && converted, 1L).otherwise(0L)).as("_n11"),
+        sum(when(treated && !converted, 1L).otherwise(0L)).as("_n10"),
+        sum(when(!treated && converted, 1L).otherwise(0L)).as("_n01"),
+        sum(when(!treated && !converted, 1L).otherwise(0L)).as("_n00"))
+      .withColumn("_n",
+        col("_n11") + col("_n10") + col("_n01") + col("_n00"))
+      .filter(col("_n") >= 2)
+    def d(c: String) = col(c).cast("double")
+    val terms = per.select(col("_s"),
+      col("_n"),
+      (d("_n11") - (d("_n11") + d("_n10")) * (d("_n11") + d("_n01")) /
+        d("_n")).as("_d"),
+      ((d("_n11") + d("_n10")) * (d("_n01") + d("_n00")) *
+        (d("_n11") + d("_n01")) * (d("_n10") + d("_n00")) /
+        (d("_n") * d("_n") * (d("_n") - lit(1.0)))).as("_v"),
+      (d("_n11") * d("_n00") / d("_n")).as("_a"),
+      (d("_n10") * d("_n01") / d("_n")).as("_b"))
+    def fold(field: String) = aggregate(
+      array_sort(collect_list(struct(col("_s"), col("_d"), col("_v"),
+        col("_a"), col("_b")))),
+      lit(0.0), (acc, s) => acc + s.getField(field))
+    terms
+      .agg(count(lit(1)).as("n_strata"), sum(col("_n")).as("n"),
+        fold("_d").as("_sd"), fold("_v").as("_sv"),
+        fold("_a").as("_sa"), fold("_b").as("_sb"))
+      .select(col("n_strata"), col("n"),
+        when(col("_sb") =!= 0.0,
+          Numerics.roundz(col("_sa") / col("_sb"), 6)).as("or_mh"),
+        when(col("_sv") =!= 0.0,
+          Numerics.roundz(col("_sd") * col("_sd") / col("_sv"), 6))
+          .as("cmh_chi2"))
+  }
+
   /** Decile lift / cumulative-gains table — the model-targeting
     * readout: rank units by score, cut into `buckets` equal tiles,
     * and report per-tile and cumulative positive capture vs the base

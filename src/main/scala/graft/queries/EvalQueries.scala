@@ -1115,11 +1115,76 @@ object EvalQueries extends QueryGroup {
            |FROM l ORDER BY day""".stripMargin))
   }
 
+  /** Cochran–Mantel–Haenszel over per-user conversion stratified by a
+    * user-derived block ([[graft.operators.Evaluation.cmhTest]]):
+    * pooled χ² and Mantel–Haenszel odds ratio from strata-ordered
+    * float folds over exact 2×2 integer cells — the oracle rebuilds
+    * the per-user frame, the cells, each stratum's terms with the
+    * identical IEEE expression order, and the ordered `list_reduce`
+    * sums.
+    */
+  val cmhGate: QueryDef = QueryDef(
+    "eval_cmh_stratified",
+    (s, dir) => {
+      val users = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .select(col("user_id"), col("conv"),
+          expr("(user_id div 2) % 3").cast("string").as("stratum"))
+      graft.operators.Evaluation.cmhTest(users, "stratum",
+        col("user_id") % 2 === 0, col("conv") === 1)
+    },
+    Some(
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |cell AS (SELECT ((user_id // 2) % 3)::VARCHAR AS s,
+        |    sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0
+        |      END)::BIGINT AS n11,
+        |    sum(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0
+        |      END)::BIGINT AS n10,
+        |    sum(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0
+        |      END)::BIGINT AS n01,
+        |    sum(CASE WHEN user_id % 2 <> 0 AND conv = 0 THEN 1 ELSE 0
+        |      END)::BIGINT AS n00
+        |  FROM u GROUP BY 1),
+        |f AS (SELECT s, n11 + n10 + n01 + n00 AS n,
+        |    n11::DOUBLE - (n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+        |      / (n11 + n10 + n01 + n00)::DOUBLE AS d,
+        |    (n11 + n10)::DOUBLE * (n01 + n00)::DOUBLE
+        |      * (n11 + n01)::DOUBLE * (n10 + n00)::DOUBLE
+        |      / ((n11 + n10 + n01 + n00)::DOUBLE
+        |         * (n11 + n10 + n01 + n00)::DOUBLE
+        |         * ((n11 + n10 + n01 + n00)::DOUBLE - 1.0)) AS v,
+        |    n11::DOUBLE * n00::DOUBLE
+        |      / (n11 + n10 + n01 + n00)::DOUBLE AS a,
+        |    n10::DOUBLE * n01::DOUBLE
+        |      / (n11 + n10 + n01 + n00)::DOUBLE AS b
+        |  FROM cell WHERE n11 + n10 + n01 + n00 >= 2),
+        |agg AS (SELECT count(*)::BIGINT AS n_strata, sum(n)::BIGINT AS n,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(d ORDER BY s)), (x, y) -> x + y) AS sd,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(v ORDER BY s)), (x, y) -> x + y) AS sv,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(a ORDER BY s)), (x, y) -> x + y) AS sa,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(b ORDER BY s)), (x, y) -> x + y) AS sb
+        |  FROM f)
+        |SELECT n_strata, n,
+        |  CASE WHEN sb <> 0.0 THEN round(sa / sb, 6) + 0 END AS or_mh,
+        |  CASE WHEN sv <> 0.0 THEN round(sd * sd / sv, 6) + 0 END
+        |    AS cmh_chi2
+        |FROM agg""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(auc, prThreshold, kappa, dedupPairs, calibration, rankAgreement,
       ksDistanceGate, wassersteinGate, krippendorffGate,
       preferenceMatrix, preferenceRanking, abTest, confusionMatrix,
       mannWhitneyGate, cupedGate, fdrGate, brierGate, bradleyTerryGate,
       conformalGate, cohensDGate, mcnemarGate, didGate, eceGate,
-      retrievalMetricsGate, rboGate, pairedBootstrapGate, sprtGate)
+      retrievalMetricsGate, rboGate, pairedBootstrapGate, sprtGate,
+      cmhGate)
 }

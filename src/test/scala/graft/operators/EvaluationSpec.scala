@@ -131,6 +131,36 @@ class EvaluationSpec extends SparkSpec {
     assert(last.getString(4) == "accept_h0")
   }
 
+  test("cmhTest: hand-computed two-stratum pooled chi2 and MH odds " +
+    "ratio; degenerate strata excluded") {
+    val s = spark
+    import s.implicits._
+    // stratum A: n11=10 n10=5 n01=4 n00=11; stratum B: 3/7/2/8
+    def cells(st: String, n11: Int, n10: Int, n01: Int, n00: Int) =
+      Seq.fill(n11)((st, true, true)) ++ Seq.fill(n10)((st, true, false)) ++
+      Seq.fill(n01)((st, false, true)) ++ Seq.fill(n00)((st, false, false))
+    val df = (cells("a", 10, 5, 4, 11) ++ cells("b", 3, 7, 2, 8) ++
+      Seq(("c", true, true))) // n=1 stratum: excluded
+      .toDF("st", "t", "c")
+    val r = Evaluation.cmhTest(df, "st", col("t"), col("c")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 50)
+    // hand: d_a=3.0, v_a=50400/26100; d_b=0.5, v_b=7500/7600;
+    // or = (110/30 + 24/20) / (20/30 + 14/20)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val va = 15.0 * 15.0 * 14.0 * 16.0 / (30.0 * 30.0 * 29.0)
+    val vb = 10.0 * 10.0 * 5.0 * 15.0 / (20.0 * 20.0 * 19.0)
+    val orMh = (10.0 * 11.0 / 30.0 + 3.0 * 8.0 / 20.0) /
+      (5.0 * 4.0 / 30.0 + 7.0 * 2.0 / 20.0)
+    val chi2 = 3.5 * 3.5 / (va + vb)
+    assert(r.getDouble(2) == r6(orMh), s"${r.getDouble(2)} vs ${r6(orMh)}")
+    assert(r.getDouble(3) == r6(chi2), s"${r.getDouble(3)} vs ${r6(chi2)}")
+    // no-association strata: chi2 ~ 0, OR = 1
+    val nul = cells("a", 5, 5, 5, 5).toDF("st", "t", "c")
+    val rn = Evaluation.cmhTest(nul, "st", col("t"), col("c")).head()
+    assert(rn.getDouble(2) == 1.0 && rn.getDouble(3) == 0.0)
+  }
+
   test("rocAuc: perfect separation gives 1.0, reversed gives 0.0") {
     val perfect = scored(1L -> false, 2L -> false, 3L -> true, 4L -> true)
     val r = Evaluation.rocAuc(perfect, "score", "label").head()

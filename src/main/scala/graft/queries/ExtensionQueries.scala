@@ -1723,6 +1723,30 @@ object SimilarityQueries extends QueryGroup {
     },
     None)
 
+  /** Exact-equivalence gate for the TRANSACTIONALLY PINNED IVF probe
+    * ([[graft.sources.TxTable.ivfProbeIndexed]]): the corpus becomes a
+    * TxTable whose manifest pins an IVF index (one commit covers both
+    * — see [[graft.sources.TxTable.buildIvfIndex]]); probing all cells
+    * makes file skipping irrelevant to the ANSWER, so the result must
+    * equal brute-force cosine top-k bit for bit. TxIndexSpec pins the
+    * scan-shrinkage side (pruned file list a strict subset) and the
+    * both-or-neither versioning.
+    */
+  val txPinnedProbeExact: QueryDef = QueryDef(
+    "sim_ann_txpinned_exact",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txidx-probe-").toString
+      graft.sources.TxTable.create(emb, root)
+      graft.sources.TxTable.buildIvfIndex(s, root, "emb",
+        "vec_id", "embedding", numCentroids = 4, buckets = 4)
+      graft.sources.TxTable.ivfProbeIndexed(s, root, "emb",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, nProbes = 4, excludeId = Some(0L))
+    },
+    Some(bruteForceTop10Sql))
+
   def defs: Seq[QueryDef] =
     Seq(topK, topKBatch, annLsh, annIvf, annLshMultiProbe, annIvfBatch,
       annIvfExact, annLshExact, annIvfBatchExact, annLshMultiProbeExact,
@@ -1734,7 +1758,7 @@ object SimilarityQueries extends QueryGroup {
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
       classSeparationGate, kCenterGate, mmrGate, maxSimGate,
-      maxSimPruned, maxSimPrunedExact, maxSimIndexed)
+      maxSimPruned, maxSimPrunedExact, maxSimIndexed, txPinnedProbeExact)
 }
 
 /** End-to-end curation: the composition a training-data pipeline
@@ -6972,6 +6996,82 @@ object IoQueries extends QueryGroup {
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Atomic corpus+index publish ([[graft.sources.TxTable.buildIvfIndex]]
+    * + index-maintaining [[graft.sources.TxTable.append]]): v1 pins an
+    * IVF index to the even embeddings, v2 appends the odds — corpus
+    * delta and routed index delta in ONE manifest rename. The gate
+    * reads BOTH sides at BOTH versions and counts set differences; the
+    * oracle says every version's index row set IS its corpus row set
+    * (both-or-neither — no instant pairs corpus v with index v-1).
+    */
+  val txIndexPinned: QueryDef = QueryDef(
+    "io_tx_index_pinned",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txidx-pin-").toString
+      graft.sources.TxTable.create(e.filter(col("vec_id") % 2 === 0), root)
+      graft.sources.TxTable.buildIvfIndex(s, root, "emb",
+        "vec_id", "embedding", numCentroids = 4, buckets = 4)
+      graft.sources.TxTable.append(e.filter(col("vec_id") % 2 === 1), root)
+      import s.implicits._
+      (1L to 2L).map { v =>
+        val c = graft.sources.TxTable.readVersion(s, root, v).select("vec_id")
+        val i = graft.sources.TxTable
+          .readIndexVersion(s, root, "emb", v).select("vec_id")
+        (v, c.count(), i.count(), c.except(i).count(), i.except(c).count())
+      }.toDF("version", "corpus_rows", "index_rows",
+          "only_corpus", "only_index")
+        .orderBy("version")
+    },
+    Some(
+      """SELECT 1::BIGINT AS version, count(*)::BIGINT AS corpus_rows,
+        |  count(*)::BIGINT AS index_rows, 0::BIGINT AS only_corpus,
+        |  0::BIGINT AS only_index
+        |FROM embeddings WHERE vec_id % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), count(*), 0, 0 FROM embeddings
+        |ORDER BY version""".stripMargin))
+
+  /** Transactional MERGE over an indexed corpus
+    * ([[graft.sources.TxTable.mergeInto]] with a pinned index): the
+    * merge upserts every %3 id with a shifted vector and tombstones
+    * the %15 ids, and the SAME commit rebuilds the index from the
+    * merged result. The gate full-outer-joins corpus ids against index
+    * ids at the merged version; the oracle is the closed-form merge
+    * survivor set with both membership flags 1 — a stale index (any
+    * surviving tombstone, any missed upsert) breaks the hash.
+    */
+  val txMergeIndexAtomic: QueryDef = QueryDef(
+    "io_tx_merge_index_atomic",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txidx-merge-").toString
+      graft.sources.TxTable.create(e, root)
+      graft.sources.TxTable.buildIvfIndex(s, root, "emb",
+        "vec_id", "embedding", numCentroids = 4, buckets = 4)
+      val src = e.filter(col("vec_id") % 3 === 0)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(1.0f)))
+        .withColumn("_del", col("vec_id") % 5 === 0)
+      graft.sources.TxTable.mergeInto(root, src,
+        "vec_id", Seq("embedding"), "_del")
+      val c = graft.sources.TxTable.read(s, root)
+        .select(col("vec_id"), lit(1).as("in_corpus"))
+      val i = graft.sources.TxTable.readIndex(s, root, "emb")
+        .select(col("vec_id"), lit(1).as("in_index"))
+      c.join(i, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          coalesce(col("in_corpus"), lit(0)).as("in_corpus"),
+          coalesce(col("in_index"), lit(0)).as("in_index"))
+        .orderBy("vec_id")
+    },
+    Some(
+      """SELECT vec_id, 1 AS in_corpus, 1 AS in_index FROM embeddings
+        |WHERE NOT (vec_id % 3 = 0 AND vec_id % 5 = 0)
+        |ORDER BY vec_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
@@ -6979,6 +7079,7 @@ object IoQueries extends QueryGroup {
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
       txtableChanges, profileDrift,
+      txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)
 }

@@ -76,12 +76,17 @@ object TxTable {
   /** One resolved version: `files` are root-relative paths, `stats`
     * maps a file to (min, max) per cluster column where recorded (one
     * pair per declared cluster column, in declaration order),
-    * `headers` carries the table metadata (`cluster`, `stream:<id>`).
+    * `headers` carries the table metadata (`cluster`, `stream:<id>`,
+    * `index:<name>`), `indexFiles` the root-relative data files of
+    * each DERIVED INDEX pinned to this version (see [[buildIvfIndex]]
+    * — corpus and index are published by ONE manifest rename, so a
+    * reader of any version sees them both-or-neither).
     */
   final case class Snapshot(
       version: Long, files: Seq[String],
       stats: Map[String, Seq[(Long, Long)]],
-      headers: Map[String, String]) {
+      headers: Map[String, String],
+      indexFiles: Map[String, Seq[String]] = Map.empty) {
     /** Declared cluster columns: empty (unclustered), one (range
       * clustering), or two (z-order clustering — both columns carry
       * file stats, so range predicates on EITHER prune files).
@@ -134,17 +139,24 @@ object TxTable {
     val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"manifest $p does not declare version=$version")
-    // file entries start with the immutable data prefix; anything else
-    // after the version line is a key=value header
-    val (fileLines, headerLines) =
+    // file entries start with an immutable namespace prefix (`data/`
+    // for corpus files, `index/<name>/` for pinned derived-index
+    // files); anything else after the version line is a key=value
+    // header — routed by PREFIX, never by '=' (index paths may carry
+    // `cell=K`-style segments from partitioned layouts)
+    val (fileLines, rest) =
       lines.drop(1).partition(_.startsWith("data/"))
+    val (indexLines, headerLines) = rest.partition(_.startsWith("index/"))
     val headers = headerLines.map { l =>
       val i = l.indexOf('=')
       require(i > 0, s"malformed manifest header '$l' in $p")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    val entries = fileLines.map(_.split("\t").toSeq)
-    val files = entries.map(_.head)
+    val entries = (fileLines ++ indexLines).map(_.split("\t").toSeq)
+    val files = fileLines.map(_.split("\t").head)
+    val indexFiles = indexLines.map(_.split("\t").head)
+      .groupBy(_.split("/")(1))
+      .map { case (n, fs) => n -> fs.toSeq }
     // path alone = no stats; path + 2k fields = k (min,max) pairs,
     // one per cluster column in declaration order
     val stats = entries.collect {
@@ -153,7 +165,7 @@ object TxTable {
           case Seq(mn, mx) => (mn.toLong, mx.toLong)
         }.toSeq
     }.toMap
-    Snapshot(version, files, stats, headers)
+    Snapshot(version, files, stats, headers, indexFiles)
   }
 
   def latestSnapshot(spark: SparkSession, root: String): Snapshot = {
@@ -271,8 +283,17 @@ object TxTable {
     */
   private def writeDataFiles(
       df: DataFrame, root: String, cluster: Seq[String],
+      buckets: Int): Seq[String] =
+    writeFilesUnder(df, root, s"data/${UUID.randomUUID()}", cluster, buckets)
+
+  /** [[writeDataFiles]] with the destination namespace explicit — the
+    * same write-invisible-then-publish machinery serves both corpus
+    * files (`data/<uuid>`) and pinned index files
+    * (`index/<name>/<uuid>`).
+    */
+  private def writeFilesUnder(
+      df: DataFrame, root: String, sub: String, cluster: Seq[String],
       buckets: Int): Seq[String] = {
-    val sub = s"data/${UUID.randomUUID()}"
     val dest = new Path(root, sub)
     val toWrite = cluster match {
       case Seq()  => df
@@ -364,16 +385,29 @@ object TxTable {
     won
   }
 
-  // existing stats lines must survive a commit that re-lists old files
-  private def entryLines(s: Snapshot): Seq[String] =
-    s.files.map { f =>
-      s.stats.get(f) match {
-        case Some(pairs) =>
-          (f +: pairs.flatMap { case (mn, mx) =>
-            Seq(mn.toString, mx.toString) }).mkString("\t")
-        case None => f
-      }
+  private def lineFor(s: Snapshot, f: String): String =
+    s.stats.get(f) match {
+      case Some(pairs) =>
+        (f +: pairs.flatMap { case (mn, mx) =>
+          Seq(mn.toString, mx.toString) }).mkString("\t")
+      case None => f
     }
+
+  // existing stats lines must survive a commit that re-lists old
+  // files; CORPUS lines only — index lines are carried / rebuilt
+  // explicitly per operation (append carries + extends, merge and
+  // overwrite rebuild, compaction carries verbatim)
+  private def entryLines(s: Snapshot): Seq[String] =
+    s.files.map(lineFor(s, _))
+
+  /** The manifest lines of every pinned index (optionally excluding
+    * one being rebuilt), stats carried forward verbatim.
+    */
+  private def indexLines(
+      s: Snapshot, except: Set[String] = Set.empty): Seq[String] =
+    s.indexFiles.toSeq.sortBy(_._1).collect {
+      case (n, fs) if !except.contains(n) => fs.map(lineFor(s, _))
+    }.flatten
 
   /** Create a new table at `root` (version 0). `clusterCol` (integral)
     * enables range-clustered files + manifest min/max stats on every
@@ -414,11 +448,17 @@ object TxTable {
     val spark = df.sparkSession
     val pre = latestSnapshot(spark, root)
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
+    // pinned indexes: route ONLY the new rows through each sidecar —
+    // the corpus-side delta and the index-side delta publish together
+    val idxEntries = idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestSnapshot(spark, root)
+      if (!sameIndexes(pre, cur))
+        throw new CommitConflict(
+          s"append at $root: index set changed since v${pre.version}")
       if (tryCommit(spark, root, cur.version + 1, cur.headers,
-          entryLines(cur) ++ entries))
+          entryLines(cur) ++ indexLines(cur) ++ entries ++ idxEntries))
         return cur.version + 1
       attempt += 1
     }
@@ -448,13 +488,17 @@ object TxTable {
     val pre = latestSnapshot(spark, root)
     if (committed(pre)) return None
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
+    val idxEntries = idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestSnapshot(spark, root)
       if (committed(cur)) return None // raced with our own redelivery
+      if (!sameIndexes(pre, cur))
+        throw new CommitConflict(
+          s"addStreamingBatch at $root: index set changed since v${pre.version}")
       if (tryCommit(spark, root, cur.version + 1,
           cur.headers + (key -> batchId.toString),
-          entryLines(cur) ++ entries))
+          entryLines(cur) ++ indexLines(cur) ++ entries ++ idxEntries))
         return Some(cur.version + 1)
       attempt += 1
     }
@@ -469,7 +513,8 @@ object TxTable {
       buckets: Int = 8): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, root, expectedVersion)
-    val entries = writeDataFiles(df, root, cur.clusterCols, buckets)
+    val entries = writeDataFiles(df, root, cur.clusterCols, buckets) ++
+      idxEntriesFor(spark, root, indexSpecs(cur), df, buckets)
     if (!tryCommit(spark, root, expectedVersion + 1, cur.headers, entries))
       throw new CommitConflict(
         s"overwrite at $root: version ${expectedVersion + 1} already " +
@@ -516,7 +561,12 @@ object TxTable {
       val merged = graft.operators.MergeUpsert.merge(
           target, source, keyCol, valueCols, tombstoneCol)
         .drop("action")
-      val entries = writeDataFiles(merged, root, cur.clusterCols, buckets)
+      // pinned indexes are REBUILT from the merged result inside the
+      // same commit (the merge already rewrites every corpus file, so
+      // re-routing the result is proportional cost) — version v+1's
+      // index rows are exactly its corpus rows, never a stale mix
+      val entries = writeDataFiles(merged, root, cur.clusterCols, buckets) ++
+        idxEntriesFor(spark, root, indexSpecs(cur), merged, buckets)
       if (tryCommit(spark, root, cur.version + 1, cur.headers, entries))
         committed = cur.version + 1
       else if (attempt >= maxRetries)
@@ -541,7 +591,10 @@ object TxTable {
       case Seq() => writeDataFiles(all.coalesce(buckets), root, Nil, buckets)
       case cs    => writeDataFiles(all, root, cs, buckets)
     }
-    if (!tryCommit(spark, root, cur.version + 1, cur.headers, entries))
+    // compaction preserves ROWS, and indexes derive from rows — pinned
+    // index lines carry over verbatim, nothing re-routed
+    if (!tryCommit(spark, root, cur.version + 1, cur.headers,
+        entries ++ indexLines(cur)))
       throw new CommitConflict(
         s"compact at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -577,10 +630,251 @@ object TxTable {
       keptLarge.contains(line.split("\t").head)
     }
     if (!tryCommit(spark, root, cur.version + 1, cur.headers,
-        keptLines ++ entries))
+        keptLines ++ entries ++ indexLines(cur)))
       throw new CommitConflict(
         s"autoCompact at $root: snapshot v${cur.version} went stale")
     Some(cur.version + 1)
+  }
+
+  // ---------------------------------------------------------- indexes
+  //
+  // Pinned derived indexes: an ANN layout published by the SAME
+  // manifest rename as the corpus it indexes, closing the staleness
+  // window between a corpus commit and an index rebuild (a reader of
+  // version N sees corpus N and index N both-or-neither — there is no
+  // instant at which corpus v+1 is visible with an index built on v,
+  // the lost-consistency hazard of keeping the AnnIndex layouts as
+  // independent parquet dirs; cf. the reference's harvest-while-serving
+  // loop, tests/test_serve.py:274-306, which feeds both sides).
+  //
+  // Layout: index files live under `index/<name>/<uuid>/part-*.parquet`
+  // with schema (idCol long, vecCol array<float>, cell int),
+  // range-clustered by `cell` with per-file [min,max] cell stats in the
+  // manifest — probes prune at the FILE level from the manifest (the
+  // readRange discipline) instead of Hive partition dirs, so the probe
+  // path and the corpus path share one skipping mechanism. The trained
+  // centroids sit in an immutable `index/<name>/_centroids-<uuid>`
+  // sidecar named by the `index:<name>` header.
+  //
+  // Maintenance contract: once declared, EVERY commit keeps the pin
+  // valid — append/addStreamingBatch route only the new rows through
+  // the sidecar (one scan of the batch, broadcast centroids, no
+  // shuffle); mergeInto/overwrite re-route the result they are already
+  // rewriting (proportional, not super-linear, cost); compact/
+  // autoCompact carry index lines verbatim (the index derives from
+  // ROWS, which compaction preserves). The quantizer itself never
+  // silently retrains — a drifting corpus shows up as cell skew and
+  // [[buildIvfIndex]] on a fresh name (then [[dropIndex]]) is the
+  // explicit retrain.
+
+  /** Parsed `index:<name>` header: sidecar dir + routing columns. */
+  private final case class IndexSpec(
+      name: String, sidecar: String, idCol: String, vecCol: String)
+
+  private def indexSpecs(s: Snapshot): Seq[IndexSpec] =
+    s.headers.toSeq.collect {
+      case (k, v) if k.startsWith("index:") =>
+        val Array(sc, id, vec) = v.split("\\|")
+        IndexSpec(k.stripPrefix("index:"), sc, id, vec)
+    }.sortBy(_.name)
+
+  /** Declared index names at the latest version. */
+  def indexNames(spark: SparkSession, root: String): Seq[String] =
+    indexSpecs(latestSnapshot(spark, root)).map(_.name)
+
+  private def loadCentroids(
+      spark: SparkSession, root: String,
+      spec: IndexSpec): Array[(Int, Array[Double])] = {
+    val cents = spark.read.parquet(s"$root/${spec.sidecar}")
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"empty centroid sidecar ${spec.sidecar}")
+    cents
+  }
+
+  /** Assign each row to its nearest centroid (squared Euclidean, ties
+    * to the lowest cell id) — broadcast centroids, scan-local kernel,
+    * the batch never shuffles. The SAME rule routes the initial build
+    * and every later append/merge, so a row's cell is a pure function
+    * of (vector, sidecar) and rebuild-free maintenance is exact.
+    */
+  private def routeRows(
+      spark: SparkSession, root: String, spec: IndexSpec,
+      df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(loadCentroids(spark, root, spec))
+    df.select(col(spec.idCol).cast("long"),
+        col(spec.vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = cs(0)._1
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)._2
+            var d = 0.0; var j = 0
+            val n = math.min(v.length, c.length)
+            while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = cs(ci)._1 }
+            ci += 1
+          }
+          (id, v.map(_.toFloat), best)
+        }
+      }
+      .toDF(spec.idCol, spec.vecCol, "cell")
+  }
+
+  private def idxEntriesFor(
+      spark: SparkSession, root: String, specs: Seq[IndexSpec],
+      df: DataFrame, buckets: Int): Seq[String] =
+    specs.flatMap { sp =>
+      writeFilesUnder(routeRows(spark, root, sp, df), root,
+        s"index/${sp.name}/${UUID.randomUUID()}", Seq("cell"), buckets)
+    }
+
+  // two commits that routed through DIFFERENT sidecars must not both
+  // publish — an index set that changed mid-flight makes the staged
+  // routing stale, which is a conflict, not a retry
+  private def sameIndexes(a: Snapshot, b: Snapshot): Boolean =
+    indexSpecs(a) == indexSpecs(b)
+
+  /** Declare + build an IVF index over the CURRENT corpus and publish
+    * it pinned to a new version (corpus files unchanged, index files
+    * added, `index:<name>` header set) — one atomic commit.
+    * Read-modify-write conflict semantics: a commit that interleaves
+    * makes the built index stale, so this fails rather than retries.
+    * Returns the committed version.
+    */
+  def buildIvfIndex(
+      spark: SparkSession, root: String, name: String,
+      idCol: String, vecCol: String, numCentroids: Int = 16,
+      buckets: Int = 8): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad index name '$name'")
+    val cur = latestSnapshot(spark, root)
+    require(!cur.headers.contains(s"index:$name"),
+      s"index '$name' already exists at $root")
+    val corpus = readVersion(spark, root, cur.version)
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = graft.operators.Similarity.coarseQuantizer(featured, numCentroids)
+    import spark.implicits._
+    val sidecarRel = s"index/$name/_centroids-${UUID.randomUUID()}"
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.parquet(new Path(root, sidecarRel).toString)
+    // the model only supplies centroids; assignment goes through
+    // routeRows so build-time and append-time cells obey ONE rule
+    val spec = IndexSpec(name, sidecarRel, idCol, vecCol)
+    val entries = idxEntriesFor(spark, root, Seq(spec), corpus, buckets)
+    val headers = cur.headers +
+      (s"index:$name" -> s"$sidecarRel|$idCol|$vecCol")
+    if (!tryCommit(spark, root, cur.version + 1, headers,
+        entryLines(cur) ++ indexLines(cur) ++ entries))
+      throw new CommitConflict(
+        s"buildIvfIndex at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** Unpin an index: new version with its header and file lines
+    * removed (data files reclaimed by [[vacuum]] once no kept version
+    * references them). Read-modify-write conflict semantics.
+    */
+  def dropIndex(spark: SparkSession, root: String, name: String): Long = {
+    val cur = latestSnapshot(spark, root)
+    require(cur.headers.contains(s"index:$name"),
+      s"no index '$name' at $root")
+    if (!tryCommit(spark, root, cur.version + 1,
+        cur.headers - s"index:$name",
+        entryLines(cur) ++ indexLines(cur, except = Set(name))))
+      throw new CommitConflict(
+        s"dropIndex at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** The pinned index exactly as of the latest version. */
+  def readIndex(spark: SparkSession, root: String, name: String): DataFrame =
+    readIndexVersion(spark, root, name,
+      latestSnapshot(spark, root).version)
+
+  /** Time travel for the pinned index: the same manifest that names
+    * the corpus files of `version` names these index files, so this
+    * frame is consistent with [[readVersion]] at the same version BY
+    * CONSTRUCTION — the both-or-neither contract.
+    */
+  def readIndexVersion(
+      spark: SparkSession, root: String, name: String,
+      version: Long): DataFrame = {
+    val s = snapshot(spark, root, version)
+    require(s.headers.contains(s"index:$name"),
+      s"no index '$name' at $root version $version")
+    val files = s.indexFiles.getOrElse(name, Seq.empty)
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"TxTable $root index $name@$version: no data files")
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+  }
+
+  /** Index files whose manifest [min,max] cell range overlaps any
+    * probed cell — exposed so specs can assert a probe's scan really
+    * shrank (the [[prunedFiles]] discipline on the index namespace).
+    */
+  def prunedIndexFiles(
+      s: Snapshot, name: String, cells: Seq[Int]): Seq[String] =
+    s.indexFiles.getOrElse(name, Seq.empty).filter { f =>
+      s.stats.get(f).flatMap(_.headOption).forall { case (mn, mx) =>
+        cells.exists(c => c >= mn && c <= mx)
+      }
+    }
+
+  /** IVF probe against the PINNED index: route via the sidecar, read
+    * only the files whose manifest cell range overlaps the probed
+    * cells (file-level skipping before any parquet footer opens), rank
+    * candidates by exact cosine — scoring identical to
+    * [[graft.ingest.AnnIndex.ivfTopK]], so probing all cells equals
+    * brute-force top-k bit for bit. `version < 0` means latest.
+    */
+  def ivfProbeIndexed(
+      spark: SparkSession, root: String, name: String,
+      queryVec: Array[Double], k: Int, nProbes: Int = 2,
+      excludeId: Option[Long] = None, version: Long = -1L): DataFrame = {
+    val s =
+      if (version < 0L) latestSnapshot(spark, root)
+      else snapshot(spark, root, version)
+    val spec = indexSpecs(s).find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no index '$name' at $root"))
+    val probes = loadCentroids(spark, root, spec)
+      .map { case (cell, c) =>
+        var d = 0.0; var i = 0
+        val n = math.min(c.length, queryVec.length)
+        while (i < n) { val t = c(i) - queryVec(i); d += t * t; i += 1 }
+        (cell, d)
+      }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbes).map(_._1).toSeq
+    val files = prunedIndexFiles(s, name, probes)
+    if (files.isEmpty)
+      return readIndexVersion(spark, root, name, s.version)
+        .select(col(spec.idCol), lit(0.0d).as("sim")).limit(0)
+    val qLit = array(queryVec.toSeq.map(v => lit(v)): _*)
+    val candidates = spark.read
+      .parquet(files.map(f => s"$root/$f"): _*)
+      .filter(col("cell").isin(probes: _*))
+    val withoutQuery = excludeId match {
+      case Some(id) => candidates.filter(col(spec.idCol) =!= id)
+      case None     => candidates
+    }
+    withoutQuery
+      .select(col(spec.idCol),
+        round(graft.operators.Similarity.cosineFast(
+          spark, col(spec.vecCol), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(spec.idCol))
+      .limit(k)
   }
 
   /** Drop data files referenced by NO kept version (the newest
@@ -601,21 +895,36 @@ object TxTable {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(spark, root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val live = keep.flatMap(v => snapshot(spark, root, v).files).toSet
+    val keptSnaps = keep.map(v => snapshot(spark, root, v))
+    val live = keptSnaps
+      .flatMap(s => s.files ++ s.indexFiles.values.flatten).toSet
+    val liveSidecars = keptSnaps.flatMap(s => indexSpecs(s).map(_.sidecar)).toSet
     val f = fs(spark, new Path(root))
     val horizon = System.currentTimeMillis() - retentionMs
-    val dataDir = new Path(root, "data")
-    if (f.exists(dataDir)) {
-      f.listStatus(dataDir).foreach { sub =>
-        val subRel = s"data/${sub.getPath.getName}"
-        val all = f.listStatus(sub.getPath).toSeq
-        val unreferenced =
-          all.forall(st => !live.contains(s"$subRel/${st.getPath.getName}"))
-        val pastRetention = sub.getModificationTime <= horizon &&
-          all.forall(_.getModificationTime <= horizon)
-        if (unreferenced && pastRetention) f.delete(sub.getPath, true)
+    def sweepDir(nsRel: String): Unit = {
+      val dir = new Path(root, nsRel)
+      if (!f.exists(dir)) return
+      f.listStatus(dir).foreach { sub =>
+        val subRel = s"$nsRel/${sub.getPath.getName}"
+        if (!liveSidecars.contains(subRel)) {
+          val all = f.listStatus(sub.getPath).toSeq
+          val unreferenced =
+            all.forall(st => !live.contains(s"$subRel/${st.getPath.getName}"))
+          val pastRetention = sub.getModificationTime <= horizon &&
+            all.forall(_.getModificationTime <= horizon)
+          if (unreferenced && pastRetention) f.delete(sub.getPath, true)
+        }
       }
     }
+    sweepDir("data")
+    // pinned-index namespaces: each index/<name>/ holds data uuid dirs
+    // plus centroid sidecars; a sidecar survives while ANY kept
+    // manifest's header names it, data dirs by the same live-file rule
+    val idxRoot = new Path(root, "index")
+    if (f.exists(idxRoot))
+      f.listStatus(idxRoot).filter(_.isDirectory).foreach { nameDir =>
+        sweepDir(s"index/${nameDir.getPath.getName}")
+      }
     // temp manifests past retention are crash leftovers, never
     // in-flight (a commit writes and renames them within one call)
     val ld = logDir(root)

@@ -41,6 +41,12 @@ object TxRaceWorker {
   private def widx(workerId: String): Long =
     (workerId.hashCode.toLong & 0xffffL) + 1L
 
+  /** Deterministic 4-d payload vector for the indexed merge race —
+    * mirrored by TxRaceSpec's replay, so float equality is exact.
+    */
+  def vecFor(w: Long, i: Long, k: Long): Array[Float] =
+    Array(w.toFloat, i.toFloat, (k % 97L).toFloat, 1f)
+
   def main(args: Array[String]): Unit = {
     val Array(mode, root, workerId, nStr) = args
     val n = nStr.toInt
@@ -68,8 +74,24 @@ object TxRaceWorker {
             TxTable.mergeInto(root,
               rows.toDF("k", "v", "_del"), "k", Seq("v"), "_del",
               maxRetries = 200)
+          case "mergeidx" =>
+            // the merge race over an INDEXED table: same key scheme as
+            // `merge`, but values are vectors and the table carries a
+            // pinned IVF index — every committed version must hold
+            // corpus and index both-or-neither (TxRaceSpec asserts the
+            // pin at EVERY version plus the serial replay)
+            val w = widx(workerId)
+            val rows = Seq(
+              (i.toLong % 5L, vecFor(w, i.toLong, i.toLong % 5L), false),
+              (1000L * w + i, vecFor(w, i.toLong, 1000L * w + i), false)) ++
+              (if (i >= 2)
+                 Seq((1000L * w + i - 2, Array.empty[Float], true))
+               else Nil)
+            TxTable.mergeInto(root,
+              rows.toDF("k", "vec", "_del"), "k", Seq("vec"), "_del",
+              maxRetries = 200)
           case other =>
-            sys.error(s"unknown mode '$other' (append|merge)")
+            sys.error(s"unknown mode '$other' (append|merge|mergeidx)")
         }
         // stdout is the race log the orchestrator asserts over
         println(s"[txrace] worker=$workerId seq=$i version=$v")

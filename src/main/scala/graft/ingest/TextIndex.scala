@@ -1,0 +1,125 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index — the lexical-retrieval twin of
+  * [[AnnIndex]] (VERDICT r12 #3): [[graft.operators.Bm25.score]]
+  * recomputes tf/df/doclen over the CORPUS on every query batch; at
+  * 100 TB that is a full scan per query, which defeats repeated
+  * retrieval. Here the postings materialize ONCE at ingest as a
+  * parquet layout PARTITIONED BY TERM BUCKET, and a probe reads only
+  * the query terms' buckets — Catalyst partition pruning turns the
+  * `tb IN (...)` filter into directory selection, exactly the
+  * [[AnnIndex]] probe contract.
+  *
+  * Layout under `path`:
+  *  - `postings/` partitioned by `tb = pmod(hash(term), termBuckets)`:
+  *    one row per (doc, term) with `tf` AND the document length `dl`
+  *    DENORMALIZED into the posting (the reference's
+  *    `_direct_base_url` move: +8 bytes per posting kills the
+  *    corpus-scale doclen join every probe would otherwise pay —
+  *    CHANGELOG.md:104-113 of the reference argues the same trade).
+  *  - `_stats/` one row: (n_docs, avgdl) — the only corpus-global
+  *    numbers BM25 needs.
+  *
+  * A probe is: prune to ≤|terms| buckets → row-filter `term IN (...)`
+  * → per-term df from the pruned scan itself (a posting row IS "doc
+  * contains term", so df needs no extra pass) → broadcast the
+  * term-count-bounded df frame + the 1-row stats back → one hash
+  * aggregate per doc. Zero corpus-scale shuffles; the scan touches
+  * ~|terms|/termBuckets of the postings.
+  *
+  * Tokenization and arithmetic are IDENTICAL to [[graft.operators
+  * .Bm25.score]] (lowercase-trim whitespace split; dl counts empty
+  * tokens the same way; BM25+ idf ln(1+(N−df+½)/(df+½))), so the
+  * indexed probe is row-identical to the in-plan scorer — gated by
+  * `text_bm25_indexed` against the same oracle as `text_bm25`.
+  */
+object TextIndex {
+
+  /** Materialize the BM25 layout; returns `path`. One corpus pass:
+    * tokenize → explode → (doc, term) count, with dl carried scan-local
+    * (computed before the explode, so it never re-aggregates).
+    */
+  def writeBm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      path: String, termBuckets: Int = 64): String = {
+    require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      toks.as("_toks"),
+      size(toks).cast("long").as("dl")) // Bm25.score's dl: empties count
+    // corpus stats over ALL docs (termless docs still shape N/avgdl)
+    val spark = docs.sparkSession
+    base.agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    base
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(termBuckets)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    path
+  }
+
+  /** The bucket a term routes to — evaluated through Spark's own
+    * `hash` expression (one driver-local row; the probe's pruning
+    * predicate must use the exact build-time hash).
+    */
+  private def bucketsFor(
+      spark: SparkSession, terms: Seq[String], termBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(termBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+  }
+
+  /** Number of term buckets the layout was built with (from the
+    * postings directory names — `tb=K`).
+    */
+  def termBucketsOf(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("tb="))
+    require(dirs.nonEmpty, s"no postings partitions under $path")
+    dirs.map(_.stripPrefix("tb=").toInt).max + 1
+  }
+
+  /** (doc_id, bm25) for every document containing ≥1 query term —
+    * row-identical to [[graft.operators.Bm25.score]] on the corpus the
+    * index was built from, but reading only the query terms' buckets.
+    */
+  def bm25Indexed(
+      spark: SparkSession, path: String, terms: Seq[String],
+      termBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    require(terms.toSet.size == terms.size, s"duplicate query terms: $terms")
+    val tbs = bucketsFor(spark, terms, termBuckets)
+    val cand = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    // df per term from the pruned scan itself; ≤ |terms| rows
+    val dfs = cand.groupBy("term").agg(count(lit(1)).as("_df"))
+    val stats = spark.read.parquet(s"$path/_stats")
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("_df").cast("double") + lit(0.5)) /
+        (col("_df").cast("double") + lit(0.5)))
+    val contrib = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / col("avgdl")))
+    cand
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("_c"))
+      .groupBy("doc_id")
+      .agg(sum(col("_c")).as("bm25"))
+  }
+}

@@ -667,4 +667,49 @@ object GraphMetrics {
     }
     rows.reduce(_ unionByName _).orderBy("k")
   }
+
+  /** EXACT neighborhood function: (t, nf) for t = 0..maxDepth where
+    * nf = Σ_v |{w : dist(v, w) ≤ t}| over the UNDIRECTED graph
+    * (symmetrized, self-loops dropped, nodes = edge endpoints) — the
+    * ground-truth twin of [[HyperBall.neighborhoodEstimate]]'s HLL
+    * estimate (same convention split as dedup_minhash/exact).
+    *
+    * Scale caveat BY DESIGN: the state is the (src, node) BALL-PAIR
+    * frame — node²-bounded — expanded one edge-join + distinct per
+    * round. That is exactly the blow-up HyperBall's register frame
+    * avoids; this face exists as the oracle for small graphs and the
+    * per-round counts stay fully distributed (one count() per round,
+    * no row collect).
+    */
+  def neighborhoodFunction(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .materialized
+    var balls = sym.select(col("u").as("src")).distinct()
+      .withColumn("node", col("src"))
+      .materialized
+    val out = Seq.newBuilder[(Int, Long)]
+    out += 0 -> balls.count()
+    var t = 1
+    while (t <= maxDepth) {
+      val grown = sym
+        .join(balls.withColumnRenamed("node", "u").hint("shuffle_hash"), "u")
+        .select(col("src"), col("v").as("node"))
+      balls = balls.unionByName(grown).distinct().materialized
+      out += t -> balls.count()
+      t += 1
+    }
+    out.result().toDF("t", "nf")
+  }
 }

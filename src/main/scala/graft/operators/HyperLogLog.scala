@@ -40,14 +40,14 @@ object HyperLogLog {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
-  private def bucketOf(v: Column, m: Int): Column =
+  private[operators] def bucketOf(v: Column, m: Int): Column =
     pmod(conv(substring(md5(v), 1, 7), 16, 10).cast("long"), lit(m.toLong))
 
   /** ρ of the 60-bit tail: 61 − bitlength; `bin` has no leading
     * zeros, so its length IS the bitlength (and "0" for x = 0 is
     * caught explicitly).
     */
-  private def rhoOf(v: Column): Column = {
+  private[operators] def rhoOf(v: Column): Column = {
     val x = conv(substring(md5(v), 8, 15), 16, 10).cast("long")
     when(x === 0L, lit(61L)).otherwise(lit(61L) - length(bin(x)))
   }

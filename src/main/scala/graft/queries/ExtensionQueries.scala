@@ -3226,6 +3226,66 @@ object PipelineQueries extends QueryGroup {
         |  count(DISTINCT lang)::BIGINT AS n_langs
         |FROM sp GROUP BY split ORDER BY split""".stripMargin))
 
+  /** Deterministic small-world edge set over the doc-id domain (97
+    * nodes, two modular generators) — the neighborhood-function
+    * fixture: dense enough to saturate within a few rounds, sparse
+    * enough for the oracle's recursive CTE.
+    */
+  private def modEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir).documents
+      .select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 3 + 1) % 97).as("dst"))
+
+  /** EXACT neighborhood function ([[graft.operators.GraphMetrics
+    * .neighborhoodFunction]]): ball-pair expansion, one edge-join +
+    * distinct per round, fully distributed per-round counts. Full
+    * oracle: DuckDB's recursive CTE computes min-distance per (src,
+    * node) pair and cumulates — the ground-truth twin that makes
+    * `graph_hyperball_nf`'s HLL face auditable.
+    */
+  val neighborhoodExact: QueryDef = QueryDef(
+    "graph_neighborhood_exact",
+    (s, dir) =>
+      GraphMetrics.neighborhoodFunction(
+          modEdges(s, dir), "src", "dst", maxDepth = 3)
+        .select(col("t").cast("long").as("t"), col("nf"))
+        .orderBy("t"),
+    Some(
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT least(doc_id % 97, (doc_id*3+1) % 97) AS u,
+        |             greatest(doc_id % 97, (doc_id*3+1) % 97) AS v
+        |      FROM documents WHERE doc_id % 97 <> (doc_id*3+1) % 97),
+        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |walk(src, node, d) AS (
+        |  SELECT DISTINCT u AS src, u AS node, 0 FROM sym
+        |  UNION
+        |  SELECT w.src, s2.v, w.d + 1 FROM walk w
+        |  JOIN sym s2 ON s2.u = w.node WHERE w.d < 3),
+        |dist AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2),
+        |ts(t) AS (VALUES (0), (1), (2), (3))
+        |SELECT ts.t::BIGINT AS t, count(*)::BIGINT AS nf
+        |FROM ts JOIN dist ON dist.d <= ts.t
+        |GROUP BY ts.t ORDER BY t""".stripMargin))
+
+  /** HyperBall neighborhood estimate ([[graft.operators.HyperBall]]):
+    * per-node HLL register frames, one edge-join + register-max per
+    * round — the node-scale face that replaces the exact twin's
+    * node²-scale ball pairs at 100 TB. Rows-only by declared design
+    * (an HLL estimate has no SQL oracle); `graph_neighborhood_exact`
+    * is the hash-green exact twin on the same edges, and HyperBallSpec
+    * locks the estimate within standard-error bounds of it.
+    */
+  val hyperBallGate: QueryDef = QueryDef(
+    "graph_hyperball_nf",
+    (s, dir) =>
+      graft.operators.HyperBall.neighborhoodEstimate(
+          modEdges(s, dir), "src", "dst", maxDepth = 3, m = 64)
+        .select(col("t").cast("long").as("t"), col("nf_est"))
+        .orderBy("t"),
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -3236,7 +3296,7 @@ object PipelineQueries extends QueryGroup {
       snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
       kAnonymityGate, lDiversityGate, targetEncoding, clusterSplit,
-      shortestPathsGate, endToEnd)
+      shortestPathsGate, endToEnd, neighborhoodExact, hyperBallGate)
 }
 
 object TextQueries extends QueryGroup {
@@ -3530,6 +3590,60 @@ object TextQueries extends QueryGroup {
           Seq("spark", "vector", "customer"))
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
         .orderBy("doc_id"),
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents)),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |       FROM pd)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * tf0::DOUBLE * (1.2 + 1.0) / (tf0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * tf1::DOUBLE * (1.2 + 1.0) / (tf1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * tf2::DOUBLE * (1.2 + 1.0) / (tf2::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin))
+
+  private val bm25Indexes =
+    new graft.operators.LruCache[String, String](8)
+
+  /** BM25 against the PERSISTED inverted index
+    * ([[graft.ingest.TextIndex]]): postings partitioned by term
+    * bucket, probe = partition-pruned bucket read + term-bounded df
+    * frame + one per-doc hash aggregate — row-identical to the
+    * in-plan [[graft.operators.Bm25.score]], same oracle as
+    * `text_bm25`. The layout builds once per corpus dir (ingest-side
+    * cost) and every probe after reads ~|terms|/64 of the postings.
+    */
+  val bm25Indexed: QueryDef = QueryDef(
+    "text_bm25_indexed",
+    (s, dir) => {
+      val path = bm25Indexes.getOrElseUpdate(dir) {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft-bm25/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ingest.TextIndex.writeBm25(
+          Tables(s, dir).documents, "doc_id", "text", p)
+      }
+      graft.ingest.TextIndex.bm25Indexed(s, path,
+          Seq("spark", "vector", "customer"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
     Some(
       """WITH pd AS (
         |  SELECT doc_id, len(ws) AS dl,
@@ -4298,6 +4412,35 @@ object TextQueries extends QueryGroup {
         |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val wordPieceVocabs =
+    new graft.operators.LruCache[String, Set[String]](8)
+
+  /** WordPiece round trip ([[graft.operators.WordPiece]]): learn a
+    * vocabulary from the BPE trainer machinery (one corpus pass),
+    * greedy-longest-match encode with `##` continuations, strip the
+    * markers and concatenate — the THIRD tokenizer family's lossless
+    * property under the hard oracle, checked WITHOUT knowing the
+    * vocabulary (the oracle restates the normalization only; the
+    * code-point seed guarantees no `[UNK]` on the training corpus).
+    */
+  val wordPieceRoundTrip: QueryDef = QueryDef(
+    "text_wordpiece_roundtrip",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val vocab = wordPieceVocabs.getOrElseUpdate(dir) {
+        graft.operators.WordPiece.vocabFromCorpus(docs, "text",
+          numMerges = 24)
+      }
+      graft.operators.WordPiece.detokenized(
+          graft.operators.WordPiece.encode(docs, "text", vocab))
+        .select(col("doc_id"), col("detok"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', '', 'g') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   private val unigramPieces =
     new graft.operators.LruCache[String, Seq[(String, Long)]](8)
 
@@ -4633,13 +4776,14 @@ object TextQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
-      repetition, redaction, unigramLogProb, gopherRules, bm25, bpeEncode,
+      repetition, redaction, unigramLogProb, gopherRules, bm25,
+      bm25Indexed, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, unigramLmRoundTrip,
-      luhnRedaction,
+      wordPieceRoundTrip, luhnRedaction,
       luhnRedactionSeparated, docKeywordsGate, tokenOffsetsGate, mod97,
       codeDetect, commonPrefix, textRank)
 }
@@ -6322,6 +6466,68 @@ object IoQueries extends QueryGroup {
         |SELECT canonical, min(doc_id) AS survivor, count(*) AS n_variants
         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin))
 
+  /** TxTable streaming change feed ([[graft.streaming.TxChangeStream]]
+    * via [[graft.sources.TxTable.readChangeStream]]): three commits
+    * land in a fresh TxTable (create + two appends, event_id % 3 per
+    * wave), then the CDC stream TAILS THE MANIFEST LOG under
+    * `Trigger.AvailableNow` — offset = committed version, every row
+    * stamped `_commit_version` — and drains into a memory sink. The
+    * oracle restates the commit routing arithmetic off the parquet
+    * original, so the gate proves the streaming face replays exactly
+    * the batch [[graft.sources.TxTable.readChanges]] delta, version
+    * by version. Driver touches manifests only; delta files are read
+    * executor-side (one InputPartition per file).
+    */
+  val txChangeStreamGate: QueryDef = QueryDef(
+    "io_txtable_change_stream",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txcdc-").toString
+      graft.sources.TxTable.create(ev.filter(col("event_id") % 3 === 0), root)
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 1), root)
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 2), root)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-txcdc-ckpt-").toString
+      val sink = "txcdc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.TxTable.readChangeStream(s, root)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("_commit_version"))
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  event_id % 3 AS "_commit_version"
+        |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Avro round trip ([[graft.sources.AvroIo]]) — the Kafka-side
+    * interchange format, written as container part files (deflate
+    * blocks, writer schema embedded) and read back with the frame's
+    * own schema as the Avro READER schema (evolution path). `events`
+    * exercises the timestamp-micros logical type alongside
+    * long/double/string; the oracle is the parquet original, so the
+    * gate proves sink+source value fidelity including microsecond
+    * timestamps.
+    */
+  val avroRoundTrip: QueryDef = QueryDef(
+    "io_avro_roundtrip",
+    (s, dir) =>
+      graft.sources.AvroIo.roundTrip(
+          Tables(s, dir).events,
+          tag = dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        .orderBy("event_id"),
+    Some(
+      "SELECT event_id, ts, user_id, event_type, value, props " +
+        "FROM events ORDER BY event_id"))
+
   /** ORC round trip ([[graft.sources.Orc]]) — the Hive/Trino-side
     * columnar interchange, schema-checked read after a
     * partition-per-file write; the oracle is the parquet original, so
@@ -7075,10 +7281,11 @@ object IoQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
+      avroRoundTrip,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
-      txtableChanges, profileDrift,
+      txtableChanges, txChangeStreamGate, profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)

@@ -210,6 +210,19 @@ object TxTable {
     else readFiles(spark, root, delta)
   }
 
+  /** Streaming face of [[readChanges]]: a Structured Streaming source
+    * that tails the manifest log — offset = committed version, each
+    * micro-batch = that version range's file-set delta stamped with
+    * `_commit_version`. Same append-style contract as [[readChanges]];
+    * full design notes on [[graft.streaming.TxChangeStream]].
+    */
+  def readChangeStream(
+      spark: SparkSession, root: String,
+      startingVersion: Long = 0L,
+      maxVersionsPerTrigger: Int = 0): DataFrame =
+    graft.streaming.TxChangeStream.readStream(
+      spark, root, startingVersion, maxVersionsPerTrigger)
+
   private def readFiles(
       spark: SparkSession, root: String, files: Seq[String]): DataFrame = {
     if (files.isEmpty)
@@ -889,6 +902,19 @@ object TxTable {
     * started inside the window is safe. `retentionMs = 0` deletes
     * immediately and is correct ONLY with concurrent writers (and
     * readers of vacuumed versions) excluded.
+    *
+    * READER contract (pinned by TxVacuumRaceSpec, two JVMs): a
+    * time-travel frame resolves its FILE LIST at [[readVersion]] time,
+    * so a reader holding version N keeps scanning correctly after N's
+    * MANIFEST is dropped — as long as N's data files are younger than
+    * `retentionMs` (they are, for any read that started inside the
+    * window: a file can only become unreferenced by a LATER rewrite).
+    * A reader that outlives the window races physical deletion and
+    * fails with missing-file errors — the Delta/Iceberg contract:
+    * size `retentionMs` to the longest query + time-travel horizon
+    * you serve, because vacuum bounds BOTH. New `snapshot`/
+    * [[readVersion]] calls for a dropped version fail immediately
+    * (manifest gone), which is the visible edge of the horizon.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
       retentionMs: Long = 24L * 3600 * 1000): Unit = {

@@ -1246,6 +1246,59 @@ object ScaleCheck {
           vals(1000000L * dup), "g", "id", 0.1))
     }
 
+    // round 13: WordPiece encode (broadcast vocab, zero shuffles —
+    // cost must track rows exactly dup-fold)
+    if (only.forall(_.exists("wordpiece".startsWith))) {
+      val vocab = graft.operators.WordPiece.vocabFromCorpus(
+        docs, "text", numMerges = 64)
+      time("wordpiece_1x",
+        graft.operators.WordPiece.encode(docs, "text", vocab))
+      time(s"wordpiece_${dup}x",
+        graft.operators.WordPiece.encode(blown, "text", vocab))
+    }
+
+    // round 13: persisted BM25 — the BUILD pays one corpus pass
+    // (explode + (doc,term) aggregate); the PROBE must stay
+    // bucket-bounded (reads ~|terms|/64 of the postings no matter the
+    // corpus), so probe time must NOT grow dup-fold
+    if (only.forall(_.exists("bm25_indexed".startsWith))) {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-bm25-").toString
+      time(s"bm25_indexed_build_${dup}x", {
+        graft.ingest.TextIndex.writeBm25(blown, "doc_id", "text", idxDir)
+        spark.read.parquet(s"$idxDir/_stats")
+      })
+      time(s"bm25_indexed_probe_${dup}x",
+        graft.ingest.TextIndex.bm25Indexed(spark, idxDir,
+          Seq("spark", "vector", "customer")))
+    }
+
+    // round 13: HyperBall — register frame is node-scale × m; two
+    // rounds over a modular graph (nodes = range/16, edges = 2 per
+    // node); cost must track edges, never node²
+    if (only.forall(_.exists("hyperball".startsWith))) {
+      def modGraph(nEdges: Long) = spark.range(nEdges).select(
+        (col("id") % (nEdges / 16)).as("a"),
+        ((col("id") * 3 + 1) % (nEdges / 16)).as("b"))
+      time("hyperball_2r_1x",
+        graft.operators.HyperBall.neighborhoodEstimate(
+          modGraph(500000L), "a", "b", maxDepth = 2, m = 16))
+      time(s"hyperball_2r_${dup}x",
+        graft.operators.HyperBall.neighborhoodEstimate(
+          modGraph(500000L * dup), "a", "b", maxDepth = 2, m = 16))
+    }
+
+    // round 13: Avro sink+source — file-per-partition container IO;
+    // cost must track bytes dup-fold, read parallelism = part files
+    if (only.forall(_.exists("avro".startsWith))) {
+      val avroDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-avro-").toString
+      time(s"avro_roundtrip_${dup}x", {
+        graft.sources.AvroIo.write(blown, s"$avroDir/t", numPartitions = 32)
+        graft.sources.AvroIo.read(spark, s"$avroDir/t", blown.schema)
+      })
+    }
+
     spark.stop()
   }
 }

@@ -47,7 +47,45 @@ object TxRaceWorker {
   def vecFor(w: Long, i: Long, k: Long): Array[Float] =
     Array(w.toFloat, i.toFloat, (k % 97L).toFloat, 1f)
 
+  /** `readhold <root> <version> <signalFile>`: resolve a time-travel
+    * frame at `version` (file list pinned NOW), announce it, wait for
+    * the orchestrator's signal file (it vacuums meanwhile), then
+    * count. Exit 0 + `count=` when the scan survives; exit 3 +
+    * `readfail=` when vacuum physically deleted the files out from
+    * under the pinned list — TxVacuumRaceSpec drives both outcomes to
+    * pin [[TxTable.vacuum]]'s reader-retention contract.
+    */
+  private def readHold(root: String, version: Long, signal: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-txreadhold")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val df = TxTable.readVersion(spark, root, version)
+      println(s"[txrace] resolved=$version")
+      Console.flush()
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!java.nio.file.Files.exists(java.nio.file.Paths.get(signal)) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      try println(s"[txrace] count=${df.count()}")
+      catch {
+        case e: Throwable =>
+          println(s"[txrace] readfail=${e.getClass.getSimpleName}")
+          spark.stop()
+          sys.exit(3)
+      }
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args(0) == "readhold") {
+      readHold(args(1), args(2).toLong, args(3))
+      return
+    }
     val Array(mode, root, workerId, nStr) = args
     val n = nStr.toInt
     val spark = SparkSession.builder()

@@ -1,0 +1,111 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Bm25
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark makes vector search fast"),
+    (2L, "the customer wants spark spark spark"),
+    (3L, "a plain document about nothing relevant"),
+    (4L, "vector vector vector and customer data"),
+    (5L, "   "), // termless doc: still shapes N and avgdl
+    (6L, "Spark VECTOR Customer mixed case")
+  ).toDF("doc_id", "text")
+
+  private lazy val path = TextIndex.writeBm25(
+    docs, "doc_id", "text",
+    Files.createTempDirectory("graft-bm25-spec-").toString,
+    termBuckets = 16)
+
+  private def scored(df: DataFrame): Map[Long, Double] =
+    df.select(col("doc_id"), round(col("bm25"), 9).as("b"))
+      .as[(Long, Double)].collect().toMap
+
+  test("indexed probe equals the in-plan Bm25.score exactly") {
+    val terms = Seq("spark", "vector", "customer")
+    val direct = scored(Bm25.score(docs, "text", "doc_id", terms))
+    val indexed = scored(TextIndex.bm25Indexed(spark, path, terms,
+      termBuckets = 16))
+    assert(indexed.keySet === direct.keySet)
+    for ((id, s) <- direct)
+      assert(math.abs(indexed(id) - s) < 1e-9, s"doc $id: $s vs ${indexed(id)}")
+    // the termless and no-match docs are absent from both
+    assert(!direct.contains(3L) && !direct.contains(5L))
+  }
+
+  test("probe scan prunes to the query terms' buckets") {
+    val probe = TextIndex.bm25Indexed(spark, path, Seq("spark"),
+      termBuckets = 16)
+    probe.collect() // materialize so AQE finalizes the plan
+    def collectScans(
+        p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Seq.empty
+      }
+      (p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Seq.empty
+      }) ++ (p.children ++ nested).flatMap(collectScans)
+    }
+    val scans = collectScans(probe.queryExecution.executedPlan)
+    val postings = scans.filter(
+      _.metadata.get("Location").exists(_.contains("postings")))
+    assert(postings.nonEmpty, s"no postings scan in:\n$scans")
+    val scan = postings.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters:\n${scan.metadata.mkString("\n")}")
+    assert(scan.metadata("PartitionFilters").contains("tb"))
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+      .map(_.values).distinct.size
+    val total = scan.relation.location.listFiles(Nil, Nil)
+      .map(_.values).distinct.size
+    assert(selected < total,
+      s"pruning selected $selected of $total partitions")
+    assert(selected === 1)
+  }
+
+  test("postings carry denormalized dl; stats count every doc") {
+    val p = spark.read.parquet(s"$path/postings")
+    // doc 2: dl = 6 tokens, tf(spark) = 3
+    val r = p.filter(col("doc_id") === 2L && col("term") === "spark")
+      .select("dl", "tf").as[(Long, Long)].head()
+    assert(r === ((6L, 3L)))
+    val st = spark.read.parquet(s"$path/_stats")
+      .as[(Long, Double)].head()
+    assert(st._1 === 6L) // termless doc 5 included in N
+  }
+
+  test("single-term query; term absent from the corpus is empty") {
+    val one = scored(TextIndex.bm25Indexed(spark, path, Seq("plain"),
+      termBuckets = 16))
+    assert(one.keySet === Set(3L))
+    val none = TextIndex.bm25Indexed(spark, path, Seq("zzzmissing"),
+      termBuckets = 16)
+    assert(none.count() === 0L)
+  }
+
+  test("termBucketsOf recovers the build fan-out") {
+    assert(TextIndex.termBucketsOf(spark, path) <= 16)
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25Indexed(spark, path, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25Indexed(spark, path, Seq("a", "a"))
+    }
+  }
+}

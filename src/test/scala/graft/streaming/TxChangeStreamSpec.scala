@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.TxTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Batch ≡ streaming for the TxTable change feed (the
+  * StreamingOaiLoopSpec discipline): the CDC stream tailing the
+  * manifest log must replay exactly [[TxTable.readChanges]]' file-set
+  * delta, version by version, across restarts, with correct
+  * `_commit_version` stamps — including timestamp and array columns
+  * through the executor-side parquet record reader.
+  */
+class TxChangeStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkTable(): (String, DataFrame) = {
+    val df = (1L to 30L).map { i =>
+      (i, s"name$i", i * 1.5,
+        java.sql.Timestamp.valueOf(s"2024-01-0${(i % 9) + 1} 10:00:00"),
+        Seq(i.toFloat, -i.toFloat), i % 2 == 0)
+    }.toDF("id", "name", "score", "ts", "emb", "flag")
+    val root = Files.createTempDirectory("graft-cdc-spec-").toString
+    (root, df)
+  }
+
+  private def drain(df: DataFrame, sink: String, ckpt: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("stream replays create+appends with per-version stamps, " +
+    "all column types intact") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root)
+    TxTable.append(df.filter($"id" > 10 && $"id" <= 20), root)
+    TxTable.append(df.filter($"id" > 20), root)
+
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root), "cdc_all", ckpt)
+    val got = spark.table("cdc_all")
+
+    // versions route exactly as committed
+    val byVersion = got.groupBy("_commit_version")
+      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n"))
+      .orderBy("_commit_version")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(byVersion === Seq((0L, 1L, 10L, 10L), (1L, 11L, 20L, 10L),
+      (2L, 21L, 30L, 10L)))
+
+    // value fidelity through the Group reader: ts, array, boolean
+    val r7 = got.filter($"id" === 7L).collect().head
+    assert(r7.getAs[String]("name") === "name7")
+    assert(r7.getAs[Double]("score") === 10.5)
+    assert(r7.getAs[java.sql.Timestamp]("ts") ===
+      java.sql.Timestamp.valueOf("2024-01-08 10:00:00"))
+    assert(r7.getAs[Seq[Float]]("emb") === Seq(7.0f, -7.0f))
+    assert(r7.getAs[Boolean]("flag") === false)
+
+    // batch ≡ streaming: same multiset as readChanges over the range
+    val batch = TxTable.readChanges(spark, root, 0L, 2L)
+      .unionByName(TxTable.readVersion(spark, root, 0L))
+    assert(got.drop("_commit_version").except(batch).count() === 0L)
+    assert(batch.except(got.drop("_commit_version")).count() === 0L)
+    assert(got.count() === 30L)
+  }
+
+  test("startingVersion skips earlier commits") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root)
+    TxTable.append(df.filter($"id" > 10 && $"id" <= 20), root)
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root, startingVersion = 1L),
+      "cdc_from1", ckpt)
+    val got = spark.table("cdc_from1")
+    assert(got.agg(min("id"), max("id"), count(lit(1)))
+      .as[(Long, Long, Long)].head() === ((11L, 20L, 10L)))
+    assert(got.select("_commit_version").distinct()
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("maxVersionsPerTrigger paces the replay one version per batch") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root)
+    TxTable.append(df.filter($"id" > 10 && $"id" <= 20), root)
+    TxTable.append(df.filter($"id" > 20), root)
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = TxTable
+      .readChangeStream(spark, root, maxVersionsPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        seen.synchronized { seen += vs }: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every non-empty micro-batch carries exactly one version
+    val nonEmpty = seen.filter(_.nonEmpty)
+    assert(nonEmpty.forall(_.size == 1))
+    assert(nonEmpty.flatten.toSet === Set(0L, 1L, 2L))
+  }
+
+  test("restart from checkpoint resumes exactly-once (no replay, " +
+    "no loss) and picks up commits made while down") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root)
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(): Unit = {
+      val q = TxTable.readChangeStream(spark, root)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.select("id", "_commit_version")
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          got.synchronized { got ++= rows }: Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(got.map(_._1).sorted.toSeq === (1L to 10L))
+    // two commits while the stream is down
+    TxTable.append(df.filter($"id" > 10 && $"id" <= 20), root)
+    TxTable.append(df.filter($"id" > 20), root)
+    run()
+    // ids 1..30 exactly once each; versions stamped per commit
+    assert(got.map(_._1).sorted.toSeq === (1L to 30L))
+    assert(got.toMap.values.toSet === Set(0L, 1L, 2L))
+    assert(got.filter(_._2 == 2L).map(_._1).min === 21L)
+  }
+
+  test("null fields survive the record reader") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "a", 1.0), Row(2L, null, null)), 1),
+      schema)
+    val root = Files.createTempDirectory("graft-cdc-null-").toString
+    TxTable.create(df, root)
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root), "cdc_nulls", ckpt)
+    val got = spark.table("cdc_nulls").orderBy("id").collect()
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(0).getAs[String]("s") === "a")
+  }
+}

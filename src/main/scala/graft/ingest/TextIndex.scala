@@ -51,11 +51,13 @@ object TextIndex {
       col(idCol).as("doc_id"),
       toks.as("_toks"),
       size(toks).cast("long").as("dl")) // Bm25.score's dl: empties count
-    // corpus stats over ALL docs (termless docs still shape N/avgdl)
-    val spark = docs.sparkSession
+    // corpus stats over ALL docs (termless docs still shape N/avgdl),
+    // kept as EXACT INTEGER moments (n, Σdl): avgdl divides at probe
+    // time — bit-identical to avg() on either engine (integer doubles
+    // ≤ 2^53 sum exactly) and append-mergeable without float drift
     base.agg(
         count(lit(1)).as("n_docs"),
-        avg(col("dl").cast("double")).as("avgdl"))
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
     base
       .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
@@ -66,6 +68,52 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings")
     path
+  }
+
+  /** Incrementally index a NEW batch of documents into an existing
+    * layout (the [[AnnIndex.appendIvf]] maintenance contract): the
+    * batch's postings append into the same term-bucket partitions —
+    * per-batch cost is one scan of the BATCH, the corpus never
+    * rescans — and the 1-row `_stats` sidecar updates by exact moment
+    * algebra (n' = n + n_new; avgdl' = (n·avgdl + Σ dl_new) / n').
+    * Per-term df needs no sidecar at all: a posting row IS "doc
+    * contains term", so probes recount df from the pruned scan and
+    * stay row-identical to [[graft.operators.Bm25.score]] on the
+    * UNION corpus. Returns rows appended.
+    *
+    * Caller contract: `docs` must be NEW doc_ids (re-indexing an
+    * existing id would double its postings — dedup upstream, the
+    * appendIvf discipline).
+    */
+  def appendBm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      path: String, termBuckets: Int = 64): Long = {
+    val spark = docs.sparkSession
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      toks.as("_toks"),
+      size(toks).cast("long").as("dl"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(termBuckets)))
+    val appended = postings.count()
+    postings.write.mode("append").partitionBy("tb")
+      .parquet(s"$path/postings")
+    // exact integer moment merge: (n, Σdl) add without float drift
+    val old = spark.read.parquet(s"$path/_stats").head()
+    val (n0, s0) = (old.getLong(0), old.getLong(1))
+    val b = base.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("s")).head()
+    val (n1, s1) = (b.getLong(0),
+      if (b.isNullAt(1)) 0L else b.getLong(1))
+    import spark.implicits._
+    Seq((n0 + n1, s0 + s1)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    appended
   }
 
   /** The bucket a term routes to — evaluated through Spark's own
@@ -108,6 +156,9 @@ object TextIndex {
     // df per term from the pruned scan itself; ≤ |terms| rows
     val dfs = cand.groupBy("term").agg(count(lit(1)).as("_df"))
     val stats = spark.read.parquet(s"$path/_stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
     val tf = col("tf").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("_df").cast("double") + lit(0.5)) /

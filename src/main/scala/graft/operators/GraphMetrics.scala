@@ -712,4 +712,56 @@ object GraphMetrics {
     }
     out.result().toDF("t", "nf")
   }
+
+  /** EXACT truncated harmonic centrality, ALL-INTEGER fixed point:
+    * (node, h_fp) where h_fp = Σ_{w, 1 ≤ d(v,w) ≤ maxDepth} L / d(v,w)
+    * with L = lcm(1..maxDepth) — every term divides exactly, so the
+    * per-node sum is order-independent 64-bit arithmetic and the gate
+    * hashes bit-for-bit against the SQL replay (the [[PageRank]]
+    * oracle discipline). Ground-truth twin of
+    * [[HyperBall.harmonicEstimate]]; same node²-bounded ball-pair
+    * caveat as [[neighborhoodFunction]] — the register face is the
+    * 100 TB path.
+    */
+  def harmonicScaled(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .materialized
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1 to maxDepth).foldLeft(1L)((l, t) => l / gcd(l, t) * t)
+    var labelled = sym.select(col("u").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0).as("d"))
+      .materialized
+    var t = 1
+    while (t <= maxDepth) {
+      val frontier = labelled.filter(col("d") === t - 1)
+        .select(col("src"), col("node"))
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "u").hint("shuffle_hash"),
+          "u")
+        .select(col("src"), col("v").as("node"))
+        .distinct()
+        .join(labelled.select("src", "node"), Seq("src", "node"),
+          "left_anti")
+        .withColumn("d", lit(t))
+        .materialized
+      labelled = labelled.unionByName(next).materialized
+      t += 1
+    }
+    labelled.filter(col("d") >= 1)
+      .groupBy(col("src").as("node"))
+      // `div` is Spark's integral division — L/d divides exactly by
+      // construction (d | lcm(1..maxDepth)), so h_fp is a pure long sum
+      .agg(sum(expr(s"$scale div cast(d as bigint)")).as("h_fp"))
+  }
 }

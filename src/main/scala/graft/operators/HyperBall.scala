@@ -42,33 +42,15 @@ object HyperBall {
     require(maxDepth >= 0, "maxDepth must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
-    val canon = edges
-      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
-        greatest(col(aCol), col(bCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val sym = canon.select(col("u"), col("v"))
-      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .materialized
-    val nodes = sym.select(col("u").as("node")).distinct()
+    val sym = symmetrized(edges, aCol, bCol)
     // B_0(v) = {v}: one register row per node
-    var state = nodes.select(col("node"),
-        HyperLogLog.bucketOf(col("node").cast("string"), m).as("bucket"),
-        HyperLogLog.rhoOf(col("node").cast("string")).as("reg"))
-      .materialized
+    var state = initState(sym, m)
     val out = Seq.newBuilder[(Int, Long)]
     out += 0 -> estimateMicros(state, m)
     var t = 1
     while (t <= maxDepth) {
       // v absorbs every neighbor u's registers, then register-max
-      val contrib = sym
-        .join(state.withColumnRenamed("node", "u").hint("shuffle_hash"), "u")
-        .select(col("v").as("node"), col("bucket"), col("reg"))
-      state = state.unionByName(contrib)
-        .groupBy("node", "bucket")
-        .agg(max("reg").as("reg"))
-        .materialized
+      state = growBalls(sym, state)
       out += t -> estimateMicros(state, m)
       t += 1
     }
@@ -91,14 +73,14 @@ object HyperBall {
     nf.find(_._2 >= target).map(_._1).getOrElse(maxDepth)
   }
 
-  /** Σ_v est(B(v)) in integer micro-units: per node the
-    * [[HyperLogLog.summary]] algebra — r_max/n_filled aggregate,
+  /** Per-node ball estimate in integer micro-units ((node, est_micro)):
+    * the [[HyperLogLog.summary]] algebra — r_max/n_filled aggregate,
     * denom = Σ_b 2^(r_max − reg_b) with absent buckets at reg 0,
     * raw = α·m²·2^r_max / denom, linear counting m·ln(m/V) when
-    * raw ≤ 2.5m and V > 0 — each node's estimate fixed to micros
-    * BEFORE the total, so the sum is an exact long.
+    * raw ≤ 2.5m and V > 0 — fixed to micros so every downstream
+    * combination is exact integer arithmetic.
     */
-  private def estimateMicros(state: DataFrame, m: Int): Long = {
+  private def perNodeMicros(state: DataFrame, m: Int): DataFrame = {
     val filled = state.groupBy("node").agg(
       max("reg").as("r_max"), count(lit(1)).as("n_filled"))
     val pow2rmax = expr("shiftleft(cast(1 as bigint), cast(r_max as int))")
@@ -108,7 +90,7 @@ object HyperBall {
         "shiftleft(cast(1 as bigint), cast(r_max - reg as int))"))
         .as("d_filled"))
     val alphaM2 = HyperLogLog.alpha(m) * m.toDouble * m.toDouble
-    val withEst = denomFilled
+    denomFilled
       .withColumn("denom",
         col("d_filled") + (lit(m.toLong) - col("n_filled")) * pow2rmax)
       .withColumn("raw",
@@ -118,8 +100,91 @@ object HyperBall {
         when(col("raw") <= lit(2.5 * m) && col("zeros") > 0L,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw")))
-    withEst
-      .agg(sum(round(col("est") * lit(1e6)).cast("long")).as("micros"))
-      .head().getLong(0)
+      .select(col("node"),
+        round(col("est") * lit(1e6)).cast("long").as("est_micro"))
   }
+
+  /** Per-node harmonic centrality estimate (Boldi & Vigna, "Axioms
+    * for Centrality", 2014 — the HyperBall centrality face):
+    * H(v) = Σ_{t≥1} (|B_t(v)| − |B_{t−1}(v)|)/t, truncated at
+    * `maxDepth`. Returns (node, h_fp): integer fixed point at scale
+    * micro × lcm(1..maxDepth), so every per-round term
+    * delta_micro · (L/t) is EXACT integer arithmetic — deterministic
+    * under any partitioning, like [[neighborhoodEstimate]]'s totals.
+    * Register max only grows, but the linear-counting→raw switch can
+    * wobble a hair; negative deltas clamp to 0 (documented HyperBall
+    * behavior). Same round shape: one edge join + one register max
+    * per round, node-scale frames.
+    */
+  def harmonicEstimate(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int = 4, m: Int = 64): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val sym = symmetrized(edges, aCol, bCol)
+    val scale = lcm(1 to maxDepth)
+    var state = initState(sym, m)
+    var prev = perNodeMicros(state, m).withColumnRenamed("est_micro", "_prev")
+      .materialized
+    var acc: DataFrame = prev.select(col("node"), lit(0L).as("h_fp"))
+    var t = 1
+    while (t <= maxDepth) {
+      state = growBalls(sym, state)
+      val cur = perNodeMicros(state, m)
+      val factor = scale / t
+      acc = acc
+        .join(prev, "node")
+        .join(cur, "node")
+        .select(col("node"),
+          (col("h_fp") +
+            greatest(col("est_micro") - col("_prev"), lit(0L)) *
+              lit(factor)).as("h_fp"))
+        .materialized
+      prev = cur.withColumnRenamed("est_micro", "_prev").materialized
+      t += 1
+    }
+    acc
+  }
+
+  private def lcm(ts: Range): Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    ts.foldLeft(1L)((l, t) => l / gcd(l, t) * t)
+  }
+
+  private def symmetrized(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    canon.select(col("u"), col("v"))
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .materialized
+  }
+
+  private def initState(sym: DataFrame, m: Int): DataFrame =
+    sym.select(col("u").as("node")).distinct()
+      .select(col("node"),
+        HyperLogLog.bucketOf(col("node").cast("string"), m).as("bucket"),
+        HyperLogLog.rhoOf(col("node").cast("string")).as("reg"))
+      .materialized
+
+  private def growBalls(sym: DataFrame, state: DataFrame): DataFrame =
+    state.unionByName(
+        sym.join(state.withColumnRenamed("node", "u").hint("shuffle_hash"),
+            "u")
+          .select(col("v").as("node"), col("bucket"), col("reg")))
+      .groupBy("node", "bucket")
+      .agg(max("reg").as("reg"))
+      .materialized
+
+  /** Σ_v est(B(v)) in integer micro-units — [[perNodeMicros]] summed
+    * as exact longs.
+    */
+  private def estimateMicros(state: DataFrame, m: Int): Long =
+    perNodeMicros(state, m)
+      .agg(sum(col("est_micro")).as("micros"))
+      .head().getLong(0)
 }

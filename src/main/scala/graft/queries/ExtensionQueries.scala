@@ -3286,6 +3286,49 @@ object PipelineQueries extends QueryGroup {
         .orderBy("t"),
     None)
 
+  /** EXACT truncated harmonic centrality ([[graft.operators
+    * .GraphMetrics.harmonicScaled]]): h_fp = Σ L/d(v,w) over 1 ≤ d ≤ 3
+    * with L = lcm(1..3) = 6 — every term an exact integer, so the
+    * per-node sums hash bit-for-bit against the recursive-CTE replay.
+    * Ground truth for `graph_harmonic_hyperball`.
+    */
+  val harmonicExact: QueryDef = QueryDef(
+    "graph_harmonic_exact",
+    (s, dir) =>
+      GraphMetrics.harmonicScaled(modEdges(s, dir), "src", "dst",
+          maxDepth = 3)
+        .orderBy("node"),
+    Some(
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT least(doc_id % 97, (doc_id*3+1) % 97) AS u,
+        |             greatest(doc_id % 97, (doc_id*3+1) % 97) AS v
+        |      FROM documents WHERE doc_id % 97 <> (doc_id*3+1) % 97),
+        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |walk(src, node, d) AS (
+        |  SELECT DISTINCT u AS src, u AS node, 0 FROM sym
+        |  UNION
+        |  SELECT w.src, s2.v, w.d + 1 FROM walk w
+        |  JOIN sym s2 ON s2.u = w.node WHERE w.d < 3),
+        |dist AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2)
+        |SELECT src AS node, sum(6 // d)::BIGINT AS h_fp
+        |FROM dist WHERE d >= 1
+        |GROUP BY src ORDER BY node""".stripMargin))
+
+  /** HyperBall harmonic centrality ([[graft.operators.HyperBall
+    * .harmonicEstimate]]): per-node Σ (|B_t|−|B_{t−1}|)/t from the
+    * register frames, integer fixed point at micro × lcm scale —
+    * rows-only by declared design (HLL face); `graph_harmonic_exact`
+    * is the hash-green ground truth on the same edges, and
+    * HyperBallSpec locks the estimate against it within HLL error.
+    */
+  val harmonicHyperBall: QueryDef = QueryDef(
+    "graph_harmonic_hyperball",
+    (s, dir) =>
+      graft.operators.HyperBall.harmonicEstimate(
+          modEdges(s, dir), "src", "dst", maxDepth = 3, m = 64)
+        .orderBy("node"),
+    None)
+
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
       chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
@@ -3296,7 +3339,8 @@ object PipelineQueries extends QueryGroup {
       snapshotDiffGate,
       dsirSelect, modularityGate, lpaGate, lpaModularityGate, cdcChunks,
       kAnonymityGate, lDiversityGate, targetEncoding, clusterSplit,
-      shortestPathsGate, endToEnd, neighborhoodExact, hyperBallGate)
+      shortestPathsGate, endToEnd, neighborhoodExact, hyperBallGate,
+      harmonicExact, harmonicHyperBall)
 }
 
 object TextQueries extends QueryGroup {
@@ -3672,6 +3716,37 @@ object TextQueries extends QueryGroup {
         |FROM pd CROSS JOIN st
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin))
+
+  private val bm25AppendIndexes =
+    new graft.operators.LruCache[String, String](8)
+
+  /** Incremental BM25 index maintenance ([[graft.ingest.TextIndex
+    * .appendBm25]]): build on the even half, APPEND the odd half —
+    * batch-scan-only cost, exact integer (n, Σdl) moment merge — then
+    * probe. The oracle is the full-corpus `text_bm25` SQL, so the gate
+    * proves append ≡ one-shot build ≡ the in-plan scorer on the union
+    * corpus (the [[graft.ingest.AnnIndex.appendIvf]] maintenance
+    * contract applied to lexical retrieval).
+    */
+  val bm25IndexAppend: QueryDef = QueryDef(
+    "text_bm25_index_append",
+    (s, dir) => {
+      val path = bm25AppendIndexes.getOrElseUpdate(dir) {
+        val docs = Tables(s, dir).documents
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft-bm25app/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ingest.TextIndex.writeBm25(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+        graft.ingest.TextIndex.appendBm25(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        p
+      }
+      graft.ingest.TextIndex.bm25Indexed(s, path,
+          Seq("spark", "vector", "customer"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+    bm25Indexed.oracle)
 
   /** One BPE merge table per corpus dir — training is deterministic, so
     * caching is pure latency (the bench/verify gates probe the same
@@ -4777,7 +4852,7 @@ object TextQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25,
-      bm25Indexed, bpeEncode,
+      bm25Indexed, bm25IndexAppend, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
@@ -6508,6 +6583,53 @@ object IoQueries extends QueryGroup {
         |  event_id % 3 AS "_commit_version"
         |FROM events ORDER BY event_id""".stripMargin))
 
+  /** The CDC consumption loop end to end ([[graft.streaming
+    * .TxChangeStream]] → [[graft.operators.IncrementalDedup
+    * .newAgainstCorpus]]): corpus v0 serves while two appends land;
+    * the change stream (startingVersion = 1, AvailableNow) delivers
+    * ONLY the appended rows, which then dedup EXACTLY against the v0
+    * corpus (Bloom prefilter + confirm join — no false positives in
+    * the answer). This is the incremental-ingest composition a 100 TB
+    * pipeline runs continuously: subscribe to the table's delta,
+    * admit only novel content. Full oracle: commit routing AND the
+    * text anti-join restate in SQL.
+    */
+  val cdcDedupGate: QueryDef = QueryDef(
+    "pipeline_cdc_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdcdedup-").toString
+      graft.sources.TxTable.create(docs.filter(col("doc_id") % 3 === 0), root)
+      graft.sources.TxTable.append(docs.filter(col("doc_id") % 3 === 1), root)
+      graft.sources.TxTable.append(docs.filter(col("doc_id") % 3 === 2), root)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cdcdedup-ckpt-").toString
+      val sink = "cdcdedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.TxTable
+        .readChangeStream(s, root, startingVersion = 1L)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val incoming = s.table(sink)
+        .select(col("doc_id"), col("text"), col("_commit_version"))
+      val corpus = graft.sources.TxTable.readVersion(s, root, 0L)
+      graft.operators.IncrementalDedup
+        .newAgainstCorpus(incoming, corpus, col("text"))
+        .select(col("doc_id"), col("_commit_version"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT d.doc_id, d.doc_id % 3 AS "_commit_version"
+        |FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND d.text NOT IN
+        |    (SELECT text FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY d.doc_id""".stripMargin))
+
   /** Avro round trip ([[graft.sources.AvroIo]]) — the Kafka-side
     * interchange format, written as container part files (deflate
     * blocks, writer schema embedded) and read back with the frame's
@@ -7285,7 +7407,7 @@ object IoQueries extends QueryGroup {
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
-      txtableChanges, txChangeStreamGate, profileDrift,
+      txtableChanges, txChangeStreamGate, cdcDedupGate, profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)

@@ -157,6 +157,95 @@ object AvroIo {
     case _ => v.asInstanceOf[AnyRef] // boolean/int/long/float/double/string
   }
 
+  /** Streaming read of an Avro drop directory — the continuous-ingest
+    * shape shared with [[Warc.readStream]]/[[Jsonl.readStream]]: new
+    * `.avro` container files land, each micro-batch admits up to
+    * `maxFilesPerTrigger` whole containers (`binaryFile` source — the
+    * FILE is the unit here, matching [[read]]'s split contract), and
+    * the bytes decode through `DataFileStream` against the SAME reader
+    * schema as the batch face. Always audited: a torn container
+    * becomes a `_corrupt` row — FAILFAST inside a stream would wedge
+    * the query on one bad file.
+    */
+  def readStream(
+      spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    val readerJson = avroSchema(schema).toString
+    val n = schema.length
+    val out = StructType(schema.fields.map(_.copy(nullable = true)))
+      .add("_corrupt", StringType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(out)
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("binaryFile")
+      .schema(StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.avro")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap({ fb: (String, Array[Byte]) =>
+        val (file, bytes) = fb
+        try {
+          val rs = new Schema.Parser().parse(readerJson)
+          val stream = new org.apache.avro.file.DataFileStream[GenericRecord](
+            new java.io.ByteArrayInputStream(bytes),
+            new GenericDatumReader[GenericRecord](null, rs))
+          streamRows(stream, file, schema, n)
+        } catch {
+          case e: Exception =>
+            Iterator.single(Row.fromSeq(
+              Seq.fill[Any](n)(null) :+ s"$file: ${e.getMessage}"))
+        }
+      })(enc)
+      .toDF()
+  }
+
+  private def streamRows(
+      stream: org.apache.avro.file.DataFileStream[GenericRecord],
+      file: String, schema: StructType, n: Int): Iterator[Row] =
+    new Iterator[Row] {
+      private var broken: String = null
+      private var done = false
+      override def hasNext: Boolean = {
+        if (done) false
+        else if (broken != null) true
+        else try {
+          val h = stream.hasNext
+          if (!h) { stream.close(); done = true }
+          h
+        } catch {
+          case e: Exception =>
+            broken = s"$file: ${e.getMessage}"
+            try stream.close() catch { case _: Exception => () }
+            true
+        }
+      }
+      override def next(): Row = {
+        if (broken != null) {
+          val msg = broken; broken = null; done = true
+          Row.fromSeq(Seq.fill[Any](n)(null) :+ msg)
+        } else {
+          val rec =
+            try stream.next()
+            catch {
+              case e: Exception =>
+                done = true
+                try stream.close() catch { case _: Exception => () }
+                return Row.fromSeq(
+                  Seq.fill[Any](n)(null) :+ s"$file: ${e.getMessage}")
+            }
+          Row.fromSeq(
+            schema.fields.indices.map(i =>
+              fromAvroValue(rec.get(i), schema.fields(i).dataType)) :+
+              null.asInstanceOf[Any])
+        }
+      }
+    }
+
   private val written = new graft.operators.LruCache[String, String](64)
 
   /** Round-trip helper (the [[Orc.roundTrip]] pattern): written once

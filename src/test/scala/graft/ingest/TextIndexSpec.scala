@@ -86,8 +86,11 @@ class TextIndexSpec extends SparkSpec {
       .select("dl", "tf").as[(Long, Long)].head()
     assert(r === ((6L, 3L)))
     val st = spark.read.parquet(s"$path/_stats")
-      .as[(Long, Double)].head()
+      .as[(Long, Long)].head()
     assert(st._1 === 6L) // termless doc 5 included in N
+    // Σdl: 5 + 6 + 6 + 6 + 1 + 5 = 29 (trim-split counts the empty
+    // token of the blank doc)
+    assert(st._2 === 29L)
   }
 
   test("single-term query; term absent from the corpus is empty") {
@@ -97,6 +100,28 @@ class TextIndexSpec extends SparkSpec {
     val none = TextIndex.bm25Indexed(spark, path, Seq("zzzmissing"),
       termBuckets = 16)
     assert(none.count() === 0L)
+  }
+
+  test("appendBm25: probe after append ≡ Bm25.score on the union corpus") {
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 === 1)
+    val p = TextIndex.writeBm25(half1, "doc_id", "text",
+      Files.createTempDirectory("graft-bm25-app-").toString,
+      termBuckets = 16)
+    val added = TextIndex.appendBm25(half2, "doc_id", "text", p,
+      termBuckets = 16)
+    assert(added > 0L)
+    val terms = Seq("spark", "vector", "customer")
+    val direct = scored(Bm25.score(docs, "text", "doc_id", terms))
+    val indexed = scored(TextIndex.bm25Indexed(spark, p, terms,
+      termBuckets = 16))
+    assert(indexed.keySet === direct.keySet)
+    for ((id, s) <- direct)
+      assert(math.abs(indexed(id) - s) < 1e-9,
+        s"doc $id after append: $s vs ${indexed(id)}")
+    // exact integer stats merged: N and Σdl equal the one-shot build
+    val st = spark.read.parquet(s"$p/_stats").as[(Long, Long)].head()
+    assert(st === ((6L, 29L)))
   }
 
   test("termBucketsOf recovers the build fan-out") {

@@ -69,6 +69,36 @@ class HyperBallSpec extends SparkSpec {
     assert(e1(2) > e1(1))
   }
 
+  test("exact harmonic centrality on the hand path graph " +
+    "(all-integer L/d sums)") {
+    // L = lcm(1..3) = 6; path 1-2-3-4-5: ends 6+3+2=11, next 12+3+2=17,
+    // middle 12+6=18; isolated pair: 6 each
+    val h = GraphMetrics.harmonicScaled(pathEdges, "a", "b", maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(h === Map(1L -> 11L, 2L -> 17L, 3L -> 18L, 4L -> 17L,
+      5L -> 11L, 10L -> 6L, 11L -> 6L))
+  }
+
+  test("HyperBall harmonic estimate tracks the exact values within " +
+    "HLL error and is deterministic") {
+    val clique = (for { i <- 1L to 10L; j <- (i + 1) to 10L } yield (i, j))
+      .toDF("a", "b")
+    val exactH = GraphMetrics.harmonicScaled(clique, "a", "b", maxDepth = 3)
+      .as[(Long, Long)].collect().toMap // all 9 neighbors at d=1: 9·6=54
+    assert(exactH.values.toSet === Set(54L))
+    val est = HyperBall.harmonicEstimate(clique, "a", "b", maxDepth = 3,
+      m = 64).as[(Long, Long)].collect().toMap
+    assert(est.keySet === exactH.keySet)
+    // h_fp scale: micro × lcm(1..3) = 1e6 × 6
+    for ((n, fp) <- est) {
+      val h = fp.toDouble / 6e6
+      assert(math.abs(h - 9.0) / 9.0 < 0.4, s"node $n: $h vs 9")
+    }
+    val est2 = HyperBall.harmonicEstimate(clique.repartition(5), "a", "b",
+      maxDepth = 3, m = 64).as[(Long, Long)].collect().toMap
+    assert(est === est2)
+  }
+
   test("effective diameter: clique hits q=0.9 at t=1, path needs more") {
     val clique = (for { i <- 1L to 6L; j <- (i + 1) to 6L } yield (i, j))
       .toDF("a", "b")

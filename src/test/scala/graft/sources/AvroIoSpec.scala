@@ -105,6 +105,50 @@ class AvroIoSpec extends SparkSpec {
     assert(back.count() === 10L)
   }
 
+  test("readStream: drop-dir containers decode incrementally, torn " +
+    "file quarantined, batch face agrees") {
+    val drop = tmp()
+    val wave1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val stage = tmp()
+    AvroIo.write(wave1, stage)
+    // move wave-1 parts into the drop dir before the stream starts
+    val dropP = java.nio.file.Paths.get(drop)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".avro")).zipWithIndex
+      .foreach { case (f, i) =>
+        Files.move(f.toPath, dropP.resolve(s"w1-$i.avro"))
+      }
+    Files.write(dropP.resolve("torn.avro"), "garbage".getBytes)
+    val ckpt = tmp()
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Option[Long], String)]
+    val q = AvroIo.readStream(spark, drop, wave1.schema)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            if (r.isNullAt(2)) "ok" else r.getString(2)))
+        got.synchronized { got ++= rows }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // wave 2 lands mid-stream
+      val stage2 = tmp()
+      AvroIo.write(Seq((3L, "c")).toDF("id", "s"), stage2)
+      new java.io.File(stage2).listFiles()
+        .filter(_.getName.endsWith(".avro")).zipWithIndex
+        .foreach { case (f, i) =>
+          Files.move(f.toPath, dropP.resolve(s"w2-$i.avro"))
+        }
+      q.processAllAvailable()
+    } finally q.stop()
+    val ok = got.filter(_._2 == "ok").flatMap(_._1).sorted
+    assert(ok === Seq(1L, 2L, 3L))
+    val corrupt = got.filterNot(_._2 == "ok")
+    assert(corrupt.size === 1 && corrupt.head._2.contains("torn.avro"))
+  }
+
   test("illegal column name and unsupported type are explicit errors") {
     intercept[IllegalArgumentException] {
       AvroIo.avroSchema(StructType(Seq(StructField("bad name", LongType))))

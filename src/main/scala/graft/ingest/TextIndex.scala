@@ -116,6 +116,72 @@ object TextIndex {
     appended
   }
 
+  /** Materialize the POSITIONAL layout under `path/positions`: one
+    * row per token occurrence (doc_id, pos, term), term-bucket
+    * partitioned like the postings — the phrase-query face a search
+    * stack adds beside BM25 (positions keep the ORIGINAL token index,
+    * empties included, so adjacency is literal adjacency in the
+    * normalized text). ~token-count rows, but a probe reads only the
+    * phrase terms' buckets.
+    */
+  def writePositions(
+      docs: DataFrame, idCol: String, textCol: String,
+      path: String, termBuckets: Int = 64): String = {
+    require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    docs.select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("tb", pmod(hash(col("term")), lit(termBuckets)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/positions")
+    path
+  }
+
+  /** Exact phrase retrieval over the positional layout: documents
+    * containing `phrase` as CONSECUTIVE tokens, with the occurrence
+    * count. Each phrase slot i anchors at (doc, pos − i); an n-term
+    * phrase is n−1 equi-joins on (doc_id, anchor) — all inputs
+    * partition-pruned to the phrase's term buckets, join keys
+    * posting-scale, never corpus-scale. Duplicate terms in the phrase
+    * are handled naturally (each slot filters independently).
+    */
+  def phraseDocs(
+      spark: SparkSession, path: String, phrase: Seq[String],
+      termBuckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val tbs = bucketsFor(spark, phrase.distinct, termBuckets)
+    val pruned = spark.read.parquet(s"$path/positions")
+      .filter(col("tb").isin(tbs: _*) &&
+        col("term").isin(phrase.distinct: _*))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      pruned.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Conjunctive (AND) retrieval over the BM25 postings: documents
+    * containing EVERY query term, with the summed term frequency —
+    * the boolean-retrieval face beside the ranked one. One pruned
+    * scan, one per-doc aggregate; `distinct-term count = |terms|`
+    * is the containment test (postings are (doc, term)-unique).
+    */
+  def conjunctiveDocs(
+      spark: SparkSession, path: String, terms: Seq[String],
+      termBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    require(terms.toSet.size == terms.size, s"duplicate query terms: $terms")
+    val tbs = bucketsFor(spark, terms, termBuckets)
+    spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_nt"), sum("tf").as("tf_total"))
+      .filter(col("_nt") === terms.size)
+      .select(col("doc_id"), col("tf_total"))
+  }
+
   /** The bucket a term routes to — evaluated through Spark's own
     * `hash` expression (one driver-local row; the probe's pruning
     * predicate must use the exact build-time hash).

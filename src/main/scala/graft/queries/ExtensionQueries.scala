@@ -3717,6 +3717,70 @@ object TextQueries extends QueryGroup {
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin))
 
+  private val positionalIndexes =
+    new graft.operators.LruCache[String, String](8)
+
+  private def positionalIndexFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    positionalIndexes.getOrElseUpdate(dir) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-textpos/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ingest.TextIndex.writePositions(
+        Tables(s, dir).documents, "doc_id", "text", p)
+    }
+
+  /** Exact phrase retrieval ([[graft.ingest.TextIndex.phraseDocs]])
+    * over the positional layout: "spark vector" as consecutive
+    * tokens, occurrence-counted — slot i anchors at pos − i, one
+    * (doc, anchor) equi-join per extra term, inputs partition-pruned
+    * to the phrase terms' buckets. Full oracle: DuckDB replays
+    * adjacency by 1-based list indexing over the same split.
+    */
+  val indexPhrase: QueryDef = QueryDef(
+    "text_index_phrase",
+    (s, dir) =>
+      graft.ingest.TextIndex.phraseDocs(s, positionalIndexFor(s, dir),
+          Seq("spark", "vector"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH lst AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents),
+        |m AS (SELECT doc_id FROM lst, unnest(range(1, len(l))) t(i)
+        |      WHERE l[i] = 'spark' AND l[i+1] = 'vector')
+        |SELECT doc_id, count(*)::BIGINT AS n_matches
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Conjunctive (AND) retrieval ([[graft.ingest.TextIndex
+    * .conjunctiveDocs]]): documents containing EVERY query term, with
+    * summed tf — one pruned postings scan + one per-doc aggregate,
+    * the boolean face beside the ranked `text_bm25_indexed`.
+    */
+  val indexConjunctive: QueryDef = QueryDef(
+    "text_index_conjunctive",
+    (s, dir) =>
+      graft.ingest.TextIndex.conjunctiveDocs(s,
+          bm25Indexes.getOrElseUpdate(dir) {
+            val p = s"${System.getProperty("java.io.tmpdir")}/graft-bm25/" +
+              dir.replaceAll("[^A-Za-z0-9.]", "_")
+            graft.ingest.TextIndex.writeBm25(
+              Tables(s, dir).documents, "doc_id", "text", p)
+          },
+          Seq("spark", "vector", "customer"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents))
+        |SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS tf_total
+        |FROM pd WHERE tf0 > 0 AND tf1 > 0 AND tf2 > 0
+        |ORDER BY doc_id""".stripMargin))
+
   private val bm25AppendIndexes =
     new graft.operators.LruCache[String, String](8)
 
@@ -4852,7 +4916,8 @@ object TextQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25,
-      bm25Indexed, bm25IndexAppend, bpeEncode,
+      bm25Indexed, bm25IndexAppend, indexPhrase, indexConjunctive,
+      bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,

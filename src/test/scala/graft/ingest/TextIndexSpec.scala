@@ -124,6 +124,42 @@ class TextIndexSpec extends SparkSpec {
     assert(st === ((6L, 29L)))
   }
 
+  test("phraseDocs: consecutive tokens only, occurrences counted, " +
+    "duplicate-term phrases work") {
+    val pdocs = Seq(
+      (1L, "spark vector search and spark vector again"),
+      (2L, "spark search vector"), // not adjacent
+      (3L, "vector spark"), // wrong order
+      (4L, "a spark vector"),
+      (5L, "go go go")).toDF("doc_id", "text")
+    val p = TextIndex.writePositions(pdocs, "doc_id", "text",
+      Files.createTempDirectory("graft-pos-spec-").toString,
+      termBuckets = 16)
+    val hits = TextIndex.phraseDocs(spark, p, Seq("spark", "vector"),
+      termBuckets = 16).as[(Long, Long)].collect().toMap
+    assert(hits === Map(1L -> 2L, 4L -> 1L))
+    // duplicate-term phrase: "go go" matches twice in "go go go"
+    val dup = TextIndex.phraseDocs(spark, p, Seq("go", "go"),
+      termBuckets = 16).as[(Long, Long)].collect().toMap
+    assert(dup === Map(5L -> 2L))
+    // single-term phrase degenerates to term occurrences
+    val one = TextIndex.phraseDocs(spark, p, Seq("spark"),
+      termBuckets = 16).as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("conjunctiveDocs: AND semantics with summed tf") {
+    val got = TextIndex.conjunctiveDocs(spark, path,
+      Seq("spark", "customer"), termBuckets = 16)
+      .as[(Long, Long)].collect().toMap
+    // docs containing BOTH: doc2 (3+1), doc6 (1+1)
+    assert(got === Map(2L -> 4L, 6L -> 2L))
+    val all3 = TextIndex.conjunctiveDocs(spark, path,
+      Seq("spark", "vector", "customer"), termBuckets = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(all3 === Map(6L -> 3L))
+  }
+
   test("termBucketsOf recovers the build fan-out") {
     assert(TextIndex.termBucketsOf(spark, path) <= 16)
     intercept[IllegalArgumentException] {

@@ -116,6 +116,53 @@ object TextIndex {
     appended
   }
 
+  /** Batched multi-query BM25: score every query of `queries`
+    * (qid → its term set) in ONE pruned postings scan — the
+    * query-batch serving shape ([[graft.ingest.AnnIndex.ivfTopKBatch]]'s
+    * contract for the lexical side). The scan prunes to the UNION of
+    * all queries' buckets; per-term df comes from that scan (full df —
+    * pruning is by term, not by doc); the (qid, term) routing frame is
+    * query-batch-bounded and broadcasts. Result (qid, doc_id, bm25) is
+    * row-identical to running [[bm25Indexed]] per query.
+    */
+  def bm25IndexedBatch(
+      spark: SparkSession, path: String,
+      queries: Seq[(String, Seq[String])],
+      termBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query required")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty, s"query '$q' has no terms")
+      require(ts.toSet.size == ts.size, s"query '$q' has duplicate terms: $ts")
+    }
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val tbs = bucketsFor(spark, allTerms, termBuckets)
+    val cand = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(allTerms: _*))
+    val dfs = cand.groupBy("term").agg(count(lit(1)).as("_df"))
+    val stats = spark.read.parquet(s"$path/_stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val routing = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("_df").cast("double") + lit(0.5)) /
+        (col("_df").cast("double") + lit(0.5)))
+    val contrib = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / col("avgdl")))
+    cand
+      .join(broadcast(routing), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), contrib.as("_c"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("_c")).as("bm25"))
+  }
+
   /** Materialize the POSITIONAL layout under `path/positions`: one
     * row per token occurrence (doc_id, pos, term), term-bucket
     * partitioned like the postings — the phrase-query face a search

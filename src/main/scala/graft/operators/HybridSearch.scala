@@ -64,4 +64,52 @@ object HybridSearch {
       .select(col(docIdCol), round(col("_rrf"), 6).as("rrf"),
         col("lex_rank"), col("vec_rank"))
   }
+
+  /** [[rrfFusion]] served ENTIRELY FROM PERSISTED INDEXES — the
+    * production retrieval stack: the lexical pool probes the
+    * [[graft.ingest.TextIndex]] BM25 layout (partition-pruned to the
+    * query terms' buckets, row-identical to [[Bm25.score]]) and the
+    * vector pool probes the [[graft.ingest.AnnIndex]] IVF layout
+    * (probe-all = exact, or pruned for the approximate serving path).
+    * With `nProbes` = the index's centroid count the result is
+    * row-identical to [[rrfFusion]] — same pools, same rounded ranks,
+    * same fusion — but NEITHER side rescans the corpus: a query
+    * touches ~|terms|/termBuckets of the postings and
+    * nProbes/numCentroids of the vectors. That difference is the
+    * whole point at 100 TB: retrieval cost is index-probe-bounded,
+    * not corpus-bounded.
+    */
+  def rrfFusionIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      textIndexPath: String, annIndexPath: String,
+      terms: Seq[String], queryVec: Array[Double], excludeId: Long,
+      k: Int, poolSize: Int = 100, rrfK: Int = 60,
+      termBuckets: Int = 64, nProbes: Int = 16): DataFrame = {
+    val lexPool = graft.ingest.TextIndex
+      .bm25Indexed(spark, textIndexPath, terms, termBuckets)
+      .select(col("doc_id").cast("long").as("_lex_id"),
+        round(col("bm25"), 4).as("_lex_score"))
+      .orderBy(col("_lex_score").desc, col("_lex_id"))
+      .limit(poolSize)
+    val lex = lexPool.withColumn("lex_rank",
+      row_number().over(
+        Window.orderBy(col("_lex_score").desc, col("_lex_id"))))
+    val vecPool = graft.ingest.AnnIndex
+      .ivfTopK(spark, annIndexPath, "vec_id", "embedding", queryVec,
+        k = poolSize, nProbes = nProbes, excludeId = Some(excludeId))
+      .select(col("vec_id").cast("long").as("_vec_id"), col("sim"))
+    val vec = vecPool.withColumn("vec_rank",
+      row_number().over(Window.orderBy(col("sim").desc, col("_vec_id"))))
+    lex.join(vec, col("_lex_id") === col("_vec_id"), "full_outer")
+      .select(
+        coalesce(col("_lex_id"), col("_vec_id")).as("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+          .as("_rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(round(col("_rrf"), 6).desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("_rrf"), 6).as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
 }

@@ -1158,6 +1158,31 @@ object SimilarityQueries extends QueryGroup {
         |SELECT doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** [[graft.operators.HybridSearch.rrfFusionIndexed]]: the SAME
+    * fused retrieval as `sim_hybrid_rrf` but served ENTIRELY from
+    * persisted layouts — BM25 pool from the term-bucket postings
+    * ([[graft.ingest.TextIndex]]), cosine pool from the IVF index
+    * probing ALL cells (probe-all = exact) — under the SAME oracle:
+    * the production stack must return byte-identical results to the
+    * in-plan composition while touching index-probe bytes, not the
+    * corpus.
+    */
+  val hybridIndexed: QueryDef = QueryDef(
+    "sim_hybrid_indexed",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val textIdx = TextQueries.bm25IndexFor(s, dir)
+      val annIdx = graft.ingest.AnnIndex.ivfIndexFor(
+        emb, "vec_id", "embedding", tag, numCentroids = 16)
+      graft.operators.HybridSearch.rrfFusionIndexed(
+        s, textIdx, annIdx,
+        Seq("spark", "vector", "customer"),
+        graft.ingest.AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        excludeId = 0L, k = 20, nProbes = 16)
+    },
+    hybridRrf.oracle)
+
   /** External clustering evaluation
     * ([[graft.operators.Similarity.clusterAgreement]]): NMI between the
     * nearest-centroid assignment and the true labels — 294/500 vectors
@@ -1753,7 +1778,8 @@ object SimilarityQueries extends QueryGroup {
       kmeans,
       annIvfPqExact,
       normalize, randomProjection, randomProjectionExact, meanPool,
-      centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, quantizeInt8,
+      centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, hybridIndexed,
+      quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
@@ -3666,6 +3692,18 @@ object TextQueries extends QueryGroup {
   private val bm25Indexes =
     new graft.operators.LruCache[String, String](8)
 
+  /** Build-once registry for the persisted BM25 layout of a corpus dir
+    * (shared by the ranked, boolean, batch, and hybrid probes).
+    */
+  def bm25IndexFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bm25Indexes.getOrElseUpdate(dir) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-bm25/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ingest.TextIndex.writeBm25(
+        Tables(s, dir).documents, "doc_id", "text", p)
+    }
+
   /** BM25 against the PERSISTED inverted index
     * ([[graft.ingest.TextIndex]]): postings partitioned by term
     * bucket, probe = partition-pruned bucket read + term-bounded df
@@ -3676,18 +3714,11 @@ object TextQueries extends QueryGroup {
     */
   val bm25Indexed: QueryDef = QueryDef(
     "text_bm25_indexed",
-    (s, dir) => {
-      val path = bm25Indexes.getOrElseUpdate(dir) {
-        val p = s"${System.getProperty("java.io.tmpdir")}/graft-bm25/" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
-        graft.ingest.TextIndex.writeBm25(
-          Tables(s, dir).documents, "doc_id", "text", p)
-      }
-      graft.ingest.TextIndex.bm25Indexed(s, path,
+    (s, dir) =>
+      graft.ingest.TextIndex.bm25Indexed(s, bm25IndexFor(s, dir),
           Seq("spark", "vector", "customer"))
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(
       """WITH pd AS (
         |  SELECT doc_id, len(ws) AS dl,
@@ -3759,13 +3790,7 @@ object TextQueries extends QueryGroup {
   val indexConjunctive: QueryDef = QueryDef(
     "text_index_conjunctive",
     (s, dir) =>
-      graft.ingest.TextIndex.conjunctiveDocs(s,
-          bm25Indexes.getOrElseUpdate(dir) {
-            val p = s"${System.getProperty("java.io.tmpdir")}/graft-bm25/" +
-              dir.replaceAll("[^A-Za-z0-9.]", "_")
-            graft.ingest.TextIndex.writeBm25(
-              Tables(s, dir).documents, "doc_id", "text", p)
-          },
+      graft.ingest.TextIndex.conjunctiveDocs(s, bm25IndexFor(s, dir),
           Seq("spark", "vector", "customer"))
         .orderBy("doc_id"),
     Some(
@@ -3780,6 +3805,59 @@ object TextQueries extends QueryGroup {
         |SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS tf_total
         |FROM pd WHERE tf0 > 0 AND tf1 > 0 AND tf2 > 0
         |ORDER BY doc_id""".stripMargin))
+
+  /** Batched multi-query BM25 ([[graft.ingest.TextIndex
+    * .bm25IndexedBatch]]): two queries score in ONE pruned postings
+    * scan (union of their buckets), the (qid, term) routing frame
+    * broadcast — row-identical to per-query probes. Full oracle: the
+    * per-term arithmetic restates per query and unions.
+    */
+  val bm25BatchIndexed: QueryDef = QueryDef(
+    "text_bm25_batch_indexed",
+    (s, dir) =>
+      graft.ingest.TextIndex.bm25IndexedBatch(s, bm25IndexFor(s, dir),
+          Seq("qa" -> Seq("spark", "vector"),
+            "qb" -> Seq("customer", "table")))
+        .select(col("qid"), col("doc_id"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy("qid", "doc_id"),
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tfa0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tfa1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tfb0,
+        |    len(list_filter(ws, w -> w = 'table')) AS tfb1
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents)),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tfa0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfa0,
+        |         sum(CASE WHEN tfa1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfa1,
+        |         sum(CASE WHEN tfb0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfb0,
+        |         sum(CASE WHEN tfb1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfb1
+        |       FROM pd),
+        |qa AS (SELECT 'qa' AS qid, doc_id, round(
+        |    (CASE WHEN tfa0 > 0 THEN ln(1 + (n - dfa0 + 0.5) / (dfa0 + 0.5))
+        |      * tfa0::DOUBLE * (1.2 + 1.0) / (tfa0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tfa1 > 0 THEN ln(1 + (n - dfa1 + 0.5) / (dfa1 + 0.5))
+        |      * tfa1::DOUBLE * (1.2 + 1.0) / (tfa1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |  FROM pd CROSS JOIN st WHERE tfa0 > 0 OR tfa1 > 0),
+        |qb AS (SELECT 'qb' AS qid, doc_id, round(
+        |    (CASE WHEN tfb0 > 0 THEN ln(1 + (n - dfb0 + 0.5) / (dfb0 + 0.5))
+        |      * tfb0::DOUBLE * (1.2 + 1.0) / (tfb0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tfb1 > 0 THEN ln(1 + (n - dfb1 + 0.5) / (dfb1 + 0.5))
+        |      * tfb1::DOUBLE * (1.2 + 1.0) / (tfb1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |  FROM pd CROSS JOIN st WHERE tfb0 > 0 OR tfb1 > 0)
+        |SELECT qid, doc_id, bm25
+        |FROM (SELECT * FROM qa UNION ALL SELECT * FROM qb)
+        |ORDER BY qid, doc_id""".stripMargin))
 
   private val bm25AppendIndexes =
     new graft.operators.LruCache[String, String](8)
@@ -4917,7 +4995,7 @@ object TextQueries extends QueryGroup {
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25,
       bm25Indexed, bm25IndexAppend, indexPhrase, indexConjunctive,
-      bpeEncode,
+      bm25BatchIndexed, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,

@@ -160,6 +160,28 @@ class TextIndexSpec extends SparkSpec {
     assert(all3 === Map(6L -> 3L))
   }
 
+  test("bm25IndexedBatch ≡ per-query bm25Indexed, one scan") {
+    val queries = Seq(
+      "qa" -> Seq("spark", "vector"),
+      "qb" -> Seq("customer", "plain"))
+    val batch = TextIndex.bm25IndexedBatch(spark, path, queries,
+      termBuckets = 16)
+      .select(col("qid"), col("doc_id"), round(col("bm25"), 9).as("b"))
+      .as[(String, Long, Double)].collect()
+      .map { case (q2, id, s2) => (q2, id) -> s2 }.toMap
+    val single = queries.flatMap { case (q2, ts) =>
+      TextIndex.bm25Indexed(spark, path, ts, termBuckets = 16)
+        .select(col("doc_id"), round(col("bm25"), 9).as("b"))
+        .as[(Long, Double)].collect()
+        .map { case (id, s2) => (q2, id) -> s2 }
+    }.toMap
+    assert(batch.keySet === single.keySet)
+    for ((k2, v) <- single)
+      assert(math.abs(batch(k2) - v) < 1e-9, s"$k2: $v vs ${batch(k2)}")
+    assert(queries.flatMap(_._2).contains("plain")) // qb hits doc 3 only
+    assert(batch.keySet.filter(_._1 == "qb").map(_._2) === Set(2L, 3L, 4L, 6L))
+  }
+
   test("termBucketsOf recovers the build fan-out") {
     assert(TextIndex.termBucketsOf(spark, path) <= 16)
     intercept[IllegalArgumentException] {

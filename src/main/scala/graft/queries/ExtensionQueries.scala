@@ -6684,6 +6684,43 @@ object IoQueries extends QueryGroup {
         |SELECT canonical, min(doc_id) AS survivor, count(*) AS n_variants
         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin))
 
+  private val bloomLayouts =
+    new graft.operators.LruCache[String, String](8)
+
+  /** Per-file Bloom skipping ([[graft.ingest.FileBloomIndex]]): an
+    * 8-file hash layout of `documents` gets a Bloom sidecar on
+    * doc_id; three point lookups (two hits, one miss) run through the
+    * index — each opens only the files whose filter might contain the
+    * key (FileBloomIndexSpec asserts ≤3 of 8) and the row predicate
+    * keeps the answer exact, so the gate is full-oracle. The
+    * non-cluster-column complement of TxTable's manifest min/max
+    * skipping.
+    */
+  val bloomSkipping: QueryDef = QueryDef(
+    "io_bloom_skipping",
+    (s, dir) => {
+      val p = bloomLayouts.getOrElseUpdate(dir) {
+        val t = s"${System.getProperty("java.io.tmpdir")}/graft-bloomidx/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Tables(s, dir).documents
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(t)
+        graft.ingest.FileBloomIndex.write(s, t, "doc_id",
+          expectedPerFile = 200000L)
+        t
+      }
+      Seq(123L, 321L, 99999999L)
+        .map(id => graft.ingest.FileBloomIndex.lookup(s, p, "doc_id", id)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars")))
+        .reduce(_ unionByName _)
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (123, 321, 99999999)
+        |ORDER BY doc_id""".stripMargin))
+
   /** TxTable streaming change feed ([[graft.streaming.TxChangeStream]]
     * via [[graft.sources.TxTable.readChangeStream]]): three commits
     * land in a fresh TxTable (create + two appends, event_id % 3 per
@@ -7546,7 +7583,7 @@ object IoQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      avroRoundTrip,
+      avroRoundTrip, bloomSkipping,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

@@ -6721,6 +6721,32 @@ object IoQueries extends QueryGroup {
         |WHERE doc_id IN (123, 321, 99999999)
         |ORDER BY doc_id""".stripMargin))
 
+  /** Merge-on-read delete ([[graft.sources.TxTable.deleteWhere]]):
+    * deletion vectors — the predicate's row POSITIONS persist under
+    * the manifest's `dv/` namespace and readers anti-join them, so
+    * the delete rewrites ZERO data bytes (TxTableDvSpec asserts the
+    * data file set is untouched); a later append carries the DVs
+    * forward. Full oracle: create wave (event_id % 3 < 2) loses its
+    * clicks, the appended wave keeps everything.
+    */
+  val txDeleteDv: QueryDef = QueryDef(
+    "io_tx_delete_dv",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txdv-").toString
+      graft.sources.TxTable.create(ev.filter(col("event_id") % 3 < 2), root)
+      graft.sources.TxTable.deleteWhere(s, root,
+        col("event_type") === "click")
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 2), root)
+      graft.sources.TxTable.read(s, root).orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id % 3 = 2 OR event_type <> 'click'
+        |ORDER BY event_id""".stripMargin))
+
   /** TxTable streaming change feed ([[graft.streaming.TxChangeStream]]
     * via [[graft.sources.TxTable.readChangeStream]]): three commits
     * land in a fresh TxTable (create + two appends, event_id % 3 per
@@ -7583,7 +7609,7 @@ object IoQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      avroRoundTrip, bloomSkipping,
+      avroRoundTrip, bloomSkipping, txDeleteDv,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

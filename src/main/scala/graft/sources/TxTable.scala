@@ -86,7 +86,8 @@ object TxTable {
       version: Long, files: Seq[String],
       stats: Map[String, Seq[(Long, Long)]],
       headers: Map[String, String],
-      indexFiles: Map[String, Seq[String]] = Map.empty) {
+      indexFiles: Map[String, Seq[String]] = Map.empty,
+      dvFiles: Seq[String] = Seq.empty) {
     /** Declared cluster columns: empty (unclustered), one (range
       * clustering), or two (z-order clustering — both columns carry
       * file stats, so range predicates on EITHER prune files).
@@ -146,7 +147,10 @@ object TxTable {
     // `cell=K`-style segments from partitioned layouts)
     val (fileLines, rest) =
       lines.drop(1).partition(_.startsWith("data/"))
-    val (indexLines, headerLines) = rest.partition(_.startsWith("index/"))
+    val (indexLines, rest2) = rest.partition(_.startsWith("index/"))
+    // deletion-vector namespace: position files of MERGE-ON-READ
+    // deletes (see [[deleteWhere]]) — no stats, carried verbatim
+    val (dvEntryLines, headerLines) = rest2.partition(_.startsWith("dv/"))
     val headers = headerLines.map { l =>
       val i = l.indexOf('=')
       require(i > 0, s"malformed manifest header '$l' in $p")
@@ -165,7 +169,8 @@ object TxTable {
           case Seq(mn, mx) => (mn.toLong, mx.toLong)
         }.toSeq
     }.toMap
-    Snapshot(version, files, stats, headers, indexFiles)
+    Snapshot(version, files, stats, headers, indexFiles,
+      dvEntryLines.map(_.split("\t").head))
   }
 
   def latestSnapshot(spark: SparkSession, root: String): Snapshot = {
@@ -184,7 +189,7 @@ object TxTable {
   /** Time travel: the table exactly as of `version`. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val s = snapshot(spark, root, version)
-    readFiles(spark, root, s.files)
+    readFiles(spark, root, s.files, s.dvFiles)
   }
 
   /** Change-data feed for APPEND-STYLE commits: the rows added by
@@ -224,12 +229,32 @@ object TxTable {
       spark, root, startingVersion, maxVersionsPerTrigger)
 
   private def readFiles(
-      spark: SparkSession, root: String, files: Seq[String]): DataFrame = {
+      spark: SparkSession, root: String, files: Seq[String],
+      dvFiles: Seq[String] = Seq.empty): DataFrame = {
     if (files.isEmpty)
       // an empty committed table still has a schema obligation only
       // its writer knew; surface the emptiness explicitly
       throw new IllegalStateException(s"TxTable $root: no data files")
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    val base = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    if (dvFiles.isEmpty) base
+    else {
+      // merge-on-read: anti-join the per-row (file, row_index)
+      // position against the snapshot's deletion vectors. The data
+      // file layout guarantees root-relative paths of exactly
+      // data/<commit-uuid>/<part>, so the suffix extraction is exact.
+      // DV rows for files no longer in the manifest simply never
+      // match — stale positions are dead weight vacuum collects, not
+      // a correctness hazard.
+      val cols = base.columns
+      val withPos = base.select(col("*"),
+        expr("regexp_extract(_metadata.file_path, " +
+          "'(data/[^/]+/[^/]+)$', 1)").as("_dv_f"),
+        col("_metadata.row_index").as("_dv_ri"))
+      val dv = spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+        .select(col("file").as("_dv_f"), col("row_index").as("_dv_ri"))
+      withPos.join(dv, Seq("_dv_f", "_dv_ri"), "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   /** Key-range read with FILE-LEVEL skipping on the FIRST cluster
@@ -244,7 +269,7 @@ object TxTable {
     val s = latestSnapshot(spark, root)
     val c = s.clusterCol.getOrElse(throw new IllegalArgumentException(
       s"TxTable $root has no cluster column; readRange needs one"))
-    readFiles(spark, root, prunedFiles(s, 0, lo, hi))
+    readFiles(spark, root, prunedFiles(s, 0, lo, hi), s.dvFiles)
       .filter(col(c).between(lo, hi))
   }
 
@@ -264,7 +289,7 @@ object TxTable {
       s"TxTable $root has cluster columns $cs; readBox needs exactly 2")
     val pruned = prunedFiles(s, 0, loA, hiA)
       .intersect(prunedFiles(s, 1, loB, hiB))
-    readFiles(spark, root, pruned)
+    readFiles(spark, root, pruned, s.dvFiles)
       .filter(col(cs.head).between(loA, hiA) &&
         col(cs(1)).between(loB, hiB))
   }
@@ -413,6 +438,9 @@ object TxTable {
   private def entryLines(s: Snapshot): Seq[String] =
     s.files.map(lineFor(s, _))
 
+  /** Deletion-vector lines carried verbatim (no stats). */
+  private def dvLines(s: Snapshot): Seq[String] = s.dvFiles
+
   /** The manifest lines of every pinned index (optionally excluding
     * one being rebuilt), stats carried forward verbatim.
     */
@@ -471,7 +499,8 @@ object TxTable {
         throw new CommitConflict(
           s"append at $root: index set changed since v${pre.version}")
       if (tryCommit(spark, root, cur.version + 1, cur.headers,
-          entryLines(cur) ++ indexLines(cur) ++ entries ++ idxEntries))
+          entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+            entries ++ idxEntries))
         return cur.version + 1
       attempt += 1
     }
@@ -511,7 +540,8 @@ object TxTable {
           s"addStreamingBatch at $root: index set changed since v${pre.version}")
       if (tryCommit(spark, root, cur.version + 1,
           cur.headers + (key -> batchId.toString),
-          entryLines(cur) ++ indexLines(cur) ++ entries ++ idxEntries))
+          entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+            entries ++ idxEntries))
         return Some(cur.version + 1)
       attempt += 1
     }
@@ -591,6 +621,94 @@ object TxTable {
     committed
   }
 
+  /** MERGE-ON-READ delete: rows matching `predicate` disappear from
+    * every subsequent read WITHOUT rewriting a single data byte — the
+    * deletion-vector design (Delta DVs / Iceberg position deletes,
+    * re-derived on public primitives): the matching rows' POSITIONS
+    * (root-relative file, `_metadata.row_index`) persist as parquet
+    * under `dv/<uuid>/`, the manifest lists them in the `dv/`
+    * namespace, and readers anti-join positions during the scan. At
+    * 100 TB this turns a GDPR-style delete from a table-scale rewrite
+    * ([[mergeInto]] tombstones — copy-on-write) into one predicate
+    * scan plus KB–MB of position rows.
+    *
+    * Contracts:
+    *  - cost: one DV-aware scan of the table (the predicate pushes
+    *    down normally) + one position write; read-side cost is one
+    *    anti-join against the accumulated positions until a rewrite
+    *    materializes them.
+    *  - [[mergeInto]]/[[compact]]/[[overwrite]] MATERIALIZE deletes:
+    *    they read through the DVs and rewrite survivors, so their
+    *    commits drop the `dv/` lines; [[autoCompact]] carries them
+    *    (positions of rewritten small files go stale harmlessly —
+    *    they reference file names no manifest lists).
+    *  - double deletes are no-ops: the matching scan is itself
+    *    DV-aware, so already-deleted rows can't re-match. A predicate
+    *    matching nothing commits nothing and returns the current
+    *    version.
+    *  - pinned derived indexes ([[buildIvfIndex]]) REJECT DV deletes
+    *    (the index has no position channel, so rows would survive in
+    *    the index that the corpus no longer serves — breaking the
+    *    both-or-neither pin). Tables with indexes delete through
+    *    [[mergeInto]] tombstones, which rebuild the index in-commit.
+    *  - optimistic retry like [[append]]: a lost race re-reads the
+    *    latest snapshot and re-runs the matching scan.
+    *
+    * Returns the committed version (or the current one for an empty
+    * match).
+    */
+  def deleteWhere(
+      spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 10, dvBuckets: Int = 1): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = latestSnapshot(spark, root)
+      require(indexSpecs(cur).isEmpty,
+        s"deleteWhere at $root: table has pinned indexes " +
+          s"(${indexSpecs(cur).map(_.name).mkString(",")}) — DV deletes " +
+          "would strand their rows; use mergeInto tombstones instead")
+      // DV-aware scan with positions: already-deleted rows can't match
+      val base = spark.read.parquet(cur.files.map(f => s"$root/$f"): _*)
+      val withPos = base.select(col("*"),
+        expr("regexp_extract(_metadata.file_path, " +
+          "'(data/[^/]+/[^/]+)$', 1)").as("_dv_f"),
+        col("_metadata.row_index").as("_dv_ri"))
+      val live =
+        if (cur.dvFiles.isEmpty) withPos
+        else withPos.join(
+          spark.read.parquet(cur.dvFiles.map(f => s"$root/$f"): _*)
+            .select(col("file").as("_dv_f"), col("row_index").as("_dv_ri")),
+          Seq("_dv_f", "_dv_ri"), "left_anti")
+      val hits = live.filter(predicate)
+        .select(col("_dv_f").as("file"), col("_dv_ri").as("row_index"))
+      val rel = s"dv/${UUID.randomUUID()}"
+      val dest = new Path(root, rel)
+      hits.coalesce(math.max(1, dvBuckets))
+        .write.parquet(dest.toString)
+      val f = fs(spark, dest)
+      val names = f.listStatus(dest).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .sorted
+      val n = spark.read.parquet(dest.toString).count()
+      if (n == 0) {
+        f.delete(dest, true) // nothing matched: no commit, no garbage
+        return cur.version
+      }
+      if (tryCommit(spark, root, cur.version + 1, cur.headers,
+          entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+            names.map(nm => s"$rel/$nm")))
+        return cur.version + 1
+      f.delete(dest, true) // lost the race: retry against the new tip
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitConflict(
+          s"deleteWhere at $root lost $maxRetries commit races")
+    }
+    -1L // unreachable
+  }
+
   /** Rewrite the table into `buckets` files — the small-file
     * compaction per-batch streaming commits need (every micro-batch
     * adds files; the read amortizes only if something folds them back
@@ -634,7 +752,7 @@ object TxTable {
     }
     val (small, large) = sized.partition(_._2 < smallBytes)
     if (small.size < minSmallFiles) return None
-    val smallDf = readFiles(spark, root, small.map(_._1))
+    val smallDf = readFiles(spark, root, small.map(_._1), cur.dvFiles)
     val outFiles = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val entries = writeDataFiles(smallDf, root, cur.clusterCols, outFiles)
@@ -643,7 +761,7 @@ object TxTable {
       keptLarge.contains(line.split("\t").head)
     }
     if (!tryCommit(spark, root, cur.version + 1, cur.headers,
-        keptLines ++ entries ++ indexLines(cur)))
+        keptLines ++ entries ++ indexLines(cur) ++ dvLines(cur)))
       throw new CommitConflict(
         s"autoCompact at $root: snapshot v${cur.version} went stale")
     Some(cur.version + 1)
@@ -788,7 +906,7 @@ object TxTable {
     val headers = cur.headers +
       (s"index:$name" -> s"$sidecarRel|$idCol|$vecCol")
     if (!tryCommit(spark, root, cur.version + 1, headers,
-        entryLines(cur) ++ indexLines(cur) ++ entries))
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++ entries))
       throw new CommitConflict(
         s"buildIvfIndex at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -804,7 +922,8 @@ object TxTable {
       s"no index '$name' at $root")
     if (!tryCommit(spark, root, cur.version + 1,
         cur.headers - s"index:$name",
-        entryLines(cur) ++ indexLines(cur, except = Set(name))))
+        entryLines(cur) ++ indexLines(cur, except = Set(name)) ++
+          dvLines(cur)))
       throw new CommitConflict(
         s"dropIndex at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -923,7 +1042,8 @@ object TxTable {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val keptSnaps = keep.map(v => snapshot(spark, root, v))
     val live = keptSnaps
-      .flatMap(s => s.files ++ s.indexFiles.values.flatten).toSet
+      .flatMap(s => s.files ++ s.indexFiles.values.flatten ++ s.dvFiles)
+      .toSet
     val liveSidecars = keptSnaps.flatMap(s => indexSpecs(s).map(_.sidecar)).toSet
     val f = fs(spark, new Path(root))
     val horizon = System.currentTimeMillis() - retentionMs
@@ -943,6 +1063,8 @@ object TxTable {
       }
     }
     sweepDir("data")
+    // deletion-vector dirs: same unreferenced+past-retention rule
+    sweepDir("dv")
     // pinned-index namespaces: each index/<name>/ holds data uuid dirs
     // plus centroid sidecars; a sidecar survives while ANY kept
     // manifest's header names it, data dirs by the same live-file rule

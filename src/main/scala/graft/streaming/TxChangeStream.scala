@@ -44,7 +44,10 @@ import graft.sources.TxTable
   * append-style commits (create/append/streaming batches). A
   * compaction or merge REWRITES surviving rows into new files and
   * would replay them; run those through the Merkle snapshot diff, or
-  * restart the stream from the post-compaction version.
+  * restart the stream from the post-compaction version. A
+  * [[TxTable.deleteWhere]] deletion-vector commit adds no data files
+  * (its micro-batch is empty) — row-level delete propagation is the
+  * snapshot-diff face's job, not the file-delta feed's.
   *
   * Admission control: `maxVersionsPerTrigger` paces a catch-up replay
   * version-by-version (ReadMaxFiles is reinterpreted as max VERSIONS —

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+/** Deletion-vector (merge-on-read) semantics of
+  * [[TxTable.deleteWhere]]: logical deletes without data rewrites,
+  * materialization by the copy-on-write ops, vacuum GC, and the
+  * pinned-index exclusion.
+  */
+class TxTableDvSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val root = Files.createTempDirectory("graft-dv-spec-").toString
+    val df = (1L to 40L).map(i => (i, if (i % 4 == 0) "bad" else "good"))
+      .toDF("id", "tag").repartition(4)
+    TxTable.create(df, root)
+    root
+  }
+
+  test("deleteWhere hides rows without touching data files; " +
+    "time travel still serves the pre-delete snapshot") {
+    val root = mkTable()
+    val filesBefore = TxTable.read(spark, root).inputFiles.toSet
+    val v = TxTable.deleteWhere(spark, root, col("tag") === "bad")
+    assert(v === 1L)
+    val after = TxTable.read(spark, root)
+    assert(after.count() === 30L)
+    assert(after.filter(col("tag") === "bad").count() === 0L)
+    // zero data bytes rewritten: same DATA file set; the plan's only
+    // addition is the dv/ position file the anti-join reads
+    assert(after.inputFiles.filter(_.contains("/data/")).toSet ===
+      filesBefore)
+    assert(after.inputFiles.exists(_.contains("/dv/")))
+    assert(TxTable.snapshot(spark, root, 1L).dvFiles.nonEmpty)
+    // the old version is untouched
+    assert(TxTable.readVersion(spark, root, 0L).count() === 40L)
+  }
+
+  test("double delete is a no-op; empty match commits nothing") {
+    val root = mkTable()
+    val v1 = TxTable.deleteWhere(spark, root, col("tag") === "bad")
+    val v2 = TxTable.deleteWhere(spark, root, col("tag") === "bad")
+    assert(v1 === 1L && v2 === 1L) // second matched nothing: no commit
+    assert(TxTable.versions(spark, root) === Seq(0L, 1L))
+    assert(TxTable.read(spark, root).count() === 30L)
+    val v3 = TxTable.deleteWhere(spark, root, col("id") > 1000L)
+    assert(v3 === 1L)
+  }
+
+  test("appends carry DVs: deleted rows stay hidden, new rows land") {
+    val root = mkTable()
+    TxTable.deleteWhere(spark, root, col("id") <= 10L)
+    TxTable.append(
+      (101L to 110L).map(i => (i, "new")).toDF("id", "tag"), root)
+    val got = TxTable.read(spark, root)
+    assert(got.count() === 40L) // 40 - 10 + 10
+    assert(got.agg(min("id")).head().getLong(0) === 11L)
+    assert(TxTable.latestSnapshot(spark, root).dvFiles.nonEmpty)
+  }
+
+  test("mergeInto and compact MATERIALIZE deletes (dv lines dropped, " +
+    "rows correct)") {
+    val root = mkTable()
+    TxTable.deleteWhere(spark, root, col("tag") === "bad") // 30 live
+    TxTable.mergeInto(root,
+      Seq((1L, "patched", false), (999L, "inserted", false))
+        .toDF("id", "tag", "_del"),
+      "id", Seq("tag"), "_del")
+    val s = TxTable.latestSnapshot(spark, root)
+    assert(s.dvFiles.isEmpty, "merge must materialize DVs")
+    val rows = TxTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(rows.size === 31) // 30 live + 1 insert
+    assert(rows(1L) === "patched" && rows(999L) === "inserted")
+    assert(!rows.contains(4L)) // deleted row did not resurrect
+    TxTable.compact(spark, root, buckets = 2)
+    assert(TxTable.latestSnapshot(spark, root).dvFiles.isEmpty)
+    assert(TxTable.read(spark, root).count() === 31L)
+  }
+
+  test("readRange respects DVs on a clustered table") {
+    val root = Files.createTempDirectory("graft-dv-range-").toString
+    TxTable.create(
+      (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v"), root,
+      clusterCol = Some("k"), buckets = 4)
+    TxTable.deleteWhere(spark, root, col("k") % 10L === 0L)
+    val got = TxTable.readRange(spark, root, 1L, 50L)
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq === (1L to 50L).filterNot(_ % 10 == 0))
+  }
+
+  test("vacuum collects dv dirs once a rewrite materialized them") {
+    val root = mkTable()
+    TxTable.deleteWhere(spark, root, col("tag") === "bad")
+    TxTable.compact(spark, root, buckets = 2) // v2: no dv refs
+    val dvDir = new java.io.File(root, "dv")
+    assert(dvDir.exists && dvDir.listFiles().nonEmpty)
+    TxTable.vacuum(spark, root, keepVersions = 1, retentionMs = 0L)
+    val left = Option(dvDir.listFiles()).map(_.length).getOrElse(0)
+    assert(left === 0, s"dv dirs not collected: $left left")
+    assert(TxTable.read(spark, root).count() === 30L)
+  }
+
+  test("pinned derived indexes reject DV deletes") {
+    val root = Files.createTempDirectory("graft-dv-idx-").toString
+    val emb = (0L to 20L).map(i =>
+      (i, Array(i.toFloat, (i % 3).toFloat))).toDF("vec_id", "embedding")
+    TxTable.create(emb, root)
+    TxTable.buildIvfIndex(spark, root, "emb", "vec_id", "embedding",
+      numCentroids = 2, buckets = 2)
+    intercept[IllegalArgumentException] {
+      TxTable.deleteWhere(spark, root, col("vec_id") === 1L)
+    }
+  }
+}

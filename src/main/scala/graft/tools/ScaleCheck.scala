@@ -1288,6 +1288,38 @@ object ScaleCheck {
           modGraph(500000L * dup), "a", "b", maxDepth = 2, m = 16))
     }
 
+    // round 13: DV delete — cost must be ONE predicate scan +
+    // position write (never a table rewrite); the post-delete read
+    // pays one anti-join against the positions
+    if (only.forall(_.exists("dv_delete".startsWith))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-dv-").toString
+      graft.sources.TxTable.create(blown, root, buckets = 32)
+      time(s"dv_delete_${dup}x", {
+        graft.sources.TxTable.deleteWhere(spark, root,
+          col("doc_id") % 10 === 0)
+        spark.range(1).toDF("ok")
+      })
+      time(s"dv_read_after_${dup}x",
+        graft.sources.TxTable.read(spark, root))
+    }
+
+    // round 13: per-file Bloom lookup — build pays one corpus scan;
+    // the LOOKUP must stay file-subset-bounded regardless of corpus
+    if (only.forall(_.exists("bloom_lookup".startsWith))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-bloomidx-").toString
+      blown.repartition(64, col("doc_id"))
+        .write.mode("overwrite").parquet(root)
+      time(s"bloom_build_${dup}x", {
+        graft.ingest.FileBloomIndex.write(spark, root, "doc_id",
+          expectedPerFile = 100000L)
+        spark.read.parquet(s"$root/_bloom_doc_id")
+      })
+      time(s"bloom_lookup_${dup}x",
+        graft.ingest.FileBloomIndex.lookup(spark, root, "doc_id", 123L))
+    }
+
     // round 13: Avro sink+source — file-per-partition container IO;
     // cost must track bytes dup-fold, read parallelism = part files
     if (only.forall(_.exists("avro".startsWith))) {

@@ -107,6 +107,18 @@ class TxTableDvSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 30L)
   }
 
+  test("DV-free tables read without the anti-join (no plan tax)") {
+    val root = mkTable()
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Join"))
+    assert(joins(TxTable.read(spark, root)) === 0)
+    TxTable.deleteWhere(spark, root, col("tag") === "bad")
+    assert(joins(TxTable.read(spark, root)) > 0) // DV anti-join present
+    TxTable.compact(spark, root, buckets = 2) // materializes
+    assert(joins(TxTable.read(spark, root)) === 0) // tax gone again
+  }
+
   test("pinned derived indexes reject DV deletes") {
     val root = Files.createTempDirectory("graft-dv-idx-").toString
     val emb = (0L to 20L).map(i =>

@@ -6747,6 +6747,31 @@ object IoQueries extends QueryGroup {
         |WHERE event_id % 3 = 2 OR event_type <> 'click'
         |ORDER BY event_id""".stripMargin))
 
+  /** Versioned rollback ([[graft.sources.TxTable.restore]]): a bad
+    * delete rolls back as a NEW COMMIT (KB-scale manifest re-list, no
+    * data copy), then ingest continues on top — the operational
+    * recovery loop. Full oracle: the restored table equals all events
+    * (the deleted clicks came back), plus the post-restore wave.
+    */
+  val txRestore: QueryDef = QueryDef(
+    "io_tx_restore",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txrestore-").toString
+      graft.sources.TxTable.create(ev.filter(col("event_id") % 3 === 0), root)
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 1), root)
+      graft.sources.TxTable.deleteWhere(s, root,
+        col("event_type") === "click") // the mistake
+      graft.sources.TxTable.restore(s, root, toVersion = 1L) // undo it
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 2), root)
+      graft.sources.TxTable.read(s, root).orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin))
+
   /** TxTable streaming change feed ([[graft.streaming.TxChangeStream]]
     * via [[graft.sources.TxTable.readChangeStream]]): three commits
     * land in a fresh TxTable (create + two appends, event_id % 3 per
@@ -7609,7 +7634,7 @@ object IoQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      avroRoundTrip, bloomSkipping, txDeleteDv,
+      avroRoundTrip, bloomSkipping, txDeleteDv, txRestore,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

@@ -621,6 +621,47 @@ object TxTable {
     committed
   }
 
+  /** RESTORE the table to an earlier version AS A NEW COMMIT (the
+    * Delta `RESTORE` shape): version v+1 re-lists `toVersion`'s
+    * complete state — data files, stats, pinned-index lines, deletion
+    * vectors, and headers — so the rollback is itself versioned,
+    * auditable, and concurrent-safe (rename-arbitrated like every
+    * commit; a lost race means the tip moved and the caller decides
+    * against the new history). Nothing is copied: manifests reference
+    * immutable files, so restore is a KB-scale manifest write no
+    * matter the table size — but the restored files must still exist
+    * ([[vacuum]] retention gates how far back a restore can reach;
+    * the [[readVersion]] manifest check fails fast past the horizon).
+    * Returns the new version.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val cur = latestSnapshot(spark, root)
+    require(toVersion <= cur.version,
+      s"restore at $root: version $toVersion is ahead of v${cur.version}")
+    val target = snapshot(spark, root, toVersion)
+    if (!tryCommit(spark, root, cur.version + 1, target.headers,
+        entryLines(target) ++ indexLines(target) ++ dvLines(target)))
+      throw new CommitConflict(
+        s"restore at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — (version,
+    * n_files, n_index_files, n_dv_files, headers as sorted
+    * `k=v` CSV). Manifest metadata only; no data file is opened.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val s = snapshot(spark, root, v)
+      (v, s.files.size.toLong,
+        s.indexFiles.values.map(_.size).sum.toLong,
+        s.dvFiles.size.toLong,
+        s.headers.toSeq.sortBy(_._1)
+          .map { case (k, x) => s"$k=$x" }.mkString(","))
+    }.toDF("version", "n_files", "n_index_files", "n_dv_files", "headers")
+  }
+
   /** MERGE-ON-READ delete: rows matching `predicate` disappear from
     * every subsequent read WITHOUT rewriting a single data byte — the
     * deletion-vector design (Delta DVs / Iceberg position deletes,

@@ -119,6 +119,34 @@ class TxTableDvSpec extends SparkSpec {
     assert(joins(TxTable.read(spark, root)) === 0) // tax gone again
   }
 
+  test("restore re-lists an earlier version as a new commit; " +
+    "history describes every version") {
+    val root = mkTable() // v0: 40 rows
+    TxTable.deleteWhere(spark, root, col("tag") === "bad") // v1: 30
+    TxTable.append(Seq((500L, "late")).toDF("id", "tag"), root) // v2: 31
+    // roll back PAST the delete: the bad rows come back, versioned
+    val v = TxTable.restore(spark, root, toVersion = 0L)
+    assert(v === 3L)
+    assert(TxTable.read(spark, root).count() === 40L)
+    assert(TxTable.latestSnapshot(spark, root).dvFiles.isEmpty)
+    // nothing was erased: v2 still time-travels
+    assert(TxTable.readVersion(spark, root, 2L).count() === 31L)
+    // restoring TO a DV version carries its deletes
+    TxTable.restore(spark, root, toVersion = 1L)
+    assert(TxTable.read(spark, root).count() === 30L)
+    assert(TxTable.latestSnapshot(spark, root).dvFiles.nonEmpty)
+    val h = TxTable.history(spark, root)
+      .orderBy("version")
+      .select("version", "n_files", "n_dv_files")
+      .as[(Long, Long, Long)].collect()
+    assert(h.map(_._1).toSeq === (0L to 4L))
+    assert(h(0)._3 === 0L && h(1)._3 === 1L) // delete introduced the DV
+    assert(h(3)._3 === 0L && h(4)._3 === 1L) // restores mirror targets
+    intercept[IllegalArgumentException] {
+      TxTable.restore(spark, root, toVersion = 99L)
+    }
+  }
+
   test("pinned derived indexes reject DV deletes") {
     val root = Files.createTempDirectory("graft-dv-idx-").toString
     val emb = (0L to 20L).map(i =>

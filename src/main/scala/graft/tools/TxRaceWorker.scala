@@ -128,8 +128,20 @@ object TxRaceWorker {
             TxTable.mergeInto(root,
               rows.toDF("k", "vec", "_del"), "k", Seq("vec"), "_del",
               maxRetries = 200)
+          case "dvdel" =>
+            // deletion-vector delete race: worker w's commit i
+            // tombstones ITS OWN disjoint 10-key slice via deleteWhere
+            // — racing DV commits must serialize like appends (each
+            // retry re-reads the tip and re-scans), no slice lost, no
+            // foreign slice touched. Key layout: w1 owns [0,500),
+            // w2 owns [500,1000), slice i = base + [i*10, i*10+10).
+            val base = if (workerId == "w1") 0L else 500L
+            val lo = base + i * 10L
+            TxTable.deleteWhere(spark, root,
+              org.apache.spark.sql.functions.col("k").between(lo, lo + 9L),
+              maxRetries = 200)
           case other =>
-            sys.error(s"unknown mode '$other' (append|merge|mergeidx)")
+            sys.error(s"unknown mode '$other' (append|merge|mergeidx|dvdel)")
         }
         // stdout is the race log the orchestrator asserts over
         println(s"[txrace] worker=$workerId seq=$i version=$v")

@@ -73,4 +73,50 @@ class TxVacuumRaceSpec extends SparkSpec {
     assert(exit === 3, s"expected readfail exit 3, got $exit:\n$log")
     assert(log.contains("readfail="), s"no readfail marker:\n$log")
   }
+
+  test("two driver JVMs racing deleteWhere: commits serialize, " +
+    "no slice lost, no foreign slice touched") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-dvrace-").toString
+    TxTable.create((0L until 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(4), root)
+
+    val perWorker = 5 // each deletes 5 disjoint 10-key slices
+    val (p1, out1) = launchWorker(
+      Seq("dvdel", root, "w1", perWorker.toString))
+    val (p2, out2) = launchWorker(
+      Seq("dvdel", root, "w2", perWorker.toString))
+    val ex1 = p1.exitValue()
+    val ex2 = p2.exitValue()
+    assert(ex1 == 0, s"worker 1 failed:\n${out1.result().takeRight(2000)}")
+    assert(ex2 == 0, s"worker 2 failed:\n${out2.result().takeRight(2000)}")
+
+    // contiguous history, one winner per version
+    val vs = TxTable.versions(spark, root)
+    assert(vs == (0L to (2L * perWorker)),
+      s"non-contiguous version history: $vs")
+    val claimed = TxRaceSpec
+      .claimedVersions(out1.result() + out2.result()).map(_._3)
+    assert(claimed.distinct.size == 2 * perWorker,
+      s"two workers claimed one version: $claimed")
+
+    // exactly the union of both workers' slices is gone — a stale
+    // re-publish would silently resurrect the other worker's deletes
+    val deleted = (0 until perWorker).flatMap { i =>
+      (i * 10L until i * 10L + 10L) ++
+        (500L + i * 10L until 500L + i * 10L + 10L)
+    }.toSet
+    val live = TxTable.read(spark, root).select("k")
+      .as[Long].collect().toSet
+    assert(live == (0L until 1000L).toSet -- deleted,
+      s"missing=${((0L until 1000L).toSet -- deleted -- live).toSeq.sorted.take(20)} " +
+        s"resurrected=${(live & deleted).toSeq.sorted.take(20)}")
+    // every surviving version still time-travels consistently:
+    // row counts decrease by exactly 10 per delete commit
+    val counts = vs.map(v =>
+      TxTable.readVersion(spark, root, v).count())
+    assert(counts == (0 to 2 * perWorker).map(1000L - 10L * _),
+      s"per-version counts: $counts")
+  }
 }

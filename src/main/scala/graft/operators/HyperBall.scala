@@ -123,26 +123,27 @@ object HyperBall {
     val sym = symmetrized(edges, aCol, bCol)
     val scale = lcm(1 to maxDepth)
     var state = initState(sym, m)
-    var prev = perNodeMicros(state, m).withColumnRenamed("est_micro", "_prev")
-      .materialized
-    var acc: DataFrame = prev.select(col("node"), lit(0L).as("h_fp"))
+    // one materialized per-round estimate frame each; ALL the delta
+    // joins fold into a single final plan (the round loop's only
+    // per-round actions are the state pins — maxDepth+1 node-scale
+    // joins total, not 3 per round)
+    val ests = Seq.newBuilder[DataFrame]
+    ests += perNodeMicros(state, m)
+      .withColumnRenamed("est_micro", "_e0").materialized
     var t = 1
     while (t <= maxDepth) {
       state = growBalls(sym, state)
-      val cur = perNodeMicros(state, m)
-      val factor = scale / t
-      acc = acc
-        .join(prev, "node")
-        .join(cur, "node")
-        .select(col("node"),
-          (col("h_fp") +
-            greatest(col("est_micro") - col("_prev"), lit(0L)) *
-              lit(factor)).as("h_fp"))
-        .materialized
-      prev = cur.withColumnRenamed("est_micro", "_prev").materialized
+      ests += perNodeMicros(state, m)
+        .withColumnRenamed("est_micro", s"_e$t").materialized
       t += 1
     }
-    acc
+    val frames = ests.result()
+    val joined = frames.reduce((a, b) => a.join(b, "node"))
+    val h = (1 to maxDepth).map { d =>
+      greatest(col(s"_e$d") - col(s"_e${d - 1}"), lit(0L)) *
+        lit(scale / d)
+    }.reduce(_ + _)
+    joined.select(col("node"), h.as("h_fp"))
   }
 
   private def lcm(ts: Range): Long = {

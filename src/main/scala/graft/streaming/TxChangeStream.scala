@@ -47,7 +47,11 @@ import graft.sources.TxTable
   * restart the stream from the post-compaction version. A
   * [[TxTable.deleteWhere]] deletion-vector commit adds no data files
   * (its micro-batch is empty) — row-level delete propagation is the
-  * snapshot-diff face's job, not the file-delta feed's.
+  * snapshot-diff face's job, not the file-delta feed's. A
+  * [[TxTable.restore]] is a REWIND: it can re-list files the stream
+  * already emitted, which the file-set delta would re-deliver —
+  * restart the consumer from the restore commit (the same rule Delta
+  * CDC applies to RESTORE).
   *
   * Admission control: `maxVersionsPerTrigger` paces a catch-up replay
   * version-by-version (ReadMaxFiles is reinterpreted as max VERSIONS —

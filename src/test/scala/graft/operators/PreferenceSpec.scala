@@ -57,7 +57,7 @@ class PreferenceSpec extends SparkSpec {
     import s.implicits._
     // string model names — the normal arena case — must not silently
     // cast to null and drop every row
-    val named = Seq(("gpt", "claude", 0L)).toDF("model_a", "model_b", "outcome")
+    val named = Seq(("alpha", "bravo", 0L)).toDF("model_a", "model_b", "outcome")
     val e = intercept[Exception] {
       Preference.winMatrix(named, "model_a", "model_b", "outcome").collect()
     }

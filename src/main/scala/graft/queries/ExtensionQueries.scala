@@ -6772,6 +6772,37 @@ object IoQueries extends QueryGroup {
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin))
 
+  /** The full table lifecycle in one gate, feature interplay
+    * included: range-clustered create → append → DV delete →
+    * append → incremental autoCompact (the SUBTLE corner: the
+    * rewritten small files' DV positions go stale and are carried
+    * harmlessly, while the smallDf read applies them — TxTableDvSpec's
+    * rules under real data) → stat-pruned [[graft.sources.TxTable
+    * .readRange]]. Full oracle: commit routing, the delete, and the
+    * range restate in SQL; compaction must be invisible to results.
+    */
+  val txLifecycle: QueryDef = QueryDef(
+    "io_tx_lifecycle",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select("event_id", "user_id", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txlife-").toString
+      graft.sources.TxTable.create(ev.filter(col("event_id") % 3 === 0),
+        root, clusterCol = Some("event_id"), buckets = 4)
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 1), root)
+      graft.sources.TxTable.deleteWhere(s, root, col("user_id") % 7 === 0)
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 3 === 2), root)
+      graft.sources.TxTable.autoCompact(s, root, minSmallFiles = 2)
+      graft.sources.TxTable.readRange(s, root, 101L, 700L)
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id BETWEEN 101 AND 700
+        |  AND (event_id % 3 = 2 OR user_id % 7 <> 0)
+        |ORDER BY event_id""".stripMargin))
+
   /** TxTable streaming change feed ([[graft.streaming.TxChangeStream]]
     * via [[graft.sources.TxTable.readChangeStream]]): three commits
     * land in a fresh TxTable (create + two appends, event_id % 3 per
@@ -7634,7 +7665,7 @@ object IoQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
-      avroRoundTrip, bloomSkipping, txDeleteDv, txRestore,
+      avroRoundTrip, bloomSkipping, txDeleteDv, txRestore, txLifecycle,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

@@ -6772,6 +6772,36 @@ object IoQueries extends QueryGroup {
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin))
 
+  /** CHECK constraint enforcement ([[graft.sources.TxTable
+    * .setCheckConstraint]] / header `check=`): the gate ITSELF drives
+    * the rejection path — a batch with negated ids must abort
+    * wholesale (all-or-nothing: its valid rows don't land either),
+    * then the honest batch commits. Full oracle: the final table is
+    * exactly the clean corpus, which is only true if the guard both
+    * fired and stayed atomic.
+    */
+  val txCheckGate: QueryDef = QueryDef(
+    "io_tx_check_constraint",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select("event_id", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txcheck-").toString
+      graft.sources.TxTable.create(ev.filter(col("event_id") % 2 === 0),
+        root, check = Some("event_id >= 0"))
+      val rejected =
+        try {
+          graft.sources.TxTable.append(
+            ev.filter(col("event_id") % 2 === 1)
+              .withColumn("event_id", -col("event_id")), root)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejected, "CHECK constraint failed to reject the bad batch")
+      graft.sources.TxTable.append(ev.filter(col("event_id") % 2 === 1), root)
+      graft.sources.TxTable.read(s, root).orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, value FROM events ORDER BY event_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -7666,6 +7696,7 @@ object IoQueries extends QueryGroup {
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       avroRoundTrip, bloomSkipping, txDeleteDv, txRestore, txLifecycle,
+      txCheckGate,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

@@ -192,6 +192,28 @@ object TxTable {
     readFiles(spark, root, s.files, s.dvFiles)
   }
 
+  /** The newest version committed AT OR BEFORE `tsMillis` (manifest
+    * modification times are the commit clock — the rename that
+    * publishes a version stamps its mtime). Fails for a timestamp
+    * before the table existed; [[vacuum]]-dropped versions are
+    * naturally unreachable (their manifests are gone).
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val f = fs(spark, logDir(root))
+    val eligible = versions(spark, root).filter { v =>
+      f.getFileStatus(manifestPath(root, v)).getModificationTime <= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"$root has no version committed at or before $tsMillis")
+    eligible.max
+  }
+
+  /** Timestamp time travel (the `TIMESTAMP AS OF` face): the table as
+    * of the newest commit ≤ `tsMillis`.
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
+
   /** Change-data feed for APPEND-STYLE commits: the rows added by
     * versions (fromVersion, toVersion] — exactly the files present in
     * the destination snapshot but absent from the source one, so an
@@ -441,6 +463,23 @@ object TxTable {
   /** Deletion-vector lines carried verbatim (no stats). */
   private def dvLines(s: Snapshot): Seq[String] = s.dvFiles
 
+  /** Enforce the table's CHECK constraint (header `check=<sql expr>`)
+    * on a batch of incoming rows BEFORE any file is written — SQL
+    * standard semantics: a row violates only when the predicate is
+    * FALSE (NULL passes). One batch-scale pass; the table itself is
+    * never rescanned (rows already in the table passed at their own
+    * write). Violations fail the WHOLE commit with a count — partial
+    * writes would break the manifest's all-or-nothing story.
+    */
+  private def enforceCheck(
+      df: DataFrame, headers: Map[String, String], op: String): Unit =
+    headers.get("check").foreach { sql =>
+      val bad = df.filter(!coalesce(expr(sql), lit(true))).count()
+      if (bad > 0)
+        throw new IllegalArgumentException(
+          s"$op: $bad row(s) violate CHECK ($sql); commit aborted")
+    }
+
   /** The manifest lines of every pinned index (optionally excluding
     * one being rebuilt), stats carried forward verbatim.
     */
@@ -457,8 +496,8 @@ object TxTable {
     */
   def create(
       df: DataFrame, root: String, clusterCol: Option[String] = None,
-      buckets: Int = 8): Long =
-    createClustered(df, root, clusterCol.toSeq, buckets)
+      buckets: Int = 8, check: Option[String] = None): Long =
+    createClustered(df, root, clusterCol.toSeq, buckets, check)
 
   /** Create with explicit cluster columns: 0 (unclustered), 1 (range
     * clustering), or 2 (z-order — every write lays files along the
@@ -467,15 +506,18 @@ object TxTable {
     */
   def createClustered(
       df: DataFrame, root: String, clusterCols: Seq[String],
-      buckets: Int = 8): Long = {
+      buckets: Int = 8, check: Option[String] = None): Long = {
     require(versions(df.sparkSession, root).isEmpty,
       s"TxTable already exists at $root")
     require(clusterCols.size <= 2,
       s"TxTable supports at most 2 cluster columns, got $clusterCols")
+    val headers0 = check.map(c => Map("check" -> c))
+      .getOrElse(Map.empty[String, String])
+    enforceCheck(df, headers0, s"create at $root")
     val entries = writeDataFiles(df, root, clusterCols, buckets)
-    val headers =
+    val headers = headers0 ++ (
       if (clusterCols.isEmpty) Map.empty[String, String]
-      else Map("cluster" -> clusterCols.mkString(","))
+      else Map("cluster" -> clusterCols.mkString(",")))
     if (!tryCommit(df.sparkSession, root, 0L, headers, entries))
       throw new CommitConflict(s"concurrent create at $root")
     0L
@@ -488,6 +530,7 @@ object TxTable {
       buckets: Int = 8): Long = {
     val spark = df.sparkSession
     val pre = latestSnapshot(spark, root)
+    enforceCheck(df, pre.headers, s"append at $root")
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     // pinned indexes: route ONLY the new rows through each sidecar —
     // the corpus-side delta and the index-side delta publish together
@@ -529,6 +572,7 @@ object TxTable {
       s.headers.get(key).exists(_.toLong >= batchId)
     val pre = latestSnapshot(spark, root)
     if (committed(pre)) return None
+    enforceCheck(df, pre.headers, s"addStreamingBatch at $root")
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     val idxEntries = idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
@@ -556,6 +600,7 @@ object TxTable {
       buckets: Int = 8): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, root, expectedVersion)
+    enforceCheck(df, cur.headers, s"overwrite at $root")
     val entries = writeDataFiles(df, root, cur.clusterCols, buckets) ++
       idxEntriesFor(spark, root, indexSpecs(cur), df, buckets)
     if (!tryCommit(spark, root, expectedVersion + 1, cur.headers, entries))
@@ -600,6 +645,10 @@ object TxTable {
     var committed = -1L
     while (committed < 0) {
       val cur = latestSnapshot(spark, root)
+      // CHECK applies to the rows this merge introduces (upserts);
+      // surviving rows passed at their own write, tombstones remove
+      enforceCheck(source.filter(!coalesce(col(tombstoneCol), lit(false))),
+        cur.headers, s"mergeInto at $root")
       val target = readVersion(spark, root, cur.version)
       val merged = graft.operators.MergeUpsert.merge(
           target, source, keyCol, valueCols, tombstoneCol)
@@ -619,6 +668,40 @@ object TxTable {
       else attempt += 1
     }
     committed
+  }
+
+  /** Add (or replace) the table's CHECK constraint — header
+    * `check=<spark sql boolean expr>`, enforced on every subsequent
+    * writer batch ([[append]], [[addStreamingBatch]], [[mergeInto]]
+    * upserts, [[overwrite]], [[create]]) BEFORE any file lands, SQL
+    * semantics (NULL passes). Setting it validates the CURRENT table
+    * once (one scan) so the constraint is an invariant, not a
+    * from-now-on hope. Read-modify-write conflict semantics.
+    */
+  def setCheckConstraint(
+      spark: SparkSession, root: String, checkExpr: String): Long = {
+    require(!checkExpr.contains("\n"),
+      "check expression must be single-line (manifest header format)")
+    val cur = latestSnapshot(spark, root)
+    enforceCheck(readVersion(spark, root, cur.version),
+      Map("check" -> checkExpr), s"setCheckConstraint at $root")
+    if (!tryCommit(spark, root, cur.version + 1,
+        cur.headers + ("check" -> checkExpr),
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur)))
+      throw new CommitConflict(
+        s"setCheckConstraint at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** Drop the CHECK constraint (header removed; data untouched). */
+  def dropCheckConstraint(spark: SparkSession, root: String): Long = {
+    val cur = latestSnapshot(spark, root)
+    require(cur.headers.contains("check"), s"no CHECK constraint at $root")
+    if (!tryCommit(spark, root, cur.version + 1, cur.headers - "check",
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur)))
+      throw new CommitConflict(
+        s"dropCheckConstraint at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
   }
 
   /** RESTORE the table to an earlier version AS A NEW COMMIT (the

@@ -147,6 +147,25 @@ class TxTableDvSpec extends SparkSpec {
     }
   }
 
+  test("timestamp time travel: readAsOf picks the newest commit at " +
+    "or before the clock") {
+    val root = Files.createTempDirectory("graft-asof-").toString
+    TxTable.create(Seq((1L, "a")).toDF("id", "tag"), root) // v0
+    Thread.sleep(20)
+    val betweenV0V1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    TxTable.append(Seq((2L, "b")).toDF("id", "tag"), root) // v1
+    Thread.sleep(20)
+    val afterV1 = System.currentTimeMillis()
+    assert(TxTable.versionAsOf(spark, root, betweenV0V1) === 0L)
+    assert(TxTable.readAsOf(spark, root, betweenV0V1).count() === 1L)
+    assert(TxTable.versionAsOf(spark, root, afterV1) === 1L)
+    assert(TxTable.readAsOf(spark, root, afterV1).count() === 2L)
+    intercept[IllegalArgumentException] {
+      TxTable.versionAsOf(spark, root, betweenV0V1 - 3600000L)
+    }
+  }
+
   test("pinned derived indexes reject DV deletes") {
     val root = Files.createTempDirectory("graft-dv-idx-").toString
     val emb = (0L to 20L).map(i =>

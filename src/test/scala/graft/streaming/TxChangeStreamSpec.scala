@@ -143,6 +143,24 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(got.filter(_._2 == 2L).map(_._1).min === 21L)
   }
 
+  test("a deletion-vector commit is an empty micro-batch " +
+    "(offset advances, no rows replay)") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root) // v0
+    TxTable.deleteWhere(spark, root,
+      org.apache.spark.sql.functions.col("id") <= 3) // v1: dv only
+    TxTable.append(df.filter($"id" > 10 && $"id" <= 20), root) // v2
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root), "cdc_dv", ckpt)
+    val got = spark.table("cdc_dv")
+    // v0 rows replay IN FULL (the file-delta contract: row-level
+    // deletes propagate via snapshot diff, not the CDC feed) and no
+    // version-1 rows exist at all
+    assert(got.count() === 20L)
+    assert(got.select("_commit_version").distinct()
+      .as[Long].collect().toSet === Set(0L, 2L))
+  }
+
   test("null fields survive the record reader") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

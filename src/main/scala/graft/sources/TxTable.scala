@@ -784,7 +784,31 @@ object TxTable {
   def deleteWhere(
       spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 10, dvBuckets: Int = 1): Long =
+    deleteImpl(spark, root, predicate, _.files, maxRetries, dvBuckets)
+
+  /** [[deleteWhere]] restricted to the FIRST cluster column's range
+    * [lo, hi], with the matching scan FILE-PRUNED by manifest stats —
+    * a key-range delete on a 100 TB clustered table opens only the
+    * files whose [min,max] overlaps the range (the [[readRange]]
+    * skipping applied to the write side). Exact regardless of stats:
+    * the row predicate still gates every position.
+    */
+  def deleteRange(
+      spark: SparkSession, root: String, lo: Long, hi: Long,
       maxRetries: Int = 10, dvBuckets: Int = 1): Long = {
+    val c = latestSnapshot(spark, root).clusterCol.getOrElse(
+      throw new IllegalArgumentException(
+        s"TxTable $root has no cluster column; deleteRange needs one"))
+    deleteImpl(spark, root, col(c).between(lo, hi),
+      s => prunedFiles(s, 0, lo, hi), maxRetries, dvBuckets)
+  }
+
+  private def deleteImpl(
+      spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      candidates: Snapshot => Seq[String],
+      maxRetries: Int, dvBuckets: Int): Long = {
     var attempt = 0
     while (true) {
       val cur = latestSnapshot(spark, root)
@@ -792,8 +816,10 @@ object TxTable {
         s"deleteWhere at $root: table has pinned indexes " +
           s"(${indexSpecs(cur).map(_.name).mkString(",")}) — DV deletes " +
           "would strand their rows; use mergeInto tombstones instead")
+      val cand = candidates(cur)
+      if (cand.isEmpty) return cur.version // no file can match
       // DV-aware scan with positions: already-deleted rows can't match
-      val base = spark.read.parquet(cur.files.map(f => s"$root/$f"): _*)
+      val base = spark.read.parquet(cand.map(f => s"$root/$f"): _*)
       val withPos = base.select(col("*"),
         expr("regexp_extract(_metadata.file_path, " +
           "'(data/[^/]+/[^/]+)$', 1)").as("_dv_f"),

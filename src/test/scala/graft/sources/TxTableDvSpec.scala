@@ -147,6 +147,27 @@ class TxTableDvSpec extends SparkSpec {
     }
   }
 
+  test("deleteRange: file-pruned DV delete on the cluster column") {
+    val root = Files.createTempDirectory("graft-dv-rangedel-").toString
+    TxTable.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"),
+      root, clusterCol = Some("k"), buckets = 8)
+    // the range touches a strict subset of files (manifest stats)
+    val s0 = TxTable.latestSnapshot(spark, root)
+    val cand = TxTable.prunedFiles(s0, 0, 50L, 99L)
+    assert(cand.nonEmpty && cand.size < s0.files.size,
+      s"range matched ${cand.size} of ${s0.files.size} files")
+    TxTable.deleteRange(spark, root, 50L, 99L)
+    val live = TxTable.read(spark, root).select("k").as[Long]
+      .collect().toSet
+    assert(live === ((1L to 400L).toSet -- (50L to 99L)))
+    // unclustered tables refuse (no stats channel to prune on)
+    val flat = Files.createTempDirectory("graft-dv-flat-").toString
+    TxTable.create(Seq((1L, "a")).toDF("k", "v"), flat)
+    intercept[IllegalArgumentException] {
+      TxTable.deleteRange(spark, flat, 0L, 10L)
+    }
+  }
+
   test("timestamp time travel: readAsOf picks the newest commit at " +
     "or before the clock") {
     val root = Files.createTempDirectory("graft-asof-").toString

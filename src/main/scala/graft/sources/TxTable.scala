@@ -541,6 +541,10 @@ object TxTable {
       if (!sameIndexes(pre, cur))
         throw new CommitConflict(
           s"append at $root: index set changed since v${pre.version}")
+      // a CHECK constraint installed since `pre` must gate THIS commit
+      // too (validate-then-commit is not atomic across retries)
+      if (cur.headers.get("check") != pre.headers.get("check"))
+        enforceCheck(df, cur.headers, s"append at $root")
       if (tryCommit(spark, root, cur.version + 1, cur.headers,
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
             entries ++ idxEntries))
@@ -582,6 +586,8 @@ object TxTable {
       if (!sameIndexes(pre, cur))
         throw new CommitConflict(
           s"addStreamingBatch at $root: index set changed since v${pre.version}")
+      if (cur.headers.get("check") != pre.headers.get("check"))
+        enforceCheck(df, cur.headers, s"addStreamingBatch at $root")
       if (tryCommit(spark, root, cur.version + 1,
           cur.headers + (key -> batchId.toString),
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++

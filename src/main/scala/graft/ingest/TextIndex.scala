@@ -184,6 +184,36 @@ object TextIndex {
     path
   }
 
+  /** Incrementally index a NEW batch into an existing positional
+    * layout — the [[appendBm25]] maintenance contract applied to the
+    * phrase index (a growing corpus must not force full rebuilds):
+    * the batch's (doc_id, pos, term) rows append into the same
+    * term-bucket partitions, so per-batch cost is one scan of the
+    * BATCH and the corpus never rescans. The positional layout keeps
+    * no corpus-global sidecar (phrase adjacency is per-doc), so
+    * append is pure partition-append — probes over the union corpus
+    * are row-identical to a fresh [[writePositions]] build because a
+    * term's bucket is a pure function of the term. Returns rows
+    * appended.
+    *
+    * Caller contract: `docs` must be NEW doc_ids (re-indexing an
+    * existing id would double its occurrences — dedup upstream).
+    */
+  def appendPositions(
+      docs: DataFrame, idCol: String, textCol: String,
+      path: String, termBuckets: Int = 64): Long = {
+    require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val rows = docs
+      .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("tb", pmod(hash(col("term")), lit(termBuckets)))
+    val appended = rows.count()
+    rows.write.mode("append").partitionBy("tb")
+      .parquet(s"$path/positions")
+    appended
+  }
+
   /** Exact phrase retrieval over the positional layout: documents
     * containing `phrase` as CONSECUTIVE tokens, with the occurrence
     * count. Each phrase slot i anchors at (doc, pos − i); an n-term

@@ -526,6 +526,39 @@ object TextAnalysis {
       .toDF(idCol, "n_bytes", "ratio")
   }
 
+  /** Character-8-gram redundancy per document — the SQL-statable twin
+    * of [[compressionRatio]] (deflate output is codec-defined, so that
+    * gate is rows-only; this one carries the full oracle for the same
+    * quality-signal family): redundancy = 1 − distinct_8grams /
+    * total_8grams. Repetitive/boilerplate text re-uses its substrings
+    * (high redundancy), prose barely repeats (near 0) — the two
+    * signals rank-correlate, which is exactly what a quality filter
+    * consumes.
+    *
+    * Fully declarative (sequence → transform → array_distinct inside
+    * one projection): scan-local, zero shuffles, whole-stage codegen.
+    * Per-row state is one ≤|text| array of 8-char slices — bounded by
+    * the document, never the corpus.
+    */
+  def redundancyRatio(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val grams = when(length(t) < 8, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, length($textCol) - 7), " +
+          s"i -> substring($textCol, i, 8))"))
+    docs.select(
+      col(idCol),
+      greatest(length(t).cast("long") - 7L, lit(0L)).as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("redundancy",
+        when(col("n_grams") > 0, Numerics.roundz(
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_grams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Corpus collocations by pointwise mutual information over adjacent
     * word pairs: PMI(l,r) = ln(c(l,r)·N / (c(l,·)·c(·,r))) with all
     * marginals taken over BIGRAM POSITIONS (so the distribution sums to
@@ -795,9 +828,13 @@ object TextAnalysis {
   def ngramNovelty(
       df: org.apache.spark.sql.DataFrame, textCol: String,
       heldout: Column, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    // Hash shingles to 64 bits BEFORE the distincts/anti-join: novelty is a
+    // ratio over distinct-gram counts, so 64-bit collisions are immaterial at
+    // this precision, and shuffling fixed 8-byte keys instead of full n-gram
+    // strings cuts shuffle bytes several-fold on both sides.
     val grams = df
       .select(heldout.as("_h"),
-        explode(Dedup.shingles(textCol, n)).as("_g"))
+        explode(transform(Dedup.shingles(textCol, n), g => xxhash64(g))).as("_g"))
     val train = grams.filter(!col("_h")).select(col("_g")).distinct()
     val held = grams.filter(col("_h")).select(col("_g")).distinct()
     val unseen = held.join(train, Seq("_g"), "left_anti")

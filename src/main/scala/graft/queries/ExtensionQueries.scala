@@ -2125,6 +2125,58 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id"),
     None)
 
+  /** Exact twin for [[packBestFit]]: BFD is deterministic given the
+    * documented order (n_tokens DESC, doc_id ASC per shard), so the
+    * greedy loop RESTATES as an ordered recursive CTE — the PageRank/
+    * Bradley–Terry unrolling discipline applied to packing. The bin
+    * state encodes as one BIGINT list (rem·10⁶ + bin), making best
+    * fit `min(k ≥ n·10⁶)` — exactly the Scala TreeMap's
+    * `rangeFrom((n, −1)).head` (min remaining ≥ n, ties to lowest bin
+    * id). All shards advance in lockstep, one doc per recursion step.
+    */
+  val packBestFitExact: QueryDef = QueryDef(
+    "pipeline_pack_bestfit_exact",
+    (s, dir) =>
+      Packing.packBestFit(Tables(s, dir).documents, "text", "doc_id",
+          seqLen = 128, numShards = 8)
+        .orderBy("doc_id"),
+    Some(
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY len(string_split_regex(trim(text), '\s+')) DESC,
+        |        doc_id)::BIGINT AS rk
+        |  FROM documents),
+        |r(shard, rk, bins, nextbin, out_doc, out_n, out_bin) AS (
+        |  SELECT shard, 0::BIGINT, []::BIGINT[], 0::BIGINT,
+        |    NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+        |  FROM (SELECT DISTINCT doc_id % 8 AS shard FROM documents)
+        |  UNION ALL
+        |  SELECT shard, rk,
+        |    CASE WHEN fitk IS NOT NULL THEN
+        |      list_concat(list_filter(bins, k -> k <> fitk),
+        |        CASE WHEN fitk // 1000000 - n > 0
+        |          THEN [(fitk // 1000000 - n) * 1000000 + fitk % 1000000]
+        |          ELSE []::BIGINT[] END)
+        |    ELSE
+        |      list_concat(bins,
+        |        CASE WHEN 128 - n > 0 THEN [(128 - n) * 1000000 + nextbin]
+        |          ELSE []::BIGINT[] END)
+        |    END,
+        |    CASE WHEN fitk IS NOT NULL THEN nextbin ELSE nextbin + 1 END,
+        |    doc_id, n,
+        |    CASE WHEN fitk IS NOT NULL THEN fitk % 1000000 ELSE nextbin END
+        |  FROM (
+        |    SELECT r.shard, d.rk, r.bins, r.nextbin, d.doc_id, d.n,
+        |      list_aggregate(list_filter(r.bins, k -> k >= d.n * 1000000),
+        |        'min') AS fitk
+        |    FROM r JOIN d ON d.shard = r.shard AND d.rk = r.rk + 1) s)
+        |SELECT out_doc AS doc_id, shard, out_n AS n_tokens, out_bin AS bin,
+        |  out_n > 128 AS oversize
+        |FROM r WHERE out_doc IS NOT NULL ORDER BY doc_id""".stripMargin))
+
   /** Per-source token-budget curation: best-quality-first prefix of
     * each source's documents under an 800-token budget — full oracle
     * (integer cumulative sums over the oracle-stable quality order;
@@ -3357,7 +3409,8 @@ object PipelineQueries extends QueryGroup {
 
   def defs: Seq[QueryDef] =
     Seq(curation, seqPacking, decontaminate, components, componentsStar,
-      chunking, profile, packBestFit, tokenBudget, decontaminateFuzzy,
+      chunking, profile, packBestFit, packBestFitExact, tokenBudget,
+      decontaminateFuzzy,
       decontaminateFuzzyExact, decontaminateWinnow, dedupCascade,
       pagerankGate, pagerankSeededGate, pagerankWeightedGate,
       pagerankDanglingGate, pagerankWeightedDanglingGate, trianglesGate,
@@ -3782,6 +3835,35 @@ object TextQueries extends QueryGroup {
         |SELECT doc_id, count(*)::BIGINT AS n_matches
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  private val positionalAppendIndexes =
+    new graft.operators.LruCache[String, String](8)
+
+  /** Positional-index append parity ([[graft.ingest.TextIndex
+    * .appendPositions]]): the layout builds from HALF the corpus
+    * (doc_id even) and the other half APPENDS — batch-scan-only cost,
+    * no rebuild — then the same phrase probe as [[indexPhrase]] runs
+    * against the union layout. Full oracle: the FULL-corpus phrase
+    * SQL, so the gate proves build-half + append-half ≡ one-shot
+    * build, row for row.
+    */
+  val indexPhraseAppend: QueryDef = QueryDef(
+    "text_index_phrase_append",
+    (s, dir) => {
+      val p = positionalAppendIndexes.getOrElseUpdate(dir) {
+        val docs = Tables(s, dir).documents
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-textposapp/" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ingest.TextIndex.writePositions(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        graft.ingest.TextIndex.appendPositions(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+        path
+      }
+      graft.ingest.TextIndex.phraseDocs(s, p, Seq("spark", "vector"))
+        .orderBy("doc_id")
+    },
+    indexPhrase.oracle)
+
   /** Conjunctive (AND) retrieval ([[graft.ingest.TextIndex
     * .conjunctiveDocs]]): documents containing EVERY query term, with
     * summed tf — one pruned postings scan + one per-doc aggregate,
@@ -4151,6 +4233,33 @@ object TextQueries extends QueryGroup {
       TextAnalysis.compressionRatio(Tables(s, dir).documents, "text", "doc_id")
         .orderBy("doc_id"),
     None)
+
+  /** Character-8-gram redundancy ([[graft.operators.TextAnalysis
+    * .redundancyRatio]]) — the SQL-statable twin that puts the
+    * [[compressionRatio]] quality-signal family under the full oracle
+    * (deflate itself is codec-defined, so that gate stays rows-only by
+    * design): redundancy = 1 − distinct/total 8-grams, replayed by
+    * DuckDB over the same character slicing.
+    */
+  val redundancyRatio: QueryDef = QueryDef(
+    "text_redundancy_ratio",
+    (s, dir) =>
+      TextAnalysis.redundancyRatio(Tables(s, dir).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  greatest(length(text) - 7, 0)::BIGINT AS n_grams,
+        |  (CASE WHEN length(text) >= 8 THEN
+        |     len(list_distinct(list_transform(range(1, length(text) - 6),
+        |       i -> substr(text, i, 8))))
+        |   ELSE 0 END)::BIGINT AS n_distinct,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    round(1.0 - (CASE WHEN length(text) >= 8 THEN
+        |        len(list_distinct(list_transform(range(1, length(text) - 6),
+        |          i -> substr(text, i, 8))))
+        |      ELSE 0 END) * 1.0 / greatest(length(text) - 7, 0), 6) + 0
+        |  ELSE 0.0 END AS redundancy
+        |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Hashed-linear quality classifier inference
     * ([[graft.operators.QualityClassifier.portableLogitMilli]]): the
@@ -4994,10 +5103,11 @@ object TextQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25,
-      bm25Indexed, bm25IndexAppend, indexPhrase, indexConjunctive,
-      bm25BatchIndexed, bpeEncode,
+      bm25Indexed, bm25IndexAppend, indexPhrase, indexPhraseAppend,
+      indexConjunctive, bm25BatchIndexed, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
-      kneserNey, blocklist, compressionRatio, qualityClassifier,
+      kneserNey, blocklist, compressionRatio, redundancyRatio,
+      qualityClassifier,
       bpePortable, normalizeUnicode, sentenceDedup, scriptProfile,
       readability, hashedFeatures, tfidfPairs, chi2Features,
       trendingTerms, vocabDiversity, bpeRoundTrip, unigramLmRoundTrip,

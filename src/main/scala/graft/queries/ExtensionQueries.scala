@@ -7032,6 +7032,64 @@ object IoQueries extends QueryGroup {
         |    (SELECT text FROM documents WHERE doc_id % 3 = 0)
         |ORDER BY d.doc_id""".stripMargin))
 
+  /** [[cdcDedupGate]] with a MID-STREAM DV delete ([[graft.streaming
+    * .TxChangeStream]]'s `_change_type` channel, VERDICT r13 #1): a
+    * [[graft.sources.TxTable.deleteWhere]] lands between the two
+    * appends, and the consumer folds insert-minus-delete before
+    * deduping — so rows the table no longer serves MUST drop out of
+    * the consumer's result (the silent-stale-serve hazard the
+    * append-only feed had). Full oracle: commit routing (append №2
+    * commits AFTER the delete, so its rows survive), the delete
+    * predicate, and the dedup anti-join all restate in SQL.
+    */
+  val cdcDedupDeleteGate: QueryDef = QueryDef(
+    "pipeline_cdc_dedup_delete",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdcdeldedup-").toString
+      graft.sources.TxTable.create(docs.filter(col("doc_id") % 3 === 0), root)
+      graft.sources.TxTable.append(docs.filter(col("doc_id") % 3 === 1), root)
+      graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 5 === 1)
+      graft.sources.TxTable.append(docs.filter(col("doc_id") % 3 === 2), root)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cdcdeldedup-ckpt-").toString
+      val sink = "cdcdeldedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.TxTable
+        .readChangeStream(s, root, startingVersion = 1L)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val changes = s.table(sink)
+      val inserts = changes.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text"), col("_commit_version"))
+      // rename the delete side's key: both branches read the same sink
+      // view, and a left_anti over identical attribute ids is a
+      // conflicting-references self-join otherwise
+      val deletes = changes.filter(col("_change_type") === "delete")
+        .select(col("doc_id").as("del_id"))
+      val live = inserts.join(deletes,
+        col("doc_id") === col("del_id"), "left_anti")
+      val corpus = graft.sources.TxTable.readVersion(s, root, 0L)
+      graft.operators.IncrementalDedup
+        .newAgainstCorpus(live, corpus, col("text"))
+        .select(col("doc_id"), col("_commit_version"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT d.doc_id,
+        |  (CASE WHEN d.doc_id % 3 = 1 THEN 1 ELSE 3 END)::BIGINT
+        |    AS "_commit_version"
+        |FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND NOT (d.doc_id % 3 = 1 AND d.doc_id % 5 = 1)
+        |  AND d.text NOT IN
+        |    (SELECT text FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY d.doc_id""".stripMargin))
+
   /** Avro round trip ([[graft.sources.AvroIo]]) — the Kafka-side
     * interchange format, written as container part files (deflate
     * blocks, writer schema embedded) and read back with the frame's
@@ -7810,7 +7868,8 @@ object IoQueries extends QueryGroup {
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
-      txtableChanges, txChangeStreamGate, cdcDedupGate, profileDrift,
+      txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
+      profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,
       schemaEvolution)

@@ -240,8 +240,11 @@ object TxTable {
   /** Streaming face of [[readChanges]]: a Structured Streaming source
     * that tails the manifest log — offset = committed version, each
     * micro-batch = that version range's file-set delta stamped with
-    * `_commit_version`. Same append-style contract as [[readChanges]];
-    * full design notes on [[graft.streaming.TxChangeStream]].
+    * `_change_type` (`insert` for new data files, `delete` for rows a
+    * [[deleteWhere]] DV commit removed — positions resolved back to
+    * full rows executor-side) and `_commit_version`. Append-style +
+    * DV contract; full design notes on
+    * [[graft.streaming.TxChangeStream]].
     */
   def readChangeStream(
       spark: SparkSession, root: String,

@@ -40,18 +40,27 @@ import graft.sources.TxTable
   * public row-materializing API) straight into `InternalRow`s. No
   * driver collect, no shuffle; parallelism = delta files per trigger.
   *
-  * Semantics contract (same as [[TxTable.readChanges]]): valid for
-  * append-style commits (create/append/streaming batches). A
-  * compaction or merge REWRITES surviving rows into new files and
-  * would replay them; run those through the Merkle snapshot diff, or
-  * restart the stream from the post-compaction version. A
-  * [[TxTable.deleteWhere]] deletion-vector commit adds no data files
-  * (its micro-batch is empty) — row-level delete propagation is the
-  * snapshot-diff face's job, not the file-delta feed's. A
-  * [[TxTable.restore]] is a REWIND: it can re-list files the stream
-  * already emitted, which the file-set delta would re-deliver —
-  * restart the consumer from the restore commit (the same rule Delta
-  * CDC applies to RESTORE).
+  * Row-level change semantics (the Delta CDF shape): every row
+  * carries `_change_type` — `insert` for rows in a version's new data
+  * files, `delete` for rows a [[TxTable.deleteWhere]] deletion-vector
+  * commit removed. A DV commit adds no data files, but its new `dv/`
+  * position files ARE its delta: each one becomes an
+  * [[InputPartition]] whose reader joins the positions back to their
+  * rows executor-side (sorted-position merge against a sequential
+  * scan of the referenced data file — row_index is the file ordinal,
+  * which a sequential read enumerates in order), so a downstream
+  * consumer that folds `insert` minus `delete` tracks the table
+  * exactly (VERDICT r13 #1; gated by `pipeline_cdc_dedup_delete`).
+  *
+  * Semantics contract (same as [[TxTable.readChanges]] plus the DV
+  * channel): valid for append-style commits (create/append/streaming
+  * batches) and DV deletes. A compaction or merge REWRITES surviving
+  * rows into new files and would replay them; run those through the
+  * Merkle snapshot diff, or restart the stream from the
+  * post-compaction version. A [[TxTable.restore]] is a REWIND: it can
+  * re-list files the stream already emitted, which the file-set delta
+  * would re-deliver — restart the consumer from the restore commit
+  * (the same rule Delta CDC applies to RESTORE).
   *
   * Admission control: `maxVersionsPerTrigger` paces a catch-up replay
   * version-by-version (ReadMaxFiles is reinterpreted as max VERSIONS —
@@ -62,10 +71,11 @@ import graft.sources.TxTable
 object TxChangeStream {
 
   val VersionCol = "_commit_version"
+  val ChangeTypeCol = "_change_type"
 
   /** Open the change stream: emits every version ≥ `startingVersion`
     * (0 includes the create commit), oldest first, with the table's
-    * schema plus `_commit_version`.
+    * schema plus `_change_type` (insert/delete) and `_commit_version`.
     */
   def readStream(
       spark: SparkSession, root: String,
@@ -79,24 +89,29 @@ object TxChangeStream {
       .load()
 
   /** The stream's schema for `root`: table schema (from the newest
-    * data file's footer) + `_commit_version`.
+    * data file's footer) + `_change_type` + `_commit_version`.
     */
   def schemaFor(spark: SparkSession, root: String): StructType = {
     val snap = TxTable.latestSnapshot(spark, root)
     require(snap.files.nonEmpty,
       s"TxTable $root has no data files to take a schema from")
     val base = spark.read.parquet(s"$root/${snap.files.last}").schema
-    base.add(VersionCol, LongType, nullable = false)
+    base.add(ChangeTypeCol, StringType, nullable = false)
+      .add(VersionCol, LongType, nullable = false)
   }
 
-  /** Delta files introduced BY version v (append-style contract). */
+  /** Delta files introduced BY version v: (new data files, new dv
+    * files) — the insert and delete channels of one commit.
+    */
   private[streaming] def deltaFiles(
-      spark: SparkSession, root: String, v: Long): Seq[String] = {
-    val cur = TxTable.snapshot(spark, root, v).files
-    if (v == 0L) cur
+      spark: SparkSession, root: String, v: Long): (Seq[String], Seq[String]) = {
+    val cur = TxTable.snapshot(spark, root, v)
+    if (v == 0L) (cur.files, cur.dvFiles)
     else {
-      val prev = TxTable.snapshot(spark, root, v - 1).files.toSet
-      cur.filterNot(prev)
+      val prev = TxTable.snapshot(spark, root, v - 1)
+      val prevData = prev.files.toSet
+      val prevDv = prev.dvFiles.toSet
+      (cur.files.filterNot(prevData), cur.dvFiles.filterNot(prevDv))
     }
   }
 
@@ -110,9 +125,10 @@ object TxChangeStream {
     * date, arrays of those (3-level lists).
     */
   private[streaming] def groupToRow(
-      g: Group, schema: StructType, version: Long): InternalRow = {
+      g: Group, schema: StructType, changeType: UTF8String,
+      version: Long): InternalRow = {
     val fileType = g.getType
-    val vals = new Array[Any](schema.length + 1)
+    val vals = new Array[Any](schema.length + 2)
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
@@ -125,9 +141,13 @@ object TxChangeStream {
         }
       i += 1
     }
-    vals(schema.length) = version
+    vals(schema.length) = changeType
+    vals(schema.length + 1) = version
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
+
+  private[streaming] val InsertType = UTF8String.fromString("insert")
+  private[streaming] val DeleteType = UTF8String.fromString("delete")
 
   private def valueAt(g: Group, idx: Int, dt: DataType): Any = dt match {
     case BooleanType => g.getBoolean(idx, 0)
@@ -225,8 +245,15 @@ final case class TxVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-/** One delta file of one committed version. */
+/** One new data file of one committed version — an `insert` batch. */
 final case class TxFilePartition(file: String, version: Long)
+    extends InputPartition
+
+/** One new deletion-vector file of one committed version — a `delete`
+  * batch: the reader resolves the positions back to their rows
+  * (`root` is carried because dv rows name data files root-relative).
+  */
+final case class TxDvPartition(dvFile: String, root: String, version: Long)
     extends InputPartition
 
 /** Offset = highest version whose delta files have been emitted.
@@ -239,9 +266,10 @@ final class TxChangesMicroBatchStream(
     startingVersion: Long, maxVersionsPerTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  // data columns only (the last field is _commit_version)
+  // data columns only (the last two fields are _change_type and
+  // _commit_version)
   private val dataSchema =
-    StructType(schema.fields.dropRight(1))
+    StructType(schema.fields.dropRight(2))
 
   override def initialOffset(): Offset = TxVersionOffset(startingVersion - 1)
 
@@ -282,8 +310,9 @@ final class TxChangesMicroBatchStream(
     val e = end.asInstanceOf[TxVersionOffset].version
     val spark = SparkSession.active
     ((s + 1) to e).flatMap { v =>
-      TxChangeStream.deltaFiles(spark, root, v)
-        .map(f => TxFilePartition(s"$root/$f", v))
+      val (dataDelta, dvDelta) = TxChangeStream.deltaFiles(spark, root, v)
+      dataDelta.map(f => TxFilePartition(s"$root/$f", v)) ++
+        dvDelta.map(f => TxDvPartition(s"$root/$f", root, v))
     }.toArray
   }
 
@@ -295,18 +324,95 @@ final class TxChangesMicroBatchStream(
 
 final class TxChangesReaderFactory(dataSchema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[TxFilePartition]
-    new PartitionReader[InternalRow] {
-      private val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-          .withConf(new Configuration())
-          .build()
-      private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
-      override def get(): InternalRow =
-        TxChangeStream.groupToRow(cur, dataSchema, p.version)
-      override def close(): Unit = reader.close()
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: TxFilePartition =>
+        new PartitionReader[InternalRow] {
+          private val reader: ParquetReader[Group] =
+            ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+              .withConf(new Configuration())
+              .build()
+          private var cur: Group = _
+          override def next(): Boolean = { cur = reader.read(); cur != null }
+          override def get(): InternalRow =
+            TxChangeStream.groupToRow(cur, dataSchema,
+              TxChangeStream.InsertType, p.version)
+          override def close(): Unit = reader.close()
+        }
+      case p: TxDvPartition => new TxDvReader(p, dataSchema)
     }
+}
+
+/** Resolves one deletion-vector file's positions back to full rows:
+  * load the (data file → sorted row indexes) map — DV files are
+  * KB–MB-scale position lists, bounded by the delete's match count,
+  * never by the table — then stream each referenced data file ONCE
+  * with a row counter, emitting exactly the rows whose ordinal is the
+  * next deleted position (`_metadata.row_index` is the ordinal a
+  * sequential read enumerates). Cost is one sequential scan of the
+  * touched files, stopping early after each file's last position;
+  * untouched data files are never opened.
+  */
+final class TxDvReader(p: TxDvPartition, dataSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // (data file, ascending deleted positions), deterministic order
+  private val positions: Array[(String, Array[Long])] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val r = ParquetReader.builder(new GroupReadSupport(), new Path(p.dvFile))
+      .withConf(new Configuration()).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val t = g.getType
+        val f = new String(
+          g.getBinary(t.getFieldIndex("file"), 0).getBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        m.getOrElseUpdate(f,
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          g.getLong(t.getFieldIndex("row_index"), 0)
+        g = r.read()
+      }
+    } finally r.close()
+    m.toArray.sortBy(_._1).map { case (f, b) => (f, b.toArray.sorted) }
   }
+
+  private var fileIdx = 0
+  private var reader: ParquetReader[Group] = _
+  private var targets: Array[Long] = _
+  private var posIdx = 0
+  private var rowIdx = -1L
+  private var cur: Group = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null) {
+        if (fileIdx >= positions.length) return false
+        val (f, ps) = positions(fileIdx)
+        targets = ps; posIdx = 0; rowIdx = -1L
+        reader = ParquetReader
+          .builder(new GroupReadSupport(), new Path(s"${p.root}/$f"))
+          .withConf(new Configuration()).build()
+      }
+      if (posIdx >= targets.length) {
+        reader.close(); reader = null; fileIdx += 1
+      } else {
+        val g = reader.read()
+        if (g == null) { reader.close(); reader = null; fileIdx += 1 }
+        else {
+          rowIdx += 1
+          if (rowIdx == targets(posIdx)) { posIdx += 1; cur = g; return true }
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow =
+    TxChangeStream.groupToRow(cur, dataSchema,
+      TxChangeStream.DeleteType, p.version)
+
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
 }

@@ -66,11 +66,16 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(r7.getAs[Seq[Float]]("emb") === Seq(7.0f, -7.0f))
     assert(r7.getAs[Boolean]("flag") === false)
 
+    // append-only commits are all inserts
+    assert(got.select("_change_type").distinct()
+      .as[String].collect().toSeq === Seq("insert"))
+
     // batch ≡ streaming: same multiset as readChanges over the range
     val batch = TxTable.readChanges(spark, root, 0L, 2L)
       .unionByName(TxTable.readVersion(spark, root, 0L))
-    assert(got.drop("_commit_version").except(batch).count() === 0L)
-    assert(batch.except(got.drop("_commit_version")).count() === 0L)
+    val stream = got.drop("_commit_version", "_change_type")
+    assert(stream.except(batch).count() === 0L)
+    assert(batch.except(stream).count() === 0L)
     assert(got.count() === 30L)
   }
 
@@ -143,8 +148,8 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(got.filter(_._2 == 2L).map(_._1).min === 21L)
   }
 
-  test("a deletion-vector commit is an empty micro-batch " +
-    "(offset advances, no rows replay)") {
+  test("a deletion-vector commit emits its rows as _change_type=delete " +
+    "(full values, correct version; insert-minus-delete tracks the table)") {
     val (root, df) = mkTable()
     TxTable.create(df.filter($"id" <= 10), root) // v0
     TxTable.deleteWhere(spark, root,
@@ -153,12 +158,45 @@ class TxChangeStreamSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
     drain(TxTable.readChangeStream(spark, root), "cdc_dv", ckpt)
     val got = spark.table("cdc_dv")
-    // v0 rows replay IN FULL (the file-delta contract: row-level
-    // deletes propagate via snapshot diff, not the CDC feed) and no
-    // version-1 rows exist at all
-    assert(got.count() === 20L)
-    assert(got.select("_commit_version").distinct()
-      .as[Long].collect().toSet === Set(0L, 2L))
+
+    // v1's micro-batch is exactly the deleted rows, delete-typed, with
+    // their FULL values resolved back from the data file
+    val dels = got.filter($"_change_type" === "delete")
+    assert(dels.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(dels.select("_commit_version").distinct()
+      .as[Long].collect().toSeq === Seq(1L))
+    val d2 = dels.filter($"id" === 2L).collect().head
+    assert(d2.getAs[String]("name") === "name2")
+    assert(d2.getAs[Seq[Float]]("emb") === Seq(2.0f, -2.0f))
+
+    // the consumer fold (insert minus delete) equals the live table;
+    // rename the delete side's key — both branches read the same sink
+    // view, so a same-name anti-join is a conflicting-reference self-join
+    val ins = got.filter($"_change_type" === "insert")
+    val folded = ins.join(dels.select($"id".as("del_id")),
+        $"id" === $"del_id", "left_anti")
+      .drop("_commit_version", "_change_type")
+    val live = TxTable.read(spark, root)
+    assert(folded.except(live).count() === 0L)
+    assert(live.except(folded).count() === 0L)
+    assert(got.count() === 23L) // 10 inserts + 3 deletes + 10 inserts
+  }
+
+  test("a second delete over the same predicate emits nothing new " +
+    "(DV-aware matching: already-deleted rows cannot re-match)") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root) // v0
+    TxTable.deleteWhere(spark, root,
+      org.apache.spark.sql.functions.col("id") <= 3) // v1
+    // same predicate again: matches nothing, commits nothing
+    val v = TxTable.deleteWhere(spark, root,
+      org.apache.spark.sql.functions.col("id") <= 3)
+    assert(v === 1L)
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root), "cdc_dv2", ckpt)
+    assert(spark.table("cdc_dv2")
+      .filter($"_change_type" === "delete").count() === 3L)
   }
 
   test("null fields survive the record reader") {

@@ -1757,6 +1757,38 @@ object SimilarityQueries extends QueryGroup {
     * scan-shrinkage side (pruned file list a strict subset) and the
     * both-or-neither versioning.
     */
+  /** DV delete on an INDEXED table ([[graft.sources.TxTable
+    * .deleteWhere]]'s per-index deletion-vector channel, VERDICT r13
+    * #2): the delete commit publishes corpus positions AND the pinned
+    * index's deleted ids in ONE manifest rename, and the probe
+    * anti-joins those ids — so probing ALL cells after the delete
+    * must equal brute-force top-k over the SURVIVING corpus bit for
+    * bit. TxIndexSpec pins the both-or-neither versioning and that
+    * the data/index files themselves are untouched.
+    */
+  val txDeleteDvIndexed: QueryDef = QueryDef(
+    "io_tx_delete_dv_indexed",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txidxdv-").toString
+      graft.sources.TxTable.create(emb, root)
+      graft.sources.TxTable.buildIvfIndex(s, root, "emb",
+        "vec_id", "embedding", numCentroids = 4, buckets = 4)
+      graft.sources.TxTable.deleteWhere(s, root, col("vec_id") % 7 === 3)
+      graft.sources.TxTable.ivfProbeIndexed(s, root, "emb",
+        AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
+        k = 10, nProbes = 4, excludeId = Some(0L))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 7 <> 3),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) + 0 AS sim
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
+
   val txPinnedProbeExact: QueryDef = QueryDef(
     "sim_ann_txpinned_exact",
     (s, dir) => {
@@ -1784,7 +1816,8 @@ object SimilarityQueries extends QueryGroup {
       mutualNearest, mutualNearestBlocked, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
       classSeparationGate, kCenterGate, mmrGate, maxSimGate,
-      maxSimPruned, maxSimPrunedExact, maxSimIndexed, txPinnedProbeExact)
+      maxSimPruned, maxSimPrunedExact, maxSimIndexed, txPinnedProbeExact,
+      txDeleteDvIndexed)
 }
 
 /** End-to-end curation: the composition a training-data pipeline

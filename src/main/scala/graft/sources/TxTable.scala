@@ -87,7 +87,8 @@ object TxTable {
       stats: Map[String, Seq[(Long, Long)]],
       headers: Map[String, String],
       indexFiles: Map[String, Seq[String]] = Map.empty,
-      dvFiles: Seq[String] = Seq.empty) {
+      dvFiles: Seq[String] = Seq.empty,
+      indexDvFiles: Map[String, Seq[String]] = Map.empty) {
     /** Declared cluster columns: empty (unclustered), one (range
       * clustering), or two (z-order clustering — both columns carry
       * file stats, so range predicates on EITHER prune files).
@@ -150,7 +151,11 @@ object TxTable {
     val (indexLines, rest2) = rest.partition(_.startsWith("index/"))
     // deletion-vector namespace: position files of MERGE-ON-READ
     // deletes (see [[deleteWhere]]) — no stats, carried verbatim
-    val (dvEntryLines, headerLines) = rest2.partition(_.startsWith("dv/"))
+    val (dvEntryLines, rest3) = rest2.partition(_.startsWith("dv/"))
+    // per-index deletion-vector namespace: deleted-ID files that keep
+    // a pinned index consistent with a DV-deleted corpus (probes
+    // anti-join ids the way corpus reads anti-join positions)
+    val (idxDvLines, headerLines) = rest3.partition(_.startsWith("idxdv/"))
     val headers = headerLines.map { l =>
       val i = l.indexOf('=')
       require(i > 0, s"malformed manifest header '$l' in $p")
@@ -170,7 +175,10 @@ object TxTable {
         }.toSeq
     }.toMap
     Snapshot(version, files, stats, headers, indexFiles,
-      dvEntryLines.map(_.split("\t").head))
+      dvEntryLines.map(_.split("\t").head),
+      idxDvLines.map(_.split("\t").head)
+        .groupBy(_.split("/")(1))
+        .map { case (n, fs) => n -> fs.toSeq })
   }
 
   def latestSnapshot(spark: SparkSession, root: String): Snapshot = {
@@ -466,6 +474,18 @@ object TxTable {
   /** Deletion-vector lines carried verbatim (no stats). */
   private def dvLines(s: Snapshot): Seq[String] = s.dvFiles
 
+  /** Per-index deletion-vector lines (optionally excluding one index
+    * being dropped/rebuilt), carried verbatim — they travel with the
+    * index lines they guard: carried where index lines carry
+    * (append/compact/restore), dropped where indexes rebuild
+    * (mergeInto/overwrite/buildIvfIndex's own name).
+    */
+  private def idxDvLines(
+      s: Snapshot, except: Set[String] = Set.empty): Seq[String] =
+    s.indexDvFiles.toSeq.sortBy(_._1).collect {
+      case (n, fs) if !except.contains(n) => fs
+    }.flatten
+
   /** Enforce the table's CHECK constraint (header `check=<sql expr>`)
     * on a batch of incoming rows BEFORE any file is written — SQL
     * standard semantics: a row violates only when the predicate is
@@ -550,7 +570,7 @@ object TxTable {
         enforceCheck(df, cur.headers, s"append at $root")
       if (tryCommit(spark, root, cur.version + 1, cur.headers,
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
-            entries ++ idxEntries))
+            idxDvLines(cur) ++ entries ++ idxEntries))
         return cur.version + 1
       attempt += 1
     }
@@ -594,7 +614,7 @@ object TxTable {
       if (tryCommit(spark, root, cur.version + 1,
           cur.headers + (key -> batchId.toString),
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
-            entries ++ idxEntries))
+            idxDvLines(cur) ++ entries ++ idxEntries))
         return Some(cur.version + 1)
       attempt += 1
     }
@@ -696,7 +716,8 @@ object TxTable {
       Map("check" -> checkExpr), s"setCheckConstraint at $root")
     if (!tryCommit(spark, root, cur.version + 1,
         cur.headers + ("check" -> checkExpr),
-        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur)))
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur)))
       throw new CommitConflict(
         s"setCheckConstraint at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -707,7 +728,8 @@ object TxTable {
     val cur = latestSnapshot(spark, root)
     require(cur.headers.contains("check"), s"no CHECK constraint at $root")
     if (!tryCommit(spark, root, cur.version + 1, cur.headers - "check",
-        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur)))
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur)))
       throw new CommitConflict(
         s"dropCheckConstraint at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -732,7 +754,8 @@ object TxTable {
       s"restore at $root: version $toVersion is ahead of v${cur.version}")
     val target = snapshot(spark, root, toVersion)
     if (!tryCommit(spark, root, cur.version + 1, target.headers,
-        entryLines(target) ++ indexLines(target) ++ dvLines(target)))
+        entryLines(target) ++ indexLines(target) ++ dvLines(target) ++
+          idxDvLines(target)))
       throw new CommitConflict(
         s"restore at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -740,7 +763,10 @@ object TxTable {
 
   /** DESCRIBE HISTORY: one row per committed version — (version,
     * n_files, n_index_files, n_dv_files, headers as sorted
-    * `k=v` CSV). Manifest metadata only; no data file is opened.
+    * `k=v` CSV). `n_dv_files` counts corpus position files AND
+    * per-index deleted-ID files (both are the version's
+    * merge-on-read state). Manifest metadata only; no data file is
+    * opened.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -748,7 +774,8 @@ object TxTable {
       val s = snapshot(spark, root, v)
       (v, s.files.size.toLong,
         s.indexFiles.values.map(_.size).sum.toLong,
-        s.dvFiles.size.toLong,
+        s.dvFiles.size.toLong +
+          s.indexDvFiles.values.map(_.size).sum.toLong,
         s.headers.toSeq.sortBy(_._1)
           .map { case (k, x) => s"$k=$x" }.mkString(","))
     }.toDF("version", "n_files", "n_index_files", "n_dv_files", "headers")
@@ -779,11 +806,19 @@ object TxTable {
     *    DV-aware, so already-deleted rows can't re-match. A predicate
     *    matching nothing commits nothing and returns the current
     *    version.
-    *  - pinned derived indexes ([[buildIvfIndex]]) REJECT DV deletes
-    *    (the index has no position channel, so rows would survive in
-    *    the index that the corpus no longer serves — breaking the
-    *    both-or-neither pin). Tables with indexes delete through
-    *    [[mergeInto]] tombstones, which rebuild the index in-commit.
+    *  - pinned derived indexes ([[buildIvfIndex]]) get their own DV
+    *    channel IN THE SAME COMMIT: the matching scan denormalizes
+    *    each index's id column into the position file, a per-index
+    *    `idxdv/<name>/` deleted-ID sidecar is projected from it (no
+    *    second corpus scan), and every probe/read anti-joins those
+    *    ids exactly like corpus reads anti-join positions — so a
+    *    GDPR delete on an indexed 100 TB table is still one predicate
+    *    scan, and the both-or-neither pin holds (one manifest rename
+    *    publishes corpus DV + index DV). Requires the index id column
+    *    to identify its row (the AnnIndex contract). [[mergeInto]]/
+    *    [[overwrite]] materialize index DVs too (they rebuild the
+    *    index from the DV-aware merged corpus); [[compact]]/
+    *    [[autoCompact]] carry them with the index lines they guard.
     *  - optimistic retry like [[append]]: a lost race re-reads the
     *    latest snapshot and re-runs the matching scan.
     *
@@ -821,10 +856,7 @@ object TxTable {
     var attempt = 0
     while (true) {
       val cur = latestSnapshot(spark, root)
-      require(indexSpecs(cur).isEmpty,
-        s"deleteWhere at $root: table has pinned indexes " +
-          s"(${indexSpecs(cur).map(_.name).mkString(",")}) — DV deletes " +
-          "would strand their rows; use mergeInto tombstones instead")
+      val specs = indexSpecs(cur)
       val cand = candidates(cur)
       if (cand.isEmpty) return cur.version // no file can match
       // DV-aware scan with positions: already-deleted rows can't match
@@ -839,8 +871,18 @@ object TxTable {
           spark.read.parquet(cur.dvFiles.map(f => s"$root/$f"): _*)
             .select(col("file").as("_dv_f"), col("row_index").as("_dv_ri")),
           Seq("_dv_f", "_dv_ri"), "left_anti")
+      // pinned indexes ride along: the SAME matching scan also yields
+      // each index's deleted ids (denormalized into the position file,
+      // columnar — corpus readers never decode them), so the delete
+      // stays ONE predicate scan regardless of index count. Probes
+      // anti-join these ids exactly like corpus reads anti-join
+      // positions; requires the index id column to identify its row
+      // (the AnnIndex contract — routeRows maps rows 1:1).
+      val idCols = specs.map(sp =>
+        col(sp.idCol).cast("long").as(s"_id_${sp.name}"))
       val hits = live.filter(predicate)
-        .select(col("_dv_f").as("file"), col("_dv_ri").as("row_index"))
+        .select(col("_dv_f").as("file") +:
+          col("_dv_ri").as("row_index") +: idCols: _*)
       val rel = s"dv/${UUID.randomUUID()}"
       val dest = new Path(root, rel)
       hits.coalesce(math.max(1, dvBuckets))
@@ -855,11 +897,29 @@ object TxTable {
         f.delete(dest, true) // nothing matched: no commit, no garbage
         return cur.version
       }
+      // per-index deleted-ID sidecars, projected from the (KB–MB)
+      // position file just written — no second corpus scan
+      val idxDvEntries = specs.map { sp =>
+        val idxRel = s"idxdv/${sp.name}/${UUID.randomUUID()}"
+        spark.read.parquet(dest.toString)
+          .select(col(s"_id_${sp.name}").as("id")).distinct()
+          .coalesce(1)
+          .write.parquet(new Path(root, idxRel).toString)
+        val idxNames = f.listStatus(new Path(root, idxRel)).toSeq
+          .map(_.getPath.getName)
+          .filter(nm => nm.endsWith(".parquet") && !nm.startsWith("_"))
+          .sorted
+        (idxRel, idxNames.map(nm => s"$idxRel/$nm"))
+      }
       if (tryCommit(spark, root, cur.version + 1, cur.headers,
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
-            names.map(nm => s"$rel/$nm")))
+            idxDvLines(cur) ++ names.map(nm => s"$rel/$nm") ++
+            idxDvEntries.flatMap(_._2)))
         return cur.version + 1
-      f.delete(dest, true) // lost the race: retry against the new tip
+      // lost the race: unstage everything and retry against the new tip
+      f.delete(dest, true)
+      idxDvEntries.foreach { case (idxRel, _) =>
+        f.delete(new Path(root, idxRel), true) }
       attempt += 1
       if (attempt > maxRetries)
         throw new CommitConflict(
@@ -884,7 +944,7 @@ object TxTable {
     // compaction preserves ROWS, and indexes derive from rows — pinned
     // index lines carry over verbatim, nothing re-routed
     if (!tryCommit(spark, root, cur.version + 1, cur.headers,
-        entries ++ indexLines(cur)))
+        entries ++ indexLines(cur) ++ idxDvLines(cur)))
       throw new CommitConflict(
         s"compact at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -920,7 +980,8 @@ object TxTable {
       keptLarge.contains(line.split("\t").head)
     }
     if (!tryCommit(spark, root, cur.version + 1, cur.headers,
-        keptLines ++ entries ++ indexLines(cur) ++ dvLines(cur)))
+        keptLines ++ entries ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur)))
       throw new CommitConflict(
         s"autoCompact at $root: snapshot v${cur.version} went stale")
     Some(cur.version + 1)
@@ -1065,7 +1126,8 @@ object TxTable {
     val headers = cur.headers +
       (s"index:$name" -> s"$sidecarRel|$idCol|$vecCol")
     if (!tryCommit(spark, root, cur.version + 1, headers,
-        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++ entries))
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur) ++ entries))
       throw new CommitConflict(
         s"buildIvfIndex at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -1082,7 +1144,7 @@ object TxTable {
     if (!tryCommit(spark, root, cur.version + 1,
         cur.headers - s"index:$name",
         entryLines(cur) ++ indexLines(cur, except = Set(name)) ++
-          dvLines(cur)))
+          dvLines(cur) ++ idxDvLines(cur, except = Set(name))))
       throw new CommitConflict(
         s"dropIndex at $root: snapshot v${cur.version} went stale")
     cur.version + 1
@@ -1096,7 +1158,9 @@ object TxTable {
   /** Time travel for the pinned index: the same manifest that names
     * the corpus files of `version` names these index files, so this
     * frame is consistent with [[readVersion]] at the same version BY
-    * CONSTRUCTION — the both-or-neither contract.
+    * CONSTRUCTION — the both-or-neither contract. Merge-on-read like
+    * the corpus: the version's per-index deletion vectors (deleted
+    * ids from [[deleteWhere]]) anti-join during the read.
     */
   def readIndexVersion(
       spark: SparkSession, root: String, name: String,
@@ -1108,8 +1172,27 @@ object TxTable {
     if (files.isEmpty)
       throw new IllegalStateException(
         s"TxTable $root index $name@$version: no data files")
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    val spec = indexSpecs(s).find(_.name == name).get
+    antiJoinIndexDv(spark, root, s, spec,
+      spark.read.parquet(files.map(f => s"$root/$f"): _*))
   }
+
+  /** Apply an index's deletion vectors (deleted-ID files) to a frame
+    * of its rows: broadcast anti-join on the id column — the dv side
+    * is bounded by the table's accumulated delete count, KB–MB scale,
+    * so no index-scale shuffle ever happens.
+    */
+  private def antiJoinIndexDv(
+      spark: SparkSession, root: String, s: Snapshot, spec: IndexSpec,
+      rows: DataFrame): DataFrame =
+    s.indexDvFiles.get(spec.name).filter(_.nonEmpty) match {
+      case None => rows
+      case Some(dvf) =>
+        val ids = spark.read.parquet(dvf.map(f => s"$root/$f"): _*)
+          .select(col("id").as("_dv_id"))
+        rows.join(broadcast(ids),
+          rows(spec.idCol).cast("long") === col("_dv_id"), "left_anti")
+    }
 
   /** Index files whose manifest [min,max] cell range overlaps any
     * probed cell — exposed so specs can assert a probe's scan really
@@ -1153,9 +1236,10 @@ object TxTable {
       return readIndexVersion(spark, root, name, s.version)
         .select(col(spec.idCol), lit(0.0d).as("sim")).limit(0)
     val qLit = array(queryVec.toSeq.map(v => lit(v)): _*)
-    val candidates = spark.read
-      .parquet(files.map(f => s"$root/$f"): _*)
-      .filter(col("cell").isin(probes: _*))
+    val candidates = antiJoinIndexDv(spark, root, s, spec,
+      spark.read
+        .parquet(files.map(f => s"$root/$f"): _*)
+        .filter(col("cell").isin(probes: _*)))
     val withoutQuery = excludeId match {
       case Some(id) => candidates.filter(col(spec.idCol) =!= id)
       case None     => candidates
@@ -1201,7 +1285,8 @@ object TxTable {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val keptSnaps = keep.map(v => snapshot(spark, root, v))
     val live = keptSnaps
-      .flatMap(s => s.files ++ s.indexFiles.values.flatten ++ s.dvFiles)
+      .flatMap(s => s.files ++ s.indexFiles.values.flatten ++ s.dvFiles ++
+        s.indexDvFiles.values.flatten)
       .toSet
     val liveSidecars = keptSnaps.flatMap(s => indexSpecs(s).map(_.sidecar)).toSet
     val f = fs(spark, new Path(root))
@@ -1224,6 +1309,12 @@ object TxTable {
     sweepDir("data")
     // deletion-vector dirs: same unreferenced+past-retention rule
     sweepDir("dv")
+    // per-index deletion-vector namespaces: idxdv/<name>/ holds uuid dirs
+    val idxDvRoot = new Path(root, "idxdv")
+    if (f.exists(idxDvRoot))
+      f.listStatus(idxDvRoot).filter(_.isDirectory).foreach { nameDir =>
+        sweepDir(s"idxdv/${nameDir.getPath.getName}")
+      }
     // pinned-index namespaces: each index/<name>/ holds data uuid dirs
     // plus centroid sidecars; a sidecar survives while ANY kept
     // manifest's header names it, data dirs by the same live-file rule

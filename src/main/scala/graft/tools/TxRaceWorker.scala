@@ -140,8 +140,20 @@ object TxRaceWorker {
             TxTable.deleteWhere(spark, root,
               org.apache.spark.sql.functions.col("k").between(lo, lo + 9L),
               maxRetries = 200)
+          case "dvdelidx" =>
+            // the DV-delete race over an INDEXED table: same disjoint
+            // slice scheme as `dvdel`, but every commit must publish
+            // corpus positions AND the pinned index's deleted ids in
+            // one rename — the orchestrator asserts corpus and index
+            // agree on survivors at EVERY committed version, and that
+            // lost-race staged idxdv dirs never leak into a manifest
+            val base = if (workerId == "w1") 0L else 500L
+            val lo = base + i * 10L
+            TxTable.deleteWhere(spark, root,
+              org.apache.spark.sql.functions.col("k").between(lo, lo + 9L),
+              maxRetries = 200)
           case other =>
-            sys.error(s"unknown mode '$other' (append|merge|mergeidx|dvdel)")
+            sys.error(s"unknown mode '$other' (append|merge|mergeidx|dvdel|dvdelidx)")
         }
         // stdout is the race log the orchestrator asserts over
         println(s"[txrace] worker=$workerId seq=$i version=$v")

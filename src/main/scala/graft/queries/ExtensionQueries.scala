@@ -6945,6 +6945,39 @@ object IoQueries extends QueryGroup {
     Some(
       """SELECT event_id, value FROM events ORDER BY event_id""".stripMargin))
 
+  /** Schema evolution ([[graft.sources.TxTable]] `schema=` header,
+    * round 14): the gate drives BOTH edges — a wider batch is
+    * REJECTED by the strict default (before any file lands), then
+    * lands with `mergeSchema = true`, publishing the union schema in
+    * the same commit; reads scan by the DECLARED schema, so
+    * pre-evolution files serve the new column as null instead of the
+    * single-footer lottery dropping it. Full oracle: the CASE
+    * restates exactly which rows carry the evolved column.
+    */
+  val txSchemaEvolution: QueryDef = QueryDef(
+    "io_tx_schema_evolution",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txschema-").toString
+      graft.sources.TxTable.create(
+        ev.filter(col("event_id") % 2 === 0).select("event_id", "value"),
+        root)
+      val wider = ev.filter(col("event_id") % 2 === 1)
+        .select("event_id", "value", "event_type")
+      val rejected =
+        try { graft.sources.TxTable.append(wider, root); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "strict append failed to reject the wider batch")
+      graft.sources.TxTable.append(wider, root, mergeSchema = true)
+      graft.sources.TxTable.read(s, root).orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, value,
+        |  CASE WHEN event_id % 2 = 1 THEN event_type ELSE NULL END
+        |    AS event_type
+        |FROM events ORDER BY event_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -7897,7 +7930,7 @@ object IoQueries extends QueryGroup {
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       avroRoundTrip, bloomSkipping, txDeleteDv, txRestore, txLifecycle,
-      txCheckGate,
+      txCheckGate, txSchemaEvolution,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * format: `version=N` first; then `key=value` table headers carried
   * forward commit-to-commit (`cluster=<col>[,<col2>]` declares the
   * clustering column(s) — one column = range clustering, two =
-  * z-order layout via [[graft.ingest.ZOrder]]; `stream:<id>=<batchId>`
+  * z-order layout via [[graft.ingest.ZOrder]]; `schema=<json>` the
+  * declared table schema every writer validates against and every
+  * reader scans by (see the schema-evolution section);
+  * `stream:<id>=<batchId>`
   * records the last committed batch per streaming source); then one
   * line per data file — `data/<uuid>/<name>` optionally followed by
   * TAB-separated min/max per cluster column (in declaration order),
@@ -97,6 +100,18 @@ object TxTable {
       headers.get("cluster").toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim).filter(_.nonEmpty)
     def clusterCol: Option[String] = clusterCols.headOption
+    /** The version's declared table schema (header `schema=<json>`,
+      * written by [[create]] since round 14) — what makes reads
+      * deterministic across files written by different-width commits:
+      * with it, every scan passes the DECLARED schema and parquet
+      * resolves columns BY NAME (a column added after a file was
+      * written reads as null); without it (legacy tables), the reader
+      * falls back to single-footer inference.
+      */
+    def tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      headers.get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   final class CommitConflict(msg: String)
@@ -197,7 +212,7 @@ object TxTable {
   /** Time travel: the table exactly as of `version`. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val s = snapshot(spark, root, version)
-    readFiles(spark, root, s.files, s.dvFiles)
+    readFiles(spark, root, s.files, s.dvFiles, s.tableSchema)
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` (manifest
@@ -238,11 +253,13 @@ object TxTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val from = snapshot(spark, root, fromVersion).files.toSet
-    val to = snapshot(spark, root, toVersion).files
+    val toSnap = snapshot(spark, root, toVersion)
+    val to = toSnap.files
     val delta = to.filterNot(from)
     // empty range ⇒ empty frame with the table's schema, not a throw
-    if (delta.isEmpty) readFiles(spark, root, to).limit(0)
-    else readFiles(spark, root, delta)
+    if (delta.isEmpty)
+      readFiles(spark, root, to, schema = toSnap.tableSchema).limit(0)
+    else readFiles(spark, root, delta, schema = toSnap.tableSchema)
   }
 
   /** Streaming face of [[readChanges]]: a Structured Streaming source
@@ -263,12 +280,14 @@ object TxTable {
 
   private def readFiles(
       spark: SparkSession, root: String, files: Seq[String],
-      dvFiles: Seq[String] = Seq.empty): DataFrame = {
+      dvFiles: Seq[String] = Seq.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     if (files.isEmpty)
       // an empty committed table still has a schema obligation only
       // its writer knew; surface the emptiness explicitly
       throw new IllegalStateException(s"TxTable $root: no data files")
-    val base = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val base = reader.parquet(files.map(f => s"$root/$f"): _*)
     if (dvFiles.isEmpty) base
     else {
       // merge-on-read: anti-join the per-row (file, row_index)
@@ -302,7 +321,8 @@ object TxTable {
     val s = latestSnapshot(spark, root)
     val c = s.clusterCol.getOrElse(throw new IllegalArgumentException(
       s"TxTable $root has no cluster column; readRange needs one"))
-    readFiles(spark, root, prunedFiles(s, 0, lo, hi), s.dvFiles)
+    readFiles(spark, root, prunedFiles(s, 0, lo, hi), s.dvFiles,
+        s.tableSchema)
       .filter(col(c).between(lo, hi))
   }
 
@@ -322,7 +342,7 @@ object TxTable {
       s"TxTable $root has cluster columns $cs; readBox needs exactly 2")
     val pruned = prunedFiles(s, 0, loA, hiA)
       .intersect(prunedFiles(s, 1, loB, hiB))
-    readFiles(spark, root, pruned, s.dvFiles)
+    readFiles(spark, root, pruned, s.dvFiles, s.tableSchema)
       .filter(col(cs.head).between(loA, hiA) &&
         col(cs(1)).between(loB, hiB))
   }
@@ -503,6 +523,77 @@ object TxTable {
           s"$op: $bad row(s) violate CHECK ($sql); commit aborted")
     }
 
+  // ------------------------------------------------- schema evolution
+  //
+  // The manifest carries the table schema (`schema=<StructType json>`,
+  // one line): every writer batch is validated against it BEFORE any
+  // file lands, and every reader passes it to the scan so columns
+  // resolve BY NAME across files written by different-width commits —
+  // without it, spark.read.parquet picks ONE footer and a wider
+  // append's columns silently vanish from reads. Evolution is explicit
+  // (Delta's discipline): `append(..., mergeSchema = true)` may ADD
+  // columns (the union schema publishes in the same commit; old files
+  // read the new column as null), never change or drop a type.
+  // Legacy tables without the header keep the old single-footer reads.
+
+  import org.apache.spark.sql.types._
+
+  /** Canonical comparable/storable form: all nullable, no metadata —
+    * nullability is a hint parquet files disagree on harmlessly, not
+    * a schema identity.
+    */
+  private def nullNorm(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, nullNorm(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(nullNorm(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullNorm(k), nullNorm(v), valueContainsNull = true)
+    case other => other
+  }
+
+  private def normSchema(st: StructType): StructType =
+    nullNorm(st).asInstanceOf[StructType]
+
+  /** Validate an incoming batch against the table schema; returns the
+    * headers the commit should publish. Strict mode: the batch's
+    * column set and types must equal the declared schema exactly.
+    * `mergeSchema`: columns present on both sides must type-match;
+    * batch-only columns APPEND to the declared schema (old files
+    * serve them as null); declared-only columns may be absent from
+    * the batch (its files serve them as null). Legacy tables (no
+    * header) pass through unvalidated.
+    */
+  private def checkSchema(
+      df: DataFrame, headers: Map[String, String], op: String,
+      mergeSchema: Boolean = false): Map[String, String] = {
+    val declaredJson = headers.get("schema")
+    if (declaredJson.isEmpty) return headers
+    val declared = normSchema(
+      DataType.fromJson(declaredJson.get).asInstanceOf[StructType])
+    val incoming = normSchema(df.schema)
+    val dm = declared.fields.map(f => f.name -> f.dataType).toMap
+    val im = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = im.keySet.intersect(dm.keySet)
+      .filter(n => im(n) != dm(n))
+    require(conflicts.isEmpty,
+      s"$op: column type conflict for ${conflicts.toSeq.sorted.mkString(",")} " +
+        s"(declared vs batch) — evolution may only ADD columns")
+    val extra = incoming.fields.filterNot(f => dm.contains(f.name))
+    val missing = declared.fields.filterNot(f => im.contains(f.name))
+    if (!mergeSchema) {
+      require(extra.isEmpty && missing.isEmpty,
+        s"$op: batch schema ${incoming.simpleString} does not match the " +
+          s"declared ${declared.simpleString}; pass mergeSchema = true " +
+          "to add columns")
+      headers
+    } else if (extra.isEmpty) headers
+    else headers + ("schema" ->
+      StructType(declared.fields ++ extra).json)
+  }
+
+  private def schemaHeaderFor(df: DataFrame): (String, String) =
+    "schema" -> normSchema(df.schema).json
+
   /** The manifest lines of every pinned index (optionally excluding
     * one being rebuilt), stats carried forward verbatim.
     */
@@ -538,7 +629,7 @@ object TxTable {
       .getOrElse(Map.empty[String, String])
     enforceCheck(df, headers0, s"create at $root")
     val entries = writeDataFiles(df, root, clusterCols, buckets)
-    val headers = headers0 ++ (
+    val headers = headers0 + schemaHeaderFor(df) ++ (
       if (clusterCols.isEmpty) Map.empty[String, String]
       else Map("cluster" -> clusterCols.mkString(",")))
     if (!tryCommit(df.sparkSession, root, 0L, headers, entries))
@@ -550,10 +641,11 @@ object TxTable {
     * files commutes with any interleaved commit's file additions.
     */
   def append(df: DataFrame, root: String, maxRetries: Int = 10,
-      buckets: Int = 8): Long = {
+      buckets: Int = 8, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val pre = latestSnapshot(spark, root)
     enforceCheck(df, pre.headers, s"append at $root")
+    checkSchema(df, pre.headers, s"append at $root", mergeSchema)
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     // pinned indexes: route ONLY the new rows through each sidecar —
     // the corpus-side delta and the index-side delta publish together
@@ -568,7 +660,10 @@ object TxTable {
       // too (validate-then-commit is not atomic across retries)
       if (cur.headers.get("check") != pre.headers.get("check"))
         enforceCheck(df, cur.headers, s"append at $root")
-      if (tryCommit(spark, root, cur.version + 1, cur.headers,
+      // schema validation + union-widening against THIS attempt's tip
+      val headers = checkSchema(df, cur.headers,
+        s"append at $root", mergeSchema)
+      if (tryCommit(spark, root, cur.version + 1, headers,
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
             idxDvLines(cur) ++ entries ++ idxEntries))
         return cur.version + 1
@@ -600,6 +695,7 @@ object TxTable {
     val pre = latestSnapshot(spark, root)
     if (committed(pre)) return None
     enforceCheck(df, pre.headers, s"addStreamingBatch at $root")
+    checkSchema(df, pre.headers, s"addStreamingBatch at $root")
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     val idxEntries = idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
@@ -630,9 +726,14 @@ object TxTable {
     val spark = df.sparkSession
     val cur = snapshot(spark, root, expectedVersion)
     enforceCheck(df, cur.headers, s"overwrite at $root")
+    // contents replace wholesale, so the declared schema follows the
+    // new frame (legacy tables stay headerless)
+    val headers =
+      if (cur.headers.contains("schema")) cur.headers + schemaHeaderFor(df)
+      else cur.headers
     val entries = writeDataFiles(df, root, cur.clusterCols, buckets) ++
       idxEntriesFor(spark, root, indexSpecs(cur), df, buckets)
-    if (!tryCommit(spark, root, expectedVersion + 1, cur.headers, entries))
+    if (!tryCommit(spark, root, expectedVersion + 1, headers, entries))
       throw new CommitConflict(
         s"overwrite at $root: version ${expectedVersion + 1} already " +
           "committed by a concurrent writer; re-derive from the new snapshot")
@@ -860,7 +961,10 @@ object TxTable {
       val cand = candidates(cur)
       if (cand.isEmpty) return cur.version // no file can match
       // DV-aware scan with positions: already-deleted rows can't match
-      val base = spark.read.parquet(cand.map(f => s"$root/$f"): _*)
+      // (schema-specified so a predicate on an evolved column works
+      // against pre-evolution files)
+      val base = cur.tableSchema.fold(spark.read)(spark.read.schema)
+        .parquet(cand.map(f => s"$root/$f"): _*)
       val withPos = base.select(col("*"),
         expr("regexp_extract(_metadata.file_path, " +
           "'(data/[^/]+/[^/]+)$', 1)").as("_dv_f"),
@@ -971,7 +1075,8 @@ object TxTable {
     }
     val (small, large) = sized.partition(_._2 < smallBytes)
     if (small.size < minSmallFiles) return None
-    val smallDf = readFiles(spark, root, small.map(_._1), cur.dvFiles)
+    val smallDf = readFiles(spark, root, small.map(_._1), cur.dvFiles,
+      cur.tableSchema)
     val outFiles = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val entries = writeDataFiles(smallDf, root, cur.clusterCols, outFiles)

@@ -95,7 +95,12 @@ object TxChangeStream {
     val snap = TxTable.latestSnapshot(spark, root)
     require(snap.files.nonEmpty,
       s"TxTable $root has no data files to take a schema from")
-    val base = spark.read.parquet(s"$root/${snap.files.last}").schema
+    // declared schema when the manifest carries one (evolution-safe:
+    // a column added by a later commit is present, and files that
+    // predate it read it as null via groupToRow's by-name lookup);
+    // newest-footer fallback for legacy tables
+    val base = snap.tableSchema.getOrElse(
+      spark.read.parquet(s"$root/${snap.files.last}").schema)
     base.add(ChangeTypeCol, StringType, nullable = false)
       .add(VersionCol, LongType, nullable = false)
   }

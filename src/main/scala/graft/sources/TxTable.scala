@@ -274,9 +274,10 @@ object TxTable {
   def readChangeStream(
       spark: SparkSession, root: String,
       startingVersion: Long = 0L,
-      maxVersionsPerTrigger: Int = 0): DataFrame =
+      maxVersionsPerTrigger: Int = 0,
+      allowRewrites: Boolean = false): DataFrame =
     graft.streaming.TxChangeStream.readStream(
-      spark, root, startingVersion, maxVersionsPerTrigger)
+      spark, root, startingVersion, maxVersionsPerTrigger, allowRewrites)
 
   private def readFiles(
       spark: SparkSession, root: String, files: Seq[String],

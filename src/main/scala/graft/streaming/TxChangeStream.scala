@@ -54,13 +54,15 @@ import graft.sources.TxTable
   *
   * Semantics contract (same as [[TxTable.readChanges]] plus the DV
   * channel): valid for append-style commits (create/append/streaming
-  * batches) and DV deletes. A compaction or merge REWRITES surviving
-  * rows into new files and would replay them; run those through the
-  * Merkle snapshot diff, or restart the stream from the
-  * post-compaction version. A [[TxTable.restore]] is a REWIND: it can
-  * re-list files the stream already emitted, which the file-set delta
-  * would re-deliver — restart the consumer from the restore commit
-  * (the same rule Delta CDC applies to RESTORE).
+  * batches) and DV deletes. A compaction, merge, or restore REMOVES
+  * files from the manifest (rewrites survivors / rewinds), which the
+  * file-set delta would re-deliver as phantom inserts — the stream
+  * DETECTS any version that drops a data file and FAILS with guidance
+  * (restart from the post-rewrite version, or run the Merkle snapshot
+  * diff for row-level semantics) instead of silently duplicating rows;
+  * `allowRewrites = true` opts into the raw file-delta feed for
+  * consumers that reconcile downstream (the same rule Delta CDC
+  * applies to RESTORE/OPTIMIZE).
   *
   * Admission control: `maxVersionsPerTrigger` paces a catch-up replay
   * version-by-version (ReadMaxFiles is reinterpreted as max VERSIONS —
@@ -80,12 +82,14 @@ object TxChangeStream {
   def readStream(
       spark: SparkSession, root: String,
       startingVersion: Long = 0L,
-      maxVersionsPerTrigger: Int = 0): DataFrame =
+      maxVersionsPerTrigger: Int = 0,
+      allowRewrites: Boolean = false): DataFrame =
     spark.readStream
       .format(classOf[TxChangesProvider].getName)
       .option("root", root)
       .option("startingVersion", startingVersion.toString)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .option("allowRewrites", allowRewrites.toString)
       .load()
 
   /** The stream's schema for `root`: table schema (from the newest
@@ -105,18 +109,23 @@ object TxChangeStream {
       .add(VersionCol, LongType, nullable = false)
   }
 
-  /** Delta files introduced BY version v: (new data files, new dv
-    * files) — the insert and delete channels of one commit.
+  /** Delta of version v: (new data files, new dv files, removed data
+    * files). A non-empty removed set means v REWROTE or REWOUND the
+    * table (compact/merge/restore) — the append-style feed cannot
+    * represent it row-accurately.
     */
   private[streaming] def deltaFiles(
-      spark: SparkSession, root: String, v: Long): (Seq[String], Seq[String]) = {
+      spark: SparkSession, root: String,
+      v: Long): (Seq[String], Seq[String], Seq[String]) = {
     val cur = TxTable.snapshot(spark, root, v)
-    if (v == 0L) (cur.files, cur.dvFiles)
+    if (v == 0L) (cur.files, cur.dvFiles, Seq.empty)
     else {
       val prev = TxTable.snapshot(spark, root, v - 1)
       val prevData = prev.files.toSet
       val prevDv = prev.dvFiles.toSet
-      (cur.files.filterNot(prevData), cur.dvFiles.filterNot(prevDv))
+      val curData = cur.files.toSet
+      (cur.files.filterNot(prevData), cur.dvFiles.filterNot(prevDv),
+        prev.files.filterNot(curData))
     }
   }
 
@@ -225,12 +234,14 @@ class TxChangesProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new TxChangesTable(schema, properties.get("root"),
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      Option(properties.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0))
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0),
+      Option(properties.get("allowRewrites")).exists(_.toBoolean))
 }
 
 final class TxChangesTable(
     schema0: StructType, root: String,
-    startingVersion: Long, maxVersionsPerTrigger: Int)
+    startingVersion: Long, maxVersionsPerTrigger: Int,
+    allowRewrites: Boolean)
     extends Table with SupportsRead {
   import scala.jdk.CollectionConverters._
   override def name(): String = s"txtable_changes($root)"
@@ -242,7 +253,8 @@ final class TxChangesTable(
       override def readSchema(): StructType = schema0
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new TxChangesMicroBatchStream(
-          root, schema0, startingVersion, maxVersionsPerTrigger)
+          root, schema0, startingVersion, maxVersionsPerTrigger,
+          allowRewrites)
     }
 }
 
@@ -268,7 +280,8 @@ final case class TxDvPartition(dvFile: String, root: String, version: Long)
   */
 final class TxChangesMicroBatchStream(
     root: String, schema: StructType,
-    startingVersion: Long, maxVersionsPerTrigger: Int)
+    startingVersion: Long, maxVersionsPerTrigger: Int,
+    allowRewrites: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // data columns only (the last two fields are _change_type and
@@ -315,7 +328,16 @@ final class TxChangesMicroBatchStream(
     val e = end.asInstanceOf[TxVersionOffset].version
     val spark = SparkSession.active
     ((s + 1) to e).flatMap { v =>
-      val (dataDelta, dvDelta) = TxChangeStream.deltaFiles(spark, root, v)
+      val (dataDelta, dvDelta, removed) =
+        TxChangeStream.deltaFiles(spark, root, v)
+      if (removed.nonEmpty && !allowRewrites)
+        throw new IllegalStateException(
+          s"TxChangeStream at $root: version $v removed " +
+            s"${removed.size} data file(s) (compact/merge/restore " +
+            "rewrites survivors or rewinds — the file-delta feed would " +
+            "re-deliver already-emitted rows). Restart the stream from " +
+            s"startingVersion = ${v + 1}, use the snapshot diff for " +
+            "row-level semantics, or opt in with allowRewrites = true")
       dataDelta.map(f => TxFilePartition(s"$root/$f", v)) ++
         dvDelta.map(f => TxDvPartition(s"$root/$f", root, v))
     }.toArray

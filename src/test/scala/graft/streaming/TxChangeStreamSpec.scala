@@ -199,6 +199,37 @@ class TxChangeStreamSpec extends SparkSpec {
       .filter($"_change_type" === "delete").count() === 3L)
   }
 
+  test("a rewrite commit (compact) mid-stream FAILS the feed with " +
+    "guidance instead of silently re-delivering rows; " +
+    "allowRewrites opts into the raw delta") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root) // v0
+    TxTable.append(df.filter($"id" > 10 && $"id" <= 20), root) // v1
+    TxTable.compact(spark, root, buckets = 1) // v2: removes v0+v1 files
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(TxTable.readChangeStream(spark, root), "cdc_rewrite", ckpt)
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("removed"),
+      s"unexpected failure: ${rootCause(ex).getMessage}")
+
+    // restart from the post-rewrite version works (the guidance path)
+    val ckpt2 = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    TxTable.append(df.filter($"id" > 20), root) // v3
+    drain(TxTable.readChangeStream(spark, root, startingVersion = 3L),
+      "cdc_after_rewrite", ckpt2)
+    assert(spark.table("cdc_after_rewrite").count() === 10L)
+
+    // the explicit opt-in replays the raw file delta (documented)
+    val ckpt3 = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root, allowRewrites = true),
+      "cdc_raw", ckpt3)
+    // v0: 10, v1: 10, v2 re-delivers all 20 rewritten, v3: 10
+    assert(spark.table("cdc_raw").count() === 50L)
+  }
+
   test("null fields survive the record reader") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

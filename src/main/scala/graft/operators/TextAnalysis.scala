@@ -820,26 +820,45 @@ object TextAnalysis {
     * already has). The complement of decontamination overlap: there
     * the MATCHED grams are the signal, here the unmatched ones.
     *
-    * Same shingle contract as the dedup family
-    * ([[Dedup.shingles]]). Scale: both sides reduce to DISTINCT gram
-    * sets (gram-hash-bounded shuffles with map-side combine) and one
-    * anti join — never doc×doc, never a sort.
+    * Same GRAM CONTRACT as the dedup family ([[Dedup.shingles]]: word
+    * n-grams, whole-text-joined for docs shorter than n), but the
+    * enumeration stays codegen: grams come from
+    * `arrays_zip(slice(w,1,..), …, slice(w,n,..))` + explode + a
+    * top-level concat — [[Dedup.shingles]]' `transform(sequence, i ->
+    * concat_ws(slice(…)))` runs its lambda INTERPRETED per gram, which
+    * the probe measured at ~8× this plan's scan cost. Per-doc
+    * `array_distinct` is dropped too: novelty counts GLOBAL distinct
+    * grams, so within-doc duplicates change nothing. Grams hash to 64
+    * bits before the shuffle (counts survive collisions at this
+    * precision; 8-byte keys instead of gram strings), then ONE
+    * per-gram aggregate computes side membership (in-held/in-train
+    * max flags) and one scalar fold yields the counts — never
+    * doc×doc, never a sort, one corpus scan per branch.
     */
   def ngramNovelty(
       df: org.apache.spark.sql.DataFrame, textCol: String,
       heldout: Column, n: Int = 3): org.apache.spark.sql.DataFrame = {
-    // Hash shingles to 64 bits BEFORE the distincts/anti-join: novelty is a
-    // ratio over distinct-gram counts, so 64-bit collisions are immaterial at
-    // this precision, and shuffling fixed 8-byte keys instead of full n-gram
-    // strings cuts shuffle bytes several-fold on both sides.
-    val grams = df
-      .select(heldout.as("_h"),
-        explode(transform(Dedup.shingles(textCol, n), g => xxhash64(g))).as("_g"))
-    val train = grams.filter(!col("_h")).select(col("_g")).distinct()
-    val held = grams.filter(col("_h")).select(col("_g")).distinct()
-    val unseen = held.join(train, Seq("_g"), "left_anti")
-    held.agg(count(lit(1)).as("n_heldout_grams"))
-      .crossJoin(broadcast(unseen.agg(count(lit(1)).as("n_unseen"))))
+    val w = Dedup.words(textCol)
+    val gramCount = greatest(size(w) - (n - 1), lit(0))
+    val parts = (0 until n).map(i => slice(w, lit(i + 1), gramCount))
+    // explode drops the empty zip of a short doc, so the union branch
+    // contributes exactly the whole-text gram the contract assigns it
+    val longDocs = df
+      .select(heldout.as("_h"), explode(arrays_zip(parts: _*)).as("_t"))
+      .select(col("_h"), xxhash64(concat_ws(" ",
+        (0 until n).map(i => col("_t").getField(i.toString)): _*)).as("_g"))
+    val shortDocs = df
+      .filter(size(w) < n)
+      .select(heldout.as("_h"), xxhash64(concat_ws(" ", w)).as("_g"))
+    longDocs.unionByName(shortDocs)
+      .groupBy(col("_g"))
+      .agg(
+        max(when(col("_h"), 1).otherwise(0)).as("_ih"),
+        max(when(!col("_h"), 1).otherwise(0)).as("_it"))
+      .agg(
+        sum(col("_ih")).cast("long").as("n_heldout_grams"),
+        coalesce(sum(when(col("_ih") === 1 && col("_it") === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_unseen"))
       .select(col("n_heldout_grams"), col("n_unseen"),
         Numerics.roundz(col("n_unseen").cast("double") /
           col("n_heldout_grams").cast("double"), 6).as("novelty"))

@@ -6945,6 +6945,37 @@ object IoQueries extends QueryGroup {
     Some(
       """SELECT event_id, value FROM events ORDER BY event_id""".stripMargin))
 
+  /** RECLUSTER / OPTIMIZE-ZORDER ([[graft.sources.TxTable.recluster]],
+    * round 14): a range-clustered table picks up a second hot
+    * predicate column, DV-deletes some rows, then MIGRATES to z-order
+    * clustering in one commit — the rewrite must materialize the DVs
+    * (deleted rows stay gone) and the new 2-D stats must serve
+    * [[graft.sources.TxTable.readBox]] exactly. Full oracle: box +
+    * delete predicates restate in SQL; TxTableSpec asserts the
+    * file-level pruning side.
+    */
+  val txRecluster: QueryDef = QueryDef(
+    "io_tx_recluster",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select("event_id", "user_id", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txreclus-").toString
+      graft.sources.TxTable.create(ev, root,
+        clusterCol = Some("event_id"), buckets = 4)
+      graft.sources.TxTable.deleteWhere(s, root, col("user_id") % 9 === 4)
+      graft.sources.TxTable.recluster(s, root,
+        Seq("event_id", "user_id"), buckets = 8)
+      graft.sources.TxTable.readBox(s, root, 101L, 900L, 10L, 60L)
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id BETWEEN 101 AND 900
+        |  AND user_id BETWEEN 10 AND 60
+        |  AND user_id % 9 <> 4
+        |ORDER BY event_id""".stripMargin))
+
   /** Schema evolution ([[graft.sources.TxTable]] `schema=` header,
     * round 14): the gate drives BOTH edges — a wider batch is
     * REJECTED by the strict default (before any file lands), then
@@ -7930,7 +7961,7 @@ object IoQueries extends QueryGroup {
     Seq(jsonlRoundTrip, csvRoundTrip, warcExtract, warcHttpExtract,
       urlCanonicalize, urlFrontier, zorderValues, orcRoundTrip,
       avroRoundTrip, bloomSkipping, txDeleteDv, txRestore, txLifecycle,
-      txCheckGate, txSchemaEvolution,
+      txCheckGate, txSchemaEvolution, txRecluster,
       domainStats, partitionPrune, xmlRecords, mergeUpsert,
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,

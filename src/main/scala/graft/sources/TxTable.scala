@@ -1055,6 +1055,40 @@ object TxTable {
     cur.version + 1
   }
 
+  /** RECLUSTER (the `OPTIMIZE … ZORDER BY` face): rewrite the table's
+    * rows into a NEW clustering layout — 0 (unclustered), 1 (range) or
+    * 2 (z-order) columns — publishing new files, fresh per-file
+    * min/max stats, and the updated `cluster=` header in ONE commit.
+    * This is how a table whose query pattern changed (a second hot
+    * predicate column appears) migrates to 2-D skipping without a
+    * recreate: at 100 TB it is one table-scale rewrite that buys every
+    * subsequent [[readRange]]/[[readBox]]/[[deleteRange]] file-level
+    * pruning on the new keys. Same contracts as [[compact]]:
+    * read-modify-write conflict semantics, DVs MATERIALIZE (survivors
+    * rewritten), pinned index lines + index DVs carry verbatim (rows
+    * preserved). Returns the new version.
+    */
+  def recluster(
+      spark: SparkSession, root: String, clusterCols: Seq[String],
+      buckets: Int = 8): Long = {
+    require(clusterCols.size <= 2,
+      s"TxTable supports at most 2 cluster columns, got $clusterCols")
+    val cur = latestSnapshot(spark, root)
+    val all = readVersion(spark, root, cur.version)
+    val entries = clusterCols match {
+      case Seq() => writeDataFiles(all.coalesce(buckets), root, Nil, buckets)
+      case cs    => writeDataFiles(all, root, cs, buckets)
+    }
+    val headers =
+      if (clusterCols.isEmpty) cur.headers - "cluster"
+      else cur.headers + ("cluster" -> clusterCols.mkString(","))
+    if (!tryCommit(spark, root, cur.version + 1, headers,
+        entries ++ indexLines(cur) ++ idxDvLines(cur)))
+      throw new CommitConflict(
+        s"recluster at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
   /** Incremental compaction — the production OPTIMIZE shape: rewrite
     * ONLY files smaller than `smallBytes`, bin-packed into
     * ~`targetBytes` outputs, and keep every already-large file

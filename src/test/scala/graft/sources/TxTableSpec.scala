@@ -227,6 +227,42 @@ class TxTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.contains(5000L))
   }
 
+  test("recluster migrates range-clustered to z-order in one commit: " +
+    "same rows, fresh 2-D stats prune, DVs materialize, header updated") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot()
+    val grid = (0 until 1024).map(i => (i.toLong, (i % 32).toLong,
+      (i / 32).toLong)).toDF("id", "x", "y")
+    TxTable.create(grid, root, clusterCol = Some("x"), buckets = 16) // v0
+    TxTable.deleteWhere(spark, root, col("id") % 100L === 0L) // v1: DV
+    val v = TxTable.recluster(spark, root, Seq("x", "y"), buckets = 16) // v2
+    assert(v == 2L)
+    val snap = TxTable.latestSnapshot(spark, root)
+    assert(snap.clusterCols == Seq("x", "y"))
+    // the rewrite materialized the DVs
+    assert(snap.dvFiles.isEmpty)
+    assert(TxTable.read(spark, root).count() === 1024L - 11L)
+    // both dimensions carry stats and a box prunes files
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.size == 2)))
+    val boxFiles = TxTable.prunedFiles(snap, 0, 4, 7)
+      .intersect(TxTable.prunedFiles(snap, 1, 4, 7))
+    assert(boxFiles.size < snap.files.size)
+    // exact answer through the new layout, deletes stay gone
+    val got = TxTable.readBox(spark, root, 4, 7, 4, 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (0 until 1024).filter(i =>
+      (i % 32) >= 4 && (i % 32) <= 7 && (i / 32) >= 4 && (i / 32) <= 7 &&
+        i % 100 != 0).map(_.toLong).toSet
+    assert(got == want)
+    // pre-recluster time travel still serves the 1-D layout + DVs
+    assert(TxTable.readVersion(spark, root, 1L).count() === 1024L - 11L)
+    // de-clustering works too (header dropped)
+    TxTable.recluster(spark, root, Nil, buckets = 4)
+    assert(TxTable.latestSnapshot(spark, root).clusterCols.isEmpty)
+    assert(TxTable.read(spark, root).count() === 1024L - 11L)
+  }
+
   test("autoCompact folds only small files and keeps large ones") {
     val s = spark
     import s.implicits._

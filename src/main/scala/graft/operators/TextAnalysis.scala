@@ -834,6 +834,13 @@ object TextAnalysis {
     * per-gram aggregate computes side membership (in-held/in-train
     * max flags) and one scalar fold yields the counts — never
     * doc×doc, never a sort, one corpus scan per branch.
+    *
+    * Count contract: `n_heldout_grams`/`n_unseen` are distinct-HASH
+    * counts — exact until the first 64-bit collision (~5·10⁹ distinct
+    * grams by birthday bound), after which they undercount by the
+    * collision count; the 6-dp `novelty` ratio is insensitive to that
+    * at any realistic corpus. A consumer needing exact counts at that
+    * scale should aggregate the gram strings (and pay their shuffle).
     */
   def ngramNovelty(
       df: org.apache.spark.sql.DataFrame, textCol: String,

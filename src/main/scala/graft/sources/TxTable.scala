@@ -572,15 +572,24 @@ object TxTable {
     val declared = normSchema(
       DataType.fromJson(declaredJson.get).asInstanceOf[StructType])
     val incoming = normSchema(df.schema)
-    val dm = declared.fields.map(f => f.name -> f.dataType).toMap
-    val im = incoming.fields.map(f => f.name -> f.dataType).toMap
+    // name matching is CASE-INSENSITIVE, like Spark's own parquet
+    // column resolution (default spark.sql.caseSensitive=false):
+    // treating "V" as a new column beside declared "v" would publish
+    // a case-duplicate schema that fails every subsequent read
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val dupes = incoming.fields.groupBy(f => key(f.name))
+      .collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
+    require(dupes.isEmpty,
+      s"$op: batch has case-duplicate columns ${dupes.mkString(",")}")
+    val dm = declared.fields.map(f => key(f.name) -> f.dataType).toMap
+    val im = incoming.fields.map(f => key(f.name) -> f.dataType).toMap
     val conflicts = im.keySet.intersect(dm.keySet)
       .filter(n => im(n) != dm(n))
     require(conflicts.isEmpty,
       s"$op: column type conflict for ${conflicts.toSeq.sorted.mkString(",")} " +
         s"(declared vs batch) — evolution may only ADD columns")
-    val extra = incoming.fields.filterNot(f => dm.contains(f.name))
-    val missing = declared.fields.filterNot(f => im.contains(f.name))
+    val extra = incoming.fields.filterNot(f => dm.contains(key(f.name)))
+    val missing = declared.fields.filterNot(f => im.contains(key(f.name)))
     if (!mergeSchema) {
       require(extra.isEmpty && missing.isEmpty,
         s"$op: batch schema ${incoming.simpleString} does not match the " +
@@ -594,6 +603,35 @@ object TxTable {
 
   private def schemaHeaderFor(df: DataFrame): (String, String) =
     "schema" -> normSchema(df.schema).json
+
+  /** Reject a batch that re-introduces an id a pinned index has
+    * deletion-vector-masked: index DVs are BY VALUE (deleted ids,
+    * [[deleteWhere]]), so admitting a re-inserted id would either keep
+    * the new row masked in the index or — if the mask were lifted —
+    * resurrect the OLD index entry beside the new one (two index rows,
+    * one corpus row; corpus DVs are positional and unaffected).
+    * Re-ingest of deleted ids goes through [[mergeInto]]/[[overwrite]],
+    * which materialize the DVs and rebuild the index. One broadcast
+    * semi-join per index WITH accumulated DVs (KB–MB side), skipped
+    * entirely otherwise.
+    */
+  private def checkIndexDvReinsert(
+      spark: SparkSession, root: String, s: Snapshot, df: DataFrame,
+      op: String): Unit =
+    indexSpecs(s).foreach { sp =>
+      s.indexDvFiles.get(sp.name).filter(_.nonEmpty).foreach { dvf =>
+        val ids = spark.read.parquet(dvf.map(f => s"$root/$f"): _*)
+          .select(col("id").as("_dv_id"))
+        val clash = df.select(col(sp.idCol).cast("long").as("_bid"))
+          .join(broadcast(ids), col("_bid") === col("_dv_id"), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          s"$op: batch re-inserts id(s) masked by index '${sp.name}' " +
+            "deletion vectors — the old index entry would resurrect " +
+            "beside the new row; re-ingest deleted ids via mergeInto/" +
+            "overwrite (they materialize the DVs), or dropIndex first")
+      }
+    }
 
   /** The manifest lines of every pinned index (optionally excluding
     * one being rebuilt), stats carried forward verbatim.
@@ -661,6 +699,9 @@ object TxTable {
       // too (validate-then-commit is not atomic across retries)
       if (cur.headers.get("check") != pre.headers.get("check"))
         enforceCheck(df, cur.headers, s"append at $root")
+      // per attempt: a concurrent deleteWhere may have masked ids this
+      // batch re-inserts
+      checkIndexDvReinsert(spark, root, cur, df, s"append at $root")
       // schema validation + union-widening against THIS attempt's tip
       val headers = checkSchema(df, cur.headers,
         s"append at $root", mergeSchema)
@@ -708,6 +749,8 @@ object TxTable {
           s"addStreamingBatch at $root: index set changed since v${pre.version}")
       if (cur.headers.get("check") != pre.headers.get("check"))
         enforceCheck(df, cur.headers, s"addStreamingBatch at $root")
+      checkIndexDvReinsert(spark, root, cur, df,
+        s"addStreamingBatch at $root")
       if (tryCommit(spark, root, cur.version + 1,
           cur.headers + (key -> batchId.toString),
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
@@ -1039,21 +1082,10 @@ object TxTable {
     * down). Contents are bit-identical (same rows, re-clustered);
     * read-modify-write conflict semantics. Returns the new version.
     */
-  def compact(spark: SparkSession, root: String, buckets: Int = 8): Long = {
-    val cur = latestSnapshot(spark, root)
-    val all = readVersion(spark, root, cur.version)
-    val entries = cur.clusterCols match {
-      case Seq() => writeDataFiles(all.coalesce(buckets), root, Nil, buckets)
-      case cs    => writeDataFiles(all, root, cs, buckets)
-    }
-    // compaction preserves ROWS, and indexes derive from rows — pinned
-    // index lines carry over verbatim, nothing re-routed
-    if (!tryCommit(spark, root, cur.version + 1, cur.headers,
-        entries ++ indexLines(cur) ++ idxDvLines(cur)))
-      throw new CommitConflict(
-        s"compact at $root: snapshot v${cur.version} went stale")
-    cur.version + 1
-  }
+  def compact(spark: SparkSession, root: String, buckets: Int = 8): Long =
+    rewriteClustered(spark, root,
+      latestSnapshot(spark, root).clusterCols, buckets, "compact",
+      keepHeader = true)
 
   /** RECLUSTER (the `OPTIMIZE … ZORDER BY` face): rewrite the table's
     * rows into a NEW clustering layout — 0 (unclustered), 1 (range) or
@@ -1070,7 +1102,20 @@ object TxTable {
     */
   def recluster(
       spark: SparkSession, root: String, clusterCols: Seq[String],
-      buckets: Int = 8): Long = {
+      buckets: Int = 8): Long =
+    rewriteClustered(spark, root, clusterCols, buckets, "recluster",
+      keepHeader = false)
+
+  /** Shared rewrite body of [[compact]] and [[recluster]]: read the
+    * latest snapshot through its DVs, rewrite into `clusterCols`
+    * layout, commit with index lines + index DVs carried (rows are
+    * preserved, so pinned indexes stay valid). `keepHeader` keeps the
+    * current `cluster=` header (compact); otherwise it follows
+    * `clusterCols` (recluster).
+    */
+  private def rewriteClustered(
+      spark: SparkSession, root: String, clusterCols: Seq[String],
+      buckets: Int, op: String, keepHeader: Boolean): Long = {
     require(clusterCols.size <= 2,
       s"TxTable supports at most 2 cluster columns, got $clusterCols")
     val cur = latestSnapshot(spark, root)
@@ -1080,12 +1125,13 @@ object TxTable {
       case cs    => writeDataFiles(all, root, cs, buckets)
     }
     val headers =
-      if (clusterCols.isEmpty) cur.headers - "cluster"
+      if (keepHeader) cur.headers
+      else if (clusterCols.isEmpty) cur.headers - "cluster"
       else cur.headers + ("cluster" -> clusterCols.mkString(","))
     if (!tryCommit(spark, root, cur.version + 1, headers,
         entries ++ indexLines(cur) ++ idxDvLines(cur)))
       throw new CommitConflict(
-        s"recluster at $root: snapshot v${cur.version} went stale")
+        s"$op at $root: snapshot v${cur.version} went stale")
     cur.version + 1
   }
 

@@ -109,10 +109,13 @@ object TxChangeStream {
       .add(VersionCol, LongType, nullable = false)
   }
 
-  /** Delta of version v: (new data files, new dv files, removed data
-    * files). A non-empty removed set means v REWROTE or REWOUND the
-    * table (compact/merge/restore) — the append-style feed cannot
-    * represent it row-accurately.
+  /** Delta of version v: (new data files, new dv files, removed
+    * files). The removed set counts BOTH vanished data files
+    * (compact/merge rewrites, restore rewinds) AND vanished dv files
+    * WITHOUT a matching data-file rewrite (a restore rewinding past a
+    * deleteWhere: the rows come back but no file is new, so the feed
+    * has nothing to emit) — either way v cannot be represented
+    * row-accurately by the append-style feed.
     */
   private[streaming] def deltaFiles(
       spark: SparkSession, root: String,
@@ -124,8 +127,9 @@ object TxChangeStream {
       val prevData = prev.files.toSet
       val prevDv = prev.dvFiles.toSet
       val curData = cur.files.toSet
+      val curDv = cur.dvFiles.toSet
       (cur.files.filterNot(prevData), cur.dvFiles.filterNot(prevDv),
-        prev.files.filterNot(curData))
+        prev.files.filterNot(curData) ++ prev.dvFiles.filterNot(curDv))
     }
   }
 
@@ -333,7 +337,7 @@ final class TxChangesMicroBatchStream(
       if (removed.nonEmpty && !allowRewrites)
         throw new IllegalStateException(
           s"TxChangeStream at $root: version $v removed " +
-            s"${removed.size} data file(s) (compact/merge/restore " +
+            s"${removed.size} data/dv file(s) (compact/merge/restore " +
             "rewrites survivors or rewinds — the file-delta feed would " +
             "re-deliver already-emitted rows). Restart the stream from " +
             s"startingVersion = ${v + 1}, use the snapshot diff for " +

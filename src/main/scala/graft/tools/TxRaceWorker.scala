@@ -128,25 +128,16 @@ object TxRaceWorker {
             TxTable.mergeInto(root,
               rows.toDF("k", "vec", "_del"), "k", Seq("vec"), "_del",
               maxRetries = 200)
-          case "dvdel" =>
+          case "dvdel" | "dvdelidx" =>
             // deletion-vector delete race: worker w's commit i
             // tombstones ITS OWN disjoint 10-key slice via deleteWhere
             // — racing DV commits must serialize like appends (each
             // retry re-reads the tip and re-scans), no slice lost, no
             // foreign slice touched. Key layout: w1 owns [0,500),
             // w2 owns [500,1000), slice i = base + [i*10, i*10+10).
-            val base = if (workerId == "w1") 0L else 500L
-            val lo = base + i * 10L
-            TxTable.deleteWhere(spark, root,
-              org.apache.spark.sql.functions.col("k").between(lo, lo + 9L),
-              maxRetries = 200)
-          case "dvdelidx" =>
-            // the DV-delete race over an INDEXED table: same disjoint
-            // slice scheme as `dvdel`, but every commit must publish
-            // corpus positions AND the pinned index's deleted ids in
-            // one rename — the orchestrator asserts corpus and index
-            // agree on survivors at EVERY committed version, and that
-            // lost-race staged idxdv dirs never leak into a manifest
+            // `dvdelidx` runs the identical slices against an INDEXED
+            // table (the orchestrator builds the pin and asserts
+            // corpus/index survivor agreement at every version).
             val base = if (workerId == "w1") 0L else 500L
             val lo = base + i * 10L
             TxTable.deleteWhere(spark, root,

@@ -253,4 +253,38 @@ class TxTableDvSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet ==
       (0L to 25L).toSet -- deleted)
   }
+
+  test("appending an id masked by an index deletion vector is " +
+    "rejected (by-value DVs cannot tell old row from new); " +
+    "mergeInto is the sanctioned re-ingest path") {
+    val root = Files.createTempDirectory("graft-dv-idx-reins-").toString
+    val emb = (0L to 20L).map(i =>
+      (i, Array(i.toFloat, (i % 3).toFloat))).toDF("vec_id", "embedding")
+    TxTable.create(emb, root)
+    TxTable.buildIvfIndex(spark, root, "emb", "vec_id", "embedding",
+      numCentroids = 2, buckets = 2)
+    TxTable.deleteWhere(spark, root, col("vec_id") === 5L)
+    // re-inserting the masked id must abort before any commit
+    intercept[IllegalArgumentException] {
+      TxTable.append(
+        Seq((5L, Array(9f, 9f))).toDF("vec_id", "embedding"), root)
+    }
+    // fresh ids still append normally
+    TxTable.append(
+      Seq((21L, Array(21f, 0f))).toDF("vec_id", "embedding"), root)
+    // mergeInto re-ingests the id: DVs materialize, index rebuilt,
+    // corpus and index agree and serve the NEW vector exactly once
+    TxTable.mergeInto(root,
+      Seq((5L, Array(9f, 9f), false)).toDF("vec_id", "embedding", "dead"),
+      "vec_id", Seq("embedding"), "dead")
+    val snap = TxTable.latestSnapshot(spark, root)
+    assert(snap.dvFiles.isEmpty && snap.indexDvFiles.isEmpty)
+    val corpus5 = TxTable.read(spark, root).filter(col("vec_id") === 5L)
+      .select("embedding").collect()
+    val index5 = TxTable.readIndex(spark, root, "emb")
+      .filter(col("vec_id") === 5L).select("embedding").collect()
+    assert(corpus5.length == 1 && index5.length == 1)
+    assert(corpus5.head.getAs[Seq[Float]](0) === Seq(9f, 9f))
+    assert(index5.head.getAs[Seq[Float]](0) === Seq(9f, 9f))
+  }
 }

@@ -103,6 +103,37 @@ class TxTableSchemaSpec extends SparkSpec {
       Seq("k", "v", "extra", "_change_type", "_commit_version"))
   }
 
+  test("name matching is case-insensitive like Spark's parquet " +
+    "resolution: a case-variant is the SAME column, never a new one, " +
+    "and case-duplicate batches are rejected") {
+    val root = Files.createTempDirectory("graft-schema-").toString
+    TxTable.create(narrow, root)
+    // "V" is declared "v": strict append passes, no schema widening
+    TxTable.append(
+      (31L to 33L).map(k => (k, s"v$k")).toDF("k", "V"), root)
+    assert(TxTable.latestSnapshot(spark, root).tableSchema.get
+      .fieldNames.toSeq === Seq("k", "v"))
+    // a case-variant under mergeSchema must NOT become a second column
+    TxTable.append(
+      (34L to 35L).map(k => (k, s"v$k")).toDF("k", "V"), root,
+      mergeSchema = true)
+    assert(TxTable.latestSnapshot(spark, root).tableSchema.get
+      .fieldNames.toSeq === Seq("k", "v"))
+    assert(TxTable.read(spark, root).count() === 15L)
+    // case-variant with a CONFLICTING type is a conflict, not an add
+    intercept[IllegalArgumentException] {
+      TxTable.append(
+        (36L to 37L).map(k => (k, k.toInt)).toDF("k", "V"), root,
+        mergeSchema = true)
+    }
+    // a batch with case-duplicate columns can never commit
+    intercept[IllegalArgumentException] {
+      TxTable.append(
+        (38L to 39L).map(k => (k, s"a$k", s"b$k")).toDF("k", "v", "V"),
+        root, mergeSchema = true)
+    }
+  }
+
   test("overwrite replaces the declared schema with the new frame's") {
     val root = Files.createTempDirectory("graft-schema-").toString
     TxTable.create(narrow, root)

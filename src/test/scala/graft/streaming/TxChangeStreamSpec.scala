@@ -230,6 +230,23 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(spark.table("cdc_raw").count() === 50L)
   }
 
+  test("a restore that rewinds ONLY a deleteWhere (dv files removed, " +
+    "data files unchanged) also fails the feed — the rows came back " +
+    "but no file is new, so silence would strand the consumer's deletes") {
+    val (root, df) = mkTable()
+    TxTable.create(df.filter($"id" <= 10), root) // v0
+    TxTable.deleteWhere(spark, root,
+      org.apache.spark.sql.functions.col("id") <= 3) // v1: +dv
+    TxTable.restore(spark, root, toVersion = 0L) // v2: -dv, data unchanged
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(TxTable.readChangeStream(spark, root), "cdc_dvrewind", ckpt)
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("removed"))
+  }
+
   test("null fields survive the record reader") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -285,29 +285,39 @@ object Multimodal {
       hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4x16 pigeonhole banding is exact only for hamming <= 3")
-    val banded = hashes.select(col("doc_id"), col("dhash"),
+    // band INTEGERS parse once per input row (4 convs/doc) and ride
+    // the join as ints: the candidate stream is Sigma|bucket|^2 rows
+    // (1.3M on the gated corpus), and the former per-candidate
+    // conv(substring(hash)) x16 string parsing dominated the whole
+    // operator (probe: 3.7 s of 3.9; the raw join is 0.3 s). hamming
+    // then filters BEFORE the distinct, so only survivors shuffle.
+    val withInts = hashes.select(
+      col("doc_id") +: col("dhash") +: (0 until 4).map(i =>
+        conv(substring(col("dhash"), i * 4 + 1, 4), 16, 10)
+          .cast("int").as(s"_h$i")): _*)
+    val banded = withInts.select(
+      col("doc_id") +: (0 until 4).map(i => col(s"_h$i")) :+
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             substring(col("dhash"), b * 4 + 1, 4).as("key"))): _*))
-          .as("bk"))
-      .select(col("doc_id"), col("dhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("doc_id").as("id_a"),
-      col("dhash").as("ha"), col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("id_b"),
-      col("dhash").as("hb"), col("band"), col("key"))
-    def bandInt(h: Column, i: Int): Column =
-      conv(substring(h, i * 4 + 1, 4), 16, 10).cast("int")
+          .as("bk"): _*)
+      .select(col("doc_id") +: (0 until 4).map(i => col(s"_h$i")) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+    val a = banded.select(
+      col("doc_id").as("id_a") +: (0 until 4).map(i =>
+        col(s"_h$i").as(s"_a$i")) :+ col("band") :+ col("key"): _*)
+    val b = banded.select(
+      col("doc_id").as("id_b") +: (0 until 4).map(i =>
+        col(s"_h$i").as(s"_b$i")) :+ col("band") :+ col("key"): _*)
     val hamming = (0 until 4).map(i =>
-      bit_count(bandInt(col("ha"), i).bitwiseXOR(bandInt(col("hb"), i)))
+      bit_count(col(s"_a$i").bitwiseXOR(col(s"_b$i")))
         .cast("long")).reduce(_ + _)
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
-      .distinct()
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Skew-hardened [[dhashNearDupPairs]]: identical output whenever no
@@ -369,23 +379,28 @@ object Multimodal {
     val hotKept = hot.join(c2, Seq("band", "bkey"))
       .filter(col("_cnt2") <= maxBucket)
       .select(col("doc_id"), col("dhash"), col("band"), col("bkey"))
-    val all = small.unionByName(hotKept)
-    val a = all.select(col("doc_id").as("id_a"), col("dhash").as("ha"),
-      col("band"), col("bkey"))
-    val b = all.select(col("doc_id").as("id_b"), col("dhash").as("hb"),
-      col("band"), col("bkey"))
-    def bandInt(h: Column, i: Int): Column =
-      conv(substring(h, i * 4 + 1, 4), 16, 10).cast("int")
+    // same int-carry + filter-before-distinct discipline as
+    // [[dhashNearDupPairs]]: band integers parse once per kept row,
+    // never per candidate
+    val all = small.unionByName(hotKept).select(
+      col("doc_id") +: col("band") +: col("bkey") +: (0 until 4).map(i =>
+        conv(substring(col("dhash"), i * 4 + 1, 4), 16, 10)
+          .cast("int").as(s"_h$i")): _*)
+    val a = all.select(
+      col("doc_id").as("id_a") +: col("band") +: col("bkey") +:
+        (0 until 4).map(i => col(s"_h$i").as(s"_a$i")): _*)
+    val b = all.select(
+      col("doc_id").as("id_b") +: col("band") +: col("bkey") +:
+        (0 until 4).map(i => col(s"_h$i").as(s"_b$i")): _*)
     val hamming = (0 until 4).map(i =>
-      bit_count(bandInt(col("ha"), i).bitwiseXOR(bandInt(col("hb"), i)))
+      bit_count(col(s"_a$i").bitwiseXOR(col(s"_b$i")))
         .cast("long")).reduce(_ + _)
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
-      .distinct()
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** REAL resize: decode → nearest-neighbour resample (explicit source

@@ -291,10 +291,15 @@ object Multimodal {
     // conv(substring(hash)) x16 string parsing dominated the whole
     // operator (probe: 3.7 s of 3.9; the raw join is 0.3 s). hamming
     // then filters BEFORE the distinct, so only survivors shuffle.
+    // materialize the (doc_id, hash, band ints) frame — 5 small
+    // columns per image — so the upstream (often a per-row image
+    // DECODE kernel) evaluates ONCE, not once per self-join side
+    import graft.operators.Materialize.MaterializeOps
     val withInts = hashes.select(
       col("doc_id") +: col("dhash") +: (0 until 4).map(i =>
         conv(substring(col("dhash"), i * 4 + 1, 4), 16, 10)
           .cast("int").as(s"_h$i")): _*)
+      .materialized
     val banded = withInts.select(
       col("doc_id") +: (0 until 4).map(i => col(s"_h$i")) :+
         explode(array((0 until 4).map(b =>
@@ -349,6 +354,9 @@ object Multimodal {
     require(maxHamming <= 3,
       "4x16 pigeonhole banding is exact only for hamming <= 3")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // banded feeds the count frame AND both cap branches: materialize
+    // it (4 small rows per image) so the upstream decode runs once
+    import graft.operators.Materialize.MaterializeOps
     val banded = hashes.select(col("doc_id"), col("dhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -356,6 +364,7 @@ object Multimodal {
           .as("bk"))
       .select(col("doc_id"), col("dhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .materialized
     val c1 = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("_cnt"))
     val keyed = banded.join(broadcast(c1), Seq("band", "key"))

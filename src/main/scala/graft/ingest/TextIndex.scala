@@ -197,21 +197,54 @@ object TextIndex {
     * appended.
     *
     * Caller contract: `docs` must be NEW doc_ids (re-indexing an
-    * existing id would double its occurrences — dedup upstream).
+    * existing id would double its occurrences — dedup upstream), and
+    * no probe may run CONCURRENTLY with an append: the standalone
+    * layout has no manifest, so a mid-append [[phraseDocs]] can
+    * observe a partially-visible batch (some term buckets appended,
+    * others not) with no way to detect it. For an atomically-published
+    * index, pin the layout to a [[graft.sources.TxTable]] (the
+    * `index:` namespace) instead.
     */
   def appendPositions(
       docs: DataFrame, idCol: String, textCol: String,
       path: String, termBuckets: Int = 64): Long = {
     require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val spark = docs.sparkSession
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val rows = docs
       .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .withColumn("tb", pmod(hash(col("term")), lit(termBuckets)))
-    val appended = rows.count()
-    rows.write.mode("append").partitionBy("tb")
-      .parquet(s"$path/positions")
-    appended
+    // write FIRST, then derive the appended count from the files the
+    // write produced — counting the frame up front would re-run the
+    // whole tokenize/explode pipeline a second time for the write
+    val dest = new org.apache.hadoop.fs.Path(s"$path/positions")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = leafParquetFiles(fs, dest)
+    rows.write.mode("append").partitionBy("tb").parquet(dest.toString)
+    val added = (leafParquetFiles(fs, dest) -- before).toSeq
+    // metadata-only count (parquet row-group counts), no column decode
+    if (added.isEmpty) 0L else spark.read.parquet(added: _*).count()
+  }
+
+  /** All committed parquet leaf files under `dir` (recursive across
+    * `tb=` partition dirs) — the before/after set difference that lets
+    * [[appendPositions]] count what one append produced without
+    * re-evaluating its input.
+    */
+  private def leafParquetFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[String] = {
+    if (!fs.exists(dir)) return Set.empty
+    val it = fs.listFiles(dir, true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        b += st.getPath.toString
+    }
+    b.result()
   }
 
   /** Exact phrase retrieval over the positional layout: documents

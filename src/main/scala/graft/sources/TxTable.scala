@@ -555,6 +555,24 @@ object TxTable {
   private def normSchema(st: StructType): StructType =
     nullNorm(st).asInstanceOf[StructType]
 
+  /** Reject case-duplicate column names ("v" beside "V") anywhere a
+    * schema is about to be DECLARED: reads resolve case-insensitively
+    * (Spark's default), so a case-duplicate schema header fails every
+    * subsequent read — a table bricked at birth instead of rejected
+    * before the first file lands. Applied by [[checkSchema]] for
+    * append batches and directly by [[createClustered]]/[[overwrite]]
+    * (whose frames BECOME the declared schema without passing through
+    * checkSchema).
+    */
+  private def requireNoCaseDuplicates(st: StructType, op: String): Unit = {
+    val dupes = st.fields
+      .groupBy(f => f.name.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
+    require(dupes.isEmpty,
+      s"$op: case-duplicate columns ${dupes.mkString(",")} — reads " +
+        "resolve case-insensitively, so the schema cannot be declared")
+  }
+
   /** Validate an incoming batch against the table schema; returns the
     * headers the commit should publish. Strict mode: the batch's
     * column set and types must equal the declared schema exactly.
@@ -577,10 +595,7 @@ object TxTable {
     // treating "V" as a new column beside declared "v" would publish
     // a case-duplicate schema that fails every subsequent read
     def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
-    val dupes = incoming.fields.groupBy(f => key(f.name))
-      .collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
-    require(dupes.isEmpty,
-      s"$op: batch has case-duplicate columns ${dupes.mkString(",")}")
+    requireNoCaseDuplicates(incoming, op)
     val dm = declared.fields.map(f => key(f.name) -> f.dataType).toMap
     val im = incoming.fields.map(f => key(f.name) -> f.dataType).toMap
     val conflicts = im.keySet.intersect(dm.keySet)
@@ -666,6 +681,7 @@ object TxTable {
       s"TxTable supports at most 2 cluster columns, got $clusterCols")
     val headers0 = check.map(c => Map("check" -> c))
       .getOrElse(Map.empty[String, String])
+    requireNoCaseDuplicates(df.schema, s"create at $root")
     enforceCheck(df, headers0, s"create at $root")
     val entries = writeDataFiles(df, root, clusterCols, buckets)
     val headers = headers0 + schemaHeaderFor(df) ++ (
@@ -769,6 +785,7 @@ object TxTable {
       buckets: Int = 8): Long = {
     val spark = df.sparkSession
     val cur = snapshot(spark, root, expectedVersion)
+    requireNoCaseDuplicates(df.schema, s"overwrite at $root")
     enforceCheck(df, cur.headers, s"overwrite at $root")
     // contents replace wholesale, so the declared schema follows the
     // new frame (legacy tables stay headerless)
@@ -1040,10 +1057,30 @@ object TxTable {
         .map(_.getPath.getName)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
         .sorted
-      val n = spark.read.parquet(dest.toString).count()
+      // one aggregate over the KB–MB position file: the match count
+      // AND, per pinned index, a NULL-id count — a NULL id (legacy row
+      // ingested before routeRows enforced the contract) would write a
+      // DV entry the equality anti-join never matches, silently
+      // keeping the index entry alive after this delete
+      val posAgg = spark.read.parquet(dest.toString).agg(
+        count(lit(1)).as("_n"),
+        specs.map(sp => sum(when(col(s"_id_${sp.name}").isNull, 1L)
+          .otherwise(0L)).as(s"_nulls_${sp.name}")): _*).head()
+      val n = posAgg.getLong(0)
       if (n == 0) {
         f.delete(dest, true) // nothing matched: no commit, no garbage
         return cur.version
+      }
+      specs.zipWithIndex.foreach { case (sp, i) =>
+        if (posAgg.getLong(i + 1) > 0) {
+          f.delete(dest, true)
+          throw new IllegalArgumentException(
+            s"deleteWhere at $root: ${posAgg.getLong(i + 1)} matched " +
+              s"row(s) have a NULL (or non-long-castable) '${sp.idCol}' " +
+              s"id for index '${sp.name}' — their index entries cannot " +
+              "be deletion-vector-masked; rebuild the index over " +
+              "non-null ids first")
+        }
       }
       // per-index deleted-ID sidecars, projected from the (KB–MB)
       // position file just written — no second corpus scan
@@ -1244,10 +1281,21 @@ object TxTable {
     val bc = spark.sparkContext.broadcast(loadCentroids(spark, root, spec))
     df.select(col(spec.idCol).cast("long"),
         col(spec.vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
+      .as[(java.lang.Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, v) =>
+        it.map { case (idBoxed, v) =>
+          // the AnnIndex contract: the id column IDENTIFIES its row as
+          // a long. A NULL (or non-long-castable) id would write a DV
+          // sidecar entry that never matches the deletion anti-join —
+          // the index entry would keep serving after a corpus delete —
+          // so reject it at ingest, the only cheap place
+          require(idBoxed != null,
+            s"index '${spec.name}': id column '${spec.idCol}' is NULL " +
+              "or not long-castable for an ingested row — pinned " +
+              "indexes need long-identifying ids (map to a surrogate " +
+              "id first)")
+          val id = idBoxed.longValue()
           var best = cs(0)._1
           var bestD = Double.MaxValue
           var ci = 0

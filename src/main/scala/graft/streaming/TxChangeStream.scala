@@ -135,28 +135,45 @@ object TxChangeStream {
 
   // ------------------------------------------------ parquet → InternalRow
 
-  /** Convert one parquet [[Group]] to the expected Spark types. Field
-    * lookup is BY NAME against the file schema (schema evolution: a
-    * column added after old files were written reads as null). The
-    * type subset matches [[graft.sources.AvroIo]]'s: primitives,
+  /** Resolve each declared field to its parquet field index, BY NAME
+    * and CASE-INSENSITIVELY — Spark's default parquet resolution
+    * (`spark.sql.caseSensitive=false`), which the batch readers get
+    * for free from `spark.read.schema(...)`: a batch legally appended
+    * with a case-variant column name ("V" for declared "v" —
+    * [[graft.sources.TxTable]]'s checkSchema blesses it) writes files
+    * whose field a case-SENSITIVE lookup would miss, silently nulling
+    * the column in the change feed while batch reads serve it. −1 =
+    * absent (schema evolution: files older than the column read null).
+    * Computed once per FILE (readers cache on the file's GroupType),
+    * never per row.
+    */
+  private[streaming] def fieldIndexes(
+      fileType: org.apache.parquet.schema.GroupType,
+      schema: StructType): Array[Int] = {
+    val byLower = (0 until fileType.getFieldCount).map { i =>
+      fileType.getFieldName(i).toLowerCase(java.util.Locale.ROOT) -> i
+    }.toMap
+    schema.fields.map(f =>
+      byLower.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT), -1))
+  }
+
+  /** Convert one parquet [[Group]] to the expected Spark types, field
+    * i of `schema` read from parquet field `idx(i)` (from
+    * [[fieldIndexes]]; −1 reads null — schema evolution). The type
+    * subset matches [[graft.sources.AvroIo]]'s: primitives,
     * string/binary, timestamp (INT64 micros/millis AND legacy INT96),
     * date, arrays of those (3-level lists).
     */
   private[streaming] def groupToRow(
-      g: Group, schema: StructType, changeType: UTF8String,
-      version: Long): InternalRow = {
-    val fileType = g.getType
+      g: Group, schema: StructType, idx: Array[Int],
+      changeType: UTF8String, version: Long): InternalRow = {
     val vals = new Array[Any](schema.length + 2)
     var i = 0
     while (i < schema.length) {
-      val f = schema.fields(i)
+      val j = idx(i)
       vals(i) =
-        if (!fileType.containsField(f.name)) null
-        else {
-          val idx = fileType.getFieldIndex(f.name)
-          if (g.getFieldRepetitionCount(idx) == 0) null
-          else valueAt(g, idx, f.dataType)
-        }
+        if (j < 0 || g.getFieldRepetitionCount(j) == 0) null
+        else valueAt(g, j, schema.fields(i).dataType)
       i += 1
     }
     vals(schema.length) = changeType
@@ -364,10 +381,20 @@ final class TxChangesReaderFactory(dataSchema: StructType)
               .withConf(new Configuration())
               .build()
           private var cur: Group = _
+          // field resolution is per-FILE state (one file per partition):
+          // resolved case-insensitively once, reused for every row
+          private var lastType: org.apache.parquet.schema.GroupType = _
+          private var idx: Array[Int] = _
           override def next(): Boolean = { cur = reader.read(); cur != null }
-          override def get(): InternalRow =
-            TxChangeStream.groupToRow(cur, dataSchema,
+          override def get(): InternalRow = {
+            val t = cur.getType
+            if (!(t eq lastType)) {
+              idx = TxChangeStream.fieldIndexes(t, dataSchema)
+              lastType = t
+            }
+            TxChangeStream.groupToRow(cur, dataSchema, idx,
               TxChangeStream.InsertType, p.version)
+          }
           override def close(): Unit = reader.close()
         }
       case p: TxDvPartition => new TxDvReader(p, dataSchema)
@@ -440,9 +467,21 @@ final class TxDvReader(p: TxDvPartition, dataSchema: StructType)
     false
   }
 
-  override def get(): InternalRow =
-    TxChangeStream.groupToRow(cur, dataSchema,
+  // per-file field resolution, re-resolved when the scan crosses into
+  // the next data file (different files may differ in width AND in
+  // column-name casing — both resolve case-insensitively by name)
+  private var lastType: org.apache.parquet.schema.GroupType = _
+  private var idx: Array[Int] = _
+
+  override def get(): InternalRow = {
+    val t = cur.getType
+    if (!(t eq lastType)) {
+      idx = TxChangeStream.fieldIndexes(t, dataSchema)
+      lastType = t
+    }
+    TxChangeStream.groupToRow(cur, dataSchema, idx,
       TxChangeStream.DeleteType, p.version)
+  }
 
   override def close(): Unit =
     if (reader != null) { reader.close(); reader = null }

@@ -165,4 +165,29 @@ class TxIndexSpec extends SparkSpec {
       TxTable.overwrite(vecs(0L until 4L), root, expectedVersion = 0L)
     }
   }
+
+  test("a NULL (or non-long-castable) index id is rejected at ingest: " +
+    "its DV entry could never mask the index row after a delete") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-txidx-nullid-").toString
+    val good = vecs(0L until 8L)
+    TxTable.create(good, root)
+    TxTable.buildIvfIndex(spark, root, "emb", "vec_id", "embedding",
+      numCentroids = 2, buckets = 2)
+    // an appended batch with a NULL id must fail the routing, not
+    // silently publish an unmaskable index entry
+    val withNull = good.limit(0).unionByName(
+      Seq((Option.empty[Long], Array(1f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    val ex = intercept[Exception] { TxTable.append(withNull, root) }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("NULL"),
+      s"unexpected: ${rootCause(ex).getMessage}")
+    // nothing committed; the table still serves v1 exactly
+    assert(TxTable.versions(spark, root) === Seq(0L, 1L))
+    assert(idSet(TxTable.readIndex(spark, root, "emb")) ===
+      (0L until 8L).toSet)
+  }
 }

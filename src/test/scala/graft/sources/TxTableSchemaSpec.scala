@@ -134,6 +134,19 @@ class TxTableSchemaSpec extends SparkSpec {
     }
   }
 
+  test("create and overwrite reject case-duplicate columns BEFORE any " +
+    "file lands — a case-duplicate schema header would fail every read") {
+    val root = Files.createTempDirectory("graft-schema-").toString
+    val dup = (1L to 3L).map(k => (k, s"a$k", s"b$k")).toDF("k", "v", "V")
+    intercept[IllegalArgumentException] { TxTable.create(dup, root) }
+    // nothing committed, nothing staged into a manifest
+    assert(TxTable.versions(spark, root).isEmpty)
+    TxTable.create(narrow, root)
+    intercept[IllegalArgumentException] { TxTable.overwrite(dup, root, 0L) }
+    assert(TxTable.versions(spark, root) === Seq(0L))
+    assert(TxTable.read(spark, root).count() === 10L)
+  }
+
   test("overwrite replaces the declared schema with the new frame's") {
     val root = Files.createTempDirectory("graft-schema-").toString
     TxTable.create(narrow, root)

@@ -247,6 +247,33 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(rootCause(ex).getMessage.contains("removed"))
   }
 
+  test("a batch appended with a case-variant column name serves real " +
+    "values through the feed (field resolution is case-insensitive, " +
+    "matching batch reads)") {
+    val df = (1L to 5L).map(i => (i, i * 10L)).toDF("id", "v")
+    val root = Files.createTempDirectory("graft-cdc-case-").toString
+    TxTable.create(df, root) // declares (id, v)
+    // checkSchema blesses "V" as the declared "v" (case-insensitive),
+    // so the appended files carry field name "V"
+    val variant = (6L to 10L).map(i => (i, i * 10L)).toDF("id", "V")
+    TxTable.append(variant, root)
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root), "cdc_case", ckpt)
+    val got = spark.table("cdc_case")
+    // every row — both casings — serves v = id * 10, never null
+    assert(got.filter($"v".isNull).count() === 0L)
+    assert(got.filter($"v" =!= $"id" * 10L).count() === 0L)
+    assert(got.count() === 10L)
+    // and a DV delete of a case-variant row resolves its value too
+    TxTable.deleteWhere(spark, root, col("id") === 7L)
+    val ckpt2 = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root, startingVersion = 2L),
+      "cdc_case_del", ckpt2)
+    val del = spark.table("cdc_case_del").collect().head
+    assert(del.getAs[String]("_change_type") === "delete")
+    assert(del.getAs[Long]("v") === 70L)
+  }
+
   test("null fields survive the record reader") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

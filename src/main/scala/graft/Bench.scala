@@ -9,6 +9,17 @@ object Bench {
     // index build) and machine-load spikes don't dominate round-over-
     // round comparisons.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // Host-load self-documentation: this container is CPU-throttled by
+    // co-tenancy at times, which swings full-bench totals ±50% and has
+    // cost three rounds of regression adjudication. /proc/loadavg
+    // before/after makes a hot window visible IN the record instead of
+    // reconstructed from lineage.
+    def loadAvg(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadBefore = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +63,9 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"queries":$qs,"n_iters":$iters,"n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${r3(total)}}"""
+    val loadAfter = loadAvg()
+    val loads = s""""load_before":${r3(loadBefore)},"load_after":${r3(loadAfter)}"""
+    val full = s"""{"queries":$qs,"n_iters":$iters,"n_queries":${results.size},"sf":"$sfDir",$loads,"metric":"total","unit":"sec","value":${r3(total)}}"""
     println(full)
     // Round-record copy: PERF.md quotes this file, immune to the tail.
     // Path is explicit (SPARK_GRAFT_BENCH_OUT, default repo CWD file);
@@ -64,7 +77,7 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_iters":$iters,"sf":"$sfDir",$loads}""")
     spark.stop()
   }
 }

@@ -343,10 +343,14 @@ object Multimodal {
     * sub-quadratic; use connected components over a sampled pair set
     * there instead.
     *
-    * The first cap decision joins a ≤ 4·2¹⁶-row count frame
-    * (broadcast, bounded by the band keyspace, not the corpus); the
-    * second runs only over hot-bucket rows. Hot rows explode ×4 — a
-    * corpus-bounded constant, not a blow-up.
+    * The first cap decision is ONE tiny aggregate over a ≤ 4·2¹⁶-row
+    * count frame (bounded by the band keyspace, not the corpus): when
+    * NO bucket is hot — every diverse crawl — the operator
+    * short-circuits to the plain banding over the already-materialized
+    * frame, so the cap costs one KB-scale aggregate instead of a
+    * broadcast join plus a second count pass over `banded`. Only a
+    * corpus that actually has a hot bucket pays the split; its hot
+    * rows explode ×4 — a corpus-bounded constant, not a blow-up.
     */
   def dhashNearDupPairsCapped(
       hashes: DataFrame, maxHamming: Int = 3,
@@ -367,6 +371,13 @@ object Multimodal {
       .materialized
     val c1 = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("_cnt"))
+    val hottest = c1.agg(max(col("_cnt"))).head()
+    if (hottest.isNullAt(0) || hottest.getLong(0) <= maxBucket)
+      // no hot bucket: the capped result IS the plain result; pair
+      // directly over the materialized banding (band key unchanged)
+      return pairOnBuckets(banded.select(
+        col("doc_id"), col("dhash"), col("band"),
+        col("key").as("bkey")), maxHamming)
     val keyed = banded.join(broadcast(c1), Seq("band", "key"))
     val small = keyed.filter(col("_cnt") <= maxBucket)
       .select(col("doc_id"), col("dhash"), col("band"),
@@ -388,10 +399,17 @@ object Multimodal {
     val hotKept = hot.join(c2, Seq("band", "bkey"))
       .filter(col("_cnt2") <= maxBucket)
       .select(col("doc_id"), col("dhash"), col("band"), col("bkey"))
-    // same int-carry + filter-before-distinct discipline as
-    // [[dhashNearDupPairs]]: band integers parse once per kept row,
-    // never per candidate
-    val all = small.unionByName(hotKept).select(
+    pairOnBuckets(small.unionByName(hotKept), maxHamming)
+  }
+
+  /** Shared bucket-join tail of the dhash pair kernels: parse the 4
+    * band integers once per kept (doc, bucket) row — never per
+    * candidate — self-join on (band, bkey), hamming-filter BEFORE the
+    * distinct so only survivors shuffle.
+    */
+  private def pairOnBuckets(
+      buckets: DataFrame, maxHamming: Int): DataFrame = {
+    val all = buckets.select(
       col("doc_id") +: col("band") +: col("bkey") +: (0 until 4).map(i =>
         conv(substring(col("dhash"), i * 4 + 1, 4), 16, 10)
           .cast("int").as(s"_h$i")): _*)

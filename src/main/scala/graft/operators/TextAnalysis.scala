@@ -535,23 +535,38 @@ object TextAnalysis {
     * signals rank-correlate, which is exactly what a quality filter
     * consumes.
     *
-    * Fully declarative (sequence → transform → array_distinct inside
-    * one projection): scan-local, zero shuffles, whole-stage codegen.
-    * Per-row state is one ≤|text| array of 8-char slices — bounded by
-    * the document, never the corpus.
+    * Scan-local JVM kernel (the [[compressionRatio]] shape), zero
+    * shuffles: one pass over the text with a per-row distinct set —
+    * bounded by the document, never the corpus. The former
+    * `transform(sequence(1, len−7), i -> substring(…))` enumeration
+    * ran its lambda INTERPRETED per gram (the ~8×-scan-cost HOF tax
+    * the ngramNovelty probe measured), a constant factor paid on
+    * every byte of a 100 TB corpus. The ratio itself stays the SAME
+    * Catalyst round expression over the kernel's exact integer
+    * counts, so the result is bit-identical to the declarative form.
     */
   def redundancyRatio(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    val t = col(textCol)
-    val grams = when(length(t) < 8, array().cast("array<string>"))
-      .otherwise(expr(
-        s"transform(sequence(1, length($textCol) - 7), " +
-          s"i -> substring($textCol, i, 8))"))
-    docs.select(
-      col(idCol),
-      greatest(length(t).cast("long") - 7L, lit(0L)).as("n_grams"),
-      size(array_distinct(grams)).cast("long").as("n_distinct"))
+    Dedup.requireLongCastableId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null || text.length < 8) (id, 0L, 0L)
+          else {
+            val n = text.length - 7
+            val seen = new java.util.HashSet[String](
+              math.min(n, 1 << 16))
+            var i = 0
+            while (i < n) { seen.add(text.substring(i, i + 8)); i += 1 }
+            (id, n.toLong, seen.size.toLong)
+          }
+        }
+      }
+      .toDF(idCol, "n_grams", "n_distinct")
       .withColumn("redundancy",
         when(col("n_grams") > 0, Numerics.roundz(
           lit(1.0) - col("n_distinct").cast("double") /

@@ -3834,6 +3834,110 @@ object TextQueries extends QueryGroup {
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin))
 
+  /** BM25 against the TX-PINNED inverted index ([[graft.sources
+    * .TxTable.buildBm25Index]] → `bm25ProbeIndexed`): corpus,
+    * term-bucket postings, AND the (n_docs, Σdl) stats publish by ONE
+    * manifest rename — the standalone layout's corpus/index skew
+    * (round-14 verdict gap #2) is structurally impossible. Same
+    * oracle as `text_bm25`: the hash proves the pinned probe is
+    * row-identical to the in-plan scorer on the live table.
+    * Structural gate: table + index build in-gate.
+    */
+  val bm25TxPinned: QueryDef = QueryDef(
+    "text_bm25_txpinned",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25pin-").toString
+      graft.sources.TxTable.create(
+        Tables(s, dir).documents.select("doc_id", "text"), root)
+      graft.sources.TxTable.buildBm25Index(
+        s, root, "txt", "doc_id", "text")
+      graft.sources.TxTable.bm25ProbeIndexed(s, root, "txt",
+          Seq("spark", "vector", "customer"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents)),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |       FROM pd)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * tf0::DOUBLE * (1.2 + 1.0) / (tf0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * tf1::DOUBLE * (1.2 + 1.0) / (tf1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * tf2::DOUBLE * (1.2 + 1.0) / (tf2::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin))
+
+  /** [[bm25TxPinned]] with a MID-LIFE `deleteWhere`: the delete's one
+    * commit masks the deleted docs' postings (`idxdv/` anti-join) AND
+    * decrements the header's exact (n_docs, Σdl) moments, so the probe
+    * serves BM25 over exactly the survivors — deleted docs drop out of
+    * results and every survivor's score re-weights by the live-corpus
+    * stats. Oracle: the `text_bm25` SQL over the survivor set, stats
+    * included (df/N/avgdl all over `doc_id % 7 <> 3`).
+    */
+  val bm25TxPinnedDelete: QueryDef = QueryDef(
+    "text_bm25_txpinned_delete",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25pindel-").toString
+      graft.sources.TxTable.create(
+        Tables(s, dir).documents.select("doc_id", "text"), root)
+      graft.sources.TxTable.buildBm25Index(
+        s, root, "txt", "doc_id", "text")
+      graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 7 === 3)
+      graft.sources.TxTable.bm25ProbeIndexed(s, root, "txt",
+          Seq("spark", "vector", "customer"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 7 <> 3)),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |       FROM pd)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * tf0::DOUBLE * (1.2 + 1.0) / (tf0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * tf1::DOUBLE * (1.2 + 1.0) / (tf1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * tf2::DOUBLE * (1.2 + 1.0) / (tf2::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin))
+
   private val positionalIndexes =
     new graft.operators.LruCache[String, String](8)
 
@@ -5136,7 +5240,8 @@ object TextQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25,
-      bm25Indexed, bm25IndexAppend, indexPhrase, indexPhraseAppend,
+      bm25Indexed, bm25TxPinned, bm25TxPinnedDelete,
+      bm25IndexAppend, indexPhrase, indexPhraseAppend,
       indexConjunctive, bm25BatchIndexed, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,
       kneserNey, blocklist, compressionRatio, redundancyRatio,

@@ -704,7 +704,8 @@ object TxTable {
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
     // pinned indexes: route ONLY the new rows through each sidecar —
     // the corpus-side delta and the index-side delta publish together
-    val idxEntries = idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
+    val (idxEntries, idxMoments) =
+      idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestSnapshot(spark, root)
@@ -718,9 +719,11 @@ object TxTable {
       // per attempt: a concurrent deleteWhere may have masked ids this
       // batch re-inserts
       checkIndexDvReinsert(spark, root, cur, df, s"append at $root")
-      // schema validation + union-widening against THIS attempt's tip
-      val headers = checkSchema(df, cur.headers,
-        s"append at $root", mergeSchema)
+      // schema validation + union-widening against THIS attempt's tip;
+      // BM25 index moments fold into the tip's (a lost race re-folds)
+      val headers = indexHeadersWith(cur,
+        checkSchema(df, cur.headers, s"append at $root", mergeSchema),
+        idxMoments, add = true)
       if (tryCommit(spark, root, cur.version + 1, headers,
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
             idxDvLines(cur) ++ entries ++ idxEntries))
@@ -755,7 +758,8 @@ object TxTable {
     enforceCheck(df, pre.headers, s"addStreamingBatch at $root")
     checkSchema(df, pre.headers, s"addStreamingBatch at $root")
     val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
-    val idxEntries = idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
+    val (idxEntries, idxMoments) =
+      idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestSnapshot(spark, root)
@@ -768,7 +772,9 @@ object TxTable {
       checkIndexDvReinsert(spark, root, cur, df,
         s"addStreamingBatch at $root")
       if (tryCommit(spark, root, cur.version + 1,
-          cur.headers + (key -> batchId.toString),
+          indexHeadersWith(cur,
+            cur.headers + (key -> batchId.toString), idxMoments,
+            add = true),
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
             idxDvLines(cur) ++ entries ++ idxEntries))
         return Some(cur.version + 1)
@@ -789,11 +795,16 @@ object TxTable {
     enforceCheck(df, cur.headers, s"overwrite at $root")
     // contents replace wholesale, so the declared schema follows the
     // new frame (legacy tables stay headerless)
-    val headers =
+    val headers0 =
       if (cur.headers.contains("schema")) cur.headers + schemaHeaderFor(df)
       else cur.headers
-    val entries = writeDataFiles(df, root, cur.clusterCols, buckets) ++
+    val (idxEntries, idxMoments) =
       idxEntriesFor(spark, root, indexSpecs(cur), df, buckets)
+    // indexes rebuild from the replacing frame: its moments ARE the
+    // corpus moments now
+    val headers = indexHeadersWith(cur, headers0, idxMoments, add = false)
+    val entries = writeDataFiles(df, root, cur.clusterCols, buckets) ++
+      idxEntries
     if (!tryCommit(spark, root, expectedVersion + 1, headers, entries))
       throw new CommitConflict(
         s"overwrite at $root: version ${expectedVersion + 1} already " +
@@ -847,10 +858,15 @@ object TxTable {
       // pinned indexes are REBUILT from the merged result inside the
       // same commit (the merge already rewrites every corpus file, so
       // re-routing the result is proportional cost) — version v+1's
-      // index rows are exactly its corpus rows, never a stale mix
-      val entries = writeDataFiles(merged, root, cur.clusterCols, buckets) ++
+      // index rows are exactly its corpus rows, never a stale mix;
+      // BM25 moments follow the merged frame absolutely
+      val (idxEntries, idxMoments) =
         idxEntriesFor(spark, root, indexSpecs(cur), merged, buckets)
-      if (tryCommit(spark, root, cur.version + 1, cur.headers, entries))
+      val entries = writeDataFiles(merged, root, cur.clusterCols, buckets) ++
+        idxEntries
+      if (tryCommit(spark, root, cur.version + 1,
+          indexHeadersWith(cur, cur.headers, idxMoments, add = false),
+          entries))
         committed = cur.version + 1
       else if (attempt >= maxRetries)
         throw new CommitConflict(
@@ -1045,9 +1061,17 @@ object TxTable {
       // (the AnnIndex contract — routeRows maps rows 1:1).
       val idCols = specs.map(sp =>
         col(sp.idCol).cast("long").as(s"_id_${sp.name}"))
+      // BM25 indexes also need each deleted doc's LENGTH (to decrement
+      // the header's exact (n, Σdl) moments — same tokenization as the
+      // build, denormalized into the position file so the moment
+      // update reads KB, not the corpus)
+      val bmSpecs = specs.collect { case bm: Bm25Spec => bm }
+      val dlCols = bmSpecs.map(bm =>
+        size(split(lower(trim(col(bm.textCol))), "\\s+"))
+          .cast("long").as(s"_dl_${bm.name}"))
       val hits = live.filter(predicate)
         .select(col("_dv_f").as("file") +:
-          col("_dv_ri").as("row_index") +: idCols: _*)
+          col("_dv_ri").as("row_index") +: (idCols ++ dlCols): _*)
       val rel = s"dv/${UUID.randomUUID()}"
       val dest = new Path(root, rel)
       hits.coalesce(math.max(1, dvBuckets))
@@ -1065,7 +1089,9 @@ object TxTable {
       val posAgg = spark.read.parquet(dest.toString).agg(
         count(lit(1)).as("_n"),
         specs.map(sp => sum(when(col(s"_id_${sp.name}").isNull, 1L)
-          .otherwise(0L)).as(s"_nulls_${sp.name}")): _*).head()
+          .otherwise(0L)).as(s"_nulls_${sp.name}")) ++
+          bmSpecs.map(bm => coalesce(sum(col(s"_dl_${bm.name}")), lit(0L))
+            .as(s"_sumdl_${bm.name}")): _*).head()
       val n = posAgg.getLong(0)
       if (n == 0) {
         f.delete(dest, true) // nothing matched: no commit, no garbage
@@ -1096,7 +1122,14 @@ object TxTable {
           .sorted
         (idxRel, idxNames.map(nm => s"$idxRel/$nm"))
       }
-      if (tryCommit(spark, root, cur.version + 1, cur.headers,
+      // BM25 header moments decrement by the delete's exact (n, Σdl) —
+      // negative deltas through the same integer fold appends use, so
+      // a probe at v+1 divides stats consistent with its live postings
+      val delMoments = bmSpecs.zipWithIndex.map { case (bm, j) =>
+        bm.name -> (-n, -posAgg.getLong(1 + specs.size + j))
+      }.toMap
+      if (tryCommit(spark, root, cur.version + 1,
+          indexHeadersWith(cur, cur.headers, delMoments, add = true),
           entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
             idxDvLines(cur) ++ names.map(nm => s"$rel/$nm") ++
             idxDvEntries.flatMap(_._2)))
@@ -1241,15 +1274,58 @@ object TxTable {
   // [[buildIvfIndex]] on a fresh name (then [[dropIndex]]) is the
   // explicit retrain.
 
-  /** Parsed `index:<name>` header: sidecar dir + routing columns. */
-  private final case class IndexSpec(
+  /** Parsed `index:<name>` header. Two kinds share one maintenance
+    * contract (route-on-write, idxdv-on-delete, carry-on-compact):
+    *  - [[IvfSpec]] (ANN): `<centroid sidecar>|<idCol>|<vecCol>`;
+    *  - [[Bm25Spec]] (inverted text):
+    *    `bm25|<idCol>|<textCol>|<termBuckets>|<nDocs>|<sumDl>` — the
+    *    two corpus-global BM25 moments live IN the header as exact
+    *    integers, so every version's probe divides stats that are
+    *    both-or-neither consistent with its postings (the standalone
+    *    [[graft.ingest.TextIndex]] `_stats` sidecar can skew against
+    *    its postings between non-atomic publishes; here one manifest
+    *    rename carries corpus, postings, AND stats).
+    */
+  private sealed trait IndexSpec {
+    def name: String
+    def idCol: String
+    /** Centroid sidecar to keep live through [[vacuum]], if any. */
+    def sidecarOpt: Option[String]
+    /** The spec with version-varying state (BM25 moments) zeroed —
+      * what "same index SET" means for commit-conflict checks: a
+      * concurrent append legitimately advances the moments, and that
+      * must read as a retryable race, not a structural conflict.
+      */
+    def structure: IndexSpec
+  }
+
+  private final case class IvfSpec(
       name: String, sidecar: String, idCol: String, vecCol: String)
+      extends IndexSpec {
+    def sidecarOpt: Option[String] = Some(sidecar)
+    def structure: IndexSpec = this
+  }
+
+  private final case class Bm25Spec(
+      name: String, idCol: String, textCol: String, termBuckets: Int,
+      nDocs: Long, sumDl: Long) extends IndexSpec {
+    def sidecarOpt: Option[String] = None
+    def structure: IndexSpec = copy(nDocs = 0L, sumDl = 0L)
+    def headerValue: String =
+      s"bm25|$idCol|$textCol|$termBuckets|$nDocs|$sumDl"
+  }
 
   private def indexSpecs(s: Snapshot): Seq[IndexSpec] =
     s.headers.toSeq.collect {
       case (k, v) if k.startsWith("index:") =>
-        val Array(sc, id, vec) = v.split("\\|")
-        IndexSpec(k.stripPrefix("index:"), sc, id, vec)
+        val name = k.stripPrefix("index:")
+        v.split("\\|") match {
+          case Array("bm25", id, text, tb, n, sd) =>
+            Bm25Spec(name, id, text, tb.toInt, n.toLong, sd.toLong)
+          case Array(sc, id, vec) => IvfSpec(name, sc, id, vec)
+          case other => throw new IllegalStateException(
+            s"malformed index header $k=${other.mkString("|")}")
+        }
     }.sortBy(_.name)
 
   /** Declared index names at the latest version. */
@@ -1258,7 +1334,7 @@ object TxTable {
 
   private def loadCentroids(
       spark: SparkSession, root: String,
-      spec: IndexSpec): Array[(Int, Array[Double])] = {
+      spec: IvfSpec): Array[(Int, Array[Double])] = {
     val cents = spark.read.parquet(s"$root/${spec.sidecar}")
       .collect()
       .map(r => (r.getInt(0),
@@ -1275,7 +1351,7 @@ object TxTable {
     * of (vector, sidecar) and rebuild-free maintenance is exact.
     */
   private def routeRows(
-      spark: SparkSession, root: String, spec: IndexSpec,
+      spark: SparkSession, root: String, spec: IvfSpec,
       df: DataFrame): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(loadCentroids(spark, root, spec))
@@ -1313,19 +1389,97 @@ object TxTable {
       .toDF(spec.idCol, spec.vecCol, "cell")
   }
 
+  /** A batch's BM25 postings, tokenized and counted EXACTLY like
+    * [[graft.operators.Bm25.score]] / [[graft.ingest.TextIndex]]
+    * (lowercase-trim whitespace split; dl counts empty tokens), with
+    * the doc length denormalized into every posting and the term
+    * bucket `tb = pmod(hash(term), termBuckets)` as the clustering
+    * key. NULL ids are rejected scan-side ([[routeRows]]' contract —
+    * a NULL id's idxdv entry could never mask its postings).
+    */
+  private def bm25Postings(df: DataFrame, spec: Bm25Spec): DataFrame = {
+    val toks = split(lower(trim(col(spec.textCol))), "\\s+")
+    val checkedId = when(col(spec.idCol).cast("long").isNull,
+      raise_error(concat(lit(
+        s"index '${spec.name}': id column '${spec.idCol}' is NULL or " +
+          "not long-castable for an ingested row — pinned indexes " +
+          "need long-identifying ids")))) // never returns
+      .otherwise(col(spec.idCol).cast("long"))
+    df.select(checkedId.as(spec.idCol),
+        toks.as("_toks"),
+        size(toks).cast("long").as("dl"))
+      .select(col(spec.idCol), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(spec.idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(spec.termBuckets)))
+  }
+
+  /** The batch's exact BM25 moments (row count, Σ doc length) — the
+    * integer deltas a commit folds into the index header. Termless
+    * docs count toward BOTH (they shape N and avgdl, the
+    * [[graft.ingest.TextIndex.writeBm25]] contract).
+    */
+  private def bm25Moments(df: DataFrame, spec: Bm25Spec): (Long, Long) = {
+    val toks = split(lower(trim(col(spec.textCol))), "\\s+")
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(toks).cast("long")), lit(0L)).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Route a batch through every pinned index sidecar: manifest
+    * entries for the new index files, plus per-BM25-index (n, Σdl)
+    * batch moments the commit folds into the header
+    * ([[indexHeadersWith]] — added for appends, absolute for
+    * rebuilds).
+    */
   private def idxEntriesFor(
       spark: SparkSession, root: String, specs: Seq[IndexSpec],
-      df: DataFrame, buckets: Int): Seq[String] =
-    specs.flatMap { sp =>
-      writeFilesUnder(routeRows(spark, root, sp, df), root,
-        s"index/${sp.name}/${UUID.randomUUID()}", Seq("cell"), buckets)
+      df: DataFrame, buckets: Int): (Seq[String], Map[String, (Long, Long)]) = {
+    val entries = specs.flatMap {
+      case iv: IvfSpec =>
+        writeFilesUnder(routeRows(spark, root, iv, df), root,
+          s"index/${iv.name}/${UUID.randomUUID()}", Seq("cell"), buckets)
+      case bm: Bm25Spec =>
+        writeFilesUnder(bm25Postings(df, bm), root,
+          s"index/${bm.name}/${UUID.randomUUID()}", Seq("tb"), buckets)
+    }
+    val moments = specs.collect {
+      case bm: Bm25Spec => bm.name -> bm25Moments(df, bm)
+    }.toMap
+    (entries, moments)
+  }
+
+  /** Fold BM25 batch moments into a snapshot's index headers:
+    * `add = true` adds the deltas to the snapshot's moments (append
+    * paths — exact integer algebra, no float drift), `add = false`
+    * replaces them (rebuild paths: overwrite/merge re-route the whole
+    * result, so the batch moments ARE the corpus moments).
+    */
+  private def indexHeadersWith(
+      s: Snapshot, headers: Map[String, String],
+      moments: Map[String, (Long, Long)], add: Boolean): Map[String, String] =
+    if (moments.isEmpty) headers
+    else {
+      val byName = indexSpecs(s).collect {
+        case bm: Bm25Spec => bm.name -> bm
+      }.toMap
+      headers ++ moments.map { case (name, (bn, bs)) =>
+        val bm = byName(name)
+        val v =
+          if (add) bm.copy(nDocs = bm.nDocs + bn, sumDl = bm.sumDl + bs)
+          else bm.copy(nDocs = bn, sumDl = bs)
+        s"index:$name" -> v.headerValue
+      }
     }
 
   // two commits that routed through DIFFERENT sidecars must not both
   // publish — an index set that changed mid-flight makes the staged
-  // routing stale, which is a conflict, not a retry
+  // routing stale, which is a conflict, not a retry. Compared on
+  // STRUCTURE: BM25 moments legitimately advance under concurrent
+  // appends (a retry re-folds its deltas into the new tip's moments).
   private def sameIndexes(a: Snapshot, b: Snapshot): Boolean =
-    indexSpecs(a) == indexSpecs(b)
+    indexSpecs(a).map(_.structure) == indexSpecs(b).map(_.structure)
 
   /** Declare + build an IVF index over the CURRENT corpus and publish
     * it pinned to a new version (corpus files unchanged, index files
@@ -1355,8 +1509,8 @@ object TxTable {
       .coalesce(1).write.parquet(new Path(root, sidecarRel).toString)
     // the model only supplies centroids; assignment goes through
     // routeRows so build-time and append-time cells obey ONE rule
-    val spec = IndexSpec(name, sidecarRel, idCol, vecCol)
-    val entries = idxEntriesFor(spark, root, Seq(spec), corpus, buckets)
+    val spec = IvfSpec(name, sidecarRel, idCol, vecCol)
+    val (entries, _) = idxEntriesFor(spark, root, Seq(spec), corpus, buckets)
     val headers = cur.headers +
       (s"index:$name" -> s"$sidecarRel|$idCol|$vecCol")
     if (!tryCommit(spark, root, cur.version + 1, headers,
@@ -1365,6 +1519,109 @@ object TxTable {
       throw new CommitConflict(
         s"buildIvfIndex at $root: snapshot v${cur.version} went stale")
     cur.version + 1
+  }
+
+  /** Declare + build a PINNED BM25 inverted index over the CURRENT
+    * corpus (the lexical twin of [[buildIvfIndex]], closing the skew
+    * the standalone [[graft.ingest.TextIndex]] layout allows: there,
+    * corpus and postings publish non-atomically and a corpus
+    * `deleteWhere` leaves deleted docs serving from postings). Here
+    * ONE manifest rename publishes corpus, postings (term-bucket
+    * range-clustered under `index/<name>/`, min/max `tb` stats for
+    * file-level probe pruning), and the two corpus-global BM25
+    * moments (n_docs, Σdl) as exact header integers — so
+    * [[bm25ProbeIndexed]] at any version is row-identical to
+    * [[graft.operators.Bm25.score]] over [[readVersion]] at the same
+    * version, including after DV deletes (postings anti-join the
+    * `idxdv/` channel; moments decrement in the delete's own commit).
+    *
+    * Maintenance rides the [[buildIvfIndex]] contract: append routes
+    * only the batch through tokenization (+moment fold), mergeInto/
+    * overwrite rebuild, compact carries verbatim, [[deleteWhere]]
+    * masks by id + decrements moments. Same caller contract as
+    * [[graft.ingest.TextIndex.appendBm25]]: appended batches must be
+    * NEW ids. Read-modify-write conflict semantics. Returns the
+    * committed version.
+    */
+  def buildBm25Index(
+      spark: SparkSession, root: String, name: String,
+      idCol: String, textCol: String, termBuckets: Int = 64,
+      buckets: Int = 8): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad index name '$name'")
+    require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val cur = latestSnapshot(spark, root)
+    require(!cur.headers.contains(s"index:$name"),
+      s"index '$name' already exists at $root")
+    // DV-aware corpus read: postings and moments cover SURVIVORS only
+    val corpus = readVersion(spark, root, cur.version)
+    val spec0 = Bm25Spec(name, idCol, textCol, termBuckets, 0L, 0L)
+    val (entries, moments) =
+      idxEntriesFor(spark, root, Seq(spec0), corpus, buckets)
+    val (n, sd) = moments(name)
+    val headers = cur.headers +
+      (s"index:$name" -> spec0.copy(nDocs = n, sumDl = sd).headerValue)
+    if (!tryCommit(spark, root, cur.version + 1, headers,
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur) ++ entries))
+      throw new CommitConflict(
+        s"buildBm25Index at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** BM25 against the PINNED index: prune index files by manifest
+    * `tb` stats (file-level skipping before any footer opens), filter
+    * to the query terms, anti-join the index deletion vectors, take
+    * per-term df from the pruned scan itself and N/avgdl from the
+    * version's header moments — row-identical to
+    * [[graft.operators.Bm25.score]] on [[readVersion]] of the same
+    * version (same tokenization, same float association). The scan
+    * touches ~|terms|/termBuckets of the postings; nothing
+    * corpus-scale moves. `version < 0` means latest.
+    */
+  def bm25ProbeIndexed(
+      spark: SparkSession, root: String, name: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      version: Long = -1L): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    require(terms.toSet.size == terms.size, s"duplicate query terms: $terms")
+    val s =
+      if (version < 0L) latestSnapshot(spark, root)
+      else snapshot(spark, root, version)
+    val spec = indexSpecs(s).collectFirst {
+      case bm: Bm25Spec if bm.name == name => bm
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no BM25 index '$name' at $root"))
+    import spark.implicits._
+    // term → bucket through Spark's own hash expression (the probe's
+    // pruning predicate must use the exact build-time routing)
+    val tbs = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(spec.termBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val files = prunedIndexFiles(s, name, tbs)
+    if (files.isEmpty)
+      return readIndexVersion(spark, root, name, s.version)
+        .select(col(spec.idCol), lit(0.0d).as("bm25")).limit(0)
+    val cand = antiJoinIndexDv(spark, root, s, spec,
+      spark.read.parquet(files.map(f => s"$root/$f"): _*)
+        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+    // df per term from the (DV-masked) pruned scan; ≤ |terms| rows
+    val dfs = cand.groupBy("term").agg(count(lit(1)).as("_df"))
+    // header moments: exact integers, divided here exactly like the
+    // standalone layout divides its _stats sidecar
+    val nD = lit(spec.nDocs).cast("double")
+    val avgdl = lit(spec.sumDl).cast("double") / nD
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (nD - col("_df").cast("double") + lit(0.5)) /
+        (col("_df").cast("double") + lit(0.5)))
+    val contrib = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / avgdl))
+    cand
+      .join(broadcast(dfs), "term")
+      .select(col(spec.idCol), contrib.as("_c"))
+      .groupBy(col(spec.idCol))
+      .agg(sum(col("_c")).as("bm25"))
   }
 
   /** Unpin an index: new version with its header and file lines
@@ -1454,8 +1711,11 @@ object TxTable {
     val s =
       if (version < 0L) latestSnapshot(spark, root)
       else snapshot(spark, root, version)
-    val spec = indexSpecs(s).find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(s"no index '$name' at $root"))
+    val spec = indexSpecs(s).collectFirst {
+      case iv: IvfSpec if iv.name == name => iv
+    }.getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF index '$name' at $root"))
     val probes = loadCentroids(spark, root, spec)
       .map { case (cell, c) =>
         var d = 0.0; var i = 0
@@ -1522,7 +1782,8 @@ object TxTable {
       .flatMap(s => s.files ++ s.indexFiles.values.flatten ++ s.dvFiles ++
         s.indexDvFiles.values.flatten)
       .toSet
-    val liveSidecars = keptSnaps.flatMap(s => indexSpecs(s).map(_.sidecar)).toSet
+    val liveSidecars =
+      keptSnaps.flatMap(s => indexSpecs(s).flatMap(_.sidecarOpt)).toSet
     val f = fs(spark, new Path(root))
     val horizon = System.currentTimeMillis() - retentionMs
     def sweepDir(nsRel: String): Unit = {

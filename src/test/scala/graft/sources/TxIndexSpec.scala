@@ -166,6 +166,63 @@ class TxIndexSpec extends SparkSpec {
     }
   }
 
+  private def docsDf(ids: Seq[Long]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map { i =>
+      val words = Seq.fill((i % 3L).toInt + 1)(s"w${i % 5L}") ++
+        (if (i % 2L == 0L) Seq("spark") else Seq("flink", "beam"))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def bruteBm25(version: Long, root: String, terms: Seq[String]) =
+    graft.operators.Bm25.score(
+        TxTable.readVersion(spark, root, version), "text", "doc_id", terms)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy("doc_id").collect().toSeq
+
+  private def probeBm25(version: Long, root: String, terms: Seq[String]) =
+    TxTable.bm25ProbeIndexed(spark, root, "txt", terms, version = version)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy("doc_id").collect().toSeq
+
+  test("BM25 pin: probe == in-plan Bm25.score at every version across " +
+    "build, append (moment fold), and DV delete (idxdv + moment " +
+    "decrement) — both-or-neither by one manifest rename") {
+    val root = Files.createTempDirectory("graft-txidx-bm25-").toString
+    val terms = Seq("spark", "w1")
+    TxTable.create(docsDf(0L until 30L), root) // v0
+    val v1 = TxTable.buildBm25Index(spark, root, "txt", "doc_id", "text",
+      termBuckets = 8, buckets = 2)
+    assert(v1 === 1L)
+    assert(TxTable.indexNames(spark, root) === Seq("txt"))
+    assert(probeBm25(1L, root, terms) === bruteBm25(1L, root, terms))
+    // append routes ONLY the batch; the header moments fold exactly
+    TxTable.append(docsDf(30L until 45L), root, buckets = 2) // v2
+    assert(probeBm25(2L, root, terms) === bruteBm25(2L, root, terms))
+    // old version still serves its own pinned pair
+    assert(probeBm25(1L, root, terms) === bruteBm25(1L, root, terms))
+    // a DV delete drops docs from BM25 results in the SAME commit:
+    // masked postings AND decremented moments
+    TxTable.deleteWhere(spark, root, col("doc_id") % 4L === 2L) // v3
+    val afterDel = probeBm25(3L, root, terms)
+    assert(afterDel === bruteBm25(3L, root, terms))
+    assert(!afterDel.exists(_.getLong(0) % 4L == 2L))
+    // pre-delete version unaffected (time travel pins both sides)
+    assert(probeBm25(2L, root, terms) === bruteBm25(2L, root, terms))
+    // mergeInto rebuilds postings + moments from the merged result
+    val s = spark
+    import s.implicits._
+    val src = Seq((1L, "spark spark spark", false), (3L, "", true))
+      .toDF("doc_id", "text", "deleted")
+    TxTable.mergeInto(root, src, "doc_id", Seq("text"), "deleted",
+      buckets = 2) // v4
+    assert(probeBm25(4L, root, terms) === bruteBm25(4L, root, terms))
+    assert(probeBm25(4L, root, Seq("spark")).exists(r =>
+      r.getLong(0) == 1L))
+  }
+
   test("a NULL (or non-long-castable) index id is rejected at ingest: " +
     "its DV entry could never mask the index row after a delete") {
     val s = spark

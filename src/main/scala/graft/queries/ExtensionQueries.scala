@@ -7292,6 +7292,87 @@ object IoQueries extends QueryGroup {
         |    (SELECT text FROM documents WHERE doc_id % 3 = 0)
         |ORDER BY d.doc_id""".stripMargin))
 
+  /** [[cdcDedupDeleteGate]]'s missing half (round-15 verdict #1): a
+    * MID-STREAM `mergeInto` on a change-feed-enabled table — the
+    * reference's core harvest shape (a re-harvested study is a
+    * last-writer-wins UPDATE, `/root/reference/tests/test_serve.py:
+    * 1342`) — emits `update_preimage`/`update_postimage`/`insert`/
+    * `delete` rows through the stream's `cdc/` channel instead of
+    * killing the feed at the rewrite guard. The consumer folds
+    * insert ∪ update_postimage (upsert) minus delete, then dedups
+    * against the v0 corpus. Full oracle: the merge's key routing
+    * (updates for keys in the table, inserts for new keys, tombstone
+    * deletes), the fold, and the dedup anti-join all restate in SQL.
+    */
+  val cdcDedupUpdateGate: QueryDef = QueryDef(
+    "pipeline_cdc_dedup_update",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdcupddedup-").toString
+      graft.sources.TxTable.create(docs.filter(col("doc_id") % 3 === 0), root)
+      graft.sources.TxTable.setChangeFeed(s, root, enabled = true) // v1
+      graft.sources.TxTable.append(docs.filter(col("doc_id") % 3 === 1), root)
+      // v3: upserts re-text keys %5==1 (matched → update, unmatched →
+      // insert); tombstones remove keys %7==2 (unmatched ones no-op)
+      val src = docs.filter(col("doc_id") % 5 === 1 &&
+          col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"), concat(lit("U:"), col("text")).as("text"),
+          lit(false).as("deleted"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 2)
+          .select(col("doc_id"), col("text"), lit(true).as("deleted")))
+      graft.sources.TxTable.mergeInto(root, src, "doc_id", Seq("text"),
+        "deleted")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cdcupddedup-ckpt-").toString
+      val sink = "cdcupddedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.TxTable
+        .readChangeStream(s, root, startingVersion = 2L)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val changes = s.table(sink)
+      val inserts = changes.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text"), col("_commit_version"))
+      // rename every non-primary branch's key: all branches read the
+      // same sink view, and joins over identical attribute ids are
+      // conflicting-reference self-joins otherwise
+      val posts = changes.filter(col("_change_type") === "update_postimage")
+        .select(col("doc_id").as("up_id"), col("text").as("up_text"),
+          col("_commit_version").as("up_v"))
+      val dels = changes.filter(col("_change_type") === "delete")
+        .select(col("doc_id").as("del_id"))
+      val upserted = inserts
+        .join(posts.select(col("up_id")),
+          col("doc_id") === col("up_id"), "left_anti")
+        .unionByName(posts.select(col("up_id").as("doc_id"),
+          col("up_text").as("text"), col("up_v").as("_commit_version")))
+      val live = upserted.join(dels,
+        col("doc_id") === col("del_id"), "left_anti")
+      val corpus = graft.sources.TxTable.readVersion(s, root, 0L)
+      graft.operators.IncrementalDedup
+        .newAgainstCorpus(live, corpus, col("text"))
+        .select(col("doc_id"), col("_commit_version"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT d.doc_id,
+        |  (CASE WHEN d.doc_id % 5 = 1 AND d.doc_id % 7 <> 2
+        |        THEN 3 ELSE 2 END)::BIGINT AS "_commit_version"
+        |FROM documents d
+        |WHERE ((d.doc_id % 3 = 1
+        |        AND NOT (d.doc_id % 5 = 1 AND d.doc_id % 7 <> 2)
+        |        AND d.doc_id % 7 <> 2
+        |        AND d.text NOT IN
+        |          (SELECT text FROM documents WHERE doc_id % 3 = 0))
+        |   OR ((d.doc_id % 5 = 1 AND d.doc_id % 7 <> 2)
+        |        AND ('U:' || d.text) NOT IN
+        |          (SELECT text FROM documents WHERE doc_id % 3 = 0)))
+        |ORDER BY d.doc_id""".stripMargin))
+
   /** Avro round trip ([[graft.sources.AvroIo]]) — the Kafka-side
     * interchange format, written as container part files (deflate
     * blocks, writer schema embedded) and read back with the frame's
@@ -8071,6 +8152,7 @@ object IoQueries extends QueryGroup {
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
+      cdcDedupUpdateGate,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

@@ -91,7 +91,8 @@ object TxTable {
       headers: Map[String, String],
       indexFiles: Map[String, Seq[String]] = Map.empty,
       dvFiles: Seq[String] = Seq.empty,
-      indexDvFiles: Map[String, Seq[String]] = Map.empty) {
+      indexDvFiles: Map[String, Seq[String]] = Map.empty,
+      cdcFiles: Seq[String] = Seq.empty) {
     /** Declared cluster columns: empty (unclustered), one (range
       * clustering), or two (z-order clustering — both columns carry
       * file stats, so range predicates on EITHER prune files).
@@ -170,7 +171,12 @@ object TxTable {
     // per-index deletion-vector namespace: deleted-ID files that keep
     // a pinned index consistent with a DV-deleted corpus (probes
     // anti-join ids the way corpus reads anti-join positions)
-    val (idxDvLines, headerLines) = rest3.partition(_.startsWith("idxdv/"))
+    val (idxDvLines, rest4) = rest3.partition(_.startsWith("idxdv/"))
+    // change-data namespace: explicit row-level change files a
+    // change-feed-enabled mergeInto writes beside its rewrite — listed
+    // ONLY by the commit that produced them (per-version events, never
+    // carried), read only by the change stream
+    val (cdcLines, headerLines) = rest4.partition(_.startsWith("cdc/"))
     val headers = headerLines.map { l =>
       val i = l.indexOf('=')
       require(i > 0, s"malformed manifest header '$l' in $p")
@@ -193,7 +199,8 @@ object TxTable {
       dvEntryLines.map(_.split("\t").head),
       idxDvLines.map(_.split("\t").head)
         .groupBy(_.split("/")(1))
-        .map { case (n, fs) => n -> fs.toSeq })
+        .map { case (n, fs) => n -> fs.toSeq },
+      cdcLines.map(_.split("\t").head))
   }
 
   def latestSnapshot(spark: SparkSession, root: String): Snapshot = {
@@ -862,8 +869,26 @@ object TxTable {
       // BM25 moments follow the merged frame absolutely
       val (idxEntries, idxMoments) =
         idxEntriesFor(spark, root, indexSpecs(cur), merged, buckets)
+      // change feed enabled: the SAME commit also publishes explicit
+      // row-level change files ([[mergeChanges]] — source-bounded,
+      // never table-bounded), so the change stream tracks this merge
+      // instead of failing on its rewrite
+      val cdcEntries =
+        if (!cur.headers.get("cdc").contains("true")) Seq.empty[String]
+        else {
+          val rel = s"cdc/${UUID.randomUUID()}"
+          mergeChanges(target, source, keyCol, valueCols, tombstoneCol)
+            .coalesce(math.max(1, buckets))
+            .write.parquet(new Path(root, rel).toString)
+          val f = fs(spark, new Path(root, rel))
+          f.listStatus(new Path(root, rel)).toSeq
+            .map(_.getPath.getName)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+            .sorted
+            .map(n => s"$rel/$n")
+        }
       val entries = writeDataFiles(merged, root, cur.clusterCols, buckets) ++
-        idxEntries
+        idxEntries ++ cdcEntries
       if (tryCommit(spark, root, cur.version + 1,
           indexHeadersWith(cur, cur.headers, idxMoments, add = false),
           entries))
@@ -899,6 +924,67 @@ object TxTable {
       throw new CommitConflict(
         s"setCheckConstraint at $root: snapshot v${cur.version} went stale")
     cur.version + 1
+  }
+
+  /** Enable/disable the table's CHANGE FEED (header `cdc=true` — the
+    * Delta `enableChangeDataFeed` shape): while enabled, every
+    * [[mergeInto]] commit writes its row-level changes (`insert`,
+    * `update_preimage`/`update_postimage` for matched upserts,
+    * `delete` for matched tombstones) as explicit parquet under the
+    * manifest's `cdc/` namespace, in the SAME commit as the rewrite —
+    * so [[readChangeStream]] can track the table through the
+    * reference's upsert-heavy harvest traffic instead of failing on
+    * the rewrite guard. Opt-in because the change extraction costs
+    * one extra source-keys join against the target per merge.
+    * Read-modify-write conflict semantics. Returns the new version.
+    */
+  def setChangeFeed(
+      spark: SparkSession, root: String, enabled: Boolean): Long = {
+    val cur = latestSnapshot(spark, root)
+    val headers =
+      if (enabled) cur.headers + ("cdc" -> "true") else cur.headers - "cdc"
+    if (!tryCommit(spark, root, cur.version + 1, headers,
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur)))
+      throw new CommitConflict(
+        s"setChangeFeed at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** The row-level changes one merge produces, in the Delta-CDF shape:
+    * one `target RIGHT JOIN source` on the key (output bounded by the
+    * SOURCE — the CDC feed of a harvest batch, never the table;
+    * broadcasts when the source does), exploded into tagged rows:
+    * matched tombstone → `delete` (pre-image values); matched upsert →
+    * `update_preimage` + `update_postimage`; unmatched upsert →
+    * `insert`; unmatched tombstone → nothing (MERGE's no-op). The
+    * untouched rest of the table appears in NO change row — exactly
+    * what lets a consumer fold the feed instead of re-reading the
+    * rewrite.
+    */
+  private def mergeChanges(
+      target: DataFrame, source: DataFrame, keyCol: String,
+      valueCols: Seq[String], tombstoneCol: String): DataFrame = {
+    val t = target.select(col(keyCol),
+      struct(valueCols.map(col): _*).as("_tv"))
+    val s = source.select(col(keyCol),
+      struct(valueCols.map(col): _*).as("_sv"),
+      coalesce(col(tombstoneCol), lit(false)).as("_del"))
+    t.join(s, Seq(keyCol), "right")
+      .filter(col("_tv").isNotNull || !col("_del"))
+      .select(col(keyCol), explode(
+        when(col("_tv").isNotNull && col("_del"),
+          array(struct(col("_tv").as("v"), lit("delete").as("ct"))))
+        .when(col("_tv").isNotNull,
+          array(
+            struct(col("_tv").as("v"), lit("update_preimage").as("ct")),
+            struct(col("_sv").as("v"), lit("update_postimage").as("ct"))))
+        .otherwise(
+          array(struct(col("_sv").as("v"), lit("insert").as("ct")))))
+        .as("_c"))
+      .select(col(keyCol) +:
+        valueCols.map(c => col("_c.v").getField(c).as(c)) :+
+        col("_c.ct").as("_change_type"): _*)
   }
 
   /** Drop the CHECK constraint (header removed; data untouched). */
@@ -1780,7 +1866,7 @@ object TxTable {
     val keptSnaps = keep.map(v => snapshot(spark, root, v))
     val live = keptSnaps
       .flatMap(s => s.files ++ s.indexFiles.values.flatten ++ s.dvFiles ++
-        s.indexDvFiles.values.flatten)
+        s.indexDvFiles.values.flatten ++ s.cdcFiles)
       .toSet
     val liveSidecars =
       keptSnaps.flatMap(s => indexSpecs(s).flatMap(_.sidecarOpt)).toSet
@@ -1804,6 +1890,9 @@ object TxTable {
     sweepDir("data")
     // deletion-vector dirs: same unreferenced+past-retention rule
     sweepDir("dv")
+    // change-data dirs: referenced only by the one manifest that wrote
+    // them, reclaimed once that version drops out of the kept window
+    sweepDir("cdc")
     // per-index deletion-vector namespaces: idxdv/<name>/ holds uuid dirs
     val idxDvRoot = new Path(root, "idxdv")
     if (f.exists(idxDvRoot))

@@ -53,16 +53,24 @@ import graft.sources.TxTable
   * exactly (VERDICT r13 #1; gated by `pipeline_cdc_dedup_delete`).
   *
   * Semantics contract (same as [[TxTable.readChanges]] plus the DV
-  * channel): valid for append-style commits (create/append/streaming
-  * batches) and DV deletes. A compaction, merge, or restore REMOVES
-  * files from the manifest (rewrites survivors / rewinds), which the
-  * file-set delta would re-deliver as phantom inserts — the stream
-  * DETECTS any version that drops a data file and FAILS with guidance
-  * (restart from the post-rewrite version, or run the Merkle snapshot
-  * diff for row-level semantics) instead of silently duplicating rows;
-  * `allowRewrites = true` opts into the raw file-delta feed for
-  * consumers that reconcile downstream (the same rule Delta CDC
-  * applies to RESTORE/OPTIMIZE).
+  * and CDC channels): valid for append-style commits (create/append/
+  * streaming batches), DV deletes, and — with the table's change feed
+  * enabled ([[TxTable.setChangeFeed]]) — MERGE commits: a change-feed
+  * merge publishes explicit `cdc/` row files (insert /
+  * `update_preimage` / `update_postimage` / delete, the Delta-CDF
+  * update shape) in its own commit, and the stream serves THOSE,
+  * ignoring the merge's rewrite representation — so a consumer tracks
+  * a table under the reference's upsert-heavy harvest traffic
+  * (re-harvested studies are last-writer-wins UPDATES,
+  * `/root/reference/tests/test_serve.py:1342`). A compaction,
+  * feed-less merge, or restore still REMOVES files from the manifest
+  * (rewrites survivors / rewinds), which the file-set delta would
+  * re-deliver as phantom inserts — the stream DETECTS any such
+  * version and FAILS with guidance (restart from the post-rewrite
+  * version, enable the change feed, or run the Merkle snapshot diff)
+  * instead of silently duplicating rows; `allowRewrites = true` opts
+  * into the raw file-delta feed for consumers that reconcile
+  * downstream (the same rule Delta CDC applies to RESTORE/OPTIMIZE).
   *
   * Admission control: `maxVersionsPerTrigger` paces a catch-up replay
   * version-by-version (ReadMaxFiles is reinterpreted as max VERSIONS —
@@ -109,19 +117,22 @@ object TxChangeStream {
       .add(VersionCol, LongType, nullable = false)
   }
 
-  /** Delta of version v: (new data files, new dv files, removed
-    * files). The removed set counts BOTH vanished data files
-    * (compact/merge rewrites, restore rewinds) AND vanished dv files
-    * WITHOUT a matching data-file rewrite (a restore rewinding past a
-    * deleteWhere: the rows come back but no file is new, so the feed
-    * has nothing to emit) — either way v cannot be represented
-    * row-accurately by the append-style feed.
+  /** Delta of version v: (new data files, new dv files, v's explicit
+    * change-data files, removed files). The removed set counts BOTH
+    * vanished data files (compact/merge rewrites, restore rewinds)
+    * AND vanished dv files WITHOUT a matching data-file rewrite (a
+    * restore rewinding past a deleteWhere: the rows come back but no
+    * file is new, so the feed has nothing to emit) — either way v
+    * cannot be represented row-accurately by the append-style feed
+    * UNLESS it published a `cdc/` channel, which IS its row-accurate
+    * representation (cdc files never carry between manifests, so v's
+    * cdc list is exactly v's events).
     */
   private[streaming] def deltaFiles(
       spark: SparkSession, root: String,
-      v: Long): (Seq[String], Seq[String], Seq[String]) = {
+      v: Long): (Seq[String], Seq[String], Seq[String], Seq[String]) = {
     val cur = TxTable.snapshot(spark, root, v)
-    if (v == 0L) (cur.files, cur.dvFiles, Seq.empty)
+    if (v == 0L) (cur.files, cur.dvFiles, cur.cdcFiles, Seq.empty)
     else {
       val prev = TxTable.snapshot(spark, root, v - 1)
       val prevData = prev.files.toSet
@@ -129,6 +140,7 @@ object TxChangeStream {
       val curData = cur.files.toSet
       val curDv = cur.dvFiles.toSet
       (cur.files.filterNot(prevData), cur.dvFiles.filterNot(prevDv),
+        cur.cdcFiles,
         prev.files.filterNot(curData) ++ prev.dvFiles.filterNot(curDv))
     }
   }
@@ -294,6 +306,13 @@ final case class TxFilePartition(file: String, version: Long)
 final case class TxDvPartition(dvFile: String, root: String, version: Long)
     extends InputPartition
 
+/** One explicit change-data file of a change-feed merge commit: rows
+  * already carry their `_change_type` (insert/update_preimage/
+  * update_postimage/delete) — the reader passes it through.
+  */
+final case class TxCdcPartition(file: String, version: Long)
+    extends InputPartition
+
 /** Offset = highest version whose delta files have been emitted.
   * Deterministic replay: manifests and data files are immutable, so
   * (start, end] always plans the identical partition set — the
@@ -349,18 +368,29 @@ final class TxChangesMicroBatchStream(
     val e = end.asInstanceOf[TxVersionOffset].version
     val spark = SparkSession.active
     ((s + 1) to e).flatMap { v =>
-      val (dataDelta, dvDelta, removed) =
+      val (dataDelta, dvDelta, cdcDelta, removed) =
         TxChangeStream.deltaFiles(spark, root, v)
-      if (removed.nonEmpty && !allowRewrites)
-        throw new IllegalStateException(
-          s"TxChangeStream at $root: version $v removed " +
-            s"${removed.size} data/dv file(s) (compact/merge/restore " +
-            "rewrites survivors or rewinds — the file-delta feed would " +
-            "re-deliver already-emitted rows). Restart the stream from " +
-            s"startingVersion = ${v + 1}, use the snapshot diff for " +
-            "row-level semantics, or opt in with allowRewrites = true")
-      dataDelta.map(f => TxFilePartition(s"$root/$f", v)) ++
-        dvDelta.map(f => TxDvPartition(s"$root/$f", root, v))
+      if (cdcDelta.nonEmpty)
+        // a change-feed-enabled merge: its cdc files ARE the version's
+        // row-level changes (insert/update_preimage/update_postimage/
+        // delete, written by the commit itself) — the rewritten data
+        // files and the removed old ones are representation, not
+        // changes, so neither feeds partitions nor trips the guard
+        cdcDelta.map(f => TxCdcPartition(s"$root/$f", v))
+      else {
+        if (removed.nonEmpty && !allowRewrites)
+          throw new IllegalStateException(
+            s"TxChangeStream at $root: version $v removed " +
+              s"${removed.size} data/dv file(s) (compact/merge/restore " +
+              "rewrites survivors or rewinds — the file-delta feed would " +
+              "re-deliver already-emitted rows). Restart the stream from " +
+              s"startingVersion = ${v + 1}, use the snapshot diff for " +
+              "row-level semantics, enable the change feed " +
+              "(TxTable.setChangeFeed) so merges publish explicit " +
+              "change rows, or opt in with allowRewrites = true")
+        dataDelta.map(f => TxFilePartition(s"$root/$f", v)) ++
+          dvDelta.map(f => TxDvPartition(s"$root/$f", root, v))
+      }
     }.toArray
   }
 
@@ -398,6 +428,34 @@ final class TxChangesReaderFactory(dataSchema: StructType)
           override def close(): Unit = reader.close()
         }
       case p: TxDvPartition => new TxDvReader(p, dataSchema)
+      case p: TxCdcPartition =>
+        new PartitionReader[InternalRow] {
+          private val reader: ParquetReader[Group] =
+            ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+              .withConf(new Configuration())
+              .build()
+          private var cur: Group = _
+          private var lastType: org.apache.parquet.schema.GroupType = _
+          private var idx: Array[Int] = _
+          private var ctIdx: Int = -1
+          override def next(): Boolean = { cur = reader.read(); cur != null }
+          override def get(): InternalRow = {
+            val t = cur.getType
+            if (!(t eq lastType)) {
+              idx = TxChangeStream.fieldIndexes(t, dataSchema)
+              ctIdx = TxChangeStream.fieldIndexes(t, StructType(Seq(
+                StructField(TxChangeStream.ChangeTypeCol, StringType))))(0)
+              require(ctIdx >= 0,
+                s"cdc file ${p.file} lacks a ${TxChangeStream.ChangeTypeCol} column")
+              lastType = t
+            }
+            // the change type is DATA here, written by the merge commit
+            val ct = UTF8String.fromBytes(
+              cur.getBinary(ctIdx, 0).getBytes)
+            TxChangeStream.groupToRow(cur, dataSchema, idx, ct, p.version)
+          }
+          override def close(): Unit = reader.close()
+        }
     }
 }
 

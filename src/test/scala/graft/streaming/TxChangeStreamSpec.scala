@@ -247,6 +247,80 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(rootCause(ex).getMessage.contains("removed"))
   }
 
+  test("a change-feed merge emits update pre/post-images, inserts, and " +
+    "tombstone deletes (Delta-CDF shape); the consumer fold tracks the " +
+    "live table; feed-less merges and compactions still fail the guard") {
+    val df = (1L to 10L).map(i => (i, s"old$i")).toDF("id", "txt")
+    val root = Files.createTempDirectory("graft-cdc-merge-").toString
+    TxTable.create(df, root) // v0
+    TxTable.setChangeFeed(spark, root, enabled = true) // v1
+    // merge: update 3 & 7, insert 11, tombstone 4, no-op tombstone 99
+    val src = Seq(
+      (3L, "new3", false), (7L, "new7", false),
+      (11L, "new11", false), (4L, "", true), (99L, "", true))
+      .toDF("id", "txt", "deleted")
+    TxTable.mergeInto(root, src, "id", Seq("txt"), "deleted") // v2
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root, startingVersion = 2L),
+      "cdc_merge", ckpt)
+    val got = spark.table("cdc_merge")
+    assert(got.select("_commit_version").distinct()
+      .as[Long].collect().toSeq === Seq(2L))
+    // exact change multiset: 2 pre + 2 post + 1 insert + 1 delete;
+    // the absent-key tombstone (99) is a MERGE no-op, the untouched
+    // rows (1,2,5,6,8,9,10) appear in no change row
+    val byType = got.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("update_preimage" -> 2L,
+      "update_postimage" -> 2L, "insert" -> 1L, "delete" -> 1L))
+    val pre3 = got.filter($"_change_type" === "update_preimage" &&
+      $"id" === 3L).collect().head
+    assert(pre3.getAs[String]("txt") === "old3")
+    val post3 = got.filter($"_change_type" === "update_postimage" &&
+      $"id" === 3L).collect().head
+    assert(post3.getAs[String]("txt") === "new3")
+    assert(got.filter($"_change_type" === "delete")
+      .select("id", "txt").as[(Long, String)].collect().toSeq ===
+      Seq((4L, "old4")))
+    assert(got.filter($"_change_type" === "insert")
+      .select("id", "txt").as[(Long, String)].collect().toSeq ===
+      Seq((11L, "new11")))
+    // the fold: start from v0's rows, apply post-images as upserts,
+    // inserts as adds, deletes as removes — must equal the live table
+    val v0 = TxTable.readVersion(spark, root, 0L)
+    val posts = got.filter($"_change_type".isin("update_postimage", "insert"))
+      .select($"id".as("c_id"), $"txt".as("c_txt"))
+    val dels = got.filter($"_change_type" === "delete")
+      .select($"id".as("d_id"))
+    val folded = v0.join(posts, $"id" === $"c_id", "left_anti")
+      .unionByName(posts.select($"c_id".as("id"), $"c_txt".as("txt")))
+      .join(dels, $"id" === $"d_id", "left_anti")
+    val live = TxTable.read(spark, root)
+    assert(folded.except(live).count() === 0L)
+    assert(live.except(folded).count() === 0L)
+    // a compaction is STILL a guard failure — the feed covers merges,
+    // not layout rewrites (nothing changed row-wise)
+    TxTable.compact(spark, root, buckets = 1) // v3
+    val ckpt2 = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(TxTable.readChangeStream(spark, root, startingVersion = 3L),
+        "cdc_merge_compact", ckpt2)
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("removed"))
+    // and with the feed DISABLED, a merge fails the guard as before
+    TxTable.setChangeFeed(spark, root, enabled = false) // v4
+    TxTable.mergeInto(root, src.filter($"id" === 3L), "id", Seq("txt"),
+      "deleted") // v5
+    val ckpt3 = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(TxTable.readChangeStream(spark, root, startingVersion = 5L),
+        "cdc_merge_nofeed", ckpt3)
+    }
+    assert(rootCause(ex2).getMessage.contains("removed"))
+  }
+
   test("a batch appended with a case-variant column name serves real " +
     "values through the feed (field resolution is case-insensitive, " +
     "matching batch reads)") {

@@ -7114,6 +7114,57 @@ object IoQueries extends QueryGroup {
         |    AS event_type
         |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Column RENAME via column mapping ([[graft.sources.TxTable
+    * .renameColumn]], round 15): a pure metadata commit — the declared
+    * field takes the new logical name, its metadata pins the PHYSICAL
+    * name the bytes live under, and ZERO data files are rewritten (the
+    * gate asserts the file set is unchanged across the rename). Reads
+    * resolve BY PHYSICAL NAME across three generations — files written
+    * before the rename, after it under the new logical name, and a
+    * post-rename DV delete predicated ON the renamed column — while a
+    * strict append still carrying the OLD name is rejected. Full
+    * oracle: the union of generations, the rename, and the delete all
+    * restate in SQL.
+    */
+  val txSchemaRename: QueryDef = QueryDef(
+    "io_tx_schema_rename",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txrename-").toString
+      graft.sources.TxTable.create(
+        docs.filter(col("doc_id") % 2 === 0), root) // v0: gen-1 "lang"
+      graft.sources.TxTable.append(
+        docs.filter(col("doc_id") % 2 === 1), root) // v1: gen-2 "lang"
+      val before = graft.sources.TxTable.latestSnapshot(s, root).files.toSet
+      graft.sources.TxTable.renameColumn(s, root, "lang", "language") // v2
+      require(graft.sources.TxTable.latestSnapshot(s, root).files.toSet
+        == before, "rename rewrote data files")
+      val rejected =
+        try { graft.sources.TxTable.append(docs.limit(5), root); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "append under the OLD column name was admitted")
+      // gen-3: new rows under the NEW logical name (shifted ids keep
+      // the oracle deterministic)
+      graft.sources.TxTable.append(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            col("lang").as("language")), root) // v3
+      // a delete PREDICATED on the renamed column, across generations
+      graft.sources.TxTable.deleteWhere(s, root, col("language") === "de")
+      graft.sources.TxTable.read(s, root)
+        .select("doc_id", "language")
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang AS language FROM (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |WHERE lang <> 'de'
+        |ORDER BY doc_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -8152,7 +8203,7 @@ object IoQueries extends QueryGroup {
       mergeUpsertAcid, oaiLoop, txtableSkipping, txtableCompact,
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
-      cdcDedupUpdateGate,
+      cdcDedupUpdateGate, txSchemaRename,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

@@ -294,9 +294,19 @@ object TxTable {
       // an empty committed table still has a schema obligation only
       // its writer knew; surface the emptiness explicitly
       throw new IllegalStateException(s"TxTable $root: no data files")
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    val base = reader.parquet(files.map(f => s"$root/$f"): _*)
-    if (dvFiles.isEmpty) base
+    // column mapping: the scan resolves files by PHYSICAL name, the
+    // final projection restores logical names — a rename never touches
+    // a data byte
+    val mapped = schema.exists(hasMapping)
+    val reader = schema.map(physicalSchema)
+      .fold(spark.read)(spark.read.schema)
+    val base0 = reader.parquet(files.map(f => s"$root/$f"): _*)
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(schema.get.fields.map(f =>
+        col(physicalName(f)).as(f.name)): _*)
+    val base = base0
+    if (dvFiles.isEmpty) toLogical(base)
     else {
       // merge-on-read: anti-join the per-row (file, row_index)
       // position against the snapshot's deletion vectors. The data
@@ -312,8 +322,8 @@ object TxTable {
         col("_metadata.row_index").as("_dv_ri"))
       val dv = spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
         .select(col("file").as("_dv_f"), col("row_index").as("_dv_ri"))
-      withPos.join(dv, Seq("_dv_f", "_dv_ri"), "left_anti")
-        .select(cols.map(col): _*)
+      toLogical(withPos.join(dv, Seq("_dv_f", "_dv_ri"), "left_anti")
+        .select(cols.map(col): _*))
     }
   }
 
@@ -324,6 +334,15 @@ object TxTable {
     * or not stats exist — stats only shrink the scan, never the
     * answer.
     */
+  /** The cluster header records the column's PHYSICAL name (the name
+    * the file stats were computed under); resolve it back to the
+    * logical name a caller-facing frame serves — identity without a
+    * mapping.
+    */
+  private def logicalClusterCol(s: Snapshot, c: String): String =
+    s.tableSchema.flatMap(_.fields.find(f =>
+      physicalName(f).equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
+
   def readRange(
       spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
     val s = latestSnapshot(spark, root)
@@ -331,7 +350,7 @@ object TxTable {
       s"TxTable $root has no cluster column; readRange needs one"))
     readFiles(spark, root, prunedFiles(s, 0, lo, hi), s.dvFiles,
         s.tableSchema)
-      .filter(col(c).between(lo, hi))
+      .filter(col(logicalClusterCol(s, c)).between(lo, hi))
   }
 
   /** 2-D box read over a z-order-clustered table: files are pruned by
@@ -351,8 +370,8 @@ object TxTable {
     val pruned = prunedFiles(s, 0, loA, hiA)
       .intersect(prunedFiles(s, 1, loB, hiB))
     readFiles(spark, root, pruned, s.dvFiles, s.tableSchema)
-      .filter(col(cs.head).between(loA, hiA) &&
-        col(cs(1)).between(loB, hiB))
+      .filter(col(logicalClusterCol(s, cs.head)).between(loA, hiA) &&
+        col(logicalClusterCol(s, cs(1))).between(loB, hiB))
   }
 
   /** The post-skipping file list for [lo,hi] on cluster column `idx` —
@@ -546,13 +565,83 @@ object TxTable {
 
   import org.apache.spark.sql.types._
 
-  /** Canonical comparable/storable form: all nullable, no metadata —
-    * nullability is a hint parquet files disagree on harmlessly, not
-    * a schema identity.
+  // -------------------------------------------------- column mapping
+  //
+  // RENAME/DROP without rewriting a byte (Delta's column mapping,
+  // re-derived): the declared schema's field METADATA carries each
+  // column's PHYSICAL name — the name its bytes sit under in every
+  // parquet file ever written. A rename is a pure header commit (the
+  // logical name changes, physName pins the old one); reads scan BY
+  // PHYSICAL name and alias back to logical; writes rename
+  // logical→physical before any file lands, so mixed-generation
+  // tables stay by-name consistent. A dropped column's physical name
+  // is retired in the `dropped` header, and schema evolution refuses
+  // to ADD a column whose name matches any live or retired physical
+  // name — re-using it would resurrect old files' bytes under the new
+  // column.
+
+  /** Top-level-field metadata key holding the column's physical
+    * (on-file) name; absent = physical equals logical.
+    */
+  private val PhysNameKey = "physName"
+
+  /** The parquet-file field name a declared column's bytes live
+    * under — its logical name until a rename pins the original.
+    */
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  private def hasMapping(st: StructType): Boolean =
+    st.fields.exists(f => physicalName(f) != f.name)
+
+  /** The declared schema with every field under its PHYSICAL name —
+    * what the parquet scan resolves against (metadata stripped; a
+    * read schema carries none).
+    */
+  private def physicalSchema(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      StructField(physicalName(f), f.dataType, f.nullable)))
+
+  private def declaredSchema(
+      headers: Map[String, String]): Option[StructType] =
+    headers.get("schema").map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Rename a batch's columns logical→physical before a corpus write
+    * (no-op without a mapping). Columns outside the declared schema
+    * (`_change_type` on a cdc frame) pass through untouched.
+    */
+  private def toPhysical(
+      df: DataFrame, headers: Map[String, String]): DataFrame =
+    declaredSchema(headers) match {
+      case Some(st) if hasMapping(st) =>
+        val byLower = st.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) -> physicalName(f)).toMap
+        df.select(df.columns.map(c => col(c).as(
+          byLower.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))): _*)
+      case _ => df
+    }
+
+  /** Keep ONLY the column-mapping key through normalization — other
+    * source-supplied field metadata is noise a schema header must not
+    * memorialize, but losing physName would sever every renamed
+    * column from its bytes.
+    */
+  private def keepPhys(m: Metadata): Metadata =
+    if (m.contains(PhysNameKey))
+      new MetadataBuilder()
+        .putString(PhysNameKey, m.getString(PhysNameKey)).build()
+    else Metadata.empty
+
+  /** Canonical comparable/storable form: all nullable, metadata
+    * reduced to the column-mapping key — nullability is a hint
+    * parquet files disagree on harmlessly, not a schema identity.
     */
   private def nullNorm(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
-      StructField(f.name, nullNorm(f.dataType), nullable = true)))
+      StructField(f.name, nullNorm(f.dataType), nullable = true,
+        keepPhys(f.metadata))))
     case ArrayType(et, _) => ArrayType(nullNorm(et), containsNull = true)
     case MapType(k, v, _) =>
       MapType(nullNorm(k), nullNorm(v), valueContainsNull = true)
@@ -619,12 +708,139 @@ object TxTable {
           "to add columns")
       headers
     } else if (extra.isEmpty) headers
-    else headers + ("schema" ->
-      StructType(declared.fields ++ extra).json)
+    else {
+      // resurrection guard (column mapping): an added column whose
+      // name matches a RENAMED column's physical name — or a DROPPED
+      // column's retired one — would serve old files' bytes as the
+      // new column's values through the by-physical-name scan
+      val physTaken = declared.fields.map(f => key(physicalName(f))).toSet
+      val retired = headers.get("dropped").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+      val clash = extra.filter(f =>
+        physTaken.contains(key(f.name)) || retired.contains(key(f.name)))
+      require(clash.isEmpty,
+        s"$op: cannot add column(s) ${clash.map(_.name).mkString(",")} — " +
+          "the name matches a renamed or dropped column's PHYSICAL " +
+          "name; old files' bytes would resurrect under it (pick a " +
+          "different name)")
+      headers + ("schema" -> StructType(declared.fields ++ extra).json)
+    }
   }
 
   private def schemaHeaderFor(df: DataFrame): (String, String) =
     "schema" -> normSchema(df.schema).json
+
+  /** Columns a pinned index routes by — a rename/drop of one would
+    * sever the index's routing from the corpus; the caller drops or
+    * rebuilds the index first (the explicit-maintenance discipline).
+    */
+  private def indexReferencedCols(s: Snapshot): Map[String, String] =
+    indexSpecs(s).flatMap {
+      case iv: IvfSpec  => Seq(iv.idCol -> iv.name, iv.vecCol -> iv.name)
+      case bm: Bm25Spec => Seq(bm.idCol -> bm.name, bm.textCol -> bm.name)
+    }.toMap
+
+  /** RENAME a column as a PURE METADATA COMMIT — zero data rewrites
+    * (Delta's column mapping, re-derived): the declared field takes
+    * the new logical name and its metadata pins the PHYSICAL name its
+    * bytes have always lived under, so files written before and after
+    * the rename keep resolving by one physical name while every read
+    * serves the new logical one. The old name is gone from the
+    * declared schema: reads of it fail, strict appends carrying it
+    * are rejected, and `mergeSchema` refuses to re-add any name that
+    * matches a live physical name (the resurrection guard). At 100 TB
+    * this turns a rename from a table-scale rewrite into one KB-scale
+    * manifest write.
+    *
+    * Caller contract: a CHECK constraint or pinned index referencing
+    * the column must be dropped/updated first (index references are
+    * rejected here; CHECK expressions are opaque SQL — update them
+    * with [[setCheckConstraint]]). Read-modify-write conflict
+    * semantics. Returns the new version.
+    */
+  def renameColumn(
+      spark: SparkSession, root: String, oldName: String,
+      newName: String): Long = {
+    require(newName.nonEmpty && !newName.contains("\n") &&
+      !newName.contains("\t"),
+      s"renameColumn at $root: bad new column name '$newName'")
+    val cur = latestSnapshot(spark, root)
+    val st = cur.tableSchema.getOrElse(throw new IllegalArgumentException(
+      s"renameColumn at $root: legacy table without a declared schema " +
+        "header (recreate or overwrite to declare one)"))
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val idx = st.fields.indexWhere(f => key(f.name) == key(oldName))
+    require(idx >= 0, s"renameColumn at $root: no column '$oldName'")
+    require(!st.fields.zipWithIndex.exists { case (f, i) =>
+      i != idx && key(f.name) == key(newName) },
+      s"renameColumn at $root: column '$newName' already exists")
+    indexReferencedCols(cur).collectFirst {
+      case (c, n) if key(c) == key(oldName) => n
+    }.foreach { n =>
+      throw new IllegalArgumentException(
+        s"renameColumn at $root: column '$oldName' routes pinned index " +
+          s"'$n' — dropIndex (and rebuild under the new name) first")
+    }
+    val f = st.fields(idx)
+    val nf = StructField(newName, f.dataType, f.nullable,
+      new MetadataBuilder()
+        .putString(PhysNameKey, physicalName(f)).build())
+    val ns = StructType(st.fields.updated(idx, nf))
+    if (!tryCommit(spark, root, cur.version + 1,
+        cur.headers + ("schema" -> normSchema(ns).json),
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur)))
+      throw new CommitConflict(
+        s"renameColumn at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** DROP a column as a pure metadata commit (zero rewrites): the
+    * field leaves the declared schema — every read stops projecting
+    * it — and its PHYSICAL name is retired in the `dropped` header so
+    * schema evolution can never re-admit a column that would serve
+    * the old bytes ([[checkSchema]]'s resurrection guard). The bytes
+    * themselves stay in the files (merge-on-read economics; a
+    * [[compact]]/[[recluster]] rewrite physically sheds them, since
+    * the rewrite projects the declared schema). Same caller contract
+    * as [[renameColumn]] for indexes and CHECK constraints; cluster
+    * columns are additionally rejected (file stats and range reads
+    * key on them — [[recluster]] away first). Returns the new version.
+    */
+  def dropColumn(
+      spark: SparkSession, root: String, name: String): Long = {
+    val cur = latestSnapshot(spark, root)
+    val st = cur.tableSchema.getOrElse(throw new IllegalArgumentException(
+      s"dropColumn at $root: legacy table without a declared schema header"))
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val idx = st.fields.indexWhere(f => key(f.name) == key(name))
+    require(idx >= 0, s"dropColumn at $root: no column '$name'")
+    require(st.fields.length > 1,
+      s"dropColumn at $root: cannot drop the last column")
+    indexReferencedCols(cur).collectFirst {
+      case (c, n) if key(c) == key(name) => n
+    }.foreach { n =>
+      throw new IllegalArgumentException(
+        s"dropColumn at $root: column '$name' routes pinned index " +
+          s"'$n' — dropIndex first")
+    }
+    val phys = physicalName(st.fields(idx))
+    require(!cur.clusterCols.exists(c => key(c) == key(phys)),
+      s"dropColumn at $root: '$name' is a cluster column — recluster " +
+        "to a different layout first")
+    val ns = StructType(st.fields.patch(idx, Nil, 1))
+    val retired = (cur.headers.get("dropped").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty) :+ key(phys))
+      .distinct.mkString(",")
+    if (!tryCommit(spark, root, cur.version + 1,
+        cur.headers + ("schema" -> normSchema(ns).json)
+          + ("dropped" -> retired),
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur)))
+      throw new CommitConflict(
+        s"dropColumn at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
 
   /** Reject a batch that re-introduces an id a pinned index has
     * deletion-vector-masked: index DVs are BY VALUE (deleted ids,
@@ -708,7 +924,9 @@ object TxTable {
     val pre = latestSnapshot(spark, root)
     enforceCheck(df, pre.headers, s"append at $root")
     checkSchema(df, pre.headers, s"append at $root", mergeSchema)
-    val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
+    val entries =
+      writeDataFiles(toPhysical(df, pre.headers), root,
+        pre.clusterCols, buckets)
     // pinned indexes: route ONLY the new rows through each sidecar —
     // the corpus-side delta and the index-side delta publish together
     val (idxEntries, idxMoments) =
@@ -764,7 +982,9 @@ object TxTable {
     if (committed(pre)) return None
     enforceCheck(df, pre.headers, s"addStreamingBatch at $root")
     checkSchema(df, pre.headers, s"addStreamingBatch at $root")
-    val entries = writeDataFiles(df, root, pre.clusterCols, buckets)
+    val entries =
+      writeDataFiles(toPhysical(df, pre.headers), root,
+        pre.clusterCols, buckets)
     val (idxEntries, idxMoments) =
       idxEntriesFor(spark, root, indexSpecs(pre), df, buckets)
     var attempt = 0
@@ -877,7 +1097,11 @@ object TxTable {
         if (!cur.headers.get("cdc").contains("true")) Seq.empty[String]
         else {
           val rel = s"cdc/${UUID.randomUUID()}"
-          mergeChanges(target, source, keyCol, valueCols, tombstoneCol)
+          // physical field names like every corpus file — the stream's
+          // record reader resolves by the declared physical name
+          toPhysical(
+              mergeChanges(target, source, keyCol, valueCols, tombstoneCol),
+              cur.headers)
             .coalesce(math.max(1, buckets))
             .write.parquet(new Path(root, rel).toString)
           val f = fs(spark, new Path(root, rel))
@@ -887,8 +1111,8 @@ object TxTable {
             .sorted
             .map(n => s"$rel/$n")
         }
-      val entries = writeDataFiles(merged, root, cur.clusterCols, buckets) ++
-        idxEntries ++ cdcEntries
+      val entries = writeDataFiles(toPhysical(merged, cur.headers), root,
+        cur.clusterCols, buckets) ++ idxEntries ++ cdcEntries
       if (tryCommit(spark, root, cur.version + 1,
           indexHeadersWith(cur, cur.headers, idxMoments, add = false),
           entries))
@@ -1105,10 +1329,12 @@ object TxTable {
   def deleteRange(
       spark: SparkSession, root: String, lo: Long, hi: Long,
       maxRetries: Int = 10, dvBuckets: Int = 1): Long = {
-    val c = latestSnapshot(spark, root).clusterCol.getOrElse(
+    val snap = latestSnapshot(spark, root)
+    val c = snap.clusterCol.getOrElse(
       throw new IllegalArgumentException(
         s"TxTable $root has no cluster column; deleteRange needs one"))
-    deleteImpl(spark, root, col(c).between(lo, hi),
+    deleteImpl(spark, root,
+      col(logicalClusterCol(snap, c)).between(lo, hi),
       s => prunedFiles(s, 0, lo, hi), maxRetries, dvBuckets)
   }
 
@@ -1125,13 +1351,23 @@ object TxTable {
       if (cand.isEmpty) return cur.version // no file can match
       // DV-aware scan with positions: already-deleted rows can't match
       // (schema-specified so a predicate on an evolved column works
-      // against pre-evolution files)
-      val base = cur.tableSchema.fold(spark.read)(spark.read.schema)
+      // against pre-evolution files). The scan resolves by PHYSICAL
+      // name; logical names are restored before the caller's predicate
+      // sees a column (column mapping — the position columns ride).
+      val base = cur.tableSchema.map(physicalSchema)
+        .fold(spark.read)(spark.read.schema)
         .parquet(cand.map(f => s"$root/$f"): _*)
-      val withPos = base.select(col("*"),
+      val withPosPhys = base.select(col("*"),
         expr("regexp_extract(_metadata.file_path, " +
           "'(data/[^/]+/[^/]+)$', 1)").as("_dv_f"),
         col("_metadata.row_index").as("_dv_ri"))
+      val withPos = cur.tableSchema match {
+        case Some(st) if hasMapping(st) =>
+          withPosPhys.select(st.fields.map(f =>
+            col(physicalName(f)).as(f.name)) ++
+            Seq(col("_dv_f"), col("_dv_ri")): _*)
+        case _ => withPosPhys
+      }
       val live =
         if (cur.dvFiles.isEmpty) withPos
         else withPos.join(
@@ -1258,9 +1494,19 @@ object TxTable {
     */
   def recluster(
       spark: SparkSession, root: String, clusterCols: Seq[String],
-      buckets: Int = 8): Long =
-    rewriteClustered(spark, root, clusterCols, buckets, "recluster",
+      buckets: Int = 8): Long = {
+    // callers name LOGICAL columns; the layout, stats, and the
+    // cluster= header live under PHYSICAL names (column mapping)
+    val cur = latestSnapshot(spark, root)
+    val phys = clusterCols.map { c =>
+      cur.tableSchema
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(c))
+          .map(physicalName))
+        .getOrElse(c)
+    }
+    rewriteClustered(spark, root, phys, buckets, "recluster",
       keepHeader = false)
+  }
 
   /** Shared rewrite body of [[compact]] and [[recluster]]: read the
     * latest snapshot through its DVs, rewrite into `clusterCols`
@@ -1275,7 +1521,10 @@ object TxTable {
     require(clusterCols.size <= 2,
       s"TxTable supports at most 2 cluster columns, got $clusterCols")
     val cur = latestSnapshot(spark, root)
-    val all = readVersion(spark, root, cur.version)
+    // the rewrite lands under PHYSICAL names (by-name consistency with
+    // every older file); cluster cols arrive physical from compact
+    // (header values) and were mapped by recluster's entry point
+    val all = toPhysical(readVersion(spark, root, cur.version), cur.headers)
     val entries = clusterCols match {
       case Seq() => writeDataFiles(all.coalesce(buckets), root, Nil, buckets)
       case cs    => writeDataFiles(all, root, cs, buckets)
@@ -1316,7 +1565,8 @@ object TxTable {
       cur.tableSchema)
     val outFiles = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
-    val entries = writeDataFiles(smallDf, root, cur.clusterCols, outFiles)
+    val entries = writeDataFiles(toPhysical(smallDf, cur.headers), root,
+      cur.clusterCols, outFiles)
     val keptLarge = large.map(_._1).toSet
     val keptLines = entryLines(cur).filter { line =>
       keptLarge.contains(line.split("\t").head)

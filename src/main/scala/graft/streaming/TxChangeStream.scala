@@ -165,8 +165,11 @@ object TxChangeStream {
     val byLower = (0 until fileType.getFieldCount).map { i =>
       fileType.getFieldName(i).toLowerCase(java.util.Locale.ROOT) -> i
     }.toMap
+    // resolve by the declared PHYSICAL name (column mapping: a renamed
+    // column's bytes live under its original name in every file)
     schema.fields.map(f =>
-      byLower.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT), -1))
+      byLower.getOrElse(
+        TxTable.physicalName(f).toLowerCase(java.util.Locale.ROOT), -1))
   }
 
   /** Convert one parquet [[Group]] to the expected Spark types, field

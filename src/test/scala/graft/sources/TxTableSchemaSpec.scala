@@ -147,6 +147,117 @@ class TxTableSchemaSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 10L)
   }
 
+  test("renameColumn is a pure metadata commit: zero new data files, " +
+    "values served across mixed generations, old name rejected") {
+    val root = Files.createTempDirectory("graft-rename-").toString
+    TxTable.create(narrow, root) // v0: (k, v) — gen-1 files carry "v"
+    val filesBefore = TxTable.latestSnapshot(spark, root).files.toSet
+    val v = TxTable.renameColumn(spark, root, "v", "value") // v1
+    assert(v === 1L)
+    // ZERO rewrites: the file set is byte-identical
+    assert(TxTable.latestSnapshot(spark, root).files.toSet === filesBefore)
+    val got = TxTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "value"))
+    assert(got.filter($"value" === "v3").select("k").as[Long].head() === 3L)
+    // the OLD name is gone: reads of it fail, strict appends with it
+    // are rejected
+    intercept[org.apache.spark.sql.AnalysisException] {
+      got.select("v").collect()
+    }
+    intercept[IllegalArgumentException] { TxTable.append(narrow, root) }
+    // appends under the NEW name land (files carry the PHYSICAL name)
+    TxTable.append(
+      (11L to 15L).map(k => (k, s"v$k")).toDF("k", "value"), root) // v2
+    val mixed = TxTable.read(spark, root).orderBy("k")
+    assert(mixed.count() === 15L)
+    assert(mixed.filter($"value".isNull).count() === 0L)
+    assert(mixed.filter($"k" === 13L).select("value").as[String].head()
+      === "v13")
+    // deleteWhere predicates resolve the renamed column
+    TxTable.deleteWhere(spark, root, $"value" === "v7") // v3
+    assert(TxTable.read(spark, root).count() === 14L)
+    // the change stream serves the renamed column across generations:
+    // the v3 DV delete resolves its row's value by PHYSICAL name
+    val ss = graft.streaming.TxChangeStream.schemaFor(spark, root)
+    assert(ss.fieldNames.take(2).toSeq === Seq("k", "value"))
+    val ckpt = Files.createTempDirectory("graft-rename-ckpt-").toString
+    val q = TxTable.readChangeStream(spark, root, startingVersion = 3L)
+      .writeStream.format("memory").queryName("rename_cdc")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val delRow = spark.table("rename_cdc").collect().head
+    assert(delRow.getAs[String]("_change_type") === "delete")
+    assert(delRow.getAs[String]("value") === "v7")
+    // compact rewrites under the physical name; values survive
+    TxTable.compact(spark, root, buckets = 1) // v4
+    assert(TxTable.read(spark, root)
+      .filter($"value" === "v13").count() === 1L)
+    // mergeSchema cannot re-add the retired logical-name slot's
+    // PHYSICAL name — old bytes would resurrect under it
+    intercept[IllegalArgumentException] {
+      TxTable.append(
+        (16L to 17L).map(k => (k, s"v$k", k)).toDF("k", "value", "v"),
+        root, mergeSchema = true)
+    }
+    // double rename keeps the ORIGINAL physical pin
+    TxTable.renameColumn(spark, root, "value", "val2")
+    assert(TxTable.read(spark, root)
+      .filter($"val2" === "v13").count() === 1L)
+  }
+
+  test("renameColumn guards: collision, missing column, indexed column") {
+    val root = Files.createTempDirectory("graft-rename-g-").toString
+    TxTable.create(narrow, root)
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, root, "v", "K") // case-collides with k
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, root, "nope", "x")
+    }
+    // an index-routing column cannot rename out from under its index
+    TxTable.buildBm25Index(spark, root, "txt", "k", "v", termBuckets = 4)
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, root, "v", "text")
+    }
+    assert(ex.getMessage.contains("pinned index"))
+  }
+
+  test("dropColumn retires the physical name: reads stop projecting, " +
+    "re-adding the name is rejected, other columns intact") {
+    val root = Files.createTempDirectory("graft-drop-").toString
+    TxTable.create(wide, root) // (k, v, extra)
+    val filesBefore = TxTable.latestSnapshot(spark, root).files.toSet
+    TxTable.dropColumn(spark, root, "extra") // v1, zero rewrites
+    assert(TxTable.latestSnapshot(spark, root).files.toSet === filesBefore)
+    val got = TxTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "v"))
+    assert(got.count() === 10L)
+    // strict appends now take the narrow shape
+    TxTable.append(
+      (21L to 22L).map(k => (k, s"v$k")).toDF("k", "v"), root)
+    // re-adding "extra" via mergeSchema would resurrect old bytes
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.append(
+        (23L to 24L).map(k => (k, s"v$k", k * 9L)).toDF("k", "v", "extra"),
+        root, mergeSchema = true)
+    }
+    assert(ex.getMessage.contains("resurrect"))
+    // a DIFFERENT new column still widens fine
+    TxTable.append(
+      (23L to 24L).map(k => (k, s"v$k", k * 9L)).toDF("k", "v", "extra2"),
+      root, mergeSchema = true)
+    assert(TxTable.read(spark, root).columns.toSeq ===
+      Seq("k", "v", "extra2"))
+    // renamed-THEN-dropped: the retired name is the PHYSICAL one
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, root, "k") // k is the... (not cluster)
+      TxTable.dropColumn(spark, root, "v")
+      TxTable.dropColumn(spark, root, "extra2") // last column
+    }
+  }
+
   test("overwrite replaces the declared schema with the new frame's") {
     val root = Files.createTempDirectory("graft-schema-").toString
     TxTable.create(narrow, root)

@@ -1176,11 +1176,22 @@ object Similarity {
   def mutualNearest(
       a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
+    val spark = a.sparkSession
     val av = a.select(col(idCol).cast("long").as("id_a"),
       col(vecCol).as("_va"))
     val bv = b.select(col(idCol).cast("long").as("id_b"),
       col(vecCol).as("_vb"))
-    mutualFromCross(a.sparkSession, av.join(broadcast(bv)))
+    // ALL the scoring flops ride the A side (B broadcasts), so A's
+    // partitioning IS the parallelism: a small/single-file A would pin
+    // the whole A×B cosine sweep plus the argmax aggregate to ONE task
+    // (the round-15 probe measured exactly that — ~2 s of a 3 s gate
+    // in one core). Spread an under-partitioned A to the session's
+    // parallelism (a |A|-row shuffle, trivial next to the flops); a
+    // corpus-scale A already exceeds it and is left untouched.
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (av.rdd.getNumPartitions < par) av.repartition(par) else av
+    mutualFromCross(spark, spread.join(broadcast(bv)))
   }
 
   /** [[mutualNearest]] for a B side too large to broadcast: the A×B

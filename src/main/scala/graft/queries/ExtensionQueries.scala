@@ -1167,6 +1167,90 @@ object SimilarityQueries extends QueryGroup {
     * in-plan composition while touching index-probe bytes, not the
     * corpus.
     */
+  /** [[graft.operators.HybridSearch.rrfFusionTxPinned]]: the fused
+    * retrieval stack served from ONE transactional snapshot — BM25
+    * postings+moments AND IVF cells pinned to the same
+    * [[graft.sources.TxTable]] version, with a `deleteWhere` BETWEEN
+    * build and probe: deleted docs must vanish from BOTH pools (idxdv
+    * masks, BM25 moments decrement) and every survivor's lexical score
+    * must re-weight by the live-corpus stats. The version is resolved
+    * once and handed to both probes, so the corpus/index skew the
+    * standalone layouts allow is structurally impossible. Full oracle:
+    * both pools, both rank windows, and the fusion replayed over the
+    * survivor set.
+    */
+  val hybridTxPinned: QueryDef = QueryDef(
+    "sim_hybrid_txpinned",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val emb = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hybpin-").toString
+      graft.sources.TxTable.create(corpus, root)
+      graft.sources.TxTable.buildBm25Index(s, root, "lex", "doc_id", "text")
+      graft.sources.TxTable.buildIvfIndex(s, root, "vec", "doc_id",
+        "embedding", numCentroids = 16)
+      graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 9 === 4)
+      val qv = graft.ingest.AnnIndex.lookupVector(
+        Tables(s, dir).embeddings, "vec_id", "embedding", 0L)
+      graft.operators.HybridSearch.rrfFusionTxPinned(s, root, "lex", "vec",
+        Seq("spark", "vector", "customer"), qv, excludeId = 0L, k = 20,
+        nProbes = 16)
+    },
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents
+        |        WHERE doc_id IN (SELECT vec_id FROM embeddings)
+        |          AND doc_id % 9 <> 4)),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |       FROM pd),
+        |scored AS (SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * tf0::DOUBLE * (1.2 + 1.0) / (tf0::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * tf1::DOUBLE * (1.2 + 1.0) / (tf1::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * tf2::DOUBLE * (1.2 + 1.0) / (tf2::DOUBLE
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) ELSE 0 END),
+        |  4) AS bm25r
+        |  FROM pd CROSS JOIN st
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+        |lexpool AS (SELECT doc_id, bm25r FROM scored
+        |            ORDER BY bm25r DESC, doc_id LIMIT 100),
+        |lex AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY bm25r DESC, doc_id) AS lex_rank
+        |        FROM lexpool),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 9 <> 4),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |      WHERE vec_id = 0),
+        |vpool AS (SELECT vec_id, round(list_cosine_similarity(e.v, q.qv), 6) + 0 AS sim
+        |          FROM e, q WHERE e.vec_id <> 0
+        |          ORDER BY sim DESC, vec_id LIMIT 100),
+        |vec AS (SELECT vec_id,
+        |          row_number() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+        |        FROM vpool),
+        |f AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+        |        coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+        |          + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0) AS rrf,
+        |        lex_rank, vec_rank
+        |      FROM lex l FULL JOIN vec v ON l.doc_id = v.vec_id)
+        |SELECT doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+
   val hybridIndexed: QueryDef = QueryDef(
     "sim_hybrid_indexed",
     (s, dir) => {
@@ -1813,7 +1897,7 @@ object SimilarityQueries extends QueryGroup {
       centroidAssign, annIvfPq, kmeansLloyd, hybridRrf, hybridIndexed,
       quantizeInt8,
       clusterNmi, pcaPower, matryoshkaTopK, featureScale, rankCorrelation,
-      mutualNearest, mutualNearestBlocked, quantileBinsGate,
+      mutualNearest, mutualNearestBlocked, hybridTxPinned, quantileBinsGate,
       rankNormalizeGate, hardNegatives,
       classSeparationGate, kCenterGate, mmrGate, maxSimGate,
       maxSimPruned, maxSimPrunedExact, maxSimIndexed, txPinnedProbeExact,

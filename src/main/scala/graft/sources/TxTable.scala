@@ -269,6 +269,90 @@ object TxTable {
     else readFiles(spark, root, delta, schema = toSnap.tableSchema)
   }
 
+  /** TYPED batch change feed — the batch twin of [[readChangeStream]]
+    * (same channels, same guard): every row-level change of versions
+    * (fromVersion, toVersion], stamped `_change_type` + `_commit_
+    * version`. Per version: new data files are `insert` rows (read
+    * raw — a later version's DV delete arrives as its own `delete`
+    * event); a [[deleteWhere]] commit's positions resolve back to full
+    * rows by a (file, row_index) semi-join against `_metadata` over
+    * ONLY the touched files (the position list is KB–MB, never the
+    * table); a change-feed [[mergeInto]]'s explicit `cdc/` files serve
+    * their own typed rows (insert/update_preimage/update_postimage/
+    * delete) and the rewrite representation is ignored. A rewrite
+    * version WITHOUT a cdc channel (compact/restore/feed-less merge)
+    * fails with the same guidance as the stream. All generations read
+    * under `toVersion`'s declared schema (ADD-only evolution ⇒ it is
+    * the widest), physical-name-resolved (column mapping).
+    */
+  def readChangesTyped(
+      spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val toSnap = snapshot(spark, root, toVersion)
+    val schema = toSnap.tableSchema
+    def logicalOf(df: DataFrame, extra: Seq[org.apache.spark.sql.Column]) =
+      schema match {
+        case Some(st) => df.select(st.fields.map(f =>
+          col(physicalName(f)).as(f.name)) ++ extra: _*)
+        case None => df
+      }
+    val posExtract = expr("regexp_extract(_metadata.file_path, " +
+      "'(data/[^/]+/[^/]+)$', 1)")
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val (data, dv, cdc, removed) =
+        graft.streaming.TxChangeStream.deltaFiles(spark, root, v)
+      if (cdc.nonEmpty) {
+        val phys = schema.map(st => StructType(
+          physicalSchema(st).fields :+
+            StructField("_change_type", StringType)))
+        val raw = phys.fold(spark.read)(spark.read.schema)
+          .parquet(cdc.map(f => s"$root/$f"): _*)
+        Seq(logicalOf(raw, Seq(col("_change_type")))
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        if (removed.nonEmpty)
+          throw new IllegalStateException(
+            s"readChangesTyped at $root: version $v removed " +
+              s"${removed.size} data/dv file(s) — not representable " +
+              "row-accurately (compact/restore/feed-less merge); " +
+              "enable the change feed for merges, or diff snapshots")
+        val ins = if (data.isEmpty) Nil else Seq(
+          readFiles(spark, root, data, schema = schema)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val del = if (dv.isEmpty) Nil else {
+          val pos = spark.read.parquet(dv.map(f => s"$root/$f"): _*)
+            .select(col("file").as("_dv_f"), col("row_index").as("_dv_ri"))
+          // plan the scan over the TOUCHED files only — the distinct
+          // file list is bounded by the delete, not the table
+          val touched = pos.select("_dv_f").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          val joined = schema.map(physicalSchema)
+            .fold(spark.read)(spark.read.schema)
+            .parquet(touched.map(f => s"$root/$f"): _*)
+            .select(col("*"), posExtract.as("_dv_f"),
+              col("_metadata.row_index").as("_dv_ri"))
+            .join(pos, Seq("_dv_f", "_dv_ri"), "left_semi")
+          val logical = schema match {
+            case Some(_) => logicalOf(joined, Seq.empty)
+            case None => joined.drop("_dv_f", "_dv_ri")
+          }
+          Seq(logical
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        }
+        ins ++ del
+      }
+    }
+    if (parts.nonEmpty) parts.reduce(_ unionByName _)
+    else readFiles(spark, root, toSnap.files, schema = schema).limit(0)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(-1L))
+  }
+
   /** Streaming face of [[readChanges]]: a Structured Streaming source
     * that tails the manifest log — offset = committed version, each
     * micro-batch = that version range's file-set delta stamped with

@@ -128,7 +128,7 @@ object TxChangeStream {
     * representation (cdc files never carry between manifests, so v's
     * cdc list is exactly v's events).
     */
-  private[streaming] def deltaFiles(
+  private[graft] def deltaFiles(
       spark: SparkSession, root: String,
       v: Long): (Seq[String], Seq[String], Seq[String], Seq[String]) = {
     val cur = TxTable.snapshot(spark, root, v)

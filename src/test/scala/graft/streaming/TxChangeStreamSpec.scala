@@ -348,6 +348,34 @@ class TxChangeStreamSpec extends SparkSpec {
     assert(del.getAs[Long]("v") === 70L)
   }
 
+  test("readChangesTyped (batch) emits the SAME typed events as the " +
+    "stream across all three channels, and keeps the rewrite guard") {
+    val df = (1L to 12L).map(i => (i, s"t$i")).toDF("id", "txt")
+    val root = Files.createTempDirectory("graft-typed-cdc-").toString
+    TxTable.create(df.filter($"id" <= 6), root) // v0
+    TxTable.append(df.filter($"id" > 6), root) // v1
+    TxTable.deleteWhere(spark, root, col("id") % 4 === 1) // v2
+    TxTable.setChangeFeed(spark, root, enabled = true) // v3
+    TxTable.mergeInto(root,
+      Seq((2L, "new2", false), (13L, "new13", false), (3L, "", true))
+        .toDF("id", "txt", "deleted"),
+      "id", Seq("txt"), "deleted") // v4
+    val ckpt = Files.createTempDirectory("graft-typed-ckpt-").toString
+    drain(TxTable.readChangeStream(spark, root), "typed_vs_stream", ckpt)
+    val stream = spark.table("typed_vs_stream")
+    val batch = TxTable.readChangesTyped(spark, root, -1L, 4L)
+    assert(batch.count() === stream.count())
+    assert(batch.exceptAll(stream).count() === 0L)
+    assert(stream.exceptAll(batch).count() === 0L)
+    // the guard: a compact version fails the typed batch face too
+    TxTable.compact(spark, root, buckets = 1) // v5
+    intercept[IllegalStateException] {
+      TxTable.readChangesTyped(spark, root, 4L, 5L).count()
+    }
+    // empty range: zero rows, schema intact
+    assert(TxTable.readChangesTyped(spark, root, 3L, 3L).count() === 0L)
+  }
+
   test("null fields survive the record reader") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

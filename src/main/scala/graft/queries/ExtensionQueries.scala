@@ -4022,6 +4022,70 @@ object TextQueries extends QueryGroup {
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin))
 
+  /** Phrase retrieval against the TX-PINNED positional index
+    * ([[graft.sources.TxTable.buildPhraseIndex]] →
+    * `phraseProbeIndexed`), with a `deleteWhere` between build and
+    * probe: the deleted docs' occurrences stop matching in the SAME
+    * commit (idxdv anti-join) — the third index kind under the
+    * one-manifest pin. Full oracle: adjacency replayed by 1-based
+    * list indexing over the survivor set.
+    */
+  val phraseTxPinned: QueryDef = QueryDef(
+    "text_index_phrase_txpinned",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pospin-").toString
+      graft.sources.TxTable.create(
+        Tables(s, dir).documents.select("doc_id", "text"), root)
+      graft.sources.TxTable.buildPhraseIndex(
+        s, root, "pos", "doc_id", "text")
+      graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 6 === 2)
+      graft.sources.TxTable.phraseProbeIndexed(s, root, "pos",
+          Seq("spark", "vector"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH lst AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE doc_id % 6 <> 2),
+        |m AS (SELECT doc_id FROM lst, unnest(range(1, len(l))) t(i)
+        |      WHERE l[i] = 'spark' AND l[i+1] = 'vector')
+        |SELECT doc_id, count(*)::BIGINT AS n_matches
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Conjunctive (AND) retrieval against the TX-PINNED BM25 postings
+    * ([[graft.sources.TxTable.conjunctiveProbeIndexed]]) with a
+    * mid-life delete — the boolean face of the pinned lexical index
+    * shares its layout with the ranked one. Full oracle over the
+    * survivor set.
+    */
+  val conjunctiveTxPinned: QueryDef = QueryDef(
+    "text_index_conjunctive_txpinned",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-conjpin-").toString
+      graft.sources.TxTable.create(
+        Tables(s, dir).documents.select("doc_id", "text"), root)
+      graft.sources.TxTable.buildBm25Index(
+        s, root, "lex", "doc_id", "text")
+      graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 6 === 2)
+      graft.sources.TxTable.conjunctiveProbeIndexed(s, root, "lex",
+          Seq("spark", "vector", "customer"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, w -> w = 'spark')) AS tf0,
+        |    len(list_filter(ws, w -> w = 'vector')) AS tf1,
+        |    len(list_filter(ws, w -> w = 'customer')) AS tf2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 6 <> 2))
+        |SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS tf_total
+        |FROM pd WHERE tf0 > 0 AND tf1 > 0 AND tf2 > 0
+        |ORDER BY doc_id""".stripMargin))
+
   private val positionalIndexes =
     new graft.operators.LruCache[String, String](8)
 
@@ -5324,7 +5388,8 @@ object TextQueries extends QueryGroup {
   def defs: Seq[QueryDef] =
     Seq(tokens, quality, langId, fingerprint, bigramFreq, rarityTerms,
       repetition, redaction, unigramLogProb, gopherRules, bm25,
-      bm25Indexed, bm25TxPinned, bm25TxPinnedDelete,
+      bm25Indexed, bm25TxPinned, bm25TxPinnedDelete, phraseTxPinned,
+      conjunctiveTxPinned,
       bm25IndexAppend, indexPhrase, indexPhraseAppend,
       indexConjunctive, bm25BatchIndexed, bpeEncode,
       bigramLogProb, pmi, winnow, jsDivergence, jaroWinkler, zipf,

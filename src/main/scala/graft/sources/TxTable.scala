@@ -820,8 +820,9 @@ object TxTable {
     */
   private def indexReferencedCols(s: Snapshot): Map[String, String] =
     indexSpecs(s).flatMap {
-      case iv: IvfSpec  => Seq(iv.idCol -> iv.name, iv.vecCol -> iv.name)
-      case bm: Bm25Spec => Seq(bm.idCol -> bm.name, bm.textCol -> bm.name)
+      case iv: IvfSpec    => Seq(iv.idCol -> iv.name, iv.vecCol -> iv.name)
+      case bm: Bm25Spec   => Seq(bm.idCol -> bm.name, bm.textCol -> bm.name)
+      case ph: PhraseSpec => Seq(ph.idCol -> ph.name, ph.textCol -> ph.name)
     }.toMap
 
   /** RENAME a column as a PURE METADATA COMMIT — zero data rewrites
@@ -1735,6 +1736,18 @@ object TxTable {
       s"bm25|$idCol|$textCol|$termBuckets|$nDocs|$sumDl"
   }
 
+  /** Positional (phrase) index kind: one row per token occurrence
+    * (id, pos, term, tb) — no corpus-global sidecar at all (phrase
+    * adjacency is per-doc), so maintenance is pure routing.
+    */
+  private final case class PhraseSpec(
+      name: String, idCol: String, textCol: String, termBuckets: Int)
+      extends IndexSpec {
+    def sidecarOpt: Option[String] = None
+    def structure: IndexSpec = this
+    def headerValue: String = s"pos|$idCol|$textCol|$termBuckets"
+  }
+
   private def indexSpecs(s: Snapshot): Seq[IndexSpec] =
     s.headers.toSeq.collect {
       case (k, v) if k.startsWith("index:") =>
@@ -1742,6 +1755,8 @@ object TxTable {
         v.split("\\|") match {
           case Array("bm25", id, text, tb, n, sd) =>
             Bm25Spec(name, id, text, tb.toInt, n.toLong, sd.toLong)
+          case Array("pos", id, text, tb) =>
+            PhraseSpec(name, id, text, tb.toInt)
           case Array(sc, id, vec) => IvfSpec(name, sc, id, vec)
           case other => throw new IllegalStateException(
             s"malformed index header $k=${other.mkString("|")}")
@@ -1835,6 +1850,25 @@ object TxTable {
       .withColumn("tb", pmod(hash(col("term")), lit(spec.termBuckets)))
   }
 
+  /** A batch's positional rows, tokenized EXACTLY like
+    * [[graft.ingest.TextIndex.writePositions]] (original token index,
+    * empties keep their slots so adjacency is literal), term-bucket
+    * clustered. Same NULL-id rejection as [[bm25Postings]].
+    */
+  private def phraseRows(df: DataFrame, spec: PhraseSpec): DataFrame = {
+    val toks = split(lower(trim(col(spec.textCol))), "\\s+")
+    val checkedId = when(col(spec.idCol).cast("long").isNull,
+      raise_error(concat(lit(
+        s"index '${spec.name}': id column '${spec.idCol}' is NULL or " +
+          "not long-castable for an ingested row — pinned indexes " +
+          "need long-identifying ids"))))
+      .otherwise(col(spec.idCol).cast("long"))
+    df.select(checkedId.as(spec.idCol),
+        posexplode(toks).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("tb", pmod(hash(col("term")), lit(spec.termBuckets)))
+  }
+
   /** The batch's exact BM25 moments (row count, Σ doc length) — the
     * integer deltas a commit folds into the index header. Termless
     * docs count toward BOTH (they shape N and avgdl, the
@@ -1863,6 +1897,9 @@ object TxTable {
       case bm: Bm25Spec =>
         writeFilesUnder(bm25Postings(df, bm), root,
           s"index/${bm.name}/${UUID.randomUUID()}", Seq("tb"), buckets)
+      case ph: PhraseSpec =>
+        writeFilesUnder(phraseRows(df, ph), root,
+          s"index/${ph.name}/${UUID.randomUUID()}", Seq("tb"), buckets)
     }
     val moments = specs.collect {
       case bm: Bm25Spec => bm.name -> bm25Moments(df, bm)
@@ -2042,6 +2079,111 @@ object TxTable {
       .select(col(spec.idCol), contrib.as("_c"))
       .groupBy(col(spec.idCol))
       .agg(sum(col("_c")).as("bm25"))
+  }
+
+  /** Declare + build a PINNED POSITIONAL (phrase) index — the third
+    * index kind under the one-manifest pin: one row per token
+    * occurrence, term-bucket range-clustered for file-level probe
+    * pruning, no corpus-global sidecar (phrase adjacency is per-doc).
+    * Same maintenance/delete contracts as [[buildBm25Index]], minus
+    * the moments. Returns the committed version.
+    */
+  def buildPhraseIndex(
+      spark: SparkSession, root: String, name: String,
+      idCol: String, textCol: String, termBuckets: Int = 64,
+      buckets: Int = 8): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad index name '$name'")
+    require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val cur = latestSnapshot(spark, root)
+    require(!cur.headers.contains(s"index:$name"),
+      s"index '$name' already exists at $root")
+    val corpus = readVersion(spark, root, cur.version)
+    val spec = PhraseSpec(name, idCol, textCol, termBuckets)
+    val (entries, _) = idxEntriesFor(spark, root, Seq(spec), corpus, buckets)
+    if (!tryCommit(spark, root, cur.version + 1,
+        cur.headers + (s"index:$name" -> spec.headerValue),
+        entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
+          idxDvLines(cur) ++ entries))
+      throw new CommitConflict(
+        s"buildPhraseIndex at $root: snapshot v${cur.version} went stale")
+    cur.version + 1
+  }
+
+  /** Exact phrase retrieval against the PINNED positional index
+    * (docs containing `phrase` as consecutive tokens, with occurrence
+    * counts — row-identical to [[graft.ingest.TextIndex.phraseDocs]]
+    * over the live corpus): prune index files by manifest `tb` stats,
+    * anti-join the index deletion vectors (a [[deleteWhere]]'d doc's
+    * occurrences stop matching in the SAME commit), then slot i
+    * anchors at pos − i and an n-term phrase is n−1 (id, anchor)
+    * equi-joins — all inputs posting-scale, never corpus-scale.
+    * `version < 0` means latest.
+    */
+  def phraseProbeIndexed(
+      spark: SparkSession, root: String, name: String,
+      phrase: Seq[String], version: Long = -1L): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val s =
+      if (version < 0L) latestSnapshot(spark, root)
+      else snapshot(spark, root, version)
+    val spec = indexSpecs(s).collectFirst {
+      case ph: PhraseSpec if ph.name == name => ph
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no positional index '$name' at $root"))
+    import spark.implicits._
+    val tbs = phrase.distinct.toDF("term")
+      .select(pmod(hash(col("term")), lit(spec.termBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val files = prunedIndexFiles(s, name, tbs)
+    if (files.isEmpty)
+      return readIndexVersion(spark, root, name, s.version)
+        .select(col(spec.idCol), lit(0L).as("n_matches")).limit(0)
+    val pruned = antiJoinIndexDv(spark, root, s, spec,
+      spark.read.parquet(files.map(f => s"$root/$f"): _*)
+        .filter(col("tb").isin(tbs: _*) &&
+          col("term").isin(phrase.distinct: _*)))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      pruned.filter(col("term") === t)
+        .select(col(spec.idCol), (col("pos") - i).as("anchor"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq(spec.idCol, "anchor")))
+      .groupBy(col(spec.idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Conjunctive (AND) retrieval against the PINNED BM25 postings —
+    * documents containing EVERY query term, with the summed term
+    * frequency ([[graft.ingest.TextIndex.conjunctiveDocs]]' contract
+    * over the pinned layout, DV-masked). One pruned scan, one per-doc
+    * aggregate.
+    */
+  def conjunctiveProbeIndexed(
+      spark: SparkSession, root: String, name: String,
+      terms: Seq[String], version: Long = -1L): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    require(terms.toSet.size == terms.size, s"duplicate query terms: $terms")
+    val s =
+      if (version < 0L) latestSnapshot(spark, root)
+      else snapshot(spark, root, version)
+    val spec = indexSpecs(s).collectFirst {
+      case bm: Bm25Spec if bm.name == name => bm
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no BM25 index '$name' at $root"))
+    import spark.implicits._
+    val tbs = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(spec.termBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val files = prunedIndexFiles(s, name, tbs)
+    if (files.isEmpty)
+      return readIndexVersion(spark, root, name, s.version)
+        .select(col(spec.idCol), lit(0L).as("tf_total")).limit(0)
+    antiJoinIndexDv(spark, root, s, spec,
+      spark.read.parquet(files.map(f => s"$root/$f"): _*)
+        .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*)))
+      .groupBy(col(spec.idCol))
+      .agg(count(lit(1)).as("_nt"), sum("tf").as("tf_total"))
+      .filter(col("_nt") === terms.size)
+      .select(col(spec.idCol), col("tf_total"))
   }
 
   /** Unpin an index: new version with its header and file lines

@@ -223,6 +223,51 @@ class TxIndexSpec extends SparkSpec {
       r.getLong(0) == 1L))
   }
 
+  test("phrase pin: pinned probe == standalone phraseDocs on the live " +
+    "corpus across build, append, and DV delete; conjunctive probe " +
+    "shares the pinned BM25 layout") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-txidx-pos-").toString
+    val docs = (0L until 24L).map { i =>
+      val filler = Seq.fill((i % 3L).toInt)(s"x$i")
+      val phrase = if (i % 4L == 0L) Seq("big", "data") else Seq("data", "big")
+      (i, (filler ++ phrase ++ Seq("end")).mkString(" "))
+    }.toDF("doc_id", "text")
+    TxTable.create(docs, root) // v0
+    TxTable.buildPhraseIndex(spark, root, "pos", "doc_id", "text",
+      termBuckets = 4, buckets = 2) // v1
+    TxTable.buildBm25Index(spark, root, "lex", "doc_id", "text",
+      termBuckets = 4, buckets = 2) // v2
+    def pinned(v: Long) =
+      TxTable.phraseProbeIndexed(spark, root, "pos", Seq("big", "data"),
+        version = v).orderBy("doc_id").collect().toSeq
+    def standalone(v: Long) = {
+      val p = Files.createTempDirectory("graft-posref-").toString
+      graft.ingest.TextIndex.writePositions(
+        TxTable.readVersion(spark, root, v), "doc_id", "text", p,
+        termBuckets = 4)
+      graft.ingest.TextIndex.phraseDocs(spark, p, Seq("big", "data"),
+        termBuckets = 4).orderBy("doc_id").collect().toSeq
+    }
+    assert(pinned(2L) === standalone(2L))
+    assert(pinned(2L).nonEmpty)
+    TxTable.append(docs.select($"doc_id" + 100L as "doc_id", $"text"),
+      root, buckets = 2) // v3: routed through BOTH text indexes
+    assert(pinned(3L) === standalone(3L))
+    TxTable.deleteWhere(spark, root, $"doc_id" % 8 === 0) // v4
+    val after = pinned(4L)
+    assert(after === standalone(4L))
+    assert(!after.exists(_.getLong(0) % 8 == 0))
+    // old version still serves its own pinned pair
+    assert(pinned(3L) === standalone(3L))
+    // conjunctive probe over the pinned BM25 postings, DV-masked
+    val conj = TxTable.conjunctiveProbeIndexed(spark, root, "lex",
+      Seq("big", "data"), version = 4L)
+    assert(!conj.collect().exists(_.getLong(0) % 8 == 0))
+    assert(conj.count() === TxTable.readVersion(spark, root, 4L).count())
+  }
+
   test("a NULL (or non-long-castable) index id is rejected at ingest: " +
     "its DV entry could never mask the index row after a delete") {
     val s = spark

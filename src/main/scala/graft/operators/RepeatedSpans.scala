@@ -33,17 +33,66 @@ object RepeatedSpans {
     filter(split(col(textCol), "\\s+"), t => t =!= "")
 
   /** (doc, idx, gram) for every token n-gram; docs shorter than n
-    * contribute nothing.
+    * contribute nothing. Scan-local JVM kernel: the former
+    * `transform(sequence, i -> md5(concat_ws(slice(…))))` ran its
+    * lambda INTERPRETED per gram (the ngramNovelty HOF tax with an
+    * md5 inside), and the codegen `arrays_zip(slice…)` alternative is
+    * WORSE at n = 8 (the zip serializes all 8 token strings into a
+    * struct array per gram — a measured 2.1 → 3.1 s regression). The
+    * kernel digests each gram's bytes straight out of the token array
+    * (one MessageDigest reused per partition, zero intermediate
+    * columns); tokenization and hex output match Spark's
+    * `md5(concat_ws(" ", …))` byte for byte, verified by the gates'
+    * unchanged hashes.
     */
   private def grams(
-      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).cast("long").as("doc"), toks(textCol).as("_ws"))
-      .select(col("doc"), posexplode(
-        when(size(col("_ws")) >= n,
-          transform(sequence(lit(0), size(col("_ws")) - n),
-            i => md5(concat_ws(" ", slice(col("_ws"), i + 1, lit(n))))))
-          .otherwise(array())).as(Seq("idx", "gram")))
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // a single-file corpus reads as ONE partition and would pin the
+    // whole md5 sweep to one task (the mutualNearest lesson) — spread
+    // an under-partitioned input; the gram consumers aggregate/window
+    // afterwards, so row order is free
+    val src = docs.select(col(idCol).cast("long"), col(textCol))
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    spread
+      .as[(java.lang.Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val space = Array(' '.toByte)
+        it.flatMap { case (doc, text) =>
+          val ws =
+            if (text == null) Array.empty[String]
+            else text.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < n) Iterator.empty
+          else {
+            val bytes = ws.map(
+              _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (0 to ws.length - n).iterator.map { i =>
+              md.reset()
+              var j = i
+              while (j < i + n) {
+                if (j > i) md.update(space)
+                md.update(bytes(j))
+                j += 1
+              }
+              val dig = md.digest()
+              val sb = new java.lang.StringBuilder(32)
+              var b = 0
+              while (b < dig.length) {
+                sb.append(Character.forDigit((dig(b) >> 4) & 0xf, 16))
+                sb.append(Character.forDigit(dig(b) & 0xf, 16))
+                b += 1
+              }
+              (doc, i, sb.toString)
+            }
+          }
+        }
+      }
+      .toDF("doc", "idx", "gram")
+  }
 
   /** Maximal repeated spans per document: token intervals
     * [start, end] (0-based, inclusive) covered by n-grams that occur

@@ -207,6 +207,36 @@ class TxTableSchemaSpec extends SparkSpec {
       .filter($"val2" === "v13").count() === 1L)
   }
 
+  test("column mapping composes with clustering: rename the cluster " +
+    "column — range reads, range deletes, appends, and recluster all " +
+    "keep working through the physical-name stats") {
+    val root = Files.createTempDirectory("graft-rename-cl-").toString
+    val df = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    TxTable.create(df, root, clusterCol = Some("k"), buckets = 4) // v0
+    TxTable.renameColumn(spark, root, "k", "key") // v1
+    // the cluster header keeps the PHYSICAL name; the read filter
+    // resolves back to the logical one
+    val r = TxTable.readRange(spark, root, 10L, 20L)
+    assert(r.columns.toSeq === Seq("key", "v"))
+    assert(r.count() === 11L)
+    // appends under the new logical name land physically and carry
+    // range stats (pruning still engages)
+    TxTable.append(
+      (101L to 120L).map(k => (k, s"v$k")).toDF("key", "v"), root,
+      buckets = 2) // v2
+    assert(TxTable.readRange(spark, root, 95L, 105L).count() === 11L)
+    val snap = TxTable.latestSnapshot(spark, root)
+    assert(TxTable.prunedFiles(snap, 10L, 20L).size < snap.files.size)
+    // deleteRange predicates on the renamed column
+    TxTable.deleteRange(spark, root, 15L, 18L) // v3
+    assert(TxTable.readRange(spark, root, 10L, 20L).count() === 7L)
+    // recluster BY THE LOGICAL NAME: rewrite lands physically, rows kept
+    TxTable.recluster(spark, root, Seq("key"), buckets = 2) // v4
+    assert(TxTable.read(spark, root).count() === 116L)
+    assert(TxTable.readRange(spark, root, 10L, 20L).count() === 7L)
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("key", "v"))
+  }
+
   test("renameColumn guards: collision, missing column, indexed column") {
     val root = Files.createTempDirectory("graft-rename-g-").toString
     TxTable.create(narrow, root)

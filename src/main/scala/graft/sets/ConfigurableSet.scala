@@ -67,6 +67,41 @@ final case class ConfigurableSet(
   }
 }
 
+/** The reference's RE-READ-PER-USE semantics as an opt-in wrapper
+  * (metadataformats.py:64-66,213-232: the configurable YAML is loaded
+  * on EVERY request, so a membership edit lands mid-list — page N+1 of
+  * one harvest can see different sets than page N). Every SetFamily
+  * call here re-parses the file from disk (KB-scale driver-side work),
+  * reproducing that behaviour bug-for-bug for deployments that need
+  * parity; the default [[ConfigurableSet]] snapshot-per-resolution
+  * stays the recommended policy for a distributed engine
+  * (SURVEY §7.4 risk 3 — a consistent view per resumption token).
+  * Startup validation parity: construction eagerly loads once, so a
+  * malformed file still fails at boot exactly like the reference's
+  * syntax check; a file that turns invalid LATER surfaces as
+  * [[SetConfigError]] on the request that first re-reads it (also the
+  * reference's behaviour — it re-validates on every load).
+  */
+final case class ReloadingConfigurableSet(path: String) extends SetFamily {
+  // boot-time validation (and the prefix can never change: the spec is
+  // the dispatch key a repository binds at configuration time — the
+  // reference keys its set registry the same way)
+  private val boot = ConfigurableSet.fromFile(path)
+  private def load(): ConfigurableSet = {
+    val cur = ConfigurableSet.fromFile(path)
+    require(cur.spec == boot.spec,
+      s"configurable set '$path': spec changed from '${boot.spec}' to " +
+        s"'${cur.spec}' — the setSpec prefix is the dispatch key and " +
+        "cannot be edited live; restart the repository")
+    cur
+  }
+  val prefix: String = boot.spec
+  val fields: Seq[String] = boot.fields
+  def enumerate(df: DataFrame): Seq[SetInfo] = load().enumerate(df)
+  def labels: Column = load().labels
+  def filterFor(value: Option[String]): Filter = load().filterFor(value)
+}
+
 object ConfigurableSet {
 
   /** Parse + validate the configurable-sets YAML. Reproduces the

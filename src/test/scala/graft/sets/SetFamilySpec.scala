@@ -68,6 +68,47 @@ class SetFamilySpec extends SparkSpec {
     assert(hum == Set("agg_id_2", "agg_id_lang", "agg_id_prov"))
   }
 
+  test("S4 re-read-per-use mode: a YAML edit lands on the NEXT use " +
+    "(the reference's metadataformats.py:213-232 behaviour), boot " +
+    "still validates, and a live spec change is rejected") {
+    val f = java.nio.file.Files.createTempFile("graft-confset-", ".yaml")
+    java.nio.file.Files.writeString(f, Fixtures.configurableYaml)
+    val set = ReloadingConfigurableSet(f.toString)
+    assert(labelsOf(set, "agg_id_1") ==
+      Set("thematic", "thematic:social_sciences"))
+    // edit the file: move agg_id_1 OUT of social_sciences, into a new
+    // child — the SAME SetFamily instance must serve the new lists
+    java.nio.file.Files.writeString(f,
+      """spec: 'thematic'
+        |name: 'Thematic'
+        |nodes:
+        |  - spec: 'social_sciences'
+        |    name: 'Social sciences'
+        |    identifiers: [agg_id_2]
+        |  - spec: 'economics'
+        |    name: 'Economics'
+        |    identifiers: [agg_id_1]
+        |""".stripMargin)
+    assert(labelsOf(set, "agg_id_1") ==
+      Set("thematic", "thematic:economics"))
+    assert(set.enumerate(studies).map(_.spec).toSet ==
+      Set("thematic", "thematic:social_sciences", "thematic:economics"))
+    val econ = studies.filter(set.filterFor(Some("economics")).toColumn)
+      .select("_aggregator_identifier").collect().map(_.getString(0)).toSet
+    assert(econ == Set("agg_id_1"))
+    // a file that turns INVALID surfaces on the request that re-reads
+    java.nio.file.Files.writeString(f, "name: 'x'\nnodes: []")
+    assertThrows[SetConfigError](set.labels)
+    // a live SPEC change is a dispatch-key change — rejected
+    java.nio.file.Files.writeString(f,
+      "spec: 'other'\nname: 'x'\nnodes:\n  - spec: a\n    name: b\n    identifiers: [i]")
+    assertThrows[IllegalArgumentException](set.labels)
+    // boot-time validation parity: constructing over a bad file throws
+    val bad = java.nio.file.Files.createTempFile("graft-confset-bad-", ".yaml")
+    java.nio.file.Files.writeString(bad, "name: 'x'\nnodes: []")
+    assertThrows[SetConfigError](ReloadingConfigurableSet(bad.toString))
+  }
+
   test("S4 validation matrix: malformed YAML raises at configure") {
     def bad(yaml: String): Unit =
       assertThrows[SetConfigError](ConfigurableSet.fromYaml(yaml))

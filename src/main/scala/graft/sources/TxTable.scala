@@ -1105,17 +1105,28 @@ object TxTable {
     val cur = snapshot(spark, root, expectedVersion)
     requireNoCaseDuplicates(df.schema, s"overwrite at $root")
     enforceCheck(df, cur.headers, s"overwrite at $root")
-    // contents replace wholesale, so the declared schema follows the
-    // new frame (legacy tables stay headerless)
-    val headers0 =
-      if (cur.headers.contains("schema")) cur.headers + schemaHeaderFor(df)
-      else cur.headers
+    // contents replace wholesale: the declared schema follows the new
+    // frame (legacy tables stay headerless), and with every old data
+    // file dereferenced the column-mapping era ends here — the
+    // replacing files land under LOGICAL names, so the cluster header
+    // is rewritten from the old physical names to the logical ones the
+    // new files carry, and the `dropped` retirement list (which only
+    // guards against resurrecting OLD files' bytes) is cleared
+    val logicalCluster = cur.clusterCols.map(c => logicalClusterCol(cur, c))
+    val headers0 = {
+      val base =
+        if (cur.headers.contains("schema"))
+          cur.headers - "dropped" + schemaHeaderFor(df)
+        else cur.headers
+      if (logicalCluster.isEmpty) base
+      else base + ("cluster" -> logicalCluster.mkString(","))
+    }
     val (idxEntries, idxMoments) =
       idxEntriesFor(spark, root, indexSpecs(cur), df, buckets)
     // indexes rebuild from the replacing frame: its moments ARE the
     // corpus moments now
     val headers = indexHeadersWith(cur, headers0, idxMoments, add = false)
-    val entries = writeDataFiles(df, root, cur.clusterCols, buckets) ++
+    val entries = writeDataFiles(df, root, logicalCluster, buckets) ++
       idxEntries
     if (!tryCommit(spark, root, expectedVersion + 1, headers, entries))
       throw new CommitConflict(

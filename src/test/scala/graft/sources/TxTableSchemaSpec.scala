@@ -288,6 +288,36 @@ class TxTableSchemaSpec extends SparkSpec {
     }
   }
 
+  test("overwrite composes with column mapping: after renaming the " +
+    "cluster column, overwrite lands under logical names, rewrites the " +
+    "cluster header, and clears the dropped-name retirement list") {
+    val root = Files.createTempDirectory("graft-ow-map-").toString
+    val df = (1L to 100L).map(k => (k, s"v$k", k * 2L))
+      .toDF("k", "v", "extra")
+    TxTable.create(df, root, clusterCol = Some("k"), buckets = 4) // v0
+    TxTable.renameColumn(spark, root, "k", "key")                 // v1
+    TxTable.dropColumn(spark, root, "extra")                      // v2
+    // pre-fix this threw: writeDataFiles resolved the stale PHYSICAL
+    // cluster name "k" against the logical-named frame
+    val v = TxTable.overwrite(
+      (1L to 50L).map(k => (k, s"w$k")).toDF("key", "v"), root, 2L)
+    assert(v === 3L)
+    val snap = TxTable.latestSnapshot(spark, root)
+    // the mapping era ends with the old files: cluster header carries
+    // the LOGICAL name, retirement list is gone, schema is mapping-free
+    assert(snap.clusterCols === Seq("key"))
+    assert(!snap.headers.contains("dropped"))
+    // range reads prune on the new files' own stats
+    assert(TxTable.readRange(spark, root, 10L, 20L).count() === 11L)
+    assert(TxTable.prunedFiles(snap, 10L, 20L).size < snap.files.size)
+    // the once-retired name is re-admittable: no old bytes remain
+    TxTable.append(
+      (51L to 52L).map(k => (k, s"w$k", k * 9L)).toDF("key", "v", "extra"),
+      root, mergeSchema = true)
+    assert(TxTable.read(spark, root).count() === 52L)
+    assert(TxTable.read(spark, root).filter($"extra".isNotNull).count() === 2L)
+  }
+
   test("overwrite replaces the declared schema with the new frame's") {
     val root = Files.createTempDirectory("graft-schema-").toString
     TxTable.create(narrow, root)

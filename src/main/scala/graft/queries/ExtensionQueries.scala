@@ -7314,6 +7314,90 @@ object IoQueries extends QueryGroup {
         |WHERE lang <> 'de'
         |ORDER BY doc_id""".stripMargin))
 
+  /** CDC ACROSS A RENAME ([[graft.sources.TxTable.readChangesTyped]]
+    * × column mapping, round 16): a long-lived incremental consumer —
+    * the reference's selective-harvest model
+    * (`/root/reference/tests/test_serve.py:1342`) — reads ONE change
+    * range that spans a `renameColumn` commit. The feed resolves
+    * fields by PHYSICAL name, so rows from BOTH generations surface
+    * under the NEW logical name with their original values: pre-rename
+    * inserts, the metadata-only rename itself (contributes no events),
+    * post-rename inserts, and a DV delete predicated on the renamed
+    * column whose positions resolve across both file generations.
+    * Full oracle: generation routing, the rename, and the delete all
+    * restate in SQL.
+    */
+  val txChangesAcrossRename: QueryDef = QueryDef(
+    "io_tx_changes_across_rename",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdcrename-").toString
+      graft.sources.TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), root)                // v0
+      graft.sources.TxTable.append(
+        docs.filter(col("doc_id") % 3 === 1), root)                // v1
+      graft.sources.TxTable.renameColumn(s, root, "lang", "language") // v2
+      graft.sources.TxTable.append(
+        docs.filter(col("doc_id") % 3 === 2)
+          .withColumnRenamed("lang", "language"), root)            // v3
+      graft.sources.TxTable.deleteWhere(s, root,
+        col("language") === "de")                                  // v4
+      graft.sources.TxTable.readChangesTyped(s, root, 0L, 4L)
+        .select("doc_id", "language", "_change_type", "_commit_version")
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    },
+    Some(
+      """SELECT * FROM (
+        |  SELECT doc_id, lang AS language, 'insert' AS "_change_type",
+        |    (CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END)::BIGINT
+        |      AS "_commit_version"
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'delete', 4 FROM documents
+        |  WHERE lang = 'de')
+        |ORDER BY "_commit_version", "_change_type", doc_id""".stripMargin))
+
+  /** CDC ACROSS A DROP ([[graft.sources.TxTable.readChangesTyped]] ×
+    * [[graft.sources.TxTable.dropColumn]], round 16): the feed serves
+    * every change range under the DESTINATION version's declared
+    * schema, so a column dropped inside the range LEAVES the feed —
+    * pre-drop generations' insert events exclude it rather than
+    * resurrect its bytes (the gate asserts the feed's exact column
+    * set). Full oracle: both generations restate narrow in SQL.
+    */
+  val txChangesAcrossDrop: QueryDef = QueryDef(
+    "io_tx_changes_across_drop",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select("event_id", "value", "event_type")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdcdrop-").toString
+      graft.sources.TxTable.create(
+        ev.filter(col("event_id") % 2 === 0), root)                // v0
+      graft.sources.TxTable.append(
+        ev.filter(col("event_id") % 2 === 1), root)                // v1
+      graft.sources.TxTable.dropColumn(s, root, "event_type")      // v2
+      graft.sources.TxTable.append(
+        ev.filter(col("event_id") % 2 === 1)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("value")), root)                                   // v3
+      val feed = graft.sources.TxTable.readChangesTyped(s, root, 0L, 3L)
+      require(feed.columns.toSeq ==
+        Seq("event_id", "value", "_change_type", "_commit_version"),
+        s"dropped column resurfaced in the feed: ${feed.columns.toSeq}")
+      feed.orderBy("_commit_version", "event_id")
+    },
+    Some(
+      """SELECT * FROM (
+        |  SELECT event_id, value, 'insert' AS "_change_type",
+        |    1::BIGINT AS "_commit_version"
+        |  FROM events WHERE event_id % 2 = 1
+        |  UNION ALL
+        |  SELECT event_id + 10000000, value, 'insert', 3
+        |  FROM events WHERE event_id % 2 = 1)
+        |ORDER BY "_commit_version", event_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -8409,6 +8493,7 @@ object IoQueries extends QueryGroup {
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
       cdcDedupUpdateGate, txChangesTyped, txSchemaRename,
+      txChangesAcrossRename, txChangesAcrossDrop,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

@@ -281,9 +281,14 @@ object TxTable {
     * their own typed rows (insert/update_preimage/update_postimage/
     * delete) and the rewrite representation is ignored. A rewrite
     * version WITHOUT a cdc channel (compact/restore/feed-less merge)
-    * fails with the same guidance as the stream. All generations read
-    * under `toVersion`'s declared schema (ADD-only evolution ⇒ it is
-    * the widest), physical-name-resolved (column mapping).
+    * fails with the same guidance as the stream. All generations are
+    * served under the DESTINATION version's declared schema,
+    * physical-name-resolved (column mapping): a column ADDED inside
+    * the range reads null from files that predate it; a column
+    * RENAMED inside the range serves both generations under the new
+    * logical name; a column DROPPED inside the range is EXCLUDED from
+    * every event — its bytes stay in the old files but leave the feed
+    * (gated by `io_tx_changes_across_{rename,drop}`).
     */
   def readChangesTyped(
       spark: SparkSession, root: String,

@@ -7398,6 +7398,50 @@ object IoQueries extends QueryGroup {
         |  FROM events WHERE event_id % 2 = 1)
         |ORDER BY "_commit_version", event_id""".stripMargin))
 
+  /** VACUUM vs a slow CDC consumer ([[graft.sources.TxTable.vacuum]]
+    * × [[graft.sources.TxTable.readChangesTyped]], round 16): vacuum
+    * drops manifests outside the kept window, and a change consumer
+    * whose `fromVersion` predates the sweep must fail CRISPLY — a
+    * [[graft.sources.TxTable.VacuumedVersionException]] naming the
+    * oldest surviving version — never a silently partial feed (the
+    * Delta CDF retention contract). The gate sweeps v0, asserts the
+    * stale read throws with the boundary in the message, then reads
+    * from the boundary itself and serves EXACTLY the surviving range.
+    * Full oracle: the surviving commit's rows restate in SQL.
+    */
+  val txVacuumCdcBoundary: QueryDef = QueryDef(
+    "io_tx_vacuum_cdc_boundary",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select("event_id", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vaccdc-").toString
+      graft.sources.TxTable.create(
+        ev.filter(col("event_id") % 3 === 0), root)                // v0
+      graft.sources.TxTable.append(
+        ev.filter(col("event_id") % 3 === 1), root)                // v1
+      graft.sources.TxTable.append(
+        ev.filter(col("event_id") % 3 === 2), root)                // v2
+      graft.sources.TxTable.vacuum(s, root, keepVersions = 2,
+        retentionMs = 0L)                                          // sweeps v0
+      val msg =
+        try {
+          graft.sources.TxTable.readChangesTyped(s, root, 0L, 2L).count()
+          ""
+        } catch {
+          case e: graft.sources.TxTable.VacuumedVersionException =>
+            e.getMessage
+        }
+      require(msg.contains("retention boundary") && msg.contains("1"),
+        s"stale CDC read did not fail crisply at the boundary: '$msg'")
+      graft.sources.TxTable.readChangesTyped(s, root, 1L, 2L)
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, value, 'insert' AS "_change_type",
+        |  2::BIGINT AS "_commit_version"
+        |FROM events WHERE event_id % 3 = 2
+        |ORDER BY event_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -8493,7 +8537,7 @@ object IoQueries extends QueryGroup {
       txtableZorderBox, txtableAutoCompact, txtableTimeTravel,
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
       cdcDedupUpdateGate, txChangesTyped, txSchemaRename,
-      txChangesAcrossRename, txChangesAcrossDrop,
+      txChangesAcrossRename, txChangesAcrossDrop, txVacuumCdcBoundary,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

@@ -145,10 +145,33 @@ object TxTable {
       .sorted
   }
 
+  /** A read anchored on a version whose manifest [[vacuum]] swept —
+    * the crisp edge of the retention horizon (Delta's CDF behavior):
+    * a change consumer whose `fromVersion` predates the sweep gets
+    * THIS, never a silently partial feed, and the message names the
+    * oldest surviving version to re-anchor from.
+    */
+  final class VacuumedVersionException(msg: String)
+    extends IllegalStateException(msg)
+
   def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
     val p = manifestPath(root, version)
     val f = fs(spark, p)
-    val in = f.open(p)
+    val in = try f.open(p) catch {
+      case e: java.io.FileNotFoundException =>
+        val vs = versions(spark, root)
+        if (vs.nonEmpty && version < vs.min)
+          throw new VacuumedVersionException(
+            s"TxTable $root: version $version predates the vacuum " +
+              s"retention boundary — oldest available version is " +
+              s"${vs.min}; re-anchor the read there (change consumers: " +
+              s"restart with fromVersion >= ${vs.min}, or reconcile via " +
+              "the Merkle snapshot diff)")
+        else throw new IllegalArgumentException(
+          s"TxTable $root: no committed version $version" +
+            (if (vs.isEmpty) " (not a TxTable?)"
+             else s" (latest is ${vs.max})"), e)
+    }
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
@@ -2347,8 +2370,14 @@ object TxTable {
     * fails with missing-file errors — the Delta/Iceberg contract:
     * size `retentionMs` to the longest query + time-travel horizon
     * you serve, because vacuum bounds BOTH. New `snapshot`/
-    * [[readVersion]] calls for a dropped version fail immediately
-    * (manifest gone), which is the visible edge of the horizon.
+    * [[readVersion]]/[[readChanges]]/[[readChangesTyped]] calls for a
+    * dropped version fail immediately with
+    * [[VacuumedVersionException]] naming the oldest survivor — the
+    * visible edge of the horizon. For CDC this is the Delta CDF
+    * retention contract: a consumer whose `fromVersion` predates the
+    * sweep gets the crisp throw, never a silently partial feed
+    * (`cdc/` dirs are swept under the same window, but their manifest
+    * dies first, so the throw always precedes any missing-file read).
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
       retentionMs: Long = 24L * 3600 * 1000): Unit = {

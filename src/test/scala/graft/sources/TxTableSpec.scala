@@ -190,6 +190,36 @@ class TxTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(2L, 7L))
   }
 
+  test("vacuum leaves a crisp CDC edge: reads predating the sweep " +
+    "throw VacuumedVersionException naming the oldest survivor; reads " +
+    "from the boundary serve exactly the surviving range") {
+    val root = tmpRoot()
+    TxTable.create(rows(1L, 2L), root)   // v0
+    TxTable.append(rows(3L), root)       // v1
+    TxTable.append(rows(4L), root)       // v2
+    TxTable.vacuum(spark, root, keepVersions = 2, retentionMs = 0L)
+    val ex = intercept[TxTable.VacuumedVersionException] {
+      TxTable.readChangesTyped(spark, root, 0L, 2L).count()
+    }
+    assert(ex.getMessage.contains("retention boundary"))
+    assert(ex.getMessage.contains("oldest available version is 1"))
+    // the untyped feed and plain snapshot reads fail the same way
+    intercept[TxTable.VacuumedVersionException] {
+      TxTable.readChanges(spark, root, 0L, 2L).count()
+    }
+    intercept[TxTable.VacuumedVersionException] {
+      TxTable.readVersion(spark, root, 0L).count()
+    }
+    // a version that never existed is a different, non-vacuum error
+    val miss = intercept[IllegalArgumentException] {
+      TxTable.readVersion(spark, root, 9L).count()
+    }
+    assert(miss.getMessage.contains("no committed version 9"))
+    // from the boundary: exactly the surviving range, nothing partial
+    val got = TxTable.readChangesTyped(spark, root, 1L, 2L)
+    assert(got.collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
   test("z-order clustering: 2-column stats, readBox prunes on both dims") {
     val s = spark
     import s.implicits._

@@ -842,6 +842,29 @@ object TxTable {
   private def schemaHeaderFor(df: DataFrame): (String, String) =
     "schema" -> normSchema(df.schema).json
 
+  /** Resolve the table's CHECK constraint (if any) against a
+    * PROSPECTIVE schema — ANALYSIS ONLY, no job: a rename/drop that
+    * would leave the CHECK referencing a gone column is rejected IN
+    * THE SAME CALL instead of bricking every later append with an
+    * unresolved-attribute error until [[setCheckConstraint]] (the
+    * same commit-time interlock pinned indexes get).
+    */
+  private def validateCheckAgainst(
+      spark: SparkSession, st: StructType,
+      headers: Map[String, String], op: String): Unit =
+    headers.get("check").foreach { sql =>
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      try empty.filter(expr(sql)).queryExecution.analyzed
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$op: CHECK ($sql) no longer resolves against the new " +
+              s"schema ${st.simpleString} — update it with " +
+              "setCheckConstraint (or dropCheckConstraint) first", e)
+      }
+    }
+
   /** Columns a pinned index routes by — a rename/drop of one would
     * sever the index's routing from the corpus; the caller drops or
     * rebuilds the index first (the explicit-maintenance discipline).
@@ -866,10 +889,12 @@ object TxTable {
     * manifest write.
     *
     * Caller contract: a CHECK constraint or pinned index referencing
-    * the column must be dropped/updated first (index references are
-    * rejected here; CHECK expressions are opaque SQL — update them
-    * with [[setCheckConstraint]]). Read-modify-write conflict
-    * semantics. Returns the new version.
+    * the column must be dropped/updated first — BOTH are interlocked
+    * here: index references are rejected by name, and the CHECK SQL
+    * is analysis-resolved against the post-rename schema
+    * ([[validateCheckAgainst]]), so a breaking rename fails in THIS
+    * call instead of bricking later appends. Read-modify-write
+    * conflict semantics. Returns the new version.
     */
   def renameColumn(
       spark: SparkSession, root: String, oldName: String,
@@ -899,6 +924,8 @@ object TxTable {
       new MetadataBuilder()
         .putString(PhysNameKey, physicalName(f)).build())
     val ns = StructType(st.fields.updated(idx, nf))
+    validateCheckAgainst(spark, ns, cur.headers,
+      s"renameColumn at $root ('$oldName' -> '$newName')")
     if (!tryCommit(spark, root, cur.version + 1,
         cur.headers + ("schema" -> normSchema(ns).json),
         entryLines(cur) ++ indexLines(cur) ++ dvLines(cur) ++
@@ -942,6 +969,8 @@ object TxTable {
       s"dropColumn at $root: '$name' is a cluster column — recluster " +
         "to a different layout first")
     val ns = StructType(st.fields.patch(idx, Nil, 1))
+    validateCheckAgainst(spark, ns, cur.headers,
+      s"dropColumn at $root ('$name')")
     val retired = (cur.headers.get("dropped").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty) :+ key(phys))
       .distinct.mkString(",")

@@ -288,6 +288,42 @@ class TxTableSchemaSpec extends SparkSpec {
     }
   }
 
+  test("rename/drop interlock with CHECK constraints: a breaking " +
+    "rename or drop is rejected in the same call naming the " +
+    "constraint; unrelated ones commit fine") {
+    val root = Files.createTempDirectory("graft-ck-rn-").toString
+    TxTable.create(wide, root, check = Some("k >= 0")) // (k, v, extra)
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, root, "k", "key")
+    }
+    assert(ex.getMessage.contains("CHECK (k >= 0)"))
+    assert(ex.getMessage.contains("setCheckConstraint"))
+    val ex2 = intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, root, "k")
+    }
+    assert(ex2.getMessage.contains("CHECK (k >= 0)"))
+    // neither failed attempt committed a version
+    assert(TxTable.versions(spark, root) === Seq(0L))
+    // a rename/drop NOT referenced by the CHECK goes through, and the
+    // constraint still enforces on the next append
+    TxTable.renameColumn(spark, root, "v", "val2") // v1
+    TxTable.dropColumn(spark, root, "extra")       // v2
+    intercept[IllegalArgumentException] {
+      TxTable.append(Seq((-1L, "bad")).toDF("k", "val2"), root)
+    }
+    TxTable.append(Seq((99L, "ok")).toDF("k", "val2"), root) // v3
+    assert(TxTable.read(spark, root).count() === 11L)
+    // the migration order: drop the CHECK, rename, re-pin under the
+    // new name — and the re-pinned constraint enforces again
+    TxTable.dropCheckConstraint(spark, root)             // v4
+    TxTable.renameColumn(spark, root, "k", "key")        // v5
+    TxTable.setCheckConstraint(spark, root, "key >= 0")  // v6
+    intercept[IllegalArgumentException] {
+      TxTable.append(Seq((-2L, "bad")).toDF("key", "val2"), root)
+    }
+    assert(TxTable.read(spark, root).count() === 11L)
+  }
+
   test("overwrite composes with column mapping: after renaming the " +
     "cluster column, overwrite lands under logical names, rewrites the " +
     "cluster header, and clears the dropped-name retirement list") {

@@ -7442,6 +7442,78 @@ object IoQueries extends QueryGroup {
         |FROM events WHERE event_id % 3 = 2
         |ORDER BY event_id""".stripMargin))
 
+  /** CDC-APPLY REPLICATION, end to end (round 16): the composition a
+    * 100 TB pipeline actually runs — TABLE MIRRORING. A source TxTable
+    * takes mixed traffic (append, change-feed `mergeInto` with
+    * updates + inserts + tombstones, then a DV `deleteWhere`); a
+    * consumer bootstraps a SECOND TxTable from the v0 snapshot and
+    * applies the typed change feed version by version via
+    * [[graft.sources.TxTable.mergeInto]] (insert ∪ update_postimage
+    * upsert, delete tombstones, preimages ignored). The gate asserts
+    * replica ≡ source row-for-row in both directions, then returns
+    * the REPLICA read against a full oracle restating the source
+    * state — so any silent feed gap (the bug class the r15 groupToRow
+    * case fix belonged to) breaks the hash. Driver work is bounded by
+    * the VERSION COUNT, never the table: each step reads one
+    * version's delta files only.
+    */
+  val txCdcReplicate: QueryDef = QueryDef(
+    "io_tx_cdc_replicate",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-cdcrep-src-").toString
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft-cdcrep-dst-").toString
+      graft.sources.TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), src)                 // v0
+      graft.sources.TxTable.append(
+        docs.filter(col("doc_id") % 3 === 1), src)                 // v1
+      graft.sources.TxTable.setChangeFeed(s, src, enabled = true)  // v2
+      val msrc = docs.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), concat(lit("M:"), col("text")).as("text"),
+          lit(false).as("deleted"))
+        .unionByName(docs
+          .filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 1)
+          .select(col("doc_id"), col("text"), lit(true).as("deleted")))
+      graft.sources.TxTable.mergeInto(src, msrc, "doc_id",
+        Seq("text"), "deleted")                                    // v3
+      graft.sources.TxTable.deleteWhere(s, src,
+        col("doc_id") % 5 === 2)                                   // v4
+      // consumer: v0 snapshot bootstrap, then apply the feed in
+      // version order — the standard initial-load + CDC-tail mirror
+      graft.sources.TxTable.create(
+        graft.sources.TxTable.readVersion(s, src, 0L), dst)
+      graft.sources.TxTable.versions(s, src).filter(_ >= 1L).foreach { v =>
+        val ev = graft.sources.TxTable.readChangesTyped(s, src, v - 1L, v)
+        val upserts = ev
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(col("doc_id"), col("text"), lit(false).as("deleted"))
+        val tombstones = ev.filter(col("_change_type") === "delete")
+          .select(col("doc_id"), col("text"), lit(true).as("deleted"))
+        val apply = upserts.unionByName(tombstones)
+        if (!apply.isEmpty)
+          graft.sources.TxTable.mergeInto(dst, apply, "doc_id",
+            Seq("text"), "deleted")
+      }
+      val a = graft.sources.TxTable.read(s, src)
+      val b = graft.sources.TxTable.read(s, dst)
+      require(a.count() == b.count() &&
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "replica diverged from source")
+      b.orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, 'M:' || text AS text FROM documents
+        |  WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 1
+        |    AND doc_id % 11 <> 3)
+        |WHERE doc_id % 5 <> 2
+        |ORDER BY doc_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -8538,6 +8610,7 @@ object IoQueries extends QueryGroup {
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
       cdcDedupUpdateGate, txChangesTyped, txSchemaRename,
       txChangesAcrossRename, txChangesAcrossDrop, txVacuumCdcBoundary,
+      txCdcReplicate,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

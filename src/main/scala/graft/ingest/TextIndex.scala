@@ -83,8 +83,21 @@ object TextIndex {
     *
     * Caller contract: `docs` must be NEW doc_ids (re-indexing an
     * existing id would double its postings — dedup upstream, the
-    * appendIvf discipline).
+    * appendIvf discipline), and the layout is SINGLE-WRITER,
+    * NO-CONCURRENT-PROBE for the duration of the append: without a
+    * manifest the batch publishes file by file, so a concurrent probe
+    * can observe a partial batch and a concurrent append races the
+    * `_stats` read-modify-write.
+    *
+    * Deprecated in favor of the TRANSACTIONAL stack: pin the index to
+    * a [[graft.sources.TxTable]] via `buildBm25Index` — appends to the
+    * table then maintain the postings AND the df/N/avgdl moments
+    * atomically in the same commit, probes always see one snapshot,
+    * and `deleteWhere` masks postings instead of leaving them stale.
+    * This standalone layout remains for manifest-less corpora only.
     */
+  @deprecated("pin the index to a TxTable (buildBm25Index) — the " +
+    "standalone layout publishes non-atomically", "round-16")
   def appendBm25(
       docs: DataFrame, idCol: String, textCol: String,
       path: String, termBuckets: Int = 64): Long = {
@@ -198,13 +211,22 @@ object TextIndex {
     *
     * Caller contract: `docs` must be NEW doc_ids (re-indexing an
     * existing id would double its occurrences — dedup upstream), and
-    * no probe may run CONCURRENTLY with an append: the standalone
-    * layout has no manifest, so a mid-append [[phraseDocs]] can
-    * observe a partially-visible batch (some term buckets appended,
-    * others not) with no way to detect it. For an atomically-published
-    * index, pin the layout to a [[graft.sources.TxTable]] (the
-    * `index:` namespace) instead.
+    * the layout is SINGLE-WRITER, NO-CONCURRENT-PROBE for the
+    * duration of the append: the standalone layout has no manifest,
+    * so a mid-append [[phraseDocs]] can observe a partially-visible
+    * batch (some term buckets appended, others not), a CONCURRENT
+    * APPEND gets the other writer's files attributed to its returned
+    * count (the before/after directory diff below is not atomic on
+    * object stores), and nothing detects either.
+    *
+    * Deprecated in favor of the TRANSACTIONAL stack: pin the index to
+    * a [[graft.sources.TxTable]] via `buildPhraseIndex` — table
+    * appends maintain the positions atomically in the same commit and
+    * probes always see one snapshot. This standalone layout remains
+    * for manifest-less corpora only.
     */
+  @deprecated("pin the index to a TxTable (buildPhraseIndex) — the " +
+    "standalone layout publishes non-atomically", "round-16")
   def appendPositions(
       docs: DataFrame, idCol: String, textCol: String,
       path: String, termBuckets: Int = 64): Long = {

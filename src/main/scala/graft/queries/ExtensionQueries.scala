@@ -4131,6 +4131,7 @@ object TextQueries extends QueryGroup {
     * SQL, so the gate proves build-half + append-half ≡ one-shot
     * build, row for row.
     */
+  @annotation.nowarn("cat=deprecation") // gate keeps the legacy path honest
   val indexPhraseAppend: QueryDef = QueryDef(
     "text_index_phrase_append",
     (s, dir) => {
@@ -4237,6 +4238,7 @@ object TextQueries extends QueryGroup {
     * corpus (the [[graft.ingest.AnnIndex.appendIvf]] maintenance
     * contract applied to lexical retrieval).
     */
+  @annotation.nowarn("cat=deprecation") // gate keeps the legacy path honest
   val bm25IndexAppend: QueryDef = QueryDef(
     "text_bm25_index_append",
     (s, dir) => {

@@ -42,10 +42,13 @@ object RepeatedSpans {
     * kernel digests each gram's bytes straight out of the token array
     * (one MessageDigest reused per partition, zero intermediate
     * columns); tokenization and hex output match Spark's
-    * `md5(concat_ws(" ", …))` byte for byte, verified by the gates'
-    * unchanged hashes.
+    * `md5(concat_ws(" ", …))` byte for byte — including supplementary
+    * characters, since `\s` is BMP-only (a surrogate pair never
+    * splits) and tokens hash as whole UTF-8 byte runs; verified by
+    * the gates' unchanged hashes and the spec's emoji digest
+    * comparison.
     */
-  private def grams(
+  private[graft] def grams(
       docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -557,12 +557,37 @@ object TextAnalysis {
         it.map { case (id, text) =>
           if (text == null || text.length < 8) (id, 0L, 0L)
           else {
-            val n = text.length - 7
-            val seen = new java.util.HashSet[String](
-              math.min(n, 1 << 16))
-            var i = 0
-            while (i < n) { seen.add(text.substring(i, i + 8)); i += 1 }
-            (id, n.toLong, seen.size.toLong)
+            // Catalyst length/substring count CODE POINTS: a
+            // supplementary character (emoji, rare CJK) is ONE gram
+            // slot, not two. Fast path when no surrogates exist —
+            // then code units ARE code points and the original
+            // per-unit loop is exact.
+            var hasSurrogate = false
+            var k = 0
+            while (k < text.length && !hasSurrogate) {
+              if (Character.isHighSurrogate(text.charAt(k)))
+                hasSurrogate = true
+              k += 1
+            }
+            if (!hasSurrogate) {
+              val n = text.length - 7
+              val seen = new java.util.HashSet[String](
+                math.min(n, 1 << 16))
+              var i = 0
+              while (i < n) { seen.add(text.substring(i, i + 8)); i += 1 }
+              (id, n.toLong, seen.size.toLong)
+            } else {
+              val cps = text.codePoints().toArray
+              val n = cps.length - 7
+              if (n <= 0) (id, 0L, 0L)
+              else {
+                val seen = new java.util.HashSet[String](
+                  math.min(n, 1 << 16))
+                var i = 0
+                while (i < n) { seen.add(new String(cps, i, 8)); i += 1 }
+                (id, n.toLong, seen.size.toLong)
+              }
+            }
           }
         }
       }

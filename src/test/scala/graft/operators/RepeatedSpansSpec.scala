@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.SparkSpec
 
+import org.apache.spark.sql.functions._
+
 class RepeatedSpansSpec extends SparkSpec {
 
   private def corpus = {
@@ -74,5 +76,38 @@ class RepeatedSpansSpec extends SparkSpec {
     val sp = RepeatedSpans.spans(df, "text", "doc_id", n = 3)
       .filter("doc_id = 3").collect()
     assert(sp.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 6L)))
+  }
+
+  test("supplementary characters in tokens hash identically to the " +
+    "declarative md5(concat_ws) form — the kernel is code-point safe") {
+    val s = spark
+    import s.implicits._
+    // tokens carrying surrogate pairs: whitespace is BMP-only, so
+    // split never cuts a pair, and md5 runs over the same UTF-8 bytes
+    // either way — prove it against Spark's own expression chain
+    val phrase = "🚀x a🚀b c 🚀🚀 e f"
+    val df = Seq(
+      (1L, s"pre $phrase post"),
+      (2L, s"$phrase trailing words here"))
+      .toDF("doc_id", "text")
+    val sp = RepeatedSpans.spans(df, "text", "doc_id", n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // the 6-token emoji phrase repeats: doc 1 spans tokens 1-6,
+    // doc 2 spans 0-5
+    assert(sp.toSeq == Seq((1L, 1L, 6L), (2L, 0L, 5L)))
+    // kernel gram digests == the declarative expression's digests,
+    // row for row (doc, idx, md5 hex)
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val decl = df.select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(toks) - 5),
+        i => md5(concat_ws(" ", slice(toks, i, lit(6))).cast("binary"))))
+        .as(Seq("idx", "gram")))
+      .orderBy("doc_id", "idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val kern = RepeatedSpans.grams(df, "text", "doc_id", n = 6)
+      .orderBy("doc", "idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(kern == decl, s"kernel $kern\nvs declarative $decl")
   }
 }

@@ -492,6 +492,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2).getBoolean(5)) // braces but 2/403 < 8‰
   }
 
+  test("redundancyRatio counts CODE POINTS like the Catalyst twin: " +
+    "supplementary characters are one gram slot, not two") {
+    val s = spark
+    import s.implicits._
+    // 🚀 = U+1F680, a surrogate PAIR in UTF-16: 10 code points but 12
+    // code units. n_grams must be 10 − 7 = 3 (unit counting says 5).
+    val emoji = "ab🚀cd🚀ef" + "gh"
+    assert(emoji.length == 12 && emoji.codePointCount(0, emoji.length) == 10)
+    // 8 code points exactly (9 units) — one gram; and a pure-BMP twin
+    val eight = "a🚀bcdefg"
+    val df = Seq((1L, emoji), (2L, eight), (3L, "abcdefgh"),
+      (4L, "aaaaaaaaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.redundancyRatio(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2)) == ((3L, 3L)))
+    assert((out(1).getLong(1), out(1).getLong(2)) == ((1L, 1L)))
+    assert((out(2).getLong(1), out(2).getLong(2)) == ((1L, 1L)))
+    // repetitive BMP fast path: 3 grams, 1 distinct
+    assert((out(3).getLong(1), out(3).getLong(2)) == ((3L, 1L)))
+    // bit-identical to the declarative code-point form for ALL rows
+    val decl = df.select(col("doc_id"),
+      when(length(col("text")) >= 8,
+        transform(sequence(lit(1), length(col("text")) - 7),
+          i => col("text").substr(i, lit(8))))
+        .otherwise(array()).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        size(array_distinct(col("g"))).as("n_distinct"))
+      .orderBy("doc_id").collect()
+    out.zip(decl).foreach { case (k, d) =>
+      assert(k.getLong(1) == math.max(0L, d.getInt(1).toLong) &&
+        k.getLong(2) == (if (d.getInt(1) <= 0) 0L else d.getInt(2).toLong),
+        s"kernel ${k} vs declarative ${d}")
+    }
+  }
+
   test("textRankTerms: the adjacency hub outranks its spokes") {
     val s = spark
     import s.implicits._

@@ -1273,6 +1273,39 @@ object ScaleCheck {
           Seq("spark", "vector", "customer")))
     }
 
+    // round 16: Tx-PINNED BM25 lifecycle — the standalone probe above
+    // is one pruned scan; the pinned probe adds manifest resolution +
+    // the idxdv anti-join + live-moment re-weighting (4 shuffles), and
+    // all of that extra work must be BUCKET-BOUNDED: probe time tracks
+    // |buckets touched|, never corpus size, at 1x and dup-fold alike.
+    // deleteWhere masks postings by value (idxdv) — the post-delete
+    // probe pays one KB-scale anti-join more, not a rebuild.
+    if (only.forall(_.exists("bm25_txpinned".startsWith))) {
+      def pinned(corpus: DataFrame, tag: String): Unit = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-txbm25-$tag-").toString
+        graft.sources.TxTable.create(corpus, root, buckets = 32)
+        time(s"bm25_txpinned_build_$tag", {
+          graft.sources.TxTable.buildBm25Index(spark, root, "bm",
+            "doc_id", "text", termBuckets = 64, buckets = 32)
+          spark.range(1).toDF("ok")
+        })
+        time(s"bm25_txpinned_probe_$tag",
+          graft.sources.TxTable.bm25ProbeIndexed(spark, root, "bm",
+            Seq("spark", "vector", "customer")))
+        time(s"bm25_txpinned_delete_$tag", {
+          graft.sources.TxTable.deleteWhere(spark, root,
+            col("doc_id") % 10 === 0)
+          spark.range(1).toDF("ok")
+        })
+        time(s"bm25_txpinned_delete_probe_$tag",
+          graft.sources.TxTable.bm25ProbeIndexed(spark, root, "bm",
+            Seq("spark", "vector", "customer")))
+      }
+      pinned(docs, "1x")
+      pinned(blown, s"${dup}x")
+    }
+
     // round 13: HyperBall — register frame is node-scale × m; two
     // rounds over a modular graph (nodes = range/16, edges = 2 per
     // node); cost must track edges, never node²

@@ -1306,6 +1306,52 @@ object ScaleCheck {
       pinned(blown, s"${dup}x")
     }
 
+    // round 16: edit-distance q-gram blocking — the gram enumeration
+    // is the interpreted transform(sequence) shape (HOF tax); probe
+    // whether it dominates at 10x BEFORE kernel-rewriting (the
+    // three-rung playbook). Dict rows are part-name-like short
+    // strings; candidates are gram-bucket-bounded, never all-pairs.
+    if (only.forall(_.exists("editdist".startsWith))) {
+      val part = spark.read.parquet(s"$dir/part.parquet")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pk"))
+      def dict(copies: Int) = (0 until copies).map { i =>
+        if (i == 0) part.select(col("pk").as("id"), col("p_name").as("s"))
+        else part.select((col("pk") + lit(i * 10000000L)).as("id"),
+          concat(col("p_name"), lit(s" c$i")).as("s"))
+      }.reduce(_ unionByName _)
+      // enumeration-only (the interpreted transform(sequence) HOF
+      // shape) vs the full pipeline: if the JOIN dominates at 10x,
+      // a gram-kernel rewrite cannot pay
+      def gramsOnly(d: DataFrame) = d.filter(length(col("s")) >= 3)
+        .select(col("id"),
+          explode(expr(
+            "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
+            .as("gram"))
+        .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+      time("editdist_grams_1x", gramsOnly(dict(1)))
+      time(s"editdist_grams_${dup}x", gramsOnly(dict(dup)))
+      time("editdist_pairs_1x",
+        graft.operators.EditDistance.pairs(dict(1), "s", "id", maxDist = 2))
+      time(s"editdist_pairs_${dup}x",
+        graft.operators.EditDistance.pairs(dict(dup), "s", "id", maxDist = 2))
+      // the gate's dict is 64 distinct names — too small to stress
+      // anything. A 100 TB-shaped dictionary is millions of mostly-
+      // distinct strings with a long-tail gram distribution: hex
+      // digests keep gram buckets bounded (16^3 gram space), so
+      // enumeration cost is isolated from the candidate join
+      def hexDict(rows: Long) = spark.range(rows).select(col("id"),
+        substring(md5(col("id").cast("string")), 1, 10).as("s"))
+      time("editdist_hex_grams_1x", gramsOnly(hexDict(10000L)))
+      time(s"editdist_hex_grams_${dup}x",
+        gramsOnly(hexDict(10000L * dup)))
+      time("editdist_hex_pairs_1x",
+        graft.operators.EditDistance.pairs(
+          hexDict(10000L), "s", "id", maxDist = 2))
+      time(s"editdist_hex_pairs_${dup}x",
+        graft.operators.EditDistance.pairs(
+          hexDict(10000L * dup), "s", "id", maxDist = 2))
+    }
+
     // round 13: HyperBall — register frame is node-scale × m; two
     // rounds over a modular graph (nodes = range/16, edges = 2 per
     // node); cost must track edges, never node²

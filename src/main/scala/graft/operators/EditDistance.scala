@@ -100,4 +100,110 @@ object EditDistance {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** [[pairs]] with PREFIX-FILTERED candidate generation — identical
+    * result set, different cost shape. The count-filter join above
+    * pairs strings on EVERY shared gram, so its work is
+    * Σ_gram |bucket|², and a frequent gram ("the ", a shared format
+    * prefix) makes that quadratic in corpus size — the round-16
+    * ScaleCheck probe measured the candidate join at ~60× the
+    * enumeration cost on a 100k mostly-distinct dictionary. The
+    * prefix filter (Chaudhuri et al., ICDE 2006; Xiao et al.'s
+    * Ed-Join, VLDB 2008 — public literature) bounds that: order gram
+    * OCCURRENCES by global rarity and keep only each string's
+    * `maxDist·q + 1` rarest as join keys. Soundness: within distance
+    * `maxDist` the pair shares ≥ T = max(len)−(q−1)−maxDist·q gram
+    * occurrences; a string's gram count g satisfies
+    * g − T + 1 ≤ maxDist·q + 1, and two sets sharing ≥ T elements
+    * must intersect inside their (g−T+1)-prefixes under ANY common
+    * total order — so every qualifying pair meets on ≥ 1 rare key and
+    * frequent grams never fan out. Occurrences join as (gram, j)
+    * pairs (j = occurrence index within the string), which makes the
+    * multiset intersection an exact set intersection.
+    *
+    * The short class and the exact DP verify are [[pairs]]' own;
+    * candidates go straight to the threshold-bounded `levenshtein`
+    * (strings are dictionary-short — the DP is cheaper than a second
+    * count-filter join). Extra cost vs [[pairs]]: three linear
+    * window shuffles over the gram frame (occurrence index, global
+    * rarity, per-string rank). Measured cost shapes (PERF.md,
+    * round-16 editdist probe): on a shared-format dictionary the
+    * count filter is QUADRATIC in corpus size while this stays
+    * bucket-bounded (~20× at 20k rows); on uniform-gram corpora
+    * (hash-like strings, where the prefix keeps g−1 of g keys and
+    * prunes nothing) the two run at parity. CAVEAT: the prefix
+    * guarantee needs ≥ `maxDist·q + 1` rare gram occurrences per
+    * string — a variable region shorter than ~`maxDist·q` chars
+    * forces a shared frequent gram into every prefix and the join
+    * degrades to the same quadratic (measured 539 s vs 4.8 s at 20k;
+    * Ed-Join's location filter is the literature fix, not carried
+    * here). Prefer [[pairs]] only when strings are near-globally
+    * distinct AND tiny; prefer THIS when formatting is shared and
+    * the variable region is wide enough.
+    */
+  def pairsPrefix(
+      df: DataFrame, strCol: String, idCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    Dedup.requireLongCastableId(df, idCol)
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+
+    val shortMax = q - 1 + maxDist * q
+    val bucketW = maxDist + 1
+    val short = base.filter(col("len") <= shortMax)
+    val shortLeft = short.select(
+      (col("len") / bucketW).cast("int").as("bkt"),
+      col("id").as("id_a"), col("s").as("s_a"), col("len").as("len_a"))
+    val shortRight = short.select(
+      explode(sequence((col("len") / bucketW).cast("int") - 1,
+        (col("len") / bucketW).cast("int") + 1)).as("bkt"),
+      col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b"))
+    val shortPairs = shortLeft.join(shortRight, Seq("bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b")
+
+    // long class: (gram, j) occurrence elements, globally
+    // rarity-ordered, prefix-pruned to maxDist·q + 1 per string
+    val pfx = maxDist * q + 1
+    val occ = base.filter(col("len") >= q)
+      .select(col("id"), col("len"), posexplode(
+        expr(s"transform(sequence(1, len - ${q - 1}), " +
+          s"i -> substring(s, i, $q))")).as(Seq("pos", "gram")))
+      .withColumn("j", row_number().over(
+        Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))))
+    // occurrence frequency as an unordered window count — one shuffle
+    // on (gram, j), no aggregate-plus-rejoin round trip
+    val prefix = occ
+      .withColumn("_f", count(lit(1)).over(
+        Window.partitionBy(col("gram"), col("j"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("_f"), col("gram"), col("j"))))
+      .filter(col("_rn") <= pfx)
+      .select(col("id"), col("len"), col("gram"), col("j"))
+    val pa = prefix.select(col("id").as("id_a"),
+      col("len").as("len_a"), col("gram"), col("j"))
+    val pb = prefix.select(col("id").as("id_b"),
+      col("len").as("len_b"), col("gram"), col("j"))
+    val candidates = pa.join(pb, Seq("gram", "j"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        greatest(col("len_a"), col("len_b")) > shortMax)
+      .select("id_a", "id_b").distinct()
+    val sA = base.select(col("id").as("id_a"), col("s").as("s_a"))
+    val sB = base.select(col("id").as("id_b"), col("s").as("s_b"))
+    val longPairs = candidates.join(sA, "id_a").join(sB, "id_b")
+      .select("id_a", "id_b", "s_a", "s_b")
+
+    shortPairs.unionByName(longPairs)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -385,6 +385,26 @@ object DedupQueries extends QueryGroup {
         |FROM p a JOIN p b ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Prefix-filtered edit-distance pairs ([[graft.operators
+    * .EditDistance.pairsPrefix]], round 16): identical result to
+    * [[editDistance]] by construction — candidates meet on their
+    * `maxDist·q+1` globally-RAREST gram occurrences instead of every
+    * shared gram, so frequent grams (shared formatting) never drive
+    * the Σ|bucket|² candidate join that dominated the round-16
+    * ScaleCheck probe. Same oracle SQL as `dedup_edit_distance`: the
+    * hash pins result-set equality between the two candidate plans.
+    */
+  val editDistancePrefix: QueryDef = QueryDef(
+    "dedup_edit_distance_prefix",
+    (s, dir) =>
+      graft.operators.EditDistance.pairsPrefix(
+        Tables(s, dir).part.groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id")),
+        "p_name", "id", maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b"),
+    editDistance.oracle)
+
   /** Entity-resolution scored pairs ([[graft.operators.EntityResolution
     * .scoredPairs]]): multi-pass blocking (2-char prefix OR suffix key)
     * → codegen'd Jaro–Winkler on the candidates → 6-dp-rounded
@@ -649,7 +669,8 @@ object DedupQueries extends QueryGroup {
       embeddingCosine, sharedSpans, repeatedSpansGate, repeatedSpanRemoval,
       incrementalNew, tokenBlocks, boilerplate,
       semantic,
-      containment, editDistance, erPairs, erPairsCapped, erClusters,
+      containment, editDistance, editDistancePrefix,
+      erPairs, erPairsCapped, erClusters,
       minhashExact, simhashExact, overlapVerified, thresholdSweepGate,
       sourceOverlap)
 }

@@ -1350,6 +1350,43 @@ object ScaleCheck {
       time(s"editdist_hex_pairs_${dup}x",
         graft.operators.EditDistance.pairs(
           hexDict(10000L * dup), "s", "id", maxDist = 2))
+      // prefix-filtered variant on the SAME uniform-gram dictionary:
+      // hex grams are all mid-frequency, so the maxDist*q+1 prefix
+      // keeps 7 of 8 occurrence keys — near-zero pruning for three
+      // extra shuffles. Expected to LOSE here; the honest baseline.
+      time("editdist_prefix_1x",
+        graft.operators.EditDistance.pairsPrefix(
+          hexDict(10000L), "s", "id", maxDist = 2))
+      time(s"editdist_prefix_${dup}x",
+        graft.operators.EditDistance.pairsPrefix(
+          hexDict(10000L * dup), "s", "id", maxDist = 2))
+      // the prefix filter's ACTUAL win shape: a shared-format
+      // dictionary ("corpus record entry nr <hex>") where ~20 grams
+      // of shared formatting sit in EVERY string — the count filter
+      // joins on them all (Σ|bucket|² = 20·N², quadratic in corpus),
+      // while the prefix filter's 7 rarest occurrences are always
+      // hex-bearing grams with bounded buckets. The variable region
+      // must be ≥ 8 chars: it yields q-1+8 = 10 hex-touching grams
+      // > k·q+1 = 7, so no string is forced to admit a shared gram
+      // into its prefix — a 6-char region leaves only 6 rare grams
+      // and the forced 7th key degrades the join to quadratic
+      // (measured: 539 s at 20k rows; recorded in PERF.md). pairs()
+      // runs only at 1x/2x to expose its quadratic; prefix to 10x.
+      def fmtDict(rows: Long) = spark.range(rows).select(col("id"),
+        concat(lit("corpus record entry nr "),
+          substring(md5(col("id").cast("string")), 1, 8)).as("s"))
+      time("editdist_shared_pairs_1x",
+        graft.operators.EditDistance.pairs(
+          fmtDict(2000L), "s", "id", maxDist = 2))
+      time("editdist_shared_pairs_2x",
+        graft.operators.EditDistance.pairs(
+          fmtDict(4000L), "s", "id", maxDist = 2))
+      time("editdist_shared_prefix_1x",
+        graft.operators.EditDistance.pairsPrefix(
+          fmtDict(2000L), "s", "id", maxDist = 2))
+      time(s"editdist_shared_prefix_${dup}x",
+        graft.operators.EditDistance.pairsPrefix(
+          fmtDict(2000L * dup), "s", "id", maxDist = 2))
     }
 
     // round 13: HyperBall — register frame is node-scale × m; two

@@ -67,6 +67,39 @@ class EditDistanceSpec extends SparkSpec {
     }
   }
 
+  private def opPairsPrefix(
+      ss: Seq[(Long, String)], k: Int, q: Int): Set[(Long, Long, Int)] = {
+    val s = spark
+    import s.implicits._
+    EditDistance.pairsPrefix(ss.toDF("id", "s"), "s", "id", k, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("pairsPrefix equals brute force and pairs across k and q — " +
+    "including a shared-format dictionary (the frequent-gram case the " +
+    "prefix filter exists for)") {
+    for (k <- Seq(0, 1, 2); q <- Seq(2, 3)) {
+      val expected = naivePairs(corpus, k)
+      assert(opPairsPrefix(corpus, k, q) == expected, s"k=$k q=$q")
+    }
+    // every string shares the "entry nr " prefix: under the count
+    // filter all of them co-bucket on those grams; the prefix filter
+    // must keep the SAME result while joining only on rare grams
+    val formatted = (0L to 40L).map(i => i -> s"entry nr ${i * 7}") ++
+      Seq(100L -> "entry nr 70x", 101L -> "entry nr 7")
+    for (k <- Seq(1, 2)) {
+      assert(opPairsPrefix(formatted, k, 3) == naivePairs(formatted, k),
+        s"formatted k=$k")
+    }
+    // repeated grams inside one string: occurrence indexing (gram, j)
+    // must keep multiset semantics
+    val reps = Seq(0L -> "abababab", 1L -> "ababab", 2L -> "abababac",
+      3L -> "babababa", 4L -> "cdcdcdcd")
+    for (k <- Seq(1, 2)) {
+      assert(opPairsPrefix(reps, k, 3) == naivePairs(reps, k), s"reps k=$k")
+    }
+  }
+
   test("null strings are dropped, not paired") {
     val s = spark
     import s.implicits._

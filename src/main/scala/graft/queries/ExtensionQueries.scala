@@ -7537,6 +7537,95 @@ object IoQueries extends QueryGroup {
         |WHERE doc_id % 5 <> 2
         |ORDER BY doc_id""".stripMargin))
 
+  /** SNAPSHOT-PINNED HARVEST ([[graft.query.TxStudyStore]], round
+    * 16): the OAI resumption-token pagination (Q12's keyset cursor)
+    * composed with TxTable time travel — the first page pins the
+    * table version into the token, so a harvest that spans appends,
+    * updates, and deletes still serves EXACTLY the pinned snapshot
+    * (the reference re-queries live MongoDB per continuation and can
+    * serve a torn list). The gate harvests page 1, lands an append +
+    * a text-mutating merge + a DV delete mid-harvest, drains the
+    * harvest, and hashes the collected rows against the ORIGINAL
+    * even-doc corpus — any leak from the mutated generations breaks
+    * the hash. In-gate it also asserts a fresh harvest sees the
+    * post-mutation state, a vacuum that sweeps the pinned version
+    * expires the old token as `badResumptionToken` (retention ≡
+    * token lifetime), and a latest-pinned token survives the vacuum.
+    */
+  val txSnapshotHarvest: QueryDef = QueryDef(
+    "io_tx_snapshot_harvest",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val keyed = docs.withColumn("_aggregator_identifier",
+        lpad(col("doc_id").cast("string"), 10, "0"))
+      val rootPath = java.nio.file.Files
+        .createTempDirectory("graft-snapharvest-")
+      val root = rootPath.toString
+      val collected = try {
+        graft.sources.TxTable.create(
+          keyed.filter(col("doc_id") % 2 === 0), root)             // v0
+        val store = new graft.query.TxStudyStore(s, root)
+        val fp = graft.query.ResumptionToken
+          .fingerprint("io_tx_snapshot_harvest")
+        val fields = Seq("doc_id", "text")
+        def page(t: Option[graft.query.ResumptionToken]) =
+          store.queryPage(graft.query.True, fields, 100, t, fp)
+        val p1 = page(None)
+        val firstToken = p1.token.getOrElse(
+          sys.error("harvest must span multiple pages"))
+        // mid-harvest traffic: new records, updated bodies, deletes
+        graft.sources.TxTable.append(
+          keyed.filter(col("doc_id") % 2 === 1), root)             // v1
+        // mergeInto rewrites the table to key + valueCols, so the
+        // harvest key column rides along as a value column
+        graft.sources.TxTable.mergeInto(root,
+          keyed.filter(col("doc_id") % 10 === 2)
+            .select(col("doc_id"),
+              concat(lit("MUT:"), col("text")).as("text"),
+              col("_aggregator_identifier"),
+              lit(false).as("deleted")),
+          "doc_id", Seq("text", "_aggregator_identifier"),
+          "deleted")                                               // v2
+        graft.sources.TxTable.deleteWhere(s, root,
+          col("doc_id") % 6 === 4)                                 // v3
+        val rows = Seq.newBuilder[(Long, String)]
+        var tok: Option[graft.query.ResumptionToken] = None
+        var p = p1
+        while ({
+          rows ++= p.rows.map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+          tok = p.token
+          tok.isDefined
+        }) p = page(tok)
+        // a FRESH harvest re-resolves the latest version
+        val live = graft.sources.TxTable.read(s, root).count()
+        val b1 = page(None)
+        require(b1.completeListSize == live,
+          s"fresh harvest saw ${b1.completeListSize}, table has $live")
+        // vacuum sweeps the old pin -> token expiry, latest pin lives
+        graft.sources.TxTable.vacuum(s, root, keepVersions = 1,
+          retentionMs = 0L)
+        val expired =
+          try { page(Some(firstToken)); false }
+          catch { case graft.query.OaiError("badResumptionToken", _) => true }
+        require(expired,
+          "continuation on a vacuum-swept snapshot must expire")
+        require(page(b1.token).rows.nonEmpty,
+          "latest-pinned token must survive the vacuum")
+        rows.result()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      collected.toDF("doc_id", "text").orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin))
+
   /** The full table lifecycle in one gate, feature interplay
     * included: range-clustered create → append → DV delete →
     * append → incremental autoCompact (the SUBTLE corner: the
@@ -8633,7 +8722,7 @@ object IoQueries extends QueryGroup {
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
       cdcDedupUpdateGate, txChangesTyped, txSchemaRename,
       txChangesAcrossRename, txChangesAcrossDrop, txVacuumCdcBoundary,
-      txCdcReplicate,
+      txCdcReplicate, txSnapshotHarvest,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

@@ -31,8 +31,10 @@ final case class OaiConfig(
 
 /** The OAI-PMH verb surface over a Spark-backed study corpus — the engine
   * analogue of the reference's Tornado handlers (SURVEY.md §3). Protocol
-  * plumbing is driver-side; every data touch goes through [[StudyStore]]
-  * as one declarative Spark plan.
+  * plumbing is driver-side; every data touch goes through a
+  * [[HarvestStore]] ([[StudyStore]] over one frame, or [[TxStudyStore]]
+  * for snapshot-pinned harvests off a TxTable) as one declarative
+  * Spark plan.
   */
 /** Transport context for one request — what Tornado hands the reference's
   * log_request (metrics.py:224-246): the caller's User-Agent and the HTTP
@@ -44,7 +46,7 @@ final case class RequestContext(
     httpStatus: Int = 200)
 
 final class OaiRepository(
-    store: StudyStore,
+    store: HarvestStore,
     sets: Seq[SetFamily],
     config: OaiConfig = OaiConfig(),
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),

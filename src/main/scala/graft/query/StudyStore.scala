@@ -76,12 +76,40 @@ final case class Page(
     token: Option[ResumptionToken],
     completeListSize: Long)
 
+/** What [[graft.protocol.OaiRepository]] needs from a record store:
+  * the live study view (point verbs, set enumeration, Identify's
+  * earliest datestamp) plus keyset-paged lists. [[StudyStore]] is the
+  * single-frame implementation; [[TxStudyStore]] serves the view from
+  * a TxTable's latest version and pins every harvest to one committed
+  * snapshot.
+  */
+trait HarvestStore {
+
+  /** Current study corpus — re-resolved per call by versioned stores. */
+  def studies: DataFrame
+
+  /** Several predicates over `filter`'s matches in ONE scan — see
+    * [[StudyStore.queryFlags]].
+    */
+  def queryFlags(
+      filter: Filter, flags: Seq[(String, Filter)]): Option[Seq[String]]
+
+  def queryPage(
+      filter: Filter,
+      fields: Seq[String],
+      listSize: Int,
+      token: Option[ResumptionToken],
+      filterFingerprint: String,
+      derive: DataFrame => DataFrame = identity,
+      tokenArgs: Map[String, String] = Map.empty): Page
+}
+
 /** The engine's DocStore: query_single / query_multiple / query_distinct /
   * query_count over the studies DataFrame (SURVEY.md §2.1 Q1-Q4), with
   * keyset pagination. All methods take a [[Filter]] AST so predicates
   * arrive at Catalyst as one conjunction.
   */
-final class StudyStore(val studies: DataFrame) {
+final class StudyStore(val studies: DataFrame) extends HarvestStore {
 
   private val Key = "_aggregator_identifier"
 
@@ -101,7 +129,7 @@ final class StudyStore(val studies: DataFrame) {
     * ListMetadataFormats' 1 + #formats count queries into a single job
     * (the reference's N+1 pattern, vs. one boolean aggregate here).
     */
-  def queryFlags(filter: Filter, flags: Seq[(String, Filter)]): Option[Seq[String]] = {
+  override def queryFlags(filter: Filter, flags: Seq[(String, Filter)]): Option[Seq[String]] = {
     val aggs = flags.map { case (name, f) =>
       max(when(f.toColumn, lit(1)).otherwise(lit(0))).as(name)
     }
@@ -128,14 +156,14 @@ final class StudyStore(val studies: DataFrame) {
     * `listSize` rows, not the whole corpus — mirroring the reference's
     * `_on_record` post-processing of streamed rows.
     */
-  def queryPage(
+  override def queryPage(
       filter: Filter,
       fields: Seq[String],
       listSize: Int,
       token: Option[ResumptionToken],
       filterFingerprint: String,
-      derive: DataFrame => DataFrame = identity,
-      tokenArgs: Map[String, String] = Map.empty): Page = {
+      derive: DataFrame => DataFrame,
+      tokenArgs: Map[String, String]): Page = {
 
     token.foreach { t =>
       if (t.filterHash != filterFingerprint)

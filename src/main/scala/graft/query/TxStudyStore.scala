@@ -39,22 +39,36 @@ import graft.sources.TxTable
   * does; pinning adds NO data copies — the snapshot is the
   * manifest's immutable file list, shared with every other reader.
   */
-final class TxStudyStore(spark: SparkSession, root: String) {
+final class TxStudyStore(spark: SparkSession, root: String)
+    extends HarvestStore {
 
   private val VersionArg = "txv"
+
+  /** The latest committed version, re-resolved per call (the file
+    * list is pinned at resolution, so each individual verb still
+    * reads one consistent snapshot).
+    */
+  override def studies: DataFrame = TxTable.read(spark, root)
+
+  /** Point-verb flags run against the latest version (one snapshot
+    * per call, like [[studies]]).
+    */
+  override def queryFlags(
+      filter: Filter, flags: Seq[(String, Filter)]): Option[Seq[String]] =
+    new StudyStore(studies).queryFlags(filter, flags)
 
   /** [[StudyStore.queryPage]] against the pinned (continuation) or
     * latest (first page) committed version; the returned token
     * carries the pin.
     */
-  def queryPage(
+  override def queryPage(
       filter: Filter,
       fields: Seq[String],
       listSize: Int,
       token: Option[ResumptionToken],
       filterFingerprint: String,
-      derive: DataFrame => DataFrame = identity,
-      tokenArgs: Map[String, String] = Map.empty): Page = {
+      derive: DataFrame => DataFrame,
+      tokenArgs: Map[String, String]): Page = {
     val version = token match {
       case Some(t) =>
         t.args.getOrElse(VersionArg,

@@ -835,12 +835,44 @@ object TxTable {
           "the name matches a renamed or dropped column's PHYSICAL " +
           "name; old files' bytes would resurrect under it (pick a " +
           "different name)")
-      headers + ("schema" -> StructType(declared.fields ++ extra).json)
+      // an ADDED reserved name gets its physical mapping here, like
+      // create/overwrite give one at schema establishment
+      headers + ("schema" ->
+        reserveMapped(StructType(declared.fields ++ extra)).json)
     }
   }
 
+  /** Spark's parquet source reserves `_metadata` for the hidden
+    * per-file metadata struct (file_path / row_index) that deletion-
+    * vector application and the change feed join on; a DATA column
+    * with that name shadows the hidden one, so every DV read fails
+    * analysis — and the reference's record schema carries exactly
+    * such a column (`RecordMeta` as `_metadata`). Schema-establishing
+    * writes therefore pin a PHYSICAL on-file name for any reserved
+    * top-level name through the existing column-mapping machinery:
+    * bytes land under `_gm_metadata`, reads alias back to the logical
+    * name like any renamed column, and the hidden metadata column
+    * stays reachable. Mapped-already fields (a rename) are left
+    * alone; the candidate name steps until free.
+    */
+  private val ReservedNames = Set("_metadata")
+
+  private def reserveMapped(st: StructType): StructType = {
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val taken = st.fields.map(f => key(physicalName(f))).toSet
+    StructType(st.fields.map { f =>
+      if (!ReservedNames.contains(key(f.name)) || physicalName(f) != f.name) f
+      else {
+        var cand = "_gm" + f.name
+        while (taken.contains(key(cand))) cand = "_gm" + cand
+        f.copy(metadata = new MetadataBuilder()
+          .putString(PhysNameKey, cand).build())
+      }
+    })
+  }
+
   private def schemaHeaderFor(df: DataFrame): (String, String) =
-    "schema" -> normSchema(df.schema).json
+    "schema" -> reserveMapped(normSchema(df.schema)).json
 
   /** Resolve the table's CHECK constraint (if any) against a
     * PROSPECTIVE schema — ANALYSIS ONLY, no job: a rename/drop that
@@ -1048,10 +1080,12 @@ object TxTable {
       .getOrElse(Map.empty[String, String])
     requireNoCaseDuplicates(df.schema, s"create at $root")
     enforceCheck(df, headers0, s"create at $root")
-    val entries = writeDataFiles(df, root, clusterCols, buckets)
     val headers = headers0 + schemaHeaderFor(df) ++ (
       if (clusterCols.isEmpty) Map.empty[String, String]
       else Map("cluster" -> clusterCols.mkString(",")))
+    // reserved-name mapping (`_metadata`) may already apply at v0
+    val entries =
+      writeDataFiles(toPhysical(df, headers), root, clusterCols, buckets)
     if (!tryCommit(df.sparkSession, root, 0L, headers, entries))
       throw new CommitConflict(s"concurrent create at $root")
     0L
@@ -1065,9 +1099,13 @@ object TxTable {
     val spark = df.sparkSession
     val pre = latestSnapshot(spark, root)
     enforceCheck(df, pre.headers, s"append at $root")
-    checkSchema(df, pre.headers, s"append at $root", mergeSchema)
+    // the checked headers carry any schema the batch ADDS (mergeSchema)
+    // including a reserved-name physical mapping — the batch's files
+    // must land under those physical names, not pre's
+    val preChecked = checkSchema(df, pre.headers, s"append at $root",
+      mergeSchema)
     val entries =
-      writeDataFiles(toPhysical(df, pre.headers), root,
+      writeDataFiles(toPhysical(df, preChecked), root,
         pre.clusterCols, buckets)
     // pinned indexes: route ONLY the new rows through each sidecar —
     // the corpus-side delta and the index-side delta publish together
@@ -1183,8 +1221,11 @@ object TxTable {
     // indexes rebuild from the replacing frame: its moments ARE the
     // corpus moments now
     val headers = indexHeadersWith(cur, headers0, idxMoments, add = false)
-    val entries = writeDataFiles(df, root, logicalCluster, buckets) ++
-      idxEntries
+    // the rename-era mapping ends here, but reserved-name mapping
+    // (`_metadata`) may re-apply through the fresh schema header
+    val entries =
+      writeDataFiles(toPhysical(df, headers), root, logicalCluster,
+        buckets) ++ idxEntries
     if (!tryCommit(spark, root, expectedVersion + 1, headers, entries))
       throw new CommitConflict(
         s"overwrite at $root: version ${expectedVersion + 1} already " +

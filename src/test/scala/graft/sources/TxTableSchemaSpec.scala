@@ -365,4 +365,40 @@ class TxTableSchemaSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 8L)
     intercept[IllegalArgumentException] { TxTable.append(narrow, root) }
   }
+
+  test("a data column named _metadata maps to a physical name so " +
+    "DV reads and the change feed keep the hidden file-metadata " +
+    "column (the reference's own record schema)") {
+    def withMeta(ks: Seq[Long]) = ks.map(k => (k, s"v$k"))
+      .toDF("k", "v")
+      .withColumn("_metadata", struct(lit("created").as("status"),
+        ($"k" * 10).as("stamp")))
+    val root = Files.createTempDirectory("graft-schema-").toString
+    TxTable.create(withMeta(1L to 8L), root)                       // v0
+    // bytes land under the mapped physical name, never `_metadata`
+    val footerCols = spark.read
+      .parquet(TxTable.latestSnapshot(spark, root).files
+        .map(f => s"$root/$f"): _*).columns.toSet
+    assert(footerCols.contains("_gm_metadata") &&
+      !footerCols.contains("_metadata"))
+    // reads serve the LOGICAL name
+    val t0 = TxTable.read(spark, root)
+    assert(t0.columns.contains("_metadata"))
+    assert(t0.filter($"_metadata.stamp" === 30L).count() === 1L)
+    // the DV path needs the HIDDEN _metadata.file_path/row_index —
+    // the shadow this mapping exists to prevent
+    TxTable.deleteWhere(spark, root, $"_metadata.stamp" >= 70L)    // v1
+    assert(TxTable.read(spark, root).count() === 6L)
+    val changes = TxTable.readChangesTyped(spark, root, 0L, 1L)
+    assert(changes.filter($"_change_type" === "delete").count() === 2L)
+    assert(changes.columns.contains("_metadata"))
+    // mergeSchema-ADDED reserved name gets the mapping too
+    val root2 = Files.createTempDirectory("graft-schema-").toString
+    TxTable.create(narrow, root2)
+    TxTable.append(withMeta(11L to 12L), root2, mergeSchema = true)
+    TxTable.deleteWhere(spark, root2, $"k" === 11L)
+    val t2 = TxTable.read(spark, root2)
+    assert(t2.count() === 11L)
+    assert(t2.filter($"_metadata.stamp" === 120L).count() === 1L)
+  }
 }

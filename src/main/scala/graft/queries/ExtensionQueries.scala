@@ -7537,6 +7537,81 @@ object IoQueries extends QueryGroup {
         |WHERE doc_id % 5 <> 2
         |ORDER BY doc_id""".stripMargin))
 
+  /** DELTA-BOUNDED CDC REPLICATION ([[graft.sources.TxReplicate]],
+    * round 16): the SAME mixed traffic as `io_tx_cdc_replicate`
+    * (append, change-feed merge with updates + inserts + tombstones,
+    * DV delete) mirrored with the delta-bounded apply instead of the
+    * per-version full-table merge rewrite — deletes and update
+    * preimages mask via the deletion-vector path (KB-scale position
+    * writes, stats-pruned matching scan), inserts and postimages
+    * append through the exactly-once streaming face (the source
+    * version is the batch id, so a redelivered batch skips BEFORE
+    * its key-delete could catch already-applied postimage rows).
+    * Same oracle SQL as the merge-apply gate: the hash pins the two
+    * apply strategies to identical final state.
+    */
+  val txCdcReplicateDv: QueryDef = QueryDef(
+    "io_tx_cdc_replicate_dv",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val srcPath = java.nio.file.Files
+        .createTempDirectory("graft-cdcrepdv-src-")
+      val dstPath = java.nio.file.Files
+        .createTempDirectory("graft-cdcrepdv-dst-")
+      val src = srcPath.toString
+      val dst = dstPath.toString
+      val out = try {
+        graft.sources.TxTable.create(
+          docs.filter(col("doc_id") % 3 === 0), src)               // v0
+        graft.sources.TxTable.append(
+          docs.filter(col("doc_id") % 3 === 1), src)               // v1
+        graft.sources.TxTable.setChangeFeed(s, src, enabled = true) // v2
+        val msrc = docs.filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), concat(lit("M:"), col("text")).as("text"),
+            lit(false).as("deleted"))
+          .unionByName(docs
+            .filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 1)
+            .select(col("doc_id"), col("text"), lit(true).as("deleted")))
+        graft.sources.TxTable.mergeInto(src, msrc, "doc_id",
+          Seq("text"), "deleted")                                  // v3
+        graft.sources.TxTable.deleteWhere(s, src,
+          col("doc_id") % 5 === 2)                                 // v4
+        graft.sources.TxReplicate.mirror(s, src, dst, "doc_id")
+        val a = graft.sources.TxTable.read(s, src)
+        val b = graft.sources.TxTable.read(s, dst)
+        require(a.count() == b.count() &&
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          "DV-applied replica diverged from source")
+        // redelivery of an already-applied version is a wholesale
+        // no-op (the high-water skip guards the key-delete)
+        require(graft.sources.TxReplicate.applyTyped(s, dst, "doc_id",
+          graft.sources.TxTable.readChangesTyped(s, src, 3L, 4L),
+          streamId = "mirror", batchId = 4L) == 0,
+          "redelivered batch must skip wholesale")
+        b.orderBy("doc_id").collect().toSeq
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Seq(srcPath, dstPath).foreach { p =>
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      }
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getString(1)))
+        .toDF("doc_id", "text").orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, 'M:' || text AS text FROM documents
+        |  WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 1
+        |    AND doc_id % 11 <> 3)
+        |WHERE doc_id % 5 <> 2
+        |ORDER BY doc_id""".stripMargin))
+
   /** SNAPSHOT-PINNED HARVEST ([[graft.query.TxStudyStore]], round
     * 16): the OAI resumption-token pagination (Q12's keyset cursor)
     * composed with TxTable time travel — the first page pins the
@@ -8722,7 +8797,7 @@ object IoQueries extends QueryGroup {
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
       cdcDedupUpdateGate, txChangesTyped, txSchemaRename,
       txChangesAcrossRename, txChangesAcrossDrop, txVacuumCdcBoundary,
-      txCdcReplicate, txSnapshotHarvest,
+      txCdcReplicate, txCdcReplicateDv, txSnapshotHarvest,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

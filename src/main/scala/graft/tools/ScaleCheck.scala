@@ -1306,6 +1306,94 @@ object ScaleCheck {
       pinned(blown, s"${dup}x")
     }
 
+    // round 16: CDC replication apply — the merge apply rewrites the
+    // whole replica per applied version (table-bounded), the DV apply
+    // masks keys + appends rows (delta-bounded). The SAME fixed-size
+    // traffic (1000-row update merge, 500-key delete — ids below 3000
+    // exist in every base) lands on a 1x and a dup-fold base: the
+    // merge tail must scale with the base, the DV tail must not.
+    // The documents corpus (50k rows, ~7 MB) is too small for a full
+    // rewrite to cost anything — the first probe run measured BOTH
+    // tails flat at ~2 s — so the base here is synthetic at 500k/5M
+    // rows, where the rewrite asymptote is visible.
+    if (only.forall(_.exists("cdc_apply".startsWith))) {
+      def synthBase(rows: Long) = spark.range(rows).select(
+        col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("text"))
+      def mirrorProbe(base: DataFrame, tag: String): Unit = {
+        val src = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-cdc-src-$tag-").toString
+        graft.sources.TxTable.create(base, src, buckets = 32)       // v0
+        graft.sources.TxTable.setChangeFeed(spark, src, enabled = true)
+        graft.sources.TxTable.mergeInto(src,
+          base.filter(col("doc_id").between(0, 1999))
+            .select(col("doc_id"),
+              concat(lit("M:"), col("text")).as("text"),
+              lit(false).as("deleted")),
+          "doc_id", Seq("text"), "deleted", buckets = 32)           // v2
+        graft.sources.TxTable.deleteWhere(spark, src,
+          col("doc_id").between(2000, 2999))                        // v3
+        val vs = graft.sources.TxTable.versions(spark, src).filter(_ > 0)
+        def bootstrap(): String = {
+          val dst = java.nio.file.Files
+            .createTempDirectory(s"graft-scale-cdc-dst-$tag-").toString
+          graft.sources.TxTable.create(
+            graft.sources.TxTable.readVersion(spark, src, 0L), dst,
+            buckets = 32)
+          dst
+        }
+        // wall-clock alone cannot separate the strategies at probe-
+        // feasible sizes (local NVMe absorbs a 5M-row rewrite in
+        // seconds — both tails measured ~8-13 s flat), so the probe
+        // ALSO reports bytes written by each tail: the structural
+        // claim is merge ≈ versions × base bytes, DV ≈ delta bytes.
+        def dirBytes(p: String): Long = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+            .iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        }
+        val dvDst = bootstrap()
+        val dvBoot = dirBytes(dvDst)
+        time(s"cdc_apply_dv_tail_$tag", {
+          vs.foreach(v => graft.sources.TxReplicate.applyTyped(
+            spark, dvDst, "doc_id",
+            graft.sources.TxTable.readChangesTyped(spark, src, v - 1, v),
+            streamId = "mirror", batchId = v))
+          spark.range(1).toDF("ok")
+        })
+        println(f"[scale] cdc_apply_dv_written_$tag%-14s " +
+          f"${(dirBytes(dvDst) - dvBoot) / 1e6}%10.1f MB")
+        val mgDst = bootstrap()
+        val mgBoot = dirBytes(mgDst)
+        time(s"cdc_apply_merge_tail_$tag", {
+          vs.foreach { v =>
+            val ev = graft.sources.TxTable
+              .readChangesTyped(spark, src, v - 1, v)
+            val apply = ev
+              .filter(col("_change_type").isin("insert", "update_postimage"))
+              .select(col("doc_id"), col("text"), lit(false).as("deleted"))
+              .unionByName(ev.filter(col("_change_type") === "delete")
+                .select(col("doc_id"), col("text"), lit(true).as("deleted")))
+            if (!apply.isEmpty)
+              graft.sources.TxTable.mergeInto(mgDst, apply, "doc_id",
+                Seq("text"), "deleted", buckets = 32)
+          }
+          spark.range(1).toDF("ok")
+        })
+        println(f"[scale] cdc_apply_merge_written_$tag%-11s " +
+          f"${(dirBytes(mgDst) - mgBoot) / 1e6}%10.1f MB")
+        // both strategies end at the same state
+        val a = graft.sources.TxTable.read(spark, dvDst)
+        val b = graft.sources.TxTable.read(spark, mgDst)
+        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"cdc_apply_$tag: DV and merge replicas diverged")
+      }
+      mirrorProbe(synthBase(500000L), "1x")
+      mirrorProbe(synthBase(500000L * dup), s"${dup}x")
+    }
+
     // round 16: edit-distance q-gram blocking — the gram enumeration
     // is the interpreted transform(sequence) shape (HOF tax); probe
     // whether it dominates at 10x BEFORE kernel-rewriting (the

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Delta-bounded CDC apply: replica state converges to the source
+  * under mixed traffic, and redelivered batches are wholesale no-ops
+  * (the high-water skip guards the non-idempotent key-delete).
+  */
+class TxReplicateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(ks: Seq[Long]) =
+    ks.map(k => (k, s"v$k")).toDF("k", "v")
+
+  test("mirror converges under append, feed-merge updates/inserts/" +
+    "tombstones, and DV deletes — without rewriting the replica") {
+    val src = Files.createTempDirectory("graft-rep-src-").toString
+    val dst = Files.createTempDirectory("graft-rep-dst-").toString
+    TxTable.create(rows(1L to 6L), src)                            // v0
+    TxTable.setChangeFeed(spark, src, enabled = true)              // v1
+    TxTable.append(rows(7L to 8L), src)                            // v2
+    TxTable.mergeInto(src,
+      Seq((2L, "UPD", false), (9L, "NEW", false), (5L, "x", true))
+        .toDF("k", "v", "deleted"),
+      "k", Seq("v"), "deleted")                                    // v3
+    TxTable.deleteWhere(spark, src, col("k") === 7L)               // v4
+
+    TxReplicate.mirror(spark, src, dst, "k")
+    val a = TxTable.read(spark, src).as[(Long, String)].collect().toSet
+    val b = TxTable.read(spark, dst).as[(Long, String)].collect().toSet
+    assert(a == b)
+    assert(b == Set(1L -> "v1", 2L -> "UPD", 3L -> "v3", 4L -> "v4",
+      6L -> "v6", 8L -> "v8", 9L -> "NEW"))
+    // the replica never rewrote its bootstrap files: v0's data files
+    // all survive in the latest manifest (appends + DVs only)
+    val boot = TxTable.snapshot(spark, dst, 0L).files.toSet
+    assert(boot.subsetOf(
+      TxTable.latestSnapshot(spark, dst).files.toSet))
+  }
+
+  test("a redelivered batch skips wholesale — its key-delete never " +
+    "reaches postimage rows the first delivery appended") {
+    val src = Files.createTempDirectory("graft-rep-src-").toString
+    val dst = Files.createTempDirectory("graft-rep-dst-").toString
+    TxTable.create(rows(1L to 3L), src)                            // v0
+    TxTable.setChangeFeed(spark, src, enabled = true)              // v1
+    TxTable.mergeInto(src,
+      Seq((2L, "UPD", false)).toDF("k", "v", "deleted"),
+      "k", Seq("v"), "deleted")                                    // v2
+    TxReplicate.mirror(spark, src, dst, "k")
+    assert(TxTable.read(spark, dst).filter($"v" === "UPD").count() == 1L)
+
+    val ev = TxTable.readChangesTyped(spark, src, 1L, 2L)
+    assert(TxReplicate.applyTyped(spark, dst, "k", ev,
+      streamId = "mirror", batchId = 2L) == 0)
+    // the updated row survived the replay attempt
+    assert(TxTable.read(spark, dst).filter($"v" === "UPD").count() == 1L)
+  }
+
+  test("a delete-only batch advances the high-water (header-only " +
+    "append), so its replay cannot re-mask later re-inserts") {
+    val src = Files.createTempDirectory("graft-rep-src-").toString
+    val dst = Files.createTempDirectory("graft-rep-dst-").toString
+    TxTable.create(rows(1L to 4L), src)                            // v0
+    TxTable.setChangeFeed(spark, src, enabled = true)              // v1
+    TxTable.deleteWhere(spark, src, col("k") === 3L)               // v2
+    TxReplicate.mirror(spark, src, dst, "k")
+    assert(TxTable.read(spark, dst).count() == 3L)
+    // replay of the delete-only version: skipped, count unchanged
+    val ev = TxTable.readChangesTyped(spark, src, 1L, 2L)
+    assert(TxReplicate.applyTyped(spark, dst, "k", ev,
+      streamId = "mirror", batchId = 2L) == 0)
+    assert(TxTable.read(spark, dst).count() == 3L)
+  }
+}

@@ -1394,6 +1394,50 @@ object ScaleCheck {
       mirrorProbe(synthBase(500000L * dup), s"${dup}x")
     }
 
+    // round 16: snapshot-pinned harvest pagination — each page is
+    // `key > cursor ORDER BY key LIMIT n` over the pinned version.
+    // The cursor predicate pushes to parquet, so when the table is
+    // key-clustered (files carry narrow key ranges) later pages SKIP
+    // earlier files via footer min/max and per-page cost stays ~flat
+    // in table size; an unclustered store re-scans everything after
+    // the cursor each page. Probe: drain 5 fixed-size pages at 1x
+    // and dup-fold, clustered vs not.
+    if (only.forall(_.exists("snapshot_harvest".startsWith))) {
+      def pagedStore(rows: Long, clustered: Boolean): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-harvest-").toString
+        val frame = spark.range(rows).select(
+          col("id").as("doc_id"),
+          md5(col("id").cast("string")).as("text"),
+          lpad(col("id").cast("string"), 12, "0")
+            .as("_aggregator_identifier"))
+        graft.sources.TxTable.create(frame, root,
+          clusterCol = if (clustered) Some("doc_id") else None,
+          buckets = 32)
+        root
+      }
+      def drainPages(root: String): DataFrame = {
+        val store = new graft.query.TxStudyStore(spark, root)
+        val fp = graft.query.ResumptionToken.fingerprint("scale-harvest")
+        var token: Option[graft.query.ResumptionToken] = None
+        var total = 0L
+        (1 to 5).foreach { _ =>
+          val p = store.queryPage(graft.query.True,
+            Seq("doc_id", "text"), 200, token, fp)
+          total += p.rows.size
+          token = p.token
+        }
+        spark.range(total).toDF("n")
+      }
+      Seq(("flat", false), ("clustered", true)).foreach {
+        case (kind, clustered) =>
+          val r1 = pagedStore(100000L, clustered)
+          time(s"snapshot_harvest_${kind}_1x", drainPages(r1))
+          val r10 = pagedStore(100000L * dup, clustered)
+          time(s"snapshot_harvest_${kind}_${dup}x", drainPages(r10))
+      }
+    }
+
     // round 16: edit-distance q-gram blocking — the gram enumeration
     // is the interpreted transform(sequence) shape (HOF tax); probe
     // whether it dominates at 10x BEFORE kernel-rewriting (the

@@ -7612,6 +7612,89 @@ object IoQueries extends QueryGroup {
         |WHERE doc_id % 5 <> 2
         |ORDER BY doc_id""".stripMargin))
 
+  /** MIRROR RESUME ACROSS A VACUUMED GAP ([[graft.sources
+    * .TxReplicate.resume]], round 16): a mirror consumer that slept
+    * past the source's vacuum retention cannot tail the feed — the
+    * read throws the crisp [[graft.sources.TxTable
+    * .VacuumedVersionException]] — and the recovery the exception
+    * prescribes is the Merkle reconcile: one nBuckets-scale digest
+    * diff, then a DV-mask + append touching ONLY the drifted
+    * buckets, where a naive recovery re-copies the table. The gate
+    * mirrors, lands the same mixed traffic as the replicate gates
+    * while the consumer sleeps, vacuums the source to the tip,
+    * resumes (asserting the reconcile path actually ran and the
+    * high-water advanced so the NEXT resume is a pure tail), and
+    * hashes the repaired replica against the source-state SQL.
+    */
+  val txMirrorVacuumResume: QueryDef = QueryDef(
+    "io_tx_mirror_vacuum_resume",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val srcPath = java.nio.file.Files
+        .createTempDirectory("graft-mirres-src-")
+      val dstPath = java.nio.file.Files
+        .createTempDirectory("graft-mirres-dst-")
+      val src = srcPath.toString
+      val dst = dstPath.toString
+      val out = try {
+        graft.sources.TxTable.create(
+          docs.filter(col("doc_id") % 3 === 0), src)               // v0
+        graft.sources.TxTable.setChangeFeed(s, src, enabled = true) // v1
+        graft.sources.TxReplicate.mirror(s, src, dst, "doc_id")
+        // the consumer sleeps through three versions...
+        graft.sources.TxTable.append(
+          docs.filter(col("doc_id") % 3 === 1), src)               // v2
+        val msrc = docs.filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), concat(lit("M:"), col("text")).as("text"),
+            lit(false).as("deleted"))
+          .unionByName(docs
+            .filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 1)
+            .select(col("doc_id"), col("text"), lit(true).as("deleted")))
+        graft.sources.TxTable.mergeInto(src, msrc, "doc_id",
+          Seq("text"), "deleted")                                  // v3
+        graft.sources.TxTable.deleteWhere(s, src,
+          col("doc_id") % 5 === 2)                                 // v4
+        // ...and the source vacuums to the tip
+        graft.sources.TxTable.vacuum(s, src, keepVersions = 1,
+          retentionMs = 0L)
+        val r = graft.sources.TxReplicate.resume(
+          s, src, dst, "doc_id", "text", nBuckets = 64)
+        require(r.reconciled && r.version == 4L,
+          s"expected the Merkle-reconcile path at v4, got $r")
+        val a = graft.sources.TxTable.read(s, src)
+        val b = graft.sources.TxTable.read(s, dst)
+        require(a.count() == b.count() &&
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          "reconciled replica diverged from source")
+        // high-water advanced: the next resume is a pure tail
+        require(graft.sources.TxReplicate.resume(
+          s, src, dst, "doc_id", "text", nBuckets = 64) ==
+          graft.sources.TxReplicate.ResumeResult(4L, reconciled = false),
+          "post-reconcile resume must tail cleanly")
+        b.orderBy("doc_id").collect().toSeq
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Seq(srcPath, dstPath).foreach { p =>
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      }
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getString(1)))
+        .toDF("doc_id", "text").orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, 'M:' || text AS text FROM documents
+        |  WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 1
+        |    AND doc_id % 11 <> 3)
+        |WHERE doc_id % 5 <> 2
+        |ORDER BY doc_id""".stripMargin))
+
   /** SNAPSHOT-PINNED HARVEST ([[graft.query.TxStudyStore]], round
     * 16): the OAI resumption-token pagination (Q12's keyset cursor)
     * composed with TxTable time travel — the first page pins the
@@ -8797,7 +8880,8 @@ object IoQueries extends QueryGroup {
       txtableChanges, txChangeStreamGate, cdcDedupGate, cdcDedupDeleteGate,
       cdcDedupUpdateGate, txChangesTyped, txSchemaRename,
       txChangesAcrossRename, txChangesAcrossDrop, txVacuumCdcBoundary,
-      txCdcReplicate, txCdcReplicateDv, txSnapshotHarvest,
+      txCdcReplicate, txCdcReplicateDv, txMirrorVacuumResume,
+      txSnapshotHarvest,
       profileDrift,
       txIndexPinned, txMergeIndexAtomic,
       merkleDigestGate, merkleChangedGate, keySkewGate, merkleWindowGate,

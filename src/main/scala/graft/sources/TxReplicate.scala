@@ -96,4 +96,89 @@ object TxReplicate {
     }
     vs.lastOption.getOrElse(fromVersion)
   }
+
+  /** How a [[resume]] caught the replica up: `version` is the source
+    * version now mirrored, `reconciled` is true when the feed gap was
+    * vacuum-swept and the Merkle repair ran instead of the tail.
+    */
+  final case class ResumeResult(version: Long, reconciled: Boolean)
+
+  /** Resume a lapsed mirror from the replica's recorded high-water.
+    * The normal path tails the typed feed exactly like [[mirror]];
+    * when the consumer slept past the source's vacuum retention the
+    * feed read throws [[TxTable.VacuumedVersionException]] (never a
+    * silently partial feed) and this falls back to the repair the
+    * exception message prescribes: [[reconcile]], one Merkle-bucket
+    * diff plus a changed-buckets-only rewrite — work proportional to
+    * the DRIFT, not the table, where a naive recovery re-bootstraps
+    * the whole replica.
+    */
+  def resume(
+      spark: SparkSession, srcRoot: String, dstRoot: String,
+      keyCol: String, contentCol: String,
+      nBuckets: Int = 1024): ResumeResult = {
+    val hw = TxTable.latestSnapshot(spark, dstRoot)
+      .headers.get("stream:mirror").map(_.toLong).getOrElse(0L)
+    val vs = TxTable.versions(spark, srcRoot).filter(_ > hw)
+    try {
+      vs.foreach { v =>
+        applyTyped(spark, dstRoot, keyCol,
+          TxTable.readChangesTyped(spark, srcRoot, v - 1L, v),
+          streamId = "mirror", batchId = v)
+      }
+      ResumeResult(vs.lastOption.getOrElse(hw), reconciled = false)
+    } catch {
+      case _: TxTable.VacuumedVersionException =>
+        ResumeResult(
+          reconcile(spark, srcRoot, dstRoot, keyCol, contentCol, nBuckets),
+          reconciled = true)
+    }
+  }
+
+  /** Merkle-anchored repair: make the replica equal the source's
+    * LATEST snapshot by touching only the buckets that actually
+    * differ. [[graft.operators.DataProfile.changedBuckets]] compares
+    * the two tables as `nBuckets` order-independent digests (the
+    * exchange is nBuckets-scale — KBs at any table size); the repair
+    * is one DV-mask of the replica's drifted buckets (a position-
+    * finding scan whose WRITE is a KB position list) plus one append
+    * of the source's rows for those buckets — bytes written
+    * proportional to the DRIFT volume, zero data-file rewrites,
+    * where a naive recovery re-copies the table. A crash mid-repair
+    * converges on re-run: the
+    * missing rows keep their buckets `changed`, so the next
+    * reconcile re-selects them.
+    *
+    * `contentCol` must functionally determine the row's value state
+    * (concat the value columns into one if there are several) —
+    * divergence in columns outside it is invisible to the digest.
+    * Advances the replica's mirror high-water to the reconciled
+    * source version so a later [[resume]] tails from there.
+    */
+  def reconcile(
+      spark: SparkSession, srcRoot: String, dstRoot: String,
+      keyCol: String, contentCol: String,
+      nBuckets: Int = 1024): Long = {
+    val srcV = TxTable.versions(spark, srcRoot).max
+    val src = TxTable.readVersion(spark, srcRoot, srcV)
+    val dst = TxTable.read(spark, dstRoot)
+    val changed = graft.operators.DataProfile
+      .changedBuckets(dst, src, keyCol, contentCol, nBuckets)
+      .filter(col("status") =!= "unchanged")
+      .select("bucket").collect().map(_.getLong(0)).toSeq
+    if (changed.nonEmpty) {
+      val bucketOf =
+        graft.operators.DataProfile.digestBucket(keyCol, nBuckets)
+      TxTable.deleteWhere(spark, dstRoot,
+        bucketOf.isInCollection(changed))
+      TxTable.addStreamingBatch(
+        src.filter(bucketOf.isInCollection(changed)), dstRoot,
+        streamId = "mirror", batchId = srcV)
+    } else {
+      // nothing drifted — still advance the high-water (header-only)
+      TxTable.addStreamingBatch(dst.limit(0), dstRoot,
+        streamId = "mirror", batchId = srcV)
+    }
+    srcV
+  }
 }

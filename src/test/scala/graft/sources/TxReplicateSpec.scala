@@ -62,6 +62,79 @@ class TxReplicateSpec extends SparkSpec {
     assert(TxTable.read(spark, dst).filter($"v" === "UPD").count() == 1L)
   }
 
+  test("resume tails from the recorded high-water when the feed " +
+    "survives, and reports reconciled=false") {
+    val src = Files.createTempDirectory("graft-rep-src-").toString
+    val dst = Files.createTempDirectory("graft-rep-dst-").toString
+    TxTable.create(rows(1L to 4L), src)                            // v0
+    TxTable.setChangeFeed(spark, src, enabled = true)              // v1
+    TxReplicate.mirror(spark, src, dst, "k")
+    TxTable.append(rows(Seq(5L)), src)                             // v2
+    TxTable.mergeInto(src,
+      Seq((1L, "UPD", false)).toDF("k", "v", "deleted"),
+      "k", Seq("v"), "deleted")                                    // v3
+    val r = TxReplicate.resume(spark, src, dst, "k", "v")
+    assert(r == TxReplicate.ResumeResult(3L, reconciled = false))
+    val a = TxTable.read(spark, src).as[(Long, String)].collect().toSet
+    val b = TxTable.read(spark, dst).as[(Long, String)].collect().toSet
+    assert(a == b && b.contains(1L -> "UPD") && b.contains(5L -> "v5"))
+  }
+
+  test("resume across a vacuum-swept gap falls back to the Merkle " +
+    "reconcile: replica converges, bootstrap files survive, and the " +
+    "high-water advances so the next resume tails") {
+    val src = Files.createTempDirectory("graft-rep-src-").toString
+    val dst = Files.createTempDirectory("graft-rep-dst-").toString
+    TxTable.create(rows(1L to 50L), src)                           // v0
+    TxTable.setChangeFeed(spark, src, enabled = true)              // v1
+    TxReplicate.mirror(spark, src, dst, "k")
+    // the consumer sleeps through three versions...
+    TxTable.append(rows(Seq(51L)), src)                            // v2
+    TxTable.mergeInto(src,
+      Seq((7L, "UPD7", false), (52L, "NEW", false), (9L, "x", true))
+        .toDF("k", "v", "deleted"),
+      "k", Seq("v"), "deleted")                                    // v3
+    TxTable.deleteWhere(spark, src, col("k") === 13L)              // v4
+    // ...and vacuum sweeps everything but the tip
+    TxTable.vacuum(spark, src, keepVersions = 1, retentionMs = 0L)
+
+    val r = TxReplicate.resume(spark, src, dst, "k", "v", nBuckets = 16)
+    assert(r.reconciled && r.version == 4L)
+    val a = TxTable.read(spark, src).as[(Long, String)].collect().toSet
+    val b = TxTable.read(spark, dst).as[(Long, String)].collect().toSet
+    assert(a == b && b.contains(7L -> "UPD7") && b.contains(52L -> "NEW")
+      && !b.exists(_._1 == 9L) && !b.exists(_._1 == 13L))
+    // repair was bucket-scoped, not a re-bootstrap: the replica's v0
+    // data files all survive in the latest manifest
+    val boot = TxTable.snapshot(spark, dst, 0L).files.toSet
+    assert(boot.subsetOf(TxTable.latestSnapshot(spark, dst).files.toSet))
+    // high-water advanced: a fresh resume is a pure no-drift tail
+    val r2 = TxReplicate.resume(spark, src, dst, "k", "v", nBuckets = 16)
+    assert(r2 == TxReplicate.ResumeResult(4L, reconciled = false))
+    assert(TxTable.read(spark, dst).as[(Long, String)].collect().toSet == a)
+  }
+
+  test("reconcile repairs arbitrary replica drift (bucket-scoped " +
+    "delete + append), and is a header-only no-op when in sync") {
+    val src = Files.createTempDirectory("graft-rep-src-").toString
+    val dst = Files.createTempDirectory("graft-rep-dst-").toString
+    TxTable.create(rows(1L to 30L), src)                           // v0
+    TxReplicate.mirror(spark, src, dst, "k")
+    // corrupt the replica directly: drop a row, mangle another
+    TxTable.deleteWhere(spark, dst, col("k") === 5L)
+    TxTable.mergeInto(dst,
+      Seq((11L, "CORRUPT", false)).toDF("k", "v", "deleted"),
+      "k", Seq("v"), "deleted")
+    TxReplicate.reconcile(spark, src, dst, "k", "v", nBuckets = 8)
+    val a = TxTable.read(spark, src).as[(Long, String)].collect().toSet
+    val b = TxTable.read(spark, dst).as[(Long, String)].collect().toSet
+    assert(a == b)
+    // in sync: no data commit, just the high-water header
+    val before = TxTable.latestSnapshot(spark, dst).files.size
+    TxReplicate.reconcile(spark, src, dst, "k", "v", nBuckets = 8)
+    assert(TxTable.latestSnapshot(spark, dst).files.size == before)
+  }
+
   test("a delete-only batch advances the high-water (header-only " +
     "append), so its replay cannot re-mask later re-inserts") {
     val src = Files.createTempDirectory("graft-rep-src-").toString

@@ -330,6 +330,17 @@ object Dedup {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
+  /** Bit-identical twin of the `xxhash64` SQL function (seed 42) for
+    * the JVM kernels, so a kernel-built hash array interoperates with
+    * declaratively-built ones ([[jaccardPairsBlocked]],
+    * [[jaccardSorted]]) value-for-value.
+    */
+  private[graft] def xxhash64String(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
   private[graft] def shingleStrings(text: String, n: Int): Array[String] = {
     val w = text.toLowerCase.trim.split("\\s+")
     if (w.length < n) Array(w.mkString(" "))
@@ -700,31 +711,45 @@ object Dedup {
     requireLongCastableId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
-    val sets = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(words(textCol)).as("ws"))
-    // sorted 64-bit token hashes: the verify kernel merge-intersects these
-    // (same arrays as [[jaccardPairsBlocked]], so both variants agree)
-    val keyed = sets
-      .withColumn("hs", array_sort(transform(col("ws"), w => xxhash64(w))))
-      // deterministic cluster identity from the content itself — NOT a
-      // member id, which is ambiguous when one id appears with two texts
-      .withColumn("ckey", xxhash64(
-        concat_ws(",", transform(col("hs"), h => h.cast("string")))))
-      // materialize before aggregating: a partial aggregate over the
-      // lazy plan re-evaluates the interpreted HOF hash chain per row
-      // per aggregate expression (measured 4.4 s vs 0.25 s at sf0.1 —
-      // see [[containmentPairs]], same shape)
-      .materialized
+    // sorted 64-bit token hashes: the verify kernel merge-intersects
+    // these (bit-identical to [[jaccardPairsBlocked]]'s xxhash64 arrays
+    // via [[xxhash64String]], so both variants agree value-for-value).
+    // A per-partition JVM kernel replaces the earlier declarative
+    // transform/array_sort/concat_ws chain: Spark evaluates HOF lambdas
+    // interpreted, and that chain was one ~1.0 s single-task job at
+    // sf0.1 (the whole gate was 2.3 s) — the tight loop does the same
+    // hashing in ~50 ms and needs no pre-aggregate materialize barrier
+    // (the kernel output feeds exactly one consumer, the cluster
+    // aggregate, so nothing re-evaluates).
+    val keyed = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.trim.split("\\s+").distinct
+          val hs = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { hs(i) = xxhash64String(toks(i)); i += 1 }
+          java.util.Arrays.sort(hs)
+          // deterministic cluster identity from the content itself — NOT
+          // a member id, which is ambiguous when one id appears with two
+          // texts (internal key: never leaves the query)
+          var ck = 1125899906842597L
+          var j = 0
+          while (j < hs.length) { ck = ck * 31 + hs(j); j += 1 }
+          (id, ck, hs)
+        }
+      }
+      .toDF("id", "ckey", "hs")
     // CLUSTER identical token sets first: on templated / duplicated
     // corpora, distinct sets grow far slower than docs (sf0.1: 3935 of
     // 5000; a 10×-duplicated corpus: unchanged), so the quadratic-ish
     // candidate work runs once per distinct set and within-cluster pairs
     // (J = 1 exactly) and cross-cluster member products are cheap,
-    // output-bounded joins. `first(ws)` is an arbitrary member, but all
+    // output-bounded joins. `first(hs)` is an arbitrary member, but all
     // downstream quantities depend only on the token SET, which every
     // member shares — so the plan stays deterministic.
     val clusters = keyed.groupBy(col("ckey")).agg(
-      first(col("ws")).as("ws"), first(col("hs")).as("hs"),
+      first(col("hs")).as("hs"),
       collect_list(col("id")).as("ids"))
       .materialized
     // prefix tokens are the 8-byte hashes, not strings — smaller join
@@ -743,9 +768,22 @@ object Dedup {
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("ckey"), col("n"), col("w"))
       .join(clusters.select(col("ckey"), col("hs")), "ckey")
+    // The candidate join + verify stage is CPU-bound on KB-scale rows
+    // (every surviving candidate merge-walks two sorted hash arrays), so
+    // AQE's byte-based coalescing folds it into one task and the gate
+    // stops scaling with cores (measured: a 1.2 s single-task stage at
+    // sf0.1/local[32]). Pin the join's partitioning explicitly —
+    // repartition WITH a partition count is exempt from AQE coalescing —
+    // sized scale-adaptively from the session (max of the configured
+    // shuffle width and the executor slot count, never a constant), and
+    // shared by both join sides (same child plan → one Exchange, reused).
+    val pWidth = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      spark.sparkContext.defaultParallelism)
+    val pPrefix = prefix.repartition(pWidth, col("w"))
     // size-compatibility prune inside the candidate join:
     // J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t; pair identity = cluster keys
-    val cands = prefix.as("a").join(prefix.as("b"),
+    val cands = pPrefix.as("a").join(pPrefix.as("b"),
         col("a.w") === col("b.w") && col("a.ckey") < col("b.ckey") &&
           col("a.n") * threshold <= col("b.n") &&
           col("b.n") * threshold <= col("a.n"))

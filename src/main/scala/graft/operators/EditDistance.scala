@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -131,16 +133,34 @@ object EditDistance {
     * count filter is QUADRATIC in corpus size while this stays
     * bucket-bounded (~20× at 20k rows); on uniform-gram corpora
     * (hash-like strings, where the prefix keeps g−1 of g keys and
-    * prunes nothing) the two run at parity. CAVEAT: the prefix
-    * guarantee needs ≥ `maxDist·q + 1` rare gram occurrences per
-    * string — a variable region shorter than ~`maxDist·q` chars
-    * forces a shared frequent gram into every prefix and the join
-    * degrades to the same quadratic (measured 539 s vs 4.8 s at 20k;
-    * Ed-Join's location filter is the literature fix, not carried
-    * here). Prefer [[pairs]] only when strings are near-globally
-    * distinct AND tiny; prefer THIS when formatting is shared and
-    * the variable region is wide enough.
+    * prunes nothing) the two run at parity.
+    *
+    * DEGENERATE-CASE GUARD: the prefix guarantee needs ≥
+    * `maxDist·q + 1` rare gram occurrences per string — a variable
+    * region shorter than ~`maxDist·q` chars forces a shared frequent
+    * gram into every prefix and the join degrades to a quadratic
+    * WORSE than the count filter's (round-16 probe: 539 s vs the
+    * count filter's ~90 s at 20k). Rather than hope callers read
+    * this paragraph, the operator now MEASURES the hazard at plan
+    * time: the kept-prefix frame (materialized — it feeds both join
+    * sides anyway) yields its max key document frequency in one
+    * bounded aggregate, and when the hottest key alone would emit
+    * more than ~16× the frame's rows in candidate pairs
+    * (maxDf² > 16·|prefix rows|, i.e. maxDf ≳ 4·√rows — the
+    * classic df ≈ corpus collapse signature) the call falls back to
+    * [[pairs]] wholesale. Both paths are exact, so the result set is
+    * identical either way; only the cost shape changes.
     */
+  /** The [[pairsPrefix]] fallback decision: true when the hottest kept
+    * prefix key's candidate fan-out (maxDf²) exceeds ~16× the whole
+    * prefix frame — the hot key ALONE then emits ≥ 16·rows pairs, the
+    * collapse signature of a too-narrow variable region (maxDf ≈ n
+    * where a healthy prefix has maxDf ≪ √rows). Pure function of the
+    * two collected stats so the threshold is unit-testable.
+    */
+  private[graft] def prefixDegenerate(maxDf: Long, rows: Long): Boolean =
+    maxDf * maxDf > 16L * math.max(1L, rows)
+
   def pairsPrefix(
       df: DataFrame, strCol: String, idCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
@@ -187,6 +207,20 @@ object EditDistance {
           .orderBy(col("_f"), col("gram"), col("j"))))
       .filter(col("_rn") <= pfx)
       .select(col("id"), col("len"), col("gram"), col("j"))
+      // materialized: feeds the degenerate-case probe AND both sides
+      // of the candidate join — the 3-window chain above runs once
+      .materialized
+    // degenerate-case guard (see scaladoc): one bounded aggregate over
+    // the kept-prefix frame; a hot key whose df² dwarfs the frame means
+    // the variable region is too narrow for the prefix guarantee, and
+    // the count filter is the cheaper quadratic — fall back, exactly.
+    val st = prefix.groupBy(col("gram"), col("j"))
+      .agg(count(lit(1)).as("_df"))
+      .agg(coalesce(max(col("_df")), lit(0L)).as("maxDf"),
+        coalesce(sum(col("_df")), lit(0L)).as("rows"))
+      .head()
+    if (prefixDegenerate(st.getLong(0), st.getLong(1)))
+      return pairs(df, strCol, idCol, maxDist, q)
     val pa = prefix.select(col("id").as("id_a"),
       col("len").as("len_a"), col("gram"), col("j"))
     val pb = prefix.select(col("id").as("id_b"),

@@ -78,12 +78,13 @@ object Evaluation {
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("p"))
-    // Prefix-sum over the distinct-score frame: the unpartitioned
-    // window is deliberate — the frame is score-domain-bounded (see
-    // object doc), not corpus-sized, so one task holds KBs.
-    val w = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val c = g.withColumn("below", coalesce(sum("n").over(w), lit(0L)))
+    // Prefix-sum over the distinct-score frame, distributed: the frame
+    // is score-domain-bounded (see object doc) but an unpartitioned
+    // window would still sort it on ONE task — Ranks.withRunningSums
+    // buckets by collected literal boundaries and windows per bucket,
+    // exact to the long.
+    val c = Ranks.withRunningSums(g, col("s"),
+      Seq(Ranks.SumSpec("below", col("n"), inclusive = false)))
     c.agg(
         sum("p").as("np"),
         sum(col("n") - col("p")).as("nn"),
@@ -331,8 +332,6 @@ object Evaluation {
     val cnt = vals.groupBy(col("_x"))
       .agg(sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("_cb"))
-    val w = Window.orderBy(col("_x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = vals.agg(
       sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("n_b"))
@@ -344,9 +343,13 @@ object Evaluation {
     // D undefined, so fail loudly rather than emit a null/NaN row.
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def dd(c: Column) = c.cast(d38)
-    cnt
-      .select(col("_x"), sum(col("_ca")).over(w).as("_cuma"),
-        sum(col("_cb")).over(w).as("_cumb"))
+    // cumulative counts over the distinct-value frame, distributed
+    // (bucket-partitioned windows, exact longs) instead of a
+    // single-partition unpartitioned window
+    Ranks.withRunningSums(cnt, col("_x"),
+        Seq(Ranks.SumSpec("_cuma", col("_ca")),
+          Ranks.SumSpec("_cumb", col("_cb"))))
+      .select(col("_x"), col("_cuma"), col("_cumb"))
       .crossJoin(broadcast(tot))
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         max(abs(dd(col("_cuma")) * dd(col("n_b")) -
@@ -383,19 +386,19 @@ object Evaluation {
     val cnt = vals.groupBy(col("_x"))
       .agg(sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("_cb"))
-    val w = Window.orderBy(col("_x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.orderBy(col("_x"))
     val tot = vals.agg(
       sum(when(col("_g") === grpA, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("_g") === grpB, 1L).otherwise(0L)).as("n_b"))
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def dd(c: Column) = c.cast(d38)
-    cnt
-      .select(col("_x"), sum(col("_ca")).over(w).as("_cuma"),
-        sum(col("_cb")).over(w).as("_cumb"))
-      .withColumn("_gap",
-        coalesce(lead(col("_x"), 1).over(wNext) - col("_x"), lit(0L)))
+    // distributed cumulative counts + successor value (for the gap)
+    // over the distinct-value frame — no single-partition window
+    Ranks.withRunningSums(cnt, col("_x"),
+        Seq(Ranks.SumSpec("_cuma", col("_ca")),
+          Ranks.SumSpec("_cumb", col("_cb"))),
+        nextKeyOut = Some("_nx"))
+      .withColumn("_gap", coalesce(col("_nx") - col("_x"), lit(0L)))
+      .select(col("_x"), col("_cuma"), col("_cumb"), col("_gap"))
       .crossJoin(broadcast(tot))
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         sum(abs(dd(col("_cuma")) * dd(col("n_b")) -
@@ -531,11 +534,10 @@ object Evaluation {
       .groupBy(col(valueCol).cast("long").as("_v"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("_na"),
         count(lit(1)).as("_n"))
-    val w = Window.orderBy(col("_v"))
-    val ranked = perValue
-      .withColumn("_cum", coalesce(
-        sum(col("_n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    // exclusive cumulative count over the distinct-value frame,
+    // distributed (Ranks.withRunningSums) — no single-partition window
+    val ranked = Ranks.withRunningSums(perValue, col("_v"),
+        Seq(Ranks.SumSpec("_cum", col("_n"), inclusive = false)))
       // 2·avgRank = 2·cum_before + n_v + 1 keeps rank math integral
       .withColumn("_r2", lit(2) * col("_cum") + col("_n") + lit(1))
     val agg = ranked.agg(
@@ -582,11 +584,9 @@ object Evaluation {
         col(groupCol).cast("string").as("_g"))
       .agg(count(lit(1)).as("_n"))
     val nv = pv.groupBy(col("_v")).agg(sum(col("_n")).as("_nv"))
-    val w = Window.orderBy(col("_v"))
-    val ranked = nv
-      .withColumn("_cum", coalesce(
-        sum(col("_nv")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    // exclusive cumulative count, distributed (see [[mannWhitneyU]])
+    val ranked = Ranks.withRunningSums(nv, col("_v"),
+        Seq(Ranks.SumSpec("_cum", col("_nv"), inclusive = false)))
       .withColumn("_r2", lit(2) * col("_cum") + col("_nv") + lit(1))
     val perGroup = pv.join(ranked.select("_v", "_r2"), Seq("_v"))
       .groupBy(col("_g"))
@@ -1121,6 +1121,19 @@ object Evaluation {
     requireIntegralValues(df, bCol, "pairedBootstrap")
     val base = df.select(col(unitCol).cast("string").as("_u"),
       (col(aCol).cast("long") - col(bCol).cast("long")).as("_d"))
+    // spread the units BEFORE the ×nBoot explode: the md5 weight runs
+    // per (unit, replicate) — |units|×nBoot hashes — and without a
+    // shuffle the whole fan-out pipelines inside the input's scan
+    // tasks (one task for a single-file eval frame; measured 1.0 s of
+    // a 1.3 s gate in one task at sf0.1/local[32]). The shuffle moves
+    // only the narrow (unit, delta) rows; width is scale-adaptive
+    // (max of configured shuffle width and executor slots), and the
+    // explicit count exempts it from AQE's byte-based coalescing,
+    // which would re-fold this CPU-bound-but-tiny-bytes stage.
+    val pWidth = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val spread = base.repartition(pWidth, col("_u"))
     val h = conv(substring(md5(concat(lit(s"$tag:"), col("_u"),
       lit(":"), col("r").cast("string"))), 1, 7), 16, 10).cast("long")
     val w = PoissonThresholds28
@@ -1129,7 +1142,7 @@ object Evaluation {
     // rank pass and the count/sign aggregate — without it the
     // units×nBoot explode would run twice
     import graft.operators.Materialize.MaterializeOps
-    val perRep = base
+    val perRep = spread
       .select(col("_u"), col("_d"),
         explode(sequence(lit(0), lit(nBoot - 1))).as("r"))
       .withColumn("_w", w)
@@ -1141,10 +1154,12 @@ object Evaluation {
         .as("_delta"))
       .materialized
     // exact order statistics over the nBoot-bounded replicate frame —
-    // the unpartitioned window is deliberate (≤ nBoot rows, one task)
-    val wOrd = Window.orderBy(col("_delta"))
-    val ranked = perRep
-      .withColumn("_rk", row_number().over(wOrd))
+    // ranked through the bucket-partitioned Ranks primitive (same
+    // permutation contract as the row_number window it replaces; the
+    // two selected order-statistic _delta values are identical), so no
+    // single-partition WindowExec remains on this gate
+    val ranked = Ranks.withGlobalRank(perRep, "_rk", col("_delta"),
+        buckets = 16)
       .crossJoin(broadcast(perRep.agg(count(lit(1)).as("n_reps"),
         sum(when(col("_delta") <= 0.0, 1L).otherwise(0L)).as("_le0"))))
     val band = ranked

@@ -280,10 +280,18 @@ object GraphMetrics {
     * Nodes = distinct edge endpoints; sources hold authority 0, sinks
     * hub 0 — genuinely directional, unlike rank on a symmetrized graph.
     * Scale shape: edges hash-partitioned by the probe key and
-    * materialized once; each half-round joins node-scale score frames
-    * (`shuffle_hash` pin — checkpointed scores have no stats) and runs
-    * one 1-row total aggregate folded back in-plan as a broadcast
-    * cross join (no driver sync between rounds).
+    * materialized once; each half-round joins the touched-node score
+    * frame (`shuffle_hash` pin — checkpointed scores have no stats) and
+    * runs one 1-row total aggregate folded back in-plan as a broadcast
+    * cross join (no driver sync between rounds). Zero-score nodes ride
+    * NO round: a zero contributes 0 to every edge sum and to the
+    * contraction total, and 0 div q = 0, so dropping absent rows is
+    * value-identical — the per-round frames are mass-receiving nodes
+    * only, and sources/sinks re-enter as coalesced zeros in the final
+    * node-scale join (was: a node-scale left join + checkpoint per
+    * half-step, and the edge join evaluated twice per half-step — once
+    * under the q aggregate, once under the checkpoint; checkpointing
+    * the mass frame instead runs it once).
     */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -314,14 +322,12 @@ object GraphMetrics {
         .join(scores.select(col("id").as(flowKey), col("s"))
           .hint("shuffle_hash"), flowKey)
         .groupBy(col(landKey).as("id"))
-        .agg(sum(col("s")).as("m"))
-      val raw = nodes.join(mass, Seq("id"), "left")
-        .select(col("id"), coalesce(col("m"), lit(0L)).as("v"))
-      val q = raw.agg(
-        greatest(expr(s"sum(v) div ${HitsScale}L"), lit(1L)).as("q"))
-      raw.crossJoin(broadcast(q))
-        .select(col("id"), expr("v div q").as("s"))
+        .agg(sum(col("s")).as("v"))
         .materialized
+      val q = mass.agg(
+        greatest(expr(s"sum(v) div ${HitsScale}L"), lit(1L)).as("q"))
+      mass.crossJoin(broadcast(q))
+        .select(col("id"), expr("v div q").as("s"))
     }
 
     var hubs = nodes.select(col("id"), lit(HitsScale / nCount).as("s"))
@@ -333,9 +339,13 @@ object GraphMetrics {
       i += 1
     }
     nodes
-      .join(auths.select(col("id"), col("s").as("auth_fp")), Seq("id"))
-      .join(hubs.select(col("id"), col("s").as("hub_fp")), Seq("id"))
-      .select(col("id").as("node"), col("auth_fp"), col("hub_fp"))
+      .join(auths.select(col("id"), col("s").as("auth_fp")),
+        Seq("id"), "left")
+      .join(hubs.select(col("id"), col("s").as("hub_fp")),
+        Seq("id"), "left")
+      .select(col("id").as("node"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"),
+        coalesce(col("hub_fp"), lit(0L)).as("hub_fp"))
   }
 
   /** Newman modularity of a node partition over an undirected graph:

@@ -302,6 +302,106 @@ object Ranks {
     ranked.drop(specs.indices.map(i => s"_gr_b_$i"): _*)
   }
 
+  /** One running sum to compute over the [[withRunningSums]] key
+    * order: `out` = the exact cumulative sum of `value` up to the
+    * current row (inclusive) or up to the previous row (exclusive;
+    * first row gets 0). `value` must be integral — sums stay exact
+    * longs end to end (the Evaluation quantize-first contract).
+    */
+  final case class SumSpec(
+      out: String, value: Column, inclusive: Boolean = true)
+
+  /** Distributed EXACT prefix sums over a frame totally ordered by an
+    * integral `key` with UNIQUE key values (a distinct-value /
+    * groupBy-key frame — every call site's shape) — the drop-in for
+    * `sum(v).over(Window.orderBy(key))`, whose unpartitioned window
+    * Spark executes as a SINGLE-PARTITION sort.
+    *
+    * Same recipe as [[withRanks]]: boundary values of the key are
+    * estimated once with `approx_percentile` and COLLECTED, each row's
+    * bucket is a literal comparison chain (monotone with the key, so
+    * bucketing never reorders; accuracy affects only load balance),
+    * per-bucket totals are collected (≤ buckets rows) and
+    * prefix-summed on the driver, and the global running sum is the
+    * bucket's literal offset + a bucket-partitioned window's local
+    * running sum. NULL keys sort first (bucket 0), matching the
+    * ascending window they replace. The input is materialized
+    * internally, so the three passes read one computed frame — corpus
+    * work upstream of the distinct-value aggregate still runs once.
+    *
+    * `nextKeyOut` additionally emits each row's successor key under
+    * the global order (`lead(key, 1)` equivalent; NULL on the last
+    * row) — per-bucket `lead` patched at bucket edges with the next
+    * non-empty bucket's collected min key.
+    */
+  def withRunningSums(
+      df: DataFrame, key: Column, specs: Seq[SumSpec],
+      nextKeyOut: Option[String] = None, buckets: Int = 32): DataFrame = {
+    require(specs.nonEmpty, "need at least one SumSpec")
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val in = Materialize.frame(df)
+    val keyd = key.cast("double")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val bs: Seq[Double] =
+      if (buckets == 1) Nil
+      else {
+        val r = in.agg(approx_percentile(keyd,
+          array(fracs.map(lit): _*), lit(10000)).as("_rs_bs")).collect().head
+        Option(r.getAs[scala.collection.Seq[Double]]("_rs_bs"))
+          .map(_.toSeq).getOrElse(Nil)
+      }
+    val bucketCol =
+      if (bs.isEmpty) lit(0L)
+      else coalesce(
+        size(filter(array(bs.map(lit): _*), b => keyd > b)).cast("long"),
+        lit(0L))
+    val bkt = in.withColumn("_rs_b", bucketCol)
+    val totalAggs = specs.zipWithIndex.map { case (sp, i) =>
+      sum(sp.value.cast("long")).as(s"_rs_t_$i")
+    } :+ min(key.cast("long")).as("_rs_mk")
+    val tRows = bkt.groupBy(col("_rs_b"))
+      .agg(totalAggs.head, totalAggs.tail: _*).collect()
+    val byBucket = tRows.map(r => r.getLong(0) -> r).toMap
+    // exclusive prefix of each spec's per-bucket totals
+    val offArrs: Seq[IndexedSeq[Long]] = specs.indices.map { i =>
+      var acc = 0L
+      (0 until buckets).map { b =>
+        val cur = acc
+        byBucket.get(b.toLong).foreach { r =>
+          if (!r.isNullAt(1 + i)) acc += r.getLong(1 + i)
+        }
+        cur
+      }
+    }
+    // min key of the next non-empty bucket, per bucket (right scan)
+    val nextMin: IndexedSeq[Option[Long]] = {
+      var succ: Option[Long] = None
+      (buckets - 1 to 0 by -1).map { b =>
+        val cur = succ
+        byBucket.get(b.toLong).foreach { r =>
+          if (!r.isNullAt(1 + specs.size)) succ = Some(r.getLong(1 + specs.size))
+        }
+        cur
+      }.reverse
+    }
+    val w = Window.partitionBy(col("_rs_b")).orderBy(key.asc)
+    val idx = (col("_rs_b") + 1L).cast("int")
+    val withSums = specs.zipWithIndex.foldLeft(bkt) { case (d, (sp, i)) =>
+      val frame =
+        if (sp.inclusive) w.rowsBetween(Window.unboundedPreceding, 0)
+        else w.rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn(sp.out,
+        coalesce(sum(sp.value.cast("long")).over(frame), lit(0L)) +
+          element_at(array(offArrs(i).map(lit): _*), idx))
+    }
+    nextKeyOut.fold(withSums) { out =>
+      val nextArr = array(nextMin.map(o =>
+        o.map(v => lit(v)).getOrElse(lit(null).cast("long"))): _*)
+      withSums.withColumn(out,
+        coalesce(lead(key.cast("long"), 1).over(w), element_at(nextArr, idx)))
+    }.drop("_rs_b")
+  }
+
   /** Exact top-k rows per group under the total order (key desc|asc,
     * ties…) WITHOUT a full per-group sort. A bare
     * `row_number().over(partitionBy(group).orderBy(…))` moves each

@@ -397,23 +397,74 @@ object TextAnalysis {
     * Docs with fewer than two tokens have no bigrams and are absent
     * from the output (they have no conditional-likelihood evidence).
     */
+  /** (id, l, r) positional bigrams as 64-BIT TOKEN HASHES, emitted by
+    * a per-partition JVM kernel — the shared front end of the bigram
+    * LM scorers. The declarative form (`explode(zip_with(slice, slice,
+    * struct))`) evaluates its lambda INTERPRETED per window (measured:
+    * a 0.6 s single-task stage at sf0.1 — the whole gate was 1.4 s),
+    * and every downstream aggregate/join keys on the bigram only for
+    * EQUALITY, never its content — so the kernel hashes tokens
+    * ([[Dedup.hash64]], the family-wide 2⁻⁶⁴-collision contract) and
+    * the shuffles carry 24-byte rows instead of string pairs. Each
+    * token hashes once (sliding reuse), docs under two tokens emit
+    * nothing (no conditional-likelihood evidence — the documented
+    * contract).
+    */
+  private[operators] def hashedBigrams(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    Dedup.requireLongCastableId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.toLowerCase.trim.split("\\s+")
+          if (w.length < 2) Iterator.empty
+          else new Iterator[(Long, Long, Long)] {
+            private var i = 0
+            private var prev = Dedup.hash64(w(0))
+            def hasNext: Boolean = i < w.length - 1
+            def next(): (Long, Long, Long) = {
+              val nx = Dedup.hash64(w(i + 1))
+              val t = (id, prev, nx)
+              prev = nx; i += 1; t
+            }
+          }
+        }
+      }
+      .toDF(idCol, "l", "r")
+  }
+
+  /** Corpus term-frequency over 64-bit token hashes (JVM kernel — the
+    * unigram face of [[hashedBigrams]], same hash, so `term` joins
+    * against bigram `l`/`r` columns value-for-value).
+    */
+  private[operators] def hashedTermCounts(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        it.flatMap(text =>
+          text.toLowerCase.trim.split("\\s+").iterator.map(Dedup.hash64))
+      }
+      .toDF("term")
+      .groupBy(col("term")).agg(count(lit(1)).as("cl"))
+  }
+
   def bigramLogProbScore(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    val w = split(lower(trim(col(textCol))), "\\s+")
-    val pairs = docs.select(col(idCol),
-      explode(zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    val pairs = hashedBigrams(docs, textCol, idCol)
     val tf = pairs.groupBy(col(idCol), col("l"), col("r"))
       .agg(count(lit(1)).as("tf"))
       .materialized // bigram-count aggregate + probe share one explode
     val bg = tf.groupBy(col("l"), col("r")).agg(sum(col("tf")).as("cbg"))
     val withBg = tf.join(bg, Seq("l", "r"))
-    val toks = docs.select(
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-    val ctx = toks.groupBy(col("term")).agg(count(lit(1)).as("cl"))
+    val ctx = hashedTermCounts(docs, textCol)
     // |V| is just ctx's row count — deriving it from ctx (vocabulary-
     // bounded) instead of a second countDistinct over the corpus-scale
     // token explode saves one full scan+shuffle of the corpus.
@@ -454,12 +505,9 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String,
       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val w = split(lower(trim(col(textCol))), "\\s+")
-    val pairs = docs.select(col(idCol),
-      explode(zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    // hashed-bigram kernel front end (see [[hashedBigrams]]): every
+    // aggregate below keys on the bigram for equality only
+    val pairs = hashedBigrams(docs, textCol, idCol)
     val dtf = pairs.groupBy(col(idCol), col("l"), col("r"))
       .agg(count(lit(1)).as("tf"))
     val bt = pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))

@@ -1209,10 +1209,16 @@ object SimilarityQueries extends QueryGroup {
         .select(col("doc_id"), col("text"), col("embedding"))
       val root = java.nio.file.Files
         .createTempDirectory("graft-hybpin-").toString
-      graft.sources.TxTable.create(corpus, root)
-      graft.sources.TxTable.buildBm25Index(s, root, "lex", "doc_id", "text")
-      graft.sources.TxTable.buildIvfIndex(s, root, "vec", "doc_id",
-        "embedding", numCentroids = 16)
+      // corpus + both pinned indexes in ONE v0 commit (createIndexed,
+      // round 17): equivalent by construction to the create →
+      // buildBm25Index → buildIvfIndex chain this replaces, minus two
+      // commits and two corpus re-reads; the deleteWhere BETWEEN build
+      // and probe — the semantics this gate exists to pin — stays its
+      // own commit
+      graft.sources.TxTable.createIndexed(corpus, root, Seq(
+        graft.sources.TxTable.Bm25IndexBuild("lex", "doc_id", "text"),
+        graft.sources.TxTable.IvfIndexBuild("vec", "doc_id",
+          "embedding", numCentroids = 16)))
       graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 9 === 4)
       val qv = graft.ingest.AnnIndex.lookupVector(
         Tables(s, dir).embeddings, "vec_id", "embedding", 0L)
@@ -1900,9 +1906,11 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables(s, dir).embeddings.select("vec_id", "embedding")
       val root = java.nio.file.Files
         .createTempDirectory("graft-txidx-probe-").toString
-      graft.sources.TxTable.create(emb, root)
-      graft.sources.TxTable.buildIvfIndex(s, root, "emb",
-        "vec_id", "embedding", numCentroids = 4, buckets = 4)
+      // one v0 commit for corpus + pinned index (createIndexed, r17):
+      // the build chain is setup, not the probed semantics
+      graft.sources.TxTable.createIndexed(emb, root, Seq(
+        graft.sources.TxTable.IvfIndexBuild("emb", "vec_id",
+          "embedding", numCentroids = 4)), buckets = 4)
       graft.sources.TxTable.ivfProbeIndexed(s, root, "emb",
         AnnIndex.lookupVector(emb, "vec_id", "embedding", 0L),
         k = 10, nProbes = 4, excludeId = Some(0L))
@@ -3953,10 +3961,9 @@ object TextQueries extends QueryGroup {
     (s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-bm25pin-").toString
-      graft.sources.TxTable.create(
-        Tables(s, dir).documents.select("doc_id", "text"), root)
-      graft.sources.TxTable.buildBm25Index(
-        s, root, "txt", "doc_id", "text")
+      graft.sources.TxTable.createIndexed(
+        Tables(s, dir).documents.select("doc_id", "text"), root, Seq(
+          graft.sources.TxTable.Bm25IndexBuild("txt", "doc_id", "text")))
       graft.sources.TxTable.bm25ProbeIndexed(s, root, "txt",
           Seq("spark", "vector", "customer"))
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
@@ -4004,10 +4011,9 @@ object TextQueries extends QueryGroup {
     (s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-bm25pindel-").toString
-      graft.sources.TxTable.create(
-        Tables(s, dir).documents.select("doc_id", "text"), root)
-      graft.sources.TxTable.buildBm25Index(
-        s, root, "txt", "doc_id", "text")
+      graft.sources.TxTable.createIndexed(
+        Tables(s, dir).documents.select("doc_id", "text"), root, Seq(
+          graft.sources.TxTable.Bm25IndexBuild("txt", "doc_id", "text")))
       graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 7 === 3)
       graft.sources.TxTable.bm25ProbeIndexed(s, root, "txt",
           Seq("spark", "vector", "customer"))
@@ -4056,10 +4062,9 @@ object TextQueries extends QueryGroup {
     (s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-pospin-").toString
-      graft.sources.TxTable.create(
-        Tables(s, dir).documents.select("doc_id", "text"), root)
-      graft.sources.TxTable.buildPhraseIndex(
-        s, root, "pos", "doc_id", "text")
+      graft.sources.TxTable.createIndexed(
+        Tables(s, dir).documents.select("doc_id", "text"), root, Seq(
+          graft.sources.TxTable.PhraseIndexBuild("pos", "doc_id", "text")))
       graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 6 === 2)
       graft.sources.TxTable.phraseProbeIndexed(s, root, "pos",
           Seq("spark", "vector"))
@@ -4085,10 +4090,9 @@ object TextQueries extends QueryGroup {
     (s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-conjpin-").toString
-      graft.sources.TxTable.create(
-        Tables(s, dir).documents.select("doc_id", "text"), root)
-      graft.sources.TxTable.buildBm25Index(
-        s, root, "lex", "doc_id", "text")
+      graft.sources.TxTable.createIndexed(
+        Tables(s, dir).documents.select("doc_id", "text"), root, Seq(
+          graft.sources.TxTable.Bm25IndexBuild("lex", "doc_id", "text")))
       graft.sources.TxTable.deleteWhere(s, root, col("doc_id") % 6 === 2)
       graft.sources.TxTable.conjunctiveProbeIndexed(s, root, "lex",
           Seq("spark", "vector", "customer"))

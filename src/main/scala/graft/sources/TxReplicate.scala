@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   * harvest batch at a full-table write. This apply decomposes each
   * typed event batch into the two delta-bounded primitives instead:
   *
-  *  - `delete` + `update_preimage` events contribute their KEYS
-  *    (collected to the driver — bounded by the batch, the same size
-  *    class as the position lists [[TxTable.deleteWhere]] already
-  *    writes) and mask via the deletion-vector path: one stats-pruned
-  *    matching scan (the `In(key, …)` predicate pushes to parquet, so
-  *    a key-clustered replica opens only overlapping row groups), a
-  *    KB-scale position write, zero data-file rewrites;
+  *  - `delete` + `update_preimage` events contribute their KEYS and
+  *    mask via the deletion-vector path: small batches inline the
+  *    keys as an `In(key, …)` predicate (pushes to parquet, so a
+  *    key-clustered replica opens only overlapping row groups), and
+  *    batches past `spark.graft.replicate.maxInlineDeleteKeys`
+  *    (default 10k) switch to [[TxTable.deleteKeys]]'s broadcast
+  *    semi-join so the plan never carries 10⁵ literal nodes. Either
+  *    way: a KB-scale position write, zero data-file rewrites;
   *  - `insert` + `update_postimage` events APPEND — work bounded by
   *    the batch rows.
   *
@@ -59,16 +60,35 @@ object TxReplicate {
     val applied = TxTable.latestSnapshot(spark, root)
       .headers.get(s"stream:$streamId").map(_.toLong)
     if (applied.exists(_ >= batchId)) return 0
-    val gone = events
+    // Delete-key mask, thresholded on batch size: up to
+    // `maxInlineDeleteKeys` the keys inline as an `In` literal list
+    // (which pushes to parquet stats, so a key-clustered replica opens
+    // only overlapping row groups); above it — a retention-window
+    // catch-up batch can carry 10⁵+ keys, and that many literals blow
+    // up the PLAN before any data is read while pushdown has long
+    // given up — the mask switches to [[TxTable.deleteKeys]]'s
+    // broadcast semi-join (plan stays O(1), keys ship once per
+    // executor). The collect stays a single full pass, bounded by the
+    // change batch (the pre-existing contract): a `limit(n).collect()`
+    // would route through the incremental-take executor, which
+    // re-runs the typed-changes subtree per size escalation — measured
+    // 4 s → 20 s on the replicate gate before this was caught.
+    val maxInline = spark.conf
+      .getOption("spark.graft.replicate.maxInlineDeleteKeys")
+      .map(_.toInt).getOrElse(10000)
+    val goneDf = events
       .filter(col("_change_type").isin("delete", "update_preimage"))
       .select(col(keyCol)).distinct()
-      .collect().map(_.get(0)).toSeq // bounded by the change batch
+    val gone = goneDf.collect().map(_.get(0)).toSeq // bounded by the batch
     val add = events
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .drop("_change_type", "_commit_version")
     var commits = 0
     if (gone.nonEmpty) {
-      TxTable.deleteWhere(spark, root, col(keyCol).isInCollection(gone))
+      if (gone.size <= maxInline)
+        TxTable.deleteWhere(spark, root, col(keyCol).isInCollection(gone))
+      else
+        TxTable.deleteKeys(spark, root, keyCol, goneDf)
       commits += 1
     }
     // always runs (even with zero add rows): the high-water header

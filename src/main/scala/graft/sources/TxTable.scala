@@ -1091,6 +1091,94 @@ object TxTable {
     0L
   }
 
+  /** One pinned index to build inside [[createIndexed]]'s single
+    * commit — the public face of the internal IVF/BM25 specs.
+    */
+  sealed trait IndexBuild { def name: String }
+  final case class IvfIndexBuild(
+      name: String, idCol: String, vecCol: String,
+      numCentroids: Int = 16) extends IndexBuild
+  final case class Bm25IndexBuild(
+      name: String, idCol: String, textCol: String,
+      termBuckets: Int = 64) extends IndexBuild
+  final case class PhraseIndexBuild(
+      name: String, idCol: String, textCol: String,
+      termBuckets: Int = 64) extends IndexBuild
+
+  /** Create a table AND build its pinned indexes in ONE commit: data
+    * files, every index's files and sidecars, and the index headers
+    * publish under a single v0 manifest rename. Equivalent by
+    * construction to `create` + `buildIvfIndex`/`buildBm25Index`
+    * chains (same routing, same header algebra — each build there
+    * reads back exactly the corpus this is handed), minus one
+    * manifest round-trip, one corpus re-read and one commit PER
+    * index: a create-then-index lifecycle of 1 + k commits collapses
+    * to 1. `df` is read several times (data write, per-index routing,
+    * BM25 moments, IVF k-means) — materialize nondeterministic frames
+    * first, the usual multi-pass contract.
+    */
+  def createIndexed(
+      df: DataFrame, root: String, indexes: Seq[IndexBuild],
+      clusterCol: Option[String] = None, buckets: Int = 8,
+      check: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    require(versions(spark, root).isEmpty,
+      s"TxTable already exists at $root")
+    require(indexes.map(_.name).distinct.size == indexes.size,
+      s"duplicate index names in ${indexes.map(_.name)}")
+    indexes.foreach(ib => require(ib.name.matches("[A-Za-z0-9_-]+"),
+      s"bad index name '${ib.name}'"))
+    val clusterCols = clusterCol.toSeq
+    val headers0 = check.map(c => Map("check" -> c))
+      .getOrElse(Map.empty[String, String])
+    requireNoCaseDuplicates(df.schema, s"createIndexed at $root")
+    enforceCheck(df, headers0, s"createIndexed at $root")
+    val baseHeaders = headers0 + schemaHeaderFor(df) ++ (
+      if (clusterCols.isEmpty) Map.empty[String, String]
+      else Map("cluster" -> clusterCols.mkString(",")))
+    val entries =
+      writeDataFiles(toPhysical(df, baseHeaders), root, clusterCols, buckets)
+    // stage every index exactly as its standalone build would: files
+    // land under root now, the manifest rename below publishes them
+    val built: Seq[(String, String, Seq[String])] = indexes.map {
+      case iv: IvfIndexBuild =>
+        import org.apache.spark.ml.functions.array_to_vector
+        val featured = df.withColumn("features",
+          array_to_vector(col(iv.vecCol).cast("array<double>")))
+        val model =
+          graft.operators.Similarity.coarseQuantizer(featured, iv.numCentroids)
+        import spark.implicits._
+        val sidecarRel = s"index/${iv.name}/_centroids-${UUID.randomUUID()}"
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.parquet(new Path(root, sidecarRel).toString)
+        val spec = IvfSpec(iv.name, sidecarRel, iv.idCol, iv.vecCol)
+        val (idxEntries, _) = idxEntriesFor(spark, root, Seq(spec), df, buckets)
+        (s"index:${iv.name}", s"$sidecarRel|${iv.idCol}|${iv.vecCol}",
+          idxEntries)
+      case bm: Bm25IndexBuild =>
+        val spec0 = Bm25Spec(bm.name, bm.idCol, bm.textCol,
+          bm.termBuckets, 0L, 0L)
+        val (idxEntries, moments) =
+          idxEntriesFor(spark, root, Seq(spec0), df, buckets)
+        val (n, sd) = moments(bm.name)
+        (s"index:${bm.name}",
+          spec0.copy(nDocs = n, sumDl = sd).headerValue, idxEntries)
+      case ph: PhraseIndexBuild =>
+        val spec = PhraseSpec(ph.name, ph.idCol, ph.textCol,
+          ph.termBuckets)
+        val (idxEntries, _) =
+          idxEntriesFor(spark, root, Seq(spec), df, buckets)
+        (s"index:${ph.name}", spec.headerValue, idxEntries)
+    }
+    val headers = baseHeaders ++ built.map(b => b._1 -> b._2)
+    if (!tryCommit(spark, root, 0L, headers,
+        entries ++ built.flatMap(_._3)))
+      throw new CommitConflict(s"concurrent create at $root")
+    0L
+  }
+
   /** Blind append: retries past lost races (bounded), since adding
     * files commutes with any interleaved commit's file additions.
     */
@@ -1511,7 +1599,28 @@ object TxTable {
       spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 10, dvBuckets: Int = 1): Long =
-    deleteImpl(spark, root, predicate, _.files, maxRetries, dvBuckets)
+    deleteImpl(spark, root, _.filter(predicate), _.files, maxRetries,
+      dvBuckets)
+
+  /** [[deleteWhere]] for an explicit KEY SET: rows whose `keyCol`
+    * equals any key of `keys` (deduplicated here) are DV-masked via a
+    * BROADCAST SEMI-JOIN — the at-scale form of `isInCollection` for
+    * key sets too large to inline. A retention-window CDC catch-up
+    * batch can carry 10⁵+ delete keys; as an `In` literal list those
+    * are 10⁵ expression nodes the driver analyzes/codegens BEFORE any
+    * data is read (plan-size blowup), and parquet pushdown gives up
+    * far below that anyway. The semi-join keeps the plan O(1), ships
+    * the keys once per executor, and stays exact. Same DV semantics,
+    * retry loop and pinned-index ride-along as [[deleteWhere]].
+    */
+  def deleteKeys(
+      spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, maxRetries: Int = 10, dvBuckets: Int = 1): Long = {
+    val k = keys.select(col(keyCol)).distinct()
+    deleteImpl(spark, root,
+      _.join(broadcast(k), Seq(keyCol), "left_semi"),
+      _.files, maxRetries, dvBuckets)
+  }
 
   /** [[deleteWhere]] restricted to the FIRST cluster column's range
     * [lo, hi], with the matching scan FILE-PRUNED by manifest stats —
@@ -1528,13 +1637,13 @@ object TxTable {
       throw new IllegalArgumentException(
         s"TxTable $root has no cluster column; deleteRange needs one"))
     deleteImpl(spark, root,
-      col(logicalClusterCol(snap, c)).between(lo, hi),
+      _.filter(col(logicalClusterCol(snap, c)).between(lo, hi)),
       s => prunedFiles(s, 0, lo, hi), maxRetries, dvBuckets)
   }
 
   private def deleteImpl(
       spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column,
+      matcher: DataFrame => DataFrame,
       candidates: Snapshot => Seq[String],
       maxRetries: Int, dvBuckets: Int): Long = {
     var attempt = 0
@@ -1585,7 +1694,7 @@ object TxTable {
       val dlCols = bmSpecs.map(bm =>
         size(split(lower(trim(col(bm.textCol))), "\\s+"))
           .cast("long").as(s"_dl_${bm.name}"))
-      val hits = live.filter(predicate)
+      val hits = matcher(live)
         .select(col("_dv_f").as("file") +:
           col("_dv_ri").as("row_index") +: (idCols ++ dlCols): _*)
       val rel = s"dv/${UUID.randomUUID()}"

@@ -177,7 +177,8 @@ object TxChangeStream {
     * [[fieldIndexes]]; −1 reads null — schema evolution). The type
     * subset matches [[graft.sources.AvroIo]]'s: primitives,
     * string/binary, timestamp (INT64 micros/millis AND legacy INT96),
-    * date, arrays of those (3-level lists).
+    * date, arrays of those (3-level lists), and nested structs of
+    * those (the record schema's `_metadata` shape).
     */
   private[streaming] def groupToRow(
       g: Group, schema: StructType, idx: Array[Int],
@@ -209,10 +210,33 @@ object TxChangeStream {
     case BinaryType => g.getBinary(idx, 0).getBytes
     case TimestampType => timestampMicros(g, idx)
     case ArrayType(et, _) => listValue(g, idx, et)
+    case st: StructType => structValue(g, idx, st)
     case other => throw new IllegalArgumentException(
       s"TxChangeStream: unsupported Spark type $other " +
         "(supported: primitives, string, binary, timestamp, date, " +
-        "arrays of those)")
+        "arrays and structs of those)")
+  }
+
+  /** Nested struct (the record schema's `_metadata` status struct —
+    * the shape every study row carries, so the change stream must
+    * materialize it): same by-name case-insensitive field resolution
+    * as the top level. Resolution runs per row here — nested structs
+    * on this feed are a handful of fields, so a per-file cache would
+    * buy noise.
+    */
+  private def structValue(g: Group, idx: Int, st: StructType): InternalRow = {
+    val inner = g.getGroup(idx, 0)
+    val jdx = fieldIndexes(inner.getType.asGroupType(), st)
+    val vals = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      val j = jdx(i)
+      vals(i) =
+        if (j < 0 || inner.getFieldRepetitionCount(j) == 0) null
+        else valueAt(inner, j, st.fields(i).dataType)
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
   private def timestampMicros(g: Group, idx: Int): Long = {

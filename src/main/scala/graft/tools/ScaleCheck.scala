@@ -1519,6 +1519,21 @@ object ScaleCheck {
       time(s"editdist_shared_prefix_${dup}x",
         graft.operators.EditDistance.pairsPrefix(
           fmtDict(2000L * dup), "s", "id", maxDist = 2))
+      // round 17: the DEGENERATE shape (variable region < maxDist·q
+      // chars — a 4-char hex tail against k·q = 6) that round 16
+      // measured at 539 s/20k rows when the prefix join ran it raw.
+      // pairsPrefix now probes the kept-prefix max df at plan time and
+      // falls back to the count filter, so this row must land in
+      // editdist_shared_pairs territory, not 100× above it.
+      def narrowDict(rows: Long) = spark.range(rows).select(col("id"),
+        concat(lit("corpus record entry nr "),
+          substring(md5(col("id").cast("string")), 1, 4)).as("s"))
+      time("editdist_degen_prefix_1x",
+        graft.operators.EditDistance.pairsPrefix(
+          narrowDict(2000L), "s", "id", maxDist = 2))
+      time("editdist_degen_prefix_2x",
+        graft.operators.EditDistance.pairsPrefix(
+          narrowDict(4000L), "s", "id", maxDist = 2))
     }
 
     // round 13: HyperBall — register frame is node-scale × m; two

@@ -100,6 +100,63 @@ class EditDistanceSpec extends SparkSpec {
     }
   }
 
+  test("degenerate guard: a too-narrow variable region falls back to " +
+    "the count filter, result set unchanged") {
+    val s = spark
+    import s.implicits._
+    // 500 ids over a 30-char shared format with a 2-char variable
+    // region — narrower than maxDist·q = 3 chars, so every kept prefix
+    // contains a shared format gram with df ≈ n: the round-16-measured
+    // collapse (539 s vs 4.8 s at 20k rows). The guard must detect it
+    // (maxDf ≈ n ≫ 4·√rows) and route through [[EditDistance.pairs]].
+    val degen = (0L until 500L).map(i =>
+      i -> f"shared-format-prefix-constant-${i % 100}%02d")
+    val viaPrefix = EditDistance
+      .pairsPrefix(degen.toDF("id", "s"), "s", "id", 1, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaCount = EditDistance
+      .pairs(degen.toDF("id", "s"), "s", "id", 1, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaPrefix == viaCount)
+    assert(viaPrefix.nonEmpty)
+    // threshold unit cases: collapse signature fires, healthy does not
+    assert(EditDistance.prefixDegenerate(maxDf = 500, rows = 2000))
+    assert(!EditDistance.prefixDegenerate(maxDf = 20, rows = 2000))
+    assert(!EditDistance.prefixDegenerate(maxDf = 0, rows = 0))
+  }
+
+  test("the real corpus does not trip the degenerate guard (the gate " +
+    "keeps exercising the prefix path)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .select(col("id").cast("long").as("id"), col("p_name").as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    val q = 3; val pfx = 2 * q + 1 // the gate's maxDist = 2
+    val occ = docs.filter(col("len") >= q)
+      .select(col("id"), posexplode(
+        expr(s"transform(sequence(1, len - ${q - 1}), " +
+          s"i -> substring(s, i, $q))")).as(Seq("pos", "gram")))
+      .withColumn("j", row_number().over(
+        Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))))
+    val prefix = occ
+      .withColumn("_f", count(lit(1)).over(
+        Window.partitionBy(col("gram"), col("j"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("_f"), col("gram"), col("j"))))
+      .filter(col("_rn") <= pfx)
+    val st = prefix.groupBy(col("gram"), col("j"))
+      .agg(count(lit(1)).as("_df"))
+      .agg(coalesce(max(col("_df")), lit(0L)).as("maxDf"),
+        coalesce(sum(col("_df")), lit(0L)).as("rows")).head()
+    assert(!EditDistance.prefixDegenerate(st.getLong(0), st.getLong(1)),
+      s"maxDf=${st.getLong(0)} rows=${st.getLong(1)}")
+  }
+
   test("null strings are dropped, not paired") {
     val s = spark
     import s.implicits._

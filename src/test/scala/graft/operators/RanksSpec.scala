@@ -187,4 +187,63 @@ class RanksSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"unpartitioned WindowExec in Ranks plan: $w"))
   }
+
+  // distinct-key frame with a null key and long gaps — the
+  // withRunningSums contract (unique keys, integral values)
+  private lazy val rsDf: DataFrame = spark.range(0, 400)
+    .select(
+      when(col("id") === 0, lit(null))
+        .otherwise(col("id") * 37 % 10000).as("x"),
+      (col("id") % 13 + 1).as("a"),
+      (col("id") % 7).as("b"))
+    .groupBy("x")
+    .agg(sum("a").as("a"), sum("b").as("b"))
+    .repartition(5)
+
+  test("withRunningSums matches the unpartitioned cumulative window") {
+    val w = Window.orderBy(col("x"))
+    val expected = rsDf
+      .withColumn("ca",
+        sum(col("a")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cb", coalesce(
+        sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("nx", lead(col("x"), 1).over(w))
+    val got = Ranks.withRunningSums(rsDf, col("x"),
+      Seq(Ranks.SumSpec("ca", col("a")),
+        Ranks.SumSpec("cb", col("b"), inclusive = false)),
+      nextKeyOut = Some("nx"), buckets = 8)
+    assertSame(got, expected)
+  }
+
+  test("withRunningSums is exact with one bucket and with many") {
+    val w = Window.orderBy(col("x"))
+    val expected = rsDf.withColumn("c",
+      sum(col("a")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    Seq(1, 3, 200).foreach { b =>
+      val got = Ranks.withRunningSums(rsDf, col("x"),
+        Seq(Ranks.SumSpec("c", col("a"))), buckets = b)
+      assertSame(got, expected)
+    }
+  }
+
+  test("withRunningSums on an empty frame yields empty output") {
+    val empty = rsDf.filter(lit(false))
+    val got = Ranks.withRunningSums(empty, col("x"),
+      Seq(Ranks.SumSpec("c", col("a"))), nextKeyOut = Some("nx"))
+    assert(got.count() === 0)
+    assert(got.columns.contains("c") && got.columns.contains("nx"))
+  }
+
+  test("withRunningSums plan has no unpartitioned window") {
+    val got = Ranks.withRunningSums(rsDf, col("x"),
+      Seq(Ranks.SumSpec("c", col("a"))), nextKeyOut = Some("nx"),
+      buckets = 8)
+    val windows = got.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned WindowExec in withRunningSums plan: $w"))
+  }
 }

@@ -292,4 +292,48 @@ class TxIndexSpec extends SparkSpec {
     assert(idSet(TxTable.readIndex(spark, root, "emb")) ===
       (0L until 8L).toSet)
   }
+
+  test("createIndexed: one v0 commit equals the create+build chain — " +
+    "same probes, same headers algebra, delete still masks both") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("spark", "vector", "customer", "corpus", "index")
+    val corpus = vecs(0L until 40L).select(col("vec_id"), col("embedding"),
+      concat_ws(" ",
+        lit("doc"),
+        element_at(array(words.map(lit): _*),
+          (pmod(col("vec_id"), lit(5)) + 1).cast("int")),
+        element_at(array(words.map(lit): _*),
+          (pmod(col("vec_id") * 3, lit(5)) + 1).cast("int"))).as("text"))
+    val chainRoot = Files.createTempDirectory("graft-txidx-chain-").toString
+    val oneRoot = Files.createTempDirectory("graft-txidx-one-").toString
+    TxTable.create(corpus, chainRoot)
+    TxTable.buildBm25Index(spark, chainRoot, "lex", "vec_id", "text")
+    TxTable.buildIvfIndex(spark, chainRoot, "emb", "vec_id", "embedding",
+      numCentroids = 4, buckets = 4)
+    assert(TxTable.versions(spark, chainRoot) === Seq(0L, 1L, 2L))
+    TxTable.createIndexed(corpus, oneRoot, Seq(
+      TxTable.Bm25IndexBuild("lex", "vec_id", "text"),
+      TxTable.IvfIndexBuild("emb", "vec_id", "embedding",
+        numCentroids = 4)), buckets = 4)
+    assert(TxTable.versions(spark, oneRoot) === Seq(0L))
+    assert(TxTable.indexNames(spark, oneRoot).sorted == Seq("emb", "lex"))
+    def probes(root: String): (Seq[(Long, Double)], Seq[(Long, Double)]) = {
+      val q = Array(10.0, 0.0, 0.0, 0.0)
+      val ann = TxTable.ivfProbeIndexed(spark, root, "emb", q, k = 5,
+        nProbes = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val lex = TxTable.bm25ProbeIndexed(spark, root, "lex",
+        Seq("spark", "vector"))
+        .orderBy(col("bm25").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      (ann, lex)
+    }
+    assert(probes(oneRoot) == probes(chainRoot))
+    // the gate's lifecycle: a delete AFTER the batched build must mask
+    // both pools identically on both tables
+    TxTable.deleteWhere(spark, chainRoot, col("vec_id") % 9 === 4)
+    TxTable.deleteWhere(spark, oneRoot, col("vec_id") % 9 === 4)
+    assert(probes(oneRoot) == probes(chainRoot))
+    assert(!idSet(TxTable.readIndex(spark, oneRoot, "emb")).contains(4L))
+  }
 }

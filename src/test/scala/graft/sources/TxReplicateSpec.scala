@@ -150,4 +150,50 @@ class TxReplicateSpec extends SparkSpec {
       streamId = "mirror", batchId = 2L) == 0)
     assert(TxTable.read(spark, dst).count() == 3L)
   }
+
+  test("delete masks are path-equal across the inline-key threshold: " +
+    "semi-join batches reach the same state as literal In batches") {
+    val dstA = Files.createTempDirectory("graft-rep-thr-a-").toString
+    val dstB = Files.createTempDirectory("graft-rep-thr-b-").toString
+    val base = spark.range(0, 3000)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    TxTable.create(base, dstA)
+    TxTable.create(base, dstB)
+    val events = spark.range(0, 2000)
+      .select(col("id").as("k"), lit("x").as("v"),
+        lit("delete").as("_change_type"))
+    // A: inline path (default threshold 10k > 2k keys)
+    assert(TxReplicate.applyTyped(spark, dstA, "k", events,
+      streamId = "mirror", batchId = 1L) == 2)
+    // B: forced over the threshold → broadcast semi-join mask
+    spark.conf.set("spark.graft.replicate.maxInlineDeleteKeys", "100")
+    try assert(TxReplicate.applyTyped(spark, dstB, "k", events,
+      streamId = "mirror", batchId = 1L) == 2)
+    finally spark.conf.unset("spark.graft.replicate.maxInlineDeleteKeys")
+    val a = TxTable.read(spark, dstA).as[(Long, String)].collect().toSet
+    val b = TxTable.read(spark, dstB).as[(Long, String)].collect().toSet
+    assert(a == b)
+    assert(a.size == 1000 && a.forall(_._1 >= 2000))
+    // both advanced the same high-water → replay skips on both
+    assert(TxReplicate.applyTyped(spark, dstB, "k", events,
+      streamId = "mirror", batchId = 1L) == 0)
+  }
+
+  test("a 50k-key catch-up batch delete-masks without inlining 50k " +
+    "literals into the plan") {
+    val dst = Files.createTempDirectory("graft-rep-50k-").toString
+    TxTable.create(
+      spark.range(0, 60000)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v")),
+      dst)
+    val events = spark.range(0, 50000)
+      .select(col("id").as("k"), lit("x").as("v"),
+        lit("delete").as("_change_type"))
+    // 50k > the default 10k threshold → TxTable.deleteKeys semi-join
+    assert(TxReplicate.applyTyped(spark, dst, "k", events,
+      streamId = "mirror", batchId = 1L) == 2)
+    assert(TxTable.read(spark, dst).count() == 10000L)
+    assert(TxTable.read(spark, dst).agg(min(col("k"))).head.getLong(0)
+      == 50000L)
+  }
 }
